@@ -1,0 +1,434 @@
+package graft.queries
+
+import graft.model._
+import graft.operators.Relational.{dsum, joinWithSuffix}
+import graft.sources.{Coord, GridSource, GridSpec}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** The declared Layer-B query set (SURVEY.md §2.11 Q1-Q20): the relational
+  * capability surface the reference prescribes for the frames it produces
+  * (reference: README.md:76-149, examples/basic_usage.py, docs/examples).
+  * Every query ends in a total ORDER BY; double aggregates route through
+  * DecimalType so results are bit-deterministic at any partitioning (see
+  * Relational.dsum).
+  */
+object CoreQueries {
+  import Tables.t
+
+  // exact revenue term: l_extendedprice * (1 - l_discount) in decimal
+  private def discPrice: Column =
+    col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2)))
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  private def dec(c: String, p: Int): Column = col(c).cast(DecimalType(p, 2))
+  private def dsumSql(x: String, p: Int): String = s"CAST(SUM(CAST($x AS DECIMAL($p,2))) AS DOUBLE)"
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    Q(
+      "q01_scan",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+          .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q02_filter",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_quantity") > 30 && col("l_discount").between(0.02, 0.08))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+             |WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q03_nullnan",
+      (s, d) =>
+        t(s, d, "events").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(isnan(col("value")), 1L).otherwise(0L)).as("n_nan"),
+          sum(
+            when(
+              col("value") === Double.PositiveInfinity || col("value") === Double.NegativeInfinity,
+              1L
+            ).otherwise(0L)
+          ).as("n_inf")
+        ),
+      Some("""SELECT COUNT(*) AS n_rows,
+             |CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |CAST(SUM(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+             |CAST(SUM(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) AS n_inf
+             |FROM events""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q04_case",
+      (s, d) =>
+        t(s, d, "orders")
+          .withColumn(
+            "prio_class",
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+              .when(col("o_orderpriority") === "3-MEDIUM", "mid")
+              .otherwise("low")
+          )
+          .groupBy("prio_class")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("prio_class"),
+      Some("""SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+             |            WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+             |            ELSE 'low' END AS prio_class, COUNT(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY prio_class""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q05_compute",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+            pmod(col("l_orderkey"), lit(12)).as("okmod"),
+            round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+            round(atan2(col("l_quantity"), col("l_extendedprice")), 6).as("angle")
+          )
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |round(l_extendedprice * (1.0 - l_discount), 6) AS revenue,
+             |l_orderkey % 12 AS okmod,
+             |round(sqrt(l_quantity), 6) AS qty_sqrt,
+             |round(atan2(l_quantity, l_extendedprice), 6) AS angle
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q06_dates",
+      (s, d) =>
+        t(s, d, "orders")
+          .withColumn("od", col("o_orderdate").cast(DateType))
+          .groupBy(year(col("od")).as("yr"), month(col("od")).as("mo"))
+          .agg(count(lit(1)).as("n"), min(dayofyear(col("od"))).as("min_doy"))
+          .orderBy("yr", "mo"),
+      Some("""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
+             |CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS mo,
+             |COUNT(*) AS n,
+             |CAST(MIN(dayofyear(CAST(o_orderdate AS DATE))) AS INTEGER) AS min_doy
+             |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q07_join3",
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val o = t(s, d, "orders"); val c = t(s, d, "customer")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            sum(discPrice).cast(DoubleType).as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_lines")
+          )
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+              |COUNT(DISTINCT o_orderkey) AS n_orders, COUNT(*) AS n_lines
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q08_selfjoin_suffix",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val mx = li.groupBy("l_orderkey").agg(max("l_quantity").as("qty"))
+        val mn = li.groupBy("l_orderkey").agg(min("l_quantity").as("qty"))
+        joinWithSuffix(
+          joinWithSuffix(mx, mn, Seq("l_orderkey"), "_min"),
+          mx,
+          Seq("l_orderkey"),
+          "_max"
+        ).select(
+          col("l_orderkey"),
+          col("qty_max"),
+          col("qty_min"),
+          (col("qty_max") - col("qty_min")).as("qty_range")
+        ).orderBy("l_orderkey")
+      },
+      Some("""WITH mx AS (SELECT l_orderkey, MAX(l_quantity) AS qty_max FROM lineitem GROUP BY 1),
+             |mn AS (SELECT l_orderkey, MIN(l_quantity) AS qty_min FROM lineitem GROUP BY 1)
+             |SELECT mx.l_orderkey, qty_max, qty_min, qty_max - qty_min AS qty_range
+             |FROM mx JOIN mn ON mx.l_orderkey = mn.l_orderkey
+             |ORDER BY mx.l_orderkey""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q09_tpch1",
+      (s, d) => {
+        val nd = count(lit(1)).cast(DoubleType)
+        val s1 = dsum(col("l_quantity"), 12)
+        val s2 = sum(dec("l_quantity", 7) * dec("l_quantity", 7)).cast(DoubleType)
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity"), 12).as("sum_qty"),
+            dsum(col("l_extendedprice"), 18).as("sum_base_price"),
+            sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+            (dsum(col("l_quantity"), 12) / count(lit(1)).cast(DoubleType)).as("avg_qty"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            round(sqrt((s2 - (s1 * s1) / nd) / (nd - lit(1.0))), 6).as("std_qty"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |${dsumSql("l_quantity", 12)} AS sum_qty,
+              |${dsumSql("l_extendedprice", 18)} AS sum_base_price,
+              |CAST(SUM($discPriceSql) AS DOUBLE) AS sum_disc_price,
+              |${dsumSql("l_quantity", 12)} / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+              |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+              |round(sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE)
+              |  - (${dsumSql("l_quantity", 12)} * ${dsumSql("l_quantity", 12)}) / CAST(COUNT(*) AS DOUBLE))
+              |  / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 6) AS std_qty,
+              |COUNT(*) AS count_order
+              |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q10_quantiles",
+      (s, d) =>
+        t(s, d, "lineitem").agg(
+          round(expr("percentile(l_extendedprice, 0.05)"), 6).as("p05"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.50)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95")
+        ),
+      Some("""SELECT round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+             |round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+             |round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+             |round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+             |round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+             |FROM lineitem""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q11_corr",
+      (s, d) => {
+        val nd = count(lit(1)).cast(DoubleType)
+        val sx = dsum(col("l_quantity"), 12)
+        val sy = dsum(col("l_extendedprice"), 18)
+        val sxx = sum(dec("l_quantity", 7) * dec("l_quantity", 7)).cast(DoubleType)
+        val syy = sum(dec("l_extendedprice", 12) * dec("l_extendedprice", 12)).cast(DoubleType)
+        val sxy = sum(dec("l_quantity", 7) * dec("l_extendedprice", 12)).cast(DoubleType)
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            round(
+              (nd * sxy - sx * sy) /
+                (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)),
+              6
+            ).as("corr_exact"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_builtin")
+          )
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+              |round((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+              |  - ${dsumSql("l_quantity", 12)} * ${dsumSql("l_extendedprice", 18)})
+              | / (sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE)
+              |        - ${dsumSql("l_quantity", 12)} * ${dsumSql("l_quantity", 12)})
+              |    * sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+              |        - ${dsumSql("l_extendedprice", 18)} * ${dsumSql("l_extendedprice", 18)})), 6) AS corr_exact,
+              |round(corr(l_quantity, l_extendedprice), 6) AS corr_builtin
+              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q12_globalagg",
+      (s, d) => {
+        val nd = count(lit(1)).cast(DoubleType)
+        val s1 = dsum(col("value"), 14)
+        val s2 = sum(dec("value", 14) * dec("value", 14)).cast(DoubleType)
+        t(s, d, "events").agg(
+          count(lit(1)).as("n"),
+          (dsum(col("value"), 14) / count(lit(1)).cast(DoubleType)).as("mean_v"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"),
+          round(sqrt((s2 - (s1 * s1) / nd) / (nd - lit(1.0))), 6).as("std_v")
+        )
+      },
+      Some(s"""SELECT COUNT(*) AS n,
+              |${dsumSql("value", 14)} / CAST(COUNT(*) AS DOUBLE) AS mean_v,
+              |MIN(value) AS min_v, MAX(value) AS max_v,
+              |round(sqrt((CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+              |  - (${dsumSql("value", 14)} * ${dsumSql("value", 14)}) / CAST(COUNT(*) AS DOUBLE))
+              |  / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 6) AS std_v
+              |FROM events""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q13_having",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(dsum(col("o_totalprice"), 18).as("total_spend"), count(lit(1)).as("n_orders"))
+          .filter(col("total_spend") > 1200000.0)
+          .orderBy("o_custkey"),
+      Some(s"""SELECT o_custkey, ${dsumSql("o_totalprice", 18)} AS total_spend, COUNT(*) AS n_orders
+              |FROM orders GROUP BY 1
+              |HAVING ${dsumSql("o_totalprice", 18)} > 1200000.0
+              |ORDER BY o_custkey""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q14_bins",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy((floor(col("o_totalprice") / 10000) * 10000).cast(LongType).as("price_bin"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("price_bin"),
+      Some("""SELECT CAST(floor(o_totalprice / 10000) * 10000 AS BIGINT) AS price_bin, COUNT(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY price_bin""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q15_distinct",
+      (s, d) => t(s, d, "lineitem").select("l_returnflag").distinct().orderBy("l_returnflag"),
+      Some("SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag")
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q16_lagdiff",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("value"),
+            (col("value") - lag("value", 1).over(w)).as("dv")
+          )
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+             |value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q17_anomaly",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val stats = ev
+          .groupBy("user_id", "event_type")
+          .agg((dsum(col("value"), 14) / count(lit(1)).cast(DoubleType)).as("mean_v"))
+        ev.join(stats, Seq("user_id", "event_type"))
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("event_type"),
+            col("value"),
+            col("mean_v"),
+            round(col("value") - col("mean_v"), 6).as("anom")
+          )
+          .orderBy("event_id")
+      },
+      Some(s"""WITH stats AS (
+              |  SELECT user_id, event_type,
+              |         ${dsumSql("value", 14)} / CAST(COUNT(*) AS DOUBLE) AS mean_v
+              |  FROM events GROUP BY 1, 2)
+              |SELECT e.event_id, e.user_id, e.event_type, e.value, s.mean_v,
+              |       round(e.value - s.mean_v, 6) AS anom
+              |FROM events e JOIN stats s ON e.user_id = s.user_id AND e.event_type = s.event_type
+              |ORDER BY e.event_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q18_topk",
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val o = t(s, d, "orders"); val c = t(s, d, "customer")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_name")
+          .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+          .orderBy(desc("revenue"), col("c_custkey"))
+          .limit(5)
+      },
+      Some(s"""SELECT c_custkey, c_name, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 5""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "q19_union",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val a = li.filter(col("l_linenumber") <= 3)
+        val b = li.filter(col("l_linenumber") > 3)
+        a.unionByName(b)
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 12).as("sum_qty"))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${dsumSql("l_quantity", 12)} AS sum_qty FROM (
+              |  SELECT * FROM lineitem WHERE l_linenumber <= 3
+              |  UNION ALL
+              |  SELECT * FROM lineitem WHERE l_linenumber > 3) u""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Dimension-selection semantics over a generated 3-D grid — reproduces
+    // the reference's read-time selection incl. point-drops-column and
+    // C-order coordinate expansion (coordinate_processor.py:147-218, 331-347).
+    Q(
+      "q20_dimsel",
+      (s, _) => {
+        val spec = GridSpec(
+          dims = Vector("time", "lat", "lon"),
+          shape = Vector(12, 10, 15),
+          coords = Vector(
+            Coord.Ints(Array.tabulate(12)(identity)),
+            Coord.Doubles(Array.tabulate(10)(i => 30.0 + i * (20.0 / 9))),
+            Coord.Doubles(Array.tabulate(15)(j => -120.0 + j * (20.0 / 14)))
+          ),
+          value = flat => {
+            val it = (flat / 150).toInt; val ila = ((flat / 15) % 10).toInt
+            val ilo = (flat % 15).toInt
+            (it * 10000 + ila * 100 + ilo).toDouble
+          }
+        )
+        GridSource
+          .toDF(
+            s,
+            spec,
+            Map(
+              "time" -> DimSel.Range(0, 3),
+              "lat" -> DimSel.Indices(Vector(1, 3, 5)),
+              "lon" -> DimSel.Point(7)
+            )
+          )
+          .orderBy("time", "lat")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS time, 30.0 + la.i * (20.0 / 9) AS lat,
+             |CAST(t.i * 10000 + la.i * 100 + 7 AS DOUBLE) AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 3)) t
+             |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(0, 10)) la
+             |WHERE la.i IN (1, 3, 5)
+             |ORDER BY time, lat""".stripMargin)
+    )
+  )
+}

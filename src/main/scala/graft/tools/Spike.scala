@@ -1,0 +1,14 @@
+package graft.tools
+
+import graft.Sessions
+
+/** Throwaway smoke: what the driver's t1 does — run SparkEntry.entry. */
+object Spike {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("4")
+    val df = graft.SparkEntry.entry(spark)
+    df.show(10, false)
+    println("entry rows=" + df.count())
+    spark.stop()
+  }
+}
