@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All operators are single-shuffle designs: exact dedup shuffles once on the
+  * key; MinHash-LSH shuffles on band buckets (never all-pairs); SimHash is a
+  * pure per-row signature. Nothing materializes on the driver, so behavior is
+  * identical at 60k rows and 100 TB — only partition counts change.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per key set (lowest tie-breaker wins).
+    * Hash-partitioned window — one shuffle, streaming-friendly row_number. */
+  def exact(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreaker))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact dedup keeping a duplicate count per retained row. */
+  def exactWithCounts(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
+    val p = Window.partitionBy(keys.map(col): _*)
+    val w = p.orderBy(col(tieBreaker))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(p))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** 60-bit stable token hash shared with the DuckDB oracle:
+    * lower 15 hex digits of md5, base-16 → long. */
+  def tokenHash60(c: Column): Column =
+    conv(substring(md5(c), 18, 15), 16, 10).cast("long")
+
+  /** doc → distinct word 3-gram shingle rows (`doc_id`, `s`). */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val withTk = docs.select(col(idCol), split(col(textCol), " ").as("tk"))
+    withTk
+      .select(
+        col(idCol),
+        explode(
+          when(
+            size(col("tk")) >= n,
+            expr(
+              s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', ${(0 until n).map(j => s"tk[i + $j]").mkString(", ")}))"
+            )
+          ).otherwise(array().cast("array<string>"))
+        ).as("s")
+      )
+      .distinct()
+  }
+
+  /** Affine hash family used by minhash (small moduli keep ANSI-safe int64
+    * arithmetic identical in Spark and the SQL oracle). */
+  val MinhashAs: Seq[Int] = Seq(7, 131, 257, 389, 521, 653, 787, 919)
+  val MinhashBs: Seq[Int] = Seq(11, 17, 23, 29, 31, 37, 41, 43)
+  val MinhashP1 = 100003
+  val MinhashP2 = 99991
+
+  /** MinHash signatures: one row per doc with columns m0..m{k-1}. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, 3)
+    val tok = sh.select(col(idCol), (tokenHash60(col("s")) % MinhashP1).as("h"))
+    val aggs = MinhashAs.zip(MinhashBs).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashP2).as(s"m$i")
+    }
+    tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: 4 bands of 2 minhashes. Docs sharing any band
+    * bucket become candidates — the shuffle key is the bucket, so cost is
+    * sum(bucket²), never n². */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol)
+    val bands = (0 until 4)
+      .map { b =>
+        sig.select(
+          col(idCol),
+          lit(b).as("band"),
+          (col(s"m${2 * b}") * lit(100000L) + col(s"m${2 * b + 1}")).as("bh")
+        )
+      }
+      .reduce(_ unionByName _)
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(
+      b,
+      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col(s"a.$idCol") < col(s"b.$idCol")
+    ).select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash over distinct word-3-gram shingle hashes. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, 3)
+    val tok = sh.select(col(idCol), tokenHash60(col("s")).as("h")).distinct()
+    val bitSum = (0 until 16).map { i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1).otherwise(-1)).as(s"b$i")
+    }
+    val grouped = tok.groupBy(col(idCol)).agg(bitSum.head, bitSum.tail: _*)
+    val simhash = (0 until 16)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    grouped.select(col(idCol), simhash.cast("long").as("simhash"))
+  }
+
+  /** Exact pairwise token-set Jaccard over a (pre-filtered) document set.
+    * All-pairs by construction — callers must bound the input (e.g., one
+    * LSH bucket, one language partition); use minhashCandidates for the
+    * scale path. */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val d = docs.select(col(idCol), array_distinct(split(col(textCol), " ")).as("toks"))
+    val a = d.as("a"); val b = d.as("b")
+    val inter = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double")
+    val j = inter / (size(col("a.toks")) + size(col("b.toks")) - inter)
+    a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"), j.as("j"))
+      .filter(col("j") >= threshold)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for document pipelines: token stats, quality
+  * scoring, language-ID heuristics, canonical fingerprints. All are pure
+  * per-row column expressions (whole-stage codegen, no shuffle). */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** doc_id, n_tokens, n_uniq, type-token ratio. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(tk).as("n_tokens"),
+      size(array_distinct(tk)).as("n_uniq"),
+      round(size(array_distinct(tk)).cast("double") / size(tk).cast("double"), 6).as("ttr")
+    )
+  }
+
+  /** Simple quality score in [0,1]: length component + avg-token-length
+    * component (the reference-style derived quality flag generalized —
+    * cf. docs/examples/index.md:253-257 quality flag derivation). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    val nTok = size(tk).cast("double")
+    val avgLen = length(regexp_replace(col(textCol), " ", "")).cast("double") / nTok
+    docs.select(
+      col(idCol),
+      nTok.cast("int").as("n_tokens"),
+      round(avgLen, 6).as("avg_tok_len"),
+      round(
+        lit(0.5) * least(nTok / lit(100.0), lit(1.0)) +
+          lit(0.5) * least(avgLen / lit(8.0), lit(1.0)),
+        6
+      ).as("quality")
+    )
+  }
+
+  /** Marker lexicons for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und"),
+    "en" -> Seq("the", "a", "scan"),
+    "es" -> Seq("el", "los", "y"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("shi", "de", "bu")
+  )
+
+  /** Stopword-count language ID: argmax of per-language marker hits with a
+    * deterministic alphabetical tie-break. On this corpus it is a parity
+    * exercise (all languages share one vocabulary); on real text the marker
+    * lists are the per-language stopword lexicons. */
+  def langId(docs: DataFrame, idCol: String, textCol: String, actualCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    val counts = LangMarkers.map { case (lang, ms) =>
+      lang -> size(filter(tk, t => ms.map(m => t === m).reduce(_ || _)))
+    }
+    val best = greatest(counts.map(_._2): _*)
+    // first language (alphabetical) reaching the max count wins
+    val pred = counts.tail.foldLeft(when(counts.head._2 === best, counts.head._1)) {
+      case (acc, (lang, c)) => acc.when(c === best, lang)
+    }
+    docs.select(
+      col(idCol),
+      pred.as("pred_lang"),
+      col(actualCol).as("lang"),
+      (pred === col(actualCol)).as("is_match")
+    )
+  }
+
+  /** Canonical content fingerprint: md5 over the sorted distinct token set —
+    * whitespace/term-order-insensitive document identity. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+}

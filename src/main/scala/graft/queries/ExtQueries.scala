@@ -1,7 +1,379 @@
 package graft.queries
 
-/** Extension operators (SURVEY.md §7.5): dedup, similarity search, text
-  * analysis, multimodal, event-time. Populated incrementally. */
+import graft.operators._
+import graft.operators.Relational.dsum
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Extension operators beyond the reference surface (SURVEY.md §7.5 +
+  * BASELINE.json north star): dedup, similarity search, text analysis,
+  * multimodal plumbing, JSON, event-time analytics, as-of join, OLAP
+  * extras. Every SQL-expressible operator carries a DuckDB oracle. */
 object ExtQueries {
-  val all: Seq[Q] = Seq.empty
+  import Tables.t
+
+  /** Shared shingle CTE: distinct word 3-grams per doc (matches
+    * Dedup.shingleRows) + the md5-derived 60-bit token hash (matches
+    * Dedup.tokenHash60). */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+      |       FROM toks, unnest(range(1, len(tk) - 1)) AS t(i))""".stripMargin
+
+  private val simhashBits = (0 until 16)
+    .map(i =>
+      s"(CASE WHEN SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << i} ELSE 0 END)"
+    )
+    .mkString(" + ")
+
+  private val minhashMins = Dedup.MinhashAs
+    .zip(Dedup.MinhashBs)
+    .zipWithIndex
+    .map { case ((a, b), i) => s"MIN(($a*h+$b) % ${Dedup.MinhashP2}) AS m$i" }
+    .mkString(", ")
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    Q(
+      "x01_dedup_exact",
+      (s, d) =>
+        Dedup
+          .exactWithCounts(t(s, d, "documents"), Seq("text"), "doc_id")
+          .select(col("doc_id"), col("n_dups"), md5(col("text")).as("h"))
+          .orderBy("doc_id"),
+      Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups, md5(text) AS h
+             |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x02_jaccard_pairs",
+      (s, d) =>
+        Dedup
+          .jaccardPairs(t(s, d, "documents").filter(col("lang") === "de"), "doc_id", "text", 0.75)
+          .select(col("d1"), col("d2"), round(col("j"), 6).as("jac"))
+          .orderBy("d1", "d2"),
+      Some("""WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks
+             |           FROM documents WHERE lang = 'de'),
+             |p AS (SELECT a.doc_id d1, b.doc_id d2,
+             |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS j
+             |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+             |SELECT d1, d2, round(j, 6) AS jac FROM p WHERE j >= 0.75 ORDER BY d1, d2""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x03_minhash_lsh",
+      (s, d) =>
+        Dedup
+          .minhashCandidates(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("d1", "d2"),
+      Some(s"""WITH $shingleCte,
+              |tok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashP1} AS h FROM sh),
+              |sig AS (SELECT doc_id, $minhashMins FROM tok GROUP BY 1),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, m0*100000+m1 AS bh FROM sig UNION ALL
+              |  SELECT doc_id, 1, m2*100000+m3 FROM sig UNION ALL
+              |  SELECT doc_id, 2, m4*100000+m5 FROM sig UNION ALL
+              |  SELECT doc_id, 3, m6*100000+m7 FROM sig)
+              |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+              |ORDER BY d1, d2""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x04_simhash",
+      (s, d) => Dedup.simhash16(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some(s"""WITH $shingleCte,
+              |tok AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) AS h FROM sh)
+              |SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash
+              |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x05_ann_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity
+          .bruteForceTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 10)
+          .select(col("qid"), col("cid"), col("sim"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT * FROM e WHERE vec_id < 5),
+             |sims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |  round(list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+             |  FROM q JOIN e c ON q.vec_id != c.vec_id),
+             |rk AS (SELECT qid, cid, sim,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn FROM sims)
+             |SELECT qid, cid, sim, rn FROM rk WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x06_embed_nn",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity
+          .bruteForceTopK(e, e, "vec_id", "embedding", 1)
+          .select(col("qid").as("vec_id"), col("cid").as("nn_id"), col("sim"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |sims AS (SELECT a.vec_id AS vec_id, b.vec_id AS cid,
+             |  round(list_dot_product(a.v, b.v)
+             |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+             |  FROM e a JOIN e b ON a.vec_id != b.vec_id),
+             |rk AS (SELECT vec_id, cid, sim,
+             |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM sims)
+             |SELECT vec_id, cid AS nn_id, sim FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x07_token_stats",
+      (s, d) => TextAnalysis.tokenStats(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             |CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+             |round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |  / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x08_quality_score",
+      (s, d) => TextAnalysis.qualityScore(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             |round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |  / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_tok_len,
+             |round(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+             |  + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0), 6) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x09_lang_id",
+      (s, d) =>
+        TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text", "lang").orderBy("doc_id"),
+      Some {
+        val counts = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          lang -> s"len(list_filter(string_split(text, ' '), x -> x IN (${ms.map(m => s"'$m'").mkString(",")})))"
+        }
+        val best = s"greatest(${counts.map(_._2).mkString(", ")})"
+        val pred =
+          "CASE " + counts.map { case (l, c) => s"WHEN $c = $best THEN '$l'" }.mkString(" ") + " END"
+        s"""SELECT doc_id, $pred AS pred_lang, lang, ($pred = lang) AS is_match
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x10_fingerprint",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x11_json_extract",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 14).as("sum_v"))
+          .orderBy("k"),
+      Some(s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+              |COUNT(*) AS n, ${Sql.dsum("value", 14)} AS sum_v
+              |FROM events GROUP BY 1 ORDER BY k""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x12_window_5m",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(expr("(ts div 300000000000) * 300").as("bucket_s"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 14).as("sum_v"))
+          .orderBy("bucket_s", "event_type"),
+      Some(s"""SELECT (epoch_ns(ts) // 300000000000) * 300 AS bucket_s, event_type,
+              |COUNT(*) AS n, ${Sql.dsum("value", 14)} AS sum_v
+              |FROM events GROUP BY 1, 2 ORDER BY bucket_s, event_type""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x13_sessionize",
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        val lagT = lag("tus", 1).over(wOrd)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+          .withColumn(
+            "new_s",
+            when(lagT.isNull || (col("tus") - lagT) > 1800000000L, 1).otherwise(0)
+          )
+          .withColumn(
+            "sid",
+            sum("new_s").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          )
+          .groupBy("user_id", "sid")
+          .agg(
+            min("tus").as("session_start_us"),
+            max("tus").as("session_end_us"),
+            count(lit(1)).as("n_events")
+          )
+          .orderBy("user_id", "sid")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+             |m AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+             |  OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+             |  THEN 1 ELSE 0 END AS new_s FROM e),
+             |x AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM m)
+             |SELECT user_id, sid, MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+             |COUNT(*) AS n_events
+             |FROM x GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x14_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        AsOf
+          .asofJoin(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "click"),
+            Seq("user_id"),
+            "ts",
+            Seq("event_id")
+          )
+          .select(col("event_id").as("purchase_id"), col("event_id_asof").as("click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY purchase_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x15_rollup",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 12).as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |${Sql.dsum("l_quantity", 12)} AS sum_qty
+              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x16_setops",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val f = li.filter(col("l_linestatus") === "F").select("l_returnflag")
+        val o = li.filter(col("l_linestatus") === "O").select("l_returnflag")
+        val a = f.intersect(o).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+        val b = f.except(o).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+        val c =
+          f.union(o).distinct().agg(count(lit(1)).as("n")).withColumn("op", lit("union_distinct"))
+        a.unionByName(b).unionByName(c).select("op", "n").orderBy("op")
+      },
+      Some("""SELECT 'intersect' AS op, (SELECT COUNT(*) FROM (
+             |  SELECT l_returnflag FROM lineitem WHERE l_linestatus='F'
+             |  INTERSECT SELECT l_returnflag FROM lineitem WHERE l_linestatus='O') t) AS n
+             |UNION ALL
+             |SELECT 'except', (SELECT COUNT(*) FROM (
+             |  SELECT l_returnflag FROM lineitem WHERE l_linestatus='F'
+             |  EXCEPT SELECT l_returnflag FROM lineitem WHERE l_linestatus='O') t)
+             |UNION ALL
+             |SELECT 'union_distinct', (SELECT COUNT(*) FROM (
+             |  SELECT DISTINCT l_returnflag FROM lineitem WHERE l_linestatus='F'
+             |  UNION SELECT l_returnflag FROM lineitem WHERE l_linestatus='O') t)
+             |ORDER BY op""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x17_winfuncs",
+      (s, d) => {
+        val w1 = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+        val w2 = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"))
+        t(s, d, "orders")
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            col("o_totalprice"),
+            row_number().over(w1).as("rn"),
+            rank().over(w2).as("rnk"),
+            dense_rank().over(w2).as("drnk")
+          )
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+             |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS rnk,
+             |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS drnk
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // HLL approximate distinct — algorithm-specific, no cross-engine oracle
+    // (driver records rows-only).
+    Q(
+      "x18_approx_distinct",
+      (s, d) =>
+        t(s, d, "lineitem").agg(
+          approx_count_distinct(col("l_partkey")).as("n_approx"),
+          countDistinct(col("l_partkey")).as("n_exact")
+        ),
+      None
+    ),
+    // ------------------------------------------------------------------
+    Q(
+      "x19_multimodal_payload",
+      (s, d) =>
+        Multimodal
+          .withPayload(t(s, d, "documents").withColumn("hex", md5(col("text"))), "hex")
+          .select(
+            col("doc_id"),
+            col("meta.n_bytes").as("payload_len"),
+            base64(col("payload")).as("b64")
+          )
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CAST(octet_length(from_hex(md5(text))) AS INTEGER) AS payload_len,
+             |to_base64(from_hex(md5(text))) AS b64
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Stubbed decode + feature extraction: exercises the full distributed
+    // multimodal pipeline (binary payload -> mapPartitions batch decode ->
+    // feature aggregation). Decode is a deterministic fake (no codecs in
+    // this environment) -> rows-only check.
+    Q(
+      "x20_mm_features",
+      (s, d) => {
+        val withP =
+          Multimodal.withPayload(t(s, d, "documents").withColumn("hex", md5(col("text"))), "hex")
+        Multimodal
+          .extractFeatures(withP, "doc_id")
+          .select(
+            col("doc_id"),
+            col("n_bytes"),
+            round(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")) / 16.0, 6)
+              .as("mean_feat")
+          )
+          .orderBy("doc_id")
+      },
+      None
+    )
+  )
 }

@@ -16,3 +16,9 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 }
+
+/** Shared DuckDB-SQL fragments for oracle strings. */
+object Sql {
+  /** Exact decimal-routed SUM of a 2-dp double column (see Relational.dsum). */
+  def dsum(x: String, p: Int): String = s"CAST(SUM(CAST($x AS DECIMAL($p,2))) AS DOUBLE)"
+}
