@@ -1,0 +1,240 @@
+package graft.sources.zarr
+
+import graft.sources.Coord
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Driver-side Zarr v2 store access (reference: src/data_access/zarr_storage.py).
+  *
+  * Mirrors the reference's behaviors: consolidated-metadata fast path with
+  * fallback to per-array metadata probing (zarr_storage.py:242-274), duck-typed
+  * array listing that skips broken entries (zarr_storage.py:285-325), and
+  * metadata surfacing incl. fill_value/compressor/attrs (:362-416).
+  *
+  * This round supports local filesystem stores; remote object stores plug in
+  * behind the same path abstraction (`storageOptions` reserved in the API).
+  * Chunk DATA is never read on the driver — executors read chunks directly
+  * (see [[ZarrChunkIO]]), fixing the reference's eager driver-side
+  * materialization (zarr_reader.py:318-322) which cannot scale.
+  */
+final class ZarrStore(
+    val storePath: String,
+    val storageOptions: Map[String, String] = Map.empty,
+    val group: Option[String] = None,
+    val consolidated: Option[Boolean] = None
+) extends Serializable {
+
+  @transient lazy val groupDir: Path = {
+    val root = Paths.get(storePath)
+    group.map(g => root.resolve(g)).getOrElse(root)
+  }
+
+  /** Consolidated `.zmetadata` map (key → raw JSON string), if present. */
+  @transient lazy val consolidatedMeta: Option[Map[String, String]] = {
+    val f = groupDir.resolve(".zmetadata")
+    val want = consolidated.getOrElse(Files.exists(f))
+    if (!want) None
+    else if (!Files.exists(f)) {
+      if (consolidated.contains(true))
+        throw new IllegalArgumentException(s"consolidated=true but no .zmetadata under $groupDir")
+      None
+    } else {
+      implicit val fmts: Formats = DefaultFormats
+      val j = JsonMethods.parse(Files.readString(f))
+      (j \ "metadata") match {
+        case JObject(fields) =>
+          Some(fields.map { case (k, v) => k -> JsonMethods.compact(JsonMethods.render(v)) }.toMap)
+        case _ => None
+      }
+    }
+  }
+
+  private def readMetaFile(rel: String): Option[String] =
+    consolidatedMeta match {
+      case Some(m) => m.get(rel)
+      case None =>
+        val f = groupDir.resolve(rel)
+        if (Files.exists(f)) Some(Files.readString(f)) else None
+    }
+
+  /** Duck-typed array listing: member dirs with a `.zarray`; skips subgroups
+    * and broken entries (reference: zarr_storage.py:285-325). */
+  def listArrays(): Seq[String] =
+    consolidatedMeta match {
+      case Some(m) =>
+        m.keys.collect { case k if k.endsWith("/.zarray") => k.stripSuffix("/.zarray") }.toSeq.sorted
+      case None =>
+        if (!Files.isDirectory(groupDir)) Seq.empty
+        else
+          Files
+            .list(groupDir)
+            .iterator()
+            .asScala
+            .filter(p => Files.isDirectory(p) && Files.exists(p.resolve(".zarray")))
+            .map(_.getFileName.toString)
+            .toSeq
+            .sorted
+    }
+
+  def arrayMeta(name: String): ZarrArrayMeta = {
+    val zarray = readMetaFile(s"$name/.zarray")
+      .getOrElse(throw new NoSuchElementException(s"array '$name' not found in $groupDir"))
+    ZarrMeta.parseArray(name, zarray, readMetaFile(s"$name/.zattrs"))
+  }
+
+  def arrayDir(name: String): String = groupDir.resolve(name).toString
+
+  /** Read a full (small, 1-D) coordinate array on the driver; missing
+    * coordinate → positional-index fallback (reference:
+    * coordinate_processor.py:140-144, 260-262). */
+  def coordFor(dim: String, extent: Int): Coord =
+    try {
+      val m = arrayMeta(dim)
+      if (m.rank != 1 || m.shape.head != extent) Coord.Index(extent)
+      else {
+        val acc = ZarrChunkIO.readWholeArray(arrayDir(dim), m)
+        m.dtype match {
+          case "<i4" => Coord.Ints(Array.tabulate(extent)(i => acc.getInt(i)))
+          case "<i8" => Coord.Longs(Array.tabulate(extent)(i => acc.getLong(i)))
+          case "<f4" => Coord.Floats(Array.tabulate(extent)(i => acc.getFloat(i)))
+          case "<f8" => Coord.Doubles(Array.tabulate(extent)(i => acc.getDouble(i)))
+        }
+      }
+    } catch { case _: NoSuchElementException => Coord.Index(extent) }
+
+  /** name/shape/dtype/chunks/dims/fill/compressor/attrs for every array. */
+  def storeInfo(): Map[String, ZarrArrayMeta] =
+    listArrays().map(n => n -> arrayMeta(n)).toMap
+}
+
+/** Typed view over a decoded chunk buffer. */
+final class ZarrBuffer(bytes: Array[Byte], dtype: String) extends Serializable {
+  @transient private lazy val buf: ByteBuffer =
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+  def getInt(i: Int): Int = buf.getInt(i * 4)
+  def getLong(i: Int): Long = buf.getLong(i * 8)
+  def getFloat(i: Int): Float = buf.getFloat(i * 4)
+  def getDouble(i: Int): Double = buf.getDouble(i * 8)
+  /** Read as Any matching the Spark type for dtype. */
+  def getValue(i: Int): Any = dtype match {
+    case "<i4" => getInt(i)
+    case "<i8" => getLong(i)
+    case "<f4" => getFloat(i)
+    case "<f8" => getDouble(i)
+  }
+}
+
+/** Executor-safe chunk IO: pure functions of (arrayDir, meta, chunkIdx). */
+object ZarrChunkIO {
+  def chunkFileName(chunkIdx: Seq[Int]): String =
+    if (chunkIdx.isEmpty) "0" else chunkIdx.mkString(".")
+
+  /** Decode one chunk; None if the chunk file is absent (fill-value chunk). */
+  def readChunk(arrayDir: String, meta: ZarrArrayMeta, chunkIdx: Seq[Int]): Option[ZarrBuffer] = {
+    val f = Paths.get(arrayDir, chunkFileName(chunkIdx))
+    if (!Files.exists(f)) None
+    else {
+      val rawLen = meta.chunks.map(_.toLong).product.toInt * ZarrMeta.itemSize(meta.dtype)
+      val bytes = ZarrCodec.decompress(meta.compressor, Files.readAllBytes(f), rawLen)
+      require(
+        bytes.length == rawLen,
+        s"chunk ${f.getFileName} decoded to ${bytes.length} bytes, expected $rawLen"
+      )
+      Some(new ZarrBuffer(bytes, meta.dtype))
+    }
+  }
+
+  /** Materialize an entire (small) array C-order — coordinate vectors only. */
+  def readWholeArray(arrayDir: String, meta: ZarrArrayMeta): ZarrBuffer = {
+    val total = meta.totalElements.toInt
+    val item = ZarrMeta.itemSize(meta.dtype)
+    val out = new Array[Byte](total * item)
+    val nC = meta.nChunks
+    val chunkCount = nC.map(_.toLong).product.toInt
+    val cIdx = new Array[Int](meta.rank)
+    var ci = 0
+    while (ci < chunkCount) {
+      // decompose chunk ordinal (C-order over chunk grid)
+      var rem = ci; var d = meta.rank - 1
+      while (d >= 0) { cIdx(d) = rem % nC(d); rem /= nC(d); d -= 1 }
+      readChunk(arrayDir, meta, cIdx.toSeq) match {
+        case Some(buf) =>
+          copyChunk(buf, cIdx, meta, out, item)
+        case None =>
+          val fill = meta.fillValue.getOrElse(0.0)
+          fillChunk(fill, cIdx, meta, out, item)
+      }
+      ci += 1
+    }
+    new ZarrBuffer(out, meta.dtype)
+  }
+
+  private def copyChunk(
+      buf: ZarrBuffer,
+      cIdx: Array[Int],
+      meta: ZarrArrayMeta,
+      out: Array[Byte],
+      item: Int
+  ): Unit =
+    foreachCell(cIdx, meta) { (localFlat, globalFlat) =>
+      val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+      meta.dtype match {
+        case "<i4" => bb.putInt(globalFlat.toInt * 4, buf.getInt(localFlat))
+        case "<i8" => bb.putLong(globalFlat.toInt * 8, buf.getLong(localFlat))
+        case "<f4" => bb.putFloat(globalFlat.toInt * 4, buf.getFloat(localFlat))
+        case "<f8" => bb.putDouble(globalFlat.toInt * 8, buf.getDouble(localFlat))
+      }
+    }
+
+  private def fillChunk(
+      fill: Double,
+      cIdx: Array[Int],
+      meta: ZarrArrayMeta,
+      out: Array[Byte],
+      item: Int
+  ): Unit =
+    foreachCell(cIdx, meta) { (_, globalFlat) =>
+      val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+      meta.dtype match {
+        case "<i4" => bb.putInt(globalFlat.toInt * 4, fill.toInt)
+        case "<i8" => bb.putLong(globalFlat.toInt * 8, fill.toLong)
+        case "<f4" => bb.putFloat(globalFlat.toInt * 4, fill.toFloat)
+        case "<f8" => bb.putDouble(globalFlat.toInt * 8, fill)
+      }
+    }
+
+  /** Iterate valid (in-bounds) cells of a chunk: (localFlat, globalFlat). */
+  private def foreachCell(cIdx: Array[Int], meta: ZarrArrayMeta)(f: (Int, Long) => Unit): Unit = {
+    val rank = meta.rank
+    if (rank == 0) { f(0, 0L); return }
+    val lo = Array.tabulate(rank)(d => cIdx(d) * meta.chunks(d))
+    val hi = Array.tabulate(rank)(d => math.min(meta.shape(d), lo(d) + meta.chunks(d)))
+    val globalStrides = graft.model.IndexMath.strides(meta.shape)
+    val chunkStrides = graft.model.IndexMath.strides(meta.chunks)
+    val pos = lo.clone()
+    var done = hi.indices.exists(d => lo(d) >= hi(d))
+    while (!done) {
+      var localFlat = 0L; var globalFlat = 0L
+      var d = 0
+      while (d < rank) {
+        localFlat += (pos(d) - lo(d)) * chunkStrides(d)
+        globalFlat += pos(d).toLong * globalStrides(d)
+        d += 1
+      }
+      f(localFlat.toInt, globalFlat)
+      // odometer
+      var k = rank - 1
+      var carry = true
+      while (carry && k >= 0) {
+        pos(k) += 1
+        if (pos(k) < hi(k)) carry = false
+        else { pos(k) = lo(k); k -= 1 }
+      }
+      done = carry
+    }
+  }
+}

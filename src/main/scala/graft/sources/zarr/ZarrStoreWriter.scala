@@ -1,0 +1,145 @@
+package graft.sources.zarr
+
+import graft.model.IndexMath
+import graft.sources.Coord
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Minimal Zarr v2 writer — test fixtures and the CLI `write-demo` path.
+  * (The reference is read-only over Zarr; this exists because no Python zarr
+  * stack is available here to create stores.) Driver-side, small data only. */
+object ZarrStoreWriter {
+
+  def writeGroup(root: String, group: Option[String] = None): Path = {
+    val dir = group.map(g => Paths.get(root, g)).getOrElse(Paths.get(root))
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(".zgroup"), """{"zarr_format": 2}""")
+    dir
+  }
+
+  /** Write one n-D array from a flat C-order generator. */
+  def writeArray(
+      groupDir: Path,
+      name: String,
+      shape: Vector[Int],
+      chunks: Vector[Int],
+      dtype: String,
+      value: Long => Double,
+      dims: Option[Vector[String]] = None,
+      attrs: Map[String, String] = Map.empty,
+      compressor: Option[String] = None,
+      fillValue: Option[Double] = Some(0.0)
+  ): Unit = {
+    require(shape.length == chunks.length)
+    val dir = groupDir.resolve(name)
+    Files.createDirectories(dir)
+    val comp = compressor.map(c => s"""{"id": "$c"}""").getOrElse("null")
+    val fill = fillValue.map(f => if (f.isNaN) "\"NaN\"" else f.toString).getOrElse("null")
+    Files.writeString(
+      dir.resolve(".zarray"),
+      s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}], "chunks": [${chunks.mkString(",")}],
+         |"dtype": "$dtype", "order": "C", "compressor": $comp, "fill_value": $fill, "filters": null}""".stripMargin
+    )
+    val dimAttr = dims.map(d => s""""_ARRAY_DIMENSIONS": [${d.map(x => s""""$x"""").mkString(",")}]""")
+    val extraAttrs = attrs.map { case (k, v) => s""""$k": $v""" }
+    val allAttrs = (dimAttr.toSeq ++ extraAttrs).mkString(", ")
+    Files.writeString(dir.resolve(".zattrs"), s"{$allAttrs}")
+
+    val item = ZarrMeta.itemSize(dtype)
+    val rank = shape.length
+    val nC = shape.zip(chunks).map { case (s, c) => if (s == 0) 0 else (s + c - 1) / c }
+    val chunkElems = chunks.map(_.toLong).product.toInt
+    val globalStrides = IndexMath.strides(shape)
+    val chunkStrides = IndexMath.strides(chunks)
+    val chunkCount = nC.map(_.toLong).product.toInt
+
+    val cIdx = new Array[Int](rank)
+    var ci = 0
+    while (ci < chunkCount) { // rank 0 => empty product = 1 chunk
+
+      var rem = ci; var d = rank - 1
+      while (d >= 0) { cIdx(d) = if (nC(d) == 0) 0 else rem % nC(d); rem /= math.max(nC(d), 1); d -= 1 }
+      val buf = ByteBuffer.allocate(chunkElems * item).order(ByteOrder.LITTLE_ENDIAN)
+      // fill default
+      val fillV = fillValue.getOrElse(0.0)
+      var i = 0
+      while (i < chunkElems) { put(buf, i, item, dtype, fillV); i += 1 }
+      // write in-bounds cells
+      val lo = Array.tabulate(rank)(d => cIdx(d) * chunks(d))
+      val hi = Array.tabulate(rank)(d => math.min(shape(d), lo(d) + chunks(d)))
+      if (rank == 0) put(buf, 0, item, dtype, value(0L))
+      else if (!hi.indices.exists(d => lo(d) >= hi(d))) {
+        val pos = lo.clone()
+        var done = false
+        while (!done) {
+          var localFlat = 0L; var globalFlat = 0L
+          var k = 0
+          while (k < rank) {
+            localFlat += (pos(k) - lo(k)) * chunkStrides(k)
+            globalFlat += pos(k).toLong * globalStrides(k)
+            k += 1
+          }
+          put(buf, localFlat.toInt, item, dtype, value(globalFlat))
+          var c = rank - 1; var carry = true
+          while (carry && c >= 0) {
+            pos(c) += 1
+            if (pos(c) < hi(c)) carry = false else { pos(c) = lo(c); c -= 1 }
+          }
+          done = carry
+        }
+      }
+      val bytes = ZarrCodec.compress(compressor, buf.array())
+      Files.write(dir.resolve(ZarrChunkIO.chunkFileName(cIdx.toSeq)), bytes)
+      ci += 1
+    }
+  }
+
+  private def put(buf: ByteBuffer, i: Int, item: Int, dtype: String, v: Double): Unit =
+    dtype match {
+      case "<i4" => buf.putInt(i * 4, v.toInt)
+      case "<i8" => buf.putLong(i * 8, v.toLong)
+      case "<f4" => buf.putFloat(i * 4, v.toFloat)
+      case "<f8" => buf.putDouble(i * 8, v)
+    }
+
+  /** Write a 1-D coordinate array for a dimension. */
+  def writeCoord(groupDir: Path, dim: String, coord: Coord, compressor: Option[String] = None): Unit = {
+    val (dtype, f): (String, Long => Double) = coord match {
+      case Coord.Ints(a) => ("<i4", (i: Long) => a(i.toInt).toDouble)
+      case Coord.Longs(a) => ("<i8", (i: Long) => a(i.toInt).toDouble)
+      case Coord.Floats(a) => ("<f4", (i: Long) => a(i.toInt).toDouble)
+      case Coord.Doubles(a) => ("<f8", (i: Long) => a(i.toInt))
+      case Coord.Index(n) => ("<i8", (i: Long) => i.toDouble)
+    }
+    writeArray(
+      groupDir,
+      dim,
+      Vector(coord.length),
+      Vector(coord.length),
+      dtype,
+      f,
+      dims = Some(Vector(dim)),
+      compressor = compressor
+    )
+  }
+
+  /** Build `.zmetadata` from the on-disk metadata files (consolidated path). */
+  def consolidate(groupDir: Path): Unit = {
+    val entries = scala.collection.mutable.ListBuffer[String]()
+    if (Files.exists(groupDir.resolve(".zgroup")))
+      entries += "\".zgroup\": " + Files.readString(groupDir.resolve(".zgroup"))
+    Files.list(groupDir).iterator().asScala.filter(Files.isDirectory(_)).toSeq.sortBy(_.getFileName.toString).foreach { d =>
+      val n = d.getFileName.toString
+      Seq(".zarray", ".zattrs").foreach { mf =>
+        val f = d.resolve(mf)
+        if (Files.exists(f)) entries += s""""$n/$mf": ${Files.readString(f)}"""
+      }
+    }
+    Files.writeString(
+      groupDir.resolve(".zmetadata"),
+      s"""{"zarr_format": 2, "metadata": {${entries.mkString(",\n")}}}"""
+    )
+  }
+}

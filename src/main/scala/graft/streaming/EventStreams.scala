@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Event-time streaming over the events table shape (SURVEY.md §2.9: absent
+  * in the reference — Structured Streaming is the Spark-native extension
+  * surface). Transformations are defined once and used both in batch (oracle
+  * parity: x12/x13 declared queries) and as streaming queries with
+  * watermarks; at 100 TB/day the same code runs against a real source
+  * (Kafka/files) with state cleanly bounded by the watermark.
+  */
+object EventStreams {
+
+  /** events schema as read with nanosAsLong (ts = epoch nanos). */
+  val EventsSchema: StructType = StructType(
+    Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)
+    )
+  )
+
+  /** Convert nano-long events to a proper event-time column (no-op if the
+    * caller already attached one, e.g. with a watermark). */
+  def withEventTime(df: DataFrame): DataFrame =
+    if (df.columns.contains("etime")) df
+    else df.withColumn("etime", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 5-minute aggregate; in streaming mode add
+    * `.withWatermark("etime", ...)` upstream. Batch-parity: x12_window_5m. */
+  def tumbling5m(df: DataFrame): DataFrame =
+    withEventTime(df)
+      .groupBy(window(col("etime"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(
+        unix_timestamp(col("w.start")).as("bucket_s"),
+        col("event_type"),
+        col("n"),
+        col("sum_v")
+      )
+
+  /** Session windows with a 30-minute gap (batch-parity: x13_sessionize
+    * computes the same islands with window functions). */
+  def sessions30m(df: DataFrame): DataFrame =
+    withEventTime(df)
+      .groupBy(session_window(col("etime"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events")
+      )
+
+  /** Run a streaming query over a bounded parquet directory with a memory
+    * sink — the local harness for the streaming path (file source → watermark
+    * → windowed agg → sink). */
+  def runBounded(
+      spark: SparkSession,
+      parquetPath: String,
+      transform: DataFrame => DataFrame,
+      queryName: String,
+      watermarkCol: String = "etime",
+      watermark: String = "1 hour"
+  ): StreamingQuery = {
+    val src = spark.readStream.schema(EventsSchema).parquet(parquetPath)
+    val withWm = transform(withEventTime(src).withWatermark(watermarkCol, watermark))
+    val q = withWm.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q
+  }
+}

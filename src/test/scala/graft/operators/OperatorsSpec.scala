@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.SparkTester
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite with SparkTester {
+  import graft.queries.Tables.t
+
+  test("exact dedup keeps lowest id per key and counts duplicates") {
+    import spark.implicits._
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "b"), (5L, "a")).toDF("id", "k")
+    val out = Dedup.exactWithCounts(df, Seq("k"), "id").orderBy("id")
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 3L), (2L, "b", 1L)))
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs (recall on real docs)") {
+    val docs = t(spark, sfTiny, "documents")
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = shingleJaccardPairs(0.8)
+      .collect().map(r => (r.getLong(r.fieldIndex("d1")), r.getLong(r.fieldIndex("d2")))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-duplicate docs")
+    val missed = truth -- cand
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
+  /** Shingle-level jaccard pairs >= threshold — ground truth for the
+    * sketch-based dedup tests (token-level jaccard is meaningless on this
+    * corpus: all docs share one 31-word vocabulary). */
+  private def shingleJaccardPairs(threshold: Double) = {
+    val docs = t(spark, sfTiny, "documents")
+    val sh = Dedup.shingleRows(docs, "doc_id", "text")
+    val a = sh.toDF("d1", "s"); val b = sh.toDF("d2", "s2")
+    val inter = a.join(b, a("s") === b("s2") && a("d1") < b("d2")).groupBy("d1", "d2")
+      .agg(count(lit(1)).as("ni"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "na"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "nb"), "d2")
+      .withColumn("j", col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+      .filter(col("j") >= threshold)
+      .select("d1", "d2")
+  }
+
+  test("simhash: shingle-level near-dup docs have small hamming distance") {
+    val docs = t(spark, sfTiny, "documents")
+    val sims = Dedup.simhash16(docs, "doc_id", "text")
+    val j = shingleJaccardPairs(0.9)
+    val withH = j
+      .join(sims.select(col("doc_id").as("d1"), col("simhash").as("h1")), "d1")
+      .join(sims.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
+      .withColumn("ham", expr("bit_count(h1 ^ h2)"))
+    val hams = withH.collect().map(_.getAs[Int]("ham"))
+    assert(hams.nonEmpty && hams.forall(_ <= 6), hams.mkString(","))
+  }
+
+  test("asof join matches brute-force point-in-time lookup") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 8L, 100L), (1L, 15L, 101L), (1L, 20L, 102L), (3L, 1L, 103L))
+      .toDF("k", "ts", "rid")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", Seq("rid"))
+      .orderBy("name")
+      .collect().map(r => (r.getAs[String]("name"), Option(r.getAs[java.lang.Long]("rid_asof"))))
+    assert(out.toSeq == Seq(
+      ("p1", Some(100L)),  // latest right ts<=10 is 8
+      ("p2", Some(102L)),  // equal ts matches
+      ("p3", None)         // no right rows for key 2
+    ).map { case (n, o) => (n, o.map(java.lang.Long.valueOf)) })
+  }
+
+  test("brute-force topk is exact: agrees with local computation") {
+    val e = t(spark, sfTiny, "embeddings").limit(50).cache()
+    val got = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e, "vec_id", "embedding", 3)
+      .orderBy("rn").collect().map(_.getAs[Long]("cid")).toSeq
+    val vecs = e.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs(0L)
+    val expect = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, BigDecimal(cos(q, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+    assert(got == expect)
+  }
+
+  test("lsh buckets: same-bucket rate shrinks with more bits") {
+    val e = t(spark, sfTiny, "embeddings").limit(200)
+    val c4 = Similarity.lshCandidates(e, "vec_id", "embedding", 64, 4).count()
+    val c8 = Similarity.lshCandidates(e, "vec_id", "embedding", 64, 8).count()
+    assert(c8 < c4, s"c8=$c8 c4=$c4")
+    assert(c8 > 0)
+  }
+
+  test("multimodal: payload + stub feature extraction plumbing") {
+    val docs = t(spark, sfTiny, "documents").limit(10)
+    val withP = Multimodal.withPayload(docs.withColumn("hex", md5(col("text"))), "hex")
+    assert(withP.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(withP, "doc_id")
+    val rows = feats.collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_bytes") == 16)
+      val f = r.getSeq[Float](r.fieldIndex("features"))
+      assert(f.length == 16 && f.forall(x => x >= 0f && x < 1f))
+    }
+  }
+
+  test("fingerprint is token-order insensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "b a c"), (2L, "c b a"), (3L, "a b d")).toDF("id", "text")
+    val fp = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}

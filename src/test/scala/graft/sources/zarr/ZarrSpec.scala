@@ -1,0 +1,145 @@
+package graft.sources.zarr
+
+import graft.SparkTester
+import graft.api.{ZarrDataReader, ZarrScan}
+import graft.model.DimSel
+import graft.sources.Coord
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class ZarrSpec extends AnyFunSuite with SparkTester {
+
+  private def mkStore(compressor: Option[String]): String = {
+    val root = Files.createTempDirectory("zarrspec").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    ZarrStoreWriter.writeArray(
+      dir, "temperature", Vector(12, 10, 15), Vector(6, 5, 8), "<f4",
+      flat => 280.0f + (flat % 997) * 0.25f,
+      dims = Some(Vector("time", "lat", "lon")),
+      attrs = Map("units" -> "\"K\""),
+      compressor = compressor
+    )
+    ZarrStoreWriter.writeArray(
+      dir, "counts", Vector(12, 10, 15), Vector(12, 10, 15), "<i8",
+      flat => (flat * 3).toDouble,
+      dims = Some(Vector("time", "lat", "lon"))
+    )
+    ZarrStoreWriter.writeCoord(dir, "time", Coord.Ints(Array.tabulate(12)(identity)))
+    ZarrStoreWriter.writeCoord(dir, "lat", Coord.Floats(Array.tabulate(10)(i => 30f + i)))
+    // no lon coordinate on purpose: positional fallback
+    ZarrStoreWriter.consolidate(dir)
+    root
+  }
+
+  test("roundtrip: schema, count, values, C-order (uncompressed)") {
+    val root = mkStore(None)
+    val df = new ZarrDataReader(spark, root).readArray("temperature")
+    assert(df.schema("value").dataType == FloatType)
+    assert(df.schema("lon").dataType == LongType) // positional fallback
+    assert(df.count() == 1800)
+    // spot-check a cell: global flat idx of (t=7, la=3, lo=11) = 7*150+3*15+11
+    val flat = 7 * 150 + 3 * 15 + 11
+    val v = df.filter(col("time") === 7 && col("lat") === 33f && col("lon") === 11L)
+      .select("value").collect().head.getFloat(0)
+    assert(v == 280.0f + (flat % 997) * 0.25f)
+  }
+
+  test("zlib and gzip chunk compression round-trip identically") {
+    val a = new ZarrDataReader(spark, mkStore(None)).readArray("temperature")
+    val b = new ZarrDataReader(spark, mkStore(Some("zlib"))).readArray("temperature")
+    val c = new ZarrDataReader(spark, mkStore(Some("gzip"))).readArray("temperature")
+    val key = Seq("time", "lat", "lon").map(col)
+    assert(b.orderBy(key: _*).collect().toSeq == a.orderBy(key: _*).collect().toSeq)
+    assert(c.orderBy(key: _*).collect().toSeq == a.orderBy(key: _*).collect().toSeq)
+  }
+
+  test("dimension selection incl. point drop matches GridSource semantics") {
+    val root = mkStore(Some("zlib"))
+    val sel = new ZarrDataReader(spark, root).readArray(
+      "temperature",
+      Map("time" -> DimSel.Range(2, 5), "lat" -> DimSel.Indices(Vector(0, 9)), "lon" -> DimSel.Point(3))
+    )
+    assert(sel.columns.toSeq == Seq("time", "lat", "value"))
+    val rows = sel.orderBy("time", "lat").collect()
+    assert(rows.length == 6)
+    val expect = for (t <- 2 until 5; la <- Seq(0, 9)) yield {
+      val flat = t * 150 + la * 15 + 3
+      (t, 30f + la, 280.0f + (flat % 997) * 0.25f)
+    }
+    assert(rows.map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2))).toSeq == expect)
+  }
+
+  test("coordinate filter pushdown prunes chunks and matches post-hoc filtering") {
+    val root = mkStore(None)
+    val reader = new ZarrDataReader(spark, root)
+    val full = reader.readArray("temperature")
+    val pushed = full.filter(col("time") >= 6 && col("lat") === 33f)
+    // fully pushed: optimized plan keeps no Filter on the dim columns
+    val optimized = pushed.queryExecution.optimizedPlan.toString()
+    assert(!optimized.contains("Filter"), optimized)
+    val expected = full.collect().filter(r => r.getInt(0) >= 6 && r.getFloat(1) == 33f)
+    assert(pushed.count() == expected.length)
+  }
+
+  test("value-column pruning: counting rows never reads chunk data") {
+    // corrupt every chunk file of 'counts' copy: reader must not touch them
+    val root = mkStore(None)
+    val dir = java.nio.file.Paths.get(root, "counts")
+    Files.list(dir).filter(p => !p.getFileName.toString.startsWith(".")).forEach { p =>
+      Files.write(p, Array[Byte](1, 2, 3)) // invalid chunk payload
+    }
+    val df = new ZarrDataReader(spark, root).readArray("counts")
+    assert(df.select("time").distinct().count() == 12) // no value read -> ok
+    assertThrows[org.apache.spark.SparkException](df.select("value").distinct().count())
+  }
+
+  test("missing chunk file yields fill_value") {
+    val root = mkStore(None)
+    // delete one chunk of temperature: chunk (0,0,0)
+    Files.deleteIfExists(java.nio.file.Paths.get(root, "temperature", "0.0.0"))
+    val df = new ZarrDataReader(spark, root).readArray("temperature")
+    assert(df.count() == 1800)
+    val zeros = df.filter(col("value") === 0.0f).count() // fill_value = 0.0
+    assert(zeros == 6L * 5 * 8) // exactly the deleted chunk extent
+  }
+
+  test("store info / listArrays / consolidated parity") {
+    val root = mkStore(Some("zlib"))
+    val infoC = ZarrScan.getZarrDataInfo(root, consolidated = Some(true))
+    val infoN = ZarrScan.getZarrDataInfo(root, consolidated = Some(false))
+    assert(infoC.keySet == infoN.keySet)
+    assert(infoC("temperature").chunks == Vector(6, 5, 8))
+    assert(infoC("temperature").attrs("units") == "\"K\"")
+    assert(infoC("temperature").compressor.contains("zlib"))
+    // scanData returns all arrays when arrayName is None
+    val all = ZarrScan.scanData(spark, root).toOption.get
+    assert(all.keySet == Set("temperature", "counts", "time", "lat"))
+  }
+
+  test("unsupported codec rejected with clear message") {
+    val root = mkStore(None)
+    val zarray = java.nio.file.Paths.get(root, "temperature", ".zarray")
+    Files.writeString(
+      zarray,
+      Files.readString(zarray).replace("\"compressor\": null", "\"compressor\": {\"id\": \"blosc\"}")
+    )
+    ZarrStoreWriter.consolidate(java.nio.file.Paths.get(root)) // refresh .zmetadata
+    val df = new ZarrDataReader(spark, root).readArray("temperature")
+    // note: count() alone succeeds by design - value pruning means no chunk
+    // is ever read; force a value read to hit the codec
+    val e = intercept[org.apache.spark.SparkException](df.agg(sum("value")).collect())
+    assert(e.getCause.getMessage.contains("blosc") || e.getMessage.contains("blosc"))
+  }
+
+  test("scalar (0-d) array yields one-row frame [value]") {
+    val root = Files.createTempDirectory("zarr0d").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    ZarrStoreWriter.writeArray(dir, "s", Vector(), Vector(), "<f8", _ => 42.5)
+    val df = new ZarrDataReader(spark, root).readArray("s")
+    assert(df.columns.toSeq == Seq("value"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(42.5))
+  }
+}

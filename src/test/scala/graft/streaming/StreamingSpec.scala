@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkTester
+import graft.queries.Tables.t
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming path: file source → watermark → event-time windows → memory
+  * sink, and batch/stream parity for the tumbling aggregate. */
+class StreamingSpec extends AnyFunSuite with SparkTester {
+
+  /** Streaming file source requires a directory; stage the single parquet
+    * file into one. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
+      dir.resolve("events.parquet")
+    )
+    dir.toString
+  }
+
+  /** Watermark cutoff: append mode only finalizes windows whose END is <=
+    * the final watermark (max event time - watermark delay). */
+  private lazy val cutoffS: Long = {
+    val maxNs = t(spark, sfTiny, "events").agg(max("ts")).collect().head.getLong(0)
+    maxNs / 1000000000L - 3600L
+  }
+
+  test("tumbling 5m streaming agg equals batch computation (finalized windows)") {
+    val q = EventStreams.runBounded(
+      spark,
+      eventsDir,
+      EventStreams.tumbling5m,
+      "t5m"
+    )
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("select * from t5m")
+    val batch = EventStreams.tumbling5m(t(spark, sfTiny, "events"))
+      .filter(col("bucket_s") + 300 <= cutoffS)
+    val key = Seq(col("bucket_s"), col("event_type"))
+    val a = streamed.filter(col("bucket_s") + 300 <= cutoffS).orderBy(key: _*).collect()
+    val b = batch.orderBy(key: _*).collect()
+    assert(b.length > 100)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("session windows: streamed finalized sessions equal batch session_window") {
+    val q = EventStreams.runBounded(
+      spark,
+      eventsDir,
+      EventStreams.sessions30m,
+      "sess30"
+    )
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("select * from sess30")
+      .filter(col("session_end_us") / 1000000L <= cutoffS)
+    // batch session_window equivalent, restricted to finalized sessions
+    val batch = EventStreams.sessions30m(t(spark, sfTiny, "events"))
+      .filter(col("session_end_us") / 1000000L <= cutoffS)
+    val key = Seq(col("user_id"), col("session_start_us"))
+    assert(batch.count() > 100)
+    assert(streamed.orderBy(key: _*).collect().toSeq == batch.orderBy(key: _*).collect().toSeq)
+  }
+
+  test("tumbling agg matches the x12 declared query buckets") {
+    val viaWindow = EventStreams.tumbling5m(t(spark, sfTiny, "events"))
+      .select("bucket_s", "event_type", "n")
+    val viaArithmetic = t(spark, sfTiny, "events")
+      .groupBy(expr("(ts div 300000000000) * 300").as("bucket_s"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(
+      viaWindow.orderBy("bucket_s", "event_type").collect().toSeq ==
+        viaArithmetic.orderBy("bucket_s", "event_type").collect().toSeq
+    )
+  }
+}
