@@ -18,6 +18,7 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VecFunctions.register(spark) // SQL-callable vec_dot
     spark
   }
 }

@@ -117,7 +117,13 @@ object Dedup {
       textCol: String,
       threshold: Double
   ): DataFrame = {
-    val d = docs.select(col(idCol), array_distinct(split(col(textCol), " ")).as("toks"))
+    // tokens are hashed to int64 before the pairwise intersect: set sizes
+    // (and therefore jaccard) are unchanged (64-bit collisions negligible),
+    // but the per-pair intersection compares primitives instead of strings.
+    val d = docs.select(
+      col(idCol),
+      array_distinct(transform(split(col(textCol), " "), t => xxhash64(t))).as("toks")
+    )
     val a = d.as("a"); val b = d.as("b")
     val inter = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double")
     val j = inter / (size(col("a.toks")) + size(col("b.toks")) - inter)

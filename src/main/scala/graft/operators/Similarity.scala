@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   * pairs, turning the n² cross join into a bucket-keyed equi-join.
   */
 object Similarity {
+  import graft.functions.VecFunctions.vecDot
 
-  /** Exact dot product in double precision via codegen'd higher-order
-    * functions (left-to-right fold → deterministic, oracle-matching). */
-  def dotD(a: Column, b: Column): Column =
+  /** Exact dot product in double precision — native codegen'd Expression
+    * (left-to-right fold → deterministic, oracle-matching; see
+    * [[graft.functions.FloatVecDot]]). */
+  def dotD(a: Column, b: Column): Column = vecDot(a, b)
+
+  /** Reference formulation via higher-order functions — kept for equivalence
+    * testing of the native expression (allocates per row; ~10x slower). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -27,7 +33,8 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dotD(a, b) / (norm2(a) * norm2(b))
 
   /** Exact top-k neighbors for each query row. `queries` is expected to be
-    * small (broadcast); `candidates` can be arbitrarily large. */
+    * small (broadcast); `candidates` can be arbitrarily large. Norms are
+    * computed once per row, not once per pair. */
   def bruteForceTopK(
       queries: DataFrame,
       candidates: DataFrame,
@@ -36,14 +43,48 @@ object Similarity {
       k: Int,
       useCosine: Boolean = true
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val simExpr = if (useCosine) cosine(col("qv"), col("cv")) else dotD(col("qv"), col("cv"))
+    val q = queries.select(
+      col(idCol).as("qid"),
+      col(vecCol).as("qv"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("qn")
+    )
+    val c = candidates.select(
+      col(idCol).as("cid"),
+      col(vecCol).as("cv"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("cn")
+    )
+    val simExpr =
+      if (useCosine) vecDot(col("qv"), col("cv")) / (col("qn") * col("cn"))
+      else vecDot(col("qv"), col("cv"))
     val sims = broadcast(q)
       .join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), round(simExpr, 6).as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** All-pairs exact nearest neighbor (k=1) via map-side max(struct) partial
+    * aggregation — no 25M-row window shuffle, only one tiny row per query id
+    * leaves each partition. Tie-break: lowest candidate id (max of (sim,
+    * -cid) lexicographically). */
+  def nearestNeighbor(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = df.select(
+      col(idCol).as("qid"),
+      col(vecCol).as("qv"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("qn")
+    )
+    val c = df.select(
+      col(idCol).as("cid"),
+      col(vecCol).as("cv"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("cn")
+    )
+    val sim = round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+    broadcast(e)
+      .join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), struct(sim.as("sim"), (-col("cid")).as("negcid")).as("sc"))
+      .groupBy("qid")
+      .agg(max(col("sc")).as("m"))
+      .select(col("qid").as("vec_id"), (-col("m.negcid")).as("nn_id"), col("m.sim").as("sim"))
   }
 
   /** Random-hyperplane LSH bucket id: `nBits` sign bits from deterministic

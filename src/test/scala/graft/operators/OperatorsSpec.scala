@@ -90,6 +90,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(got == expect)
   }
 
+  test("native vec_dot expression is bit-identical to the HOF formulation") {
+    val e = t(spark, sfTiny, "embeddings").limit(100)
+    val both = e.select(
+      Similarity.dotD(col("embedding"), col("embedding")).as("native"),
+      Similarity.dotHof(col("embedding"), col("embedding")).as("hof")
+    )
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // and via SQL registration
+    e.createOrReplaceTempView("emb_t")
+    val viaSql = spark.sql("select vec_dot(embedding, embedding) d from emb_t")
+    assert(viaSql.count() == 100)
+  }
+
   test("lsh buckets: same-bucket rate shrinks with more bits") {
     val e = t(spark, sfTiny, "embeddings").limit(200)
     val c4 = Similarity.lshCandidates(e, "vec_id", "embedding", 64, 4).count()
