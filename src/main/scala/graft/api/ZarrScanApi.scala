@@ -70,6 +70,21 @@ object ZarrScan {
         )
     }
 
+  /** Legacy alias — parity with `scan_zarr_s3` (zarr_scanner.py:271-273). */
+  @deprecated("use scanData", "0.1.0")
+  def scanZarrS3(
+      spark: SparkSession,
+      storePath: String,
+      arrayName: Option[String] = None,
+      storageOptions: Map[String, String] = Map.empty
+  ): Either[DataFrame, Map[String, DataFrame]] =
+    scanData(spark, storePath, arrayName, storageOptions)
+
+  /** Legacy alias — parity with `zarr_s3_info` (zarr_scanner.py:271-273). */
+  @deprecated("use getZarrDataInfo", "0.1.0")
+  def zarrS3Info(storePath: String, storageOptions: Map[String, String] = Map.empty): Map[String, ZarrArrayMeta] =
+    getZarrDataInfo(storePath, storageOptions)
+
   /** Store-wide metadata aggregate — parity with `get_zarr_data_info`
     * (zarr_scanner.py:186-268). */
   def getZarrDataInfo(

@@ -43,6 +43,27 @@ object Main {
       k -> ZarrTable.parseDimSel(v)
     }.toMap
 
+  /** `--storage-options` as JSON (`{"key": "..."}`) or `k=v,k=v` — parity
+    * with the reference's dual format (reference: src/cli.py:257-300). */
+  private[cli] def parseStorageOptions(s: String): Map[String, String] = {
+    val t = s.trim
+    if (t.startsWith("{")) {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(t) match {
+        case JObject(fields) =>
+          fields.map {
+            case (k, JString(v)) => k -> v
+            case (k, v) => k -> org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(v))
+          }.toMap
+        case _ => throw new IllegalArgumentException(s"bad --storage-options JSON: $s")
+      }
+    } else
+      t.split(",").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k.trim -> v.trim
+      }.toMap
+  }
+
   val usage: String =
     """usage: graft-cli <info|read|benchmark> STORE [ARRAY] [--group G]
       |  [--select dim=a:b;dim=i;dim=i,j,k] [--output PATH] [--array-name A]""".stripMargin
@@ -59,10 +80,13 @@ object Main {
 
   private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  private def storageOpts(opts: Map[String, String]): Map[String, String] =
+    opts.get("storage-options").map(parseStorageOptions).getOrElse(Map.empty)
+
   /** Store metadata → JSON (reference: cli.py:42-96). */
   private def info(pos: Seq[String], opts: Map[String, String]): Unit = {
     val store = pos.headOption.getOrElse { System.err.println(usage); sys.exit(2); "" }
-    val metas = ZarrScan.getZarrDataInfo(store, group = opts.get("group"))
+    val metas = ZarrScan.getZarrDataInfo(store, storageOpts(opts), group = opts.get("group"))
     val json = metas.toSeq
       .sortBy(_._1)
       .map { case (name, m) =>
@@ -83,7 +107,7 @@ object Main {
   private def read(pos: Seq[String], opts: Map[String, String]): Unit = {
     require(pos.length >= 2, usage)
     val spark = Sessions.local()
-    val df = new ZarrDataReader(spark, pos(0), group = opts.get("group"))
+    val df = new ZarrDataReader(spark, pos(0), storageOpts(opts), group = opts.get("group"))
       .readArray(pos(1), opts.get("select").map(parseSelect).getOrElse(Map.empty))
     val out = opts.getOrElse("output", "out.parquet")
     df.write.mode("overwrite").parquet(out)
@@ -96,7 +120,7 @@ object Main {
   private def benchmark(pos: Seq[String], opts: Map[String, String]): Unit = {
     require(pos.nonEmpty, usage)
     val spark = Sessions.local()
-    val reader = new ZarrDataReader(spark, pos(0), group = opts.get("group"))
+    val reader = new ZarrDataReader(spark, pos(0), storageOpts(opts), group = opts.get("group"))
     val arrays = opts.get("array-name").map(Seq(_)).getOrElse(reader.listArrays())
     arrays.foreach { a =>
       val t0 = System.nanoTime()

@@ -422,6 +422,34 @@ object CoreQueries {
              |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(0, 10)) la
              |WHERE la.i IN (1, 3, 5)
              |ORDER BY time, lat""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Volume pass through the expansion kernel: 2M cells generated across
+    // partitions (nothing driver-side), aggregated per time slab — the
+    // distributed replacement for the reference's chunked conversion at a
+    // scale its driver path could not stream (polars_converter.py:236-303).
+    Q(
+      "q21_grid_agg",
+      (s, _) => {
+        val spec = GridSpec(
+          dims = Vector("time", "lat", "lon"),
+          shape = Vector(200, 100, 100),
+          coords = Vector(
+            Coord.Ints(Array.tabulate(200)(identity)),
+            Coord.Doubles(Array.tabulate(100)(_.toDouble)),
+            Coord.Doubles(Array.tabulate(100)(_.toDouble))
+          ),
+          value = flat => (flat % 9973).toDouble
+        )
+        GridSource
+          .toDF(s, spec)
+          .groupBy("time")
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 18).as("sum_v"))
+          .orderBy("time")
+      },
+      Some("""SELECT CAST(range // 10000 AS INTEGER) AS time, COUNT(*) AS n,
+             |CAST(SUM(CAST(CAST(range % 9973 AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+             |FROM range(0, 2000000) GROUP BY 1 ORDER BY time""".stripMargin)
     )
   )
 }

@@ -201,18 +201,14 @@ object ExtQueries {
     // ------------------------------------------------------------------
     Q(
       "x13_sessionize",
-      (s, d) => {
-        val wOrd = Window.partitionBy("user_id").orderBy("tus", "event_id")
-        val lagT = lag("tus", 1).over(wOrd)
-        t(s, d, "events")
-          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
-          .withColumn(
-            "new_s",
-            when(lagT.isNull || (col("tus") - lagT) > 1800000000L, 1).otherwise(0)
-          )
-          .withColumn(
-            "sid",
-            sum("new_s").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      (s, d) =>
+        TimeOps
+          .sessionize(
+            t(s, d, "events").select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus")),
+            "user_id",
+            "tus",
+            "event_id",
+            1800000000L
           )
           .groupBy("user_id", "sid")
           .agg(
@@ -220,8 +216,7 @@ object ExtQueries {
             max("tus").as("session_end_us"),
             count(lit(1)).as("n_events")
           )
-          .orderBy("user_id", "sid")
-      },
+          .orderBy("user_id", "sid"),
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
              |m AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
              |  OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
@@ -318,6 +313,30 @@ object ExtQueries {
              |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS drnk
              |  FROM orders) t
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Join-variant surface (SURVEY.md §2.3: absent in the reference, exposed
+    // by the engine): left outer, left semi (EXISTS), left anti (NOT EXISTS).
+    Q(
+      "x21_join_variants",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+        val leftN = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("left_rows"))
+        val semiN = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("semi_rows"))
+        val antiN = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("anti_rows"))
+        leftN.unionByName(semiN).unionByName(antiN).select("op", "n").orderBy("op")
+      },
+      Some("""WITH big AS (SELECT * FROM orders WHERE o_totalprice > 300000.0)
+             |SELECT 'left_rows' AS op, (SELECT COUNT(*) FROM customer LEFT JOIN big ON c_custkey = o_custkey) AS n
+             |UNION ALL
+             |SELECT 'semi_rows', (SELECT COUNT(*) FROM customer c WHERE EXISTS (SELECT 1 FROM big WHERE o_custkey = c.c_custkey))
+             |UNION ALL
+             |SELECT 'anti_rows', (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c.c_custkey))
+             |ORDER BY op""".stripMargin)
     ),
     // ------------------------------------------------------------------
     // HLL approximate distinct — algorithm-specific, no cross-engine oracle

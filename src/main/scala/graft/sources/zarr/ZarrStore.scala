@@ -62,13 +62,16 @@ final class ZarrStore(
     }
 
   /** Duck-typed array listing: member dirs with a `.zarray`; skips subgroups
-    * and broken entries (reference: zarr_storage.py:285-325). */
+    * and broken entries (reference: zarr_storage.py:285-325). A nonexistent
+    * store raises, matching the reference's open failure
+    * (zarr_storage.py:242-283). */
   def listArrays(): Seq[String] =
     consolidatedMeta match {
       case Some(m) =>
         m.keys.collect { case k if k.endsWith("/.zarray") => k.stripSuffix("/.zarray") }.toSeq.sorted
       case None =>
-        if (!Files.isDirectory(groupDir)) Seq.empty
+        if (!Files.isDirectory(groupDir))
+          throw new IllegalArgumentException(s"zarr store/group not found: $groupDir")
         else
           Files
             .list(groupDir)

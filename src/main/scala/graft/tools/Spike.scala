@@ -2,15 +2,16 @@ package graft.tools
 
 import graft.Sessions
 
-/** Throwaway probe: vec_dot misuse at the SQL surface. */
+/** Throwaway: plan inspection for scale-critical queries. */
 object Spike {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.local("4")
-    try spark.sql("select vec_dot(1, 2)").show()
-    catch { case e: Exception => println("typecheck error => " + e.getMessage.linesIterator.next()) }
-    try spark.sql("select vec_dot(array(1.0F), 'x')").show()
-    catch { case e: Exception => println("typecheck error => " + e.getMessage.linesIterator.next()) }
-    spark.sql("select vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) as d").show()
+    val spark = Sessions.local("8")
+    val d = "/root/testdata/sf0.1"
+    Seq("q07_join3", "q09_tpch1", "q02_filter", "x06_embed_nn", "x03_minhash_lsh").foreach { q =>
+      println(s"===== $q =====")
+      println(graft.SparkEntry.queries(q)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
     spark.stop()
   }
 }

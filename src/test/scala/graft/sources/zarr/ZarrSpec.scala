@@ -119,6 +119,12 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(all.keySet == Set("temperature", "counts", "time", "lat"))
   }
 
+  test("nonexistent store raises (reference open-failure parity)") {
+    assertThrows[IllegalArgumentException] {
+      ZarrScan.getZarrDataInfo("/tmp/definitely_not_a_zarr_store_xyz")
+    }
+  }
+
   test("unsupported codec rejected with clear message") {
     val root = mkStore(None)
     val zarray = java.nio.file.Paths.get(root, "temperature", ".zarray")
