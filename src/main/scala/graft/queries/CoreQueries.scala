@@ -33,12 +33,15 @@ object CoreQueries {
     Q(
       "q01_scan",
       (s, d) =>
+        // (l_orderkey, l_linenumber) is NOT unique in this data; ordering by
+        // every output column makes the sequence total up to exact-duplicate
+        // rows, which hash identically in any order
         t(s, d, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_quantity")
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity")
           .limit(100),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-             |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)
+             |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin)
     ),
     // ------------------------------------------------------------------
     Q(
@@ -47,10 +50,10 @@ object CoreQueries {
         t(s, d, "lineitem")
           .filter(col("l_quantity") > 30 && col("l_discount").between(0.02, 0.08))
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-          .orderBy("l_orderkey", "l_linenumber"),
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
              |WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin)
     ),
     // ------------------------------------------------------------------
     Q(
@@ -105,13 +108,13 @@ object CoreQueries {
             round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
             round(atan2(col("l_quantity"), col("l_extendedprice")), 6).as("angle")
           )
-          .orderBy("l_orderkey", "l_linenumber"),
+          .orderBy("l_orderkey", "l_linenumber", "revenue", "qty_sqrt", "angle"),
       Some("""SELECT l_orderkey, l_linenumber,
              |round(l_extendedprice * (1.0 - l_discount), 6) AS revenue,
              |l_orderkey % 12 AS okmod,
              |round(sqrt(l_quantity), 6) AS qty_sqrt,
              |round(atan2(l_quantity, l_extendedprice), 6) AS angle
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, qty_sqrt, angle""".stripMargin)
     ),
     // ------------------------------------------------------------------
     Q(
