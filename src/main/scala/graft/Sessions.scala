@@ -16,6 +16,7 @@ object Sessions {
       // events.parquet carries a timestamp[ns] column; Spark has no nanosecond
       // timestamp type, so surface it as a LongType of epoch nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.VecFunctions.register(spark) // SQL-callable vec_dot

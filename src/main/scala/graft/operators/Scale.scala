@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale toolkit: the shuffle-avoidance and skew primitives a 100 TB
+  * deployment leans on (SURVEY.md §7.0 — "100 TB scaling is partition count
+  * + AQE"). Local tests prove the plan shapes; the same calls run unchanged
+  * on a cluster. */
+object Scale {
+
+  /** Write a bucketed+sorted table: joins/aggregations on `keys` between
+    * tables bucketed the same way need no shuffle (co-located join — the
+    * Spark analog of the reference's chunk-alignment guidance,
+    * docs/user_guide/performance_tips.md:67-78). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      numBuckets: Int
+  ): Unit =
+    df.write
+      .format("parquet")
+      .mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** Salted equi-join for skewed keys: the left side gets a deterministic
+    * per-row salt, the right side is replicated once per salt value, and the
+    * join key becomes (keys, salt) — a hot key's rows spread over
+    * `saltBuckets` reducers instead of one. Result is identical to the
+    * plain join; use when AQE skew handling isn't enough (e.g. one key is
+    * >> a single executor's memory). */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int,
+      how: String = "inner"
+  ): DataFrame = {
+    val saltL = pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
+    val l = left.withColumn("__salt", saltL)
+    val r = right
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    l.join(r, keys :+ "__salt", how).drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: partial aggregate on
+    * (keys, salt), then final aggregate on keys. Caller supplies both
+    * phases (they differ: e.g. partial count -> final sum). */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int,
+      partial: org.apache.spark.sql.RelationalGroupedDataset => DataFrame,
+      fin: org.apache.spark.sql.RelationalGroupedDataset => DataFrame
+  ): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+    val p = partial(salted.groupBy((keys :+ "__salt").map(col): _*))
+    fin(p.groupBy(keys.map(col): _*))
+  }
+}

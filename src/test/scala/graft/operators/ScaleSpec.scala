@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTester
+import graft.queries.Tables.t
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleSpec extends AnyFunSuite with SparkTester {
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val li = t(spark, sfTiny, "lineitem").select("l_orderkey", "l_quantity")
+    val o = t(spark, sfTiny, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    Seq("li_b", "o_b").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"/tmp/graft-warehouse/$tbl"))
+    }
+    Scale.writeBucketed(li, "li_b", Seq("l_orderkey"), 8)
+    Scale.writeBucketed(o, "o_b", Seq("l_orderkey"), 8)
+    // force the sort-merge path so the bucketing (not broadcast) is what
+    // eliminates the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b").join(spark.table("o_b"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan) // no shuffle
+      assert(joined.count() == t(spark, sfTiny, "lineitem").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE o_b")
+    }
+  }
+
+  test("salted join equals plain join") {
+    val li = t(spark, sfTiny, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = t(spark, sfTiny, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = Scale.saltedJoin(li, o, Seq("l_orderkey"), 8)
+    assert(salted.count() == plain.count())
+    val key = plain.columns.map(col).toIndexedSeq
+    assert(
+      salted.orderBy(key: _*).collect().toSeq == plain.orderBy(key: _*).collect().toSeq
+    )
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = t(spark, sfTiny, "lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Relational.dsum(col("l_quantity"), 12).as("s"))
+    val salted = Scale.saltedAgg(
+      li,
+      Seq("l_returnflag"),
+      8,
+      g => g.agg(count(lit(1)).as("pn"), sum(col("l_quantity").cast("decimal(12,2)")).as("ps")),
+      g => g.agg(sum("pn").as("n"), sum("ps").cast("double").as("s"))
+    )
+    assert(
+      salted.orderBy("l_returnflag").collect().toSeq ==
+        direct.orderBy("l_returnflag").collect().toSeq
+    )
+  }
+}
