@@ -60,14 +60,17 @@ object Dedup {
   val MinhashP1 = 100003
   val MinhashP2 = 99991
 
-  /** MinHash signatures: one row per doc with columns m0..m{k-1}. */
+  /** MinHash signatures: one row per doc with columns m0..m{k-1}, computed
+    * by the single-pass [[graft.functions.MinHashSignature]] custom
+    * aggregate (one primitive buffer per group instead of k agg exprs). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, 3)
     val tok = sh.select(col(idCol), (tokenHash60(col("s")) % MinhashP1).as("h"))
-    val aggs = MinhashAs.zip(MinhashBs).zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % MinhashP2).as(s"m$i")
-    }
-    tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val k = MinhashAs.length
+    tok
+      .groupBy(col(idCol))
+      .agg(graft.functions.MinHashAggFunctions.minhashSig(col("h"), k).as("sig"))
+      .select(col(idCol) +: (0 until k).map(i => col("sig").getItem(i).as(s"m$i")): _*)
   }
 
   /** LSH candidate pairs: 4 bands of 2 minhashes. Docs sharing any band

@@ -119,6 +119,20 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(all.keySet == Set("temperature", "counts", "time", "lat"))
   }
 
+  test("subgroup navigation (group option, reference zarr_storage.py:242-283)") {
+    val root = Files.createTempDirectory("zarrgrp").toString
+    val dir = ZarrStoreWriter.writeGroup(root, Some("climate/monthly"))
+    ZarrStoreWriter.writeArray(
+      dir, "tas", Vector(4, 3), Vector(2, 2), "<f8",
+      flat => flat.toDouble, dims = Some(Vector("t", "y"))
+    )
+    val r = new ZarrDataReader(spark, root, group = Some("climate/monthly"))
+    assert(r.listArrays() == Seq("tas"))
+    val df = r.readArray("tas")
+    assert(df.count() == 12)
+    assert(df.agg(org.apache.spark.sql.functions.sum("value")).collect().head.getDouble(0) == 66.0)
+  }
+
   test("nonexistent store raises (reference open-failure parity)") {
     assertThrows[IllegalArgumentException] {
       ZarrScan.getZarrDataInfo("/tmp/definitely_not_a_zarr_store_xyz")
