@@ -453,6 +453,50 @@ object CoreQueries {
       Some("""SELECT CAST(range // 10000 AS INTEGER) AS time, COUNT(*) AS n,
              |CAST(SUM(CAST(CAST(range % 9973 AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
              |FROM range(0, 2000000) GROUP BY 1 ORDER BY time""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // The Zarr DataSource V2 itself under the correctness gate: a real
+    // chunked zlib store on disk, scanned with read-time selection (point
+    // drops lon), a pushed coordinate filter, and an exact aggregate.
+    Q(
+      "q22_zarr_scan",
+      (s, _) => {
+        val root = CoreQueries.q22Store()
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("v", Map("time" -> DimSel.Range(5, 45), "lon" -> DimSel.Point(7)))
+          .filter(col("lat") > 20.0)
+          .groupBy("time")
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 18).as("sum_v"))
+          .orderBy("time")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS time, COUNT(*) AS n,
+             |CAST(SUM(CAST(CAST(((t.i * 2000 + la.i * 40 + 7) * 37) % 1000 AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(5, 45)) t
+             |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(21, 50)) la
+             |GROUP BY 1 ORDER BY time""".stripMargin)
     )
   )
+
+  /** Build the deterministic q22 store once per JVM (driver-side, ~120k
+    * cells). shape (60,50,40), chunks (16,16,16), zlib, lat = 10 + 0.5*i so
+    * `lat > 20.0` keeps indices 21..49. */
+  private[queries] def q22Store(): String = synchronized {
+    val root = "/tmp/graft_q22_store"
+    val marker = java.nio.file.Paths.get(root, "v", ".zarray")
+    if (!java.nio.file.Files.exists(marker)) {
+      import graft.sources.zarr.ZarrStoreWriter
+      val dir = ZarrStoreWriter.writeGroup(root)
+      ZarrStoreWriter.writeArray(
+        dir, "v", Vector(60, 50, 40), Vector(16, 16, 16), "<f8",
+        flat => ((flat * 37) % 1000).toDouble,
+        dims = Some(Vector("time", "lat", "lon")),
+        compressor = Some("zlib")
+      )
+      ZarrStoreWriter.writeCoord(dir, "time", Coord.Ints(Array.tabulate(60)(identity)))
+      ZarrStoreWriter.writeCoord(dir, "lat", Coord.Doubles(Array.tabulate(50)(i => 10.0 + i * 0.5)))
+      ZarrStoreWriter.writeCoord(dir, "lon", Coord.Doubles(Array.tabulate(40)(j => -50.0 + j * 0.25)))
+      ZarrStoreWriter.consolidate(dir)
+    }
+    root
+  }
 }

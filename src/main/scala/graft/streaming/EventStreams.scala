@@ -58,6 +58,41 @@ object EventStreams {
         col("n_events")
       )
 
+  /** Per-user running state for stateful anomaly flagging. */
+  case class UserState(n: Long, mean: Double)
+  case class EventRow(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
+  case class Flagged(event_id: Long, user_id: Long, value: Double, prior_mean: Double)
+
+  /** Custom stateful streaming: flag events whose value exceeds `factor` x
+    * the user's running mean (computed over at least `minN` PRIOR events).
+    * State is one (count, mean) pair per user — bounded, mergeable, and
+    * exactly what `flatMapGroupsWithState` is for (SURVEY.md §2.9 extension
+    * surface). Within a batch, events are processed in (ts, event_id) order
+    * so results are deterministic. */
+  def flagAnomalies(
+      ds: org.apache.spark.sql.Dataset[EventRow],
+      factor: Double,
+      minN: Long
+  ): org.apache.spark.sql.Dataset[Flagged] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, events: Iterator[EventRow], state: org.apache.spark.sql.streaming.GroupState[UserState]) => {
+          var (n, mean) = state.getOption.map(s => (s.n, s.mean)).getOrElse((0L, 0.0))
+          val out = scala.collection.mutable.ListBuffer[Flagged]()
+          events.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            if (n >= minN && e.value > factor * mean)
+              out += Flagged(e.event_id, uid, e.value, mean)
+            mean = (mean * n + e.value) / (n + 1)
+            n += 1
+          }
+          state.update(UserState(n, mean))
+          out.iterator
+        }
+      )
+  }
+
   /** Run a streaming query over a bounded parquet directory with a memory
     * sink — the local harness for the streaming path (file source → watermark
     * → windowed agg → sink). */

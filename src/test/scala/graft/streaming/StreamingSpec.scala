@@ -65,6 +65,41 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(streamed.orderBy(key: _*).collect().toSeq == batch.orderBy(key: _*).collect().toSeq)
   }
 
+  test("flatMapGroupsWithState anomaly flags match batch expanding-mean computation") {
+    import spark.implicits._
+    val src = spark.readStream
+      .schema(EventStreams.EventsSchema)
+      .parquet(eventsDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.EventRow]
+    val q = EventStreams
+      .flagAnomalies(src, factor = 2.0, minN = 5)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("anom")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("select * from anom")
+
+    // batch equivalent: expanding mean over PRIOR events per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val batch = t(spark, sfTiny, "events")
+      .withColumn("prior_mean", avg("value").over(w))
+      .withColumn("prior_n", count(lit(1)).over(w))
+      .filter(col("prior_n") >= 5 && col("value") > lit(2.0) * col("prior_mean"))
+      .select("event_id", "user_id", "value", "prior_mean")
+    assert(batch.count() > 10)
+    val key = Seq(col("event_id"))
+    val a = streamed.orderBy(key: _*).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = batch.orderBy(key: _*).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("tumbling agg matches the x12 declared query buckets") {
     val viaWindow = EventStreams.tumbling5m(t(spark, sfTiny, "events"))
       .select("bucket_s", "event_type", "n")
