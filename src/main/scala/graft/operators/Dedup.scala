@@ -110,6 +110,34 @@ object Dedup {
     grouped.select(col(idCol), simhash.cast("long").as("simhash"))
   }
 
+  /** Scalable near-duplicate detection: MinHash-LSH candidate generation
+    * followed by exact shingle-Jaccard verification on candidate pairs only
+    * (the classic two-stage pipeline; verification cost is |candidates|, not
+    * n²). Returns (d1, d2, jaccard) for pairs with jaccard >= threshold. */
+  def nearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol)
+    val sh = shingleRows(docs, idCol, textCol, 3)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("d1", "s")
+    val b = sh.toDF("bd2", "s2")
+    val inter = cand
+      .join(a, "d1")
+      .join(b, col("d2") === col("bd2") && col("s") === col("s2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("na")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("nb")), "d2")
+      .withColumn("j", col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+      .filter(col("j") >= threshold)
+      .select(col("d1"), col("d2"), col("j"))
+  }
+
   /** Exact pairwise token-set Jaccard over a (pre-filtered) document set.
     * All-pairs by construction — callers must bound the input (e.g., one
     * LSH bucket, one language partition); use minhashCandidates for the

@@ -179,6 +179,13 @@ object ExtQueries {
       "x11_json_extract",
       (s, d) =>
         t(s, d, "events")
+          // the filter is a self-consistency check: the from_json (schema)
+          // and get_json_object (path) extractions must agree on every row,
+          // so it keeps everything - exercising both JSON surfaces
+          .filter(
+            from_json(col("props"), "k INT", Map.empty[String, String]).getField("k") ===
+              get_json_object(col("props"), "$.k").cast(IntegerType)
+          )
           .groupBy(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
           .agg(count(lit(1)).as("n"), dsum(col("value"), 14).as("sum_v"))
           .orderBy("k"),

@@ -90,6 +90,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(got == expect)
   }
 
+  test("nearDuplicates (LSH + verify) finds the same pairs as exhaustive jaccard") {
+    val docs = t(spark, sfTiny, "documents")
+    val got = Dedup.nearDuplicates(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = shingleJaccardPairs(0.8)
+      .collect().map(r => (r.getLong(r.fieldIndex("d1")), r.getLong(r.fieldIndex("d2")))).toSet
+    assert(truth.nonEmpty)
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+  }
+
   test("native vec_dot expression is bit-identical to the HOF formulation") {
     val e = t(spark, sfTiny, "embeddings").limit(100)
     val both = e.select(
