@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // warm up JIT/codegen/parquet-footer caches so the first measured query
+    // doesn't absorb session fixed costs
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
+    } catch { case _: Throwable => () }
     // noop sink: runs the full physical plan (count() would let Catalyst
     // prune projections and skip the real work).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -482,8 +482,12 @@ object CoreQueries {
     * `lat > 20.0` keeps indices 21..49. */
   private[queries] def q22Store(): String = synchronized {
     val root = "/tmp/graft_q22_store"
-    val marker = java.nio.file.Paths.get(root, "v", ".zarray")
+    // completion marker written LAST: a crashed partial write must not be
+    // mistaken for a valid store (missing chunks would silently read as
+    // fill_value and flunk the oracle)
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
     if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       import graft.sources.zarr.ZarrStoreWriter
       val dir = ZarrStoreWriter.writeGroup(root)
       ZarrStoreWriter.writeArray(
@@ -496,6 +500,7 @@ object CoreQueries {
       ZarrStoreWriter.writeCoord(dir, "lat", Coord.Doubles(Array.tabulate(50)(i => 10.0 + i * 0.5)))
       ZarrStoreWriter.writeCoord(dir, "lon", Coord.Doubles(Array.tabulate(40)(j => -50.0 + j * 0.25)))
       ZarrStoreWriter.consolidate(dir)
+      java.nio.file.Files.writeString(marker, "ok")
     }
     root
   }
