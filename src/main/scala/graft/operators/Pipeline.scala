@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composed training-data pipeline: the flagship "clean a web corpus" story
+  * built from the individual operators — quality gate, exact dedup, then
+  * MinHash-LSH near-duplicate removal (keep the lowest-id representative of
+  * every near-dup pair). Each stage is one shuffle-bounded operator; the
+  * composition inherits their scale properties. */
+object Pipeline {
+
+  /** Returns the cleaned corpus (original columns, survivors only). */
+  def cleanCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minQuality: Double,
+      nearDupThreshold: Double
+  ): DataFrame = {
+    // 1. quality gate (same expression as TextAnalysis.qualityScore)
+    val q = TextAnalysis.qualityScore(docs, idCol, textCol)
+    val passed = docs.join(q.filter(col("quality") >= minQuality).select(idCol), idCol)
+    // 2. exact dedup (lowest id per identical text wins)
+    val deduped = Dedup.exact(passed, Seq(textCol), idCol)
+    // 3. near-dup removal: of each (d1 < d2) pair, drop d2
+    val pairs = Dedup.nearDuplicates(deduped, idCol, textCol, nearDupThreshold)
+    deduped.join(
+      pairs.select(col("d2").as(idCol)).distinct(),
+      Seq(idCol),
+      "left_anti"
+    )
+  }
+}

@@ -15,23 +15,37 @@ object ExtQueries {
 
   /** Shared shingle CTE: distinct word 3-grams per doc (matches
     * Dedup.shingleRows) + the md5-derived 60-bit token hash (matches
-    * Dedup.tokenHash60). */
-  private val shingleCte =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
-      |       FROM toks, unnest(range(1, len(tk) - 1)) AS t(i))""".stripMargin
-
-  private val simhashBits = (0 until 16)
-    .map(i =>
-      s"(CASE WHEN SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << i} ELSE 0 END)"
-    )
-    .mkString(" + ")
+    * Dedup.tokenHash60). Parametrized by the source relation. */
+  private def shingleCteFrom(src: String) =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
+       |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+       |       FROM toks, unnest(range(1, len(tk) - 1)) AS t(i))""".stripMargin
+  private val shingleCte = shingleCteFrom("documents")
 
   private val minhashMins = Dedup.MinhashAs
     .zip(Dedup.MinhashBs)
     .zipWithIndex
     .map { case ((a, b), i) => s"MIN(($a*h+$b) % ${Dedup.MinhashP2}) AS m$i" }
     .mkString(", ")
+
+  /** MinHash bands CTEs (shared by x03 and the x22 pipeline oracle);
+    * expects `sh` in scope. */
+  private val minhashCtes =
+    s"""tok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashP1} AS h FROM sh),
+       |sig AS (SELECT doc_id, $minhashMins FROM tok GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, m0*100000+m1 AS bh FROM sig UNION ALL
+       |  SELECT doc_id, 1, m2*100000+m3 FROM sig UNION ALL
+       |  SELECT doc_id, 2, m4*100000+m5 FROM sig UNION ALL
+       |  SELECT doc_id, 3, m6*100000+m7 FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val simhashBits = (0 until 16)
+    .map(i =>
+      s"(CASE WHEN SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << i} ELSE 0 END)"
+    )
+    .mkString(" + ")
 
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
@@ -69,16 +83,8 @@ object ExtQueries {
           .minhashCandidates(t(s, d, "documents"), "doc_id", "text")
           .orderBy("d1", "d2"),
       Some(s"""WITH $shingleCte,
-              |tok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashP1} AS h FROM sh),
-              |sig AS (SELECT doc_id, $minhashMins FROM tok GROUP BY 1),
-              |bands AS (
-              |  SELECT doc_id, 0 AS band, m0*100000+m1 AS bh FROM sig UNION ALL
-              |  SELECT doc_id, 1, m2*100000+m3 FROM sig UNION ALL
-              |  SELECT doc_id, 2, m4*100000+m5 FROM sig UNION ALL
-              |  SELECT doc_id, 3, m6*100000+m7 FROM sig)
-              |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-              |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-              |ORDER BY d1, d2""".stripMargin)
+              |$minhashCtes
+              |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin)
     ),
     // ------------------------------------------------------------------
     Q(
@@ -373,6 +379,40 @@ object ExtQueries {
              |CAST(octet_length(from_hex(md5(text))) AS INTEGER) AS payload_len,
              |to_base64(from_hex(md5(text))) AS b64
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // The flagship composed pipeline: quality gate -> exact dedup ->
+    // MinHash-LSH near-dup removal, oracle-checked end to end.
+    Q(
+      "x22_clean_corpus",
+      (s, d) =>
+        Pipeline
+          .cleanCorpus(t(s, d, "documents"), "doc_id", "text", 0.6, 0.8)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+          .orderBy("doc_id"),
+      Some {
+        val quality =
+          """round(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+            |  + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0), 6)""".stripMargin
+        s"""WITH passed AS (SELECT doc_id, text FROM documents WHERE $quality >= 0.6),
+           |dedup AS (SELECT doc_id, text FROM (
+           |  SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |  FROM passed) t WHERE rn = 1),
+           |${shingleCteFrom("dedup")},
+           |$minhashCtes,
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+           |inter AS (SELECT c.d1, c.d2, COUNT(*) AS ni FROM cand c
+           |  JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+           |  GROUP BY 1, 2),
+           |pairs AS (SELECT d1, d2 FROM inter
+           |  JOIN sizes sa ON sa.doc_id = inter.d1
+           |  JOIN sizes sb ON sb.doc_id = inter.d2
+           |  WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.8)
+           |SELECT doc_id, md5(text) AS h FROM dedup
+           |WHERE doc_id NOT IN (SELECT d2 FROM pairs)
+           |ORDER BY doc_id""".stripMargin
+      }
     ),
     // ------------------------------------------------------------------
     // Stubbed decode + feature extraction: exercises the full distributed
