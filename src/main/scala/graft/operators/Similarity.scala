@@ -103,6 +103,59 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Approximate top-k with multi-probe hyperplane LSH: queries probe their
+    * own bucket plus every bucket within hamming distance `multiProbe`, then
+    * rank probed candidates by exact cosine. The candidate set per query is
+    * |corpus| / 2^nBits x (#probes) in expectation — the knob trading recall
+    * for cost; the join is a bucket equi-join (shuffle on bucket), never a
+    * cross join. */
+  def approxTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nBits: Int,
+      multiProbe: Int = 1
+  ): DataFrame = {
+    val withB = df.select(
+      col(idCol),
+      col(vecCol),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"),
+      lshBucket(col(vecCol), dim, nBits).as("bucket")
+    )
+    // enumerate bucket masks within hamming distance <= multiProbe
+    val masks: Seq[Long] = {
+      def combos(bits: List[Int], r: Int): Seq[List[Int]] =
+        if (r == 0) Seq(Nil)
+        else bits match {
+          case Nil => Seq.empty
+          case h :: t => combos(t, r - 1).map(h :: _) ++ combos(t, r)
+        }
+      (0 to multiProbe).flatMap(r => combos((0 until nBits).toList, r))
+        .map(_.foldLeft(0L)((acc, b) => acc | (1L << b)))
+    }
+    val q = withB
+      .select(
+        col(idCol).as("qid"),
+        col(vecCol).as("qv"),
+        col("nrm").as("qn"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket")
+      )
+    val c = withB.select(col(idCol).as("cid"), col(vecCol).as("cv"), col("nrm").as("cn"), col("bucket"))
+    val sims = q
+      .join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(
+        col("qid"),
+        col("cid"),
+        round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim")
+      )
+      .distinct() // a pair can meet in several probed buckets
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Bucketed approximate NN: join same-bucket pairs only. */
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int, nBits: Int): DataFrame = {
     val withB = df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), dim, nBits).as("bucket"))

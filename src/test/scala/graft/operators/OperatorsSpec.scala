@@ -113,6 +113,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(viaSql.count() == 100)
   }
 
+  test("approx topk: deterministic recall against exact brute force") {
+    val e = t(spark, sfTiny, "embeddings").cache()
+    val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 10)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("cid")).toSet).toMap
+    val approx = Similarity.approxTopK(e, "vec_id", "embedding", 10, 64, 4, multiProbe = 1)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("cid")).toSet).toMap
+    val recalls = exact.keys.toSeq.map { qid =>
+      val a = approx.getOrElse(qid, Set.empty)
+      (exact(qid) intersect a).size.toDouble / exact(qid).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"mean recall@10 = $meanRecall%.3f")
+    // deterministic data + deterministic hyperplanes -> a fixed value; the
+    // bound just guards against the pipeline silently degenerating
+    assert(meanRecall > 0.15, f"recall collapsed: $meanRecall%.3f")
+    // cost sanity: probed candidate volume far below the n^2 cross join
+    val candPerQuery = Similarity
+      .approxTopK(e, "vec_id", "embedding", Int.MaxValue, 64, 4, 1)
+      .count()
+      .toDouble / exact.size
+    assert(candPerQuery < 200, s"candidates per query $candPerQuery ~ cross join")
+  }
+
   test("lsh buckets: same-bucket rate shrinks with more bits") {
     val e = t(spark, sfTiny, "embeddings").limit(200)
     val c4 = Similarity.lshCandidates(e, "vec_id", "embedding", 64, 4).count()
