@@ -81,7 +81,12 @@ object ZarrMeta {
     val (dims, attrs) = zattrsJson match {
       case Some(a) =>
         val ja = JsonMethods.parse(a)
-        val d = (ja \ "_ARRAY_DIMENSIONS").extractOpt[List[String]].map(_.toVector)
+        // NB: json4s extractOpt[List[_]] turns JNothing into Some(Nil) — test
+        // for absence explicitly
+        val d = (ja \ "_ARRAY_DIMENSIONS") match {
+          case JNothing | JNull => None
+          case v => v.extractOpt[List[String]].map(_.toVector)
+        }
         val rest = ja match {
           case JObject(fields) =>
             fields.collect {

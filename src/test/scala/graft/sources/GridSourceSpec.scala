@@ -94,6 +94,16 @@ class GridSourceSpec extends AnyFunSuite with SparkTester {
       Seq((0L, 0.0), (1L, 2.0), (2L, 4.0)))
   }
 
+  test("partition-count invariance: identical sorted rows at any parallelism") {
+    val full = GridSource.toDF(spark, cube(), numPartitions = Some(1))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    Seq(3, 8, 32).foreach { p =>
+      val got = GridSource.toDF(spark, cube(), numPartitions = Some(p))
+        .orderBy("time", "lat", "lon").collect().toSeq
+      assert(got == full, s"partitions=$p")
+    }
+  }
+
   test("empty selection yields empty frame with schema (reference :231-242)") {
     val df = GridSource.toDF(spark, cube(), Map("time" -> DimSel.Range(5, 5)))
     assert(df.count() == 0)

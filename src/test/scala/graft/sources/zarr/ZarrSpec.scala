@@ -154,6 +154,53 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(e.getCause.getMessage.contains("blosc") || e.getMessage.contains("blosc"))
   }
 
+  test("chunk-size invariance: identical rows for any chunking (reference :275-289)") {
+    val chunkings = Seq(Vector(6, 5, 8), Vector(12, 10, 15), Vector(5, 7, 3), Vector(1, 10, 15))
+    val results = chunkings.map { ch =>
+      val root = Files.createTempDirectory("zarrchunk").toString
+      val dir = ZarrStoreWriter.writeGroup(root)
+      ZarrStoreWriter.writeArray(
+        dir, "a", Vector(12, 10, 15), ch, "<f8",
+        flat => (flat * 1.5) - 7.0, dims = Some(Vector("t", "y", "x"))
+      )
+      new ZarrDataReader(spark, root)
+        .readArray("a")
+        .orderBy("t", "y", "x")
+        .collect()
+        .toSeq
+    }
+    results.tail.foreach(r => assert(r == results.head))
+  }
+
+  test("dtype preservation matrix i4/i8/f4/f8 (reference :198-215)") {
+    val root = Files.createTempDirectory("zarrdtype").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    val cases = Seq(
+      ("a_i4", "<i4", IntegerType),
+      ("a_i8", "<i8", LongType),
+      ("a_f4", "<f4", FloatType),
+      ("a_f8", "<f8", DoubleType)
+    )
+    cases.foreach { case (n, dt, _) =>
+      ZarrStoreWriter.writeArray(dir, n, Vector(5), Vector(2), dt, f => (f * 3 + 1).toDouble)
+    }
+    val r = new ZarrDataReader(spark, root)
+    cases.foreach { case (n, _, sparkType) =>
+      val df = r.readArray(n)
+      assert(df.schema("value").dataType == sparkType, n)
+      val vals = df.orderBy("dim_0").collect().map(_.get(1))
+      assert(vals.length == 5)
+      // exact value preservation through write->chunk->decode
+      val expect = (0 until 5).map(i => i * 3 + 1)
+      sparkType match {
+        case IntegerType => assert(vals.toSeq == expect.map(_.toInt))
+        case LongType => assert(vals.toSeq == expect.map(_.toLong))
+        case FloatType => assert(vals.toSeq == expect.map(_.toFloat))
+        case DoubleType => assert(vals.toSeq == expect.map(_.toDouble))
+      }
+    }
+  }
+
   test("scalar (0-d) array yields one-row frame [value]") {
     val root = Files.createTempDirectory("zarr0d").toString
     val dir = ZarrStoreWriter.writeGroup(root)
