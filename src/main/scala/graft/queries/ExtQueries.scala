@@ -381,6 +381,81 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // Pivot (wide aggregation) — absent in the reference, Catalyst built-in.
+    Q(
+      "x23_pivot",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(dsum(col("value"), 14))
+          .orderBy("user_id"),
+      Some(s"""SELECT user_id,
+              |CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS click,
+              |CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS error,
+              |CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS purchase,
+              |CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS signup,
+              |CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS view
+              |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Distribution window functions: percent_rank / cume_dist / ntile.
+    Q(
+      "x24_distribution_ranks",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+        t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            col("c_mktsegment"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            ntile(4).over(w).as("quartile")
+          )
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |round(percent_rank() OVER w, 6) AS pr,
+             |round(cume_dist() OVER w, 6) AS cd,
+             |CAST(ntile(4) OVER w AS INTEGER) AS quartile
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Regex extraction over text.
+    Q(
+      "x25_regex_extract",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"))
+          .agg(count(lit(1)).as("n"), max(col("n_chars")).as("max_chars"))
+          .orderBy("first_word"),
+      Some("""SELECT regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+             |COUNT(*) AS n, MAX(n_chars) AS max_chars
+             |FROM documents GROUP BY 1 ORDER BY first_word""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Date arithmetic: datediff / date_add / truncation.
+    Q(
+      "x26_date_arith",
+      (s, d) =>
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
+              .as("days_since"),
+            date_add(col("o_orderdate").cast(DateType), 30).as("due_date"),
+            trunc(col("o_orderdate").cast(DateType), "quarter").as("qtr_start")
+          )
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+             |CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+             |date_trunc('quarter', CAST(o_orderdate AS DATE)) AS qtr_start
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // The flagship composed pipeline: quality gate -> exact dedup ->
     // MinHash-LSH near-dup removal, oracle-checked end to end.
     Q(
