@@ -381,6 +381,25 @@ object ExtQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // The reference's `col == col.max()` idiom (examples/basic_usage.py:238-244):
+    // rows equal to their group maximum, via a window max.
+    Q(
+      "x27_group_max_rows",
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+        t(s, d, "events")
+          .withColumn("mx", max("value").over(w))
+          .filter(col("value") === col("mx"))
+          .select("event_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, value FROM (
+             |  SELECT event_id, event_type, value,
+             |         MAX(value) OVER (PARTITION BY event_type) AS mx
+             |  FROM events) t
+             |WHERE value = mx ORDER BY event_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Pivot (wide aggregation) — absent in the reference, Catalyst built-in.
     Q(
       "x23_pivot",

@@ -29,7 +29,11 @@ final class ZarrStore(
 ) extends Serializable {
 
   @transient lazy val groupDir: Path = {
-    val root = Paths.get(storePath)
+    // the session catalog normalizes the path option to a file: URI when the
+    // source is used via CREATE TABLE ... USING zarr
+    val root =
+      if (storePath.startsWith("file:")) Paths.get(java.net.URI.create(storePath))
+      else Paths.get(storePath)
     group.map(g => root.resolve(g)).getOrElse(root)
   }
 

@@ -154,6 +154,22 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(e.getCause.getMessage.contains("blosc") || e.getMessage.contains("blosc"))
   }
 
+  test("pure-SQL surface: CREATE TABLE ... USING zarr") {
+    val root = mkStore(None)
+    spark.sql("DROP TABLE IF EXISTS zarr_sql_t")
+    spark.sql(
+      s"CREATE TABLE zarr_sql_t USING zarr OPTIONS (path '$root', array 'temperature', `select.lon` '3')"
+    )
+    try {
+      val out = spark.sql(
+        "SELECT time, count(*) AS n FROM zarr_sql_t WHERE lat > 35.0 GROUP BY time ORDER BY time"
+      )
+      assert(out.count() == 12)
+      assert(out.collect().forall(_.getLong(1) == 4)) // lats 36..39, lon dropped
+      assert(!spark.table("zarr_sql_t").columns.contains("lon"))
+    } finally spark.sql("DROP TABLE zarr_sql_t")
+  }
+
   test("chunk-size invariance: identical rows for any chunking (reference :275-289)") {
     val chunkings = Seq(Vector(6, 5, 8), Vector(12, 10, 15), Vector(5, 7, 3), Vector(1, 10, 15))
     val results = chunkings.map { ch =>
