@@ -400,6 +400,117 @@ object ExtQueries {
              |WHERE value = mx ORDER BY event_id""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // Rolling + cumulative frames (ROWS BETWEEN): decimal-routed sums so the
+    // sliding-window implementation strategy (recompute vs slide) cannot
+    // perturb the floats.
+    Q(
+      "x28_rolling",
+      (s, d) => {
+        val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val roll5 = ord.rowsBetween(-4, Window.currentRow)
+        val dec = col("value").cast(DecimalType(14, 2))
+        t(s, d, "events")
+          .select(
+            col("event_id"),
+            col("user_id"),
+            count(lit(1)).over(cum).as("cum_n"),
+            sum(dec).over(cum).cast("double").as("cum_sum"),
+            sum(dec).over(roll5).cast("double").as("roll5_sum"),
+            (sum(dec).over(roll5).cast("double") / count(lit(1)).over(roll5).cast("double"))
+              .as("roll5_avg")
+          )
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |count(*) OVER cum AS cum_n,
+             |CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER cum AS DOUBLE) AS cum_sum,
+             |CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER r5 AS DOUBLE) AS roll5_sum,
+             |CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER r5 AS DOUBLE)
+             |  / CAST(count(*) OVER r5 AS DOUBLE) AS roll5_avg
+             |FROM events
+             |WINDOW cum AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |       r5 AS (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // arg-max per group with a total tie-break (max_by over a struct key).
+    Q(
+      "x29_argmax",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            max_by(col("event_id"), struct(col("value"), col("event_id"))).as("top_event"),
+            max(col("value")).as("top_value")
+          )
+          .orderBy("event_type"),
+      Some("""SELECT event_type, event_id AS top_event, mx AS top_value FROM (
+             |  SELECT event_type, event_id, value,
+             |         MAX(value) OVER (PARTITION BY event_type) AS mx,
+             |         row_number() OVER (PARTITION BY event_type
+             |                            ORDER BY value DESC, event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 ORDER BY event_type""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Null handling on a genuinely-null column (as-of misses): coalesce fill
+    // + drop-nulls count.
+    Q(
+      "x30_null_handling",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val matched = AsOf
+          .asofJoin(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "click"),
+            Seq("user_id"),
+            "ts",
+            Seq("event_id")
+          )
+          .select(col("event_id").as("purchase_id"), col("event_id_asof").as("click_id"))
+        matched
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(col("click_id")).as("n_matched"),
+            sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_null"),
+            min(coalesce(col("click_id"), lit(-1L))).as("min_filled")
+          )
+      },
+      Some("""WITH m AS (
+             |  SELECT p.event_id AS purchase_id, c.event_id AS click_id
+             |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+             |SELECT COUNT(*) AS n_total, COUNT(click_id) AS n_matched,
+             |CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |MIN(COALESCE(click_id, -1)) AS min_filled
+             |FROM m""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // String scalar functions.
+    Q(
+      "x31_string_ops",
+      (s, d) =>
+        t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            upper(col("c_name")).as("uname"),
+            substring(col("c_name"), 1, 8).as("prefix"),
+            length(col("c_name")).as("name_len"),
+            concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+            lpad(col("c_custkey").cast("string"), 10, "0").as("padded")
+          )
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS prefix,
+             |CAST(length(c_name) AS INTEGER) AS name_len,
+             |concat_ws('|', c_mktsegment, c_name) AS tagged,
+             |lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Pivot (wide aggregation) — absent in the reference, Catalyst built-in.
     Q(
       "x23_pivot",
