@@ -400,6 +400,29 @@ object ExtQueries {
              |WHERE value = mx ORDER BY event_id""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // Weighted mean via sum products (reference: docs/examples/index.md:187-189
+    // — quantity-weighted price), exact through decimal products.
+    Q(
+      "x32_weighted_mean",
+      (s, d) => {
+        val wp = col("l_extendedprice").cast(DecimalType(12, 2)) *
+          col("l_quantity").cast(DecimalType(7, 2))
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            (sum(wp).cast("double") / sum(col("l_quantity").cast(DecimalType(7, 2))).cast("double"))
+              .as("wavg_price"),
+            sum(wp).cast("double").as("sum_pq")
+          )
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE)
+             |  / CAST(SUM(CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS wavg_price,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS sum_pq
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Rolling + cumulative frames (ROWS BETWEEN): decimal-routed sums so the
     // sliding-window implementation strategy (recompute vs slide) cannot
     // perturb the floats.
