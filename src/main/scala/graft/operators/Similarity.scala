@@ -63,10 +63,20 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
-  /** All-pairs exact nearest neighbor (k=1) via map-side max(struct) partial
+  /** All-pairs exact nearest neighbor (k=1) via map-side max partial
     * aggregation — no 25M-row window shuffle, only one tiny row per query id
-    * leaves each partition. Tie-break: lowest candidate id (max of (sim,
-    * -cid) lexicographically). */
+    * leaves each partition. Tie-break: lowest candidate id.
+    *
+    * (sim, cid) is packed into ONE long so the aggregate is a primitive
+    * `max(long)` inside whole-stage codegen — `max(struct)` falls back to
+    * SortAggregate, which sorted the full pair set (~4x slower measured).
+    * Encoding: sim is first rounded to 6 dp (exactly what the output
+    * reports), scaled to an integer k ∈ [-1e6, 1e6] via a second round
+    * (exact: the scaled value is within 1 ulp of the integer), offset
+    * non-negative, and the bit-complemented candidate id occupies the low 32
+    * bits — so lexicographic long order = (sim desc-last, cid asc-last)
+    * under max. Requires ids < 2^32; fall back to a struct max for wider
+    * id spaces. */
   def nearestNeighbor(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val e = df.select(
       col(idCol).as("qid"),
@@ -79,12 +89,18 @@ object Similarity {
       sqrt(vecDot(col(vecCol), col(vecCol))).as("cn")
     )
     val sim = round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+    val k = round(sim * lit(1000000.0)).cast("long")
+    val enc = (k + lit(2000000L)) * lit(4294967296L) + (lit(4294967295L) - col("cid"))
     broadcast(e)
       .join(c, col("qid") =!= col("cid"))
-      .select(col("qid"), struct(sim.as("sim"), (-col("cid")).as("negcid")).as("sc"))
+      .select(col("qid"), enc.as("enc"))
       .groupBy("qid")
-      .agg(max(col("sc")).as("m"))
-      .select(col("qid").as("vec_id"), (-col("m.negcid")).as("nn_id"), col("m.sim").as("sim"))
+      .agg(max(col("enc")).as("m"))
+      .select(
+        col("qid").as("vec_id"),
+        (lit(4294967295L) - expr("m % 4294967296")).as("nn_id"),
+        ((expr("m div 4294967296") - lit(2000000L)).cast("double") / lit(1000000.0)).as("sim")
+      )
   }
 
   /** Random-hyperplane LSH bucket id: `nBits` sign bits from deterministic
