@@ -400,6 +400,21 @@ object ExtQueries {
              |WHERE value = mx ORDER BY event_id""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // Generator/explode surface: token frequency table (top-20).
+    Q(
+      "x33_token_explode",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("token"))
+          .limit(20),
+      Some("""SELECT tok AS token, COUNT(*) AS n
+             |FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+             |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Weighted mean via sum products (reference: docs/examples/index.md:187-189
     // — quantity-weighted price), exact through decimal products.
     Q(
