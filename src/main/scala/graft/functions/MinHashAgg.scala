@@ -26,6 +26,12 @@ case class MinHashSignature(
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[Array[Long]] {
 
+  require(
+    k > 0 && k <= graft.operators.Dedup.MinhashAs.length,
+    s"minhash_sig: k must be in [1, ${graft.operators.Dedup.MinhashAs.length}] " +
+      s"(the size of the fixed affine hash family), got $k"
+  )
+
   private val as: Array[Long] = graft.operators.Dedup.MinhashAs.take(k).map(_.toLong).toArray
   private val bs: Array[Long] = graft.operators.Dedup.MinhashBs.take(k).map(_.toLong).toArray
   private val p: Long = graft.operators.Dedup.MinhashP2.toLong

@@ -29,9 +29,16 @@ object Scale {
   /** Salted equi-join for skewed keys: the left side gets a deterministic
     * per-row salt, the right side is replicated once per salt value, and the
     * join key becomes (keys, salt) — a hot key's rows spread over
-    * `saltBuckets` reducers instead of one. Result is identical to the
-    * plain join; use when AQE skew handling isn't enough (e.g. one key is
-    * >> a single executor's memory). */
+    * `saltBuckets` reducers instead of one. Use when AQE skew handling isn't
+    * enough (e.g. one key is >> a single executor's memory).
+    *
+    * Only inner and left-outer joins are supported: every right row is
+    * replicated `saltBuckets` times, so a right/full outer join would emit
+    * each unmatched right row once per replica. (Left-outer is safe — an
+    * unmatched left row carries exactly one salt value, so it is emitted
+    * exactly once.) For those semantics, replication must be followed by a
+    * dedup of unmatched right rows; use a plain join + AQE skew handling
+    * instead. */
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
@@ -39,6 +46,12 @@ object Scale {
       saltBuckets: Int,
       how: String = "inner"
   ): DataFrame = {
+    val normalized = how.toLowerCase.replace("_", "")
+    require(
+      Set("inner", "left", "leftouter").contains(normalized),
+      s"saltedJoin supports inner/left_outer only, got '$how': the right side is " +
+        s"replicated per salt value, so right/full outer joins would duplicate unmatched right rows"
+    )
     val saltL = pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
     val l = left.withColumn("__salt", saltL)
     val r = right

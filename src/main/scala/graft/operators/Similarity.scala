@@ -83,12 +83,34 @@ object Similarity {
       col(vecCol).as("qv"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("qn")
     )
+    // Enforce the id < 2^32 packing precondition at runtime, once per
+    // candidate row (NOT per pair): an out-of-range id fails the job with a
+    // clear message instead of decoding to a wrong nn_id.
+    val guardedId = when(
+      col(idCol).cast("long").between(lit(0L), lit(4294967295L)),
+      col(idCol)
+    ).otherwise(
+      raise_error(
+        concat(
+          lit("nearestNeighbor: id must be in [0, 2^32) for long-packing (got "),
+          col(idCol).cast("string"),
+          lit("); use bruteForceTopK(k=1) for wider id spaces")
+        )
+      )
+    )
     val c = df.select(
-      col(idCol).as("cid"),
+      guardedId.as("cid"),
       col(vecCol).as("cv"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("cn")
     )
-    val sim = round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+    // Zero-norm or null vectors → null sim (never NaN/Infinity): max()
+    // ignores nulls, and a query whose sims are ALL null still appears in
+    // the output with null nn_id/sim ("no valid neighbor") rather than
+    // being silently dropped or crashing the ANSI NaN→long cast.
+    val sim = when(
+      col("qn") > 0 && col("cn") > 0,
+      round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+    )
     val k = round(sim * lit(1000000.0)).cast("long")
     val enc = (k + lit(2000000L)) * lit(4294967296L) + (lit(4294967295L) - col("cid"))
     broadcast(e)

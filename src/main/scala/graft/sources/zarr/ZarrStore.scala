@@ -96,8 +96,10 @@ final class ZarrStore(
   def arrayDir(name: String): String = groupDir.resolve(name).toString
 
   /** Read a full (small, 1-D) coordinate array on the driver; missing
-    * coordinate → positional-index fallback (reference:
-    * coordinate_processor.py:140-144, 260-262). */
+    * coordinate OR any failure to decode it (unsupported dtype such as
+    * string/datetime64/big-endian, unsupported codec, corrupt chunk) →
+    * positional-index fallback, matching the reference's catch-all
+    * (coordinate_processor.py:140-144, 260-262). */
   def coordFor(dim: String, extent: Int): Coord =
     try {
       val m = arrayMeta(dim)
@@ -109,9 +111,10 @@ final class ZarrStore(
           case "<i8" => Coord.Longs(Array.tabulate(extent)(i => acc.getLong(i)))
           case "<f4" => Coord.Floats(Array.tabulate(extent)(i => acc.getFloat(i)))
           case "<f8" => Coord.Doubles(Array.tabulate(extent)(i => acc.getDouble(i)))
+          case _     => Coord.Index(extent)
         }
       }
-    } catch { case _: NoSuchElementException => Coord.Index(extent) }
+    } catch { case scala.util.control.NonFatal(_) => Coord.Index(extent) }
 
   /** name/shape/dtype/chunks/dims/fill/compressor/attrs for every array. */
   def storeInfo(): Map[String, ZarrArrayMeta] =

@@ -160,6 +160,55 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("asof join carries payload atomically: null payload values win, multi-column from one row") {
+    import spark.implicits._
+    val left = Seq((1L, 30L, "p")).toDF("k", "ts", "name")
+    // latest right row (ts=20) has a NULL payload value in v1: true as-of
+    // semantics attach THAT row (v1=null, v2=22), not a blend of older rows
+    val right = Seq(
+      (1L, 10L, Option(11L), Option(12L)),
+      (1L, 20L, Option.empty[Long], Option(22L))
+    ).toDF("k", "ts", "v1", "v2")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", Seq("v1", "v2")).collect().head
+    assert(out.isNullAt(out.fieldIndex("v1_asof")), "null payload value must win (atomic match)")
+    assert(out.getAs[Long]("v2_asof") == 22L, "both payload columns must come from the same right row")
+  }
+
+  test("minhashSig rejects k beyond the fixed hash family") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("h")
+    val e = intercept[IllegalArgumentException] {
+      df.agg(graft.functions.MinHashAggFunctions.minhashSig(col("h"), k = 99)).collect()
+    }
+    assert(e.getMessage.contains("minhash_sig"))
+  }
+
+  test("nearestNeighbor: zero-norm vectors yield null sim, never NaN or a wrong neighbor") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(0f, 0f)),        // zero-norm query: all its sims null
+      (1L, Array(1f, 0f)),
+      (2L, Array(1f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.nearestNeighbor(df, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (Option(r.getAs[java.lang.Long]("nn_id")), Option(r.getAs[java.lang.Double]("sim")))).toMap
+    assert(rows(0L) == (None, None), "zero-norm query must surface with null nn/sim, not vanish or crash")
+    assert(rows(1L)._1.contains(java.lang.Long.valueOf(2L)))
+    assert(rows(2L)._1.contains(java.lang.Long.valueOf(1L)))
+  }
+
+  test("nearestNeighbor: out-of-range id fails loudly instead of decoding wrong") {
+    import spark.implicits._
+    val df = Seq((-5L, Array(1f, 0f)), (1L, Array(1f, 0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.nearestNeighbor(df, "vec_id", "embedding").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("2^32")), e.getMessage)
+  }
+
   test("fingerprint is token-order insensitive") {
     import spark.implicits._
     val df = Seq((1L, "b a c"), (2L, "c b a"), (3L, "a b d")).toDF("id", "text")

@@ -60,4 +60,27 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
         direct.orderBy("l_returnflag").collect().toSeq
     )
   }
+
+  test("salted left-outer join equals plain left join (unmatched left rows kept once)") {
+    import spark.implicits._
+    val li = t(spark, sfTiny, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    // drop half the orders so some left rows are unmatched
+    val o = t(spark, sfTiny, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey"), "left_outer")
+    val salted = Scale.saltedJoin(li, o, Seq("l_orderkey"), 8, "left_outer")
+    assert(salted.count() == plain.count())
+    val key = plain.columns.map(col).toIndexedSeq
+    assert(salted.orderBy(key: _*).collect().toSeq == plain.orderBy(key: _*).collect().toSeq)
+  }
+
+  test("salted join rejects right/full outer (replication would duplicate unmatched right rows)") {
+    val li = t(spark, sfTiny, "lineitem").select("l_orderkey")
+    val o = t(spark, sfTiny, "orders").select(col("o_orderkey").as("l_orderkey"))
+    Seq("right", "right_outer", "full", "full_outer", "outer").foreach { how =>
+      val e = intercept[IllegalArgumentException](Scale.saltedJoin(li, o, Seq("l_orderkey"), 8, how))
+      assert(e.getMessage.contains("saltedJoin"), s"how=$how: ${e.getMessage}")
+    }
+  }
 }
