@@ -20,6 +20,7 @@ object Sessions {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.VecFunctions.register(spark) // SQL-callable vec_dot
+    graft.functions.ArrayFunctions.register(spark) // SQL-callable sorted_intersect_count
     spark
   }
 }

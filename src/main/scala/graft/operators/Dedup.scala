@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hash-repartition with an EXPLICIT partition count. Compute-heavy
+    * per-row stages (shingling, md5, pairwise merges) must not run at the
+    * input's file-partition count: a small table is one parquet file = one
+    * partition, and AQE would coalesce a count-less repartition back to one
+    * partition because the rows are small by BYTES while the cost here is
+    * CPU per row. */
+  private def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   /** Exact dedup: keep one row per key set (lowest tie-breaker wins).
     * Hash-partitioned window — one shuffle, streaming-friendly row_number. */
   def exact(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
@@ -35,8 +44,11 @@ object Dedup {
   def tokenHash60(c: Column): Column =
     conv(substring(md5(c), 18, 15), 16, 10).cast("long")
 
-  /** doc → distinct word 3-gram shingle rows (`doc_id`, `s`). */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  /** doc → word n-gram shingle rows (`doc_id`, `s`), duplicates included —
+    * no shuffle. Consumers that need set semantics dedup on the cheapest
+    * adequate representation (minhash needs none; simhash dedups on the
+    * 64-bit hash, not the string). */
+  def shingleRowsRaw(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val withTk = docs.select(col(idCol), split(col(textCol), " ").as("tk"))
     withTk
       .select(
@@ -50,7 +62,27 @@ object Dedup {
           ).otherwise(array().cast("array<string>"))
         ).as("s")
       )
-      .distinct()
+  }
+
+  /** doc → distinct word 3-gram shingle rows (`doc_id`, `s`). */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shingleRowsRaw(docs, idCol, textCol, n).distinct()
+
+  /** doc → ONE row with the sorted distinct int64 shingle-hash set — built
+    * per-row with array functions (no explode, no shuffle), ready for
+    * [[graft.functions.SortedIntersectCount]] merge-counting. */
+  def shingleHashSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val withTk = spread(docs, idCol).select(col(idCol), split(col(textCol), " ").as("tk"))
+    val shingles = when(
+      size(col("tk")) >= n,
+      expr(
+        s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', ${(0 until n).map(j => s"tk[i + $j]").mkString(", ")}))"
+      )
+    ).otherwise(array().cast("array<string>"))
+    withTk.select(
+      col(idCol),
+      sort_array(array_distinct(transform(shingles, s => xxhash64(s)))).as("sh")
+    )
   }
 
   /** Affine hash family used by minhash (small moduli keep ANSI-safe int64
@@ -64,7 +96,10 @@ object Dedup {
     * by the single-pass [[graft.functions.MinHashSignature]] custom
     * aggregate (one primitive buffer per group instead of k agg exprs). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, 3)
+    // raw (non-distinct) shingles: min over a multiset equals min over its
+    // set, so skipping the distinct drops a full shuffle of shingle STRINGS —
+    // the map-side partial aggregate is the only thing that touches them.
+    val sh = shingleRowsRaw(spread(docs, idCol), idCol, textCol, 3)
     val tok = sh.select(col(idCol), (tokenHash60(col("s")) % MinhashP1).as("h"))
     val k = MinhashAs.length
     tok
@@ -78,15 +113,21 @@ object Dedup {
     * sum(bucket²), never n². */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol)
-    val bands = (0 until 4)
-      .map { b =>
-        sig.select(
-          col(idCol),
-          lit(b).as("band"),
-          (col(s"m${2 * b}") * lit(100000L) + col(s"m${2 * b + 1}")).as("bh")
-        )
-      }
-      .reduce(_ unionByName _)
+    // ONE generator pass emits all 4 band rows per doc — a union of 4
+    // selects would plan 4 copies of the signature pipeline (4x the
+    // shingle/hash work unless exchange reuse happens to fire) and 4x the
+    // codegen stages.
+    val bands = sig.select(
+      col(idCol),
+      explode(
+        array((0 until 4).map { b =>
+          struct(
+            lit(b).as("band"),
+            (col(s"m${2 * b}") * lit(100000L) + col(s"m${2 * b + 1}")).as("bh")
+          )
+        }: _*)
+      ).as("p")
+    ).select(col(idCol), col("p.band").as("band"), col("p.bh").as("bh"))
     val a = bands.as("a"); val b = bands.as("b")
     a.join(
       b,
@@ -98,7 +139,10 @@ object Dedup {
 
   /** 16-bit SimHash over distinct word-3-gram shingle hashes. */
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, 3)
+    // dedup AFTER hashing: one distinct over (id, int64) instead of two
+    // shuffles (strings then hashes) — same set semantics as the oracle's
+    // `SELECT DISTINCT doc_id, hash(shingle)`.
+    val sh = shingleRowsRaw(spread(docs, idCol), idCol, textCol, 3)
     val tok = sh.select(col(idCol), tokenHash60(col("s")).as("h")).distinct()
     val bitSum = (0 until 16).map { i =>
       sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1).otherwise(-1)).as(s"b$i")
@@ -121,19 +165,24 @@ object Dedup {
       threshold: Double
   ): DataFrame = {
     val cand = minhashCandidates(docs, idCol, textCol)
-    val sh = shingleRows(docs, idCol, textCol, 3)
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    val a = sh.toDF("d1", "s")
-    val b = sh.toDF("bd2", "s2")
-    val inter = cand
-      .join(a, "d1")
-      .join(b, col("d2") === col("bd2") && col("s") === col("s2"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("ni"))
-    inter
-      .join(sizes.select(col(idCol).as("d1"), col("sz").as("na")), "d1")
-      .join(sizes.select(col(idCol).as("d2"), col("sz").as("nb")), "d2")
-      .withColumn("j", col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+    // verification: attach each side's sorted shingle-hash set (built
+    // per-row, no explode) and merge-count — two joins on the candidate
+    // pairs only, versus the old shingle-row explode-join that shuffled
+    // every (doc, shingle-string) row twice. Hash collisions (64-bit, per
+    // pair) are negligible at any realistic corpus size.
+    val sets = shingleHashSets(docs, idCol, textCol, 3)
+    val inter = graft.functions.ArrayFunctions
+      .sortedIntersectCount(col("sha"), col("shb"))
+      .cast("double")
+    // broadcast the candidate PAIRS (tiny by construction — LSH collisions),
+    // never the hash-set side: the sets carry ~KB-sized arrays per doc and
+    // auto-broadcast would collect the whole upstream pipeline to the driver.
+    broadcast(
+      broadcast(cand)
+        .join(sets.select(col(idCol).as("d1"), col("sh").as("sha")), "d1")
+    )
+      .join(sets.select(col(idCol).as("d2"), col("sh").as("shb")), "d2")
+      .withColumn("j", inter / (size(col("sha")) + size(col("shb")) - inter))
       .filter(col("j") >= threshold)
       .select(col("d1"), col("d2"), col("j"))
   }
@@ -148,17 +197,32 @@ object Dedup {
       textCol: String,
       threshold: Double
   ): DataFrame = {
-    // tokens are hashed to int64 before the pairwise intersect: set sizes
-    // (and therefore jaccard) are unchanged (64-bit collisions negligible),
-    // but the per-pair intersection compares primitives instead of strings.
+    // tokens are hashed to int64 and SORTED once per doc before the pairwise
+    // intersect: set sizes (and therefore jaccard) are unchanged (64-bit
+    // collisions negligible), and the per-pair intersection becomes an
+    // allocation-free merge-count over primitives
+    // ([[graft.functions.SortedIntersectCount]]) instead of a per-pair hash
+    // set + output array (`array_intersect`).
     val d = docs.select(
       col(idCol),
-      array_distinct(transform(split(col(textCol), " "), t => xxhash64(t))).as("toks")
+      sort_array(array_distinct(transform(split(col(textCol), " "), t => xxhash64(t))))
+        .as("toks")
     )
-    val a = d.as("a"); val b = d.as("b")
-    val inter = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double")
-    val j = inter / (size(col("a.toks")) + size(col("b.toks")) - inter)
-    a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
+    // stream side spread over cores (see [[spread]]); broadcast side
+    // explicit so the nested-loop join builds RIGHT (codegen) and never
+    // streams the broadcast-sized copy.
+    val a = spread(d, idCol).as("a"); val b = d.as("b")
+    val sa = size(col("a.toks")); val sb = size(col("b.toks"))
+    // size prefilter inside the join condition: j >= t implies
+    // min(|a|,|b|) >= t * max(|a|,|b|), so mismatched-size pairs are dropped
+    // by an O(1) compare before the O(|a|+|b|) merge ever runs.
+    val sizeOk =
+      least(sa, sb).cast("double") >= lit(threshold) * greatest(sa, sb).cast("double")
+    val inter =
+      graft.functions.ArrayFunctions.sortedIntersectCount(col("a.toks"), col("b.toks"))
+        .cast("double")
+    val j = inter / (sa + sb - inter)
+    a.join(broadcast(b), col(s"a.$idCol") < col(s"b.$idCol") && sizeOk)
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"), j.as("j"))
       .filter(col("j") >= threshold)
   }

@@ -10,7 +10,14 @@ import org.apache.spark.sql.functions._
   * composition inherits their scale properties. */
 object Pipeline {
 
-  /** Returns the cleaned corpus (original columns, survivors only). */
+  /** Returns the cleaned corpus (original columns, survivors only).
+    *
+    * The deduped intermediate is persisted (memory-and-disk): it feeds the
+    * LSH candidate pass, the verification pass, and the final anti-join —
+    * without materialization each consumer would re-run the quality scan and
+    * the dedup window shuffle. At cluster scale the same role is played by
+    * writing the stage to storage between passes; the caller may
+    * `.unpersist()` the returned frame's lineage when done. */
   def cleanCorpus(
       docs: DataFrame,
       idCol: String,
@@ -18,11 +25,11 @@ object Pipeline {
       minQuality: Double,
       nearDupThreshold: Double
   ): DataFrame = {
-    // 1. quality gate (same expression as TextAnalysis.qualityScore)
-    val q = TextAnalysis.qualityScore(docs, idCol, textCol)
-    val passed = docs.join(q.filter(col("quality") >= minQuality).select(idCol), idCol)
+    // 1. quality gate — inline predicate, no join-back
+    val passed = docs.filter(TextAnalysis.qualityExpr(col(textCol)) >= minQuality)
     // 2. exact dedup (lowest id per identical text wins)
     val deduped = Dedup.exact(passed, Seq(textCol), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3. near-dup removal: of each (d1 < d2) pair, drop d2
     val pairs = Dedup.nearDuplicates(deduped, idCol, textCol, nearDupThreshold)
     deduped.join(

@@ -21,6 +21,19 @@ object TextAnalysis {
     )
   }
 
+  /** The quality score as a pure column expression — usable as an inline
+    * filter predicate (no join-back needed to keep the source columns). */
+  def qualityExpr(textCol: Column): Column = {
+    val tk = tokens(textCol)
+    val nTok = size(tk).cast("double")
+    val avgLen = length(regexp_replace(textCol, " ", "")).cast("double") / nTok
+    round(
+      lit(0.5) * least(nTok / lit(100.0), lit(1.0)) +
+        lit(0.5) * least(avgLen / lit(8.0), lit(1.0)),
+      6
+    )
+  }
+
   /** Simple quality score in [0,1]: length component + avg-token-length
     * component (the reference-style derived quality flag generalized —
     * cf. docs/examples/index.md:253-257 quality flag derivation). */
@@ -32,11 +45,7 @@ object TextAnalysis {
       col(idCol),
       nTok.cast("int").as("n_tokens"),
       round(avgLen, 6).as("avg_tok_len"),
-      round(
-        lit(0.5) * least(nTok / lit(100.0), lit(1.0)) +
-          lit(0.5) * least(avgLen / lit(8.0), lit(1.0)),
-        6
-      ).as("quality")
+      qualityExpr(col(textCol)).as("quality")
     )
   }
 

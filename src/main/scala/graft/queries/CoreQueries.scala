@@ -136,13 +136,21 @@ object CoreQueries {
       "q07_join3",
       (s, d) => {
         val li = t(s, d, "lineitem"); val o = t(s, d, "orders"); val c = t(s, d, "customer")
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
+        // pre-aggregate lineitem to one row per orderkey BEFORE the join:
+        // the join shuffles |orders| rows instead of |lineitem|, and
+        // n_orders becomes a plain count (no countDistinct Expand). Exact
+        // because the revenue partial sum is decimal (associative).
+        val liAgg = li
+          .groupBy("l_orderkey")
+          .agg(sum(discPrice).as("rev"), count(lit(1)).as("nl"))
+        liAgg
+          .join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
-            sum(discPrice).cast(DoubleType).as("revenue"),
-            countDistinct(col("o_orderkey")).as("n_orders"),
-            count(lit(1)).as("n_lines")
+            sum(col("rev")).cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_orders"),
+            sum(col("nl")).as("n_lines")
           )
           .orderBy("c_mktsegment")
       },

@@ -265,11 +265,38 @@ object ExtQueries {
     // ------------------------------------------------------------------
     Q(
       "x15_rollup",
-      (s, d) =>
-        t(s, d, "lineitem")
-          .rollup("l_returnflag", "l_linestatus")
-          .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 12).as("sum_qty"))
-          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      (s, d) => {
+        // rollup via re-aggregation of the base aggregate, not Expand:
+        // `.rollup()` triples every input row through the decimal aggregate;
+        // aggregating once to the (flag, status) grain (6 rows) and deriving
+        // the coarser levels from those partials is exact (decimal sums are
+        // associative) and scans the fact table once — the only shape that
+        // survives a 100 TB fact table.
+        val base = t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(12, 2))).as("sq")
+          )
+        val lvl2 = base.select(col("l_returnflag"), col("l_linestatus"), col("n"), col("sq"))
+        val lvl1 = base
+          .groupBy("l_returnflag")
+          .agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
+          .select(col("l_returnflag"), lit(null).cast("string").as("l_linestatus"), col("n"), col("sq"))
+        val lvl0 = base
+          .agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
+          .select(
+            lit(null).cast("string").as("l_returnflag"),
+            lit(null).cast("string").as("l_linestatus"),
+            col("n"),
+            col("sq")
+          )
+        lvl2
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"), col("sq").cast("double").as("sum_qty"))
+          .unionByName(lvl1.select(col("l_returnflag"), col("l_linestatus"), col("n"), col("sq").cast("double").as("sum_qty")))
+          .unionByName(lvl0.select(col("l_returnflag"), col("l_linestatus"), col("n"), col("sq").cast("double").as("sum_qty")))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
       Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
               |${Sql.dsum("l_quantity", 12)} AS sum_qty
               |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)

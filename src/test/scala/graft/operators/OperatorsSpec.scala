@@ -209,6 +209,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(messages(e).exists(m => m != null && m.contains("2^32")), e.getMessage)
   }
 
+  test("sorted_intersect_count agrees with array_intersect on sorted distinct arrays") {
+    val docs = t(spark, sfTiny, "documents").limit(200)
+    val d = docs.select(
+      col("doc_id"),
+      sort_array(array_distinct(transform(split(col("text"), " "), x => xxhash64(x)))).as("toks")
+    )
+    val a = d.as("a"); val b = d.as("b")
+    val pairs = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(
+        graft.functions.ArrayFunctions
+          .sortedIntersectCount(col("a.toks"), col("b.toks")).as("fast"),
+        size(array_intersect(col("a.toks"), col("b.toks"))).as("ref")
+      )
+    assert(pairs.filter(col("fast") =!= col("ref")).count() == 0)
+    // SQL registration
+    d.createOrReplaceTempView("sic_t")
+    val viaSql = spark.sql(
+      "select sorted_intersect_count(a.toks, b.toks) c from sic_t a join sic_t b on a.doc_id < b.doc_id"
+    )
+    assert(viaSql.agg(sum(col("c"))).collect().head.getLong(0) > 0)
+  }
+
   test("fingerprint is token-order insensitive") {
     import spark.implicits._
     val df = Seq((1L, "b a c"), (2L, "c b a"), (3L, "a b d")).toDF("id", "text")
