@@ -187,6 +187,28 @@ object Dedup {
       .select(col("d1"), col("d2"), col("j"))
   }
 
+  /** Decontamination: drop every corpus document whose canonical fingerprint
+    * (md5 of the sorted distinct token set — whitespace/order-insensitive)
+    * appears in a reference set (benchmark/eval data). The classic
+    * training-data hygiene step: a broadcast-able reference makes this a
+    * broadcast anti-join (no shuffle of the corpus); a huge reference falls
+    * back to a shuffled anti-join on the fingerprint. */
+  def decontaminate(
+      corpus: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      broadcastReference: Boolean = true
+  ): DataFrame = {
+    val refFp = reference
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+    val ref = if (broadcastReference) broadcast(refFp) else refFp
+    corpus
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(ref, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Exact pairwise token-set Jaccard over a (pre-filtered) document set.
     * All-pairs by construction — callers must bound the input (e.g., one
     * LSH bucket, one language partition); use minhashCandidates for the

@@ -32,4 +32,34 @@ object Relational {
     * the right call for currency at 100 TB anyway. */
   def dsum(c: Column, precision: Int = 18): Column =
     sum(c.cast(org.apache.spark.sql.types.DecimalType(precision, 2))).cast("double")
+
+  /** CUBE(k1, k2) with count + exact decimal sum via re-aggregation of the
+    * base (k1, k2) aggregate — `.cube()` would Expand every input row 4x
+    * through the aggregate; deriving the three coarser levels from the
+    * (tiny) finest-grain partials scans the fact table once. Exact because
+    * count and decimal sum are associative. Output: (k1, k2, n, <sumName>)
+    * with NULL key columns on the rolled-up levels, double-cast sum. */
+  def cubeCountDsum(
+      df: DataFrame,
+      k1: String,
+      k2: String,
+      valueCol: String,
+      sumName: String,
+      precision: Int = 18
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(precision, 2)
+    val base = df
+      .groupBy(k1, k2)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast(dec)).as("sq"))
+    def shape(d: DataFrame, c1: Column, c2: Column): DataFrame =
+      d.select(c1.as(k1), c2.as(k2), col("n"), col("sq").cast("double").as(sumName))
+    val nul = lit(null).cast("string")
+    val byK1 = base.groupBy(k1).agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
+    val byK2 = base.groupBy(k2).agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
+    val total = base.agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
+    shape(base, col(k1), col(k2))
+      .unionByName(shape(byK1, col(k1), nul))
+      .unionByName(shape(byK2, nul, col(k2)))
+      .unionByName(shape(total, nul, nul))
+  }
 }

@@ -60,6 +60,31 @@ object Scale {
     l.join(r, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Deterministic stratified sampling by key hash — the reproducible
+    * alternative to `df.sampleBy` (whose RNG draw depends on partitioning):
+    * a row survives iff `hash(its id columns) mod 1000 < rate*1000` for its
+    * stratum's rate. Pure per-row predicate — no shuffle, no RNG state,
+    * identical output at any partition count and on re-runs, which is what a
+    * training-data pipeline needs for auditable subsampling. The hash is the
+    * md5-based 60-bit integer (portable across engines; see
+    * [[Dedup.tokenHash60]]). Strata missing from `rates` are dropped. */
+  def stratifiedHashSample(
+      df: DataFrame,
+      idCols: Seq[String],
+      strataCol: String,
+      rates: Map[String, Double]
+  ): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0 && r <= 1), s"bad rates: $rates")
+    val h = pmod(
+      graft.operators.Dedup.tokenHash60(concat_ws("|", idCols.map(col): _*)),
+      lit(1000L)
+    )
+    val rate = rates.foldLeft(lit(null).cast("double")) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(h < rate * lit(1000.0))
+  }
+
   /** Two-phase aggregation for skewed group keys: partial aggregate on
     * (keys, salt), then final aggregate on keys. Caller supplies both
     * phases (they differ: e.g. partial count -> final sum). */

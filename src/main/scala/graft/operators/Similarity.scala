@@ -218,6 +218,97 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the cell-partitioned scale
+    * path complementing hyperplane LSH: assign every vector to its nearest
+    * coarse centroid (argmax cosine, ties to the lowest centroid id), then
+    * search only within probed cells via a cell equi-join. Candidate volume
+    * per query is |corpus| / nCells x nProbe in expectation; the join
+    * shuffles on the cell id, never forming the n² cross join.
+    *
+    * Centroid fit is pluggable: `centroids` is any (id, vector) frame small
+    * enough to broadcast — a sampled k-means in production; any
+    * deterministic subset for parity testing. Assignment is a broadcast
+    * join + packed-long argmax (HashAggregate, no window; same encoding as
+    * [[nearestNeighbor]]), so it holds at any corpus size.
+    *
+    * nProbe > 1 probes the query's top-nProbe cells (by centroid cosine),
+    * trading cost for recall exactly like IVF `nprobe`. */
+  def ivfTopK(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 1
+  ): DataFrame = {
+    val cen = centroids.select(
+      col(idCol).as("cen_id"),
+      col(vecCol).as("cen_v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("cen_n")
+    )
+    val base = df
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm")
+      )
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    // (vector, centroid) scores; packed-long max -> nearest cell(s).
+    // Encoding as in nearestNeighbor: (round(sim,6)*1e6 + offset) << 32 |
+    // (2^32-1 - cen_id), so max = highest sim, then lowest centroid id.
+    val sim = when(
+      col("nrm") > 0 && col("cen_n") > 0,
+      round(vecDot(col("v"), col("cen_v")) / (col("nrm") * col("cen_n")), 6)
+    )
+    val enc = (round(sim * lit(1000000.0)).cast("long") + lit(2000000L)) * lit(4294967296L) +
+      (lit(4294967295L) - col("cen_id"))
+    val scored = base
+      .join(broadcast(cen), lit(true))
+      .select(col("id"), col("v"), col("nrm"), enc.as("enc"))
+    val assigned =
+      if (nProbe == 1)
+        scored
+          .groupBy("id")
+          // v/nrm are functionally determined by id — first() avoids
+          // hashing a 64-float array as a grouping key
+          .agg(max(col("enc")).as("m"), first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+          .select(
+            col("id"),
+            col("v"),
+            col("nrm"),
+            (lit(4294967295L) - expr("m % 4294967296")).as("cell")
+          )
+      else {
+        val w = Window.partitionBy("id").orderBy(desc("enc"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= nProbe)
+          .select(
+            col("id"),
+            col("v"),
+            col("nrm"),
+            (lit(4294967295L) - expr("enc % 4294967296")).as("cell"),
+            col("rn")
+          )
+      }
+    // candidates live in their own (rn=1) cell; queries probe nProbe cells
+    val cands = (if (nProbe == 1) assigned else assigned.filter(col("rn") === 1))
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
+    val qs = assigned
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val pair = when(
+      col("qn") > 0 && col("cn") > 0,
+      round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+    )
+    val sims = qs
+      .join(cands, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), pair.as("sim"))
+      .distinct() // nProbe > 1: a pair can meet in several probed cells
+    val w2 = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+    sims.withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+  }
+
   /** Bucketed approximate NN: join same-bucket pairs only. */
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int, nBits: Int): DataFrame = {
     val withB = df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), dim, nBits).as("bucket"))

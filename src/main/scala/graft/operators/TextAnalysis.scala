@@ -84,4 +84,34 @@ object TextAnalysis {
     * whitespace/term-order-insensitive document identity. */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Per-document top-`k` TF-IDF terms. tf = term count in doc; idf =
+    * ln((N+1)/(df+1)) with df = #docs containing the term. Three shuffles
+    * total — (doc,term) count, per-term df, per-doc top-k window — each
+    * hash-partitioned on its key; N arrives as a broadcast scalar subquery,
+    * never a driver-side count. Returns (doc_id-named idCol, term, tf,
+    * tfidf rounded to 6 dp, rank). */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.agg(count(lit(1)).as("__N"))
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol).orderBy(desc("tfidf"), col("term"))
+    tf.join(df_, "term")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        round(
+          col("tf").cast("double") *
+            log((col("__N") + 1).cast("double") / (col("df") + 1).cast("double")),
+          6
+        )
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rank"))
+  }
 }

@@ -685,6 +685,158 @@ object ExtQueries {
       }
     ),
     // ------------------------------------------------------------------
+    // IVF approximate top-k: coarse-centroid cell assignment (packed-long
+    // argmax) + cell equi-join search. Centroids: vectors with vec_id < 8
+    // (deterministic stand-in for a sampled k-means fit).
+    Q(
+      "x34_ivf_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity
+          .ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+          .select(col("qid"), col("cid"), col("sim"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cen AS (SELECT vec_id AS cen_id, v AS cv FROM e WHERE vec_id < 8),
+             |score AS (SELECT e.vec_id, cen.cen_id,
+             |  round(list_dot_product(e.v, cen.cv)
+             |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cen.cv, cen.cv))), 6) AS sim
+             |  FROM e CROSS JOIN cen),
+             |asg AS (SELECT vec_id, cen_id AS cell FROM (
+             |  SELECT vec_id, cen_id,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cen_id) AS r
+             |  FROM score) t WHERE r = 1),
+             |sims AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+             |  round(list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+             |  FROM asg qa JOIN asg ca ON qa.cell = ca.cell AND qa.vec_id != ca.vec_id
+             |  JOIN e q ON q.vec_id = qa.vec_id JOIN e c ON c.vec_id = ca.vec_id),
+             |rk AS (SELECT qid, cid, sim,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+             |  FROM sims)
+             |SELECT qid, cid, sim, rn FROM rk WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // CUBE via re-aggregation of the finest-grain aggregate (one fact scan;
+    // no 4x Expand) — see Relational.cubeCountDsum.
+    Q(
+      "x35_cube",
+      (s, d) =>
+        Relational
+          .cubeCountDsum(t(s, d, "lineitem"), "l_returnflag", "l_linestatus", "l_quantity", "sum_qty", 12)
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |${Sql.dsum("l_quantity", 12)} AS sum_qty
+              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Bucketed point-in-interval join (RangeJoin.pointInInterval): price
+    // bands x lineitem prices, equi-join on quantized bucket + exact
+    // re-check — never the cross product a bare range predicate would plan.
+    Q(
+      "x36_range_join",
+      (s, d) => {
+        val bands = s
+          .range(30)
+          .select(
+            col("id").as("band_id"),
+            (lit(800.0) + col("id") * lit(3400.0)).as("lo"),
+            (lit(800.0) + col("id") * lit(3400.0) + lit(2000.0) + (col("id") % 5) * lit(700.0))
+              .as("hi")
+          )
+        RangeJoin
+          .pointInInterval(
+            t(s, d, "lineitem").select("l_extendedprice"),
+            "l_extendedprice",
+            bands,
+            "lo",
+            "hi",
+            1000.0
+          )
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 12).as("sum_price"))
+          .orderBy("band_id")
+      },
+      Some(s"""WITH bands AS (SELECT i AS band_id,
+              |  CAST(800.0 + i*3400.0 AS DOUBLE) AS lo,
+              |  CAST(800.0 + i*3400.0 + 2000.0 + (i % 5)*700.0 AS DOUBLE) AS hi
+              |  FROM range(30) t(i))
+              |SELECT band_id, COUNT(*) AS n, ${Sql.dsum("l_extendedprice", 12)} AS sum_price
+              |FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+              |GROUP BY band_id ORDER BY band_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // TF-IDF top-3 terms per document (TextAnalysis.tfIdf): corpus-level
+    // document frequency + broadcast scalar N, per-doc top-k window.
+    Q(
+      "x37_tfidf",
+      (s, d) =>
+        TextAnalysis
+          .tfIdf(t(s, d, "documents"), "doc_id", "text", 3)
+          .withColumnRenamed("rank", "rk")
+          .orderBy("doc_id", "rk"),
+      Some("""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u
+             |  GROUP BY 1, 2),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS nn FROM documents),
+             |scored AS (SELECT doc_id, term, tf,
+             |  round(CAST(tf AS DOUBLE) * ln(CAST(nn + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS tfidf
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             |rk AS (SELECT doc_id, term, tf, tfidf,
+             |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rk
+             |  FROM scored)
+             |SELECT doc_id, term, tf, tfidf, rk FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Decontamination (Dedup.decontaminate): drop corpus docs whose
+    // canonical fingerprint appears in a reference/eval set (here: every
+    // 7th doc plays the benchmark) — broadcast anti-join on the fingerprint.
+    Q(
+      "x38_decontam",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup
+          .decontaminate(docs, docs.filter(col("doc_id") % 7 === 0), "text")
+          .select(col("doc_id"), md5(col("text")).as("h"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS f
+             |  FROM documents)
+             |SELECT d.doc_id, md5(d.text) AS h
+             |FROM documents d JOIN fp ON fp.doc_id = d.doc_id
+             |WHERE fp.f NOT IN (SELECT DISTINCT f FROM fp WHERE doc_id % 7 = 0)
+             |ORDER BY d.doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Deterministic stratified hash sampling (Scale.stratifiedHashSample):
+    // reproducible per-stratum rates off a portable key hash — identical
+    // output at any partition count, unlike RNG-based sampleBy.
+    Q(
+      "x39_strat_sample",
+      (s, d) =>
+        Scale
+          .stratifiedHashSample(
+            t(s, d, "lineitem"),
+            Seq("l_orderkey", "l_linenumber"),
+            "l_returnflag",
+            Map("A" -> 0.1, "N" -> 0.2, "R" -> 0.05)
+          )
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber", "l_returnflag"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM (
+             |  SELECT l_orderkey, l_linenumber, l_returnflag,
+             |    CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 18, 15) AS BIGINT) % 1000 AS hb
+             |  FROM lineitem) t
+             |WHERE (l_returnflag = 'A' AND hb < CAST(0.1 AS DOUBLE) * 1000)
+             |   OR (l_returnflag = 'N' AND hb < CAST(0.2 AS DOUBLE) * 1000)
+             |   OR (l_returnflag = 'R' AND hb < CAST(0.05 AS DOUBLE) * 1000)
+             |ORDER BY 1, 2, 3""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Stubbed decode + feature extraction: exercises the full distributed
     // multimodal pipeline (binary payload -> mapPartitions batch decode ->
     // feature aggregation). Decode is a deterministic fake (no codecs in

@@ -231,6 +231,86 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(viaSql.agg(sum(col("c"))).collect().head.getLong(0) > 0)
   }
 
+  test("range join (bucketed) equals brute-force range predicate join") {
+    import spark.implicits._
+    val pts = t(spark, sfTiny, "lineitem").select("l_extendedprice").limit(2000)
+    val iv = Seq((0L, 900.0, 2400.0), (1L, 2000.0, 2050.0), (2L, 50000.0, 104000.0))
+      .toDF("iv_id", "lo", "hi")
+    val fast = RangeJoin.pointInInterval(pts, "l_extendedprice", iv, "lo", "hi", 777.0)
+      .groupBy("iv_id").count()
+    val brute = pts.join(iv, col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy("iv_id").count()
+    assert(fast.orderBy("iv_id").collect().toSeq == brute.orderBy("iv_id").collect().toSeq)
+    // overlapping intervals: a point matches both, exactly once each
+    assert(fast.count() > 0)
+  }
+
+  test("ivf topk: per-cell exact, recall grows with nProbe, candidates bounded") {
+    val e = t(spark, sfTiny, "embeddings").cache()
+    val cen = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("cid")).toSet).toMap
+    def recall(nProbe: Int): Double = {
+      val approx = Similarity.ivfTopK(e, cen, "vec_id", "embedding", 5, nProbe)
+        .collect().groupBy(_.getAs[Long]("qid"))
+        .view.mapValues(_.map(_.getAs[Long]("cid")).toSet).toMap
+      val rs = exact.keys.toSeq.map { q =>
+        (exact(q) intersect approx.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+      }
+      rs.sum / rs.size
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    info(f"ivf recall@5: nProbe=1 $r1%.3f nProbe=2 $r2%.3f")
+    assert(r1 > 0.1, f"recall collapsed: $r1%.3f")
+    assert(r2 >= r1, f"more probes must not lose recall: $r2%.3f < $r1%.3f")
+  }
+
+  test("stratified hash sample is partition-count invariant and respects rates") {
+    val li = t(spark, sfTiny, "lineitem")
+    val rates = Map("A" -> 0.1, "N" -> 0.2, "R" -> 0.05)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Scale.stratifiedHashSample(df, Seq("l_orderkey", "l_linenumber"), "l_returnflag", rates)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .collect().map(_.toSeq).toSet
+    val a = run(li)
+    val b = run(li.repartition(7))
+    assert(a == b, "sample must not depend on partitioning")
+    val byFlag = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampleByFlag = a.groupBy(_.apply(2)).view.mapValues(_.size).toMap
+    rates.foreach { case (f, r) =>
+      val got = sampleByFlag.getOrElse(f, 0).toDouble / byFlag(f)
+      assert(math.abs(got - r) < 0.05, f"stratum $f: got $got%.3f want $r")
+    }
+  }
+
+  test("decontaminate drops fingerprint matches incl. reordered-token variants") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c"), (2L, "x y z"), (3L, "c b a"), (4L, "q r s"))
+      .toDF("doc_id", "text")
+    val reference = Seq((100L, "a b c"), (101L, "nothing here")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, reference, "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // doc 3 is "a b c" reordered -> same fingerprint -> also removed
+    assert(out == Set(2L, 4L))
+  }
+
+  test("tfidf: corpus-unique terms outrank ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common other other"),
+      (3L, "common filler words")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdf(docs, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1).orderBy("rank")
+      .collect().map(_.getAs[String]("term")).toSeq
+    // 'common' appears in every doc (idf ln(4/4)=0) -> cannot win
+    assert(top.head == "rare1", top.mkString(","))
+    assert(!top.contains("common") || top.indexOf("common") > 0)
+  }
+
   test("fingerprint is token-order insensitive") {
     import spark.implicits._
     val df = Seq((1L, "b a c"), (2L, "c b a"), (3L, "a b d")).toDF("id", "text")
