@@ -309,6 +309,27 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
   }
 
+  /** Per-label mean embedding in long format (label, pos, mean) — the
+    * centroid-fit building block (feeds [[ivfTopK]], class prototypes,
+    * embedding drift monitoring). posexplode + groupBy(label, pos) is one
+    * shuffle of n·dim skinny rows with full map-side partial aggregation;
+    * the element sum is decimal-routed so the mean is exact and identical
+    * at any parallelism. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(
+        sum(col("v").cast("double").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .as("sv"),
+        count(lit(1)).as("n")
+      )
+      .select(
+        col(labelCol),
+        col("pos"),
+        round(col("sv").cast("double") / col("n"), 6).as("mean")
+      )
+
   /** Bucketed approximate NN: join same-bucket pairs only. */
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int, nBits: Int): DataFrame = {
     val withB = df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), dim, nBits).as("bucket"))

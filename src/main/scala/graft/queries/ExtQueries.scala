@@ -837,6 +837,52 @@ object ExtQueries {
              |ORDER BY 1, 2, 3""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // Per-label embedding centroids (Similarity.labelCentroids): decimal-
+    // routed elementwise mean, long format — exact at any parallelism.
+    Q(
+      "x40_label_centroids",
+      (s, d) =>
+        Similarity
+          .labelCentroids(t(s, d, "embeddings"), "label", "embedding")
+          .orderBy("label", "pos"),
+      Some("""WITH ex AS (SELECT label,
+             |  CAST(generate_subscripts(embedding, 1) AS INTEGER) - 1 AS pos,
+             |  CAST(unnest(embedding) AS DOUBLE) AS v
+             |  FROM embeddings)
+             |SELECT label, pos,
+             |  round(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean
+             |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Near-duplicate CLUSTERS (Graph.connectedComponents over the verified
+    // LSH pair list): transitive closure by min-label propagation; the
+    // oracle computes the same closure with a recursive CTE.
+    Q(
+      "x41_dup_clusters",
+      (s, d) => {
+        val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text", 0.8)
+        Graph
+          .connectedComponents(pairs, "d1", "d2")
+          .select(col("node").as("doc_id"), col("label").as("cluster"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |$minhashCtes,
+              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+              |inter AS (SELECT c.d1, c.d2, COUNT(*) AS ni FROM cand c
+              |  JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT d1, d2 FROM inter
+              |  JOIN sizes sa ON sa.doc_id = inter.d1
+              |  JOIN sizes sb ON sb.doc_id = inter.d2
+              |  WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.8),
+              |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              |  UNION SELECT d2, d1 FROM pairs),
+              |reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+              |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+              |SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Stubbed decode + feature extraction: exercises the full distributed
     // multimodal pipeline (binary payload -> mapPartitions batch decode ->
     // feature aggregation). Decode is a deterministic fake (no codecs in

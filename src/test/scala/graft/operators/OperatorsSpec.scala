@@ -311,6 +311,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(!top.contains("common") || top.indexOf("common") > 0)
   }
 
+  test("connected components: transitive chains collapse to min label") {
+    import spark.implicits._
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; {8,11}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 7L), (11L, 8L)).toDF("d1", "d2")
+    val got = Graph.connectedComponents(edges, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L, 8L -> 8L, 11L -> 8L))
+  }
+
+  test("label centroids: exact elementwise mean per label") {
+    import spark.implicits._
+    val df = Seq((0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)), (1, Array(5.0f, 5.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.labelCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((0, 0) -> 2.0, (0, 1) -> 4.0, (1, 0) -> 5.0, (1, 1) -> 5.0))
+  }
+
   test("fingerprint is token-order insensitive") {
     import spark.implicits._
     val df = Seq((1L, "b a c"), (2L, "c b a"), (3L, "a b d")).toDF("id", "text")
