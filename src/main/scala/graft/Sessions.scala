@@ -11,6 +11,11 @@ object Sessions {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      // default 64m lets AQE coalesce the final sort/agg exchanges of
+      // mid-size results down to ONE partition (a 30MB sorted output is
+      // "small" by bytes but serializes the sort); 8m keeps those stages
+      // parallel at local scale without flooding tiny tasks
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries a timestamp[ns] column; Spark has no nanosecond

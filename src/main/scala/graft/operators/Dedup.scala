@@ -166,22 +166,23 @@ object Dedup {
   ): DataFrame = {
     val cand = minhashCandidates(docs, idCol, textCol)
     // verification: attach each side's sorted shingle-hash set (built
-    // per-row, no explode) and merge-count — two joins on the candidate
-    // pairs only, versus the old shingle-row explode-join that shuffled
-    // every (doc, shingle-string) row twice. Hash collisions (64-bit, per
-    // pair) are negligible at any realistic corpus size.
+    // per-row, no explode) and merge-count. The candidate PAIRS are tiny by
+    // construction (LSH collisions) and broadcast; an OR-condition join
+    // gathers BOTH sides' sets in ONE pass over the corpus — two plain
+    // joins would evaluate the shingle pipeline twice (once inside a
+    // broadcast exchange). Hash collisions (64-bit, per pair) are
+    // negligible at any realistic corpus size.
     val sets = shingleHashSets(docs, idCol, textCol, 3)
     val inter = graft.functions.ArrayFunctions
       .sortedIntersectCount(col("sha"), col("shb"))
       .cast("double")
-    // broadcast the candidate PAIRS (tiny by construction — LSH collisions),
-    // never the hash-set side: the sets carry ~KB-sized arrays per doc and
-    // auto-broadcast would collect the whole upstream pipeline to the driver.
-    broadcast(
-      broadcast(cand)
-        .join(sets.select(col(idCol).as("d1"), col("sh").as("sha")), "d1")
-    )
-      .join(sets.select(col(idCol).as("d2"), col("sh").as("shb")), "d2")
+    sets
+      .join(broadcast(cand), col(idCol) === col("d1") || col(idCol) === col("d2"))
+      .groupBy("d1", "d2")
+      .agg(
+        first(when(col(idCol) === col("d1"), col("sh")), ignoreNulls = true).as("sha"),
+        first(when(col(idCol) === col("d2"), col("sh")), ignoreNulls = true).as("shb")
+      )
       .withColumn("j", inter / (size(col("sha")) + size(col("shb")) - inter))
       .filter(col("j") >= threshold)
       .select(col("d1"), col("d2"), col("j"))

@@ -34,31 +34,39 @@ object Graph {
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the edge cache EAGERLY: the first round references sym in
+    // several subtrees of one job, and a lazily-filling cache lets those
+    // subtrees each recompute the (possibly expensive) upstream pair
+    // pipeline before any of them has populated it
+    sym.count()
     var labels = sym
       .select(col("a").as("node"))
       .distinct()
       .select(col("node"), col("node").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var cached = labels // the df actually holding this round's cache
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // one aggregation yields BOTH the new label and the old one (tagged
+      // union), so the convergence check shares the round's single job
+      // instead of running a second join
+      val own = labels.select(col("node"), col("label"), lit(true).as("own"))
       val viaNeighbor = sym
         .join(labels, sym("b") === labels("node"))
-        .select(sym("a").as("node"), col("label"))
-      val next = labels
-        .select("node", "label")
+        .select(sym("a").as("node"), col("label"), lit(false).as("own"))
+      val stepped = own
         .union(viaNeighbor)
         .groupBy("node")
-        .agg(min("label").as("label"))
+        .agg(
+          min("label").as("label"),
+          min(when(col("own"), col("label"))).as("prev")
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next
-        .as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1)
-        .count()
-      labels.unpersist()
-      labels = next
+      val changed = stepped.filter(col("label") =!= col("prev")).limit(1).count()
+      cached.unpersist()
+      cached = stepped
+      labels = stepped.select("node", "label")
       converged = changed == 0
       i += 1
     }
