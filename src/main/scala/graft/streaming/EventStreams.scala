@@ -93,6 +93,19 @@ object EventStreams {
       )
   }
 
+  /** Streaming deduplication on a business key, state bounded by the
+    * watermark: duplicates arriving within `delay` of each other are
+    * dropped; state for keys older than the watermark is evicted — the
+    * streaming face of `Dedup.exact`, and the only dedup shape that runs
+    * forever on an unbounded source (an unbounded `dropDuplicates` grows
+    * state without limit). In batch mode the same call degenerates to a
+    * plain dropDuplicates over the keys. */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String], delay: String): DataFrame = {
+    val withTime = withEventTime(df).withWatermark("etime", delay)
+    if (df.isStreaming) withTime.dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else withTime.dropDuplicates(keys)
+  }
+
   /** Run a streaming query over a bounded parquet directory with a memory
     * sink — the local harness for the streaming path (file source → watermark
     * → windowed agg → sink). */

@@ -27,6 +27,38 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     maxNs / 1000000000L - 3600L
   }
 
+  test("streaming dedup within watermark drops in-window duplicates, keeps batch parity") {
+    // stage a directory where every event arrives TWICE (two files)
+    val dir = java.nio.file.Files.createTempDirectory("events_dup")
+    Seq("a", "b").foreach { n =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfTiny/events.parquet"),
+        dir.resolve(s"$n.parquet")
+      )
+    }
+    val src = spark.readStream.schema(EventStreams.EventsSchema).parquet(dir.toString)
+    val q = EventStreams
+      .dedupWithinWatermark(src, Seq("event_id"), "2 hours")
+      .select("event_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("select event_id from dedup_stream")
+    val nEvents = t(spark, sfTiny, "events").count()
+    assert(streamed.count() == nEvents, "each duplicated event must survive exactly once")
+    // batch path degenerates to plain dropDuplicates
+    val batchDedup = EventStreams.dedupWithinWatermark(
+      t(spark, sfTiny, "events").unionAll(t(spark, sfTiny, "events")),
+      Seq("event_id"),
+      "2 hours"
+    )
+    assert(batchDedup.count() == nEvents)
+  }
+
   test("tumbling 5m streaming agg equals batch computation (finalized windows)") {
     val q = EventStreams.runBounded(
       spark,
