@@ -30,6 +30,12 @@ object Pipeline {
     // 2. exact dedup (lowest id per identical text wins)
     val deduped = Dedup.exact(passed, Seq(textCol), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize EAGERLY: the near-dup pass references this frame from
+    // several subtrees (LSH pipeline, verification sets, final anti-join),
+    // some launched as concurrent broadcast-exchange jobs — with a lazily
+    // filling cache they race and each recomputes the quality+window
+    // pipeline before any of them has populated it
+    deduped.count()
     // 3. near-dup removal: of each (d1 < d2) pair, drop d2
     val pairs = Dedup.nearDuplicates(deduped, idCol, textCol, nearDupThreshold)
     deduped.join(
