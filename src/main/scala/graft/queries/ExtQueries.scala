@@ -883,6 +883,59 @@ object ExtQueries {
               |SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // Per-group exact quantiles: one percentile(array(...)) buffer per
+    // group (single pass), vs five independent aggs.
+    Q(
+      "x42_group_quantiles",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))").as("ps"))
+          .select(
+            col("l_returnflag"),
+            round(element_at(col("ps"), 1), 6).as("p25"),
+            round(element_at(col("ps"), 2), 6).as("p50"),
+            round(element_at(col("ps"), 3), 6).as("p75")
+          )
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+             |round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+             |round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Symmetric int8 embedding quantization (training-data storage path):
+    // per-vector scale = max |x|, q = round(x/scale*127) — pure per-row
+    // array math, long-format output for oracle parity.
+    Q(
+      "x43_quantize",
+      (s, d) => {
+        val scale = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+        t(s, d, "embeddings")
+          .select(col("vec_id"), scale.as("scale"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(
+            col("vec_id"),
+            col("pos"),
+            when(col("scale") > 0, round(col("v").cast("double") / col("scale") * 127))
+              .otherwise(0.0)
+              .cast("int")
+              .as("q"),
+            round(col("scale"), 6).as("scale")
+          )
+          .orderBy("vec_id", "pos")
+      },
+      Some("""WITH ex AS (SELECT vec_id,
+             |  CAST(generate_subscripts(embedding, 1) AS INTEGER) - 1 AS pos,
+             |  CAST(unnest(embedding) AS DOUBLE) AS v,
+             |  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS scale
+             |  FROM embeddings)
+             |SELECT vec_id, pos,
+             |  CAST(CASE WHEN scale > 0 THEN round(v / scale * 127) ELSE 0 END AS INTEGER) AS q,
+             |  round(scale, 6) AS scale
+             |FROM ex ORDER BY vec_id, pos""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Stubbed decode + feature extraction: exercises the full distributed
     // multimodal pipeline (binary payload -> mapPartitions batch decode ->
     // feature aggregation). Decode is a deterministic fake (no codecs in

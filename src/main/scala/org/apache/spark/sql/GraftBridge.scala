@@ -7,4 +7,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply a `SparkSessionExtensions => Unit` (e.g. graft.GraftExtensions)
+    * to an EXISTING session's function registry — test seam for the
+    * `spark.sql.extensions` deploy path, which only runs at session build. */
+  def installFunctionExtensions(
+      f: SparkSessionExtensions => Unit,
+      spark: SparkSession
+  ): Unit = {
+    val ext = new SparkSessionExtensions
+    f(ext)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }
