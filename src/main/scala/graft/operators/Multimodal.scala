@@ -43,6 +43,50 @@ object Multimodal {
   def decodeStub(payload: Array[Byte]): Array[Float] =
     payload.map(b => ((b & 0xff).toFloat) / 256.0f)
 
+  /** STUB video frame extraction: a real implementation seeks keyframes via
+    * ffmpeg. The fake derives `nFrames` deterministic "frames" by slicing
+    * the payload with a stride, so the fan-out shape (one row in, k rows
+    * out, frame index attached) is exercised exactly as it would be with a
+    * real codec. */
+  def sampleFramesStub(payload: Array[Byte], nFrames: Int): Seq[Array[Byte]] =
+    (0 until nFrames).map { i =>
+      val off = if (payload.isEmpty) 0 else (i * payload.length) / nFrames
+      payload.drop(off).take(math.max(1, payload.length / nFrames))
+    }
+
+  /** STUB resize: a real implementation is a bilinear/area resample. The
+    * fake averages adjacent feature pairs (exactly halves the vector), so
+    * output-shape contracts and the per-batch loop are real. */
+  def resizeStub(features: Array[Float]): Array[Float] =
+    features.grouped(2).map(p => p.sum / p.length).toArray
+
+  /** Frame sampling as a distributed fan-out: one payload row becomes
+    * `nFrames` frame rows (id, frame_idx, frame_bytes) — mapPartitions (the
+    * Scala analog of `mapInPandas`), partition-preserving, no shuffle;
+    * downstream per-frame decode/feature ops compose unchanged. */
+  def sampleFrames(df: DataFrame, idCol: String, nFrames: Int): DataFrame = {
+    require(nFrames > 0, s"nFrames must be positive, got $nFrames")
+    val schema = StructType(
+      Seq(
+        StructField(idCol, df.schema(idCol).dataType),
+        StructField("frame_idx", IntegerType),
+        StructField("frame", BinaryType)
+      )
+    )
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payIdx)
+        if (payload == null) Iterator.empty
+        else
+          sampleFramesStub(payload, nFrames).zipWithIndex.iterator.map { case (f, i) =>
+            Row(r.get(idIdx), i, f)
+          }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Partition-preserving batched feature extraction over binary payloads —
     * the Scala analog of `mapInPandas`: iterate rows per partition, no
     * shuffle, emit (id, features, meta passthrough). */

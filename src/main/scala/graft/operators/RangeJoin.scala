@@ -33,12 +33,18 @@ object RangeJoin {
   ): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    // Degenerate intervals (hi <= lo) are empty under half-open semantics
+    // and MUST be dropped before the explode: sequence() steps DOWNWARD
+    // when hi's bucket precedes lo's, which would replicate the interval
+    // into buckets it doesn't overlap.
     // half-open [lo, hi): the last overlapped bucket is the one containing
     // the largest value strictly below hi
-    val iv = intervals.withColumn(
-      "__bucket",
-      explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)) ))
-    )
+    val iv = intervals
+      .filter(col(hiCol) > col(loCol))
+      .withColumn(
+        "__bucket",
+        explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol))))
+      )
     val pts = points.withColumn("__bucket", bucketOf(col(pointCol)))
     pts
       .join(iv, Seq("__bucket"))

@@ -53,13 +53,16 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col(valueCol).cast(dec)).as("sq"))
     def shape(d: DataFrame, c1: Column, c2: Column): DataFrame =
       d.select(c1.as(k1), c2.as(k2), col("n"), col("sq").cast("double").as(sumName))
-    val nul = lit(null).cast("string")
+    // null key slots cast to each key's ACTUAL type so the unions line up
+    // for non-string grouping keys too
+    val nul1 = lit(null).cast(df.schema(k1).dataType)
+    val nul2 = lit(null).cast(df.schema(k2).dataType)
     val byK1 = base.groupBy(k1).agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
     val byK2 = base.groupBy(k2).agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
     val total = base.agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
     shape(base, col(k1), col(k2))
-      .unionByName(shape(byK1, col(k1), nul))
-      .unionByName(shape(byK2, nul, col(k2)))
-      .unionByName(shape(total, nul, nul))
+      .unionByName(shape(byK1, col(k1), nul2))
+      .unionByName(shape(byK2, nul1, col(k2)))
+      .unionByName(shape(total, nul1, nul2))
   }
 }

@@ -146,6 +146,18 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(c8 > 0)
   }
 
+  test("multimodal: frame sampling fans out k rows per payload; resize halves features") {
+    val docs = t(spark, sfTiny, "documents").limit(6)
+    val withP = Multimodal.withPayload(docs.withColumn("hex", md5(col("text"))), "hex")
+    val frames = Multimodal.sampleFrames(withP, "doc_id", 4)
+    assert(frames.count() == 24)
+    val perDoc = frames.groupBy("doc_id").count().collect().map(_.getLong(1)).distinct.toSeq
+    assert(perDoc == Seq(4L))
+    assert(frames.schema("frame").dataType.typeName == "binary")
+    val resized = Multimodal.resizeStub(Array(1f, 3f, 5f, 7f))
+    assert(resized.toSeq == Seq(2f, 6f))
+  }
+
   test("multimodal: payload + stub feature extraction plumbing") {
     val docs = t(spark, sfTiny, "documents").limit(10)
     val withP = Multimodal.withPayload(docs.withColumn("hex", md5(col("text"))), "hex")
@@ -243,6 +255,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(fast.orderBy("iv_id").collect().toSeq == brute.orderBy("iv_id").collect().toSeq)
     // overlapping intervals: a point matches both, exactly once each
     assert(fast.count() > 0)
+  }
+
+  test("range join: degenerate (empty) intervals match nothing, negatives bucket correctly") {
+    import spark.implicits._
+    val pts = Seq(-3.5, -0.5, 0.0, 2.0, 7.0).toDF("p")
+    val iv = Seq(
+      (0L, -4.0, -1.0), // negative range
+      (1L, 5.0, 5.0),   // empty: hi == lo
+      (2L, 9.0, 3.0),   // inverted: must not match (descending sequence trap)
+      (3L, 0.0, 3.0)
+    ).toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi", 2.0)
+      .select("iv_id", "p").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((0L, -3.5), (3L, 0.0), (3L, 2.0)))
+  }
+
+  test("cube via re-aggregation handles non-string keys") {
+    import spark.implicits._
+    val df = Seq((1, 10L, 5.50), (1, 20L, 1.25), (2, 10L, 3.00)).toDF("k1", "k2", "v")
+    val out = Relational.cubeCountDsum(df, "k1", "k2", "v", "sv", 10)
+    val expect = df.cube("k1", "k2")
+      .agg(count(lit(1)).as("n"), Relational.dsum(col("v"), 10).as("sv"))
+    val key = Seq(asc_nulls_first("k1"), asc_nulls_first("k2"))
+    assert(out.orderBy(key: _*).collect().toSeq == expect.orderBy(key: _*).collect().toSeq)
   }
 
   test("ivf topk: per-cell exact, recall grows with nProbe, candidates bounded") {
