@@ -12,20 +12,38 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * functions imperatively for embedded use; both routes resolve to the same
   * codegen'd expressions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.binary
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
         FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[functions.FloatVecDot].getName, "vec_dot"),
-        (children: Seq[Expression]) => functions.FloatVecDot(children(0), children(1))
+        binary("vec_dot", functions.FloatVecDot.apply)
       )
     )
     ext.injectFunction(
       (
         FunctionIdentifier("sorted_intersect_count"),
         new ExpressionInfo(classOf[functions.SortedIntersectCount].getName, "sorted_intersect_count"),
-        (children: Seq[Expression]) => functions.SortedIntersectCount(children(0), children(1))
+        binary("sorted_intersect_count", functions.SortedIntersectCount.apply)
       )
     )
   }
+}
+
+object GraftExtensions {
+  /** Arity-checked builder: wrong-arity SQL gets a clear message instead of
+    * a raw IndexOutOfBoundsException during resolution. */
+  private[graft] def binary(
+      name: String,
+      f: (Expression, Expression) => Expression
+  ): Seq[Expression] => Expression =
+    children => {
+      if (children.size != 2)
+        throw new IllegalArgumentException(
+          s"$name requires exactly 2 arguments, got ${children.size}"
+        )
+      f(children(0), children(1))
+    }
 }

@@ -24,7 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      // getLong on a null slot reads an undefined value (0 for unsafe rows)
+      // and would silently miscount — refuse at analysis time instead
+      TypeCheckResult.TypeCheckFailure(
+        "sorted_intersect_count requires arrays with non-nullable elements " +
+          "(wrap inputs in sort_array(array_distinct(...)) over non-null expressions)"
+      )
     case (l, r) =>
       TypeCheckResult.TypeCheckFailure(
         s"sorted_intersect_count requires two array<bigint> arguments, got ${l.sql} and ${r.sql}"
@@ -81,7 +89,7 @@ object ArrayFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
-      exprs => SortedIntersectCount(exprs(0), exprs(1)),
+      graft.GraftExtensions.binary("sorted_intersect_count", SortedIntersectCount.apply),
       "built-in"
     )
 

@@ -66,7 +66,7 @@ object VecFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
-      exprs => FloatVecDot(exprs(0), exprs(1)),
+      graft.GraftExtensions.binary("vec_dot", FloatVecDot.apply),
       "built-in"
     )
 

@@ -166,23 +166,23 @@ object Dedup {
   ): DataFrame = {
     val cand = minhashCandidates(docs, idCol, textCol)
     // verification: attach each side's sorted shingle-hash set (built
-    // per-row, no explode) and merge-count. The candidate PAIRS are tiny by
-    // construction (LSH collisions) and broadcast; an OR-condition join
-    // gathers BOTH sides' sets in ONE pass over the corpus — two plain
-    // joins would evaluate the shingle pipeline twice (once inside a
-    // broadcast exchange). Hash collisions (64-bit, per pair) are
+    // per-row, no explode) and merge-count. The sets frame is persisted and
+    // materialized ONCE, then both sides attach via broadcast-pairs hash
+    // equi-joins — O(n) per join. (An OR-condition join would do it in one
+    // pass but plans as a nested loop evaluating every corpus row against
+    // every candidate pair: O(n x p), a cliff at corpus scale; and without
+    // the persist the shingle pipeline would run twice, once inside a
+    // broadcast exchange.) Hash collisions (64-bit, per pair) are
     // negligible at any realistic corpus size.
     val sets = shingleHashSets(docs, idCol, textCol, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count() // eager: two consumers below race a lazily-filling cache
     val inter = graft.functions.ArrayFunctions
       .sortedIntersectCount(col("sha"), col("shb"))
       .cast("double")
-    sets
-      .join(broadcast(cand), col(idCol) === col("d1") || col(idCol) === col("d2"))
-      .groupBy("d1", "d2")
-      .agg(
-        first(when(col(idCol) === col("d1"), col("sh")), ignoreNulls = true).as("sha"),
-        first(when(col(idCol) === col("d2"), col("sh")), ignoreNulls = true).as("shb")
-      )
+    broadcast(cand)
+      .join(sets.select(col(idCol).as("d1"), col("sh").as("sha")), "d1")
+      .join(sets.select(col(idCol).as("d2"), col("sh").as("shb")), "d2")
       .withColumn("j", inter / (size(col("sha")) + size(col("shb")) - inter))
       .filter(col("j") >= threshold)
       .select(col("d1"), col("d2"), col("j"))

@@ -71,6 +71,12 @@ object Graph {
       i += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — a component has " +
+          s"diameter > $maxIter. Returning partial labels would silently split true " +
+          s"clusters; raise maxIter (rounds needed = component diameter)."
+      )
     labels
   }
 }

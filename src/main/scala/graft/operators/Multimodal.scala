@@ -50,7 +50,9 @@ object Multimodal {
     * real codec. */
   def sampleFramesStub(payload: Array[Byte], nFrames: Int): Seq[Array[Byte]] =
     (0 until nFrames).map { i =>
-      val off = if (payload.isEmpty) 0 else (i * payload.length) / nFrames
+      // long arithmetic: i * length overflows Int for video-scale payloads
+      // (300MB x frame 8 wraps negative and every late frame slices byte 0)
+      val off = if (payload.isEmpty) 0 else (i.toLong * payload.length / nFrames).toInt
       payload.drop(off).take(math.max(1, payload.length / nFrames))
     }
 

@@ -47,10 +47,16 @@ object Scale {
       how: String = "inner"
   ): DataFrame = {
     val normalized = how.toLowerCase.replace("_", "")
+    // semi/anti are salting-safe too: a left row carries exactly one salt,
+    // and every right key is replicated to every salt, so the per-(key,salt)
+    // existence decision equals the per-key one. Only right/full outer are
+    // broken (each unmatched right row would surface once per replica).
     require(
-      Set("inner", "left", "leftouter").contains(normalized),
-      s"saltedJoin supports inner/left_outer only, got '$how': the right side is " +
-        s"replicated per salt value, so right/full outer joins would duplicate unmatched right rows"
+      Set("inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti")
+        .contains(normalized),
+      s"saltedJoin supports inner/left_outer/left_semi/left_anti, got '$how': the right " +
+        s"side is replicated per salt value, so right/full outer joins would duplicate " +
+        s"unmatched right rows"
     )
     val saltL = pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
     val l = left.withColumn("__salt", saltL)

@@ -241,8 +241,26 @@ object Similarity {
       k: Int,
       nProbe: Int = 1
   ): DataFrame = {
+    // centroid ids enter the same packed-long encoding as nearestNeighbor,
+    // so they get the same runtime [0, 2^32) guard — an out-of-range id
+    // (e.g. hash-derived) would silently alias cells otherwise. Zero-norm /
+    // null vectors have no defined cell and are EXCLUDED from both the
+    // query and candidate sides (a top-k list over undefined similarity is
+    // meaningless); use nearestNeighbor if null-surfacing matters.
+    val cenGuard = when(
+      col(idCol).cast("long").between(lit(0L), lit(4294967295L)),
+      col(idCol)
+    ).otherwise(
+      raise_error(
+        concat(
+          lit("ivfTopK: centroid id must be in [0, 2^32) for long-packing (got "),
+          col(idCol).cast("string"),
+          lit(")")
+        )
+      )
+    )
     val cen = centroids.select(
-      col(idCol).as("cen_id"),
+      cenGuard.as("cen_id"),
       col(vecCol).as("cen_v"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("cen_n")
     )

@@ -347,6 +347,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(!top.contains("common") || top.indexOf("common") > 0)
   }
 
+  test("connected components: fails loudly when maxIter < component diameter") {
+    import spark.implicits._
+    val chain = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("d1", "d2")
+    val e = intercept[IllegalStateException](
+      Graph.connectedComponents(chain, "d1", "d2", maxIter = 2).collect()
+    )
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain collapses fully
+    val ok = Graph.connectedComponents(chain, "d1", "d2", maxIter = 10)
+      .collect().map(_.getLong(1)).distinct.toSeq
+    assert(ok == Seq(1L))
+  }
+
+  test("sorted_intersect_count rejects nullable-element arrays at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_count(array(1L, CAST(NULL AS BIGINT)), array(1L))").collect()
+    }
+    assert(e.getMessage.contains("non-nullable"), e.getMessage)
+  }
+
+  test("registered functions report arity errors clearly") {
+    val e = intercept[Exception](spark.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT)))").collect())
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
+  }
+
   test("connected components: transitive chains collapse to min label") {
     import spark.implicits._
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; {8,11}

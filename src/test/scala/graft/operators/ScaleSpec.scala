@@ -75,6 +75,20 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     assert(salted.orderBy(key: _*).collect().toSeq == plain.orderBy(key: _*).collect().toSeq)
   }
 
+  test("salted semi/anti joins equal their plain counterparts") {
+    val li = t(spark, sfTiny, "lineitem").select("l_orderkey", "l_linenumber")
+    val o = t(spark, sfTiny, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    Seq("left_semi", "left_anti").foreach { how =>
+      val plain = li.join(o, Seq("l_orderkey"), how)
+      val salted = Scale.saltedJoin(li, o, Seq("l_orderkey"), 8, how)
+      assert(salted.count() == plain.count(), how)
+      val key = plain.columns.map(col).toIndexedSeq
+      assert(salted.orderBy(key: _*).collect().toSeq == plain.orderBy(key: _*).collect().toSeq, how)
+    }
+  }
+
   test("salted join rejects right/full outer (replication would duplicate unmatched right rows)") {
     val li = t(spark, sfTiny, "lineitem").select("l_orderkey")
     val o = t(spark, sfTiny, "orders").select(col("o_orderkey").as("l_orderkey"))
