@@ -89,6 +89,35 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (the first-line skew defense)") {
+    import spark.implicits._
+    // one hot key dominating the left side
+    val left = spark.range(200000)
+      .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")).as("k"), col("id").as("v"))
+    val right = spark.range(500).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val conf = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"
+    )
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = left.join(right, "k")
+      // collect() runs THIS dataset's QueryExecution (count()/write plan
+      // their own), so the AQE final plan is observable on it afterwards.
+      // 180000 hot-key (k=1) matches + 50 ids divisible by 10 below 500
+      assert(joined.collect().length == 180050)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark the skewed join:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join rejects right/full outer (replication would duplicate unmatched right rows)") {
     val li = t(spark, sfTiny, "lineitem").select("l_orderkey")
     val o = t(spark, sfTiny, "orders").select(col("o_orderkey").as("l_orderkey"))
