@@ -33,6 +33,28 @@ object Relational {
   def dsum(c: Column, precision: Int = 18): Column =
     sum(c.cast(org.apache.spark.sql.types.DecimalType(precision, 2))).cast("double")
 
+  /** Grouped top-k via the bounded-heap aggregate
+    * [[graft.functions.TopKStructs]] — at most k rows per group per
+    * partition cross the shuffle, vs `row_number() OVER (...)` which
+    * shuffles and sorts EVERY row of every group. `packed` is a struct
+    * whose FIRST field is the ranking value (descending), remaining fields
+    * deterministic tie-breakers; all struct fields come back as columns
+    * plus a 1-based `rankCol`. */
+  def topKPerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      packed: Column,
+      k: Int,
+      rankCol: String = "rk"
+  ): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.TopKAggFunctions.topKStructs(packed, k).as("__topk"))
+      .select(keys.map(col) :+ posexplode(col("__topk")).as(Seq("__pos", "__s")): _*)
+      .select(
+        keys.map(col) :+ (col("__pos") + 1).as(rankCol) :+ col("__s.*"): _*
+      )
+      .drop("__pos", "__s")
+
   /** CUBE(k1, k2) with count + exact decimal sum via re-aggregation of the
     * base (k1, k2) aggregate — `.cube()` would Expand every input row 4x
     * through the aggregate; deriving the three coarser levels from the

@@ -936,6 +936,33 @@ object ExtQueries {
              |FROM ex ORDER BY vec_id, pos""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // Grouped top-k via the bounded-heap custom aggregate (TopKStructs):
+    // map-side k-element heaps, never a full window sort.
+    Q(
+      "x44_topk_per_key",
+      (s, d) =>
+        Relational
+          .topKPerKey(
+            t(s, d, "lineitem"),
+            Seq("l_returnflag"),
+            struct(
+              col("l_extendedprice").as("price"),
+              col("l_orderkey").as("ok"),
+              col("l_linenumber").as("ln")
+            ),
+            3
+          )
+          .orderBy("l_returnflag", "rk"),
+      Some("""SELECT l_returnflag, rk, price, ok, ln FROM (
+             |  SELECT l_returnflag, l_extendedprice AS price, l_orderkey AS ok,
+             |    l_linenumber AS ln,
+             |    CAST(row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC)
+             |      AS INTEGER) AS rk
+             |  FROM lineitem) t
+             |WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Stubbed decode + feature extraction: exercises the full distributed
     // multimodal pipeline (binary payload -> mapPartitions batch decode ->
     // feature aggregation). Decode is a deterministic fake (no codecs in

@@ -347,6 +347,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(!top.contains("common") || top.indexOf("common") > 0)
   }
 
+  test("topKPerKey (bounded-heap agg) equals window row_number, at any partitioning") {
+    val li = t(spark, sfTiny, "lineitem")
+    val packed = struct(
+      col("l_extendedprice").as("price"),
+      col("l_orderkey").as("ok"),
+      col("l_linenumber").as("ln")
+    )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy(desc("l_extendedprice"), desc("l_orderkey"), desc("l_linenumber"))
+    val viaWindow = li
+      .select(col("l_returnflag"), packed.as("s"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= 4)
+      .select(col("l_returnflag"), col("rk"), col("s.*"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relational.topKPerKey(df, Seq("l_returnflag"), packed, 4)
+        .orderBy("l_returnflag", "rk").collect().toSeq
+    val a = run(li)
+    assert(a == viaWindow.orderBy("l_returnflag", "rk").collect().toSeq)
+    assert(a == run(li.repartition(13)), "heap merge must be partition-count invariant")
+  }
+
   test("connected components: fails loudly when maxIter < component diameter") {
     import spark.implicits._
     val chain = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("d1", "d2")
