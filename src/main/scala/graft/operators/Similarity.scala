@@ -14,6 +14,23 @@ import org.apache.spark.sql.functions._
 object Similarity {
   import graft.functions.VecFunctions.vecDot
 
+  /** Rank (qid, cid, sim) rows to each query's top-k by (sim desc, cid asc)
+    * using the bounded-heap aggregate — at most k rows per query per
+    * partition cross the shuffle; a window row_number would shuffle and
+    * sort EVERY candidate similarity. cid is negated inside the packed
+    * struct so the heap's descending order yields the ascending-cid
+    * tie-break. */
+  private def rankTopK(sims: DataFrame, k: Int): DataFrame =
+    Relational
+      .topKPerKey(
+        sims,
+        Seq("qid"),
+        struct(col("sim"), (-col("cid")).as("__nc")),
+        k,
+        rankCol = "rn"
+      )
+      .select(col("qid"), (-col("__nc")).as("cid"), col("sim"), col("rn"))
+
   /** Exact dot product in double precision — native codegen'd Expression
     * (left-to-right fold → deterministic, oracle-matching; see
     * [[graft.functions.FloatVecDot]]). */
@@ -60,8 +77,7 @@ object Similarity {
     val sims = c
       .join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), round(simExpr, 6).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
-    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    rankTopK(sims, k)
   }
 
   /** All-pairs exact nearest neighbor (k=1) via map-side max partial
@@ -214,8 +230,7 @@ object Similarity {
         round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim")
       )
       .distinct() // a pair can meet in several probed buckets
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
-    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    rankTopK(sims, k)
   }
 
   /** IVF (inverted-file) approximate top-k — the cell-partitioned scale
@@ -323,8 +338,7 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), pair.as("sim"))
       .distinct() // nProbe > 1: a pair can meet in several probed cells
-    val w2 = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
-    sims.withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+    rankTopK(sims, k)
   }
 
   /** Per-label mean embedding in long format (label, pos, mean) — the
