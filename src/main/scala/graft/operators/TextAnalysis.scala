@@ -85,6 +85,50 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** Per-document bigram cross-entropy under an add-one-smoothed bigram
+    * model fit on the corpus itself — the perplexity-filter primitive of
+    * training-data pipelines (low avg log-prob = unnatural token
+    * transitions = boilerplate/garbled text). Two corpus aggregations
+    * (bigram and context counts) + two joins back to the transition rows,
+    * all hash-partitioned on the token keys; vocabulary size arrives as a
+    * broadcast scalar. Each transition's log-prob is rounded to 9 dp and
+    * decimal-summed so the per-doc mean is exact at any parallelism.
+    * Output: (idCol, n_trans, avg_logprob rounded to 6 dp). */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val trans = docs
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .select(
+        col(idCol),
+        explode(
+          when(
+            size(col("tk")) >= 2,
+            expr("transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")
+          ).otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+        ).as("b")
+      )
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigrams = trans.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
+    val contexts = trans.groupBy("w1").agg(count(lit(1)).as("c_ctx"))
+    val vocab = trans.select("w1").distinct().agg(count(lit(1)).as("v"))
+    val lp = round(
+      log(
+        (col("c_big") + 1).cast("double") / (col("c_ctx") + col("v")).cast("double")
+      ),
+      9
+    ).cast(org.apache.spark.sql.types.DecimalType(24, 9))
+    trans
+      .join(bigrams, Seq("w1", "w2"))
+      .join(contexts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(lp).as("slp"))
+      .select(
+        col(idCol),
+        col("n_trans"),
+        round(col("slp").cast("double") / col("n_trans"), 6).as("avg_logprob")
+      )
+  }
+
   /** Per-document top-`k` TF-IDF terms. tf = term count in doc; idf =
     * ln((N+1)/(df+1)) with df = #docs containing the term. Three shuffles
     * total — (doc,term) count, per-term df, per-doc top-k window — each

@@ -963,6 +963,28 @@ object ExtQueries {
              |WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // Perplexity-style quality signal: per-doc mean log-prob under an
+    // add-one-smoothed corpus bigram model (TextAnalysis.bigramCrossEntropy).
+    Q(
+      "x45_bigram_xent",
+      (s, d) =>
+        TextAnalysis
+          .bigramCrossEntropy(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |trans AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+             |  FROM toks, unnest(range(1, len(tk))) AS t(i)),
+             |bigrams AS (SELECT w1, w2, COUNT(*) AS c_big FROM trans GROUP BY 1, 2),
+             |contexts AS (SELECT w1, COUNT(*) AS c_ctx FROM trans GROUP BY 1),
+             |vocab AS (SELECT COUNT(DISTINCT w1) AS v FROM trans)
+             |SELECT doc_id, COUNT(*) AS n_trans,
+             |  round(CAST(SUM(CAST(round(ln(CAST(c_big + 1 AS DOUBLE)
+             |    / CAST(c_ctx + v AS DOUBLE)), 9) AS DECIMAL(24,9))) AS DOUBLE)
+             |    / COUNT(*), 6) AS avg_logprob
+             |FROM trans JOIN bigrams USING (w1, w2) JOIN contexts USING (w1) CROSS JOIN vocab
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Stubbed decode + feature extraction: exercises the full distributed
     // multimodal pipeline (binary payload -> mapPartitions batch decode ->
     // feature aggregation). Decode is a deterministic fake (no codecs in
