@@ -7,6 +7,40 @@ import org.apache.spark.sql.functions._
 /** Event-time batch operators shared by the declared queries and user code. */
 object TimeOps {
 
+  /** Ordered funnel analysis: for each step i, count users whose earliest
+    * step-i event strictly follows their earliest qualifying step-(i-1)
+    * event — the standard min-timestamp funnel. Each stage is one
+    * filter + user-keyed aggregate + (from stage 2 on) a user-keyed join
+    * to the previous stage's per-user frontier: shuffle keys are all
+    * `userCol`, so the whole funnel co-partitions on one key and the
+    * per-stage state is one row per surviving user. Returns
+    * (step_idx, step, users) — one row per step. */
+  def funnel(
+      events: org.apache.spark.sql.DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]
+  ): org.apache.spark.sql.DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var frontier: org.apache.spark.sql.DataFrame = null
+    val counts = steps.zipWithIndex.map { case (step, i) =>
+      val ev = events.filter(col(typeCol) === step)
+      frontier =
+        if (i == 0)
+          ev.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        else
+          ev.join(frontier, userCol)
+            .filter(col(tsCol) > col("__t"))
+            .groupBy(col(userCol))
+            .agg(min(col(tsCol)).as("__t"))
+      frontier
+        .agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step_idx"), lit(step).as("step"), col("users"))
+    }
+    counts.reduce(_ unionByName _)
+  }
+
   /** Gaps-and-islands sessionization: one shuffle on the key, two window
     * passes. `tsCol` is any monotonic numeric time column; `gap` in the same
     * unit. Identical semantics to Structured Streaming's `session_window`

@@ -985,6 +985,28 @@ object ExtQueries {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // Ordered min-timestamp funnel (TimeOps.funnel): view -> click ->
+    // purchase per user; every stage co-partitions on user_id.
+    Q(
+      "x46_funnel",
+      (s, d) =>
+        TimeOps
+          .funnel(t(s, d, "events"), "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+          .orderBy("step_idx"),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+             |SELECT 1 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM s1) AS users
+             |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+             |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+             |ORDER BY step_idx""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Stubbed decode + feature extraction: exercises the full distributed
     // multimodal pipeline (binary payload -> mapPartitions batch decode ->
     // feature aggregation). Decode is a deterministic fake (no codecs in
