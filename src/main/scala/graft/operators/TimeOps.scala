@@ -41,6 +41,44 @@ object TimeOps {
     counts.reduce(_ unionByName _)
   }
 
+  /** Weekly retention cohorts: users are cohorted by the week of their
+    * first `anchorType` event; `users` at (cohort_week, week_n) counts
+    * distinct users from that cohort active in week cohort+n (any event).
+    * Two user-keyed aggregations + one join — the cohort frontier is one
+    * row per user, and the final count groups the deduplicated
+    * (user, week) activity grid, so nothing scales with raw event count
+    * past the first aggregate. `tsCol` is a timestamp-valued column
+    * expression (pass a conversion for epoch-long sources). */
+  def retentionCohorts(
+      events: org.apache.spark.sql.DataFrame,
+      userCol: String,
+      tsCol: org.apache.spark.sql.Column,
+      typeCol: String,
+      anchorType: String
+  ): org.apache.spark.sql.DataFrame = {
+    val ev = events.select(
+      col(userCol).as("__u"),
+      to_date(date_trunc("week", tsCol)).as("__w"),
+      col(typeCol).as("__t")
+    )
+    val cohort = ev
+      .filter(col("__t") === anchorType)
+      .groupBy("__u")
+      .agg(min(col("__w")).as("__cw"))
+    ev
+      .select("__u", "__w")
+      .distinct()
+      .join(cohort, "__u")
+      .filter(col("__w") >= col("__cw"))
+      .select(
+        col("__cw").as("cohort_week"),
+        (datediff(col("__w"), col("__cw")) / 7).cast("int").as("week_n"),
+        col("__u")
+      )
+      .groupBy("cohort_week", "week_n")
+      .agg(count(lit(1)).as("users"))
+  }
+
   /** Gaps-and-islands sessionization: one shuffle on the key, two window
     * passes. `tsCol` is any monotonic numeric time column; `gap` in the same
     * unit. Identical semantics to Structured Streaming's `session_window`

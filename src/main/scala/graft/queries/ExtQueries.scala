@@ -1007,6 +1007,32 @@ object ExtQueries {
              |ORDER BY step_idx""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // Weekly retention cohorts (TimeOps.retentionCohorts): cohort by first
+    // signup week, count distinct cohort users active in week cohort+n.
+    Q(
+      "x47_retention",
+      (s, d) =>
+        TimeOps
+          .retentionCohorts(
+            t(s, d, "events"),
+            "user_id",
+            timestamp_micros(expr("ts div 1000")),
+            "event_type",
+            "signup"
+          )
+          .orderBy("cohort_week", "week_n"),
+      Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w, event_type
+             |  FROM events),
+             |coh AS (SELECT user_id, min(w) AS cw FROM ev
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |act AS (SELECT DISTINCT e.user_id, w FROM ev e),
+             |grid AS (SELECT coh.cw AS cohort_week,
+             |    CAST(datediff('day', coh.cw, a.w) / 7 AS INTEGER) AS week_n, a.user_id
+             |  FROM act a JOIN coh ON a.user_id = coh.user_id WHERE a.w >= coh.cw)
+             |SELECT cohort_week, week_n, COUNT(*) AS users
+             |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Stubbed decode + feature extraction: exercises the full distributed
     // multimodal pipeline (binary payload -> mapPartitions batch decode ->
     // feature aggregation). Decode is a deterministic fake (no codecs in
