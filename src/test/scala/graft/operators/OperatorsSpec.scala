@@ -347,6 +347,49 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(!top.contains("common") || top.indexOf("common") > 0)
   }
 
+  test("range join sweep: bucketed equals brute force for many widths and interval shapes") {
+    import spark.implicits._
+    // deterministic pseudo-random fixtures from hash arithmetic
+    val pts = (0 until 500)
+      .map(i => ((i * 2654435761L % 10007).toDouble / 10, i.toLong)).toDF("p", "pid")
+    val iv = (0 until 60).map { i =>
+      val lo = (i * 1315423911L % 9001).toDouble / 10
+      val width = ((i * 97 + 13) % 300).toDouble / 3
+      (i.toLong, lo, lo + width) // width 0..100, includes width-0 (empty)
+    }.toDF("iv_id", "lo", "hi")
+    val brute = pts
+      .join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("pid", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(0.5, 7.0, 100.0, 5000.0).foreach { w =>
+      val fast = RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi", w)
+        .select("pid", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == brute, s"bucketWidth=$w: missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
+    }
+    assert(brute.nonEmpty)
+  }
+
+  test("topKPerKey sweep: equals window for k in {1, 2, 7, 50, over-size}") {
+    val li = t(spark, sfTiny, "lineitem").limit(3000)
+    val packed = struct(
+      col("l_quantity").as("q"),
+      col("l_orderkey").as("ok"),
+      col("l_linenumber").as("ln")
+    )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy(desc("l_quantity"), desc("l_orderkey"), desc("l_linenumber"))
+    Seq(1, 2, 7, 50, 100000).foreach { k =>
+      val expect = li
+        .select(col("l_returnflag"), packed.as("s"), row_number().over(w).as("rk"))
+        .filter(col("rk") <= k)
+        .select(col("l_returnflag"), col("rk"), col("s.*"))
+        .orderBy("l_returnflag", "rk").collect().toSeq
+      val got = Relational.topKPerKey(li, Seq("l_returnflag"), packed, k)
+        .orderBy("l_returnflag", "rk").collect().toSeq
+      assert(got == expect, s"k=$k: sizes ${got.size} vs ${expect.size}")
+    }
+  }
+
   test("kmeansFit: deterministic across partitioning, improves ivf recall over naive seeds") {
     val e = t(spark, sfTiny, "embeddings").cache()
     def fit(df: org.apache.spark.sql.DataFrame) =
