@@ -1033,6 +1033,61 @@ object ExtQueries {
              |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // Conditional aggregation: count_if / filtered sums in one grouped pass
+    // (the idiomatic replacement for N self-joins of filtered subsets).
+    Q(
+      "x48_cond_agg",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            count_if(col("l_quantity") > 25).as("n_bulk"),
+            dsum(when(col("l_discount") >= 0.05, col("l_extendedprice")).otherwise(lit(0.0)), 12)
+              .as("disc_rev"),
+            round(avg(when(col("l_linestatus") === "F", col("l_tax"))), 6).as("avg_tax_f")
+          )
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+              |COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+              |CAST(SUM(CAST(CASE WHEN l_discount >= 0.05 THEN l_extendedprice ELSE 0.0 END
+              |  AS DECIMAL(12,2))) AS DOUBLE) AS disc_rev,
+              |round(AVG(l_tax) FILTER (WHERE l_linestatus = 'F'), 6) AS avg_tax_f
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Per-row array set algebra over token arrays (union/except/overlap) —
+    // the row-level counterpart of the set-operation queries.
+    Q(
+      "x49_array_ops",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val a = docs.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") / 2).cast("long").as("k"), split(col("text"), " ").as("ta"))
+        val b = docs.filter(col("doc_id") % 2 === 1)
+          .select(((col("doc_id") - 1) / 2).cast("long").as("k"), split(col("text"), " ").as("tb"))
+        a.join(b, "k")
+          .select(
+            col("k"),
+            size(array_distinct(concat(col("ta"), col("tb")))).as("n_union"),
+            size(array_except(array_distinct(col("ta")), col("tb"))).as("n_a_only"),
+            arrays_overlap(col("ta"), col("tb")).as("overlaps"),
+            element_at(array_sort(array_distinct(col("ta"))), 1).as("first_tok")
+          )
+          .orderBy("k")
+      },
+      Some("""WITH a AS (SELECT doc_id // 2 AS k, string_split(text, ' ') AS ta
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |b AS (SELECT (doc_id - 1) // 2 AS k, string_split(text, ' ') AS tb
+             |  FROM documents WHERE doc_id % 2 = 1)
+             |SELECT k,
+             |CAST(len(list_distinct(list_concat(ta, tb))) AS INTEGER) AS n_union,
+             |CAST(len(list_filter(list_distinct(ta), x -> NOT list_contains(tb, x))) AS INTEGER) AS n_a_only,
+             |len(list_intersect(ta, tb)) > 0 AS overlaps,
+             |list_sort(list_distinct(ta))[1] AS first_tok
+             |FROM a JOIN b USING (k) ORDER BY k""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Stubbed decode + feature extraction: exercises the full distributed
     // multimodal pipeline (binary payload -> mapPartitions batch decode ->
     // feature aggregation). Decode is a deterministic fake (no codecs in

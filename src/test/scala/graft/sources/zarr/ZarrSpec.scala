@@ -47,13 +47,15 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(v == 280.0f + (flat % 997) * 0.25f)
   }
 
-  test("zlib and gzip chunk compression round-trip identically") {
+  test("zlib, gzip and zstd chunk compression round-trip identically") {
     val a = new ZarrDataReader(spark, mkStore(None)).readArray("temperature")
     val b = new ZarrDataReader(spark, mkStore(Some("zlib"))).readArray("temperature")
     val c = new ZarrDataReader(spark, mkStore(Some("gzip"))).readArray("temperature")
+    val z = new ZarrDataReader(spark, mkStore(Some("zstd"))).readArray("temperature")
     val key = Seq("time", "lat", "lon").map(col)
     assert(b.orderBy(key: _*).collect().toSeq == a.orderBy(key: _*).collect().toSeq)
     assert(c.orderBy(key: _*).collect().toSeq == a.orderBy(key: _*).collect().toSeq)
+    assert(z.orderBy(key: _*).collect().toSeq == a.orderBy(key: _*).collect().toSeq)
   }
 
   test("dimension selection incl. point drop matches GridSource semantics") {
