@@ -42,7 +42,14 @@ case class TopKStructs(
   private lazy val toUnsafe: UnsafeProjection = UnsafeProjection.create(structType)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StructType => TypeCheckResult.TypeCheckSuccess
+    case s: StructType
+        if org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(s) =>
+      TypeCheckResult.TypeCheckSuccess
+    case s: StructType =>
+      // fail at analysis, not mid-job in an executor's interpreted ordering
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_structs requires an orderable struct (no map fields), got ${s.sql}"
+      )
     case other =>
       TypeCheckResult.TypeCheckFailure(
         s"top_k_structs expects a struct argument (rank field first), got ${other.sql}"

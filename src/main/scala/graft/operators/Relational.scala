@@ -53,7 +53,6 @@ object Relational {
       .select(
         keys.map(col) :+ (col("__pos") + 1).as(rankCol) :+ col("__s.*"): _*
       )
-      .drop("__pos", "__s")
 
   /** CUBE(k1, k2) with count + exact decimal sum via re-aggregation of the
     * base (k1, k2) aggregate — `.cube()` would Expand every input row 4x

@@ -19,17 +19,24 @@ object Similarity {
     * partition cross the shuffle; a window row_number would shuffle and
     * sort EVERY candidate similarity. cid is negated inside the packed
     * struct so the heap's descending order yields the ascending-cid
-    * tie-break. */
+    * tie-break; non-numeric id columns (which can't negate) keep the
+    * window path, preserving the generic input domain. */
   private def rankTopK(sims: DataFrame, k: Int): DataFrame =
-    Relational
-      .topKPerKey(
-        sims,
-        Seq("qid"),
-        struct(col("sim"), (-col("cid")).as("__nc")),
-        k,
-        rankCol = "rn"
-      )
-      .select(col("qid"), (-col("__nc")).as("cid"), col("sim"), col("rn"))
+    sims.schema("cid").dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        Relational
+          .topKPerKey(
+            sims,
+            Seq("qid"),
+            struct(col("sim"), (-col("cid")).as("__nc")),
+            k,
+            rankCol = "rn"
+          )
+          .select(col("qid"), (-col("__nc")).as("cid"), col("sim"), col("rn"))
+      case _ =>
+        val w = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+        sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    }
 
   /** Exact dot product in double precision — native codegen'd Expression
     * (left-to-right fold → deterministic, oracle-matching; see
@@ -98,18 +105,8 @@ object Similarity {
     // Enforce the id < 2^32 packing precondition at runtime, once per input
     // row (NOT per pair): an out-of-range id fails the job with a clear
     // message instead of decoding to a wrong nn_id.
-    val guardedId = when(
-      col(idCol).cast("long").between(lit(0L), lit(4294967295L)),
-      col(idCol)
-    ).otherwise(
-      raise_error(
-        concat(
-          lit("nearestNeighbor: id must be in [0, 2^32) for long-packing (got "),
-          col(idCol).cast("string"),
-          lit("); use bruteForceTopK(k=1) for wider id spaces")
-        )
-      )
-    )
+    val guardedId = PackedArgmax
+      .guardId(col(idCol), "nearestNeighbor", "; use bruteForceTopK(k=1) for wider id spaces")
     val base = df.select(
       guardedId.as("id"),
       col(vecCol).as("v"),
@@ -138,10 +135,8 @@ object Similarity {
       col("qn") > 0 && col("cn") > 0,
       round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
     )
-    val k = round(sim * lit(1000000.0)).cast("long")
-    val kOff = (k + lit(2000000L)) * lit(4294967296L)
-    val encToC = kOff + (lit(4294967295L) - col("cid"))
-    val encToQ = kOff + (lit(4294967295L) - col("qid"))
+    val encToC = PackedArgmax.encode(sim, col("cid"))
+    val encToQ = PackedArgmax.encode(sim, col("qid"))
     // broadcast side on the RIGHT: BroadcastNestedLoopJoin only supports
     // whole-stage codegen with BuildRight — BuildLeft drops the entire
     // pair loop (join + dot products + aggregation) out of codegen,
@@ -160,8 +155,8 @@ object Similarity {
       .agg(max(col("enc")).as("m"))
       .select(
         col("qid").as("vec_id"),
-        (lit(4294967295L) - expr("m % 4294967296")).as("nn_id"),
-        ((expr("m div 4294967296") - lit(2000000L)).cast("double") / lit(1000000.0)).as("sim")
+        PackedArgmax.decodeId(col("m")).as("nn_id"),
+        PackedArgmax.decodeSim(col("m")).as("sim")
       )
   }
 
@@ -262,18 +257,7 @@ object Similarity {
     // null vectors have no defined cell and are EXCLUDED from both the
     // query and candidate sides (a top-k list over undefined similarity is
     // meaningless); use nearestNeighbor if null-surfacing matters.
-    val cenGuard = when(
-      col(idCol).cast("long").between(lit(0L), lit(4294967295L)),
-      col(idCol)
-    ).otherwise(
-      raise_error(
-        concat(
-          lit("ivfTopK: centroid id must be in [0, 2^32) for long-packing (got "),
-          col(idCol).cast("string"),
-          lit(")")
-        )
-      )
-    )
+    val cenGuard = PackedArgmax.guardId(col(idCol), "ivfTopK centroid")
     val cen = centroids.select(
       cenGuard.as("cen_id"),
       col(vecCol).as("cen_v"),
@@ -293,8 +277,7 @@ object Similarity {
       col("nrm") > 0 && col("cen_n") > 0,
       round(vecDot(col("v"), col("cen_v")) / (col("nrm") * col("cen_n")), 6)
     )
-    val enc = (round(sim * lit(1000000.0)).cast("long") + lit(2000000L)) * lit(4294967296L) +
-      (lit(4294967295L) - col("cen_id"))
+    val enc = PackedArgmax.encode(sim, col("cen_id"))
     val scored = base
       .join(broadcast(cen), lit(true))
       .select(col("id"), col("v"), col("nrm"), enc.as("enc"))
@@ -309,7 +292,7 @@ object Similarity {
             col("id"),
             col("v"),
             col("nrm"),
-            (lit(4294967295L) - expr("m % 4294967296")).as("cell")
+            PackedArgmax.decodeId(col("m")).as("cell")
           )
       else {
         val w = Window.partitionBy("id").orderBy(desc("enc"))
@@ -320,7 +303,7 @@ object Similarity {
             col("id"),
             col("v"),
             col("nrm"),
-            (lit(4294967295L) - expr("enc % 4294967296")).as("cell"),
+            PackedArgmax.decodeId(col("enc")).as("cell"),
             col("rn")
           )
       }
@@ -351,8 +334,12 @@ object Similarity {
     * the first `k` ids in ascending order (deterministic; callers wanting
     * k-means++ can pass better seeds through `initial`).
     *
-    * Returns (cen_id, vector) with cen_id in [0, k). Empty cells keep
-    * their previous centroid. */
+    * Returns a small LOCAL frame of (cen_id, cen_v) with cen_id in [0, k)
+    * for default seeding (caller-supplied `initial` ids pass the same
+    * [0, 2^32) packed-encoding guard as ivfTopK). Empty cells keep their
+    * previous centroid. The input is persisted for the duration of the fit
+    * and released before returning; the result is collected (k rows) so no
+    * cache handle escapes. */
   def kmeansFit(
       df: DataFrame,
       idCol: String,
@@ -366,8 +353,15 @@ object Similarity {
     val base = df
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // eager: every iteration reads it; don't rescan the source
     var cen = initial
-      .map(_.select(col("cen_id"), col("cen_v")))
+      .map(i =>
+        i.select(
+          PackedArgmax.guardId(col("cen_id"), "kmeansFit initial centroid").as("cen_id"),
+          col("cen_v")
+        )
+      )
       .getOrElse {
         // TakeOrdered(k) — never a global sort; the window only numbers
         // the k seed rows
@@ -388,15 +382,14 @@ object Similarity {
         col("nrm") > 0 && col("cen_n") > 0,
         round(vecDot(col("v"), col("cen_v")) / (col("nrm") * col("cen_n")), 6)
       )
-      val enc = (round(sim * lit(1000000.0)).cast("long") + lit(2000000L)) * lit(4294967296L) +
-        (lit(4294967295L) - col("cen_id"))
+      val enc = PackedArgmax.encode(sim, col("cen_id"))
       val assigned = base
         .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
         .join(broadcast(cenN), lit(true))
         .select(col("id"), col("v"), enc.as("enc"))
         .groupBy("id")
         .agg(max(col("enc")).as("m"), first(col("v")).as("v"))
-        .select((lit(4294967295L) - expr("m % 4294967296")).as("cell"), col("v"))
+        .select(PackedArgmax.decodeId(col("m")).as("cell"), col("v"))
       // decimal-exact elementwise mean per cell (labelCentroids shape),
       // rebuilt into a float vector ordered by position
       val means = assigned
@@ -430,7 +423,16 @@ object Similarity {
       prevCache = Some(next)
       cen = next
     }
-    cen
+    // k rows: collect to a local frame so every cache used by the fit can
+    // be released here instead of leaking with the returned lineage
+    val result = cen.collect().toSeq
+    val schema = cen.schema
+    prevCache.foreach(_.unpersist())
+    base.unpersist()
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(result, 1),
+      schema
+    )
   }
 
   /** Per-label mean embedding in long format (label, pos, mean) — the

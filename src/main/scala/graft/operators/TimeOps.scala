@@ -23,10 +23,16 @@ object TimeOps {
       steps: Seq[String]
   ): org.apache.spark.sql.DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // EAGER by design: each stage's frontier (one row per surviving user)
+    // is persisted, counted once, and released when the next stage has
+    // materialized — a lazy union of S count branches would recompute
+    // frontier i for every branch j >= i (S(S+1)/2 scans of events). The
+    // result is S summary rows, so eagerness costs nothing downstream.
     var frontier: org.apache.spark.sql.DataFrame = null
-    val counts = steps.zipWithIndex.map { case (step, i) =>
+    var prevCache: Option[org.apache.spark.sql.DataFrame] = None
+    val rows = steps.zipWithIndex.map { case (step, i) =>
       val ev = events.filter(col(typeCol) === step)
-      frontier =
+      frontier = (
         if (i == 0)
           ev.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
         else
@@ -34,11 +40,16 @@ object TimeOps {
             .filter(col(tsCol) > col("__t"))
             .groupBy(col(userCol))
             .agg(min(col(tsCol)).as("__t"))
-      frontier
-        .agg(count(lit(1)).as("users"))
-        .select(lit(i + 1).as("step_idx"), lit(step).as("step"), col("users"))
+      ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val users = frontier.count()
+      prevCache.foreach(_.unpersist())
+      prevCache = Some(frontier)
+      (i + 1, step, users)
     }
-    counts.reduce(_ unionByName _)
+    prevCache.foreach(_.unpersist())
+    val spark = events.sparkSession
+    import spark.implicits._
+    rows.toDF("step_idx", "step", "users")
   }
 
   /** Weekly retention cohorts: users are cohorted by the week of their

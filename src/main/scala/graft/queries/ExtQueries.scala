@@ -1045,14 +1045,21 @@ object ExtQueries {
             count_if(col("l_quantity") > 25).as("n_bulk"),
             dsum(when(col("l_discount") >= 0.05, col("l_extendedprice")).otherwise(lit(0.0)), 12)
               .as("disc_rev"),
-            round(avg(when(col("l_linestatus") === "F", col("l_tax"))), 6).as("avg_tax_f")
+            // decimal-routed filtered mean (PARITY.md rule 1): avg of raw
+            // doubles is partition-order dependent
+            round(
+              dsum(when(col("l_linestatus") === "F", col("l_tax")), 12) /
+                count_if(col("l_linestatus") === "F"),
+              6
+            ).as("avg_tax_f")
           )
           .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag, COUNT(*) AS n,
               |COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
               |CAST(SUM(CAST(CASE WHEN l_discount >= 0.05 THEN l_extendedprice ELSE 0.0 END
               |  AS DECIMAL(12,2))) AS DOUBLE) AS disc_rev,
-              |round(AVG(l_tax) FILTER (WHERE l_linestatus = 'F'), 6) AS avg_tax_f
+              |round(CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE)
+              |  / (COUNT(*) FILTER (WHERE l_linestatus = 'F')), 6) AS avg_tax_f
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     // ------------------------------------------------------------------
