@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint: one JSON line with per-query wall time.
+  *
+  * Noise robustness: each query runs `SPARK_GRAFT_BENCH_RUNS` times
+  * (default 2) and the reported number is the per-query MIN — a single
+  * contended-machine run otherwise dominates the artifact (round-2's bench
+  * showed phantom 4-27x regressions that evaporated under low load). The
+  * JSON line also records the 1-minute system load average at start and end
+  * so a contaminated run is detectable from the artifact itself.
+  */
 object Bench {
+  private def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val load0 = loadAvg()
     // warm up JIT/codegen/parquet-footer caches so the first measured query
     // doesn't absorb session fixed costs
     try {
@@ -13,16 +29,27 @@ object Bench {
     } catch { case _: Throwable => () }
     // noop sink: runs the full physical plan (count() would let Catalyst
     // prune projections and skip the real work).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // run the full suite `runs` times (round-robin, not back-to-back per
+    // query) so a transient load spike can't poison both samples of the
+    // same query; min-of-runs then discards whichever pass was contended
+    val samples: Seq[Map[String, Double]] =
+      (1 to runs).map(_ => ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap)
+    val results: Map[String, Double] =
+      ordered.map { case (n, _) => n -> samples.map(_(n)).min }.toMap
+    val load1 = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"load_start":$load0,"load_end":$load1}"""
+    )
     spark.stop()
   }
 }

@@ -72,7 +72,15 @@ object ZarrTable {
       .getOrElse(throw new IllegalArgumentException("zarr source requires option 'array'"))
     val group = Option(options.get("group"))
     val consolidated = Option(options.get("consolidated")).map(_.toBoolean)
-    val store = new ZarrStore(path, Map.empty, group, consolidated)
+    // `storage.<key>` options carry s3fs-style store config (see ZarrFileIO).
+    // CaseInsensitiveStringMap lower-cases keys; both the s3fs kwarg names
+    // and Hadoop fs.* properties are lower-case, so no information is lost.
+    val storageOptions: Map[String, String] = options
+      .asCaseSensitiveMap()
+      .asScala
+      .collect { case (k, v) if k.toLowerCase.startsWith("storage.") => k.drop("storage.".length) -> v }
+      .toMap
+    val store = new ZarrStore(path, storageOptions, group, consolidated)
     val meta = store.arrayMeta(array)
     val sel: Map[String, DimSel] = meta.dims.flatMap { d =>
       Option(options.get(s"select.$d")).map(v => d -> parseDimSel(v))
@@ -185,7 +193,8 @@ class ZarrScanBuilder(
       base.copy(keep = keep),
       coords,
       required,
-      targetCells
+      targetCells,
+      store.storageOptions
     )
 }
 
@@ -209,7 +218,8 @@ class ZarrScan(
     sel: ResolvedSelection,
     coords: Vector[Coord],
     required: StructType,
-    targetCells: Long
+    targetCells: Long,
+    storageOptions: Map[String, String] = Map.empty
 ) extends Scan
     with Batch {
 
@@ -260,17 +270,18 @@ class ZarrScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZarrReaderFactory(arrayDir, meta, sel.outDims, required)
+    new ZarrReaderFactory(arrayDir, meta, sel.outDims, required, storageOptions)
 }
 
 class ZarrReaderFactory(
     arrayDir: String,
     meta: ZarrArrayMeta,
     outDims: Vector[Int],
-    required: StructType
+    required: StructType,
+    storageOptions: Map[String, String]
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZarrPartitionReader(arrayDir, meta, outDims, required, partition.asInstanceOf[ZarrInputPartition])
+    new ZarrPartitionReader(arrayDir, meta, outDims, required, partition.asInstanceOf[ZarrInputPartition], storageOptions)
 }
 
 class ZarrPartitionReader(
@@ -278,7 +289,8 @@ class ZarrPartitionReader(
     meta: ZarrArrayMeta,
     outDims: Vector[Int],
     required: StructType,
-    partition: ZarrInputPartition
+    partition: ZarrInputPartition,
+    storageOptions: Map[String, String]
 ) extends PartitionReader[InternalRow] {
 
   // field plan: for each required field, either a coord dim or the value
@@ -304,7 +316,7 @@ class ZarrPartitionReader(
     work = chunkIter.next()
     val empty = meta.rank > 0 && work.kept.exists(_.isEmpty)
     if (empty) { havePos = false; return true } // skip, try next chunk
-    buf = if (needValue) ZarrChunkIO.readChunk(arrayDir, meta, work.chunkIdx) else None
+    buf = if (needValue) ZarrChunkIO.readChunk(arrayDir, meta, work.chunkIdx, storageOptions) else None
     pos = new Array[Int](meta.rank)
     havePos = true
     true

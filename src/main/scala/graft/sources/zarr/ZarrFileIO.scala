@@ -1,0 +1,106 @@
+package graft.sources.zarr
+
+import java.io.{ByteArrayOutputStream, FileNotFoundException}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** Store I/O seam: every Zarr byte — metadata on the driver, chunk data on
+  * executors — flows through the Hadoop [[FileSystem]] API, so any filesystem
+  * Hadoop can mount (local `file://`, `s3a://`, `https://` via an fs impl,
+  * HDFS, ABFS, GCS) is config-only, matching the reference's fsspec-based
+  * store resolution (reference: src/data_access/zarr_storage.py:168-239).
+  *
+  * The reference passes s3fs-style `storage_options` (key/secret/token/anon/
+  * endpoint_url — zarr_storage.py:190-211); [[hadoopKeys]] translates those
+  * to the equivalent `fs.s3a.*` settings, and anything already namespaced
+  * under `fs.`/`dfs.` passes through verbatim so power users can reach every
+  * Hadoop knob without a new API.
+  */
+object ZarrFileIO {
+
+  /** Translate reference-style storage options to Hadoop configuration keys.
+    * Exposed for testing; pure. */
+  def hadoopKeys(storageOptions: Map[String, String]): Map[String, String] =
+    storageOptions.flatMap { case (k, v) =>
+      // already a Hadoop key — pass through
+      if (k.startsWith("fs.") || k.startsWith("dfs.")) Some(k -> v)
+      else
+        k match {
+          // s3fs kwargs (zarr_storage.py:190-211)
+          case "key" | "access_key" => Some("fs.s3a.access.key" -> v)
+          case "secret" | "secret_key" => Some("fs.s3a.secret.key" -> v)
+          case "token" => Some("fs.s3a.session.token" -> v)
+          case "endpoint_url" | "endpoint" => Some("fs.s3a.endpoint" -> v)
+          case "region" => Some("fs.s3a.endpoint.region" -> v)
+          case "anon" =>
+            if (v.equalsIgnoreCase("true"))
+              Some(
+                "fs.s3a.aws.credentials.provider" ->
+                  "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+              )
+            else None
+          // unknown keys are set verbatim: harmless, and lets callers use
+          // any future Hadoop property without waiting for a mapping here
+          case _ => Some(k -> v)
+        }
+    }
+
+  // Configuration construction parses XML resources; cache per distinct
+  // option-map so per-partition readers pay it once per executor JVM.
+  private val confCache = new ConcurrentHashMap[Map[String, String], Configuration]()
+
+  def conf(storageOptions: Map[String, String]): Configuration =
+    confCache.computeIfAbsent(
+      storageOptions,
+      { opts =>
+        // inherit the active session's hadoop conf (spark.hadoop.* settings)
+        // when present — driver-side; executors fall back to defaults
+        val base = org.apache.spark.sql.SparkSession.getActiveSession
+          .map(s => new Configuration(s.sparkContext.hadoopConfiguration))
+          .getOrElse(new Configuration())
+        hadoopKeys(opts).foreach { case (k, v) => base.set(k, v) }
+        base
+      }
+    )
+
+  /** Parse a store path. Scheme-less paths stay local; the reference's
+    * `s3://` scheme (s3fs) maps onto Hadoop's `s3a://` connector. */
+  def toPath(p: String): HPath = {
+    val s = if (p.startsWith("s3://")) "s3a://" + p.stripPrefix("s3://") else p
+    new HPath(s)
+  }
+
+  def fileSystem(p: HPath, storageOptions: Map[String, String]): FileSystem =
+    p.getFileSystem(conf(storageOptions))
+
+  def exists(p: HPath, storageOptions: Map[String, String]): Boolean =
+    fileSystem(p, storageOptions).exists(p)
+
+  /** Full contents of a (small) file as bytes, or None if absent. One
+    * open+read round-trip — no separate HEAD, which matters on object
+    * stores where every call is an HTTP request. */
+  def readBytesIfExists(p: HPath, storageOptions: Map[String, String], sizeHint: Int = 8192): Option[Array[Byte]] =
+    try {
+      val in = fileSystem(p, storageOptions).open(p)
+      try {
+        val out = new ByteArrayOutputStream(math.max(64, sizeHint))
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(out.toByteArray)
+      } finally in.close()
+    } catch { case _: FileNotFoundException => None }
+
+  def readStringIfExists(p: HPath, storageOptions: Map[String, String]): Option[String] =
+    readBytesIfExists(p, storageOptions).map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Names of immediate child directories of `dir`. */
+  def listDirNames(dir: HPath, storageOptions: Map[String, String]): Seq[String] =
+    fileSystem(dir, storageOptions).listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+
+  def isDirectory(p: HPath, storageOptions: Map[String, String]): Boolean =
+    try fileSystem(p, storageOptions).getFileStatus(p).isDirectory
+    catch { case _: FileNotFoundException => false }
+}

@@ -3,8 +3,7 @@ package graft.sources.zarr
 import graft.sources.Coord
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -15,8 +14,10 @@ import org.json4s.jackson.JsonMethods
   * array listing that skips broken entries (zarr_storage.py:285-325), and
   * metadata surfacing incl. fill_value/compressor/attrs (:362-416).
   *
-  * This round supports local filesystem stores; remote object stores plug in
-  * behind the same path abstraction (`storageOptions` reserved in the API).
+  * All I/O goes through [[ZarrFileIO]] (Hadoop FileSystem), so local paths,
+  * `file://`, `s3a://` (or the reference's `s3://` spelling), HDFS etc. are
+  * uniform; `storageOptions` carries s3fs-style credentials/endpoint config
+  * translated to `fs.s3a.*` (zarr_storage.py:190-211 parity).
   * Chunk DATA is never read on the driver — executors read chunks directly
   * (see [[ZarrChunkIO]]), fixing the reference's eager driver-side
   * materialization (zarr_reader.py:318-322) which cannot scale.
@@ -28,28 +29,22 @@ final class ZarrStore(
     val consolidated: Option[Boolean] = None
 ) extends Serializable {
 
-  @transient lazy val groupDir: Path = {
-    // the session catalog normalizes the path option to a file: URI when the
-    // source is used via CREATE TABLE ... USING zarr
-    val root =
-      if (storePath.startsWith("file:")) Paths.get(java.net.URI.create(storePath))
-      else Paths.get(storePath)
-    group.map(g => root.resolve(g)).getOrElse(root)
+  @transient lazy val groupDir: HPath = {
+    val root = ZarrFileIO.toPath(storePath)
+    group.map(g => new HPath(root, g)).getOrElse(root)
   }
 
   /** Consolidated `.zmetadata` map (key → raw JSON string), if present. */
   @transient lazy val consolidatedMeta: Option[Map[String, String]] = {
-    val f = groupDir.resolve(".zmetadata")
-    val want = consolidated.getOrElse(Files.exists(f))
-    if (!want) None
-    else if (!Files.exists(f)) {
-      if (consolidated.contains(true))
-        throw new IllegalArgumentException(s"consolidated=true but no .zmetadata under $groupDir")
-      None
-    } else {
+    val f = new HPath(groupDir, ".zmetadata")
+    val content =
+      if (consolidated.contains(false)) None
+      else ZarrFileIO.readStringIfExists(f, storageOptions)
+    if (content.isEmpty && consolidated.contains(true))
+      throw new IllegalArgumentException(s"consolidated=true but no .zmetadata under $groupDir")
+    content.flatMap { text =>
       implicit val fmts: Formats = DefaultFormats
-      val j = JsonMethods.parse(Files.readString(f))
-      (j \ "metadata") match {
+      (JsonMethods.parse(text) \ "metadata") match {
         case JObject(fields) =>
           Some(fields.map { case (k, v) => k -> JsonMethods.compact(JsonMethods.render(v)) }.toMap)
         case _ => None
@@ -60,9 +55,7 @@ final class ZarrStore(
   private def readMetaFile(rel: String): Option[String] =
     consolidatedMeta match {
       case Some(m) => m.get(rel)
-      case None =>
-        val f = groupDir.resolve(rel)
-        if (Files.exists(f)) Some(Files.readString(f)) else None
+      case None => ZarrFileIO.readStringIfExists(new HPath(groupDir, rel), storageOptions)
     }
 
   /** Duck-typed array listing: member dirs with a `.zarray`; skips subgroups
@@ -74,16 +67,12 @@ final class ZarrStore(
       case Some(m) =>
         m.keys.collect { case k if k.endsWith("/.zarray") => k.stripSuffix("/.zarray") }.toSeq.sorted
       case None =>
-        if (!Files.isDirectory(groupDir))
+        if (!ZarrFileIO.isDirectory(groupDir, storageOptions))
           throw new IllegalArgumentException(s"zarr store/group not found: $groupDir")
         else
-          Files
-            .list(groupDir)
-            .iterator()
-            .asScala
-            .filter(p => Files.isDirectory(p) && Files.exists(p.resolve(".zarray")))
-            .map(_.getFileName.toString)
-            .toSeq
+          ZarrFileIO
+            .listDirNames(groupDir, storageOptions)
+            .filter(n => ZarrFileIO.exists(new HPath(new HPath(groupDir, n), ".zarray"), storageOptions))
             .sorted
     }
 
@@ -93,7 +82,7 @@ final class ZarrStore(
     ZarrMeta.parseArray(name, zarray, readMetaFile(s"$name/.zattrs"))
   }
 
-  def arrayDir(name: String): String = groupDir.resolve(name).toString
+  def arrayDir(name: String): String = new HPath(groupDir, name).toString
 
   /** Read a full (small, 1-D) coordinate array on the driver; missing
     * coordinate OR any failure to decode it (unsupported dtype such as
@@ -105,7 +94,7 @@ final class ZarrStore(
       val m = arrayMeta(dim)
       if (m.rank != 1 || m.shape.head != extent) Coord.Index(extent)
       else {
-        val acc = ZarrChunkIO.readWholeArray(arrayDir(dim), m)
+        val acc = ZarrChunkIO.readWholeArray(arrayDir(dim), m, storageOptions)
         m.dtype match {
           case "<i4" => Coord.Ints(Array.tabulate(extent)(i => acc.getInt(i)))
           case "<i8" => Coord.Longs(Array.tabulate(extent)(i => acc.getLong(i)))
@@ -138,28 +127,38 @@ final class ZarrBuffer(bytes: Array[Byte], dtype: String) extends Serializable {
   }
 }
 
-/** Executor-safe chunk IO: pure functions of (arrayDir, meta, chunkIdx). */
+/** Executor-safe chunk IO: pure functions of (arrayDir, meta, chunkIdx,
+  * storageOptions). `arrayDir` is a Hadoop-parseable path/URI string, so the
+  * same code reads local dirs in tests and object stores in production. */
 object ZarrChunkIO {
   def chunkFileName(chunkIdx: Seq[Int]): String =
     if (chunkIdx.isEmpty) "0" else chunkIdx.mkString(".")
 
   /** Decode one chunk; None if the chunk file is absent (fill-value chunk). */
-  def readChunk(arrayDir: String, meta: ZarrArrayMeta, chunkIdx: Seq[Int]): Option[ZarrBuffer] = {
-    val f = Paths.get(arrayDir, chunkFileName(chunkIdx))
-    if (!Files.exists(f)) None
-    else {
-      val rawLen = meta.chunks.map(_.toLong).product.toInt * ZarrMeta.itemSize(meta.dtype)
-      val bytes = ZarrCodec.decompress(meta.compressor, Files.readAllBytes(f), rawLen)
+  def readChunk(
+      arrayDir: String,
+      meta: ZarrArrayMeta,
+      chunkIdx: Seq[Int],
+      storageOptions: Map[String, String] = Map.empty
+  ): Option[ZarrBuffer] = {
+    val f = new HPath(arrayDir, chunkFileName(chunkIdx))
+    val rawLen = meta.chunks.map(_.toLong).product.toInt * ZarrMeta.itemSize(meta.dtype)
+    ZarrFileIO.readBytesIfExists(f, storageOptions, sizeHint = rawLen).map { raw =>
+      val bytes = ZarrCodec.decompress(meta.compressor, raw, rawLen)
       require(
         bytes.length == rawLen,
-        s"chunk ${f.getFileName} decoded to ${bytes.length} bytes, expected $rawLen"
+        s"chunk ${f.getName} decoded to ${bytes.length} bytes, expected $rawLen"
       )
-      Some(new ZarrBuffer(bytes, meta.dtype))
+      new ZarrBuffer(bytes, meta.dtype)
     }
   }
 
   /** Materialize an entire (small) array C-order — coordinate vectors only. */
-  def readWholeArray(arrayDir: String, meta: ZarrArrayMeta): ZarrBuffer = {
+  def readWholeArray(
+      arrayDir: String,
+      meta: ZarrArrayMeta,
+      storageOptions: Map[String, String] = Map.empty
+  ): ZarrBuffer = {
     val total = meta.totalElements.toInt
     val item = ZarrMeta.itemSize(meta.dtype)
     val out = new Array[Byte](total * item)
@@ -171,7 +170,7 @@ object ZarrChunkIO {
       // decompose chunk ordinal (C-order over chunk grid)
       var rem = ci; var d = meta.rank - 1
       while (d >= 0) { cIdx(d) = rem % nC(d); rem /= nC(d); d -= 1 }
-      readChunk(arrayDir, meta, cIdx.toSeq) match {
+      readChunk(arrayDir, meta, cIdx.toSeq, storageOptions) match {
         case Some(buf) =>
           copyChunk(buf, cIdx, meta, out, item)
         case None =>

@@ -227,4 +227,57 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(df.columns.toSeq == Seq("value"))
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(42.5))
   }
+
+  test("file:// URI store reads through the Hadoop FileSystem path identically") {
+    val root = mkStore(Some("zlib"))
+    val plain = new ZarrDataReader(spark, root).readArray("temperature")
+    // explicit scheme exercises Hadoop FS resolution end-to-end (driver
+    // metadata + executor chunk reads); remote schemes (s3a://) differ only
+    // in which FileSystem impl the same calls resolve to
+    val viaUri = new ZarrDataReader(spark, s"file://$root").readArray("temperature")
+    val key = Seq("time", "lat", "lon").map(col)
+    assert(viaUri.orderBy(key: _*).collect().toSeq == plain.orderBy(key: _*).collect().toSeq)
+    // metadata surface agrees too
+    assert(
+      ZarrScan.getZarrDataInfo(s"file://$root").view.mapValues(_.shape).toMap ==
+        ZarrScan.getZarrDataInfo(root).view.mapValues(_.shape).toMap
+    )
+  }
+
+  test("storage options pass through the DSv2 scan and reach the store") {
+    val root = mkStore(None)
+    // an unknown-but-harmless Hadoop key must flow API -> DSv2 option ->
+    // ZarrStore -> chunk reads without breaking the scan
+    val df = new ZarrDataReader(
+      spark,
+      s"file://$root",
+      storageOptions = Map("fs.graft.test.marker" -> "1")
+    ).readArray("counts")
+    assert(df.count() == 1800)
+  }
+
+  test("s3fs-style storage options translate to fs.s3a.* (zarr_storage.py:190-211 parity)") {
+    val m = ZarrFileIO.hadoopKeys(
+      Map(
+        "key" -> "AK",
+        "secret" -> "SK",
+        "token" -> "TOK",
+        "endpoint_url" -> "https://minio.example:9000",
+        "region" -> "us-east-2",
+        "anon" -> "false",
+        "fs.s3a.path.style.access" -> "true"
+      )
+    )
+    assert(m("fs.s3a.access.key") == "AK")
+    assert(m("fs.s3a.secret.key") == "SK")
+    assert(m("fs.s3a.session.token") == "TOK")
+    assert(m("fs.s3a.endpoint") == "https://minio.example:9000")
+    assert(m("fs.s3a.endpoint.region") == "us-east-2")
+    assert(!m.contains("anon")) // anon=false drops, doesn't override creds
+    assert(m("fs.s3a.path.style.access") == "true") // fs.* passthrough
+    val anon = ZarrFileIO.hadoopKeys(Map("anon" -> "true"))
+    assert(anon("fs.s3a.aws.credentials.provider").contains("Anonymous"))
+    // the reference's s3:// spelling maps onto Hadoop's s3a connector
+    assert(ZarrFileIO.toPath("s3://bucket/store.zarr").toString == "s3a://bucket/store.zarr")
+  }
 }
