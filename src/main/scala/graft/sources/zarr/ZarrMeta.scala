@@ -8,8 +8,8 @@ import org.json4s.jackson.JsonMethods
   * the reference's store handling, reference: src/data_access/zarr_storage.py:362-416).
   *
   * Supported subset: C order, little-endian dtypes i4/i8/f4/f8, compressors
-  * `null`/`zlib`/`gzip` (blosc etc. are rejected with a clear error — the
-  * codec seam is [[ZarrCodec]]). Dimension names come from the xarray
+  * `null`/`zlib`/`gzip`/`zstd`/`blosc` (the codec seam is [[ZarrCodec]];
+  * unknown codecs are rejected with a clear error). Dimension names come from the xarray
   * `_ARRAY_DIMENSIONS` attribute with `dim_i` fallback (reference:
   * zarr_reader.py:303-305).
   */

@@ -35,7 +35,17 @@ object ZarrStoreWriter {
     require(shape.length == chunks.length)
     val dir = groupDir.resolve(name)
     Files.createDirectories(dir)
-    val comp = compressor.map(c => s"""{"id": "$c"}""").getOrElse("null")
+    // blosc spec strings ("blosc:lz4", "blosc:zstd:noshuffle") serialize as
+    // numcodecs-shaped config; the id alone drives decode (the frame header
+    // is self-describing)
+    val comp = compressor.map { c =>
+      val parts = c.split(":")
+      if (parts(0) == "blosc") {
+        val cname = if (parts.length > 1) parts(1) else "lz4"
+        val shuf = if (parts.length > 2 && parts(2) == "noshuffle") 0 else 1
+        s"""{"id": "blosc", "cname": "$cname", "clevel": 5, "shuffle": $shuf, "blocksize": 0}"""
+      } else s"""{"id": "$c"}"""
+    }.getOrElse("null")
     val fill = fillValue.map(f => if (f.isNaN) "\"NaN\"" else f.toString).getOrElse("null")
     Files.writeString(
       dir.resolve(".zarray"),
@@ -90,7 +100,7 @@ object ZarrStoreWriter {
           done = carry
         }
       }
-      val bytes = ZarrCodec.compress(compressor, buf.array())
+      val bytes = ZarrCodec.compress(compressor, buf.array(), typesize = item)
       Files.write(dir.resolve(ZarrChunkIO.chunkFileName(cIdx.toSeq)), bytes)
       ci += 1
     }

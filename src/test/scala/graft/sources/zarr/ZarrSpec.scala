@@ -228,6 +228,65 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(42.5))
   }
 
+  test("blosc chunks round-trip for every supported inner codec and shuffle mode") {
+    val base = new ZarrDataReader(spark, mkStore(None)).readArray("temperature")
+    val key = Seq("time", "lat", "lon").map(col)
+    val expect = base.orderBy(key: _*).collect().toSeq
+    // numcodecs' zarr default is Blosc(cname='lz4', shuffle=SHUFFLE)
+    Seq("blosc", "blosc:lz4", "blosc:lz4:noshuffle", "blosc:zstd", "blosc:snappy", "blosc:zlib")
+      .foreach { spec =>
+        val df = new ZarrDataReader(spark, mkStore(Some(spec))).readArray("temperature")
+        assert(df.orderBy(key: _*).collect().toSeq == expect, spec)
+      }
+  }
+
+  test("blosc .zarray carries numcodecs-shaped config; id alone drives decode") {
+    val root = mkStore(Some("blosc:zstd"))
+    val m = new ZarrDataReader(spark, root).getArrayInfo("temperature")
+    assert(m.compressor.contains("blosc"))
+  }
+
+  test("blosc frame internals: splits, multi-block, memcpy, shuffle inverse, rejects") {
+    val rnd = new scala.util.Random(7)
+    // shuffle/unshuffle are inverses incl. non-multiple tails
+    val raw = Array.fill[Byte](1003)(rnd.nextInt().toByte)
+    val shuf = new Array[Byte](1003)
+    Blosc.shuffleBytes(4, raw, shuf)
+    val back = new Array[Byte](1003)
+    Blosc.unshuffle(4, shuf, 1003, back, 0)
+    assert(back.toSeq == raw.toSeq)
+    // compressible data -> split lz4 frame; random -> memcpy mode; both decode
+    val compressible = Array.tabulate[Byte](4096)(i => (i % 7).toByte)
+    val f1 = Blosc.compress("lz4", compressible, 4, shuffle = true)
+    assert(Blosc.decompress(f1).toSeq == compressible.toSeq)
+    assert(((f1(2) & 0x2) == 0) && f1.length < compressible.length) // genuinely compressed
+    val incompressible = Array.fill[Byte](512)(rnd.nextInt().toByte)
+    val f2 = Blosc.compress("lz4", incompressible, 4, shuffle = true)
+    assert((f2(2) & 0x2) != 0) // memcpy mode
+    assert(Blosc.decompress(f2).toSeq == incompressible.toSeq)
+    // zstd never splits under the forward-compat policy
+    val f3 = Blosc.compress("zstd", compressible, 8, shuffle = false)
+    assert(Blosc.decompress(f3).toSeq == compressible.toSeq)
+    // hand-built two-block frame (blocksize 2048): exercises bstarts walking
+    val blockA = Blosc.compress("lz4", compressible.take(2048), 4, shuffle = false)
+    val blockB = Blosc.compress("lz4", compressible.drop(2048), 4, shuffle = false)
+    def payload(f: Array[Byte]) = java.util.Arrays.copyOfRange(f, 20, f.length)
+    val pa = payload(blockA); val pb = payload(blockB)
+    val two = java.nio.ByteBuffer.allocate(16 + 8 + pa.length + pb.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    two.put(0, 2.toByte); two.put(1, 1.toByte); two.put(2, (1 << 5).toByte); two.put(3, 4.toByte)
+    two.putInt(4, 4096); two.putInt(8, 2048); two.putInt(12, 16 + 8 + pa.length + pb.length)
+    two.putInt(16, 24); two.putInt(20, 24 + pa.length)
+    two.position(24); two.put(pa); two.put(pb)
+    assert(Blosc.decompress(two.array()).toSeq == compressible.toSeq)
+    // bit-shuffle and blosclz are rejected with clear messages
+    val bitShuf = f1.clone(); bitShuf(2) = (bitShuf(2) | 0x4).toByte
+    val e1 = intercept[IllegalArgumentException](Blosc.decompress(bitShuf))
+    assert(e1.getMessage.contains("bit-shuffle"))
+    val blosclz = f3.clone(); blosclz(2) = (blosclz(2) & 0x1f).toByte // codec bits -> 0
+    val e2 = intercept[UnsupportedOperationException](Blosc.decompress(blosclz))
+    assert(e2.getMessage.contains("blosclz"))
+  }
+
   test("file:// URI store reads through the Hadoop FileSystem path identically") {
     val root = mkStore(Some("zlib"))
     val plain = new ZarrDataReader(spark, root).readArray("temperature")
