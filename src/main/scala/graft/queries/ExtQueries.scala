@@ -379,16 +379,26 @@ object ExtQueries {
              |ORDER BY op""".stripMargin)
     ),
     // ------------------------------------------------------------------
-    // HLL approximate distinct — algorithm-specific, no cross-engine oracle
-    // (driver records rows-only).
+    // HLL approximate distinct. The HLL estimate itself is
+    // algorithm-specific, so the oracled contract is the published error
+    // bound: |approx - exact| / exact <= 5% (HLL default rsd is 5%). The
+    // oracle emits TRUE + the exact count — if the estimate drifts out of
+    // bound, the hash compare fails.
     Q(
       "x18_approx_distinct",
       (s, d) =>
-        t(s, d, "lineitem").agg(
-          approx_count_distinct(col("l_partkey")).as("n_approx"),
-          countDistinct(col("l_partkey")).as("n_exact")
-        ),
-      None
+        t(s, d, "lineitem")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("n_approx"),
+            countDistinct(col("l_partkey")).as("n_exact")
+          )
+          .select(
+            (abs(col("n_approx") - col("n_exact")) / col("n_exact") <= 0.05).as("within_5pct"),
+            col("n_exact")
+          ),
+      Some(
+        "SELECT TRUE AS within_5pct, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact FROM lineitem"
+      )
     ),
     // ------------------------------------------------------------------
     Q(
@@ -1097,8 +1107,10 @@ object ExtQueries {
     // ------------------------------------------------------------------
     // Stubbed decode + feature extraction: exercises the full distributed
     // multimodal pipeline (binary payload -> mapPartitions batch decode ->
-    // feature aggregation). Decode is a deterministic fake (no codecs in
-    // this environment) -> rows-only check.
+    // feature aggregation). The stub (byte/256 over unhex(md5(text)) —
+    // Multimodal.decodeStub) is deterministic, so the oracle re-expresses
+    // it in SQL: parse each md5 hex byte, sum, scale. Every term is a
+    // dyadic rational -> both engines are bit-exact.
     Q(
       "x20_mm_features",
       (s, d) => {
@@ -1114,7 +1126,13 @@ object ExtQueries {
           )
           .orderBy("doc_id")
       },
-      None
+      Some("""WITH p AS (SELECT doc_id, md5(text) AS h FROM documents)
+             |SELECT doc_id,
+             |CAST(octet_length(from_hex(h)) AS INTEGER) AS n_bytes,
+             |round(CAST(list_sum([(strpos('0123456789abcdef', h[2*i-1]) - 1) * 16.0
+             |  + (strpos('0123456789abcdef', h[2*i]) - 1) FOR i IN generate_series(1, 16)]) AS DOUBLE)
+             |  / 256.0 / 16.0, 6) AS mean_feat
+             |FROM p ORDER BY doc_id""".stripMargin)
     )
   )
 }
