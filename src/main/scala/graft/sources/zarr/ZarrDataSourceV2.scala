@@ -198,19 +198,39 @@ class ZarrScanBuilder(
     )
 }
 
-/** Per-chunk work item: the chunk id plus, per dimension, the kept GLOBAL
-  * indices that fall inside this chunk, and coordinate-value slices for the
-  * output dims (small — bounded by chunk extents, so task closures stay
-  * tiny no matter how large the store is). */
-final case class ChunkWork(
-    chunkIdx: Vector[Int],
-    kept: Vector[Array[Int]],
-    coordSlices: Map[Int, Array[Any]]
-) extends Serializable {
-  def cells: Long = kept.map(_.length.toLong).product
+/** Per-dimension run table: the sorted kept GLOBAL indices, grouped into
+  * runs by containing chunk. `chunkIds(r)` is the dim-chunk id of run r;
+  * its kept indices are `kept[offsets(r) until offsets(r+1))`. One table per
+  * dimension is shared by EVERY chunk of the scan — O(selected extent), not
+  * O(chunks x extent) — and rides to executors inside the reader factory
+  * (Spark broadcasts the serialized plan once per executor), so an
+  * InputPartition is just an ordinal range: the driver never materializes
+  * the chunk grid, and a million-chunk store plans in bounded memory. */
+final case class DimRuns(kept: Array[Int], chunkIds: Array[Int], offsets: Array[Int]) {
+  def nRuns: Int = chunkIds.length
+  def runLen(r: Int): Int = offsets(r + 1) - offsets(r)
 }
 
-final case class ZarrInputPartition(chunks: Seq[ChunkWork]) extends InputPartition
+object DimRuns {
+  def fromKept(keptIdxs: Vector[Int], chunkSize: Int): DimRuns = {
+    val kept = keptIdxs.toArray
+    val chunkIds = scala.collection.mutable.ArrayBuffer[Int]()
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    var prevChunk = -1
+    while (i < kept.length) {
+      val c = kept(i) / chunkSize
+      if (c != prevChunk) { chunkIds += c; offsets += i; prevChunk = c }
+      i += 1
+    }
+    offsets += kept.length
+    DimRuns(kept, chunkIds.toArray, offsets.toArray)
+  }
+}
+
+/** Ordinal range [start, end) over the non-empty chunk grid in C-order
+  * (last dim fastest) — two longs, independent of chunk count. */
+final case class ZarrInputPartition(start: Long, end: Long) extends InputPartition
 
 class ZarrScan(
     arrayDir: String,
@@ -230,47 +250,55 @@ class ZarrScan(
 
   override def toBatch: Batch = this
 
+  private[zarr] lazy val dimRuns: Vector[DimRuns] =
+    sel.keep.zipWithIndex.map { case (idxs, d) => DimRuns.fromKept(idxs, meta.chunks(d)) }
+
+  /** Coordinate values aligned with each dim's kept array (output dims
+    * only) — shared across all chunks via the reader factory. */
+  private lazy val coordVals: Map[Int, Array[Any]] =
+    sel.outDims.map(d => d -> dimRuns(d).kept.map(i => coords(d)(i).asInstanceOf[Any])).toMap
+
   override def planInputPartitions(): Array[InputPartition] = {
     val rank = meta.rank
-    if (rank == 0) {
-      val w = ChunkWork(Vector.empty, Vector.empty, Map.empty)
-      return Array(ZarrInputPartition(Seq(w)))
-    }
-    // per dim: chunkId -> kept global indices in that chunk (ordered)
-    val perDim: Vector[Seq[(Int, Array[Int])]] = sel.keep.zipWithIndex.map { case (idxs, d) =>
-      idxs.groupBy(_ / meta.chunks(d)).toSeq.sortBy(_._1).map { case (c, v) => (c, v.toArray) }
-    }
-    if (perDim.exists(_.isEmpty)) return Array.empty
-    // cartesian product of per-dim chunk entries
-    var works = List(List.empty[(Int, Array[Int])])
-    perDim.foreach { dimEntries =>
-      works = for (w <- works; e <- dimEntries) yield e :: w
-    }
-    val outDimSet = sel.outDims.toSet
-    val all = works.map { rev =>
-      val entries = rev.reverse.toVector
-      val kept = entries.map(_._2)
-      val slices: Map[Int, Array[Any]] = outDimSet.map { d =>
-        d -> kept(d).map(i => coords(d)(i).asInstanceOf[Any])
-      }.toMap
-      ChunkWork(entries.map(_._1), kept, slices)
-    }
-    // greedy coalesce into partitions of ~targetCells
-    val parts = scala.collection.mutable.ArrayBuffer[ZarrInputPartition]()
-    var cur = scala.collection.mutable.ArrayBuffer[ChunkWork]()
-    var curCells = 0L
-    all.foreach { w =>
-      if (curCells > 0 && curCells + w.cells > targetCells) {
-        parts += ZarrInputPartition(cur.toSeq); cur = scala.collection.mutable.ArrayBuffer(); curCells = 0
+    if (rank == 0) return Array(ZarrInputPartition(0L, 1L))
+    if (dimRuns.exists(_.nRuns == 0)) return Array.empty
+    val counts = dimRuns.map(_.nRuns)
+    val total = counts.map(_.toLong).product
+    // lazy C-order walk over run indices with an incremental cell product —
+    // O(1) driver memory per chunk, partitions emitted as ranges fill up
+    val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    val runIdx = new Array[Int](rank)
+    // cells(chunk) = prod_d runLen(d, runIdx(d)); maintain per-dim factors
+    val factors = Array.tabulate(rank)(d => dimRuns(d).runLen(0).toLong)
+    def cellsNow: Long = { var p = 1L; var d = 0; while (d < rank) { p *= factors(d); d += 1 }; p }
+    var start = 0L
+    var acc = 0L
+    var ord = 0L
+    while (ord < total) {
+      val c = cellsNow
+      if (acc > 0 && acc + c > targetCells) {
+        parts += ZarrInputPartition(start, ord)
+        start = ord; acc = 0L
       }
-      cur += w; curCells += w.cells
+      acc += c
+      ord += 1
+      // odometer over run indices, last dim fastest; update factors in place
+      var k = rank - 1
+      var carry = true
+      while (carry && k >= 0) {
+        runIdx(k) += 1
+        if (runIdx(k) < counts(k)) carry = false
+        else runIdx(k) = 0
+        factors(k) = dimRuns(k).runLen(runIdx(k)).toLong
+        if (carry) k -= 1
+      }
     }
-    if (cur.nonEmpty) parts += ZarrInputPartition(cur.toSeq)
+    if (start < total) parts += ZarrInputPartition(start, total)
     parts.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZarrReaderFactory(arrayDir, meta, sel.outDims, required, storageOptions)
+    new ZarrReaderFactory(arrayDir, meta, sel.outDims, required, storageOptions, dimRuns, coordVals)
 }
 
 class ZarrReaderFactory(
@@ -278,10 +306,21 @@ class ZarrReaderFactory(
     meta: ZarrArrayMeta,
     outDims: Vector[Int],
     required: StructType,
-    storageOptions: Map[String, String]
+    storageOptions: Map[String, String],
+    dimRuns: Vector[DimRuns],
+    coordVals: Map[Int, Array[Any]]
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZarrPartitionReader(arrayDir, meta, outDims, required, partition.asInstanceOf[ZarrInputPartition], storageOptions)
+    new ZarrPartitionReader(
+      arrayDir,
+      meta,
+      outDims,
+      required,
+      partition.asInstanceOf[ZarrInputPartition],
+      storageOptions,
+      dimRuns,
+      coordVals
+    )
 }
 
 class ZarrPartitionReader(
@@ -290,7 +329,9 @@ class ZarrPartitionReader(
     outDims: Vector[Int],
     required: StructType,
     partition: ZarrInputPartition,
-    storageOptions: Map[String, String]
+    storageOptions: Map[String, String],
+    dimRuns: Vector[DimRuns],
+    coordVals: Map[Int, Array[Any]]
 ) extends PartitionReader[InternalRow] {
 
   // field plan: for each required field, either a coord dim or the value
@@ -302,23 +343,48 @@ class ZarrPartitionReader(
   }
   private val needValue = required.fieldNames.contains("value")
   private val fillValue: Option[Double] = meta.fillValue
+  private val rank = meta.rank
 
-  private val chunkIter = partition.chunks.iterator
-  private var work: ChunkWork = _
+  private var ordinal: Long = partition.start
+  // per-dim state of the CURRENT chunk, derived from the ordinal
+  private val runIdx = new Array[Int](rank)
+  private val chunkIdx = new Array[Int](rank)
+  private val sliceStart = new Array[Int](rank)
+  private val sliceLen = new Array[Int](rank)
   private var buf: Option[ZarrBuffer] = None
-  private var pos: Array[Int] = _ // per-dim position INTO kept arrays
+  private var pos: Array[Int] = new Array[Int](rank) // position INTO the kept slice
   private var havePos = false // pos points at a valid, not-yet-emitted cell
+  private var emittedScalar = false // rank-0 single row
   private val row = new GenericInternalRow(required.length)
   private lazy val chunkStrides = IndexMath.strides(meta.chunks)
 
   private def advanceChunk(): Boolean = {
-    if (!chunkIter.hasNext) return false
-    work = chunkIter.next()
-    val empty = meta.rank > 0 && work.kept.exists(_.isEmpty)
-    if (empty) { havePos = false; return true } // skip, try next chunk
-    buf = if (needValue) ZarrChunkIO.readChunk(arrayDir, meta, work.chunkIdx, storageOptions) else None
-    pos = new Array[Int](meta.rank)
+    if (ordinal >= partition.end) return false
+    if (rank == 0) {
+      if (emittedScalar) return false
+      buf = if (needValue) ZarrChunkIO.readChunk(arrayDir, meta, Seq.empty, storageOptions) else None
+      havePos = true
+      emittedScalar = true
+      ordinal += 1
+      return true
+    }
+    // decompose ordinal (C-order over non-empty chunk grid, last dim fastest)
+    var rem = ordinal
+    var d = rank - 1
+    while (d >= 0) {
+      val n = dimRuns(d).nRuns
+      runIdx(d) = (rem % n).toInt
+      rem /= n
+      chunkIdx(d) = dimRuns(d).chunkIds(runIdx(d))
+      sliceStart(d) = dimRuns(d).offsets(runIdx(d))
+      sliceLen(d) = dimRuns(d).runLen(runIdx(d))
+      d -= 1
+    }
+    buf =
+      if (needValue) ZarrChunkIO.readChunk(arrayDir, meta, chunkIdx.toSeq, storageOptions) else None
+    java.util.Arrays.fill(pos, 0)
     havePos = true
+    ordinal += 1
     true
   }
 
@@ -330,20 +396,19 @@ class ZarrPartitionReader(
   }
 
   private def fillRow(): Unit = {
-    val rank = meta.rank
     var localFlat = 0L
     if (needValue && rank > 0) {
       var d = 0
       while (d < rank) {
-        val g = work.kept(d)(pos(d))
-        localFlat += (g - work.chunkIdx(d) * meta.chunks(d)).toLong * chunkStrides(d)
+        val g = dimRuns(d).kept(sliceStart(d) + pos(d))
+        localFlat += (g - chunkIdx(d) * meta.chunks(d)).toLong * chunkStrides(d)
         d += 1
       }
     }
     var fi = 0
     while (fi < fieldPlan.length) {
       fieldPlan(fi) match {
-        case Left(d) => row.update(fi, work.coordSlices(d)(pos(d)))
+        case Left(d) => row.update(fi, coordVals(d)(sliceStart(d) + pos(d)))
         case Right(_) =>
           val v: Any = buf match {
             case Some(b) => b.getValue(localFlat.toInt)
@@ -365,15 +430,14 @@ class ZarrPartitionReader(
     }
   }
 
-  /** C-order odometer over kept positions (last dim fastest). */
+  /** C-order odometer over kept positions of the current chunk. */
   private def advanceOdometer(): Unit = {
-    val rank = meta.rank
     if (rank == 0) { havePos = false; return }
     var k = rank - 1
     var carry = true
     while (carry && k >= 0) {
       pos(k) += 1
-      if (pos(k) < work.kept(k).length) carry = false
+      if (pos(k) < sliceLen(k)) carry = false
       else { pos(k) = 0; k -= 1 }
     }
     havePos = !carry

@@ -287,6 +287,52 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(e2.getMessage.contains("blosclz"))
   }
 
+  test("planning a 1M-chunk grid stays in bounded memory: partitions are ordinal ranges") {
+    import graft.model.Selection
+    // synthetic metadata only — planning never touches storage
+    val meta = ZarrArrayMeta(
+      name = "big",
+      shape = Vector(1000, 1000, 64),
+      chunks = Vector(1, 1, 64), // 1,000,000 chunks
+      dtype = "<f4",
+      order = "C",
+      compressor = None,
+      fillValue = Some(0.0),
+      dims = Vector("a", "b", "c"),
+      attrs = Map.empty
+    )
+    val sel = Selection.resolve(meta.shape, meta.dims, Map.empty)
+    val coords = meta.shape.map(n => Coord.Index(n)).toVector
+    val schema = StructType(
+      meta.dims.map(d => StructField(d, LongType, nullable = false)) :+
+        StructField("value", FloatType, nullable = true)
+    )
+    val scan = new ZarrScan("/nonexistent", meta, sel, coords, schema, targetCells = 1L << 18)
+    val t0 = System.nanoTime()
+    val parts = scan.planInputPartitions()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 20.0, f"planning took $secs%.1f s")
+    // every partition is a two-long range; together they tile [0, 1M) exactly
+    val ranges = parts.map(_.asInstanceOf[ZarrInputPartition])
+    assert(ranges.head.start == 0L)
+    assert(ranges.last.end == 1000L * 1000L)
+    ranges.sliding(2).foreach { case Array(a, b) => assert(a.end == b.start); case _ => () }
+    // ~64M cells / 256k target ≈ 245 partitions — not one per chunk
+    assert(parts.length > 100 && parts.length < 1000, s"got ${parts.length} partitions")
+  }
+
+  test("cross-chunk index gather preserves gather order (reference list-selection semantics)") {
+    val root = mkStore(None)
+    // lon indices deliberately unsorted across the two lon chunks (size 8)
+    val sel = new ZarrDataReader(spark, root).readArray(
+      "temperature",
+      Map("time" -> DimSel.Point(0), "lat" -> DimSel.Point(0), "lon" -> DimSel.Indices(Vector(9, 2, 11)))
+    )
+    val got = sel.select("lon", "value").collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val expect = Seq(9L, 2L, 11L).map(lo => (lo, 280.0f + ((lo % 997) * 0.25f)))
+    assert(got == expect)
+  }
+
   test("file:// URI store reads through the Hadoop FileSystem path identically") {
     val root = mkStore(Some("zlib"))
     val plain = new ZarrDataReader(spark, root).readArray("temperature")
