@@ -61,6 +61,105 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** Random-hyperplane LSH bucket id as ONE codegen expression: `nBits` sign
+  * bits of `vec · plane(b)`, planes being deterministic ±1 matrices derived
+  * from stable integer hashes of (bit, dim) — no RNG state to ship.
+  *
+  * Why a custom Expression (SURVEY.md §7.2): the compositional formulation
+  * (`element_at` per (bit, dim) summed per bit) builds an O(nBits·dim)
+  * expression tree — ~1k nodes at 16x64 and ~12k at 768-dim embeddings,
+  * risking codegen-size fallback and 64k-method splits. Here the whole
+  * bucket id is a two-level loop over a precomputed sign matrix referenced
+  * once; codegen size is constant in (nBits, dim).
+  *
+  * Parity contract with the old tree (locked by x05's oracle): double
+  * accumulation left-to-right per bit; a null element nulls that bit's
+  * contribution (bit unset); `contrib > 0` sets bit b to `1L << b`. */
+case class LshBucketBits(child: Expression, dim: Int, nBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nBits >= 1 && nBits <= 62, s"nBits must be in [1, 62], got $nBits")
+  require(dim >= 1, s"dim must be positive, got $dim")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"lsh_bucket requires array<float>, got ${other.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  /** plane(b)(i) = ±1 from a stable integer hash — the same family the
+    * compositional version used, so bucket ids are unchanged. */
+  private lazy val signs: Array[Double] = Array.tabulate(nBits * dim) { j =>
+    val b = j / dim
+    val i = j % dim
+    if (((b * 1315423911L + i * 2654435761L) >>> 13) % 2 == 0) 1.0 else -1.0
+  }
+
+  private def requireDim(n: Int): Unit =
+    if (n < dim)
+      throw new IllegalArgumentException(s"lsh_bucket: vector has $n elements, expected >= $dim")
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    requireDim(v.numElements())
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      var sawNull = false
+      val base = b * dim
+      var i = 0
+      while (i < dim && !sawNull) {
+        if (v.isNullAt(i)) sawNull = true
+        else acc += v.getFloat(i).toDouble * signs(base + i)
+        i += 1
+      }
+      if (!sawNull && acc > 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("lshSigns", signs, "double[]")
+    val self = ctx.addReferenceObj("lshExpr", this, classOf[LshBucketBits].getName)
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      v => {
+        val b = ctx.freshName("b")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val sawNull = ctx.freshName("sawNull")
+        val bucket = ctx.freshName("bucket")
+        val base = ctx.freshName("base")
+        s"""
+           |$self.requireDimJava($v.numElements());
+           |long $bucket = 0L;
+           |for (int $b = 0; $b < $nBits; $b++) {
+           |  double $acc = 0.0;
+           |  boolean $sawNull = false;
+           |  int $base = $b * $dim;
+           |  for (int $i = 0; $i < $dim && !$sawNull; $i++) {
+           |    if ($v.isNullAt($i)) { $sawNull = true; }
+           |    else { $acc += (double) $v.getFloat($i) * $signsRef[$base + $i]; }
+           |  }
+           |  if (!$sawNull && $acc > 0) $bucket |= (1L << $b);
+           |}
+           |${ev.value} = $bucket;
+         """.stripMargin
+      }
+    )
+  }
+
+  /** Public bridge for generated code (codegen can't call the private). */
+  def requireDimJava(n: Int): Unit = requireDim(n)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecFunctions {
   /** Register SQL-callable graft functions on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -72,4 +171,7 @@ object VecFunctions {
 
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def lshBucketBits(vec: Column, dim: Int, nBits: Int): Column =
+    GraftBridge.column(LshBucketBits(GraftBridge.expression(vec), dim, nBits))
 }

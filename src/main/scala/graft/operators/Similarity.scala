@@ -163,18 +163,12 @@ object Similarity {
   /** Random-hyperplane LSH bucket id: `nBits` sign bits from deterministic
     * pseudo-hyperplanes derived from (bit, dim) hashes — no RNG state to
     * ship, identical on every executor. Same-bucket vectors are near-dup
-    * candidates; expected candidate count falls exponentially in nBits. */
-  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
-    val bits = (0 until nBits).map { b =>
-      // plane(b)(i) = ±1 from a stable integer hash (xxhash64 of (b, i))
-      val contrib = (0 until dim).map { i =>
-        val sign = if (((b * 1315423911L + i * 2654435761L) >>> 13) % 2 == 0) 1.0 else -1.0
-        element_at(vec, i + 1).cast("double") * lit(sign)
-      }.reduce(_ + _)
-      when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * candidates; expected candidate count falls exponentially in nBits.
+    * One codegen expression over a precomputed sign matrix
+    * ([[graft.functions.LshBucketBits]]) — constant codegen size in
+    * (nBits, dim), so 768-dim embeddings stay in whole-stage codegen. */
+  def lshBucket(vec: Column, dim: Int, nBits: Int): Column =
+    graft.functions.VecFunctions.lshBucketBits(vec, dim, nBits)
 
   /** Approximate top-k with multi-probe hyperplane LSH: queries probe their
     * own bucket plus every bucket within hamming distance `multiProbe`, then

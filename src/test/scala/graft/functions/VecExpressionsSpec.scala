@@ -1,0 +1,101 @@
+package graft.functions
+
+import graft.SparkTester
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VecExpressionsSpec extends AnyFunSuite with SparkTester {
+
+  /** The pre-vectorization compositional formulation (element_at per
+    * (bit, dim), when/otherwise per bit) — kept here as the parity oracle
+    * for LshBucketBits. */
+  private def treeLshBucket(vec: org.apache.spark.sql.Column, dim: Int, nBits: Int) = {
+    val bits = (0 until nBits).map { b =>
+      val contrib = (0 until dim).map { i =>
+        val sign = if (((b * 1315423911L + i * 2654435761L) >>> 13) % 2 == 0) 1.0 else -1.0
+        element_at(vec, i + 1).cast("double") * lit(sign)
+      }.reduce(_ + _)
+      when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  test("LshBucketBits matches the compositional expression tree bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val vecs = (0 until 200).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("id", "v").cache()
+    val both = df
+      .select(
+        col("id"),
+        Similarity.lshBucket(col("v"), dim, 16).as("fast"),
+        treeLshBucket(col("v"), dim, 16).as("tree")
+      )
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"row ${r.getLong(0)}"))
+    // interpreted eval path agrees with codegen (exercised via filter on a
+    // non-codegen context: direct expression eval)
+    val e = LshBucketBits(
+      org.apache.spark.sql.GraftBridge.expression(col("v")),
+      dim,
+      16
+    )
+    val sample = vecs.head._2
+    val arrData = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sample)
+    val viaEval = e.nullSafeEval(arrData).asInstanceOf[Long]
+    assert(viaEval == both.head.getLong(1))
+  }
+
+  test("null vector elements unset the affected bit (when/otherwise parity)") {
+    val df = spark.sql(
+      "SELECT array(cast(0.5 as float), cast(null as float), cast(-0.25 as float), cast(1.5 as float)) AS v"
+    )
+    val r = df
+      .select(
+        Similarity.lshBucket(col("v"), 4, 8).as("fast"),
+        treeLshBucket(col("v"), 4, 8).as("tree")
+      )
+      .collect()
+      .head
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
+  test("768-dim embeddings stay inside whole-stage codegen (no fallback, no giant methods)") {
+    import org.apache.spark.sql.execution.debug._
+    // spark.range source: a local Seq collapses to LocalRelation and skips
+    // codegen entirely, which would vacuously pass
+    val df = spark
+      .range(50)
+      .select(
+        col("id"),
+        transform(
+          sequence(lit(1), lit(768)),
+          x => ((pmod(hash(x * (col("id") + 1)), lit(1000)) - lit(500)) / lit(500)).cast("float")
+        ).as("v")
+      )
+      .select(col("id"), Similarity.lshBucket(col("v"), 768, 16).as("bucket"))
+    // results are sane (spread across buckets, deterministic)
+    val buckets = df.collect().map(_.getLong(1))
+    assert(buckets.distinct.length > 10)
+    assert(df.collect().map(_.getLong(1)).toSeq == buckets.toSeq)
+    // the projection compiles into a WholeStageCodegen subtree whose largest
+    // generated method stays far below the 8KB JIT limit — the O(nBits*dim)
+    // tree version at 768 dims would blow past it and fall back
+    val subtrees = codegenStringSeq(df.queryExecution.executedPlan)
+    assert(subtrees.nonEmpty, "no WholeStageCodegen subtree found")
+    val stats = subtrees.map(_._3)
+    assert(stats.forall(_.maxMethodCodeSize > 0), "codegen did not compile (fallback)")
+    assert(stats.forall(_.maxMethodCodeSize < 8000), s"method too large: $stats")
+  }
+
+  test("undersized vector raises a clear error (ANSI element_at parity)") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, 0.5f))).toDF("id", "v")
+    val e = intercept[Exception] {
+      df.select(Similarity.lshBucket(col("v"), 4, 4)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
