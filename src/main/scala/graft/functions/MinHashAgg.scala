@@ -27,13 +27,15 @@ case class MinHashSignature(
 ) extends TypedImperativeAggregate[Array[Long]] {
 
   require(
-    k > 0 && k <= graft.operators.Dedup.MinhashAs.length,
-    s"minhash_sig: k must be in [1, ${graft.operators.Dedup.MinhashAs.length}] " +
-      s"(the size of the fixed affine hash family), got $k"
+    k > 0 && k <= graft.operators.Dedup.MinhashMaxK,
+    s"minhash_sig: k must be in [1, ${graft.operators.Dedup.MinhashMaxK}] " +
+      s"(the size of the splittable affine hash family), got $k"
   )
 
-  private val as: Array[Long] = graft.operators.Dedup.MinhashAs.take(k).map(_.toLong).toArray
-  private val bs: Array[Long] = graft.operators.Dedup.MinhashBs.take(k).map(_.toLong).toArray
+  // splittable family: first 8 are the oracle-pinned table, the rest are
+  // derived deterministically from the index (Dedup.minhashA/minhashB)
+  private val as: Array[Long] = Array.tabulate(k)(graft.operators.Dedup.minhashA)
+  private val bs: Array[Long] = Array.tabulate(k)(graft.operators.Dedup.minhashB)
   private val p: Long = graft.operators.Dedup.MinhashP2.toLong
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -86,49 +86,89 @@ object Dedup {
   }
 
   /** Affine hash family used by minhash (small moduli keep ANSI-safe int64
-    * arithmetic identical in Spark and the SQL oracle). */
+    * arithmetic identical in Spark and the SQL oracle). The first 8
+    * coefficients are the fixed values the oracles pin; [[minhashA]] /
+    * [[minhashB]] extend the family splittably (pure function of the index,
+    * no RNG state) so any `numHashes` up to [[MinhashMaxK]] is available. */
   val MinhashAs: Seq[Int] = Seq(7, 131, 257, 389, 521, 653, 787, 919)
   val MinhashBs: Seq[Int] = Seq(11, 17, 23, 29, 31, 37, 41, 43)
   val MinhashP1 = 100003
   val MinhashP2 = 99991
+  val MinhashMaxK = 512
+
+  /** i-th multiplier: fixed table below 8, derived (odd-ish, in [1, p-1])
+    * above — deterministic, so executors agree without shipping state. */
+  def minhashA(i: Int): Long =
+    if (i < MinhashAs.length) MinhashAs(i).toLong
+    else (i.toLong * 2654435761L + 104729L) % (MinhashP2 - 1) + 1
+
+  def minhashB(i: Int): Long =
+    if (i < MinhashBs.length) MinhashBs(i).toLong
+    else (i.toLong * 1315423911L + 7919L) % MinhashP2
 
   /** MinHash signatures: one row per doc with columns m0..m{k-1}, computed
     * by the single-pass [[graft.functions.MinHashSignature]] custom
     * aggregate (one primitive buffer per group instead of k agg exprs). */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = MinhashAs.length
+  ): DataFrame = {
     // raw (non-distinct) shingles: min over a multiset equals min over its
     // set, so skipping the distinct drops a full shuffle of shingle STRINGS —
     // the map-side partial aggregate is the only thing that touches them.
     val sh = shingleRowsRaw(spread(docs, idCol), idCol, textCol, 3)
     val tok = sh.select(col(idCol), (tokenHash60(col("s")) % MinhashP1).as("h"))
-    val k = MinhashAs.length
     tok
       .groupBy(col(idCol))
-      .agg(graft.functions.MinHashAggFunctions.minhashSig(col("h"), k).as("sig"))
-      .select(col(idCol) +: (0 until k).map(i => col("sig").getItem(i).as(s"m$i")): _*)
+      .agg(graft.functions.MinHashAggFunctions.minhashSig(col("h"), numHashes).as("sig"))
+      .select(col(idCol) +: (0 until numHashes).map(i => col("sig").getItem(i).as(s"m$i")): _*)
   }
 
-  /** LSH candidate pairs: 4 bands of 2 minhashes. Docs sharing any band
-    * bucket become candidates — the shuffle key is the bucket, so cost is
-    * sum(bucket²), never n². */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol)
-    // ONE generator pass emits all 4 band rows per doc — a union of 4
-    // selects would plan 4 copies of the signature pipeline (4x the
-    // shingle/hash work unless exchange reuse happens to fire) and 4x the
-    // codegen stages.
-    val bands = sig.select(
+  /** LSH candidate pairs: `bands` bands of `rowsPerBand` minhashes (default
+    * 4x2 — the oracle-pinned configuration). Docs sharing any band bucket
+    * become candidates — the shuffle key is the bucket, so cost is
+    * sum(bucket²), never n². Banding is THE recall knob at scale: the
+    * match probability for Jaccard j is 1 - (1 - j^rowsPerBand)^bands. */
+  def minhashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 4,
+      rowsPerBand: Int = 2
+  ): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1, s"bad banding ($bands x $rowsPerBand)")
+    val numHashes = bands * rowsPerBand
+    require(
+      numHashes <= MinhashMaxK,
+      s"bands x rowsPerBand = $numHashes exceeds the hash-family size $MinhashMaxK"
+    )
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes)
+    // ONE generator pass emits all band rows per doc — a union of per-band
+    // selects would plan `bands` copies of the signature pipeline (bands x
+    // the shingle/hash work unless exchange reuse happens to fire) and
+    // bands x the codegen stages.
+    //
+    // Band key: minhash values are < p < 100000, so up to 3 rows pack
+    // INJECTIVELY into one long (base-100000 positional) — a narrow shuffle
+    // key. Wider bands key on the minhash array itself (still injective;
+    // Spark hashes/compares arrays natively). Either way candidates are
+    // exactly the docs whose band vectors are equal — the encoding never
+    // changes the result, only the key width.
+    def bandKey(b: Int): Column =
+      if (rowsPerBand <= 3)
+        (0 until rowsPerBand)
+          .map(r => col(s"m${rowsPerBand * b + r}"))
+          .reduceLeft((acc, m) => acc * lit(100000L) + m)
+      else array((0 until rowsPerBand).map(r => col(s"m${rowsPerBand * b + r}")): _*)
+    val bands_ = sig.select(
       col(idCol),
       explode(
-        array((0 until 4).map { b =>
-          struct(
-            lit(b).as("band"),
-            (col(s"m${2 * b}") * lit(100000L) + col(s"m${2 * b + 1}")).as("bh")
-          )
-        }: _*)
+        array((0 until bands).map(b => struct(lit(b).as("band"), bandKey(b).as("bh"))): _*)
       ).as("p")
     ).select(col(idCol), col("p.band").as("band"), col("p.bh").as("bh"))
-    val a = bands.as("a"); val b = bands.as("b")
+    val a = bands_.as("a"); val b = bands_.as("b")
     a.join(
       b,
       col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
