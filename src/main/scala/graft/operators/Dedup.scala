@@ -253,12 +253,21 @@ object Dedup {
   /** Exact pairwise token-set Jaccard over a (pre-filtered) document set.
     * All-pairs by construction — callers must bound the input (e.g., one
     * LSH bucket, one language partition); use minhashCandidates for the
-    * scale path. */
+    * scale path.
+    *
+    * `broadcastRight = true` (default) pins the build side in memory for a
+    * codegen'd nested-loop join — valid only while the token-hashed input
+    * fits the broadcast budget (Spark's hard 8 GB / driver-memory cap;
+    * roughly <= a few hundred thousand moderate docs). Pass `false` for
+    * larger bounded inputs: the planner then picks a shuffle-capable join
+    * (or still auto-broadcasts below the threshold) instead of failing
+    * outright on an oversized broadcast. */
   def jaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double
+      threshold: Double,
+      broadcastRight: Boolean = true
   ): DataFrame = {
     // tokens are hashed to int64 and SORTED once per doc before the pairwise
     // intersect: set sizes (and therefore jaccard) are unchanged (64-bit
@@ -285,7 +294,8 @@ object Dedup {
       graft.functions.ArrayFunctions.sortedIntersectCount(col("a.toks"), col("b.toks"))
         .cast("double")
     val j = inter / (sa + sb - inter)
-    a.join(broadcast(b), col(s"a.$idCol") < col(s"b.$idCol") && sizeOk)
+    val right = if (broadcastRight) broadcast(b) else b
+    a.join(right, col(s"a.$idCol") < col(s"b.$idCol") && sizeOk)
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"), j.as("j"))
       .filter(col("j") >= threshold)
   }

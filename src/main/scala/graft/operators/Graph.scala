@@ -71,12 +71,22 @@ object Graph {
       i += 1
     }
     sym.unpersist()
-    if (!converged)
+    if (!converged) {
+      cached.unpersist() // don't leak the round cache on the failure path
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — a component has " +
           s"diameter > $maxIter. Returning partial labels would silently split true " +
           s"clusters; raise maxIter (rounds needed = component diameter)."
       )
-    labels
+    }
+    // Hand the result back without leaking the final round's cache for the
+    // session lifetime: localCheckpoint materializes the labels into
+    // executor block storage OWNED BY THE RETURNED PLAN (the ContextCleaner
+    // frees it when the caller drops the frame), unlike CacheManager
+    // entries, which live until an explicit unpersist. No driver collect —
+    // labels can be arbitrarily large.
+    val out = labels.localCheckpoint(true)
+    cached.unpersist()
+    out
   }
 }

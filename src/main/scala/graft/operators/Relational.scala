@@ -78,9 +78,14 @@ object Relational {
     // for non-string grouping keys too
     val nul1 = lit(null).cast(df.schema(k1).dataType)
     val nul2 = lit(null).cast(df.schema(k2).dataType)
-    val byK1 = base.groupBy(k1).agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
-    val byK2 = base.groupBy(k2).agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
-    val total = base.agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
+    // coalesce(sum(n), 0): on an EMPTY input the global agg still emits one
+    // row, and CUBE's () grouping reports n=0 there, not NULL. (Remaining
+    // documented divergence from .cube(): no grouping_id column, so a
+    // data-NULL key value is indistinguishable from a subtotal NULL —
+    // callers with nullable keys need .cube() itself.)
+    val byK1 = base.groupBy(k1).agg(coalesce(sum(col("n")), lit(0L)).as("n"), sum(col("sq")).as("sq"))
+    val byK2 = base.groupBy(k2).agg(coalesce(sum(col("n")), lit(0L)).as("n"), sum(col("sq")).as("sq"))
+    val total = base.agg(coalesce(sum(col("n")), lit(0L)).as("n"), sum(col("sq")).as("sq"))
     shape(base, col(k1), col(k2))
       .unionByName(shape(byK1, col(k1), nul2))
       .unionByName(shape(byK2, nul1, col(k2)))

@@ -81,8 +81,14 @@ object Scale {
       rates: Map[String, Double]
   ): DataFrame = {
     require(rates.nonEmpty && rates.values.forall(r => r >= 0 && r <= 1), s"bad rates: $rates")
+    // NULL id segments coalesce to a SOH (0x01) sentinel BEFORE concat_ws
+    // (which would silently skip them, colliding "a|NULL|b" with "a|b" and
+    // degenerating the bucket hash for null-keyed rows). A real id string
+    // equal to the sentinel still collides — keep control chars out of ids.
+    val nullSentinel = "\u0001"
+    val keyed = idCols.map(c => coalesce(col(c).cast("string"), lit(nullSentinel)))
     val h = pmod(
-      graft.operators.Dedup.tokenHash60(concat_ws("|", idCols.map(col): _*)),
+      graft.operators.Dedup.tokenHash60(concat_ws("|", keyed: _*)),
       lit(1000L)
     )
     val rate = rates.foldLeft(lit(null).cast("double")) { case (acc, (k, r)) =>

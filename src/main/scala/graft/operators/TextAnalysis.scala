@@ -93,7 +93,14 @@ object TextAnalysis {
     * all hash-partitioned on the token keys; vocabulary size arrives as a
     * broadcast scalar. Each transition's log-prob is rounded to 9 dp and
     * decimal-summed so the per-doc mean is exact at any parallelism.
-    * Output: (idCol, n_trans, avg_logprob rounded to 6 dp). */
+    * Output: (idCol, n_trans, avg_logprob rounded to 6 dp).
+    *
+    * Smoothing convention: V is the number of distinct CONTEXT types
+    * (tokens appearing as w1) — tokens only ever seen in final position
+    * (w2-only) are not in V. This differs from the textbook add-one model
+    * (V over all token types) by a constant-ish offset per context; ranking
+    * behavior, the filter's use case, is unaffected, and the pinned oracle
+    * locks this exact convention. */
   def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val trans = docs
       .select(col(idCol), tokens(col(textCol)).as("tk"))

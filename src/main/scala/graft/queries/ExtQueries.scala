@@ -839,7 +839,8 @@ object ExtQueries {
           .orderBy("l_orderkey", "l_linenumber", "l_returnflag"),
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM (
              |  SELECT l_orderkey, l_linenumber, l_returnflag,
-             |    CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 18, 15) AS BIGINT) % 1000 AS hb
+             |    CAST('0x' || substr(md5(coalesce(CAST(l_orderkey AS VARCHAR), chr(1)) || '|'
+             |      || coalesce(CAST(l_linenumber AS VARCHAR), chr(1))), 18, 15) AS BIGINT) % 1000 AS hb
              |  FROM lineitem) t
              |WHERE (l_returnflag = 'A' AND hb < CAST(0.1 AS DOUBLE) * 1000)
              |   OR (l_returnflag = 'N' AND hb < CAST(0.2 AS DOUBLE) * 1000)

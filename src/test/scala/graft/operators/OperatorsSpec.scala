@@ -267,11 +267,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(out.getAs[Long]("v2_asof") == 22L, "both payload columns must come from the same right row")
   }
 
-  test("minhashSig rejects k beyond the fixed hash family") {
+  test("minhashSig accepts any k up to the splittable family bound, rejects beyond") {
     import spark.implicits._
     val df = Seq(1L, 2L).toDF("h")
+    // k beyond the old fixed table (8) now works via the derived family
+    val sig = df
+      .agg(graft.functions.MinHashAggFunctions.minhashSig(col("h"), k = 99))
+      .collect()
+      .head
+      .getSeq[Long](0)
+    assert(sig.length == 99 && sig.forall(v => v >= 0 && v < Dedup.MinhashP2))
     val e = intercept[IllegalArgumentException] {
-      df.agg(graft.functions.MinHashAggFunctions.minhashSig(col("h"), k = 99)).collect()
+      df.agg(graft.functions.MinHashAggFunctions.minhashSig(col("h"), k = Dedup.MinhashMaxK + 1))
+        .collect()
     }
     assert(e.getMessage.contains("minhash_sig"))
   }

@@ -7,6 +7,37 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ScaleSpec extends AnyFunSuite with SparkTester {
 
+  test("stratified sample key distinguishes NULL id segments from shifted ones") {
+    import spark.implicits._
+    // concat_ws silently skips NULLs, so before the sentinel fix these two
+    // rows shared the key "a|b" and always sampled identically
+    val df = Seq(
+      (1L, "a", Option.empty[String], Some("b"), "s"),
+      (2L, "a", Some("b"), Option.empty[String], "s")
+    ).toDF("row_id", "i1", "i2", "i3", "strat")
+    val buckets = df
+      .select(
+        col("row_id"),
+        pmod(
+          Dedup.tokenHash60(
+            concat_ws(
+              "|",
+              Seq("i1", "i2", "i3").map(c => coalesce(col(c).cast("string"), lit(""))): _*
+            )
+          ),
+          lit(1000L)
+        ).as("hb")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(buckets(1L) != buckets(2L), s"sentinel keys still collide: $buckets")
+    // a rate strictly between the two buckets samples exactly one row
+    val cut = (math.min(buckets(1L), buckets(2L)) + 1) / 1000.0
+    val kept = Scale.stratifiedHashSample(df, Seq("i1", "i2", "i3"), "strat", Map("s" -> cut))
+    assert(kept.count() == 1)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val li = t(spark, sfTiny, "lineitem").select("l_orderkey", "l_quantity")
     val o = t(spark, sfTiny, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
