@@ -6,10 +6,14 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with a typed metadata struct. The Spark-side machinery
-  * (schema, partition-preserving batch transform, feature schema) is real;
-  * the codec itself is STUBBED behind `decodeStub` because no image/audio
-  * libraries exist in this environment — swap `decodeStub` for a JNI/ffmpeg
-  * call without touching the plumbing. */
+  * (schema, partition-preserving batch transform, feature schema) is real.
+  *
+  * Codecs: IMAGE decode is real — [[decodeImage]] reads PNG/BMP/JPEG/GIF
+  * through the JDK's own ImageIO decoders (no native libraries) and
+  * resamples to a luminance grid. Audio/video codecs (ffmpeg-class
+  * dependencies that don't exist in this environment) stay behind
+  * clearly-marked deterministic stubs with the distributed plumbing real,
+  * so swapping in a JNI/ffmpeg call touches only the decode function. */
 object Multimodal {
 
   val MetaType: StructType = StructType(
@@ -39,9 +43,82 @@ object Multimodal {
   /** STUB decode: a real implementation would decode the image and emit
     * pixel features. This deterministic fake maps each payload byte to a
     * float in [0,1) so the full distributed pipeline (batch iteration,
-    * feature schema, downstream aggregation) is exercised end-to-end. */
+    * feature schema, downstream aggregation) is exercised end-to-end.
+    * (Kept alongside [[decodeImage]]: the fake is oracle-expressible in
+    * SQL, which the x20 correctness gate relies on.) */
   def decodeStub(payload: Array[Byte]): Array[Float] =
     payload.map(b => ((b & 0xff).toFloat) / 256.0f)
+
+  /** REAL image decode via the JDK's ImageIO (PNG, BMP, JPEG, GIF — the
+    * decoders the JVM ships; headless-safe, no native libs): area-averaged
+    * luminance on a `grid`x`grid` raster in [0,1], row-major — the
+    * fixed-width feature vector downstream dedup/similarity expects.
+    * Returns None for undecodable/garbage payloads (callers keep the row
+    * with null features rather than failing the task). */
+  def decodeImage(payload: Array[Byte], grid: Int = 4): Option[(Array[Float], Int, Int)] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Float](grid * grid)
+        var gy = 0
+        while (gy < grid) {
+          val y0 = gy * h / grid
+          val y1 = math.max(y0 + 1, (gy + 1) * h / grid)
+          var gx = 0
+          while (gx < grid) {
+            val x0 = gx * w / grid
+            val x1 = math.max(x0 + 1, (gx + 1) * w / grid)
+            var acc = 0.0
+            var y = y0
+            while (y < math.min(y1, h)) {
+              var x = x0
+              while (x < math.min(x1, w)) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                acc += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+                x += 1
+              }
+              y += 1
+            }
+            val n = (math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0)
+            out(gy * grid + gx) = (acc / math.max(1L, n)).toFloat
+            gx += 1
+          }
+          gy += 1
+        }
+        (out, w, h)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distributed REAL-codec feature extraction: mapPartitions over binary
+    * payloads, ImageIO decode per row, (id, features, width, height) out;
+    * undecodable rows keep null features. Partition-preserving, no
+    * shuffle — the same plumbing shape as [[extractFeatures]]. */
+  def extractImageFeatures(df: DataFrame, idCol: String, grid: Int = 4): DataFrame = {
+    val schema = StructType(
+      Seq(
+        StructField(idCol, df.schema(idCol).dataType),
+        StructField("features", ArrayType(FloatType)),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType)
+      )
+    )
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payIdx)
+        val dec = if (payload == null) None else decodeImage(payload, grid)
+        dec match {
+          case Some((f, w, h)) => Row(r.get(idIdx), f, w, h)
+          case None => Row(r.get(idIdx), null, null, null)
+        }
+      }
+    }(Encoders.row(schema))
+  }
 
   /** STUB video frame extraction: a real implementation seeks keyframes via
     * ffmpeg. The fake derives `nFrames` deterministic "frames" by slicing

@@ -60,6 +60,16 @@ object ZarrFileIO {
         val base = org.apache.spark.sql.SparkSession.getActiveSession
           .map(s => new Configuration(s.sparkContext.hadoopConfiguration))
           .getOrElse(new Configuration())
+        // read-only HTTP(S) stores (reference: docs/user_guide/reading_data
+        // .md:23-52 lists local/S3/HTTP): Hadoop ships HttpFileSystem but
+        // core-default does not always register the scheme; set it unless
+        // the user bound their own impl. HTTP cannot list directories, so
+        // such stores need consolidated metadata — exactly the reference's
+        // constraint for fsspec-over-HTTP.
+        Seq("http" -> "HttpFileSystem", "https" -> "HttpsFileSystem").foreach { case (scheme, cls) =>
+          if (base.get(s"fs.$scheme.impl") == null)
+            base.set(s"fs.$scheme.impl", s"org.apache.hadoop.fs.http.$cls")
+        }
         hadoopKeys(opts).foreach { case (k, v) => base.set(k, v) }
         base
       }

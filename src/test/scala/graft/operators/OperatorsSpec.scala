@@ -227,6 +227,48 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(c8 > 0)
   }
 
+  test("multimodal: REAL image decode (JDK ImageIO) extracts luminance grids distributed") {
+    import spark.implicits._
+    def makeImage(w: Int, h: Int, fmt: String, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 7 + y * 13 + seed * 31) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v) // gray gradient
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK can't encode $fmt")
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, makeImage(16, 16, "png", 1)),
+      (2L, makeImage(9, 7, "bmp", 2)), // non-multiple dims exercise region edges
+      (3L, makeImage(4, 4, "png", 3)),
+      (4L, "not an image".getBytes("UTF-8"))
+    )
+    val df = rows.toDF("doc_id", "payload").repartition(3)
+    val out = Multimodal
+      .extractImageFeatures(df, "doc_id", grid = 4)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    // decoded rows carry dimensions + a 16-cell luminance grid in [0,1]
+    assert(out(1L).getInt(2) == 16 && out(1L).getInt(3) == 16)
+    assert(out(2L).getInt(2) == 9 && out(2L).getInt(3) == 7)
+    val f1 = out(1L).getSeq[Float](1)
+    assert(f1.length == 16 && f1.forall(v => v >= 0f && v <= 1f))
+    // distributed result equals a local decode of the same payload
+    val local = Multimodal.decodeImage(rows.head._2, 4).get._1
+    assert(f1 == local.toSeq)
+    // grayscale gradient: luminance varies across grid cells
+    assert(f1.distinct.length > 4)
+    // garbage payload -> null features, row kept, task alive
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(2))
+    // PNG and BMP of the same pixels decode identically
+    val png = Multimodal.decodeImage(makeImage(8, 8, "png", 9), 2).get._1
+    val bmp = Multimodal.decodeImage(makeImage(8, 8, "bmp", 9), 2).get._1
+    assert(png.toSeq == bmp.toSeq)
+  }
+
   test("multimodal: frame sampling fans out k rows per payload; resize halves features") {
     val docs = t(spark, sfTiny, "documents").limit(6)
     val withP = Multimodal.withPayload(docs.withColumn("hex", md5(col("text"))), "hex")

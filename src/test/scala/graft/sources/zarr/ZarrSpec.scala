@@ -361,6 +361,36 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(df.count() == 1800)
   }
 
+  test("http:// store reads end-to-end via consolidated metadata (reading_data.md:23-52)") {
+    val root = mkStore(Some("blosc"))
+    // serve the store directory over real HTTP from the JDK's built-in server
+    val server = com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext(
+      "/",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val f = java.nio.file.Paths.get(root, ex.getRequestURI.getPath.stripPrefix("/"))
+        if (java.nio.file.Files.isRegularFile(f)) {
+          val bytes = java.nio.file.Files.readAllBytes(f)
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+        } else ex.sendResponseHeaders(404, -1L)
+        ex.close()
+      }
+    )
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // HTTP can't list directories -> consolidated metadata is required,
+      // matching the reference's fsspec-over-HTTP constraint
+      val reader = new ZarrDataReader(spark, url, consolidated = Some(true))
+      assert(reader.listArrays().contains("temperature"))
+      val viaHttp = reader.readArray("temperature")
+      val direct = new ZarrDataReader(spark, root).readArray("temperature")
+      val key = Seq("time", "lat", "lon").map(col)
+      assert(viaHttp.orderBy(key: _*).collect().toSeq == direct.orderBy(key: _*).collect().toSeq)
+    } finally server.stop(0)
+  }
+
   test("s3fs-style storage options translate to fs.s3a.* (zarr_storage.py:190-211 parity)") {
     val m = ZarrFileIO.hadoopKeys(
       Map(
