@@ -85,6 +85,84 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** Portable-dialect PII patterns (work identically under Java regex and
+    * DuckDB/RE2 — no lookaround, no backrefs). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+
+  /** PII-style redaction: emails → `<EMAIL>`, URLs → `<URL>` — the scrub
+    * step every public-corpus pipeline runs before training. Pure per-row
+    * regexp_replace (codegen, no shuffle); extend by chaining more
+    * (pattern → tag) pairs. */
+  def redact(text: Column, extra: Seq[(String, String)] = Nil): Column =
+    extra.foldLeft(
+      regexp_replace(regexp_replace(text, UrlPattern, "<URL>"), EmailPattern, "<EMAIL>")
+    ) { case (acc, (pat, tag)) => regexp_replace(acc, pat, tag) }
+
+  /** Per-document repetition metrics — the C4/Gopher-style boilerplate
+    * signal: type-token ratio and the most-frequent-token share. Computed
+    * per ROW (sort the token array once, fold over it counting the longest
+    * equal-run) — whole-stage codegen, NO shuffle, unlike the naive
+    * explode + groupBy(doc, token) + max formulation whose shuffle is the
+    * corpus size. Output: (id, n_tokens, distinct_ratio, top_share). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    val sorted = array_sort(tk)
+    // fold state: (prev token, current run, best run) — max equal-run in a
+    // sorted array IS the top token count
+    val best = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best")
+    )
+    docs.select(
+      col(idCol),
+      size(tk).as("n_tokens"),
+      round(size(array_distinct(tk)).cast("double") / size(tk).cast("double"), 6)
+        .as("distinct_ratio"),
+      round(best.cast("double") / size(tk).cast("double"), 6).as("top_share")
+    )
+  }
+
+  /** Gopher-style composite quality filter: the standard keep/drop
+    * pre-training gate combining length, mean token length, lexical
+    * diversity, and stopword presence. Thresholds are the knobs; the
+    * output keeps the metrics alongside `keep` so downstream can audit
+    * drop reasons. Pure per-row expressions — no shuffle. */
+  def gopherFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      minMeanTokLen: Double = 2.0,
+      maxMeanTokLen: Double = 12.0,
+      minDistinctRatio: Double = 0.2,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
+  ): DataFrame = {
+    val tk = tokens(col(textCol))
+    val nTok = size(tk).cast("double")
+    val meanLen = length(regexp_replace(col(textCol), " ", "")).cast("double") / nTok
+    val distinctRatio = size(array_distinct(tk)).cast("double") / nTok
+    val hasStop =
+      size(filter(tk, t => stopwords.map(s => t === lit(s)).reduce(_ || _))) > 0
+    val keep = nTok >= minTokens && nTok <= maxTokens &&
+      meanLen >= minMeanTokLen && meanLen <= maxMeanTokLen &&
+      distinctRatio >= minDistinctRatio && hasStop
+    docs.select(
+      col(idCol),
+      nTok.cast("int").as("n_tokens"),
+      round(meanLen, 6).as("mean_tok_len"),
+      round(distinctRatio, 6).as("distinct_ratio"),
+      hasStop.as("has_stopword"),
+      keep.as("keep")
+    )
+  }
+
   /** Per-document bigram cross-entropy under an add-one-smoothed bigram
     * model fit on the corpus itself — the perplexity-filter primitive of
     * training-data pipelines (low avg log-prob = unnatural token

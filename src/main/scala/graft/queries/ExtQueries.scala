@@ -1134,6 +1134,75 @@ object ExtQueries {
              |  + (strpos('0123456789abcdef', h[2*i]) - 1) FOR i IN generate_series(1, 16)]) AS DOUBLE)
              |  / 256.0 / 16.0, 6) AS mean_feat
              |FROM p ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // PII-style redaction (TextAnalysis.redact): the corpus is synthetic
+    // word-soup, so the query INJECTS a deterministic email + URL per doc
+    // (identical expression both engines) and the operator scrubs them —
+    // the pre-training scrub step, oracled end-to-end.
+    Q(
+      "x50_redact",
+      (s, d) => {
+        val dirty = concat(
+          col("text"),
+          lit(" mail u"),
+          col("doc_id"),
+          lit("@example.com see https://ex.org/p/"),
+          col("doc_id")
+        )
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.redact(dirty).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+             |regexp_replace(
+             |  regexp_replace(text || ' mail u' || doc_id || '@example.com see https://ex.org/p/' || doc_id,
+             |    'https?://[^ ]+', '<URL>', 'g'),
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS redacted
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Repetition metrics (TextAnalysis.repetitionStats): per-ROW sorted
+    // fold (no shuffle) vs the oracle's explode+group formulation — same
+    // numbers, radically different cost at corpus scale.
+    Q(
+      "x51_repetition",
+      (s, d) =>
+        TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |cnt AS (SELECT doc_id, tok, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(tk) AS tok FROM base) GROUP BY 1, 2),
+             |top AS (SELECT doc_id, MAX(c) AS mx FROM cnt GROUP BY 1)
+             |SELECT b.doc_id,
+             |CAST(len(b.tk) AS INTEGER) AS n_tokens,
+             |round(CAST(len(list_distinct(b.tk)) AS DOUBLE) / len(b.tk), 6) AS distinct_ratio,
+             |round(CAST(t.mx AS DOUBLE) / len(b.tk), 6) AS top_share
+             |FROM base b JOIN top t USING (doc_id) ORDER BY b.doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Gopher-style composite quality gate (TextAnalysis.gopherFilter):
+    // keep/drop + auditable metrics, thresholds on UNROUNDED values.
+    Q(
+      "x52_gopher_filter",
+      (s, d) =>
+        TextAnalysis.gopherFilter(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some("""WITH m AS (SELECT doc_id,
+             |  string_split(text, ' ') AS tk,
+             |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_raw,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS dr_raw,
+             |  len(list_filter(string_split(text, ' '),
+             |    t -> t IN ('the', 'a', 'and', 'of', 'to'))) > 0 AS has_stop
+             |  FROM documents)
+             |SELECT doc_id,
+             |CAST(len(tk) AS INTEGER) AS n_tokens,
+             |round(mean_raw, 6) AS mean_tok_len,
+             |round(dr_raw, 6) AS distinct_ratio,
+             |has_stop AS has_stopword,
+             |(len(tk) >= 10 AND len(tk) <= 100000 AND mean_raw >= CAST(2.0 AS DOUBLE)
+             |  AND mean_raw <= CAST(12.0 AS DOUBLE) AND dr_raw >= CAST(0.2 AS DOUBLE)
+             |  AND has_stop) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)
     )
   )
 }

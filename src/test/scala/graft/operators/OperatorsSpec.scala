@@ -227,6 +227,42 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(c8 > 0)
   }
 
+  test("redact scrubs multiple PII hits and leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact a@b.co or c.d+x@e-f.org now"),
+      (2L, "docs at https://x.y/z?q=1 and http://plain.link"),
+      (3L, "nothing to scrub here"),
+      (4L, "mixed bob@corp.io sees https://a.b/c")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.redact(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <EMAIL> or <EMAIL> now")
+    assert(out(2L) == "docs at <URL> and <URL>")
+    assert(out(3L) == "nothing to scrub here")
+    assert(out(4L) == "mixed <EMAIL> sees <URL>")
+    // extra (pattern -> tag) pairs chain after the built-ins
+    val custom = df
+      .filter(col("id") === 3L)
+      .select(TextAnalysis.redact(col("t"), Seq(("nothing", "<X>"))).as("r"))
+      .collect().head.getString(0)
+    assert(custom == "<X> to scrub here")
+  }
+
+  test("repetitionStats: sorted-run fold equals per-token counts on edge shapes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"), // one token repeated: top_share 1.0
+      (2L, "x"), // single token
+      (3L, "a b a c a b") // a:3 of 6
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4, 0.25, 1.0)))
+    assert(out(2L) == ((1, 1.0, 1.0)))
+    assert(out(3L) == ((6, 0.5, 0.5)))
+  }
+
   test("multimodal: REAL image decode (JDK ImageIO) extracts luminance grids distributed") {
     import spark.implicits._
     def makeImage(w: Int, h: Int, fmt: String, seed: Int): Array[Byte] = {
