@@ -228,6 +228,27 @@ object Dedup {
       .select(col("d1"), col("d2"), col("j"))
   }
 
+  /** Span-level duplication: word n-gram spans appearing in >= `minDocs`
+    * DISTINCT documents — the substring-level contamination/boilerplate
+    * check (doc-level dedup misses a shared paragraph inside otherwise
+    * unique docs). Shuffle key is the 60-bit span hash (narrow, oracle-
+    * expressible), never the span string; output keeps one example doc per
+    * span. Cost: one distinct + one aggregation, both hash-partitioned on
+    * the span hash. */
+  def duplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame =
+    shingleRowsRaw(spread(docs, idCol), idCol, textCol, n)
+      .select(col(idCol), tokenHash60(col("s")).as("span_hash"))
+      .distinct() // per-doc repeats of a span count once
+      .groupBy("span_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Decontamination: drop every corpus document whose canonical fingerprint
     * (md5 of the sorted distinct token set — whitespace/order-insensitive)
     * appears in a reference set (benchmark/eval data). The classic

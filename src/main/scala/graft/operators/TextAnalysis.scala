@@ -128,6 +128,25 @@ object TextAnalysis {
     )
   }
 
+  /** GPT2-style pre-tokenizer regex, simplified to the dialect-portable
+    * core: letter runs, digit runs, and single non-alphanumeric marks.
+    * The "BPE-ish" token count every budget estimator starts from —
+    * whitespace counting undercounts code/punctuation-heavy text. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Per-doc token-budget stats: whitespace tokens vs BPE-ish tokens and
+    * their ratio. Pure per-row expressions (codegen, no shuffle). */
+  def tokenBudget(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = size(tokens(col(textCol)))
+    val bpe = size(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0)))
+    docs.select(
+      col(idCol),
+      ws.as("n_ws_tokens"),
+      bpe.as("n_bpe_tokens"),
+      round(bpe.cast("double") / ws.cast("double"), 6).as("bpe_per_ws")
+    )
+  }
+
   /** Gopher-style composite quality filter: the standard keep/drop
     * pre-training gate combining length, mean token length, lexical
     * diversity, and stopword presence. Thresholds are the knobs; the

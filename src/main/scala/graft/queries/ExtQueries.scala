@@ -1203,6 +1203,50 @@ object ExtQueries {
              |  AND mean_raw <= CAST(12.0 AS DOUBLE) AND dr_raw >= CAST(0.2 AS DOUBLE)
              |  AND has_stop) AS keep
              |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Span-level contamination (Dedup.duplicatedSpans): word 8-grams
+    // shared by >= 2 distinct docs. Doc-level dedup misses a boilerplate
+    // paragraph inside otherwise-unique docs; this finds it. Shuffle key
+    // is the 60-bit span hash, never the span string.
+    Q(
+      "x53_dup_spans",
+      (s, d) =>
+        Dedup
+          .duplicatedSpans(t(s, d, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+          .orderBy("span_hash"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh8 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+             |    || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS s
+             |  FROM toks, unnest(range(1, len(tk) - 6)) AS t(i)),
+             |hashed AS (SELECT DISTINCT doc_id,
+             |  CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) AS span_hash FROM sh8)
+             |SELECT span_hash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc
+             |FROM hashed GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY span_hash""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Token-budget estimation (TextAnalysis.tokenBudget): whitespace vs
+    // BPE-ish counts. The corpus is punctuation-free, so the query injects
+    // deterministic punctuation (identical expression both engines) to
+    // make the two tokenizations diverge.
+    Q(
+      "x54_token_budget",
+      (s, d) =>
+        TextAnalysis
+          .tokenBudget(
+            t(s, d, "documents")
+              .withColumn("dirty", concat(col("text"), lit(" v"), col("doc_id"), lit(".x!"))),
+            "doc_id",
+            "dirty"
+          )
+          .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, text || ' v' || doc_id || '.x!' AS t FROM documents)
+             |SELECT doc_id,
+             |CAST(len(string_split(t, ' ')) AS INTEGER) AS n_ws_tokens,
+             |CAST(len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+             |round(CAST(len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
+             |  / len(string_split(t, ' ')), 6) AS bpe_per_ws
+             |FROM d ORDER BY doc_id""".stripMargin)
     )
   )
 }
