@@ -29,26 +29,35 @@ object Bench {
     } catch { case _: Throwable => () }
     // noop sink: runs the full physical plan (count() would let Catalyst
     // prune projections and skip the real work).
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Some((secs)) on success, None on failure — a failed run must never
+    // win the min (a fast crash would otherwise report a phantom speedup)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); None
+      }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // run the full suite `runs` times (round-robin, not back-to-back per
     // query) so a transient load spike can't poison both samples of the
     // same query; min-of-runs then discards whichever pass was contended
-    val samples: Seq[Map[String, Double]] =
+    val samples: Seq[Map[String, Option[Double]]] =
       (1 to runs).map(_ => ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap)
-    val results: Map[String, Double] =
-      ordered.map { case (n, _) => n -> samples.map(_(n)).min }.toMap
+    val results: Map[String, Double] = ordered.flatMap { case (n, _) =>
+      val ok = samples.flatMap(_(n))
+      if (ok.nonEmpty) Some(n -> ok.min) else None
+    }.toMap
+    val failed = ordered.map(_._1).filter(n => samples.flatMap(_(n)).isEmpty)
     val load1 = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"load_start":$load0,"load_end":$load1}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs":$runs,"load_start":$load0,"load_end":$load1}"""
     )
     spark.stop()
   }

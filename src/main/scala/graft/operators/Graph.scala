@@ -23,12 +23,20 @@ object Graph {
 
   /** @return (node, label) — label is the minimum node id in the component.
     *         Only nodes present in `edges` appear (singletons are trivially
-    *         their own component; union them in if needed). */
+    *         their own component; union them in if needed).
+    * @param materialize true (default): the result is localCheckpoint'ed —
+    *        no session-lifetime cache entry, freed when the caller drops
+    *        the frame; the tradeoff is truncated lineage, so losing an
+    *        executor holding checkpoint blocks makes the frame
+    *        unrecoverable (fine single-JVM and for consume-soon callers).
+    *        false: returns the final persisted frame with full lineage —
+    *        survives executor loss, but the caller owns `.unpersist()`. */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      materialize: Boolean = true
   ): DataFrame = {
     val sym = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -84,9 +92,12 @@ object Graph {
     // executor block storage OWNED BY THE RETURNED PLAN (the ContextCleaner
     // frees it when the caller drops the frame), unlike CacheManager
     // entries, which live until an explicit unpersist. No driver collect —
-    // labels can be arbitrarily large.
-    val out = labels.localCheckpoint(true)
-    cached.unpersist()
-    out
+    // labels can be arbitrarily large. See the `materialize` scaladoc for
+    // the lineage tradeoff; pass false to own the cache instead.
+    if (materialize) {
+      val out = labels.localCheckpoint(true)
+      cached.unpersist()
+      out
+    } else labels
   }
 }

@@ -167,8 +167,10 @@ object TextAnalysis {
     val nTok = size(tk).cast("double")
     val meanLen = length(regexp_replace(col(textCol), " ", "")).cast("double") / nTok
     val distinctRatio = size(array_distinct(tk)).cast("double") / nTok
+    // empty stopword list = criterion disabled, not empty.reduce crash
     val hasStop =
-      size(filter(tk, t => stopwords.map(s => t === lit(s)).reduce(_ || _))) > 0
+      if (stopwords.isEmpty) lit(true)
+      else size(filter(tk, t => stopwords.map(s => t === lit(s)).reduce(_ || _))) > 0
     val keep = nTok >= minTokens && nTok <= maxTokens &&
       meanLen >= minMeanTokLen && meanLen <= maxMeanTokLen &&
       distinctRatio >= minDistinctRatio && hasStop

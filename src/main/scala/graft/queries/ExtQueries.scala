@@ -380,10 +380,12 @@ object ExtQueries {
     ),
     // ------------------------------------------------------------------
     // HLL approximate distinct. The HLL estimate itself is
-    // algorithm-specific, so the oracled contract is the published error
-    // bound: |approx - exact| / exact <= 5% (HLL default rsd is 5%). The
-    // oracle emits TRUE + the exact count — if the estimate drifts out of
-    // bound, the hash compare fails.
+    // algorithm-specific, so the oracled contract is an error bound. The
+    // default rsd is 0.05 — ONE standard deviation, which a correct
+    // estimate exceeds on ~1/3 of datasets — so the gate asserts 3*rsd
+    // (15%): tight enough to catch a broken sketch, loose enough to hold
+    // across scale factors. The oracle emits TRUE + the exact count — if
+    // the estimate drifts out of bound, the hash compare fails.
     Q(
       "x18_approx_distinct",
       (s, d) =>
@@ -393,11 +395,11 @@ object ExtQueries {
             countDistinct(col("l_partkey")).as("n_exact")
           )
           .select(
-            (abs(col("n_approx") - col("n_exact")) / col("n_exact") <= 0.05).as("within_5pct"),
+            (abs(col("n_approx") - col("n_exact")) / col("n_exact") <= 0.15).as("within_bound"),
             col("n_exact")
           ),
       Some(
-        "SELECT TRUE AS within_5pct, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact FROM lineitem"
+        "SELECT TRUE AS within_bound, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact FROM lineitem"
       )
     ),
     // ------------------------------------------------------------------

@@ -298,7 +298,19 @@ class ZarrScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZarrReaderFactory(arrayDir, meta, sel.outDims, required, storageOptions, dimRuns, coordVals)
+    // snapshot the driver's hadoop conf for executors — getActiveSession is
+    // None inside tasks, so credentials set via spark.hadoop.* would
+    // otherwise never reach executor-side chunk reads (cluster mode; local
+    // mode masks it by sharing the JVM)
+    new ZarrReaderFactory(
+      arrayDir,
+      meta,
+      sel.outDims,
+      required,
+      ZarrFileIO.executorOptions(storageOptions),
+      dimRuns,
+      coordVals
+    )
 }
 
 class ZarrReaderFactory(

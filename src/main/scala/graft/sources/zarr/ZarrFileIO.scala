@@ -82,6 +82,25 @@ object ZarrFileIO {
     new HPath(s)
   }
 
+  /** Effective I/O options for EXECUTOR-side reads: the driver's full
+    * Hadoop configuration (spark.hadoop.* settings, cluster defaults —
+    * i.e. where s3a/HDFS credentials normally live) snapshotted to a plain
+    * map and overlaid with the store's translated options. Must be called
+    * ON THE DRIVER (scan build time); the result rides to executors in the
+    * reader factory, where `SparkSession.getActiveSession` is None and a
+    * bare `new Configuration()` would silently drop cluster credentials.
+    * Unknown keys pass through [[hadoopKeys]] verbatim, so the snapshot
+    * replays onto a fresh Configuration unchanged. */
+  def executorOptions(storageOptions: Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val base = org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        s.sparkContext.hadoopConfiguration.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+      case None => Map.empty[String, String]
+    }
+    base ++ hadoopKeys(storageOptions)
+  }
+
   def fileSystem(p: HPath, storageOptions: Map[String, String]): FileSystem =
     p.getFileSystem(conf(storageOptions))
 

@@ -22,7 +22,7 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
           Dedup.tokenHash60(
             concat_ws(
               "|",
-              Seq("i1", "i2", "i3").map(c => coalesce(col(c).cast("string"), lit(""))): _*
+              Seq("i1", "i2", "i3").map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*
             )
           ),
           lit(1000L)
