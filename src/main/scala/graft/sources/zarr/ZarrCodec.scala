@@ -203,10 +203,18 @@ object Blosc {
       case scala.util.control.NonFatal(_) => false
     }
 
-  /** Compress into a blosc1 frame readable by c-blosc/numcodecs. Single
-    * block (fixture-scale data); split + shuffle follow the same policy
-    * decode expects, so round-trips are exact. */
-  def compress(cname: String, data: Array[Byte], typesize: Int, shuffle: Boolean): Array[Byte] = {
+  /** Compress into a blosc1 frame readable by c-blosc/numcodecs.
+    * `blockSize` 0 (default) = one block; any positive value exercises the
+    * full multi-block + leftover-block layout (shuffle, splits, and the
+    * raw-split escape all applied per block, exactly as decode walks it).
+    * Property-tested round-trip across codecs/typesizes/block shapes. */
+  def compress(
+      cname: String,
+      data: Array[Byte],
+      typesize: Int,
+      shuffle: Boolean,
+      blockSize: Int = 0
+  ): Array[Byte] = {
     val codec = cname match {
       case "lz4" => 1
       case "snappy" => 2
@@ -216,38 +224,61 @@ object Blosc {
     }
     val nbytes = data.length
     val ts = math.max(1, typesize)
-    val doShuffle = shuffle && ts > 1 && nbytes % ts == 0
-    val blocksize = math.max(nbytes, ts) // single block
-    val shuffledData = if (doShuffle) { val t = new Array[Byte](nbytes); shuffleBytes(ts, data, t); t } else data
-    val nsplits = if (nbytes > 0 && splitPolicy(codec, ts, blocksize)) ts else 1
-    val neblock = if (nsplits == 0) 0 else nbytes / nsplits
-    val payload = new ByteArrayOutputStream()
+    val blocksize =
+      if (blockSize > 0) math.max(blockSize, ts) else math.max(nbytes, ts)
+    // c-blosc shuffles only complete elements; per-BLOCK shuffle requires
+    // each full block to hold whole elements
+    val doShuffle = shuffle && ts > 1 && blocksize % ts == 0 && nbytes % ts == 0
+    val nblocks = if (nbytes == 0) 0 else ((nbytes.toLong + blocksize - 1) / blocksize).toInt
     val sizeBuf = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-    var s = 0
-    while (s < nsplits && nbytes > 0) {
-      val off = s * neblock
-      val comp = codec match {
-        case 1 =>
-          val c = lz4.fastCompressor()
-          val outBuf = new Array[Byte](c.maxCompressedLength(neblock))
-          val n = c.compress(shuffledData, off, neblock, outBuf, 0, outBuf.length)
-          java.util.Arrays.copyOf(outBuf, n)
-        case 2 => org.xerial.snappy.Snappy.compress(java.util.Arrays.copyOfRange(shuffledData, off, off + neblock))
-        case 3 =>
-          val bos = new ByteArrayOutputStream()
-          val d = new DeflaterOutputStream(bos, new Deflater(5))
-          d.write(shuffledData, off, neblock); d.close(); bos.toByteArray
-        case 4 =>
-          com.github.luben.zstd.Zstd.compress(java.util.Arrays.copyOfRange(shuffledData, off, off + neblock), 3)
+
+    def compressOne(src: Array[Byte], off: Int, len: Int): Array[Byte] = codec match {
+      case 1 =>
+        val c = lz4.fastCompressor()
+        val outBuf = new Array[Byte](c.maxCompressedLength(len))
+        val n = c.compress(src, off, len, outBuf, 0, outBuf.length)
+        java.util.Arrays.copyOf(outBuf, n)
+      case 2 => org.xerial.snappy.Snappy.compress(java.util.Arrays.copyOfRange(src, off, off + len))
+      case 3 =>
+        val bos = new ByteArrayOutputStream()
+        val d = new DeflaterOutputStream(bos, new Deflater(5))
+        d.write(src, off, len); d.close(); bos.toByteArray
+      case 4 =>
+        com.github.luben.zstd.Zstd.compress(java.util.Arrays.copyOfRange(src, off, off + len), 3)
+    }
+
+    val payload = new ByteArrayOutputStream()
+    val bstarts = new Array[Int](nblocks)
+    var b = 0
+    while (b < nblocks) {
+      bstarts(b) = 16 + 4 * nblocks + payload.size()
+      val bsize = math.min(blocksize.toLong, nbytes.toLong - b.toLong * blocksize).toInt
+      val leftover = bsize != blocksize
+      val blockOff = b * blocksize
+      val block =
+        if (doShuffle) {
+          val t = new Array[Byte](bsize)
+          shuffleBytes(ts, java.util.Arrays.copyOfRange(data, blockOff, blockOff + bsize), t)
+          t
+        } else java.util.Arrays.copyOfRange(data, blockOff, blockOff + bsize)
+      val nsplits = if (!leftover && splitPolicy(codec, ts, blocksize)) ts else 1
+      val neblock = bsize / nsplits
+      var s = 0
+      while (s < nsplits) {
+        val comp = compressOne(block, s * neblock, neblock)
+        val stored =
+          if (comp.length >= neblock)
+            java.util.Arrays.copyOfRange(block, s * neblock, s * neblock + neblock)
+          else comp
+        sizeBuf.clear(); sizeBuf.putInt(stored.length)
+        payload.write(sizeBuf.array(), 0, 4)
+        payload.write(stored)
+        s += 1
       }
-      val stored = if (comp.length >= neblock) java.util.Arrays.copyOfRange(shuffledData, off, off + neblock) else comp
-      sizeBuf.clear(); sizeBuf.putInt(stored.length)
-      payload.write(sizeBuf.array(), 0, 4)
-      payload.write(stored)
-      s += 1
+      b += 1
     }
     val body = payload.toByteArray
-    val compressedFits = 16 + 4 + body.length < 16 + nbytes
+    val compressedFits = 16 + 4 * nblocks + body.length < 16 + nbytes
     val header = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
     header.put(0, 2.toByte) // blosc1 format version
     header.put(1, 1.toByte) // inner codec format version
@@ -264,13 +295,14 @@ object Blosc {
       val flags = (if (doShuffle) FlagShuffle else 0) | (codec << 5)
       header.put(2, flags.toByte)
       header.put(3, ts.toByte)
-      header.putInt(4, nbytes); header.putInt(8, blocksize); header.putInt(12, 16 + 4 + body.length)
-      val out = new Array[Byte](16 + 4 + body.length)
+      header.putInt(4, nbytes); header.putInt(8, blocksize)
+      header.putInt(12, 16 + 4 * nblocks + body.length)
+      val out = new Array[Byte](16 + 4 * nblocks + body.length)
       System.arraycopy(header.array(), 0, out, 0, 16)
-      val bs = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-      bs.putInt(0, 20) // single block starts right after header + bstarts
-      System.arraycopy(bs.array(), 0, out, 16, 4)
-      System.arraycopy(body, 0, out, 20, body.length)
+      val bs = ByteBuffer.allocate(4 * math.max(1, nblocks)).order(ByteOrder.LITTLE_ENDIAN)
+      bstarts.foreach(bs.putInt)
+      System.arraycopy(bs.array(), 0, out, 16, 4 * nblocks)
+      System.arraycopy(body, 0, out, 16 + 4 * nblocks, body.length)
       out
     }
   }

@@ -246,6 +246,36 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(m.compressor.contains("blosc"))
   }
 
+  test("blosc round-trips across codecs, typesizes, block shapes, shuffle (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genData = for {
+      n <- Gen.choose(0, 5000)
+      mode <- Gen.oneOf(0, 1, 2)
+      seed <- Gen.choose(0, 1000000)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      mode match {
+        case 0 => Array.tabulate[Byte](n)(i => (i % 17).toByte) // compressible
+        case 1 => Array.fill[Byte](n)(rnd.nextInt().toByte) // memcpy path
+        case 2 => // mixed: raw-split escape inside compressed frames
+          Array.tabulate[Byte](n)(i => if (i % 100 < 80) (i % 5).toByte else rnd.nextInt().toByte)
+      }
+    }
+    val prop = Prop.forAll(
+      genData,
+      Gen.oneOf("lz4", "zstd", "snappy", "zlib"),
+      Gen.oneOf(1, 2, 4, 8),
+      Gen.oneOf(true, false),
+      // 0 = single block; others hit multi-block + leftover blocks,
+      // incl. sizes not divisible by the typesize (shuffle disabled then)
+      Gen.oneOf(0, 64, 256, 1000, 4096)
+    ) { (data, cname, ts, shuf, bs) =>
+      Blosc.decompress(Blosc.compress(cname, data, ts, shuf, bs)).sameElements(data)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("blosc frame internals: splits, multi-block, memcpy, shuffle inverse, rejects") {
     val rnd = new scala.util.Random(7)
     // shuffle/unshuffle are inverses incl. non-multiple tails
