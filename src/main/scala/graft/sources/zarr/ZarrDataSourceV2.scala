@@ -253,10 +253,20 @@ class ZarrScan(
   private[zarr] lazy val dimRuns: Vector[DimRuns] =
     sel.keep.zipWithIndex.map { case (idxs, d) => DimRuns.fromKept(idxs, meta.chunks(d)) }
 
-  /** Coordinate values aligned with each dim's kept array (output dims
-    * only) — shared across all chunks via the reader factory. */
-  private lazy val coordVals: Map[Int, Array[Any]] =
-    sel.outDims.map(d => d -> dimRuns(d).kept.map(i => coords(d)(i).asInstanceOf[Any])).toMap
+  /** Kept-aligned TYPED coordinate values (output dims only) — shared
+    * across all chunks via the reader factory; typed so the columnar
+    * reader fills primitive vectors without boxing. */
+  private lazy val keptCoords: Map[Int, Coord] = sel.outDims.map { d =>
+    val kept = dimRuns(d).kept
+    val aligned: Coord = coords(d) match {
+      case Coord.Ints(a) => Coord.Ints(kept.map(a))
+      case Coord.Longs(a) => Coord.Longs(kept.map(a))
+      case Coord.Floats(a) => Coord.Floats(kept.map(a))
+      case Coord.Doubles(a) => Coord.Doubles(kept.map(a))
+      case Coord.Index(_) => Coord.Longs(kept.map(_.toLong))
+    }
+    d -> aligned
+  }.toMap
 
   override def planInputPartitions(): Array[InputPartition] = {
     val rank = meta.rank
@@ -309,7 +319,7 @@ class ZarrScan(
       required,
       ZarrFileIO.executorOptions(storageOptions),
       dimRuns,
-      coordVals
+      keptCoords
     )
 }
 
@@ -320,58 +330,58 @@ class ZarrReaderFactory(
     required: StructType,
     storageOptions: Map[String, String],
     dimRuns: Vector[DimRuns],
-    coordVals: Map[Int, Array[Any]]
+    keptCoords: Map[Int, Coord]
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ZarrPartitionReader(
-      arrayDir,
-      meta,
-      outDims,
-      required,
-      partition.asInstanceOf[ZarrInputPartition],
-      storageOptions,
-      dimRuns,
-      coordVals
+    new ZarrRowReader(
+      arrayDir, meta, outDims, required,
+      partition.asInstanceOf[ZarrInputPartition], storageOptions, dimRuns, keptCoords
+    )
+
+  // Columnar is the scan's fast path: primitive vector fills, no per-cell
+  // boxing or row materialization; Spark appends a codegen'd ColumnarToRow.
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(
+      partition: InputPartition
+  ): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ZarrColumnarReader(
+      arrayDir, meta, outDims, required,
+      partition.asInstanceOf[ZarrInputPartition], storageOptions, dimRuns, keptCoords
     )
 }
 
-class ZarrPartitionReader(
+/** Shared cell-iteration state machine: walks the partition's ordinal
+  * range, loads one chunk at a time, and advances a C-order odometer over
+  * the kept positions of the current chunk. Subclasses consume cells
+  * either one row or one vector batch at a time. */
+abstract class ZarrCursor(
     arrayDir: String,
     meta: ZarrArrayMeta,
-    outDims: Vector[Int],
-    required: StructType,
     partition: ZarrInputPartition,
     storageOptions: Map[String, String],
     dimRuns: Vector[DimRuns],
-    coordVals: Map[Int, Array[Any]]
-) extends PartitionReader[InternalRow] {
-
-  // field plan: for each required field, either a coord dim or the value
-  private val fieldPlan: Array[Either[Int, Unit]] = required.fields.map { f =>
-    if (f.name == "value") Right(())
-    else Left(outDims.find(d => meta.dims(d) == f.name).getOrElse(
-      throw new IllegalArgumentException(s"unknown field ${f.name}")
-    ))
-  }
-  private val needValue = required.fieldNames.contains("value")
-  private val fillValue: Option[Double] = meta.fillValue
-  private val rank = meta.rank
-
+    needValue: Boolean
+) {
+  protected val rank: Int = meta.rank
   private var ordinal: Long = partition.start
   // per-dim state of the CURRENT chunk, derived from the ordinal
-  private val runIdx = new Array[Int](rank)
-  private val chunkIdx = new Array[Int](rank)
-  private val sliceStart = new Array[Int](rank)
-  private val sliceLen = new Array[Int](rank)
-  private var buf: Option[ZarrBuffer] = None
-  private var pos: Array[Int] = new Array[Int](rank) // position INTO the kept slice
-  private var havePos = false // pos points at a valid, not-yet-emitted cell
+  protected val chunkIdx = new Array[Int](rank)
+  protected val sliceStart = new Array[Int](rank)
+  protected val sliceLen = new Array[Int](rank)
+  protected var buf: Option[ZarrBuffer] = None
+  protected val pos = new Array[Int](rank) // position INTO the kept slice
+  private var havePos = false // pos points at a valid, not-yet-consumed cell
   private var emittedScalar = false // rank-0 single row
-  private val row = new GenericInternalRow(required.length)
   private lazy val chunkStrides = IndexMath.strides(meta.chunks)
+
+  /** Incremented whenever a new chunk is loaded — lets subclasses cache
+    * per-chunk derived state (e.g. inner-run contiguity). */
+  protected var chunkGen: Long = 0L
 
   private def advanceChunk(): Boolean = {
     if (ordinal >= partition.end) return false
+    chunkGen += 1
     if (rank == 0) {
       if (emittedScalar) return false
       buf = if (needValue) ZarrChunkIO.readChunk(arrayDir, meta, Seq.empty, storageOptions) else None
@@ -385,11 +395,11 @@ class ZarrPartitionReader(
     var d = rank - 1
     while (d >= 0) {
       val n = dimRuns(d).nRuns
-      runIdx(d) = (rem % n).toInt
+      val r = (rem % n).toInt
       rem /= n
-      chunkIdx(d) = dimRuns(d).chunkIds(runIdx(d))
-      sliceStart(d) = dimRuns(d).offsets(runIdx(d))
-      sliceLen(d) = dimRuns(d).runLen(runIdx(d))
+      chunkIdx(d) = dimRuns(d).chunkIds(r)
+      sliceStart(d) = dimRuns(d).offsets(r)
+      sliceLen(d) = dimRuns(d).runLen(r)
       d -= 1
     }
     buf =
@@ -400,30 +410,113 @@ class ZarrPartitionReader(
     true
   }
 
-  override def next(): Boolean = {
+  /** Position on the next unconsumed cell; false when the range is done. */
+  protected final def nextCell(): Boolean = {
     while (!havePos) if (!advanceChunk()) return false
+    true
+  }
+
+  /** C-order odometer step over kept positions of the current chunk. */
+  protected final def consumeCell(): Unit = {
+    if (rank == 0) { havePos = false; return }
+    var k = rank - 1
+    var carry = true
+    while (carry && k >= 0) {
+      pos(k) += 1
+      if (pos(k) < sliceLen(k)) carry = false
+      else { pos(k) = 0; k -= 1 }
+    }
+    havePos = !carry
+  }
+
+  /** Flat index into the current chunk's buffer for the current cell. */
+  protected final def currentLocalFlat: Int = {
+    var localFlat = 0L
+    var d = 0
+    while (d < rank) {
+      val g = dimRuns(d).kept(sliceStart(d) + pos(d))
+      localFlat += (g - chunkIdx(d) * meta.chunks(d)).toLong * chunkStrides(d)
+      d += 1
+    }
+    localFlat.toInt
+  }
+
+  protected final def keptPos(d: Int): Int = sliceStart(d) + pos(d)
+
+  /** Cells remaining in the current innermost (last-dim) run. */
+  protected final def innerRemaining: Int =
+    if (rank == 0) 1 else sliceLen(rank - 1) - pos(rank - 1)
+
+  /** True iff the current chunk's innermost kept run is a consecutive
+    * index range — then the run's cells sit stride-1 contiguous in the
+    * chunk buffer and can be block-copied. Checked once per chunk. */
+  protected final def innerRunContiguous: Boolean = {
+    if (rank == 0) return false
+    val dr = dimRuns(rank - 1)
+    val s = sliceStart(rank - 1)
+    val len = sliceLen(rank - 1)
+    var i = 1
+    while (i < len) {
+      if (dr.kept(s + i) != dr.kept(s + i - 1) + 1) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Consume `count` cells of the current innermost run (caller guarantees
+    * count <= innerRemaining). */
+  protected final def consumeRun(count: Int): Unit = {
+    val last = rank - 1
+    pos(last) += count
+    if (pos(last) >= sliceLen(last)) {
+      pos(last) = sliceLen(last) - 1
+      consumeCell() // carries into the outer dims (or ends the chunk)
+    }
+  }
+}
+
+class ZarrRowReader(
+    arrayDir: String,
+    meta: ZarrArrayMeta,
+    outDims: Vector[Int],
+    required: StructType,
+    partition: ZarrInputPartition,
+    storageOptions: Map[String, String],
+    dimRuns: Vector[DimRuns],
+    keptCoords: Map[Int, Coord]
+) extends ZarrCursor(
+      arrayDir, meta, partition, storageOptions, dimRuns,
+      required.fieldNames.contains("value")
+    )
+    with PartitionReader[InternalRow] {
+
+  // field plan: for each required field, either a coord dim or the value
+  private val fieldPlan: Array[Either[Int, Unit]] = required.fields.map { f =>
+    if (f.name == "value") Right(())
+    else Left(outDims.find(d => meta.dims(d) == f.name).getOrElse(
+      throw new IllegalArgumentException(s"unknown field ${f.name}")
+    ))
+  }
+  private val needValue = required.fieldNames.contains("value")
+  private val fillValue: Option[Double] = meta.fillValue
+  private val row = new GenericInternalRow(required.length)
+
+  override def next(): Boolean = {
+    if (!nextCell()) return false
     fillRow()
-    advanceOdometer()
+    consumeCell()
     true
   }
 
   private def fillRow(): Unit = {
-    var localFlat = 0L
-    if (needValue && rank > 0) {
-      var d = 0
-      while (d < rank) {
-        val g = dimRuns(d).kept(sliceStart(d) + pos(d))
-        localFlat += (g - chunkIdx(d) * meta.chunks(d)).toLong * chunkStrides(d)
-        d += 1
-      }
-    }
+    val localFlat = if (needValue && rank > 0) currentLocalFlat else 0
     var fi = 0
     while (fi < fieldPlan.length) {
       fieldPlan(fi) match {
-        case Left(d) => row.update(fi, coordVals(d)(sliceStart(d) + pos(d)))
+        case Left(d) => row.update(fi, keptCoords(d)(keptPos(d)))
         case Right(_) =>
           val v: Any = buf match {
-            case Some(b) => b.getValue(localFlat.toInt)
+            case Some(b) => b.getValue(localFlat)
             case None =>
               fillValue match {
                 case Some(f) =>
@@ -442,20 +535,173 @@ class ZarrPartitionReader(
     }
   }
 
-  /** C-order odometer over kept positions of the current chunk. */
-  private def advanceOdometer(): Unit = {
-    if (rank == 0) { havePos = false; return }
-    var k = rank - 1
-    var carry = true
-    while (carry && k >= 0) {
-      pos(k) += 1
-      if (pos(k) < sliceLen(k)) carry = false
-      else { pos(k) = 0; k -= 1 }
-    }
-    havePos = !carry
-  }
-
   override def get(): InternalRow = row
 
   override def close(): Unit = ()
+}
+
+/** Columnar fast path: fills primitive OnHeapColumnVectors batch-by-batch —
+  * no boxing, no per-cell row objects; the scan feeds whole-stage codegen
+  * through Spark's vectorized ColumnarToRow. */
+class ZarrColumnarReader(
+    arrayDir: String,
+    meta: ZarrArrayMeta,
+    outDims: Vector[Int],
+    required: StructType,
+    partition: ZarrInputPartition,
+    storageOptions: Map[String, String],
+    dimRuns: Vector[DimRuns],
+    keptCoords: Map[Int, Coord],
+    batchSize: Int = 4096
+) extends ZarrCursor(
+      arrayDir, meta, partition, storageOptions, dimRuns,
+      required.fieldNames.contains("value")
+    )
+    with PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val vectors: Array[OnHeapColumnVector] =
+    required.fields.map(f => new OnHeapColumnVector(batchSize, f.dataType))
+  private val batch = new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+  private val fillValue: Option[Double] = meta.fillValue
+
+  // one typed filler per field, bound once — the per-cell loop below is
+  // monomorphic primitive puts
+  private val fillers: Array[Int => Unit] = required.fields.zipWithIndex.map { case (f, fi) =>
+    val vec = vectors(fi)
+    if (f.name == "value") { (n: Int) =>
+      buf match {
+        case Some(b) =>
+          val flat = currentLocalFlat
+          meta.dtype match {
+            case "<i4" => vec.putInt(n, b.getInt(flat))
+            case "<i8" => vec.putLong(n, b.getLong(flat))
+            case "<f4" => vec.putFloat(n, b.getFloat(flat))
+            case "<f8" => vec.putDouble(n, b.getDouble(flat))
+          }
+        case None =>
+          fillValue match {
+            case Some(fv) =>
+              meta.dtype match {
+                case "<i4" => vec.putInt(n, fv.toInt)
+                case "<i8" => vec.putLong(n, fv.toLong)
+                case "<f4" => vec.putFloat(n, fv.toFloat)
+                case "<f8" => vec.putDouble(n, fv)
+              }
+            case None => vec.putNull(n)
+          }
+      }
+    } else {
+      val d = outDims.find(dd => meta.dims(dd) == f.name).getOrElse(
+        throw new IllegalArgumentException(s"unknown field ${f.name}")
+      )
+      keptCoords(d) match {
+        case Coord.Ints(a) => (n: Int) => vec.putInt(n, a(keptPos(d)))
+        case Coord.Longs(a) => (n: Int) => vec.putLong(n, a(keptPos(d)))
+        case Coord.Floats(a) => (n: Int) => vec.putFloat(n, a(keptPos(d)))
+        case Coord.Doubles(a) => (n: Int) => vec.putDouble(n, a(keptPos(d)))
+        // unreachable in practice (keptCoords pre-converts Index to Longs)
+        // but kept correct: the value is the GLOBAL index, not the position
+        case Coord.Index(_) => (n: Int) => vec.putLong(n, dimRuns(d).kept(keptPos(d)).toLong)
+      }
+    }
+  }
+
+  private val itemSize = ZarrMeta.itemSize(meta.dtype)
+  private val innerDim = rank - 1
+
+  // one typed BULK filler per field, bound once: (rowId, count) fills a
+  // whole contiguous innermost run — block copy for the value column
+  // (little-endian bytes straight from the decoded chunk), array-slice put
+  // for the inner coordinate, constant fill for outer coordinates
+  private val bulkFillers: Array[(Int, Int) => Unit] = required.fields.zipWithIndex.map {
+    case (f, fi) =>
+      val vec = vectors(fi)
+      if (f.name == "value") { (n: Int, c: Int) =>
+        buf match {
+          case Some(b) =>
+            val off = currentLocalFlat * itemSize
+            meta.dtype match {
+              case "<i4" => vec.putIntsLittleEndian(n, c, b.raw, off)
+              case "<i8" => vec.putLongsLittleEndian(n, c, b.raw, off)
+              case "<f4" => vec.putFloats(n, c, b.raw, off)
+              case "<f8" => vec.putDoubles(n, c, b.raw, off)
+            }
+          case None =>
+            fillValue match {
+              case Some(fv) =>
+                meta.dtype match {
+                  case "<i4" => vec.putInts(n, c, fv.toInt)
+                  case "<i8" => vec.putLongs(n, c, fv.toLong)
+                  case "<f4" => vec.putFloats(n, c, fv.toFloat)
+                  case "<f8" => vec.putDoubles(n, c, fv)
+                }
+              case None => vec.putNulls(n, c)
+            }
+        }
+      } else {
+        val d = outDims.find(dd => meta.dims(dd) == f.name).getOrElse(
+          throw new IllegalArgumentException(s"unknown field ${f.name}")
+        )
+        if (d == innerDim) {
+          keptCoords(d) match {
+            case Coord.Ints(a) => (n: Int, c: Int) => vec.putInts(n, c, a, keptPos(d))
+            case Coord.Longs(a) => (n: Int, c: Int) => vec.putLongs(n, c, a, keptPos(d))
+            case Coord.Floats(a) => (n: Int, c: Int) => vec.putFloats(n, c, a, keptPos(d))
+            case Coord.Doubles(a) => (n: Int, c: Int) => vec.putDoubles(n, c, a, keptPos(d))
+            case Coord.Index(_) =>
+              (n: Int, c: Int) => {
+                var i = 0
+                while (i < c) { vec.putLong(n + i, dimRuns(d).kept(keptPos(d) + i).toLong); i += 1 }
+              }
+          }
+        } else {
+          // constant across the innermost run — evaluate at call time
+          keptCoords(d) match {
+            case Coord.Ints(a) => (n: Int, c: Int) => vec.putInts(n, c, a(keptPos(d)))
+            case Coord.Longs(a) => (n: Int, c: Int) => vec.putLongs(n, c, a(keptPos(d)))
+            case Coord.Floats(a) => (n: Int, c: Int) => vec.putFloats(n, c, a(keptPos(d)))
+            case Coord.Doubles(a) => (n: Int, c: Int) => vec.putDoubles(n, c, a(keptPos(d)))
+            case Coord.Index(_) =>
+              (n: Int, c: Int) => vec.putLongs(n, c, dimRuns(d).kept(keptPos(d)).toLong)
+          }
+        }
+      }
+  }
+
+  // inner-run contiguity is a per-chunk property; cache it per chunkGen
+  private var contigGen = -1L
+  private var contigNow = false
+  private def contiguous: Boolean = {
+    if (contigGen != chunkGen) { contigNow = innerRunContiguous; contigGen = chunkGen }
+    contigNow
+  }
+
+  override def next(): Boolean = {
+    vectors.foreach(_.reset())
+    var n = 0
+    while (n < batchSize && nextCell()) {
+      val remaining = innerRemaining
+      if (rank > 0 && remaining > 1 && contiguous) {
+        val take = math.min(remaining, batchSize - n)
+        var fi = 0
+        while (fi < bulkFillers.length) { bulkFillers(fi)(n, take); fi += 1 }
+        consumeRun(take)
+        n += take
+      } else {
+        var fi = 0
+        while (fi < fillers.length) { fillers(fi)(n); fi += 1 }
+        consumeCell()
+        n += 1
+      }
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = batch.close()
 }

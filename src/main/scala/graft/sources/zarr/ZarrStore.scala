@@ -112,6 +112,9 @@ final class ZarrStore(
 
 /** Typed view over a decoded chunk buffer. */
 final class ZarrBuffer(bytes: Array[Byte], dtype: String) extends Serializable {
+  /** Raw little-endian bytes — the columnar reader block-copies contiguous
+    * runs straight from here into column vectors. */
+  def raw: Array[Byte] = bytes
   @transient private lazy val buf: ByteBuffer =
     ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
   def getInt(i: Int): Int = buf.getInt(i * 4)
