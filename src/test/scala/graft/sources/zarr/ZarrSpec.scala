@@ -351,6 +351,53 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(parts.length > 100 && parts.length < 1000, s"got ${parts.length} partitions")
   }
 
+  test("row and columnar readers emit identical cells (bulk runs AND gather fallback)") {
+    import graft.model.{DimSel, Selection}
+    val root = mkStore(Some("blosc"))
+    val store = new ZarrStore(root)
+    val meta = store.arrayMeta("temperature")
+    val coords = meta.dims.zip(meta.shape).map { case (d, n) => store.coordFor(d, n) }.toVector
+    // contiguous selection (bulk path) and a non-contiguous gather (per-cell
+    // fallback) — both must agree between the two readers
+    val selections = Seq(
+      Map.empty[String, DimSel],
+      Map("time" -> DimSel.Range(2, 9), "lon" -> DimSel.Indices(Vector(11, 2, 7)))
+    )
+    selections.foreach { selMap =>
+      val sel = Selection.resolve(meta.shape, meta.dims, selMap)
+      val schema = StructType(
+        sel.outDims.map(d => StructField(meta.dims(d), coords(d).dataType, nullable = false)) :+
+          StructField("value", meta.valueType, nullable = true)
+      )
+      // tiny targetCells so both selections split into several range
+      // partitions (exercises the range handoff between readers)
+      val scan = new ZarrScan(store.arrayDir("temperature"), meta, sel, coords, schema, 128L)
+      val factory = scan.createReaderFactory().asInstanceOf[ZarrReaderFactory]
+      val parts = scan.planInputPartitions()
+      assert(parts.length > 1, s"sel=$selMap parts=${parts.length}")
+      def viaRows: Seq[Seq[Any]] = parts.toSeq.flatMap { p =>
+        val r = factory.createReader(p)
+        val out = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+        while (r.next()) out += (0 until schema.length).map(i => r.get().get(i, schema(i).dataType))
+        out.toSeq
+      }
+      def viaBatches: Seq[Seq[Any]] = parts.toSeq.flatMap { p =>
+        val r = factory.createColumnarReader(p)
+        val out = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+        while (r.next()) {
+          val it = r.get().rowIterator()
+          while (it.hasNext) {
+            val row = it.next()
+            out += (0 until schema.length).map(i => row.get(i, schema(i).dataType))
+          }
+        }
+        out.toSeq
+      }
+      assert(viaRows == viaBatches, s"sel=$selMap")
+      assert(viaRows.nonEmpty)
+    }
+  }
+
   test("cross-chunk index gather preserves gather order (reference list-selection semantics)") {
     val root = mkStore(None)
     // lon indices deliberately unsorted across the two lon chunks (size 8)
