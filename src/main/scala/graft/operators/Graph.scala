@@ -29,8 +29,10 @@ object Graph {
     *        the frame; the tradeoff is truncated lineage, so losing an
     *        executor holding checkpoint blocks makes the frame
     *        unrecoverable (fine single-JVM and for consume-soon callers).
-    *        false: returns the final persisted frame with full lineage —
-    *        survives executor loss, but the caller owns `.unpersist()`. */
+    *        false: returns a persisted frame with full lineage — survives
+    *        executor loss; the caller owns `.unpersist()` ON THE RETURNED
+    *        FRAME (the returned plan is the persisted plan itself, so the
+    *        unpersist actually frees the cache entry). */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
@@ -98,6 +100,16 @@ object Graph {
       val out = labels.localCheckpoint(true)
       cached.unpersist()
       out
-    } else labels
+    } else {
+      // Persist the PROJECTION the caller receives, not the wider round
+      // frame: unpersist() only drops a cache entry whose plan matches the
+      // dataset it's called on, so returning `stepped.select(...)` over a
+      // persisted `stepped` would hand the caller a frame whose unpersist
+      // is a no-op — a session-lifetime leak per invocation.
+      val out = labels.persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      cached.unpersist()
+      out
+    }
   }
 }

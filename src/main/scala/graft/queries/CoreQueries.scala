@@ -482,6 +482,48 @@ object CoreQueries {
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(5, 45)) t
              |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(21, 50)) la
              |GROUP BY 1 ORDER BY time""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Generic dtype preservation — the reference's headline claim
+    // (README.md:17; the pinned i4/i8/f4/f8 matrix of
+    // test_polars_converter.py:198-215 is a floor, not a ceiling): one store
+    // holding bool masks, signed/unsigned 8/16/32-bit imagery-style ints,
+    // 64-bit ints, floats, AND big-endian spellings, scanned through the
+    // DSv2 source and joined on the shared coordinate. Values are chosen to
+    // prove signedness (u1 > 127, u4 > Int.MaxValue, negative BE ints) and
+    // exactness (dyadic floats).
+    Q(
+      "q23_dtypes",
+      (s, _) => {
+        val root = CoreQueries.q23Store()
+        val rd = new graft.api.ZarrDataReader(s, root)
+        def arr(name: String, out: Column => Column = identity): DataFrame =
+          rd.readArray(name).select(col("i"), out(col("value")).as(name))
+        arr("mask")
+          .join(arr("i1v"), Seq("i"))
+          .join(arr("u1v"), Seq("i"))
+          .join(arr("i2v"), Seq("i"))
+          .join(arr("u2v"), Seq("i"))
+          .join(arr("u4v"), Seq("i"))
+          .join(arr("i8v"), Seq("i"))
+          .join(arr("bei4v"), Seq("i"))
+          .join(arr("bef8v"), Seq("i"))
+          .join(arr("f4v", _.cast("double")), Seq("i"))
+          .orderBy("i")
+      },
+      Some("""SELECT CAST(r.i AS INTEGER) AS i,
+             |  (r.i % 3 = 0) AS mask,
+             |  CAST((r.i * 11) % 256 - 128 AS TINYINT) AS i1v,
+             |  CAST((r.i * 7) % 256 AS SMALLINT) AS u1v,
+             |  CAST(r.i * 1000 - 30000 AS SMALLINT) AS i2v,
+             |  CAST((r.i * 1103) % 65536 AS INTEGER) AS u2v,
+             |  CAST(4000000000 + r.i AS BIGINT) AS u4v,
+             |  CAST(r.i AS BIGINT) * 123456789012 AS i8v,
+             |  CAST(r.i * 97 - 1000 AS INTEGER) AS bei4v,
+             |  CAST(r.i AS DOUBLE) * 0.25 - 3.0 AS bef8v,
+             |  CAST(r.i AS DOUBLE) * 0.5 AS f4v
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 60)) r
+             |ORDER BY i""".stripMargin)
     )
   )
 
@@ -507,6 +549,37 @@ object CoreQueries {
       ZarrStoreWriter.writeCoord(dir, "time", Coord.Ints(Array.tabulate(60)(identity)))
       ZarrStoreWriter.writeCoord(dir, "lat", Coord.Doubles(Array.tabulate(50)(i => 10.0 + i * 0.5)))
       ZarrStoreWriter.writeCoord(dir, "lon", Coord.Doubles(Array.tabulate(40)(j => -50.0 + j * 0.25)))
+      ZarrStoreWriter.consolidate(dir)
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
+
+  /** Build the deterministic mixed-dtype q23 store once per JVM: ten 1-D
+    * arrays over a shared `<i4` coordinate `i` (length 60, chunks 16 — one
+    * partial chunk), dtypes spanning bool / i1 / u1 / i2 / u2 / u4 / i8 /
+    * big-endian i4+f8 / f4, compressors varied across none/zlib/zstd/blosc. */
+  private[queries] def q23Store(): String = synchronized {
+    val root = "/tmp/graft_q23_store"
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      import graft.sources.zarr.ZarrStoreWriter
+      val dir = ZarrStoreWriter.writeGroup(root)
+      val shape = Vector(60); val ch = Vector(16); val dims = Some(Vector("i"))
+      def w(name: String, dtype: String, comp: Option[String], f: Long => Double): Unit =
+        ZarrStoreWriter.writeArray(dir, name, shape, ch, dtype, f, dims = dims, compressor = comp)
+      w("mask", "|b1", None, i => if (i % 3 == 0) 1.0 else 0.0)
+      w("i1v", "<i1", Some("zlib"), i => ((i * 11) % 256 - 128).toDouble)
+      w("u1v", "|u1", Some("zstd"), i => ((i * 7) % 256).toDouble)
+      w("i2v", "<i2", Some("blosc:lz4"), i => (i * 1000 - 30000).toDouble)
+      w("u2v", "<u2", Some("blosc:zstd"), i => ((i * 1103) % 65536).toDouble)
+      w("u4v", "<u4", Some("zlib"), i => (4000000000L + i).toDouble)
+      w("i8v", "<i8", None, i => (i * 123456789012L).toDouble)
+      w("bei4v", ">i4", Some("zlib"), i => (i * 97 - 1000).toDouble)
+      w("bef8v", ">f8", Some("zstd"), i => i * 0.25 - 3.0)
+      w("f4v", "<f4", Some("blosc:lz4"), i => i * 0.5)
+      ZarrStoreWriter.writeCoord(dir, "i", Coord.Ints(Array.tabulate(60)(identity)))
       ZarrStoreWriter.consolidate(dir)
       java.nio.file.Files.writeString(marker, "ok")
     }

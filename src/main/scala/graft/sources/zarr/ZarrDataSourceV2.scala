@@ -498,7 +498,9 @@ class ZarrRowReader(
     ))
   }
   private val needValue = required.fieldNames.contains("value")
-  private val fillValue: Option[Double] = meta.fillValue
+  // fill value boxed ONCE as the dtype's Spark-internal value (null when the
+  // store declares no fill) — the per-cell loop never re-dispatches on dtype
+  private val fillAny: Any = meta.fillValue.map(f => ZDtype.box(meta.zdtype, f)).orNull
   private val row = new GenericInternalRow(required.length)
 
   override def next(): Boolean = {
@@ -517,17 +519,7 @@ class ZarrRowReader(
         case Right(_) =>
           val v: Any = buf match {
             case Some(b) => b.getValue(localFlat)
-            case None =>
-              fillValue match {
-                case Some(f) =>
-                  meta.dtype match {
-                    case "<i4" => f.toInt
-                    case "<i8" => f.toLong
-                    case "<f4" => f.toFloat
-                    case "<f8" => f
-                  }
-                case None => null
-              }
+            case None => fillAny
           }
           row.update(fi, v)
       }
@@ -566,33 +558,51 @@ class ZarrColumnarReader(
     required.fields.map(f => new OnHeapColumnVector(batchSize, f.dataType))
   private val batch = new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
   private val fillValue: Option[Double] = meta.fillValue
+  private val dtCode = meta.zdtype.code
+
+  /** One-cell value put, dtype bound ONCE — per-cell loop is monomorphic. */
+  private def bindCellPut(vec: OnHeapColumnVector): (ZarrBuffer, Int, Int) => Unit = dtCode match {
+    case ZDtype.BOOL => (b, n, flat) => vec.putBoolean(n, b.getBool(flat))
+    case ZDtype.I1 => (b, n, flat) => vec.putByte(n, b.getByte(flat))
+    case ZDtype.U1 => (b, n, flat) => vec.putShort(n, b.getU1(flat))
+    case ZDtype.I2 => (b, n, flat) => vec.putShort(n, b.getShort(flat))
+    case ZDtype.U2 => (b, n, flat) => vec.putInt(n, b.getU2(flat))
+    case ZDtype.I4 => (b, n, flat) => vec.putInt(n, b.getInt(flat))
+    case ZDtype.U4 => (b, n, flat) => vec.putLong(n, b.getU4(flat))
+    case ZDtype.I8 => (b, n, flat) => vec.putLong(n, b.getLong(flat))
+    case ZDtype.F4 => (b, n, flat) => vec.putFloat(n, b.getFloat(flat))
+    case ZDtype.F8 => (b, n, flat) => vec.putDouble(n, b.getDouble(flat))
+    case other => throw new IllegalStateException(s"bad dtype code $other")
+  }
+
+  /** Missing-chunk fill: (rowId, count) constant put, bound once. */
+  private def bindFillPut(vec: OnHeapColumnVector): (Int, Int) => Unit = fillValue match {
+    case None => (n, c) => vec.putNulls(n, c)
+    case Some(fv) =>
+      dtCode match {
+        case ZDtype.BOOL => (n, c) => vec.putBooleans(n, c, fv != 0.0)
+        case ZDtype.I1 => (n, c) => vec.putBytes(n, c, fv.toByte)
+        case ZDtype.U1 | ZDtype.I2 => (n, c) => vec.putShorts(n, c, fv.toShort)
+        case ZDtype.U2 | ZDtype.I4 => (n, c) => vec.putInts(n, c, fv.toInt)
+        case ZDtype.U4 | ZDtype.I8 => (n, c) => vec.putLongs(n, c, fv.toLong)
+        case ZDtype.F4 => (n, c) => vec.putFloats(n, c, fv.toFloat)
+        case ZDtype.F8 => (n, c) => vec.putDoubles(n, c, fv)
+        case other => throw new IllegalStateException(s"bad dtype code $other")
+      }
+  }
 
   // one typed filler per field, bound once — the per-cell loop below is
   // monomorphic primitive puts
   private val fillers: Array[Int => Unit] = required.fields.zipWithIndex.map { case (f, fi) =>
     val vec = vectors(fi)
-    if (f.name == "value") { (n: Int) =>
-      buf match {
-        case Some(b) =>
-          val flat = currentLocalFlat
-          meta.dtype match {
-            case "<i4" => vec.putInt(n, b.getInt(flat))
-            case "<i8" => vec.putLong(n, b.getLong(flat))
-            case "<f4" => vec.putFloat(n, b.getFloat(flat))
-            case "<f8" => vec.putDouble(n, b.getDouble(flat))
-          }
-        case None =>
-          fillValue match {
-            case Some(fv) =>
-              meta.dtype match {
-                case "<i4" => vec.putInt(n, fv.toInt)
-                case "<i8" => vec.putLong(n, fv.toLong)
-                case "<f4" => vec.putFloat(n, fv.toFloat)
-                case "<f8" => vec.putDouble(n, fv)
-              }
-            case None => vec.putNull(n)
-          }
-      }
+    if (f.name == "value") {
+      val cellPut = bindCellPut(vec)
+      val fillPut = bindFillPut(vec)
+      (n: Int) =>
+        buf match {
+          case Some(b) => cellPut(b, n, currentLocalFlat)
+          case None => fillPut(n, 1)
+        }
     } else {
       val d = outDims.find(dd => meta.dims(dd) == f.name).getOrElse(
         throw new IllegalArgumentException(s"unknown field ${f.name}")
@@ -609,38 +619,49 @@ class ZarrColumnarReader(
     }
   }
 
-  private val itemSize = ZarrMeta.itemSize(meta.dtype)
+  private val itemSize = meta.zdtype.itemSize
   private val innerDim = rank - 1
+
+  /** Run-level value put: (buffer, rowId, count, flatStart). Little-endian
+    * fixed-width types block-copy raw chunk bytes straight into the vector;
+    * widened (u1/u2/u4), bool, and big-endian types take a bound-once
+    * per-element loop (still batched — no per-cell lambda re-dispatch). */
+  private def bindRunPut(vec: OnHeapColumnVector): (ZarrBuffer, Int, Int, Int) => Unit = {
+    val le = !meta.zdtype.bigEndian
+    dtCode match {
+      case ZDtype.I1 => (b, n, c, flat) => vec.putBytes(n, c, b.raw, flat)
+      case ZDtype.I2 if le =>
+        // putShorts(byte[]) is a native-order copy — all supported platforms
+        // are little-endian (the BE dtype spelling routes to the loop below)
+        (b, n, c, flat) => vec.putShorts(n, c, b.raw, flat * 2)
+      case ZDtype.I4 if le => (b, n, c, flat) => vec.putIntsLittleEndian(n, c, b.raw, flat * 4)
+      case ZDtype.I8 if le => (b, n, c, flat) => vec.putLongsLittleEndian(n, c, b.raw, flat * 8)
+      case ZDtype.F4 if le => (b, n, c, flat) => vec.putFloatsLittleEndian(n, c, b.raw, flat * 4)
+      case ZDtype.F8 if le => (b, n, c, flat) => vec.putDoublesLittleEndian(n, c, b.raw, flat * 8)
+      case _ =>
+        val cellPut = bindCellPut(vec)
+        (b, n, c, flat) => {
+          var i = 0
+          while (i < c) { cellPut(b, n + i, flat + i); i += 1 }
+        }
+    }
+  }
 
   // one typed BULK filler per field, bound once: (rowId, count) fills a
   // whole contiguous innermost run — block copy for the value column
-  // (little-endian bytes straight from the decoded chunk), array-slice put
+  // (raw bytes straight from the decoded chunk), array-slice put
   // for the inner coordinate, constant fill for outer coordinates
   private val bulkFillers: Array[(Int, Int) => Unit] = required.fields.zipWithIndex.map {
     case (f, fi) =>
       val vec = vectors(fi)
-      if (f.name == "value") { (n: Int, c: Int) =>
-        buf match {
-          case Some(b) =>
-            val off = currentLocalFlat * itemSize
-            meta.dtype match {
-              case "<i4" => vec.putIntsLittleEndian(n, c, b.raw, off)
-              case "<i8" => vec.putLongsLittleEndian(n, c, b.raw, off)
-              case "<f4" => vec.putFloats(n, c, b.raw, off)
-              case "<f8" => vec.putDoubles(n, c, b.raw, off)
-            }
-          case None =>
-            fillValue match {
-              case Some(fv) =>
-                meta.dtype match {
-                  case "<i4" => vec.putInts(n, c, fv.toInt)
-                  case "<i8" => vec.putLongs(n, c, fv.toLong)
-                  case "<f4" => vec.putFloats(n, c, fv.toFloat)
-                  case "<f8" => vec.putDoubles(n, c, fv)
-                }
-              case None => vec.putNulls(n, c)
-            }
-        }
+      if (f.name == "value") {
+        val runPut = bindRunPut(vec)
+        val fillPut = bindFillPut(vec)
+        (n: Int, c: Int) =>
+          buf match {
+            case Some(b) => runPut(b, n, c, currentLocalFlat)
+            case None => fillPut(n, c)
+          }
       } else {
         val d = outDims.find(dd => meta.dims(dd) == f.name).getOrElse(
           throw new IllegalArgumentException(s"unknown field ${f.name}")

@@ -7,11 +7,14 @@ import org.json4s.jackson.JsonMethods
 /** Zarr v2 metadata model (public spec: zarr-specs v2; layout mirrored from
   * the reference's store handling, reference: src/data_access/zarr_storage.py:362-416).
   *
-  * Supported subset: C order, little-endian dtypes i4/i8/f4/f8, compressors
-  * `null`/`zlib`/`gzip`/`zstd`/`blosc` (the codec seam is [[ZarrCodec]];
-  * unknown codecs are rejected with a clear error). Dimension names come from the xarray
-  * `_ARRAY_DIMENSIONS` attribute with `dim_i` fallback (reference:
-  * zarr_reader.py:303-305).
+  * Supported subset: C order; bool/int/uint/float dtypes b1, i1, u1, i2,
+  * u2, i4, u4, i8, f4, f8 in little- OR big-endian spelling (`<`, `>`, `|`,
+  * `=` prefixes — generic type preservation is the reference's headline,
+  * README.md:17, and real stores carry `|b1` masks and `|u1`/`<u2` imagery);
+  * compressors `null`/`zlib`/`gzip`/`zstd`/`blosc` (the codec seam is
+  * [[ZarrCodec]]; unknown codecs are rejected with a clear error).
+  * Dimension names come from the xarray `_ARRAY_DIMENSIONS` attribute with
+  * `dim_i` fallback (reference: zarr_reader.py:303-305).
   */
 final case class ZarrArrayMeta(
     name: String,
@@ -25,35 +28,97 @@ final case class ZarrArrayMeta(
     attrs: Map[String, String]
 ) {
   def rank: Int = shape.length
-  def valueType: DataType = ZarrMeta.sparkType(dtype)
+  @transient lazy val zdtype: ZDtype = ZDtype.parse(dtype)
+  def valueType: DataType = zdtype.sparkType
   def nChunks: Vector[Int] =
     shape.zip(chunks).map { case (s, c) => if (s == 0) 0 else (s + c - 1) / c }
   def totalElements: Long = shape.map(_.toLong).product
 }
 
+/** Parsed numpy-style dtype descriptor. `code` switches the hot decode
+  * loops on one int compare (never a per-cell string match); `bigEndian`
+  * drives the ByteBuffer order. Unsigned types widen to the next signed
+  * Spark type (u1→short, u2→int, u4→long) — the convention Spark's own
+  * parquet reader uses for unsigned logical types, so values like a 250
+  * `|u1` pixel or a 4e9 `<u4` counter survive unchanged. */
+final case class ZDtype(tag: String, code: Int, itemSize: Int, bigEndian: Boolean, sparkType: DataType)
+    extends Serializable
+
+object ZDtype {
+  final val BOOL = 0; final val I1 = 1; final val U1 = 2; final val I2 = 3; final val U2 = 4
+  final val I4 = 5; final val U4 = 6; final val I8 = 7; final val F4 = 8; final val F8 = 9
+
+  private val Kinds: Map[String, (Int, Int, DataType)] = Map(
+    "b1" -> ((BOOL, 1, BooleanType)),
+    "i1" -> ((I1, 1, ByteType)),
+    "u1" -> ((U1, 1, ShortType)),
+    "i2" -> ((I2, 2, ShortType)),
+    "u2" -> ((U2, 2, IntegerType)),
+    "i4" -> ((I4, 4, IntegerType)),
+    "u4" -> ((U4, 4, LongType)),
+    "i8" -> ((I8, 8, LongType)),
+    "f4" -> ((F4, 4, FloatType)),
+    "f8" -> ((F8, 8, DoubleType))
+  )
+
+  def parse(dtype: String): ZDtype = {
+    val (big, kind) =
+      if (dtype.isEmpty) (false, dtype)
+      else
+        dtype.charAt(0) match {
+          // '=' is numpy native order: every platform this runs on is LE
+          case '<' | '=' | '|' => (false, dtype.substring(1))
+          case '>' => (true, dtype.substring(1))
+          case _ => (false, dtype) // bare "i4" spelling tolerated
+        }
+    Kinds.get(kind) match {
+      case Some((code, size, st)) => ZDtype(dtype, code, size, big && size > 1, st)
+      case None =>
+        throw new IllegalArgumentException(
+          s"unsupported zarr dtype '$dtype' (supported kinds: ${Kinds.keys.toSeq.sorted.mkString(", ")} " +
+            "with '<', '>', '|', '=' byte-order prefixes; strings/datetimes/complex are not)"
+        )
+    }
+  }
+
+  /** Box a (numeric) fill value as the Spark-internal value for this dtype. */
+  def box(dt: ZDtype, v: Double): Any = dt.code match {
+    case BOOL => v != 0.0
+    case I1 => v.toByte
+    case U1 => v.toShort
+    case I2 => v.toShort
+    case U2 => v.toInt
+    case I4 => v.toInt
+    case U4 => v.toLong
+    case I8 => v.toLong
+    case F4 => v.toFloat
+    case F8 => v
+    case other => throw new IllegalStateException(s"bad dtype code $other")
+  }
+
+  /** Encode one value at element index `i` into a buffer whose order is
+    * already this dtype's byte order (writer + fill-chunk encode seam). */
+  def put(dt: ZDtype, buf: java.nio.ByteBuffer, i: Int, v: Double): Unit = dt.code match {
+    case BOOL => buf.put(i, if (v != 0.0) 1.toByte else 0.toByte)
+    case I1 => buf.put(i, v.toByte)
+    case U1 => buf.put(i, (v.toInt & 0xff).toByte)
+    case I2 => buf.putShort(i * 2, v.toShort)
+    case U2 => buf.putShort(i * 2, (v.toInt & 0xffff).toShort)
+    case I4 => buf.putInt(i * 4, v.toInt)
+    case U4 => buf.putInt(i * 4, (v.toLong & 0xffffffffL).toInt)
+    case I8 => buf.putLong(i * 8, v.toLong)
+    case F4 => buf.putFloat(i * 4, v.toFloat)
+    case F8 => buf.putDouble(i * 8, v)
+    case other => throw new IllegalStateException(s"bad dtype code $other")
+  }
+}
+
 object ZarrMeta {
   implicit val formats: Formats = DefaultFormats
 
-  val SupportedDtypes: Map[String, DataType] = Map(
-    "<i4" -> IntegerType,
-    "<i8" -> LongType,
-    "<f4" -> FloatType,
-    "<f8" -> DoubleType
-  )
+  def sparkType(dtype: String): DataType = ZDtype.parse(dtype).sparkType
 
-  def sparkType(dtype: String): DataType =
-    SupportedDtypes.getOrElse(
-      dtype,
-      throw new IllegalArgumentException(
-        s"unsupported zarr dtype '$dtype' (supported: ${SupportedDtypes.keys.mkString(", ")})"
-      )
-    )
-
-  def itemSize(dtype: String): Int = dtype match {
-    case "<i4" | "<f4" => 4
-    case "<i8" | "<f8" => 8
-    case other => throw new IllegalArgumentException(s"unsupported zarr dtype '$other'")
-  }
+  def itemSize(dtype: String): Int = ZDtype.parse(dtype).itemSize
 
   /** Parse `.zarray` + optional `.zattrs` JSON into the meta model. */
   def parseArray(name: String, zarrayJson: String, zattrsJson: Option[String]): ZarrArrayMeta = {

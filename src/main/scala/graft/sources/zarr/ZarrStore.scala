@@ -110,23 +110,39 @@ final class ZarrStore(
     listArrays().map(n => n -> arrayMeta(n)).toMap
 }
 
-/** Typed view over a decoded chunk buffer. */
-final class ZarrBuffer(bytes: Array[Byte], dtype: String) extends Serializable {
-  /** Raw little-endian bytes — the columnar reader block-copies contiguous
-    * runs straight from here into column vectors. */
+/** Typed view over a decoded chunk buffer. The ByteBuffer order follows the
+  * dtype's byte order, so `>f8` / `>i4` big-endian stores decode through the
+  * same accessors as the little-endian common case. */
+final class ZarrBuffer(bytes: Array[Byte], val dt: ZDtype) extends Serializable {
+  /** Raw bytes in the store's own order — the columnar reader block-copies
+    * contiguous little-endian runs straight from here into column vectors
+    * (big-endian dtypes take the per-element accessor path instead). */
   def raw: Array[Byte] = bytes
   @transient private lazy val buf: ByteBuffer =
-    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    ByteBuffer.wrap(bytes).order(if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
   def getInt(i: Int): Int = buf.getInt(i * 4)
   def getLong(i: Int): Long = buf.getLong(i * 8)
   def getFloat(i: Int): Float = buf.getFloat(i * 4)
   def getDouble(i: Int): Double = buf.getDouble(i * 8)
+  def getBool(i: Int): Boolean = bytes(i) != 0
+  def getByte(i: Int): Byte = bytes(i)
+  def getU1(i: Int): Short = (bytes(i) & 0xff).toShort
+  def getShort(i: Int): Short = buf.getShort(i * 2)
+  def getU2(i: Int): Int = buf.getShort(i * 2) & 0xffff
+  def getU4(i: Int): Long = buf.getInt(i * 4) & 0xffffffffL
   /** Read as Any matching the Spark type for dtype. */
-  def getValue(i: Int): Any = dtype match {
-    case "<i4" => getInt(i)
-    case "<i8" => getLong(i)
-    case "<f4" => getFloat(i)
-    case "<f8" => getDouble(i)
+  def getValue(i: Int): Any = dt.code match {
+    case ZDtype.BOOL => getBool(i)
+    case ZDtype.I1 => getByte(i)
+    case ZDtype.U1 => getU1(i)
+    case ZDtype.I2 => getShort(i)
+    case ZDtype.U2 => getU2(i)
+    case ZDtype.I4 => getInt(i)
+    case ZDtype.U4 => getU4(i)
+    case ZDtype.I8 => getLong(i)
+    case ZDtype.F4 => getFloat(i)
+    case ZDtype.F8 => getDouble(i)
+    case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 }
 
@@ -152,7 +168,7 @@ object ZarrChunkIO {
         bytes.length == rawLen,
         s"chunk ${f.getName} decoded to ${bytes.length} bytes, expected $rawLen"
       )
-      new ZarrBuffer(bytes, meta.dtype)
+      new ZarrBuffer(bytes, meta.zdtype)
     }
   }
 
@@ -182,9 +198,11 @@ object ZarrChunkIO {
       }
       ci += 1
     }
-    new ZarrBuffer(out, meta.dtype)
+    new ZarrBuffer(out, meta.zdtype)
   }
 
+  // dtype-generic: cells move as raw item-sized byte groups (the output
+  // buffer keeps the store's own byte order, which ZarrBuffer then decodes)
   private def copyChunk(
       buf: ZarrBuffer,
       cIdx: Array[Int],
@@ -193,13 +211,7 @@ object ZarrChunkIO {
       item: Int
   ): Unit =
     foreachCell(cIdx, meta) { (localFlat, globalFlat) =>
-      val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
-      meta.dtype match {
-        case "<i4" => bb.putInt(globalFlat.toInt * 4, buf.getInt(localFlat))
-        case "<i8" => bb.putLong(globalFlat.toInt * 8, buf.getLong(localFlat))
-        case "<f4" => bb.putFloat(globalFlat.toInt * 4, buf.getFloat(localFlat))
-        case "<f8" => bb.putDouble(globalFlat.toInt * 8, buf.getDouble(localFlat))
-      }
+      System.arraycopy(buf.raw, localFlat * item, out, globalFlat.toInt * item, item)
     }
 
   private def fillChunk(
@@ -208,16 +220,16 @@ object ZarrChunkIO {
       meta: ZarrArrayMeta,
       out: Array[Byte],
       item: Int
-  ): Unit =
+  ): Unit = {
+    val one = ByteBuffer
+      .allocate(item)
+      .order(if (meta.zdtype.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    ZDtype.put(meta.zdtype, one, 0, fill)
+    val enc = one.array()
     foreachCell(cIdx, meta) { (_, globalFlat) =>
-      val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
-      meta.dtype match {
-        case "<i4" => bb.putInt(globalFlat.toInt * 4, fill.toInt)
-        case "<i8" => bb.putLong(globalFlat.toInt * 8, fill.toLong)
-        case "<f4" => bb.putFloat(globalFlat.toInt * 4, fill.toFloat)
-        case "<f8" => bb.putDouble(globalFlat.toInt * 8, fill)
-      }
+      System.arraycopy(enc, 0, out, globalFlat.toInt * item, item)
     }
+  }
 
   /** Iterate valid (in-bounds) cells of a chunk: (localFlat, globalFlat). */
   private def foreachCell(cIdx: Array[Int], meta: ZarrArrayMeta)(f: (Int, Long) => Unit): Unit = {

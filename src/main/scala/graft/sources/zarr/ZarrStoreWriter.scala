@@ -57,7 +57,8 @@ object ZarrStoreWriter {
     val allAttrs = (dimAttr.toSeq ++ extraAttrs).mkString(", ")
     Files.writeString(dir.resolve(".zattrs"), s"{$allAttrs}")
 
-    val item = ZarrMeta.itemSize(dtype)
+    val dt = ZDtype.parse(dtype)
+    val item = dt.itemSize
     val rank = shape.length
     val nC = shape.zip(chunks).map { case (s, c) => if (s == 0) 0 else (s + c - 1) / c }
     val chunkElems = chunks.map(_.toLong).product.toInt
@@ -71,15 +72,17 @@ object ZarrStoreWriter {
 
       var rem = ci; var d = rank - 1
       while (d >= 0) { cIdx(d) = if (nC(d) == 0) 0 else rem % nC(d); rem /= math.max(nC(d), 1); d -= 1 }
-      val buf = ByteBuffer.allocate(chunkElems * item).order(ByteOrder.LITTLE_ENDIAN)
+      val buf = ByteBuffer
+        .allocate(chunkElems * item)
+        .order(if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
       // fill default
       val fillV = fillValue.getOrElse(0.0)
       var i = 0
-      while (i < chunkElems) { put(buf, i, item, dtype, fillV); i += 1 }
+      while (i < chunkElems) { ZDtype.put(dt, buf, i, fillV); i += 1 }
       // write in-bounds cells
       val lo = Array.tabulate(rank)(d => cIdx(d) * chunks(d))
       val hi = Array.tabulate(rank)(d => math.min(shape(d), lo(d) + chunks(d)))
-      if (rank == 0) put(buf, 0, item, dtype, value(0L))
+      if (rank == 0) ZDtype.put(dt, buf, 0, value(0L))
       else if (!hi.indices.exists(d => lo(d) >= hi(d))) {
         val pos = lo.clone()
         var done = false
@@ -91,7 +94,7 @@ object ZarrStoreWriter {
             globalFlat += pos(k).toLong * globalStrides(k)
             k += 1
           }
-          put(buf, localFlat.toInt, item, dtype, value(globalFlat))
+          ZDtype.put(dt, buf, localFlat.toInt, value(globalFlat))
           var c = rank - 1; var carry = true
           while (carry && c >= 0) {
             pos(c) += 1
@@ -105,14 +108,6 @@ object ZarrStoreWriter {
       ci += 1
     }
   }
-
-  private def put(buf: ByteBuffer, i: Int, item: Int, dtype: String, v: Double): Unit =
-    dtype match {
-      case "<i4" => buf.putInt(i * 4, v.toInt)
-      case "<i8" => buf.putLong(i * 8, v.toLong)
-      case "<f4" => buf.putFloat(i * 4, v.toFloat)
-      case "<f8" => buf.putDouble(i * 8, v)
-    }
 
   /** Write a 1-D coordinate array for a dimension. */
   def writeCoord(groupDir: Path, dim: String, coord: Coord, compressor: Option[String] = None): Unit = {

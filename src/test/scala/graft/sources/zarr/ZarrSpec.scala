@@ -219,6 +219,82 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("extended dtype matrix: bool/int/uint/big-endian preserve values; row==columnar parity") {
+    import graft.model.Selection
+    val root = Files.createTempDirectory("zarrxdtype").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    val comps = Seq(None, Some("zlib"), Some("zstd"), Some("blosc:lz4"))
+    // name, dtype, spark type, write fn (flat -> semantic value), expected typed value
+    val cases: Seq[(String, String, DataType, Long => Double, Long => Any)] = Seq(
+      ("m_b1", "|b1", BooleanType, f => if (f % 3 == 0) 1.0 else 0.0, f => f % 3 == 0),
+      ("m_i1", "<i1", ByteType, f => ((f * 11) % 256 - 128).toDouble, f => ((f * 11) % 256 - 128).toByte),
+      ("m_u1", "|u1", ShortType, f => ((f * 7) % 256).toDouble, f => ((f * 7) % 256).toShort),
+      ("m_i2", "<i2", ShortType, f => (f * 101 - 3000).toDouble, f => (f * 101 - 3000).toShort),
+      ("m_i2be", ">i2", ShortType, f => (f * 101 - 3000).toDouble, f => (f * 101 - 3000).toShort),
+      ("m_u2", "<u2", IntegerType, f => ((f * 1103) % 65536).toDouble, f => ((f * 1103) % 65536).toInt),
+      ("m_u2be", ">u2", IntegerType, f => ((f * 1103) % 65536).toDouble, f => ((f * 1103) % 65536).toInt),
+      ("m_u4", "<u4", LongType, f => (4000000000L + f).toDouble, f => 4000000000L + f),
+      ("m_u4be", ">u4", LongType, f => (4000000000L + f).toDouble, f => 4000000000L + f),
+      ("m_i4be", ">i4", IntegerType, f => (f * 97 - 1000).toDouble, f => (f * 97 - 1000).toInt),
+      ("m_i8be", ">i8", LongType, f => (f * 1234567L).toDouble, f => f * 1234567L),
+      ("m_f4be", ">f4", FloatType, f => f * 0.5, f => f * 0.5f),
+      ("m_f8be", ">f8", DoubleType, f => f * 0.25 - 3.0, f => f * 0.25 - 3.0)
+    )
+    cases.zipWithIndex.foreach { case ((n, dt, _, f, _), i) =>
+      // compressor varies cyclically: blosc lands on 2- and 4-byte typesizes
+      // (shuffle lanes) and a big-endian float (byte transpose is
+      // order-agnostic — decode must still honor the BE dtype)
+      ZarrStoreWriter.writeArray(
+        dir, n, Vector(6, 10), Vector(4, 4), dt, f,
+        dims = Some(Vector("r", "c")), compressor = comps(i % comps.length)
+      )
+    }
+    val reader = new ZarrDataReader(spark, root)
+    val store = new ZarrStore(root)
+    cases.foreach { case (n, _, st, _, expect) =>
+      val df = reader.readArray(n)
+      assert(df.schema("value").dataType == st, n)
+      val got = df.orderBy("r", "c").select("value").collect().map(_.get(0)).toSeq
+      assert(got == (0L until 60L).map(expect), n)
+      // row == columnar parity, full scan AND non-contiguous gather
+      val meta = store.arrayMeta(n)
+      val coords = meta.dims.zip(meta.shape).map { case (d, sz) => store.coordFor(d, sz) }.toVector
+      Seq(Map.empty[String, DimSel], Map("c" -> DimSel.Indices(Vector(9, 1, 4)))).foreach { selMap =>
+        val sel = Selection.resolve(meta.shape, meta.dims, selMap)
+        val schema = StructType(
+          sel.outDims.map(d => StructField(meta.dims(d), coords(d).dataType, nullable = false)) :+
+            StructField("value", meta.valueType, nullable = true)
+        )
+        val scan = new ZarrScan(store.arrayDir(n), meta, sel, coords, schema, 16L)
+        val factory = scan.createReaderFactory().asInstanceOf[ZarrReaderFactory]
+        val parts = scan.planInputPartitions()
+        val viaRows = parts.toSeq.flatMap { p =>
+          val r = factory.createReader(p)
+          val out = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+          while (r.next()) out += (0 until schema.length).map(i => r.get().get(i, schema(i).dataType))
+          out.toSeq
+        }
+        val viaBatches = parts.toSeq.flatMap { p =>
+          val r = factory.createColumnarReader(p)
+          val out = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+          while (r.next()) {
+            val it = r.get().rowIterator()
+            while (it.hasNext) {
+              val row = it.next()
+              out += (0 until schema.length).map(i => row.get(i, schema(i).dataType))
+            }
+          }
+          out.toSeq
+        }
+        assert(viaRows == viaBatches, s"$n sel=$selMap")
+        assert(viaRows.nonEmpty, s"$n sel=$selMap")
+      }
+    }
+    // strings/datetimes still reject with a clear, actionable error
+    val e = intercept[IllegalArgumentException](ZDtype.parse("<U8"))
+    assert(e.getMessage.contains("unsupported zarr dtype"))
+  }
+
   test("scalar (0-d) array yields one-row frame [value]") {
     val root = Files.createTempDirectory("zarr0d").toString
     val dir = ZarrStoreWriter.writeGroup(root)
