@@ -572,8 +572,8 @@ object CoreQueries {
       w("mask", "|b1", None, i => if (i % 3 == 0) 1.0 else 0.0)
       w("i1v", "<i1", Some("zlib"), i => ((i * 11) % 256 - 128).toDouble)
       w("u1v", "|u1", Some("zstd"), i => ((i * 7) % 256).toDouble)
-      w("i2v", "<i2", Some("blosc:lz4"), i => (i * 1000 - 30000).toDouble)
-      w("u2v", "<u2", Some("blosc:zstd"), i => ((i * 1103) % 65536).toDouble)
+      w("i2v", "<i2", Some("blosc:blosclz"), i => (i * 1000 - 30000).toDouble)
+      w("u2v", "<u2", Some("blosc:zstd:bitshuffle"), i => ((i * 1103) % 65536).toDouble)
       w("u4v", "<u4", Some("zlib"), i => (4000000000L + i).toDouble)
       w("i8v", "<i8", None, i => (i * 123456789012L).toDouble)
       w("bei4v", ">i4", Some("zlib"), i => (i * 97 - 1000).toDouble)

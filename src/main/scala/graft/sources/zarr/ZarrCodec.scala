@@ -28,10 +28,11 @@ object ZarrCodec {
         )
     }
 
-  /** `codec` for write: "zlib" | "gzip" | "zstd" | "blosc[:cname[:noshuffle]]"
-    * (blosc cname ∈ lz4, zstd, zlib, snappy; byte-shuffle on by default to
-    * match numcodecs' zarr default `Blosc(cname='lz4', shuffle=SHUFFLE)`).
-    * `typesize` drives the blosc shuffle filter; other codecs ignore it. */
+  /** `codec` for write: "zlib" | "gzip" | "zstd" |
+    * "blosc[:cname[:noshuffle|:bitshuffle]]" (blosc cname ∈ blosclz, lz4,
+    * zstd, zlib, snappy; byte-shuffle on by default to match numcodecs' zarr
+    * default `Blosc(cname='lz4', shuffle=SHUFFLE)`). `typesize` drives the
+    * blosc shuffle filters; other codecs ignore it. */
   def compress(codec: Option[String], bytes: Array[Byte], typesize: Int = 1): Array[Byte] = codec match {
     case None => bytes
     case Some("zlib") =>
@@ -46,11 +47,17 @@ object ZarrCodec {
     case Some(b) if b == "blosc" || b.startsWith("blosc:") =>
       val parts = b.split(":")
       val cname = if (parts.length > 1) parts(1) else "lz4"
-      val shuffle = !(parts.length > 2 && parts(2) == "noshuffle")
-      Blosc.compress(cname, bytes, typesize, shuffle)
+      Blosc.compressMode(cname, bytes, typesize, shuffleModeOf(parts))
     case Some(other) =>
       throw new UnsupportedOperationException(s"zarr codec '$other' not supported for write")
   }
+
+  /** numcodecs shuffle encoding for a "blosc[:cname[:mode]]" spec string:
+    * 0 none, 1 byte-shuffle (default), 2 bit-shuffle. */
+  private[zarr] def shuffleModeOf(parts: Array[String]): Int =
+    if (parts.length > 2 && parts(2) == "noshuffle") 0
+    else if (parts.length > 2 && parts(2) == "bitshuffle") 2
+    else 1
 
   private def readAll(in: java.io.InputStream, expect: Int): Array[Byte] = {
     val out = new ByteArrayOutputStream(math.max(64, expect))
@@ -87,9 +94,11 @@ object ZarrCodec {
   * other split count if not — both layouts decode.
   *
   * Byte-shuffle is applied per block (shuffle -> compress; decompress ->
-  * unshuffle). Bit-shuffle (numcodecs shuffle=2) is rejected with a clear
-  * error. blosclz payloads are rejected: it is blosc's own LZ77 format with
-  * no JVM implementation (numcodecs' zarr default is lz4, which is covered).
+  * unshuffle). Bit-shuffle (numcodecs shuffle=2) is a per-block bit-matrix
+  * transpose over whole 8-element groups with c-blosc's raw-leftover rule
+  * (see [[bitShuffle]]). blosclz (inner codec 0, c-blosc's own default
+  * cname) decodes through [[BloscLz]], a from-spec implementation of the
+  * FastLZ-derived format.
   */
 object Blosc {
   private val FlagShuffle = 0x1
@@ -113,19 +122,23 @@ object Blosc {
       System.arraycopy(frame, 16, out, 0, nbytes)
       return out
     }
-    require((flags & FlagBitShuffle) == 0, "blosc bit-shuffle filter not supported (byte-shuffle is)")
+    require(
+      (flags & FlagShuffle) == 0 || (flags & FlagBitShuffle) == 0,
+      "corrupt blosc frame: both byte-shuffle and bit-shuffle flags set"
+    )
     val codec = (flags >> 5) & 0x7
     val shuffled = (flags & FlagShuffle) != 0 && typesize > 1
+    val bitShuffled = (flags & FlagBitShuffle) != 0
     val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
     val bstarts = Array.tabulate(nblocks)(i => bb.getInt(16 + 4 * i))
-    val tmp = if (shuffled) new Array[Byte](blocksize) else null
+    val tmp = if (shuffled || bitShuffled) new Array[Byte](blocksize) else null
     var b = 0
     while (b < nblocks) {
       val bsize = math.min(blocksize.toLong, nbytes.toLong - b.toLong * blocksize).toInt
       val leftover = bsize != blocksize
       val blockEnd = if (b + 1 < nblocks) bstarts(b + 1) else frame.length
-      val target = if (shuffled) tmp else out
-      val targetOff = if (shuffled) 0 else b * blocksize
+      val target = if (shuffled || bitShuffled) tmp else out
+      val targetOff = if (shuffled || bitShuffled) 0 else b * blocksize
       val primary = if (!leftover && splitPolicy(codec, typesize, blocksize)) typesize else 1
       val ok = tryDecodeBlock(frame, bstarts(b), blockEnd, codec, primary, bsize, target, targetOff) || {
         // other split layout (older c-blosc always split when splittable)
@@ -135,6 +148,7 @@ object Blosc {
       }
       require(ok, s"blosc block $b failed to decode (codec=$codec typesize=$typesize)")
       if (shuffled) unshuffle(typesize, tmp, bsize, out, b * blocksize)
+      else if (bitShuffled) bitUnshuffle(typesize, tmp, bsize, out, b * blocksize)
       b += 1
     }
     out
@@ -173,6 +187,7 @@ object Blosc {
         if (csize == neblock) System.arraycopy(frame, pos, out, dstOff, neblock)
         else {
           val n = codec match {
+            case 0 => BloscLz.decompress(frame, pos, csize, out, dstOff, neblock)
             case 1 => lz4.safeDecompressor().decompress(frame, pos, csize, out, dstOff, neblock)
             case 2 =>
               val dec = org.xerial.snappy.Snappy.uncompress(java.util.Arrays.copyOfRange(frame, pos, pos + csize))
@@ -186,10 +201,6 @@ object Blosc {
               com.github.luben.zstd.Zstd
                 .decompressByteArray(out, dstOff, neblock, frame, pos, csize)
                 .toInt
-            case 0 =>
-              throw new UnsupportedOperationException(
-                "blosc inner codec 'blosclz' has no JVM implementation (supported: lz4, snappy, zlib, zstd)"
-              )
             case other => throw new UnsupportedOperationException(s"unknown blosc inner codec id $other")
           }
           if (n != neblock) return false
@@ -203,19 +214,31 @@ object Blosc {
       case scala.util.control.NonFatal(_) => false
     }
 
-  /** Compress into a blosc1 frame readable by c-blosc/numcodecs.
-    * `blockSize` 0 (default) = one block; any positive value exercises the
-    * full multi-block + leftover-block layout (shuffle, splits, and the
-    * raw-split escape all applied per block, exactly as decode walks it).
-    * Property-tested round-trip across codecs/typesizes/block shapes. */
+  /** Boolean byte-shuffle compatibility wrapper over [[compressMode]]. */
   def compress(
       cname: String,
       data: Array[Byte],
       typesize: Int,
       shuffle: Boolean,
       blockSize: Int = 0
+  ): Array[Byte] = compressMode(cname, data, typesize, if (shuffle) 1 else 0, blockSize)
+
+  /** Compress into a blosc1 frame readable by c-blosc/numcodecs.
+    * `shuffleMode` uses numcodecs' encoding: 0 none, 1 byte-shuffle,
+    * 2 bit-shuffle. `blockSize` 0 (default) = one block; any positive value
+    * exercises the full multi-block + leftover-block layout (shuffle,
+    * splits, and the raw-split escape all applied per block, exactly as
+    * decode walks it). Property-tested round-trip across codecs/typesizes/
+    * block shapes/shuffle modes. */
+  def compressMode(
+      cname: String,
+      data: Array[Byte],
+      typesize: Int,
+      shuffleMode: Int,
+      blockSize: Int = 0
   ): Array[Byte] = {
     val codec = cname match {
+      case "blosclz" => 0
       case "lz4" => 1
       case "snappy" => 2
       case "zlib" => 3
@@ -226,13 +249,17 @@ object Blosc {
     val ts = math.max(1, typesize)
     val blocksize =
       if (blockSize > 0) math.max(blockSize, ts) else math.max(nbytes, ts)
-    // c-blosc shuffles only complete elements; per-BLOCK shuffle requires
-    // each full block to hold whole elements
-    val doShuffle = shuffle && ts > 1 && blocksize % ts == 0 && nbytes % ts == 0
+    // c-blosc shuffles only complete elements; per-BLOCK byte-shuffle
+    // requires each full block to hold whole elements. Bit-shuffle needs no
+    // such gate: its per-block leftover rule (whole 8-element groups only,
+    // tail raw) is applied symmetrically by decode.
+    val doShuffle = shuffleMode == 1 && ts > 1 && blocksize % ts == 0 && nbytes % ts == 0
+    val doBitShuffle = shuffleMode == 2
     val nblocks = if (nbytes == 0) 0 else ((nbytes.toLong + blocksize - 1) / blocksize).toInt
     val sizeBuf = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
 
     def compressOne(src: Array[Byte], off: Int, len: Int): Array[Byte] = codec match {
+      case 0 => BloscLz.compress(src, off, len)
       case 1 =>
         val c = lz4.fastCompressor()
         val outBuf = new Array[Byte](c.maxCompressedLength(len))
@@ -259,6 +286,10 @@ object Blosc {
         if (doShuffle) {
           val t = new Array[Byte](bsize)
           shuffleBytes(ts, java.util.Arrays.copyOfRange(data, blockOff, blockOff + bsize), t)
+          t
+        } else if (doBitShuffle) {
+          val t = new Array[Byte](bsize)
+          bitShuffle(ts, java.util.Arrays.copyOfRange(data, blockOff, blockOff + bsize), t)
           t
         } else java.util.Arrays.copyOfRange(data, blockOff, blockOff + bsize)
       val nsplits = if (!leftover && splitPolicy(codec, ts, blocksize)) ts else 1
@@ -292,7 +323,8 @@ object Blosc {
       System.arraycopy(data, 0, out, 16, nbytes) // memcpy frames are UNSHUFFLED
       out
     } else {
-      val flags = (if (doShuffle) FlagShuffle else 0) | (codec << 5)
+      val flags =
+        (if (doShuffle) FlagShuffle else 0) | (if (doBitShuffle) FlagBitShuffle else 0) | (codec << 5)
       header.put(2, flags.toByte)
       header.put(3, ts.toByte)
       header.putInt(4, nbytes); header.putInt(8, blocksize)
@@ -333,5 +365,200 @@ object Blosc {
     }
     var t = nel * typesize
     while (t < bsize) { dst(dstOff + t) = src(t); t += 1 }
+  }
+
+  /** Bit-shuffle (numcodecs shuffle=2): transpose the bit matrix of
+    * (elements) x (bits per element) so that bit plane p of byte lane j is
+    * stored contiguously as plane (j*8 + p), packed LSB-first — the layout
+    * that makes slowly-varying numeric data byte-compressible at the bit
+    * level. Only whole 8-element groups participate; the trailing
+    * `nel % 8` elements and any sub-element tail are copied raw — c-blosc's
+    * per-block leftover rule, recomputable by decode from (bsize, typesize)
+    * alone so no extra header state is needed. */
+  private[zarr] def bitShuffle(typesize: Int, src: Array[Byte], dst: Array[Byte]): Unit = {
+    val len = src.length
+    val nel = len / typesize
+    val ep = nel - (nel % 8)
+    val planeBytes = ep / 8
+    var j = 0
+    while (j < typesize) {
+      var p = 0
+      while (p < 8) {
+        val base = (j * 8 + p) * planeBytes
+        var q = 0
+        while (q < planeBytes) {
+          var b = 0
+          var r = 0
+          while (r < 8) {
+            b |= ((src((8 * q + r) * typesize + j) >> p) & 1) << r
+            r += 1
+          }
+          dst(base + q) = b.toByte
+          q += 1
+        }
+        p += 1
+      }
+      j += 1
+    }
+    var t = ep * typesize
+    while (t < len) { dst(t) = src(t); t += 1 }
+  }
+
+  /** Inverse of [[bitShuffle]] over one block of `bsize` bytes. */
+  private[zarr] def bitUnshuffle(typesize: Int, src: Array[Byte], bsize: Int, dst: Array[Byte], dstOff: Int): Unit = {
+    val nel = bsize / typesize
+    val ep = nel - (nel % 8)
+    val planeBytes = ep / 8
+    java.util.Arrays.fill(dst, dstOff, dstOff + ep * typesize, 0.toByte)
+    var j = 0
+    while (j < typesize) {
+      var p = 0
+      while (p < 8) {
+        val base = (j * 8 + p) * planeBytes
+        var q = 0
+        while (q < planeBytes) {
+          val v = src(base + q) & 0xff
+          var r = 0
+          while (r < 8) {
+            if (((v >> r) & 1) != 0) {
+              val di = dstOff + (8 * q + r) * typesize + j
+              dst(di) = (dst(di) | (1 << p)).toByte
+            }
+            r += 1
+          }
+          q += 1
+        }
+        p += 1
+      }
+      j += 1
+    }
+    var t = ep * typesize
+    while (t < bsize) { dst(dstOff + t) = src(t); t += 1 }
+  }
+}
+
+/** blosclz — c-blosc's own default inner codec (cname 0), a FastLZ-derived
+  * LZ77 format, re-implemented from the public format (c-blosc 1.x
+  * blosclz.c, BSD): a token stream where token < 32 is a literal run of
+  * token+1 bytes; otherwise the top 3 bits carry match length - 2 (7 =
+  * extended by 255-continuation bytes), the low 5 bits are the distance
+  * high byte, the next byte the distance low byte, with a 16-bit
+  * far-distance escape (low byte 255 at max 13-bit offset). The first token
+  * is always a literal run (the decoder masks it with `& 31`).
+  *
+  * The encoder is a greedy hash-table LZ that caps match distance below the
+  * far-distance escape, so every emitted stream stays in the unambiguous
+  * core of the format; the decoder handles the full format including far
+  * matches. Byte-for-byte identity with c-blosc output is NOT required by
+  * the frame (any valid token stream decodes); round-trip and frame-level
+  * decode are property-tested. */
+object BloscLz {
+  private val MaxDistance = 8191
+
+  /** Decompress `inLen` bytes at `in(start)` into `out(outOff, outOff+outLen)`;
+    * returns bytes produced (callers require == outLen). */
+  def decompress(in: Array[Byte], start: Int, inLen: Int, out: Array[Byte], outOff: Int, outLen: Int): Int = {
+    var ip = start
+    val ipEnd = start + inLen
+    var op = outOff
+    val opEnd = outOff + outLen
+    if (ip >= ipEnd) return 0
+    var ctrl = in(ip) & 31 // first token is forced literal
+    ip += 1
+    var done = false
+    while (!done) {
+      if (ctrl >= 32) {
+        var len = (ctrl >> 5) - 1
+        var ofs = (ctrl & 31) << 8
+        if (len == 6) { // 7-1: extended length
+          var code = 0
+          do {
+            if (ip >= ipEnd) throw new IllegalArgumentException("truncated blosclz stream (length)")
+            code = in(ip) & 0xff; ip += 1
+            len += code
+          } while (code == 255)
+        }
+        if (ip >= ipEnd) throw new IllegalArgumentException("truncated blosclz stream (distance)")
+        val code = in(ip) & 0xff; ip += 1
+        len += 3
+        var ref = op - ofs - 1 - code
+        if (code == 255 && ofs == (31 << 8)) {
+          if (ip + 1 >= ipEnd) throw new IllegalArgumentException("truncated blosclz stream (far distance)")
+          ofs = ((in(ip) & 0xff) << 8) | (in(ip + 1) & 0xff); ip += 2
+          ref = op - ofs - MaxDistance
+        }
+        if (op + len > opEnd || ref < outOff)
+          throw new IllegalArgumentException("corrupt blosclz stream (match out of bounds)")
+        var i = 0
+        while (i < len) { out(op + i) = out(ref + i); i += 1 } // forward copy: overlap = RLE
+        op += len
+      } else {
+        val run = ctrl + 1
+        if (op + run > opEnd || ip + run > ipEnd)
+          throw new IllegalArgumentException("corrupt blosclz stream (literal run out of bounds)")
+        System.arraycopy(in, ip, out, op, run)
+        ip += run; op += run
+      }
+      if (ip < ipEnd) { ctrl = in(ip) & 0xff; ip += 1 } else done = true
+    }
+    op - outOff
+  }
+
+  /** Greedy LZ77 encoder emitting the format above. Output may exceed the
+    * input for incompressible data — the blosc frame layer's raw-split and
+    * memcpy escapes handle that, exactly as they do for the other codecs. */
+  def compress(src: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(math.max(16, len / 2))
+    val end = off + len
+    var anchor = off
+    var ip = off
+    val hashBits = 14
+    val table = new Array[Int](1 << hashBits) // position + 1; 0 = empty
+
+    def hash(p: Int): Int = {
+      val v = ((src(p) & 0xff) | ((src(p + 1) & 0xff) << 8) | ((src(p + 2) & 0xff) << 16)) * 0x9e3779b1
+      v >>> (32 - hashBits)
+    }
+    def emitLiterals(upTo: Int): Unit = {
+      var a = anchor
+      while (a < upTo) {
+        val run = math.min(32, upTo - a)
+        out.write(run - 1)
+        out.write(src, a, run)
+        a += run
+      }
+      anchor = upTo
+    }
+    def emitMatch(dist1: Int, mlen: Int): Unit = { // dist1 = distance - 1, <= 8190
+      val hi = dist1 >> 8
+      val lo = dist1 & 0xff
+      if (mlen <= 8) out.write(((mlen - 2) << 5) | hi)
+      else {
+        out.write((7 << 5) | hi)
+        var v = mlen - 9
+        while (v >= 255) { out.write(255); v -= 255 }
+        out.write(v)
+      }
+      out.write(lo)
+    }
+
+    while (ip + 3 <= end) {
+      val h = hash(ip)
+      val cand = table(h) - 1
+      table(h) = ip + 1
+      // cap distance-1 at 8190: distance-1 == 8191 is the far-distance
+      // escape spelling, which this encoder never needs to emit
+      if (cand >= off && ip - cand - 1 <= 8190 &&
+        src(cand) == src(ip) && src(cand + 1) == src(ip + 1) && src(cand + 2) == src(ip + 2)) {
+        var mlen = 3
+        while (ip + mlen < end && src(cand + mlen) == src(ip + mlen)) mlen += 1
+        emitLiterals(ip)
+        emitMatch(ip - cand - 1, mlen)
+        ip += mlen
+        anchor = ip
+      } else ip += 1
+    }
+    emitLiterals(end)
+    out.toByteArray
   }
 }

@@ -42,7 +42,7 @@ object ZarrStoreWriter {
       val parts = c.split(":")
       if (parts(0) == "blosc") {
         val cname = if (parts.length > 1) parts(1) else "lz4"
-        val shuf = if (parts.length > 2 && parts(2) == "noshuffle") 0 else 1
+        val shuf = ZarrCodec.shuffleModeOf(parts)
         s"""{"id": "blosc", "cname": "$cname", "clevel": 5, "shuffle": $shuf, "blocksize": 0}"""
       } else s"""{"id": "$c"}"""
     }.getOrElse("null")

@@ -308,12 +308,16 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     val base = new ZarrDataReader(spark, mkStore(None)).readArray("temperature")
     val key = Seq("time", "lat", "lon").map(col)
     val expect = base.orderBy(key: _*).collect().toSeq
-    // numcodecs' zarr default is Blosc(cname='lz4', shuffle=SHUFFLE)
-    Seq("blosc", "blosc:lz4", "blosc:lz4:noshuffle", "blosc:zstd", "blosc:snappy", "blosc:zlib")
-      .foreach { spec =>
-        val df = new ZarrDataReader(spark, mkStore(Some(spec))).readArray("temperature")
-        assert(df.orderBy(key: _*).collect().toSeq == expect, spec)
-      }
+    // numcodecs' zarr default is Blosc(cname='lz4', shuffle=SHUFFLE);
+    // blosclz is c-blosc's own default cname, bitshuffle its shuffle=2 mode
+    Seq(
+      "blosc", "blosc:lz4", "blosc:lz4:noshuffle", "blosc:zstd", "blosc:snappy", "blosc:zlib",
+      "blosc:blosclz", "blosc:blosclz:noshuffle", "blosc:blosclz:bitshuffle",
+      "blosc:lz4:bitshuffle", "blosc:zstd:bitshuffle"
+    ).foreach { spec =>
+      val df = new ZarrDataReader(spark, mkStore(Some(spec))).readArray("temperature")
+      assert(df.orderBy(key: _*).collect().toSeq == expect, spec)
+    }
   }
 
   test("blosc .zarray carries numcodecs-shaped config; id alone drives decode") {
@@ -339,14 +343,14 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     }
     val prop = Prop.forAll(
       genData,
-      Gen.oneOf("lz4", "zstd", "snappy", "zlib"),
+      Gen.oneOf("blosclz", "lz4", "zstd", "snappy", "zlib"),
       Gen.oneOf(1, 2, 4, 8),
-      Gen.oneOf(true, false),
+      Gen.oneOf(0, 1, 2), // none / byte-shuffle / bit-shuffle
       // 0 = single block; others hit multi-block + leftover blocks,
       // incl. sizes not divisible by the typesize (shuffle disabled then)
       Gen.oneOf(0, 64, 256, 1000, 4096)
-    ) { (data, cname, ts, shuf, bs) =>
-      Blosc.decompress(Blosc.compress(cname, data, ts, shuf, bs)).sameElements(data)
+    ) { (data, cname, ts, shufMode, bs) =>
+      Blosc.decompress(Blosc.compressMode(cname, data, ts, shufMode, bs)).sameElements(data)
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
     assert(res.passed, res.status.toString)
@@ -384,13 +388,69 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     two.putInt(16, 24); two.putInt(20, 24 + pa.length)
     two.position(24); two.put(pa); two.put(pb)
     assert(Blosc.decompress(two.array()).toSeq == compressible.toSeq)
-    // bit-shuffle and blosclz are rejected with clear messages
+    // both shuffle flags at once is a corrupt frame, not a silent guess
     val bitShuf = f1.clone(); bitShuf(2) = (bitShuf(2) | 0x4).toByte
     val e1 = intercept[IllegalArgumentException](Blosc.decompress(bitShuf))
     assert(e1.getMessage.contains("bit-shuffle"))
-    val blosclz = f3.clone(); blosclz(2) = (blosclz(2) & 0x1f).toByte // codec bits -> 0
-    val e2 = intercept[UnsupportedOperationException](Blosc.decompress(blosclz))
-    assert(e2.getMessage.contains("blosclz"))
+    // flipping a zstd frame's codec bits to blosclz must fail decode loudly
+    // (stream validation), never return wrong bytes
+    val badlz = f3.clone(); badlz(2) = (badlz(2) & 0x1f).toByte // codec bits -> 0
+    intercept[IllegalArgumentException](Blosc.decompress(badlz))
+  }
+
+  test("blosclz token stream + bitshuffle transpose: round-trips, far-distance decode, inverses") {
+    val rnd = new scala.util.Random(11)
+    // literal-only, RLE overlap (distance 1), long matches, and mixed data
+    val cases = Seq(
+      Array.empty[Byte],
+      Array[Byte](7),
+      Array.fill[Byte](5000)(42), // one literal + one long RLE match
+      Array.tabulate[Byte](10000)(i => (i % 23).toByte), // periodic: long matches
+      Array.fill[Byte](3000)(rnd.nextInt().toByte), // incompressible: literal runs
+      Array.tabulate[Byte](20000)(i => if (i % 97 < 60) (i % 7).toByte else rnd.nextInt().toByte)
+    )
+    cases.foreach { data =>
+      val comp = BloscLz.compress(data, 0, data.length)
+      val out = new Array[Byte](data.length)
+      val n = BloscLz.decompress(comp, 0, comp.length, out, 0, data.length)
+      assert(n == data.length)
+      assert(out.toSeq == data.toSeq)
+    }
+    // decoder handles the far-distance escape (> 8191+1 back-reference):
+    // hand-built stream = 32 literals ... then a match reaching far back
+    val far = new java.io.ByteArrayOutputStream()
+    val lit = Array.tabulate[Byte](32)(i => (i * 3).toByte)
+    // write 300 distinct 32-byte literal runs = 9600 bytes, then a far match
+    // of 8 bytes at distance 9600 (dist-1 = 9599 > 8190): encoded as
+    // code=255, ofs=31<<8, then 16-bit ofs = 9600 - 8191 = 1409
+    (0 until 300).foreach { k =>
+      far.write(31); (0 until 32).foreach(i => far.write((i * 3 + k) & 0xff))
+    }
+    far.write(((8 - 2) << 5) | 31); far.write(255)
+    val farOfs = 9600 - 8191
+    far.write(farOfs >> 8); far.write(farOfs & 0xff)
+    val fb = far.toByteArray
+    val fout = new Array[Byte](9608)
+    val fn = BloscLz.decompress(fb, 0, fb.length, fout, 0, 9608)
+    assert(fn == 9608)
+    assert(fout.slice(9600, 9608).toSeq == fout.slice(0, 8).toSeq)
+    // bitshuffle/bitunshuffle are inverses incl. leftover elements and
+    // sub-element tails, across typesizes
+    Seq((1, 4096), (2, 1000), (4, 1003), (8, 808), (4, 32)).foreach { case (ts, len) =>
+      val src = Array.fill[Byte](len)(rnd.nextInt().toByte)
+      val sh = new Array[Byte](len)
+      Blosc.bitShuffle(ts, src, sh)
+      val back = new Array[Byte](len)
+      Blosc.bitUnshuffle(ts, sh, len, back, 0)
+      assert(back.toSeq == src.toSeq, s"ts=$ts len=$len")
+    }
+    // the transpose actually moves bits: all-LSB-set input concentrates
+    // into plane 0 of each byte lane
+    val ones = Array.fill[Byte](64)(1)
+    val shOnes = new Array[Byte](64)
+    Blosc.bitShuffle(1, ones, shOnes)
+    assert(shOnes.slice(0, 8).forall(_ == -1.toByte)) // plane 0 = 0xFF
+    assert(shOnes.slice(8, 64).forall(_ == 0))
   }
 
   test("planning a 1M-chunk grid stays in bounded memory: partitions are ordinal ranges") {
