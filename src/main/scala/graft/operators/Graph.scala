@@ -12,33 +12,56 @@ import org.apache.spark.storage.StorageLevel
   * Min-label propagation as iterative DataFrame joins: every node starts
   * labeled with itself; each round takes the min of its own and its
   * neighbors' labels; fixpoint = component minimum. Each round is one
-  * shuffle-bounded join + aggregate, intermediate state is persisted and the
-  * previous round released, so the lineage stays flat. Rounds needed =
-  * component diameter — tiny for dedup clusters (dup groups are near
-  * cliques); the classic large-diameter escape hatch (large-star/small-star)
-  * is noted in the Scaladoc rather than implemented because dedup graphs
-  * never need it.
+  * shuffle-bounded join + aggregate. Rounds needed = component diameter —
+  * tiny for dedup clusters (dup groups are near cliques).
+  *
+  * Large-diameter escape hatch: if min-label hasn't converged after
+  * `starAfter` rounds, the remaining budget switches to large-star /
+  * small-star alternation (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14) on the QUOTIENT graph the min-label
+  * rounds already contracted — O(log n) alternations even for a
+  * pathological chain (e.g. boilerplate spanning thousands of docs in a
+  * line), where pure min-label needs diameter rounds.
+  *
+  * Every round's state is locally checkpointed (`localCheckpoint(true)`):
+  * each round references the previous frame in TWO subtrees, so carrying
+  * logical plans across rounds grows the plan tree 2^rounds — at 15+ rounds
+  * that is itself the failure mode (analysis time, then stack overflow on
+  * plan traversal). Checkpointing pins each round to O(1) plan depth; the
+  * ContextCleaner frees a round's blocks when the next round drops the
+  * reference. The tradeoff: an iteration cannot recompute lost executor
+  * blocks mid-flight (the operator restarts instead) — the right trade for
+  * an iterative algorithm whose lineage replay would be the whole iteration
+  * anyway.
   */
 object Graph {
 
   /** @return (node, label) — label is the minimum node id in the component.
     *         Only nodes present in `edges` appear (singletons are trivially
     *         their own component; union them in if needed).
+    * @param maxIter TOTAL round budget (min-label rounds + star
+    *        alternations); exceeding it throws rather than silently
+    *        splitting clusters. The default comfortably covers any real
+    *        graph: 10 min-label rounds contract by ~11x, then 20 star
+    *        alternations (each ~halves the remaining diameter, plus one
+    *        round to detect the fixpoint) reach diameters in the millions.
+    * @param starAfter min-label rounds to run before switching to
+    *        large-star/small-star alternation (the common near-clique case
+    *        converges well before this; only pathological diameters pay the
+    *        alternation's extra per-round join).
     * @param materialize true (default): the result is localCheckpoint'ed —
     *        no session-lifetime cache entry, freed when the caller drops
-    *        the frame; the tradeoff is truncated lineage, so losing an
-    *        executor holding checkpoint blocks makes the frame
-    *        unrecoverable (fine single-JVM and for consume-soon callers).
-    *        false: returns a persisted frame with full lineage — survives
-    *        executor loss; the caller owns `.unpersist()` ON THE RETURNED
-    *        FRAME (the returned plan is the persisted plan itself, so the
-    *        unpersist actually frees the cache entry). */
+    *        the frame. false: returns a persisted frame the caller owns —
+    *        `.unpersist()` ON THE RETURNED FRAME frees the cache entry (the
+    *        returned plan is the persisted plan itself). Note lineage is
+    *        truncated at round boundaries either way (see object doc). */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 20,
-      materialize: Boolean = true
+      maxIter: Int = 30,
+      materialize: Boolean = true,
+      starAfter: Int = 10
   ): DataFrame = {
     val sym = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -53,11 +76,10 @@ object Graph {
       .select(col("a").as("node"))
       .distinct()
       .select(col("node"), col("node").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var cached = labels // the df actually holding this round's cache
+      .localCheckpoint(true)
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && i < math.min(starAfter, maxIter)) {
       // one aggregation yields BOTH the new label and the old one (tagged
       // union), so the convergence check shares the round's single job
       // instead of running a second join
@@ -72,43 +94,105 @@ object Graph {
           min("label").as("label"),
           min(when(col("own"), col("label"))).as("prev")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = stepped.filter(col("label") =!= col("prev")).limit(1).count()
-      cached.unpersist()
-      cached = stepped
       labels = stepped.select("node", "label")
       converged = changed == 0
       i += 1
     }
-    sym.unpersist()
-    if (!converged) {
-      cached.unpersist() // don't leak the round cache on the failure path
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — a component has " +
-          s"diameter > $maxIter. Returning partial labels would silently split true " +
-          s"clusters; raise maxIter (rounds needed = component diameter)."
-      )
+    if (converged) sym.unpersist()
+    else {
+      if (i >= maxIter) {
+        sym.unpersist()
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds — the round budget was " +
+            s"exhausted before the large-star/small-star fallback could run. Returning partial " +
+            s"labels would silently split true clusters; raise maxIter (> starAfter=$starAfter " +
+            s"leaves budget for the O(log n) star alternation)."
+        )
+      }
+      // ---------------- large-star / small-star fallback ----------------
+      // Operate on the QUOTIENT graph over current labels: min-label already
+      // collapsed everything within `starAfter` hops, so vertices here are
+      // label values and the edge set only keeps cross-label adjacency.
+      val la = labels.select(col("node").as("a"), col("label").as("la"))
+      val lb = labels.select(col("node").as("b"), col("label").as("lb"))
+      var e = sym
+        .join(la, "a")
+        .join(lb, "b")
+        .select(least(col("la"), col("lb")).as("mn"), greatest(col("la"), col("lb")).as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .distinct()
+        .localCheckpoint(true)
+      var eCount = e.count()
+      sym.unpersist()
+      var starConverged = eCount == 0L
+      while (!starConverged && i < maxIter) {
+        // large-star: every edge, seen from its smaller endpoint u, rewires
+        // the larger endpoint onto min(neighborhood(u) ∪ {u}) — halves long
+        // chains each pass while preserving connectivity
+        val nbr = e.select(col("mn").as("u"), col("mx").as("v"))
+          .union(e.select(col("mx").as("u"), col("mn").as("v")))
+        val mins = nbr
+          .groupBy("u")
+          .agg(min(col("v")).as("mv"))
+          .select(col("u"), least(col("mv"), col("u")).as("m"))
+        val large = nbr
+          .filter(col("v") > col("u"))
+          .join(mins, "u")
+          .select(col("m").as("mn"), col("v").as("mx")) // m <= u < v
+          .distinct()
+          .localCheckpoint(true) // eager: two small-star subtrees read it below
+        // small-star: every node with smaller neighbors points them (and
+        // itself) at their common minimum — flattens into stars
+        val toSmaller = large.select(col("mx").as("u"), col("mn").as("v")) // v < u
+        val smins = toSmaller.groupBy("u").agg(min(col("v")).as("m")) // m < u
+        val stepped = toSmaller
+          .join(smins, "u")
+          .filter(col("v") =!= col("m"))
+          .select(col("m").as("mn"), col("v").as("mx")) // m < v
+          .union(smins.select(col("m").as("mn"), col("u").as("mx")))
+          .distinct()
+          .localCheckpoint(true)
+        val newCount = stepped.count()
+        // exact fixpoint test (not a hash): same cardinality and no edge
+        // outside the previous set — one anti-join over two checkpointed sets
+        starConverged = newCount == eCount &&
+          stepped.join(e, Seq("mn", "mx"), "left_anti").limit(1).count() == 0L
+        e = stepped
+        eCount = newCount
+        i += 1
+      }
+      if (!starConverged)
+        throw new IllegalStateException(
+          s"connectedComponents star alternation did not converge within maxIter=$maxIter " +
+            s"total rounds — raise maxIter (alternations needed ~ log2(component size))."
+        )
+      // converged star set: every edge is (root, node); compose with the
+      // min-label phase's labels (node -> label -> root)
+      val starLabels = e
+        .groupBy(col("mx").as("qnode"))
+        .agg(min(col("mn")).as("qlabel")) // min() is a safety net: stars map each node to one root
+      labels = labels
+        .join(starLabels, labels("label") === starLabels("qnode"), "left")
+        .select(col("node"), coalesce(col("qlabel"), col("label")).as("label"))
     }
-    // Hand the result back without leaking the final round's cache for the
-    // session lifetime: localCheckpoint materializes the labels into
-    // executor block storage OWNED BY THE RETURNED PLAN (the ContextCleaner
-    // frees it when the caller drops the frame), unlike CacheManager
-    // entries, which live until an explicit unpersist. No driver collect —
-    // labels can be arbitrarily large. See the `materialize` scaladoc for
-    // the lineage tradeoff; pass false to own the cache instead.
-    if (materialize) {
-      val out = labels.localCheckpoint(true)
-      cached.unpersist()
-      out
-    } else {
-      // Persist the PROJECTION the caller receives, not the wider round
-      // frame: unpersist() only drops a cache entry whose plan matches the
-      // dataset it's called on, so returning `stepped.select(...)` over a
-      // persisted `stepped` would hand the caller a frame whose unpersist
-      // is a no-op — a session-lifetime leak per invocation.
+    // Hand the result back without leaking a cache entry for the session
+    // lifetime: localCheckpoint materializes the labels into executor block
+    // storage OWNED BY THE RETURNED PLAN (the ContextCleaner frees it when
+    // the caller drops the frame), unlike CacheManager entries, which live
+    // until an explicit unpersist. No driver collect — labels can be
+    // arbitrarily large. Pass materialize=false to own a persisted frame
+    // instead.
+    if (materialize) labels.localCheckpoint(true)
+    else {
+      // Persist the PROJECTION the caller receives: unpersist() only drops
+      // a cache entry whose plan matches the dataset it's called on, so
+      // returning a select() over some persisted round frame would hand the
+      // caller a frame whose unpersist is a no-op — a session-lifetime leak
+      // per invocation.
       val out = labels.persist(StorageLevel.MEMORY_AND_DISK)
       out.count()
-      cached.unpersist()
       out
     }
   }

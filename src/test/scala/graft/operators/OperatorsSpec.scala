@@ -611,6 +611,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(ok == Seq(1L))
   }
 
+  test("connected components: 10k-node path converges via large-star/small-star in O(log n) rounds") {
+    import spark.implicits._
+    // diameter 9999 — pure min-label would need 9999 rounds; the star
+    // fallback (engaged after starAfter=10) must finish inside the default
+    // 20-round total budget, proving O(log n) alternation
+    val path = spark.range(0, 9999).select(col("id").as("d1"), (col("id") + 1).as("d2"))
+    val labels = Graph.connectedComponents(path, "d1", "d2")
+    assert(labels.count() == 10000)
+    assert(labels.select("label").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // two parallel chains + a bridge: roots stay per-component
+    val two = spark.range(0, 500).select(col("id").as("d1"), (col("id") + 1).as("d2"))
+      .union(spark.range(1000, 1500).select(col("id").as("d1"), (col("id") + 1).as("d2")))
+    val got = Graph.connectedComponents(two, "d1", "d2", maxIter = 25)
+      .groupBy("label").count().orderBy("label")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 501L), (1000L, 501L)))
+    // random-graph equivalence: pure star (starAfter=0) == pure min-label
+    val rnd = new scala.util.Random(42)
+    val rand = (0 until 400)
+      .map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("d1", "d2")
+    rand.persist()
+    val viaStar = Graph.connectedComponents(rand, "d1", "d2", maxIter = 30, starAfter = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaMinLabel = Graph.connectedComponents(rand, "d1", "d2", maxIter = 200, starAfter = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rand.unpersist()
+    assert(viaStar == viaMinLabel)
+  }
+
   test("sorted_intersect_count rejects nullable-element arrays at analysis time") {
     val e = intercept[Exception] {
       spark.sql("SELECT sorted_intersect_count(array(1L, CAST(NULL AS BIGINT)), array(1L))").collect()
