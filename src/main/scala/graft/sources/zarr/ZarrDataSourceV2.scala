@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.{write => cw}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,8 +38,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    never generated; if `value` itself is pruned (pure coordinate/count
   *    queries) chunk data is never read at all.
   */
-class ZarrDataSource extends TableProvider with DataSourceRegister {
+class ZarrDataSource extends TableProvider with DataSourceRegister with CreatableRelationProvider {
   override def shortName(): String = "zarr"
+
+  // write path: the DataFrame being written supplies the schema, so a
+  // not-yet-existing store must not be probed for metadata
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZarrTable.fromOptions(options).schema()
@@ -47,8 +52,54 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]
-  ): Table =
-    ZarrTable.fromOptions(new CaseInsensitiveStringMap(properties))
+  ): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    try ZarrTable.fromOptions(opts)
+    catch {
+      // store/array absent: only reachable on the WRITE path (reads call
+      // inferSchema first, which throws before getTable) — hand back a
+      // write-only table carrying the DataFrame's schema
+      case scala.util.control.NonFatal(_) if schema != null => new ZarrWriteOnlyTable(schema, opts)
+    }
+  }
+
+  /** `df.write.format("zarr").save()` lands here (the V1 write bridge —
+    * DataFrameWriter only drives the pure-V2 write protocol for tables
+    * declaring BATCH_WRITE, and this sink intentionally is not one: it must
+    * RESHUFFLE its input by target chunk, which [[ZarrSink]] owns). */
+  override def createRelation(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame
+  ): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    def arrayExists: Boolean =
+      try {
+        val store = new ZarrStore(
+          lower("path"),
+          lower.collect { case (k, v) if k.startsWith("storage.") => k.drop("storage.".length) -> v },
+          lower.get("group"),
+          None
+        )
+        store.listArrays().contains(lower.getOrElse("array", ""))
+      } catch { case scala.util.control.NonFatal(_) => false }
+    mode match {
+      case Ignore if arrayExists => () // keep existing, write nothing
+      case ErrorIfExists if arrayExists =>
+        throw new IllegalArgumentException(
+          s"zarr array '${lower.getOrElse("array", "?")}' already exists (SaveMode.ErrorIfExists)"
+        )
+      case m => ZarrSink.write(data, parameters, overwrite = m == Overwrite)
+    }
+    val sc = sqlContext
+    val outSchema = data.schema
+    new BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = sc
+      override def schema: StructType = outSchema
+    }
+  }
 }
 
 object ZarrTable {
@@ -96,7 +147,8 @@ class ZarrTable(
     baseSel: Map[String, DimSel],
     targetCells: Long
 ) extends Table
-    with SupportsRead {
+    with SupportsRead
+    with SupportsWrite {
 
   private[zarr] val resolved: ResolvedSelection = Selection.resolve(meta.shape, meta.dims, baseSel)
   private[zarr] lazy val coords: Vector[Coord] =
@@ -111,10 +163,49 @@ class ZarrTable(
     )
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(store, meta, resolved, coords, schema(), targetCells)
+
+  // array exists: mode("overwrite") replaces it, mode("append") errors in
+  // the sink with a clear message (no partial in-place chunk updates)
+  override def newWriteBuilder(info: cw.LogicalWriteInfo): cw.WriteBuilder =
+    new ZarrWriteBuilder(info)
+}
+
+/** Table handed out when the target store/array does not exist yet — the
+  * fresh-write path of `df.write.format("zarr")`. The schema is the written
+  * DataFrame's schema; reads of a nonexistent store keep failing at
+  * inferSchema with the store-not-found error. */
+class ZarrWriteOnlyTable(writeSchema: StructType, options: CaseInsensitiveStringMap) extends Table
+    with SupportsWrite {
+  override def name(): String = s"zarr:${options.get("path")}:${options.get("array")} (new)"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: cw.LogicalWriteInfo): cw.WriteBuilder =
+    new ZarrWriteBuilder(info)
+}
+
+/** V1Write bridge: the write needs to RESHUFFLE its input (cluster rows by
+  * target chunk) before any bytes hit storage, which the plain DSv2
+  * DataWriter protocol cannot express — InsertableRelation hands the sink
+  * the full DataFrame instead (the supported fallback, same as Spark's JDBC
+  * sink), and [[ZarrSink]] owns the repartition + streaming chunk
+  * assembly. */
+class ZarrWriteBuilder(info: cw.LogicalWriteInfo) extends cw.WriteBuilder
+    with cw.SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): cw.WriteBuilder = { overwrite = true; this }
+  override def build(): cw.Write = new cw.V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: org.apache.spark.sql.DataFrame, o: Boolean): Unit = {
+        val opts = info.options.asCaseSensitiveMap().asScala.toMap
+        ZarrSink.write(data, opts, overwrite || o)
+      }
+    }
+  }
 }
 
 class ZarrScanBuilder(
@@ -126,11 +217,25 @@ class ZarrScanBuilder(
     targetCells: Long
 ) extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var keep: Vector[Vector[Int]] = base.keep
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT n over a huge store must not plan the whole chunk grid: the
+    * planner stops emitting ordinal ranges once the covered cell count
+    * reaches n (cells stream in C-order, and LIMIT without ORDER BY may
+    * return any n rows). Partial push: Spark keeps its own Limit on top
+    * (the last planned partition can overshoot n). */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   private def dimIndex(name: String): Option[Int] = {
     val i = meta.dims.indexOf(name)
@@ -194,7 +299,8 @@ class ZarrScanBuilder(
       coords,
       required,
       targetCells,
-      store.storageOptions
+      store.storageOptions,
+      pushedLimit
     )
 }
 
@@ -239,14 +345,17 @@ class ZarrScan(
     coords: Vector[Coord],
     required: StructType,
     targetCells: Long,
-    storageOptions: Map[String, String] = Map.empty
+    storageOptions: Map[String, String] = Map.empty,
+    limitCells: Option[Int] = None
 ) extends Scan
     with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"ZarrScan(${meta.name}, cells=${sel.keep.map(_.length.toLong).product}, schema=${required.fieldNames.mkString(",")})"
+    s"ZarrScan(${meta.name}, cells=${sel.keep.map(_.length.toLong).product}" +
+      limitCells.map(n => s", limit=$n").getOrElse("") +
+      s", schema=${required.fieldNames.mkString(",")})"
 
   override def toBatch: Batch = this
 
@@ -284,6 +393,7 @@ class ZarrScan(
     var start = 0L
     var acc = 0L
     var ord = 0L
+    var covered = 0L
     while (ord < total) {
       val c = cellsNow
       if (acc > 0 && acc + c > targetCells) {
@@ -292,6 +402,13 @@ class ZarrScan(
       }
       acc += c
       ord += 1
+      covered += c
+      // pushed LIMIT: stop planning once enough cells are covered — a
+      // limit-only query over a million-chunk store plans O(limit) work
+      if (limitCells.exists(covered >= _)) {
+        parts += ZarrInputPartition(start, ord)
+        return parts.toArray
+      }
       // odometer over run indices, last dim fastest; update factors in place
       var k = rank - 1
       var carry = true

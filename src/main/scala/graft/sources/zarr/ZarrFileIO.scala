@@ -132,4 +132,18 @@ object ZarrFileIO {
   def isDirectory(p: HPath, storageOptions: Map[String, String]): Boolean =
     try fileSystem(p, storageOptions).getFileStatus(p).isDirectory
     catch { case _: FileNotFoundException => false }
+
+  /** Create-or-overwrite a file with the given bytes (chunk and metadata
+    * writes — the write sink's seam, same FileSystem reach as reads). */
+  def writeBytes(p: HPath, storageOptions: Map[String, String], bytes: Array[Byte]): Unit = {
+    val out = fileSystem(p, storageOptions).create(p, true)
+    try out.write(bytes)
+    finally out.close()
+  }
+
+  def writeString(p: HPath, storageOptions: Map[String, String], s: String): Unit =
+    writeBytes(p, storageOptions, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def deleteRecursive(p: HPath, storageOptions: Map[String, String]): Unit =
+    fileSystem(p, storageOptions).delete(p, true)
 }

@@ -96,6 +96,22 @@ object ZDtype {
     case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 
+  /** Exact integral encode (no double round-trip — a large i8 value would
+    * lose precision past 2^53 through [[put]]). */
+  def putLong(dt: ZDtype, buf: java.nio.ByteBuffer, i: Int, v: Long): Unit = dt.code match {
+    case BOOL => buf.put(i, if (v != 0L) 1.toByte else 0.toByte)
+    case I1 => buf.put(i, v.toByte)
+    case U1 => buf.put(i, (v & 0xffL).toByte)
+    case I2 => buf.putShort(i * 2, v.toShort)
+    case U2 => buf.putShort(i * 2, (v & 0xffffL).toShort)
+    case I4 => buf.putInt(i * 4, v.toInt)
+    case U4 => buf.putInt(i * 4, (v & 0xffffffffL).toInt)
+    case I8 => buf.putLong(i * 8, v)
+    case F4 => buf.putFloat(i * 4, v.toFloat)
+    case F8 => buf.putDouble(i * 8, v.toDouble)
+    case other => throw new IllegalStateException(s"bad dtype code $other")
+  }
+
   /** Encode one value at element index `i` into a buffer whose order is
     * already this dtype's byte order (writer + fill-chunk encode seam). */
   def put(dt: ZDtype, buf: java.nio.ByteBuffer, i: Int, v: Double): Unit = dt.code match {

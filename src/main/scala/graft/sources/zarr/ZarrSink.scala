@@ -1,0 +1,289 @@
+package graft.sources.zarr
+
+import graft.model.IndexMath
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed Zarr v2 write: the inverse of the long-format scan —
+  * `df.write.format("zarr")` over a `[dims…, value]` frame produces a
+  * chunked store any Zarr reader (including [[ZarrDataSourceV2]]) can open.
+  * Completes the source/sink pairing the reference's Parquet sink implies
+  * (reference: src/cli.py:158-161 — it can only EXPORT to parquet; writing
+  * back to Zarr is the missing half).
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - coordinate values are the ONLY driver-side data (sorted distinct per
+  *    dim — same bound as the read path's coordFor); cell data never
+  *    touches the driver
+  *  - each row's target chunk ordinal and in-chunk offset are COLUMN
+  *    ARITHMETIC (codegen), so the expensive part of the write plan is one
+  *    hash repartition clustered by chunk ordinal + an in-partition sort —
+  *    after that every chunk's cells are contiguous in exactly one task
+  *  - tasks stream: one dense chunk buffer at a time (fill, set cells,
+  *    compress, write via the Hadoop FileSystem), O(1 chunk) memory
+  *  - absent cells read back as fill_value; chunks with no rows are never
+  *    written (Zarr's native sparse representation)
+  *
+  * Options: `path`, `array` (required); `group`, `chunks` ("16,16"),
+  * `dtype` (numpy spelling, default from the value column type),
+  * `compressor` ("zlib" | "zstd" | "gzip" | "blosc[:cname[:mode]]" |
+  * "none", default blosc:lz4 — the numcodecs default), `fill_value`
+  * (default 0), `storage.*` (same remote-store options as the scan).
+  *
+  * Semantics: dim columns are coordinate VALUES (not indices); the sink
+  * sorts each dim's distinct values ascending to form the coordinate
+  * arrays, so a scanned-then-written store round-trips cell-for-cell. The
+  * input must have at most one row per cell (duplicate cells make the
+  * written value nondeterministic, as with any last-write-wins sink).
+  */
+object ZarrSink {
+
+  private[zarr] def dtypeFor(dt: DataType): String = dt match {
+    case BooleanType => "|b1"
+    case ByteType => "<i1"
+    case ShortType => "<i2"
+    case IntegerType => "<i4"
+    case LongType => "<i8"
+    case FloatType => "<f4"
+    case DoubleType => "<f8"
+    case other =>
+      throw new IllegalArgumentException(
+        s"zarr sink: unsupported value column type $other (pass an explicit 'dtype' option for unsigned targets)"
+      )
+  }
+
+  private def coordDtype(dt: DataType): String = dt match {
+    case IntegerType => "<i4"
+    case LongType => "<i8"
+    case FloatType => "<f4"
+    case DoubleType => "<f8"
+    case other =>
+      throw new IllegalArgumentException(s"zarr sink: dimension columns must be int/long/float/double, got $other")
+  }
+
+  def write(df: DataFrame, rawOptions: Map[String, String], overwrite: Boolean): Unit = {
+    val opts = rawOptions.map { case (k, v) => k.toLowerCase -> v }
+    def required(k: String): String =
+      opts.getOrElse(k, throw new IllegalArgumentException(s"zarr sink requires option '$k'"))
+    val path = required("path")
+    val array = required("array")
+    val group = opts.get("group")
+    val storageOptions = opts.collect { case (k, v) if k.startsWith("storage.") => k.drop("storage.".length) -> v }
+    val spark = df.sparkSession
+
+    require(df.columns.contains("value"), "zarr sink requires a 'value' column")
+    val dims = df.columns.filter(_ != "value").toVector
+    require(dims.nonEmpty, "zarr sink requires at least one dimension column")
+    val dtype = opts.getOrElse("dtype", dtypeFor(df.schema("value").dataType))
+    val zdt = ZDtype.parse(dtype)
+    val compressor = opts.get("compressor") match {
+      case Some("none") | Some("null") => None
+      case Some(c) => Some(c)
+      case None => Some("blosc:lz4")
+    }
+    val fillValue = opts.get("fill_value").map(_.toDouble).getOrElse(0.0)
+
+    val root = ZarrFileIO.toPath(path)
+    val groupDir = group.map(g => new HPath(root, g)).getOrElse(root)
+    val arrayDir = new HPath(groupDir, array)
+    if (ZarrFileIO.exists(arrayDir, storageOptions)) {
+      if (overwrite) ZarrFileIO.deleteRecursive(arrayDir, storageOptions)
+      else
+        throw new IllegalArgumentException(
+          s"zarr array '$array' already exists at $groupDir — use mode('overwrite') to replace it " +
+            "(partial in-place chunk updates are not supported)"
+        )
+    }
+
+    // ---- coordinates: sorted distinct values per dim (small, driver-side
+    // like the read path's coordFor); each becomes a broadcast (value ->
+    // ordinal) frame so indexing stays inside codegen
+    val coordVals: Vector[(String, Array[Any], DataType)] = dims.map { d =>
+      val dt = df.schema(d).dataType
+      coordDtype(dt) // validate early with a clear message
+      val vals = df.select(d).distinct().orderBy(col(d)).collect().map(_.get(0))
+      require(vals.nonEmpty, s"zarr sink: dimension '$d' has no values (empty input)")
+      require(!vals.contains(null), s"zarr sink: dimension '$d' contains NULL")
+      (d, vals, dt)
+    }
+    val shape = coordVals.map(_._2.length)
+    val chunks = opts.get("chunks") match {
+      case Some(cs) =>
+        val c = cs.split(",").map(_.trim.toInt).toVector
+        require(c.length == shape.length && c.forall(_ > 0), s"bad chunks '$cs' for rank ${shape.length}")
+        c
+      case None => shape.map(s => math.min(s, 256))
+    }
+    val nChunksVec = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    val gridStrides = IndexMath.strides(nChunksVec)
+    val chunkStrides = IndexMath.strides(chunks)
+
+    var indexed = df
+    dims.zip(coordVals).zipWithIndex.foreach { case ((d, (_, vals, dt)), di) =>
+      import scala.jdk.CollectionConverters._
+      val rows: java.util.List[Row] = vals.zipWithIndex.map { case (v, i) => Row(v, i.toLong) }.toList.asJava
+      val idxDf = spark.createDataFrame(
+        rows,
+        StructType(Seq(StructField("__v", dt, nullable = false), StructField(s"__i$di", LongType, nullable = false)))
+      )
+      indexed = indexed.join(broadcast(idxDf), indexed(d) === idxDf("__v")).drop("__v")
+    }
+    // chunk ordinal + in-chunk offset as pure column arithmetic (`div` is
+    // integral division — no double round-trip)
+    val chunkExpr = dims.indices
+      .map(di => expr(s"__i$di div ${chunks(di)}") * lit(gridStrides(di)))
+      .reduce(_ + _)
+    val localExpr = dims.indices
+      .map(di => (col(s"__i$di") % lit(chunks(di))) * lit(chunkStrides(di)))
+      .reduce(_ + _)
+    val prepared = indexed.select(chunkExpr.as("__chunk"), localExpr.as("__local"), col("value").as("__value"))
+
+    val totalChunks = nChunksVec.map(_.toLong).product
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L, math.min(shufflePartitions.toLong, totalChunks)).toInt
+    val chunkElems = chunks.map(_.toLong).product
+    require(
+      chunkElems * zdt.itemSize <= Int.MaxValue,
+      s"chunk of ${chunkElems} elements x ${zdt.itemSize} B exceeds the 2 GB buffer bound — use smaller chunks"
+    )
+
+    val executorOpts = ZarrFileIO.executorOptions(storageOptions)
+    val arrayDirStr = arrayDir.toString
+    val comp = compressor
+    val dt = zdt
+    val fill = fillValue
+    val elems = chunkElems.toInt
+    val nChunksArr = nChunksVec.toArray
+
+    prepared
+      .repartition(parts, col("__chunk"))
+      .sortWithinPartitions("__chunk")
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val order = if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+        var current = -1L
+        var buf: ByteBuffer = null
+        def flush(): Unit = if (current >= 0L) {
+          val bytes = ZarrCodec.compress(comp, buf.array(), typesize = dt.itemSize)
+          // decompose the chunk ordinal over the chunk grid (C-order)
+          val idx = new Array[Int](nChunksArr.length)
+          var rem = current
+          var d = nChunksArr.length - 1
+          while (d >= 0) { idx(d) = (rem % nChunksArr(d)).toInt; rem /= nChunksArr(d); d -= 1 }
+          ZarrFileIO.writeBytes(
+            new HPath(arrayDirStr, ZarrChunkIO.chunkFileName(idx.toSeq)),
+            executorOpts,
+            bytes
+          )
+        }
+        while (rows.hasNext) {
+          val r = rows.next()
+          val c = r.getLong(0)
+          if (c != current) {
+            flush()
+            current = c
+            if (buf == null) buf = ByteBuffer.allocate(elems * dt.itemSize).order(order)
+            // zero bytes already decode as 0/false in every supported dtype;
+            // only a nonzero fill needs an explicit prefill pass
+            if (fill == 0.0) java.util.Arrays.fill(buf.array(), 0.toByte)
+            else { var i = 0; while (i < elems) { ZDtype.put(dt, buf, i, fill); i += 1 } }
+          }
+          val local = r.getLong(1).toInt
+          r.get(2) match {
+            case null => () // absent value -> fill
+            case b: java.lang.Boolean => ZDtype.putLong(dt, buf, local, if (b) 1L else 0L)
+            case b: java.lang.Byte => ZDtype.putLong(dt, buf, local, b.longValue())
+            case s: java.lang.Short => ZDtype.putLong(dt, buf, local, s.longValue())
+            case x: java.lang.Integer => ZDtype.putLong(dt, buf, local, x.longValue())
+            case l: java.lang.Long => ZDtype.putLong(dt, buf, local, l.longValue())
+            case f: java.lang.Float => ZDtype.put(dt, buf, local, f.doubleValue())
+            case d0: java.lang.Double => ZDtype.put(dt, buf, local, d0.doubleValue())
+            case other =>
+              throw new IllegalArgumentException(s"zarr sink: unsupported value ${other.getClass}")
+          }
+        }
+        flush()
+      }
+
+    // ---- metadata (driver-side, after the data job): group marker, array
+    // metadata, coordinate arrays, consolidated metadata
+    val zgroup = new HPath(groupDir, ".zgroup")
+    if (!ZarrFileIO.exists(zgroup, storageOptions))
+      ZarrFileIO.writeString(zgroup, storageOptions, """{"zarr_format": 2}""")
+    ZarrFileIO.writeString(
+      new HPath(arrayDir, ".zarray"),
+      storageOptions,
+      ZarrStoreWriter.zarrayJson(shape, chunks, dtype, compressor, Some(fillValue))
+    )
+    ZarrFileIO.writeString(
+      new HPath(arrayDir, ".zattrs"),
+      storageOptions,
+      ZarrStoreWriter.zattrsJson(Some(dims))
+    )
+    coordVals.foreach { case (d, vals, cdt) =>
+      writeCoordArray(groupDir, d, vals, cdt, compressor, storageOptions)
+    }
+    consolidate(groupDir, storageOptions)
+  }
+
+  /** Single-chunk 1-D coordinate array written through the Hadoop FS. */
+  private def writeCoordArray(
+      groupDir: HPath,
+      dim: String,
+      vals: Array[Any],
+      sparkType: DataType,
+      compressor: Option[String],
+      storageOptions: Map[String, String]
+  ): Unit = {
+    val dtype = coordDtype(sparkType)
+    val dt = ZDtype.parse(dtype)
+    val dir = new HPath(groupDir, dim)
+    val buf = ByteBuffer.allocate(vals.length * dt.itemSize).order(ByteOrder.LITTLE_ENDIAN)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      v match {
+        case x: java.lang.Integer => ZDtype.putLong(dt, buf, i, x.longValue())
+        case l: java.lang.Long => ZDtype.putLong(dt, buf, i, l.longValue())
+        case f: java.lang.Float => ZDtype.put(dt, buf, i, f.doubleValue())
+        case d: java.lang.Double => ZDtype.put(dt, buf, i, d.doubleValue())
+        case other => throw new IllegalArgumentException(s"zarr sink: bad coord value $other")
+      }
+    }
+    ZarrFileIO.writeString(
+      new HPath(dir, ".zarray"),
+      storageOptions,
+      ZarrStoreWriter.zarrayJson(Vector(vals.length), Vector(vals.length), dtype, compressor, Some(0.0))
+    )
+    ZarrFileIO.writeString(new HPath(dir, ".zattrs"), storageOptions, ZarrStoreWriter.zattrsJson(Some(Vector(dim))))
+    ZarrFileIO.writeBytes(
+      new HPath(dir, "0"),
+      storageOptions,
+      ZarrCodec.compress(compressor, buf.array(), typesize = dt.itemSize)
+    )
+  }
+
+  /** Rebuild `.zmetadata` from the on-store metadata files — the FS-general
+    * sibling of [[ZarrStoreWriter.consolidate]], covering pre-existing
+    * arrays in the group as well as the ones just written. */
+  private[zarr] def consolidate(groupDir: HPath, storageOptions: Map[String, String]): Unit = {
+    val entries = scala.collection.mutable.ListBuffer[String]()
+    ZarrFileIO.readStringIfExists(new HPath(groupDir, ".zgroup"), storageOptions).foreach { s =>
+      entries += "\".zgroup\": " + s
+    }
+    ZarrFileIO.listDirNames(groupDir, storageOptions).sorted.foreach { n =>
+      Seq(".zarray", ".zattrs").foreach { mf =>
+        ZarrFileIO
+          .readStringIfExists(new HPath(new HPath(groupDir, n), mf), storageOptions)
+          .foreach(s => entries += s""""$n/$mf": $s""")
+      }
+    }
+    ZarrFileIO.writeString(
+      new HPath(groupDir, ".zmetadata"),
+      storageOptions,
+      s"""{"zarr_format": 2, "metadata": {${entries.mkString(",\n")}}}"""
+    )
+  }
+}

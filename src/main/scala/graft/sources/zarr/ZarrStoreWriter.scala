@@ -35,27 +35,8 @@ object ZarrStoreWriter {
     require(shape.length == chunks.length)
     val dir = groupDir.resolve(name)
     Files.createDirectories(dir)
-    // blosc spec strings ("blosc:lz4", "blosc:zstd:noshuffle") serialize as
-    // numcodecs-shaped config; the id alone drives decode (the frame header
-    // is self-describing)
-    val comp = compressor.map { c =>
-      val parts = c.split(":")
-      if (parts(0) == "blosc") {
-        val cname = if (parts.length > 1) parts(1) else "lz4"
-        val shuf = ZarrCodec.shuffleModeOf(parts)
-        s"""{"id": "blosc", "cname": "$cname", "clevel": 5, "shuffle": $shuf, "blocksize": 0}"""
-      } else s"""{"id": "$c"}"""
-    }.getOrElse("null")
-    val fill = fillValue.map(f => if (f.isNaN) "\"NaN\"" else f.toString).getOrElse("null")
-    Files.writeString(
-      dir.resolve(".zarray"),
-      s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}], "chunks": [${chunks.mkString(",")}],
-         |"dtype": "$dtype", "order": "C", "compressor": $comp, "fill_value": $fill, "filters": null}""".stripMargin
-    )
-    val dimAttr = dims.map(d => s""""_ARRAY_DIMENSIONS": [${d.map(x => s""""$x"""").mkString(",")}]""")
-    val extraAttrs = attrs.map { case (k, v) => s""""$k": $v""" }
-    val allAttrs = (dimAttr.toSeq ++ extraAttrs).mkString(", ")
-    Files.writeString(dir.resolve(".zattrs"), s"{$allAttrs}")
+    Files.writeString(dir.resolve(".zarray"), zarrayJson(shape, chunks, dtype, compressor, fillValue))
+    Files.writeString(dir.resolve(".zattrs"), zattrsJson(dims, attrs))
 
     val dt = ZDtype.parse(dtype)
     val item = dt.itemSize
@@ -107,6 +88,38 @@ object ZarrStoreWriter {
       Files.write(dir.resolve(ZarrChunkIO.chunkFileName(cIdx.toSeq)), bytes)
       ci += 1
     }
+  }
+
+  /** `.zarray` metadata JSON. Blosc spec strings ("blosc:lz4",
+    * "blosc:zstd:noshuffle", "blosc:lz4:bitshuffle") serialize as
+    * numcodecs-shaped config; the id alone drives decode (the frame header
+    * is self-describing). Shared by the local fixture writer and the
+    * distributed sink. */
+  def zarrayJson(
+      shape: Vector[Int],
+      chunks: Vector[Int],
+      dtype: String,
+      compressor: Option[String],
+      fillValue: Option[Double]
+  ): String = {
+    val comp = compressor.map { c =>
+      val parts = c.split(":")
+      if (parts(0) == "blosc") {
+        val cname = if (parts.length > 1) parts(1) else "lz4"
+        val shuf = ZarrCodec.shuffleModeOf(parts)
+        s"""{"id": "blosc", "cname": "$cname", "clevel": 5, "shuffle": $shuf, "blocksize": 0}"""
+      } else s"""{"id": "$c"}"""
+    }.getOrElse("null")
+    val fill = fillValue.map(f => if (f.isNaN) "\"NaN\"" else f.toString).getOrElse("null")
+    s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}], "chunks": [${chunks.mkString(",")}],
+       |"dtype": "$dtype", "order": "C", "compressor": $comp, "fill_value": $fill, "filters": null}""".stripMargin
+  }
+
+  /** `.zattrs` JSON with the xarray dimension-name convention. */
+  def zattrsJson(dims: Option[Vector[String]], attrs: Map[String, String] = Map.empty): String = {
+    val dimAttr = dims.map(d => s""""_ARRAY_DIMENSIONS": [${d.map(x => s""""$x"""").mkString(",")}]""")
+    val extraAttrs = attrs.map { case (k, v) => s""""$k": $v""" }
+    s"{${(dimAttr.toSeq ++ extraAttrs).mkString(", ")}}"
   }
 
   /** Write a 1-D coordinate array for a dimension. */

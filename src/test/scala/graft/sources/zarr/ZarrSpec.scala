@@ -487,6 +487,45 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(parts.length > 100 && parts.length < 1000, s"got ${parts.length} partitions")
   }
 
+  test("LIMIT pushdown plans O(limit) partitions, not the whole chunk grid") {
+    import graft.model.Selection
+    // scan-level: the 1M-chunk synthetic grid again, now with a pushed limit
+    val meta = ZarrArrayMeta(
+      name = "big",
+      shape = Vector(1000, 1000, 64),
+      chunks = Vector(1, 1, 64), // 1,000,000 chunks, 64 cells each
+      dtype = "<f4",
+      order = "C",
+      compressor = None,
+      fillValue = Some(0.0),
+      dims = Vector("a", "b", "c"),
+      attrs = Map.empty
+    )
+    val sel = Selection.resolve(meta.shape, meta.dims, Map.empty)
+    val coords = meta.shape.map(n => Coord.Index(n)).toVector
+    val schema = StructType(
+      meta.dims.map(d => StructField(d, LongType, nullable = false)) :+
+        StructField("value", FloatType, nullable = true)
+    )
+    val limited = new ZarrScan(
+      "/nonexistent", meta, sel, coords, schema,
+      targetCells = 1L << 18, limitCells = Some(100)
+    )
+    val parts = limited.planInputPartitions()
+    // 100 cells / 64 per chunk -> 2 chunks -> ONE range partition, and the
+    // planner returned without walking the remaining 999,998 chunks
+    assert(parts.length == 1, s"got ${parts.length}")
+    assert(parts.head.asInstanceOf[ZarrInputPartition].end == 2L)
+    // df-level: Spark pushes .limit(n) into the scan builder
+    val root = mkStore(None)
+    val df = new ZarrDataReader(spark, root)
+      .readArray("temperature", Map.empty)
+      .limit(7)
+    assert(df.queryExecution.executedPlan.toString.contains("limit=7"),
+      df.queryExecution.executedPlan.toString)
+    assert(df.collect().length == 7)
+  }
+
   test("row and columnar readers emit identical cells (bulk runs AND gather fallback)") {
     import graft.model.{DimSel, Selection}
     val root = mkStore(Some("blosc"))
@@ -532,6 +571,60 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
       assert(viaRows == viaBatches, s"sel=$selMap")
       assert(viaRows.nonEmpty)
     }
+  }
+
+  test("write sink: df.write.format(zarr) round-trips scan output cell-for-cell") {
+    val src = mkStore(Some("zlib"))
+    val df = new ZarrDataReader(spark, src).readArray("temperature")
+    val dst = Files.createTempDirectory("zarrsink").toString + "/store"
+    df.write
+      .format("zarr")
+      .option("path", dst)
+      .option("array", "temperature")
+      .option("chunks", "5,4,6") // different chunking than the source on purpose
+      .option("compressor", "blosc:lz4")
+      .mode("append")
+      .save()
+    val back = new ZarrDataReader(spark, dst).readArray("temperature")
+    val key = Seq("time", "lat", "lon").map(col)
+    // identical schema (coordinate dtypes preserved: int time, float lat,
+    // positional lon -> i8 coord array) and identical cells
+    assert(back.schema == df.schema)
+    assert(back.orderBy(key: _*).collect().toSeq == df.orderBy(key: _*).collect().toSeq)
+    // written store is a real consolidated zarr store
+    val info = ZarrScan.getZarrDataInfo(dst, consolidated = Some(true))
+    assert(info("temperature").chunks == Vector(5, 4, 6))
+    assert(info("temperature").compressor.contains("blosc"))
+    // append to an existing array refuses; overwrite replaces
+    val e = intercept[Exception] {
+      df.write.format("zarr").option("path", dst).option("array", "temperature").mode("append").save()
+    }
+    assert(e.getMessage.contains("already exists") || e.getCause.getMessage.contains("already exists"))
+    df.filter(col("time") < 6)
+      .write.format("zarr").option("path", dst).option("array", "temperature").mode("overwrite").save()
+    assert(new ZarrDataReader(spark, dst).readArray("temperature").count() == 6L * 10 * 15)
+  }
+
+  test("write sink: sparse cells read back as fill_value; i8 values exact past 2^53") {
+    import spark.implicits._
+    val dst = Files.createTempDirectory("zarrsink2").toString + "/store"
+    // 2-D sparse frame: only the diagonal is present; huge longs prove the
+    // integral path never round-trips through double
+    val big = (1L << 53) + 1L
+    val rows = (0 until 8).map(i => (i, i, big + i))
+    rows.toDF("r", "c", "value")
+      .write.format("zarr")
+      .option("path", dst).option("array", "diag")
+      .option("chunks", "3,3").option("fill_value", "-1")
+      .mode("append").save()
+    val back = new ZarrDataReader(spark, dst).readArray("diag")
+    assert(back.schema("value").dataType == LongType)
+    assert(back.count() == 64)
+    val diag = back.filter(col("r") === col("c")).orderBy("r")
+      .select("value").collect().map(_.getLong(0)).toSeq
+    assert(diag == (0 until 8).map(i => big + i))
+    assert(back.filter(col("r") =!= col("c")).select("value").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(-1L))
   }
 
   test("cross-chunk index gather preserves gather order (reference list-selection semantics)") {
