@@ -130,15 +130,21 @@ object Dedup {
     * 4x2 — the oracle-pinned configuration). Docs sharing any band bucket
     * become candidates — the shuffle key is the bucket, so cost is
     * sum(bucket²), never n². Banding is THE recall knob at scale: the
-    * match probability for Jaccard j is 1 - (1 - j^rowsPerBand)^bands. */
+    * match probability for Jaccard j is 1 - (1 - j^rowsPerBand)^bands.
+    * `maxBucketSize` (off by default — parity with the pinned oracle) drops
+    * buckets larger than the cap: the hot-bucket mitigation for
+    * boilerplate-dominated corpora where one bucket's m² pairs swamp the
+    * join (see Spike `skew` for the measurement that motivates it). */
   def minhashCandidates(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       bands: Int = 4,
-      rowsPerBand: Int = 2
+      rowsPerBand: Int = 2,
+      maxBucketSize: Option[Int] = None
   ): DataFrame = {
     require(bands >= 1 && rowsPerBand >= 1, s"bad banding ($bands x $rowsPerBand)")
+    require(maxBucketSize.forall(_ >= 2), s"maxBucketSize must be >= 2, got $maxBucketSize")
     val numHashes = bands * rowsPerBand
     require(
       numHashes <= MinhashMaxK,
@@ -162,12 +168,33 @@ object Dedup {
           .map(r => col(s"m${rowsPerBand * b + r}"))
           .reduceLeft((acc, m) => acc * lit(100000L) + m)
       else array((0 until rowsPerBand).map(r => col(s"m${rowsPerBand * b + r}")): _*)
-    val bands_ = sig.select(
+    val allBands = sig.select(
       col(idCol),
       explode(
         array((0 until bands).map(b => struct(lit(b).as("band"), bandKey(b).as("bh"))): _*)
       ).as("p")
     ).select(col(idCol), col("p.band").as("band"), col("p.bh").as("bh"))
+    // Hot-bucket cap — the sum(bucket²) skew lever: a bucket of m docs
+    // contributes m² candidate pairs, and one boilerplate-heavy bucket
+    // (identical headers/footers across thousands of docs) dominates the
+    // whole join at scale (sf1 measurement: max/median bucket = 20x).
+    // Buckets above the cap are DROPPED, trading recall on exactly the
+    // pattern that exact-dup (x01) and span-level dedup (x53) already
+    // catch; the bucket count rides the same (band, bh) partitioning the
+    // join shuffles on, so the cap costs no extra exchange.
+    val bands_ = maxBucketSize match {
+      case None => allBands
+      case Some(cap) =>
+        allBands
+          .withColumn(
+            "__bc",
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+            )
+          )
+          .filter(col("__bc") <= cap)
+          .drop("__bc")
+    }
     val a = bands_.as("a"); val b = bands_.as("b")
     a.join(
       b,

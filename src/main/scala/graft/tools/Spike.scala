@@ -57,9 +57,141 @@ object Spike {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  /** `runMain graft.tools.Spike zarr-1b` — the 25M-cell spike at two more
+    * orders of magnitude: ~1.07B f4 cells (4.3 GB raw) across 32,768
+    * chunks, written IN PARALLEL (each task generates + compresses its own
+    * chunk ordinals — no shuffle, the fixture analog of the sink's
+    * chunk-owner clustering), then scanned through the DSv2 source.
+    * Reports write/scan/slice timings, Mcells/s, partition count, and
+    * driver heap growth across planning (must stay flat: partitions are
+    * two-long ordinal ranges). */
+  private def zarr1b(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.zarr.{ZarrCodec, ZarrStoreWriter}
+    val root = "/tmp/graft_zarr1b"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val dir = ZarrStoreWriter.writeGroup(root)
+    val shape = Vector(1024, 1024, 1024) // 1,073,741,824 cells
+    val chunks = Vector(8, 64, 64) // 32,768 cells/chunk -> 32,768 chunks
+    val nC = Vector(128, 16, 16)
+    val arrayDir = java.nio.file.Paths.get(root, "v")
+    java.nio.file.Files.createDirectories(arrayDir)
+    java.nio.file.Files.writeString(
+      arrayDir.resolve(".zarray"),
+      ZarrStoreWriter.zarrayJson(shape, chunks, "<f4", Some("blosc:lz4"), Some(0.0))
+    )
+    java.nio.file.Files.writeString(
+      arrayDir.resolve(".zattrs"),
+      ZarrStoreWriter.zattrsJson(Some(Vector("t", "y", "x")))
+    )
+    val t0 = System.nanoTime()
+    val totalChunks = nC.map(_.toLong).product
+    spark.range(0, totalChunks, 1, 64).foreachPartition { (ords: Iterator[java.lang.Long]) =>
+      val buf = java.nio.ByteBuffer.allocate(chunks.product * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ords.foreach { ord =>
+        var rem = ord.longValue(); val ci = new Array[Int](3)
+        var d = 2
+        while (d >= 0) { ci(d) = (rem % nC(d)).toInt; rem /= nC(d); d -= 1 }
+        var i = 0
+        for (t <- 0 until chunks(0); y <- 0 until chunks(1); x <- 0 until chunks(2)) {
+          val flat = ((ci(0) * chunks(0) + t).toLong * 1024L + (ci(1) * chunks(1) + y)) * 1024L +
+            (ci(2) * chunks(2) + x)
+          buf.putFloat(i * 4, (flat % 9973L) * 0.5f)
+          i += 1
+        }
+        val bytes = ZarrCodec.compress(Some("blosc:lz4"), buf.array(), typesize = 4)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/v", s"${ci(0)}.${ci(1)}.${ci(2)}"),
+          bytes
+        )
+      }
+    }
+    ZarrStoreWriter.consolidate(java.nio.file.Paths.get(root))
+    val tw = (System.nanoTime() - t0) / 1e9
+    val sizeGb = org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(root)) / 1e9
+    println(f"[spike] 1b write: $tw%.1fs, on-disk $sizeGb%.2f GB (raw 4.29 GB)")
+    val rt = Runtime.getRuntime
+    def heapMb: Long = { System.gc(); (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024) }
+    val heapBefore = heapMb
+    val df = new graft.api.ZarrDataReader(spark, root).readArray("v")
+    val tp = System.nanoTime()
+    val nParts = df.rdd.getNumPartitions
+    val tplan = (System.nanoTime() - tp) / 1e9
+    println(f"[spike] 1b planning: $nParts partitions in $tplan%.1fs, driver heap $heapBefore -> $heapMb MB")
+    def time(label: String)(f: => Long): Unit = {
+      val t = System.nanoTime(); val cells = f
+      val s = (System.nanoTime() - t) / 1e9
+      println(f"[spike] 1b $label: $s%.1fs (${cells / s / 1e6}%.1f Mcells/s)")
+    }
+    time("value-only sum") {
+      df.select("value").agg(sum(col("value").cast("double"))).collect()
+      1073741824L // cells scanned (the agg value itself is not a cell count)
+    }
+    time("full scan+agg")(df.agg(count(lit(1)), sum(col("value").cast("double"))).collect().head.getLong(0))
+    time("one t-slice (1/1024 pruned)") {
+      new graft.api.ZarrDataReader(spark, root)
+        .readArray("v", Map("t" -> graft.model.DimSel.Point(17)))
+        .agg(count(lit(1))).collect().head.getLong(0)
+    }
+    println(f"[spike] 1b driver heap after scans: $heapMb MB")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  /** `SPARK_GRAFT_SF_DIR=... runMain graft.tools.Spike skew` — bucket-size
+    * distribution of the two bucketed-join operators whose cost model is
+    * sum(bucket²): minhash LSH band buckets (x03 configuration) and IVF
+    * cells (x34 configuration). One hot bucket is the 100 TB failure mode;
+    * the mitigation path when max/median exceeds ~10x is Scale.saltedAgg /
+    * per-bucket pair caps, both already in the library. */
+  private def skew(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def report(label: String, sizes: org.apache.spark.sql.DataFrame): Unit = {
+      val s = sizes
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          max("count").as("mx"),
+          expr("percentile(count, 0.5)").as("med"),
+          expr("percentile(count, 0.99)").as("p99"),
+          sum(col("count") * col("count")).as("sum_sq"),
+          sum("count").as("n")
+        )
+        .collect()
+        .head
+      println(
+        f"[skew] $label: buckets=${s.getLong(0)} rows=${s.getLong(5)} max=${s.getLong(1)} " +
+          f"median=${s.getDouble(2)}%.0f p99=${s.getDouble(3)}%.0f pairsUpperBound=${s.getLong(4)} " +
+          f"max/median=${s.getLong(1) / math.max(1.0, s.getDouble(2))}%.1f"
+      )
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sig = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 8)
+    // the x03 banding (4 bands x 2 rows, base-100000 injective packing)
+    val bands = sig
+      .select(
+        col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), (col(s"m${2 * b}") * lit(100000L) + col(s"m${2 * b + 1}")).as("bh"))): _*)).as("p")
+      )
+      .select(col("p.band").as("band"), col("p.bh").as("bh"))
+    report("minhash 4x2 band buckets", bands.groupBy("band", "bh").count())
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cen = e.filter(col("vec_id") < 8).select(col("vec_id").as("cen_id"), col("embedding").as("cv"))
+    val asg = e
+      .crossJoin(broadcast(cen))
+      .select(col("vec_id"), col("cen_id"),
+        graft.operators.Similarity.cosine(col("embedding"), col("cv")).as("sim"))
+      .withColumn("r", row_number().over(Window.partitionBy("vec_id").orderBy(desc("sim"), col("cen_id"))))
+      .filter(col("r") === 1)
+    report("IVF cells (x34: 8 seed centroids)", asg.groupBy("cen_id").count())
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("32")
     if (args.sameElements(Array("zarr-scale"))) { zarrScale(spark); spark.stop(); return }
+    if (args.sameElements(Array("zarr-1b"))) { zarr1b(spark); spark.stop(); return }
+    if (args.sameElements(Array("skew"))) { skew(spark); spark.stop(); return }
     if (args.isEmpty) {
       val df = graft.SparkEntry.entry(spark)
       df.show(10, truncate = false)

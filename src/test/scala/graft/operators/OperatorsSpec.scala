@@ -611,6 +611,22 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(ok == Seq(1L))
   }
 
+  test("minhash hot-bucket cap drops oversized buckets, leaves small ones intact") {
+    import spark.implicits._
+    // 6 near-identical docs (one shared bucket of 6) + 2 similar docs (bucket of 2)
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "the same boilerplate header text repeated verbatim")) ++
+        Seq((10L, "a unique pair of similar documents here"), (11L, "a unique pair of similar documents here"))
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val capped = Dedup.minhashCandidates(docs, "doc_id", "text", maxBucketSize = Some(4))
+    // uncapped: the 6-clone group contributes 15 pairs; capped: that bucket
+    // is dropped but the size-2 bucket (10, 11) survives
+    assert(uncapped.filter(col("d1") < 7).count() == 15)
+    assert(capped.filter(col("d1") < 7).count() == 0)
+    assert(capped.filter(col("d1") === 10L && col("d2") === 11L).count() == 1)
+  }
+
   test("connected components: 10k-node path converges via large-star/small-star in O(log n) rounds") {
     import spark.implicits._
     // diameter 9999 — pure min-label would need 9999 rounds; the star
