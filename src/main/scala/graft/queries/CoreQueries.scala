@@ -509,6 +509,8 @@ object CoreQueries {
           .join(arr("bei4v"), Seq("i"))
           .join(arr("bef8v"), Seq("i"))
           .join(arr("f4v", _.cast("double")), Seq("i"))
+          .join(arr("f2v", _.cast("double")), Seq("i"))
+          .join(arr("m8v"), Seq("i"))
           .orderBy("i")
       },
       Some("""SELECT CAST(r.i AS INTEGER) AS i,
@@ -521,7 +523,9 @@ object CoreQueries {
              |  CAST(r.i AS BIGINT) * 123456789012 AS i8v,
              |  CAST(r.i * 97 - 1000 AS INTEGER) AS bei4v,
              |  CAST(r.i AS DOUBLE) * 0.25 - 3.0 AS bef8v,
-             |  CAST(r.i AS DOUBLE) * 0.5 AS f4v
+             |  CAST(r.i AS DOUBLE) * 0.5 AS f4v,
+             |  CAST(r.i AS DOUBLE) * 0.25 AS f2v,
+             |  make_timestamp(CAST(r.i AS BIGINT) * 3600000000) AS m8v
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 60)) r
              |ORDER BY i""".stripMargin)
     )
@@ -579,6 +583,8 @@ object CoreQueries {
       w("bei4v", ">i4", Some("zlib"), i => (i * 97 - 1000).toDouble)
       w("bef8v", ">f8", Some("zstd"), i => i * 0.25 - 3.0)
       w("f4v", "<f4", Some("blosc:lz4"), i => i * 0.5)
+      w("f2v", "<f2", Some("zlib"), i => i * 0.25) // dyadic <= 14.75: exact in f16
+      w("m8v", "<M8[us]", Some("zstd"), i => (i * 3600000000L).toDouble) // hourly epoch micros
       ZarrStoreWriter.writeCoord(dir, "i", Coord.Ints(Array.tabulate(60)(identity)))
       ZarrStoreWriter.consolidate(dir)
       java.nio.file.Files.writeString(marker, "ok")

@@ -29,6 +29,13 @@ object Coord {
   final case class Index(n: Int) extends Coord {
     def dataType = LongType; def apply(i: Int) = i.toLong; def length = n
   }
+  /** Timestamp coordinate (datetime64 time axes). `apply` returns the
+    * Spark-INTERNAL representation (epoch micros as Long) — correct for the
+    * InternalRow/columnar zarr readers; not usable with external-Row
+    * builders like [[GridSource.toDF]], which rejects it. */
+  final case class Timestamps(a: Array[Long]) extends Coord {
+    def dataType = TimestampType; def apply(i: Int) = a(i); def length = a.length
+  }
 }
 
 /** In-memory / generated n-D grid description: the M1 source. `value` maps an
@@ -57,6 +64,10 @@ object GridSource {
       sel: Map[String, DimSel] = Map.empty,
       numPartitions: Option[Int] = None
   ): DataFrame = {
+    require(
+      !spec.coords.exists(_.isInstanceOf[Coord.Timestamps]),
+      "GridSource builds external Rows; Coord.Timestamps carries internal micros (zarr readers only)"
+    )
     val rs = Selection.resolve(spec.shape, spec.dims, sel)
     val outDims = rs.outDims
     val schema = StructType(

@@ -248,6 +248,7 @@ class ZarrScanBuilder(
     case Coord.Longs(a) => a(idx).toDouble
     case Coord.Floats(a) => a(idx).toDouble
     case Coord.Doubles(a) => a(idx)
+    case Coord.Timestamps(a) => a(idx).toDouble // epoch micros
     case Coord.Index(_) => idx.toDouble
   }
 
@@ -258,6 +259,10 @@ class ZarrScanBuilder(
     case d: Double => Some(d)
     case s: Short => Some(s.toDouble)
     case b: Byte => Some(b.toDouble)
+    // timestamp filter literals arrive as java.sql/java.time values;
+    // compare in epoch micros like Coord.Timestamps
+    case t: java.sql.Timestamp => Some(t.getTime * 1000.0 + (t.getNanos % 1000000) / 1000.0)
+    case t: java.time.Instant => Some(t.getEpochSecond * 1e6 + t.getNano / 1000.0)
     case _ => None
   }
 
@@ -372,6 +377,7 @@ class ZarrScan(
       case Coord.Longs(a) => Coord.Longs(kept.map(a))
       case Coord.Floats(a) => Coord.Floats(kept.map(a))
       case Coord.Doubles(a) => Coord.Doubles(kept.map(a))
+      case Coord.Timestamps(a) => Coord.Timestamps(kept.map(a))
       case Coord.Index(_) => Coord.Longs(kept.map(_.toLong))
     }
     d -> aligned
@@ -687,8 +693,15 @@ class ZarrColumnarReader(
     case ZDtype.I4 => (b, n, flat) => vec.putInt(n, b.getInt(flat))
     case ZDtype.U4 => (b, n, flat) => vec.putLong(n, b.getU4(flat))
     case ZDtype.I8 => (b, n, flat) => vec.putLong(n, b.getLong(flat))
+    case ZDtype.F2 => (b, n, flat) => vec.putFloat(n, b.getHalf(flat))
     case ZDtype.F4 => (b, n, flat) => vec.putFloat(n, b.getFloat(flat))
     case ZDtype.F8 => (b, n, flat) => vec.putDouble(n, b.getDouble(flat))
+    case ZDtype.M8 =>
+      (b, n, flat) =>
+        b.getM8(flat) match {
+          case null => vec.putNull(n)
+          case us: Long => vec.putLong(n, us) // TimestampType vectors are long-backed
+        }
     case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 
@@ -702,8 +715,13 @@ class ZarrColumnarReader(
         case ZDtype.U1 | ZDtype.I2 => (n, c) => vec.putShorts(n, c, fv.toShort)
         case ZDtype.U2 | ZDtype.I4 => (n, c) => vec.putInts(n, c, fv.toInt)
         case ZDtype.U4 | ZDtype.I8 => (n, c) => vec.putLongs(n, c, fv.toLong)
-        case ZDtype.F4 => (n, c) => vec.putFloats(n, c, fv.toFloat)
+        case ZDtype.F2 | ZDtype.F4 => (n, c) => vec.putFloats(n, c, fv.toFloat)
         case ZDtype.F8 => (n, c) => vec.putDoubles(n, c, fv)
+        case ZDtype.M8 =>
+          ZDtype.m8Micros(meta.zdtype, fv.toLong) match {
+            case null => (n, c) => vec.putNulls(n, c)
+            case us: Long => (n, c) => vec.putLongs(n, c, us)
+          }
         case other => throw new IllegalStateException(s"bad dtype code $other")
       }
   }
@@ -729,6 +747,7 @@ class ZarrColumnarReader(
         case Coord.Longs(a) => (n: Int) => vec.putLong(n, a(keptPos(d)))
         case Coord.Floats(a) => (n: Int) => vec.putFloat(n, a(keptPos(d)))
         case Coord.Doubles(a) => (n: Int) => vec.putDouble(n, a(keptPos(d)))
+        case Coord.Timestamps(a) => (n: Int) => vec.putLong(n, a(keptPos(d)))
         // unreachable in practice (keptCoords pre-converts Index to Longs)
         // but kept correct: the value is the GLOBAL index, not the position
         case Coord.Index(_) => (n: Int) => vec.putLong(n, dimRuns(d).kept(keptPos(d)).toLong)
@@ -789,6 +808,7 @@ class ZarrColumnarReader(
             case Coord.Longs(a) => (n: Int, c: Int) => vec.putLongs(n, c, a, keptPos(d))
             case Coord.Floats(a) => (n: Int, c: Int) => vec.putFloats(n, c, a, keptPos(d))
             case Coord.Doubles(a) => (n: Int, c: Int) => vec.putDoubles(n, c, a, keptPos(d))
+            case Coord.Timestamps(a) => (n: Int, c: Int) => vec.putLongs(n, c, a, keptPos(d))
             case Coord.Index(_) =>
               (n: Int, c: Int) => {
                 var i = 0
@@ -802,6 +822,7 @@ class ZarrColumnarReader(
             case Coord.Longs(a) => (n: Int, c: Int) => vec.putLongs(n, c, a(keptPos(d)))
             case Coord.Floats(a) => (n: Int, c: Int) => vec.putFloats(n, c, a(keptPos(d)))
             case Coord.Doubles(a) => (n: Int, c: Int) => vec.putDoubles(n, c, a(keptPos(d)))
+            case Coord.Timestamps(a) => (n: Int, c: Int) => vec.putLongs(n, c, a(keptPos(d)))
             case Coord.Index(_) =>
               (n: Int, c: Int) => vec.putLongs(n, c, dimRuns(d).kept(keptPos(d)).toLong)
           }

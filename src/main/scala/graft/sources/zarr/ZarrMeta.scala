@@ -40,13 +40,27 @@ final case class ZarrArrayMeta(
   * drives the ByteBuffer order. Unsigned types widen to the next signed
   * Spark type (u1→short, u2→int, u4→long) — the convention Spark's own
   * parquet reader uses for unsigned logical types, so values like a 250
-  * `|u1` pixel or a 4e9 `<u4` counter survive unchanged. */
-final case class ZDtype(tag: String, code: Int, itemSize: Int, bigEndian: Boolean, sparkType: DataType)
-    extends Serializable
+  * `|u1` pixel or a 4e9 `<u4` counter survive unchanged. `f2` (IEEE half)
+  * decodes to FloatType; `M8[unit]` (numpy datetime64 — the standard time
+  * coordinate of real climate stores) decodes to TimestampType with
+  * `m8Num/m8Den` scaling the stored unit to Spark's internal microseconds
+  * (NaT = Long.MinValue reads as null). */
+final case class ZDtype(
+    tag: String,
+    code: Int,
+    itemSize: Int,
+    bigEndian: Boolean,
+    sparkType: DataType,
+    m8Num: Long = 1L,
+    m8Den: Long = 1L
+) extends Serializable
 
 object ZDtype {
   final val BOOL = 0; final val I1 = 1; final val U1 = 2; final val I2 = 3; final val U2 = 4
   final val I4 = 5; final val U4 = 6; final val I8 = 7; final val F4 = 8; final val F8 = 9
+  final val F2 = 10; final val M8 = 11
+
+  final val NaT: Long = Long.MinValue
 
   private val Kinds: Map[String, (Int, Int, DataType)] = Map(
     "b1" -> ((BOOL, 1, BooleanType)),
@@ -57,8 +71,20 @@ object ZDtype {
     "i4" -> ((I4, 4, IntegerType)),
     "u4" -> ((U4, 4, LongType)),
     "i8" -> ((I8, 8, LongType)),
+    "f2" -> ((F2, 2, FloatType)),
     "f4" -> ((F4, 4, FloatType)),
     "f8" -> ((F8, 8, DoubleType))
+  )
+
+  /** datetime64 unit → (micros numerator, denominator). */
+  private val M8Units: Map[String, (Long, Long)] = Map(
+    "ns" -> ((1L, 1000L)),
+    "us" -> ((1L, 1L)),
+    "ms" -> ((1000L, 1L)),
+    "s" -> ((1000000L, 1L)),
+    "m" -> ((60L * 1000000L, 1L)),
+    "h" -> ((3600L * 1000000L, 1L)),
+    "D" -> ((86400L * 1000000L, 1L))
   )
 
   def parse(dtype: String): ZDtype = {
@@ -71,17 +97,69 @@ object ZDtype {
           case '>' => (true, dtype.substring(1))
           case _ => (false, dtype) // bare "i4" spelling tolerated
         }
-    Kinds.get(kind) match {
-      case Some((code, size, st)) => ZDtype(dtype, code, size, big && size > 1, st)
-      case None =>
+    if (kind.startsWith("M8[") && kind.endsWith("]")) {
+      val unit = kind.substring(3, kind.length - 1)
+      val (num, den) = M8Units.getOrElse(
+        unit,
         throw new IllegalArgumentException(
-          s"unsupported zarr dtype '$dtype' (supported kinds: ${Kinds.keys.toSeq.sorted.mkString(", ")} " +
-            "with '<', '>', '|', '=' byte-order prefixes; strings/datetimes/complex are not)"
+          s"unsupported datetime64 unit '$unit' in '$dtype' (supported: ${M8Units.keys.toSeq.sorted.mkString(", ")})"
         )
+      )
+      ZDtype(dtype, M8, 8, big, TimestampType, num, den)
+    } else
+      Kinds.get(kind) match {
+        case Some((code, size, st)) => ZDtype(dtype, code, size, big && size > 1, st)
+        case None =>
+          throw new IllegalArgumentException(
+            s"unsupported zarr dtype '$dtype' (supported kinds: ${Kinds.keys.toSeq.sorted.mkString(", ")}, " +
+              "M8[ns|us|ms|s|m|h|D], with '<', '>', '|', '=' byte-order prefixes; strings/complex are not)"
+          )
+      }
+  }
+
+  /** Stored datetime64 value → Spark-internal micros, or null for NaT. */
+  def m8Micros(dt: ZDtype, raw: Long): Any =
+    if (raw == NaT) null else raw * dt.m8Num / dt.m8Den
+
+  /** IEEE 754 half-precision → float (Java 17 lacks Float.float16ToFloat). */
+  def halfToFloat(h: Short): Float = {
+    val bits = h & 0xffff
+    val sign = (bits & 0x8000) << 16
+    val exp = (bits >> 10) & 0x1f
+    val mant = bits & 0x3ff
+    if (exp == 0) {
+      if (mant == 0) java.lang.Float.intBitsToFloat(sign)
+      else { val v = mant * (1.0f / (1 << 24)); if (sign != 0) -v else v }
+    } else if (exp == 0x1f) {
+      if (mant == 0) java.lang.Float.intBitsToFloat(sign | 0x7f800000)
+      else java.lang.Float.intBitsToFloat(sign | 0x7fc00000 | (mant << 13))
+    } else java.lang.Float.intBitsToFloat(sign | ((exp - 15 + 127) << 23) | (mant << 13))
+  }
+
+  /** float → IEEE half, round-to-nearest (the widely used branch-structure
+    * conversion; overflow → ±inf, NaN payload preserved in the high bits). */
+  def floatToHalf(f: Float): Short = {
+    val fbits = java.lang.Float.floatToIntBits(f)
+    val sign = (fbits >>> 16) & 0x8000
+    val absF = fbits & 0x7fffffff
+    val v = absF + 0x1000
+    if (v >= 0x47800000) {
+      if (absF >= 0x47800000) {
+        if (absF < 0x7f800000) (sign | 0x7c00).toShort // overflow -> inf
+        else (sign | 0x7c00 | ((fbits & 0x007fffff) >> 13)).toShort // inf/NaN
+      } else (sign | 0x7bff).toShort // rounded up to just below inf -> max half
+    } else if (v >= 0x38800000) (sign | ((v - 0x38000000) >> 13)).toShort // normal
+    else if (absF < 0x33000000) sign.toShort // underflow -> signed zero
+    else {
+      // subnormal half
+      val e = absF >>> 23
+      (sign | ((((fbits & 0x7fffff) | 0x800000) + (0x800000 >>> (e - 102))) >> (126 - e))).toShort
     }
   }
 
-  /** Box a (numeric) fill value as the Spark-internal value for this dtype. */
+  /** Box a (numeric) fill value as the Spark-internal value for this dtype.
+    * For M8 the fill is in the dtype's OWN stored unit (like on-disk cells);
+    * a NaT fill boxes to null. */
   def box(dt: ZDtype, v: Double): Any = dt.code match {
     case BOOL => v != 0.0
     case I1 => v.toByte
@@ -91,8 +169,10 @@ object ZDtype {
     case I4 => v.toInt
     case U4 => v.toLong
     case I8 => v.toLong
+    case F2 => v.toFloat
     case F4 => v.toFloat
     case F8 => v
+    case M8 => m8Micros(dt, v.toLong)
     case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 
@@ -107,13 +187,16 @@ object ZDtype {
     case I4 => buf.putInt(i * 4, v.toInt)
     case U4 => buf.putInt(i * 4, (v & 0xffffffffL).toInt)
     case I8 => buf.putLong(i * 8, v)
+    case F2 => buf.putShort(i * 2, floatToHalf(v.toFloat))
     case F4 => buf.putFloat(i * 4, v.toFloat)
     case F8 => buf.putDouble(i * 8, v.toDouble)
+    case M8 => buf.putLong(i * 8, v) // raw stored units (e.g. epoch ns)
     case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 
   /** Encode one value at element index `i` into a buffer whose order is
-    * already this dtype's byte order (writer + fill-chunk encode seam). */
+    * already this dtype's byte order (writer + fill-chunk encode seam).
+    * M8 values are in the dtype's own stored unit. */
   def put(dt: ZDtype, buf: java.nio.ByteBuffer, i: Int, v: Double): Unit = dt.code match {
     case BOOL => buf.put(i, if (v != 0.0) 1.toByte else 0.toByte)
     case I1 => buf.put(i, v.toByte)
@@ -123,8 +206,10 @@ object ZDtype {
     case I4 => buf.putInt(i * 4, v.toInt)
     case U4 => buf.putInt(i * 4, (v.toLong & 0xffffffffL).toInt)
     case I8 => buf.putLong(i * 8, v.toLong)
+    case F2 => buf.putShort(i * 2, floatToHalf(v.toFloat))
     case F4 => buf.putFloat(i * 4, v.toFloat)
     case F8 => buf.putDouble(i * 8, v)
+    case M8 => buf.putLong(i * 8, v.toLong)
     case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 }

@@ -51,6 +51,7 @@ object ZarrSink {
     case LongType => "<i8"
     case FloatType => "<f4"
     case DoubleType => "<f8"
+    case TimestampType => "<M8[us]"
     case other =>
       throw new IllegalArgumentException(
         s"zarr sink: unsupported value column type $other (pass an explicit 'dtype' option for unsigned targets)"
@@ -62,8 +63,19 @@ object ZarrSink {
     case LongType => "<i8"
     case FloatType => "<f4"
     case DoubleType => "<f8"
+    case TimestampType => "<M8[us]"
     case other =>
-      throw new IllegalArgumentException(s"zarr sink: dimension columns must be int/long/float/double, got $other")
+      throw new IllegalArgumentException(
+        s"zarr sink: dimension columns must be int/long/float/double/timestamp, got $other"
+      )
+  }
+
+  /** External timestamp value → epoch micros (both java.sql and java.time
+    * spellings, depending on spark.sql.datetime.java8API.enabled). */
+  private def micros(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000L
+    case other => throw new IllegalArgumentException(s"zarr sink: bad timestamp value $other")
   }
 
   def write(df: DataFrame, rawOptions: Map[String, String], overwrite: Boolean): Unit = {
@@ -202,6 +214,9 @@ object ZarrSink {
             case l: java.lang.Long => ZDtype.putLong(dt, buf, local, l.longValue())
             case f: java.lang.Float => ZDtype.put(dt, buf, local, f.doubleValue())
             case d0: java.lang.Double => ZDtype.put(dt, buf, local, d0.doubleValue())
+            case t @ (_: java.sql.Timestamp | _: java.time.Instant) =>
+              // M8[us] stores epoch micros raw
+              ZDtype.putLong(dt, buf, local, micros(t))
             case other =>
               throw new IllegalArgumentException(s"zarr sink: unsupported value ${other.getClass}")
           }
@@ -249,6 +264,7 @@ object ZarrSink {
         case l: java.lang.Long => ZDtype.putLong(dt, buf, i, l.longValue())
         case f: java.lang.Float => ZDtype.put(dt, buf, i, f.doubleValue())
         case d: java.lang.Double => ZDtype.put(dt, buf, i, d.doubleValue())
+        case t @ (_: java.sql.Timestamp | _: java.time.Instant) => ZDtype.putLong(dt, buf, i, micros(t))
         case other => throw new IllegalArgumentException(s"zarr sink: bad coord value $other")
       }
     }

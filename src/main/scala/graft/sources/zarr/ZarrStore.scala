@@ -86,21 +86,27 @@ final class ZarrStore(
 
   /** Read a full (small, 1-D) coordinate array on the driver; missing
     * coordinate OR any failure to decode it (unsupported dtype such as
-    * string/datetime64/big-endian, unsupported codec, corrupt chunk) →
-    * positional-index fallback, matching the reference's catch-all
-    * (coordinate_processor.py:140-144, 260-262). */
+    * string, unsupported codec, corrupt chunk) → positional-index fallback,
+    * matching the reference's catch-all (coordinate_processor.py:140-144,
+    * 260-262). datetime64 coordinates — the standard time axis of real
+    * climate stores — decode to timestamp coords (micros); a NaT entry
+    * falls back to positional (a coordinate must be total). */
   def coordFor(dim: String, extent: Int): Coord =
     try {
       val m = arrayMeta(dim)
       if (m.rank != 1 || m.shape.head != extent) Coord.Index(extent)
       else {
         val acc = ZarrChunkIO.readWholeArray(arrayDir(dim), m, storageOptions)
-        m.dtype match {
-          case "<i4" => Coord.Ints(Array.tabulate(extent)(i => acc.getInt(i)))
-          case "<i8" => Coord.Longs(Array.tabulate(extent)(i => acc.getLong(i)))
-          case "<f4" => Coord.Floats(Array.tabulate(extent)(i => acc.getFloat(i)))
-          case "<f8" => Coord.Doubles(Array.tabulate(extent)(i => acc.getDouble(i)))
-          case _     => Coord.Index(extent)
+        m.zdtype.code match {
+          case ZDtype.I4 => Coord.Ints(Array.tabulate(extent)(i => acc.getInt(i)))
+          case ZDtype.I8 => Coord.Longs(Array.tabulate(extent)(i => acc.getLong(i)))
+          case ZDtype.F4 => Coord.Floats(Array.tabulate(extent)(i => acc.getFloat(i)))
+          case ZDtype.F8 => Coord.Doubles(Array.tabulate(extent)(i => acc.getDouble(i)))
+          case ZDtype.M8 =>
+            val vals = Array.tabulate(extent)(i => acc.getM8(i))
+            if (vals.contains(null)) Coord.Index(extent)
+            else Coord.Timestamps(vals.map(_.asInstanceOf[Long]))
+          case _ => Coord.Index(extent)
         }
       }
     } catch { case scala.util.control.NonFatal(_) => Coord.Index(extent) }
@@ -130,6 +136,9 @@ final class ZarrBuffer(bytes: Array[Byte], val dt: ZDtype) extends Serializable 
   def getShort(i: Int): Short = buf.getShort(i * 2)
   def getU2(i: Int): Int = buf.getShort(i * 2) & 0xffff
   def getU4(i: Int): Long = buf.getInt(i * 4) & 0xffffffffL
+  def getHalf(i: Int): Float = ZDtype.halfToFloat(buf.getShort(i * 2))
+  /** datetime64 cell → Spark-internal micros, or null for NaT. */
+  def getM8(i: Int): Any = ZDtype.m8Micros(dt, buf.getLong(i * 8))
   /** Read as Any matching the Spark type for dtype. */
   def getValue(i: Int): Any = dt.code match {
     case ZDtype.BOOL => getBool(i)
@@ -140,8 +149,10 @@ final class ZarrBuffer(bytes: Array[Byte], val dt: ZDtype) extends Serializable 
     case ZDtype.I4 => getInt(i)
     case ZDtype.U4 => getU4(i)
     case ZDtype.I8 => getLong(i)
+    case ZDtype.F2 => getHalf(i)
     case ZDtype.F4 => getFloat(i)
     case ZDtype.F8 => getDouble(i)
+    case ZDtype.M8 => getM8(i)
     case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 }

@@ -129,6 +129,7 @@ object ZarrStoreWriter {
       case Coord.Longs(a) => ("<i8", (i: Long) => a(i.toInt).toDouble)
       case Coord.Floats(a) => ("<f4", (i: Long) => a(i.toInt).toDouble)
       case Coord.Doubles(a) => ("<f8", (i: Long) => a(i.toInt))
+      case Coord.Timestamps(a) => ("<M8[us]", (i: Long) => a(i.toInt).toDouble)
       case Coord.Index(n) => ("<i8", (i: Long) => i.toDouble)
     }
     writeArray(

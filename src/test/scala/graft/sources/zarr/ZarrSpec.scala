@@ -238,7 +238,17 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
       ("m_i4be", ">i4", IntegerType, f => (f * 97 - 1000).toDouble, f => (f * 97 - 1000).toInt),
       ("m_i8be", ">i8", LongType, f => (f * 1234567L).toDouble, f => f * 1234567L),
       ("m_f4be", ">f4", FloatType, f => f * 0.5, f => f * 0.5f),
-      ("m_f8be", ">f8", DoubleType, f => f * 0.25 - 3.0, f => f * 0.25 - 3.0)
+      ("m_f8be", ">f8", DoubleType, f => f * 0.25 - 3.0, f => f * 0.25 - 3.0),
+      // half precision (dyadic values <= 14.75 are exact in f16)
+      ("m_f2", "<f2", FloatType, f => f * 0.25, f => (f * 0.25).toFloat),
+      ("m_f2be", ">f2", FloatType, f => f * 0.25, f => (f * 0.25).toFloat),
+      // datetime64: stored unit scales to Spark-internal micros
+      ("m_m8us", "<M8[us]", TimestampType, f => (f * 1000000L).toDouble,
+        f => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(f))),
+      ("m_m8ns", "<M8[ns]", TimestampType, f => (f * 1000000000L).toDouble,
+        f => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(f))),
+      ("m_m8be", ">M8[ms]", TimestampType, f => (f * 1000L).toDouble,
+        f => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(f)))
     )
     cases.zipWithIndex.foreach { case ((n, dt, _, f, _), i) =>
       // compressor varies cyclically: blosc lands on 2- and 4-byte typesizes
@@ -290,9 +300,53 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
         assert(viaRows.nonEmpty, s"$n sel=$selMap")
       }
     }
-    // strings/datetimes still reject with a clear, actionable error
+    // strings still reject with a clear, actionable error
     val e = intercept[IllegalArgumentException](ZDtype.parse("<U8"))
     assert(e.getMessage.contains("unsupported zarr dtype"))
+    val e2 = intercept[IllegalArgumentException](ZDtype.parse("<M8[fs]"))
+    assert(e2.getMessage.contains("datetime64 unit"))
+  }
+
+  test("datetime64: NaT reads as null; timestamp coords decode and push filters") {
+    val root = Files.createTempDirectory("zarrm8").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    // value array with one NaT cell (Double -> Long saturates at MinValue)
+    ZarrStoreWriter.writeArray(
+      dir, "obs", Vector(10), Vector(4), "<M8[s]",
+      f => if (f == 7L) Long.MinValue.toDouble else (1700000000L + f * 60).toDouble,
+      dims = Some(Vector("time"))
+    )
+    // hourly timestamp coordinate (micros)
+    ZarrStoreWriter.writeCoord(
+      dir, "time",
+      Coord.Timestamps(Array.tabulate(10)(i => 1700000000000000L + i.toLong * 3600000000L))
+    )
+    ZarrStoreWriter.consolidate(dir)
+    val df = new ZarrDataReader(spark, root).readArray("obs")
+    assert(df.schema("time").dataType == TimestampType)
+    assert(df.schema("value").dataType == TimestampType)
+    val rows = df.orderBy("time").collect()
+    assert(rows.length == 10)
+    assert(rows(7).isNullAt(1)) // NaT -> null
+    assert(
+      rows(3).getTimestamp(1) ==
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + 3 * 60))
+    )
+    // pushed filter on the timestamp coordinate prunes at the scan
+    val cutoff = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + 5 * 3600))
+    val pushed = df.filter(col("time") > lit(cutoff))
+    assert(!pushed.queryExecution.optimizedPlan.toString.contains("Filter"),
+      pushed.queryExecution.optimizedPlan.toString)
+    assert(pushed.count() == 4) // hours 6..9
+    // sink round-trip: timestamp dim and value survive df.write.format("zarr")
+    val dst = Files.createTempDirectory("zarrm8sink").toString + "/store"
+    // NaT fill: the null cell is SKIPPED by the sink and must read back as
+    // null (epoch-0 would silently fabricate 1970-01-01)
+    df.write.format("zarr").option("path", dst).option("array", "obs")
+      .option("fill_value", Long.MinValue.toString).mode("append").save()
+    val back = new ZarrDataReader(spark, dst).readArray("obs")
+    assert(back.schema == df.schema)
+    assert(back.orderBy("time").collect().toSeq == rows.toSeq)
   }
 
   test("scalar (0-d) array yields one-row frame [value]") {
