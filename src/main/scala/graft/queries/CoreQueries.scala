@@ -528,6 +528,43 @@ object CoreQueries {
              |  make_timestamp(CAST(r.i AS BIGINT) * 3600000000) AS m8v
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 60)) r
              |ORDER BY i""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // numcodecs FILTER chains under the correctness gate: arrays whose
+    // on-disk chunks are delta-coded (numcodecs.Delta — the common
+    // time/monotonic-coordinate encoding) before the compressor, across
+    // int widths, big-endian floats, unsigned wrap-around, datetime64 and
+    // a lossy-at-encode quantize. Dropping the filter list would return
+    // the raw deltas — this query proves the chain is undone exactly
+    // (reference: zarr_storage.py surfaces numcodecs filters untouched).
+    Q(
+      "q24_filters",
+      (s, _) => {
+        val root = CoreQueries.q24Store()
+        val rd = new graft.api.ZarrDataReader(s, root)
+        def arr(name: String, out: Column => Column = identity): DataFrame =
+          rd.readArray(name).select(col("i"), out(col("value")).as(name))
+        arr("d_i8")
+          .join(arr("d_i2"), Seq("i"))
+          .join(arr("d_u1"), Seq("i"))
+          .join(arr("d_u2"), Seq("i"))
+          .join(arr("d_bef8"), Seq("i"))
+          .join(arr("d_f4", _.cast("double")), Seq("i"))
+          .join(arr("d_m8"), Seq("i"))
+          .join(arr("q_f8"), Seq("i"))
+          .orderBy("i")
+      },
+      Some("""SELECT CAST(r.i AS INTEGER) AS i,
+             |  CAST(r.i AS BIGINT) * 1234567 AS d_i8,
+             |  CAST(r.i * 500 - 15000 AS SMALLINT) AS d_i2,
+             |  CAST((r.i * 7) % 256 AS SMALLINT) AS d_u1,
+             |  CAST((r.i * 1103) % 65536 AS INTEGER) AS d_u2,
+             |  CAST(r.i AS DOUBLE) * 0.25 - 3.0 AS d_bef8,
+             |  CAST(r.i AS DOUBLE) * 0.5 AS d_f4,
+             |  make_timestamp((1700000000 + CAST(r.i AS BIGINT) * 60) * 1000000) AS d_m8,
+             |  CAST(r.i AS DOUBLE) * 0.25 AS q_f8
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 60)) r
+             |ORDER BY i""".stripMargin)
     )
   )
 
@@ -585,6 +622,38 @@ object CoreQueries {
       w("f4v", "<f4", Some("blosc:lz4"), i => i * 0.5)
       w("f2v", "<f2", Some("zlib"), i => i * 0.25) // dyadic <= 14.75: exact in f16
       w("m8v", "<M8[us]", Some("zstd"), i => (i * 3600000000L).toDouble) // hourly epoch micros
+      ZarrStoreWriter.writeCoord(dir, "i", Coord.Ints(Array.tabulate(60)(identity)))
+      ZarrStoreWriter.consolidate(dir)
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
+
+  /** Build the deterministic q24 store once per JVM: eight 1-D arrays over
+    * a shared `<i4` coordinate `i` whose chunks carry a numcodecs filter
+    * chain — delta across int widths / unsigned wrap / big-endian f8 / f4 /
+    * datetime64[s], plus a quantize (identity-at-decode) f8. Float values
+    * are dyadic with dyadic diffs so the delta prefix sum is bit-exact. */
+  private[queries] def q24Store(): String = synchronized {
+    val root = "/tmp/graft_q24_store"
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      import graft.sources.zarr.ZarrStoreWriter
+      val dir = ZarrStoreWriter.writeGroup(root)
+      val shape = Vector(60); val ch = Vector(16); val dims = Some(Vector("i"))
+      def w(name: String, dtype: String, comp: Option[String], filt: Seq[String], f: Long => Double): Unit =
+        ZarrStoreWriter.writeArray(
+          dir, name, shape, ch, dtype, f, dims = dims, compressor = comp, filters = filt
+        )
+      w("d_i8", "<i8", Some("zlib"), Seq("delta"), i => (i * 1234567L).toDouble)
+      w("d_i2", "<i2", Some("blosc:lz4"), Seq("delta"), i => (i * 500 - 15000).toDouble)
+      w("d_u1", "|u1", Some("zlib"), Seq("delta"), i => ((i * 7) % 256).toDouble)
+      w("d_u2", "<u2", Some("blosc:zstd:bitshuffle"), Seq("delta"), i => ((i * 1103) % 65536).toDouble)
+      w("d_bef8", ">f8", Some("zstd"), Seq("delta"), i => i * 0.25 - 3.0)
+      w("d_f4", "<f4", Some("blosc:blosclz"), Seq("delta"), i => i * 0.5)
+      w("d_m8", "<M8[s]", None, Seq("delta"), i => (1700000000L + i * 60).toDouble)
+      w("q_f8", "<f8", Some("zlib"), Seq("quantize"), i => i * 0.25)
       ZarrStoreWriter.writeCoord(dir, "i", Coord.Ints(Array.tabulate(60)(identity)))
       ZarrStoreWriter.consolidate(dir)
       java.nio.file.Files.writeString(marker, "ok")

@@ -25,7 +25,8 @@ final case class ZarrArrayMeta(
     compressor: Option[String], // codec id
     fillValue: Option[Double],
     dims: Vector[String],
-    attrs: Map[String, String]
+    attrs: Map[String, String],
+    filters: Vector[String] = Vector.empty // raw numcodecs filter configs, encode order
 ) {
   def rank: Int = shape.length
   @transient lazy val zdtype: ZDtype = ZDtype.parse(dtype)
@@ -268,6 +269,14 @@ object ZarrMeta {
       dimNames.length == shape.length,
       s"array $name: _ARRAY_DIMENSIONS rank ${dimNames.length} != shape rank ${shape.length}"
     )
-    ZarrArrayMeta(name, shape, chunks, dtype, order, compressor, fill, dimNames, attrs)
+    // filters MUST be carried (not ignored): a filtered chunk's bytes are
+    // not the array values, and dropping the filter chain would silently
+    // return wrong data — the one failure mode a reader must never have
+    val filters = (j \ "filters") match {
+      case JNull | JNothing => Vector.empty[String]
+      case JArray(items) => items.map(i => JsonMethods.compact(JsonMethods.render(i))).toVector
+      case other => throw new IllegalArgumentException(s"array $name: bad filters $other")
+    }
+    ZarrArrayMeta(name, shape, chunks, dtype, order, compressor, fill, dimNames, attrs, filters)
   }
 }

@@ -174,11 +174,14 @@ object ZarrChunkIO {
     val f = new HPath(arrayDir, chunkFileName(chunkIdx))
     val rawLen = meta.chunks.map(_.toLong).product.toInt * ZarrMeta.itemSize(meta.dtype)
     ZarrFileIO.readBytesIfExists(f, storageOptions, sizeHint = rawLen).map { raw =>
-      val bytes = ZarrCodec.decompress(meta.compressor, raw, rawLen)
+      val decompressed = ZarrCodec.decompress(meta.compressor, raw, rawLen)
       require(
-        bytes.length == rawLen,
-        s"chunk ${f.getName} decoded to ${bytes.length} bytes, expected $rawLen"
+        decompressed.length == rawLen,
+        s"chunk ${f.getName} decoded to ${decompressed.length} bytes, expected $rawLen"
       )
+      // filters applied in encode order at write time -> undone in REVERSE
+      val bytes =
+        meta.filters.foldRight(decompressed)((cfg, b) => ZarrFilters.decode(cfg, meta.zdtype, b))
       new ZarrBuffer(bytes, meta.zdtype)
     }
   }

@@ -19,7 +19,9 @@ object ZarrStoreWriter {
     dir
   }
 
-  /** Write one n-D array from a flat C-order generator. */
+  /** Write one n-D array from a flat C-order generator. `filters` is a list
+    * of numcodecs filter ids (e.g. "delta") applied in order before the
+    * compressor, emitted into `.zarray` as configs. */
   def writeArray(
       groupDir: Path,
       name: String,
@@ -30,12 +32,17 @@ object ZarrStoreWriter {
       dims: Option[Vector[String]] = None,
       attrs: Map[String, String] = Map.empty,
       compressor: Option[String] = None,
-      fillValue: Option[Double] = Some(0.0)
+      fillValue: Option[Double] = Some(0.0),
+      filters: Seq[String] = Nil
   ): Unit = {
     require(shape.length == chunks.length)
     val dir = groupDir.resolve(name)
     Files.createDirectories(dir)
-    Files.writeString(dir.resolve(".zarray"), zarrayJson(shape, chunks, dtype, compressor, fillValue))
+    val filterCfgs = filters.map(id => s"""{"id": "$id", "dtype": "$dtype"}""")
+    Files.writeString(
+      dir.resolve(".zarray"),
+      zarrayJson(shape, chunks, dtype, compressor, fillValue, filterCfgs)
+    )
     Files.writeString(dir.resolve(".zattrs"), zattrsJson(dims, attrs))
 
     val dt = ZDtype.parse(dtype)
@@ -84,7 +91,9 @@ object ZarrStoreWriter {
           done = carry
         }
       }
-      val bytes = ZarrCodec.compress(compressor, buf.array(), typesize = item)
+      val filtered =
+        filterCfgs.foldLeft(buf.array())((b, cfg) => ZarrFilters.encode(cfg, dt, b))
+      val bytes = ZarrCodec.compress(compressor, filtered, typesize = item)
       Files.write(dir.resolve(ZarrChunkIO.chunkFileName(cIdx.toSeq)), bytes)
       ci += 1
     }
@@ -100,7 +109,8 @@ object ZarrStoreWriter {
       chunks: Vector[Int],
       dtype: String,
       compressor: Option[String],
-      fillValue: Option[Double]
+      fillValue: Option[Double],
+      filterCfgs: Seq[String] = Nil
   ): String = {
     val comp = compressor.map { c =>
       val parts = c.split(":")
@@ -111,8 +121,9 @@ object ZarrStoreWriter {
       } else s"""{"id": "$c"}"""
     }.getOrElse("null")
     val fill = fillValue.map(f => if (f.isNaN) "\"NaN\"" else f.toString).getOrElse("null")
+    val filt = if (filterCfgs.isEmpty) "null" else filterCfgs.mkString("[", ", ", "]")
     s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}], "chunks": [${chunks.mkString(",")}],
-       |"dtype": "$dtype", "order": "C", "compressor": $comp, "fill_value": $fill, "filters": null}""".stripMargin
+       |"dtype": "$dtype", "order": "C", "compressor": $comp, "fill_value": $fill, "filters": $filt}""".stripMargin
   }
 
   /** `.zattrs` JSON with the xarray dimension-name convention. */

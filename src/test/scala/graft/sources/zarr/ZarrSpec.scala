@@ -307,6 +307,71 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(e2.getMessage.contains("datetime64 unit"))
   }
 
+  test("numcodecs filters: delta round-trips, quantize passes through, unknown rejects loudly") {
+    val root = Files.createTempDirectory("zarrfilt").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    ZarrStoreWriter.writeArray(
+      dir, "d_i8", Vector(60), Vector(16), "<i8", f => (f * 1234567L).toDouble,
+      dims = Some(Vector("i")), compressor = Some("zlib"), filters = Seq("delta")
+    )
+    ZarrStoreWriter.writeArray(
+      dir, "d_i2", Vector(60), Vector(16), "<i2", f => (f * 500 - 15000).toDouble,
+      dims = Some(Vector("i")), compressor = Some("blosc:lz4"), filters = Seq("delta")
+    )
+    ZarrStoreWriter.writeArray(
+      dir, "d_f8be", Vector(60), Vector(16), ">f8", f => f * 0.25 - 3.0,
+      dims = Some(Vector("i")), compressor = Some("zstd"), filters = Seq("delta")
+    )
+    ZarrStoreWriter.writeArray(
+      dir, "d_m8", Vector(60), Vector(16), "<M8[s]", f => (1700000000L + f * 60).toDouble,
+      dims = Some(Vector("i")), filters = Seq("delta")
+    )
+    ZarrStoreWriter.writeArray(
+      dir, "q_f8", Vector(60), Vector(16), "<f8", f => f * 0.5,
+      dims = Some(Vector("i")), compressor = Some("zlib"), filters = Seq("quantize")
+    )
+    ZarrStoreWriter.consolidate(dir)
+    val r = new ZarrDataReader(spark, root)
+    // the on-disk chunk is genuinely delta-coded (first long = first value,
+    // second long = the diff), so decode is really undoing the filter
+    val m = new ZarrStore(root).arrayMeta("d_i8")
+    assert(m.filters.nonEmpty && m.filters.head.contains("delta"))
+    assert(
+      r.readArray("d_i8").orderBy("i").select("value").collect().map(_.getLong(0)).toSeq ==
+        (0L until 60L).map(_ * 1234567L)
+    )
+    assert(
+      r.readArray("d_i2").orderBy("i").select("value").collect().map(_.getShort(0)).toSeq ==
+        (0 until 60).map(f => (f * 500 - 15000).toShort)
+    )
+    assert(
+      r.readArray("d_f8be").orderBy("i").select("value").collect().map(_.getDouble(0)).toSeq ==
+        (0 until 60).map(f => f * 0.25 - 3.0)
+    )
+    assert(
+      r.readArray("d_m8").orderBy("i").select("value").collect().map(_.getTimestamp(0)).toSeq ==
+        (0 until 60).map(f => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + f * 60)))
+    )
+    assert(
+      r.readArray("q_f8").orderBy("i").select("value").collect().map(_.getDouble(0)).toSeq ==
+        (0 until 60).map(_ * 0.5)
+    )
+    // an unsupported filter must ERROR on value read, never skip silently
+    val zarray = java.nio.file.Paths.get(root, "d_i8", ".zarray")
+    Files.writeString(
+      zarray,
+      Files.readString(zarray).replace(
+        """[{"id": "delta", "dtype": "<i8"}]""",
+        """[{"id": "fixedscaleoffset", "scale": 10, "offset": 0, "dtype": "<i8"}]"""
+      )
+    )
+    ZarrStoreWriter.consolidate(dir)
+    val e = intercept[org.apache.spark.SparkException](
+      new ZarrDataReader(spark, root).readArray("d_i8").agg(sum("value")).collect()
+    )
+    assert(e.getMessage.contains("filter") || e.getCause.getMessage.contains("filter"))
+  }
+
   test("datetime64: NaT reads as null; timestamp coords decode and push filters") {
     val root = Files.createTempDirectory("zarrm8").toString
     val dir = ZarrStoreWriter.writeGroup(root)
