@@ -25,12 +25,49 @@ object DimSel {
   case object All extends DimSel
 }
 
+/** Compact kept-index set for one dimension (sorted, distinct, C-order).
+  * A full or range selection over a 10^8-element dimension is two ints, not
+  * a 10^8-element vector — per-dim planning state must stay O(1) for the
+  * full-dim common case or the driver itself becomes the scale ceiling. */
+sealed trait KeptSet extends Serializable {
+  def length: Int
+  /** The i-th kept GLOBAL index (0 <= i < length). */
+  def apply(i: Int): Int
+  def isEmpty: Boolean = length == 0
+  def toVector: Vector[Int] = Vector.tabulate(length)(apply)
+}
+object KeptSet {
+  /** Half-open contiguous [start, until). */
+  final case class Range(start: Int, until: Int) extends KeptSet {
+    def length: Int = math.max(0, until - start)
+    def apply(i: Int): Int = start + i
+  }
+  /** Explicit sorted gather (a filter's surviving indices, a user index
+    * list). O(length) memory — the builders below re-compact to Range
+    * whenever the survivors happen to be contiguous. */
+  final case class Explicit(idx: Array[Int]) extends KeptSet {
+    def length: Int = idx.length
+    def apply(i: Int): Int = idx(i)
+    // Array fields don't get structural equality from the case class
+    override def equals(o: Any): Boolean = o match {
+      case Explicit(other) => java.util.Arrays.equals(idx, other)
+      case _ => false
+    }
+    override def hashCode(): Int = java.util.Arrays.hashCode(idx)
+  }
+  /** Build from a sorted index array, compacting contiguous runs to Range. */
+  def fromIndices(idx: Array[Int]): KeptSet =
+    if (idx.isEmpty) Range(0, 0)
+    else if (idx.last - idx.head == idx.length - 1) Range(idx.head, idx.last + 1)
+    else Explicit(idx)
+}
+
 /** A selection resolved against a concrete shape: per original dimension the
   * kept original indices (C-order preserved), plus which dims are dropped
   * (Point selections). */
 final case class ResolvedSelection(
     origShape: Vector[Int],
-    keep: Vector[Vector[Int]],
+    keep: Vector[KeptSet],
     dropped: Vector[Boolean]
 ) {
   require(origShape.length == keep.length && keep.length == dropped.length)
@@ -48,22 +85,22 @@ object Selection {
     * points/indices throw. */
   def resolve(shape: Seq[Int], dims: Seq[String], sel: Map[String, DimSel]): ResolvedSelection = {
     require(shape.length == dims.length, s"shape/dims rank mismatch: $shape vs $dims")
-    val keep = Vector.newBuilder[Vector[Int]]
+    val keep = Vector.newBuilder[KeptSet]
     val dropped = Vector.newBuilder[Boolean]
     shape.indices.foreach { d =>
       val n = shape(d)
       sel.getOrElse(dims(d), DimSel.All) match {
         case DimSel.All =>
-          keep += (0 until n).toVector; dropped += false
+          keep += KeptSet.Range(0, n); dropped += false
         case DimSel.Range(a, b) =>
           val lo = math.max(0, math.min(a, n)); val hi = math.max(lo, math.min(b, n))
-          keep += (lo until hi).toVector; dropped += false
+          keep += KeptSet.Range(lo, hi); dropped += false
         case DimSel.Point(i) =>
           require(i >= 0 && i < n, s"point $i out of range for dim ${dims(d)} (extent $n)")
-          keep += Vector(i); dropped += true
+          keep += KeptSet.Range(i, i + 1); dropped += true
         case DimSel.Indices(idx) =>
           idx.foreach(i => require(i >= 0 && i < n, s"index $i out of range for dim ${dims(d)} (extent $n)"))
-          keep += idx; dropped += false
+          keep += KeptSet.fromIndices(idx.toArray); dropped += false
       }
     }
     ResolvedSelection(shape.toVector, keep.result(), dropped.result())

@@ -36,6 +36,19 @@ object Coord {
   final case class Timestamps(a: Array[Long]) extends Coord {
     def dataType = TimestampType; def apply(i: Int) = a(i); def length = a.length
   }
+  /** Long-dimension coordinate whose VALUES never materialize on the driver
+    * (a 10^8-element time axis is ~0.8 GB — driver-held arrays are a hard
+    * 100x-scale ceiling). Only the Spark type rides in the plan; executors
+    * decode the coordinate array's own chunks per ordinal range (zarr
+    * readers), and driver-side filter pushdown streams those chunks one at
+    * a time instead of indexing an array. `apply` is deliberately
+    * unreachable. */
+  final case class Deferred(dt: DataType, n: Int) extends Coord {
+    def dataType = dt
+    def apply(i: Int) =
+      throw new UnsupportedOperationException("deferred coordinate has no driver-side values")
+    def length = n
+  }
 }
 
 /** In-memory / generated n-D grid description: the M1 source. `value` maps an
@@ -65,8 +78,8 @@ object GridSource {
       numPartitions: Option[Int] = None
   ): DataFrame = {
     require(
-      !spec.coords.exists(_.isInstanceOf[Coord.Timestamps]),
-      "GridSource builds external Rows; Coord.Timestamps carries internal micros (zarr readers only)"
+      !spec.coords.exists(c => c.isInstanceOf[Coord.Timestamps] || c.isInstanceOf[Coord.Deferred]),
+      "GridSource builds external Rows; Coord.Timestamps/Deferred are for the zarr readers only"
     )
     val rs = Selection.resolve(spec.shape, spec.dims, sel)
     val outDims = rs.outDims

@@ -137,7 +137,11 @@ object ZarrTable {
       Option(options.get(s"select.$d")).map(v => d -> parseDimSel(v))
     }.toMap
     val targetCells = Option(options.get("partition.target.cells")).map(_.toLong).getOrElse(1L << 18)
-    new ZarrTable(store, meta, sel, targetCells)
+    // dims longer than this never materialize coordinate values on the
+    // driver — executors decode coordinate chunks per ordinal range
+    val coordThreshold =
+      Option(options.get("coord.deferred.threshold")).map(_.toInt).getOrElse(10000000)
+    new ZarrTable(store, meta, sel, targetCells, coordThreshold)
   }
 }
 
@@ -145,14 +149,15 @@ class ZarrTable(
     store: ZarrStore,
     meta: ZarrArrayMeta,
     baseSel: Map[String, DimSel],
-    targetCells: Long
+    targetCells: Long,
+    coordThreshold: Int = Int.MaxValue
 ) extends Table
     with SupportsRead
     with SupportsWrite {
 
   private[zarr] val resolved: ResolvedSelection = Selection.resolve(meta.shape, meta.dims, baseSel)
   private[zarr] lazy val coords: Vector[Coord] =
-    meta.dims.zip(meta.shape).map { case (d, n) => store.coordFor(d, n) }
+    meta.dims.zip(meta.shape).map { case (d, n) => store.coordFor(d, n, coordThreshold) }
 
   override def name(): String = s"zarr:${store.storePath}:${meta.name}"
 
@@ -220,10 +225,16 @@ class ZarrScanBuilder(
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
-  private var keep: Vector[Vector[Int]] = base.keep
+  private var keep: Vector[KeptSet] = base.keep
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var pushedLimit: Option[Int] = None
+
+  /** Cap on an Explicit kept-set built by pushdown: beyond this the pruned
+    * set would itself be a driver-memory liability, so the filter is left
+    * residual (Spark re-applies it after the scan — correct either way). A
+    * contiguous survivor range compacts to KeptSet.Range and is exempt. */
+  private val maxExplicitKept = 1 << 22
 
   /** LIMIT n over a huge store must not plan the whole chunk grid: the
     * planner stops emitting ordinal ranges once the covered cell count
@@ -250,6 +261,8 @@ class ZarrScanBuilder(
     case Coord.Doubles(a) => a(idx)
     case Coord.Timestamps(a) => a(idx).toDouble // epoch micros
     case Coord.Index(_) => idx.toDouble
+    case Coord.Deferred(_, _) =>
+      throw new IllegalStateException("deferred coords refine via refineDeferred") // routed by tryRefine
   }
 
   private def num(v: Any): Option[Double] = v match {
@@ -266,25 +279,128 @@ class ZarrScanBuilder(
     case _ => None
   }
 
-  /** Refine the kept-index set of dim `d` by predicate `p` on coord value. */
-  private def refine(d: Int, p: Double => Boolean): Unit =
-    keep = keep.updated(d, keep(d).filter(i => p(coordAsDouble(d, i))))
+  /** Run-compressing index accumulator: a contiguous survivor prefix is
+    * tracked as (first, prev) with O(1) memory and only spills into an
+    * explicit array at the first discontinuity — so a range predicate over
+    * a monotonic 10^8-element axis prunes to a KeptSet.Range without ever
+    * holding the indices. Returns None when the explicit spill exceeds
+    * [[maxExplicitKept]] (caller leaves the filter residual). */
+  private final class RunAccumulator {
+    private var first = -1
+    private var prev = -1
+    private var explicit: scala.collection.mutable.ArrayBuilder.ofInt = _
+    private var count = 0
+    /** Add kept global index g (ascending); false = cap blown, abandon. */
+    def add(g: Int): Boolean = {
+      if (first < 0) { first = g; prev = g; true }
+      else if (explicit == null && g == prev + 1) { prev = g; true }
+      else {
+        if (explicit == null) {
+          count = prev - first + 1
+          if (count + 1 > maxExplicitKept) return false
+          explicit = new scala.collection.mutable.ArrayBuilder.ofInt
+          var k = first
+          while (k <= prev) { explicit += k; k += 1 }
+        }
+        explicit += g
+        count += 1
+        prev = g
+        count <= maxExplicitKept
+      }
+    }
+    def result(): KeptSet =
+      if (first < 0) KeptSet.Range(0, 0)
+      else if (explicit == null) KeptSet.Range(first, prev + 1)
+      else KeptSet.Explicit(explicit.result())
+  }
+
+  /** Refine the kept-index set of dim `d` by predicate `p` on coord value
+    * (eager/positional coords — values are driver-resident or arithmetic). */
+  private def refine(d: Int, p: Double => Boolean): Boolean = {
+    val ks = keep(d)
+    val acc = new RunAccumulator
+    var i = 0
+    val len = ks.length
+    while (i < len) {
+      val g = ks(i)
+      if (p(coordAsDouble(d, g)) && !acc.add(g)) return false
+      i += 1
+    }
+    keep = keep.updated(d, acc.result())
+    true
+  }
+
+  /** Refine a DEFERRED dim: stream the coordinate array's chunks one at a
+    * time (bounded driver heap — never a whole-axis array) and evaluate the
+    * predicate against each kept index. This is the Zarr analog of
+    * partition pruning from file-footer stats: the coordinate CHUNKS are
+    * read, the axis is never materialized. */
+  private def refineDeferred(d: Int, p: Double => Boolean): Boolean =
+    try {
+      val dimName = meta.dims(d)
+      val cm = store.arrayMeta(dimName)
+      if (cm.rank != 1 || cm.shape.head != meta.shape(d)) return false
+      val dirStr = store.arrayDir(dimName)
+      val chunkLen = cm.chunks.head
+      val fill = cm.fillValue.getOrElse(Double.NaN)
+      val acc = new RunAccumulator
+      var cachedId = -1
+      var buf: Option[ZarrBuffer] = None
+      val ks = keep(d)
+      val len = ks.length
+      var i = 0
+      while (i < len) {
+        val g = ks(i)
+        val c = g / chunkLen
+        if (c != cachedId) {
+          buf = ZarrChunkIO.readChunk(dirStr, cm, Seq(c), store.storageOptions)
+          cachedId = c
+        }
+        val v: Double = buf match {
+          case Some(b) => cellAsDouble(cm.zdtype, b, g - c * chunkLen)
+          case None => fill
+        }
+        if (p(v) && !acc.add(g)) return false
+        i += 1
+      }
+      keep = keep.updated(d, acc.result())
+      true
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** NaT/NaN-aware cell → Double (comparisons against NaN are all false,
+    * so a NaT coordinate cell simply never matches a pushed predicate). */
+  private def cellAsDouble(dt: ZDtype, b: ZarrBuffer, local: Int): Double = dt.code match {
+    case ZDtype.I4 => b.getInt(local).toDouble
+    case ZDtype.I8 => b.getLong(local).toDouble
+    case ZDtype.F4 => b.getFloat(local).toDouble
+    case ZDtype.F8 => b.getDouble(local)
+    case ZDtype.M8 =>
+      b.getM8(local) match { case null => Double.NaN; case us: Long => us.toDouble }
+    case _ => Double.NaN
+  }
+
+  /** Dispatch: deferred dims stream coordinate chunks, the rest refine in
+    * memory. Returns true iff the filter was fully absorbed by pruning. */
+  private def tryRefine(d: Int, p: Double => Boolean): Boolean = coords(d) match {
+    case Coord.Deferred(_, _) => refineDeferred(d, p)
+    case _ => refine(d, p)
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = filters.filter {
       case EqualTo(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        refine(dimIndex(a).get, _ == num(v).get); false
+        !tryRefine(dimIndex(a).get, _ == num(v).get)
       case GreaterThan(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        refine(dimIndex(a).get, _ > num(v).get); false
+        !tryRefine(dimIndex(a).get, _ > num(v).get)
       case GreaterThanOrEqual(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        refine(dimIndex(a).get, _ >= num(v).get); false
+        !tryRefine(dimIndex(a).get, _ >= num(v).get)
       case LessThan(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        refine(dimIndex(a).get, _ < num(v).get); false
+        !tryRefine(dimIndex(a).get, _ < num(v).get)
       case LessThanOrEqual(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        refine(dimIndex(a).get, _ <= num(v).get); false
+        !tryRefine(dimIndex(a).get, _ <= num(v).get)
       case In(a, vs) if dimIndex(a).isDefined && vs.forall(num(_).isDefined) =>
         val set = vs.flatMap(num).toSet
-        refine(dimIndex(a).get, set.contains); false
+        !tryRefine(dimIndex(a).get, set.contains)
       case _ => true
     }
     accepted = filters.diff(residual)
@@ -296,7 +412,13 @@ class ZarrScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    // deferred dims: ship the coordinate array's OWN location+metadata to
+    // executors instead of its values
+    val deferredSpecs: Map[Int, DeferredCoordSpec] = coords.zipWithIndex.collect {
+      case (Coord.Deferred(_, _), d) =>
+        d -> DeferredCoordSpec(store.arrayDir(meta.dims(d)), store.arrayMeta(meta.dims(d)))
+    }.toMap
     new ZarrScan(
       store.arrayDir(meta.name),
       meta,
@@ -305,26 +427,79 @@ class ZarrScanBuilder(
       required,
       targetCells,
       store.storageOptions,
-      pushedLimit
+      pushedLimit,
+      deferredSpecs
     )
+  }
 }
 
 /** Per-dimension run table: the sorted kept GLOBAL indices, grouped into
-  * runs by containing chunk. `chunkIds(r)` is the dim-chunk id of run r;
-  * its kept indices are `kept[offsets(r) until offsets(r+1))`. One table per
-  * dimension is shared by EVERY chunk of the scan — O(selected extent), not
-  * O(chunks x extent) — and rides to executors inside the reader factory
-  * (Spark broadcasts the serialized plan once per executor), so an
-  * InputPartition is just an ordinal range: the driver never materializes
-  * the chunk grid, and a million-chunk store plans in bounded memory. */
-final case class DimRuns(kept: Array[Int], chunkIds: Array[Int], offsets: Array[Int]) {
+  * runs by containing chunk. `chunkId(r)` is the dim-chunk id of run r; its
+  * kept indices occupy kept-positions `[offset(r), offset(r)+runLen(r))`.
+  * One table per dimension is shared by EVERY chunk of the scan and rides
+  * to executors inside the reader factory (Spark broadcasts the serialized
+  * plan once per executor), so an InputPartition is just an ordinal range:
+  * the driver never materializes the chunk grid, and a million-chunk store
+  * plans in bounded memory.
+  *
+  * Two representations: [[RangeRuns]] — the full-dim / range-selection
+  * common case — is pure arithmetic over (start, until, chunkSize), O(1)
+  * memory regardless of extent (a 10^8-element dim costs three ints);
+  * [[ExplicitRuns]] — filter survivors / index gathers — is O(selected),
+  * which pushdown keeps bounded (see ZarrScanBuilder). */
+sealed trait DimRuns extends Serializable {
+  def nRuns: Int
+  def nKept: Int
+  def chunkId(r: Int): Int
+  def offset(r: Int): Int
+  def runLen(r: Int): Int
+  /** Global index at kept-position i. */
+  def keptAt(i: Int): Int
+  /** Are run r's kept indices consecutive (block-copyable)? */
+  def runContiguous(r: Int): Boolean
+}
+
+final case class ExplicitRuns(kept: Array[Int], chunkIds: Array[Int], offsets: Array[Int])
+    extends DimRuns {
   def nRuns: Int = chunkIds.length
+  def nKept: Int = kept.length
+  def chunkId(r: Int): Int = chunkIds(r)
+  def offset(r: Int): Int = offsets(r)
   def runLen(r: Int): Int = offsets(r + 1) - offsets(r)
+  def keptAt(i: Int): Int = kept(i)
+  def runContiguous(r: Int): Boolean = {
+    val e = offsets(r + 1)
+    var i = offsets(r) + 1
+    while (i < e) { if (kept(i) != kept(i - 1) + 1) return false; i += 1 }
+    true
+  }
+}
+
+/** Contiguous [start, until) kept range: runs are derived arithmetically
+  * from the chunk size — no arrays, so a full selection over an arbitrarily
+  * long dimension is O(1) driver and task-binary memory. */
+final case class RangeRuns(start: Int, until: Int, chunkSize: Int) extends DimRuns {
+  private def firstChunk: Int = start / chunkSize
+  def nRuns: Int = if (until <= start) 0 else (until - 1) / chunkSize - firstChunk + 1
+  def nKept: Int = math.max(0, until - start)
+  def chunkId(r: Int): Int = firstChunk + r
+  def offset(r: Int): Int =
+    if (r == 0) 0 else ((firstChunk + r).toLong * chunkSize - start).toInt
+  def runLen(r: Int): Int = {
+    val c = firstChunk + r
+    (math.min(until.toLong, (c + 1).toLong * chunkSize) - math.max(start.toLong, c.toLong * chunkSize)).toInt
+  }
+  def keptAt(i: Int): Int = start + i
+  def runContiguous(r: Int): Boolean = true
 }
 
 object DimRuns {
-  def fromKept(keptIdxs: Vector[Int], chunkSize: Int): DimRuns = {
-    val kept = keptIdxs.toArray
+  def fromKeptSet(ks: KeptSet, chunkSize: Int): DimRuns = ks match {
+    case KeptSet.Range(s, u) => RangeRuns(s, u, chunkSize)
+    case KeptSet.Explicit(idx) => fromKept(idx, chunkSize)
+  }
+
+  def fromKept(kept: Array[Int], chunkSize: Int): DimRuns = {
     val chunkIds = scala.collection.mutable.ArrayBuffer[Int]()
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
     var i = 0
@@ -335,7 +510,39 @@ object DimRuns {
       i += 1
     }
     offsets += kept.length
-    DimRuns(kept, chunkIds.toArray, offsets.toArray)
+    ExplicitRuns(kept, chunkIds.toArray, offsets.toArray)
+  }
+}
+
+/** Location + metadata of a deferred (long-dim) coordinate array — ships in
+  * the reader factory; executors decode the coordinate chunks their ordinal
+  * ranges touch (one-chunk cache: cells stream in C-order, so access is
+  * sequential). */
+final case class DeferredCoordSpec(arrayDir: String, meta: ZarrArrayMeta)
+
+/** Executor-side cursor over a deferred 1-D coordinate array. */
+final class CoordChunkCursor(spec: DeferredCoordSpec, storageOptions: Map[String, String]) {
+  private val chunkLen = spec.meta.chunks.head
+  private var cachedId = -1
+  private var buf: ZarrBuffer = _ // null = missing chunk (fill-value)
+  private val fillBoxed: Any =
+    spec.meta.fillValue.map(f => ZDtype.box(spec.meta.zdtype, f)).orNull
+
+  /** Spark-internal value at GLOBAL index g; a null/NaT coordinate cell is
+    * an error (a coordinate must be total — the eager path falls back to
+    * positional for this, which deferred reads cannot re-check cheaply). */
+  def value(g: Int): Any = {
+    val c = g / chunkLen
+    if (c != cachedId) {
+      buf = ZarrChunkIO.readChunk(spec.arrayDir, spec.meta, Seq(c), storageOptions).orNull
+      cachedId = c
+    }
+    val v = if (buf != null) buf.getValue(g - c * chunkLen) else fillBoxed
+    if (v == null)
+      throw new IllegalStateException(
+        s"deferred coordinate '${spec.meta.name}' is null/NaT at index $g — a coordinate must be total"
+      )
+    v
   }
 }
 
@@ -351,7 +558,8 @@ class ZarrScan(
     required: StructType,
     targetCells: Long,
     storageOptions: Map[String, String] = Map.empty,
-    limitCells: Option[Int] = None
+    limitCells: Option[Int] = None,
+    deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty
 ) extends Scan
     with Batch {
 
@@ -365,22 +573,27 @@ class ZarrScan(
   override def toBatch: Batch = this
 
   private[zarr] lazy val dimRuns: Vector[DimRuns] =
-    sel.keep.zipWithIndex.map { case (idxs, d) => DimRuns.fromKept(idxs, meta.chunks(d)) }
+    sel.keep.zipWithIndex.map { case (ks, d) => DimRuns.fromKeptSet(ks, meta.chunks(d)) }
 
-  /** Kept-aligned TYPED coordinate values (output dims only) — shared
-    * across all chunks via the reader factory; typed so the columnar
-    * reader fills primitive vectors without boxing. */
-  private lazy val keptCoords: Map[Int, Coord] = sel.outDims.map { d =>
-    val kept = dimRuns(d).kept
-    val aligned: Coord = coords(d) match {
-      case Coord.Ints(a) => Coord.Ints(kept.map(a))
-      case Coord.Longs(a) => Coord.Longs(kept.map(a))
-      case Coord.Floats(a) => Coord.Floats(kept.map(a))
-      case Coord.Doubles(a) => Coord.Doubles(kept.map(a))
-      case Coord.Timestamps(a) => Coord.Timestamps(kept.map(a))
-      case Coord.Index(_) => Coord.Longs(kept.map(_.toLong))
+  /** Kept-aligned TYPED coordinate values — EAGER (short-dim) coords only;
+    * typed so the columnar reader fills primitive vectors without boxing.
+    * Index dims are served arithmetically from DimRuns and deferred dims
+    * from executor-side [[CoordChunkCursor]]s, so neither appears here —
+    * this map is the only per-value coordinate state in the task binary
+    * and it stays bounded by the deferral threshold. */
+  private lazy val keptCoords: Map[Int, Coord] = sel.outDims.flatMap { d =>
+    val dr = dimRuns(d)
+    val n = dr.nKept
+    val aligned: Option[Coord] = coords(d) match {
+      case Coord.Ints(a) => Some(Coord.Ints(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+      case Coord.Longs(a) => Some(Coord.Longs(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+      case Coord.Floats(a) => Some(Coord.Floats(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+      case Coord.Doubles(a) => Some(Coord.Doubles(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+      case Coord.Timestamps(a) => Some(Coord.Timestamps(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+      case Coord.Index(_) => None
+      case Coord.Deferred(_, _) => None
     }
-    d -> aligned
+    aligned.map(d -> _)
   }.toMap
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -442,7 +655,8 @@ class ZarrScan(
       required,
       ZarrFileIO.executorOptions(storageOptions),
       dimRuns,
-      keptCoords
+      keptCoords,
+      deferredSpecs
     )
 }
 
@@ -453,12 +667,14 @@ class ZarrReaderFactory(
     required: StructType,
     storageOptions: Map[String, String],
     dimRuns: Vector[DimRuns],
-    keptCoords: Map[Int, Coord]
+    keptCoords: Map[Int, Coord],
+    deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ZarrRowReader(
       arrayDir, meta, outDims, required,
-      partition.asInstanceOf[ZarrInputPartition], storageOptions, dimRuns, keptCoords
+      partition.asInstanceOf[ZarrInputPartition], storageOptions, dimRuns, keptCoords,
+      deferredSpecs
     )
 
   // Columnar is the scan's fast path: primitive vector fills, no per-cell
@@ -470,7 +686,8 @@ class ZarrReaderFactory(
   ): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new ZarrColumnarReader(
       arrayDir, meta, outDims, required,
-      partition.asInstanceOf[ZarrInputPartition], storageOptions, dimRuns, keptCoords
+      partition.asInstanceOf[ZarrInputPartition], storageOptions, dimRuns, keptCoords,
+      deferredSpecs
     )
 }
 
@@ -492,6 +709,7 @@ abstract class ZarrCursor(
   protected val chunkIdx = new Array[Int](rank)
   protected val sliceStart = new Array[Int](rank)
   protected val sliceLen = new Array[Int](rank)
+  protected val runIdxCur = new Array[Int](rank) // per-dim run index of the current chunk
   protected var buf: Option[ZarrBuffer] = None
   protected val pos = new Array[Int](rank) // position INTO the kept slice
   private var havePos = false // pos points at a valid, not-yet-consumed cell
@@ -520,8 +738,9 @@ abstract class ZarrCursor(
       val n = dimRuns(d).nRuns
       val r = (rem % n).toInt
       rem /= n
-      chunkIdx(d) = dimRuns(d).chunkIds(r)
-      sliceStart(d) = dimRuns(d).offsets(r)
+      runIdxCur(d) = r
+      chunkIdx(d) = dimRuns(d).chunkId(r)
+      sliceStart(d) = dimRuns(d).offset(r)
       sliceLen(d) = dimRuns(d).runLen(r)
       d -= 1
     }
@@ -557,7 +776,7 @@ abstract class ZarrCursor(
     var localFlat = 0L
     var d = 0
     while (d < rank) {
-      val g = dimRuns(d).kept(sliceStart(d) + pos(d))
+      val g = dimRuns(d).keptAt(sliceStart(d) + pos(d))
       localFlat += (g - chunkIdx(d) * meta.chunks(d)).toLong * chunkStrides(d)
       d += 1
     }
@@ -573,18 +792,8 @@ abstract class ZarrCursor(
   /** True iff the current chunk's innermost kept run is a consecutive
     * index range — then the run's cells sit stride-1 contiguous in the
     * chunk buffer and can be block-copied. Checked once per chunk. */
-  protected final def innerRunContiguous: Boolean = {
-    if (rank == 0) return false
-    val dr = dimRuns(rank - 1)
-    val s = sliceStart(rank - 1)
-    val len = sliceLen(rank - 1)
-    var i = 1
-    while (i < len) {
-      if (dr.kept(s + i) != dr.kept(s + i - 1) + 1) return false
-      i += 1
-    }
-    true
-  }
+  protected final def innerRunContiguous: Boolean =
+    rank > 0 && dimRuns(rank - 1).runContiguous(runIdxCur(rank - 1))
 
   /** Consume `count` cells of the current innermost run (caller guarantees
     * count <= innerRemaining). */
@@ -606,7 +815,8 @@ class ZarrRowReader(
     partition: ZarrInputPartition,
     storageOptions: Map[String, String],
     dimRuns: Vector[DimRuns],
-    keptCoords: Map[Int, Coord]
+    keptCoords: Map[Int, Coord],
+    deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty
 ) extends ZarrCursor(
       arrayDir, meta, partition, storageOptions, dimRuns,
       required.fieldNames.contains("value")
@@ -620,6 +830,23 @@ class ZarrRowReader(
       throw new IllegalArgumentException(s"unknown field ${f.name}")
     ))
   }
+
+  // per-dim coordinate accessor (kept-position → Spark-internal value),
+  // bound once: eager dims index the kept-aligned array, Index dims are
+  // arithmetic, deferred dims decode coordinate chunks through a cursor
+  private val coordAt: Map[Int, Int => Any] = fieldPlan.collect { case Left(d) =>
+    val f: Int => Any = keptCoords.get(d) match {
+      case Some(c) => pos => c(pos)
+      case None =>
+        deferredSpecs.get(d) match {
+          case Some(spec) =>
+            val cur = new CoordChunkCursor(spec, storageOptions)
+            pos => cur.value(dimRuns(d).keptAt(pos))
+          case None => pos => dimRuns(d).keptAt(pos).toLong
+        }
+    }
+    d -> f
+  }.toMap
   private val needValue = required.fieldNames.contains("value")
   // fill value boxed ONCE as the dtype's Spark-internal value (null when the
   // store declares no fill) — the per-cell loop never re-dispatches on dtype
@@ -638,7 +865,7 @@ class ZarrRowReader(
     var fi = 0
     while (fi < fieldPlan.length) {
       fieldPlan(fi) match {
-        case Left(d) => row.update(fi, keptCoords(d)(keptPos(d)))
+        case Left(d) => row.update(fi, coordAt(d)(keptPos(d)))
         case Right(_) =>
           val v: Any = buf match {
             case Some(b) => b.getValue(localFlat)
@@ -667,6 +894,7 @@ class ZarrColumnarReader(
     storageOptions: Map[String, String],
     dimRuns: Vector[DimRuns],
     keptCoords: Map[Int, Coord],
+    deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty,
     batchSize: Int = 4096
 ) extends ZarrCursor(
       arrayDir, meta, partition, storageOptions, dimRuns,

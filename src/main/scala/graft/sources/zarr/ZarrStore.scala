@@ -90,12 +90,28 @@ final class ZarrStore(
     * matching the reference's catch-all (coordinate_processor.py:140-144,
     * 260-262). datetime64 coordinates — the standard time axis of real
     * climate stores — decode to timestamp coords (micros); a NaT entry
-    * falls back to positional (a coordinate must be total). */
-  def coordFor(dim: String, extent: Int): Coord =
+    * falls back to positional (a coordinate must be total).
+    *
+    * Dims longer than `deferredThreshold` never materialize on the driver:
+    * only the METADATA is read here and a [[Coord.Deferred]] marker carries
+    * the Spark type — executors decode the coordinate chunks they touch
+    * (a 10^8-element f8 axis is 0.8 GB; driver-held arrays are the one
+    * structure that cannot survive a 100x scale-up). The deferred path
+    * trusts the metadata: a corrupt coordinate chunk or a NaT cell fails
+    * the read with a clear error instead of the eager path's silent
+    * positional fallback (re-checking would require reading the data this
+    * path exists to avoid). */
+  def coordFor(dim: String, extent: Int, deferredThreshold: Int = Int.MaxValue): Coord =
     try {
       val m = arrayMeta(dim)
       if (m.rank != 1 || m.shape.head != extent) Coord.Index(extent)
-      else {
+      else if (extent > deferredThreshold) {
+        m.zdtype.code match {
+          case ZDtype.I4 | ZDtype.I8 | ZDtype.F4 | ZDtype.F8 | ZDtype.M8 =>
+            Coord.Deferred(m.valueType, extent)
+          case _ => Coord.Index(extent)
+        }
+      } else {
         val acc = ZarrChunkIO.readWholeArray(arrayDir(dim), m, storageOptions)
         m.zdtype.code match {
           case ZDtype.I4 => Coord.Ints(Array.tabulate(extent)(i => acc.getInt(i)))
