@@ -25,7 +25,8 @@ object DimSel {
   case object All extends DimSel
 }
 
-/** Compact kept-index set for one dimension (sorted, distinct, C-order).
+/** Compact kept-index set for one dimension (ranges/filter survivors are
+  * ascending; explicit user gathers keep their given order).
   * A full or range selection over a 10^8-element dimension is two ints, not
   * a 10^8-element vector — per-dim planning state must stay O(1) for the
   * full-dim common case or the driver itself becomes the scale ceiling. */
@@ -55,11 +56,17 @@ object KeptSet {
     }
     override def hashCode(): Int = java.util.Arrays.hashCode(idx)
   }
-  /** Build from a sorted index array, compacting contiguous runs to Range. */
+  /** Build from an index array, compacting to Range ONLY when the indices
+    * are consecutive ascending — user gathers preserve their given order
+    * (reference list-selection semantics), so `[9, 2, 11]` must stay
+    * Explicit even though max-min == length-1. */
   def fromIndices(idx: Array[Int]): KeptSet =
     if (idx.isEmpty) Range(0, 0)
-    else if (idx.last - idx.head == idx.length - 1) Range(idx.head, idx.last + 1)
-    else Explicit(idx)
+    else {
+      var i = 1
+      while (i < idx.length && idx(i) == idx(i - 1) + 1) i += 1
+      if (i == idx.length) Range(idx.head, idx.last + 1) else Explicit(idx)
+    }
 }
 
 /** A selection resolved against a concrete shape: per original dimension the

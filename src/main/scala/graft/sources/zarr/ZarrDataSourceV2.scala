@@ -342,7 +342,18 @@ class ZarrScanBuilder(
       if (cm.rank != 1 || cm.shape.head != meta.shape(d)) return false
       val dirStr = store.arrayDir(dimName)
       val chunkLen = cm.chunks.head
-      val fill = cm.fillValue.getOrElse(Double.NaN)
+      // M8 fills are in the STORE's raw time unit; convert to epoch micros
+      // (NaT → NaN) exactly like cellAsDouble's present-chunk path, else a
+      // NaT fill would compare as Long.MinValue and prune incorrectly
+      val fill: Double = cm.fillValue match {
+        case None => Double.NaN
+        case Some(fv) if cm.zdtype.code == ZDtype.M8 =>
+          ZDtype.m8Micros(cm.zdtype, fv.toLong) match {
+            case null => Double.NaN
+            case us: java.lang.Long => us.toDouble
+          }
+        case Some(fv) => fv
+      }
       val acc = new RunAccumulator
       var cachedId = -1
       var buf: Option[ZarrBuffer] = None
@@ -954,8 +965,32 @@ class ZarrColumnarReader(
       }
   }
 
+  /** Single boxed-coordinate put, bound by the FIELD's Spark type — serves
+    * deferred dims (cursor decode yields boxed Spark-internal values) whose
+    * dtype is only known from the coordinate array's metadata. */
+  private def bindBoxedPut(vec: OnHeapColumnVector, dt: DataType): (Int, Any) => Unit = dt match {
+    case IntegerType => (n, v) => vec.putInt(n, v.asInstanceOf[Int])
+    case LongType | TimestampType => (n, v) => vec.putLong(n, v.asInstanceOf[Long])
+    case FloatType => (n, v) => vec.putFloat(n, v.asInstanceOf[Float])
+    case DoubleType => (n, v) => vec.putDouble(n, v.asInstanceOf[Double])
+    case other => throw new IllegalStateException(s"unsupported coordinate type $other")
+  }
+
+  /** Constant boxed-coordinate put over a run, bound by field type. */
+  private def bindBoxedConstPut(vec: OnHeapColumnVector, dt: DataType): (Int, Int, Any) => Unit =
+    dt match {
+      case IntegerType => (n, c, v) => vec.putInts(n, c, v.asInstanceOf[Int])
+      case LongType | TimestampType => (n, c, v) => vec.putLongs(n, c, v.asInstanceOf[Long])
+      case FloatType => (n, c, v) => vec.putFloats(n, c, v.asInstanceOf[Float])
+      case DoubleType => (n, c, v) => vec.putDoubles(n, c, v.asInstanceOf[Double])
+      case other => throw new IllegalStateException(s"unsupported coordinate type $other")
+    }
+
   // one typed filler per field, bound once — the per-cell loop below is
-  // monomorphic primitive puts
+  // monomorphic primitive puts. Coordinate dispatch mirrors ZarrRowReader
+  // .coordAt: eager dims index the kept-aligned typed array, deferred dims
+  // decode coordinate chunks through a cursor, index dims are arithmetic
+  // (keptCoords deliberately omits the latter two — see ZarrScan.keptCoords).
   private val fillers: Array[Int => Unit] = required.fields.zipWithIndex.map { case (f, fi) =>
     val vec = vectors(fi)
     if (f.name == "value") {
@@ -970,15 +1005,23 @@ class ZarrColumnarReader(
       val d = outDims.find(dd => meta.dims(dd) == f.name).getOrElse(
         throw new IllegalArgumentException(s"unknown field ${f.name}")
       )
-      keptCoords(d) match {
-        case Coord.Ints(a) => (n: Int) => vec.putInt(n, a(keptPos(d)))
-        case Coord.Longs(a) => (n: Int) => vec.putLong(n, a(keptPos(d)))
-        case Coord.Floats(a) => (n: Int) => vec.putFloat(n, a(keptPos(d)))
-        case Coord.Doubles(a) => (n: Int) => vec.putDouble(n, a(keptPos(d)))
-        case Coord.Timestamps(a) => (n: Int) => vec.putLong(n, a(keptPos(d)))
-        // unreachable in practice (keptCoords pre-converts Index to Longs)
-        // but kept correct: the value is the GLOBAL index, not the position
-        case Coord.Index(_) => (n: Int) => vec.putLong(n, dimRuns(d).kept(keptPos(d)).toLong)
+      keptCoords.get(d) match {
+        case Some(Coord.Ints(a)) => (n: Int) => vec.putInt(n, a(keptPos(d)))
+        case Some(Coord.Longs(a)) => (n: Int) => vec.putLong(n, a(keptPos(d)))
+        case Some(Coord.Floats(a)) => (n: Int) => vec.putFloat(n, a(keptPos(d)))
+        case Some(Coord.Doubles(a)) => (n: Int) => vec.putDouble(n, a(keptPos(d)))
+        case Some(Coord.Timestamps(a)) => (n: Int) => vec.putLong(n, a(keptPos(d)))
+        case Some(other) =>
+          throw new IllegalStateException(s"non-eager coord in keptCoords: $other")
+        case None =>
+          deferredSpecs.get(d) match {
+            case Some(spec) =>
+              val cur = new CoordChunkCursor(spec, storageOptions)
+              val put = bindBoxedPut(vec, f.dataType)
+              (n: Int) => put(n, cur.value(dimRuns(d).keptAt(keptPos(d))))
+            case None => // positional fallback: value is the GLOBAL index
+              (n: Int) => vec.putLong(n, dimRuns(d).keptAt(keptPos(d)).toLong)
+          }
       }
     }
   }
@@ -1031,28 +1074,57 @@ class ZarrColumnarReader(
           throw new IllegalArgumentException(s"unknown field ${f.name}")
         )
         if (d == innerDim) {
-          keptCoords(d) match {
-            case Coord.Ints(a) => (n: Int, c: Int) => vec.putInts(n, c, a, keptPos(d))
-            case Coord.Longs(a) => (n: Int, c: Int) => vec.putLongs(n, c, a, keptPos(d))
-            case Coord.Floats(a) => (n: Int, c: Int) => vec.putFloats(n, c, a, keptPos(d))
-            case Coord.Doubles(a) => (n: Int, c: Int) => vec.putDoubles(n, c, a, keptPos(d))
-            case Coord.Timestamps(a) => (n: Int, c: Int) => vec.putLongs(n, c, a, keptPos(d))
-            case Coord.Index(_) =>
-              (n: Int, c: Int) => {
-                var i = 0
-                while (i < c) { vec.putLong(n + i, dimRuns(d).kept(keptPos(d) + i).toLong); i += 1 }
+          keptCoords.get(d) match {
+            case Some(Coord.Ints(a)) => (n: Int, c: Int) => vec.putInts(n, c, a, keptPos(d))
+            case Some(Coord.Longs(a)) => (n: Int, c: Int) => vec.putLongs(n, c, a, keptPos(d))
+            case Some(Coord.Floats(a)) => (n: Int, c: Int) => vec.putFloats(n, c, a, keptPos(d))
+            case Some(Coord.Doubles(a)) => (n: Int, c: Int) => vec.putDoubles(n, c, a, keptPos(d))
+            case Some(Coord.Timestamps(a)) => (n: Int, c: Int) => vec.putLongs(n, c, a, keptPos(d))
+            case Some(other) =>
+              throw new IllegalStateException(s"non-eager coord in keptCoords: $other")
+            case None =>
+              deferredSpecs.get(d) match {
+                case Some(spec) =>
+                  // inner-run cells are consecutive global indices, so the
+                  // cursor's one-chunk cache decodes each coord chunk once
+                  val cur = new CoordChunkCursor(spec, storageOptions)
+                  val put = bindBoxedPut(vec, f.dataType)
+                  (n: Int, c: Int) => {
+                    var i = 0
+                    while (i < c) {
+                      put(n + i, cur.value(dimRuns(d).keptAt(keptPos(d) + i)))
+                      i += 1
+                    }
+                  }
+                case None =>
+                  (n: Int, c: Int) => {
+                    var i = 0
+                    while (i < c) {
+                      vec.putLong(n + i, dimRuns(d).keptAt(keptPos(d) + i).toLong)
+                      i += 1
+                    }
+                  }
               }
           }
         } else {
           // constant across the innermost run — evaluate at call time
-          keptCoords(d) match {
-            case Coord.Ints(a) => (n: Int, c: Int) => vec.putInts(n, c, a(keptPos(d)))
-            case Coord.Longs(a) => (n: Int, c: Int) => vec.putLongs(n, c, a(keptPos(d)))
-            case Coord.Floats(a) => (n: Int, c: Int) => vec.putFloats(n, c, a(keptPos(d)))
-            case Coord.Doubles(a) => (n: Int, c: Int) => vec.putDoubles(n, c, a(keptPos(d)))
-            case Coord.Timestamps(a) => (n: Int, c: Int) => vec.putLongs(n, c, a(keptPos(d)))
-            case Coord.Index(_) =>
-              (n: Int, c: Int) => vec.putLongs(n, c, dimRuns(d).kept(keptPos(d)).toLong)
+          keptCoords.get(d) match {
+            case Some(Coord.Ints(a)) => (n: Int, c: Int) => vec.putInts(n, c, a(keptPos(d)))
+            case Some(Coord.Longs(a)) => (n: Int, c: Int) => vec.putLongs(n, c, a(keptPos(d)))
+            case Some(Coord.Floats(a)) => (n: Int, c: Int) => vec.putFloats(n, c, a(keptPos(d)))
+            case Some(Coord.Doubles(a)) => (n: Int, c: Int) => vec.putDoubles(n, c, a(keptPos(d)))
+            case Some(Coord.Timestamps(a)) => (n: Int, c: Int) => vec.putLongs(n, c, a(keptPos(d)))
+            case Some(other) =>
+              throw new IllegalStateException(s"non-eager coord in keptCoords: $other")
+            case None =>
+              deferredSpecs.get(d) match {
+                case Some(spec) =>
+                  val cur = new CoordChunkCursor(spec, storageOptions)
+                  val put = bindBoxedConstPut(vec, f.dataType)
+                  (n: Int, c: Int) => put(n, c, cur.value(dimRuns(d).keptAt(keptPos(d))))
+                case None =>
+                  (n: Int, c: Int) => vec.putLongs(n, c, dimRuns(d).keptAt(keptPos(d)).toLong)
+              }
           }
         }
       }

@@ -50,14 +50,14 @@ class DimsSpec extends AnyFunSuite {
     assert(rs.outDims == Vector(0, 1))
     assert(rs.totalCells == 9)
     val c = Selection.resolve(Seq(5), Seq("x"), Map("x" -> DimSel.Range(3, 99)))
-    assert(c.keep.head == Vector(3, 4))
+    assert(c.keep.head.toVector == Vector(3, 4))
     val n = Selection.resolve(Seq(5), Seq("x"), Map("x" -> DimSel.Range(4, 2)))
     assert(n.keep.head.isEmpty)
   }
 
   test("unknown dims ignored; out-of-range point throws") {
     val rs = Selection.resolve(Seq(4), Seq("x"), Map("y" -> DimSel.Point(0)))
-    assert(rs.keep.head == Vector(0, 1, 2, 3))
+    assert(rs.keep.head.toVector == Vector(0, 1, 2, 3))
     assertThrows[IllegalArgumentException] {
       Selection.resolve(Seq(4), Seq("x"), Map("x" -> DimSel.Point(4)))
     }
