@@ -137,6 +137,94 @@ object Spike {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  /** `runMain graft.tools.Spike zarr-deferred` — the deferred-coordinate
+    * proof: a store whose `time` axis has 100,000,000 coordinate values
+    * (0.8 GB as a driver array — the structure the deferred path exists to
+    * never build). Measures driver heap across reader creation, planning,
+    * and a pushed coordinate-range filter (refineDeferred streams the 100
+    * coordinate chunks one at a time), then scan throughput with executors
+    * decoding coordinate chunks through [[graft.sources.zarr.ZarrScan]]'s
+    * cursor path, and value parity on a spot gather. */
+  private def zarrDeferred(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.zarr.{ZarrCodec, ZarrStoreWriter}
+    val root = "/tmp/graft_zarr_deferred"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val n = 100000000L // 10^8-element time axis
+    val chunkLen = 1000000
+    val nChunks = (n / chunkLen).toInt
+    val dir = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve(".zgroup"), """{"zarr_format": 2}""")
+    // data: 1-D f4, value(i) = (i % 9973) * 0.5; coord: i8 time(i) = 3*i
+    for ((name, dt) <- Seq("v" -> "<f4", "time" -> "<i8")) {
+      val ad = dir.resolve(name)
+      java.nio.file.Files.createDirectories(ad)
+      java.nio.file.Files.writeString(
+        ad.resolve(".zarray"),
+        ZarrStoreWriter.zarrayJson(Vector(n.toInt), Vector(chunkLen), dt, Some("blosc:lz4"), Some(0.0))
+      )
+      java.nio.file.Files.writeString(ad.resolve(".zattrs"), ZarrStoreWriter.zattrsJson(Some(Vector("time"))))
+    }
+    val t0 = System.nanoTime()
+    spark.range(0, nChunks, 1, 32).foreachPartition { (ords: Iterator[java.lang.Long]) =>
+      val vbuf = java.nio.ByteBuffer.allocate(chunkLen * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val cbuf = java.nio.ByteBuffer.allocate(chunkLen * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ords.foreach { ord =>
+        val base = ord.longValue() * chunkLen
+        var i = 0
+        while (i < chunkLen) {
+          vbuf.putFloat(i * 4, ((base + i) % 9973L) * 0.5f)
+          cbuf.putLong(i * 8, 3L * (base + i))
+          i += 1
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/v", ord.toString),
+          ZarrCodec.compress(Some("blosc:lz4"), vbuf.array(), typesize = 4)
+        )
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/time", ord.toString),
+          ZarrCodec.compress(Some("blosc:lz4"), cbuf.array(), typesize = 8)
+        )
+      }
+    }
+    ZarrStoreWriter.consolidate(dir)
+    val tw = (System.nanoTime() - t0) / 1e9
+    val sizeGb = org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(root)) / 1e9
+    println(f"[spike] deferred write: $tw%.1fs, on-disk $sizeGb%.2f GB (raw 1.2 GB incl. 0.8 GB coord)")
+    val rt = Runtime.getRuntime
+    def heapMb: Long = { System.gc(); (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024) }
+    val h0 = heapMb
+    // default threshold (10M) < 10^8 -> time is deferred automatically
+    val df = new graft.api.ZarrDataReader(spark, root).readArray("v")
+    assert(df.schema("time").dataType == org.apache.spark.sql.types.LongType)
+    val tp = System.nanoTime()
+    val nParts = df.rdd.getNumPartitions
+    println(f"[spike] deferred planning: $nParts partitions in ${(System.nanoTime() - tp) / 1e9}%.1fs, " +
+      f"driver heap $h0 -> $heapMb MB (a 10^8 i8 axis eager would be +763 MB)")
+    // pushed coordinate range over 1% of the axis: refineDeferred streams
+    // 100 coord chunks driver-side, never a whole-axis array
+    val tf = System.nanoTime()
+    val sel = df.filter(col("time") >= 3L * 49000000L && col("time") < 3L * 50000000L)
+    assert(!sel.queryExecution.optimizedPlan.toString().contains("Filter"))
+    val cnt = sel.agg(count(lit(1))).collect().head.getLong(0)
+    println(f"[spike] deferred 1%% range pushdown: ${(System.nanoTime() - tf) / 1e9}%.1fs, " +
+      f"rows=$cnt (expect 1000000), driver heap ${heapMb} MB")
+    require(cnt == 1000000L, s"pushdown miscount: $cnt")
+    // spot value parity on an out-of-order gather through the deferred dim
+    val got = new graft.api.ZarrDataReader(spark, root)
+      .readArray("v", Map("time" -> graft.model.DimSel.Indices(Vector(73000001, 4, 99999999))))
+      .select("time", "value").collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val expect = Seq(73000001L, 4L, 99999999L).map(i => (3L * i, (i % 9973L) * 0.5f))
+    require(got == expect, s"gather mismatch: $got vs $expect")
+    val ts = System.nanoTime()
+    val total = df.agg(count(lit(1)), sum(col("value").cast("double"))).collect().head.getLong(0)
+    val scanS = (System.nanoTime() - ts) / 1e9
+    println(f"[spike] deferred full scan+agg: $scanS%.1fs (${total / scanS / 1e6}%.1f Mcells/s), " +
+      f"driver heap after: $heapMb MB")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** `SPARK_GRAFT_SF_DIR=... runMain graft.tools.Spike skew` — bucket-size
     * distribution of the two bucketed-join operators whose cost model is
     * sum(bucket²): minhash LSH band buckets (x03 configuration) and IVF
@@ -191,6 +279,7 @@ object Spike {
     val spark = Sessions.local("32")
     if (args.sameElements(Array("zarr-scale"))) { zarrScale(spark); spark.stop(); return }
     if (args.sameElements(Array("zarr-1b"))) { zarr1b(spark); spark.stop(); return }
+    if (args.sameElements(Array("zarr-deferred"))) { zarrDeferred(spark); spark.stop(); return }
     if (args.sameElements(Array("skew"))) { skew(spark); spark.stop(); return }
     if (args.isEmpty) {
       val df = graft.SparkEntry.entry(spark)
