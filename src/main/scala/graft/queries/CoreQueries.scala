@@ -565,8 +565,55 @@ object CoreQueries {
              |  CAST(r.i AS DOUBLE) * 0.25 AS q_f8
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 60)) r
              |ORDER BY i""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Zarr V3 end-to-end under the correctness gate: a real zarr.json
+    // store (c/-prefixed chunk keys, zstd+crc32c codec pipeline,
+    // consolidated metadata in the root document) scanned with read-time
+    // selection, a pushed coordinate filter, and an exact aggregate —
+    // planning/pushdown/decode identical to v2 below the metadata parse.
+    Q(
+      "q25_zarr_v3",
+      (s, _) => {
+        val root = CoreQueries.q25Store()
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("v", Map("x" -> DimSel.Range(3, 27)))
+          .filter(col("t") >= 10)
+          .groupBy("t")
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 18).as("sum_v"))
+          .orderBy("t")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS t, COUNT(*) AS n,
+             |CAST(SUM(CAST(CAST(((t.i * 30 + x.i) * 37) % 1000 AS DOUBLE) * 0.5 AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(10, 40)) t
+             |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(3, 27)) x
+             |GROUP BY 1 ORDER BY t""".stripMargin)
     )
   )
+
+  /** Build the deterministic q25 Zarr V3 store once per JVM: `v` is
+    * float64 (40,30) chunked (16,8) with a zstd+crc32c codec pipeline,
+    * coords int32 identity, consolidated metadata in the root zarr.json. */
+  private[queries] def q25Store(): String = synchronized {
+    val root = "/tmp/graft_q25_store"
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      import graft.sources.zarr.ZarrStoreWriterV3
+      val dir = ZarrStoreWriterV3.writeGroup(root)
+      ZarrStoreWriterV3.writeArray(
+        dir, "v", Vector(40, 30), Vector(16, 8), "float64",
+        flat => ((flat * 37) % 1000).toDouble * 0.5,
+        dims = Some(Vector("t", "x")),
+        codecs = Seq("zstd", "crc32c")
+      )
+      ZarrStoreWriterV3.writeCoord(dir, "t", Coord.Ints(Array.tabulate(40)(identity)), codecs = Seq("gzip"))
+      ZarrStoreWriterV3.writeCoord(dir, "x", Coord.Ints(Array.tabulate(30)(identity)))
+      ZarrStoreWriterV3.consolidate(dir)
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
 
   /** Build the deterministic q22 store once per JVM (driver-side, ~120k
     * cells). shape (60,50,40), chunks (16,16,16), zlib, lat = 10 + 0.5*i so

@@ -67,6 +67,75 @@ object ZarrCodec {
     in.close()
     out.toByteArray
   }
+
+  private[zarr] def readAllOf(in: java.io.InputStream, expect: Int): Array[Byte] =
+    readAll(in, expect)
+}
+
+/** Zarr v3 bytes→bytes codec pipeline (zarr-specs v3 §codecs). Each config
+  * is the codec's own JSON document (`{"name": ..., "configuration": ...}`);
+  * encode applies the chain left-to-right, decode right-to-left (the caller
+  * folds). Supported: `gzip`, `zstd`, `blosc` (same inner frame as v2 —
+  * numcodecs and c-blosc share the blosc1 container), and `crc32c`
+  * (checksum verified then stripped; JDK `java.util.zip.CRC32C`). */
+object ZarrCodecV3 {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+  implicit private val formats: Formats = DefaultFormats
+
+  private def name(cfg: String): String =
+    (JsonMethods.parse(cfg) \ "name").extract[String]
+
+  def decode(cfg: String, bytes: Array[Byte], rawLenHint: Int): Array[Byte] = name(cfg) match {
+    case "gzip" =>
+      ZarrCodec.readAllOf(new GZIPInputStream(new java.io.ByteArrayInputStream(bytes)), rawLenHint)
+    case "zstd" => com.github.luben.zstd.Zstd.decompress(bytes, rawLenHint)
+    case "blosc" => Blosc.decompress(bytes)
+    case "crc32c" =>
+      require(bytes.length >= 4, "crc32c codec: payload shorter than its checksum")
+      val c = new java.util.zip.CRC32C
+      c.update(bytes, 0, bytes.length - 4)
+      val stored = ByteBuffer.wrap(bytes, bytes.length - 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      require(
+        stored == c.getValue.toInt,
+        f"crc32c mismatch: stored 0x$stored%08x computed 0x${c.getValue.toInt}%08x"
+      )
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 4)
+    case other =>
+      throw new UnsupportedOperationException(
+        s"zarr v3 codec '$other' not supported on JVM (supported: gzip, zstd, blosc, crc32c)"
+      )
+  }
+
+  def encode(cfg: String, bytes: Array[Byte], typesize: Int): Array[Byte] = name(cfg) match {
+    case "gzip" =>
+      val j = JsonMethods.parse(cfg)
+      val level = (j \ "configuration" \ "level").extractOpt[Int].getOrElse(5)
+      val bos = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bos) { `def`.setLevel(level) }
+      g.write(bytes); g.close(); bos.toByteArray
+    case "zstd" =>
+      val j = JsonMethods.parse(cfg)
+      val level = (j \ "configuration" \ "level").extractOpt[Int].getOrElse(3)
+      com.github.luben.zstd.Zstd.compress(bytes, level)
+    case "blosc" =>
+      val j = JsonMethods.parse(cfg)
+      val cname = (j \ "configuration" \ "cname").extractOpt[String].getOrElse("lz4")
+      val shuffle = (j \ "configuration" \ "shuffle").extractOpt[String].getOrElse("shuffle") match {
+        case "noshuffle" => 0
+        case "bitshuffle" => 2
+        case _ => 1
+      }
+      Blosc.compressMode(cname, bytes, typesize, shuffle)
+    case "crc32c" =>
+      val c = new java.util.zip.CRC32C
+      c.update(bytes, 0, bytes.length)
+      val out = java.util.Arrays.copyOf(bytes, bytes.length + 4)
+      ByteBuffer.wrap(out, bytes.length, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(c.getValue.toInt)
+      out
+    case other =>
+      throw new UnsupportedOperationException(s"zarr v3 codec '$other' not supported for write")
+  }
 }
 
 /** Blosc1 frame codec (the container numcodecs' `Blosc` writes).

@@ -26,7 +26,11 @@ final case class ZarrArrayMeta(
     fillValue: Option[Double],
     dims: Vector[String],
     attrs: Map[String, String],
-    filters: Vector[String] = Vector.empty // raw numcodecs filter configs, encode order
+    filters: Vector[String] = Vector.empty, // raw numcodecs filter configs, encode order
+    v3: Boolean = false, // zarr v3 array (zarr.json metadata, codecs pipeline)
+    keyEncoding: String = "v2", // "v2" (dotted) | "default" (v3 c/-prefixed)
+    keySeparator: String = ".",
+    v3Codecs: Vector[String] = Vector.empty // bytes->bytes codec configs, encode order
 ) {
   def rank: Int = shape.length
   @transient lazy val zdtype: ZDtype = ZDtype.parse(dtype)
@@ -34,6 +38,16 @@ final case class ZarrArrayMeta(
   def nChunks: Vector[Int] =
     shape.zip(chunks).map { case (s, c) => if (s == 0) 0 else (s + c - 1) / c }
   def totalElements: Long = shape.map(_.toLong).product
+
+  /** On-store chunk key for a grid index (zarr-specs v3 §chunk-key-encoding:
+    * "default" prefixes `c` and uses the configured separator — `c/0/0`;
+    * "v2" keeps dotted v2 keys; a v3 rank-0 array's single chunk is `c`). */
+  def chunkKey(chunkIdx: Seq[Int]): String = keyEncoding match {
+    case "default" =>
+      if (chunkIdx.isEmpty) "c" else "c" + keySeparator + chunkIdx.mkString(keySeparator)
+    case _ =>
+      if (chunkIdx.isEmpty) "0" else chunkIdx.mkString(keySeparator)
+  }
 }
 
 /** Parsed numpy-style dtype descriptor. `code` switches the hot decode
@@ -278,5 +292,107 @@ object ZarrMeta {
       case other => throw new IllegalArgumentException(s"array $name: bad filters $other")
     }
     ZarrArrayMeta(name, shape, chunks, dtype, order, compressor, fill, dimNames, attrs, filters)
+  }
+
+  /** v3 `data_type` names → v2-style dtype kind tags (endianness comes from
+    * the `bytes` codec, not the data type — zarr-specs v3 §data-types). */
+  private val V3DataTypes: Map[String, String] = Map(
+    "bool" -> "b1",
+    "int8" -> "i1", "uint8" -> "u1",
+    "int16" -> "i2", "uint16" -> "u2",
+    "int32" -> "i4", "uint32" -> "u4",
+    "int64" -> "i8",
+    "float16" -> "f2", "float32" -> "f4", "float64" -> "f8"
+  )
+
+  /** Parse a v3 array `zarr.json` document into the same meta model the v2
+    * path produces, so everything downstream of metadata (planning, chunk
+    * decode, coordinate extraction, pushdown) is version-agnostic.
+    * Supported: regular chunk grids, `default`/`v2` chunk-key encodings,
+    * the `bytes` array→bytes codec (either endian) followed by any chain of
+    * supported bytes→bytes codecs ([[ZarrCodecV3]]). Sharding and
+    * array→array codecs (transpose) are rejected loudly — silently
+    * misreading chunks is the one failure mode a reader must never have. */
+  def parseArrayV3(name: String, zarrJson: String): ZarrArrayMeta = {
+    val j = JsonMethods.parse(zarrJson)
+    require(
+      (j \ "node_type").extractOpt[String].contains("array"),
+      s"zarr.json for '$name' is not an array node"
+    )
+    val shape = (j \ "shape").extract[List[Int]].toVector
+    val gridName = (j \ "chunk_grid" \ "name").extractOpt[String].getOrElse("regular")
+    require(gridName == "regular", s"array $name: unsupported chunk_grid '$gridName'")
+    val chunks = (j \ "chunk_grid" \ "configuration" \ "chunk_shape").extract[List[Int]].toVector
+    val dtName = (j \ "data_type").extract[String]
+    val kind = V3DataTypes.getOrElse(
+      dtName,
+      throw new IllegalArgumentException(
+        s"array $name: unsupported v3 data_type '$dtName' (supported: ${V3DataTypes.keys.toSeq.sorted.mkString(", ")})"
+      )
+    )
+    // codecs: [array->array...] bytes [bytes->bytes...]
+    val codecs = (j \ "codecs") match {
+      case JArray(items) => items
+      case JNothing | JNull => Nil
+      case other => throw new IllegalArgumentException(s"array $name: bad codecs $other")
+    }
+    val codecNames = codecs.map(c => (c \ "name").extract[String])
+    val bytesIdx = codecNames.indexOf("bytes")
+    require(bytesIdx != -1, s"array $name: v3 codecs must include the 'bytes' codec (got $codecNames)")
+    require(
+      bytesIdx == 0,
+      s"array $name: array->array codecs (${codecNames.take(bytesIdx).mkString(", ")}) are not supported"
+    )
+    val endian = (codecs(bytesIdx) \ "configuration" \ "endian").extractOpt[String].getOrElse("little")
+    val dtype = (if (endian == "big") ">" else "<") + kind
+    val bb = codecs.drop(bytesIdx + 1).map { c =>
+      val n = (c \ "name").extract[String]
+      require(
+        n != "sharding_indexed",
+        s"array $name: sharded v3 stores are not supported (codec 'sharding_indexed')"
+      )
+      JsonMethods.compact(JsonMethods.render(c))
+    }.toVector
+    val keyEnc = (j \ "chunk_key_encoding" \ "name").extractOpt[String].getOrElse("default")
+    require(
+      keyEnc == "default" || keyEnc == "v2",
+      s"array $name: unsupported chunk_key_encoding '$keyEnc'"
+    )
+    val sep = (j \ "chunk_key_encoding" \ "configuration" \ "separator")
+      .extractOpt[String]
+      .getOrElse(if (keyEnc == "default") "/" else ".")
+    val fill = (j \ "fill_value") match {
+      case JNull | JNothing => None
+      case JBool(b) => Some(if (b) 1.0 else 0.0)
+      case JString("NaN") => Some(Double.NaN)
+      case JString("Infinity") => Some(Double.PositiveInfinity)
+      case JString("-Infinity") => Some(Double.NegativeInfinity)
+      case JDouble(x) => Some(x)
+      case JInt(x) => Some(x.toDouble)
+      case JLong(x) => Some(x.toDouble)
+      case JDecimal(x) => Some(x.toDouble)
+      case other => throw new IllegalArgumentException(s"array $name: unsupported fill_value $other")
+    }
+    val dims = (j \ "dimension_names") match {
+      case JArray(items) =>
+        items.zipWithIndex.map {
+          case (JString(s), _) => s
+          case (_, i) => s"dim_$i"
+        }.toVector
+      case _ => shape.indices.map(i => s"dim_$i").toVector
+    }
+    require(
+      dims.length == shape.length,
+      s"array $name: dimension_names rank ${dims.length} != shape rank ${shape.length}"
+    )
+    val attrs = (j \ "attributes") match {
+      case JObject(fields) =>
+        fields.map { case (k, v) => k -> JsonMethods.compact(JsonMethods.render(v)) }.toMap
+      case _ => Map.empty[String, String]
+    }
+    ZarrArrayMeta(
+      name, shape, chunks, dtype, "C", None, fill, dims, attrs,
+      filters = Vector.empty, v3 = true, keyEncoding = keyEnc, keySeparator = sep, v3Codecs = bb
+    )
   }
 }

@@ -40,8 +40,10 @@ final class ZarrStore(
     val content =
       if (consolidated.contains(false)) None
       else ZarrFileIO.readStringIfExists(f, storageOptions)
-    if (content.isEmpty && consolidated.contains(true))
-      throw new IllegalArgumentException(s"consolidated=true but no .zmetadata under $groupDir")
+    if (content.isEmpty && consolidated.contains(true) && v3ConsolidatedMeta.isEmpty)
+      throw new IllegalArgumentException(
+        s"consolidated=true but no .zmetadata (v2) or consolidated_metadata (v3) under $groupDir"
+      )
     content.flatMap { text =>
       implicit val fmts: Formats = DefaultFormats
       (JsonMethods.parse(text) \ "metadata") match {
@@ -52,20 +54,67 @@ final class ZarrStore(
     }
   }
 
+  /** v3 root document (`zarr.json` at the group dir). Probed only when no
+    * v2 `.zmetadata` answers first — v2 remains the single-probe fast
+    * path; a v3 store costs exactly one extra metadata read. */
+  @transient lazy val v3Root: Option[JValue] =
+    ZarrFileIO
+      .readStringIfExists(new HPath(groupDir, "zarr.json"), storageOptions)
+      .map(JsonMethods.parse(_))
+
+  /** v3 consolidated metadata (zarr-python 3 writes it into the root
+    * `zarr.json`): node path → that node's zarr.json document. */
+  @transient lazy val v3ConsolidatedMeta: Option[Map[String, String]] = {
+    if (consolidated.contains(false)) None
+    else
+      v3Root.flatMap { root =>
+        (root \ "consolidated_metadata" \ "metadata") match {
+          case JObject(fields) =>
+            Some(fields.map { case (k, v) => k -> JsonMethods.compact(JsonMethods.render(v)) }.toMap)
+          case _ => None
+        }
+      }
+  }
+
   private def readMetaFile(rel: String): Option[String] =
     consolidatedMeta match {
       case Some(m) => m.get(rel)
       case None => ZarrFileIO.readStringIfExists(new HPath(groupDir, rel), storageOptions)
     }
 
-  /** Duck-typed array listing: member dirs with a `.zarray`; skips subgroups
-    * and broken entries (reference: zarr_storage.py:285-325). A nonexistent
-    * store raises, matching the reference's open failure
-    * (zarr_storage.py:242-283). */
+  implicit private def fmts: Formats = DefaultFormats
+
+  /** Duck-typed array listing: member dirs with a `.zarray` (v2) or an
+    * array-node `zarr.json` (v3); skips subgroups and broken entries
+    * (reference: zarr_storage.py:285-325). A nonexistent store raises,
+    * matching the reference's open failure (zarr_storage.py:242-283). */
   def listArrays(): Seq[String] =
     consolidatedMeta match {
       case Some(m) =>
         m.keys.collect { case k if k.endsWith("/.zarray") => k.stripSuffix("/.zarray") }.toSeq.sorted
+      case None if v3Root.isDefined =>
+        v3ConsolidatedMeta match {
+          case Some(m) =>
+            m.collect {
+              case (path, doc)
+                  if !path.contains("/") &&
+                    (JsonMethods.parse(doc) \ "node_type").extractOpt[String].contains("array") =>
+                path
+            }.toSeq.sorted
+          case None =>
+            ZarrFileIO
+              .listDirNames(groupDir, storageOptions)
+              .filter { n =>
+                ZarrFileIO
+                  .readStringIfExists(new HPath(new HPath(groupDir, n), "zarr.json"), storageOptions)
+                  .exists(d =>
+                    scala.util.Try(
+                      (JsonMethods.parse(d) \ "node_type").extractOpt[String].contains("array")
+                    ).getOrElse(false)
+                  )
+              }
+              .sorted
+        }
       case None =>
         if (!ZarrFileIO.isDirectory(groupDir, storageOptions))
           throw new IllegalArgumentException(s"zarr store/group not found: $groupDir")
@@ -76,11 +125,20 @@ final class ZarrStore(
             .sorted
     }
 
-  def arrayMeta(name: String): ZarrArrayMeta = {
-    val zarray = readMetaFile(s"$name/.zarray")
-      .getOrElse(throw new NoSuchElementException(s"array '$name' not found in $groupDir"))
-    ZarrMeta.parseArray(name, zarray, readMetaFile(s"$name/.zattrs"))
-  }
+  def arrayMeta(name: String): ZarrArrayMeta =
+    readMetaFile(s"$name/.zarray") match {
+      case Some(zarray) => ZarrMeta.parseArray(name, zarray, readMetaFile(s"$name/.zattrs"))
+      case None if v3Root.isDefined =>
+        val doc = v3ConsolidatedMeta
+          .flatMap(_.get(name))
+          .orElse(
+            ZarrFileIO.readStringIfExists(new HPath(new HPath(groupDir, name), "zarr.json"), storageOptions)
+          )
+          .getOrElse(throw new NoSuchElementException(s"array '$name' not found in $groupDir"))
+        ZarrMeta.parseArrayV3(name, doc)
+      case None =>
+        throw new NoSuchElementException(s"array '$name' not found in $groupDir")
+    }
 
   def arrayDir(name: String): String = new HPath(groupDir, name).toString
 
@@ -180,24 +238,32 @@ object ZarrChunkIO {
   def chunkFileName(chunkIdx: Seq[Int]): String =
     if (chunkIdx.isEmpty) "0" else chunkIdx.mkString(".")
 
-  /** Decode one chunk; None if the chunk file is absent (fill-value chunk). */
+  /** Decode one chunk; None if the chunk file is absent (fill-value chunk).
+    * v2 and v3 differ only in the chunk key and the codec chain — the
+    * decoded buffer is identical, so everything downstream is
+    * version-agnostic. */
   def readChunk(
       arrayDir: String,
       meta: ZarrArrayMeta,
       chunkIdx: Seq[Int],
       storageOptions: Map[String, String] = Map.empty
   ): Option[ZarrBuffer] = {
-    val f = new HPath(arrayDir, chunkFileName(chunkIdx))
+    val f = new HPath(arrayDir, meta.chunkKey(chunkIdx))
     val rawLen = meta.chunks.map(_.toLong).product.toInt * ZarrMeta.itemSize(meta.dtype)
     ZarrFileIO.readBytesIfExists(f, storageOptions, sizeHint = rawLen).map { raw =>
-      val decompressed = ZarrCodec.decompress(meta.compressor, raw, rawLen)
-      require(
-        decompressed.length == rawLen,
-        s"chunk ${f.getName} decoded to ${decompressed.length} bytes, expected $rawLen"
-      )
-      // filters applied in encode order at write time -> undone in REVERSE
       val bytes =
-        meta.filters.foldRight(decompressed)((cfg, b) => ZarrFilters.decode(cfg, meta.zdtype, b))
+        if (meta.v3) {
+          // v3 bytes->bytes codecs applied in encode order -> undone in REVERSE
+          meta.v3Codecs.foldRight(raw)((cfg, b) => ZarrCodecV3.decode(cfg, b, rawLen))
+        } else {
+          val decompressed = ZarrCodec.decompress(meta.compressor, raw, rawLen)
+          // numcodecs filters applied in encode order -> undone in REVERSE
+          meta.filters.foldRight(decompressed)((cfg, b) => ZarrFilters.decode(cfg, meta.zdtype, b))
+        }
+      require(
+        bytes.length == rawLen,
+        s"chunk ${f.getName} decoded to ${bytes.length} bytes, expected $rawLen"
+      )
       new ZarrBuffer(bytes, meta.zdtype)
     }
   }

@@ -46,6 +46,23 @@ object ZarrStoreWriter {
     Files.writeString(dir.resolve(".zattrs"), zattrsJson(dims, attrs))
 
     val dt = ZDtype.parse(dtype)
+    foreachChunk(shape, chunks, dt, value, fillValue.getOrElse(0.0)) { (cIdx, raw) =>
+      val filtered = filterCfgs.foldLeft(raw)((b, cfg) => ZarrFilters.encode(cfg, dt, b))
+      val bytes = ZarrCodec.compress(compressor, filtered, typesize = dt.itemSize)
+      Files.write(dir.resolve(ZarrChunkIO.chunkFileName(cIdx.toSeq)), bytes)
+    }
+  }
+
+  /** Generate every chunk's RAW bytes (fill applied, in-bounds cells from
+    * the flat C-order generator) and hand (chunkIdx, bytes) to `sink` —
+    * shared by the v2 and v3 fixture writers. */
+  private[zarr] def foreachChunk(
+      shape: Vector[Int],
+      chunks: Vector[Int],
+      dt: ZDtype,
+      value: Long => Double,
+      fillV: Double
+  )(sink: (Array[Int], Array[Byte]) => Unit): Unit = {
     val item = dt.itemSize
     val rank = shape.length
     val nC = shape.zip(chunks).map { case (s, c) => if (s == 0) 0 else (s + c - 1) / c }
@@ -63,8 +80,6 @@ object ZarrStoreWriter {
       val buf = ByteBuffer
         .allocate(chunkElems * item)
         .order(if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-      // fill default
-      val fillV = fillValue.getOrElse(0.0)
       var i = 0
       while (i < chunkElems) { ZDtype.put(dt, buf, i, fillV); i += 1 }
       // write in-bounds cells
@@ -91,10 +106,7 @@ object ZarrStoreWriter {
           done = carry
         }
       }
-      val filtered =
-        filterCfgs.foldLeft(buf.array())((b, cfg) => ZarrFilters.encode(cfg, dt, b))
-      val bytes = ZarrCodec.compress(compressor, filtered, typesize = item)
-      Files.write(dir.resolve(ZarrChunkIO.chunkFileName(cIdx.toSeq)), bytes)
+      sink(cIdx, buf.array())
       ci += 1
     }
   }
@@ -170,6 +182,139 @@ object ZarrStoreWriter {
     Files.writeString(
       groupDir.resolve(".zmetadata"),
       s"""{"zarr_format": 2, "metadata": {${entries.mkString(",\n")}}}"""
+    )
+  }
+}
+
+/** Minimal Zarr V3 writer — test fixtures only (zarr-specs v3: single
+  * `zarr.json` per node, `c/`-prefixed chunk keys, codecs pipeline).
+  * Codec spec strings: "gzip", "zstd", "blosc[:cname[:noshuffle|:bitshuffle]]",
+  * "crc32c" — chained in order after the implicit `bytes` codec. */
+object ZarrStoreWriterV3 {
+
+  def writeGroup(root: String, group: Option[String] = None): Path = {
+    val dir = group.map(g => Paths.get(root, g)).getOrElse(Paths.get(root))
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("zarr.json"), """{"zarr_format": 3, "node_type": "group"}""")
+    dir
+  }
+
+  private def codecCfg(spec: String, typesize: Int): String = {
+    val parts = spec.split(":")
+    parts(0) match {
+      case "gzip" => """{"name": "gzip", "configuration": {"level": 5}}"""
+      case "zstd" => """{"name": "zstd", "configuration": {"level": 3, "checksum": false}}"""
+      case "blosc" =>
+        val cname = if (parts.length > 1) parts(1) else "lz4"
+        val shuffle =
+          if (parts.length > 2 && parts(2) == "noshuffle") "noshuffle"
+          else if (parts.length > 2 && parts(2) == "bitshuffle") "bitshuffle"
+          else "shuffle"
+        s"""{"name": "blosc", "configuration": {"cname": "$cname", "clevel": 5, "shuffle": "$shuffle", "typesize": $typesize, "blocksize": 0}}"""
+      case "crc32c" => """{"name": "crc32c"}"""
+      case other => throw new IllegalArgumentException(s"unknown v3 codec spec '$other'")
+    }
+  }
+
+  /** v3 data_type name → the v2-style kind tag the shared writer loop uses. */
+  private val KindOf: Map[String, String] = Map(
+    "bool" -> "b1",
+    "int8" -> "i1", "uint8" -> "u1",
+    "int16" -> "i2", "uint16" -> "u2",
+    "int32" -> "i4", "uint32" -> "u4",
+    "int64" -> "i8",
+    "float16" -> "f2", "float32" -> "f4", "float64" -> "f8"
+  )
+
+  def arrayJson(
+      shape: Vector[Int],
+      chunks: Vector[Int],
+      dataType: String,
+      codecCfgs: Seq[String],
+      fillValue: Option[Double],
+      dims: Option[Vector[String]],
+      separator: String,
+      endian: String,
+      attrs: Map[String, String] = Map.empty
+  ): String = {
+    val fill = fillValue.map(f => if (f.isNaN) "\"NaN\"" else f.toString).getOrElse("0")
+    val dimNames = dims.map(d => d.map(x => s""""$x"""").mkString("[", ", ", "]"))
+    val attrsJson =
+      if (attrs.isEmpty) "{}" else attrs.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    val allCodecs =
+      (s"""{"name": "bytes", "configuration": {"endian": "$endian"}}""" +: codecCfgs)
+        .mkString("[", ", ", "]")
+    s"""{"zarr_format": 3, "node_type": "array",
+       |"shape": [${shape.mkString(",")}],
+       |"data_type": "$dataType",
+       |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${chunks.mkString(",")}]}},
+       |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "$separator"}},
+       |"fill_value": $fill,
+       |"codecs": $allCodecs,
+       |"attributes": $attrsJson${dimNames.map(d => s""",\n"dimension_names": $d""").getOrElse("")}}""".stripMargin
+  }
+
+  def writeArray(
+      groupDir: Path,
+      name: String,
+      shape: Vector[Int],
+      chunks: Vector[Int],
+      dataType: String,
+      value: Long => Double,
+      dims: Option[Vector[String]] = None,
+      codecs: Seq[String] = Nil,
+      fillValue: Option[Double] = Some(0.0),
+      separator: String = "/",
+      bigEndian: Boolean = false,
+      attrs: Map[String, String] = Map.empty
+  ): Unit = {
+    require(shape.length == chunks.length)
+    val kind = KindOf.getOrElse(dataType, throw new IllegalArgumentException(s"bad v3 data_type $dataType"))
+    val dt = ZDtype.parse((if (bigEndian) ">" else "<") + kind)
+    val dir = groupDir.resolve(name)
+    Files.createDirectories(dir)
+    val cfgs = codecs.map(codecCfg(_, dt.itemSize))
+    Files.writeString(
+      dir.resolve("zarr.json"),
+      arrayJson(shape, chunks, dataType, cfgs, fillValue, dims,
+        separator, if (bigEndian) "big" else "little", attrs)
+    )
+    ZarrStoreWriter.foreachChunk(shape, chunks, dt, value, fillValue.getOrElse(0.0)) { (cIdx, raw) =>
+      val bytes = cfgs.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, dt.itemSize))
+      val key = if (cIdx.isEmpty) "c" else "c" + separator + cIdx.mkString(separator)
+      val target = dir.resolve(key)
+      Option(target.getParent).foreach(Files.createDirectories(_))
+      Files.write(target, bytes)
+    }
+  }
+
+  def writeCoord(groupDir: Path, dim: String, coord: Coord, codecs: Seq[String] = Nil): Unit = {
+    val (dataType, f): (String, Long => Double) = coord match {
+      case Coord.Ints(a) => ("int32", (i: Long) => a(i.toInt).toDouble)
+      case Coord.Longs(a) => ("int64", (i: Long) => a(i.toInt).toDouble)
+      case Coord.Floats(a) => ("float32", (i: Long) => a(i.toInt).toDouble)
+      case Coord.Doubles(a) => ("float64", (i: Long) => a(i.toInt))
+      case other => throw new IllegalArgumentException(s"unsupported v3 coord $other")
+    }
+    writeArray(groupDir, dim, Vector(coord.length), Vector(coord.length), dataType, f,
+      dims = Some(Vector(dim)), codecs = codecs)
+  }
+
+  /** Embed every member node's zarr.json into the root document —
+    * zarr-python 3's consolidated-metadata layout. */
+  def consolidate(groupDir: Path): Unit = {
+    val entries = Files.list(groupDir).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .toSeq.sortBy(_.getFileName.toString)
+      .flatMap { d =>
+        val f = d.resolve("zarr.json")
+        if (Files.exists(f)) Some(s""""${d.getFileName}": ${Files.readString(f)}""") else None
+      }
+    Files.writeString(
+      groupDir.resolve("zarr.json"),
+      s"""{"zarr_format": 3, "node_type": "group",
+         |"consolidated_metadata": {"kind": "inline", "must_understand": false,
+         |"metadata": {${entries.mkString(",\n")}}}}""".stripMargin
     )
   }
 }
