@@ -552,6 +552,8 @@ object CoreQueries {
           .join(arr("d_f4", _.cast("double")), Seq("i"))
           .join(arr("d_m8"), Seq("i"))
           .join(arr("q_f8"), Seq("i"))
+          .join(arr("fso_f8"), Seq("i"))
+          .join(arr("pb_b1"), Seq("i"))
           .orderBy("i")
       },
       Some("""SELECT CAST(r.i AS INTEGER) AS i,
@@ -562,7 +564,9 @@ object CoreQueries {
              |  CAST(r.i AS DOUBLE) * 0.25 - 3.0 AS d_bef8,
              |  CAST(r.i AS DOUBLE) * 0.5 AS d_f4,
              |  make_timestamp((1700000000 + CAST(r.i AS BIGINT) * 60) * 1000000) AS d_m8,
-             |  CAST(r.i AS DOUBLE) * 0.25 AS q_f8
+             |  CAST(r.i AS DOUBLE) * 0.25 AS q_f8,
+             |  CAST(r.i AS DOUBLE) / 10 + 1000 AS fso_f8,
+             |  ((r.i * 5) % 7) < 3 AS pb_b1
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 60)) r
              |ORDER BY i""".stripMargin)
     ),
@@ -676,14 +680,18 @@ object CoreQueries {
     root
   }
 
-  /** Build the deterministic q24 store once per JVM: eight 1-D arrays over
+  /** Build the deterministic q24 store once per JVM: ten 1-D arrays over
     * a shared `<i4` coordinate `i` whose chunks carry a numcodecs filter
     * chain — delta across int widths / unsigned wrap / big-endian f8 / f4 /
-    * datetime64[s], plus a quantize (identity-at-decode) f8. Float values
-    * are dyadic with dyadic diffs so the delta prefix sum is bit-exact. */
+    * datetime64[s], a quantize (identity-at-decode) f8, a
+    * fixedscaleoffset f8 stored as u1 (decode `enc/scale + offset` is
+    * IEEE-identical to the oracle's `i/10 + 1000`), and a packbits bool.
+    * Float values are dyadic with dyadic diffs so the delta prefix sum is
+    * bit-exact. Marker is versioned: adding arrays must invalidate stores
+    * cached in /tmp by earlier builds. */
   private[queries] def q24Store(): String = synchronized {
     val root = "/tmp/graft_q24_store"
-    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete_v2")
     if (!java.nio.file.Files.exists(marker)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       import graft.sources.zarr.ZarrStoreWriter
@@ -701,6 +709,12 @@ object CoreQueries {
       w("d_f4", "<f4", Some("blosc:blosclz"), Seq("delta"), i => i * 0.5)
       w("d_m8", "<M8[s]", None, Seq("delta"), i => (1700000000L + i * 60).toDouble)
       w("q_f8", "<f8", Some("zlib"), Seq("quantize"), i => i * 0.25)
+      w(
+        "fso_f8", "<f8", Some("zlib"),
+        Seq("""{"id": "fixedscaleoffset", "offset": 1000.0, "scale": 10.0, "dtype": "<f8", "astype": "|u1"}"""),
+        i => i / 10.0 + 1000.0
+      )
+      w("pb_b1", "|b1", Some("zlib"), Seq("packbits"), i => if ((i * 5) % 7 < 3) 1.0 else 0.0)
       ZarrStoreWriter.writeCoord(dir, "i", Coord.Ints(Array.tabulate(60)(identity)))
       ZarrStoreWriter.consolidate(dir)
       java.nio.file.Files.writeString(marker, "ok")

@@ -17,27 +17,36 @@ import org.json4s.jackson.JsonMethods
   *    in their own precision — bit-faithful to numpy's cumsum)
   *  - `quantize` / `bitround`: LOSSY AT ENCODE only — stored values are
   *    already final, decode is the identity
+  *  - `fixedscaleoffset` (numcodecs.FixedScaleOffset): stored as the
+  *    integer `astype`; decode is `enc / scale + offset` cast back to the
+  *    array dtype (numpy semantics: plain IEEE double ops, float→int casts
+  *    truncate toward zero)
+  *  - `packbits` (numcodecs.PackBits, bool arrays): one header byte with
+  *    the leftover-bit count, then MSB-first packed bits
   *
-  * `astype != dtype` re-types the stored bytes (different chunk byte
-  * length); rejected with an explicit message until a store needing it
-  * shows up. */
+  * delta with `astype != dtype` re-types the stored bytes; rejected with an
+  * explicit message until a store needing it shows up. */
 object ZarrFilters {
   implicit private val formats: Formats = DefaultFormats
 
   def idOf(cfg: String): String = (JsonMethods.parse(cfg) \ "id").extract[String]
 
-  /** Decode one filter IN PLACE over the chunk bytes (called in reverse
-    * encode order by the chunk reader); returns the same array. */
+  /** Decode one filter (called in reverse encode order by the chunk
+    * reader). Same-width filters work in place and return the input array;
+    * width-changing filters (fixedscaleoffset, packbits) return a new
+    * array of the array dtype's width. */
   def decode(cfg: String, dt: ZDtype, bytes: Array[Byte]): Array[Byte] = idOf(cfg) match {
     case "delta" =>
       requireSameType(cfg, dt)
       deltaDecode(dt, bytes)
       bytes
     case "quantize" | "bitround" => bytes
+    case "fixedscaleoffset" => fsoDecode(cfg, dt, bytes)
+    case "packbits" => packbitsDecode(dt, bytes)
     case other =>
       throw new UnsupportedOperationException(
-        s"zarr filter '$other' not supported (supported: delta, quantize, bitround; " +
-          "fixedscaleoffset/packbits/categorize/astype-retyping are not) — refusing to " +
+        s"zarr filter '$other' not supported (supported: delta, quantize, bitround, " +
+          "fixedscaleoffset, packbits; categorize/astype-retyping are not) — refusing to " +
           "skip it because that would silently return wrong values"
       )
   }
@@ -49,7 +58,114 @@ object ZarrFilters {
       deltaEncode(dt, bytes)
       bytes
     case "quantize" | "bitround" => bytes // fixtures hold already-quantized values
+    case "fixedscaleoffset" => fsoEncode(cfg, dt, bytes)
+    case "packbits" => packbitsEncode(dt, bytes)
     case other => throw new UnsupportedOperationException(s"zarr filter '$other' not supported for write")
+  }
+
+  /** STORED byte length of `len` decoded bytes after this filter's encode —
+    * lets the chunk reader size the decompressor for width-changing
+    * filters (fold in encode order). */
+  def storedLen(cfg: String, dt: ZDtype, len: Int): Int = idOf(cfg) match {
+    case "fixedscaleoffset" =>
+      val astype = ZDtype.parse((JsonMethods.parse(cfg) \ "astype").extract[String])
+      len / dt.itemSize * astype.itemSize
+    case "packbits" =>
+      val n = len // b1 cells are 1 byte each
+      1 + (n + 7) / 8
+    case _ => len
+  }
+
+  /** numcodecs FixedScaleOffset decode: `enc / scale + offset` in double,
+    * then numpy `.astype(dtype)` (truncation for int dtypes). */
+  private def fsoDecode(cfg: String, dt: ZDtype, bytes: Array[Byte]): Array[Byte] = {
+    val j = JsonMethods.parse(cfg)
+    val offset = (j \ "offset").extract[Double]
+    val scale = (j \ "scale").extract[Double]
+    val astype = ZDtype.parse((j \ "astype").extract[String])
+    require(
+      Set(ZDtype.I1, ZDtype.U1, ZDtype.I2, ZDtype.U2, ZDtype.I4, ZDtype.U4, ZDtype.I8)(astype.code),
+      s"fixedscaleoffset astype must be an int dtype (got ${astype.tag})"
+    )
+    val n = bytes.length / astype.itemSize
+    val in = new ZarrBuffer(bytes, astype)
+    val out = ByteBuffer
+      .allocate(n * dt.itemSize)
+      .order(if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      val enc: Double = astype.code match {
+        case ZDtype.I1 => in.getByte(i).toDouble
+        case ZDtype.U1 => in.getU1(i).toDouble
+        case ZDtype.I2 => in.getShort(i).toDouble
+        case ZDtype.U2 => in.getU2(i).toDouble
+        case ZDtype.I4 => in.getInt(i).toDouble
+        case ZDtype.U4 => in.getU4(i).toDouble
+        case _ => in.getLong(i).toDouble
+      }
+      ZDtype.put(dt, out, i, enc / scale + offset)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** numcodecs FixedScaleOffset encode: `around((x - offset) * scale)`
+    * (round half to even, numpy `around`) cast to the integer astype. */
+  private def fsoEncode(cfg: String, dt: ZDtype, bytes: Array[Byte]): Array[Byte] = {
+    val j = JsonMethods.parse(cfg)
+    val offset = (j \ "offset").extract[Double]
+    val scale = (j \ "scale").extract[Double]
+    val astype = ZDtype.parse((j \ "astype").extract[String])
+    val n = bytes.length / dt.itemSize
+    val in = new ZarrBuffer(bytes, dt)
+    val out = ByteBuffer
+      .allocate(n * astype.itemSize)
+      .order(if (astype.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      val x: Double = dt.code match {
+        case ZDtype.F4 => in.getFloat(i).toDouble
+        case ZDtype.F8 => in.getDouble(i)
+        case ZDtype.I4 => in.getInt(i).toDouble
+        case ZDtype.I8 => in.getLong(i).toDouble
+        case other => throw new UnsupportedOperationException(s"fixedscaleoffset dtype ${dt.tag}")
+      }
+      ZDtype.putLong(astype, out, i, math.rint((x - offset) * scale).toLong)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** numcodecs PackBits decode: header byte = leftover-bit count of the
+    * last packed byte, then MSB-first bits (numpy packbits order). */
+  private def packbitsDecode(dt: ZDtype, bytes: Array[Byte]): Array[Byte] = {
+    require(dt.code == ZDtype.BOOL, s"packbits filter requires a bool dtype (got ${dt.tag})")
+    require(bytes.length >= 1, "packbits chunk shorter than its header byte")
+    val leftover = bytes(0) & 0xff
+    val nPacked = bytes.length - 1
+    val n = nPacked * 8 - (if (leftover > 0) 8 - leftover else 0)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((bytes(1 + (i >> 3)) >> (7 - (i & 7))) & 1).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def packbitsEncode(dt: ZDtype, bytes: Array[Byte]): Array[Byte] = {
+    require(dt.code == ZDtype.BOOL, s"packbits filter requires a bool dtype (got ${dt.tag})")
+    val n = bytes.length
+    val leftover = n % 8
+    val nPacked = (n + 7) / 8
+    val out = new Array[Byte](1 + nPacked)
+    out(0) = leftover.toByte
+    var i = 0
+    while (i < n) {
+      if (bytes(i) != 0) out(1 + (i >> 3)) = (out(1 + (i >> 3)) | (1 << (7 - (i & 7)))).toByte
+      i += 1
+    }
+    out
   }
 
   private def requireSameType(cfg: String, dt: ZDtype): Unit = {

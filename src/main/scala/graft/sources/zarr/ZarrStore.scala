@@ -256,7 +256,12 @@ object ZarrChunkIO {
           // v3 bytes->bytes codecs applied in encode order -> undone in REVERSE
           meta.v3Codecs.foldRight(raw)((cfg, b) => ZarrCodecV3.decode(cfg, b, rawLen))
         } else {
-          val decompressed = ZarrCodec.decompress(meta.compressor, raw, rawLen)
+          // width-changing filters (fixedscaleoffset, packbits) store fewer
+          // bytes than the decoded chunk — size the decompressor for the
+          // STORED length (fold the filter chain in encode order)
+          val storedLen =
+            meta.filters.foldLeft(rawLen)((l, cfg) => ZarrFilters.storedLen(cfg, meta.zdtype, l))
+          val decompressed = ZarrCodec.decompress(meta.compressor, raw, storedLen)
           // numcodecs filters applied in encode order -> undone in REVERSE
           meta.filters.foldRight(decompressed)((cfg, b) => ZarrFilters.decode(cfg, meta.zdtype, b))
         }

@@ -38,7 +38,10 @@ object ZarrStoreWriter {
     require(shape.length == chunks.length)
     val dir = groupDir.resolve(name)
     Files.createDirectories(dir)
-    val filterCfgs = filters.map(id => s"""{"id": "$id", "dtype": "$dtype"}""")
+    // bare ids become minimal configs; raw JSON configs pass through (for
+    // parameterized filters like fixedscaleoffset)
+    val filterCfgs =
+      filters.map(f => if (f.trim.startsWith("{")) f else s"""{"id": "$f", "dtype": "$dtype"}""")
     Files.writeString(
       dir.resolve(".zarray"),
       zarrayJson(shape, chunks, dtype, compressor, fillValue, filterCfgs)

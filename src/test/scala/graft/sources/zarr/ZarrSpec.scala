@@ -362,7 +362,7 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
       zarray,
       Files.readString(zarray).replace(
         """[{"id": "delta", "dtype": "<i8"}]""",
-        """[{"id": "fixedscaleoffset", "scale": 10, "offset": 0, "dtype": "<i8"}]"""
+        """[{"id": "categorize", "labels": ["a"], "dtype": "<i8"}]"""
       )
     )
     ZarrStoreWriter.consolidate(dir)
@@ -370,6 +370,72 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
       new ZarrDataReader(spark, root).readArray("d_i8").agg(sum("value")).collect()
     )
     assert(e.getMessage.contains("filter") || e.getCause.getMessage.contains("filter"))
+  }
+
+  test("numcodecs fixedscaleoffset and packbits round-trip through the scan") {
+    val root = Files.createTempDirectory("zarrfso").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    // f8 stored as u1: decode is enc/scale + offset — IEEE-identical to the
+    // expected expression below
+    ZarrStoreWriter.writeArray(
+      dir, "fso_u1", Vector(60), Vector(16), "<f8", f => f / 10.0 + 1000.0,
+      dims = Some(Vector("i")), compressor = Some("zlib"),
+      filters = Seq("""{"id": "fixedscaleoffset", "offset": 1000.0, "scale": 10.0, "dtype": "<f8", "astype": "|u1"}""")
+    )
+    // f4 stored as i2 (negative encodings), no compressor
+    ZarrStoreWriter.writeArray(
+      dir, "fso_i2", Vector(60), Vector(16), "<f4", f => (f - 20) * 0.5,
+      dims = Some(Vector("i")),
+      filters = Seq("""{"id": "fixedscaleoffset", "offset": 0.0, "scale": 4.0, "dtype": "<f4", "astype": "<i2"}""")
+    )
+    // packbits: chunk of 13 bools -> 2 packed bytes with 5 leftover bits;
+    // chunk of 16 -> leftover 0 (both header paths)
+    ZarrStoreWriter.writeArray(
+      dir, "pb_a", Vector(60), Vector(13), "|b1", f => if ((f * 5) % 7 < 3) 1.0 else 0.0,
+      dims = Some(Vector("i")), compressor = Some("zlib"), filters = Seq("packbits")
+    )
+    ZarrStoreWriter.writeArray(
+      dir, "pb_b", Vector(60), Vector(16), "|b1", f => if (f % 2 == 0) 1.0 else 0.0,
+      dims = Some(Vector("i")), filters = Seq("packbits")
+    )
+    ZarrStoreWriter.consolidate(dir)
+    val r = new ZarrDataReader(spark, root)
+    assert(
+      r.readArray("fso_u1").orderBy("i").select("value").collect().map(_.getDouble(0)).toSeq ==
+        (0 until 60).map(f => f / 10.0 + 1000.0)
+    )
+    assert(
+      r.readArray("fso_i2").orderBy("i").select("value").collect().map(_.getFloat(0)).toSeq ==
+        (0 until 60).map(f => ((f - 20) * 0.5).toFloat)
+    )
+    assert(
+      r.readArray("pb_a").orderBy("i").select("value").collect().map(_.getBoolean(0)).toSeq ==
+        (0 until 60).map(f => (f * 5) % 7 < 3)
+    )
+    assert(
+      r.readArray("pb_b").orderBy("i").select("value").collect().map(_.getBoolean(0)).toSeq ==
+        (0 until 60).map(_ % 2 == 0)
+    )
+    // unit-level properties: packbits is exact at every length mod 8;
+    // fixedscaleoffset inverts within half a quantization step
+    val rnd = new scala.util.Random(42)
+    val b1 = ZDtype.parse("|b1")
+    for (n <- 1 to 17) {
+      val arr = Array.fill(n)(if (rnd.nextBoolean()) 1.toByte else 0.toByte)
+      val enc = ZarrFilters.encode("""{"id": "packbits"}""", b1, arr.clone())
+      assert(enc.length == 1 + (n + 7) / 8)
+      assert(ZarrFilters.decode("""{"id": "packbits"}""", b1, enc).toSeq == arr.toSeq, s"n=$n")
+    }
+    val f8 = ZDtype.parse("<f8")
+    val cfg = """{"id": "fixedscaleoffset", "offset": 7.5, "scale": 100.0, "dtype": "<f8", "astype": "<i4"}"""
+    val xs = Array.fill(40)(7.5 + (rnd.nextDouble() - 0.5) * 1000)
+    val raw = java.nio.ByteBuffer.allocate(xs.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    xs.zipWithIndex.foreach { case (x, i) => raw.putDouble(i * 8, x) }
+    val dec = ZarrFilters.decode(cfg, f8, ZarrFilters.encode(cfg, f8, raw.array()))
+    val bb = java.nio.ByteBuffer.wrap(dec).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    xs.zipWithIndex.foreach { case (x, i) =>
+      assert(math.abs(bb.getDouble(i * 8) - x) <= 0.5 / 100.0 + 1e-12, s"i=$i")
+    }
   }
 
   test("datetime64: NaT reads as null; timestamp coords decode and push filters") {
