@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   *
   * Codecs: IMAGE decode is real — [[decodeImage]] reads PNG/BMP/JPEG/GIF
   * through the JDK's own ImageIO decoders (no native libraries) and
-  * resamples to a luminance grid. Audio/video codecs (ffmpeg-class
-  * dependencies that don't exist in this environment) stay behind
-  * clearly-marked deterministic stubs with the distributed plumbing real,
-  * so swapping in a JNI/ffmpeg call touches only the decode function. */
+  * resamples to a luminance grid. AUDIO decode is real — [[decodeAudio]]
+  * reads WAV (PCM 8/16/24-bit, A-law, µ-law) through `javax.sound.sampled`
+  * and emits duration/RMS/peak/zero-crossing features. VIDEO codecs
+  * (ffmpeg-class dependencies that don't exist in this environment) stay
+  * behind clearly-marked deterministic stubs with the distributed plumbing
+  * real, so swapping in a JNI/ffmpeg call touches only the decode
+  * function. */
 object Multimodal {
 
   val MetaType: StructType = StructType(
@@ -115,6 +118,145 @@ object Multimodal {
         dec match {
           case Some((f, w, h)) => Row(r.get(idIdx), f, w, h)
           case None => Row(r.get(idIdx), null, null, null)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV containers:
+    * PCM signed/unsigned 8/16/24-bit, A-law, µ-law — the codecs the JVM
+    * ships; no native libs). Non-PCM-signed input is converted through
+    * `AudioSystem`'s format-conversion providers to 16-bit signed PCM, then
+    * channels are mixed down by average and summary features computed:
+    * (frames, sampleRate, channels, duration s, RMS, peak, zero-crossing
+    * rate), amplitudes normalized by 2^15. Returns None for undecodable
+    * payloads (callers keep the row with null features). */
+  def decodeAudio(payload: Array[Byte]): Option[(Long, Double, Int, Double, Double, Double, Double)] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val src = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      val sf = src.getFormat
+      val needConvert =
+        sf.getEncoding != AudioFormat.Encoding.PCM_SIGNED || sf.getSampleSizeInBits != 16
+      val target = new AudioFormat(
+        AudioFormat.Encoding.PCM_SIGNED,
+        sf.getSampleRate, 16, sf.getChannels, sf.getChannels * 2, sf.getSampleRate, false
+      )
+      val ais = if (needConvert) AudioSystem.getAudioInputStream(target, src) else src
+      val fmt = ais.getFormat
+      val channels = fmt.getChannels
+      val bigEndian = fmt.isBigEndian
+      val frameBytes = channels * 2
+      var nFrames = 0L
+      var sumSq = 0.0
+      var peak = 0.0
+      var crossings = 0L
+      var prevNonNeg = true
+      val buf = new Array[Byte](frameBytes * 4096)
+      var read = ais.read(buf)
+      while (read > 0) {
+        var off = 0
+        while (off + frameBytes <= read) {
+          // mix channels down by average (mono passes through exactly)
+          var acc = 0L
+          var c = 0
+          while (c < channels) {
+            val lo = buf(off + 2 * c + (if (bigEndian) 1 else 0)) & 0xff
+            val hi = buf(off + 2 * c + (if (bigEndian) 0 else 1)).toInt
+            acc += (hi << 8) | lo
+            c += 1
+          }
+          val s = acc.toDouble / channels
+          sumSq += s * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          val nonNeg = s >= 0
+          if (nFrames > 0 && nonNeg != prevNonNeg) crossings += 1
+          prevNonNeg = nonNeg
+          nFrames += 1
+          off += frameBytes
+        }
+        read = ais.read(buf)
+      }
+      ais.close()
+      val rate = fmt.getSampleRate.toDouble
+      Some((
+        nFrames,
+        rate,
+        channels,
+        if (rate > 0) nFrames / rate else 0.0,
+        if (nFrames > 0) math.sqrt(sumSq / nFrames) / 32768.0 else 0.0,
+        peak / 32768.0,
+        if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0
+      ))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Build a WAV container from 16-bit PCM samples (interleaved when
+    * `channels` > 1) — fixture/synthetic-payload seam for [[decodeAudio]]. */
+  def wavBytes(samples: Array[Short], sampleRate: Float = 8000f, channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length / channels
+    )
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Attach a deterministic synthetic WAV payload per row: `n` mono 16-bit
+    * samples at `sampleRate`, sample(i) = (id*31 + i*17) % 20001 - 10000 —
+    * an expression the SQL oracle recomputes exactly (PCM16 round-trips
+    * bit-exact through the WAV container). */
+  def withSynthWavPayload(df: DataFrame, idCol: String, n: Int, sampleRate: Float): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => throw new IllegalArgumentException(s"non-integral id $other")
+        }
+        val samples = Array.tabulate(n)(i => ((id * 31 + i.toLong * 17) % 20001 - 10000).toShort)
+        Row.fromSeq(r.toSeq :+ wavBytes(samples, sampleRate))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Distributed REAL audio feature extraction: mapPartitions over binary
+    * payloads, `javax.sound.sampled` decode per row; undecodable rows keep
+    * null features. Partition-preserving, no shuffle. */
+  def extractAudioFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(
+      Seq(
+        StructField(idCol, df.schema(idCol).dataType),
+        StructField("n_samples", LongType),
+        StructField("sample_rate", DoubleType),
+        StructField("channels", IntegerType),
+        StructField("duration_s", DoubleType),
+        StructField("rms", DoubleType),
+        StructField("peak", DoubleType),
+        StructField("zcr", DoubleType)
+      )
+    )
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payIdx)
+        val dec = if (payload == null) None else decodeAudio(payload)
+        dec match {
+          case Some((n, rate, ch, dur, rms, peak, zcr)) =>
+            Row(r.get(idIdx), n, rate, ch, dur, rms, peak, zcr)
+          case None => Row(r.get(idIdx), null, null, null, null, null, null, null)
         }
       }
     }(Encoders.row(schema))

@@ -1249,6 +1249,53 @@ object ExtQueries {
              |round(CAST(len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
              |  / len(string_split(t, ' ')), 6) AS bpe_per_ws
              |FROM d ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // REAL audio decode under the correctness gate: each doc gets a
+    // deterministic 200-sample 16-bit PCM WAV (sample(i) = (id*31 + i*17)
+    // % 20001 - 10000 — PCM16 round-trips bit-exact through the WAV
+    // container), decoded back through javax.sound.sampled
+    // (Multimodal.decodeAudio); the oracle recomputes duration/RMS/peak/
+    // zero-crossing rate from the same sample expression in SQL. Both
+    // engines do the identical IEEE double ops, so round(,6) is safety
+    // margin, not slack.
+    Q(
+      "x55_audio_features",
+      (s, d) => {
+        val withWav = Multimodal.withSynthWavPayload(
+          t(s, d, "documents").select("doc_id"), "doc_id", 200, 8000f
+        )
+        Multimodal
+          .extractAudioFeatures(withWav, "doc_id")
+          .select(
+            col("doc_id"),
+            col("n_samples"),
+            col("channels"),
+            round(col("duration_s"), 6).as("duration_s"),
+            round(col("rms"), 6).as("rms"),
+            round(col("peak"), 6).as("peak"),
+            round(col("zcr"), 6).as("zcr")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, i.i,
+             |    CAST((d.doc_id * 31 + i.i * 17) % 20001 - 10000 AS BIGINT) AS smp
+             |  FROM (SELECT doc_id FROM documents) d
+             |  CROSS JOIN (SELECT range AS i FROM range(0, 200)) i),
+             |x AS (
+             |  SELECT doc_id, i, smp,
+             |    lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+             |  FROM s)
+             |SELECT doc_id,
+             |  CAST(200 AS BIGINT) AS n_samples,
+             |  1 AS channels,
+             |  round(200 / 8000.0, 6) AS duration_s,
+             |  round(sqrt(SUM(smp * smp) / 200.0) / 32768.0, 6) AS rms,
+             |  round(MAX(abs(smp)) / 32768.0, 6) AS peak,
+             |  round(SUM(CASE WHEN prev IS NOT NULL AND ((smp >= 0) != (prev >= 0))
+             |    THEN 1 ELSE 0 END) / 199.0, 6) AS zcr
+             |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -305,6 +305,55 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(png.toSeq == bmp.toSeq)
   }
 
+  test("multimodal: REAL audio decode (javax.sound.sampled) — WAV features distributed") {
+    import spark.implicits._
+    // known signal: square wave at 1/4 sample rate -> amplitude A everywhere,
+    // RMS = A/32768 exactly, zero crossing every 2 samples
+    val a: Short = 8192
+    val square = Array.tabulate(400)(i => if ((i / 2) % 2 == 0) a else (-a).toShort)
+    val sine = Array.tabulate(800)(i => (10000 * math.sin(2 * math.Pi * i / 80)).toShort)
+    val rows = Seq(
+      (1L, Multimodal.wavBytes(square, 8000f)),
+      (2L, Multimodal.wavBytes(sine, 16000f)),
+      (3L, "definitely not audio".getBytes("UTF-8"))
+    )
+    val out = Multimodal
+      .extractAudioFeatures(rows.toDF("doc_id", "payload").repartition(3), "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    val sq = out(1L)
+    assert(sq.getLong(1) == 400 && sq.getDouble(2) == 8000.0 && sq.getInt(3) == 1)
+    assert(sq.getDouble(4) == 0.05) // 400 / 8000
+    assert(math.abs(sq.getDouble(5) - a / 32768.0) < 1e-12) // RMS == amplitude
+    assert(math.abs(sq.getDouble(6) - a / 32768.0) < 1e-12) // peak
+    assert(math.abs(sq.getDouble(7) - 0.5) < 0.01) // crossing every 2 samples
+    val sn = out(2L)
+    assert(sn.getLong(1) == 800 && sn.getDouble(2) == 16000.0)
+    // sine RMS ~= peak / sqrt(2)
+    assert(math.abs(sn.getDouble(5) - (10000.0 / 32768) / math.sqrt(2)) < 0.001)
+    // garbage payload -> null features, row kept, task alive
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(4))
+    // distributed equals local decode
+    val local = Multimodal.decodeAudio(rows.head._2).get
+    assert(local._1 == sq.getLong(1) && local._5 == sq.getDouble(5))
+    // stereo mixes channels by average: L = 2A, R = 0 -> mixed amplitude A
+    val stereo = Array.tabulate(200)(i => if (i % 2 == 0) (2 * a).toShort else 0.toShort)
+    val st = Multimodal.decodeAudio(Multimodal.wavBytes(stereo, 8000f, channels = 2)).get
+    assert(st._3 == 2 && st._1 == 100)
+    assert(math.abs(st._5 - a / 32768.0) < 1e-12)
+    // 8-bit unsigned PCM routes through the JDK's format conversion
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val pcm8 = Array.tabulate(64)(i => (128 + (if (i % 2 == 0) 60 else -60)).toByte)
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8), fmt8, 64
+    )
+    val bos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais8, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
+    val d8 = Multimodal.decodeAudio(bos8.toByteArray).get
+    assert(d8._1 == 64 && d8._7 > 0.9) // alternating sign -> zcr near 1
+  }
+
   test("multimodal: frame sampling fans out k rows per payload; resize halves features") {
     val docs = t(spark, sfTiny, "documents").limit(6)
     val withP = Multimodal.withPayload(docs.withColumn("hex", md5(col("text"))), "hex")
