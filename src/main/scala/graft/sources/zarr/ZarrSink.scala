@@ -5,7 +5,7 @@ import graft.model.IndexMath
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, GraftBridge, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -30,10 +30,15 @@ import org.apache.spark.sql.types._
   *    written (Zarr's native sparse representation)
   *
   * Options: `path`, `array` (required); `group`, `chunks` ("16,16"),
-  * `dtype` (numpy spelling, default from the value column type),
-  * `compressor` ("zlib" | "zstd" | "gzip" | "blosc[:cname[:mode]]" |
-  * "none", default blosc:lz4 — the numcodecs default), `fill_value`
-  * (default 0), `storage.*` (same remote-store options as the scan).
+  * `dtype` (numpy spelling, default from the value column type; explicit
+  * unsigned targets u1/u2/u4 are honored with per-value range validation —
+  * out-of-range input fails loudly instead of masking), `compressor`
+  * ("zlib" | "zstd" | "gzip" | "blosc[:cname[:mode]]" | "none", default
+  * blosc:lz4 — the numcodecs default), `fill_value` (default 0),
+  * `max_coord_values` (per-dim distinct bound for the single-pass
+  * coordinate aggregation, default 10M — a dim past it fails executor-side
+  * before anything is collected), `storage.*` (same remote-store options
+  * as the scan).
   *
   * Semantics: dim columns are coordinate VALUES (not indices); the sink
   * sorts each dim's distinct values ascending to form the coordinate
@@ -70,6 +75,18 @@ object ZarrSink {
       )
   }
 
+  /** Ascending ordering over EXTERNAL row values, matching Spark's own
+    * `orderBy` semantics for the supported coordinate types (total float
+    * ordering: NaN sorts greatest). */
+  private def externalOrdering(dt: DataType): Ordering[Any] = dt match {
+    case IntegerType => Ordering.by((v: Any) => v.asInstanceOf[Int])
+    case LongType => Ordering.by((v: Any) => v.asInstanceOf[Long])
+    case FloatType => Ordering.by((v: Any) => v.asInstanceOf[Float])(Ordering.Float.TotalOrdering)
+    case DoubleType => Ordering.by((v: Any) => v.asInstanceOf[Double])(Ordering.Double.TotalOrdering)
+    case TimestampType => Ordering.by((v: Any) => micros(v))
+    case other => throw new IllegalArgumentException(s"zarr sink: unsupported dimension type $other")
+  }
+
   /** External timestamp value → epoch micros (both java.sql and java.time
     * spellings, depending on spark.sql.datetime.java8API.enabled). */
   private def micros(v: Any): Long = v match {
@@ -99,6 +116,20 @@ object ZarrSink {
       case None => Some("blosc:lz4")
     }
     val fillValue = opts.get("fill_value").map(_.toDouble).getOrElse(0.0)
+    // unsigned targets (explicit `dtype`=u1/u2/u4): validate range instead of
+    // silently masking — a -1 written as 255 is the sink's worst failure mode
+    val (rangeMin, rangeMax): (Long, Long) = zdt.code match {
+      case ZDtype.U1 => (0L, 255L)
+      case ZDtype.U2 => (0L, 65535L)
+      case ZDtype.U4 => (0L, 4294967295L)
+      case _ => (Long.MinValue, Long.MaxValue)
+    }
+    val rangeChecked = rangeMin != Long.MinValue
+    if (rangeChecked)
+      require(
+        fillValue >= rangeMin && fillValue <= rangeMax,
+        s"zarr sink: fill_value $fillValue out of range for unsigned dtype '$dtype' [$rangeMin, $rangeMax]"
+      )
 
     val root = ZarrFileIO.toPath(path)
     val groupDir = group.map(g => new HPath(root, g)).getOrElse(root)
@@ -114,13 +145,35 @@ object ZarrSink {
 
     // ---- coordinates: sorted distinct values per dim (small, driver-side
     // like the read path's coordFor); each becomes a broadcast (value ->
-    // ordinal) frame so indexing stays inside codegen
-    val coordVals: Vector[(String, Array[Any], DataType)] = dims.map { d =>
+    // ordinal) frame so indexing stays inside codegen.
+    //
+    // ONE aggregation job gathers every dim's distinct set AND null count
+    // (one input scan with map-side partial merge — not D `distinct()`
+    // scans); a high-cardinality dim fails in the first map task that
+    // exceeds the bound, before anything reaches the driver.
+    val maxCoordValues = opts.get("max_coord_values").map(_.toInt).getOrElse(10000000)
+    val aggCols = dims.flatMap { d =>
+      coordDtype(df.schema(d).dataType) // validate early with a clear message
+      Seq(
+        GraftBridge.column(
+          graft.functions
+            .BoundedCollectSet(
+              GraftBridge.expression(col(d)),
+              maxCoordValues,
+              s"zarr sink dimension '$d' is not driver-boundable (coordinate axes must fit on the driver; " +
+                "raise 'max_coord_values' only if this axis truly does)"
+            )
+            .toAggregateExpression()
+        ),
+        count(when(col(d).isNull, 1))
+      )
+    }
+    val aggRow = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val coordVals: Vector[(String, Array[Any], DataType)] = dims.zipWithIndex.map { case (d, di) =>
       val dt = df.schema(d).dataType
-      coordDtype(dt) // validate early with a clear message
-      val vals = df.select(d).distinct().orderBy(col(d)).collect().map(_.get(0))
+      require(aggRow.getLong(2 * di + 1) == 0L, s"zarr sink: dimension '$d' contains NULL")
+      val vals = aggRow.getSeq[Any](2 * di).toArray.sorted(externalOrdering(dt))
       require(vals.nonEmpty, s"zarr sink: dimension '$d' has no values (empty input)")
-      require(!vals.contains(null), s"zarr sink: dimension '$d' contains NULL")
       (d, vals, dt)
     }
     val shape = coordVals.map(_._2.length)
@@ -171,6 +224,10 @@ object ZarrSink {
     val fill = fillValue
     val elems = chunkElems.toInt
     val nChunksArr = nChunksVec.toArray
+    val rMin = rangeMin
+    val rMax = rangeMax
+    val rCheck = rangeChecked
+    val dtypeStr = dtype
 
     prepared
       .repartition(parts, col("__chunk"))
@@ -205,15 +262,29 @@ object ZarrSink {
             else { var i = 0; while (i < elems) { ZDtype.put(dt, buf, i, fill); i += 1 } }
           }
           val local = r.getLong(1).toInt
+          def checkedLong(v: Long): Long = {
+            if (rCheck && (v < rMin || v > rMax))
+              throw new IllegalArgumentException(
+                s"zarr sink: value $v out of range for unsigned dtype '$dtypeStr' [$rMin, $rMax]"
+              )
+            v
+          }
+          def checkedDouble(v: Double): Double = {
+            if (rCheck && (v.isNaN || v < rMin || v > rMax))
+              throw new IllegalArgumentException(
+                s"zarr sink: value $v out of range for unsigned dtype '$dtypeStr' [$rMin, $rMax]"
+              )
+            v
+          }
           r.get(2) match {
             case null => () // absent value -> fill
             case b: java.lang.Boolean => ZDtype.putLong(dt, buf, local, if (b) 1L else 0L)
-            case b: java.lang.Byte => ZDtype.putLong(dt, buf, local, b.longValue())
-            case s: java.lang.Short => ZDtype.putLong(dt, buf, local, s.longValue())
-            case x: java.lang.Integer => ZDtype.putLong(dt, buf, local, x.longValue())
-            case l: java.lang.Long => ZDtype.putLong(dt, buf, local, l.longValue())
-            case f: java.lang.Float => ZDtype.put(dt, buf, local, f.doubleValue())
-            case d0: java.lang.Double => ZDtype.put(dt, buf, local, d0.doubleValue())
+            case b: java.lang.Byte => ZDtype.putLong(dt, buf, local, checkedLong(b.longValue()))
+            case s: java.lang.Short => ZDtype.putLong(dt, buf, local, checkedLong(s.longValue()))
+            case x: java.lang.Integer => ZDtype.putLong(dt, buf, local, checkedLong(x.longValue()))
+            case l: java.lang.Long => ZDtype.putLong(dt, buf, local, checkedLong(l.longValue()))
+            case f: java.lang.Float => ZDtype.put(dt, buf, local, checkedDouble(f.doubleValue()))
+            case d0: java.lang.Double => ZDtype.put(dt, buf, local, checkedDouble(d0.doubleValue()))
             case t @ (_: java.sql.Timestamp | _: java.time.Instant) =>
               // M8[us] stores epoch micros raw
               ZDtype.putLong(dt, buf, local, micros(t))

@@ -1,0 +1,186 @@
+package graft.sources.zarr
+
+import java.nio.file.Files
+
+import graft.SparkTester
+import graft.api.{ZarrDataReader, ZarrScan}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.{GraftBridge, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sink-specific contracts beyond the round-trips in [[ZarrSpec]]:
+  * single-pass coordinate collection (job count invariant in rank),
+  * the high-cardinality guard, and unsigned write targets. */
+class ZarrSinkSpec extends AnyFunSuite with SparkTester {
+
+  private def countJobs(body: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit = counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      // listener delivery is async: wait until the count is stable
+      var last = -1
+      var spins = 0
+      while (counter.get() != last && spins < 50) {
+        last = counter.get()
+        Thread.sleep(100)
+        spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    counter.get()
+  }
+
+  test("sink coordinate collection is single-pass: job count does not grow with rank") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarrsinkjobs").toString
+    val df2 = (0 until 24).map(i => (i % 4, i / 4, i.toDouble)).toDF("a", "b", "value")
+    val df4 = (0 until 24).map(i => (i % 2, (i / 2) % 2, (i / 4) % 2, i / 8, i.toDouble))
+      .toDF("a", "b", "c", "d", "value")
+    // warm both plans once so codegen/broadcast-warmup jobs don't skew the count
+    df2.write.format("zarr").option("path", s"$base/warm2").option("array", "v").mode("append").save()
+    df4.write.format("zarr").option("path", s"$base/warm4").option("array", "v").mode("append").save()
+    val jobs2 = countJobs {
+      df2.write.format("zarr").option("path", s"$base/s2").option("array", "v").mode("append").save()
+    }
+    val jobs4 = countJobs {
+      df4.write.format("zarr").option("path", s"$base/s4").option("array", "v").mode("append").save()
+    }
+    // the old shape was D+1 jobs (one distinct().collect() per dim); the
+    // single-pass shape is rank-invariant
+    assert(jobs2 == jobs4, s"sink job count grew with rank: $jobs2 (2 dims) vs $jobs4 (4 dims)")
+    // and the written stores are still correct
+    val back = new ZarrDataReader(spark, s"$base/s4").readArray("v")
+    assert(back.count() == 24)
+    assert(back.agg(sum("value")).head().getDouble(0) == (0 until 24).sum.toDouble)
+  }
+
+  test("sink high-cardinality guard: a dim past max_coord_values fails loudly, executor-side") {
+    import spark.implicits._
+    val dst = Files.createTempDirectory("zarrsinkguard").toString + "/store"
+    val df = (0 until 64).map(i => (i, i.toDouble)).toDF("t", "value")
+    val e = intercept[Exception] {
+      df.write.format("zarr")
+        .option("path", dst).option("array", "v").option("max_coord_values", "16")
+        .mode("append").save()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("16 distinct values"), s"unexpected error: $msg")
+    assert(msg.contains("driver-boundable"), s"unexpected error: $msg")
+    // at the bound (not past it) the write succeeds
+    (0 until 16).map(i => (i, i.toDouble)).toDF("t", "value")
+      .write.format("zarr")
+      .option("path", dst).option("array", "v").option("max_coord_values", "16")
+      .mode("overwrite").save()
+    assert(new ZarrDataReader(spark, dst).readArray("v").count() == 16)
+  }
+
+  test("sink null dimension values still rejected under single-pass collection") {
+    val dst = Files.createTempDirectory("zarrsinknull").toString + "/store"
+    val rows = java.util.Arrays.asList(Row(1, 1.0), Row(null, 2.0))
+    val df = spark.createDataFrame(
+      rows,
+      StructType(Seq(StructField("t", IntegerType, nullable = true), StructField("value", DoubleType)))
+    )
+    val e = intercept[Exception] {
+      df.write.format("zarr").option("path", dst).option("array", "v").mode("append").save()
+    }
+    val msg = Option(e.getMessage).getOrElse("") + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("contains NULL"), s"unexpected error: $msg")
+  }
+
+  test("unsigned write targets: u1/u2/u4 round-trip values past the signed max") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarrsinku").toString
+    // (dtype option, spark input type builder, values incl. > signed-max, read-back extractor)
+    val u1 = (0 until 4).map(i => (i, Seq(0, 1, 250, 255)(i).toShort)).toDF("i", "value")
+    val u2 = (0 until 4).map(i => (i, Seq(0, 7, 60000, 65535)(i))).toDF("i", "value")
+    val u4 = (0 until 4).map(i => (i, Seq(0L, 7L, 4000000000L, 4294967295L)(i))).toDF("i", "value")
+    for ((df, dtype, name) <- Seq((u1, "|u1", "a"), (u2, "<u2", "b"), (u4, "<u4", "c"))) {
+      df.write.format("zarr")
+        .option("path", s"$base/store").option("array", name).option("dtype", dtype)
+        .option("compressor", "zlib").mode("append").save()
+      val info = ZarrScan.getZarrDataInfo(s"$base/store")
+      assert(info(name).dtype == dtype, s"$name dtype")
+      val back = new ZarrDataReader(spark, s"$base/store").readArray(name)
+        .orderBy("i").select("value").collect().map(_.get(0)).toSeq
+      val expect = df.orderBy("i").select("value").collect().map(_.get(0)).toSeq
+      // read path widens unsigned to the next signed type, values preserved
+      assert(back.map(_.toString.toLong) == expect.map(_.toString.toLong), s"$name values")
+    }
+  }
+
+  test("unsigned write targets: out-of-range values and fills fail loudly, never mask") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarrsinkur").toString
+    def msgOf(e: Throwable): String = {
+      var t: Throwable = e; val sb = new StringBuilder
+      while (t != null) { sb.append(Option(t.getMessage).getOrElse("")); t = t.getCause }
+      sb.toString
+    }
+    // negative into u1
+    val neg = intercept[Exception] {
+      Seq((0, -1), (1, 5)).toDF("i", "value").write.format("zarr")
+        .option("path", s"$base/s1").option("array", "v").option("dtype", "|u1")
+        .mode("append").save()
+    }
+    assert(msgOf(neg).contains("out of range"), msgOf(neg))
+    // past the u2 max
+    val big = intercept[Exception] {
+      Seq((0, 70000), (1, 5)).toDF("i", "value").write.format("zarr")
+        .option("path", s"$base/s2").option("array", "v").option("dtype", "<u2")
+        .mode("append").save()
+    }
+    assert(msgOf(big).contains("out of range"), msgOf(big))
+    // double value out of u1 range through the floating put path
+    val fneg = intercept[Exception] {
+      Seq((0, -3.5), (1, 5.0)).toDF("i", "value").write.format("zarr")
+        .option("path", s"$base/s3").option("array", "v").option("dtype", "|u1")
+        .mode("append").save()
+    }
+    assert(msgOf(fneg).contains("out of range"), msgOf(fneg))
+    // fill_value out of range fails at plan time, driver-side
+    val fill = intercept[Exception] {
+      Seq((0, 5)).toDF("i", "value").write.format("zarr")
+        .option("path", s"$base/s4").option("array", "v").option("dtype", "|u1")
+        .option("fill_value", "-1").mode("append").save()
+    }
+    assert(msgOf(fill).contains("fill_value"), msgOf(fill))
+  }
+
+  test("bounded_collect_set: distinct semantics match collect_set; nulls skipped; bound enforced") {
+    import spark.implicits._
+    val df = Seq(
+      Some(3), Some(1), Some(3), None, Some(2), Some(1), None
+    ).toDF("x")
+    val got = df
+      .agg(
+        GraftBridge.column(
+          graft.functions.BoundedCollectSet(GraftBridge.expression(col("x")), 10).toAggregateExpression()
+        )
+      )
+      .head().getSeq[Int](0).sorted
+    assert(got == Seq(1, 2, 3))
+    val e = intercept[Exception] {
+      spark.range(100).toDF("x")
+        .agg(
+          GraftBridge.column(
+            graft.functions.BoundedCollectSet(GraftBridge.expression(col("x")), 5).toAggregateExpression()
+          )
+        )
+        .head()
+    }
+    def msgOf(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+      sb.toString
+    }
+    assert(msgOf(e).contains("more than 5 distinct values"), msgOf(e))
+  }
+}
