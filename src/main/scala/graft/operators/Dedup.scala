@@ -261,20 +261,39 @@ object Dedup {
     * unique docs). Shuffle key is the 60-bit span hash (narrow, oracle-
     * expressible), never the span string; output keeps one example doc per
     * span. Cost: one distinct + one aggregation, both hash-partitioned on
-    * the span hash. */
+    * the span hash — and both PARTIAL aggregations, so a hot span's rows
+    * map-side combine to at most one row per task before the shuffle: the
+    * aggregation itself has no skew cliff.
+    *
+    * `maxDocs` (off by default — parity with the pinned oracle) is the
+    * hot-bucket cap for DOWNSTREAM consumers, mirroring
+    * [[minhashCandidates]]' `maxBucketSize`: a boilerplate span shared by
+    * millions of docs turns any join-back on `span_hash` into one
+    * megabucket. (Spike `skew` at sf1: this synthetic corpus is mild —
+    * max/median span bucket = 4.0, max 40 docs/span — but the amplifier
+    * preserves spans across copies, so the ratio GROWS linearly with every
+    * further 10x; real boilerplate-heavy corpora start far above it.)
+    * Spans above the cap are DROPPED from the output —
+    * trading exactly the rows whose removal-joins explode, the pattern
+    * exact-dup (x01) already catches doc-level. The cap is a filter on the
+    * already-computed `n_docs`, so it costs no extra exchange. */
   def duplicatedSpans(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 8,
-      minDocs: Int = 2
-  ): DataFrame =
-    shingleRowsRaw(spread(docs, idCol), idCol, textCol, n)
+      minDocs: Int = 2,
+      maxDocs: Option[Long] = None
+  ): DataFrame = {
+    require(maxDocs.forall(_ >= minDocs), s"maxDocs $maxDocs must be >= minDocs $minDocs")
+    val agg = shingleRowsRaw(spread(docs, idCol), idCol, textCol, n)
       .select(col(idCol), tokenHash60(col("s")).as("span_hash"))
       .distinct() // per-doc repeats of a span count once
       .groupBy("span_hash")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
+    maxDocs.fold(agg)(cap => agg.filter(col("n_docs") <= cap))
+  }
 
   /** Decontamination: drop every corpus document whose canonical fingerprint
     * (md5 of the sorted distinct token set — whitespace/order-insensitive)

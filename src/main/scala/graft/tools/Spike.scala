@@ -264,6 +264,12 @@ object Spike {
       )
       .select(col("p.band").as("band"), col("p.bh").as("bh"))
     report("minhash 4x2 band buckets", bands.groupBy("band", "bh").count())
+    // x53 span buckets: docs per 8-gram span hash (minDocs=1 -> the full
+    // distribution, not just the duplicated tail)
+    val spans = graft.operators.Dedup
+      .duplicatedSpans(docs, "doc_id", "text", n = 8, minDocs = 1)
+      .select(col("n_docs").as("count"))
+    report("x53 span buckets (docs per 8-gram span)", spans)
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cen = e.filter(col("vec_id") < 8).select(col("vec_id").as("cen_id"), col("embedding").as("cv"))
     val asg = e

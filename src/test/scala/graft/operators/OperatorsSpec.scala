@@ -15,6 +15,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
       Seq((1L, "a", 3L), (2L, "b", 1L)))
   }
 
+  test("duplicatedSpans maxDocs cap drops only the hot spans; default path unchanged") {
+    import spark.implicits._
+    // "w0 .. w7" is an 8-gram shared by ALL 6 docs (the boilerplate bucket);
+    // "u0 .. u7" is shared by exactly docs 0 and 1
+    val boiler = (0 until 8).map(i => s"w$i").mkString(" ")
+    val rare = (0 until 8).map(i => s"u$i").mkString(" ")
+    val docs = (0 until 6)
+      .map(i => (i.toLong, if (i < 2) s"$boiler x$i $rare" else s"$boiler x$i"))
+      .toDF("doc_id", "text")
+    val dflt = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+    assert(dflt.filter(col("n_docs") === 6).count() == 1) // boilerplate span present
+    assert(dflt.filter(col("n_docs") === 2).count() == 1) // rare span present
+    val capped = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2, maxDocs = Some(5L))
+    assert(capped.filter(col("n_docs") === 6).count() == 0) // hot bucket dropped
+    // everything under the cap is byte-identical to the default output
+    assert(
+      capped.orderBy("span_hash").collect().toSeq ==
+        dflt.filter(col("n_docs") <= 5).orderBy("span_hash").collect().toSeq
+    )
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8, minDocs = 3, maxDocs = Some(2L))
+    }
+  }
+
   test("minhash LSH candidates cover all high-jaccard pairs (recall on real docs)") {
     val docs = t(spark, sfTiny, "documents")
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
