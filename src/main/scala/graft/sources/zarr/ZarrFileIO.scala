@@ -122,6 +122,23 @@ object ZarrFileIO {
       } finally in.close()
     } catch { case _: FileNotFoundException => None }
 
+  /** Length of a file, or None if absent — the shard-index locator's one
+    * HEAD round-trip (index_location=end needs the object size first). */
+  def fileLengthIfExists(p: HPath, storageOptions: Map[String, String]): Option[Long] =
+    try Some(fileSystem(p, storageOptions).getFileStatus(p).getLen)
+    catch { case _: FileNotFoundException => None }
+
+  /** One positioned read of exactly `len` bytes at `offset` — maps to a
+    * ranged GET on object stores (never downloads the whole shard). */
+  def readRange(p: HPath, storageOptions: Map[String, String], offset: Long, len: Int): Array[Byte] = {
+    val in = fileSystem(p, storageOptions).open(p)
+    try {
+      val out = new Array[Byte](len)
+      in.readFully(offset, out, 0, len)
+      out
+    } finally in.close()
+  }
+
   def readStringIfExists(p: HPath, storageOptions: Map[String, String]): Option[String] =
     readBytesIfExists(p, storageOptions).map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
 

@@ -30,7 +30,14 @@ final case class ZarrArrayMeta(
     v3: Boolean = false, // zarr v3 array (zarr.json metadata, codecs pipeline)
     keyEncoding: String = "v2", // "v2" (dotted) | "default" (v3 c/-prefixed)
     keySeparator: String = ".",
-    v3Codecs: Vector[String] = Vector.empty // bytes->bytes codec configs, encode order
+    v3Codecs: Vector[String] = Vector.empty, // bytes->bytes codec configs, encode order
+    // sharding_indexed (v3): when set, `chunks` is the INNER chunk shape
+    // (the planning/decode unit) and `shardShape` the on-store object shape;
+    // v3Codecs then holds the INNER chunk codec chain
+    shardShape: Option[Vector[Int]] = None,
+    shardIndexCrc: Boolean = true, // index_codecs carry a crc32c checksum
+    shardIndexBigEndian: Boolean = false,
+    shardIndexAtEnd: Boolean = true // index_location end | start
 ) {
   def rank: Int = shape.length
   @transient lazy val zdtype: ZDtype = ZDtype.parse(dtype)
@@ -330,29 +337,91 @@ object ZarrMeta {
         s"array $name: unsupported v3 data_type '$dtName' (supported: ${V3DataTypes.keys.toSeq.sorted.mkString(", ")})"
       )
     )
-    // codecs: [array->array...] bytes [bytes->bytes...]
+    // codecs: [array->array...] bytes [bytes->bytes...], or exactly
+    // [sharding_indexed] (whose configuration nests the inner chain)
     val codecs = (j \ "codecs") match {
       case JArray(items) => items
       case JNothing | JNull => Nil
       case other => throw new IllegalArgumentException(s"array $name: bad codecs $other")
     }
     val codecNames = codecs.map(c => (c \ "name").extract[String])
-    val bytesIdx = codecNames.indexOf("bytes")
-    require(bytesIdx != -1, s"array $name: v3 codecs must include the 'bytes' codec (got $codecNames)")
-    require(
-      bytesIdx == 0,
-      s"array $name: array->array codecs (${codecNames.take(bytesIdx).mkString(", ")}) are not supported"
-    )
-    val endian = (codecs(bytesIdx) \ "configuration" \ "endian").extractOpt[String].getOrElse("little")
-    val dtype = (if (endian == "big") ">" else "<") + kind
-    val bb = codecs.drop(bytesIdx + 1).map { c =>
-      val n = (c \ "name").extract[String]
+
+    /** `bytes [bytes->bytes...]` chain → (bigEndian, bb codec configs). */
+    def parseBytesChain(chain: List[JValue], what: String): (Boolean, Vector[String]) = {
+      val names = chain.map(c => (c \ "name").extract[String])
+      val bytesIdx = names.indexOf("bytes")
+      require(bytesIdx != -1, s"array $name: $what must include the 'bytes' codec (got $names)")
       require(
-        n != "sharding_indexed",
-        s"array $name: sharded v3 stores are not supported (codec 'sharding_indexed')"
+        bytesIdx == 0,
+        s"array $name: array->array codecs (${names.take(bytesIdx).mkString(", ")}) are not supported in $what"
       )
-      JsonMethods.compact(JsonMethods.render(c))
-    }.toVector
+      val endian = (chain(bytesIdx) \ "configuration" \ "endian").extractOpt[String].getOrElse("little")
+      val bb = chain.drop(bytesIdx + 1).map { c =>
+        val n = (c \ "name").extract[String]
+        require(
+          n != "sharding_indexed",
+          s"array $name: nested 'sharding_indexed' in $what is not supported"
+        )
+        JsonMethods.compact(JsonMethods.render(c))
+      }.toVector
+      (endian == "big", bb)
+    }
+
+    if (codecNames == List("sharding_indexed")) {
+      val cfg = codecs.head \ "configuration"
+      val inner = (cfg \ "chunk_shape").extract[List[Int]].toVector
+      require(
+        inner.length == chunks.length && chunks.zip(inner).forall { case (s, i) => i > 0 && s % i == 0 },
+        s"array $name: shard shape $chunks must divide evenly into inner chunk_shape $inner"
+      )
+      val innerChain = (cfg \ "codecs") match {
+        case JArray(items) => items
+        case JNothing | JNull => Nil
+        case other => throw new IllegalArgumentException(s"array $name: bad sharding codecs $other")
+      }
+      val (big, innerBB) = parseBytesChain(innerChain, "sharding inner codecs")
+      val idxChain = (cfg \ "index_codecs") match {
+        case JArray(items) => items
+        case JNothing | JNull => Nil
+        case other => throw new IllegalArgumentException(s"array $name: bad index_codecs $other")
+      }
+      val idxNames = idxChain.map(c => (c \ "name").extract[String])
+      require(
+        idxNames.headOption.contains("bytes") && idxNames.tail.forall(_ == "crc32c"),
+        s"array $name: unsupported index_codecs $idxNames (supported: bytes [+ crc32c])"
+      )
+      val idxBig =
+        (idxChain.head \ "configuration" \ "endian").extractOpt[String].contains("big")
+      val idxLoc = (cfg \ "index_location").extractOpt[String].getOrElse("end")
+      require(
+        idxLoc == "end" || idxLoc == "start",
+        s"array $name: bad index_location '$idxLoc'"
+      )
+      return buildV3(
+        name, j, shape, chunks = inner, dtype = (if (big) ">" else "<") + kind,
+        bb = innerBB, shardShape = Some(chunks), shardIndexCrc = idxNames.contains("crc32c"),
+        shardIndexBigEndian = idxBig, shardIndexAtEnd = idxLoc == "end"
+      )
+    }
+
+    val (big, bb) = parseBytesChain(codecs, "v3 codecs")
+    buildV3(name, j, shape, chunks, (if (big) ">" else "<") + kind, bb, None, true, false, true)
+  }
+
+  /** Common tail of [[parseArrayV3]]: key encoding, fill, dims, attrs —
+    * shared by the plain and sharded codec branches. */
+  private def buildV3(
+      name: String,
+      j: JValue,
+      shape: Vector[Int],
+      chunks: Vector[Int],
+      dtype: String,
+      bb: Vector[String],
+      shardShape: Option[Vector[Int]],
+      shardIndexCrc: Boolean,
+      shardIndexBigEndian: Boolean,
+      shardIndexAtEnd: Boolean
+  ): ZarrArrayMeta = {
     val keyEnc = (j \ "chunk_key_encoding" \ "name").extractOpt[String].getOrElse("default")
     require(
       keyEnc == "default" || keyEnc == "v2",
@@ -392,7 +461,9 @@ object ZarrMeta {
     }
     ZarrArrayMeta(
       name, shape, chunks, dtype, "C", None, fill, dims, attrs,
-      filters = Vector.empty, v3 = true, keyEncoding = keyEnc, keySeparator = sep, v3Codecs = bb
+      filters = Vector.empty, v3 = true, keyEncoding = keyEnc, keySeparator = sep, v3Codecs = bb,
+      shardShape = shardShape, shardIndexCrc = shardIndexCrc,
+      shardIndexBigEndian = shardIndexBigEndian, shardIndexAtEnd = shardIndexAtEnd
     )
   }
 }

@@ -241,35 +241,127 @@ object ZarrChunkIO {
   /** Decode one chunk; None if the chunk file is absent (fill-value chunk).
     * v2 and v3 differ only in the chunk key and the codec chain — the
     * decoded buffer is identical, so everything downstream is
-    * version-agnostic. */
+    * version-agnostic. For sharded v3 arrays `chunkIdx` is the INNER chunk
+    * index; the shard object and byte range are resolved here. */
   def readChunk(
       arrayDir: String,
       meta: ZarrArrayMeta,
       chunkIdx: Seq[Int],
       storageOptions: Map[String, String] = Map.empty
   ): Option[ZarrBuffer] = {
-    val f = new HPath(arrayDir, meta.chunkKey(chunkIdx))
     val rawLen = meta.chunks.map(_.toLong).product.toInt * ZarrMeta.itemSize(meta.dtype)
-    ZarrFileIO.readBytesIfExists(f, storageOptions, sizeHint = rawLen).map { raw =>
-      val bytes =
-        if (meta.v3) {
-          // v3 bytes->bytes codecs applied in encode order -> undone in REVERSE
-          meta.v3Codecs.foldRight(raw)((cfg, b) => ZarrCodecV3.decode(cfg, b, rawLen))
-        } else {
-          // width-changing filters (fixedscaleoffset, packbits) store fewer
-          // bytes than the decoded chunk — size the decompressor for the
-          // STORED length (fold the filter chain in encode order)
-          val storedLen =
-            meta.filters.foldLeft(rawLen)((l, cfg) => ZarrFilters.storedLen(cfg, meta.zdtype, l))
-          val decompressed = ZarrCodec.decompress(meta.compressor, raw, storedLen)
-          // numcodecs filters applied in encode order -> undone in REVERSE
-          meta.filters.foldRight(decompressed)((cfg, b) => ZarrFilters.decode(cfg, meta.zdtype, b))
+    def decodeV3(raw: Array[Byte]): Array[Byte] =
+      // v3 bytes->bytes codecs applied in encode order -> undone in REVERSE
+      meta.v3Codecs.foldRight(raw)((cfg, b) => ZarrCodecV3.decode(cfg, b, rawLen))
+    val decoded: Option[Array[Byte]] = meta.shardShape match {
+      case Some(_) => readInnerChunk(arrayDir, meta, chunkIdx, storageOptions).map(decodeV3)
+      case None =>
+        val f = new HPath(arrayDir, meta.chunkKey(chunkIdx))
+        ZarrFileIO.readBytesIfExists(f, storageOptions, sizeHint = rawLen).map { raw =>
+          if (meta.v3) decodeV3(raw)
+          else {
+            // width-changing filters (fixedscaleoffset, packbits) store fewer
+            // bytes than the decoded chunk — size the decompressor for the
+            // STORED length (fold the filter chain in encode order)
+            val storedLen =
+              meta.filters.foldLeft(rawLen)((l, cfg) => ZarrFilters.storedLen(cfg, meta.zdtype, l))
+            val decompressed = ZarrCodec.decompress(meta.compressor, raw, storedLen)
+            // numcodecs filters applied in encode order -> undone in REVERSE
+            meta.filters.foldRight(decompressed)((cfg, b) => ZarrFilters.decode(cfg, meta.zdtype, b))
+          }
         }
+    }
+    decoded.map { bytes =>
       require(
         bytes.length == rawLen,
-        s"chunk ${f.getName} decoded to ${bytes.length} bytes, expected $rawLen"
+        s"chunk ${meta.chunkKey(chunkIdx)} decoded to ${bytes.length} bytes, expected $rawLen"
       )
       new ZarrBuffer(bytes, meta.zdtype)
+    }
+  }
+
+  /** Per-JVM bounded cache of decoded shard indexes: every inner chunk of a
+    * shard shares one index, so tasks reading a shard's inner chunks pay the
+    * (length + ranged-GET) round-trips once. Entries are small (16 B per
+    * inner chunk + path); None records an absent shard. */
+  private val shardIndexCache =
+    new java.util.LinkedHashMap[String, Option[Array[Long]]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Option[Array[Long]]]): Boolean =
+        size() > 256
+    }
+
+  /** ENCODED bytes of one inner chunk of a sharded v3 array, or None if the
+    * inner chunk (or whole shard) is absent (zarr-specs v3
+    * §sharding-indexed: the shard object is concatenated encoded inner
+    * chunks plus a fixed-size (offset, nbytes) u64-pair index, missing
+    * chunks marked with 2^64-1). */
+  private def readInnerChunk(
+      arrayDir: String,
+      meta: ZarrArrayMeta,
+      chunkIdx: Seq[Int],
+      storageOptions: Map[String, String]
+  ): Option[Array[Byte]] = {
+    val ss = meta.shardShape.get
+    val innerPer = ss.indices.map(d => ss(d) / meta.chunks(d))
+    val shardIdx = chunkIdx.indices.map(d => chunkIdx(d) / innerPer(d))
+    val within = chunkIdx.indices.map(d => chunkIdx(d) % innerPer(d))
+    // C-order ordinal of the inner chunk within the shard
+    var ordinal = 0L
+    var d = 0
+    while (d < within.length) { ordinal = ordinal * innerPer(d) + within(d); d += 1 }
+    val nInner = innerPer.map(_.toLong).product.toInt
+    val shardPath = new HPath(arrayDir, meta.chunkKey(shardIdx))
+    val key = shardPath.toString
+    val cached = shardIndexCache.synchronized(Option(shardIndexCache.get(key)))
+    val index: Option[Array[Long]] = cached.getOrElse {
+      val loaded = readShardIndex(shardPath, meta, nInner, storageOptions)
+      shardIndexCache.synchronized(shardIndexCache.put(key, loaded))
+      loaded
+    }
+    index.flatMap { idx =>
+      val off = idx(2 * ordinal.toInt)
+      val len = idx(2 * ordinal.toInt + 1)
+      if (off == -1L && len == -1L) None // 2^64-1 marker: fill-value inner chunk
+      else {
+        require(
+          off >= 0L && len >= 0L && len <= Int.MaxValue,
+          s"shard ${shardPath.getName}: bad index entry (offset=$off nbytes=$len) for inner chunk $chunkIdx"
+        )
+        Some(ZarrFileIO.readRange(shardPath, storageOptions, off, len.toInt))
+      }
+    }
+  }
+
+  /** Fetch + verify + parse a shard's index: `nInner` (offset, nbytes) u64
+    * pairs in within-shard C-order, encoded by the index_codecs (bytes
+    * [+ crc32c]), at the start or end of the shard object. None = shard
+    * object absent (every inner chunk reads as fill). */
+  private def readShardIndex(
+      shardPath: HPath,
+      meta: ZarrArrayMeta,
+      nInner: Int,
+      storageOptions: Map[String, String]
+  ): Option[Array[Long]] = {
+    val storedLen = nInner * 16 + (if (meta.shardIndexCrc) 4 else 0)
+    ZarrFileIO.fileLengthIfExists(shardPath, storageOptions).map { fileLen =>
+      require(
+        fileLen >= storedLen,
+        s"shard ${shardPath.getName}: ${fileLen} B is smaller than its $storedLen B index"
+      )
+      val raw = ZarrFileIO.readRange(
+        shardPath,
+        storageOptions,
+        if (meta.shardIndexAtEnd) fileLen - storedLen else 0L,
+        storedLen
+      )
+      val bytes =
+        if (meta.shardIndexCrc) ZarrCodecV3.decode("""{"name": "crc32c"}""", raw, nInner * 16)
+        else raw
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (meta.shardIndexBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN
+      )
+      Array.tabulate(nInner * 2)(i => bb.getLong(i * 8))
     }
   }
 

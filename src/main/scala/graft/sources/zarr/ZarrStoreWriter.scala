@@ -66,12 +66,8 @@ object ZarrStoreWriter {
       value: Long => Double,
       fillV: Double
   )(sink: (Array[Int], Array[Byte]) => Unit): Unit = {
-    val item = dt.itemSize
     val rank = shape.length
     val nC = shape.zip(chunks).map { case (s, c) => if (s == 0) 0 else (s + c - 1) / c }
-    val chunkElems = chunks.map(_.toLong).product.toInt
-    val globalStrides = IndexMath.strides(shape)
-    val chunkStrides = IndexMath.strides(chunks)
     val chunkCount = nC.map(_.toLong).product.toInt
 
     val cIdx = new Array[Int](rank)
@@ -80,38 +76,57 @@ object ZarrStoreWriter {
 
       var rem = ci; var d = rank - 1
       while (d >= 0) { cIdx(d) = if (nC(d) == 0) 0 else rem % nC(d); rem /= math.max(nC(d), 1); d -= 1 }
-      val buf = ByteBuffer
-        .allocate(chunkElems * item)
-        .order(if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-      var i = 0
-      while (i < chunkElems) { ZDtype.put(dt, buf, i, fillV); i += 1 }
-      // write in-bounds cells
-      val lo = Array.tabulate(rank)(d => cIdx(d) * chunks(d))
-      val hi = Array.tabulate(rank)(d => math.min(shape(d), lo(d) + chunks(d)))
-      if (rank == 0) ZDtype.put(dt, buf, 0, value(0L))
-      else if (!hi.indices.exists(d => lo(d) >= hi(d))) {
-        val pos = lo.clone()
-        var done = false
-        while (!done) {
-          var localFlat = 0L; var globalFlat = 0L
-          var k = 0
-          while (k < rank) {
-            localFlat += (pos(k) - lo(k)) * chunkStrides(k)
-            globalFlat += pos(k).toLong * globalStrides(k)
-            k += 1
-          }
-          ZDtype.put(dt, buf, localFlat.toInt, value(globalFlat))
-          var c = rank - 1; var carry = true
-          while (carry && c >= 0) {
-            pos(c) += 1
-            if (pos(c) < hi(c)) carry = false else { pos(c) = lo(c); c -= 1 }
-          }
-          done = carry
-        }
-      }
-      sink(cIdx, buf.array())
+      sink(cIdx, chunkRaw(shape, chunks, dt, value, fillV, cIdx))
       ci += 1
     }
+  }
+
+  /** RAW bytes of ONE chunk (fill applied, in-bounds cells from the flat
+    * C-order generator) — the per-chunk body of [[foreachChunk]], also used
+    * standalone by the sharded fixture writer. */
+  private[zarr] def chunkRaw(
+      shape: Vector[Int],
+      chunks: Vector[Int],
+      dt: ZDtype,
+      value: Long => Double,
+      fillV: Double,
+      cIdx: Array[Int]
+  ): Array[Byte] = {
+    val item = dt.itemSize
+    val rank = shape.length
+    val chunkElems = chunks.map(_.toLong).product.toInt
+    val globalStrides = IndexMath.strides(shape)
+    val chunkStrides = IndexMath.strides(chunks)
+    val buf = ByteBuffer
+      .allocate(chunkElems * item)
+      .order(if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < chunkElems) { ZDtype.put(dt, buf, i, fillV); i += 1 }
+    // write in-bounds cells
+    val lo = Array.tabulate(rank)(d => cIdx(d) * chunks(d))
+    val hi = Array.tabulate(rank)(d => math.min(shape(d), lo(d) + chunks(d)))
+    if (rank == 0) ZDtype.put(dt, buf, 0, value(0L))
+    else if (!hi.indices.exists(d => lo(d) >= hi(d))) {
+      val pos = lo.clone()
+      var done = false
+      while (!done) {
+        var localFlat = 0L; var globalFlat = 0L
+        var k = 0
+        while (k < rank) {
+          localFlat += (pos(k) - lo(k)) * chunkStrides(k)
+          globalFlat += pos(k).toLong * globalStrides(k)
+          k += 1
+        }
+        ZDtype.put(dt, buf, localFlat.toInt, value(globalFlat))
+        var c = rank - 1; var carry = true
+        while (carry && c >= 0) {
+          pos(c) += 1
+          if (pos(c) < hi(c)) carry = false else { pos(c) = lo(c); c -= 1 }
+        }
+        done = carry
+      }
+    }
+    buf.array()
   }
 
   /** `.zarray` metadata JSON. Blosc spec strings ("blosc:lz4",
@@ -288,6 +303,105 @@ object ZarrStoreWriterV3 {
       val target = dir.resolve(key)
       Option(target.getParent).foreach(Files.createDirectories(_))
       Files.write(target, bytes)
+    }
+  }
+
+  /** Write a SHARDED v3 array (zarr-specs v3 §sharding-indexed): each
+    * on-store object covers `shardShape` cells and holds the encoded inner
+    * chunks (`innerChunks` each) plus a crc32c-checked (offset, nbytes)
+    * u64-pair index. `omitInner` forces chosen GLOBAL inner-chunk indices
+    * to the missing marker (fill-value on read); shards whose inner chunks
+    * are all missing are not written at all. */
+  def writeShardedArray(
+      groupDir: Path,
+      name: String,
+      shape: Vector[Int],
+      shardShape: Vector[Int],
+      innerChunks: Vector[Int],
+      dataType: String,
+      value: Long => Double,
+      dims: Option[Vector[String]] = None,
+      innerCodecs: Seq[String] = Nil,
+      fillValue: Option[Double] = Some(0.0),
+      indexAtEnd: Boolean = true,
+      omitInner: Seq[Int] => Boolean = _ => false
+  ): Unit = {
+    require(shape.length == shardShape.length && shape.length == innerChunks.length)
+    require(
+      shardShape.zip(innerChunks).forall { case (s, i) => i > 0 && s % i == 0 },
+      s"shard $shardShape must divide into inner chunks $innerChunks"
+    )
+    val kind = KindOf.getOrElse(dataType, throw new IllegalArgumentException(s"bad v3 data_type $dataType"))
+    val dt = ZDtype.parse("<" + kind)
+    val dir = groupDir.resolve(name)
+    Files.createDirectories(dir)
+    val rank = shape.length
+    val innerCfgs = innerCodecs.map(codecCfg(_, dt.itemSize))
+    val innerChain =
+      ("""{"name": "bytes", "configuration": {"endian": "little"}}""" +: innerCfgs)
+        .mkString("[", ", ", "]")
+    val shardingCfg =
+      s"""{"name": "sharding_indexed", "configuration": {
+         |"chunk_shape": [${innerChunks.mkString(",")}],
+         |"codecs": $innerChain,
+         |"index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}],
+         |"index_location": "${if (indexAtEnd) "end" else "start"}"}}""".stripMargin
+    // arrayJson prepends the implicit outer bytes codec for plain arrays;
+    // a sharded array's codec list is exactly [sharding_indexed]
+    val jsonWithOuter = arrayJson(
+      shape, shardShape, dataType, Nil, fillValue, dims, "/", "little"
+    )
+    val json = jsonWithOuter.replace(
+      """"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]""",
+      s""""codecs": [$shardingCfg]"""
+    )
+    require(json != jsonWithOuter, "sharded arrayJson rewrite failed")
+    Files.writeString(dir.resolve("zarr.json"), json)
+
+    val fillV = fillValue.getOrElse(0.0)
+    val nShards = shape.zip(shardShape).map { case (s, c) => if (s == 0) 0 else (s + c - 1) / c }
+    val innerPer = shardShape.zip(innerChunks).map { case (s, i) => s / i }
+    val nInner = innerPer.map(_.toLong).product.toInt
+    val shardCount = nShards.map(_.toLong).product.toInt
+    val sIdx = new Array[Int](rank)
+    var si = 0
+    while (si < shardCount) {
+      var rem = si; var d = rank - 1
+      while (d >= 0) { sIdx(d) = if (nShards(d) == 0) 0 else rem % nShards(d); rem /= math.max(nShards(d), 1); d -= 1 }
+      val data = new java.io.ByteArrayOutputStream()
+      val index = ByteBuffer.allocate(nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
+      // index offsets address the WHOLE shard object: with the index at the
+      // start, the data section begins after the encoded index
+      val dataBase = if (indexAtEnd) 0L else nInner * 16L + 4L
+      var wrote = 0
+      val wIdx = new Array[Int](rank)
+      var wi = 0
+      while (wi < nInner) {
+        var wrem = wi; var wd = rank - 1
+        while (wd >= 0) { wIdx(wd) = wrem % innerPer(wd); wrem /= innerPer(wd); wd -= 1 }
+        val gIdx = Array.tabulate(rank)(d => sIdx(d) * innerPer(d) + wIdx(d))
+        val outOfBounds = (0 until rank).exists(d => gIdx(d) * innerChunks(d) >= shape(d))
+        if (outOfBounds || omitInner(gIdx.toSeq)) {
+          index.putLong(wi * 16, -1L).putLong(wi * 16 + 8, -1L) // 2^64-1 marker
+        } else {
+          val raw = ZarrStoreWriter.chunkRaw(shape, innerChunks, dt, value, fillV, gIdx)
+          val enc = innerCfgs.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, dt.itemSize))
+          index.putLong(wi * 16, dataBase + data.size()).putLong(wi * 16 + 8, enc.length.toLong)
+          data.write(enc)
+          wrote += 1
+        }
+        wi += 1
+      }
+      if (wrote > 0) {
+        val idxBytes = ZarrCodecV3.encode("""{"name": "crc32c"}""", index.array(), dt.itemSize)
+        val out =
+          if (indexAtEnd) data.toByteArray ++ idxBytes else idxBytes ++ data.toByteArray
+        val key = "c" + "/" + sIdx.mkString("/")
+        val target = dir.resolve(key)
+        Option(target.getParent).foreach(Files.createDirectories(_))
+        Files.write(target, out)
+      }
+      si += 1
     }
   }
 

@@ -225,6 +225,46 @@ object Spike {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  /** `runMain graft.tools.Spike sf10` — the sf10 spot gate: run the most
+    * shuffle-heavy queries against a 100x-amplified dataset (~60M lineitem
+    * rows; `scripts/amplify_testdata.py SRC /tmp/testdata_sf10 100`),
+    * dumping each result + a filtered oracle_sql.json so `scripts/check.py
+    * /tmp/testdata_sf10 /tmp/sf10_out` hash-matches them against DuckDB.
+    * Prints per-query seconds for the scaling-ratio table in docs/ROUND6.md.
+    * Excluded by design: the documented bounded-input O(n²) contracts
+    * (x02/x06) and x34's amplified-clone probe-join worst case (quadratic
+    * in COPIES by construction — measured separately at sf1,
+    * docs/ROUND4.md). */
+  private def sf10(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/testdata_sf10")
+    val outDir = "/tmp/sf10_out"
+    val names = Seq(
+      "q07_join3", "q08_selfjoin_suffix", "q09_tpch1", "q10_quantiles", "q17_anomaly",
+      "q18_topk", "x01_dedup_exact", "x03_minhash_lsh", "x12_window_5m", "x13_sessionize",
+      "x17_winfuncs", "x28_rolling", "x36_range_join", "x41_dup_clusters",
+      "x42_group_quantiles", "x44_topk_per_key", "x46_funnel", "x47_retention"
+    )
+    new java.io.File(outDir).mkdirs()
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+      println(f"[sf10] $n%-24s ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql.view.filterKeys(names.contains)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"[sf10] wrote $outDir — next: python3 scripts/check.py $sfDir $outDir")
+  }
+
   /** `SPARK_GRAFT_SF_DIR=... runMain graft.tools.Spike skew` — bucket-size
     * distribution of the two bucketed-join operators whose cost model is
     * sum(bucket²): minhash LSH band buckets (x03 configuration) and IVF
@@ -287,6 +327,7 @@ object Spike {
     if (args.sameElements(Array("zarr-1b"))) { zarr1b(spark); spark.stop(); return }
     if (args.sameElements(Array("zarr-deferred"))) { zarrDeferred(spark); spark.stop(); return }
     if (args.sameElements(Array("skew"))) { skew(spark); spark.stop(); return }
+    if (args.sameElements(Array("sf10"))) { sf10(spark); spark.stop(); return }
     if (args.isEmpty) {
       val df = graft.SparkEntry.entry(spark)
       df.show(10, truncate = false)

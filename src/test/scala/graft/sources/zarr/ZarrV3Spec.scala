@@ -149,7 +149,9 @@ class ZarrV3Spec extends AnyFunSuite with SparkTester {
     assert(messages(e).exists(_.contains("crc32c mismatch")), messages(e).mkString(" | "))
   }
 
-  test("v3 sharding and unknown codecs are rejected loudly, never misread") {
+  test("v3 MISPLACED sharding (bytes->bytes position) rejected loudly, never misread") {
+    // supported sharding is the SOLE codec (ZarrShardSpec); a sharding codec
+    // after `bytes` is malformed metadata and must fail, not misread
     val root = Files.createTempDirectory("zarrv3bad").toString
     val dir = ZarrStoreWriterV3.writeGroup(root)
     val ad = dir.resolve("sharded")
