@@ -38,6 +38,10 @@ def main() -> None:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    # optional 3rd arg: comma-separated query filter (big-SF spot runs)
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = 0
     for name in sorted(oracle):
         files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))

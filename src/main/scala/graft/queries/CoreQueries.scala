@@ -592,6 +592,29 @@ object CoreQueries {
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(10, 40)) t
              |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(3, 27)) x
              |GROUP BY 1 ORDER BY t""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Zarr v3 SHARDED store (zarr-specs v3 §sharding-indexed): many gzip'd
+    // inner chunks per shard object with a crc32c-checked byte-range
+    // index; scanned with read-time selection + a pushed coordinate
+    // filter. Inner chunks are the planning unit, so pushdown prunes at
+    // inner-chunk granularity and absent inner chunks never cost a read.
+    Q(
+      "q26_zarr_sharded",
+      (s, _) => {
+        val root = CoreQueries.q26Store()
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("v", Map("x" -> DimSel.Range(2, 28)))
+          .filter(col("t").between(5, 34))
+          .groupBy("t")
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 18).as("sum_v"))
+          .orderBy("t")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS t, COUNT(*) AS n,
+             |CAST(SUM(CAST(CAST(((t.i * 30 + x.i) * 41) % 1000 AS DOUBLE) * 0.25 AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(5, 35)) t
+             |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(2, 28)) x
+             |GROUP BY 1 ORDER BY t""".stripMargin)
     )
   )
 
@@ -612,6 +635,30 @@ object CoreQueries {
         codecs = Seq("zstd", "crc32c")
       )
       ZarrStoreWriterV3.writeCoord(dir, "t", Coord.Ints(Array.tabulate(40)(identity)), codecs = Seq("gzip"))
+      ZarrStoreWriterV3.writeCoord(dir, "x", Coord.Ints(Array.tabulate(30)(identity)))
+      ZarrStoreWriterV3.consolidate(dir)
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
+
+  /** Build the deterministic q26 SHARDED Zarr v3 store once per JVM: `v` is
+    * float64 (40,30), shard objects cover (20,10) cells holding gzip'd
+    * (5,5) inner chunks behind a crc32c-checked byte-range index. */
+  private[queries] def q26Store(): String = synchronized {
+    val root = "/tmp/graft_q26_store"
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      import graft.sources.zarr.ZarrStoreWriterV3
+      val dir = ZarrStoreWriterV3.writeGroup(root)
+      ZarrStoreWriterV3.writeShardedArray(
+        dir, "v", Vector(40, 30), Vector(20, 10), Vector(5, 5), "float64",
+        flat => ((flat * 41) % 1000).toDouble * 0.25,
+        dims = Some(Vector("t", "x")),
+        innerCodecs = Seq("gzip")
+      )
+      ZarrStoreWriterV3.writeCoord(dir, "t", Coord.Ints(Array.tabulate(40)(identity)))
       ZarrStoreWriterV3.writeCoord(dir, "x", Coord.Ints(Array.tabulate(30)(identity)))
       ZarrStoreWriterV3.consolidate(dir)
       java.nio.file.Files.writeString(marker, "ok")
