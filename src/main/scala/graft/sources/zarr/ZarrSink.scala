@@ -37,8 +37,10 @@ import org.apache.spark.sql.types._
   * blosc:lz4 — the numcodecs default), `fill_value` (default 0),
   * `max_coord_values` (per-dim distinct bound for the single-pass
   * coordinate aggregation, default 10M — a dim past it fails executor-side
-  * before anything is collected), `storage.*` (same remote-store options
-  * as the scan).
+  * before anything is collected), `zarr_format` ("2" default | "3" — v3
+  * writes `zarr.json` metadata, `c/`-keys, a bytes+codec pipeline, and
+  * with `checksum`=true a trailing crc32c; no datetime64 under v3),
+  * `storage.*` (same remote-store options as the scan).
   *
   * Semantics: dim columns are coordinate VALUES (not indices); the sink
   * sorts each dim's distinct values ascending to form the coordinate
@@ -110,11 +112,27 @@ object ZarrSink {
     require(dims.nonEmpty, "zarr sink requires at least one dimension column")
     val dtype = opts.getOrElse("dtype", dtypeFor(df.schema("value").dataType))
     val zdt = ZDtype.parse(dtype)
+    val v3 = opts.getOrElse("zarr_format", "2") match {
+      case "2" => false
+      case "3" => true
+      case other => throw new IllegalArgumentException(s"zarr sink: bad zarr_format '$other' (2 or 3)")
+    }
+    if (v3)
+      require(
+        zdt.code != ZDtype.M8,
+        "zarr sink: zarr_format=3 has no core datetime64 data_type — write the epoch value as int64"
+      )
     val compressor = opts.get("compressor") match {
       case Some("none") | Some("null") => None
+      case Some("zlib") if v3 => Some("gzip") // v3 has no zlib codec; gzip is its spelling
       case Some(c) => Some(c)
       case None => Some("blosc:lz4")
     }
+    // v3 chunk encode chain (encode order), computed once driver-side
+    val v3Cfgs: Seq[String] =
+      if (!v3) Nil
+      else compressor.toSeq.map(ZarrStoreWriterV3.codecCfg(_, zdt.itemSize)) ++
+        (if (opts.get("checksum").contains("true")) Seq("""{"name": "crc32c"}""") else Nil)
     val fillValue = opts.get("fill_value").map(_.toDouble).getOrElse(0.0)
     // unsigned targets (explicit `dtype`=u1/u2/u4): validate range instead of
     // silently masking — a -1 written as 255 is the sink's worst failure mode
@@ -228,6 +246,8 @@ object ZarrSink {
     val rMax = rangeMax
     val rCheck = rangeChecked
     val dtypeStr = dtype
+    val isV3 = v3
+    val v3CfgsSer = v3Cfgs
 
     prepared
       .repartition(parts, col("__chunk"))
@@ -237,17 +257,17 @@ object ZarrSink {
         var current = -1L
         var buf: ByteBuffer = null
         def flush(): Unit = if (current >= 0L) {
-          val bytes = ZarrCodec.compress(comp, buf.array(), typesize = dt.itemSize)
+          val bytes =
+            if (isV3) v3CfgsSer.foldLeft(buf.array())((b, cfg) => ZarrCodecV3.encode(cfg, b, dt.itemSize))
+            else ZarrCodec.compress(comp, buf.array(), typesize = dt.itemSize)
           // decompose the chunk ordinal over the chunk grid (C-order)
           val idx = new Array[Int](nChunksArr.length)
           var rem = current
           var d = nChunksArr.length - 1
           while (d >= 0) { idx(d) = (rem % nChunksArr(d)).toInt; rem /= nChunksArr(d); d -= 1 }
-          ZarrFileIO.writeBytes(
-            new HPath(arrayDirStr, ZarrChunkIO.chunkFileName(idx.toSeq)),
-            executorOpts,
-            bytes
-          )
+          val key =
+            if (isV3) "c/" + idx.mkString("/") else ZarrChunkIO.chunkFileName(idx.toSeq)
+          ZarrFileIO.writeBytes(new HPath(arrayDirStr, key), executorOpts, bytes)
         }
         while (rows.hasNext) {
           val r = rows.next()
@@ -297,23 +317,112 @@ object ZarrSink {
 
     // ---- metadata (driver-side, after the data job): group marker, array
     // metadata, coordinate arrays, consolidated metadata
-    val zgroup = new HPath(groupDir, ".zgroup")
-    if (!ZarrFileIO.exists(zgroup, storageOptions))
-      ZarrFileIO.writeString(zgroup, storageOptions, """{"zarr_format": 2}""")
-    ZarrFileIO.writeString(
-      new HPath(arrayDir, ".zarray"),
-      storageOptions,
-      ZarrStoreWriter.zarrayJson(shape, chunks, dtype, compressor, Some(fillValue))
-    )
-    ZarrFileIO.writeString(
-      new HPath(arrayDir, ".zattrs"),
-      storageOptions,
-      ZarrStoreWriter.zattrsJson(Some(dims))
-    )
-    coordVals.foreach { case (d, vals, cdt) =>
-      writeCoordArray(groupDir, d, vals, cdt, compressor, storageOptions)
+    if (v3) {
+      val gj = new HPath(groupDir, "zarr.json")
+      if (!ZarrFileIO.exists(gj, storageOptions))
+        ZarrFileIO.writeString(gj, storageOptions, """{"zarr_format": 3, "node_type": "group"}""")
+      ZarrFileIO.writeString(
+        new HPath(arrayDir, "zarr.json"),
+        storageOptions,
+        ZarrStoreWriterV3.arrayJson(
+          shape, chunks, v3DataTypeName(dtype), v3Cfgs, Some(fillValue), Some(dims),
+          separator = "/", endian = if (zdt.bigEndian) "big" else "little"
+        )
+      )
+      coordVals.foreach { case (d, vals, cdt) =>
+        writeCoordArrayV3(groupDir, d, vals, cdt, v3Cfgs, storageOptions)
+      }
+      consolidateV3(groupDir, storageOptions)
+    } else {
+      val zgroup = new HPath(groupDir, ".zgroup")
+      if (!ZarrFileIO.exists(zgroup, storageOptions))
+        ZarrFileIO.writeString(zgroup, storageOptions, """{"zarr_format": 2}""")
+      ZarrFileIO.writeString(
+        new HPath(arrayDir, ".zarray"),
+        storageOptions,
+        ZarrStoreWriter.zarrayJson(shape, chunks, dtype, compressor, Some(fillValue))
+      )
+      ZarrFileIO.writeString(
+        new HPath(arrayDir, ".zattrs"),
+        storageOptions,
+        ZarrStoreWriter.zattrsJson(Some(dims))
+      )
+      coordVals.foreach { case (d, vals, cdt) =>
+        writeCoordArray(groupDir, d, vals, cdt, compressor, storageOptions)
+      }
+      consolidate(groupDir, storageOptions)
     }
-    consolidate(groupDir, storageOptions)
+  }
+
+  /** numpy dtype spelling → v3 core data_type name. */
+  private def v3DataTypeName(dtype: String): String = {
+    val kind = dtype.dropWhile(c => c == '<' || c == '>' || c == '|' || c == '=')
+    kind match {
+      case "b1" => "bool"
+      case "i1" => "int8"; case "u1" => "uint8"
+      case "i2" => "int16"; case "u2" => "uint16"
+      case "i4" => "int32"; case "u4" => "uint32"
+      case "i8" => "int64"
+      case "f2" => "float16"; case "f4" => "float32"; case "f8" => "float64"
+      case other =>
+        throw new IllegalArgumentException(s"zarr sink: no v3 core data_type for dtype '$dtype' ($other)")
+    }
+  }
+
+  /** Single-chunk 1-D v3 coordinate array written through the Hadoop FS. */
+  private def writeCoordArrayV3(
+      groupDir: HPath,
+      dim: String,
+      vals: Array[Any],
+      sparkType: DataType,
+      cfgs: Seq[String],
+      storageOptions: Map[String, String]
+  ): Unit = {
+    val dtype = coordDtype(sparkType)
+    require(
+      !dtype.contains("M8"),
+      s"zarr sink: zarr_format=3 has no core datetime64 data_type for dimension '$dim' — use an int64 epoch column"
+    )
+    val dt = ZDtype.parse(dtype)
+    val dir = new HPath(groupDir, dim)
+    val buf = ByteBuffer.allocate(vals.length * dt.itemSize).order(ByteOrder.LITTLE_ENDIAN)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      v match {
+        case x: java.lang.Integer => ZDtype.putLong(dt, buf, i, x.longValue())
+        case l: java.lang.Long => ZDtype.putLong(dt, buf, i, l.longValue())
+        case f: java.lang.Float => ZDtype.put(dt, buf, i, f.doubleValue())
+        case d: java.lang.Double => ZDtype.put(dt, buf, i, d.doubleValue())
+        case other => throw new IllegalArgumentException(s"zarr sink: bad coord value $other")
+      }
+    }
+    ZarrFileIO.writeString(
+      new HPath(dir, "zarr.json"),
+      storageOptions,
+      ZarrStoreWriterV3.arrayJson(
+        Vector(vals.length), Vector(vals.length), v3DataTypeName(dtype), cfgs, Some(0.0),
+        Some(Vector(dim)), separator = "/", endian = "little"
+      )
+    )
+    val bytes = cfgs.foldLeft(buf.array())((b, cfg) => ZarrCodecV3.encode(cfg, b, dt.itemSize))
+    ZarrFileIO.writeBytes(new HPath(dir, "c/0"), storageOptions, bytes)
+  }
+
+  /** Rebuild the root `zarr.json` consolidated metadata from the on-store
+    * member documents — the FS-general sibling of
+    * [[ZarrStoreWriterV3.consolidate]]. */
+  private[zarr] def consolidateV3(groupDir: HPath, storageOptions: Map[String, String]): Unit = {
+    val entries = ZarrFileIO.listDirNames(groupDir, storageOptions).sorted.flatMap { n =>
+      ZarrFileIO
+        .readStringIfExists(new HPath(new HPath(groupDir, n), "zarr.json"), storageOptions)
+        .map(s => s""""$n": $s""")
+    }
+    ZarrFileIO.writeString(
+      new HPath(groupDir, "zarr.json"),
+      storageOptions,
+      s"""{"zarr_format": 3, "node_type": "group",
+         |"consolidated_metadata": {"kind": "inline", "must_understand": false,
+         |"metadata": {${entries.mkString(",\n")}}}}""".stripMargin
+    )
   }
 
   /** Single-chunk 1-D coordinate array written through the Hadoop FS. */

@@ -217,7 +217,7 @@ object ZarrStoreWriterV3 {
     dir
   }
 
-  private def codecCfg(spec: String, typesize: Int): String = {
+  private[zarr] def codecCfg(spec: String, typesize: Int): String = {
     val parts = spec.split(":")
     parts(0) match {
       case "gzip" => """{"name": "gzip", "configuration": {"level": 5}}"""

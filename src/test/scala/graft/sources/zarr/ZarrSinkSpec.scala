@@ -154,6 +154,55 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
     assert(msgOf(fill).contains("fill_value"), msgOf(fill))
   }
 
+  test("zarr_format=3 sink writes a real v3 store the scan round-trips") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarrsinkv3").toString
+    val df = (0 until 60).map(i => (i % 6, i / 6, (i * 7 % 23).toDouble * 0.5)).toDF("t", "x", "value")
+    df.write.format("zarr")
+      .option("path", s"$base/v3").option("array", "v").option("zarr_format", "3")
+      .option("compressor", "zstd").option("checksum", "true").option("chunks", "4,5")
+      .mode("append").save()
+    // on-store layout is v3: zarr.json docs + c/-prefixed keys, no .zarray
+    assert(Files.exists(java.nio.file.Paths.get(base, "v3", "v", "zarr.json")))
+    assert(Files.exists(java.nio.file.Paths.get(base, "v3", "v", "c", "0", "0")))
+    assert(!Files.exists(java.nio.file.Paths.get(base, "v3", "v", ".zarray")))
+    val info = ZarrScan.getZarrDataInfo(s"$base/v3")
+    assert(info("v").v3 && info("v").chunks == Vector(4, 5))
+    // identical cells to the same frame written as v2
+    df.write.format("zarr").option("path", s"$base/v2").option("array", "v").mode("append").save()
+    val k = Seq(col("t"), col("x"))
+    val got3 = new ZarrDataReader(spark, s"$base/v3").readArray("v").orderBy(k: _*).collect().toSeq
+    val got2 = new ZarrDataReader(spark, s"$base/v2").readArray("v").orderBy(k: _*).collect().toSeq
+    assert(got3 == got2)
+    // v3 has no core datetime64: timestamp values and dims fail loudly
+    val e = intercept[Exception] {
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0)).toDF("ts", "value")
+        .write.format("zarr").option("path", s"$base/bad").option("array", "v")
+        .option("zarr_format", "3").mode("append").save()
+    }
+    def msgOf(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+      sb.toString
+    }
+    assert(msgOf(e).contains("datetime64"), msgOf(e))
+  }
+
+  test("zarr_format=3 sink: unsigned dtype + sparse fill round-trip (uint16, fill 7)") {
+    import spark.implicits._
+    val dst = Files.createTempDirectory("zarrsinkv3u").toString + "/store"
+    Seq((0, 60000), (3, 12345)).toDF("i", "value")
+      .write.format("zarr")
+      .option("path", dst).option("array", "v").option("zarr_format", "3")
+      .option("dtype", "<u2").option("fill_value", "7").option("chunks", "2")
+      .mode("append").save()
+    val back = new ZarrDataReader(spark, dst).readArray("v").orderBy("i")
+      .select("value").collect().map(_.getInt(0)).toSeq
+    assert(back == Seq(60000, 12345)) // only 2 coords exist -> 2 cells
+    val info = ZarrScan.getZarrDataInfo(dst)
+    assert(info("v").dtype == "<u2" && info("v").v3)
+  }
+
   test("bounded_collect_set: distinct semantics match collect_set; nulls skipped; bound enforced") {
     import spark.implicits._
     val df = Seq(
