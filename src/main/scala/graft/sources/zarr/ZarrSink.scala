@@ -40,6 +40,9 @@ import org.apache.spark.sql.types._
   * before anything is collected), `zarr_format` ("2" default | "3" — v3
   * writes `zarr.json` metadata, `c/`-keys, a bytes+codec pipeline, and
   * with `checksum`=true a trailing crc32c; no datetime64 under v3),
+  * `shards` (v3 only: cells per SHARD OBJECT per dim, multiples of
+  * `chunks` — emits a sharding_indexed store where each task streams one
+  * whole shard per PUT; the object-store write shape at scale),
   * `storage.*` (same remote-store options as the scan).
   *
   * Semantics: dim columns are coordinate VALUES (not indices); the sink
@@ -87,6 +90,50 @@ object ZarrSink {
     case DoubleType => Ordering.by((v: Any) => v.asInstanceOf[Double])(Ordering.Double.TotalOrdering)
     case TimestampType => Ordering.by((v: Any) => micros(v))
     case other => throw new IllegalArgumentException(s"zarr sink: unsupported dimension type $other")
+  }
+
+  /** Encode one row's value into a chunk buffer — shared by the per-chunk
+    * and per-shard executor loops. Unsigned range validation fails loudly
+    * instead of masking. */
+  private def putCell(
+      dt: ZDtype,
+      buf: ByteBuffer,
+      local: Int,
+      v: Any,
+      rCheck: Boolean,
+      rMin: Long,
+      rMax: Long,
+      dtypeStr: String
+  ): Unit = {
+    def checkedLong(x: Long): Long = {
+      if (rCheck && (x < rMin || x > rMax))
+        throw new IllegalArgumentException(
+          s"zarr sink: value $x out of range for unsigned dtype '$dtypeStr' [$rMin, $rMax]"
+        )
+      x
+    }
+    def checkedDouble(x: Double): Double = {
+      if (rCheck && (x.isNaN || x < rMin || x > rMax))
+        throw new IllegalArgumentException(
+          s"zarr sink: value $x out of range for unsigned dtype '$dtypeStr' [$rMin, $rMax]"
+        )
+      x
+    }
+    v match {
+      case null => () // absent value -> fill
+      case b: java.lang.Boolean => ZDtype.putLong(dt, buf, local, if (b) 1L else 0L)
+      case b: java.lang.Byte => ZDtype.putLong(dt, buf, local, checkedLong(b.longValue()))
+      case s: java.lang.Short => ZDtype.putLong(dt, buf, local, checkedLong(s.longValue()))
+      case x: java.lang.Integer => ZDtype.putLong(dt, buf, local, checkedLong(x.longValue()))
+      case l: java.lang.Long => ZDtype.putLong(dt, buf, local, checkedLong(l.longValue()))
+      case f: java.lang.Float => ZDtype.put(dt, buf, local, checkedDouble(f.doubleValue()))
+      case d0: java.lang.Double => ZDtype.put(dt, buf, local, checkedDouble(d0.doubleValue()))
+      case t @ (_: java.sql.Timestamp | _: java.time.Instant) =>
+        // M8[us] stores epoch micros raw
+        ZDtype.putLong(dt, buf, local, micros(t))
+      case other =>
+        throw new IllegalArgumentException(s"zarr sink: unsupported value ${other.getClass}")
+    }
   }
 
   /** External timestamp value → epoch micros (both java.sql and java.time
@@ -205,6 +252,23 @@ object ZarrSink {
     val nChunksVec = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     val gridStrides = IndexMath.strides(nChunksVec)
     val chunkStrides = IndexMath.strides(chunks)
+    // `shards` (v3 only): cells per SHARD OBJECT per dim — each a multiple
+    // of `chunks`, which become the inner chunks of a sharding_indexed
+    // store. At object-store scale this is the write shape that matters:
+    // thousands of inner chunks per PUT instead of one object per chunk.
+    val shardsOpt: Option[Vector[Int]] = opts.get("shards").map { ss =>
+      require(v3, "zarr sink: 'shards' requires zarr_format=3 (sharding_indexed is a v3 codec)")
+      val sv = ss.split(",").map(_.trim.toInt).toVector
+      require(
+        sv.length == shape.length && sv.zip(chunks).forall { case (s, c) => s > 0 && s % c == 0 },
+        s"bad shards '$ss': must be per-dim positive multiples of chunks ${chunks.mkString(",")}"
+      )
+      require(
+        sv.map(_.toLong).product * zdt.itemSize <= Int.MaxValue,
+        s"shard of ${sv.map(_.toLong).product} cells x ${zdt.itemSize} B exceeds the 2 GB object bound — use smaller shards"
+      )
+      sv
+    }
 
     var indexed = df
     dims.zip(coordVals).zipWithIndex.foreach { case ((d, (_, vals, dt)), di) =>
@@ -224,11 +288,8 @@ object ZarrSink {
     val localExpr = dims.indices
       .map(di => (col(s"__i$di") % lit(chunks(di))) * lit(chunkStrides(di)))
       .reduce(_ + _)
-    val prepared = indexed.select(chunkExpr.as("__chunk"), localExpr.as("__local"), col("value").as("__value"))
-
     val totalChunks = nChunksVec.map(_.toLong).product
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
-    val parts = math.max(1L, math.min(shufflePartitions.toLong, totalChunks)).toInt
     val chunkElems = chunks.map(_.toLong).product
     require(
       chunkElems * zdt.itemSize <= Int.MaxValue,
@@ -249,71 +310,138 @@ object ZarrSink {
     val isV3 = v3
     val v3CfgsSer = v3Cfgs
 
-    prepared
-      .repartition(parts, col("__chunk"))
-      .sortWithinPartitions("__chunk")
-      .foreachPartition { (rows: Iterator[Row]) =>
-        val order = if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
-        var current = -1L
-        var buf: ByteBuffer = null
-        def flush(): Unit = if (current >= 0L) {
-          val bytes =
-            if (isV3) v3CfgsSer.foldLeft(buf.array())((b, cfg) => ZarrCodecV3.encode(cfg, b, dt.itemSize))
-            else ZarrCodec.compress(comp, buf.array(), typesize = dt.itemSize)
-          // decompose the chunk ordinal over the chunk grid (C-order)
-          val idx = new Array[Int](nChunksArr.length)
-          var rem = current
-          var d = nChunksArr.length - 1
-          while (d >= 0) { idx(d) = (rem % nChunksArr(d)).toInt; rem /= nChunksArr(d); d -= 1 }
-          val key =
-            if (isV3) "c/" + idx.mkString("/") else ZarrChunkIO.chunkFileName(idx.toSeq)
-          ZarrFileIO.writeBytes(new HPath(arrayDirStr, key), executorOpts, bytes)
-        }
-        while (rows.hasNext) {
-          val r = rows.next()
-          val c = r.getLong(0)
-          if (c != current) {
+    shardsOpt match {
+      case None =>
+        // ---- one task-streamed chunk buffer at a time; each chunk is one
+        // on-store object
+        val prepared =
+          indexed.select(chunkExpr.as("__chunk"), localExpr.as("__local"), col("value").as("__value"))
+        val parts = math.max(1L, math.min(shufflePartitions.toLong, totalChunks)).toInt
+        prepared
+          .repartition(parts, col("__chunk"))
+          .sortWithinPartitions("__chunk")
+          .foreachPartition { (rows: Iterator[Row]) =>
+            val order = if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+            var current = -1L
+            var buf: ByteBuffer = null
+            def flush(): Unit = if (current >= 0L) {
+              val bytes =
+                if (isV3) v3CfgsSer.foldLeft(buf.array())((b, cfg) => ZarrCodecV3.encode(cfg, b, dt.itemSize))
+                else ZarrCodec.compress(comp, buf.array(), typesize = dt.itemSize)
+              // decompose the chunk ordinal over the chunk grid (C-order)
+              val idx = new Array[Int](nChunksArr.length)
+              var rem = current
+              var d = nChunksArr.length - 1
+              while (d >= 0) { idx(d) = (rem % nChunksArr(d)).toInt; rem /= nChunksArr(d); d -= 1 }
+              val key =
+                if (isV3) "c/" + idx.mkString("/") else ZarrChunkIO.chunkFileName(idx.toSeq)
+              ZarrFileIO.writeBytes(new HPath(arrayDirStr, key), executorOpts, bytes)
+            }
+            while (rows.hasNext) {
+              val r = rows.next()
+              val c = r.getLong(0)
+              if (c != current) {
+                flush()
+                current = c
+                if (buf == null) buf = ByteBuffer.allocate(elems * dt.itemSize).order(order)
+                // zero bytes already decode as 0/false in every supported dtype;
+                // only a nonzero fill needs an explicit prefill pass
+                if (fill == 0.0) java.util.Arrays.fill(buf.array(), 0.toByte)
+                else { var i = 0; while (i < elems) { ZDtype.put(dt, buf, i, fill); i += 1 } }
+              }
+              putCell(dt, buf, r.getLong(1).toInt, r.get(2), rCheck, rMin, rMax, dtypeStr)
+            }
             flush()
-            current = c
-            if (buf == null) buf = ByteBuffer.allocate(elems * dt.itemSize).order(order)
-            // zero bytes already decode as 0/false in every supported dtype;
-            // only a nonzero fill needs an explicit prefill pass
-            if (fill == 0.0) java.util.Arrays.fill(buf.array(), 0.toByte)
-            else { var i = 0; while (i < elems) { ZDtype.put(dt, buf, i, fill); i += 1 } }
           }
-          val local = r.getLong(1).toInt
-          def checkedLong(v: Long): Long = {
-            if (rCheck && (v < rMin || v > rMax))
-              throw new IllegalArgumentException(
-                s"zarr sink: value $v out of range for unsigned dtype '$dtypeStr' [$rMin, $rMax]"
+
+      case Some(shards) =>
+        // ---- sharded write: cluster rows by SHARD ordinal so each shard
+        // object (inner chunks + crc32c'd byte-range index) is produced by
+        // exactly one task in one streaming pass — one PUT per shard, the
+        // object-store-friendly shape at scale. Memory: one inner-chunk
+        // buffer + one shard's encoded bytes.
+        val nShardsVec = shape.zip(shards).map { case (s, c) => (s + c - 1) / c }
+        val shardStrides = IndexMath.strides(nShardsVec)
+        val innerPerVec = shards.zip(chunks).map { case (s, c) => s / c }
+        val shardExpr = dims.indices
+          .map(di => expr(s"__i$di div ${shards(di)}") * lit(shardStrides(di)))
+          .reduce(_ + _)
+        val prepared = indexed.select(
+          shardExpr.as("__shard"),
+          chunkExpr.as("__chunk"),
+          localExpr.as("__local"),
+          col("value").as("__value")
+        )
+        val totalShards = nShardsVec.map(_.toLong).product
+        val parts = math.max(1L, math.min(shufflePartitions.toLong, totalShards)).toInt
+        val nShardsArr = nShardsVec.toArray
+        val innerPerArr = innerPerVec.toArray
+        val innerStrides = IndexMath.strides(innerPerVec).toArray
+        val nInner = innerPerVec.map(_.toLong).product.toInt
+        prepared
+          .repartition(parts, col("__shard"))
+          .sortWithinPartitions("__shard", "__chunk")
+          .foreachPartition { (rows: Iterator[Row]) =>
+            val order = if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+            val rank = nShardsArr.length
+            var curShard = -1L
+            var curChunk = -1L
+            var buf: ByteBuffer = null
+            val shardData = new java.io.ByteArrayOutputStream()
+            val index = new Array[Long](nInner * 2)
+            def flushChunk(): Unit = if (curChunk >= 0L) {
+              val enc = v3CfgsSer.foldLeft(buf.array())((b, cfg) => ZarrCodecV3.encode(cfg, b, dt.itemSize))
+              // within-shard inner ordinal from the GLOBAL chunk ordinal
+              val cIdx = new Array[Int](rank)
+              var rem = curChunk
+              var d = rank - 1
+              while (d >= 0) { cIdx(d) = (rem % nChunksArr(d)).toInt; rem /= nChunksArr(d); d -= 1 }
+              var w = 0L
+              var k = 0
+              while (k < rank) { w += (cIdx(k) % innerPerArr(k)).toLong * innerStrides(k); k += 1 }
+              index(2 * w.toInt) = shardData.size().toLong
+              index(2 * w.toInt + 1) = enc.length.toLong
+              shardData.write(enc)
+            }
+            def flushShard(): Unit = if (curShard >= 0L) {
+              flushChunk()
+              curChunk = -1L
+              val ib = ByteBuffer.allocate(nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
+              var i = 0
+              while (i < nInner * 2) { ib.putLong(i * 8, index(i)); i += 1 }
+              val idxBytes = ZarrCodecV3.encode("""{"name": "crc32c"}""", ib.array(), dt.itemSize)
+              val sIdx = new Array[Int](rank)
+              var rem = curShard
+              var d = rank - 1
+              while (d >= 0) { sIdx(d) = (rem % nShardsArr(d)).toInt; rem /= nShardsArr(d); d -= 1 }
+              ZarrFileIO.writeBytes(
+                new HPath(arrayDirStr, "c/" + sIdx.mkString("/")),
+                executorOpts,
+                shardData.toByteArray ++ idxBytes
               )
-            v
+              shardData.reset()
+            }
+            while (rows.hasNext) {
+              val r = rows.next()
+              val s = r.getLong(0)
+              val c = r.getLong(1)
+              if (s != curShard) {
+                flushShard()
+                curShard = s
+                java.util.Arrays.fill(index, -1L) // 2^64-1: missing inner chunk
+              }
+              if (c != curChunk) {
+                flushChunk()
+                curChunk = c
+                if (buf == null) buf = ByteBuffer.allocate(elems * dt.itemSize).order(order)
+                if (fill == 0.0) java.util.Arrays.fill(buf.array(), 0.toByte)
+                else { var i = 0; while (i < elems) { ZDtype.put(dt, buf, i, fill); i += 1 } }
+              }
+              putCell(dt, buf, r.getLong(2).toInt, r.get(3), rCheck, rMin, rMax, dtypeStr)
+            }
+            flushShard()
           }
-          def checkedDouble(v: Double): Double = {
-            if (rCheck && (v.isNaN || v < rMin || v > rMax))
-              throw new IllegalArgumentException(
-                s"zarr sink: value $v out of range for unsigned dtype '$dtypeStr' [$rMin, $rMax]"
-              )
-            v
-          }
-          r.get(2) match {
-            case null => () // absent value -> fill
-            case b: java.lang.Boolean => ZDtype.putLong(dt, buf, local, if (b) 1L else 0L)
-            case b: java.lang.Byte => ZDtype.putLong(dt, buf, local, checkedLong(b.longValue()))
-            case s: java.lang.Short => ZDtype.putLong(dt, buf, local, checkedLong(s.longValue()))
-            case x: java.lang.Integer => ZDtype.putLong(dt, buf, local, checkedLong(x.longValue()))
-            case l: java.lang.Long => ZDtype.putLong(dt, buf, local, checkedLong(l.longValue()))
-            case f: java.lang.Float => ZDtype.put(dt, buf, local, checkedDouble(f.doubleValue()))
-            case d0: java.lang.Double => ZDtype.put(dt, buf, local, checkedDouble(d0.doubleValue()))
-            case t @ (_: java.sql.Timestamp | _: java.time.Instant) =>
-              // M8[us] stores epoch micros raw
-              ZDtype.putLong(dt, buf, local, micros(t))
-            case other =>
-              throw new IllegalArgumentException(s"zarr sink: unsupported value ${other.getClass}")
-          }
-        }
-        flush()
-      }
+    }
 
     // ---- metadata (driver-side, after the data job): group marker, array
     // metadata, coordinate arrays, consolidated metadata
@@ -321,14 +449,37 @@ object ZarrSink {
       val gj = new HPath(groupDir, "zarr.json")
       if (!ZarrFileIO.exists(gj, storageOptions))
         ZarrFileIO.writeString(gj, storageOptions, """{"zarr_format": 3, "node_type": "group"}""")
-      ZarrFileIO.writeString(
-        new HPath(arrayDir, "zarr.json"),
-        storageOptions,
-        ZarrStoreWriterV3.arrayJson(
-          shape, chunks, v3DataTypeName(dtype), v3Cfgs, Some(fillValue), Some(dims),
-          separator = "/", endian = if (zdt.bigEndian) "big" else "little"
-        )
-      )
+      val endianStr = if (zdt.bigEndian) "big" else "little"
+      val arrayDoc = shardsOpt match {
+        case None =>
+          ZarrStoreWriterV3.arrayJson(
+            shape, chunks, v3DataTypeName(dtype), v3Cfgs, Some(fillValue), Some(dims),
+            separator = "/", endian = endianStr
+          )
+        case Some(shards) =>
+          // chunk_grid carries the SHARD shape; the sharding codec nests the
+          // inner chunk shape + codec chain
+          val innerChain =
+            (s"""{"name": "bytes", "configuration": {"endian": "$endianStr"}}""" +: v3Cfgs)
+              .mkString("[", ", ", "]")
+          val shardingCfg =
+            s"""{"name": "sharding_indexed", "configuration": {
+               |"chunk_shape": [${chunks.mkString(",")}],
+               |"codecs": $innerChain,
+               |"index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}],
+               |"index_location": "end"}}""".stripMargin
+          val withOuter = ZarrStoreWriterV3.arrayJson(
+            shape, shards, v3DataTypeName(dtype), Nil, Some(fillValue), Some(dims),
+            separator = "/", endian = endianStr
+          )
+          val doc = withOuter.replace(
+            s""""codecs": [{"name": "bytes", "configuration": {"endian": "$endianStr"}}]""",
+            s""""codecs": [$shardingCfg]"""
+          )
+          require(doc != withOuter, "sharded arrayJson rewrite failed")
+          doc
+      }
+      ZarrFileIO.writeString(new HPath(arrayDir, "zarr.json"), storageOptions, arrayDoc)
       coordVals.foreach { case (d, vals, cdt) =>
         writeCoordArrayV3(groupDir, d, vals, cdt, v3Cfgs, storageOptions)
       }

@@ -203,6 +203,59 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
     assert(info("v").dtype == "<u2" && info("v").v3)
   }
 
+  test("sharded v3 sink (shards option) writes one object per shard; scan round-trips") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarrsinkshard").toString
+    // 12 x 10 grid, inner chunks 3x5, shards 6x10 -> 2x2 inner per shard,
+    // 2x1 shard objects; sparse: skip one cell to exercise fill
+    val df = (0 until 120).filter(_ != 17)
+      .map(i => (i % 12, i / 12, (i * 3 % 31).toDouble)).toDF("r", "c", "value")
+    df.write.format("zarr")
+      .option("path", s"$base/s").option("array", "v").option("zarr_format", "3")
+      .option("chunks", "3,5").option("shards", "6,10")
+      .option("compressor", "zstd").option("fill_value", "-5")
+      .mode("append").save()
+    // on-store: exactly 2 shard objects (c/0/0, c/1/0), no per-chunk files
+    val cDir = java.nio.file.Paths.get(base, "s", "v", "c")
+    val files = java.nio.file.Files.walk(cDir)
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files == 2, s"expected 2 shard objects, found $files")
+    // reader sees inner chunks as the planning unit
+    val info = ZarrScan.getZarrDataInfo(s"$base/s")
+    assert(info("v").v3 && info("v").chunks == Vector(3, 5))
+    // cell parity with the same frame written unsharded
+    df.write.format("zarr")
+      .option("path", s"$base/p").option("array", "v").option("zarr_format", "3")
+      .option("chunks", "3,5").option("compressor", "zstd").option("fill_value", "-5")
+      .mode("append").save()
+    val k = Seq(col("r"), col("c"))
+    val got = new ZarrDataReader(spark, s"$base/s").readArray("v").orderBy(k: _*).collect().toSeq
+    val ref = new ZarrDataReader(spark, s"$base/p").readArray("v").orderBy(k: _*).collect().toSeq
+    assert(got == ref)
+    // the skipped cell reads back as the fill value
+    val rr = 17 % 12; val cc = 17 / 12
+    val fillRead = new ZarrDataReader(spark, s"$base/s").readArray("v")
+      .filter(col("r") === rr && col("c") === cc).select("value").collect().head.getDouble(0)
+    assert(fillRead == -5.0)
+    // misuse fails loudly
+    def msgOf(t: Throwable): String = {
+      var x: Throwable = t; val sb = new StringBuilder
+      while (x != null) { sb.append(Option(x.getMessage).getOrElse("")); x = x.getCause }
+      sb.toString
+    }
+    val e1 = intercept[Exception] {
+      df.write.format("zarr").option("path", s"$base/b1").option("array", "v")
+        .option("chunks", "3,5").option("shards", "6,10").mode("append").save()
+    }
+    assert(msgOf(e1).contains("zarr_format=3"), msgOf(e1))
+    val e2 = intercept[Exception] {
+      df.write.format("zarr").option("path", s"$base/b2").option("array", "v")
+        .option("zarr_format", "3").option("chunks", "3,5").option("shards", "7,10")
+        .mode("append").save()
+    }
+    assert(msgOf(e2).contains("multiples of chunks"), msgOf(e2))
+  }
+
   test("bounded_collect_set: distinct semantics match collect_set; nulls skipped; bound enforced") {
     import spark.implicits._
     val df = Seq(
