@@ -38,7 +38,9 @@ case class BoundedCollectSet(
   require(maxSize > 0, s"bounded_collect_set: maxSize must be positive, got $maxSize")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: ArrayType | _: MapType | _: StructType =>
+    // BinaryType values surface as Array[Byte], which HashSet compares by
+    // reference — no dedup would occur, just spurious overflows
+    case _: ArrayType | _: MapType | _: StructType | _: BinaryType =>
       TypeCheckResult.TypeCheckFailure(
         s"bounded_collect_set expects an atomic-typed argument, got ${child.dataType.sql}"
       )

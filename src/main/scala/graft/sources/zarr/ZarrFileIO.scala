@@ -128,6 +128,15 @@ object ZarrFileIO {
     try Some(fileSystem(p, storageOptions).getFileStatus(p).getLen)
     catch { case _: FileNotFoundException => None }
 
+  /** (length, modification time) of a file, or None if absent — one HEAD.
+    * The pair identifies a file VERSION, so caches keyed on it can never
+    * serve stale contents after an in-place overwrite. */
+  def fileVersionIfExists(p: HPath, storageOptions: Map[String, String]): Option[(Long, Long)] =
+    try {
+      val st = fileSystem(p, storageOptions).getFileStatus(p)
+      Some((st.getLen, st.getModificationTime))
+    } catch { case _: FileNotFoundException => None }
+
   /** One positioned read of exactly `len` bytes at `offset` — maps to a
     * ranged GET on object stores (never downloads the whole shard). */
   def readRange(p: HPath, storageOptions: Map[String, String], offset: Long, len: Int): Array[Byte] = {
@@ -151,9 +160,19 @@ object ZarrFileIO {
     catch { case _: FileNotFoundException => false }
 
   /** Create-or-overwrite a file with the given bytes (chunk and metadata
-    * writes — the write sink's seam, same FileSystem reach as reads). */
+    * writes — the write sink's seam, same FileSystem reach as reads).
+    * Checksummed filesystems (Hadoop's local `file://` wraps
+    * [[org.apache.hadoop.fs.ChecksumFileSystem]]) are unwrapped to their raw
+    * filesystem so the sink never pollutes a Zarr store with `.crc` sidecar
+    * files — a Zarr store's directory layout IS its format, and foreign
+    * files break strict readers. Unwrapping per-call leaves the shared
+    * cached FileSystem instance untouched for everyone else. */
   def writeBytes(p: HPath, storageOptions: Map[String, String], bytes: Array[Byte]): Unit = {
-    val out = fileSystem(p, storageOptions).create(p, true)
+    val fs = fileSystem(p, storageOptions) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+    val out = fs.create(p, true)
     try out.write(bytes)
     finally out.close()
   }

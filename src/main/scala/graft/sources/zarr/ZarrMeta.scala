@@ -386,9 +386,12 @@ object ZarrMeta {
         case other => throw new IllegalArgumentException(s"array $name: bad index_codecs $other")
       }
       val idxNames = idxChain.map(c => (c \ "name").extract[String])
+      // at most ONE crc32c: the stored index is sized for a single 4-byte
+      // checksum, so extra entries would make the reader fetch the wrong
+      // byte range
       require(
-        idxNames.headOption.contains("bytes") && idxNames.tail.forall(_ == "crc32c"),
-        s"array $name: unsupported index_codecs $idxNames (supported: bytes [+ crc32c])"
+        idxNames == List("bytes") || idxNames == List("bytes", "crc32c"),
+        s"array $name: unsupported index_codecs $idxNames (supported: bytes [+ one crc32c])"
       )
       val idxBig =
         (idxChain.head \ "configuration" \ "endian").extractOpt[String].contains("big")

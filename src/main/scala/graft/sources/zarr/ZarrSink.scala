@@ -164,11 +164,21 @@ object ZarrSink {
       case "3" => true
       case other => throw new IllegalArgumentException(s"zarr sink: bad zarr_format '$other' (2 or 3)")
     }
-    if (v3)
+    if (v3) {
       require(
         zdt.code != ZDtype.M8,
         "zarr sink: zarr_format=3 has no core datetime64 data_type — write the epoch value as int64"
       )
+      // dims too, and BEFORE the distributed data job: writeCoordArrayV3
+      // runs after all chunks are written, so a late failure would leave a
+      // partially-written store after a fully wasted job
+      dims.foreach { d =>
+        require(
+          !coordDtype(df.schema(d).dataType).contains("M8"),
+          s"zarr sink: zarr_format=3 has no core datetime64 data_type for dimension '$d' — use an int64 epoch column"
+        )
+      }
+    }
     val compressor = opts.get("compressor") match {
       case Some("none") | Some("null") => None
       case Some("zlib") if v3 => Some("gzip") // v3 has no zlib codec; gzip is its spelling

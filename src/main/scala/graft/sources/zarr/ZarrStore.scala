@@ -282,11 +282,14 @@ object ZarrChunkIO {
 
   /** Per-JVM bounded cache of decoded shard indexes: every inner chunk of a
     * shard shares one index, so tasks reading a shard's inner chunks pay the
-    * (length + ranged-GET) round-trips once. Entries are small (16 B per
-    * inner chunk + path); None records an absent shard. */
+    * index ranged-GET + crc decode once. Keyed on (path, length, mtime) —
+    * the file VERSION, from the one HEAD each read does anyway — so an
+    * in-place overwrite (or a shard appearing after an absent read) can
+    * never serve stale offsets; old versions age out of the LRU. Entries
+    * are small (16 B per inner chunk + key). */
   private val shardIndexCache =
-    new java.util.LinkedHashMap[String, Option[Array[Long]]](64, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, Option[Array[Long]]]): Boolean =
+    new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Array[Long]]): Boolean =
         size() > 256
     }
 
@@ -311,13 +314,18 @@ object ZarrChunkIO {
     while (d < within.length) { ordinal = ordinal * innerPer(d) + within(d); d += 1 }
     val nInner = innerPer.map(_.toLong).product.toInt
     val shardPath = new HPath(arrayDir, meta.chunkKey(shardIdx))
-    val key = shardPath.toString
-    val cached = shardIndexCache.synchronized(Option(shardIndexCache.get(key)))
-    val index: Option[Array[Long]] = cached.getOrElse {
-      val loaded = readShardIndex(shardPath, meta, nInner, storageOptions)
-      shardIndexCache.synchronized(shardIndexCache.put(key, loaded))
-      loaded
-    }
+    // One HEAD identifies the shard's version; absent shard = every inner
+    // chunk fills (nothing to cache — the HEAD already answered).
+    val index: Option[Array[Long]] =
+      ZarrFileIO.fileVersionIfExists(shardPath, storageOptions).map { case (fileLen, mtime) =>
+        val key = s"$shardPath@$fileLen:$mtime"
+        val cached = shardIndexCache.synchronized(Option(shardIndexCache.get(key)))
+        cached.getOrElse {
+          val loaded = readShardIndex(shardPath, meta, nInner, fileLen, storageOptions)
+          shardIndexCache.synchronized(shardIndexCache.put(key, loaded))
+          loaded
+        }
+      }
     index.flatMap { idx =>
       val off = idx(2 * ordinal.toInt)
       val len = idx(2 * ordinal.toInt + 1)
@@ -334,35 +342,34 @@ object ZarrChunkIO {
 
   /** Fetch + verify + parse a shard's index: `nInner` (offset, nbytes) u64
     * pairs in within-shard C-order, encoded by the index_codecs (bytes
-    * [+ crc32c]), at the start or end of the shard object. None = shard
-    * object absent (every inner chunk reads as fill). */
+    * [+ crc32c]), at the start or end of the shard object. `fileLen` comes
+    * from the caller's HEAD (also the cache-version key) — no second HEAD. */
   private def readShardIndex(
       shardPath: HPath,
       meta: ZarrArrayMeta,
       nInner: Int,
+      fileLen: Long,
       storageOptions: Map[String, String]
-  ): Option[Array[Long]] = {
+  ): Array[Long] = {
     val storedLen = nInner * 16 + (if (meta.shardIndexCrc) 4 else 0)
-    ZarrFileIO.fileLengthIfExists(shardPath, storageOptions).map { fileLen =>
-      require(
-        fileLen >= storedLen,
-        s"shard ${shardPath.getName}: ${fileLen} B is smaller than its $storedLen B index"
-      )
-      val raw = ZarrFileIO.readRange(
-        shardPath,
-        storageOptions,
-        if (meta.shardIndexAtEnd) fileLen - storedLen else 0L,
-        storedLen
-      )
-      val bytes =
-        if (meta.shardIndexCrc) ZarrCodecV3.decode("""{"name": "crc32c"}""", raw, nInner * 16)
-        else raw
-      val bb = java.nio.ByteBuffer.wrap(bytes).order(
-        if (meta.shardIndexBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-        else java.nio.ByteOrder.LITTLE_ENDIAN
-      )
-      Array.tabulate(nInner * 2)(i => bb.getLong(i * 8))
-    }
+    require(
+      fileLen >= storedLen,
+      s"shard ${shardPath.getName}: ${fileLen} B is smaller than its $storedLen B index"
+    )
+    val raw = ZarrFileIO.readRange(
+      shardPath,
+      storageOptions,
+      if (meta.shardIndexAtEnd) fileLen - storedLen else 0L,
+      storedLen
+    )
+    val bytes =
+      if (meta.shardIndexCrc) ZarrCodecV3.decode("""{"name": "crc32c"}""", raw, nInner * 16)
+      else raw
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(
+      if (meta.shardIndexBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    )
+    Array.tabulate(nInner * 2)(i => bb.getLong(i * 8))
   }
 
   /** Materialize an entire (small) array C-order — coordinate vectors only. */

@@ -222,4 +222,40 @@ class ZarrShardSpec extends AnyFunSuite with SparkTester {
     val e3 = intercept[Exception](new ZarrStore(root).arrayMeta("badnest"))
     assert(e3.getMessage.contains("sharding"), e3.getMessage)
   }
+
+  test("shard-index cache never serves stale offsets after an in-place overwrite") {
+    val root = Files.createTempDirectory("zarrshardstale").toString
+    val dir = ZarrStoreWriterV3.writeGroup(root)
+    def writeStore(gen: Long => Double, omit: Seq[Int] => Boolean): Unit =
+      ZarrStoreWriterV3.writeShardedArray(
+        dir, "v", Vector(4, 4), Vector(4, 4), Vector(2, 2), "float64", gen,
+        omitInner = omit
+      )
+    writeStore(f => f.toDouble, _ => false)
+    val meta = new ZarrStore(root).arrayMeta("v") // ZarrChunkIO cache is per-JVM
+    def cell00(): Double =
+      ZarrChunkIO.readChunk(dir.resolve("v").toString, meta, Seq(0, 0)).get.getDouble(0)
+    assert(cell00() == 0.0)
+    Thread.sleep(20) // ensure a distinct mtime even on coarse-granularity filesystems
+    // overwrite in place with different values AND a different inner-chunk layout
+    writeStore(f => 100.0 + f.toDouble, idx => idx == Seq(1, 1))
+    assert(cell00() == 100.0, "read served stale shard-index offsets after overwrite")
+    Thread.sleep(20)
+    // shard absent -> present transition must not be masked by an absent marker
+    val root2 = Files.createTempDirectory("zarrshardabsent").toString
+    val dir2 = ZarrStoreWriterV3.writeGroup(root2)
+    // metadata only: write the array then delete its one shard object
+    ZarrStoreWriterV3.writeShardedArray(
+      dir2, "v", Vector(4, 4), Vector(4, 4), Vector(2, 2), "float64", _.toDouble
+    )
+    val shardObj = dir2.resolve("v").resolve("c").resolve("0").resolve("0")
+    Files.delete(shardObj)
+    val meta2 = new ZarrStore(root2).arrayMeta("v")
+    assert(ZarrChunkIO.readChunk(dir2.resolve("v").toString, meta2, Seq(0, 0)).isEmpty)
+    ZarrStoreWriterV3.writeShardedArray(
+      dir2, "v", Vector(4, 4), Vector(4, 4), Vector(2, 2), "float64", f => 7.0 + f
+    )
+    val buf = ZarrChunkIO.readChunk(dir2.resolve("v").toString, meta2, Seq(0, 0))
+    assert(buf.isDefined && buf.get.getDouble(0) == 7.0, "absent-shard result was cached past the write")
+  }
 }

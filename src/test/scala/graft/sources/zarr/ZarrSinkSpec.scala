@@ -218,7 +218,9 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
     // on-store: exactly 2 shard objects (c/0/0, c/1/0), no per-chunk files
     val cDir = java.nio.file.Paths.get(base, "s", "v", "c")
     val files = java.nio.file.Files.walk(cDir)
-      .filter(java.nio.file.Files.isRegularFile(_)).count()
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter(p => !p.getFileName.toString.startsWith("."))
+      .count()
     assert(files == 2, s"expected 2 shard objects, found $files")
     // reader sees inner chunks as the planning unit
     val info = ZarrScan.getZarrDataInfo(s"$base/s")
@@ -254,6 +256,41 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
         .mode("append").save()
     }
     assert(msgOf(e2).contains("multiples of chunks"), msgOf(e2))
+  }
+
+  test("zarr_format=3 sink: timestamp DIMENSION rejected driver-side, before any data job") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarrsinkv3tsdim").toString
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("t", "value")
+    var jobs = -1
+    val e = intercept[Exception] {
+      jobs = countJobs {
+        df.write.format("zarr").option("path", s"$base/s").option("array", "v")
+          .option("zarr_format", "3").mode("append").save()
+      }
+    }
+    def msgOf(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+      sb.toString
+    }
+    assert(msgOf(e).contains("datetime64") && msgOf(e).contains("dimension"), msgOf(e))
+    // failed validation must not leave a partially-written store behind
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base, "s", "v", "c")))
+  }
+
+  test("bounded_collect_set rejects BinaryType (reference-equality Array[Byte] cannot dedup)") {
+    import spark.implicits._
+    val df = Seq(Array[Byte](1, 2), Array[Byte](1, 2)).toDF("b")
+    val e = intercept[Exception] {
+      df.agg(
+        GraftBridge.column(
+          graft.functions.BoundedCollectSet(GraftBridge.expression(col("b")), 10).toAggregateExpression()
+        )
+      ).head()
+    }
+    assert(e.getMessage.toLowerCase.contains("atomic"), e.getMessage)
   }
 
   test("bounded_collect_set: distinct semantics match collect_set; nulls skipped; bound enforced") {
