@@ -615,8 +615,62 @@ object CoreQueries {
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(5, 35)) t
              |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(2, 28)) x
              |GROUP BY 1 ORDER BY t""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // The sharded-v3 WRITE path under the correctness gate: the SINK
+    // (df.write.format("zarr"), shards option) builds the store — a
+    // distributed write of zstd inner chunks packed into shard objects
+    // with crc32c-checked byte-range indexes, sparse cells filling — and
+    // the scan reads it back through dim selection + a pushed filter.
+    // Write -> scan -> oracle closes the loop the fixture-writer-backed
+    // q26 cannot (ZarrStoreWriterV3 is test scaffolding; ZarrSink is the
+    // product).
+    Q(
+      "q27_zarr_write_sharded",
+      (s, _) => {
+        val root = CoreQueries.q27Store(s)
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("v", Map("x" -> DimSel.Range(2, 28)))
+          .filter(col("t").between(3, 36))
+          .groupBy("t")
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 18).as("sum_v"))
+          .orderBy("t")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS t, COUNT(*) AS n,
+             |CAST(SUM(CAST(CASE WHEN (t.i * 30 + x.i) % 97 = 0 THEN CAST(-5 AS DOUBLE)
+             |  ELSE CAST(((t.i * 30 + x.i) * 43) % 1000 AS DOUBLE) * 0.25 END
+             |  AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(3, 37)) t
+             |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(2, 28)) x
+             |GROUP BY 1 ORDER BY t""".stripMargin)
     )
   )
+
+  /** Build the q27 store once per JVM — via the PRODUCT sink, sharded v3:
+    * a (40,30) float64 grid, inner chunks (5,6) packed into (20,30) shard
+    * objects (2x1 on store), zstd, cells where flat % 97 == 0 withheld so
+    * they read back as the fill_value (-5). */
+  private[queries] def q27Store(s: SparkSession): String = synchronized {
+    val root = "/tmp/graft_q27_store"
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      s.range(0, 1200)
+        .filter(col("id") % 97 =!= 0)
+        .select(
+          (col("id") / 30).cast("int").as("t"),
+          (col("id") % 30).cast("int").as("x"),
+          (((col("id") * 43) % 1000).cast("double") * 0.25).as("value")
+        )
+        .write.format("zarr")
+        .option("path", root).option("array", "v").option("zarr_format", "3")
+        .option("chunks", "5,6").option("shards", "20,30")
+        .option("compressor", "zstd").option("fill_value", "-5")
+        .mode("append").save()
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
 
   /** Build the deterministic q25 Zarr V3 store once per JVM: `v` is
     * float64 (40,30) chunked (16,8) with a zstd+crc32c codec pipeline,

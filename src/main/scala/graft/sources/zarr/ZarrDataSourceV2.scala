@@ -308,6 +308,27 @@ class ZarrScanBuilder(
         count <= maxExplicitKept
       }
     }
+    /** Add kept contiguous run [lo, hi] (ascending, disjoint from prior
+      * adds) — O(1) while the survivors stay one contiguous run, so an
+      * all-in chunk over a monotonic axis costs nothing. */
+    def addRun(lo: Int, hi: Int): Boolean = {
+      if (first < 0) { first = lo; prev = hi; true }
+      else if (explicit == null && lo == prev + 1) { prev = hi; true }
+      else {
+        if (explicit == null) {
+          count = prev - first + 1
+          if (count + (hi - lo + 1) > maxExplicitKept) return false
+          explicit = new scala.collection.mutable.ArrayBuilder.ofInt
+          var k = first
+          while (k <= prev) { explicit += k; k += 1 }
+        } else if (count + (hi - lo + 1) > maxExplicitKept) return false
+        var k = lo
+        while (k <= hi) { explicit += k; k += 1 }
+        count += hi - lo + 1
+        prev = hi
+        count <= maxExplicitKept
+      }
+    }
     def result(): KeptSet =
       if (first < 0) KeptSet.Range(0, 0)
       else if (explicit == null) KeptSet.Range(first, prev + 1)
@@ -316,26 +337,29 @@ class ZarrScanBuilder(
 
   /** Refine the kept-index set of dim `d` by predicate `p` on coord value
     * (eager/positional coords — values are driver-resident or arithmetic). */
-  private def refine(d: Int, p: Double => Boolean): Boolean = {
+  private def refine(d: Int, p: CoordPred): Boolean = {
     val ks = keep(d)
     val acc = new RunAccumulator
     var i = 0
     val len = ks.length
     while (i < len) {
       val g = ks(i)
-      if (p(coordAsDouble(d, g)) && !acc.add(g)) return false
+      if (p.eval(coordAsDouble(d, g)) && !acc.add(g)) return false
       i += 1
     }
     keep = keep.updated(d, acc.result())
     true
   }
 
-  /** Refine a DEFERRED dim: stream the coordinate array's chunks one at a
-    * time (bounded driver heap — never a whole-axis array) and evaluate the
-    * predicate against each kept index. This is the Zarr analog of
-    * partition pruning from file-footer stats: the coordinate CHUNKS are
-    * read, the axis is never materialized. */
-  private def refineDeferred(d: Int, p: Double => Boolean): Boolean =
+  /** Refine a DEFERRED dim. Preferred path: per-chunk [min, max] stats
+    * (one cached DISTRIBUTED pass — [[DeferredCoordStats]]) classify whole
+    * chunks in or out, and only the boundary chunks whose window straddles
+    * the predicate are decoded on the driver — O(nChunks) planning instead
+    * of the old driver-serial full-axis decode; for a sorted axis and a
+    * range predicate, ≤ 2 chunk decodes at any axis length. Falls back to
+    * serial chunk streaming (bounded heap, never a whole-axis array) when
+    * stats are unavailable. */
+  private def refineDeferred(d: Int, p: CoordPred): Boolean =
     try {
       val dimName = meta.dims(d)
       val cm = store.arrayMeta(dimName)
@@ -354,45 +378,76 @@ class ZarrScanBuilder(
           }
         case Some(fv) => fv
       }
-      val acc = new RunAccumulator
+      val nChunks = ((cm.shape.head.toLong + chunkLen - 1) / chunkLen).toInt
+      // few chunks: the serial path decodes at most nChunks chunks anyway —
+      // not worth a stats job
+      val stats =
+        if (nChunks >= 4) DeferredCoordStats.forAxis(dirStr, cm, fill, store.storageOptions)
+        else None
       var cachedId = -1
       var buf: Option[ZarrBuffer] = None
-      val ks = keep(d)
-      val len = ks.length
-      var i = 0
-      while (i < len) {
-        val g = ks(i)
+      def cellAt(g: Int): Double = {
         val c = g / chunkLen
         if (c != cachedId) {
           buf = ZarrChunkIO.readChunk(dirStr, cm, Seq(c), store.storageOptions)
           cachedId = c
         }
-        val v: Double = buf match {
-          case Some(b) => cellAsDouble(cm.zdtype, b, g - c * chunkLen)
+        buf match {
+          case Some(b) => DeferredCoordStats.cellAsDouble(cm.zdtype, b, g - c * chunkLen)
           case None => fill
         }
-        if (p(v) && !acc.add(g)) return false
-        i += 1
+      }
+      val acc = new RunAccumulator
+      (stats, keep(d)) match {
+        case (Some(st), KeptSet.Range(start, until)) if until > start =>
+          // chunk-run walk: all-in chunks append as whole runs (O(1) while
+          // contiguous), all-out chunks skip, boundary chunks decode
+          var c = start / chunkLen
+          val lastChunk = (until - 1) / chunkLen
+          while (c <= lastChunk) {
+            val lo = math.max(start, c * chunkLen)
+            val hi = math.min(until - 1, c * chunkLen + chunkLen - 1)
+            if (p.allIn(st.min(c), st.max(c)) && !st.hasNaN(c)) {
+              if (!acc.addRun(lo, hi)) return false
+            } else if (p.anyIn(st.min(c), st.max(c))) {
+              var g = lo
+              while (g <= hi) {
+                if (p.eval(cellAt(g)) && !acc.add(g)) return false
+                g += 1
+              }
+            } // else: provably no match in this chunk — skip without decode
+            c += 1
+          }
+        case (Some(st), ks) =>
+          val len = ks.length
+          var i = 0
+          while (i < len) {
+            val g = ks(i)
+            val c = g / chunkLen
+            if (p.allIn(st.min(c), st.max(c)) && !st.hasNaN(c)) {
+              if (!acc.add(g)) return false
+            } else if (p.anyIn(st.min(c), st.max(c))) {
+              if (p.eval(cellAt(g)) && !acc.add(g)) return false
+            }
+            i += 1
+          }
+        case (None, ks) =>
+          // serial fallback: stream chunks one at a time, bounded heap
+          val len = ks.length
+          var i = 0
+          while (i < len) {
+            val g = ks(i)
+            if (p.eval(cellAt(g)) && !acc.add(g)) return false
+            i += 1
+          }
       }
       keep = keep.updated(d, acc.result())
       true
     } catch { case scala.util.control.NonFatal(_) => false }
 
-  /** NaT/NaN-aware cell → Double (comparisons against NaN are all false,
-    * so a NaT coordinate cell simply never matches a pushed predicate). */
-  private def cellAsDouble(dt: ZDtype, b: ZarrBuffer, local: Int): Double = dt.code match {
-    case ZDtype.I4 => b.getInt(local).toDouble
-    case ZDtype.I8 => b.getLong(local).toDouble
-    case ZDtype.F4 => b.getFloat(local).toDouble
-    case ZDtype.F8 => b.getDouble(local)
-    case ZDtype.M8 =>
-      b.getM8(local) match { case null => Double.NaN; case us: Long => us.toDouble }
-    case _ => Double.NaN
-  }
-
-  /** Dispatch: deferred dims stream coordinate chunks, the rest refine in
-    * memory. Returns true iff the filter was fully absorbed by pruning. */
-  private def tryRefine(d: Int, p: Double => Boolean): Boolean = coords(d) match {
+  /** Dispatch: deferred dims prune via chunk stats / streaming, the rest
+    * refine in memory. True iff the filter was fully absorbed by pruning. */
+  private def tryRefine(d: Int, p: CoordPred): Boolean = coords(d) match {
     case Coord.Deferred(_, _) => refineDeferred(d, p)
     case _ => refine(d, p)
   }
@@ -400,18 +455,17 @@ class ZarrScanBuilder(
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = filters.filter {
       case EqualTo(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        !tryRefine(dimIndex(a).get, _ == num(v).get)
+        !tryRefine(dimIndex(a).get, CoordPred.Eq(num(v).get))
       case GreaterThan(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        !tryRefine(dimIndex(a).get, _ > num(v).get)
+        !tryRefine(dimIndex(a).get, CoordPred.Gt(num(v).get))
       case GreaterThanOrEqual(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        !tryRefine(dimIndex(a).get, _ >= num(v).get)
+        !tryRefine(dimIndex(a).get, CoordPred.Ge(num(v).get))
       case LessThan(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        !tryRefine(dimIndex(a).get, _ < num(v).get)
+        !tryRefine(dimIndex(a).get, CoordPred.Lt(num(v).get))
       case LessThanOrEqual(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        !tryRefine(dimIndex(a).get, _ <= num(v).get)
+        !tryRefine(dimIndex(a).get, CoordPred.Le(num(v).get))
       case In(a, vs) if dimIndex(a).isDefined && vs.forall(num(_).isDefined) =>
-        val set = vs.flatMap(num).toSet
-        !tryRefine(dimIndex(a).get, set.contains)
+        !tryRefine(dimIndex(a).get, CoordPred.InSet(vs.flatMap(num).toSet))
       case _ => true
     }
     accepted = filters.diff(residual)

@@ -211,6 +211,15 @@ object Spike {
     println(f"[spike] deferred 1%% range pushdown: ${(System.nanoTime() - tf) / 1e9}%.1fs, " +
       f"rows=$cnt (expect 1000000), driver heap ${heapMb} MB")
     require(cnt == 1000000L, s"pushdown miscount: $cnt")
+    // warm path: the chunk-stats pass above is cached per axis version, so
+    // a second pushed filter classifies 100 chunks and decodes <= 2
+    val tw2 = System.nanoTime()
+    val sel2 = df.filter(col("time") >= 3L * 12000000L && col("time") < 3L * 13500000L)
+    assert(!sel2.queryExecution.optimizedPlan.toString().contains("Filter"))
+    val cnt2 = sel2.agg(count(lit(1))).collect().head.getLong(0)
+    println(f"[spike] deferred pushdown, warm stats: ${(System.nanoTime() - tw2) / 1e9}%.2fs, " +
+      f"rows=$cnt2 (expect 1500000)")
+    require(cnt2 == 1500000L, s"warm pushdown miscount: $cnt2")
     // spot value parity on an out-of-order gather through the deferred dim
     val got = new graft.api.ZarrDataReader(spark, root)
       .readArray("v", Map("time" -> graft.model.DimSel.Indices(Vector(73000001, 4, 99999999))))

@@ -146,6 +146,50 @@ class ZarrDeferredSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("chunk-stats pruning is sound on an UNSORTED deferred axis, and on chained filters") {
+    // permuted coordinate values (37 coprime to 48): chunk [min,max]
+    // windows overlap heavily, so stats can rarely prove all-in/all-out —
+    // correctness must come from boundary decodes, never a wrong prune
+    val root = Files.createTempDirectory("zarrdefunsorted").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    ZarrStoreWriter.writeArray(
+      dir, "temp", Vector(48, 4), Vector(8, 2), "<f8",
+      flat => flat * 0.5, dims = Some(Vector("time", "y"))
+    )
+    ZarrStoreWriter.writeArray(
+      dir, "time", Vector(48), Vector(7), "<i8",
+      i => 1000.0 + 3 * ((i * 37) % 48), dims = Some(Vector("time")), compressor = Some("zlib")
+    )
+    ZarrStoreWriter.writeCoord(dir, "y", Coord.Ints(Array(10, 20, 30, 40)))
+    ZarrStoreWriter.consolidate(dir)
+    val eager = read(root, "temp", None)
+    val deferred = read(root, "temp", Some(16))
+    val key = Seq(col("time"), col("y"))
+    val preds: Seq[org.apache.spark.sql.Column] = Seq(
+      col("time") >= 1030L && col("time") < 1100L,
+      col("time") === 1021L,
+      col("time").isin(1000L, 1063L, 1141L, 9999L)
+    )
+    preds.foreach { p =>
+      val d = deferred.filter(p)
+      assert(!d.queryExecution.optimizedPlan.toString().contains("Filter"), p.toString)
+      assert(
+        d.orderBy(key: _*).collect().toSeq == eager.filter(p).orderBy(key: _*).collect().toSeq,
+        p.toString
+      )
+    }
+    // chained same-dim predicates: the second refines an EXPLICIT kept set
+    // (the per-index stats walk, not the chunk-run walk)
+    val chained = deferred
+      .filter(col("time").isin((0 until 48 by 2).map(i => 1000L + 3 * i): _*))
+      .filter(col("time") >= 1030L)
+    assert(!chained.queryExecution.optimizedPlan.toString().contains("Filter"))
+    val expect = eager
+      .filter(col("time").isin((0 until 48 by 2).map(i => 1000L + 3 * i): _*))
+      .filter(col("time") >= 1030L)
+    assert(chained.orderBy(key: _*).collect().toSeq == expect.orderBy(key: _*).collect().toSeq)
+  }
+
   test("deferred datetime64 axis reads as TimestampType and matches eager") {
     val root = Files.createTempDirectory("zarrdeft").toString
     val dir = ZarrStoreWriter.writeGroup(root)
