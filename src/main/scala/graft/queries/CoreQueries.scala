@@ -643,8 +643,90 @@ object CoreQueries {
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(3, 37)) t
              |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(2, 28)) x
              |GROUP BY 1 ORDER BY t""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // STRING coordinate axis (|S station names — the label axes real
+    // climate stores carry, which the reference reads implicitly through
+    // zarr-python): membership predicate pushed into the scan as index
+    // pruning (refineStr), grouped aggregate keyed by the string coord.
+    Q(
+      "q28_zarr_stations",
+      (s, _) => {
+        val root = CoreQueries.q28Store()
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("temp")
+          .filter(col("station").isin("ST01", "ST03", "ST04"))
+          .groupBy("station")
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 18).as("sum_v"))
+          .orderBy("station")
+      },
+      Some("""SELECT 'ST0' || CAST(s.i AS VARCHAR) AS station, COUNT(*) AS n,
+             |CAST(SUM(CAST(CAST(s.i * 20 + t.i AS DOUBLE) * 0.5 AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 6)) s
+             |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(0, 20)) t
+             |WHERE s.i IN (1, 3, 4)
+             |GROUP BY 1 ORDER BY station""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // vlen-utf8 object array (multi-byte UTF-8 labels) joined with a
+    // uint64 array surfacing as Decimal(20,0) — numpy's full dtype surface
+    // beyond what fits Spark's signed integrals, exact.
+    Q(
+      "q29_zarr_labels_u8",
+      (s, _) => {
+        val root = CoreQueries.q28Store()
+        val rd = new graft.api.ZarrDataReader(s, root)
+        val labels = rd.readArray("label").select(col("t"), col("value").as("label"))
+        val bigs = rd.readArray("big").select(col("t"), col("value").as("big"))
+        labels.join(bigs, Seq("t")).orderBy("t")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS t,
+             |CASE WHEN t.i % 3 = 0 THEN 'doc-' || CAST(t.i AS VARCHAR) || '-α'
+             |     ELSE 'doc-' || CAST(t.i AS VARCHAR) END AS label,
+             |CAST(4503599627370496 + t.i AS DECIMAL(20,0)) AS big
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 20)) t
+             |ORDER BY t""".stripMargin)
     )
   )
+
+  /** Build the q28/q29 string-dtype store once per JVM: value `temp` f8
+    * over (station |S4 coord, t i4 coord); `label` a vlen-utf8 object array
+    * over t (multi-byte UTF-8 in every third cell); `big` a `<u8` array
+    * over t with values past int32 (2^52 + t — exact in the writer's
+    * double path). The dtype surface the reference gets implicitly from
+    * zarr-python/numpy (README.md:17 "type preservation";
+    * zarr_storage.py:397-415 surfaces dtype verbatim). */
+  private[queries] def q28Store(): String = synchronized {
+    val root = "/tmp/graft_q28_store"
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      import graft.sources.zarr.ZarrStoreWriter
+      val dir = ZarrStoreWriter.writeGroup(root)
+      ZarrStoreWriter.writeArray(
+        dir, "temp", Vector(6, 20), Vector(2, 8), "<f8",
+        flat => flat * 0.5, dims = Some(Vector("station", "t")),
+        compressor = Some("zstd")
+      )
+      ZarrStoreWriter.writeStringArray(
+        dir, "station", Vector(6), Vector(3), "|S4", i => s"ST0$i",
+        dims = Some(Vector("station")), compressor = Some("gzip")
+      )
+      ZarrStoreWriter.writeStringArray(
+        dir, "label", Vector(20), Vector(8), "|O",
+        i => if (i % 3 == 0) s"doc-$i-α" else s"doc-$i", dims = Some(Vector("t")),
+        compressor = Some("blosc:lz4")
+      )
+      ZarrStoreWriter.writeArray(
+        dir, "big", Vector(20), Vector(8), "<u8",
+        i => 4503599627370496.0 + i, dims = Some(Vector("t"))
+      )
+      ZarrStoreWriter.writeCoord(dir, "t", Coord.Ints(Array.tabulate(20)(identity)))
+      ZarrStoreWriter.consolidate(dir)
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
 
   /** Build the q27 store once per JVM — via the PRODUCT sink, sharded v3:
     * a (40,30) float64 grid, inner chunks (5,6) packed into (20,30) shard

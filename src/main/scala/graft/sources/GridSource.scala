@@ -36,6 +36,11 @@ object Coord {
   final case class Timestamps(a: Array[Long]) extends Coord {
     def dataType = TimestampType; def apply(i: Int) = a(i); def length = a.length
   }
+  /** String coordinate (station-name / label axes). `apply` returns the
+    * Spark-INTERNAL UTF8String — zarr readers only, like Timestamps. */
+  final case class Strings(a: Array[org.apache.spark.unsafe.types.UTF8String]) extends Coord {
+    def dataType = StringType; def apply(i: Int) = a(i); def length = a.length
+  }
   /** Long-dimension coordinate whose VALUES never materialize on the driver
     * (a 10^8-element time axis is ~0.8 GB — driver-held arrays are a hard
     * 100x-scale ceiling). Only the Spark type rides in the plan; executors
@@ -78,8 +83,11 @@ object GridSource {
       numPartitions: Option[Int] = None
   ): DataFrame = {
     require(
-      !spec.coords.exists(c => c.isInstanceOf[Coord.Timestamps] || c.isInstanceOf[Coord.Deferred]),
-      "GridSource builds external Rows; Coord.Timestamps/Deferred are for the zarr readers only"
+      !spec.coords.exists(c =>
+        c.isInstanceOf[Coord.Timestamps] || c.isInstanceOf[Coord.Deferred] ||
+          c.isInstanceOf[Coord.Strings]
+      ),
+      "GridSource builds external Rows; Coord.Timestamps/Strings/Deferred are for the zarr readers only"
     )
     val rs = Selection.resolve(spec.shape, spec.dims, sel)
     val outDims = rs.outDims

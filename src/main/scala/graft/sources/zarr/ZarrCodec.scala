@@ -19,8 +19,15 @@ object ZarrCodec {
       case Some("gzip") => readAll(new GZIPInputStream(new java.io.ByteArrayInputStream(bytes)), rawLen)
       case Some("zstd") =>
         // rawLen is known from the chunk's element count x item size; a
-        // one-shot decompress avoids streaming allocation churn
-        com.github.luben.zstd.Zstd.decompress(bytes, rawLen)
+        // one-shot decompress avoids streaming allocation churn. rawLen <= 0
+        // (variable-length chunks, e.g. vlen-utf8) reads the frame's own
+        // declared content size instead.
+        if (rawLen > 0) com.github.luben.zstd.Zstd.decompress(bytes, rawLen)
+        else {
+          val sz = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+          require(sz >= 0 && sz <= Int.MaxValue, s"zstd frame with unknown/huge content size $sz")
+          com.github.luben.zstd.Zstd.decompress(bytes, sz.toInt)
+        }
       case Some("blosc") => Blosc.decompress(bytes)
       case Some(other) =>
         throw new UnsupportedOperationException(

@@ -263,6 +263,8 @@ class ZarrScanBuilder(
     case Coord.Index(_) => idx.toDouble
     case Coord.Deferred(_, _) =>
       throw new IllegalStateException("deferred coords refine via refineDeferred") // routed by tryRefine
+    case Coord.Strings(_) =>
+      throw new IllegalStateException("string coords refine via refineStr") // routed by tryRefine
   }
 
   private def num(v: Any): Option[Double] = v match {
@@ -449,11 +451,43 @@ class ZarrScanBuilder(
     * refine in memory. True iff the filter was fully absorbed by pruning. */
   private def tryRefine(d: Int, p: CoordPred): Boolean = coords(d) match {
     case Coord.Deferred(_, _) => refineDeferred(d, p)
+    case Coord.Strings(_) => false // numeric predicate on a string axis: residual
     case _ => refine(d, p)
   }
 
+  /** Refine a STRING coordinate axis (station-name / label dims) by an
+    * equality/membership predicate — the string analog of [[refine]]. */
+  private def refineStr(
+      d: Int,
+      p: org.apache.spark.unsafe.types.UTF8String => Boolean
+  ): Boolean = coords(d) match {
+    case Coord.Strings(a) =>
+      val ks = keep(d)
+      val acc = new RunAccumulator
+      var i = 0
+      val len = ks.length
+      while (i < len) {
+        val g = ks(i)
+        if (p(a(g)) && !acc.add(g)) return false
+        i += 1
+      }
+      keep = keep.updated(d, acc.result())
+      true
+    case _ => false
+  }
+
+  private def utf8(v: Any): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = filters.filter {
+      case EqualTo(a, v: String) if dimIndex(a).isDefined =>
+        val u = utf8(v)
+        !refineStr(dimIndex(a).get, s => u == s)
+      case In(a, vs)
+          if dimIndex(a).isDefined && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        val set = vs.map(utf8).toSet
+        !refineStr(dimIndex(a).get, set.contains)
       case EqualTo(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
         !tryRefine(dimIndex(a).get, CoordPred.Eq(num(v).get))
       case GreaterThan(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
@@ -655,6 +689,7 @@ class ZarrScan(
       case Coord.Floats(a) => Some(Coord.Floats(Array.tabulate(n)(i => a(dr.keptAt(i)))))
       case Coord.Doubles(a) => Some(Coord.Doubles(Array.tabulate(n)(i => a(dr.keptAt(i)))))
       case Coord.Timestamps(a) => Some(Coord.Timestamps(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+      case Coord.Strings(a) => Some(Coord.Strings(Array.tabulate(n)(i => a(dr.keptAt(i)))))
       case Coord.Index(_) => None
       case Coord.Deferred(_, _) => None
     }
@@ -915,7 +950,10 @@ class ZarrRowReader(
   private val needValue = required.fieldNames.contains("value")
   // fill value boxed ONCE as the dtype's Spark-internal value (null when the
   // store declares no fill) — the per-cell loop never re-dispatches on dtype
-  private val fillAny: Any = meta.fillValue.map(f => ZDtype.box(meta.zdtype, f)).orNull
+  private val fillAny: Any =
+    if (ZDtype.isString(meta.zdtype.code))
+      meta.fillValueStr.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+    else meta.fillValue.map(f => ZDtype.box(meta.zdtype, f)).orNull
   private val row = new GenericInternalRow(required.length)
 
   override def next(): Boolean = {
@@ -995,11 +1033,27 @@ class ZarrColumnarReader(
           case null => vec.putNull(n)
           case us: Long => vec.putLong(n, us) // TimestampType vectors are long-backed
         }
+    case ZDtype.S | ZDtype.US | ZDtype.VSTR =>
+      (b, n, flat) => {
+        val s = b.getUTF8(flat)
+        if (s == null) vec.putNull(n) else vec.putByteArray(n, s.getBytes)
+      }
+    case ZDtype.U8 => (b, n, flat) => vec.putDecimal(n, b.getU8Dec(flat), 20)
     case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 
   /** Missing-chunk fill: (rowId, count) constant put, bound once. */
-  private def bindFillPut(vec: OnHeapColumnVector): (Int, Int) => Unit = fillValue match {
+  private def bindFillPut(vec: OnHeapColumnVector): (Int, Int) => Unit =
+    if (ZDtype.isString(dtCode)) {
+      meta.fillValueStr match {
+        case None => (n, c) => vec.putNulls(n, c)
+        case Some(s) =>
+          val bts = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (n, c) => { var i = 0; while (i < c) { vec.putByteArray(n + i, bts); i += 1 } }
+      }
+    } else bindFillPutNumeric(vec)
+
+  private def bindFillPutNumeric(vec: OnHeapColumnVector): (Int, Int) => Unit = fillValue match {
     case None => (n, c) => vec.putNulls(n, c)
     case Some(fv) =>
       dtCode match {
@@ -1015,6 +1069,9 @@ class ZarrColumnarReader(
             case null => (n, c) => vec.putNulls(n, c)
             case us: Long => (n, c) => vec.putLongs(n, c, us)
           }
+        case ZDtype.U8 =>
+          val dec = ZDtype.box(meta.zdtype, fv).asInstanceOf[org.apache.spark.sql.types.Decimal]
+          (n, c) => { var i = 0; while (i < c) { vec.putDecimal(n + i, dec, 20); i += 1 } }
         case other => throw new IllegalStateException(s"bad dtype code $other")
       }
   }
@@ -1065,6 +1122,7 @@ class ZarrColumnarReader(
         case Some(Coord.Floats(a)) => (n: Int) => vec.putFloat(n, a(keptPos(d)))
         case Some(Coord.Doubles(a)) => (n: Int) => vec.putDouble(n, a(keptPos(d)))
         case Some(Coord.Timestamps(a)) => (n: Int) => vec.putLong(n, a(keptPos(d)))
+        case Some(Coord.Strings(a)) => (n: Int) => vec.putByteArray(n, a(keptPos(d)).getBytes)
         case Some(other) =>
           throw new IllegalStateException(s"non-eager coord in keptCoords: $other")
         case None =>
@@ -1134,6 +1192,11 @@ class ZarrColumnarReader(
             case Some(Coord.Floats(a)) => (n: Int, c: Int) => vec.putFloats(n, c, a, keptPos(d))
             case Some(Coord.Doubles(a)) => (n: Int, c: Int) => vec.putDoubles(n, c, a, keptPos(d))
             case Some(Coord.Timestamps(a)) => (n: Int, c: Int) => vec.putLongs(n, c, a, keptPos(d))
+            case Some(Coord.Strings(a)) =>
+              (n: Int, c: Int) => {
+                var i = 0
+                while (i < c) { vec.putByteArray(n + i, a(keptPos(d) + i).getBytes); i += 1 }
+              }
             case Some(other) =>
               throw new IllegalStateException(s"non-eager coord in keptCoords: $other")
             case None =>
@@ -1168,6 +1231,12 @@ class ZarrColumnarReader(
             case Some(Coord.Floats(a)) => (n: Int, c: Int) => vec.putFloats(n, c, a(keptPos(d)))
             case Some(Coord.Doubles(a)) => (n: Int, c: Int) => vec.putDoubles(n, c, a(keptPos(d)))
             case Some(Coord.Timestamps(a)) => (n: Int, c: Int) => vec.putLongs(n, c, a(keptPos(d)))
+            case Some(Coord.Strings(a)) =>
+              (n: Int, c: Int) => {
+                val bts = a(keptPos(d)).getBytes
+                var i = 0
+                while (i < c) { vec.putByteArray(n + i, bts); i += 1 }
+              }
             case Some(other) =>
               throw new IllegalStateException(s"non-eager coord in keptCoords: $other")
             case None =>

@@ -37,7 +37,10 @@ final case class ZarrArrayMeta(
     shardShape: Option[Vector[Int]] = None,
     shardIndexCrc: Boolean = true, // index_codecs carry a crc32c checksum
     shardIndexBigEndian: Boolean = false,
-    shardIndexAtEnd: Boolean = true // index_location end | start
+    shardIndexAtEnd: Boolean = true, // index_location end | start
+    // string dtypes carry their fill here (fillValue stays None): absent
+    // chunks read as this string, or as null when the store declares null
+    fillValueStr: Option[String] = None
 ) {
   def rank: Int = shape.length
   @transient lazy val zdtype: ZDtype = ZDtype.parse(dtype)
@@ -81,8 +84,19 @@ object ZDtype {
   final val BOOL = 0; final val I1 = 1; final val U1 = 2; final val I2 = 3; final val U2 = 4
   final val I4 = 5; final val U4 = 6; final val I8 = 7; final val F4 = 8; final val F8 = 9
   final val F2 = 10; final val M8 = 11
+  // string kinds: S = numpy fixed-width bytes (|S8), US = fixed-width UCS4
+  // unicode (<U8, 4 B/code point), VSTR = object dtype behind the numcodecs
+  // vlen-utf8 filter. All surface as StringType. U8 = uint64, which no
+  // signed Spark integral holds — Decimal(20,0), the same mapping Spark's
+  // parquet reader uses for unsigned 64-bit logical types.
+  final val S = 12; final val US = 13; final val VSTR = 14; final val U8 = 15
 
   final val NaT: Long = Long.MinValue
+
+  /** 2^64 — unsigned-long decode offset for negative raw bits. */
+  private[zarr] val TwoPow64 = java.math.BigInteger.ONE.shiftLeft(64)
+
+  def isString(code: Int): Boolean = code == S || code == US || code == VSTR
 
   private val Kinds: Map[String, (Int, Int, DataType)] = Map(
     "b1" -> ((BOOL, 1, BooleanType)),
@@ -93,6 +107,7 @@ object ZDtype {
     "i4" -> ((I4, 4, IntegerType)),
     "u4" -> ((U4, 4, LongType)),
     "i8" -> ((I8, 8, LongType)),
+    "u8" -> ((U8, 8, DecimalType(20, 0))),
     "f2" -> ((F2, 2, FloatType)),
     "f4" -> ((F4, 4, FloatType)),
     "f8" -> ((F8, 8, DoubleType))
@@ -128,13 +143,27 @@ object ZDtype {
         )
       )
       ZDtype(dtype, M8, 8, big, TimestampType, num, den)
+    } else if (kind == "O") {
+      // object dtype — only meaningful behind the vlen-utf8 filter, which
+      // metadata parsing validates; itemSize 0 marks "no fixed raw length"
+      ZDtype(dtype, VSTR, 0, bigEndian = false, StringType)
+    } else if (kind.length > 1 && kind.head == 'S' && kind.tail.forall(_.isDigit)) {
+      val n = kind.tail.toInt
+      require(n > 0, s"zero-width string dtype '$dtype'")
+      ZDtype(dtype, S, n, bigEndian = false, StringType)
+    } else if (kind.length > 1 && kind.head == 'U' && kind.tail.forall(_.isDigit)) {
+      val n = kind.tail.toInt
+      require(n > 0, s"zero-width string dtype '$dtype'")
+      // 4 bytes per UCS4 code point; byte order applies per code point
+      ZDtype(dtype, US, 4 * n, big, StringType)
     } else
       Kinds.get(kind) match {
         case Some((code, size, st)) => ZDtype(dtype, code, size, big && size > 1, st)
         case None =>
           throw new IllegalArgumentException(
             s"unsupported zarr dtype '$dtype' (supported kinds: ${Kinds.keys.toSeq.sorted.mkString(", ")}, " +
-              "M8[ns|us|ms|s|m|h|D], with '<', '>', '|', '=' byte-order prefixes; strings/complex are not)"
+              "M8[ns|us|ms|s|m|h|D], S<n>/U<n> fixed-width strings, O+vlen-utf8, " +
+              "with '<', '>', '|', '=' byte-order prefixes; complex is not)"
           )
       }
   }
@@ -195,7 +224,8 @@ object ZDtype {
     case F4 => v.toFloat
     case F8 => v
     case M8 => m8Micros(dt, v.toLong)
-    case other => throw new IllegalStateException(s"bad dtype code $other")
+    case U8 => Decimal(new java.math.BigDecimal(v).setScale(0, java.math.RoundingMode.UNNECESSARY))
+    case other => throw new IllegalStateException(s"bad dtype code $other (string fills route via fillValueStr)")
   }
 
   /** Exact integral encode (no double round-trip — a large i8 value would
@@ -209,6 +239,7 @@ object ZDtype {
     case I4 => buf.putInt(i * 4, v.toInt)
     case U4 => buf.putInt(i * 4, (v & 0xffffffffL).toInt)
     case I8 => buf.putLong(i * 8, v)
+    case U8 => buf.putLong(i * 8, v) // raw bits; negative = values past 2^63
     case F2 => buf.putShort(i * 2, floatToHalf(v.toFloat))
     case F4 => buf.putFloat(i * 4, v.toFloat)
     case F8 => buf.putDouble(i * 8, v.toDouble)
@@ -228,6 +259,7 @@ object ZDtype {
     case I4 => buf.putInt(i * 4, v.toInt)
     case U4 => buf.putInt(i * 4, (v.toLong & 0xffffffffL).toInt)
     case I8 => buf.putLong(i * 8, v.toLong)
+    case U8 => buf.putLong(i * 8, v.toLong) // exact only to 2^53 via Double
     case F2 => buf.putShort(i * 2, floatToHalf(v.toFloat))
     case F4 => buf.putFloat(i * 4, v.toFloat)
     case F8 => buf.putDouble(i * 8, v)
@@ -255,17 +287,43 @@ object ZarrMeta {
       case JNull | JNothing => None
       case c => Some((c \ "id").extract[String])
     }
-    val fill = (j \ "fill_value") match {
-      case JNull | JNothing => None
-      case JString("NaN") => Some(Double.NaN)
-      case JString("Infinity") => Some(Double.PositiveInfinity)
-      case JString("-Infinity") => Some(Double.NegativeInfinity)
-      case JDouble(x) => Some(x)
-      case JInt(x) => Some(x.toDouble)
-      case JLong(x) => Some(x.toDouble)
-      case JDecimal(x) => Some(x.toDouble)
-      case other => throw new IllegalArgumentException(s"unsupported fill_value $other")
-    }
+    val zdt = ZDtype.parse(dtype) // loud reject of unsupported dtypes up front
+    val isStr = ZDtype.isString(zdt.code)
+    // string dtypes: fill_value is a string (for |S the v2 spec base64-
+    // encodes the raw bytes); numeric 0 on object arrays means "no fill"
+    val fillStr: Option[String] =
+      if (!isStr) None
+      else
+        (j \ "fill_value") match {
+          case JNull | JNothing => None
+          case JString(s) if zdt.code == ZDtype.S || zdt.code == ZDtype.US =>
+            // base64 of the raw fixed-width cell (zarr v2 §fill-value);
+            // a non-base64 literal is taken verbatim (zarr-python accepts
+            // both historically)
+            try {
+              val raw = java.util.Base64.getDecoder.decode(s)
+              Some(ZarrBuffer.decodeFixedString(raw, 0, zdt))
+            } catch { case _: IllegalArgumentException => Some(s) }
+          case JString(s) => Some(s)
+          case JInt(x) if x == 0 => None
+          case JDouble(0.0) => None
+          case other =>
+            throw new IllegalArgumentException(s"unsupported string fill_value $other for dtype $dtype")
+        }
+    val fill: Option[Double] =
+      if (isStr) None
+      else
+        (j \ "fill_value") match {
+          case JNull | JNothing => None
+          case JString("NaN") => Some(Double.NaN)
+          case JString("Infinity") => Some(Double.PositiveInfinity)
+          case JString("-Infinity") => Some(Double.NegativeInfinity)
+          case JDouble(x) => Some(x)
+          case JInt(x) => Some(x.toDouble)
+          case JLong(x) => Some(x.toDouble)
+          case JDecimal(x) => Some(x.toDouble)
+          case other => throw new IllegalArgumentException(s"unsupported fill_value $other")
+        }
     val (dims, attrs) = zattrsJson match {
       case Some(a) =>
         val ja = JsonMethods.parse(a)
@@ -293,12 +351,27 @@ object ZarrMeta {
     // filters MUST be carried (not ignored): a filtered chunk's bytes are
     // not the array values, and dropping the filter chain would silently
     // return wrong data — the one failure mode a reader must never have
-    val filters = (j \ "filters") match {
+    val filtersAll = (j \ "filters") match {
       case JNull | JNothing => Vector.empty[String]
       case JArray(items) => items.map(i => JsonMethods.compact(JsonMethods.render(i))).toVector
       case other => throw new IllegalArgumentException(s"array $name: bad filters $other")
     }
-    ZarrArrayMeta(name, shape, chunks, dtype, order, compressor, fill, dimNames, attrs, filters)
+    // object dtype: the vlen-utf8 filter is STRUCTURAL (it defines the
+    // chunk byte layout the reader parses), not a bytes→bytes transform —
+    // require exactly it and strip it from the byte-filter chain
+    val filters =
+      if (zdt.code == ZDtype.VSTR) {
+        require(
+          filtersAll.map(ZarrFilters.idOf) == Vector("vlen-utf8"),
+          s"array $name: object dtype requires filters [vlen-utf8], got " +
+            s"${filtersAll.map(ZarrFilters.idOf)} (vlen-bytes/vlen-array are not supported)"
+        )
+        Vector.empty[String]
+      } else filtersAll
+    ZarrArrayMeta(
+      name, shape, chunks, dtype, order, compressor, fill, dimNames, attrs, filters,
+      fillValueStr = fillStr
+    )
   }
 
   /** v3 `data_type` names → v2-style dtype kind tags (endianness comes from

@@ -180,6 +180,18 @@ final class ZarrStore(
             val vals = Array.tabulate(extent)(i => acc.getM8(i))
             if (vals.contains(null)) Coord.Index(extent)
             else Coord.Timestamps(vals.map(_.asInstanceOf[Long]))
+          case ZDtype.S | ZDtype.US | ZDtype.VSTR =>
+            // station-name / label axes: a null cell (null fill) breaks
+            // coordinate totality -> positional fallback like NaT above
+            val vals = Array.tabulate(extent)(i => acc.getUTF8(i))
+            if (vals.contains(null)) Coord.Index(extent) else Coord.Strings(vals)
+          case ZDtype.U8 =>
+            // uint64 axis: representable as longs unless a value needs the
+            // 64th bit (vanishingly rare for an axis) -> else positional
+            val raw = Array.tabulate(extent)(i => acc.getU8Dec(i))
+            if (raw.forall(_.toBigDecimal <= BigDecimal(Long.MaxValue)))
+              Coord.Longs(raw.map(_.toLong))
+            else Coord.Index(extent)
           case _ => Coord.Index(extent)
         }
       }
@@ -193,7 +205,11 @@ final class ZarrStore(
 /** Typed view over a decoded chunk buffer. The ByteBuffer order follows the
   * dtype's byte order, so `>f8` / `>i4` big-endian stores decode through the
   * same accessors as the little-endian common case. */
-final class ZarrBuffer(bytes: Array[Byte], val dt: ZDtype) extends Serializable {
+final class ZarrBuffer(
+    bytes: Array[Byte],
+    val dt: ZDtype,
+    strings: Array[org.apache.spark.unsafe.types.UTF8String] = null // VSTR chunks only
+) extends Serializable {
   /** Raw bytes in the store's own order — the columnar reader block-copies
     * contiguous little-endian runs straight from here into column vectors
     * (big-endian dtypes take the per-element accessor path instead). */
@@ -213,6 +229,21 @@ final class ZarrBuffer(bytes: Array[Byte], val dt: ZDtype) extends Serializable 
   def getHalf(i: Int): Float = ZDtype.halfToFloat(buf.getShort(i * 2))
   /** datetime64 cell → Spark-internal micros, or null for NaT. */
   def getM8(i: Int): Any = ZDtype.m8Micros(dt, buf.getLong(i * 8))
+  /** String cell → Spark-internal UTF8String (S: NUL-trimmed fixed bytes;
+    * U: NUL-trimmed UCS4 code points; vlen-utf8 and whole-array string
+    * gathers use the pre-decoded array). May be null (null fill). */
+  def getUTF8(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    if (strings != null) strings(i)
+    else ZarrBuffer.decodeFixedUtf8(bytes, i * dt.itemSize, dt)
+  /** uint64 cell → Decimal(20,0) (negative raw bits = values past 2^63). */
+  def getU8Dec(i: Int): org.apache.spark.sql.types.Decimal = {
+    val raw = buf.getLong(i * 8)
+    if (raw >= 0L) org.apache.spark.sql.types.Decimal(raw)
+    else
+      org.apache.spark.sql.types.Decimal(
+        scala.math.BigDecimal(java.math.BigInteger.valueOf(raw).add(ZDtype.TwoPow64))
+      )
+  }
   /** Read as Any matching the Spark type for dtype. */
   def getValue(i: Int): Any = dt.code match {
     case ZDtype.BOOL => getBool(i)
@@ -223,11 +254,83 @@ final class ZarrBuffer(bytes: Array[Byte], val dt: ZDtype) extends Serializable 
     case ZDtype.I4 => getInt(i)
     case ZDtype.U4 => getU4(i)
     case ZDtype.I8 => getLong(i)
+    case ZDtype.U8 => getU8Dec(i)
     case ZDtype.F2 => getHalf(i)
     case ZDtype.F4 => getFloat(i)
     case ZDtype.F8 => getDouble(i)
     case ZDtype.M8 => getM8(i)
+    case ZDtype.S | ZDtype.US | ZDtype.VSTR => getUTF8(i)
     case other => throw new IllegalStateException(s"bad dtype code $other")
+  }
+}
+
+object ZarrBuffer {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** One fixed-width string cell at byte offset `off`: |S = raw bytes with
+    * trailing NULs trimmed (numpy semantics); U = UCS4 code points (dtype
+    * byte order), trailing NUL code points trimmed. */
+  def decodeFixedUtf8(bytes: Array[Byte], off: Int, dt: ZDtype): UTF8String = dt.code match {
+    case ZDtype.S =>
+      var len = dt.itemSize
+      while (len > 0 && bytes(off + len - 1) == 0) len -= 1
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, off, off + len))
+    case ZDtype.US =>
+      val bb = ByteBuffer
+        .wrap(bytes, off, dt.itemSize)
+        .order(if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      val nCp = dt.itemSize / 4
+      var last = nCp
+      while (last > 0 && bb.getInt(off + (last - 1) * 4) == 0) last -= 1
+      val sb = new java.lang.StringBuilder(last)
+      var i = 0
+      while (i < last) { sb.appendCodePoint(bb.getInt(off + i * 4)); i += 1 }
+      UTF8String.fromString(sb.toString)
+    case other => throw new IllegalStateException(s"not a fixed-width string dtype: $other")
+  }
+
+  /** Same cell decoded to a plain Java String (metadata-side fills). */
+  def decodeFixedString(bytes: Array[Byte], off: Int, dt: ZDtype): String =
+    decodeFixedUtf8(bytes, off, dt).toString
+
+  /** Encode a string into one fixed-width cell (writer + fill seam):
+    * |S = UTF-8 bytes NUL-padded; U = UCS4 code points NUL-padded. */
+  def encodeFixed(s: String, dt: ZDtype): Array[Byte] = dt.code match {
+    case ZDtype.S =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      require(b.length <= dt.itemSize, s"'$s' (${b.length} B) overflows ${dt.tag}")
+      java.util.Arrays.copyOf(b, dt.itemSize)
+    case ZDtype.US =>
+      val cps = s.codePoints().toArray
+      require(cps.length <= dt.itemSize / 4, s"'$s' (${cps.length} code points) overflows ${dt.tag}")
+      val bb = ByteBuffer
+        .allocate(dt.itemSize)
+        .order(if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      cps.foreach(bb.putInt)
+      bb.array()
+    case other => throw new IllegalStateException(s"not a fixed-width string dtype: $other")
+  }
+
+  /** Parse a numcodecs vlen-utf8 chunk body (u32-LE item count, then per
+    * item u32-LE byte length + UTF-8 bytes) into a VSTR ZarrBuffer. */
+  def vlenUtf8(bytes: Array[Byte], expectedItems: Int, dt: ZDtype): ZarrBuffer = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt()
+    require(
+      n == expectedItems,
+      s"vlen-utf8 chunk declares $n items, chunk shape implies $expectedItems"
+    )
+    val out = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      require(len >= 0 && len <= bb.remaining(), s"vlen-utf8 item $i: bad length $len")
+      val item = new Array[Byte](len)
+      bb.get(item)
+      out(i) = UTF8String.fromBytes(item)
+      i += 1
+    }
+    new ZarrBuffer(null, dt, out)
   }
 }
 
@@ -249,7 +352,9 @@ object ZarrChunkIO {
       chunkIdx: Seq[Int],
       storageOptions: Map[String, String] = Map.empty
   ): Option[ZarrBuffer] = {
-    val rawLen = meta.chunks.map(_.toLong).product.toInt * ZarrMeta.itemSize(meta.dtype)
+    val nCells = meta.chunks.map(_.toLong).product.toInt // rank 0: empty product = 1
+    val isVlen = meta.zdtype.code == ZDtype.VSTR
+    val rawLen = if (isVlen) -1 else nCells * ZarrMeta.itemSize(meta.dtype)
     def decodeV3(raw: Array[Byte]): Array[Byte] =
       // v3 bytes->bytes codecs applied in encode order -> undone in REVERSE
       meta.v3Codecs.foldRight(raw)((cfg, b) => ZarrCodecV3.decode(cfg, b, rawLen))
@@ -257,8 +362,11 @@ object ZarrChunkIO {
       case Some(_) => readInnerChunk(arrayDir, meta, chunkIdx, storageOptions).map(decodeV3)
       case None =>
         val f = new HPath(arrayDir, meta.chunkKey(chunkIdx))
-        ZarrFileIO.readBytesIfExists(f, storageOptions, sizeHint = rawLen).map { raw =>
+        ZarrFileIO.readBytesIfExists(f, storageOptions, sizeHint = math.max(rawLen, 4096)).map { raw =>
           if (meta.v3) decodeV3(raw)
+          else if (isVlen)
+            // the vlen-utf8 layout is parsed below; only decompression here
+            ZarrCodec.decompress(meta.compressor, raw, -1)
           else {
             // width-changing filters (fixedscaleoffset, packbits) store fewer
             // bytes than the decoded chunk — size the decompressor for the
@@ -272,11 +380,14 @@ object ZarrChunkIO {
         }
     }
     decoded.map { bytes =>
-      require(
-        bytes.length == rawLen,
-        s"chunk ${meta.chunkKey(chunkIdx)} decoded to ${bytes.length} bytes, expected $rawLen"
-      )
-      new ZarrBuffer(bytes, meta.zdtype)
+      if (isVlen) ZarrBuffer.vlenUtf8(bytes, nCells, meta.zdtype)
+      else {
+        require(
+          bytes.length == rawLen,
+          s"chunk ${meta.chunkKey(chunkIdx)} decoded to ${bytes.length} bytes, expected $rawLen"
+        )
+        new ZarrBuffer(bytes, meta.zdtype)
+      }
     }
   }
 
@@ -378,6 +489,7 @@ object ZarrChunkIO {
       meta: ZarrArrayMeta,
       storageOptions: Map[String, String] = Map.empty
   ): ZarrBuffer = {
+    if (ZDtype.isString(meta.zdtype.code)) return readWholeStrings(arrayDir, meta, storageOptions)
     val total = meta.totalElements.toInt
     val item = ZarrMeta.itemSize(meta.dtype)
     val out = new Array[Byte](total * item)
@@ -399,6 +511,39 @@ object ZarrChunkIO {
       ci += 1
     }
     new ZarrBuffer(out, meta.zdtype)
+  }
+
+  /** String-dtype whole-array gather (coordinate axes): every cell decoded
+    * to UTF8String; absent chunks fill with fillValueStr (null when the
+    * store declares no fill). */
+  private def readWholeStrings(
+      arrayDir: String,
+      meta: ZarrArrayMeta,
+      storageOptions: Map[String, String]
+  ): ZarrBuffer = {
+    val total = meta.totalElements.toInt
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](total)
+    val fill = meta.fillValueStr
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      .orNull
+    val nC = meta.nChunks
+    val chunkCount = nC.map(_.toLong).product.toInt
+    val cIdx = new Array[Int](meta.rank)
+    var ci = 0
+    while (ci < chunkCount) {
+      var rem = ci; var d = meta.rank - 1
+      while (d >= 0) { cIdx(d) = rem % nC(d); rem /= nC(d); d -= 1 }
+      readChunk(arrayDir, meta, cIdx.toSeq, storageOptions) match {
+        case Some(buf) =>
+          foreachCell(cIdx, meta) { (localFlat, globalFlat) =>
+            out(globalFlat.toInt) = buf.getUTF8(localFlat)
+          }
+        case None =>
+          foreachCell(cIdx, meta) { (_, globalFlat) => out(globalFlat.toInt) = fill }
+      }
+      ci += 1
+    }
+    new ZarrBuffer(null, meta.zdtype, out)
   }
 
   // dtype-generic: cells move as raw item-sized byte groups (the output

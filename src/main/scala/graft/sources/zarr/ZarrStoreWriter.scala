@@ -163,15 +163,114 @@ object ZarrStoreWriter {
     s"{${(dimAttr.toSeq ++ extraAttrs).mkString(", ")}}"
   }
 
+  /** Write a STRING-dtyped array: `|S<n>` fixed bytes, `<U<n>`/`>U<n>`
+    * fixed UCS4, or `|O` + vlen-utf8 filter (the numcodecs object-array
+    * encoding). Out-of-bounds edge cells encode as empty strings;
+    * fill_value is written as null. */
+  def writeStringArray(
+      groupDir: Path,
+      name: String,
+      shape: Vector[Int],
+      chunks: Vector[Int],
+      dtype: String,
+      value: Long => String,
+      dims: Option[Vector[String]] = None,
+      compressor: Option[String] = None
+  ): Unit = {
+    require(shape.length == chunks.length)
+    val dt = ZDtype.parse(dtype)
+    require(ZDtype.isString(dt.code), s"writeStringArray needs a string dtype, got $dtype")
+    val vlen = dt.code == ZDtype.VSTR
+    val dir = groupDir.resolve(name)
+    Files.createDirectories(dir)
+    val filterCfgs = if (vlen) Seq("""{"id": "vlen-utf8"}""") else Nil
+    Files.writeString(
+      dir.resolve(".zarray"),
+      zarrayJson(shape, chunks, dtype, compressor, fillValue = None, filterCfgs)
+    )
+    Files.writeString(dir.resolve(".zattrs"), zattrsJson(dims))
+    val rank = shape.length
+    val chunkElems = chunks.map(_.toLong).product.toInt
+    val globalStrides = IndexMath.strides(shape)
+    val chunkStrides = IndexMath.strides(chunks)
+    val nC = shape.zip(chunks).map { case (s, c) => if (s == 0) 0 else (s + c - 1) / c }
+    val chunkCount = nC.map(_.toLong).product.toInt
+    val cIdx = new Array[Int](rank)
+    var ci = 0
+    while (ci < chunkCount) {
+      var rem = ci; var d = rank - 1
+      while (d >= 0) { cIdx(d) = if (nC(d) == 0) 0 else rem % nC(d); rem /= math.max(nC(d), 1); d -= 1 }
+      val cells = Array.fill(chunkElems)("")
+      val lo = Array.tabulate(rank)(dd => cIdx(dd) * chunks(dd))
+      val hi = Array.tabulate(rank)(dd => math.min(shape(dd), lo(dd) + chunks(dd)))
+      if (rank == 0) cells(0) = value(0L)
+      else if (!hi.indices.exists(dd => lo(dd) >= hi(dd))) {
+        val pos = lo.clone()
+        var done = false
+        while (!done) {
+          var localFlat = 0L; var globalFlat = 0L
+          var k = 0
+          while (k < rank) {
+            localFlat += (pos(k) - lo(k)) * chunkStrides(k)
+            globalFlat += pos(k).toLong * globalStrides(k)
+            k += 1
+          }
+          cells(localFlat.toInt) = value(globalFlat)
+          var c = rank - 1; var carry = true
+          while (carry && c >= 0) {
+            pos(c) += 1
+            if (pos(c) < hi(c)) carry = false else { pos(c) = lo(c); c -= 1 }
+          }
+          done = carry
+        }
+      }
+      val raw: Array[Byte] =
+        if (vlen) {
+          val bos = new java.io.ByteArrayOutputStream()
+          val hdr = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          hdr.putInt(0, cells.length); bos.write(hdr.array())
+          cells.foreach { s =>
+            val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val lb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            lb.putInt(0, b.length); bos.write(lb.array()); bos.write(b)
+          }
+          bos.toByteArray
+        } else {
+          val out = new Array[Byte](chunkElems * dt.itemSize)
+          var i = 0
+          while (i < chunkElems) {
+            System.arraycopy(ZarrBuffer.encodeFixed(cells(i), dt), 0, out, i * dt.itemSize, dt.itemSize)
+            i += 1
+          }
+          out
+        }
+      val bytes = ZarrCodec.compress(compressor, raw, typesize = if (vlen) 1 else dt.itemSize)
+      Files.write(dir.resolve(ZarrChunkIO.chunkFileName(cIdx.toSeq)), bytes)
+      ci += 1
+    }
+  }
+
   /** Write a 1-D coordinate array for a dimension. */
   def writeCoord(groupDir: Path, dim: String, coord: Coord, compressor: Option[String] = None): Unit = {
+    coord match {
+      case Coord.Strings(a) =>
+        // label axes write as vlen-utf8 object arrays (what xarray/zarr-
+        // python produce for object-dtype coordinates)
+        writeStringArray(
+          groupDir, dim, Vector(a.length), Vector(a.length), "|O",
+          i => a(i.toInt).toString, dims = Some(Vector(dim)), compressor = compressor
+        )
+        return
+      case _ => ()
+    }
     val (dtype, f): (String, Long => Double) = coord match {
       case Coord.Ints(a) => ("<i4", (i: Long) => a(i.toInt).toDouble)
       case Coord.Longs(a) => ("<i8", (i: Long) => a(i.toInt).toDouble)
       case Coord.Floats(a) => ("<f4", (i: Long) => a(i.toInt).toDouble)
       case Coord.Doubles(a) => ("<f8", (i: Long) => a(i.toInt))
       case Coord.Timestamps(a) => ("<M8[us]", (i: Long) => a(i.toInt).toDouble)
-      case Coord.Index(n) => ("<i8", (i: Long) => i.toDouble)
+      case Coord.Index(_) => ("<i8", (i: Long) => i.toDouble)
+      case other => throw new IllegalArgumentException(s"writeCoord: unsupported coord $other")
     }
     writeArray(
       groupDir,
