@@ -1296,6 +1296,40 @@ object ExtQueries {
              |  round(SUM(CASE WHEN prev IS NOT NULL AND ((smp >= 0) != (prev >= 0))
              |    THEN 1 ELSE 0 END) / 199.0, 6) AS zcr
              |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // REAL video container decode (Multimodal.decodeAvi): per document a
+    // genuine AVI-MJPEG file is muxed (ImageIO-encoded JPEG frames inside
+    // a RIFF container) and the decoder must recover width / height /
+    // frame count / rate / codec by PARSING those bytes — the oracle
+    // recomputes the expected metadata from the generator formulas. Frame
+    // PIXEL decode is covered by MultimodalSpec (JPEG is lossy, so pixels
+    // are a tolerance check, not a hash oracle).
+    Q(
+      "x56_video_meta",
+      (s, d) => {
+        val withAvi = Multimodal.withSynthAviPayload(
+          t(s, d, "documents").select("doc_id"), "doc_id"
+        )
+        Multimodal
+          .extractVideoFeatures(withAvi, "doc_id")
+          .select(
+            col("doc_id"),
+            col("width"),
+            col("height"),
+            col("n_frames"),
+            round(col("fps"), 6).as("fps"),
+            col("codec")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS width,
+             |  CAST(8 + (doc_id % 5) * 8 AS INTEGER) AS height,
+             |  CAST(2 + (doc_id % 4) AS INTEGER) AS n_frames,
+             |  round(CAST(5 + (doc_id % 3) * 5 AS DOUBLE), 6) AS fps,
+             |  'MJPG' AS codec
+             |FROM documents ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -378,6 +378,48 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(d8._1 == 64 && d8._7 > 0.9) // alternating sign -> zcr near 1
   }
 
+  test("multimodal: REAL video decode — AVI/MJPEG container parse, frame pixels, fan-out") {
+    import spark.implicits._
+    def jpegOf(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val o = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", o))
+      o.toByteArray
+    }
+    // mux a real container and decode it back
+    val frames = Seq(jpegOf(32, 16, 40), jpegOf(32, 16, 200), jpegOf(32, 16, 120))
+    val avi = Multimodal.encodeAviMjpeg(frames, 32, 16, 25)
+    val (info, got) = Multimodal.decodeAvi(avi).get
+    assert(info == Multimodal.VideoInfo(32, 16, 3, 25.0, "MJPG"))
+    assert(got.length == 3 && got(0).sameElements(frames(0)) && got(2).sameElements(frames(2)))
+    // frame payloads are REAL JPEGs: pixel decode recovers the gray level
+    val lum = Multimodal.decodeImage(got(1), 2).get._1
+    assert(lum.forall(v => math.abs(v - 200 / 255.0) < 0.02), lum.toSeq.toString)
+    // odd-sized JPEG exercises RIFF word-alignment padding
+    val trailing = frames.map(f => if (f.length % 2 == 0) f ++ Array(0xd9.toByte) else f)
+    val aviOdd = Multimodal.encodeAviMjpeg(trailing, 32, 16, 10)
+    assert(Multimodal.decodeAvi(aviOdd).get._2.length == 3)
+    // garbage and truncated payloads fail safe (None), never throw
+    assert(Multimodal.decodeAvi("not a riff file at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAvi(avi.take(40)).isEmpty)
+    // distributed: metadata + first-frame features; corrupt row nulls out
+    val df = Seq((1L, avi), (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload").repartition(2)
+    val out = Multimodal.extractVideoFeatures(df, "doc_id").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 32 && out(1L).getInt(2) == 16 && out(1L).getInt(3) == 3)
+    assert(out(1L).getString(5) == "MJPG")
+    val ff = out(1L).getSeq[Float](6)
+    assert(ff.forall(v => math.abs(v - 40 / 255.0) < 0.02))
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(6))
+    // real frame fan-out: one row per contained frame, each a decodable JPEG
+    val fanned = Multimodal.explodeVideoFrames(df, "doc_id").collect()
+    assert(fanned.length == 3 && fanned.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2))
+    fanned.foreach(r => assert(Multimodal.decodeImage(r.getAs[Array[Byte]](2), 2).isDefined))
+  }
+
   test("multimodal: frame sampling fans out k rows per payload; resize halves features") {
     val docs = t(spark, sfTiny, "documents").limit(6)
     val withP = Multimodal.withPayload(docs.withColumn("hex", md5(col("text"))), "hex")
