@@ -227,6 +227,10 @@ object ZarrSink {
     // scans); a high-cardinality dim fails in the first map task that
     // exceeds the bound, before anything reaches the driver.
     val maxCoordValues = opts.get("max_coord_values").map(_.toInt).getOrElse(10000000)
+    // long-axis coordinate arrays: cells per chunk object (read-path
+    // deferral + chunk-stats pruning pick these up symmetrically)
+    val coordChunkValues = opts.get("coord_chunk_values").map(_.toInt).getOrElse(1000000)
+    require(coordChunkValues > 0, "zarr sink: coord_chunk_values must be positive")
     val aggCols = dims.flatMap { d =>
       coordDtype(df.schema(d).dataType) // validate early with a clear message
       Seq(
@@ -235,8 +239,7 @@ object ZarrSink {
             .BoundedCollectSet(
               GraftBridge.expression(col(d)),
               maxCoordValues,
-              s"zarr sink dimension '$d' is not driver-boundable (coordinate axes must fit on the driver; " +
-                "raise 'max_coord_values' only if this axis truly does)"
+              failOnOverflow = false // overflow = "long axis": route below, don't fail
             )
             .toAggregateExpression()
         ),
@@ -244,14 +247,42 @@ object ZarrSink {
       )
     }
     val aggRow = df.agg(aggCols.head, aggCols.tail: _*).head()
-    val coordVals: Vector[(String, Array[Any], DataType)] = dims.zipWithIndex.map { case (d, di) =>
-      val dt = df.schema(d).dataType
-      require(aggRow.getLong(2 * di + 1) == 0L, s"zarr sink: dimension '$d' contains NULL")
-      val vals = aggRow.getSeq[Any](2 * di).toArray.sorted(externalOrdering(dt))
-      require(vals.nonEmpty, s"zarr sink: dimension '$d' has no values (empty input)")
-      (d, vals, dt)
+    // Per-dim axis plan. Common case (Left): the bounded one-job gather
+    // returned the axis driver-side — sort locally, broadcast the ordinal
+    // map. Long axis (Right, cardinality past max_coord_values): the values
+    // must NEVER sit on the driver or in a broadcast — distinct + total
+    // sort + zipWithIndex assigns ordinals distributed, the ordinal join
+    // becomes a shuffle join, and the coordinate array is written chunk-by-
+    // chunk from executors. Same store either way.
+    val axes: Vector[(String, DataType, Either[Array[Any], (org.apache.spark.rdd.RDD[(Any, Long)], Int)])] =
+      dims.zipWithIndex.map { case (d, di) =>
+        val dt = df.schema(d).dataType
+        require(aggRow.getLong(2 * di + 1) == 0L, s"zarr sink: dimension '$d' contains NULL")
+        if (!aggRow.isNullAt(2 * di)) {
+          val vals = aggRow.getSeq[Any](2 * di).toArray.sorted(externalOrdering(dt))
+          require(vals.nonEmpty, s"zarr sink: dimension '$d' has no values (empty input)")
+          (d, dt, Left(vals))
+        } else {
+          val sorted = df
+            .select(col(d))
+            .distinct()
+            .orderBy(col(d))
+            .rdd
+            .map(_.get(0))
+            .zipWithIndex()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val n = sorted.count()
+          require(
+            n <= Int.MaxValue.toLong,
+            s"zarr sink: dimension '$d' has $n distinct values — beyond the per-axis Int bound"
+          )
+          (d, dt, Right((sorted, n.toInt)))
+        }
+      }
+    val shape = axes.map {
+      case (_, _, Left(vals)) => vals.length
+      case (_, _, Right((_, n))) => n
     }
-    val shape = coordVals.map(_._2.length)
     val chunks = opts.get("chunks") match {
       case Some(cs) =>
         val c = cs.split(",").map(_.trim.toInt).toVector
@@ -281,14 +312,23 @@ object ZarrSink {
     }
 
     var indexed = df
-    dims.zip(coordVals).zipWithIndex.foreach { case ((d, (_, vals, dt)), di) =>
-      import scala.jdk.CollectionConverters._
-      val rows: java.util.List[Row] = vals.zipWithIndex.map { case (v, i) => Row(v, i.toLong) }.toList.asJava
-      val idxDf = spark.createDataFrame(
-        rows,
-        StructType(Seq(StructField("__v", dt, nullable = false), StructField(s"__i$di", LongType, nullable = false)))
+    axes.zipWithIndex.foreach { case ((d, dt, plan), di) =>
+      val idxSchema = StructType(
+        Seq(StructField("__v", dt, nullable = false), StructField(s"__i$di", LongType, nullable = false))
       )
-      indexed = indexed.join(broadcast(idxDf), indexed(d) === idxDf("__v")).drop("__v")
+      plan match {
+        case Left(vals) =>
+          import scala.jdk.CollectionConverters._
+          val rows: java.util.List[Row] =
+            vals.zipWithIndex.map { case (v, i) => Row(v, i.toLong) }.toList.asJava
+          val idxDf = spark.createDataFrame(rows, idxSchema)
+          indexed = indexed.join(broadcast(idxDf), indexed(d) === idxDf("__v")).drop("__v")
+        case Right((sorted, _)) =>
+          // long axis: the ordinal map stays distributed — shuffle join on
+          // the dim value, never a broadcast near the 10M-row ceiling
+          val idxDf = spark.createDataFrame(sorted.map { case (v, i) => Row(v, i) }, idxSchema)
+          indexed = indexed.join(idxDf, indexed(d) === idxDf("__v")).drop("__v")
+      }
     }
     // chunk ordinal + in-chunk offset as pure column arithmetic (`div` is
     // integral division — no double round-trip)
@@ -490,8 +530,12 @@ object ZarrSink {
           doc
       }
       ZarrFileIO.writeString(new HPath(arrayDir, "zarr.json"), storageOptions, arrayDoc)
-      coordVals.foreach { case (d, vals, cdt) =>
-        writeCoordArrayV3(groupDir, d, vals, cdt, v3Cfgs, storageOptions)
+      axes.foreach {
+        case (d, cdt, Left(vals)) => writeCoordArrayV3(groupDir, d, vals, cdt, v3Cfgs, storageOptions)
+        case (d, cdt, Right((sorted, n))) =>
+          writeCoordArrayDistributed(
+            groupDir, d, sorted, n, cdt, v3 = true, compressor, v3Cfgs, storageOptions, coordChunkValues
+          )
       }
       consolidateV3(groupDir, storageOptions)
     } else {
@@ -508,8 +552,12 @@ object ZarrSink {
         storageOptions,
         ZarrStoreWriter.zattrsJson(Some(dims))
       )
-      coordVals.foreach { case (d, vals, cdt) =>
-        writeCoordArray(groupDir, d, vals, cdt, compressor, storageOptions)
+      axes.foreach {
+        case (d, cdt, Left(vals)) => writeCoordArray(groupDir, d, vals, cdt, compressor, storageOptions)
+        case (d, cdt, Right((sorted, n))) =>
+          writeCoordArrayDistributed(
+            groupDir, d, sorted, n, cdt, v3 = false, compressor, Nil, storageOptions, coordChunkValues
+          )
       }
       consolidate(groupDir, storageOptions)
     }
@@ -528,6 +576,88 @@ object ZarrSink {
       case other =>
         throw new IllegalArgumentException(s"zarr sink: no v3 core data_type for dtype '$dtype' ($other)")
     }
+  }
+
+  /** One coordinate cell → buffer, exact for integral/timestamp types
+    * (shared by the driver-side and distributed coordinate writers). */
+  private def putCoordCell(dt: ZDtype, buf: ByteBuffer, i: Int, v: Any): Unit = v match {
+    case x: java.lang.Integer => ZDtype.putLong(dt, buf, i, x.longValue())
+    case l: java.lang.Long => ZDtype.putLong(dt, buf, i, l.longValue())
+    case f: java.lang.Float => ZDtype.put(dt, buf, i, f.doubleValue())
+    case d: java.lang.Double => ZDtype.put(dt, buf, i, d.doubleValue())
+    case t @ (_: java.sql.Timestamp | _: java.time.Instant) => ZDtype.putLong(dt, buf, i, micros(t))
+    case other => throw new IllegalArgumentException(s"zarr sink: bad coord value $other")
+  }
+
+  /** LONG-axis 1-D coordinate array: metadata driver-side, chunk objects
+    * written FROM EXECUTORS out of the sorted (value, ordinal) RDD — the
+    * axis values never materialize on the driver. 1M-cell chunks: a 10^9-
+    * value axis is ~1000 objects, and the read path's deferred-coordinate
+    * machinery (threshold, chunk cursors, stats pruning) picks it up
+    * symmetrically. */
+  private def writeCoordArrayDistributed(
+      groupDir: HPath,
+      dim: String,
+      sorted: org.apache.spark.rdd.RDD[(Any, Long)],
+      n: Int,
+      sparkType: DataType,
+      v3: Boolean,
+      compressor: Option[String],
+      v3Cfgs: Seq[String],
+      storageOptions: Map[String, String],
+      coordChunkValues: Int = 1000000
+  ): Unit = {
+    val dtype = coordDtype(sparkType)
+    val dt = ZDtype.parse(dtype)
+    val dir = new HPath(groupDir, dim)
+    val chunkLen = math.min(n.toLong, coordChunkValues.toLong).toInt
+    val nChunks = ((n.toLong + chunkLen - 1) / chunkLen).toInt
+    if (v3) {
+      require(
+        !dtype.contains("M8"),
+        s"zarr sink: zarr_format=3 has no core datetime64 data_type for dimension '$dim' — use an int64 epoch column"
+      )
+      ZarrFileIO.writeString(
+        new HPath(dir, "zarr.json"),
+        storageOptions,
+        ZarrStoreWriterV3.arrayJson(
+          Vector(n), Vector(chunkLen), v3DataTypeName(dtype), v3Cfgs, Some(0.0),
+          Some(Vector(dim)), separator = "/", endian = "little"
+        )
+      )
+    } else {
+      ZarrFileIO.writeString(
+        new HPath(dir, ".zarray"),
+        storageOptions,
+        ZarrStoreWriter.zarrayJson(Vector(n), Vector(chunkLen), dtype, compressor, Some(0.0))
+      )
+      ZarrFileIO.writeString(
+        new HPath(dir, ".zattrs"),
+        storageOptions,
+        ZarrStoreWriter.zattrsJson(Some(Vector(dim)))
+      )
+    }
+    val execOpts = ZarrFileIO.executorOptions(storageOptions)
+    val dirStr = dir.toString
+    val cl = chunkLen
+    val isV3 = v3
+    val comp = compressor
+    val cfgs = v3Cfgs
+    val dtSer = dt
+    sorted
+      .map { case (v, i) => (i / cl, (i % cl, v)) }
+      .groupByKey(math.max(1, math.min(nChunks, sorted.sparkContext.defaultParallelism)))
+      .foreach { case (c, cells) =>
+        // full-size chunk, zero-padded past the axis end (zarr convention)
+        val buf = ByteBuffer.allocate(cl * dtSer.itemSize).order(ByteOrder.LITTLE_ENDIAN)
+        cells.foreach { case (off, v) => ZarrSink.putCoordCell(dtSer, buf, off.toInt, v) }
+        val bytes =
+          if (isV3) cfgs.foldLeft(buf.array())((b, cfg) => ZarrCodecV3.encode(cfg, b, dtSer.itemSize))
+          else ZarrCodec.compress(comp, buf.array(), typesize = dtSer.itemSize)
+        val key = if (isV3) s"c/$c" else c.toString
+        ZarrFileIO.writeBytes(new HPath(dirStr, key), execOpts, bytes)
+      }
+    sorted.unpersist(blocking = false)
   }
 
   /** Single-chunk 1-D v3 coordinate array written through the Hadoop FS. */

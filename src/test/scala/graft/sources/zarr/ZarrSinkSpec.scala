@@ -60,25 +60,47 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
     assert(back.agg(sum("value")).head().getDouble(0) == (0 until 24).sum.toDouble)
   }
 
-  test("sink high-cardinality guard: a dim past max_coord_values fails loudly, executor-side") {
+  test("long axis past max_coord_values routes through distributed sort-based ordinals") {
     import spark.implicits._
-    val dst = Files.createTempDirectory("zarrsinkguard").toString + "/store"
-    val df = (0 until 64).map(i => (i, i.toDouble)).toDF("t", "value")
-    val e = intercept[Exception] {
-      df.write.format("zarr")
-        .option("path", dst).option("array", "v").option("max_coord_values", "16")
-        .mode("append").save()
-    }
-    val msg = Option(e.getMessage).getOrElse("") +
-      Option(e.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("16 distinct values"), s"unexpected error: $msg")
-    assert(msg.contains("driver-boundable"), s"unexpected error: $msg")
-    // at the bound (not past it) the write succeeds
-    (0 until 16).map(i => (i, i.toDouble)).toDF("t", "value")
+    val dst = Files.createTempDirectory("zarrsinklong").toString + "/store"
+    // 4096 distinct t (bound 16 -> long-axis path: shuffle-join ordinals,
+    // executor-written multi-chunk coordinate array) x small j dim (stays
+    // on the broadcast path) — one write mixes both
+    val df = (0 until 4096).map(i => (i, i % 4, (i * 7 % 1000).toDouble)).toDF("t", "j", "value")
+    df.write.format("zarr")
+      .option("path", dst).option("array", "v")
+      .option("max_coord_values", "16").option("coord_chunk_values", "1000")
+      .option("chunks", "512,2").option("fill_value", "-1")
+      .mode("append").save()
+    // the t coordinate array on store is multi-chunk (4096 cells / 1000)
+    val tChunks = java.nio.file.Files.list(java.nio.file.Paths.get(dst, "t")).iterator()
+    var chunkFiles = 0
+    while (tChunks.hasNext) { if (!tChunks.next().getFileName.toString.startsWith(".")) chunkFiles += 1 }
+    assert(chunkFiles == 5, s"expected 5 coordinate chunks, found $chunkFiles")
+    val back = new ZarrDataReader(spark, dst).readArray("v")
+    assert(back.count() == 4096L * 4) // full grid; unwritten cells fill
+    // written cells round-trip exactly; fill everywhere else
+    val written = back.filter(col("j") === col("t") % 4)
+    assert(written.count() == 4096)
+    assert(
+      written.agg(sum("value")).head().getDouble(0) ==
+        (0 until 4096).map(i => (i * 7 % 1000).toDouble).sum
+    )
+    assert(back.filter(col("j") =!= col("t") % 4 && col("value") =!= -1.0).count() == 0)
+    // the long axis reads back sorted and total
+    val ts = back.select("t").distinct().agg(count(lit(1)), min("t"), max("t")).head()
+    assert(ts.getLong(0) == 4096 && ts.getInt(1) == 0 && ts.getInt(2) == 4095)
+    // v3 long axis too (c/-keyed coordinate chunks, zstd pipeline)
+    val dst3 = Files.createTempDirectory("zarrsinklong3").toString + "/store"
+    (0 until 300).map(i => (i * 3L, i.toDouble)).toDF("t", "value")
       .write.format("zarr")
-      .option("path", dst).option("array", "v").option("max_coord_values", "16")
-      .mode("overwrite").save()
-    assert(new ZarrDataReader(spark, dst).readArray("v").count() == 16)
+      .option("path", dst3).option("array", "v").option("zarr_format", "3")
+      .option("max_coord_values", "16").option("coord_chunk_values", "128")
+      .option("chunks", "64").option("compressor", "zstd")
+      .mode("append").save()
+    val b3 = new ZarrDataReader(spark, dst3).readArray("v")
+    assert(b3.count() == 300)
+    assert(b3.orderBy("t").collect().map(_.getLong(0)).toSeq == (0 until 300).map(_ * 3L))
   }
 
   test("sink null dimension values still rejected under single-pass collection") {

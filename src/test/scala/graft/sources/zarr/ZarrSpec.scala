@@ -300,8 +300,9 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
         assert(viaRows.nonEmpty, s"$n sel=$selMap")
       }
     }
-    // strings still reject with a clear, actionable error
-    val e = intercept[IllegalArgumentException](ZDtype.parse("<U8"))
+    // complex still rejects with a clear, actionable error (strings/u8
+    // are supported since round 7 — ZarrStringSpec)
+    val e = intercept[IllegalArgumentException](ZDtype.parse("<c8"))
     assert(e.getMessage.contains("unsupported zarr dtype"))
     val e2 = intercept[IllegalArgumentException](ZDtype.parse("<M8[fs]"))
     assert(e2.getMessage.contains("datetime64 unit"))
