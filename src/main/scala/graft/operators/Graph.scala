@@ -77,9 +77,15 @@ object Graph {
       .distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
+    // label every round's job so the Spark UI / listeners can attribute
+    // per-round shuffle volume (iteration count vs per-round skew are the
+    // two distinct scale failure modes of iterative CC — telemetry must
+    // separate them; see Spike cc-telemetry)
+    val sc = edges.sparkSession.sparkContext
     var converged = false
     var i = 0
     while (!converged && i < math.min(starAfter, maxIter)) {
+      sc.setJobDescription(s"cc round $i minlabel")
       // one aggregation yields BOTH the new label and the old one (tagged
       // union), so the convergence check shares the round's single job
       // instead of running a second join
@@ -100,6 +106,7 @@ object Graph {
       converged = changed == 0
       i += 1
     }
+    sc.setJobDescription(null)
     if (converged) sym.unpersist()
     else {
       if (i >= maxIter) {
@@ -128,6 +135,7 @@ object Graph {
       sym.unpersist()
       var starConverged = eCount == 0L
       while (!starConverged && i < maxIter) {
+        sc.setJobDescription(s"cc round $i star")
         // large-star: every edge, seen from its smaller endpoint u, rewires
         // the larger endpoint onto min(neighborhood(u) ∪ {u}) — halves long
         // chains each pass while preserving connectivity
@@ -163,6 +171,7 @@ object Graph {
         eCount = newCount
         i += 1
       }
+      sc.setJobDescription(null)
       if (!starConverged)
         throw new IllegalStateException(
           s"connectedComponents star alternation did not converge within maxIter=$maxIter " +

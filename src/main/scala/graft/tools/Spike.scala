@@ -234,6 +234,160 @@ object Spike {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  /** `runMain graft.tools.Spike zarr-sf10` — the Zarr-path scale gate: a
+    * ~1.07e9-cell f4 store (256 x 2048 x 2048, 4096 blosc-lz4 chunks)
+    * written distributed, then ORACLED aggregates: the cell values encode
+    * an exact integer sequence (((flat*37) % 9973) * 0.25 — exact in f4),
+    * so whole-store and pushed-slab sums have closed-form expectations
+    * computed driver-side with BigInt cycle arithmetic. Exact equality =
+    * the same bar as the DuckDB hash gate, at a scale DuckDB can't join. */
+  private def zarrSf10(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.zarr.{ZarrCodec, ZarrStoreWriter}
+    val root = "/tmp/graft_zarr_sf10"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (nt, ny, nx) = (256, 2048, 2048)
+    val (ct, cy, cx) = (4, 256, 256)
+    val total = nt.toLong * ny * nx
+    val dir = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve(".zgroup"), """{"zarr_format": 2}""")
+    val ad = dir.resolve("v")
+    java.nio.file.Files.createDirectories(ad)
+    java.nio.file.Files.writeString(
+      ad.resolve(".zarray"),
+      ZarrStoreWriter.zarrayJson(
+        Vector(nt, ny, nx), Vector(ct, cy, cx), "<f4", Some("blosc:lz4"), Some(0.0)
+      )
+    )
+    java.nio.file.Files.writeString(
+      ad.resolve(".zattrs"), ZarrStoreWriter.zattrsJson(Some(Vector("t", "y", "x")))
+    )
+    val (gt, gy, gx) = (nt / ct, ny / cy, nx / cx) // 64 x 8 x 8 chunk grid
+    val nChunks = gt * gy * gx
+    val t0 = System.nanoTime()
+    spark.range(0, nChunks, 1, 32).foreachPartition { (ords: Iterator[java.lang.Long]) =>
+      val elems = ct * cy * cx
+      val buf = java.nio.ByteBuffer.allocate(elems * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ords.foreach { ord =>
+        val c = ord.intValue()
+        val c0 = c / (gy * gx); val c1 = (c / gx) % gy; val c2 = c % gx
+        var i = 0
+        var z = 0
+        while (z < ct) {
+          val gtv = (c0 * ct + z).toLong
+          var y = 0
+          while (y < cy) {
+            val gyv = (c1 * cy + y).toLong
+            val rowBase = (gtv * ny + gyv) * nx + c2.toLong * cx
+            var x = 0
+            while (x < cx) {
+              buf.putFloat(i * 4, (((rowBase + x) * 37) % 9973).toFloat * 0.25f)
+              i += 1; x += 1
+            }
+            y += 1
+          }
+          z += 1
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/v", s"$c0.$c1.$c2"),
+          ZarrCodec.compress(Some("blosc:lz4"), buf.array(), typesize = 4)
+        )
+        i = 0
+      }
+    }
+    ZarrStoreWriter.consolidate(dir)
+    val tw = (System.nanoTime() - t0) / 1e9
+    val sizeGb = org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(root)) / 1e9
+    println(f"[spike] zarr-sf10 write: $tw%.1fs, $total cells, on-disk $sizeGb%.2f GB (raw 4.29 GB)")
+    // closed-form: (flat*37) % 9973 over a contiguous flat range — 37 is
+    // coprime to 9973, so every 9973 consecutive flats cover all residues
+    def residueSum(from: Long, until: Long): BigInt = {
+      val cycle = BigInt(9972) * 9973 / 2
+      val n = until - from
+      var s = BigInt(n / 9973) * cycle
+      var f = from + (n / 9973) * 9973
+      while (f < until) { s += (f * 37) % 9973; f += 1 }
+      s
+    }
+    val df = new graft.api.ZarrDataReader(spark, root).readArray("v")
+    // gate 1: whole-store exact aggregate (1.07e9 cells through decode)
+    val t1 = System.nanoTime()
+    val r1 = df.agg(count(lit(1)), sum((col("value") * 4).cast("long"))).collect().head
+    val ts1 = (System.nanoTime() - t1) / 1e9
+    require(r1.getLong(0) == total, s"count ${r1.getLong(0)} != $total")
+    require(BigInt(r1.getLong(1)) == residueSum(0L, total), "whole-store sum mismatch")
+    println(f"[spike] zarr-sf10 full agg: $ts1%.1fs (${total / ts1 / 1e6}%.0f Mcells/s) — exact match")
+    // gate 2: pushed slab t in [100, 103] — planner must prune to 1/64 of chunks
+    val t2 = System.nanoTime()
+    val slab = df.filter(col("t").between(100L, 103L))
+    require(!slab.queryExecution.optimizedPlan.toString().contains("Filter"), "slab filter not pushed")
+    val r2 = slab.agg(count(lit(1)), sum((col("value") * 4).cast("long"))).collect().head
+    val ts2 = (System.nanoTime() - t2) / 1e9
+    val slabCells = 4L * ny * nx
+    require(r2.getLong(0) == slabCells, s"slab count ${r2.getLong(0)} != $slabCells")
+    require(
+      BigInt(r2.getLong(1)) == residueSum(100L * ny * nx, 104L * ny * nx),
+      "slab sum mismatch"
+    )
+    println(
+      f"[spike] zarr-sf10 pushed slab: $ts2%.1fs for $slabCells cells " +
+        f"(planner pruned to 1/64 of chunks; whole-store agg was $ts1%.1fs) — exact match"
+    )
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  /** `runMain graft.tools.Spike cc-telemetry` — x41 connected-components
+    * observability: per-round shuffle volume (iteration count vs per-round
+    * skew are different scale failure modes; this tells them apart). Jobs
+    * are attributed via the `cc round N` descriptions Graph sets. */
+  private def ccTelemetry(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import scala.collection.concurrent.TrieMap
+    val stageToJob = TrieMap[Int, Int]()
+    val jobDesc = TrieMap[Int, String]()
+    val jobShuffle = TrieMap[Int, (Long, Long)]() // read, write bytes
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = Option(js.properties).map(_.getProperty("spark.job.description")).orNull
+        jobDesc(js.jobId) = Option(d).getOrElse("")
+        js.stageIds.foreach(s => stageToJob(s) = js.jobId)
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted
+      ): Unit = stageToJob.get(sc.stageInfo.stageId).foreach { j =>
+        val m = sc.stageInfo.taskMetrics
+        val (r, w) = jobShuffle.getOrElse(j, (0L, 0L))
+        jobShuffle(j) =
+          (r + m.shuffleReadMetrics.totalBytesRead, w + m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries("x41_dup_clusters")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val ts = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(2000) // listener delivery is async
+    spark.sparkContext.removeSparkListener(listener)
+    // a round spans several jobs (checkpoint materialization + the
+    // convergence count) — aggregate per round description
+    val perRound = jobDesc.toSeq
+      .filter(_._2.startsWith("cc round"))
+      .groupBy(_._2)
+      .map { case (d, js) =>
+        val (r, w) = js.map(j => jobShuffle.getOrElse(j._1, (0L, 0L)))
+          .foldLeft((0L, 0L)) { case ((ar, aw), (r, w)) => (ar + r, aw + w) }
+        (d, js.length, r, w)
+      }
+      .toSeq
+      .sortBy(t => t._1.split(" ")(2).toInt)
+    println(f"[spike] cc-telemetry: x41 total $ts%.1fs, ${perRound.length} cc rounds")
+    perRound.foreach { case (d, nj, r, w) =>
+      println(
+        f"[spike]   $d%-22s $nj%2d jobs  shuffle read ${r / 1e6}%8.2f MB  write ${w / 1e6}%8.2f MB"
+      )
+    }
+  }
+
   /** `runMain graft.tools.Spike sf10` — the sf10 spot gate: run the most
     * shuffle-heavy queries against a 100x-amplified dataset (~60M lineitem
     * rows; `scripts/amplify_testdata.py SRC /tmp/testdata_sf10 100`),
@@ -335,6 +489,8 @@ object Spike {
     if (args.sameElements(Array("zarr-scale"))) { zarrScale(spark); spark.stop(); return }
     if (args.sameElements(Array("zarr-1b"))) { zarr1b(spark); spark.stop(); return }
     if (args.sameElements(Array("zarr-deferred"))) { zarrDeferred(spark); spark.stop(); return }
+    if (args.sameElements(Array("zarr-sf10"))) { zarrSf10(spark); spark.stop(); return }
+    if (args.sameElements(Array("cc-telemetry"))) { ccTelemetry(spark); spark.stop(); return }
     if (args.sameElements(Array("skew"))) { skew(spark); spark.stop(); return }
     if (args.sameElements(Array("sf10"))) { sf10(spark); spark.stop(); return }
     if (args.isEmpty) {
