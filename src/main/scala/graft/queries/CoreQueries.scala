@@ -686,8 +686,55 @@ object CoreQueries {
              |CAST(4503599627370496 + t.i AS DECIMAL(20,0)) AS big
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 20)) t
              |ORDER BY t""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Complex dtype (<c16 -> struct<re, im>): both components projected
+    // and computed on exactly — the last numpy dtype family (spectral /
+    // FFT products in the reference's domain).
+    Q(
+      "q30_zarr_complex",
+      (s, _) => {
+        val root = CoreQueries.q30Store()
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("c")
+          .select(
+            col("i"),
+            col("value.re").as("re"),
+            col("value.im").as("im"),
+            (col("value.re") * col("value.re") + col("value.im") * col("value.im")).as("mag2")
+          )
+          .orderBy("i")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS i,
+             |  CAST((t.i * 13) % 97 AS DOUBLE) * 0.5 AS re,
+             |  CAST((t.i * 7) % 89 AS DOUBLE) * 0.25 - 11.0 AS im,
+             |  (CAST((t.i * 13) % 97 AS DOUBLE) * 0.5) * (CAST((t.i * 13) % 97 AS DOUBLE) * 0.5)
+             |    + (CAST((t.i * 7) % 89 AS DOUBLE) * 0.25 - 11.0) * (CAST((t.i * 7) % 89 AS DOUBLE) * 0.25 - 11.0) AS mag2
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 40)) t
+             |ORDER BY i""".stripMargin)
     )
   )
+
+  /** Build the q30 complex store once per JVM: `c` is <c16 (40,) chunked
+    * (16,), zlib, re/im deterministic doubles exact in both engines. */
+  private[queries] def q30Store(): String = synchronized {
+    val root = "/tmp/graft_q30_store"
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      import graft.sources.zarr.ZarrStoreWriter
+      val dir = ZarrStoreWriter.writeGroup(root)
+      ZarrStoreWriter.writeComplexArray(
+        dir, "c", Vector(40), Vector(16), "<c16",
+        i => (((i * 13) % 97) * 0.5, ((i * 7) % 89) * 0.25 - 11.0),
+        dims = Some(Vector("i")), compressor = Some("zlib")
+      )
+      ZarrStoreWriter.writeCoord(dir, "i", Coord.Ints(Array.tabulate(40)(identity)))
+      ZarrStoreWriter.consolidate(dir)
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
 
   /** Build the q28/q29 string-dtype store once per JVM: value `temp` f8
     * over (station |S4 coord, t i4 coord); `label` a vlen-utf8 object array

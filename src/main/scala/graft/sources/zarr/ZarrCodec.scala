@@ -96,7 +96,15 @@ object ZarrCodecV3 {
   def decode(cfg: String, bytes: Array[Byte], rawLenHint: Int): Array[Byte] = name(cfg) match {
     case "gzip" =>
       ZarrCodec.readAllOf(new GZIPInputStream(new java.io.ByteArrayInputStream(bytes)), rawLenHint)
-    case "zstd" => com.github.luben.zstd.Zstd.decompress(bytes, rawLenHint)
+    case "zstd" =>
+      // rawLenHint <= 0 (variable-length chunks, e.g. v3 vlen-utf8): read
+      // the frame's own declared content size
+      if (rawLenHint > 0) com.github.luben.zstd.Zstd.decompress(bytes, rawLenHint)
+      else {
+        val sz = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+        require(sz >= 0 && sz <= Int.MaxValue, s"zstd frame with unknown/huge content size $sz")
+        com.github.luben.zstd.Zstd.decompress(bytes, sz.toInt)
+      }
     case "blosc" => Blosc.decompress(bytes)
     case "crc32c" =>
       require(bytes.length >= 4, "crc32c codec: payload shorter than its checksum")

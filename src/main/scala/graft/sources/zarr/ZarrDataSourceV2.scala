@@ -953,6 +953,13 @@ class ZarrRowReader(
   private val fillAny: Any =
     if (ZDtype.isString(meta.zdtype.code))
       meta.fillValueStr.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+    else if (ZDtype.isComplex(meta.zdtype.code))
+      meta.fillValue.map { re =>
+        val im = meta.fillValueIm.getOrElse(0.0)
+        if (meta.zdtype.code == ZDtype.C8)
+          new GenericInternalRow(Array[Any](re.toFloat, im.toFloat))
+        else new GenericInternalRow(Array[Any](re, im))
+      }.orNull
     else meta.fillValue.map(f => ZDtype.box(meta.zdtype, f)).orNull
   private val row = new GenericInternalRow(required.length)
 
@@ -1039,6 +1046,12 @@ class ZarrColumnarReader(
         if (s == null) vec.putNull(n) else vec.putByteArray(n, s.getBytes)
       }
     case ZDtype.U8 => (b, n, flat) => vec.putDecimal(n, b.getU8Dec(flat), 20)
+    case ZDtype.C8 =>
+      val re = vec.getChild(0); val im = vec.getChild(1)
+      (b, n, flat) => { re.putFloat(n, b.getC8Re(flat)); im.putFloat(n, b.getC8Im(flat)) }
+    case ZDtype.C16 =>
+      val re = vec.getChild(0); val im = vec.getChild(1)
+      (b, n, flat) => { re.putDouble(n, b.getC16Re(flat)); im.putDouble(n, b.getC16Im(flat)) }
     case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 
@@ -1072,6 +1085,12 @@ class ZarrColumnarReader(
         case ZDtype.U8 =>
           val dec = ZDtype.box(meta.zdtype, fv).asInstanceOf[org.apache.spark.sql.types.Decimal]
           (n, c) => { var i = 0; while (i < c) { vec.putDecimal(n + i, dec, 20); i += 1 } }
+        case ZDtype.C8 =>
+          val imV = meta.fillValueIm.getOrElse(0.0).toFloat
+          (n, c) => { vec.getChild(0).putFloats(n, c, fv.toFloat); vec.getChild(1).putFloats(n, c, imV) }
+        case ZDtype.C16 =>
+          val imV = meta.fillValueIm.getOrElse(0.0)
+          (n, c) => { vec.getChild(0).putDoubles(n, c, fv); vec.getChild(1).putDoubles(n, c, imV) }
         case other => throw new IllegalStateException(s"bad dtype code $other")
       }
   }

@@ -40,7 +40,9 @@ final case class ZarrArrayMeta(
     shardIndexAtEnd: Boolean = true, // index_location end | start
     // string dtypes carry their fill here (fillValue stays None): absent
     // chunks read as this string, or as null when the store declares null
-    fillValueStr: Option[String] = None
+    fillValueStr: Option[String] = None,
+    // complex dtypes: imaginary part of the fill (fillValue carries re)
+    fillValueIm: Option[Double] = None
 ) {
   def rank: Int = shape.length
   @transient lazy val zdtype: ZDtype = ZDtype.parse(dtype)
@@ -90,6 +92,10 @@ object ZDtype {
   // signed Spark integral holds — Decimal(20,0), the same mapping Spark's
   // parquet reader uses for unsigned 64-bit logical types.
   final val S = 12; final val US = 13; final val VSTR = 14; final val U8 = 15
+  // complex: two IEEE floats per cell (re, im) -> struct<re, im> (Spark has
+  // no complex primitive; the struct keeps both components exact and lets
+  // queries project/compute on them as columns)
+  final val C8 = 16; final val C16 = 17
 
   final val NaT: Long = Long.MinValue
 
@@ -110,8 +116,15 @@ object ZDtype {
     "u8" -> ((U8, 8, DecimalType(20, 0))),
     "f2" -> ((F2, 2, FloatType)),
     "f4" -> ((F4, 4, FloatType)),
-    "f8" -> ((F8, 8, DoubleType))
+    "f8" -> ((F8, 8, DoubleType)),
+    "c8" -> ((C8, 8, complexType(FloatType))),
+    "c16" -> ((C16, 16, complexType(DoubleType)))
   )
+
+  def complexType(component: DataType): StructType =
+    StructType(Seq(StructField("re", component, nullable = false), StructField("im", component, nullable = false)))
+
+  def isComplex(code: Int): Boolean = code == C8 || code == C16
 
   /** datetime64 unit → (micros numerator, denominator). */
   private val M8Units: Map[String, (Long, Long)] = Map(
@@ -310,19 +323,27 @@ object ZarrMeta {
           case other =>
             throw new IllegalArgumentException(s"unsupported string fill_value $other for dtype $dtype")
         }
-    val fill: Option[Double] =
-      if (isStr) None
+    def numFill(v: JValue): Double = v match {
+      case JString("NaN") => Double.NaN
+      case JString("Infinity") => Double.PositiveInfinity
+      case JString("-Infinity") => Double.NegativeInfinity
+      case JDouble(x) => x
+      case JInt(x) => x.toDouble
+      case JLong(x) => x.toDouble
+      case JDecimal(x) => x.toDouble
+      case other => throw new IllegalArgumentException(s"unsupported fill_value $other")
+    }
+    // complex fill: 2-element [re, im] (zarr v2 §fill-value) — re rides in
+    // fillValue, im in fillValueIm
+    val (fill, fillIm): (Option[Double], Option[Double]) =
+      if (isStr) (None, None)
       else
         (j \ "fill_value") match {
-          case JNull | JNothing => None
-          case JString("NaN") => Some(Double.NaN)
-          case JString("Infinity") => Some(Double.PositiveInfinity)
-          case JString("-Infinity") => Some(Double.NegativeInfinity)
-          case JDouble(x) => Some(x)
-          case JInt(x) => Some(x.toDouble)
-          case JLong(x) => Some(x.toDouble)
-          case JDecimal(x) => Some(x.toDouble)
-          case other => throw new IllegalArgumentException(s"unsupported fill_value $other")
+          case JNull | JNothing => (None, None)
+          case JArray(List(re, im)) if ZDtype.isComplex(zdt.code) =>
+            (Some(numFill(re)), Some(numFill(im)))
+          case v if ZDtype.isComplex(zdt.code) => (Some(numFill(v)), Some(0.0))
+          case v => (Some(numFill(v)), None)
         }
     val (dims, attrs) = zattrsJson match {
       case Some(a) =>
@@ -370,7 +391,7 @@ object ZarrMeta {
       } else filtersAll
     ZarrArrayMeta(
       name, shape, chunks, dtype, order, compressor, fill, dimNames, attrs, filters,
-      fillValueStr = fillStr
+      fillValueStr = fillStr, fillValueIm = fillIm
     )
   }
 
@@ -381,8 +402,9 @@ object ZarrMeta {
     "int8" -> "i1", "uint8" -> "u1",
     "int16" -> "i2", "uint16" -> "u2",
     "int32" -> "i4", "uint32" -> "u4",
-    "int64" -> "i8",
-    "float16" -> "f2", "float32" -> "f4", "float64" -> "f8"
+    "int64" -> "i8", "uint64" -> "u8",
+    "float16" -> "f2", "float32" -> "f4", "float64" -> "f8",
+    "complex64" -> "c8", "complex128" -> "c16"
   )
 
   /** Parse a v3 array `zarr.json` document into the same meta model the v2
@@ -404,12 +426,6 @@ object ZarrMeta {
     require(gridName == "regular", s"array $name: unsupported chunk_grid '$gridName'")
     val chunks = (j \ "chunk_grid" \ "configuration" \ "chunk_shape").extract[List[Int]].toVector
     val dtName = (j \ "data_type").extract[String]
-    val kind = V3DataTypes.getOrElse(
-      dtName,
-      throw new IllegalArgumentException(
-        s"array $name: unsupported v3 data_type '$dtName' (supported: ${V3DataTypes.keys.toSeq.sorted.mkString(", ")})"
-      )
-    )
     // codecs: [array->array...] bytes [bytes->bytes...], or exactly
     // [sharding_indexed] (whose configuration nests the inner chain)
     val codecs = (j \ "codecs") match {
@@ -418,6 +434,29 @@ object ZarrMeta {
       case other => throw new IllegalArgumentException(s"array $name: bad codecs $other")
     }
     val codecNames = codecs.map(c => (c \ "name").extract[String])
+    if (dtName == "string") {
+      // zarr-python's v3 spelling of variable-length strings: data_type
+      // "string" with vlen-utf8 as the array->bytes codec (replacing
+      // "bytes"); the byte layout is the same numcodecs vlen-utf8 stream
+      // the v2 object-dtype path parses
+      require(
+        codecNames.headOption.contains("vlen-utf8"),
+        s"array $name: v3 'string' data_type requires the vlen-utf8 codec first, got $codecNames"
+      )
+      val bb = codecs.tail.map { c =>
+        val n = (c \ "name").extract[String]
+        require(n != "sharding_indexed", s"array $name: sharded string arrays are not supported")
+        JsonMethods.compact(JsonMethods.render(c))
+      }.toVector
+      return buildV3(name, j, shape, chunks, "|O", bb, None, true, false, true)
+    }
+    val kind = V3DataTypes.getOrElse(
+      dtName,
+      throw new IllegalArgumentException(
+        s"array $name: unsupported v3 data_type '$dtName' " +
+          s"(supported: string, ${V3DataTypes.keys.toSeq.sorted.mkString(", ")})"
+      )
+    )
 
     /** `bytes [bytes->bytes...]` chain → (bigEndian, bb codec configs). */
     def parseBytesChain(chain: List[JValue], what: String): (Boolean, Vector[String]) = {
@@ -506,18 +545,37 @@ object ZarrMeta {
     val sep = (j \ "chunk_key_encoding" \ "configuration" \ "separator")
       .extractOpt[String]
       .getOrElse(if (keyEnc == "default") "/" else ".")
-    val fill = (j \ "fill_value") match {
-      case JNull | JNothing => None
-      case JBool(b) => Some(if (b) 1.0 else 0.0)
-      case JString("NaN") => Some(Double.NaN)
-      case JString("Infinity") => Some(Double.PositiveInfinity)
-      case JString("-Infinity") => Some(Double.NegativeInfinity)
-      case JDouble(x) => Some(x)
-      case JInt(x) => Some(x.toDouble)
-      case JLong(x) => Some(x.toDouble)
-      case JDecimal(x) => Some(x.toDouble)
+    val isStr = dtype == "|O"
+    val fillStr: Option[String] =
+      if (!isStr) None
+      else
+        (j \ "fill_value") match {
+          case JNull | JNothing => None
+          case JString(s) => Some(s)
+          case other =>
+            throw new IllegalArgumentException(s"array $name: unsupported string fill_value $other")
+        }
+    def numFill(v: JValue): Double = v match {
+      case JBool(b) => if (b) 1.0 else 0.0
+      case JString("NaN") => Double.NaN
+      case JString("Infinity") => Double.PositiveInfinity
+      case JString("-Infinity") => Double.NegativeInfinity
+      case JDouble(x) => x
+      case JInt(x) => x.toDouble
+      case JLong(x) => x.toDouble
+      case JDecimal(x) => x.toDouble
       case other => throw new IllegalArgumentException(s"array $name: unsupported fill_value $other")
     }
+    val isComplex = ZDtype.isComplex(ZDtype.parse(dtype).code)
+    val (fill, fillIm): (Option[Double], Option[Double]) =
+      if (isStr) (None, None)
+      else
+        (j \ "fill_value") match {
+          case JNull | JNothing => (None, None)
+          case JArray(List(re, im)) if isComplex => (Some(numFill(re)), Some(numFill(im)))
+          case v if isComplex => (Some(numFill(v)), Some(0.0))
+          case v => (Some(numFill(v)), None)
+        }
     val dims = (j \ "dimension_names") match {
       case JArray(items) =>
         items.zipWithIndex.map {
@@ -539,7 +597,8 @@ object ZarrMeta {
       name, shape, chunks, dtype, "C", None, fill, dims, attrs,
       filters = Vector.empty, v3 = true, keyEncoding = keyEnc, keySeparator = sep, v3Codecs = bb,
       shardShape = shardShape, shardIndexCrc = shardIndexCrc,
-      shardIndexBigEndian = shardIndexBigEndian, shardIndexAtEnd = shardIndexAtEnd
+      shardIndexBigEndian = shardIndexBigEndian, shardIndexAtEnd = shardIndexAtEnd,
+      fillValueStr = fillStr, fillValueIm = fillIm
     )
   }
 }

@@ -235,6 +235,23 @@ final class ZarrBuffer(
   def getUTF8(i: Int): org.apache.spark.unsafe.types.UTF8String =
     if (strings != null) strings(i)
     else ZarrBuffer.decodeFixedUtf8(bytes, i * dt.itemSize, dt)
+  /** Complex cell → struct<re, im> as a Spark-internal row. */
+  def getComplex(i: Int): Any = dt.code match {
+    case ZDtype.C8 =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](buf.getFloat(i * 8), buf.getFloat(i * 8 + 4))
+      )
+    case ZDtype.C16 =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](buf.getDouble(i * 16), buf.getDouble(i * 16 + 8))
+      )
+    case other => throw new IllegalStateException(s"not a complex dtype: $other")
+  }
+  def getC8Re(i: Int): Float = buf.getFloat(i * 8)
+  def getC8Im(i: Int): Float = buf.getFloat(i * 8 + 4)
+  def getC16Re(i: Int): Double = buf.getDouble(i * 16)
+  def getC16Im(i: Int): Double = buf.getDouble(i * 16 + 8)
+
   /** uint64 cell → Decimal(20,0) (negative raw bits = values past 2^63). */
   def getU8Dec(i: Int): org.apache.spark.sql.types.Decimal = {
     val raw = buf.getLong(i * 8)
@@ -260,6 +277,7 @@ final class ZarrBuffer(
     case ZDtype.F8 => getDouble(i)
     case ZDtype.M8 => getM8(i)
     case ZDtype.S | ZDtype.US | ZDtype.VSTR => getUTF8(i)
+    case ZDtype.C8 | ZDtype.C16 => getComplex(i)
     case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 }

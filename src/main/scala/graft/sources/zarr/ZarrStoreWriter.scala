@@ -189,6 +189,115 @@ object ZarrStoreWriter {
       zarrayJson(shape, chunks, dtype, compressor, fillValue = None, filterCfgs)
     )
     Files.writeString(dir.resolve(".zattrs"), zattrsJson(dims))
+    foreachStringChunk(shape, chunks, value) { (cIdx, cells) =>
+      val raw: Array[Byte] =
+        if (vlen) vlenEncode(cells)
+        else {
+          val out = new Array[Byte](cells.length * dt.itemSize)
+          var i = 0
+          while (i < cells.length) {
+            System.arraycopy(ZarrBuffer.encodeFixed(cells(i), dt), 0, out, i * dt.itemSize, dt.itemSize)
+            i += 1
+          }
+          out
+        }
+      val bytes = ZarrCodec.compress(compressor, raw, typesize = if (vlen) 1 else dt.itemSize)
+      Files.write(dir.resolve(ZarrChunkIO.chunkFileName(cIdx.toSeq)), bytes)
+    }
+  }
+
+  /** Complex array (`<c8`/`<c16`): per-cell (re, im) IEEE pairs. */
+  def writeComplexArray(
+      groupDir: Path,
+      name: String,
+      shape: Vector[Int],
+      chunks: Vector[Int],
+      dtype: String,
+      value: Long => (Double, Double),
+      dims: Option[Vector[String]] = None,
+      compressor: Option[String] = None
+  ): Unit = {
+    require(shape.length == chunks.length)
+    val dt = ZDtype.parse(dtype)
+    require(ZDtype.isComplex(dt.code), s"writeComplexArray needs c8/c16, got $dtype")
+    val half = dt.itemSize / 2
+    val dir = groupDir.resolve(name)
+    Files.createDirectories(dir)
+    Files.writeString(
+      dir.resolve(".zarray"),
+      zarrayJson(shape, chunks, dtype, compressor, fillValue = None)
+    )
+    Files.writeString(dir.resolve(".zattrs"), zattrsJson(dims))
+    val rank = shape.length
+    val chunkElems = chunks.map(_.toLong).product.toInt
+    val globalStrides = IndexMath.strides(shape)
+    val chunkStrides = IndexMath.strides(chunks)
+    val nC = shape.zip(chunks).map { case (s, c) => if (s == 0) 0 else (s + c - 1) / c }
+    val chunkCount = nC.map(_.toLong).product.toInt
+    val buf = ByteBuffer
+      .allocate(chunkElems * dt.itemSize)
+      .order(if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    def putPair(i: Int, re: Double, im: Double): Unit =
+      if (half == 4) { buf.putFloat(i * 8, re.toFloat); buf.putFloat(i * 8 + 4, im.toFloat) }
+      else { buf.putDouble(i * 16, re); buf.putDouble(i * 16 + 8, im) }
+    val cIdx = new Array[Int](rank)
+    var ci = 0
+    while (ci < chunkCount) {
+      var rem = ci; var d = rank - 1
+      while (d >= 0) { cIdx(d) = if (nC(d) == 0) 0 else rem % nC(d); rem /= math.max(nC(d), 1); d -= 1 }
+      java.util.Arrays.fill(buf.array(), 0.toByte)
+      val lo = Array.tabulate(rank)(dd => cIdx(dd) * chunks(dd))
+      val hi = Array.tabulate(rank)(dd => math.min(shape(dd), lo(dd) + chunks(dd)))
+      if (rank == 0) { val (re, im) = value(0L); putPair(0, re, im) }
+      else if (!hi.indices.exists(dd => lo(dd) >= hi(dd))) {
+        val pos = lo.clone()
+        var done = false
+        while (!done) {
+          var localFlat = 0L; var globalFlat = 0L
+          var k = 0
+          while (k < rank) {
+            localFlat += (pos(k) - lo(k)) * chunkStrides(k)
+            globalFlat += pos(k).toLong * globalStrides(k)
+            k += 1
+          }
+          val (re, im) = value(globalFlat)
+          putPair(localFlat.toInt, re, im)
+          var c = rank - 1; var carry = true
+          while (carry && c >= 0) {
+            pos(c) += 1
+            if (pos(c) < hi(c)) carry = false else { pos(c) = lo(c); c -= 1 }
+          }
+          done = carry
+        }
+      }
+      Files.write(
+        dir.resolve(ZarrChunkIO.chunkFileName(cIdx.toSeq)),
+        ZarrCodec.compress(compressor, buf.array().clone(), typesize = half)
+      )
+      ci += 1
+    }
+  }
+
+  /** numcodecs vlen-utf8 stream for one chunk's cells. */
+  private[zarr] def vlenEncode(cells: Array[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val hdr = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    hdr.putInt(0, cells.length); bos.write(hdr.array())
+    cells.foreach { s =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val lb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      lb.putInt(0, b.length); bos.write(lb.array()); bos.write(b)
+    }
+    bos.toByteArray
+  }
+
+  /** String analog of [[foreachChunk]]: every chunk's cells in local
+    * C-order (out-of-bounds edge cells = ""), handed to `sink`. */
+  private[zarr] def foreachStringChunk(
+      shape: Vector[Int],
+      chunks: Vector[Int],
+      value: Long => String
+  )(sink: (Array[Int], Array[String]) => Unit): Unit = {
     val rank = shape.length
     val chunkElems = chunks.map(_.toLong).product.toInt
     val globalStrides = IndexMath.strides(shape)
@@ -224,28 +333,7 @@ object ZarrStoreWriter {
           done = carry
         }
       }
-      val raw: Array[Byte] =
-        if (vlen) {
-          val bos = new java.io.ByteArrayOutputStream()
-          val hdr = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-          hdr.putInt(0, cells.length); bos.write(hdr.array())
-          cells.foreach { s =>
-            val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val lb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-            lb.putInt(0, b.length); bos.write(lb.array()); bos.write(b)
-          }
-          bos.toByteArray
-        } else {
-          val out = new Array[Byte](chunkElems * dt.itemSize)
-          var i = 0
-          while (i < chunkElems) {
-            System.arraycopy(ZarrBuffer.encodeFixed(cells(i), dt), 0, out, i * dt.itemSize, dt.itemSize)
-            i += 1
-          }
-          out
-        }
-      val bytes = ZarrCodec.compress(compressor, raw, typesize = if (vlen) 1 else dt.itemSize)
-      Files.write(dir.resolve(ZarrChunkIO.chunkFileName(cIdx.toSeq)), bytes)
+      sink(cIdx.clone(), cells)
       ci += 1
     }
   }
@@ -339,9 +427,48 @@ object ZarrStoreWriterV3 {
     "int8" -> "i1", "uint8" -> "u1",
     "int16" -> "i2", "uint16" -> "u2",
     "int32" -> "i4", "uint32" -> "u4",
-    "int64" -> "i8",
+    "int64" -> "i8", "uint64" -> "u8",
     "float16" -> "f2", "float32" -> "f4", "float64" -> "f8"
   )
+
+  /** v3 variable-length string array: data_type "string", codec chain
+    * [vlen-utf8, bytes→bytes...] — the zarr-python v3 string spelling. */
+  def writeStringArray(
+      groupDir: Path,
+      name: String,
+      shape: Vector[Int],
+      chunks: Vector[Int],
+      value: Long => String,
+      dims: Option[Vector[String]] = None,
+      codecs: Seq[String] = Nil,
+      separator: String = "/"
+  ): Unit = {
+    require(shape.length == chunks.length)
+    val dir = groupDir.resolve(name)
+    Files.createDirectories(dir)
+    val cfgs = codecs.map(codecCfg(_, 1))
+    val allCodecs = ("""{"name": "vlen-utf8"}""" +: cfgs).mkString("[", ", ", "]")
+    val dimNames = dims.map(d => d.map(x => s""""$x"""").mkString("[", ", ", "]"))
+    Files.writeString(
+      dir.resolve("zarr.json"),
+      s"""{"zarr_format": 3, "node_type": "array",
+         |"shape": [${shape.mkString(",")}],
+         |"data_type": "string",
+         |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${chunks.mkString(",")}]}},
+         |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "$separator"}},
+         |"fill_value": null,
+         |"codecs": $allCodecs,
+         |"attributes": {}${dimNames.map(d => s""",\n"dimension_names": $d""").getOrElse("")}}""".stripMargin
+    )
+    ZarrStoreWriter.foreachStringChunk(shape, chunks, value) { (cIdx, cells) =>
+      val raw = ZarrStoreWriter.vlenEncode(cells)
+      val bytes = cfgs.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, 1))
+      val key = if (cIdx.isEmpty) "c" else "c" + separator + cIdx.mkString(separator)
+      val target = dir.resolve(key)
+      Option(target.getParent).foreach(Files.createDirectories(_))
+      Files.write(target, bytes)
+    }
+  }
 
   def arrayJson(
       shape: Vector[Int],

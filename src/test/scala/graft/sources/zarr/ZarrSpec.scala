@@ -300,9 +300,10 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
         assert(viaRows.nonEmpty, s"$n sel=$selMap")
       }
     }
-    // complex still rejects with a clear, actionable error (strings/u8
-    // are supported since round 7 — ZarrStringSpec)
-    val e = intercept[IllegalArgumentException](ZDtype.parse("<c8"))
+    // structured/void dtypes still reject with a clear, actionable error
+    // (strings/u8/complex are supported since round 7 — ZarrStringSpec,
+    // ZarrComplexSpec)
+    val e = intercept[IllegalArgumentException](ZDtype.parse("|V16"))
     assert(e.getMessage.contains("unsupported zarr dtype"))
     val e2 = intercept[IllegalArgumentException](ZDtype.parse("<M8[fs]"))
     assert(e2.getMessage.contains("datetime64 unit"))

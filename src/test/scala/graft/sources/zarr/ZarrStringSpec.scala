@@ -131,6 +131,42 @@ class ZarrStringSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("v3 'string' data_type (vlen-utf8 codec) and v3 uint64 round-trip") {
+    val root = Files.createTempDirectory("zarrstrv3").toString
+    val dir = ZarrStoreWriterV3.writeGroup(root)
+    val vgen: Long => String = i => if (i % 3 == 0) s"β$i" else s"v$i"
+    ZarrStoreWriterV3.writeStringArray(
+      dir, "lbl", Vector(10), Vector(4), vgen, dims = Some(Vector("i")), codecs = Seq("zstd")
+    )
+    ZarrStoreWriterV3.writeStringArray(
+      dir, "plain", Vector(10), Vector(4), vgen, dims = Some(Vector("i"))
+    )
+    ZarrStoreWriterV3.writeArray(
+      dir, "big", Vector(6), Vector(4), "uint64", i => 4503599627370496.0 + i,
+      dims = Some(Vector("i")), codecs = Seq("gzip")
+    )
+    ZarrStoreWriterV3.writeCoord(dir, "i", Coord.Ints(Array.tabulate(10)(identity)))
+    ZarrStoreWriterV3.consolidate(dir)
+    val rd = new ZarrDataReader(spark, root)
+    for (name <- Seq("lbl", "plain")) {
+      val df = rd.readArray(name)
+      assert(df.schema("value").dataType == StringType, name)
+      assert(
+        df.orderBy("i").collect().map(_.getString(1)).toSeq == (0 until 10).map(i => vgen(i.toLong)),
+        name
+      )
+    }
+    val big = rd.readArray("big")
+    assert(big.schema("value").dataType == DecimalType(20, 0))
+    assert(
+      big.orderBy("i").collect().map(_.getDecimal(1).longValueExact()).toSeq ==
+        (0 until 6).map(i => 4503599627370496L + i)
+    )
+    // absent chunk on a v3 string array reads as null (fill_value null)
+    Files.delete(dir.resolve("lbl").resolve("c").resolve("1"))
+    assert(rd.readArray("lbl").filter(col("value").isNull).count() == 4)
+  }
+
   test("row and columnar readers agree on string arrays (incl. edge chunks)") {
     import graft.model.Selection
     val root = Files.createTempDirectory("zarrstrparity").toString
