@@ -625,7 +625,9 @@ final class CoordChunkCursor(spec: DeferredCoordSpec, storageOptions: Map[String
   private var cachedId = -1
   private var buf: ZarrBuffer = _ // null = missing chunk (fill-value)
   private val fillBoxed: Any =
-    spec.meta.fillValue.map(f => ZDtype.box(spec.meta.zdtype, f)).orNull
+    if (ZDtype.isString(spec.meta.zdtype.code))
+      spec.meta.fillValueStr.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+    else spec.meta.fillValue.map(f => ZDtype.box(spec.meta.zdtype, f)).orNull
 
   /** Spark-internal value at GLOBAL index g; a null/NaT coordinate cell is
     * an error (a coordinate must be total — the eager path falls back to
@@ -1103,6 +1105,10 @@ class ZarrColumnarReader(
     case LongType | TimestampType => (n, v) => vec.putLong(n, v.asInstanceOf[Long])
     case FloatType => (n, v) => vec.putFloat(n, v.asInstanceOf[Float])
     case DoubleType => (n, v) => vec.putDouble(n, v.asInstanceOf[Double])
+    case StringType =>
+      (n, v) => vec.putByteArray(n, v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    case d: DecimalType =>
+      (n, v) => vec.putDecimal(n, v.asInstanceOf[org.apache.spark.sql.types.Decimal], d.precision)
     case other => throw new IllegalStateException(s"unsupported coordinate type $other")
   }
 
@@ -1113,6 +1119,18 @@ class ZarrColumnarReader(
       case LongType | TimestampType => (n, c, v) => vec.putLongs(n, c, v.asInstanceOf[Long])
       case FloatType => (n, c, v) => vec.putFloats(n, c, v.asInstanceOf[Float])
       case DoubleType => (n, c, v) => vec.putDoubles(n, c, v.asInstanceOf[Double])
+      case StringType =>
+        (n, c, v) => {
+          val bts = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+          var i = 0
+          while (i < c) { vec.putByteArray(n + i, bts); i += 1 }
+        }
+      case d: DecimalType =>
+        (n, c, v) => {
+          val dec = v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          var i = 0
+          while (i < c) { vec.putDecimal(n + i, dec, d.precision); i += 1 }
+        }
       case other => throw new IllegalStateException(s"unsupported coordinate type $other")
     }
 

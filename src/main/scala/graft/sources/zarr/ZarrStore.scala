@@ -167,6 +167,11 @@ final class ZarrStore(
         m.zdtype.code match {
           case ZDtype.I4 | ZDtype.I8 | ZDtype.F4 | ZDtype.F8 | ZDtype.M8 =>
             Coord.Deferred(m.valueType, extent)
+          // long string/u8 axes defer too: executors decode the coordinate
+          // chunks their ranges touch — a 10^8-label axis must neither sit
+          // on the driver NOR silently degrade to positional ordinals
+          case ZDtype.S | ZDtype.US | ZDtype.VSTR | ZDtype.U8 =>
+            Coord.Deferred(m.valueType, extent)
           case _ => Coord.Index(extent)
         }
       } else {

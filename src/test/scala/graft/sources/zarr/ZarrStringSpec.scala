@@ -167,6 +167,36 @@ class ZarrStringSpec extends AnyFunSuite with SparkTester {
     assert(rd.readArray("lbl").filter(col("value").isNull).count() == 4)
   }
 
+  test("long string axis DEFERS (never positional): deferred == eager, labels intact") {
+    val root = Files.createTempDirectory("zarrstrdef").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    ZarrStoreWriter.writeArray(
+      dir, "temp", Vector(48, 3), Vector(8, 3), "<f8",
+      flat => flat * 0.5, dims = Some(Vector("station", "y"))
+    )
+    // station coord chunked by 7, misaligned with the data chunking of 8
+    ZarrStoreWriter.writeStringArray(
+      dir, "station", Vector(48), Vector(7), "|O", i => s"ST${i}_α",
+      dims = Some(Vector("station")), compressor = Some("gzip")
+    )
+    ZarrStoreWriter.writeCoord(dir, "y", Coord.Ints(Array(1, 2, 3)))
+    ZarrStoreWriter.consolidate(dir)
+    def read(threshold: Option[Int]) = {
+      var r = spark.read.format("zarr").option("path", root).option("array", "temp")
+      threshold.foreach(t => r = r.option("coord.deferred.threshold", t.toString))
+      r.load()
+    }
+    val eager = read(None)
+    val deferred = read(Some(16)) // 48 > 16 -> station defers
+    assert(deferred.schema("station").dataType == StringType)
+    val key = Seq(col("station"), col("y"))
+    assert(
+      deferred.orderBy(key: _*).collect().toSeq == eager.orderBy(key: _*).collect().toSeq
+    )
+    // labels are REAL values, not ordinals
+    assert(deferred.filter(col("station") === "ST47_α").count() == 3)
+  }
+
   test("row and columnar readers agree on string arrays (incl. edge chunks)") {
     import graft.model.Selection
     val root = Files.createTempDirectory("zarrstrparity").toString
