@@ -41,6 +41,11 @@ object Coord {
   final case class Strings(a: Array[org.apache.spark.unsafe.types.UTF8String]) extends Coord {
     def dataType = StringType; def apply(i: Int) = a(i); def length = a.length
   }
+  /** Interval coordinate (timedelta64 lead-time / "step" axes). `apply`
+    * returns Spark-internal micros — zarr readers only, like Timestamps. */
+  final case class Intervals(a: Array[Long]) extends Coord {
+    def dataType = DayTimeIntervalType(); def apply(i: Int) = a(i); def length = a.length
+  }
   /** Long-dimension coordinate whose VALUES never materialize on the driver
     * (a 10^8-element time axis is ~0.8 GB — driver-held arrays are a hard
     * 100x-scale ceiling). Only the Spark type rides in the plan; executors
@@ -85,9 +90,9 @@ object GridSource {
     require(
       !spec.coords.exists(c =>
         c.isInstanceOf[Coord.Timestamps] || c.isInstanceOf[Coord.Deferred] ||
-          c.isInstanceOf[Coord.Strings]
+          c.isInstanceOf[Coord.Strings] || c.isInstanceOf[Coord.Intervals]
       ),
-      "GridSource builds external Rows; Coord.Timestamps/Strings/Deferred are for the zarr readers only"
+      "GridSource builds external Rows; Coord.Timestamps/Strings/Intervals/Deferred are for the zarr readers only"
     )
     val rs = Selection.resolve(spec.shape, spec.dims, sel)
     val outDims = rs.outDims

@@ -90,7 +90,7 @@ object DeferredCoordStats {
     case ZDtype.I8 => b.getLong(local).toDouble
     case ZDtype.F4 => b.getFloat(local).toDouble
     case ZDtype.F8 => b.getDouble(local)
-    case ZDtype.M8 =>
+    case ZDtype.M8 | ZDtype.TD =>
       b.getM8(local) match { case null => Double.NaN; case us: Long => us.toDouble }
     case _ => Double.NaN
   }

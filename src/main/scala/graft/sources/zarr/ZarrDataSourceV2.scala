@@ -260,6 +260,7 @@ class ZarrScanBuilder(
     case Coord.Floats(a) => a(idx).toDouble
     case Coord.Doubles(a) => a(idx)
     case Coord.Timestamps(a) => a(idx).toDouble // epoch micros
+    case Coord.Intervals(a) => a(idx).toDouble // interval micros
     case Coord.Index(_) => idx.toDouble
     case Coord.Deferred(_, _) =>
       throw new IllegalStateException("deferred coords refine via refineDeferred") // routed by tryRefine
@@ -278,6 +279,7 @@ class ZarrScanBuilder(
     // compare in epoch micros like Coord.Timestamps
     case t: java.sql.Timestamp => Some(t.getTime * 1000.0 + (t.getNanos % 1000000) / 1000.0)
     case t: java.time.Instant => Some(t.getEpochSecond * 1e6 + t.getNano / 1000.0)
+    case d: java.time.Duration => Some(d.getSeconds * 1e6 + d.getNano / 1000.0)
     case _ => None
   }
 
@@ -692,6 +694,7 @@ class ZarrScan(
       case Coord.Doubles(a) => Some(Coord.Doubles(Array.tabulate(n)(i => a(dr.keptAt(i)))))
       case Coord.Timestamps(a) => Some(Coord.Timestamps(Array.tabulate(n)(i => a(dr.keptAt(i)))))
       case Coord.Strings(a) => Some(Coord.Strings(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+      case Coord.Intervals(a) => Some(Coord.Intervals(Array.tabulate(n)(i => a(dr.keptAt(i)))))
       case Coord.Index(_) => None
       case Coord.Deferred(_, _) => None
     }
@@ -1036,11 +1039,11 @@ class ZarrColumnarReader(
     case ZDtype.F2 => (b, n, flat) => vec.putFloat(n, b.getHalf(flat))
     case ZDtype.F4 => (b, n, flat) => vec.putFloat(n, b.getFloat(flat))
     case ZDtype.F8 => (b, n, flat) => vec.putDouble(n, b.getDouble(flat))
-    case ZDtype.M8 =>
+    case ZDtype.M8 | ZDtype.TD =>
       (b, n, flat) =>
         b.getM8(flat) match {
           case null => vec.putNull(n)
-          case us: Long => vec.putLong(n, us) // TimestampType vectors are long-backed
+          case us: Long => vec.putLong(n, us) // timestamp/interval vectors are long-backed
         }
     case ZDtype.S | ZDtype.US | ZDtype.VSTR =>
       (b, n, flat) => {
@@ -1079,7 +1082,7 @@ class ZarrColumnarReader(
         case ZDtype.U4 | ZDtype.I8 => (n, c) => vec.putLongs(n, c, fv.toLong)
         case ZDtype.F2 | ZDtype.F4 => (n, c) => vec.putFloats(n, c, fv.toFloat)
         case ZDtype.F8 => (n, c) => vec.putDoubles(n, c, fv)
-        case ZDtype.M8 =>
+        case ZDtype.M8 | ZDtype.TD =>
           ZDtype.m8Micros(meta.zdtype, fv.toLong) match {
             case null => (n, c) => vec.putNulls(n, c)
             case us: Long => (n, c) => vec.putLongs(n, c, us)
@@ -1102,7 +1105,7 @@ class ZarrColumnarReader(
     * dtype is only known from the coordinate array's metadata. */
   private def bindBoxedPut(vec: OnHeapColumnVector, dt: DataType): (Int, Any) => Unit = dt match {
     case IntegerType => (n, v) => vec.putInt(n, v.asInstanceOf[Int])
-    case LongType | TimestampType => (n, v) => vec.putLong(n, v.asInstanceOf[Long])
+    case LongType | TimestampType | _: DayTimeIntervalType => (n, v) => vec.putLong(n, v.asInstanceOf[Long])
     case FloatType => (n, v) => vec.putFloat(n, v.asInstanceOf[Float])
     case DoubleType => (n, v) => vec.putDouble(n, v.asInstanceOf[Double])
     case StringType =>
@@ -1116,7 +1119,7 @@ class ZarrColumnarReader(
   private def bindBoxedConstPut(vec: OnHeapColumnVector, dt: DataType): (Int, Int, Any) => Unit =
     dt match {
       case IntegerType => (n, c, v) => vec.putInts(n, c, v.asInstanceOf[Int])
-      case LongType | TimestampType => (n, c, v) => vec.putLongs(n, c, v.asInstanceOf[Long])
+      case LongType | TimestampType | _: DayTimeIntervalType => (n, c, v) => vec.putLongs(n, c, v.asInstanceOf[Long])
       case FloatType => (n, c, v) => vec.putFloats(n, c, v.asInstanceOf[Float])
       case DoubleType => (n, c, v) => vec.putDoubles(n, c, v.asInstanceOf[Double])
       case StringType =>
@@ -1160,6 +1163,7 @@ class ZarrColumnarReader(
         case Some(Coord.Doubles(a)) => (n: Int) => vec.putDouble(n, a(keptPos(d)))
         case Some(Coord.Timestamps(a)) => (n: Int) => vec.putLong(n, a(keptPos(d)))
         case Some(Coord.Strings(a)) => (n: Int) => vec.putByteArray(n, a(keptPos(d)).getBytes)
+        case Some(Coord.Intervals(a)) => (n: Int) => vec.putLong(n, a(keptPos(d)))
         case Some(other) =>
           throw new IllegalStateException(s"non-eager coord in keptCoords: $other")
         case None =>
@@ -1229,6 +1233,7 @@ class ZarrColumnarReader(
             case Some(Coord.Floats(a)) => (n: Int, c: Int) => vec.putFloats(n, c, a, keptPos(d))
             case Some(Coord.Doubles(a)) => (n: Int, c: Int) => vec.putDoubles(n, c, a, keptPos(d))
             case Some(Coord.Timestamps(a)) => (n: Int, c: Int) => vec.putLongs(n, c, a, keptPos(d))
+            case Some(Coord.Intervals(a)) => (n: Int, c: Int) => vec.putLongs(n, c, a, keptPos(d))
             case Some(Coord.Strings(a)) =>
               (n: Int, c: Int) => {
                 var i = 0
@@ -1268,6 +1273,7 @@ class ZarrColumnarReader(
             case Some(Coord.Floats(a)) => (n: Int, c: Int) => vec.putFloats(n, c, a(keptPos(d)))
             case Some(Coord.Doubles(a)) => (n: Int, c: Int) => vec.putDoubles(n, c, a(keptPos(d)))
             case Some(Coord.Timestamps(a)) => (n: Int, c: Int) => vec.putLongs(n, c, a(keptPos(d)))
+            case Some(Coord.Intervals(a)) => (n: Int, c: Int) => vec.putLongs(n, c, a(keptPos(d)))
             case Some(Coord.Strings(a)) =>
               (n: Int, c: Int) => {
                 val bts = a(keptPos(d)).getBytes

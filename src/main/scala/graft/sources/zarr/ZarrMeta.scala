@@ -96,6 +96,9 @@ object ZDtype {
   // no complex primitive; the struct keeps both components exact and lets
   // queries project/compute on them as columns)
   final val C8 = 16; final val C16 = 17
+  // timedelta64 (numpy m8[unit], lowercase m — forecast lead-time / "step"
+  // axes) -> DayTimeIntervalType, micros-backed like TimestampType
+  final val TD = 18
 
   final val NaT: Long = Long.MinValue
 
@@ -156,6 +159,15 @@ object ZDtype {
         )
       )
       ZDtype(dtype, M8, 8, big, TimestampType, num, den)
+    } else if (kind.startsWith("m8[") && kind.endsWith("]")) {
+      val unit = kind.substring(3, kind.length - 1)
+      val (num, den) = M8Units.getOrElse(
+        unit,
+        throw new IllegalArgumentException(
+          s"unsupported timedelta64 unit '$unit' in '$dtype' (supported: ${M8Units.keys.toSeq.sorted.mkString(", ")})"
+        )
+      )
+      ZDtype(dtype, TD, 8, big, DayTimeIntervalType(), num, den)
     } else if (kind == "O") {
       // object dtype — only meaningful behind the vlen-utf8 filter, which
       // metadata parsing validates; itemSize 0 marks "no fixed raw length"
@@ -236,7 +248,7 @@ object ZDtype {
     case F2 => v.toFloat
     case F4 => v.toFloat
     case F8 => v
-    case M8 => m8Micros(dt, v.toLong)
+    case M8 | TD => m8Micros(dt, v.toLong)
     case U8 => Decimal(new java.math.BigDecimal(v).setScale(0, java.math.RoundingMode.UNNECESSARY))
     case other => throw new IllegalStateException(s"bad dtype code $other (string fills route via fillValueStr)")
   }
@@ -256,7 +268,7 @@ object ZDtype {
     case F2 => buf.putShort(i * 2, floatToHalf(v.toFloat))
     case F4 => buf.putFloat(i * 4, v.toFloat)
     case F8 => buf.putDouble(i * 8, v.toDouble)
-    case M8 => buf.putLong(i * 8, v) // raw stored units (e.g. epoch ns)
+    case M8 | TD => buf.putLong(i * 8, v) // raw stored units (e.g. epoch ns)
     case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 
@@ -276,7 +288,7 @@ object ZDtype {
     case F2 => buf.putShort(i * 2, floatToHalf(v.toFloat))
     case F4 => buf.putFloat(i * 4, v.toFloat)
     case F8 => buf.putDouble(i * 8, v)
-    case M8 => buf.putLong(i * 8, v.toLong)
+    case M8 | TD => buf.putLong(i * 8, v.toLong)
     case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 }

@@ -170,7 +170,7 @@ final class ZarrStore(
           // long string/u8 axes defer too: executors decode the coordinate
           // chunks their ranges touch — a 10^8-label axis must neither sit
           // on the driver NOR silently degrade to positional ordinals
-          case ZDtype.S | ZDtype.US | ZDtype.VSTR | ZDtype.U8 =>
+          case ZDtype.S | ZDtype.US | ZDtype.VSTR | ZDtype.U8 | ZDtype.TD =>
             Coord.Deferred(m.valueType, extent)
           case _ => Coord.Index(extent)
         }
@@ -185,6 +185,11 @@ final class ZarrStore(
             val vals = Array.tabulate(extent)(i => acc.getM8(i))
             if (vals.contains(null)) Coord.Index(extent)
             else Coord.Timestamps(vals.map(_.asInstanceOf[Long]))
+          case ZDtype.TD =>
+            // lead-time / "step" axes: micros-backed intervals
+            val vals = Array.tabulate(extent)(i => acc.getM8(i))
+            if (vals.contains(null)) Coord.Index(extent)
+            else Coord.Intervals(vals.map(_.asInstanceOf[Long]))
           case ZDtype.S | ZDtype.US | ZDtype.VSTR =>
             // station-name / label axes: a null cell (null fill) breaks
             // coordinate totality -> positional fallback like NaT above
@@ -280,7 +285,7 @@ final class ZarrBuffer(
     case ZDtype.F2 => getHalf(i)
     case ZDtype.F4 => getFloat(i)
     case ZDtype.F8 => getDouble(i)
-    case ZDtype.M8 => getM8(i)
+    case ZDtype.M8 | ZDtype.TD => getM8(i) // both micros-backed; NaT -> null
     case ZDtype.S | ZDtype.US | ZDtype.VSTR => getUTF8(i)
     case ZDtype.C8 | ZDtype.C16 => getComplex(i)
     case other => throw new IllegalStateException(s"bad dtype code $other")

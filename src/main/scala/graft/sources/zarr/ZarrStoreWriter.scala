@@ -357,6 +357,7 @@ object ZarrStoreWriter {
       case Coord.Floats(a) => ("<f4", (i: Long) => a(i.toInt).toDouble)
       case Coord.Doubles(a) => ("<f8", (i: Long) => a(i.toInt))
       case Coord.Timestamps(a) => ("<M8[us]", (i: Long) => a(i.toInt).toDouble)
+      case Coord.Intervals(a) => ("<m8[us]", (i: Long) => a(i.toInt).toDouble)
       case Coord.Index(_) => ("<i8", (i: Long) => i.toDouble)
       case other => throw new IllegalArgumentException(s"writeCoord: unsupported coord $other")
     }

@@ -440,6 +440,38 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("timedelta64 (m8): values read as day-time intervals; step coords decode and push filters") {
+    val root = Files.createTempDirectory("zarrtd").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    // forecast-style layout: lead-time "step" axis in hours, value = travel
+    // time in seconds; one NaT cell
+    ZarrStoreWriter.writeArray(
+      dir, "ttime", Vector(8), Vector(3), "<m8[s]",
+      f => if (f == 2L) Long.MinValue.toDouble else (600 + f * 30).toDouble,
+      dims = Some(Vector("step"))
+    )
+    ZarrStoreWriter.writeCoord(
+      dir, "step",
+      Coord.Intervals(Array.tabulate(8)(i => i.toLong * 3600000000L)) // hours as micros
+    )
+    ZarrStoreWriter.consolidate(dir)
+    val df = new ZarrDataReader(spark, root).readArray("ttime")
+    assert(df.schema("step").dataType.isInstanceOf[DayTimeIntervalType])
+    assert(df.schema("value").dataType.isInstanceOf[DayTimeIntervalType])
+    val rows = df.orderBy("step").collect()
+    assert(rows.length == 8)
+    assert(rows(2).isNullAt(1)) // NaT -> null
+    assert(rows(3).getAs[java.time.Duration](1) == java.time.Duration.ofSeconds(600 + 3 * 30))
+    assert(rows(5).getAs[java.time.Duration](0) == java.time.Duration.ofHours(5))
+    // pushed filter on the interval coordinate prunes at the scan
+    val pushed = df.filter(col("step") > lit(java.time.Duration.ofHours(5)))
+    assert(
+      !pushed.queryExecution.optimizedPlan.toString.contains("Filter"),
+      pushed.queryExecution.optimizedPlan.toString
+    )
+    assert(pushed.count() == 2) // hours 6, 7
+  }
+
   test("datetime64: NaT reads as null; timestamp coords decode and push filters") {
     val root = Files.createTempDirectory("zarrm8").toString
     val dir = ZarrStoreWriter.writeGroup(root)
