@@ -712,8 +712,52 @@ object CoreQueries {
              |    + (CAST((t.i * 7) % 89 AS DOUBLE) * 0.25 - 11.0) * (CAST((t.i * 7) % 89 AS DOUBLE) * 0.25 - 11.0) AS mag2
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 40)) t
              |ORDER BY i""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // The sink's STRING write path under the gate: station axis (string
+    // dim) + vlen-utf8 string VALUES written by df.write.format("zarr"),
+    // scanned back with the withheld cell reading as the fill string.
+    Q(
+      "q31_zarr_write_strings",
+      (s, _) => {
+        val root = CoreQueries.q31Store(s)
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("lbl")
+          .orderBy("station", "t")
+      },
+      Some("""SELECT 'ST0' || CAST(s.i AS VARCHAR) AS station, CAST(t.i AS INTEGER) AS t,
+             |CASE WHEN s.i * 10 + t.i = 13 THEN 'none'
+             |     ELSE 'v' || CAST(s.i * 10 + t.i AS VARCHAR) || 'α' END AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 6)) s
+             |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(0, 10)) t
+             |ORDER BY station, t""".stripMargin)
     )
   )
+
+  /** Build the q31 store once per JVM — the PRODUCT sink writing a string
+    * VALUE array over a string station axis (the labeled-dataset write
+    * path): vlen-utf8 chunks, a withheld cell reading back as the fill
+    * string, multi-byte UTF-8 in every value. */
+  private[queries] def q31Store(s: SparkSession): String = synchronized {
+    val root = "/tmp/graft_q31_store"
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      s.range(0, 60)
+        .filter(col("id") =!= 13)
+        .select(
+          concat(lit("ST0"), (col("id") / 10).cast("int").cast("string")).as("station"),
+          (col("id") % 10).cast("int").as("t"),
+          concat(lit("v"), col("id").cast("string"), lit("α")).as("value")
+        )
+        .write.format("zarr")
+        .option("path", root).option("array", "lbl")
+        .option("chunks", "2,4").option("fill_value", "none").option("compressor", "zstd")
+        .mode("append").save()
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
 
   /** Build the q30 complex store once per JVM: `c` is <c16 (40,) chunked
     * (16,), zlib, re/im deterministic doubles exact in both engines. */

@@ -62,6 +62,7 @@ object ZarrSink {
     case FloatType => "<f4"
     case DoubleType => "<f8"
     case TimestampType => "<M8[us]"
+    case StringType => "|O" // vlen-utf8 object array (v3: data_type "string")
     case other =>
       throw new IllegalArgumentException(
         s"zarr sink: unsupported value column type $other (pass an explicit 'dtype' option for unsigned targets)"
@@ -74,9 +75,10 @@ object ZarrSink {
     case FloatType => "<f4"
     case DoubleType => "<f8"
     case TimestampType => "<M8[us]"
+    case StringType => "|O" // label axes write as vlen-utf8 object arrays
     case other =>
       throw new IllegalArgumentException(
-        s"zarr sink: dimension columns must be int/long/float/double/timestamp, got $other"
+        s"zarr sink: dimension columns must be int/long/float/double/timestamp/string, got $other"
       )
   }
 
@@ -89,6 +91,7 @@ object ZarrSink {
     case FloatType => Ordering.by((v: Any) => v.asInstanceOf[Float])(Ordering.Float.TotalOrdering)
     case DoubleType => Ordering.by((v: Any) => v.asInstanceOf[Double])(Ordering.Double.TotalOrdering)
     case TimestampType => Ordering.by((v: Any) => micros(v))
+    case StringType => Ordering.by((v: Any) => v.asInstanceOf[String])
     case other => throw new IllegalArgumentException(s"zarr sink: unsupported dimension type $other")
   }
 
@@ -159,6 +162,11 @@ object ZarrSink {
     require(dims.nonEmpty, "zarr sink requires at least one dimension column")
     val dtype = opts.getOrElse("dtype", dtypeFor(df.schema("value").dataType))
     val zdt = ZDtype.parse(dtype)
+    val strValue = zdt.code == ZDtype.VSTR
+    require(
+      !strValue || df.schema("value").dataType == StringType,
+      s"zarr sink: dtype '$dtype' needs a StringType value column"
+    )
     val v3 = opts.getOrElse("zarr_format", "2") match {
       case "2" => false
       case "3" => true
@@ -188,9 +196,12 @@ object ZarrSink {
     // v3 chunk encode chain (encode order), computed once driver-side
     val v3Cfgs: Seq[String] =
       if (!v3) Nil
-      else compressor.toSeq.map(ZarrStoreWriterV3.codecCfg(_, zdt.itemSize)) ++
+      else compressor.toSeq.map(ZarrStoreWriterV3.codecCfg(_, math.max(zdt.itemSize, 1))) ++
         (if (opts.get("checksum").contains("true")) Seq("""{"name": "crc32c"}""") else Nil)
-    val fillValue = opts.get("fill_value").map(_.toDouble).getOrElse(0.0)
+    // string values: sparse cells inside a WRITTEN chunk and absent chunks
+    // both read back as the fill string (default "") — one consistent value
+    val fillStr: String = if (strValue) opts.get("fill_value").getOrElse("") else ""
+    val fillValue = if (strValue) 0.0 else opts.get("fill_value").map(_.toDouble).getOrElse(0.0)
     // unsigned targets (explicit `dtype`=u1/u2/u4): validate range instead of
     // silently masking — a -1 written as 255 is the sink's worst failure mode
     val (rangeMin, rangeMax): (Long, Long) = zdt.code match {
@@ -299,6 +310,7 @@ object ZarrSink {
     // thousands of inner chunks per PUT instead of one object per chunk.
     val shardsOpt: Option[Vector[Int]] = opts.get("shards").map { ss =>
       require(v3, "zarr sink: 'shards' requires zarr_format=3 (sharding_indexed is a v3 codec)")
+      require(!strValue, "zarr sink: sharded string arrays are not supported (vlen inner chunks)")
       val sv = ss.split(",").map(_.trim.toInt).toVector
       require(
         sv.length == shape.length && sv.zip(chunks).forall { case (s, c) => s > 0 && s % c == 0 },
@@ -342,7 +354,7 @@ object ZarrSink {
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
     val chunkElems = chunks.map(_.toLong).product
     require(
-      chunkElems * zdt.itemSize <= Int.MaxValue,
+      chunkElems * math.max(zdt.itemSize, 1) <= Int.MaxValue,
       s"chunk of ${chunkElems} elements x ${zdt.itemSize} B exceeds the 2 GB buffer bound — use smaller chunks"
     )
 
@@ -359,8 +371,51 @@ object ZarrSink {
     val dtypeStr = dtype
     val isV3 = v3
     val v3CfgsSer = v3Cfgs
+    val fillStrSer = fillStr
+    val isStrValue = strValue
 
     shardsOpt match {
+      case None if isStrValue =>
+        // ---- string (vlen-utf8) chunks: one cells array at a time; unset
+        // cells become the fill string so written-chunk and absent-chunk
+        // reads agree
+        val prepared =
+          indexed.select(chunkExpr.as("__chunk"), localExpr.as("__local"), col("value").as("__value"))
+        val parts = math.max(1L, math.min(shufflePartitions.toLong, totalChunks)).toInt
+        prepared
+          .repartition(parts, col("__chunk"))
+          .sortWithinPartitions("__chunk")
+          .foreachPartition { (rows: Iterator[Row]) =>
+            var current = -1L
+            var cells: Array[String] = null
+            def flush(): Unit = if (current >= 0L) {
+              val raw = ZarrStoreWriter.vlenEncode(cells)
+              val bytes =
+                if (isV3) v3CfgsSer.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, 1))
+                else ZarrCodec.compress(comp, raw, typesize = 1)
+              val idx = new Array[Int](nChunksArr.length)
+              var rem = current
+              var d = nChunksArr.length - 1
+              while (d >= 0) { idx(d) = (rem % nChunksArr(d)).toInt; rem /= nChunksArr(d); d -= 1 }
+              val key =
+                if (isV3) "c/" + idx.mkString("/") else ZarrChunkIO.chunkFileName(idx.toSeq)
+              ZarrFileIO.writeBytes(new HPath(arrayDirStr, key), executorOpts, bytes)
+            }
+            while (rows.hasNext) {
+              val r = rows.next()
+              val c = r.getLong(0)
+              if (c != current) {
+                flush()
+                current = c
+                if (cells == null) cells = new Array[String](elems)
+                java.util.Arrays.fill(cells.asInstanceOf[Array[AnyRef]], fillStrSer)
+              }
+              val v = r.getString(2)
+              cells(r.getLong(1).toInt) = if (v == null) fillStrSer else v
+            }
+            flush()
+          }
+
       case None =>
         // ---- one task-streamed chunk buffer at a time; each chunk is one
         // on-store object
@@ -501,6 +556,19 @@ object ZarrSink {
         ZarrFileIO.writeString(gj, storageOptions, """{"zarr_format": 3, "node_type": "group"}""")
       val endianStr = if (zdt.bigEndian) "big" else "little"
       val arrayDoc = shardsOpt match {
+        case None if strValue =>
+          // data_type "string": vlen-utf8 replaces the bytes codec
+          val allCodecs = ("""{"name": "vlen-utf8"}""" +: v3Cfgs).mkString("[", ", ", "]")
+          val dimNames = dims.map(x => s"""\"$x\"""").mkString("[", ", ", "]")
+          s"""{"zarr_format": 3, "node_type": "array",
+             |"shape": [${shape.mkString(",")}],
+             |"data_type": "string",
+             |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${chunks.mkString(",")}]}},
+             |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+             |"fill_value": ${ZarrStoreWriter.jsonStr(fillStr)},
+             |"codecs": $allCodecs,
+             |"attributes": {},
+             |"dimension_names": $dimNames}""".stripMargin
         case None =>
           ZarrStoreWriterV3.arrayJson(
             shape, chunks, v3DataTypeName(dtype), v3Cfgs, Some(fillValue), Some(dims),
@@ -545,7 +613,12 @@ object ZarrSink {
       ZarrFileIO.writeString(
         new HPath(arrayDir, ".zarray"),
         storageOptions,
-        ZarrStoreWriter.zarrayJson(shape, chunks, dtype, compressor, Some(fillValue))
+        if (strValue)
+          s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}], "chunks": [${chunks.mkString(",")}],
+             |"dtype": "|O", "order": "C", "compressor": ${ZarrStoreWriter.compressorJson(compressor)},
+             |"fill_value": ${ZarrStoreWriter.jsonStr(fillStr)},
+             |"filters": [{"id": "vlen-utf8"}]}""".stripMargin
+        else ZarrStoreWriter.zarrayJson(shape, chunks, dtype, compressor, Some(fillValue))
       )
       ZarrFileIO.writeString(
         new HPath(arrayDir, ".zattrs"),
@@ -607,6 +680,12 @@ object ZarrSink {
       storageOptions: Map[String, String],
       coordChunkValues: Int = 1000000
   ): Unit = {
+    require(
+      sparkType != StringType,
+      s"zarr sink: dimension '$dim' is a string axis past max_coord_values — the distributed " +
+        "ordinal path does not support vlen coordinate chunks yet; raise 'max_coord_values' " +
+        "if the label set truly fits the driver"
+    )
     val dtype = coordDtype(sparkType)
     val dt = ZDtype.parse(dtype)
     val dir = new HPath(groupDir, dim)
@@ -669,6 +748,27 @@ object ZarrSink {
       cfgs: Seq[String],
       storageOptions: Map[String, String]
   ): Unit = {
+    if (sparkType == StringType) {
+      val dir = new HPath(groupDir, dim)
+      val allCodecs = ("""{"name": "vlen-utf8"}""" +: cfgs).mkString("[", ", ", "]")
+      ZarrFileIO.writeString(
+        new HPath(dir, "zarr.json"),
+        storageOptions,
+        s"""{"zarr_format": 3, "node_type": "array",
+           |"shape": [${vals.length}],
+           |"data_type": "string",
+           |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${vals.length}]}},
+           |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+           |"fill_value": null,
+           |"codecs": $allCodecs,
+           |"attributes": {},
+           |"dimension_names": ["$dim"]}""".stripMargin
+      )
+      val raw = ZarrStoreWriter.vlenEncode(vals.map(_.asInstanceOf[String]))
+      val bytes = cfgs.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, 1))
+      ZarrFileIO.writeBytes(new HPath(new HPath(dir, "c"), "0"), storageOptions, bytes)
+      return
+    }
     val dtype = coordDtype(sparkType)
     require(
       !dtype.contains("M8"),
@@ -725,6 +825,25 @@ object ZarrSink {
       compressor: Option[String],
       storageOptions: Map[String, String]
   ): Unit = {
+    if (sparkType == StringType) {
+      // label axis: single-chunk vlen-utf8 object array
+      val dir = new HPath(groupDir, dim)
+      val raw = ZarrStoreWriter.vlenEncode(vals.map(_.asInstanceOf[String]))
+      ZarrFileIO.writeString(
+        new HPath(dir, ".zarray"),
+        storageOptions,
+        s"""{"zarr_format": 2, "shape": [${vals.length}], "chunks": [${vals.length}],
+           |"dtype": "|O", "order": "C", "compressor": ${ZarrStoreWriter.compressorJson(compressor)},
+           |"fill_value": null, "filters": [{"id": "vlen-utf8"}]}""".stripMargin
+      )
+      ZarrFileIO.writeString(new HPath(dir, ".zattrs"), storageOptions, ZarrStoreWriter.zattrsJson(Some(Vector(dim))))
+      ZarrFileIO.writeBytes(
+        new HPath(dir, "0"),
+        storageOptions,
+        ZarrCodec.compress(compressor, raw, typesize = 1)
+      )
+      return
+    }
     val dtype = coordDtype(sparkType)
     val dt = ZDtype.parse(dtype)
     val dir = new HPath(groupDir, dim)

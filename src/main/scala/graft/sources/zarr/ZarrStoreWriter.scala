@@ -142,7 +142,16 @@ object ZarrStoreWriter {
       fillValue: Option[Double],
       filterCfgs: Seq[String] = Nil
   ): String = {
-    val comp = compressor.map { c =>
+    val comp = compressorJson(compressor)
+    val fill = fillValue.map(f => if (f.isNaN) "\"NaN\"" else f.toString).getOrElse("null")
+    val filt = if (filterCfgs.isEmpty) "null" else filterCfgs.mkString("[", ", ", "]")
+    s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}], "chunks": [${chunks.mkString(",")}],
+       |"dtype": "$dtype", "order": "C", "compressor": $comp, "fill_value": $fill, "filters": $filt}""".stripMargin
+  }
+
+  /** numcodecs-shaped compressor config JSON ("null" when uncompressed). */
+  def compressorJson(compressor: Option[String]): String =
+    compressor.map { c =>
       val parts = c.split(":")
       if (parts(0) == "blosc") {
         val cname = if (parts.length > 1) parts(1) else "lz4"
@@ -150,10 +159,17 @@ object ZarrStoreWriter {
         s"""{"id": "blosc", "cname": "$cname", "clevel": 5, "shuffle": $shuf, "blocksize": 0}"""
       } else s"""{"id": "$c"}"""
     }.getOrElse("null")
-    val fill = fillValue.map(f => if (f.isNaN) "\"NaN\"" else f.toString).getOrElse("null")
-    val filt = if (filterCfgs.isEmpty) "null" else filterCfgs.mkString("[", ", ", "]")
-    s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}], "chunks": [${chunks.mkString(",")}],
-       |"dtype": "$dtype", "order": "C", "compressor": $comp, "fill_value": $fill, "filters": $filt}""".stripMargin
+
+  /** Minimal JSON string escaping (quotes, backslash, control chars). */
+  def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    (sb += '"').toString
   }
 
   /** `.zattrs` JSON with the xarray dimension-name convention. */

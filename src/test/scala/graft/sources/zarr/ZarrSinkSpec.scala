@@ -302,6 +302,48 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base, "s", "v", "c")))
   }
 
+  test("string values AND string dims round-trip through the sink (v2 + v3)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarrsinkstr").toString
+    // 4 stations x 5 steps, one cell withheld -> reads back as the fill string
+    val df = (0 until 20).filter(_ != 13)
+      .map(i => (s"ST0${i / 5}", i % 5, s"v$i-α"))
+      .toDF("station", "t", "value")
+    for ((fmt, dst) <- Seq("2" -> s"$base/v2", "3" -> s"$base/v3")) {
+      var w = df.write.format("zarr")
+        .option("path", dst).option("array", "lbl").option("zarr_format", fmt)
+        .option("chunks", "2,3").option("fill_value", "none").option("compressor", "zstd")
+      if (fmt == "3") w = w.option("checksum", "true")
+      w.mode("append").save()
+      val back = new ZarrDataReader(spark, dst).readArray("lbl")
+      assert(back.schema("station").dataType == StringType, fmt)
+      assert(back.schema("value").dataType == StringType, fmt)
+      assert(back.count() == 20, fmt)
+      val rows = back.orderBy("station", "t").collect()
+      (0 until 20).foreach { i =>
+        val r = rows(i)
+        assert(r.getString(0) == s"ST0${i / 5}" && r.getInt(1) == i % 5, s"$fmt i=$i")
+        assert(r.getString(2) == (if (i == 13) "none" else s"v$i-α"), s"$fmt i=$i")
+      }
+      // string-dim pushdown works on the sink-written store too
+      val eq = back.filter(col("station") === "ST02")
+      assert(!eq.queryExecution.optimizedPlan.toString().contains("Filter"), fmt)
+      assert(eq.count() == 5, fmt)
+    }
+    // sharded string arrays are rejected loudly
+    val e = intercept[Exception] {
+      df.write.format("zarr").option("path", s"$base/bad").option("array", "lbl")
+        .option("zarr_format", "3").option("chunks", "2,3").option("shards", "4,3")
+        .mode("append").save()
+    }
+    def msgOf(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+      sb.toString
+    }
+    assert(msgOf(e).contains("sharded string"), msgOf(e))
+  }
+
   test("bounded_collect_set rejects BinaryType (reference-equality Array[Byte] cannot dedup)") {
     import spark.implicits._
     val df = Seq(Array[Byte](1, 2), Array[Byte](1, 2)).toDF("b")
