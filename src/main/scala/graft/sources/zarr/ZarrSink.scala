@@ -32,24 +32,30 @@ import org.apache.spark.sql.types._
   * Options: `path`, `array` (required); `group`, `chunks` ("16,16"),
   * `dtype` (numpy spelling, default from the value column type; explicit
   * unsigned targets u1/u2/u4 are honored with per-value range validation —
-  * out-of-range input fails loudly instead of masking), `compressor`
+  * out-of-range input fails loudly instead of masking; StringType values
+  * write as vlen-utf8 object arrays), `compressor`
   * ("zlib" | "zstd" | "gzip" | "blosc[:cname[:mode]]" | "none", default
-  * blosc:lz4 — the numcodecs default), `fill_value` (default 0),
-  * `max_coord_values` (per-dim distinct bound for the single-pass
-  * coordinate aggregation, default 10M — a dim past it fails executor-side
-  * before anything is collected), `zarr_format` ("2" default | "3" — v3
-  * writes `zarr.json` metadata, `c/`-keys, a bytes+codec pipeline, and
-  * with `checksum`=true a trailing crc32c; no datetime64 under v3),
-  * `shards` (v3 only: cells per SHARD OBJECT per dim, multiples of
-  * `chunks` — emits a sharding_indexed store where each task streams one
-  * whole shard per PUT; the object-store write shape at scale),
+  * blosc:lz4 — the numcodecs default), `fill_value` (default 0; for string
+  * values a fill STRING, default ""), `max_coord_values` (per-dim distinct
+  * bound for the single-pass coordinate gather, default 10M — a NUMERIC
+  * dim past it routes to the distributed long-axis path: sort-based
+  * ordinal assignment, shuffle ordinal join, executor-written multi-chunk
+  * coordinate arrays), `coord_chunk_values` (cells per long-axis
+  * coordinate chunk object, default 1M), `zarr_format` ("2" default |
+  * "3" — v3 writes `zarr.json` metadata, `c/`-keys, a bytes+codec
+  * pipeline, and with `checksum`=true a trailing crc32c; no datetime64
+  * under v3), `shards` (v3 only: cells per SHARD OBJECT per dim, multiples
+  * of `chunks` — emits a sharding_indexed store where each task streams
+  * one whole shard per PUT; the object-store write shape at scale),
   * `storage.*` (same remote-store options as the scan).
   *
-  * Semantics: dim columns are coordinate VALUES (not indices); the sink
-  * sorts each dim's distinct values ascending to form the coordinate
-  * arrays, so a scanned-then-written store round-trips cell-for-cell. The
-  * input must have at most one row per cell (duplicate cells make the
-  * written value nondeterministic, as with any last-write-wins sink).
+  * Semantics: dim columns are coordinate VALUES (not indices) — numeric,
+  * timestamp, or STRING (label axes write as vlen-utf8 coordinate
+  * arrays); the sink sorts each dim's distinct values ascending to form
+  * the coordinate arrays, so a scanned-then-written store round-trips
+  * cell-for-cell. The input must have at most one row per cell (duplicate
+  * cells make the written value nondeterministic, as with any
+  * last-write-wins sink).
   */
 object ZarrSink {
 
