@@ -137,6 +137,11 @@ object DeferredCoordStats {
     val chunkLen = cm.chunks.head
     if (chunkLen <= 0 || cm.shape.head <= 0) return None
     val nChunks = ((cm.shape.head.toLong + chunkLen - 1) / chunkLen).toInt
+    // pathological chunking (10^8 cells at chunkLen 10 = 10^7 stats
+    // entries) would make the stats themselves a driver-memory hazard;
+    // past 4M chunks fall back to the serial streaming path, which is
+    // O(1)-memory regardless
+    if (nChunks > (1 << 22)) return None
     // version = the axis metadata document (our sink and every writer we
     // know rewrites it on array rewrite); plus the geometry that shapes
     // the stats arrays
