@@ -55,6 +55,33 @@ object CoordPred {
   }
 }
 
+/** String analog of [[CoordPred]] for label axes: equality/membership only
+  * (the predicates the scan pushes on strings), classified against a
+  * chunk's lexicographic [min, max]. A null cell never matches, so `allIn`
+  * must be vetoed by the chunk's hasNull flag. */
+sealed trait CoordPredStr extends Serializable {
+  import org.apache.spark.unsafe.types.UTF8String
+  def eval(v: UTF8String): Boolean
+  def allIn(min: UTF8String, max: UTF8String): Boolean
+  def anyIn(min: UTF8String, max: UTF8String): Boolean
+}
+
+object CoordPredStr {
+  import org.apache.spark.unsafe.types.UTF8String
+  final case class Eq(x: UTF8String) extends CoordPredStr {
+    def eval(v: UTF8String): Boolean = v != null && x == v
+    def allIn(min: UTF8String, max: UTF8String): Boolean = x == min && x == max
+    def anyIn(min: UTF8String, max: UTF8String): Boolean =
+      min.compareTo(x) <= 0 && x.compareTo(max) <= 0
+  }
+  final case class InSet(xs: Set[UTF8String]) extends CoordPredStr {
+    def eval(v: UTF8String): Boolean = v != null && xs.contains(v)
+    def allIn(min: UTF8String, max: UTF8String): Boolean = min == max && xs.contains(min)
+    def anyIn(min: UTF8String, max: UTF8String): Boolean =
+      xs.exists(x => min.compareTo(x) <= 0 && x.compareTo(max) <= 0)
+  }
+}
+
 /** Per-chunk [min, max, hasNaN] statistics of a deferred (long-axis) 1-D
   * coordinate array — the Zarr analog of parquet footer stats, computed once
   * per axis version by a DISTRIBUTED pass (executors decode chunks in
@@ -122,6 +149,89 @@ object DeferredCoordStats {
         }
         if (mn > mx) (Double.NaN, Double.NaN, true) // every cell NaN/NaT
         else (mn, mx, nan)
+    }
+  }
+
+  final case class AxisStrStats(
+      min: Array[org.apache.spark.unsafe.types.UTF8String],
+      max: Array[org.apache.spark.unsafe.types.UTF8String],
+      hasNull: Array[Boolean]
+  )
+
+  private val strCache = new java.util.LinkedHashMap[String, AxisStrStats](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, AxisStrStats]): Boolean =
+      size() > 64
+  }
+
+  /** Stats of one STRING chunk, executor-side: lexicographic [min, max]
+    * over non-null cells (absent chunk = all-fill). */
+  private def chunkStrStats(
+      dirStr: String,
+      cm: ZarrArrayMeta,
+      c: Int,
+      fill: org.apache.spark.unsafe.types.UTF8String, // null = no declared fill
+      storageOptions: Map[String, String]
+  ): (org.apache.spark.unsafe.types.UTF8String, org.apache.spark.unsafe.types.UTF8String, Boolean) = {
+    val chunkLen = cm.chunks.head
+    val valid = math.min(chunkLen.toLong, cm.shape.head.toLong - c.toLong * chunkLen).toInt
+    ZarrChunkIO.readChunk(dirStr, cm, Seq(c), storageOptions) match {
+      case None => (fill, fill, fill == null)
+      case Some(b) =>
+        var mn: org.apache.spark.unsafe.types.UTF8String = null
+        var mx: org.apache.spark.unsafe.types.UTF8String = null
+        var hasNull = false
+        var i = 0
+        while (i < valid) {
+          val v = b.getUTF8(i)
+          if (v == null) hasNull = true
+          else {
+            if (mn == null || v.compareTo(mn) < 0) mn = v
+            if (mx == null || v.compareTo(mx) > 0) mx = v
+          }
+          i += 1
+        }
+        (mn, mx, hasNull) // mn/mx null = every cell null
+    }
+  }
+
+  /** String-axis stats (get-or-compute, distributed + cached like
+    * [[forAxis]]). None = unavailable — caller streams serially. */
+  def forAxisStrings(
+      dirStr: String,
+      cm: ZarrArrayMeta,
+      storageOptions: Map[String, String]
+  ): Option[AxisStrStats] = {
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(return None)
+    val chunkLen = cm.chunks.head
+    if (chunkLen <= 0 || cm.shape.head <= 0) return None
+    val nChunks = ((cm.shape.head.toLong + chunkLen - 1) / chunkLen).toInt
+    if (nChunks > (1 << 22)) return None
+    val metaDoc = new HPath(dirStr, if (cm.v3) "zarr.json" else ".zarray")
+    val ver = ZarrFileIO
+      .fileVersionIfExists(metaDoc, storageOptions)
+      .map { case (l, m) => s"$l:$m" }
+      .getOrElse("?")
+    val key = s"$dirStr@$ver#${cm.shape.head}/$chunkLen"
+    strCache.synchronized(Option(strCache.get(key))).orElse {
+      try {
+        val sc = spark.sparkContext
+        val execOpts = ZarrFileIO.executorOptions(storageOptions)
+        val fill = cm.fillValueStr
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+          .orNull
+        val slices = math.max(1, math.min(nChunks, sc.defaultParallelism * 2))
+        val rows = sc
+          .range(0L, nChunks.toLong, 1L, slices)
+          .map(c => (c.toInt, chunkStrStats(dirStr, cm, c.toInt, fill, execOpts)))
+          .collect()
+        val mn = new Array[org.apache.spark.unsafe.types.UTF8String](nChunks)
+        val mx = new Array[org.apache.spark.unsafe.types.UTF8String](nChunks)
+        val nl = new Array[Boolean](nChunks)
+        rows.foreach { case (c, (a, b, n)) => mn(c) = a; mx(c) = b; nl(c) = n }
+        val st = AxisStrStats(mn, mx, nl)
+        strCache.synchronized(strCache.put(key, st))
+        Some(st)
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 

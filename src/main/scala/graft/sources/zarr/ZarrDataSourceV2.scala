@@ -481,15 +481,99 @@ class ZarrScanBuilder(
   private def utf8(v: Any): org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
 
+  /** Refine a DEFERRED string axis: lexicographic per-chunk [min, max]
+    * stats (distributed pass, cached — [[DeferredCoordStats.forAxisStrings]])
+    * classify chunks; boundary chunks decode on the driver. The label-axis
+    * analog of [[refineDeferred]]; falls back to serial chunk streaming. */
+  private def refineStrDeferred(d: Int, p: CoordPredStr): Boolean =
+    try {
+      val dimName = meta.dims(d)
+      val cm = store.arrayMeta(dimName)
+      if (cm.rank != 1 || cm.shape.head != meta.shape(d)) return false
+      if (!ZDtype.isString(cm.zdtype.code)) return false
+      val dirStr = store.arrayDir(dimName)
+      val chunkLen = cm.chunks.head
+      val fill = cm.fillValueStr.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+      val nChunks = ((cm.shape.head.toLong + chunkLen - 1) / chunkLen).toInt
+      val stats =
+        if (nChunks >= 4) DeferredCoordStats.forAxisStrings(dirStr, cm, store.storageOptions)
+        else None
+      var cachedId = -1
+      var buf: Option[ZarrBuffer] = None
+      def cellAt(g: Int): org.apache.spark.unsafe.types.UTF8String = {
+        val c = g / chunkLen
+        if (c != cachedId) {
+          buf = ZarrChunkIO.readChunk(dirStr, cm, Seq(c), store.storageOptions)
+          cachedId = c
+        }
+        buf match {
+          case Some(b) => b.getUTF8(g - c * chunkLen)
+          case None => fill
+        }
+      }
+      val acc = new RunAccumulator
+      (stats, keep(d)) match {
+        case (Some(st), KeptSet.Range(start, until)) if until > start =>
+          var c = start / chunkLen
+          val lastChunk = (until - 1) / chunkLen
+          while (c <= lastChunk) {
+            val lo = math.max(start, c * chunkLen)
+            val hi = math.min(until - 1, c * chunkLen + chunkLen - 1)
+            val mn = st.min(c); val mx = st.max(c)
+            // mn null = every cell null in that chunk: nothing matches
+            if (mn != null && p.allIn(mn, mx) && !st.hasNull(c)) {
+              if (!acc.addRun(lo, hi)) return false
+            } else if (mn != null && p.anyIn(mn, mx)) {
+              var g = lo
+              while (g <= hi) {
+                if (p.eval(cellAt(g)) && !acc.add(g)) return false
+                g += 1
+              }
+            }
+            c += 1
+          }
+        case (Some(st), ks) =>
+          val len = ks.length
+          var i = 0
+          while (i < len) {
+            val g = ks(i)
+            val c = g / chunkLen
+            val mn = st.min(c); val mx = st.max(c)
+            if (mn != null && p.allIn(mn, mx) && !st.hasNull(c)) {
+              if (!acc.add(g)) return false
+            } else if (mn != null && p.anyIn(mn, mx)) {
+              if (p.eval(cellAt(g)) && !acc.add(g)) return false
+            }
+            i += 1
+          }
+        case (None, ks) =>
+          val len = ks.length
+          var i = 0
+          while (i < len) {
+            val g = ks(i)
+            if (p.eval(cellAt(g)) && !acc.add(g)) return false
+            i += 1
+          }
+      }
+      keep = keep.updated(d, acc.result())
+      true
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** String-predicate dispatch: eager label axes refine in memory,
+    * deferred ones via chunk stats / streaming. */
+  private def tryRefineStr(d: Int, p: CoordPredStr): Boolean = coords(d) match {
+    case Coord.Strings(_) => refineStr(d, p.eval)
+    case Coord.Deferred(StringType, _) => refineStrDeferred(d, p)
+    case _ => false
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = filters.filter {
       case EqualTo(a, v: String) if dimIndex(a).isDefined =>
-        val u = utf8(v)
-        !refineStr(dimIndex(a).get, s => u == s)
+        !tryRefineStr(dimIndex(a).get, CoordPredStr.Eq(utf8(v)))
       case In(a, vs)
           if dimIndex(a).isDefined && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-        val set = vs.map(utf8).toSet
-        !refineStr(dimIndex(a).get, set.contains)
+        !tryRefineStr(dimIndex(a).get, CoordPredStr.InSet(vs.map(utf8).toSet))
       case EqualTo(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
         !tryRefine(dimIndex(a).get, CoordPred.Eq(num(v).get))
       case GreaterThan(a, v) if dimIndex(a).isDefined && num(v).isDefined =>

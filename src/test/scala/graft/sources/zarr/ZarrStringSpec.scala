@@ -195,6 +195,20 @@ class ZarrStringSpec extends AnyFunSuite with SparkTester {
     )
     // labels are REAL values, not ordinals
     assert(deferred.filter(col("station") === "ST47_α").count() == 3)
+    // equality/membership predicates PUSH into the deferred axis too:
+    // lexicographic chunk-stats prune, no residual Filter, parity with eager
+    val preds: Seq[org.apache.spark.sql.Column] = Seq(
+      col("station") === "ST31_α",
+      col("station").isin("ST2_α", "ST40_α", "NOPE")
+    )
+    preds.foreach { p =>
+      val dd = deferred.filter(p)
+      assert(!dd.queryExecution.optimizedPlan.toString().contains("Filter"), p.toString)
+      assert(
+        dd.orderBy(key: _*).collect().toSeq == eager.filter(p).orderBy(key: _*).collect().toSeq,
+        p.toString
+      )
+    }
   }
 
   test("row and columnar readers agree on string arrays (incl. edge chunks)") {
