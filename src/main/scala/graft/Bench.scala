@@ -56,9 +56,18 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs":$runs,"load_start":$load0,"load_end":$load1}"""
-    )
+    // the round artifact captures a bounded stdout TAIL: stop Spark FIRST so
+    // no shutdown log lines follow the JSON, write the full record to a file
+    // (r6/r7 artifacts lost 4-5 per-query times off the front of the
+    // capture), then emit the JSON as the process's final stdout line
     spark.stop()
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")),
+      json + "\n"
+    )
+    catch { case e: Throwable => System.err.println(s"[bench] result-file write failed: $e") }
+    println(json)
   }
 }

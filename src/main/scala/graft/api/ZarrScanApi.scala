@@ -8,7 +8,18 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
   * `scan_data` / `get_zarr_data_info` / `ZarrDataReader`
   * (reference: src/data_access/zarr_scanner.py:73-183, 186-268;
   * src/data_access/zarr_reader.py:83-384). Same surface, Spark-native
-  * semantics: every frame is a lazy distributed scan, not an eager block. */
+  * semantics: every frame is a lazy distributed scan, not an eager block.
+  *
+  * Concurrent-writer contract: per-JVM caches (shard byte-range indexes,
+  * deferred-coordinate chunk stats) are version-keyed on each object's
+  * (length, mtime) pair — the metadata one HEAD returns. An EXTERNAL
+  * writer that rewrites an object in place with identical length inside
+  * one mtime-granularity tick, or updates coordinate chunks without
+  * touching the axis metadata document, can be served stale cache entries
+  * until the next JVM. Zarr stores are conventionally written
+  * immutably-by-key (write new keys, then flip metadata) — under that
+  * convention, and for every store this library's own sink produces, the
+  * caches are always coherent. */
 object ZarrScan {
 
   private def selToOption(s: DimSel): String = s match {

@@ -731,15 +731,147 @@ object CoreQueries {
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 6)) s
              |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(0, 10)) t
              |ORDER BY station, t""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // SHARDED v3 STRING write path under the gate: vlen-utf8 inner chunks
+    // behind crc32c'd byte-range shard indexes, one withheld cell reading
+    // back as the fill string, multi-byte UTF-8 throughout.
+    Q(
+      "q32_zarr_write_sharded_strings",
+      (s, _) => {
+        val root = CoreQueries.q32Store(s)
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("lbl")
+          .orderBy("r", "c")
+      },
+      Some("""SELECT CAST(r.i AS INTEGER) AS r, CAST(c.i AS INTEGER) AS c,
+             |CASE WHEN r.i * 12 + c.i = 29 THEN 'miss'
+             |     ELSE 's' || CAST((r.i * 12 + c.i) * 7 % 59 AS VARCHAR) || 'β' END AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 8)) r
+             |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(0, 12)) c
+             |ORDER BY r, c""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // LONG STRING AXIS write path under the gate: a label dimension past
+    // max_coord_values routes through distributed sort-based ordinals and
+    // executor-written multi-chunk vlen coordinate arrays; the scan reads
+    // the axis back (deferred-threshold machinery picks it up on larger
+    // stores — here the contract is exact round-trip + ordering).
+    Q(
+      "q33_zarr_write_long_labels",
+      (s, _) => {
+        val root = CoreQueries.q33Store(s)
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("v")
+          .orderBy("doc")
+      },
+      Some("""SELECT 'doc' || lpad(CAST(t.i AS VARCHAR), 4, '0') AS doc,
+             |CAST(t.i * 3 % 11 AS DOUBLE) * 0.5 AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 500)) t
+             |ORDER BY doc""".stripMargin)
     )
   )
+
+  /** Build the q32 store once per JVM — the PRODUCT sink writing SHARDED
+    * v3 STRING values: (8,12) grid, inner chunks (2,4) packed into (4,12)
+    * shard objects, zstd behind vlen-utf8, flat cell 29 withheld so it
+    * reads back as the fill string. */
+  private[queries] def q32Store(s: SparkSession): String = synchronized {
+    val root = FixtureCache.root("q32")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      s.range(0, 96)
+        .filter(col("id") =!= 29)
+        .select(
+          (col("id") / 12).cast("int").as("r"),
+          (col("id") % 12).cast("int").as("c"),
+          concat(lit("s"), (col("id") * 7 % 59).cast("string"), lit("β")).as("value")
+        )
+        .write.format("zarr")
+        .option("path", root).option("array", "lbl").option("zarr_format", "3")
+        .option("chunks", "2,4").option("shards", "4,12")
+        .option("compressor", "zstd").option("fill_value", "miss")
+        .mode("append").save()
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
+
+  /** Build the q33 store once per JVM — the PRODUCT sink with a 500-label
+    * string dimension forced past `max_coord_values` (bound 16): ordinals
+    * assigned by distributed sort, coordinate array written as multi-chunk
+    * vlen-utf8 objects from executors. Labels are zero-padded so binary
+    * UTF-8 sort order equals generation order. */
+  private[queries] def q33Store(s: SparkSession): String = synchronized {
+    val root = FixtureCache.root("q33")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      s.range(0, 500)
+        .select(
+          concat(lit("doc"), lpad(col("id").cast("string"), 4, "0")).as("doc"),
+          ((col("id") * 3 % 11).cast("double") * 0.5).as("value")
+        )
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("max_coord_values", "16").option("coord_chunk_values", "128")
+        .option("chunks", "100").option("compressor", "zstd")
+        .mode("append").save()
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
+
+  /** Content-addressed fixture-store roots. The directory name carries a
+    * fingerprint of the BYTECODE of every class that participates in
+    * producing fixture bytes (the v2/v3 store writers, the codec/filter
+    * stack, the product sink, and this file's generator lambdas). Any
+    * recompile of that code yields a new path, so a /tmp store written by
+    * an OLD writer can never be served to a NEW scan — the exact failure
+    * that turned q29 red in round 7 (store cached behind a content-blind
+    * marker across writer reworks 46b0f18/aef631d). Stale same-name
+    * siblings with a different fingerprint are deleted on first access.
+    * The in-dir `.graft_complete` marker is still written LAST so a
+    * crashed partial build is never mistaken for a valid store. */
+  private object FixtureCache {
+    private lazy val codeHash: String = {
+      val classes = Seq(
+        "graft/queries/CoreQueries$.class",
+        "graft/sources/zarr/ZarrStoreWriter$.class",
+        "graft/sources/zarr/ZarrStoreWriterV3$.class",
+        "graft/sources/zarr/ZarrSink$.class",
+        "graft/sources/zarr/ZarrSink.class",
+        "graft/sources/zarr/ZarrCodec$.class",
+        "graft/sources/zarr/ZarrFilters$.class",
+        "graft/sources/zarr/ZarrMeta$.class"
+      )
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val cl = getClass.getClassLoader
+      classes.foreach { c =>
+        val in = cl.getResourceAsStream(c)
+        if (in != null) try md.update(in.readAllBytes()) finally in.close()
+        else md.update(c.getBytes("UTF-8")) // absence participates in the hash
+      }
+      md.digest().take(4).map("%02x".format(_)).mkString
+    }
+
+    def root(name: String): String = synchronized {
+      val dirName = s"graft_${name}_store_$codeHash"
+      val tmp = new java.io.File("/tmp")
+      Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith(s"graft_${name}_store") && f.getName != dirName)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      s"/tmp/$dirName"
+    }
+  }
 
   /** Build the q31 store once per JVM — the PRODUCT sink writing a string
     * VALUE array over a string station axis (the labeled-dataset write
     * path): vlen-utf8 chunks, a withheld cell reading back as the fill
     * string, multi-byte UTF-8 in every value. */
   private[queries] def q31Store(s: SparkSession): String = synchronized {
-    val root = "/tmp/graft_q31_store"
+    val root = FixtureCache.root("q31")
     val marker = java.nio.file.Paths.get(root, ".graft_complete")
     if (!java.nio.file.Files.exists(marker)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -762,7 +894,7 @@ object CoreQueries {
   /** Build the q30 complex store once per JVM: `c` is <c16 (40,) chunked
     * (16,), zlib, re/im deterministic doubles exact in both engines. */
   private[queries] def q30Store(): String = synchronized {
-    val root = "/tmp/graft_q30_store"
+    val root = FixtureCache.root("q30")
     val marker = java.nio.file.Paths.get(root, ".graft_complete")
     if (!java.nio.file.Files.exists(marker)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -788,7 +920,7 @@ object CoreQueries {
     * zarr-python/numpy (README.md:17 "type preservation";
     * zarr_storage.py:397-415 surfaces dtype verbatim). */
   private[queries] def q28Store(): String = synchronized {
-    val root = "/tmp/graft_q28_store"
+    val root = FixtureCache.root("q28")
     val marker = java.nio.file.Paths.get(root, ".graft_complete")
     if (!java.nio.file.Files.exists(marker)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -824,7 +956,7 @@ object CoreQueries {
     * objects (2x1 on store), zstd, cells where flat % 97 == 0 withheld so
     * they read back as the fill_value (-5). */
   private[queries] def q27Store(s: SparkSession): String = synchronized {
-    val root = "/tmp/graft_q27_store"
+    val root = FixtureCache.root("q27")
     val marker = java.nio.file.Paths.get(root, ".graft_complete")
     if (!java.nio.file.Files.exists(marker)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -849,7 +981,7 @@ object CoreQueries {
     * float64 (40,30) chunked (16,8) with a zstd+crc32c codec pipeline,
     * coords int32 identity, consolidated metadata in the root zarr.json. */
   private[queries] def q25Store(): String = synchronized {
-    val root = "/tmp/graft_q25_store"
+    val root = FixtureCache.root("q25")
     val marker = java.nio.file.Paths.get(root, ".graft_complete")
     if (!java.nio.file.Files.exists(marker)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -873,7 +1005,7 @@ object CoreQueries {
     * float64 (40,30), shard objects cover (20,10) cells holding gzip'd
     * (5,5) inner chunks behind a crc32c-checked byte-range index. */
   private[queries] def q26Store(): String = synchronized {
-    val root = "/tmp/graft_q26_store"
+    val root = FixtureCache.root("q26")
     val marker = java.nio.file.Paths.get(root, ".graft_complete")
     if (!java.nio.file.Files.exists(marker)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -897,7 +1029,7 @@ object CoreQueries {
     * cells). shape (60,50,40), chunks (16,16,16), zlib, lat = 10 + 0.5*i so
     * `lat > 20.0` keeps indices 21..49. */
   private[queries] def q22Store(): String = synchronized {
-    val root = "/tmp/graft_q22_store"
+    val root = FixtureCache.root("q22")
     // completion marker written LAST: a crashed partial write must not be
     // mistaken for a valid store (missing chunks would silently read as
     // fill_value and flunk the oracle)
@@ -926,7 +1058,7 @@ object CoreQueries {
     * partial chunk), dtypes spanning bool / i1 / u1 / i2 / u2 / u4 / i8 /
     * big-endian i4+f8 / f4, compressors varied across none/zlib/zstd/blosc. */
   private[queries] def q23Store(): String = synchronized {
-    val root = "/tmp/graft_q23_store"
+    val root = FixtureCache.root("q23")
     val marker = java.nio.file.Paths.get(root, ".graft_complete")
     if (!java.nio.file.Files.exists(marker)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -964,7 +1096,7 @@ object CoreQueries {
     * bit-exact. Marker is versioned: adding arrays must invalidate stores
     * cached in /tmp by earlier builds. */
   private[queries] def q24Store(): String = synchronized {
-    val root = "/tmp/graft_q24_store"
+    val root = FixtureCache.root("q24")
     val marker = java.nio.file.Paths.get(root, ".graft_complete_v2")
     if (!java.nio.file.Files.exists(marker)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))

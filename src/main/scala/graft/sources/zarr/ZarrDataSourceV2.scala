@@ -368,14 +368,21 @@ class ZarrScanBuilder(
       val dimName = meta.dims(d)
       val cm = store.arrayMeta(dimName)
       if (cm.rank != 1 || cm.shape.head != meta.shape(d)) return false
+      // numeric pruning is only sound for dtypes cellAsDouble decodes
+      // exactly; anything else (u8/string/complex) would read as NaN and
+      // prune every cell — silent empty results. Residual instead.
+      cm.zdtype.code match {
+        case ZDtype.I4 | ZDtype.I8 | ZDtype.F4 | ZDtype.F8 | ZDtype.M8 | ZDtype.TD => ()
+        case _ => return false
+      }
       val dirStr = store.arrayDir(dimName)
       val chunkLen = cm.chunks.head
-      // M8 fills are in the STORE's raw time unit; convert to epoch micros
+      // M8/TD fills are in the STORE's raw time unit; convert to micros
       // (NaT → NaN) exactly like cellAsDouble's present-chunk path, else a
       // NaT fill would compare as Long.MinValue and prune incorrectly
       val fill: Double = cm.fillValue match {
         case None => Double.NaN
-        case Some(fv) if cm.zdtype.code == ZDtype.M8 =>
+        case Some(fv) if cm.zdtype.code == ZDtype.M8 || cm.zdtype.code == ZDtype.TD =>
           ZDtype.m8Micros(cm.zdtype, fv.toLong) match {
             case null => Double.NaN
             case us: java.lang.Long => us.toDouble

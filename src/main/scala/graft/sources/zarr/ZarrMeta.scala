@@ -324,10 +324,14 @@ object ZarrMeta {
           case JString(s) if zdt.code == ZDtype.S || zdt.code == ZDtype.US =>
             // base64 of the raw fixed-width cell (zarr v2 §fill-value);
             // a non-base64 literal is taken verbatim (zarr-python accepts
-            // both historically)
+            // both historically). Only accept the base64 reading when it
+            // decodes to EXACTLY itemSize bytes — a short valid-base64
+            // literal like "none" (→ 3 B for |S4) must fall back verbatim,
+            // not crash decodeFixedString on the missing bytes.
             try {
               val raw = java.util.Base64.getDecoder.decode(s)
-              Some(ZarrBuffer.decodeFixedString(raw, 0, zdt))
+              if (raw.length == zdt.itemSize) Some(ZarrBuffer.decodeFixedString(raw, 0, zdt))
+              else Some(s)
             } catch { case _: IllegalArgumentException => Some(s) }
           case JString(s) => Some(s)
           case JInt(x) if x == 0 => None
@@ -446,29 +450,32 @@ object ZarrMeta {
       case other => throw new IllegalArgumentException(s"array $name: bad codecs $other")
     }
     val codecNames = codecs.map(c => (c \ "name").extract[String])
-    if (dtName == "string") {
-      // zarr-python's v3 spelling of variable-length strings: data_type
-      // "string" with vlen-utf8 as the array->bytes codec (replacing
-      // "bytes"); the byte layout is the same numcodecs vlen-utf8 stream
-      // the v2 object-dtype path parses
-      require(
-        codecNames.headOption.contains("vlen-utf8"),
-        s"array $name: v3 'string' data_type requires the vlen-utf8 codec first, got $codecNames"
-      )
-      val bb = codecs.tail.map { c =>
-        val n = (c \ "name").extract[String]
-        require(n != "sharding_indexed", s"array $name: sharded string arrays are not supported")
-        JsonMethods.compact(JsonMethods.render(c))
-      }.toVector
-      return buildV3(name, j, shape, chunks, "|O", bb, None, true, false, true)
-    }
-    val kind = V3DataTypes.getOrElse(
+
+    def kindFor(): String = V3DataTypes.getOrElse(
       dtName,
       throw new IllegalArgumentException(
         s"array $name: unsupported v3 data_type '$dtName' " +
           s"(supported: string, ${V3DataTypes.keys.toSeq.sorted.mkString(", ")})"
       )
     )
+
+    /** `vlen-utf8 [bytes->bytes...]` chain (data_type "string") → bb codec
+      * configs. zarr-python's v3 spelling of variable-length strings puts
+      * vlen-utf8 as the array->bytes codec (replacing "bytes"); the byte
+      * layout is the same numcodecs vlen-utf8 stream the v2 object-dtype
+      * path parses. */
+    def parseVlenChain(chain: List[JValue], what: String): Vector[String] = {
+      val names = chain.map(c => (c \ "name").extract[String])
+      require(
+        names.headOption.contains("vlen-utf8"),
+        s"array $name: v3 'string' data_type requires the vlen-utf8 codec first in $what, got $names"
+      )
+      chain.tail.map { c =>
+        val n = (c \ "name").extract[String]
+        require(n != "sharding_indexed", s"array $name: nested 'sharding_indexed' in $what is not supported")
+        JsonMethods.compact(JsonMethods.render(c))
+      }.toVector
+    }
 
     /** `bytes [bytes->bytes...]` chain → (bigEndian, bb codec configs). */
     def parseBytesChain(chain: List[JValue], what: String): (Boolean, Vector[String]) = {
@@ -503,7 +510,6 @@ object ZarrMeta {
         case JNothing | JNull => Nil
         case other => throw new IllegalArgumentException(s"array $name: bad sharding codecs $other")
       }
-      val (big, innerBB) = parseBytesChain(innerChain, "sharding inner codecs")
       val idxChain = (cfg \ "index_codecs") match {
         case JArray(items) => items
         case JNothing | JNull => Nil
@@ -524,15 +530,26 @@ object ZarrMeta {
         idxLoc == "end" || idxLoc == "start",
         s"array $name: bad index_location '$idxLoc'"
       )
+      // sharded strings: vlen-utf8 inner chunks behind the same byte-range
+      // index — the chunk reader decodes inner bytes identically either way
+      val (dtype, innerBB) =
+        if (dtName == "string") ("|O", parseVlenChain(innerChain, "sharding inner codecs"))
+        else {
+          val (big, bb) = parseBytesChain(innerChain, "sharding inner codecs")
+          ((if (big) ">" else "<") + kindFor(), bb)
+        }
       return buildV3(
-        name, j, shape, chunks = inner, dtype = (if (big) ">" else "<") + kind,
+        name, j, shape, chunks = inner, dtype = dtype,
         bb = innerBB, shardShape = Some(chunks), shardIndexCrc = idxNames.contains("crc32c"),
         shardIndexBigEndian = idxBig, shardIndexAtEnd = idxLoc == "end"
       )
     }
 
+    if (dtName == "string")
+      return buildV3(name, j, shape, chunks, "|O", parseVlenChain(codecs, "v3 codecs"), None, true, false, true)
+
     val (big, bb) = parseBytesChain(codecs, "v3 codecs")
-    buildV3(name, j, shape, chunks, (if (big) ">" else "<") + kind, bb, None, true, false, true)
+    buildV3(name, j, shape, chunks, (if (big) ">" else "<") + kindFor(), bb, None, true, false, true)
   }
 
   /** Common tail of [[parseArrayV3]]: key encoding, fill, dims, attrs —

@@ -316,7 +316,6 @@ object ZarrSink {
     // thousands of inner chunks per PUT instead of one object per chunk.
     val shardsOpt: Option[Vector[Int]] = opts.get("shards").map { ss =>
       require(v3, "zarr sink: 'shards' requires zarr_format=3 (sharding_indexed is a v3 codec)")
-      require(!strValue, "zarr sink: sharded string arrays are not supported (vlen inner chunks)")
       val sv = ss.split(",").map(_.trim.toInt).toVector
       require(
         sv.length == shape.length && sv.zip(chunks).forall { case (s, c) => s > 0 && s % c == 0 },
@@ -498,10 +497,13 @@ object ZarrSink {
             var curShard = -1L
             var curChunk = -1L
             var buf: ByteBuffer = null
+            var cells: Array[String] = null // string values: vlen inner chunks
             val shardData = new java.io.ByteArrayOutputStream()
             val index = new Array[Long](nInner * 2)
             def flushChunk(): Unit = if (curChunk >= 0L) {
-              val enc = v3CfgsSer.foldLeft(buf.array())((b, cfg) => ZarrCodecV3.encode(cfg, b, dt.itemSize))
+              val raw =
+                if (isStrValue) ZarrStoreWriter.vlenEncode(cells) else buf.array()
+              val enc = v3CfgsSer.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, math.max(dt.itemSize, 1)))
               // within-shard inner ordinal from the GLOBAL chunk ordinal
               val cIdx = new Array[Int](rank)
               var rem = curChunk
@@ -520,7 +522,7 @@ object ZarrSink {
               val ib = ByteBuffer.allocate(nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
               var i = 0
               while (i < nInner * 2) { ib.putLong(i * 8, index(i)); i += 1 }
-              val idxBytes = ZarrCodecV3.encode("""{"name": "crc32c"}""", ib.array(), dt.itemSize)
+              val idxBytes = ZarrCodecV3.encode("""{"name": "crc32c"}""", ib.array(), math.max(dt.itemSize, 1))
               val sIdx = new Array[Int](rank)
               var rem = curShard
               var d = rank - 1
@@ -544,11 +546,19 @@ object ZarrSink {
               if (c != curChunk) {
                 flushChunk()
                 curChunk = c
-                if (buf == null) buf = ByteBuffer.allocate(elems * dt.itemSize).order(order)
-                if (fill == 0.0) java.util.Arrays.fill(buf.array(), 0.toByte)
-                else { var i = 0; while (i < elems) { ZDtype.put(dt, buf, i, fill); i += 1 } }
+                if (isStrValue) {
+                  if (cells == null) cells = new Array[String](elems)
+                  java.util.Arrays.fill(cells.asInstanceOf[Array[AnyRef]], fillStrSer)
+                } else {
+                  if (buf == null) buf = ByteBuffer.allocate(elems * dt.itemSize).order(order)
+                  if (fill == 0.0) java.util.Arrays.fill(buf.array(), 0.toByte)
+                  else { var i = 0; while (i < elems) { ZDtype.put(dt, buf, i, fill); i += 1 } }
+                }
               }
-              putCell(dt, buf, r.getLong(2).toInt, r.get(3), rCheck, rMin, rMax, dtypeStr)
+              if (isStrValue) {
+                val v = r.getString(3)
+                cells(r.getLong(2).toInt) = if (v == null) fillStrSer else v
+              } else putCell(dt, buf, r.getLong(2).toInt, r.get(3), rCheck, rMin, rMax, dtypeStr)
             }
             flushShard()
           }
@@ -580,6 +590,27 @@ object ZarrSink {
             shape, chunks, v3DataTypeName(dtype), v3Cfgs, Some(fillValue), Some(dims),
             separator = "/", endian = endianStr
           )
+        case Some(shards) if strValue =>
+          // sharded strings: vlen-utf8 inner chunks inside shard objects;
+          // chunk_grid carries the SHARD shape, the sharding codec nests
+          // the inner chunk shape + vlen chain
+          val innerChain = ("""{"name": "vlen-utf8"}""" +: v3Cfgs).mkString("[", ", ", "]")
+          val shardingCfg =
+            s"""{"name": "sharding_indexed", "configuration": {
+               |"chunk_shape": [${chunks.mkString(",")}],
+               |"codecs": $innerChain,
+               |"index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}],
+               |"index_location": "end"}}""".stripMargin
+          val dimNames = dims.map(x => s"""\"$x\"""").mkString("[", ", ", "]")
+          s"""{"zarr_format": 3, "node_type": "array",
+             |"shape": [${shape.mkString(",")}],
+             |"data_type": "string",
+             |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${shards.mkString(",")}]}},
+             |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+             |"fill_value": ${ZarrStoreWriter.jsonStr(fillStr)},
+             |"codecs": [$shardingCfg],
+             |"attributes": {},
+             |"dimension_names": $dimNames}""".stripMargin
         case Some(shards) =>
           // chunk_grid carries the SHARD shape; the sharding codec nests the
           // inner chunk shape + codec chain
@@ -686,12 +717,18 @@ object ZarrSink {
       storageOptions: Map[String, String],
       coordChunkValues: Int = 1000000
   ): Unit = {
-    require(
-      sparkType != StringType,
-      s"zarr sink: dimension '$dim' is a string axis past max_coord_values — the distributed " +
-        "ordinal path does not support vlen coordinate chunks yet; raise 'max_coord_values' " +
-        "if the label set truly fits the driver"
-    )
+    if (sparkType == StringType) {
+      // LONG STRING axis: vlen-utf8 coordinate chunks written from
+      // executors — the label-axis analog of the numeric path below. The
+      // read side's deferred string machinery (threshold, chunk cursors,
+      // lexicographic chunk-stats pruning) picks these up symmetrically;
+      // Spark's StringType sort is binary UTF-8 order, matching the
+      // UTF8String comparisons the pruner uses.
+      writeStringCoordDistributed(
+        groupDir, dim, sorted, n, v3, compressor, v3Cfgs, storageOptions, coordChunkValues
+      )
+      return
+    }
     val dtype = coordDtype(sparkType)
     val dt = ZDtype.parse(dtype)
     val dir = new HPath(groupDir, dim)
@@ -739,6 +776,76 @@ object ZarrSink {
         val bytes =
           if (isV3) cfgs.foldLeft(buf.array())((b, cfg) => ZarrCodecV3.encode(cfg, b, dtSer.itemSize))
           else ZarrCodec.compress(comp, buf.array(), typesize = dtSer.itemSize)
+        val key = if (isV3) s"c/$c" else c.toString
+        ZarrFileIO.writeBytes(new HPath(dirStr, key), execOpts, bytes)
+      }
+    sorted.unpersist(blocking = false)
+  }
+
+  /** LONG-axis STRING (vlen-utf8) coordinate array: metadata driver-side,
+    * chunk objects written FROM EXECUTORS out of the sorted (value,
+    * ordinal) RDD. Each chunk is a full-size vlen frame, ""-padded past
+    * the axis end (numcodecs VLenUTF8 convention, matching
+    * [[ZarrStoreWriter.foreachStringChunk]]). */
+  private def writeStringCoordDistributed(
+      groupDir: HPath,
+      dim: String,
+      sorted: org.apache.spark.rdd.RDD[(Any, Long)],
+      n: Int,
+      v3: Boolean,
+      compressor: Option[String],
+      v3Cfgs: Seq[String],
+      storageOptions: Map[String, String],
+      coordChunkValues: Int
+  ): Unit = {
+    val dir = new HPath(groupDir, dim)
+    val chunkLen = math.min(n.toLong, coordChunkValues.toLong).toInt
+    val nChunks = ((n.toLong + chunkLen - 1) / chunkLen).toInt
+    if (v3) {
+      val allCodecs = ("""{"name": "vlen-utf8"}""" +: v3Cfgs).mkString("[", ", ", "]")
+      ZarrFileIO.writeString(
+        new HPath(dir, "zarr.json"),
+        storageOptions,
+        s"""{"zarr_format": 3, "node_type": "array",
+           |"shape": [$n],
+           |"data_type": "string",
+           |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$chunkLen]}},
+           |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+           |"fill_value": null,
+           |"codecs": $allCodecs,
+           |"attributes": {},
+           |"dimension_names": ["$dim"]}""".stripMargin
+      )
+    } else {
+      ZarrFileIO.writeString(
+        new HPath(dir, ".zarray"),
+        storageOptions,
+        s"""{"zarr_format": 2, "shape": [$n], "chunks": [$chunkLen],
+           |"dtype": "|O", "order": "C", "compressor": ${ZarrStoreWriter.compressorJson(compressor)},
+           |"fill_value": null, "filters": [{"id": "vlen-utf8"}]}""".stripMargin
+      )
+      ZarrFileIO.writeString(
+        new HPath(dir, ".zattrs"),
+        storageOptions,
+        ZarrStoreWriter.zattrsJson(Some(Vector(dim)))
+      )
+    }
+    val execOpts = ZarrFileIO.executorOptions(storageOptions)
+    val dirStr = dir.toString
+    val cl = chunkLen
+    val isV3 = v3
+    val comp = compressor
+    val cfgs = v3Cfgs
+    sorted
+      .map { case (v, i) => (i / cl, (i % cl, v)) }
+      .groupByKey(math.max(1, math.min(nChunks, sorted.sparkContext.defaultParallelism)))
+      .foreach { case (c, cells) =>
+        val arr = Array.fill(cl)("") // full-size chunk, ""-padded past the axis end
+        cells.foreach { case (off, v) => arr(off.toInt) = v.asInstanceOf[String] }
+        val raw = ZarrStoreWriter.vlenEncode(arr)
+        val bytes =
+          if (isV3) cfgs.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, 1))
+          else ZarrCodec.compress(comp, raw, typesize = 1)
         val key = if (isV3) s"c/$c" else c.toString
         ZarrFileIO.writeBytes(new HPath(dirStr, key), execOpts, bytes)
       }

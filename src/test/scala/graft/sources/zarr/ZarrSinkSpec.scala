@@ -103,6 +103,40 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
     assert(b3.orderBy("t").collect().map(_.getLong(0)).toSeq == (0 until 300).map(_ * 3L))
   }
 
+  test("long STRING axis past max_coord_values: distributed vlen coordinate chunks (v2 + v3)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarrsinklongstr").toString
+    // 600 distinct labels (bound 16 -> long-axis path: shuffle-join
+    // ordinals, executor-written multi-chunk vlen coordinate array);
+    // zero-padded so binary UTF-8 sort order matches generation order
+    val df = (0 until 600).map(i => (f"doc$i%04d", (i % 7).toDouble)).toDF("doc", "value")
+    for ((fmt, dst) <- Seq("2" -> s"$base/v2", "3" -> s"$base/v3")) {
+      df.write.format("zarr")
+        .option("path", dst).option("array", "v").option("zarr_format", fmt)
+        .option("max_coord_values", "16").option("coord_chunk_values", "128")
+        .option("chunks", "100").option("compressor", "zstd")
+        .mode("append").save()
+      // the doc coordinate array on store is multi-chunk (600 / 128 -> 5)
+      val coordDir = java.nio.file.Paths.get(dst, "doc")
+      val chunkRoot = if (fmt == "3") coordDir.resolve("c") else coordDir
+      val files = java.nio.file.Files.walk(chunkRoot)
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filter(p => !p.getFileName.toString.startsWith(".") && p.getFileName.toString != "zarr.json")
+        .count()
+      assert(files == 5, s"$fmt: expected 5 coordinate chunks, found $files")
+      val back = new ZarrDataReader(spark, dst).readArray("v")
+      assert(back.schema("doc").dataType == StringType, fmt)
+      assert(back.count() == 600, fmt)
+      val rows = back.orderBy("doc").collect()
+      (0 until 600).foreach { i =>
+        assert(rows(i).getString(0) == f"doc$i%04d" && rows(i).getDouble(1) == (i % 7).toDouble, s"$fmt i=$i")
+      }
+      // string-equality pushdown is consumed by the scan on the written store
+      val eq = back.filter(col("doc") === "doc0421")
+      assert(eq.count() == 1, fmt)
+    }
+  }
+
   test("sink null dimension values still rejected under single-pass collection") {
     val dst = Files.createTempDirectory("zarrsinknull").toString + "/store"
     val rows = java.util.Arrays.asList(Row(1, 1.0), Row(null, 2.0))
@@ -330,18 +364,28 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
       assert(!eq.queryExecution.optimizedPlan.toString().contains("Filter"), fmt)
       assert(eq.count() == 5, fmt)
     }
-    // sharded string arrays are rejected loudly
-    val e = intercept[Exception] {
-      df.write.format("zarr").option("path", s"$base/bad").option("array", "lbl")
-        .option("zarr_format", "3").option("chunks", "2,3").option("shards", "4,3")
-        .mode("append").save()
+    // SHARDED string values: vlen inner chunks behind the byte-range index
+    val dstSh = s"$base/sh"
+    df.write.format("zarr").option("path", dstSh).option("array", "lbl")
+      .option("zarr_format", "3").option("chunks", "2,3").option("shards", "4,3")
+      .option("fill_value", "none").option("compressor", "zstd")
+      .mode("append").save()
+    // on-store: one object per shard (1x2 shard grid over 4x5), none per chunk
+    val cDir = java.nio.file.Paths.get(dstSh, "lbl", "c")
+    val objs = java.nio.file.Files.walk(cDir)
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter(p => !p.getFileName.toString.startsWith("."))
+      .count()
+    assert(objs == 2, s"expected 2 shard objects, found $objs")
+    val backSh = new ZarrDataReader(spark, dstSh).readArray("lbl")
+    assert(backSh.schema("value").dataType == StringType)
+    val rowsSh = backSh.orderBy("station", "t").collect()
+    assert(rowsSh.length == 20)
+    (0 until 20).foreach { i =>
+      val r = rowsSh(i)
+      assert(r.getString(0) == s"ST0${i / 5}" && r.getInt(1) == i % 5, s"sharded i=$i")
+      assert(r.getString(2) == (if (i == 13) "none" else s"v$i-α"), s"sharded i=$i")
     }
-    def msgOf(t: Throwable): String = {
-      var c: Throwable = t; val sb = new StringBuilder
-      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
-      sb.toString
-    }
-    assert(msgOf(e).contains("sharded string"), msgOf(e))
   }
 
   test("bounded_collect_set rejects BinaryType (reference-equality Array[Byte] cannot dedup)") {
