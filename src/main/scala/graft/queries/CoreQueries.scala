@@ -769,8 +769,107 @@ object CoreQueries {
              |CAST(t.i * 3 % 11 AS DOUBLE) * 0.5 AS value
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 500)) t
              |ORDER BY doc""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // numcodecs `categorize` filter under the gate: object-dtype label
+    // array stored as u1 CODES (label i ↔ code i+1, out-of-vocab → 0 →
+    // decodes ''), zlib over the code bytes. Real-world v2 stores use this
+    // for weather-type / category axes; the reference gets it free via
+    // numcodecs (pyproject.toml:44-49).
+    Q(
+      "q34_zarr_categorize",
+      (s, _) => {
+        val root = CoreQueries.q34Store()
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("wx")
+          .orderBy("i")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS i,
+             |CASE WHEN t.i % 13 = 0 THEN ''
+             |     WHEN t.i % 4 = 0 THEN 'rain' WHEN t.i % 4 = 1 THEN 'snow'
+             |     WHEN t.i % 4 = 2 THEN 'häil' ELSE 'clear' END AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 60)) t
+             |ORDER BY i""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Structured/compound dtype under the gate: records of (i4, big-endian
+    // f8, |S4) packed per cell, one chunk withheld so its cells read the
+    // all-zero fill record. Subfields project to flat columns for the
+    // oracle (same treatment as q30's complex struct).
+    Q(
+      "q35_zarr_struct",
+      (s, _) => {
+        val root = CoreQueries.q35Store()
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("rec")
+          .select(
+            col("i"),
+            col("value.sensor").as("sensor"),
+            col("value.temp").as("temp"),
+            col("value.tag").as("tag")
+          )
+          .orderBy("i")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS i,
+             |CAST(CASE WHEN t.i BETWEEN 16 AND 23 THEN 0 ELSE t.i * 3 - 7 END AS INTEGER) AS sensor,
+             |CAST(CASE WHEN t.i BETWEEN 16 AND 23 THEN 0.0 ELSE t.i * 0.25 - 2.0 END AS DOUBLE) AS temp,
+             |CASE WHEN t.i BETWEEN 16 AND 23 THEN '' ELSE 'T' || CAST(t.i % 5 AS VARCHAR) END AS tag
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 30)) t
+             |ORDER BY i""".stripMargin)
     )
   )
+
+  /** Build the q35 structured-dtype store once per JVM: `rec` is a compound
+    * [[sensor i4, temp >f8, tag |S4]] over i (30, chunks 8), zlib; chunk 2
+    * is withheld so cells 16..23 read the all-zero-bytes fill record. */
+  private[queries] def q35Store(): String = synchronized {
+    val root = FixtureCache.root("q35")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      import graft.sources.zarr.ZarrStoreWriter
+      val dir = ZarrStoreWriter.writeGroup(root)
+      ZarrStoreWriter.writeStructArray(
+        dir, "rec", Vector(30), Vector(8),
+        """[["sensor", "<i4"], ["temp", ">f8"], ["tag", "|S4"]]""",
+        i => Seq((i * 3 - 7).toInt, i * 0.25 - 2.0, s"T${i % 5}"),
+        dims = Some(Vector("i")), compressor = Some("zlib"),
+        fillBase64 = Some(java.util.Base64.getEncoder.encodeToString(new Array[Byte](16)))
+      )
+      ZarrStoreWriter.writeCoord(dir, "i", Coord.Ints(Array.tabulate(30)(identity)))
+      ZarrStoreWriter.consolidate(dir)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(root, "rec", "2"))
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
+
+  /** Build the q34 categorize store once per JVM: `wx` is |O over i with
+    * filters [categorize(labels=[rain,snow,häil,clear], astype=u1)] — the
+    * chunk bytes are integer codes; every 13th cell is out-of-vocab and
+    * decodes to '' (numcodecs categorize.py semantics). */
+  private[queries] def q34Store(): String = synchronized {
+    val root = FixtureCache.root("q34")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      import graft.sources.zarr.ZarrStoreWriter
+      val dir = ZarrStoreWriter.writeGroup(root)
+      val labels = Array("rain", "snow", "häil", "clear")
+      ZarrStoreWriter.writeStringArray(
+        dir, "wx", Vector(60), Vector(16), "|O",
+        i => if (i % 13 == 0) "fog" else labels((i % 4).toInt),
+        dims = Some(Vector("i")), compressor = Some("zlib"),
+        filters = Seq(
+          """{"id": "categorize", "labels": ["rain", "snow", "häil", "clear"], "dtype": "|O", "astype": "|u1"}"""
+        )
+      )
+      ZarrStoreWriter.writeCoord(dir, "i", Coord.Ints(Array.tabulate(60)(identity)))
+      ZarrStoreWriter.consolidate(dir)
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
 
   /** Build the q32 store once per JVM — the PRODUCT sink writing SHARDED
     * v3 STRING values: (8,12) grid, inner chunks (2,4) packed into (4,12)

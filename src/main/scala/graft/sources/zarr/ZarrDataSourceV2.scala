@@ -875,7 +875,10 @@ class ZarrReaderFactory(
 
   // Columnar is the scan's fast path: primitive vector fills, no per-cell
   // boxing or row materialization; Spark appends a codegen'd ColumnarToRow.
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  // Structured (compound) cells take the row path — per-field child-vector
+  // fills aren't worth the code for the rarest dtype family.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    meta.zdtype.code != ZDtype.V
 
   override def createColumnarReader(
       partition: InputPartition
@@ -1055,6 +1058,11 @@ class ZarrRowReader(
         if (meta.zdtype.code == ZDtype.C8)
           new GenericInternalRow(Array[Any](re.toFloat, im.toFloat))
         else new GenericInternalRow(Array[Any](re, im))
+      }.orNull
+    else if (meta.zdtype.code == ZDtype.V)
+      // structured fill: fillValueStr carries the base64-packed cell
+      meta.fillValueStr.map { b64 =>
+        new ZarrBuffer(java.util.Base64.getDecoder.decode(b64), meta.zdtype).getStruct(0)
       }.orNull
     else meta.fillValue.map(f => ZDtype.box(meta.zdtype, f)).orNull
   private val row = new GenericInternalRow(required.length)

@@ -43,11 +43,12 @@ object ZarrFilters {
     case "quantize" | "bitround" => bytes
     case "fixedscaleoffset" => fsoDecode(cfg, dt, bytes)
     case "packbits" => packbitsDecode(dt, bytes)
+    case "categorize" => categorizeDecode(cfg, dt, bytes)
     case other =>
       throw new UnsupportedOperationException(
         s"zarr filter '$other' not supported (supported: delta, quantize, bitround, " +
-          "fixedscaleoffset, packbits; categorize/astype-retyping are not) — refusing to " +
-          "skip it because that would silently return wrong values"
+          "fixedscaleoffset, packbits, categorize; astype-retyping delta is not) — refusing " +
+          "to skip it because that would silently return wrong values"
       )
   }
 
@@ -73,8 +74,80 @@ object ZarrFilters {
     case "packbits" =>
       val n = len // b1 cells are 1 byte each
       1 + (n + 7) / 8
+    case "categorize" => categorizeStoredLen(cfg, len / math.max(dt.itemSize, 1))
     case _ => len
   }
+
+  /** Parse a categorize config → (labels, astype). numcodecs.Categorize
+    * stores string cells as small integer CODES: label i encodes as i+1,
+    * anything not in `labels` encodes as 0 and decodes to '' (numcodecs
+    * categorize.py: `dec = np.full_like(enc, fill_value='', ...)`). */
+  private def categorizeCfg(cfg: String): (Array[String], ZDtype) = {
+    val j = JsonMethods.parse(cfg)
+    val labels = (j \ "labels").extract[List[String]].toArray
+    val astype = ZDtype.parse((j \ "astype").extractOpt[String].getOrElse("|u1"))
+    require(
+      Set(ZDtype.I1, ZDtype.U1, ZDtype.I2, ZDtype.U2, ZDtype.I4, ZDtype.U4, ZDtype.I8)(astype.code),
+      s"categorize astype must be an int dtype (got ${astype.tag})"
+    )
+    (labels, astype)
+  }
+
+  private def intAt(in: ZarrBuffer, astype: ZDtype, i: Int): Long = astype.code match {
+    case ZDtype.I1 => in.getByte(i).toLong
+    case ZDtype.U1 => in.getU1(i).toLong
+    case ZDtype.I2 => in.getShort(i).toLong
+    case ZDtype.U2 => in.getU2(i).toLong
+    case ZDtype.I4 => in.getInt(i).toLong
+    case ZDtype.U4 => in.getU4(i)
+    case _ => in.getLong(i)
+  }
+
+  /** numcodecs Categorize decode: stored codes → label strings. Output
+    * matches what the chunk reader expects for the array dtype: a
+    * vlen-utf8 stream for object arrays, fixed-width cells for S/U. */
+  private def categorizeDecode(cfg: String, dt: ZDtype, bytes: Array[Byte]): Array[Byte] = {
+    val (labels, astype) = categorizeCfg(cfg)
+    val n = bytes.length / astype.itemSize
+    val in = new ZarrBuffer(bytes, astype)
+    val strs = Array.tabulate(n) { i =>
+      val c = intAt(in, astype, i)
+      if (c >= 1L && c <= labels.length) labels((c - 1L).toInt) else ""
+    }
+    if (dt.code == ZDtype.VSTR) ZarrStoreWriter.vlenEncode(strs)
+    else {
+      require(ZDtype.isString(dt.code), s"categorize filter requires a string dtype (got ${dt.tag})")
+      val out = new Array[Byte](n * dt.itemSize)
+      var i = 0
+      while (i < n) {
+        System.arraycopy(ZarrBuffer.encodeFixed(strs(i), dt), 0, out, i * dt.itemSize, dt.itemSize)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Categorize encode over materialized cells (fixture-writer seam; the
+    * string analog of [[encode]]'s byte contract). Later duplicate labels
+    * win, mirroring numcodecs' sequential `enc[arr == l] = i + 1` loop. */
+  def categorizeEncodeCells(cfg: String, cells: Array[String]): Array[Byte] = {
+    val (labels, astype) = categorizeCfg(cfg)
+    val codeOf = labels.zipWithIndex.map { case (l, i) => l -> (i + 1L) }.toMap
+    val out = ByteBuffer
+      .allocate(cells.length * astype.itemSize)
+      .order(if (astype.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < cells.length) {
+      ZDtype.putLong(astype, out, i, codeOf.getOrElse(cells(i), 0L))
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Stored bytes of an `nCells` categorize chunk (for sizing the
+    * decompressor on vlen arrays, where the decoded length is unknowable). */
+  def categorizeStoredLen(cfg: String, nCells: Int): Int =
+    nCells * categorizeCfg(cfg)._2.itemSize
 
   /** numcodecs FixedScaleOffset decode: `enc / scale + offset` in double,
     * then numpy `.astype(dtype)` (truncation for int dtypes). */

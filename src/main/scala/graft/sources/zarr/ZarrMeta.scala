@@ -79,8 +79,15 @@ final case class ZDtype(
     bigEndian: Boolean,
     sparkType: DataType,
     m8Num: Long = 1L,
-    m8Den: Long = 1L
-) extends Serializable
+    m8Den: Long = 1L,
+    // structured (numpy compound / |V*) dtypes: named scalar fields packed
+    // in declaration order; itemSize is their sum
+    fields: Vector[(String, ZDtype)] = Vector.empty
+) extends Serializable {
+  /** Byte offset of each structured field within a packed cell. */
+  @transient lazy val fieldOffsets: Array[Int] =
+    fields.scanLeft(0) { case (off, (_, fdt)) => off + fdt.itemSize }.init.toArray
+}
 
 object ZDtype {
   final val BOOL = 0; final val I1 = 1; final val U1 = 2; final val I2 = 3; final val U2 = 4
@@ -99,6 +106,9 @@ object ZDtype {
   // timedelta64 (numpy m8[unit], lowercase m — forecast lead-time / "step"
   // axes) -> DayTimeIntervalType, micros-backed like TimestampType
   final val TD = 18
+  // structured/compound (numpy [[name, dtype], ...] — the v2 JSON spelling
+  // of |V*) -> struct<field: type, ...>, fields packed in order
+  final val V = 19
 
   final val NaT: Long = Long.MinValue
 
@@ -140,7 +150,42 @@ object ZDtype {
     "D" -> ((86400L * 1000000L, 1L))
   )
 
+  /** Structured dtype from the v2 JSON list-of-[name, dtype] spelling
+    * (canonicalized to its compact JSON string as the tag, so the parse
+    * round-trips through ZarrArrayMeta.dtype like every scalar dtype).
+    * Field dtypes must be scalar (no nesting, no per-field shapes) —
+    * anything else rejects loudly. */
+  def parseStructured(json: String): ZDtype = {
+    import org.json4s.jackson.JsonMethods
+    val fields: Vector[(String, ZDtype)] = JsonMethods.parse(json) match {
+      case JArray(items) if items.nonEmpty =>
+        items.map {
+          case JArray(List(JString(fname), JString(fdt))) =>
+            val z = parse(fdt)
+            require(
+              z.code != V && z.code != VSTR && !isComplex(z.code),
+              s"structured field '$fname': unsupported field dtype '$fdt' (scalar numeric, " +
+                "datetime, or fixed-width string fields only)"
+            )
+            fname -> z
+          case other =>
+            throw new IllegalArgumentException(
+              s"structured dtype entry $other not supported (expected [name, dtype]; " +
+                "per-field shapes and nesting are not)"
+            )
+        }.toVector
+      case other => throw new IllegalArgumentException(s"bad structured dtype $other")
+    }
+    require(fields.map(_._1).distinct.length == fields.length, s"structured dtype has duplicate field names: $json")
+    val st = StructType(fields.map { case (n, z) =>
+      // M8/TD fields can be NaT (null); every other scalar field is total
+      StructField(n, z.sparkType, nullable = z.code == M8 || z.code == TD)
+    })
+    ZDtype(json, V, fields.map(_._2.itemSize).sum, bigEndian = false, st, fields = fields)
+  }
+
   def parse(dtype: String): ZDtype = {
+    if (dtype.startsWith("[")) return parseStructured(dtype)
     val (big, kind) =
       if (dtype.isEmpty) (false, dtype)
       else
@@ -305,7 +350,14 @@ object ZarrMeta {
     val j = JsonMethods.parse(zarrayJson)
     val shape = (j \ "shape").extract[List[Int]].toVector
     val chunks = (j \ "chunks").extract[List[Int]].toVector
-    val dtype = (j \ "dtype").extract[String]
+    // scalar dtypes are JSON strings; structured (compound) dtypes are the
+    // v2 list-of-[name, dtype] spelling — canonicalized to compact JSON so
+    // the string round-trips through ZDtype.parse
+    val dtype = (j \ "dtype") match {
+      case JString(s) => s
+      case arr @ JArray(_) => JsonMethods.compact(JsonMethods.render(arr))
+      case other => throw new IllegalArgumentException(s"array $name: bad dtype $other")
+    }
     val order = (j \ "order").extractOpt[String].getOrElse("C")
     require(order == "C", s"only C-order zarr arrays supported (array $name has order=$order)")
     val compressor = (j \ "compressor") match {
@@ -315,9 +367,28 @@ object ZarrMeta {
     val zdt = ZDtype.parse(dtype) // loud reject of unsupported dtypes up front
     val isStr = ZDtype.isString(zdt.code)
     // string dtypes: fill_value is a string (for |S the v2 spec base64-
-    // encodes the raw bytes); numeric 0 on object arrays means "no fill"
+    // encodes the raw bytes); numeric 0 on object arrays means "no fill".
+    // Structured dtypes ride the same field: base64 of the packed cell,
+    // decoded once at reader bind time (0 = zarr-python's all-zero default).
     val fillStr: Option[String] =
-      if (!isStr) None
+      if (zdt.code == ZDtype.V)
+        (j \ "fill_value") match {
+          case JNull | JNothing => None
+          case JString(s) =>
+            val raw = java.util.Base64.getDecoder.decode(s)
+            require(
+              raw.length == zdt.itemSize,
+              s"array $name: structured fill_value decodes to ${raw.length} B, cell is ${zdt.itemSize} B"
+            )
+            Some(s)
+          case JInt(x) if x == 0 =>
+            Some(java.util.Base64.getEncoder.encodeToString(new Array[Byte](zdt.itemSize)))
+          case JDouble(0.0) =>
+            Some(java.util.Base64.getEncoder.encodeToString(new Array[Byte](zdt.itemSize)))
+          case other =>
+            throw new IllegalArgumentException(s"array $name: unsupported structured fill_value $other")
+        }
+      else if (!isStr) None
       else
         (j \ "fill_value") match {
           case JNull | JNothing => None
@@ -350,9 +421,9 @@ object ZarrMeta {
       case other => throw new IllegalArgumentException(s"unsupported fill_value $other")
     }
     // complex fill: 2-element [re, im] (zarr v2 §fill-value) — re rides in
-    // fillValue, im in fillValueIm
+    // fillValue, im in fillValueIm; structured fill rode out in fillStr
     val (fill, fillIm): (Option[Double], Option[Double]) =
-      if (isStr) (None, None)
+      if (isStr || zdt.code == ZDtype.V) (None, None)
       else
         (j \ "fill_value") match {
           case JNull | JNothing => (None, None)
@@ -395,15 +466,20 @@ object ZarrMeta {
     }
     // object dtype: the vlen-utf8 filter is STRUCTURAL (it defines the
     // chunk byte layout the reader parses), not a bytes→bytes transform —
-    // require exactly it and strip it from the byte-filter chain
+    // strip it from the byte-filter chain. categorize is the OTHER valid
+    // object-dtype filter: chunks hold integer label codes whose decode
+    // emits the same vlen stream layout, so it stays in the chain.
     val filters =
       if (zdt.code == ZDtype.VSTR) {
-        require(
-          filtersAll.map(ZarrFilters.idOf) == Vector("vlen-utf8"),
-          s"array $name: object dtype requires filters [vlen-utf8], got " +
-            s"${filtersAll.map(ZarrFilters.idOf)} (vlen-bytes/vlen-array are not supported)"
-        )
-        Vector.empty[String]
+        filtersAll.map(ZarrFilters.idOf) match {
+          case Vector("vlen-utf8") => Vector.empty[String]
+          case Vector("categorize") => filtersAll
+          case other =>
+            throw new IllegalArgumentException(
+              s"array $name: object dtype requires filters [vlen-utf8] or [categorize], got " +
+                s"$other (vlen-bytes/vlen-array are not supported)"
+            )
+        }
       } else filtersAll
     ZarrArrayMeta(
       name, shape, chunks, dtype, order, compressor, fill, dimNames, attrs, filters,

@@ -262,6 +262,21 @@ final class ZarrBuffer(
   def getC16Re(i: Int): Double = buf.getDouble(i * 16)
   def getC16Im(i: Int): Double = buf.getDouble(i * 16 + 8)
 
+  /** Structured cell → struct row: each field decoded at its packed offset
+    * in its own width/endianness (numpy compound-cell layout). */
+  def getStruct(i: Int): Any = {
+    val fs = dt.fields
+    val offs = dt.fieldOffsets
+    val base = i * dt.itemSize
+    val vals = new Array[Any](fs.length)
+    var f = 0
+    while (f < fs.length) {
+      vals(f) = ZarrBuffer.fieldValue(bytes, base + offs(f), fs(f)._2)
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+
   /** uint64 cell → Decimal(20,0) (negative raw bits = values past 2^63). */
   def getU8Dec(i: Int): org.apache.spark.sql.types.Decimal = {
     val raw = buf.getLong(i * 8)
@@ -288,6 +303,7 @@ final class ZarrBuffer(
     case ZDtype.M8 | ZDtype.TD => getM8(i) // both micros-backed; NaT -> null
     case ZDtype.S | ZDtype.US | ZDtype.VSTR => getUTF8(i)
     case ZDtype.C8 | ZDtype.C16 => getComplex(i)
+    case ZDtype.V => getStruct(i)
     case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 }
@@ -337,6 +353,37 @@ object ZarrBuffer {
       cps.foreach(bb.putInt)
       bb.array()
     case other => throw new IllegalStateException(s"not a fixed-width string dtype: $other")
+  }
+
+  /** One scalar FIELD of a structured cell at absolute byte offset `off`
+    * (field-local endianness; M8/TD fields scale to micros, NaT → null). */
+  private[zarr] def fieldValue(bytes: Array[Byte], off: Int, fdt: ZDtype): Any = {
+    def bb = ByteBuffer
+      .wrap(bytes, off, fdt.itemSize)
+      .order(if (fdt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    fdt.code match {
+      case ZDtype.BOOL => bytes(off) != 0
+      case ZDtype.I1 => bytes(off)
+      case ZDtype.U1 => (bytes(off) & 0xff).toShort
+      case ZDtype.I2 => bb.getShort(off)
+      case ZDtype.U2 => bb.getShort(off) & 0xffff
+      case ZDtype.I4 => bb.getInt(off)
+      case ZDtype.U4 => bb.getInt(off) & 0xffffffffL
+      case ZDtype.I8 => bb.getLong(off)
+      case ZDtype.U8 =>
+        val raw = bb.getLong(off)
+        if (raw >= 0L) org.apache.spark.sql.types.Decimal(raw)
+        else
+          org.apache.spark.sql.types.Decimal(
+            scala.math.BigDecimal(java.math.BigInteger.valueOf(raw).add(ZDtype.TwoPow64))
+          )
+      case ZDtype.F2 => ZDtype.halfToFloat(bb.getShort(off))
+      case ZDtype.F4 => bb.getFloat(off)
+      case ZDtype.F8 => bb.getDouble(off)
+      case ZDtype.M8 | ZDtype.TD => ZDtype.m8Micros(fdt, bb.getLong(off))
+      case ZDtype.S | ZDtype.US => decodeFixedUtf8(bytes, off, fdt)
+      case other => throw new IllegalStateException(s"unsupported structured field dtype code $other")
+    }
   }
 
   /** Parse a numcodecs vlen-utf8 chunk body (u32-LE item count, then per
@@ -392,9 +439,18 @@ object ZarrChunkIO {
         val f = new HPath(arrayDir, meta.chunkKey(chunkIdx))
         ZarrFileIO.readBytesIfExists(f, storageOptions, sizeHint = math.max(rawLen, 4096)).map { raw =>
           if (meta.v3) decodeV3(raw)
-          else if (isVlen)
-            // the vlen-utf8 layout is parsed below; only decompression here
-            ZarrCodec.decompress(meta.compressor, raw, -1)
+          else if (isVlen) {
+            // the vlen-utf8 layout is parsed below. A categorize filter
+            // stores fixed-width codes (known length) whose decode emits
+            // the same vlen stream; plain vlen-utf8 was stripped as
+            // structural, so the fold is a no-op for it.
+            val catLen = meta.filters.collectFirst {
+              case cfg if ZarrFilters.idOf(cfg) == "categorize" =>
+                ZarrFilters.categorizeStoredLen(cfg, nCells)
+            }
+            val dec = ZarrCodec.decompress(meta.compressor, raw, catLen.getOrElse(-1))
+            meta.filters.foldRight(dec)((cfg, b) => ZarrFilters.decode(cfg, meta.zdtype, b))
+          }
           else {
             // width-changing filters (fixedscaleoffset, packbits) store fewer
             // bytes than the decoded chunk — size the decompressor for the

@@ -191,24 +191,30 @@ object ZarrStoreWriter {
       dtype: String,
       value: Long => String,
       dims: Option[Vector[String]] = None,
-      compressor: Option[String] = None
+      compressor: Option[String] = None,
+      filters: Seq[String] = Nil
   ): Unit = {
     require(shape.length == chunks.length)
     val dt = ZDtype.parse(dtype)
     require(ZDtype.isString(dt.code), s"writeStringArray needs a string dtype, got $dtype")
     val vlen = dt.code == ZDtype.VSTR
+    // categorize REPLACES the structural vlen-utf8: chunks hold int codes
+    val catCfg = filters.find(f => ZarrFilters.idOf(f) == "categorize")
     val dir = groupDir.resolve(name)
     Files.createDirectories(dir)
-    val filterCfgs = if (vlen) Seq("""{"id": "vlen-utf8"}""") else Nil
+    val filterCfgs =
+      if (catCfg.isDefined) filters
+      else if (vlen) Seq("""{"id": "vlen-utf8"}""") else Nil
     Files.writeString(
       dir.resolve(".zarray"),
       zarrayJson(shape, chunks, dtype, compressor, fillValue = None, filterCfgs)
     )
     Files.writeString(dir.resolve(".zattrs"), zattrsJson(dims))
     foreachStringChunk(shape, chunks, value) { (cIdx, cells) =>
-      val raw: Array[Byte] =
-        if (vlen) vlenEncode(cells)
-        else {
+      val raw: Array[Byte] = catCfg match {
+        case Some(cfg) => ZarrFilters.categorizeEncodeCells(cfg, cells)
+        case None if vlen => vlenEncode(cells)
+        case None =>
           val out = new Array[Byte](cells.length * dt.itemSize)
           var i = 0
           while (i < cells.length) {
@@ -216,8 +222,12 @@ object ZarrStoreWriter {
             i += 1
           }
           out
-        }
-      val bytes = ZarrCodec.compress(compressor, raw, typesize = if (vlen) 1 else dt.itemSize)
+      }
+      val typesize = catCfg match {
+        case Some(_) => math.max(1, raw.length / math.max(1, cells.length))
+        case None => if (vlen) 1 else dt.itemSize
+      }
+      val bytes = ZarrCodec.compress(compressor, raw, typesize = typesize)
       Files.write(dir.resolve(ZarrChunkIO.chunkFileName(cIdx.toSeq)), bytes)
     }
   }
@@ -351,6 +361,88 @@ object ZarrStoreWriter {
       }
       sink(cIdx.clone(), cells)
       ci += 1
+    }
+  }
+
+  /** Structured (compound) array: each cell a packed record of scalar
+    * fields; `dtypeJson` is the v2 list-of-[name, dtype] spelling and
+    * `cell` maps the global C-order flat index to one external value per
+    * field. Out-of-bounds pad cells stay all-zero bytes. */
+  def writeStructArray(
+      groupDir: Path,
+      name: String,
+      shape: Vector[Int],
+      chunks: Vector[Int],
+      dtypeJson: String,
+      cell: Long => Seq[Any],
+      dims: Option[Vector[String]] = None,
+      compressor: Option[String] = None,
+      fillBase64: Option[String] = None
+  ): Unit = {
+    require(shape.length == chunks.length)
+    val dt = ZDtype.parse(dtypeJson)
+    require(dt.code == ZDtype.V, s"writeStructArray needs a structured dtype, got $dtypeJson")
+    val dir = groupDir.resolve(name)
+    Files.createDirectories(dir)
+    Files.writeString(
+      dir.resolve(".zarray"),
+      s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}], "chunks": [${chunks.mkString(",")}],
+         |"dtype": $dtypeJson, "order": "C", "compressor": ${compressorJson(compressor)},
+         |"fill_value": ${fillBase64.map(b => "\"" + b + "\"").getOrElse("null")}, "filters": null}""".stripMargin
+    )
+    Files.writeString(dir.resolve(".zattrs"), zattrsJson(dims))
+    val chunkElems = chunks.map(_.toLong).product.toInt
+    // ride the string chunk walk (global flat index as decimal; pad = "")
+    foreachStringChunk(shape, chunks, i => i.toString) { (cIdx, cells) =>
+      val buf = ByteBuffer.allocate(math.max(1, chunkElems) * dt.itemSize)
+      var k = 0
+      while (k < cells.length) {
+        if (cells(k).nonEmpty) {
+          val vals = cell(cells(k).toLong)
+          require(vals.length == dt.fields.length, s"cell yields ${vals.length} values for ${dt.fields.length} fields")
+          var f = 0
+          while (f < vals.length) {
+            packStructField(buf, k * dt.itemSize + dt.fieldOffsets(f), dt.fields(f)._2, vals(f))
+            f += 1
+          }
+        }
+        k += 1
+      }
+      val bytes = ZarrCodec.compress(compressor, buf.array(), typesize = dt.itemSize)
+      Files.write(dir.resolve(ZarrChunkIO.chunkFileName(cIdx.toSeq)), bytes)
+    }
+  }
+
+  private def packStructField(buf0: ByteBuffer, off: Int, fdt: ZDtype, v: Any): Unit = {
+    def asLong(x: Any): Long = x match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalArgumentException(s"bad integral field value $other")
+    }
+    def asDouble(x: Any): Double = x match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case other => throw new IllegalArgumentException(s"bad float field value $other")
+    }
+    val bb = buf0.duplicate().order(if (fdt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    fdt.code match {
+      case ZDtype.BOOL => bb.put(off, (if (v.asInstanceOf[Boolean]) 1 else 0).toByte)
+      case ZDtype.I1 | ZDtype.U1 => bb.put(off, asLong(v).toByte)
+      case ZDtype.I2 | ZDtype.U2 => bb.putShort(off, asLong(v).toShort)
+      case ZDtype.I4 | ZDtype.U4 => bb.putInt(off, asLong(v).toInt)
+      case ZDtype.I8 | ZDtype.U8 | ZDtype.M8 | ZDtype.TD => bb.putLong(off, asLong(v))
+      case ZDtype.F2 => bb.putShort(off, ZDtype.floatToHalf(asDouble(v).toFloat))
+      case ZDtype.F4 => bb.putFloat(off, asDouble(v).toFloat)
+      case ZDtype.F8 => bb.putDouble(off, asDouble(v))
+      case ZDtype.S | ZDtype.US =>
+        val enc = ZarrBuffer.encodeFixed(v.asInstanceOf[String], fdt)
+        var i = 0
+        while (i < enc.length) { bb.put(off + i, enc(i)); i += 1 }
+      case other => throw new IllegalArgumentException(s"unsupported structured field dtype code $other")
     }
   }
 

@@ -428,6 +428,71 @@ object Spike {
     println(s"[sf10] wrote $outDir — next: python3 scripts/check.py $sfDir $outDir")
   }
 
+  /** `runMain graft.tools.Spike x41-planted [nDocs]` — the x41 near-dup
+    * clustering gate at 100x scale with an ENGINE-INDEPENDENT oracle
+    * (DuckDB's recursive-CTE closure for x41 spills past local disk at
+    * sf10, docs/ROUND7.md). Docs are generated with PLANTED exact-duplicate
+    * clusters of closed-form structure: group g spans ids [8g, 8g+8); its
+    * first (g % 5 + 2) members share one g-unique text (sizes cycle 2..6),
+    * the rest carry id-unique vocabulary. Exact duplicates have jaccard 1,
+    * so LSH banding finds them DETERMINISTICALLY (banding is probabilistic
+    * only for similarity strictly between the threshold and 1 — a
+    * closed-form gate must not depend on that recall). Expected components:
+    * every planted member labels to its group's min id 8g; singletons never
+    * appear. Verified by distributed anti-joins — no collect, no DuckDB. */
+  private def x41Planted(spark: org.apache.spark.sql.SparkSession, nDocs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = nDocs - nDocs % 8 // whole groups only: keeps the closed form exact
+    val base = spark
+      .range(n)
+      .select(
+        col("id").as("doc_id"),
+        (col("id") / 8).cast("long").as("g"),
+        (col("id") % 8).as("r")
+      )
+      .withColumn("sz", col("g") % 5 + 2)
+    val docs = base.select(
+      col("doc_id"),
+      when(
+        col("r") < col("sz"),
+        // planted member: 12 words drawn from group-g vocabulary
+        concat_ws(" ", (0 until 12).map(j => concat(lit("g"), col("g"), lit(s"w$j"))): _*)
+      ).otherwise(
+        concat_ws(" ", (0 until 12).map(j => concat(lit("s"), col("doc_id"), lit(s"w$j"))): _*)
+      ).as("text")
+    )
+    val t0 = System.nanoTime()
+    val pairs = graft.operators.Dedup.nearDuplicates(docs, "doc_id", "text", 0.8)
+    val out = graft.operators.Graph
+      .connectedComponents(pairs, "d1", "d2")
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outRows = out.count()
+    val ts = (System.nanoTime() - t0) / 1e9
+    val expected = base
+      .filter(col("r") < col("sz"))
+      .select(col("doc_id"), (col("g") * 8).as("expect"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expRows = expected.count()
+    val wrongLabel = out
+      .join(expected, "doc_id")
+      .filter(col("cluster") =!= col("expect"))
+      .count()
+    val missing = expected.join(out, Seq("doc_id"), "left_anti").count()
+    val extra = out.join(expected, Seq("doc_id"), "left_anti").count()
+    println(
+      f"[spike] x41-planted: $n docs, $outRows clustered rows in $ts%.1fs " +
+        f"(expected $expRows) — wrongLabel=$wrongLabel missing=$missing extra=$extra"
+    )
+    require(
+      wrongLabel == 0 && missing == 0 && extra == 0 && outRows == expRows,
+      s"x41-planted MISMATCH: wrongLabel=$wrongLabel missing=$missing extra=$extra rows=$outRows/$expRows"
+    )
+    println("[spike] x41-planted: EXACT component match at scale — gate PASS")
+    out.unpersist(blocking = false)
+    expected.unpersist(blocking = false)
+  }
+
   /** `SPARK_GRAFT_SF_DIR=... runMain graft.tools.Spike skew` — bucket-size
     * distribution of the two bucketed-join operators whose cost model is
     * sum(bucket²): minhash LSH band buckets (x03 configuration) and IVF
@@ -493,6 +558,10 @@ object Spike {
     if (args.sameElements(Array("cc-telemetry"))) { ccTelemetry(spark); spark.stop(); return }
     if (args.sameElements(Array("skew"))) { skew(spark); spark.stop(); return }
     if (args.sameElements(Array("sf10"))) { sf10(spark); spark.stop(); return }
+    if (args.nonEmpty && args(0) == "x41-planted") {
+      x41Planted(spark, if (args.length > 1) args(1).toLong else 500000L)
+      spark.stop(); return
+    }
     if (args.isEmpty) {
       val df = graft.SparkEntry.entry(spark)
       df.show(10, truncate = false)

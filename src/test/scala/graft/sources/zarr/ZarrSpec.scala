@@ -440,6 +440,108 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("structured (compound) dtype: packed records read as struct; fill + null-fill chunks") {
+    val root = Files.createTempDirectory("zarrstruct").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    val dtypeJson = """[["sensor", "<i4"], ["temp", ">f8"], ["tag", "|S4"]]"""
+    val zeroFill = java.util.Base64.getEncoder.encodeToString(new Array[Byte](16))
+    ZarrStoreWriter.writeStructArray(
+      dir, "rec", Vector(30), Vector(8), dtypeJson,
+      i => Seq((i * 3 - 7).toInt, i * 0.25 - 2.0, s"T${i % 5}"),
+      dims = Some(Vector("i")), compressor = Some("zlib"), fillBase64 = Some(zeroFill)
+    )
+    // same records, NULL fill (no fill_value in metadata)
+    ZarrStoreWriter.writeStructArray(
+      dir, "recn", Vector(30), Vector(8), dtypeJson,
+      i => Seq((i * 3 - 7).toInt, i * 0.25 - 2.0, s"T${i % 5}"),
+      dims = Some(Vector("i"))
+    )
+    ZarrStoreWriter.writeCoord(dir, "i", Coord.Ints(Array.tabulate(30)(identity)))
+    ZarrStoreWriter.consolidate(dir)
+    // withhold chunk 2 (cells 16..23) from both arrays
+    Files.delete(java.nio.file.Paths.get(root, "rec", "2"))
+    Files.delete(java.nio.file.Paths.get(root, "recn", "2"))
+    val r = new ZarrDataReader(spark, root)
+    val got = r.readArray("rec")
+      .select(col("i"), col("value.sensor"), col("value.temp"), col("value.tag"))
+      .orderBy("i").collect()
+    assert(got.length == 30)
+    (0 until 30).foreach { i =>
+      val (s, t, g) =
+        if (i >= 16 && i < 24) (0, 0.0, "") // zero-fill cell
+        else ((i * 3 - 7), i * 0.25 - 2.0, s"T${i % 5}")
+      assert(got(i).getInt(1) == s && got(i).getDouble(2) == t && got(i).getString(3) == g, s"i=$i")
+    }
+    // null fill: the whole struct cell is null for the withheld chunk
+    val gotN = r.readArray("recn").orderBy("i").collect()
+    (0 until 30).foreach { i =>
+      if (i >= 16 && i < 24) assert(gotN(i).isNullAt(1), s"i=$i")
+      else {
+        val rec = gotN(i).getStruct(1)
+        assert(rec.getInt(0) == i * 3 - 7 && rec.getDouble(1) == i * 0.25 - 2.0 && rec.getString(2) == s"T${i % 5}", s"i=$i")
+      }
+    }
+    // schema is a named struct; nested/shaped fields reject loudly
+    assert(
+      r.readArray("rec").schema("value").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+        Seq("sensor", "temp", "tag")
+    )
+    val e = intercept[IllegalArgumentException] {
+      ZDtype.parse("""[["a", "<i4", [2]]]""")
+    }
+    assert(e.getMessage.contains("per-field shapes"), e.getMessage)
+  }
+
+  test("numcodecs categorize: coded label chunks decode through the scan; unknowns read ''") {
+    val root = Files.createTempDirectory("zarrcat").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    val labels = Array("rain", "snow", "häil", "clear")
+    val catCfg =
+      """{"id": "categorize", "labels": ["rain", "snow", "häil", "clear"], "dtype": "|O", "astype": "|u1"}"""
+    // object-dtype flavor: u1 codes, one out-of-vocab cell per 13 -> decodes ''
+    ZarrStoreWriter.writeStringArray(
+      dir, "wx", Vector(60), Vector(16), "|O",
+      i => if (i % 13 == 0) "fog" else labels((i % 4).toInt),
+      dims = Some(Vector("i")), compressor = Some("zlib"), filters = Seq(catCfg)
+    )
+    // fixed-width unicode flavor: i2 codes, no compressor
+    val catCfgU = """{"id": "categorize", "labels": ["aa", "bβ"], "dtype": "<U4", "astype": "<i2"}"""
+    ZarrStoreWriter.writeStringArray(
+      dir, "fx", Vector(20), Vector(8), "<U4",
+      i => if (i % 5 == 0) "zz" else (if (i % 2 == 0) "aa" else "bβ"),
+      dims = Some(Vector("j")), filters = Seq(catCfgU)
+    )
+    ZarrStoreWriter.writeCoord(dir, "i", Coord.Ints(Array.tabulate(60)(identity)))
+    ZarrStoreWriter.writeCoord(dir, "j", Coord.Ints(Array.tabulate(20)(identity)))
+    ZarrStoreWriter.consolidate(dir)
+    val r = new ZarrDataReader(spark, root)
+    assert(
+      r.readArray("wx").orderBy("i").select("value").collect().map(_.getString(0)).toSeq ==
+        (0 until 60).map(i => if (i % 13 == 0) "" else labels(i % 4))
+    )
+    assert(
+      r.readArray("fx").orderBy("j").select("value").collect().map(_.getString(0)).toSeq ==
+        (0 until 20).map(i => if (i % 5 == 0) "" else (if (i % 2 == 0) "aa" else "bβ"))
+    )
+    // unit-level round-trip across astypes: known labels survive exactly,
+    // unknowns map to code 0 and decode '' (numcodecs semantics)
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("α", "beta", "g", "δδδδ")
+    for (astype <- Seq("|u1", "<i2", "<i4")) {
+      val cfg =
+        s"""{"id": "categorize", "labels": ["α", "beta", "g", "δδδδ"], "dtype": "|O", "astype": "$astype"}"""
+      val cells = Array.fill(33)(if (rnd.nextInt(5) == 0) "unknown-" + rnd.nextInt(3) else vocab(rnd.nextInt(4)))
+      val enc = ZarrFilters.categorizeEncodeCells(cfg, cells)
+      assert(enc.length == ZarrFilters.categorizeStoredLen(cfg, cells.length), astype)
+      val dec = ZarrFilters.decode(cfg, ZDtype.parse("|O"), enc)
+      val back = ZarrBuffer.vlenUtf8(dec, cells.length, ZDtype.parse("|O"))
+      cells.zipWithIndex.foreach { case (c, i) =>
+        val expect = if (vocab.contains(c)) c else ""
+        assert(back.getUTF8(i).toString == expect, s"$astype i=$i")
+      }
+    }
+  }
+
   test("timedelta64 (m8): values read as day-time intervals; step coords decode and push filters") {
     val root = Files.createTempDirectory("zarrtd").toString
     val dir = ZarrStoreWriter.writeGroup(root)
