@@ -90,14 +90,21 @@ object ZarrSink {
 
   /** Ascending ordering over EXTERNAL row values, matching Spark's own
     * `orderBy` semantics for the supported coordinate types (total float
-    * ordering: NaN sorts greatest). */
+    * ordering: NaN sorts greatest). Strings compare as UTF-8 BYTES —
+    * Spark's StringType sort order — not Java's UTF-16 code units: the two
+    * diverge for supplementary-plane characters (emoji labels), and the
+    * driver-side axis must sort identically to the distributed long-axis
+    * path and to the scan's lexicographic pruning. */
   private def externalOrdering(dt: DataType): Ordering[Any] = dt match {
     case IntegerType => Ordering.by((v: Any) => v.asInstanceOf[Int])
     case LongType => Ordering.by((v: Any) => v.asInstanceOf[Long])
     case FloatType => Ordering.by((v: Any) => v.asInstanceOf[Float])(Ordering.Float.TotalOrdering)
     case DoubleType => Ordering.by((v: Any) => v.asInstanceOf[Double])(Ordering.Double.TotalOrdering)
     case TimestampType => Ordering.by((v: Any) => micros(v))
-    case StringType => Ordering.by((v: Any) => v.asInstanceOf[String])
+    case StringType =>
+      Ordering.by((v: Any) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
+      )
     case other => throw new IllegalArgumentException(s"zarr sink: unsupported dimension type $other")
   }
 

@@ -388,6 +388,28 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("sink string axis is UTF-8-byte ordered on store (supplementary chars)") {
+    import spark.implicits._
+    val dst = Files.createTempDirectory("zarrsinkutf8").toString + "/store"
+    // U+E000 (UTF-8 EE 80 80) sorts BEFORE U+1F600 (UTF-8 F0 9F 98 80) in
+    // byte order, but AFTER it in Java's UTF-16 code-unit order (E000 >
+    // D83D). The on-store axis must use byte order — what the distributed
+    // long-axis path, Spark's own orderBy, and the scan's lexicographic
+    // chunk pruning all use.
+    Seq(("", 1.0), ("😀", 2.0)).toDF("station", "value")
+      .write.format("zarr").option("path", dst).option("array", "v").mode("append").save()
+    val zarray = Files.readString(java.nio.file.Paths.get(dst, "station", ".zarray"))
+    val zattrs = Files.readString(java.nio.file.Paths.get(dst, "station", ".zattrs"))
+    val meta = ZarrMeta.parseArray("station", zarray, Some(zattrs))
+    val buf = ZarrChunkIO.readChunk(s"$dst/station", meta, Seq(0)).get
+    assert(buf.getUTF8(0).toString == "", "axis[0]")
+    assert(buf.getUTF8(1).toString == "😀", "axis[1]")
+    // and the cells still land on the right labels
+    val back = new ZarrDataReader(spark, dst).readArray("v").orderBy("station").collect()
+    assert(back(0).getString(0) == "" && back(0).getDouble(1) == 1.0)
+    assert(back(1).getString(0) == "😀" && back(1).getDouble(1) == 2.0)
+  }
+
   test("bounded_collect_set rejects BinaryType (reference-equality Array[Byte] cannot dedup)") {
     import spark.implicits._
     val df = Seq(Array[Byte](1, 2), Array[Byte](1, 2)).toDF("b")
