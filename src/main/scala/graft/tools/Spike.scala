@@ -395,16 +395,18 @@ object Spike {
     * /tmp/testdata_sf10 /tmp/sf10_out` hash-matches them against DuckDB.
     * Prints per-query seconds for the scaling-ratio table in docs/ROUND6.md.
     * Excluded by design: the documented bounded-input O(n²) contracts
-    * (x02/x06) and x34's amplified-clone probe-join worst case (quadratic
+    * (x02/x06), x34's amplified-clone probe-join worst case (quadratic
     * in COPIES by construction — measured separately at sf1,
-    * docs/ROUND4.md). */
+    * docs/ROUND4.md), and x41 — whose DuckDB oracle (recursive-CTE
+    * closure) spills past local disk at sf10 (docs/ROUND7.md); x41's 100×
+    * run is hash-checked by the closed-form `x41-planted` gate instead. */
   private def sf10(spark: org.apache.spark.sql.SparkSession): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/testdata_sf10")
     val outDir = "/tmp/sf10_out"
     val names = Seq(
       "q07_join3", "q08_selfjoin_suffix", "q09_tpch1", "q10_quantiles", "q17_anomaly",
       "q18_topk", "x01_dedup_exact", "x03_minhash_lsh", "x12_window_5m", "x13_sessionize",
-      "x17_winfuncs", "x28_rolling", "x36_range_join", "x41_dup_clusters",
+      "x17_winfuncs", "x28_rolling", "x36_range_join",
       "x42_group_quantiles", "x44_topk_per_key", "x46_funnel", "x47_retention"
     )
     new java.io.File(outDir).mkdirs()
