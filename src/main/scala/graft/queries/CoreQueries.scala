@@ -816,8 +816,64 @@ object CoreQueries {
              |CASE WHEN t.i BETWEEN 16 AND 23 THEN '' ELSE 'T' || CAST(t.i % 5 AS VARCHAR) END AS tag
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 30)) t
              |ORDER BY i""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Structured WRITE path under the gate: the PRODUCT sink packs struct
+    // records (i4, big-endian f8, |S4 fixed string) into compound cells;
+    // one null-valued cell reads back as the all-zero fill record.
+    Q(
+      "q36_zarr_write_struct",
+      (s, _) => {
+        val root = CoreQueries.q36Store(s)
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("rec")
+          .select(
+            col("i"),
+            col("value.sensor").as("sensor"),
+            col("value.temp").as("temp"),
+            col("value.tag").as("tag")
+          )
+          .orderBy("i")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS i,
+             |CAST(CASE WHEN t.i = 11 THEN 0 ELSE t.i * 5 - 9 END AS INTEGER) AS sensor,
+             |CAST(CASE WHEN t.i = 11 THEN 0.0 ELSE t.i * 0.125 + 3.0 END AS DOUBLE) AS temp,
+             |CASE WHEN t.i = 11 THEN '' ELSE 'G' || CAST(t.i % 3 AS VARCHAR) END AS tag
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 25)) t
+             |ORDER BY i""".stripMargin)
     )
   )
+
+  /** Build the q36 store once per JVM — the PRODUCT sink writing STRUCT
+    * values with an explicit compound dtype (i4, >f8, |S4) over i (25,
+    * chunks 7); cell 11's value is NULL so it reads the all-zero fill
+    * record. */
+  private[queries] def q36Store(s: SparkSession): String = synchronized {
+    val root = FixtureCache.root("q36")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      s.range(0, 25)
+        .select(
+          col("id").cast("int").as("i"),
+          when(
+            col("id") =!= 11,
+            struct(
+              (col("id") * 5 - 9).cast("int").as("sensor"),
+              (col("id").cast("double") * 0.125 + 3.0).as("temp"),
+              concat(lit("G"), (col("id") % 3).cast("string")).as("tag")
+            )
+          ).as("value")
+        )
+        .write.format("zarr")
+        .option("path", root).option("array", "rec")
+        .option("dtype", """[["sensor", "<i4"], ["temp", ">f8"], ["tag", "|S4"]]""")
+        .option("chunks", "7").option("compressor", "zlib")
+        .mode("append").save()
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
 
   /** Build the q35 structured-dtype store once per JVM: `rec` is a compound
     * [[sensor i4, temp >f8, tag |S4]] over i (30, chunks 8), zlib; chunk 2

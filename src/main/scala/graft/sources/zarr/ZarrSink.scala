@@ -33,7 +33,11 @@ import org.apache.spark.sql.types._
   * `dtype` (numpy spelling, default from the value column type; explicit
   * unsigned targets u1/u2/u4 are honored with per-value range validation —
   * out-of-range input fails loudly instead of masking; StringType values
-  * write as vlen-utf8 object arrays), `compressor`
+  * write as vlen-utf8 object arrays; a STRUCT value column writes a
+  * structured/compound dtype — the v2 [[name, dtype], ...] list spelling,
+  * inferred for numeric fields or given explicitly when fields need fixed
+  * string widths; structured fill_value is a base64 packed cell, default
+  * all-zero; v2 only), `compressor`
   * ("zlib" | "zstd" | "gzip" | "blosc[:cname[:mode]]" | "none", default
   * blosc:lz4 — the numcodecs default), `fill_value` (default 0; for string
   * values a fill STRING, default ""), `max_coord_values` (per-dim distinct
@@ -69,6 +73,29 @@ object ZarrSink {
     case DoubleType => "<f8"
     case TimestampType => "<M8[us]"
     case StringType => "|O" // vlen-utf8 object array (v3: data_type "string")
+    case st: StructType =>
+      // structured (compound) value: the v2 list-of-[name, dtype] spelling.
+      // String fields have no inferable fixed width — pass an explicit
+      // 'dtype' option naming |S<n>/<U<n> for those.
+      st.fields
+        .map { f =>
+          val fd = f.dataType match {
+            case BooleanType => "|b1"
+            case ByteType => "<i1"
+            case ShortType => "<i2"
+            case IntegerType => "<i4"
+            case LongType => "<i8"
+            case FloatType => "<f4"
+            case DoubleType => "<f8"
+            case other =>
+              throw new IllegalArgumentException(
+                s"zarr sink: struct field '${f.name}': cannot infer a dtype for $other — " +
+                  "pass an explicit 'dtype' option (string fields need a fixed width, e.g. |S8)"
+              )
+          }
+          s"""["${f.name}", "$fd"]"""
+        }
+        .mkString("[", ", ", "]")
     case other =>
       throw new IllegalArgumentException(
         s"zarr sink: unsupported value column type $other (pass an explicit 'dtype' option for unsigned targets)"
@@ -137,6 +164,21 @@ object ZarrSink {
     }
     v match {
       case null => () // absent value -> fill
+      case row: org.apache.spark.sql.Row if dt.code == ZDtype.V =>
+        // structured cell: pack each field at its offset (zarr has no
+        // per-field null — a null field fails loudly, never writes garbage)
+        require(
+          row.length == dt.fields.length,
+          s"zarr sink: struct value has ${row.length} fields, dtype '$dtypeStr' has ${dt.fields.length}"
+        )
+        val base = local * dt.itemSize
+        var f = 0
+        while (f < dt.fields.length) {
+          val fv = row.get(f)
+          require(fv != null, s"zarr sink: struct field '${dt.fields(f)._1}' is NULL — zarr cells have no per-field null")
+          ZarrStoreWriter.packStructField(buf, base + dt.fieldOffsets(f), dt.fields(f)._2, fv)
+          f += 1
+        }
       case b: java.lang.Boolean => ZDtype.putLong(dt, buf, local, if (b) 1L else 0L)
       case b: java.lang.Byte => ZDtype.putLong(dt, buf, local, checkedLong(b.longValue()))
       case s: java.lang.Short => ZDtype.putLong(dt, buf, local, checkedLong(s.longValue()))
@@ -180,6 +222,16 @@ object ZarrSink {
       !strValue || df.schema("value").dataType == StringType,
       s"zarr sink: dtype '$dtype' needs a StringType value column"
     )
+    if (zdt.code == ZDtype.V) df.schema("value").dataType match {
+      case st: StructType =>
+        require(
+          st.fieldNames.toSeq == zdt.fields.map(_._1),
+          s"zarr sink: struct value fields ${st.fieldNames.mkString(",")} do not match " +
+            s"dtype fields ${zdt.fields.map(_._1).mkString(",")}"
+        )
+      case other =>
+        throw new IllegalArgumentException(s"zarr sink: dtype '$dtype' needs a struct value column, got $other")
+    }
     val v3 = opts.getOrElse("zarr_format", "2") match {
       case "2" => false
       case "3" => true
@@ -189,6 +241,10 @@ object ZarrSink {
       require(
         zdt.code != ZDtype.M8,
         "zarr sink: zarr_format=3 has no core datetime64 data_type — write the epoch value as int64"
+      )
+      require(
+        zdt.code != ZDtype.V,
+        "zarr sink: zarr_format=3 has no structured data_type — write compound records as zarr_format=2"
       )
       // dims too, and BEFORE the distributed data job: writeCoordArrayV3
       // runs after all chunks are written, so a late failure would leave a
@@ -214,7 +270,24 @@ object ZarrSink {
     // string values: sparse cells inside a WRITTEN chunk and absent chunks
     // both read back as the fill string (default "") — one consistent value
     val fillStr: String = if (strValue) opts.get("fill_value").getOrElse("") else ""
-    val fillValue = if (strValue) 0.0 else opts.get("fill_value").map(_.toDouble).getOrElse(0.0)
+    // structured values: fill is a base64 packed cell (default all-zero
+    // bytes — zarr-python's own default for compound dtypes)
+    val structValue = zdt.code == ZDtype.V
+    val structFill: Array[Byte] =
+      if (!structValue) null
+      else
+        opts.get("fill_value") match {
+          case None => new Array[Byte](zdt.itemSize)
+          case Some(b64) =>
+            val raw = java.util.Base64.getDecoder.decode(b64)
+            require(
+              raw.length == zdt.itemSize,
+              s"zarr sink: structured fill_value decodes to ${raw.length} B, cell is ${zdt.itemSize} B"
+            )
+            raw
+        }
+    val fillValue =
+      if (strValue || structValue) 0.0 else opts.get("fill_value").map(_.toDouble).getOrElse(0.0)
     // unsigned targets (explicit `dtype`=u1/u2/u4): validate range instead of
     // silently masking — a -1 written as 255 is the sink's worst failure mode
     val (rangeMin, rangeMax): (Long, Long) = zdt.code match {
@@ -385,6 +458,7 @@ object ZarrSink {
     val v3CfgsSer = v3Cfgs
     val fillStrSer = fillStr
     val isStrValue = strValue
+    val structFillSer = structFill
 
     shardsOpt match {
       case None if isStrValue =>
@@ -463,7 +537,13 @@ object ZarrSink {
                 if (buf == null) buf = ByteBuffer.allocate(elems * dt.itemSize).order(order)
                 // zero bytes already decode as 0/false in every supported dtype;
                 // only a nonzero fill needs an explicit prefill pass
-                if (fill == 0.0) java.util.Arrays.fill(buf.array(), 0.toByte)
+                if (structFillSer != null) {
+                  var i = 0
+                  while (i < elems) {
+                    System.arraycopy(structFillSer, 0, buf.array(), i * dt.itemSize, dt.itemSize)
+                    i += 1
+                  }
+                } else if (fill == 0.0) java.util.Arrays.fill(buf.array(), 0.toByte)
                 else { var i = 0; while (i < elems) { ZDtype.put(dt, buf, i, fill); i += 1 } }
               }
               putCell(dt, buf, r.getLong(1).toInt, r.get(2), rCheck, rMin, rMax, dtypeStr)
@@ -662,6 +742,12 @@ object ZarrSink {
              |"dtype": "|O", "order": "C", "compressor": ${ZarrStoreWriter.compressorJson(compressor)},
              |"fill_value": ${ZarrStoreWriter.jsonStr(fillStr)},
              |"filters": [{"id": "vlen-utf8"}]}""".stripMargin
+        else if (structValue)
+          // structured dtype is the raw JSON list; fill is the base64 cell
+          s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}], "chunks": [${chunks.mkString(",")}],
+             |"dtype": $dtype, "order": "C", "compressor": ${ZarrStoreWriter.compressorJson(compressor)},
+             |"fill_value": "${java.util.Base64.getEncoder.encodeToString(structFill)}",
+             |"filters": null}""".stripMargin
         else ZarrStoreWriter.zarrayJson(shape, chunks, dtype, compressor, Some(fillValue))
       )
       ZarrFileIO.writeString(

@@ -413,7 +413,7 @@ object ZarrStoreWriter {
     }
   }
 
-  private def packStructField(buf0: ByteBuffer, off: Int, fdt: ZDtype, v: Any): Unit = {
+  private[zarr] def packStructField(buf0: ByteBuffer, off: Int, fdt: ZDtype, v: Any): Unit = {
     def asLong(x: Any): Long = x match {
       case i: Int => i.toLong
       case l: Long => l

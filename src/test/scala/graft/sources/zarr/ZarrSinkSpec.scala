@@ -137,6 +137,38 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("sink-written long string axis defers on read; string pushdown absorbed by the scan") {
+    import spark.implicits._
+    val dst = Files.createTempDirectory("zarrsinkdefstr").toString + "/store"
+    // the full symmetric loop: distributed-ordinal string WRITE (5 vlen
+    // coordinate chunks) -> DEFERRED string read (threshold 100 < 600)
+    // -> lexicographic chunk-stats pruning of the pushed predicate
+    val df = (0 until 600).map(i => (f"doc$i%04d", (i % 7).toDouble)).toDF("doc", "value")
+    df.write.format("zarr")
+      .option("path", dst).option("array", "v")
+      .option("max_coord_values", "16").option("coord_chunk_values", "128")
+      .option("chunks", "100").option("compressor", "zstd")
+      .mode("append").save()
+    val deferred = spark.read.format("zarr")
+      .option("path", dst).option("array", "v")
+      .option("coord.deferred.threshold", "100")
+      .load()
+    assert(deferred.schema("doc").dataType == StringType)
+    // equality and membership predicates are consumed by the source
+    val eq = deferred.filter(col("doc") === "doc0421")
+    assert(!eq.queryExecution.optimizedPlan.toString().contains("Filter"))
+    val eqRows = eq.collect()
+    assert(eqRows.length == 1 && eqRows(0).getDouble(1) == (421 % 7).toDouble)
+    val inq = deferred.filter(col("doc").isin("doc0001", "doc0421", "nope"))
+    assert(!inq.queryExecution.optimizedPlan.toString().contains("Filter"))
+    assert(inq.count() == 2)
+    // deferred equals eager, cell for cell
+    val eager = spark.read.format("zarr").option("path", dst).option("array", "v").load()
+    assert(
+      deferred.orderBy("doc").collect().toSeq == eager.orderBy("doc").collect().toSeq
+    )
+  }
+
   test("sink null dimension values still rejected under single-pass collection") {
     val dst = Files.createTempDirectory("zarrsinknull").toString + "/store"
     val rows = java.util.Arrays.asList(Row(1, 1.0), Row(null, 2.0))
@@ -386,6 +418,68 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
       assert(r.getString(0) == s"ST0${i / 5}" && r.getInt(1) == i % 5, s"sharded i=$i")
       assert(r.getString(2) == (if (i == 13) "none" else s"v$i-α"), s"sharded i=$i")
     }
+  }
+
+  test("structured (compound) VALUES round-trip through the sink; sparse cells read the fill record") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarrsinkstruct").toString
+    // inferred dtype from a numeric struct column; cell 13's value is NULL
+    // -> writes the fill record (all-zero bytes)
+    val df = (0 until 30)
+      .map(i => (i, (i * 3 - 7, i * 0.25 - 2.0)))
+      .toDF("i", "value")
+      .select(col("i"), col("value._1").as("sensor"), col("value._2").as("temp"))
+      .select(
+        col("i"),
+        when(col("i") === 13, lit(null)).otherwise(struct(col("sensor"), col("temp"))).as("value")
+      )
+    df.write.format("zarr")
+      .option("path", s"$base/s1").option("array", "rec")
+      .option("chunks", "8").option("compressor", "zlib")
+      .mode("append").save()
+    val back = new ZarrDataReader(spark, s"$base/s1").readArray("rec")
+      .select(col("i"), col("value.sensor"), col("value.temp")).orderBy("i").collect()
+    assert(back.length == 30)
+    (0 until 30).foreach { i =>
+      val (s, t) = if (i == 13) (0, 0.0) else (i * 3 - 7, i * 0.25 - 2.0)
+      assert(back(i).getInt(1) == s && back(i).getDouble(2) == t, s"i=$i")
+    }
+    // explicit dtype with a fixed-width string field + big-endian numeric
+    val df2 = (0 until 20)
+      .map(i => (i, i * 2 - 5, i * 0.5, s"T${i % 4}"))
+      .toDF("i", "sensor", "temp", "tag")
+      .select(col("i"), struct(col("sensor"), col("temp"), col("tag")).as("value"))
+    df2.write.format("zarr")
+      .option("path", s"$base/s2").option("array", "rec")
+      .option("dtype", """[["sensor", "<i4"], ["temp", ">f8"], ["tag", "|S4"]]""")
+      .option("chunks", "6")
+      .mode("append").save()
+    val back2 = new ZarrDataReader(spark, s"$base/s2").readArray("rec")
+      .select(col("i"), col("value.sensor"), col("value.temp"), col("value.tag"))
+      .orderBy("i").collect()
+    (0 until 20).foreach { i =>
+      assert(
+        back2(i).getInt(1) == i * 2 - 5 && back2(i).getDouble(2) == i * 0.5 &&
+          back2(i).getString(3) == s"T${i % 4}",
+        s"i=$i"
+      )
+    }
+    // misuse fails loudly: v3, field-name mismatch, null field
+    def msgOf(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+      sb.toString
+    }
+    val e1 = intercept[Exception] {
+      df.write.format("zarr").option("path", s"$base/b1").option("array", "rec")
+        .option("zarr_format", "3").mode("append").save()
+    }
+    assert(msgOf(e1).contains("no structured data_type"), msgOf(e1))
+    val e2 = intercept[Exception] {
+      df.write.format("zarr").option("path", s"$base/b2").option("array", "rec")
+        .option("dtype", """[["wrong", "<i4"], ["temp", "<f8"]]""").mode("append").save()
+    }
+    assert(msgOf(e2).contains("do not match"), msgOf(e2))
   }
 
   test("sink string axis is UTF-8-byte ordered on store (supplementary chars)") {
