@@ -317,6 +317,63 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Bloom-prefiltered decontamination — the 100 TB shape when the
+    * reference set is too large to broadcast AND shuffling the whole
+    * corpus for an anti-join is the bottleneck. Built on the SAME
+    * machinery Spark's runtime row-level filters use
+    * (`BloomFilterAggregate` / `BloomFilterMightContain` — codegen
+    * predicates, not UDFs):
+    *
+    *  1. one aggregation over the reference builds a bloom of fingerprint
+    *     hashes (`numBits`/8 bytes on the driver, shipped as a plan
+    *     literal — size it like a broadcast, default 8 MB);
+    *  2. corpus rows failing `might_contain` are DEFINITELY clean (blooms
+    *     have no false negatives) and never shuffle;
+    *  3. only the might-match sliver (fpp-bounded) is exactly verified by
+    *     an anti-join against the reference fingerprints.
+    *
+    * Result-identical to [[decontaminate]]; the corpus is scanned twice
+    * (clean pass + positives pass) but never shuffled in full — the right
+    * trade when scans are cheap (columnar, pruned) and the corpus is
+    * orders of magnitude larger than the reference. */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      expectedRefItems: Long = 1L << 22,
+      numBits: Long = 1L << 26
+  ): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val refFp = reference
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+    val bloomBytes: Array[Byte] = refFp
+      .select(xxhash64(col("__fp")).as("__h"))
+      .agg(
+        GraftBridge.column(
+          new BloomFilterAggregate(
+            GraftBridge.expression(col("__h")),
+            Literal(expectedRefItems),
+            Literal(numBits)
+          ).toAggregateExpression()
+        )
+      )
+      .head()
+      .getAs[Array[Byte]](0)
+    val fpCorpus = corpus.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val might = GraftBridge.column(
+      BloomFilterMightContain(
+        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        GraftBridge.expression(xxhash64(col("__fp")))
+      )
+    )
+    val clean = fpCorpus.filter(!might).drop("__fp")
+    val verified = fpCorpus.filter(might).join(refFp, Seq("__fp"), "left_anti").drop("__fp")
+    clean.unionByName(verified)
+  }
+
   /** Exact pairwise token-set Jaccard over a (pre-filtered) document set.
     * All-pairs by construction — callers must bound the input (e.g., one
     * LSH bucket, one language partition); use minhashCandidates for the

@@ -1330,6 +1330,34 @@ object ExtQueries {
              |  round(CAST(5 + (doc_id % 3) * 5 AS DOUBLE), 6) AS fps,
              |  'MJPG' AS codec
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Bloom-prefiltered decontamination: same semantics as x38 but the
+    // 100 TB shape — a bloom of reference fingerprints (built with Spark's
+    // own BloomFilterAggregate) keeps definitely-clean corpus rows out of
+    // the shuffle; only the fpp-bounded might-match sliver anti-joins. A
+    // deliberately tiny bloom (4096 bits for ~71 refs) forces real false
+    // positives through the exact-verify stage, so the oracle proves BOTH
+    // the no-false-negative keep path and the verification path.
+    Q(
+      "x57_decontam_bloom",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup
+          .decontaminateBloom(
+            docs, docs.filter(col("doc_id") % 7 === 0), "text",
+            expectedRefItems = 128, numBits = 4096
+          )
+          .select(col("doc_id"), md5(col("text")).as("h"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS f
+             |  FROM documents)
+             |SELECT d.doc_id, md5(d.text) AS h
+             |FROM documents d JOIN fp ON fp.doc_id = d.doc_id
+             |WHERE fp.f NOT IN (SELECT DISTINCT f FROM fp WHERE doc_id % 7 = 0)
+             |ORDER BY d.doc_id""".stripMargin)
     )
   )
 }

@@ -614,6 +614,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(out == Set(2L, 4L))
   }
 
+  test("decontaminateBloom equals decontaminate, incl. under forced bloom false positives") {
+    import spark.implicits._
+    val corpus = spark.range(400)
+      .select(col("id").as("doc_id"), concat(lit("w"), col("id"), lit(" common tail")).as("text"))
+    val reference = corpus.filter(col("doc_id") % 9 === 0)
+    val exact = Dedup.decontaminate(corpus, reference, "text", broadcastReference = false)
+      .collect().map(_.getLong(0)).toSet
+    // tiny bloom (512 bits, ~45 ref fps) -> high fpp: the verify stage must
+    // rescue the false positives; no-false-negative keeps the rest
+    val bloomed = Dedup.decontaminateBloom(corpus, reference, "text", 64, 512)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloomed == exact)
+    assert(exact == (0 until 400).filter(_ % 9 != 0).map(_.toLong).toSet)
+    // sane bloom too
+    val bloomed2 = Dedup.decontaminateBloom(corpus, reference, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(bloomed2 == exact)
+  }
+
   test("tfidf: corpus-unique terms outrank ubiquitous ones") {
     import spark.implicits._
     val docs = Seq(
