@@ -841,6 +841,24 @@ object CoreQueries {
              |CASE WHEN t.i = 11 THEN '' ELSE 'G' || CAST(t.i % 3 AS VARCHAR) END AS tag
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 25)) t
              |ORDER BY i""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Lexicographic RANGE pushdown on a label axis: >= / < on the q33
+    // store's 500-label string dimension are absorbed by the scan (string
+    // chunk-stats pruning), matching DuckDB's binary string comparison.
+    Q(
+      "q37_zarr_label_range",
+      (s, _) => {
+        val root = CoreQueries.q33Store(s)
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("v")
+          .filter(col("doc") >= "doc0123" && col("doc") < "doc0200")
+          .orderBy("doc")
+      },
+      Some("""SELECT 'doc' || lpad(CAST(t.i AS VARCHAR), 4, '0') AS doc,
+             |CAST(t.i * 3 % 11 AS DOUBLE) * 0.5 AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(123, 200)) t
+             |ORDER BY doc""".stripMargin)
     )
   )
 

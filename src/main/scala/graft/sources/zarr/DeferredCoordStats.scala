@@ -55,8 +55,10 @@ object CoordPred {
   }
 }
 
-/** String analog of [[CoordPred]] for label axes: equality/membership only
-  * (the predicates the scan pushes on strings), classified against a
+/** String analog of [[CoordPred]] for label axes: equality/membership and
+  * lexicographic ranges (UTF8String.compareTo is binary UTF-8 order — the
+  * same order Spark's own string comparisons use, so a pushed `>=` means
+  * the same thing the residual Filter would have), classified against a
   * chunk's lexicographic [min, max]. A null cell never matches, so `allIn`
   * must be vetoed by the chunk's hasNull flag. */
 sealed trait CoordPredStr extends Serializable {
@@ -79,6 +81,26 @@ object CoordPredStr {
     def allIn(min: UTF8String, max: UTF8String): Boolean = min == max && xs.contains(min)
     def anyIn(min: UTF8String, max: UTF8String): Boolean =
       xs.exists(x => min.compareTo(x) <= 0 && x.compareTo(max) <= 0)
+  }
+  final case class Gt(x: UTF8String) extends CoordPredStr {
+    def eval(v: UTF8String): Boolean = v != null && v.compareTo(x) > 0
+    def allIn(min: UTF8String, max: UTF8String): Boolean = min.compareTo(x) > 0
+    def anyIn(min: UTF8String, max: UTF8String): Boolean = max.compareTo(x) > 0
+  }
+  final case class Ge(x: UTF8String) extends CoordPredStr {
+    def eval(v: UTF8String): Boolean = v != null && v.compareTo(x) >= 0
+    def allIn(min: UTF8String, max: UTF8String): Boolean = min.compareTo(x) >= 0
+    def anyIn(min: UTF8String, max: UTF8String): Boolean = max.compareTo(x) >= 0
+  }
+  final case class Lt(x: UTF8String) extends CoordPredStr {
+    def eval(v: UTF8String): Boolean = v != null && v.compareTo(x) < 0
+    def allIn(min: UTF8String, max: UTF8String): Boolean = max.compareTo(x) < 0
+    def anyIn(min: UTF8String, max: UTF8String): Boolean = min.compareTo(x) < 0
+  }
+  final case class Le(x: UTF8String) extends CoordPredStr {
+    def eval(v: UTF8String): Boolean = v != null && v.compareTo(x) <= 0
+    def allIn(min: UTF8String, max: UTF8String): Boolean = max.compareTo(x) <= 0
+    def anyIn(min: UTF8String, max: UTF8String): Boolean = min.compareTo(x) <= 0
   }
 }
 

@@ -581,6 +581,14 @@ class ZarrScanBuilder(
       case In(a, vs)
           if dimIndex(a).isDefined && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         !tryRefineStr(dimIndex(a).get, CoordPredStr.InSet(vs.map(utf8).toSet))
+      case GreaterThan(a, v: String) if dimIndex(a).isDefined =>
+        !tryRefineStr(dimIndex(a).get, CoordPredStr.Gt(utf8(v)))
+      case GreaterThanOrEqual(a, v: String) if dimIndex(a).isDefined =>
+        !tryRefineStr(dimIndex(a).get, CoordPredStr.Ge(utf8(v)))
+      case LessThan(a, v: String) if dimIndex(a).isDefined =>
+        !tryRefineStr(dimIndex(a).get, CoordPredStr.Lt(utf8(v)))
+      case LessThanOrEqual(a, v: String) if dimIndex(a).isDefined =>
+        !tryRefineStr(dimIndex(a).get, CoordPredStr.Le(utf8(v)))
       case EqualTo(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
         !tryRefine(dimIndex(a).get, CoordPred.Eq(num(v).get))
       case GreaterThan(a, v) if dimIndex(a).isDefined && num(v).isDefined =>

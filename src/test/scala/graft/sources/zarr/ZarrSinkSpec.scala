@@ -162,6 +162,16 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
     val inq = deferred.filter(col("doc").isin("doc0001", "doc0421", "nope"))
     assert(!inq.queryExecution.optimizedPlan.toString().contains("Filter"))
     assert(inq.count() == 2)
+    // lexicographic RANGE predicates prune via the string chunk stats too
+    val rng = deferred.filter(col("doc") >= "doc0100" && col("doc") < "doc0110")
+    assert(!rng.queryExecution.optimizedPlan.toString().contains("Filter"))
+    val rngRows = rng.orderBy("doc").collect()
+    assert(rngRows.length == 10 && rngRows.head.getString(0) == "doc0100" && rngRows.last.getString(0) == "doc0109")
+    // and on the EAGER read of the same axis
+    val eagerRng = spark.read.format("zarr").option("path", dst).option("array", "v").load()
+      .filter(col("doc") > "doc0595")
+    assert(!eagerRng.queryExecution.optimizedPlan.toString().contains("Filter"))
+    assert(eagerRng.count() == 4)
     // deferred equals eager, cell for cell
     val eager = spark.read.format("zarr").option("path", dst).option("array", "v").load()
     assert(
