@@ -102,6 +102,32 @@ object CoordPredStr {
     def allIn(min: UTF8String, max: UTF8String): Boolean = max.compareTo(x) <= 0
     def anyIn(min: UTF8String, max: UTF8String): Boolean = min.compareTo(x) <= 0
   }
+  /** Prefix match. Stats-prunable because byte-lexicographic TRUNCATION is
+    * monotone: v ∈ [min, max] with v.startsWith(p) implies
+    * trunc(min,|p|) <= p <= trunc(max,|p|) — so a window failing that test
+    * provably holds no match. allIn: two bounds sharing the prefix bound an
+    * interval entirely inside it (common-prefix interval property of
+    * binary order). */
+  final case class StartsWith(p: UTF8String) extends CoordPredStr {
+    private def cmpTrunc(s: UTF8String, pb: Array[Byte]): Int = {
+      val sb = s.getBytes
+      val n = math.min(sb.length, pb.length)
+      var i = 0
+      while (i < n) {
+        val c = (sb(i) & 0xff) - (pb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      // s shorter than p: its truncation IS s, which sorts before p
+      if (sb.length < pb.length) -1 else 0
+    }
+    def eval(v: UTF8String): Boolean = v != null && v.startsWith(p)
+    def allIn(min: UTF8String, max: UTF8String): Boolean = min.startsWith(p) && max.startsWith(p)
+    def anyIn(min: UTF8String, max: UTF8String): Boolean = {
+      val pb = p.getBytes
+      cmpTrunc(max, pb) >= 0 && cmpTrunc(min, pb) <= 0
+    }
+  }
 }
 
 /** Per-chunk [min, max, hasNaN] statistics of a deferred (long-axis) 1-D

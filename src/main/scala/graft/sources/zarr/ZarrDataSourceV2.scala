@@ -589,6 +589,25 @@ class ZarrScanBuilder(
         !tryRefineStr(dimIndex(a).get, CoordPredStr.Lt(utf8(v)))
       case LessThanOrEqual(a, v: String) if dimIndex(a).isDefined =>
         !tryRefineStr(dimIndex(a).get, CoordPredStr.Le(utf8(v)))
+      case StringStartsWith(a, prefix) if dimIndex(a).isDefined =>
+        !tryRefineStr(dimIndex(a).get, CoordPredStr.StartsWith(utf8(prefix)))
+      // contains/endsWith have no ordered-stats pruning: refine EAGER label
+      // axes per-cell; deferred axes stay residual (a full driver-side
+      // chunk decode of a 10^8-cell axis is the scale anti-pattern)
+      case StringContains(a, sub) if dimIndex(a).isDefined =>
+        val d = dimIndex(a).get
+        val s = utf8(sub)
+        coords(d) match {
+          case Coord.Strings(_) => !refineStr(d, v => v != null && v.contains(s))
+          case _ => true
+        }
+      case StringEndsWith(a, suffix) if dimIndex(a).isDefined =>
+        val d = dimIndex(a).get
+        val s = utf8(suffix)
+        coords(d) match {
+          case Coord.Strings(_) => !refineStr(d, v => v != null && v.endsWith(s))
+          case _ => true
+        }
       case EqualTo(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
         !tryRefine(dimIndex(a).get, CoordPred.Eq(num(v).get))
       case GreaterThan(a, v) if dimIndex(a).isDefined && num(v).isDefined =>

@@ -168,10 +168,28 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
     val rngRows = rng.orderBy("doc").collect()
     assert(rngRows.length == 10 && rngRows.head.getString(0) == "doc0100" && rngRows.last.getString(0) == "doc0109")
     // and on the EAGER read of the same axis
-    val eagerRng = spark.read.format("zarr").option("path", dst).option("array", "v").load()
-      .filter(col("doc") > "doc0595")
+    val eagerLoad = spark.read.format("zarr").option("path", dst).option("array", "v").load()
+    val eagerRng = eagerLoad.filter(col("doc") > "doc0595")
     assert(!eagerRng.queryExecution.optimizedPlan.toString().contains("Filter"))
     assert(eagerRng.count() == 4)
+    // startsWith is stats-prunable (monotone truncation): deferred + eager
+    val pfx = deferred.filter(col("doc").startsWith("doc013"))
+    assert(!pfx.queryExecution.optimizedPlan.toString().contains("Filter"))
+    assert(pfx.count() == 10)
+    val pfxE = eagerLoad.filter(col("doc").startsWith("doc02"))
+    assert(!pfxE.queryExecution.optimizedPlan.toString().contains("Filter"))
+    assert(pfxE.count() == 100)
+    // contains/endsWith refine EAGER axes per-cell; on DEFERRED they stay
+    // residual (full-axis decode would be the scale anti-pattern)
+    val ct = eagerLoad.filter(col("doc").contains("c042"))
+    assert(!ct.queryExecution.optimizedPlan.toString().contains("Filter"))
+    assert(ct.count() == 10)
+    val ew = eagerLoad.filter(col("doc").endsWith("99"))
+    assert(!ew.queryExecution.optimizedPlan.toString().contains("Filter"))
+    assert(ew.count() == 6)
+    val ctDef = deferred.filter(col("doc").contains("c042"))
+    assert(ctDef.queryExecution.optimizedPlan.toString().contains("Filter")) // residual by design
+    assert(ctDef.count() == 10)
     // deferred equals eager, cell for cell
     val eager = spark.read.format("zarr").option("path", dst).option("array", "v").load()
     assert(
