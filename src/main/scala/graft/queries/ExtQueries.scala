@@ -1358,6 +1358,52 @@ object ExtQueries {
              |FROM documents d JOIN fp ON fp.doc_id = d.doc_id
              |WHERE fp.f NOT IN (SELECT DISTINCT f FROM fp WHERE doc_id % 7 = 0)
              |ORDER BY d.doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Approximate quantiles — the 100 TB quantile path (q10's EXACT
+    // percentile buffers every distinct value per group; the GK sketch is
+    // mergeable, bounded-memory, one pass). Oracled like x18: the sketch's
+    // documented rank guarantee (|rank(v) - q*N| <= N/accuracy) is
+    // verified IN-ENGINE by exact rank counts, and DuckDB pins the
+    // booleans TRUE plus the exact N.
+    Q(
+      "x58_approx_quantiles",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+        val acc = 100
+        val row = li
+          .agg(
+            expr(s"approx_percentile(l_quantity, array(${qs.mkString(",")}), $acc)").as("ap"),
+            count(lit(1)).as("n")
+          )
+          .head()
+        val vals = row.getSeq[Double](0)
+        val n = row.getLong(1)
+        // tied values occupy a rank INTERVAL [count(<v)+1, count(<=v)]; the
+        // guarantee holds iff that interval intersects the target window
+        // [q*N - N/acc, q*N + N/acc] (+1 slack for boundary rounding) — a
+        // point-rank check would false-fail on heavily tied columns
+        val rankCols = qs.zip(vals).zipWithIndex.flatMap { case ((_, v), i) =>
+          Seq(
+            sum(when(col("l_quantity") < v, 1L).otherwise(0L)).as(s"lo$i"),
+            sum(when(col("l_quantity") <= v, 1L).otherwise(0L)).as(s"hi$i")
+          )
+        }
+        val ranks = li.agg(rankCols.head, rankCols.tail: _*).head()
+        val rows = qs.zipWithIndex.map { case (q, i) =>
+          val lo = ranks.getLong(2 * i) + 1
+          val hi = ranks.getLong(2 * i + 1)
+          val eps = n.toDouble / acc + 1.0
+          (q, lo <= q * n + eps && hi >= q * n - eps, n)
+        }
+        import s.implicits._
+        rows.toDF("q", "within_bound", "n").orderBy("q")
+      },
+      Some("""SELECT CAST(t.q AS DOUBLE) AS q, TRUE AS within_bound,
+             |(SELECT COUNT(*) FROM lineitem) AS n
+             |FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) AS t(q)
+             |ORDER BY q""".stripMargin)
     )
   )
 }

@@ -430,6 +430,60 @@ object Spike {
     println(s"[sf10] wrote $outDir — next: python3 scripts/check.py $sfDir $outDir")
   }
 
+  /** `runMain graft.tools.Spike zarr-deferred-str [nLabels]` — the STRING
+    * deferred-axis scale gate: the sink writes a 10^7-label axis through
+    * the distributed-ordinal path (multi-chunk vlen-utf8 coordinates,
+    * executor-written), then a deferred read (threshold 10^5) answers
+    * range and prefix queries via lexicographic chunk-stats pruning —
+    * counts checked closed-form, cold (stats job) vs warm (cached stats)
+    * timings printed. The label-axis sibling of the numeric 10^8-axis
+    * spike in ZarrDeferredSpec. */
+  private def zarrDeferredStr(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_spike_defstr/store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft_spike_defstr"))
+    def lab(i: Long): String = f"L$i%09d"
+    val t0 = System.nanoTime()
+    spark
+      .range(n)
+      .select(
+        concat(lit("L"), lpad(col("id").cast("string"), 9, "0")).as("doc"),
+        (col("id") % 97).cast("double").as("value")
+      )
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("max_coord_values", "1000").option("coord_chunk_values", "1000000")
+      .option("chunks", "1000000").option("compressor", "zstd")
+      .mode("append").save()
+    val tw = (System.nanoTime() - t0) / 1e9
+    println(f"[spike] zarr-deferred-str write: $tw%.1fs, $n labels through distributed ordinals")
+    val df = spark.read.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("coord.deferred.threshold", "100000")
+      .load()
+    // 1% range slice — cold: pays the distributed stats job
+    val t1 = System.nanoTime()
+    val c1 = df.filter(col("doc") >= lab(n / 10) && col("doc") < lab(n / 10 + n / 100)).count()
+    val ts1 = (System.nanoTime() - t1) / 1e9
+    require(c1 == n / 100, s"range slice: $c1 != ${n / 100}")
+    // warm: stats cached per axis version
+    val t2 = System.nanoTime()
+    val c2 = df.filter(col("doc") >= lab(n / 2) && col("doc") < lab(n / 2 + n / 100)).count()
+    val ts2 = (System.nanoTime() - t2) / 1e9
+    require(c2 == n / 100, s"warm range slice: $c2 != ${n / 100}")
+    // prefix (stats-prunable via monotone truncation): L0030 -> 10^5 labels
+    // at n = 10^7 (L003000000..L003099999)
+    val pfx = "L" + f"${n / 1000 * 3}%09d".take(4)
+    val t3 = System.nanoTime()
+    val c3 = df.filter(col("doc").startsWith(pfx)).count()
+    val ts3 = (System.nanoTime() - t3) / 1e9
+    println(
+      f"[spike] zarr-deferred-str: 1%% range cold $ts1%.1fs, warm $ts2%.1fs; prefix '$pfx' -> $c3 rows in $ts3%.1fs"
+    )
+    require(c3 > 0, "prefix matched nothing")
+    println("[spike] zarr-deferred-str: exact counts at scale — gate PASS")
+  }
+
   /** `runMain graft.tools.Spike x41-planted [nDocs]` — the x41 near-dup
     * clustering gate at 100x scale with an ENGINE-INDEPENDENT oracle
     * (DuckDB's recursive-CTE closure for x41 spills past local disk at
@@ -562,6 +616,10 @@ object Spike {
     if (args.sameElements(Array("sf10"))) { sf10(spark); spark.stop(); return }
     if (args.nonEmpty && args(0) == "x41-planted") {
       x41Planted(spark, if (args.length > 1) args(1).toLong else 500000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "zarr-deferred-str") {
+      zarrDeferredStr(spark, if (args.length > 1) args(1).toLong else 10000000L)
       spark.stop(); return
     }
     if (args.isEmpty) {
