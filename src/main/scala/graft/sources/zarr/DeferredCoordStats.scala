@@ -53,6 +53,14 @@ object CoordPred {
     def allIn(min: Double, max: Double): Boolean = min == max && xs.contains(min)
     def anyIn(min: Double, max: Double): Boolean = xs.exists(x => min <= x && x <= max)
   }
+  /** Disjunction over one dim (`lat < 10 OR lat > 40`). allIn is sound but
+    * deliberately weak (a window whose every cell matches one side or the
+    * other, mixed, still decodes); anyIn is exact disjunction. */
+  final case class Or(a: CoordPred, b: CoordPred) extends CoordPred {
+    def eval(v: Double): Boolean = a.eval(v) || b.eval(v)
+    def allIn(min: Double, max: Double): Boolean = a.allIn(min, max) || b.allIn(min, max)
+    def anyIn(min: Double, max: Double): Boolean = a.anyIn(min, max) || b.anyIn(min, max)
+  }
 }
 
 /** String analog of [[CoordPred]] for label axes: equality/membership and
@@ -127,6 +135,12 @@ object CoordPredStr {
       val pb = p.getBytes
       cmpTrunc(max, pb) >= 0 && cmpTrunc(min, pb) <= 0
     }
+  }
+  /** Disjunction over one label dim — see [[CoordPred.Or]]. */
+  final case class Or(a: CoordPredStr, b: CoordPredStr) extends CoordPredStr {
+    def eval(v: UTF8String): Boolean = a.eval(v) || b.eval(v)
+    def allIn(min: UTF8String, max: UTF8String): Boolean = a.allIn(min, max) || b.allIn(min, max)
+    def anyIn(min: UTF8String, max: UTF8String): Boolean = a.anyIn(min, max) || b.anyIn(min, max)
   }
 }
 

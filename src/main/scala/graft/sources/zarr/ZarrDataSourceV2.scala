@@ -574,53 +574,86 @@ class ZarrScanBuilder(
     case _ => false
   }
 
+  /** Translate a pushed Filter into a single-dim STRING coordinate
+    * predicate; `Or` recurses and absorbs when both sides land on the SAME
+    * dim (a cross-dim Or cannot refine one axis independently). */
+  private def toPredStr(f: Filter): Option[(Int, CoordPredStr)] = f match {
+    case EqualTo(a, v: String) if dimIndex(a).isDefined =>
+      Some((dimIndex(a).get, CoordPredStr.Eq(utf8(v))))
+    case In(a, vs)
+        if dimIndex(a).isDefined && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      Some((dimIndex(a).get, CoordPredStr.InSet(vs.map(utf8).toSet)))
+    case GreaterThan(a, v: String) if dimIndex(a).isDefined =>
+      Some((dimIndex(a).get, CoordPredStr.Gt(utf8(v))))
+    case GreaterThanOrEqual(a, v: String) if dimIndex(a).isDefined =>
+      Some((dimIndex(a).get, CoordPredStr.Ge(utf8(v))))
+    case LessThan(a, v: String) if dimIndex(a).isDefined =>
+      Some((dimIndex(a).get, CoordPredStr.Lt(utf8(v))))
+    case LessThanOrEqual(a, v: String) if dimIndex(a).isDefined =>
+      Some((dimIndex(a).get, CoordPredStr.Le(utf8(v))))
+    case StringStartsWith(a, prefix) if dimIndex(a).isDefined =>
+      Some((dimIndex(a).get, CoordPredStr.StartsWith(utf8(prefix))))
+    case Or(l, r) =>
+      (toPredStr(l), toPredStr(r)) match {
+        case (Some((d1, p1)), Some((d2, p2))) if d1 == d2 => Some((d1, CoordPredStr.Or(p1, p2)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Numeric sibling of [[toPredStr]]. */
+  private def toPredNum(f: Filter): Option[(Int, CoordPred)] = f match {
+    case EqualTo(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
+      Some((dimIndex(a).get, CoordPred.Eq(num(v).get)))
+    case GreaterThan(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
+      Some((dimIndex(a).get, CoordPred.Gt(num(v).get)))
+    case GreaterThanOrEqual(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
+      Some((dimIndex(a).get, CoordPred.Ge(num(v).get)))
+    case LessThan(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
+      Some((dimIndex(a).get, CoordPred.Lt(num(v).get)))
+    case LessThanOrEqual(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
+      Some((dimIndex(a).get, CoordPred.Le(num(v).get)))
+    case In(a, vs) if dimIndex(a).isDefined && vs.forall(num(_).isDefined) =>
+      Some((dimIndex(a).get, CoordPred.InSet(vs.flatMap(num).toSet)))
+    case Or(l, r) =>
+      (toPredNum(l), toPredNum(r)) match {
+        case (Some((d1, p1)), Some((d2, p2))) if d1 == d2 => Some((d1, CoordPred.Or(p1, p2)))
+        case _ => None
+      }
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val residual = filters.filter {
-      case EqualTo(a, v: String) if dimIndex(a).isDefined =>
-        !tryRefineStr(dimIndex(a).get, CoordPredStr.Eq(utf8(v)))
-      case In(a, vs)
-          if dimIndex(a).isDefined && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-        !tryRefineStr(dimIndex(a).get, CoordPredStr.InSet(vs.map(utf8).toSet))
-      case GreaterThan(a, v: String) if dimIndex(a).isDefined =>
-        !tryRefineStr(dimIndex(a).get, CoordPredStr.Gt(utf8(v)))
-      case GreaterThanOrEqual(a, v: String) if dimIndex(a).isDefined =>
-        !tryRefineStr(dimIndex(a).get, CoordPredStr.Ge(utf8(v)))
-      case LessThan(a, v: String) if dimIndex(a).isDefined =>
-        !tryRefineStr(dimIndex(a).get, CoordPredStr.Lt(utf8(v)))
-      case LessThanOrEqual(a, v: String) if dimIndex(a).isDefined =>
-        !tryRefineStr(dimIndex(a).get, CoordPredStr.Le(utf8(v)))
-      case StringStartsWith(a, prefix) if dimIndex(a).isDefined =>
-        !tryRefineStr(dimIndex(a).get, CoordPredStr.StartsWith(utf8(prefix)))
-      // contains/endsWith have no ordered-stats pruning: refine EAGER label
-      // axes per-cell; deferred axes stay residual (a full driver-side
-      // chunk decode of a 10^8-cell axis is the scale anti-pattern)
-      case StringContains(a, sub) if dimIndex(a).isDefined =>
-        val d = dimIndex(a).get
-        val s = utf8(sub)
-        coords(d) match {
-          case Coord.Strings(_) => !refineStr(d, v => v != null && v.contains(s))
-          case _ => true
-        }
-      case StringEndsWith(a, suffix) if dimIndex(a).isDefined =>
-        val d = dimIndex(a).get
-        val s = utf8(suffix)
-        coords(d) match {
-          case Coord.Strings(_) => !refineStr(d, v => v != null && v.endsWith(s))
-          case _ => true
-        }
-      case EqualTo(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        !tryRefine(dimIndex(a).get, CoordPred.Eq(num(v).get))
-      case GreaterThan(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        !tryRefine(dimIndex(a).get, CoordPred.Gt(num(v).get))
-      case GreaterThanOrEqual(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        !tryRefine(dimIndex(a).get, CoordPred.Ge(num(v).get))
-      case LessThan(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        !tryRefine(dimIndex(a).get, CoordPred.Lt(num(v).get))
-      case LessThanOrEqual(a, v) if dimIndex(a).isDefined && num(v).isDefined =>
-        !tryRefine(dimIndex(a).get, CoordPred.Le(num(v).get))
-      case In(a, vs) if dimIndex(a).isDefined && vs.forall(num(_).isDefined) =>
-        !tryRefine(dimIndex(a).get, CoordPred.InSet(vs.flatMap(num).toSet))
-      case _ => true
+    val residual = filters.filter { f =>
+      toPredStr(f) match {
+        case Some((d, p)) => !tryRefineStr(d, p)
+        case None =>
+          toPredNum(f) match {
+            case Some((d, p)) => !tryRefine(d, p)
+            case None =>
+              f match {
+                // contains/endsWith have no ordered-stats pruning: refine
+                // EAGER label axes per-cell; deferred axes stay residual (a
+                // full driver-side chunk decode of a 10^8-cell axis is the
+                // scale anti-pattern)
+                case StringContains(a, sub) if dimIndex(a).isDefined =>
+                  val d = dimIndex(a).get
+                  val s = utf8(sub)
+                  coords(d) match {
+                    case Coord.Strings(_) => !refineStr(d, v => v != null && v.contains(s))
+                    case _ => true
+                  }
+                case StringEndsWith(a, suffix) if dimIndex(a).isDefined =>
+                  val d = dimIndex(a).get
+                  val s = utf8(suffix)
+                  coords(d) match {
+                    case Coord.Strings(_) => !refineStr(d, v => v != null && v.endsWith(s))
+                    case _ => true
+                  }
+                case _ => true
+              }
+          }
+      }
     }
     accepted = filters.diff(residual)
     residual

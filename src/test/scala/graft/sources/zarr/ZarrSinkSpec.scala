@@ -190,6 +190,13 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
     val ctDef = deferred.filter(col("doc").contains("c042"))
     assert(ctDef.queryExecution.optimizedPlan.toString().contains("Filter")) // residual by design
     assert(ctDef.count() == 10)
+    // OR over ONE dim absorbs (union of prunings); cross-dim OR stays residual
+    val orq = deferred.filter(col("doc") < "doc0003" || col("doc") >= "doc0597")
+    assert(!orq.queryExecution.optimizedPlan.toString().contains("Filter"))
+    assert(orq.count() == 6)
+    val orMixed = deferred.filter(col("doc") === "doc0001" || col("value") > 100.0)
+    assert(orMixed.queryExecution.optimizedPlan.toString().contains("Filter"))
+    assert(orMixed.count() == 1) // no value exceeds 6.0 in this store
     // deferred equals eager, cell for cell
     val eager = spark.read.format("zarr").option("path", dst).option("array", "v").load()
     assert(
@@ -530,6 +537,37 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
     val back = new ZarrDataReader(spark, dst).readArray("v").orderBy("station").collect()
     assert(back(0).getString(0) == "" && back(0).getDouble(1) == 1.0)
     assert(back(1).getString(0) == "😀" && back(1).getDouble(1) == 2.0)
+  }
+
+  test("sink value-dtype matrix: every supported value type round-trips cell-for-cell") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarrsinkmatrix").toString
+    // one frame per value type; deterministic values exercising sign,
+    // fractional, epoch and boolean paths; chunks force a ragged edge
+    def roundTrip(name: String, df: org.apache.spark.sql.DataFrame, dtype: Option[String] = None): Unit = {
+      var w = df.write.format("zarr")
+        .option("path", s"$base/$name").option("array", "v")
+        .option("chunks", "7").option("compressor", "zlib")
+      dtype.foreach(d => w = w.option("dtype", d))
+      w.mode("append").save()
+      val back = new ZarrDataReader(spark, s"$base/$name").readArray("v")
+        .orderBy("i").select("value").collect().map(_.get(0)).toSeq
+      val expect = df.orderBy("i").select("value").collect().map(_.get(0)).toSeq
+      assert(back == expect, name)
+    }
+    roundTrip("bool", (0 until 20).map(i => (i, i % 3 == 0)).toDF("i", "value"))
+    roundTrip("i1", (0 until 20).map(i => (i, (i * 11 - 100).toByte)).toDF("i", "value"))
+    roundTrip("i2", (0 until 20).map(i => (i, (i * 1000 - 9000).toShort)).toDF("i", "value"))
+    roundTrip("i4", (0 until 20).map(i => (i, i * 100000 - 700000)).toDF("i", "value"))
+    roundTrip("i8", (0 until 20).map(i => (i, i * 123456789012L - 5L)).toDF("i", "value"))
+    roundTrip("f4", (0 until 20).map(i => (i, i * 0.25f - 2f)).toDF("i", "value"))
+    roundTrip("f8", (0 until 20).map(i => (i, i * 0.125 - 1.0)).toDF("i", "value"))
+    roundTrip(
+      "m8",
+      (0 until 20).map(i => (i, java.sql.Timestamp.valueOf(s"2024-01-0${i % 9 + 1} 0${i % 10}:30:0${i % 6}")))
+        .toDF("i", "value")
+    )
+    roundTrip("str", (0 until 20).map(i => (i, s"s$i-β")).toDF("i", "value"))
   }
 
   test("bounded_collect_set rejects BinaryType (reference-equality Array[Byte] cannot dedup)") {

@@ -84,6 +84,11 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     assert(!optimized.contains("Filter"), optimized)
     val expected = full.collect().filter(r => r.getInt(0) >= 6 && r.getFloat(1) == 33f)
     assert(pushed.count() == expected.length)
+    // OR over one dim absorbs too (union of index prunings)
+    val orPushed = full.filter(col("time") < 2 || col("time") >= 10)
+    assert(!orPushed.queryExecution.optimizedPlan.toString().contains("Filter"))
+    val orExpected = full.collect().count(r => r.getInt(0) < 2 || r.getInt(0) >= 10)
+    assert(orPushed.count() == orExpected)
   }
 
   test("value-column pruning: counting rows never reads chunk data") {
