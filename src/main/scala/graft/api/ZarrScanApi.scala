@@ -22,7 +22,7 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
   * caches are always coherent. */
 object ZarrScan {
 
-  private def selToOption(s: DimSel): String = s match {
+  private[api] def selToOption(s: DimSel): String = s match {
     case DimSel.All => ":"
     case DimSel.Range(a, b) => s"$a:$b"
     case DimSel.Point(i) => i.toString
@@ -132,4 +132,24 @@ final class ZarrDataReader(
     * returned frames are independent lazy scans — they parallelize for free. */
   def readMultipleArrays(names: Seq[String]): Map[String, DataFrame] =
     names.map(n => n -> readArray(n)).toMap
+
+  /** ALIGNED multi-array scan (beyond the reference): arrays sharing
+    * dims/shape/chunks emit as ONE frame `[dims..., a, b, ...]` with a value
+    * column per array — one scan, one chunk read per array per chunk, no
+    * long-format self-join (the reference's users join the per-array frames
+    * on the dim columns, a shuffle this avoids entirely). Dim predicates
+    * push down once and prune every array's reads together. */
+  def readAligned(names: Seq[String], selectDims: Map[String, DimSel] = Map.empty): DataFrame = {
+    require(names.nonEmpty, "readAligned needs at least one array")
+    var r = spark.read
+      .format("zarr")
+      .option("path", storePath)
+      .option("arrays", names.mkString(","))
+      .option("partition.target.cells", chunkTargetCells)
+    group.foreach(g => r = r.option("group", g))
+    consolidated.foreach(c => r = r.option("consolidated", c))
+    storageOptions.foreach { case (k, v) => r = r.option(s"storage.$k", v) }
+    selectDims.foreach { case (d, s) => r = r.option(s"select.$d", ZarrScan.selToOption(s)) }
+    r.load()
+  }
 }

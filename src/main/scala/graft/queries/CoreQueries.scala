@@ -859,8 +859,58 @@ object CoreQueries {
              |CAST(t.i * 3 % 11 AS DOUBLE) * 0.5 AS value
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(123, 200)) t
              |ORDER BY doc""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // ALIGNED multi-array scan (beyond the reference): temp (f8) and hum
+    // (f4, one chunk withheld -> fill −3.5) on one (12,10) grid emit as a
+    // single [t, x, temp, hum] frame — one scan, no long-format self-join;
+    // the pushed t-range prunes BOTH arrays' chunk reads together.
+    Q(
+      "q38_zarr_aligned",
+      (s, _) => {
+        val root = CoreQueries.q38Store()
+        new graft.api.ZarrDataReader(s, root)
+          .readAligned(Seq("temp", "hum"))
+          .filter(col("t") >= 3)
+          .orderBy("t", "x")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS t, CAST(x.i AS INTEGER) AS x,
+             |CAST((t.i * 10 + x.i) * 37 % 100 AS DOUBLE) * 0.5 AS temp,
+             |CAST(CASE WHEN t.i BETWEEN 4 AND 7 AND x.i BETWEEN 0 AND 4 THEN -3.5
+             |     ELSE (t.i * 10 + x.i) * 13 % 50 END AS FLOAT) AS hum
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 12)) t
+             |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(0, 10)) x
+             |WHERE t.i >= 3
+             |ORDER BY t, x""".stripMargin)
     )
   )
+
+  /** Build the q38 aligned store once per JVM: temp <f8 and hum <f4 on one
+    * (12,10) grid, chunks (4,5); hum's chunk (1,0) is withheld so cells
+    * t∈[4,7] × x∈[0,4] read hum's fill −3.5 while temp stays real. */
+  private[queries] def q38Store(): String = synchronized {
+    val root = FixtureCache.root("q38")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      import graft.sources.zarr.ZarrStoreWriter
+      val dir = ZarrStoreWriter.writeGroup(root)
+      ZarrStoreWriter.writeArray(
+        dir, "temp", Vector(12, 10), Vector(4, 5), "<f8", f => ((f * 37) % 100).toDouble * 0.5,
+        dims = Some(Vector("t", "x")), compressor = Some("zlib")
+      )
+      ZarrStoreWriter.writeArray(
+        dir, "hum", Vector(12, 10), Vector(4, 5), "<f4", f => ((f * 13) % 50).toDouble,
+        dims = Some(Vector("t", "x")), compressor = Some("zstd"), fillValue = Some(-3.5)
+      )
+      ZarrStoreWriter.writeCoord(dir, "t", Coord.Ints(Array.tabulate(12)(identity)))
+      ZarrStoreWriter.writeCoord(dir, "x", Coord.Ints(Array.tabulate(10)(identity)))
+      ZarrStoreWriter.consolidate(dir)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(root, "hum", "1.0"))
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
 
   /** Build the q36 store once per JVM — the PRODUCT sink writing STRUCT
     * values with an explicit compound dtype (i4, >f8, |S4) over i (25,

@@ -119,8 +119,15 @@ object ZarrTable {
   def fromOptions(options: CaseInsensitiveStringMap): ZarrTable = {
     val path = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("zarr source requires option 'path'"))
-    val array = Option(options.get("array"))
-      .getOrElse(throw new IllegalArgumentException("zarr source requires option 'array'"))
+    // `arrays` = ALIGNED multi-array scan: one scan emits [dims..., a, b, ...]
+    // for arrays sharing dims/shape/chunks — no long-format self-join
+    val arraysOpt = Option(options.get("arrays"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val array = arraysOpt
+      .map(_.head)
+      .orElse(Option(options.get("array")))
+      .getOrElse(throw new IllegalArgumentException("zarr source requires option 'array' (or 'arrays')"))
     val group = Option(options.get("group"))
     val consolidated = Option(options.get("consolidated")).map(_.toBoolean)
     // `storage.<key>` options carry s3fs-style store config (see ZarrFileIO).
@@ -133,6 +140,14 @@ object ZarrTable {
       .toMap
     val store = new ZarrStore(path, storageOptions, group, consolidated)
     val meta = store.arrayMeta(array)
+    val extras: Seq[ZarrArrayMeta] = arraysOpt.map(_.tail.map(store.arrayMeta)).getOrElse(Nil)
+    extras.foreach { m =>
+      require(
+        m.dims == meta.dims && m.shape == meta.shape && m.chunks == meta.chunks,
+        s"aligned multi-array scan needs identical dims/shape/chunks: '${m.name}' has " +
+          s"${m.dims}/${m.shape}/${m.chunks}, '${meta.name}' has ${meta.dims}/${meta.shape}/${meta.chunks}"
+      )
+    }
     val sel: Map[String, DimSel] = meta.dims.flatMap { d =>
       Option(options.get(s"select.$d")).map(v => d -> parseDimSel(v))
     }.toMap
@@ -141,7 +156,7 @@ object ZarrTable {
     // driver — executors decode coordinate chunks per ordinal range
     val coordThreshold =
       Option(options.get("coord.deferred.threshold")).map(_.toInt).getOrElse(10000000)
-    new ZarrTable(store, meta, sel, targetCells, coordThreshold)
+    new ZarrTable(store, meta, sel, targetCells, coordThreshold, extras)
   }
 }
 
@@ -150,7 +165,8 @@ class ZarrTable(
     meta: ZarrArrayMeta,
     baseSel: Map[String, DimSel],
     targetCells: Long,
-    coordThreshold: Int = Int.MaxValue
+    coordThreshold: Int = Int.MaxValue,
+    extras: Seq[ZarrArrayMeta] = Nil
 ) extends Table
     with SupportsRead
     with SupportsWrite {
@@ -159,19 +175,26 @@ class ZarrTable(
   private[zarr] lazy val coords: Vector[Coord] =
     meta.dims.zip(meta.shape).map { case (d, n) => store.coordFor(d, n, coordThreshold) }
 
-  override def name(): String = s"zarr:${store.storePath}:${meta.name}"
+  // single-array tables keep the reference's `value` column; an aligned
+  // multi-array table names each value column after its array
+  private[zarr] val valueCols: Seq[(String, ZarrArrayMeta)] =
+    if (extras.isEmpty) Seq("value" -> meta)
+    else (meta +: extras).map(m => m.name -> m)
+
+  override def name(): String =
+    s"zarr:${store.storePath}:${(meta +: extras).map(_.name).mkString(",")}"
 
   override def schema(): StructType =
     StructType(
-      resolved.outDims.map(d => StructField(meta.dims(d), coords(d).dataType, nullable = false)) :+
-        StructField("value", meta.valueType, nullable = true)
+      resolved.outDims.map(d => StructField(meta.dims(d), coords(d).dataType, nullable = false)) ++
+        valueCols.map { case (n, m) => StructField(n, m.valueType, nullable = true) }
     )
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(store, meta, resolved, coords, schema(), targetCells)
+    new ZarrScanBuilder(store, meta, resolved, coords, schema(), targetCells, valueCols)
 
   // array exists: mode("overwrite") replaces it, mode("append") errors in
   // the sink with a clear message (no partial in-place chunk updates)
@@ -219,7 +242,8 @@ class ZarrScanBuilder(
     base: ResolvedSelection,
     coords: Vector[Coord],
     fullSchema: StructType,
-    targetCells: Long
+    targetCells: Long,
+    valueCols: Seq[(String, ZarrArrayMeta)] = Nil
 ) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -680,7 +704,10 @@ class ZarrScanBuilder(
       targetCells,
       store.storageOptions,
       pushedLimit,
-      deferredSpecs
+      deferredSpecs,
+      valueColumns =
+        (if (valueCols.isEmpty) Seq("value" -> meta) else valueCols)
+          .map { case (n, m) => (n, store.arrayDir(m.name), m) }
     )
   }
 }
@@ -813,14 +840,21 @@ class ZarrScan(
     targetCells: Long,
     storageOptions: Map[String, String] = Map.empty,
     limitCells: Option[Int] = None,
-    deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty
+    deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty,
+    // (output column, array dir, array meta) per value column — one entry
+    // named "value" for single-array scans, one per array for ALIGNED
+    // multi-array scans (identical dims/shape/chunks, validated upstream)
+    valueColumns: Seq[(String, String, ZarrArrayMeta)] = Nil
 ) extends Scan
     with Batch {
 
   override def readSchema(): StructType = required
 
+  private def multi: Boolean = valueColumns.size > 1
+
   override def description(): String =
-    s"ZarrScan(${meta.name}, cells=${sel.keep.map(_.length.toLong).product}" +
+    s"ZarrScan(${if (multi) valueColumns.map(_._1).mkString("+") else meta.name}, " +
+      s"cells=${sel.keep.map(_.length.toLong).product}" +
       limitCells.map(n => s", limit=$n").getOrElse("") +
       s", schema=${required.fieldNames.mkString(",")})"
 
@@ -904,16 +938,124 @@ class ZarrScan(
     // None inside tasks, so credentials set via spark.hadoop.* would
     // otherwise never reach executor-side chunk reads (cluster mode; local
     // mode masks it by sharing the JVM)
-    new ZarrReaderFactory(
-      arrayDir,
-      meta,
-      sel.outDims,
-      required,
-      ZarrFileIO.executorOptions(storageOptions),
-      dimRuns,
-      keptCoords,
+    if (multi)
+      new ZarrMultiReaderFactory(
+        valueColumns,
+        arrayDir,
+        meta,
+        sel.outDims,
+        required,
+        meta.dims,
+        ZarrFileIO.executorOptions(storageOptions),
+        dimRuns,
+        keptCoords,
+        deferredSpecs
+      )
+    else
+      new ZarrReaderFactory(
+        arrayDir,
+        meta,
+        sel.outDims,
+        required,
+        ZarrFileIO.executorOptions(storageOptions),
+        dimRuns,
+        keptCoords,
+        deferredSpecs
+      )
+}
+
+/** ALIGNED multi-array reads: one reader per requested value column walks
+  * the SAME partition in lockstep — cell iteration depends only on the
+  * shared (dims, shape, chunks, keep) state, never on which columns a
+  * reader materializes, so all cursors advance identically and the
+  * combined row is a per-field copy. One chunk read per array per chunk;
+  * unrequested arrays cost nothing (their reader is never built). Shard
+  * layouts may differ between arrays — each reader resolves IO through its
+  * own metadata; only the logical chunk grid must match. */
+class ZarrMultiReaderFactory(
+    valueColumns: Seq[(String, String, ZarrArrayMeta)],
+    primaryDir: String,
+    primaryMeta: ZarrArrayMeta,
+    outDims: Vector[Int],
+    required: StructType,
+    dimNames: Seq[String],
+    storageOptions: Map[String, String],
+    dimRuns: Vector[DimRuns],
+    keptCoords: Map[Int, Coord],
+    deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty
+) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[ZarrInputPartition]
+    val dimIdx: Array[(StructField, Int)] =
+      required.fields.zipWithIndex.filter { case (f, _) => dimNames.contains(f.name) }
+    val wanted: Array[(StructField, Int)] =
+      required.fields.zipWithIndex.filter { case (f, _) => !dimNames.contains(f.name) }
+    val byName = valueColumns.map(vc => vc._1 -> vc).toMap
+    if (wanted.isEmpty)
+      // dims-only projection (count over coordinates): one reader, no value
+      return new ZarrRowReader(
+        primaryDir, primaryMeta, outDims, required, part, storageOptions, dimRuns, keptCoords,
+        deferredSpecs
+      )
+    // leader reads the dims plus its value; followers read value-only
+    val (leadField, leadOut) = wanted.head
+    val (_, leadDir, leadMeta) = byName(leadField.name)
+    val leadRequired = StructType(
+      dimIdx.map(_._1).toSeq :+ StructField("value", leadField.dataType, nullable = true)
+    )
+    val leader = new ZarrRowReader(
+      leadDir, leadMeta, outDims, leadRequired, part, storageOptions, dimRuns, keptCoords,
       deferredSpecs
     )
+    val followers = wanted.tail.map { case (f, _) =>
+      val (_, dir, m) = byName(f.name)
+      new ZarrRowReader(
+        dir, m, outDims,
+        StructType(Seq(StructField("value", f.dataType, nullable = true))),
+        part, storageOptions, dimRuns, keptCoords, deferredSpecs
+      )
+    }
+    new PartitionReader[InternalRow] {
+      private val out = new GenericInternalRow(required.length)
+      override def next(): Boolean = {
+        val n = leader.next()
+        var k = 0
+        while (k < followers.length) {
+          val fn = followers(k).next()
+          if (fn != n)
+            throw new IllegalStateException(
+              s"aligned readers diverged (leader=$n follower=${wanted(k + 1)._1.name}=$fn)"
+            )
+          k += 1
+        }
+        if (n) {
+          val lr = leader.get()
+          var i = 0
+          while (i < dimIdx.length) {
+            out.update(dimIdx(i)._2, lr.get(i, dimIdx(i)._1.dataType))
+            i += 1
+          }
+          out.update(leadOut, lr.get(dimIdx.length, leadField.dataType))
+          k = 0
+          while (k < followers.length) {
+            val (f, pos) = wanted(k + 1)
+            out.update(pos, followers(k).get().get(0, f.dataType))
+            k += 1
+          }
+        }
+        n
+      }
+      override def get(): InternalRow = out
+      override def close(): Unit = {
+        leader.close()
+        followers.foreach(_.close())
+      }
+    }
+  }
+
+  // lockstep readers are row-based; the single-array path keeps columnar
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
 }
 
 class ZarrReaderFactory(

@@ -445,6 +445,66 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("aligned multi-array scan: [dims, a, b, c] in one scan, join-free; pushdown + pruning") {
+    val root = Files.createTempDirectory("zarraligned").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    // three arrays on one (12, 10) grid, different dtypes + compressors;
+    // one chunk of `hum` withheld -> fill -3.5 only in that column
+    ZarrStoreWriter.writeArray(
+      dir, "temp", Vector(12, 10), Vector(4, 5), "<f8", f => ((f * 37) % 100).toDouble * 0.5,
+      dims = Some(Vector("t", "x")), compressor = Some("zlib")
+    )
+    ZarrStoreWriter.writeArray(
+      dir, "hum", Vector(12, 10), Vector(4, 5), "<f4", f => ((f * 13) % 50).toDouble,
+      dims = Some(Vector("t", "x")), compressor = Some("zstd"), fillValue = Some(-3.5)
+    )
+    ZarrStoreWriter.writeArray(
+      dir, "flag", Vector(12, 10), Vector(4, 5), "|b1", f => if (f % 3 == 0) 1.0 else 0.0,
+      dims = Some(Vector("t", "x"))
+    )
+    ZarrStoreWriter.writeCoord(dir, "t", Coord.Ints(Array.tabulate(12)(identity)))
+    ZarrStoreWriter.writeCoord(dir, "x", Coord.Ints(Array.tabulate(10)(identity)))
+    ZarrStoreWriter.consolidate(dir)
+    Files.delete(java.nio.file.Paths.get(root, "hum", "1.0")) // t-chunk 1, x-chunk 0
+    val r = new ZarrDataReader(spark, root)
+    val aligned = r.readAligned(Seq("temp", "hum", "flag"))
+    assert(aligned.schema.fieldNames.toSeq == Seq("t", "x", "temp", "hum", "flag"))
+    // parity with the long-format frames joined on the dims
+    val joined = r.readArray("temp").withColumnRenamed("value", "temp")
+      .join(r.readArray("hum").withColumnRenamed("value", "hum"), Seq("t", "x"))
+      .join(r.readArray("flag").withColumnRenamed("value", "flag"), Seq("t", "x"))
+      .select("t", "x", "temp", "hum", "flag")
+    assert(
+      aligned.orderBy("t", "x").collect().toSeq == joined.orderBy("t", "x").collect().toSeq
+    )
+    // the withheld hum chunk reads fill ONLY in that column
+    val cell = aligned.filter(col("t") === 5 && col("x") === 2).collect().head
+    assert(cell.getFloat(3) == -3.5f && cell.getDouble(2) == ((52 * 37) % 100).toDouble * 0.5)
+    // dim pushdown prunes all arrays together (no post-scan Filter)
+    val pushed = aligned.filter(col("t") >= 8 && col("x") < 3)
+    assert(!pushed.queryExecution.optimizedPlan.toString().contains("Filter"))
+    assert(pushed.count() == 4 * 3)
+    // projecting a subset builds readers for that subset only (plan prunes)
+    val two = aligned.select("t", "flag")
+    assert(two.schema.fieldNames.toSeq == Seq("t", "flag"))
+    assert(two.filter(col("flag")).count() == 40) // 120 cells, every 3rd true
+    // dims-only projection still answers without any value reader
+    assert(aligned.select("t").distinct().count() == 12)
+    // mismatched grids reject loudly
+    ZarrStoreWriter.writeArray(
+      dir, "bad", Vector(12, 10), Vector(6, 5), "<f8", f => f.toDouble,
+      dims = Some(Vector("t", "x"))
+    )
+    ZarrStoreWriter.consolidate(dir)
+    val e = intercept[Exception] { r.readAligned(Seq("temp", "bad")).collect() }
+    def msgOf(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+      sb.toString
+    }
+    assert(msgOf(e).contains("identical dims/shape/chunks"), msgOf(e))
+  }
+
   test("structured (compound) dtype: packed records read as struct; fill + null-fill chunks") {
     val root = Files.createTempDirectory("zarrstruct").toString
     val dir = ZarrStoreWriter.writeGroup(root)
