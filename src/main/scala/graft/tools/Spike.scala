@@ -430,6 +430,56 @@ object Spike {
     println(s"[sf10] wrote $outDir — next: python3 scripts/check.py $sfDir $outDir")
   }
 
+  /** `runMain graft.tools.Spike zarr-aligned` — aligned multi-array scan
+    * vs the long-format self-join it replaces, on a 2×25M-cell store:
+    * both compute sum(a*b) over the shared grid; results must be exact
+    * against the closed-form expectation. */
+  private def zarrAligned(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_spike_aligned/store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft_spike_aligned"))
+    import graft.sources.zarr.ZarrStoreWriter
+    val dir = ZarrStoreWriter.writeGroup(root)
+    val (nt, nx) = (5000, 5000) // 25M cells per array
+    ZarrStoreWriter.writeArray(
+      dir, "a", Vector(nt, nx), Vector(512, 512), "<f8", f => ((f * 37) % 1000).toDouble,
+      dims = Some(Vector("t", "x")), compressor = Some("blosc:lz4")
+    )
+    ZarrStoreWriter.writeArray(
+      dir, "b", Vector(nt, nx), Vector(512, 512), "<f8", f => ((f * 13) % 500).toDouble,
+      dims = Some(Vector("t", "x")), compressor = Some("blosc:lz4")
+    )
+    ZarrStoreWriter.writeCoord(dir, "t", graft.sources.Coord.Ints(Array.tabulate(nt)(identity)))
+    ZarrStoreWriter.writeCoord(dir, "x", graft.sources.Coord.Ints(Array.tabulate(nx)(identity)))
+    ZarrStoreWriter.consolidate(dir)
+    // closed-form sum(a*b) over the 37/13 residue cycles (BigInt-safe)
+    var expect = BigInt(0)
+    val total = nt.toLong * nx
+    val cycle = 1000L * 500 // lcm cycle of the two residue patterns divides this
+    var i = 0L
+    var cycleSum = BigInt(0)
+    while (i < cycle) { cycleSum += BigInt(((i * 37) % 1000) * ((i * 13) % 500)); i += 1 }
+    expect = cycleSum * BigInt(total / cycle)
+    i = total / cycle * cycle
+    while (i < total) { expect += BigInt(((i * 37) % 1000) * ((i * 13) % 500)); i += 1 }
+    val r = new graft.api.ZarrDataReader(spark, root)
+    val t1 = System.nanoTime()
+    val aligned = r.readAligned(Seq("a", "b"))
+      .agg(sum(col("a") * col("b")).cast("decimal(38,0)")).head().getDecimal(0)
+    val ta = (System.nanoTime() - t1) / 1e9
+    require(BigInt(aligned.toBigInteger) == expect, s"aligned sum $aligned != $expect")
+    val t2 = System.nanoTime()
+    val joined = r.readArray("a").withColumnRenamed("value", "a")
+      .join(r.readArray("b").withColumnRenamed("value", "b"), Seq("t", "x"))
+      .agg(sum(col("a") * col("b")).cast("decimal(38,0)")).head().getDecimal(0)
+    val tj = (System.nanoTime() - t2) / 1e9
+    require(BigInt(joined.toBigInteger) == expect, s"joined sum $joined != $expect")
+    println(
+      f"[spike] zarr-aligned: sum(a*b) over 2x25M cells — aligned $ta%.1fs vs dim-join $tj%.1fs " +
+        f"(${tj / ta}%.1fx); both exact vs closed form"
+    )
+  }
+
   /** `runMain graft.tools.Spike zarr-deferred-str [nLabels]` — the STRING
     * deferred-axis scale gate: the sink writes a 10^7-label axis through
     * the distributed-ordinal path (multi-chunk vlen-utf8 coordinates,
@@ -622,6 +672,7 @@ object Spike {
       zarrDeferredStr(spark, if (args.length > 1) args(1).toLong else 10000000L)
       spark.stop(); return
     }
+    if (args.sameElements(Array("zarr-aligned"))) { zarrAligned(spark); spark.stop(); return }
     if (args.isEmpty) {
       val df = graft.SparkEntry.entry(spark)
       df.show(10, truncate = false)
