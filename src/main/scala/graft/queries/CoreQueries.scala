@@ -882,6 +882,33 @@ object CoreQueries {
              |CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(0, 10)) x
              |WHERE t.i >= 3
              |ORDER BY t, x""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Aggregate PUSHDOWN (metadata-only): count/min/max/count-distinct over
+    // dimension columns with fully-absorbed dim predicates compile to a
+    // LocalScan answered from kept-set geometry + driver-resident coords —
+    // zero tasks, zero chunk opens (ZarrAggPushdownSpec pins the plan
+    // shape; this query pins the VALUES against DuckDB).
+    Q(
+      "q39_zarr_agg_pushdown",
+      (s, _) => {
+        val root = CoreQueries.q38Store()
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("temp")
+          .filter(col("t") >= 2 && col("t") < 9 && col("x").isin(0, 2, 5, 9))
+          .groupBy("t")
+          .agg(
+            count("*").as("n"),
+            min("x").as("x_min"),
+            max("x").as("x_max"),
+            count_distinct(col("x")).as("nx")
+          )
+          .orderBy("t")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS t, CAST(4 AS BIGINT) AS n,
+             |CAST(0 AS INTEGER) AS x_min, CAST(9 AS INTEGER) AS x_max, CAST(4 AS BIGINT) AS nx
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(2, 9)) t
+             |ORDER BY t""".stripMargin)
     )
   )
 

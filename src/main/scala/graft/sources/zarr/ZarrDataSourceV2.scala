@@ -9,7 +9,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.{write => cw}
 import org.apache.spark.sql.sources._
@@ -247,12 +248,14 @@ class ZarrScanBuilder(
 ) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var keep: Vector[KeptSet] = base.keep
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var pushedLimit: Option[Int] = None
+  private var plannedAgg: Option[(StructType, Array[InternalRow])] = None
 
   /** Cap on an Explicit kept-set built by pushdown: beyond this the pruned
     * set would itself be a driver-memory liability, so the filter is left
@@ -685,10 +688,205 @@ class ZarrScanBuilder(
 
   override def pushedFilters(): Array[Filter] = accepted
 
+  // ---- aggregate pushdown: COUNT/MIN/MAX over dimension columns are pure
+  // metadata — the grid geometry (kept-index sets) and the driver-resident
+  // coordinate values answer them without opening a single chunk. Spark only
+  // offers an Aggregation when every filter was absorbed (no residuals), so
+  // the kept sets already reflect all predicates and the answer is exact.
+  // The result ships as a [[LocalScan]]: zero tasks, zero chunk reads — the
+  // zarr analog of answering count(*) from parquet footer row counts.
+
+  /** Iterate the kept global indices of dim d in kept order. */
+  private def keptForeach(d: Int)(f: Int => Unit): Unit = {
+    val ks = keep(d)
+    var i = 0
+    val n = ks.length
+    while (i < n) { f(ks(i)); i += 1 }
+  }
+
+  private def singleField(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  /** Eager (driver-resident or arithmetic) dim for a column name; deferred
+    * axes refuse — their values live in executor-side chunks by design. */
+  private def eagerDim(col: String): Option[Int] =
+    dimIndex(col).filterNot(d => coords(d).isInstanceOf[Coord.Deferred])
+
+  /** Can cells of dim d ever be null? Only string label axes carry nulls
+    * (null fill); every numeric/index/time coordinate is a primitive array. */
+  private def dimNullable(d: Int): Boolean = coords(d).isInstanceOf[Coord.Strings]
+
+  private def nonNullKeptCount(d: Int): Long = {
+    var n = 0L
+    keptForeach(d)(g => if (coords(d)(g) != null) n += 1)
+    n
+  }
+
+  /** Ordering used for MIN/MAX per coordinate kind — matches Spark's:
+    * primitive natural order, NaN greatest (java compare), strings by
+    * UTF8String binary order. */
+  private def cellCompare(a: Any, b: Any): Int = (a, b) match {
+    case (x: Int, y: Int) => Integer.compare(x, y)
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: org.apache.spark.unsafe.types.UTF8String, y: org.apache.spark.unsafe.types.UTF8String) =>
+      x.compareTo(y)
+    case _ => throw new IllegalStateException(s"unorderable agg cells: $a / $b")
+  }
+
+  private def keptMinMax(d: Int, wantMin: Boolean): Any = {
+    var best: Any = null
+    keptForeach(d) { g =>
+      val v = coords(d)(g)
+      if (v != null && (best == null || (if (wantMin) cellCompare(v, best) < 0 else cellCompare(v, best) > 0)))
+        best = v
+    }
+    best
+  }
+
+  private def distinctNonNullKept(d: Int): Long = {
+    val s = new java.util.HashSet[Any]()
+    keptForeach(d)(g => { val v = coords(d)(g); if (v != null) s.add(v) })
+    s.size.toLong
+  }
+
+  /** Largest LocalScan we will materialize for a grouped pushed aggregate:
+    * past this the grouped result belongs in executors, not the plan. */
+  private val maxAggGroups = 1 << 16
+
+  /** Plan a complete aggregate pushdown, or None when any piece needs chunk
+    * data (value column, deferred axis, unsupported function). */
+  private def planAggregate(agg: Aggregation): Option[(StructType, Array[InternalRow])] = {
+    if (pushedLimit.isDefined) return None
+    val groupDims: Vector[Int] = agg.groupByExpressions.toVector.map { e =>
+      singleField(e).flatMap(eagerDim) match {
+        case Some(d) => d
+        case None => return None
+      }
+    }
+    val groupSet = groupDims.toSet
+    // product of kept lengths over dims NOT in `excl` — the per-group row
+    // count contribution of the non-grouped dims (cells are a cross product)
+    def prodExcept(excl: Set[Int]): Long = {
+      var p = 1L
+      var d = 0
+      while (d < keep.length) { if (!excl.contains(d)) p *= keep(d).length; d += 1 }
+      p
+    }
+    // the selection's total row count — a cross product of kept lengths; an
+    // empty relation makes every MIN/MAX null and every COUNT 0 regardless
+    // of the per-axis kept values, so it is handled as its own case
+    val totalCells = prodExcept(Set.empty)
+    // each agg func compiles to (field, (group value lookup, multiplicity)
+    // => cell, value over the empty relation)
+    type GroupCtx = (Int => Any, Long) // dim -> group value; group multiplicity
+    val compiled: Vector[(StructField, GroupCtx => Any, Any)] = agg.aggregateExpressions.toVector.map {
+      case _: CountStar =>
+        val others = prodExcept(groupSet)
+        val f: GroupCtx => Any = { case (_, mult) => mult * others }
+        (StructField("count(*)", LongType, nullable = false), f, 0L)
+      case c: Count if !c.isDistinct =>
+        val d = singleField(c.column).flatMap(eagerDim).getOrElse(return None)
+        if (groupSet.contains(d)) {
+          val others = prodExcept(groupSet)
+          val f: GroupCtx => Any = { case (gv, mult) => if (gv(d) == null) 0L else mult * others }
+          (StructField(s"count(${meta.dims(d)})", LongType, nullable = false), f, 0L)
+        } else {
+          val factor =
+            if (dimNullable(d)) nonNullKeptCount(d) * prodExcept(groupSet + d)
+            else prodExcept(groupSet)
+          val f: GroupCtx => Any = { case (_, mult) => mult * factor }
+          (StructField(s"count(${meta.dims(d)})", LongType, nullable = false), f, 0L)
+        }
+      case c: Count if c.isDistinct =>
+        val d = singleField(c.column).flatMap(eagerDim).getOrElse(return None)
+        if (groupSet.contains(d)) {
+          val f: GroupCtx => Any = { case (gv, _) => if (gv(d) == null) 0L else 1L }
+          (StructField(s"count(DISTINCT ${meta.dims(d)})", LongType, nullable = false), f, 0L)
+        } else {
+          val n = distinctNonNullKept(d)
+          val f: GroupCtx => Any = _ => n
+          (StructField(s"count(DISTINCT ${meta.dims(d)})", LongType, nullable = false), f, 0L)
+        }
+      case m: Min =>
+        val d = singleField(m.column).flatMap(eagerDim).getOrElse(return None)
+        val f: GroupCtx => Any =
+          if (groupSet.contains(d)) { case (gv, _) => gv(d) }
+          else { val v = keptMinMax(d, wantMin = true); _ => v }
+        (StructField(s"min(${meta.dims(d)})", coords(d).dataType, nullable = true), f, null)
+      case m: Max =>
+        val d = singleField(m.column).flatMap(eagerDim).getOrElse(return None)
+        val f: GroupCtx => Any =
+          if (groupSet.contains(d)) { case (gv, _) => gv(d) }
+          else { val v = keptMinMax(d, wantMin = false); _ => v }
+        (StructField(s"max(${meta.dims(d)})", coords(d).dataType, nullable = true), f, null)
+      case _ => return None
+    }
+    // distinct kept values per group dim, first-kept order, with multiplicity
+    // (coordinate axes may repeat values — SQL groups merge them)
+    val perDimGroups: Vector[Vector[(Any, Long)]] = groupDims.map { d =>
+      val m = new java.util.LinkedHashMap[Any, java.lang.Long]()
+      keptForeach(d) { g =>
+        val v = coords(d)(g)
+        m.merge(v, java.lang.Long.valueOf(1L), (x, y) => java.lang.Long.valueOf(x + y))
+      }
+      m.entrySet().asScala.toVector.map(e => (e.getKey, e.getValue.longValue()))
+    }
+    val nGroups = perDimGroups.map(_.size.toLong).product
+    if (nGroups > maxAggGroups) return None
+    val schema = StructType(
+      groupDims.map(d => fullSchema(meta.dims(d))) ++ compiled.map(_._1)
+    )
+    if (totalCells == 0L)
+      return Some((schema, if (groupDims.isEmpty) Array[InternalRow](new GenericInternalRow(compiled.map(_._3).toArray)) else Array.empty[InternalRow]))
+    val rows = Array.newBuilder[InternalRow]
+    // cartesian walk over per-dim group values (cells ARE the cross product)
+    def emit(i: Int, vals: Array[Any], mult: Long): Unit =
+      if (i == groupDims.length) {
+        val lookup: Int => Any = d => vals(groupDims.indexOf(d))
+        val out = new Array[Any](groupDims.length + compiled.length)
+        var k = 0
+        while (k < groupDims.length) { out(k) = vals(k); k += 1 }
+        compiled.foreach { case (_, f, _) => out(k) = f((lookup, mult)); k += 1 }
+        rows += new GenericInternalRow(out)
+      } else
+        perDimGroups(i).foreach { case (v, m) =>
+          vals(i) = v
+          emit(i + 1, vals, mult * m)
+        }
+    if (groupDims.isEmpty) {
+      val out = new Array[Any](compiled.length)
+      var k = 0
+      compiled.foreach { case (_, f, _) => out(k) = f((_ => null, 1L)); k += 1 }
+      rows += new GenericInternalRow(out)
+    } else emit(0, new Array[Any](groupDims.length), 1L)
+    Some((schema, rows.result()))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    if (plannedAgg.isEmpty) plannedAgg = planAggregate(agg)
+    plannedAgg.isDefined
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (plannedAgg.isEmpty) plannedAgg = planAggregate(agg)
+    plannedAgg.isDefined
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
+  override def build(): Scan = plannedAgg match {
+    case Some((aggSchema, aggRows)) =>
+      new ZarrLocalAggScan(aggSchema, aggRows, meta.name)
+    case None => buildChunkScan()
+  }
+
+  private def buildChunkScan(): Scan = {
     // deferred dims: ship the coordinate array's OWN location+metadata to
     // executors instead of its values
     val deferredSpecs: Map[Int, DeferredCoordSpec] = coords.zipWithIndex.collect {
@@ -710,6 +908,25 @@ class ZarrScanBuilder(
           .map { case (n, m) => (n, store.arrayDir(m.name), m) }
     )
   }
+}
+
+/** Completely-pushed aggregate served from plan-time metadata: COUNT comes
+  * from kept-set cardinality products (grid cells are a cross product of
+  * kept indices), MIN/MAX from driver-resident coordinate values. Planned as
+  * a [[LocalScan]] — Spark turns it into a LocalTableScanExec: ZERO tasks,
+  * zero chunk opens. On a 100 TB store, `SELECT count(*) ... WHERE <pushed
+  * dim predicates>` costs exactly the metadata reads the planner already
+  * did. */
+final class ZarrLocalAggScan(
+    aggSchema: StructType,
+    aggRows: Array[InternalRow],
+    arrayName: String
+) extends LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def rows(): Array[InternalRow] = aggRows
+  override def description(): String =
+    s"ZarrAggregateScan($arrayName, metadata-only, groups=${aggRows.length}, " +
+      s"schema=${aggSchema.fieldNames.mkString(",")})"
 }
 
 /** Per-dimension run table: the sorted kept GLOBAL indices, grouped into

@@ -1,0 +1,136 @@
+package graft.sources.zarr
+
+import graft.SparkTester
+import graft.api.ZarrDataReader
+import graft.sources.Coord
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Aggregate pushdown: COUNT/MIN/MAX over dimension columns must resolve to
+  * a metadata-only LocalScan (zero tasks, zero chunk reads), and anything
+  * touching the value column or unsupported functions must fall back to the
+  * chunk scan — with identical results either way. */
+class ZarrAggPushdownSpec extends AnyFunSuite with SparkTester {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("zarragg").toString
+    val dir = ZarrStoreWriter.writeGroup(r)
+    ZarrStoreWriter.writeArray(
+      dir, "temperature", Vector(12, 10, 15), Vector(6, 5, 8), "<f4",
+      flat => 280.0f + (flat % 997) * 0.25f,
+      dims = Some(Vector("time", "lat", "lon"))
+    )
+    ZarrStoreWriter.writeCoord(dir, "time", Coord.Ints(Array.tabulate(12)(identity)))
+    ZarrStoreWriter.writeCoord(dir, "lat", Coord.Floats(Array.tabulate(10)(i => 30f + i)))
+    // no lon coordinate on purpose: positional (index) fallback
+    ZarrStoreWriter.consolidate(dir)
+    r
+  }
+
+  private def df: DataFrame = new ZarrDataReader(spark, root).readArray("temperature")
+
+  private def planOf(d: DataFrame): String = d.queryExecution.executedPlan.toString
+
+  private def assertMetadataOnly(d: DataFrame): Unit = {
+    val p = planOf(d)
+    assert(p.contains("LocalTableScan"), s"expected LocalTableScan, got:\n$p")
+    assert(!p.contains("BatchScan"), s"expected no BatchScan, got:\n$p")
+  }
+
+  test("global count(*) is answered from metadata") {
+    val q = df.agg(count("*").as("n"))
+    assertMetadataOnly(q)
+    assert(q.collect().head.getLong(0) == 12L * 10 * 15)
+  }
+
+  test("count(*) under pushed dim predicates uses the pruned kept sets") {
+    val q = df.filter(col("time") >= 2 && col("time") < 7 && col("lat") <= 33f)
+      .agg(count("*").as("n"))
+    assertMetadataOnly(q)
+    assert(q.collect().head.getLong(0) == 5L * 4 * 15)
+  }
+
+  test("min/max over dim columns (incl. positional index dim) push complete") {
+    val q = df.filter(col("time") >= 3)
+      .agg(min("time"), max("time"), min("lat"), max("lat"), min("lon"), max("lon"))
+    assertMetadataOnly(q)
+    val r = q.collect().head
+    assert(r.getInt(0) == 3 && r.getInt(1) == 11)
+    assert(r.getFloat(2) == 30f && r.getFloat(3) == 39f)
+    assert(r.getLong(4) == 0L && r.getLong(5) == 14L)
+  }
+
+  test("grouped count/min/max pushes complete and matches the chunk-scan answer") {
+    val q = df.groupBy("time").agg(count("*").as("n"), min("lat").as("lo"), max("lon").as("hi"))
+    assertMetadataOnly(q)
+    // oracle: a residual value predicate (true for every cell) blocks
+    // aggregate pushdown, forcing the real chunk-scan aggregation
+    val oracle = df.filter(col("value") > -1e9f)
+      .groupBy("time").agg(count("*").as("n"), min("lat").as("lo"), max("lon").as("hi"))
+    assert(planOf(oracle).contains("BatchScan"))
+    assert(q.orderBy("time").collect().toSeq == oracle.orderBy("time").collect().toSeq)
+  }
+
+  test("count(dim) and count(distinct dim) push complete") {
+    val q = df.filter(col("lat") < 35f).agg(count("time"), count_distinct(col("lat")))
+    assertMetadataOnly(q)
+    val r = q.collect().head
+    assert(r.getLong(0) == 12L * 5 * 15)
+    assert(r.getLong(1) == 5L)
+  }
+
+  test("aggregates over the value column fall back to the chunk scan") {
+    val q = df.agg(min("value"), count("*"))
+    assert(planOf(q).contains("BatchScan"))
+    val r = q.collect().head
+    assert(r.getLong(1) == 1800L)
+  }
+
+  test("empty pushed selection: count 0, min/max null, grouped empty") {
+    val q = df.filter(col("time") > 100).agg(count("*"), min("lat"))
+    assertMetadataOnly(q)
+    val r = q.collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+    val g = df.filter(col("time") > 100).groupBy("lat").agg(count("*"))
+    assertMetadataOnly(g)
+    assert(g.collect().isEmpty)
+  }
+
+  test("duplicate coordinate values merge into one SQL group") {
+    val r2 = Files.createTempDirectory("zarraggdup").toString
+    val dir = ZarrStoreWriter.writeGroup(r2)
+    ZarrStoreWriter.writeArray(
+      dir, "v", Vector(6, 4), Vector(3, 2), "<f8",
+      flat => flat.toDouble,
+      dims = Some(Vector("day", "site"))
+    )
+    // day axis repeats: [0,0,1,1,2,2]
+    ZarrStoreWriter.writeCoord(dir, "day", Coord.Ints(Array(0, 0, 1, 1, 2, 2)))
+    ZarrStoreWriter.consolidate(dir)
+    val d = new ZarrDataReader(spark, r2).readArray("v")
+    val q = d.groupBy("day").agg(count("*").as("n"))
+    assertMetadataOnly(q)
+    val rows = q.orderBy("day").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0, 8L), (1, 8L), (2, 8L)))
+  }
+
+  test("grouped count-distinct with isin predicate pushes complete (q39 shape)") {
+    val q = df.filter(col("time") >= 2 && col("time") < 9 && col("lat").isin(30f, 32f, 35f))
+      .groupBy("time")
+      .agg(count("*").as("n"), min("lat"), max("lat"), count_distinct(col("lat")).as("nl"))
+    assertMetadataOnly(q)
+    val rows = q.orderBy("time").collect()
+    assert(rows.length == 7)
+    assert(rows.forall(r => r.getLong(1) == 3L * 15 && r.getFloat(2) == 30f && r.getFloat(3) == 35f && r.getLong(4) == 3L))
+  }
+
+  test("LIMIT pushed first refuses aggregate pushdown") {
+    // limit under an aggregate does not normally reach the scan, but guard
+    // the builder contract directly: a limited scan still answers correctly
+    val q = df.limit(10).agg(count("*"))
+    assert(q.collect().head.getLong(0) == 10L)
+  }
+}
