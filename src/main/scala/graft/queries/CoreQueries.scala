@@ -909,8 +909,46 @@ object CoreQueries {
              |CAST(0 AS INTEGER) AS x_min, CAST(9 AS INTEGER) AS x_max, CAST(4 AS BIGINT) AS nx
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(2, 9)) t
              |ORDER BY t""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Chunk-statistics (zone-map) pruning under the gate: the sink records
+    // per-chunk [min, max]; a value predicate then skips chunks that cannot
+    // match (ZarrChunkStatsSpec pins partition counts; this pins VALUES).
+    // value = i*37 % 500 over i (200, chunks 25): only some chunks contain
+    // cells > 460, the rest are never opened.
+    Q(
+      "q40_zarr_stats_prune",
+      (s, _) => {
+        val root = CoreQueries.q40Store(s)
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("v")
+          .filter(col("value") > 460L)
+          .orderBy("i")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS i, CAST(t.i * 37 % 500 AS BIGINT) AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 200)) t
+             |WHERE t.i * 37 % 500 > 460
+             |ORDER BY i""".stripMargin)
     )
   )
+
+  /** Build the q40 store once per JVM: the product sink writing i8 values
+    * with chunk statistics on (the default) over i (200, chunks 25). */
+  private[queries] def q40Store(s: SparkSession): String = synchronized {
+    val root = FixtureCache.root("q40")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      s.range(0, 200)
+        .select(col("id").cast("int").as("i"), (col("id") * 37 % 500).as("value"))
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("chunks", "25").option("compressor", "zlib")
+        .mode("append").save()
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
 
   /** Build the q38 aligned store once per JVM: temp <f8 and hum <f4 on one
     * (12,10) grid, chunks (4,5); hum's chunk (1,0) is withheld so cells

@@ -1,0 +1,282 @@
+package graft.sources.zarr
+
+import org.apache.spark.sql.sources._
+
+/** Per-chunk value statistics — the zarr analog of parquet column zone maps.
+  *
+  * The product sink records `[min, max]` of every DATA chunk it writes into
+  * the array attributes (key [[ZarrChunkStats.AttrKey]]); the scan uses them
+  * to skip chunks that cannot satisfy a value predicate — without opening,
+  * let alone decompressing, the chunk. The reference has no analog (its
+  * engine filters after materialization); at 100 TB this is the difference
+  * between decompressing every chunk and touching only the matching slice.
+  *
+  * Soundness contract:
+  *  - bounds cover EVERY readable cell of a written chunk (fill-valued
+  *    sparse cells and ragged-edge padding included — padding only widens);
+  *  - a chunk with a `null` bounds entry was written but holds no
+  *    comparable (non-null) cell — no comparison predicate can match it;
+  *  - a chunk ABSENT from the map was never written: every cell reads as
+  *    the array fill value, evaluated pointwise;
+  *  - NaN orders greatest and -0.0 is normalized to 0.0, matching Spark's
+  *    comparison semantics exactly;
+  *  - datetime64/timedelta64 bounds are stored in MICROS after the same
+  *    unit conversion the read path applies (ZDtype.m8Micros), so they
+  *    compare directly against Spark timestamp/interval literals.
+  *
+  * The stats doc embeds the chunk-grid size (`n`) and value domain; a doc
+  * that does not match the array's current grid or dtype is ignored. Like
+  * the shard-index cache, stats assume the zarr convention of
+  * immutable-by-key objects (documented at the API surface): an external
+  * writer mutating chunks in place without refreshing attributes voids
+  * them.
+  */
+object ZarrChunkStats {
+
+  val AttrKey = "graft:chunk_stats"
+
+  /** Value domain of a dtype for stats purposes: Some(true) = exact Long
+    * bounds, Some(false) = Double bounds, None = unsupported (strings,
+    * complex, structured, uint64). */
+  def domainFor(dt: ZDtype): Option[Boolean] = dt.code match {
+    case ZDtype.BOOL | ZDtype.I1 | ZDtype.U1 | ZDtype.I2 | ZDtype.U2 | ZDtype.I4 | ZDtype.U4 |
+        ZDtype.I8 | ZDtype.M8 | ZDtype.TD =>
+      Some(true)
+    case ZDtype.F2 | ZDtype.F4 | ZDtype.F8 => Some(false)
+    case _ => None
+  }
+
+  /** -0.0 -> 0.0 (Spark treats them equal; java compare does not). */
+  def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+
+  /** Per-chunk bounds keyed by C-order linear chunk ordinal over the FULL
+    * chunk grid. `None` bounds = written chunk with no comparable cell. */
+  final case class Doc(
+      intDomain: Boolean,
+      nChunks: Long,
+      boundsI: Map[Long, Option[(Long, Long)]],
+      boundsF: Map[Long, Option[(Double, Double)]]
+  ) extends Serializable
+
+  private def jsonNumF(d: Double): String =
+    if (d.isNaN) "\"NaN\""
+    else if (d == Double.PositiveInfinity) "\"Infinity\""
+    else if (d == Double.NegativeInfinity) "\"-Infinity\""
+    else d.toString
+
+  def toJson(doc: Doc): String = {
+    val entries =
+      if (doc.intDomain)
+        doc.boundsI.toSeq.sortBy(_._1).map {
+          case (k, Some((lo, hi))) => s""""$k": [$lo, $hi]"""
+          case (k, None) => s""""$k": null"""
+        }
+      else
+        doc.boundsF.toSeq.sortBy(_._1).map {
+          case (k, Some((lo, hi))) => s""""$k": [${jsonNumF(lo)}, ${jsonNumF(hi)}]"""
+          case (k, None) => s""""$k": null"""
+        }
+    s"""{"domain": "${if (doc.intDomain) "int" else "float"}", "n": ${doc.nChunks}, """ +
+      s""""chunks": {${entries.mkString(", ")}}}"""
+  }
+
+  /** Parse the attrs JSON; None on anything malformed (stats are an
+    * optimization — never fail a scan over them). */
+  def parse(raw: String): Option[Doc] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(raw)
+      val intDomain = (j \ "domain") match {
+        case JString("int") => true
+        case JString("float") => false
+        case _ => return None
+      }
+      val n = (j \ "n") match {
+        case JInt(v) => v.toLong
+        case JLong(v) => v
+        case _ => return None
+      }
+      def numD(v: JValue): Option[Double] = v match {
+        case JDouble(d) => Some(d)
+        case JInt(i) => Some(i.toDouble)
+        case JLong(l) => Some(l.toDouble)
+        case JDecimal(d) => Some(d.toDouble)
+        case JString("NaN") => Some(Double.NaN)
+        case JString("Infinity") => Some(Double.PositiveInfinity)
+        case JString("-Infinity") => Some(Double.NegativeInfinity)
+        case _ => None
+      }
+      def numL(v: JValue): Option[Long] = v match {
+        case JInt(i) => Some(i.toLong)
+        case JLong(l) => Some(l)
+        case _ => None
+      }
+      val chunkFields = (j \ "chunks") match {
+        case JObject(fields) => fields
+        case _ => return None
+      }
+      if (intDomain) {
+        val m = chunkFields.map {
+          case (k, JNull) => k.toLong -> None
+          case (k, JArray(List(lo, hi))) =>
+            k.toLong -> Some((numL(lo).getOrElse(return None), numL(hi).getOrElse(return None)))
+          case _ => return None
+        }.toMap
+        Some(Doc(intDomain = true, n, m, Map.empty))
+      } else {
+        val m = chunkFields.map {
+          case (k, JNull) => k.toLong -> None
+          case (k, JArray(List(lo, hi))) =>
+            k.toLong -> Some((numD(lo).getOrElse(return None), numD(hi).getOrElse(return None)))
+          case _ => return None
+        }.toMap
+        Some(Doc(intDomain = false, n, Map.empty, m))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---- interval predicates -------------------------------------------
+
+  /** Can-any-cell-match predicate over a [lo, hi] interval; exact on a
+    * degenerate [v, v] point (used for fill evaluation). Conjunction is
+    * per-interval conservative (sound: if one conjunct cannot match any
+    * cell in the interval, no cell matches the conjunction). */
+  sealed trait Pred[T] extends Serializable
+  object Pred {
+    final case class Gt[T](v: T) extends Pred[T]
+    final case class Ge[T](v: T) extends Pred[T]
+    final case class Lt[T](v: T) extends Pred[T]
+    final case class Le[T](v: T) extends Pred[T]
+    final case class Eq[T](v: T) extends Pred[T]
+    final case class InSet[T](vs: Vector[T]) extends Pred[T]
+    final case class Or[T](a: Pred[T], b: Pred[T]) extends Pred[T]
+    final case class And[T](a: Pred[T], b: Pred[T]) extends Pred[T]
+
+    def canMatch[T](p: Pred[T], lo: T, hi: T)(implicit o: Ordering[T]): Boolean = p match {
+      case Gt(v) => o.gt(hi, v)
+      case Ge(v) => o.gteq(hi, v)
+      case Lt(v) => o.lt(lo, v)
+      case Le(v) => o.lteq(lo, v)
+      case Eq(v) => o.lteq(lo, v) && o.lteq(v, hi)
+      case InSet(vs) => vs.exists(v => o.lteq(lo, v) && o.lteq(v, hi))
+      case Or(a, b) => canMatch(a, lo, hi) || canMatch(b, lo, hi)
+      case And(a, b) => canMatch(a, lo, hi) && canMatch(b, lo, hi)
+    }
+  }
+
+  /** Translate a Spark source Filter over `colName` into an interval
+    * predicate; `conv` maps the literal into the stats domain (None =
+    * untranslatable, the filter is simply not used for pruning). */
+  def translate[T](f: Filter, colName: String, conv: Any => Option[T]): Option[Pred[T]] = f match {
+    case GreaterThan(a, v) if a == colName => conv(v).map(Pred.Gt(_))
+    case GreaterThanOrEqual(a, v) if a == colName => conv(v).map(Pred.Ge(_))
+    case LessThan(a, v) if a == colName => conv(v).map(Pred.Lt(_))
+    case LessThanOrEqual(a, v) if a == colName => conv(v).map(Pred.Le(_))
+    case EqualTo(a, v) if a == colName => conv(v).map(Pred.Eq(_))
+    case In(a, vs) if a == colName =>
+      val cs = vs.toVector.map(conv)
+      if (cs.forall(_.isDefined)) Some(Pred.InSet(cs.flatten)) else None
+    case And(l, r) =>
+      (translate(l, colName, conv), translate(r, colName, conv)) match {
+        case (Some(a), Some(b)) => Some(Pred.And(a, b))
+        case _ => None
+      }
+    case Or(l, r) =>
+      (translate(l, colName, conv), translate(r, colName, conv)) match {
+        case (Some(a), Some(b)) => Some(Pred.Or(a, b))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Literal -> Long stats domain (exact; timestamps/intervals as micros —
+    * the same representation the stats were written in). */
+  def convLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case b: Boolean => Some(if (b) 1L else 0L)
+    case t: java.sql.Timestamp => Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case t: java.time.Instant => Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case d: java.time.Duration => Some(d.getSeconds * 1000000L + d.getNano / 1000L)
+    case _ => None
+  }
+
+  /** Literal -> Double stats domain (float value columns: literals arrive
+    * already in the column's type, so widening is exact). */
+  def convDouble(v: Any): Option[Double] = v match {
+    case f: Float => Some(norm(f.toDouble))
+    case d: Double => Some(norm(d))
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case s: Short => Some(s.toDouble)
+    case b: Byte => Some(b.toDouble)
+    case _ => None
+  }
+
+  // ---- the executor-shippable pruner ---------------------------------
+
+  /** Decide chunk skips from stats + predicates. `gridDims` is the full
+    * chunk-grid extent per dim (C-order strides derived from it); `fill*`
+    * is the array fill in the stats domain (None = null fill). Bounded:
+    * the doc is only written for grids <= 65536 chunks (~2 MB ceiling in
+    * the task binary, same order as an eager coordinate axis). */
+  sealed trait Pruner extends Serializable {
+    def skip(chunkIdx: Array[Int]): Boolean
+    def describe: String
+    protected def ordinalOf(chunkIdx: Array[Int], gridStrides: Array[Long]): Long = {
+      var o = 0L
+      var d = 0
+      while (d < chunkIdx.length) { o += chunkIdx(d) * gridStrides(d); d += 1 }
+      o
+    }
+  }
+
+  final case class LongPruner(
+      preds: Vector[Pred[Long]],
+      bounds: Map[Long, Option[(Long, Long)]],
+      fill: Option[Long],
+      gridStrides: Array[Long],
+      desc: String
+  ) extends Pruner {
+    def skip(chunkIdx: Array[Int]): Boolean = {
+      val ord = ordinalOf(chunkIdx, gridStrides)
+      bounds.get(ord) match {
+        case Some(Some((lo, hi))) => preds.exists(p => !Pred.canMatch(p, lo, hi))
+        case Some(None) => true // written, but every cell is null
+        case None => // never written: all cells are the fill value
+          fill match {
+            case Some(f) => preds.exists(p => !Pred.canMatch(p, f, f))
+            case None => true // null fill: no comparison matches
+          }
+      }
+    }
+    def describe: String = desc
+  }
+
+  /** NaN-greatest total order (java compare), matching Spark. */
+  private implicit val doubleTotal: Ordering[Double] = Ordering.Double.TotalOrdering
+
+  final case class DoublePruner(
+      preds: Vector[Pred[Double]],
+      bounds: Map[Long, Option[(Double, Double)]],
+      fill: Option[Double],
+      gridStrides: Array[Long],
+      desc: String
+  ) extends Pruner {
+    def skip(chunkIdx: Array[Int]): Boolean = {
+      val ord = ordinalOf(chunkIdx, gridStrides)
+      bounds.get(ord) match {
+        case Some(Some((lo, hi))) => preds.exists(p => !Pred.canMatch(p, lo, hi))
+        case Some(None) => true
+        case None =>
+          fill match {
+            case Some(f) => preds.exists(p => !Pred.canMatch(p, f, f))
+            case None => true
+          }
+      }
+    }
+    def describe: String = desc
+  }
+}

@@ -257,6 +257,28 @@ class ZarrScanBuilder(
   private var pushedLimit: Option[Int] = None
   private var plannedAgg: Option[(StructType, Array[InternalRow])] = None
 
+  // ---- chunk-statistics (zone-map) pruning state. The stats doc is only
+  // honored when its chunk-grid size and value domain match the array as
+  // it stands now (a rewritten array with stale attrs is ignored, never
+  // wrong). Aligned multi-array scans skip stats for now — per-column
+  // pruning is a follow-on.
+  private def statsValueCol: String = valueCols.headOption.map(_._1).getOrElse("value")
+  private lazy val statsGeom: Option[(ZarrChunkStats.Doc, Array[Long])] =
+    if (valueCols.size > 1) None // aligned multi-array: per-column pruning is a follow-on
+    else
+      meta.attrs.get(ZarrChunkStats.AttrKey).flatMap(ZarrChunkStats.parse).flatMap { doc =>
+        val nChunksVec = meta.shape.indices
+          .map(d => (meta.shape(d) + meta.chunks(d) - 1) / meta.chunks(d))
+          .toVector
+        val total = nChunksVec.map(_.toLong).product
+        if (doc.nChunks == total && ZarrChunkStats.domainFor(meta.zdtype).contains(doc.intDomain))
+          Some((doc, IndexMath.strides(nChunksVec)))
+        else None
+      }
+  private var statsPredsL: Vector[ZarrChunkStats.Pred[Long]] = Vector.empty
+  private var statsPredsD: Vector[ZarrChunkStats.Pred[Double]] = Vector.empty
+  private var statsPredDescs: Vector[String] = Vector.empty
+
   /** Cap on an Explicit kept-set built by pushdown: beyond this the pruned
     * set would itself be a driver-memory liability, so the filter is left
     * residual (Spark re-applies it after the scan — correct either way). A
@@ -683,7 +705,63 @@ class ZarrScanBuilder(
       }
     }
     accepted = filters.diff(residual)
+    // value-column predicates stay residual (pruning is chunk-granular, so
+    // Spark must still evaluate them per row) but additionally feed the
+    // zone-map pruner when the store carries chunk stats
+    statsGeom.foreach { case (doc, _) =>
+      residual.foreach { f =>
+        if (doc.intDomain)
+          ZarrChunkStats.translate(f, statsValueCol, ZarrChunkStats.convLong).foreach { p =>
+            statsPredsL :+= p
+            statsPredDescs :+= f.toString
+          }
+        else
+          ZarrChunkStats.translate(f, statsValueCol, ZarrChunkStats.convDouble).foreach { p =>
+            statsPredsD :+= p
+            statsPredDescs :+= f.toString
+          }
+      }
+    }
     residual
+  }
+
+  /** Array fill in the Long stats domain: Right(None) = null fill (an
+    * unwritten chunk can never match a comparison), Right(Some(v)) = a
+    * concrete fill cell value, Left(()) = un-mappable — disable pruning
+    * rather than guess. */
+  private def statsFillLong: Either[Unit, Option[Long]] = meta.fillValue match {
+    case None => Right(None)
+    case Some(fv) if fv.isNaN => Right(None) // NaT -> null cells
+    case Some(fv) =>
+      meta.zdtype.code match {
+        case ZDtype.M8 | ZDtype.TD =>
+          Right(Some(fv.toLong * meta.zdtype.m8Num / meta.zdtype.m8Den))
+        case _ if fv.isWhole => Right(Some(fv.toLong))
+        case _ => Left(())
+      }
+  }
+
+  private def buildStatsPruner(): Option[ZarrChunkStats.Pruner] = statsGeom.flatMap {
+    case (doc, strides) =>
+      val desc = statsPredDescs.mkString("[", ", ", "]")
+      if (doc.intDomain && statsPredsL.nonEmpty)
+        statsFillLong match {
+          case Right(f) => Some(ZarrChunkStats.LongPruner(statsPredsL, doc.boundsI, f, strides, desc))
+          case Left(_) => None
+        }
+      else if (!doc.intDomain && statsPredsD.nonEmpty)
+        // float fill: NaN is a real cell value (orders greatest); an absent
+        // fill means unwritten chunks read as null
+        Some(
+          ZarrChunkStats.DoublePruner(
+            statsPredsD,
+            doc.boundsF,
+            meta.fillValue.map(ZarrChunkStats.norm),
+            strides,
+            desc
+          )
+        )
+      else None
   }
 
   override def pushedFilters(): Array[Filter] = accepted
@@ -758,6 +836,117 @@ class ZarrScanBuilder(
     * past this the grouped result belongs in executors, not the plan. */
   private val maxAggGroups = 1 << 16
 
+  /** True iff the current selection covers every cell of the array — the
+    * precondition for answering VALUE aggregates from chunk stats (a chunk's
+    * [min, max] bounds all its cells, but a kept SUBSET of a chunk has no
+    * exact bounds). */
+  private def fullSelection: Boolean =
+    keep.indices.forall(d => keep(d) == KeptSet.Range(0, meta.shape(d)))
+
+  /** Exact global MIN/MAX of the value column from chunk stats: per-chunk
+    * bounds are exact (computed from the written bytes), so over a FULL
+    * selection the global extremum is the extremum of chunk bounds plus the
+    * fill value if any chunk was never written. `SELECT min(value) FROM
+    * <100 TB array>` costs zero chunk reads. */
+  private def valueMinMaxFromStats(
+      wantMin: Boolean
+  ): Option[(StructField, ((Int => Any, Long)) => Any, Any)] = statsGeom.flatMap { case (doc, _) =>
+    if (!fullSelection) None
+    else {
+      val anyMissing =
+        (if (doc.intDomain) doc.boundsI.size else doc.boundsF.size) < doc.nChunks
+      val vt = fullSchema(statsValueCol).dataType
+      val name = if (wantMin) s"min($statsValueCol)" else s"max($statsValueCol)"
+      if (doc.intDomain) {
+        val fillC: Option[Long] =
+          if (!anyMissing) None
+          else
+            statsFillLong match {
+              case Right(f) => f // None = null fill: contributes nothing
+              case Left(_) => return None // un-mappable fill: refuse
+            }
+        val cands = doc.boundsI.values.flatten.map(b => if (wantMin) b._1 else b._2) ++ fillC
+        val res: Any =
+          if (cands.isEmpty) null
+          else internalOfLong(if (wantMin) cands.min else cands.max, vt)
+        Some((StructField(name, vt, nullable = true), (_: (Int => Any, Long)) => res, null))
+      } else {
+        val fillC: Option[Double] =
+          if (!anyMissing) None
+          else meta.fillValue.map(ZarrChunkStats.norm) // None = null fill
+        val cands = doc.boundsF.values.flatten.map(b => if (wantMin) b._1 else b._2) ++ fillC
+        val res: Any =
+          if (cands.isEmpty) null
+          else {
+            val v =
+              if (wantMin) cands.min(Ordering.Double.TotalOrdering)
+              else cands.max(Ordering.Double.TotalOrdering)
+            vt match {
+              case FloatType => v.toFloat
+              case _ => v
+            }
+          }
+        Some((StructField(name, vt, nullable = true), (_: (Int => Any, Long)) => res, null))
+      }
+    }
+  }
+
+  /** Long stats-domain value -> the column's Spark-internal representation. */
+  private def internalOfLong(l: Long, vt: DataType): Any = vt match {
+    case BooleanType => l != 0L
+    case ByteType => l.toByte
+    case ShortType => l.toShort
+    case IntegerType => l.toInt
+    case _ => l // LongType, TimestampType (micros), DayTimeIntervalType (micros)
+  }
+
+  /** Exact COUNT(value) (non-null count) from stats geometry: cells are
+    * null only when an unwritten chunk has a null fill (M8/TD excluded —
+    * written NaT cells are null and stats cannot count them). */
+  private def valueCountFromStats(): Option[Long] = statsGeom.flatMap { case (doc, _) =>
+    val code = meta.zdtype.code
+    if (!fullSelection || code == ZDtype.M8 || code == ZDtype.TD) None
+    else {
+      val total = keep.map(_.length.toLong).product
+      val fillIsNull =
+        if (doc.intDomain) statsFillLong match {
+          case Right(None) => true
+          case Right(Some(_)) => false
+          case Left(_) => return None
+        }
+        else meta.fillValue.isEmpty
+      val written = if (doc.intDomain) doc.boundsI.keySet else doc.boundsF.keySet
+      if (!fillIsNull || written.size.toLong == doc.nChunks) Some(total)
+      else {
+        // subtract the cells of never-written (null-fill) chunks, ragged
+        // edges respected; grid is bounded (stats exist => <= 65536 chunks)
+        val rank = meta.rank
+        val nChunksVec = meta.shape.indices
+          .map(d => (meta.shape(d) + meta.chunks(d) - 1) / meta.chunks(d))
+          .toVector
+        var missingCells = 0L
+        var ord = 0L
+        val cid = new Array[Int](rank)
+        while (ord < doc.nChunks) {
+          if (!written.contains(ord)) {
+            var rem = ord
+            var d = rank - 1
+            while (d >= 0) { cid(d) = (rem % nChunksVec(d)).toInt; rem /= nChunksVec(d); d -= 1 }
+            var cells = 1L
+            d = 0
+            while (d < rank) {
+              cells *= math.min(meta.chunks(d).toLong, meta.shape(d).toLong - cid(d).toLong * meta.chunks(d))
+              d += 1
+            }
+            missingCells += cells
+          }
+          ord += 1
+        }
+        Some(total - missingCells)
+      }
+    }
+  }
+
   /** Plan a complete aggregate pushdown, or None when any piece needs chunk
     * data (value column, deferred axis, unsupported function). */
   private def planAggregate(agg: Aggregation): Option[(StructType, Array[InternalRow])] = {
@@ -790,17 +979,24 @@ class ZarrScanBuilder(
         val f: GroupCtx => Any = { case (_, mult) => mult * others }
         (StructField("count(*)", LongType, nullable = false), f, 0L)
       case c: Count if !c.isDistinct =>
-        val d = singleField(c.column).flatMap(eagerDim).getOrElse(return None)
-        if (groupSet.contains(d)) {
-          val others = prodExcept(groupSet)
-          val f: GroupCtx => Any = { case (gv, mult) => if (gv(d) == null) 0L else mult * others }
-          (StructField(s"count(${meta.dims(d)})", LongType, nullable = false), f, 0L)
-        } else {
-          val factor =
-            if (dimNullable(d)) nonNullKeptCount(d) * prodExcept(groupSet + d)
-            else prodExcept(groupSet)
-          val f: GroupCtx => Any = { case (_, mult) => mult * factor }
-          (StructField(s"count(${meta.dims(d)})", LongType, nullable = false), f, 0L)
+        singleField(c.column) match {
+          case Some(cn) if eagerDim(cn).isDefined =>
+            val d = eagerDim(cn).get
+            if (groupSet.contains(d)) {
+              val others = prodExcept(groupSet)
+              val f: GroupCtx => Any = { case (gv, mult) => if (gv(d) == null) 0L else mult * others }
+              (StructField(s"count(${meta.dims(d)})", LongType, nullable = false), f, 0L)
+            } else {
+              val factor =
+                if (dimNullable(d)) nonNullKeptCount(d) * prodExcept(groupSet + d)
+                else prodExcept(groupSet)
+              val f: GroupCtx => Any = { case (_, mult) => mult * factor }
+              (StructField(s"count(${meta.dims(d)})", LongType, nullable = false), f, 0L)
+            }
+          case Some(cn) if cn == statsValueCol && groupDims.isEmpty =>
+            val n = valueCountFromStats().getOrElse(return None)
+            (StructField(s"count($statsValueCol)", LongType, nullable = false), (_: GroupCtx) => n, 0L)
+          case _ => return None
         }
       case c: Count if c.isDistinct =>
         val d = singleField(c.column).flatMap(eagerDim).getOrElse(return None)
@@ -813,17 +1009,29 @@ class ZarrScanBuilder(
           (StructField(s"count(DISTINCT ${meta.dims(d)})", LongType, nullable = false), f, 0L)
         }
       case m: Min =>
-        val d = singleField(m.column).flatMap(eagerDim).getOrElse(return None)
-        val f: GroupCtx => Any =
-          if (groupSet.contains(d)) { case (gv, _) => gv(d) }
-          else { val v = keptMinMax(d, wantMin = true); _ => v }
-        (StructField(s"min(${meta.dims(d)})", coords(d).dataType, nullable = true), f, null)
+        singleField(m.column) match {
+          case Some(c) if eagerDim(c).isDefined =>
+            val d = eagerDim(c).get
+            val f: GroupCtx => Any =
+              if (groupSet.contains(d)) { case (gv, _) => gv(d) }
+              else { val v = keptMinMax(d, wantMin = true); _ => v }
+            (StructField(s"min(${meta.dims(d)})", coords(d).dataType, nullable = true), f, null)
+          case Some(c) if c == statsValueCol && groupDims.isEmpty =>
+            valueMinMaxFromStats(wantMin = true).getOrElse(return None)
+          case _ => return None
+        }
       case m: Max =>
-        val d = singleField(m.column).flatMap(eagerDim).getOrElse(return None)
-        val f: GroupCtx => Any =
-          if (groupSet.contains(d)) { case (gv, _) => gv(d) }
-          else { val v = keptMinMax(d, wantMin = false); _ => v }
-        (StructField(s"max(${meta.dims(d)})", coords(d).dataType, nullable = true), f, null)
+        singleField(m.column) match {
+          case Some(c) if eagerDim(c).isDefined =>
+            val d = eagerDim(c).get
+            val f: GroupCtx => Any =
+              if (groupSet.contains(d)) { case (gv, _) => gv(d) }
+              else { val v = keptMinMax(d, wantMin = false); _ => v }
+            (StructField(s"max(${meta.dims(d)})", coords(d).dataType, nullable = true), f, null)
+          case Some(c) if c == statsValueCol && groupDims.isEmpty =>
+            valueMinMaxFromStats(wantMin = false).getOrElse(return None)
+          case _ => return None
+        }
       case _ => return None
     }
     // distinct kept values per group dim, first-kept order, with multiplicity
@@ -905,7 +1113,8 @@ class ZarrScanBuilder(
       deferredSpecs,
       valueColumns =
         (if (valueCols.isEmpty) Seq("value" -> meta) else valueCols)
-          .map { case (n, m) => (n, store.arrayDir(m.name), m) }
+          .map { case (n, m) => (n, store.arrayDir(m.name), m) },
+      pruner = buildStatsPruner()
     )
   }
 }
@@ -1048,6 +1257,20 @@ final class CoordChunkCursor(spec: DeferredCoordSpec, storageOptions: Map[String
   * (last dim fastest) — two longs, independent of chunk count. */
 final case class ZarrInputPartition(start: Long, end: Long) extends InputPartition
 
+/** Mutable snapshot of the scan's run tables, shared between the scan and
+  * its reader factory. BatchScanExec creates the reader factory at PHYSICAL
+  * PLANNING time (its columnar-support probe forces it) — BEFORE runtime
+  * filtering narrows the kept sets — so a factory that captured run tables
+  * by value would read the pre-refinement chunk grid against post-
+  * refinement partition ordinals (wrong rows). The factory captures this
+  * holder instead: runtime refinement updates it on the driver, and task
+  * serialization (which happens after filtering) snapshots the refined
+  * state for executors. */
+final class ScanRunsState(
+    @volatile var dimRuns: Vector[DimRuns],
+    @volatile var keptCoords: Map[Int, Coord]
+) extends Serializable
+
 class ZarrScan(
     arrayDir: String,
     meta: ZarrArrayMeta,
@@ -1061,9 +1284,14 @@ class ZarrScan(
     // (output column, array dir, array meta) per value column — one entry
     // named "value" for single-array scans, one per array for ALIGNED
     // multi-array scans (identical dims/shape/chunks, validated upstream)
-    valueColumns: Seq[(String, String, ZarrArrayMeta)] = Nil
+    valueColumns: Seq[(String, String, ZarrArrayMeta)] = Nil,
+    // chunk-statistics (zone-map) pruner for value predicates — consulted
+    // identically by the partition planner and every reader, so partition
+    // ranges may safely cover pruned ordinals
+    pruner: Option[ZarrChunkStats.Pruner] = None
 ) extends Scan
-    with Batch {
+    with Batch
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
 
@@ -1071,14 +1299,130 @@ class ZarrScan(
 
   override def description(): String =
     s"ZarrScan(${if (multi) valueColumns.map(_._1).mkString("+") else meta.name}, " +
-      s"cells=${sel.keep.map(_.length.toLong).product}" +
+      s"cells=${curKeep.map(_.length.toLong).product}" +
       limitCells.map(n => s", limit=$n").getOrElse("") +
+      pruner.map(p => s", statsPruned=${p.describe}").getOrElse("") +
       s", schema=${required.fieldNames.mkString(",")})"
 
   override def toBatch: Batch = this
 
-  private[zarr] lazy val dimRuns: Vector[DimRuns] =
-    sel.keep.zipWithIndex.map { case (ks, d) => DimRuns.fromKeptSet(ks, meta.chunks(d)) }
+  // ---- runtime filtering (the DPP analog): a broadcast equi-join against
+  // a dim column hands the scan the join side's key set at EXECUTION time;
+  // kept-index sets narrow before partitions are planned, so chunks with no
+  // surviving key are never opened. Refinement is a pure optimization — the
+  // join re-applies the predicate — so any non-representable case safely
+  // declines. State: `curKeep` replaces the constructor keep and the two
+  // derived caches invalidate on refinement (Spark re-plans partitions
+  // after calling filter()).
+  private var curKeep: Vector[KeptSet] = sel.keep
+  private var dimRunsCache: Vector[DimRuns] = null
+  private var keptCoordsCache: Map[Int, Coord] = null
+
+  /** Cap on a runtime-refined explicit kept set — mirrors the builder's
+    * pushdown cap; past it the refinement is skipped, not wrong. */
+  private val maxRuntimeKept = 1 << 22
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    sel.outDims.collect {
+      case d if !coords(d).isInstanceOf[Coord.Deferred] =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(meta.dims(d))
+    }.toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    filters.foreach {
+      case In(attr, values) =>
+        val d = meta.dims.indexOf(attr)
+        if (d >= 0 && sel.outDims.contains(d)) refineRuntime(d, values)
+      case EqualTo(attr, value) =>
+        val d = meta.dims.indexOf(attr)
+        if (d >= 0 && sel.outDims.contains(d)) refineRuntime(d, Array(value))
+      case _ => () // anything else: decline, the join re-applies it
+    }
+    syncedState() // the already-created reader factory sees the refinement
+  }
+
+  /** Narrow dim d's kept set to indices whose coordinate value is in the
+    * runtime key set. Eager/index coords only; bounded work (eager axes are
+    * bounded by the deferral threshold, index dims by the key-set size). */
+  private def refineRuntime(d: Int, values: Array[Any]): Unit = {
+    val ks = curKeep(d)
+    val survivors: Option[Array[Int]] = coords(d) match {
+      case Coord.Index(_) =>
+        // map key values straight to indices: intersect with the kept set
+        val wanted = values.flatMap {
+          case l: Long => Some(l)
+          case i: Int => Some(i.toLong)
+          case _ => None
+        }.toSet
+        if (wanted.size < values.length) None // unconvertible key: decline
+        else {
+          val b = Array.newBuilder[Int]
+          var i = 0
+          val n = ks.length
+          while (i < n) { val g = ks(i); if (wanted.contains(g.toLong)) b += g; i += 1 }
+          Some(b.result())
+        }
+      case Coord.Deferred(_, _) => None
+      case c =>
+        val set = new java.util.HashSet[Any]()
+        var convertible = true
+        values.foreach { v =>
+          runtimeKey(c, v) match {
+            case Some(k) => set.add(k)
+            case None => convertible = false
+          }
+        }
+        if (!convertible) None
+        else {
+          val b = Array.newBuilder[Int]
+          var i = 0
+          val n = ks.length
+          var count = 0
+          while (i < n && count <= maxRuntimeKept) {
+            val g = ks(i)
+            if (set.contains(c(g))) { b += g; count += 1 }
+            i += 1
+          }
+          if (count > maxRuntimeKept) None else Some(b.result())
+        }
+    }
+    survivors.foreach { idx =>
+      curKeep = curKeep.updated(d, KeptSet.fromIndices(idx))
+      dimRunsCache = null
+      keptCoordsCache = null
+    }
+  }
+
+  /** External join-key literal -> the coord's internal value domain. */
+  private def runtimeKey(c: Coord, v: Any): Option[Any] = (c, v) match {
+    case (_: Coord.Ints, i: Int) => Some(i)
+    case (_: Coord.Longs, l: Long) => Some(l)
+    case (_: Coord.Floats, f: Float) => Some(f)
+    case (_: Coord.Doubles, d: Double) => Some(d)
+    case (_: Coord.Strings, s: String) =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    case (_: Coord.Strings, u: org.apache.spark.unsafe.types.UTF8String) => Some(u)
+    case (_: Coord.Timestamps, t: java.sql.Timestamp) =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case (_: Coord.Timestamps, t: java.time.Instant) =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case (_: Coord.Intervals, d: java.time.Duration) =>
+      Some(d.getSeconds * 1000000L + d.getNano / 1000L)
+    case _ => None
+  }
+
+  private[zarr] def dimRuns: Vector[DimRuns] = {
+    if (dimRunsCache == null)
+      dimRunsCache = curKeep.zipWithIndex.map { case (ks, d) => DimRuns.fromKeptSet(ks, meta.chunks(d)) }
+    dimRunsCache
+  }
+
+  private val runsState = new ScanRunsState(null, null)
+  private def syncedState(): ScanRunsState = {
+    runsState.dimRuns = dimRuns
+    runsState.keptCoords = keptCoords
+    runsState
+  }
 
   /** Kept-aligned TYPED coordinate values — EAGER (short-dim) coords only;
     * typed so the columnar reader fills primitive vectors without boxing.
@@ -1086,22 +1430,26 @@ class ZarrScan(
     * from executor-side [[CoordChunkCursor]]s, so neither appears here —
     * this map is the only per-value coordinate state in the task binary
     * and it stays bounded by the deferral threshold. */
-  private lazy val keptCoords: Map[Int, Coord] = sel.outDims.flatMap { d =>
-    val dr = dimRuns(d)
-    val n = dr.nKept
-    val aligned: Option[Coord] = coords(d) match {
-      case Coord.Ints(a) => Some(Coord.Ints(Array.tabulate(n)(i => a(dr.keptAt(i)))))
-      case Coord.Longs(a) => Some(Coord.Longs(Array.tabulate(n)(i => a(dr.keptAt(i)))))
-      case Coord.Floats(a) => Some(Coord.Floats(Array.tabulate(n)(i => a(dr.keptAt(i)))))
-      case Coord.Doubles(a) => Some(Coord.Doubles(Array.tabulate(n)(i => a(dr.keptAt(i)))))
-      case Coord.Timestamps(a) => Some(Coord.Timestamps(Array.tabulate(n)(i => a(dr.keptAt(i)))))
-      case Coord.Strings(a) => Some(Coord.Strings(Array.tabulate(n)(i => a(dr.keptAt(i)))))
-      case Coord.Intervals(a) => Some(Coord.Intervals(Array.tabulate(n)(i => a(dr.keptAt(i)))))
-      case Coord.Index(_) => None
-      case Coord.Deferred(_, _) => None
-    }
-    aligned.map(d -> _)
-  }.toMap
+  private def keptCoords: Map[Int, Coord] = {
+    if (keptCoordsCache == null)
+      keptCoordsCache = sel.outDims.flatMap { d =>
+        val dr = dimRuns(d)
+        val n = dr.nKept
+        val aligned: Option[Coord] = coords(d) match {
+          case Coord.Ints(a) => Some(Coord.Ints(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+          case Coord.Longs(a) => Some(Coord.Longs(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+          case Coord.Floats(a) => Some(Coord.Floats(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+          case Coord.Doubles(a) => Some(Coord.Doubles(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+          case Coord.Timestamps(a) => Some(Coord.Timestamps(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+          case Coord.Strings(a) => Some(Coord.Strings(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+          case Coord.Intervals(a) => Some(Coord.Intervals(Array.tabulate(n)(i => a(dr.keptAt(i)))))
+          case Coord.Index(_) => None
+          case Coord.Deferred(_, _) => None
+        }
+        aligned.map(d -> _)
+      }.toMap
+    keptCoordsCache
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val rank = meta.rank
@@ -1110,25 +1458,33 @@ class ZarrScan(
     val counts = dimRuns.map(_.nRuns)
     val total = counts.map(_.toLong).product
     // lazy C-order walk over run indices with an incremental cell product —
-    // O(1) driver memory per chunk, partitions emitted as ranges fill up
+    // O(1) driver memory per chunk, partitions emitted as ranges fill up.
+    // Zone-map-pruned chunks contribute zero cells (the same skip decision
+    // re-runs in the readers, so ranges may cover pruned ordinals) and a
+    // range that would contain ONLY pruned chunks is never emitted: `acc`
+    // only grows on live chunks, and partitions only close with acc > 0.
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
     val runIdx = new Array[Int](rank)
     // cells(chunk) = prod_d runLen(d, runIdx(d)); maintain per-dim factors
     val factors = Array.tabulate(rank)(d => dimRuns(d).runLen(0).toLong)
+    val chunkIds = Array.tabulate(rank)(d => dimRuns(d).chunkId(0))
+    val prunerLocal = pruner.orNull
     def cellsNow: Long = { var p = 1L; var d = 0; while (d < rank) { p *= factors(d); d += 1 }; p }
     var start = 0L
     var acc = 0L
     var ord = 0L
     var covered = 0L
     while (ord < total) {
-      val c = cellsNow
-      if (acc > 0 && acc + c > targetCells) {
-        parts += ZarrInputPartition(start, ord)
-        start = ord; acc = 0L
+      if (prunerLocal == null || !prunerLocal.skip(chunkIds)) {
+        val c = cellsNow
+        if (acc > 0 && acc + c > targetCells) {
+          parts += ZarrInputPartition(start, ord)
+          start = ord; acc = 0L
+        }
+        acc += c
+        covered += c
       }
-      acc += c
       ord += 1
-      covered += c
       // pushed LIMIT: stop planning once enough cells are covered — a
       // limit-only query over a million-chunk store plans O(limit) work
       if (limitCells.exists(covered >= _)) {
@@ -1143,10 +1499,13 @@ class ZarrScan(
         if (runIdx(k) < counts(k)) carry = false
         else runIdx(k) = 0
         factors(k) = dimRuns(k).runLen(runIdx(k)).toLong
+        chunkIds(k) = dimRuns(k).chunkId(runIdx(k))
         if (carry) k -= 1
       }
     }
-    if (start < total) parts += ZarrInputPartition(start, total)
+    // acc > 0 iff any live chunk since the last emitted range (every run has
+    // >= 1 kept index, so an unpruned ordinal always contributes cells)
+    if (acc > 0) parts += ZarrInputPartition(start, total)
     parts.toArray
   }
 
@@ -1164,8 +1523,7 @@ class ZarrScan(
         required,
         meta.dims,
         ZarrFileIO.executorOptions(storageOptions),
-        dimRuns,
-        keptCoords,
+        syncedState(),
         deferredSpecs
       )
     else
@@ -1175,9 +1533,9 @@ class ZarrScan(
         sel.outDims,
         required,
         ZarrFileIO.executorOptions(storageOptions),
-        dimRuns,
-        keptCoords,
-        deferredSpecs
+        syncedState(),
+        deferredSpecs,
+        pruner
       )
 }
 
@@ -1197,13 +1555,14 @@ class ZarrMultiReaderFactory(
     required: StructType,
     dimNames: Seq[String],
     storageOptions: Map[String, String],
-    dimRuns: Vector[DimRuns],
-    keptCoords: Map[Int, Coord],
+    state: ScanRunsState,
     deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty
 ) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[ZarrInputPartition]
+    val dimRuns = state.dimRuns
+    val keptCoords = state.keptCoords
     val dimIdx: Array[(StructField, Int)] =
       required.fields.zipWithIndex.filter { case (f, _) => dimNames.contains(f.name) }
     val wanted: Array[(StructField, Int)] =
@@ -1281,15 +1640,15 @@ class ZarrReaderFactory(
     outDims: Vector[Int],
     required: StructType,
     storageOptions: Map[String, String],
-    dimRuns: Vector[DimRuns],
-    keptCoords: Map[Int, Coord],
-    deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty
+    state: ScanRunsState,
+    deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty,
+    pruner: Option[ZarrChunkStats.Pruner] = None
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ZarrRowReader(
       arrayDir, meta, outDims, required,
-      partition.asInstanceOf[ZarrInputPartition], storageOptions, dimRuns, keptCoords,
-      deferredSpecs
+      partition.asInstanceOf[ZarrInputPartition], storageOptions, state.dimRuns, state.keptCoords,
+      deferredSpecs, pruner
     )
 
   // Columnar is the scan's fast path: primitive vector fills, no per-cell
@@ -1304,8 +1663,8 @@ class ZarrReaderFactory(
   ): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new ZarrColumnarReader(
       arrayDir, meta, outDims, required,
-      partition.asInstanceOf[ZarrInputPartition], storageOptions, dimRuns, keptCoords,
-      deferredSpecs
+      partition.asInstanceOf[ZarrInputPartition], storageOptions, state.dimRuns, state.keptCoords,
+      deferredSpecs, pruner = pruner
     )
 }
 
@@ -1319,7 +1678,8 @@ abstract class ZarrCursor(
     partition: ZarrInputPartition,
     storageOptions: Map[String, String],
     dimRuns: Vector[DimRuns],
-    needValue: Boolean
+    needValue: Boolean,
+    pruner: Option[ZarrChunkStats.Pruner] = None
 ) {
   protected val rank: Int = meta.rank
   private var ordinal: Long = partition.start
@@ -1339,35 +1699,42 @@ abstract class ZarrCursor(
   protected var chunkGen: Long = 0L
 
   private def advanceChunk(): Boolean = {
-    if (ordinal >= partition.end) return false
-    chunkGen += 1
-    if (rank == 0) {
-      if (emittedScalar) return false
-      buf = if (needValue) ZarrChunkIO.readChunk(arrayDir, meta, Seq.empty, storageOptions) else None
-      havePos = true
-      emittedScalar = true
+    val prunerLocal = pruner.orNull
+    while (ordinal < partition.end) {
+      chunkGen += 1
+      if (rank == 0) {
+        if (emittedScalar) return false
+        buf = if (needValue) ZarrChunkIO.readChunk(arrayDir, meta, Seq.empty, storageOptions) else None
+        havePos = true
+        emittedScalar = true
+        ordinal += 1
+        return true
+      }
+      // decompose ordinal (C-order over non-empty chunk grid, last dim fastest)
+      var rem = ordinal
+      var d = rank - 1
+      while (d >= 0) {
+        val n = dimRuns(d).nRuns
+        val r = (rem % n).toInt
+        rem /= n
+        runIdxCur(d) = r
+        chunkIdx(d) = dimRuns(d).chunkId(r)
+        sliceStart(d) = dimRuns(d).offset(r)
+        sliceLen(d) = dimRuns(d).runLen(r)
+        d -= 1
+      }
       ordinal += 1
-      return true
+      // zone-map skip: the SAME decision the partition planner made, so a
+      // range's pruned ordinals cost one stats lookup, no chunk open
+      if (prunerLocal == null || !prunerLocal.skip(chunkIdx)) {
+        buf =
+          if (needValue) ZarrChunkIO.readChunk(arrayDir, meta, chunkIdx.toSeq, storageOptions) else None
+        java.util.Arrays.fill(pos, 0)
+        havePos = true
+        return true
+      }
     }
-    // decompose ordinal (C-order over non-empty chunk grid, last dim fastest)
-    var rem = ordinal
-    var d = rank - 1
-    while (d >= 0) {
-      val n = dimRuns(d).nRuns
-      val r = (rem % n).toInt
-      rem /= n
-      runIdxCur(d) = r
-      chunkIdx(d) = dimRuns(d).chunkId(r)
-      sliceStart(d) = dimRuns(d).offset(r)
-      sliceLen(d) = dimRuns(d).runLen(r)
-      d -= 1
-    }
-    buf =
-      if (needValue) ZarrChunkIO.readChunk(arrayDir, meta, chunkIdx.toSeq, storageOptions) else None
-    java.util.Arrays.fill(pos, 0)
-    havePos = true
-    ordinal += 1
-    true
+    false
   }
 
   /** Position on the next unconsumed cell; false when the range is done. */
@@ -1434,10 +1801,12 @@ class ZarrRowReader(
     storageOptions: Map[String, String],
     dimRuns: Vector[DimRuns],
     keptCoords: Map[Int, Coord],
-    deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty
+    deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty,
+    pruner: Option[ZarrChunkStats.Pruner] = None
 ) extends ZarrCursor(
       arrayDir, meta, partition, storageOptions, dimRuns,
-      required.fieldNames.contains("value")
+      required.fieldNames.contains("value"),
+      pruner
     )
     with PartitionReader[InternalRow] {
 
@@ -1528,10 +1897,12 @@ class ZarrColumnarReader(
     dimRuns: Vector[DimRuns],
     keptCoords: Map[Int, Coord],
     deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty,
-    batchSize: Int = 4096
+    batchSize: Int = 4096,
+    pruner: Option[ZarrChunkStats.Pruner] = None
 ) extends ZarrCursor(
       arrayDir, meta, partition, storageOptions, dimRuns,
-      required.fieldNames.contains("value")
+      required.fieldNames.contains("value"),
+      pruner
     )
     with PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 

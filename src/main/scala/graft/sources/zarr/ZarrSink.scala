@@ -135,6 +135,67 @@ object ZarrSink {
     case other => throw new IllegalArgumentException(s"zarr sink: unsupported dimension type $other")
   }
 
+  /** [min, max] over EVERY cell of a flushed chunk buffer (fill-prefilled
+    * sparse cells and ragged-edge padding included — padding only widens,
+    * never narrows, so the bounds stay sound). Long domain converts M8/TD
+    * raw units to micros exactly like the read path (NaT cells are null
+    * and excluded); double domain orders NaN greatest and normalizes -0.0,
+    * matching Spark comparisons. Record: (chunkOrdinal, hasBounds, loL,
+    * hiL, loD, hiD). */
+  private def chunkBoundsRecord(
+      ordinal: Long,
+      dt: ZDtype,
+      buf: ByteBuffer,
+      elems: Int,
+      intDomain: Boolean
+  ): (Long, Boolean, Long, Long, Double, Double) =
+    if (intDomain) {
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var any = false
+      var i = 0
+      while (i < elems) {
+        var skip = false
+        val v: Long = dt.code match {
+          case ZDtype.BOOL | ZDtype.I1 => buf.get(i).toLong
+          case ZDtype.U1 => (buf.get(i) & 0xff).toLong
+          case ZDtype.I2 => buf.getShort(i * 2).toLong
+          case ZDtype.U2 => (buf.getShort(i * 2) & 0xffff).toLong
+          case ZDtype.I4 => buf.getInt(i * 4).toLong
+          case ZDtype.U4 => buf.getInt(i * 4) & 0xffffffffL
+          case ZDtype.I8 => buf.getLong(i * 8)
+          case ZDtype.M8 | ZDtype.TD =>
+            val raw = buf.getLong(i * 8)
+            if (raw == ZDtype.NaT) { skip = true; 0L }
+            else raw * dt.m8Num / dt.m8Den
+          case other => throw new IllegalStateException(s"stats domain int for dtype code $other")
+        }
+        if (!skip) { any = true; if (v < mn) mn = v; if (v > mx) mx = v }
+        i += 1
+      }
+      (ordinal, any, mn, mx, 0.0, 0.0)
+    } else {
+      var mn = Double.NaN
+      var mx = Double.NaN
+      var any = false
+      var i = 0
+      while (i < elems) {
+        val v: Double = ZarrChunkStats.norm(dt.code match {
+          case ZDtype.F2 => ZDtype.halfToFloat(buf.getShort(i * 2)).toDouble
+          case ZDtype.F4 => buf.getFloat(i * 4).toDouble
+          case ZDtype.F8 => buf.getDouble(i * 8)
+          case other => throw new IllegalStateException(s"stats domain float for dtype code $other")
+        })
+        if (!any) { mn = v; mx = v; any = true }
+        else {
+          if (java.lang.Double.compare(v, mn) < 0) mn = v
+          if (java.lang.Double.compare(v, mx) > 0) mx = v
+        }
+        i += 1
+      }
+      (ordinal, any, 0L, 0L, mn, mx)
+    }
+
   /** Encode one row's value into a chunk buffer — shared by the per-chunk
     * and per-shard executor loops. Unsigned range validation fails loudly
     * instead of masking. */
@@ -460,6 +521,19 @@ object ZarrSink {
     val isStrValue = strValue
     val structFillSer = structFill
 
+    // ---- per-chunk value statistics (zone maps): on by default for
+    // numeric/datetime dtypes on bounded grids; `chunk_stats=false` opts
+    // out. 65536 chunks x ~40 B keeps the attrs doc and the task-binary
+    // pruner under ~3 MB — the same order as an eager coordinate axis.
+    // Sharded stores aggregate many inner chunks per object and keep their
+    // own index; stats there are a follow-on (the scan prunes per CHUNK).
+    val statsDomain: Option[Boolean] =
+      if (strValue || structValue) None else ZarrChunkStats.domainFor(zdt)
+    val statsOn: Boolean =
+      statsDomain.isDefined && shardsOpt.isEmpty && totalChunks <= 65536 &&
+        opts.get("chunk_stats").forall(_.toBoolean)
+    var statsDoc: Option[ZarrChunkStats.Doc] = None
+
     shardsOpt match {
       case None if isStrValue =>
         // ---- string (vlen-utf8) chunks: one cells array at a time; unset
@@ -504,18 +578,26 @@ object ZarrSink {
 
       case None =>
         // ---- one task-streamed chunk buffer at a time; each chunk is one
-        // on-store object
+        // on-store object. When stats are on (numeric dtype, bounded grid),
+        // each task ALSO emits one [min, max] record per chunk it flushed —
+        // collected driver-side (bounded by the 65536-chunk stats cap) and
+        // written into the array attributes as chunk zone maps.
         val prepared =
           indexed.select(chunkExpr.as("__chunk"), localExpr.as("__local"), col("value").as("__value"))
         val parts = math.max(1L, math.min(shufflePartitions.toLong, totalChunks)).toInt
-        prepared
+        val statsOnSer = statsOn
+        val statsIntSer = statsDomain.getOrElse(true)
+        val statsRows: Array[(Long, Boolean, Long, Long, Double, Double)] = prepared
           .repartition(parts, col("__chunk"))
           .sortWithinPartitions("__chunk")
-          .foreachPartition { (rows: Iterator[Row]) =>
+          .rdd
+          .mapPartitions { (rows: Iterator[Row]) =>
             val order = if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
             var current = -1L
             var buf: ByteBuffer = null
+            val stats = Array.newBuilder[(Long, Boolean, Long, Long, Double, Double)]
             def flush(): Unit = if (current >= 0L) {
+              if (statsOnSer) stats += chunkBoundsRecord(current, dt, buf, elems, statsIntSer)
               val bytes =
                 if (isV3) v3CfgsSer.foldLeft(buf.array())((b, cfg) => ZarrCodecV3.encode(cfg, b, dt.itemSize))
                 else ZarrCodec.compress(comp, buf.array(), typesize = dt.itemSize)
@@ -549,7 +631,23 @@ object ZarrSink {
               putCell(dt, buf, r.getLong(1).toInt, r.get(2), rCheck, rMin, rMax, dtypeStr)
             }
             flush()
+            stats.result().iterator
           }
+          .collect()
+        if (statsOn) {
+          val intDomain = statsDomain.getOrElse(true)
+          statsDoc = Some(
+            ZarrChunkStats.Doc(
+              intDomain,
+              totalChunks,
+              if (intDomain)
+                statsRows.map { case (c, has, lo, hi, _, _) => c -> (if (has) Some((lo, hi)) else None) }.toMap
+              else Map.empty,
+              if (intDomain) Map.empty
+              else statsRows.map { case (c, has, _, _, lo, hi) => c -> (if (has) Some((lo, hi)) else None) }.toMap
+            )
+          )
+        }
 
       case Some(shards) =>
         // ---- sharded write: cluster rows by SHARD ordinal so each shard
@@ -675,7 +773,8 @@ object ZarrSink {
         case None =>
           ZarrStoreWriterV3.arrayJson(
             shape, chunks, v3DataTypeName(dtype), v3Cfgs, Some(fillValue), Some(dims),
-            separator = "/", endian = endianStr
+            separator = "/", endian = endianStr,
+            attrs = statsDoc.map(d => ZarrChunkStats.AttrKey -> ZarrChunkStats.toJson(d)).toMap
           )
         case Some(shards) if strValue =>
           // sharded strings: vlen-utf8 inner chunks inside shard objects;
@@ -753,7 +852,10 @@ object ZarrSink {
       ZarrFileIO.writeString(
         new HPath(arrayDir, ".zattrs"),
         storageOptions,
-        ZarrStoreWriter.zattrsJson(Some(dims))
+        ZarrStoreWriter.zattrsJson(
+          Some(dims),
+          statsDoc.map(d => ZarrChunkStats.AttrKey -> ZarrChunkStats.toJson(d)).toMap
+        )
       )
       axes.foreach {
         case (d, cdt, Left(vals)) => writeCoordArray(groupDir, d, vals, cdt, compressor, storageOptions)

@@ -48,7 +48,13 @@ object DumpPlans {
       "reaches the anti-join. The corpus never shuffles in full."),
     "q38_zarr_aligned" -> ("Aligned multi-array scan: ONE BatchScan emits [t, x, temp, hum] — the " +
       "join-free replacement for the per-array long-format self-join; the pushed t-range prunes " +
-      "both arrays' chunk reads together (ZarrScan cell count reflects the slice).")
+      "both arrays' chunk reads together (ZarrScan cell count reflects the slice)."),
+    "q39_zarr_agg_pushdown" -> ("Aggregate pushdown: grouped count/min/max/count-distinct over dim " +
+      "columns with absorbed predicates compile to a LocalTableScan — ZERO tasks, zero chunk " +
+      "opens. No BatchScan, no HashAggregate over data in the plan."),
+    "q40_zarr_stats_prune" -> ("Chunk-statistics zone maps: the value predicate stays a residual " +
+      "Filter (row-exactness) but the ZarrScan carries statsPruned=[...] — chunks whose [min,max] " +
+      "cannot match are never opened, the parquet-zone-map shape at zarr-chunk granularity.")
   )
 
   def main(args: Array[String]): Unit = {
