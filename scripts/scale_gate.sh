@@ -4,22 +4,27 @@
 # correctness cannot catch:
 #   1. zarr-sf10      — 1.07e9-cell f4 store: write, full-agg (exact
 #                       closed-form sum), pushed-slab chunk pruning
-#   2. zarr-deferred-str — a 10^7-label STRING axis written through the
+#   2. zarr-zonemap   — 1.07e9-cell chunk-banded store with per-chunk
+#                       [min,max] stats: metadata-only min/max/count (zero
+#                       chunk reads) + value-band predicate pruning
+#                       4096 -> 64 chunks, both exact closed-form
+#   3. zarr-deferred-str — a 10^7-label STRING axis written through the
 #                       sink's distributed-ordinal path, read deferred with
 #                       lexicographic chunk-stats pruning (range + prefix,
 #                       closed-form counts)
-#   3. x41-planted    — near-dup clustering at 100x docs (500k) against a
+#   4. x41-planted    — near-dup clustering at 100x docs (500k) against a
 #                       closed-form planted-component oracle (engine-
 #                       independent; DuckDB spills on this at sf10)
-#   4. cc-telemetry   — per-round connected-components job telemetry on the
+#   5. cc-telemetry   — per-round connected-components job telemetry on the
 #                       sf0.1 documents table (round count + shuffle sizes)
 # Each step FAILS LOUDLY (require/assert inside the Spike mains) — a silent
 # pass is impossible. ~6-8 min total on local[32].
 set -euo pipefail
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.tools.Spike zarr-sf10"      2>&1 | grep -E '\[spike\]'
+sbt -batch "runMain graft.tools.Spike zarr-zonemap"   2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike zarr-deferred-str" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike x41-planted 500000" 2>&1 | grep -E '\[spike\]'
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   sbt -batch "runMain graft.tools.Spike cc-telemetry" 2>&1 | grep -E '\[spike\]'
-echo "[scale_gate] all three gates passed"
+echo "[scale_gate] all scale gates passed"

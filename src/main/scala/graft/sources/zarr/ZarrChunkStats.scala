@@ -258,6 +258,14 @@ object ZarrChunkStats {
   /** NaN-greatest total order (java compare), matching Spark. */
   private implicit val doubleTotal: Ordering[Double] = Ordering.Double.TotalOrdering
 
+  /** Per-column pruners over one shared chunk grid (aligned multi-array
+    * scans): predicates are conjuncts, so a chunk skips when ANY column's
+    * predicates cannot match it. */
+  final case class Conjunction(ps: Vector[Pruner]) extends Pruner {
+    def skip(chunkIdx: Array[Int]): Boolean = ps.exists(_.skip(chunkIdx))
+    def describe: String = ps.map(_.describe).mkString("[", " & ", "]")
+  }
+
   final case class DoublePruner(
       preds: Vector[Pred[Double]],
       bounds: Map[Long, Option[(Double, Double)]],

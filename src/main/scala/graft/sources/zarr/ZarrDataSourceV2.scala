@@ -263,21 +263,31 @@ class ZarrScanBuilder(
   // wrong). Aligned multi-array scans skip stats for now — per-column
   // pruning is a follow-on.
   private def statsValueCol: String = valueCols.headOption.map(_._1).getOrElse("value")
+  /** Value columns of this scan: one ("value" -> meta) for single-array
+    * scans, one per array for aligned scans (identical grids, validated
+    * upstream — so every column's stats share one chunk-ordinal space). */
+  private def effValueCols: Seq[(String, ZarrArrayMeta)] =
+    if (valueCols.isEmpty) Seq("value" -> meta) else valueCols
+  private def statsGeomFor(m: ZarrArrayMeta): Option[(ZarrChunkStats.Doc, Array[Long])] =
+    m.attrs.get(ZarrChunkStats.AttrKey).flatMap(ZarrChunkStats.parse).flatMap { doc =>
+      val nChunksVec = m.shape.indices
+        .map(d => (m.shape(d) + m.chunks(d) - 1) / m.chunks(d))
+        .toVector
+      val total = nChunksVec.map(_.toLong).product
+      if (doc.nChunks == total && ZarrChunkStats.domainFor(m.zdtype).contains(doc.intDomain))
+        Some((doc, IndexMath.strides(nChunksVec)))
+      else None
+    }
   private lazy val statsGeom: Option[(ZarrChunkStats.Doc, Array[Long])] =
-    if (valueCols.size > 1) None // aligned multi-array: per-column pruning is a follow-on
-    else
-      meta.attrs.get(ZarrChunkStats.AttrKey).flatMap(ZarrChunkStats.parse).flatMap { doc =>
-        val nChunksVec = meta.shape.indices
-          .map(d => (meta.shape(d) + meta.chunks(d) - 1) / meta.chunks(d))
-          .toVector
-        val total = nChunksVec.map(_.toLong).product
-        if (doc.nChunks == total && ZarrChunkStats.domainFor(meta.zdtype).contains(doc.intDomain))
-          Some((doc, IndexMath.strides(nChunksVec)))
-        else None
-      }
+    if (valueCols.size > 1) None // primary-column geometry, single scans only
+    else statsGeomFor(meta)
   private var statsPredsL: Vector[ZarrChunkStats.Pred[Long]] = Vector.empty
   private var statsPredsD: Vector[ZarrChunkStats.Pred[Double]] = Vector.empty
   private var statsPredDescs: Vector[String] = Vector.empty
+  // aligned scans: one pruner per value column that has both stats and
+  // translated predicates; a chunk skips if ANY column's conjuncts cannot
+  // match it (filters are conjuncts, each over one column)
+  private var alignedPruners: Vector[ZarrChunkStats.Pruner] = Vector.empty
 
   /** Cap on an Explicit kept-set built by pushdown: beyond this the pruned
     * set would itself be a driver-memory liability, so the filter is left
@@ -722,6 +732,34 @@ class ZarrScanBuilder(
           }
       }
     }
+    // aligned scans: per-column pruners (shared chunk grid, so one skip
+    // decision space); a chunk skips if ANY column's conjuncts cannot match
+    if (valueCols.size > 1)
+      alignedPruners = valueCols.toVector.flatMap { case (name, m) =>
+        statsGeomFor(m).flatMap { case (doc, strides) =>
+          if (doc.intDomain) {
+            val preds = residual.toVector
+              .flatMap(f => ZarrChunkStats.translate(f, name, ZarrChunkStats.convLong))
+            if (preds.isEmpty) None
+            else
+              statsFillLongOf(m) match {
+                case Right(fill) =>
+                  Some(ZarrChunkStats.LongPruner(preds, doc.boundsI, fill, strides, s"$name:${preds.size}"))
+                case Left(_) => None
+              }
+          } else {
+            val preds = residual.toVector
+              .flatMap(f => ZarrChunkStats.translate(f, name, ZarrChunkStats.convDouble))
+            if (preds.isEmpty) None
+            else
+              Some(
+                ZarrChunkStats.DoublePruner(
+                  preds, doc.boundsF, m.fillValue.map(ZarrChunkStats.norm), strides, s"$name:${preds.size}"
+                )
+              )
+          }
+        }
+      }
     residual
   }
 
@@ -729,20 +767,26 @@ class ZarrScanBuilder(
     * unwritten chunk can never match a comparison), Right(Some(v)) = a
     * concrete fill cell value, Left(()) = un-mappable — disable pruning
     * rather than guess. */
-  private def statsFillLong: Either[Unit, Option[Long]] = meta.fillValue match {
+  private def statsFillLongOf(m: ZarrArrayMeta): Either[Unit, Option[Long]] = m.fillValue match {
     case None => Right(None)
     case Some(fv) if fv.isNaN => Right(None) // NaT -> null cells
     case Some(fv) =>
-      meta.zdtype.code match {
+      m.zdtype.code match {
         case ZDtype.M8 | ZDtype.TD =>
-          Right(Some(fv.toLong * meta.zdtype.m8Num / meta.zdtype.m8Den))
+          Right(Some(fv.toLong * m.zdtype.m8Num / m.zdtype.m8Den))
         case _ if fv.isWhole => Right(Some(fv.toLong))
         case _ => Left(())
       }
   }
+  private def statsFillLong: Either[Unit, Option[Long]] = statsFillLongOf(meta)
 
-  private def buildStatsPruner(): Option[ZarrChunkStats.Pruner] = statsGeom.flatMap {
-    case (doc, strides) =>
+  private def buildStatsPruner(): Option[ZarrChunkStats.Pruner] = {
+    if (alignedPruners.nonEmpty)
+      return Some(
+        if (alignedPruners.size == 1) alignedPruners.head
+        else ZarrChunkStats.Conjunction(alignedPruners)
+      )
+    statsGeom.flatMap { case (doc, strides) =>
       val desc = statsPredDescs.mkString("[", ", ", "]")
       if (doc.intDomain && statsPredsL.nonEmpty)
         statsFillLong match {
@@ -762,6 +806,7 @@ class ZarrScanBuilder(
           )
         )
       else None
+    }
   }
 
   override def pushedFilters(): Array[Filter] = accepted
@@ -1291,9 +1336,26 @@ class ZarrScan(
     pruner: Option[ZarrChunkStats.Pruner] = None
 ) extends Scan
     with Batch
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Exact row count and a byte estimate from plan-time geometry: rows are
+    * the kept-set cross product (pushdown already applied), bytes are rows
+    * x (value item sizes + 8 B per projected dim). Spark's planner uses
+    * this for join-strategy and DPP-benefit decisions — a pruned slab of a
+    * 100 TB store correctly reports as broadcast-able instead of inheriting
+    * the conservative "huge relation" default. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows: Long = curKeep.map(_.length.toLong).product
+    private val bytesPerRow: Long =
+      valueColumns.map { case (_, _, m) => math.max(m.zdtype.itemSize, 1).toLong }.sum +
+        8L * sel.outDims.length
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, rows * bytesPerRow))
+  }
 
   private def multi: Boolean = valueColumns.size > 1
 
@@ -1524,7 +1586,8 @@ class ZarrScan(
         meta.dims,
         ZarrFileIO.executorOptions(storageOptions),
         syncedState(),
-        deferredSpecs
+        deferredSpecs,
+        pruner
       )
     else
       new ZarrReaderFactory(
@@ -1556,7 +1619,10 @@ class ZarrMultiReaderFactory(
     dimNames: Seq[String],
     storageOptions: Map[String, String],
     state: ScanRunsState,
-    deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty
+    deferredSpecs: Map[Int, DeferredCoordSpec] = Map.empty,
+    // shared zone-map pruner: skip decisions depend only on the (shared)
+    // chunk grid, so leader and followers stay in lockstep
+    pruner: Option[ZarrChunkStats.Pruner] = None
 ) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1572,7 +1638,7 @@ class ZarrMultiReaderFactory(
       // dims-only projection (count over coordinates): one reader, no value
       return new ZarrRowReader(
         primaryDir, primaryMeta, outDims, required, part, storageOptions, dimRuns, keptCoords,
-        deferredSpecs
+        deferredSpecs, pruner
       )
     // leader reads the dims plus its value; followers read value-only
     val (leadField, leadOut) = wanted.head
@@ -1582,14 +1648,14 @@ class ZarrMultiReaderFactory(
     )
     val leader = new ZarrRowReader(
       leadDir, leadMeta, outDims, leadRequired, part, storageOptions, dimRuns, keptCoords,
-      deferredSpecs
+      deferredSpecs, pruner
     )
     val followers = wanted.tail.map { case (f, _) =>
       val (_, dir, m) = byName(f.name)
       new ZarrRowReader(
         dir, m, outDims,
         StructType(Seq(StructField("value", f.dataType, nullable = true))),
-        part, storageOptions, dimRuns, keptCoords, deferredSpecs
+        part, storageOptions, dimRuns, keptCoords, deferredSpecs, pruner
       )
     }
     new PartitionReader[InternalRow] {

@@ -337,6 +337,117 @@ object Spike {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  /** `runMain graft.tools.Spike zarr-zonemap` — chunk-statistics scale
+    * gate: a ~1.07e9-cell f4 store (256 x 2048 x 2048, 4096 chunks) whose
+    * values are chunk-BANDED (t-chunk c0 contributes c0*2500; the in-chunk
+    * part is (i%100)*0.25, so per-chunk bounds are exactly [c0*2500,
+    * c0*2500 + 24.75]). Per-chunk [min, max] stats are computed during the
+    * distributed write and stored in the attrs exactly as the product sink
+    * writes them. Gates, all exact against closed-form oracles:
+    *  1. baseline full aggregate (sum is not pushable — every chunk decodes)
+    *  2. metadata-only min/max/count(value): LocalTableScan, ZERO chunk
+    *     reads, ~milliseconds on a 10^9-cell store
+    *  3. a value-band predicate no dim planner can touch prunes via zone
+    *     maps to 1/64 of chunks — partitions drop 4096 -> 64. */
+  private def zarrZoneMap(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.zarr.{ZarrChunkStats, ZarrCodec, ZarrStoreWriter}
+    val root = "/tmp/graft_zarr_zonemap"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val (nt, ny, nx) = (256, 2048, 2048)
+    val (ct, cy, cx) = (4, 256, 256)
+    val total = nt.toLong * ny * nx
+    val dir = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve(".zgroup"), """{"zarr_format": 2}""")
+    val ad = dir.resolve("v")
+    java.nio.file.Files.createDirectories(ad)
+    java.nio.file.Files.writeString(
+      ad.resolve(".zarray"),
+      ZarrStoreWriter.zarrayJson(
+        Vector(nt, ny, nx), Vector(ct, cy, cx), "<f4", Some("blosc:lz4"), Some(0.0)
+      )
+    )
+    val (gt, gy, gx) = (nt / ct, ny / cy, nx / cx) // 64 x 8 x 8 chunk grid
+    val nChunks = gt * gy * gx
+    val elems = ct * cy * cx
+    val t0 = System.nanoTime()
+    // distributed chunk write; each task ALSO returns its chunks' bounds —
+    // the same shape the product sink uses (bounded collect: 4096 tuples)
+    val stats: Array[(Long, Double, Double)] =
+      spark.range(0, nChunks, 1, 32).rdd.mapPartitions { ords =>
+        val buf = java.nio.ByteBuffer.allocate(elems * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        ords.map { ord =>
+          val c = ord.intValue()
+          val c0 = c / (gy * gx); val c1 = (c / gx) % gy; val c2 = c % gx
+          val base = c0 * 2500f
+          var i = 0
+          while (i < elems) { buf.putFloat(i * 4, base + (i % 100) * 0.25f); i += 1 }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$root/v", s"$c0.$c1.$c2"),
+            ZarrCodec.compress(Some("blosc:lz4"), buf.array(), typesize = 4)
+          )
+          (c.toLong, base.toDouble, (base + 24.75f).toDouble)
+        }
+      }.collect()
+    val doc = ZarrChunkStats.Doc(
+      intDomain = false,
+      nChunks.toLong,
+      Map.empty,
+      stats.map { case (c, lo, hi) => c -> Some((lo, hi)) }.toMap
+    )
+    java.nio.file.Files.writeString(
+      ad.resolve(".zattrs"),
+      ZarrStoreWriter.zattrsJson(
+        Some(Vector("t", "y", "x")),
+        Map(ZarrChunkStats.AttrKey -> ZarrChunkStats.toJson(doc))
+      )
+    )
+    val tw = (System.nanoTime() - t0) / 1e9
+    println(f"[spike] zarr-zonemap write+stats: $tw%.1fs, $total cells, ${nChunks} chunks")
+    val df = new graft.api.ZarrDataReader(spark, root).readArray("v")
+    // value*4 = c0*10000 + i%100 — integral, so long sums are exact
+    val perChunkMod = 2621L * 4950 + (0 until 44).sum // sum of (i%100) over 262144 cells
+    // gate 1: baseline full aggregate (sum is not pushable)
+    val t1 = System.nanoTime()
+    val r1 = df.agg(count(lit(1)), sum((col("value") * 4).cast("long"))).collect().head
+    val ts1 = (System.nanoTime() - t1) / 1e9
+    require(r1.getLong(0) == total, s"count ${r1.getLong(0)} != $total")
+    val expectedFull =
+      BigInt(10000L) * elems * (gy * gx) * (0 until gt).map(_.toLong).sum + BigInt(perChunkMod) * nChunks
+    require(BigInt(r1.getLong(1)) == expectedFull, "full sum mismatch")
+    println(f"[spike] zarr-zonemap full agg (baseline): $ts1%.1fs (${total / ts1 / 1e6}%.0f Mcells/s) — exact")
+    // gate 2: metadata-only aggregates — LocalTableScan, zero chunk reads
+    val t2 = System.nanoTime()
+    val magg = df.agg(count(lit(1)), min("value"), max("value"), count("value"))
+    val r2 = magg.collect().head
+    val ts2 = (System.nanoTime() - t2) / 1e9
+    val plan2 = magg.queryExecution.executedPlan.toString
+    require(plan2.contains("LocalTableScan") && !plan2.contains("BatchScan"), s"not metadata-only:\n$plan2")
+    require(r2.getLong(0) == total && r2.getLong(3) == total, "metadata counts mismatch")
+    require(r2.getFloat(1) == 0f, s"min ${r2.getFloat(1)}")
+    require(r2.getFloat(2) == 63 * 2500f + 24.75f, s"max ${r2.getFloat(2)}")
+    println(f"[spike] zarr-zonemap metadata agg: $ts2%.3fs for min/max/count over $total cells — ZERO chunk reads, exact")
+    // gate 3: value-band predicate — only dim-blind zone maps can prune it
+    val t3 = System.nanoTime()
+    val slab = df.filter(col("value") >= 63 * 2500f)
+    val parts = slab.rdd.getNumPartitions
+    require(parts == gy * gx, s"expected ${gy * gx} surviving partitions, got $parts")
+    val r3 = slab.agg(count(lit(1)), sum((col("value") * 4).cast("long"))).collect().head
+    val ts3 = (System.nanoTime() - t3) / 1e9
+    val slabCells = total / gt
+    require(r3.getLong(0) == slabCells, s"slab count ${r3.getLong(0)} != $slabCells")
+    require(
+      BigInt(r3.getLong(1)) == BigInt(630000L) * slabCells + BigInt(perChunkMod) * (gy * gx),
+      "slab sum mismatch"
+    )
+    println(
+      f"[spike] zarr-zonemap value-band: $ts3%.1fs for $slabCells cells — zone maps pruned " +
+        f"4096 -> ${gy * gx} chunks (baseline full agg $ts1%.1fs) — exact"
+    )
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** `runMain graft.tools.Spike cc-telemetry` — x41 connected-components
     * observability: per-round shuffle volume (iteration count vs per-round
     * skew are different scale failure modes; this tells them apart). Jobs
@@ -661,6 +772,7 @@ object Spike {
     if (args.sameElements(Array("zarr-1b"))) { zarr1b(spark); spark.stop(); return }
     if (args.sameElements(Array("zarr-deferred"))) { zarrDeferred(spark); spark.stop(); return }
     if (args.sameElements(Array("zarr-sf10"))) { zarrSf10(spark); spark.stop(); return }
+    if (args.sameElements(Array("zarr-zonemap"))) { zarrZoneMap(spark); spark.stop(); return }
     if (args.sameElements(Array("cc-telemetry"))) { ccTelemetry(spark); spark.stop(); return }
     if (args.sameElements(Array("skew"))) { skew(spark); spark.stop(); return }
     if (args.sameElements(Array("sf10"))) { sf10(spark); spark.stop(); return }

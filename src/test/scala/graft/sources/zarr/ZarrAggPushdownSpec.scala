@@ -127,6 +127,20 @@ class ZarrAggPushdownSpec extends AnyFunSuite with SparkTester {
     assert(rows.forall(r => r.getLong(1) == 3L * 15 && r.getFloat(2) == 30f && r.getFloat(3) == 35f && r.getLong(4) == 3L))
   }
 
+  test("scan reports exact row-count statistics; pruned scans auto-broadcast") {
+    // full scan: 1800 rows; pruned: 150
+    val full = df
+    assert(full.queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(1800)))
+    val pruned = df.filter(col("time") === 3)
+    assert(pruned.queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(150)))
+    // a pruned slab under the broadcast threshold joins broadcast WITHOUT a
+    // hint — the point of reporting real sizes from a huge store
+    val other = spark.range(0, 200000).selectExpr("cast(id % 40 as float) + 30 as lat", "id as k")
+    val joined = other.join(pruned, "lat")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("LIMIT pushed first refuses aggregate pushdown") {
     // limit under an aggregate does not normally reach the scan, but guard
     // the builder contract directly: a limited scan still answers correctly

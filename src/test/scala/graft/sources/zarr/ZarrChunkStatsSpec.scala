@@ -192,6 +192,35 @@ class ZarrChunkStatsSpec extends AnyFunSuite with SparkTester {
     assert(rf.getDouble(0) == 0.0 && rf.getDouble(1).isNaN)
   }
 
+  test("aligned multi-array scans prune via per-column stats (conjunction)") {
+    val root = tmp()
+    // two sink-written arrays on one 100-cell grid, chunks 10: a = i*10,
+    // b = 990 - i*10 (opposite bands, both with stats)
+    spark.range(0, 100)
+      .select(col("id").cast("int").as("i"), (col("id") * 10).as("value"))
+      .write.format("zarr").option("path", root).option("array", "a")
+      .option("chunks", "10").mode("append").save()
+    spark.range(0, 100)
+      .select(col("id").cast("int").as("i"), (lit(990) - col("id") * 10).as("value"))
+      .write.format("zarr").option("path", root).option("array", "b")
+      .option("chunks", "10").mode("append").save()
+    def aligned = spark.read.format("zarr")
+      .option("path", root).option("arrays", "a,b")
+      .option("partition.target.cells", "1")
+      .load()
+    assert(aligned.rdd.getNumPartitions == 10)
+    // a > 850 -> chunks 8,9; b > 850 -> chunks 0,1; conjunction -> empty
+    val qa = aligned.filter(col("a") > 850L)
+    assert(qa.rdd.getNumPartitions == 2)
+    assert(qa.orderBy("i").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      (86 until 100).map(i => (i, i * 10L, 990L - i * 10)))
+    val qboth = aligned.filter(col("a") > 850L && col("b") > 850L)
+    assert(qboth.rdd.getNumPartitions == 0 && qboth.count() == 0)
+    val qmid = aligned.filter(col("a") >= 400L && col("b") >= 400L)
+    assert(qmid.rdd.getNumPartitions == 2) // chunks 4 and 5 survive both
+    assert(qmid.count() == (40 to 59).count(i => i * 10 >= 400 && 990 - i * 10 >= 400))
+  }
+
   test("stale stats are ignored when the grid no longer matches") {
     val doc = ZarrChunkStats.Doc(intDomain = true, nChunks = 99, Map(0L -> Some((0L, 1L))), Map.empty)
     val json = ZarrChunkStats.toJson(doc)
