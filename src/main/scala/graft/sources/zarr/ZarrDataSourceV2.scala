@@ -157,7 +157,9 @@ object ZarrTable {
     // driver — executors decode coordinate chunks per ordinal range
     val coordThreshold =
       Option(options.get("coord.deferred.threshold")).map(_.toInt).getOrElse(10000000)
-    new ZarrTable(store, meta, sel, targetCells, coordThreshold, extras)
+    // streaming: the named dim is the growing append axis (readStream)
+    val streamDim = Option(options.get("stream.dim"))
+    new ZarrTable(store, meta, sel, targetCells, coordThreshold, extras, streamDim)
   }
 }
 
@@ -167,7 +169,8 @@ class ZarrTable(
     baseSel: Map[String, DimSel],
     targetCells: Long,
     coordThreshold: Int = Int.MaxValue,
-    extras: Seq[ZarrArrayMeta] = Nil
+    extras: Seq[ZarrArrayMeta] = Nil,
+    streamDim: Option[String] = None
 ) extends Table
     with SupportsRead
     with SupportsWrite {
@@ -192,10 +195,15 @@ class ZarrTable(
     )
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE
+    )
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(store, meta, resolved, coords, schema(), targetCells, valueCols)
+    new ZarrScanBuilder(store, meta, resolved, coords, schema(), targetCells, valueCols, streamDim)
 
   // array exists: mode("overwrite") replaces it, mode("append") errors in
   // the sink with a clear message (no partial in-place chunk updates)
@@ -244,7 +252,8 @@ class ZarrScanBuilder(
     coords: Vector[Coord],
     fullSchema: StructType,
     targetCells: Long,
-    valueCols: Seq[(String, ZarrArrayMeta)] = Nil
+    valueCols: Seq[(String, ZarrArrayMeta)] = Nil,
+    streamDim: Option[String] = None
 ) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -1159,7 +1168,8 @@ class ZarrScanBuilder(
       valueColumns =
         (if (valueCols.isEmpty) Seq("value" -> meta) else valueCols)
           .map { case (n, m) => (n, store.arrayDir(m.name), m) },
-      pruner = buildStatsPruner()
+      pruner = buildStatsPruner(),
+      streaming = streamDim.map(sd => (store, sd))
     )
   }
 }
@@ -1333,11 +1343,42 @@ class ZarrScan(
     // chunk-statistics (zone-map) pruner for value predicates — consulted
     // identically by the partition planner and every reader, so partition
     // ranges may safely cover pruned ordinals
-    pruner: Option[ZarrChunkStats.Pruner] = None
+    pruner: Option[ZarrChunkStats.Pruner] = None,
+    // readStream: (driver-side store handle, growing append dim)
+    streaming: Option[(ZarrStore, String)] = None
 ) extends Scan
     with Batch
     with SupportsRuntimeFiltering
     with SupportsReportStatistics {
+
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val (st, sd) = streaming.getOrElse(
+      throw new UnsupportedOperationException(
+        "zarr readStream needs option stream.dim=<growing dimension>"
+      )
+    )
+    require(!multi, "zarr readStream does not support aligned multi-array scans yet")
+    val sdIdx = meta.dims.indexOf(sd)
+    require(sdIdx >= 0, s"stream.dim '$sd' is not a dimension of '${meta.name}' (${meta.dims})")
+    require(
+      sel.outDims.length == meta.rank,
+      "zarr readStream does not support point-dropped dimensions"
+    )
+    require(
+      curKeep(sdIdx) == KeptSet.Range(0, meta.shape(sdIdx)),
+      s"stream.dim '$sd' must not be selected or filtered — offsets own that axis"
+    )
+    new graft.streaming.ZarrMicroBatchStream(
+      st,
+      meta.name,
+      sd,
+      required,
+      curKeep,
+      coords,
+      deferredSpecs - sdIdx,
+      targetCells
+    )
+  }
 
   override def readSchema(): StructType = required
 

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.SparkTester
+import graft.sources.Coord
+import graft.sources.zarr.ZarrStoreWriter
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.ByteBuffer
+import java.nio.ByteOrder.LITTLE_ENDIAN
+import java.nio.file.Files
+
+/** Streaming zarr source: offsets are the stream-dim extent, re-read from
+  * unconsolidated metadata each poll; a growing time axis yields each new
+  * index slab exactly once, with coordinate values decoded executor-side
+  * from the (also growing) coordinate array. */
+class ZarrStreamSpec extends AnyFunSuite with SparkTester {
+
+  test("micro-batches follow a growing time axis; each cell exactly once") {
+    val root = Files.createTempDirectory("zarrstream").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    ZarrStoreWriter.writeArray(
+      dir, "v", Vector(8, 4), Vector(4, 4), "<f8",
+      flat => flat.toDouble,
+      dims = Some(Vector("time", "lat"))
+    )
+    ZarrStoreWriter.writeCoord(dir, "lat", Coord.Ints(Array.tabulate(4)(identity)))
+    // growable time coordinate: chunks of 4 so appends add whole chunks
+    val td = dir.resolve("time")
+    Files.createDirectories(td)
+    def timeMeta(n: Int): Unit =
+      Files.writeString(
+        td.resolve(".zarray"),
+        ZarrStoreWriter.zarrayJson(Vector(n), Vector(4), "<i4", None, Some(0.0))
+      )
+    def timeChunk(c: Int): Unit = {
+      val b = ByteBuffer.allocate(16).order(LITTLE_ENDIAN)
+      (0 until 4).foreach(i => b.putInt(i * 4, c * 4 + i))
+      Files.write(td.resolve(c.toString), b.array())
+    }
+    timeMeta(8)
+    Files.writeString(td.resolve(".zattrs"), ZarrStoreWriter.zattrsJson(Some(Vector("time"))))
+    timeChunk(0); timeChunk(1)
+    ZarrStoreWriter.consolidate(dir)
+
+    val stream = spark.readStream.format("zarr")
+      .option("path", root).option("array", "v").option("stream.dim", "time")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("zstream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("zstream").count() == 32)
+
+      // GROW the store: time 8 -> 12 (one new chunk on both arrays); the
+      // consolidated .zmetadata is now stale on purpose — streaming must
+      // poll live metadata
+      Files.writeString(
+        dir.resolve("v").resolve(".zarray"),
+        ZarrStoreWriter.zarrayJson(Vector(12, 4), Vector(4, 4), "<f8", None, Some(0.0))
+      )
+      val vb = ByteBuffer.allocate(16 * 8).order(LITTLE_ENDIAN)
+      var i = 0
+      for (t <- 8 until 12; la <- 0 until 4) { vb.putDouble(i * 8, (t * 4 + la).toDouble); i += 1 }
+      Files.write(dir.resolve("v").resolve("2.0"), vb.array())
+      timeMeta(12)
+      timeChunk(2)
+
+      q.processAllAvailable()
+      val rows = spark.table("zstream").collect()
+      assert(rows.length == 48)
+      val m = rows.map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      assert(m.size == 48, "duplicate (time, lat) cells emitted")
+      for (t <- 0 until 12; la <- 0 until 4)
+        assert(m((t, la)) == (t * 4 + la).toDouble, s"cell ($t, $la)")
+    } finally q.stop()
+  }
+
+  test("stream.dim is validated: unknown dim and filtered dim reject") {
+    val root = Files.createTempDirectory("zarrstreambad").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    ZarrStoreWriter.writeArray(
+      dir, "v", Vector(4, 2), Vector(2, 2), "<f8", f => f.toDouble,
+      dims = Some(Vector("time", "lat"))
+    )
+    ZarrStoreWriter.consolidate(dir)
+    val bad = spark.readStream.format("zarr")
+      .option("path", root).option("array", "v").option("stream.dim", "nope")
+      .load()
+    val ex = intercept[Exception] {
+      val q = bad.writeStream.format("memory").queryName("zbad").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    assert(ex.getMessage != null)
+  }
+}
