@@ -525,14 +525,30 @@ object ZarrSink {
     // numeric/datetime dtypes on bounded grids; `chunk_stats=false` opts
     // out. 65536 chunks x ~40 B keeps the attrs doc and the task-binary
     // pruner under ~3 MB — the same order as an eager coordinate axis.
-    // Sharded stores aggregate many inner chunks per object and keep their
-    // own index; stats there are a follow-on (the scan prunes per CHUNK).
+    // Sharded stores record bounds per INNER chunk — the scan's pruning
+    // granularity — so a pruned inner chunk skips its byte-range read
+    // inside the shard object.
     val statsDomain: Option[Boolean] =
       if (strValue || structValue) None else ZarrChunkStats.domainFor(zdt)
     val statsOn: Boolean =
-      statsDomain.isDefined && shardsOpt.isEmpty && totalChunks <= 65536 &&
+      statsDomain.isDefined && totalChunks <= 65536 &&
         opts.get("chunk_stats").forall(_.toBoolean)
     var statsDoc: Option[ZarrChunkStats.Doc] = None
+    def buildStatsDoc(rows: Array[(Long, Boolean, Long, Long, Double, Double)]): Unit =
+      if (statsOn) {
+        val intDomain = statsDomain.getOrElse(true)
+        statsDoc = Some(
+          ZarrChunkStats.Doc(
+            intDomain,
+            totalChunks,
+            if (intDomain)
+              rows.map { case (c, has, lo, hi, _, _) => c -> (if (has) Some((lo, hi)) else None) }.toMap
+            else Map.empty,
+            if (intDomain) Map.empty
+            else rows.map { case (c, has, _, _, lo, hi) => c -> (if (has) Some((lo, hi)) else None) }.toMap
+          )
+        )
+      }
 
     shardsOpt match {
       case None if isStrValue =>
@@ -634,20 +650,7 @@ object ZarrSink {
             stats.result().iterator
           }
           .collect()
-        if (statsOn) {
-          val intDomain = statsDomain.getOrElse(true)
-          statsDoc = Some(
-            ZarrChunkStats.Doc(
-              intDomain,
-              totalChunks,
-              if (intDomain)
-                statsRows.map { case (c, has, lo, hi, _, _) => c -> (if (has) Some((lo, hi)) else None) }.toMap
-              else Map.empty,
-              if (intDomain) Map.empty
-              else statsRows.map { case (c, has, _, _, lo, hi) => c -> (if (has) Some((lo, hi)) else None) }.toMap
-            )
-          )
-        }
+        buildStatsDoc(statsRows)
 
       case Some(shards) =>
         // ---- sharded write: cluster rows by SHARD ordinal so each shard
@@ -673,10 +676,13 @@ object ZarrSink {
         val innerPerArr = innerPerVec.toArray
         val innerStrides = IndexMath.strides(innerPerVec).toArray
         val nInner = innerPerVec.map(_.toLong).product.toInt
-        prepared
+        val statsOnSerSh = statsOn
+        val statsIntSerSh = statsDomain.getOrElse(true)
+        val shardStatsRows: Array[(Long, Boolean, Long, Long, Double, Double)] = prepared
           .repartition(parts, col("__shard"))
           .sortWithinPartitions("__shard", "__chunk")
-          .foreachPartition { (rows: Iterator[Row]) =>
+          .rdd
+          .mapPartitions { (rows: Iterator[Row]) =>
             val order = if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
             val rank = nShardsArr.length
             var curShard = -1L
@@ -685,7 +691,11 @@ object ZarrSink {
             var cells: Array[String] = null // string values: vlen inner chunks
             val shardData = new java.io.ByteArrayOutputStream()
             val index = new Array[Long](nInner * 2)
+            val stats = Array.newBuilder[(Long, Boolean, Long, Long, Double, Double)]
             def flushChunk(): Unit = if (curChunk >= 0L) {
+              // bounds per INNER chunk — the scan's pruning granularity
+              if (statsOnSerSh && !isStrValue)
+                stats += chunkBoundsRecord(curChunk, dt, buf, elems, statsIntSerSh)
               val raw =
                 if (isStrValue) ZarrStoreWriter.vlenEncode(cells) else buf.array()
               val enc = v3CfgsSer.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, math.max(dt.itemSize, 1)))
@@ -746,7 +756,10 @@ object ZarrSink {
               } else putCell(dt, buf, r.getLong(2).toInt, r.get(3), rCheck, rMin, rMax, dtypeStr)
             }
             flushShard()
+            stats.result().iterator
           }
+          .collect()
+        buildStatsDoc(shardStatsRows)
     }
 
     // ---- metadata (driver-side, after the data job): group marker, array
@@ -811,7 +824,8 @@ object ZarrSink {
                |"index_location": "end"}}""".stripMargin
           val withOuter = ZarrStoreWriterV3.arrayJson(
             shape, shards, v3DataTypeName(dtype), Nil, Some(fillValue), Some(dims),
-            separator = "/", endian = endianStr
+            separator = "/", endian = endianStr,
+            attrs = statsDoc.map(d => ZarrChunkStats.AttrKey -> ZarrChunkStats.toJson(d)).toMap
           )
           val doc = withOuter.replace(
             s""""codecs": [{"name": "bytes", "configuration": {"endian": "$endianStr"}}]""",

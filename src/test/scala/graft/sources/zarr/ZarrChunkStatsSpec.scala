@@ -136,6 +136,22 @@ class ZarrChunkStatsSpec extends AnyFunSuite with SparkTester {
     assert(q.count() == 4)
   }
 
+  test("sharded v3 stores record per-INNER-chunk bounds and prune inner reads") {
+    val root = tmp()
+    spark.range(0, 100)
+      .select(col("id").cast("int").as("i"), (col("id") * 10).as("value"))
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "10")
+      .option("zarr_format", "3").option("shards", "20")
+      .mode("append").save()
+    val store = new ZarrStore(root, Map.empty, None, None)
+    val doc = ZarrChunkStats.parse(store.arrayMeta("v").attrs(ZarrChunkStats.AttrKey)).get
+    assert(doc.nChunks == 10 && doc.boundsI(3L).contains((300L, 390L)))
+    val q = read(root).filter(col("value") > 850L)
+    assert(q.rdd.getNumPartitions == 2) // inner chunks 8, 9 (across shards)
+    assert(q.orderBy("i").collect().map(_.getLong(1)).toSeq == (86 until 100).map(_ * 10L))
+  }
+
   test("v3 stores carry stats in zarr.json attributes and prune identically") {
     val root = tmp()
     spark.range(0, 100)
