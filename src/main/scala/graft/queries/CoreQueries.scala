@@ -929,8 +929,49 @@ object CoreQueries {
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 200)) t
              |WHERE t.i * 37 % 500 > 460
              |ORDER BY i""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // STRING zone maps under the gate: the sink records byte-lexicographic
+    // per-chunk [min, max] for vlen-utf8 values; a prefix predicate prunes
+    // to the chunks whose bounds can hold it (ZarrChunkStatsSpec pins
+    // partition counts; this pins VALUES against DuckDB).
+    Q(
+      "q41_zarr_string_prune",
+      (s, _) => {
+        val root = CoreQueries.q41Store(s)
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("v")
+          .filter(col("value").startsWith("doc01") || col("value") >= "doc0190")
+          .orderBy("i")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS i, 'doc' || lpad(CAST(t.i AS VARCHAR), 4, '0') AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 200)) t
+             |WHERE ('doc' || lpad(CAST(t.i AS VARCHAR), 4, '0')) LIKE 'doc01%'
+             |   OR ('doc' || lpad(CAST(t.i AS VARCHAR), 4, '0')) >= 'doc0190'
+             |ORDER BY i""".stripMargin)
     )
   )
+
+  /** Build the q41 store once per JVM: the product sink writing vlen-utf8
+    * string values (chunk stats on by default) over i (200, chunks 25). */
+  private[queries] def q41Store(s: SparkSession): String = synchronized {
+    val root = FixtureCache.root("q41")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      s.range(0, 200)
+        .select(
+          col("id").cast("int").as("i"),
+          concat(lit("doc"), lpad(col("id").cast("string"), 4, "0")).as("value")
+        )
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("chunks", "25").option("compressor", "zlib")
+        .mode("append").save()
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
 
   /** Build the q40 store once per JVM: the product sink writing i8 values
     * with chunk statistics on (the default) over i (200, chunks 25). */

@@ -1,6 +1,7 @@
 package graft.sources.zarr
 
 import org.apache.spark.sql.sources._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-chunk value statistics — the zarr analog of parquet column zone maps.
   *
@@ -11,15 +12,19 @@ import org.apache.spark.sql.sources._
   * engine filters after materialization); at 100 TB this is the difference
   * between decompressing every chunk and touching only the matching slice.
   *
+  * Three value domains: `int` (exact Long bounds — integers, bool,
+  * datetime64/timedelta64 in micros), `float` (Double bounds, NaN ordered
+  * greatest and -0.0 normalized, matching Spark), `string` (byte-
+  * lexicographic UTF-8 bounds — the same binary order Spark strings use,
+  * which also makes prefix predicates prunable).
+  *
   * Soundness contract:
   *  - bounds cover EVERY readable cell of a written chunk (fill-valued
   *    sparse cells and ragged-edge padding included — padding only widens);
   *  - a chunk with a `null` bounds entry was written but holds no
   *    comparable (non-null) cell — no comparison predicate can match it;
   *  - a chunk ABSENT from the map was never written: every cell reads as
-  *    the array fill value, evaluated pointwise;
-  *  - NaN orders greatest and -0.0 is normalized to 0.0, matching Spark's
-  *    comparison semantics exactly;
+  *    the array fill value, evaluated pointwise (null fill never matches);
   *  - datetime64/timedelta64 bounds are stored in MICROS after the same
   *    unit conversion the read path applies (ZDtype.m8Micros), so they
   *    compare directly against Spark timestamp/interval literals.
@@ -35,14 +40,15 @@ object ZarrChunkStats {
 
   val AttrKey = "graft:chunk_stats"
 
-  /** Value domain of a dtype for stats purposes: Some(true) = exact Long
-    * bounds, Some(false) = Double bounds, None = unsupported (strings,
-    * complex, structured, uint64). */
-  def domainFor(dt: ZDtype): Option[Boolean] = dt.code match {
+  /** Stats domain of a dtype: "int" (exact Long), "float" (Double),
+    * "string" (byte-lexicographic), None = unsupported (complex,
+    * structured, uint64). */
+  def domainOf(dt: ZDtype): Option[String] = dt.code match {
     case ZDtype.BOOL | ZDtype.I1 | ZDtype.U1 | ZDtype.I2 | ZDtype.U2 | ZDtype.I4 | ZDtype.U4 |
         ZDtype.I8 | ZDtype.M8 | ZDtype.TD =>
-      Some(true)
-    case ZDtype.F2 | ZDtype.F4 | ZDtype.F8 => Some(false)
+      Some("int")
+    case ZDtype.F2 | ZDtype.F4 | ZDtype.F8 => Some("float")
+    case ZDtype.S | ZDtype.US | ZDtype.VSTR => Some("string")
     case _ => None
   }
 
@@ -50,13 +56,21 @@ object ZarrChunkStats {
   def norm(d: Double): Double = if (d == 0.0) 0.0 else d
 
   /** Per-chunk bounds keyed by C-order linear chunk ordinal over the FULL
-    * chunk grid. `None` bounds = written chunk with no comparable cell. */
+    * chunk grid. `None` bounds = written chunk with no comparable cell.
+    * Exactly one of the three maps is populated, per `domain`. */
   final case class Doc(
-      intDomain: Boolean,
+      domain: String,
       nChunks: Long,
-      boundsI: Map[Long, Option[(Long, Long)]],
-      boundsF: Map[Long, Option[(Double, Double)]]
-  ) extends Serializable
+      boundsI: Map[Long, Option[(Long, Long)]] = Map.empty,
+      boundsF: Map[Long, Option[(Double, Double)]] = Map.empty,
+      boundsS: Map[Long, Option[(String, String)]] = Map.empty
+  ) extends Serializable {
+    def written: Int = domain match {
+      case "int" => boundsI.size
+      case "float" => boundsF.size
+      case _ => boundsS.size
+    }
+  }
 
   private def jsonNumF(d: Double): String =
     if (d.isNaN) "\"NaN\""
@@ -65,18 +79,25 @@ object ZarrChunkStats {
     else d.toString
 
   def toJson(doc: Doc): String = {
-    val entries =
-      if (doc.intDomain)
+    val entries: Seq[String] = doc.domain match {
+      case "int" =>
         doc.boundsI.toSeq.sortBy(_._1).map {
           case (k, Some((lo, hi))) => s""""$k": [$lo, $hi]"""
           case (k, None) => s""""$k": null"""
         }
-      else
+      case "float" =>
         doc.boundsF.toSeq.sortBy(_._1).map {
           case (k, Some((lo, hi))) => s""""$k": [${jsonNumF(lo)}, ${jsonNumF(hi)}]"""
           case (k, None) => s""""$k": null"""
         }
-    s"""{"domain": "${if (doc.intDomain) "int" else "float"}", "n": ${doc.nChunks}, """ +
+      case _ =>
+        doc.boundsS.toSeq.sortBy(_._1).map {
+          case (k, Some((lo, hi))) =>
+            s""""$k": [${ZarrStoreWriter.jsonStr(lo)}, ${ZarrStoreWriter.jsonStr(hi)}]"""
+          case (k, None) => s""""$k": null"""
+        }
+    }
+    s"""{"domain": "${doc.domain}", "n": ${doc.nChunks}, """ +
       s""""chunks": {${entries.mkString(", ")}}}"""
   }
 
@@ -87,9 +108,8 @@ object ZarrChunkStats {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       val j = JsonMethods.parse(raw)
-      val intDomain = (j \ "domain") match {
-        case JString("int") => true
-        case JString("float") => false
+      val domain = (j \ "domain") match {
+        case JString(d @ ("int" | "float" | "string")) => d
         case _ => return None
       }
       val n = (j \ "n") match {
@@ -116,22 +136,30 @@ object ZarrChunkStats {
         case JObject(fields) => fields
         case _ => return None
       }
-      if (intDomain) {
-        val m = chunkFields.map {
-          case (k, JNull) => k.toLong -> None
-          case (k, JArray(List(lo, hi))) =>
-            k.toLong -> Some((numL(lo).getOrElse(return None), numL(hi).getOrElse(return None)))
-          case _ => return None
-        }.toMap
-        Some(Doc(intDomain = true, n, m, Map.empty))
-      } else {
-        val m = chunkFields.map {
-          case (k, JNull) => k.toLong -> None
-          case (k, JArray(List(lo, hi))) =>
-            k.toLong -> Some((numD(lo).getOrElse(return None), numD(hi).getOrElse(return None)))
-          case _ => return None
-        }.toMap
-        Some(Doc(intDomain = false, n, Map.empty, m))
+      domain match {
+        case "int" =>
+          val m = chunkFields.map {
+            case (k, JNull) => k.toLong -> None
+            case (k, JArray(List(lo, hi))) =>
+              k.toLong -> Some((numL(lo).getOrElse(return None), numL(hi).getOrElse(return None)))
+            case _ => return None
+          }.toMap
+          Some(Doc("int", n, boundsI = m))
+        case "float" =>
+          val m = chunkFields.map {
+            case (k, JNull) => k.toLong -> None
+            case (k, JArray(List(lo, hi))) =>
+              k.toLong -> Some((numD(lo).getOrElse(return None), numD(hi).getOrElse(return None)))
+            case _ => return None
+          }.toMap
+          Some(Doc("float", n, boundsF = m))
+        case _ =>
+          val m = chunkFields.map {
+            case (k, JNull) => k.toLong -> None
+            case (k, JArray(List(JString(lo), JString(hi)))) => k.toLong -> Some((lo, hi))
+            case _ => return None
+          }.toMap
+          Some(Doc("string", n, boundsS = m))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -189,6 +217,34 @@ object ZarrChunkStats {
     case _ => None
   }
 
+  /** String-domain translation reuses the coordinate-axis predicate model
+    * ([[CoordPredStr]]) — binary UTF-8 interval tests including the
+    * prefix-truncation rule for startsWith. Conjuncts flatten. */
+  def translateStr(f: Filter, colName: String): Option[Vector[CoordPredStr]] = f match {
+    case EqualTo(a, v: String) if a == colName => Some(Vector(CoordPredStr.Eq(utf8(v))))
+    case GreaterThan(a, v: String) if a == colName => Some(Vector(CoordPredStr.Gt(utf8(v))))
+    case GreaterThanOrEqual(a, v: String) if a == colName => Some(Vector(CoordPredStr.Ge(utf8(v))))
+    case LessThan(a, v: String) if a == colName => Some(Vector(CoordPredStr.Lt(utf8(v))))
+    case LessThanOrEqual(a, v: String) if a == colName => Some(Vector(CoordPredStr.Le(utf8(v))))
+    case StringStartsWith(a, p) if a == colName => Some(Vector(CoordPredStr.StartsWith(utf8(p))))
+    case In(a, vs) if a == colName && vs.forall(_.isInstanceOf[String]) =>
+      Some(Vector(CoordPredStr.InSet(vs.map(v => utf8(v.asInstanceOf[String])).toSet)))
+    case And(l, r) =>
+      (translateStr(l, colName), translateStr(r, colName)) match {
+        case (Some(a), Some(b)) => Some(a ++ b)
+        case _ => None
+      }
+    case Or(l, r) =>
+      (translateStr(l, colName), translateStr(r, colName)) match {
+        // Or of single preds maps to the axis-model Or; anything wider declines
+        case (Some(Vector(a)), Some(Vector(b))) => Some(Vector(CoordPredStr.Or(a, b)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
   /** Literal -> Long stats domain (exact; timestamps/intervals as micros —
     * the same representation the stats were written in). */
   def convLong(v: Any): Option[Long] = v match {
@@ -217,11 +273,11 @@ object ZarrChunkStats {
 
   // ---- the executor-shippable pruner ---------------------------------
 
-  /** Decide chunk skips from stats + predicates. `gridDims` is the full
-    * chunk-grid extent per dim (C-order strides derived from it); `fill*`
-    * is the array fill in the stats domain (None = null fill). Bounded:
-    * the doc is only written for grids <= 65536 chunks (~2 MB ceiling in
-    * the task binary, same order as an eager coordinate axis). */
+  /** Decide chunk skips from stats + predicates. `gridStrides` is derived
+    * from the full chunk-grid extents; `fill` is the array fill in the
+    * stats domain (None = null fill). Bounded: the doc is only written for
+    * grids <= 65536 chunks (~3 MB ceiling in the task binary, same order
+    * as an eager coordinate axis). */
   sealed trait Pruner extends Serializable {
     def skip(chunkIdx: Array[Int]): Boolean
     def describe: String
@@ -258,14 +314,6 @@ object ZarrChunkStats {
   /** NaN-greatest total order (java compare), matching Spark. */
   private implicit val doubleTotal: Ordering[Double] = Ordering.Double.TotalOrdering
 
-  /** Per-column pruners over one shared chunk grid (aligned multi-array
-    * scans): predicates are conjuncts, so a chunk skips when ANY column's
-    * predicates cannot match it. */
-  final case class Conjunction(ps: Vector[Pruner]) extends Pruner {
-    def skip(chunkIdx: Array[Int]): Boolean = ps.exists(_.skip(chunkIdx))
-    def describe: String = ps.map(_.describe).mkString("[", " & ", "]")
-  }
-
   final case class DoublePruner(
       preds: Vector[Pred[Double]],
       bounds: Map[Long, Option[(Double, Double)]],
@@ -286,5 +334,41 @@ object ZarrChunkStats {
       }
     }
     def describe: String = desc
+  }
+
+  /** String-domain pruner over byte-lexicographic bounds; predicates are
+    * the coordinate-axis model's (anyIn = interval can-match, eval = fill
+    * pointwise). */
+  final case class StringPruner(
+      preds: Vector[CoordPredStr],
+      bounds: Map[Long, Option[(String, String)]],
+      fill: Option[String],
+      gridStrides: Array[Long],
+      desc: String
+  ) extends Pruner {
+    @transient private lazy val boundsU: Map[Long, Option[(UTF8String, UTF8String)]] =
+      bounds.map { case (k, v) => k -> v.map { case (lo, hi) => (utf8(lo), utf8(hi)) } }
+    @transient private lazy val fillU: Option[UTF8String] = fill.map(utf8)
+    def skip(chunkIdx: Array[Int]): Boolean = {
+      val ord = ordinalOf(chunkIdx, gridStrides)
+      boundsU.get(ord) match {
+        case Some(Some((lo, hi))) => preds.exists(p => !p.anyIn(lo, hi))
+        case Some(None) => true
+        case None =>
+          fillU match {
+            case Some(f) => preds.exists(p => !p.eval(f))
+            case None => true
+          }
+      }
+    }
+    def describe: String = desc
+  }
+
+  /** Per-column pruners over one shared chunk grid (aligned multi-array
+    * scans): predicates are conjuncts, so a chunk skips when ANY column's
+    * predicates cannot match it. */
+  final case class Conjunction(ps: Vector[Pruner]) extends Pruner {
+    def skip(chunkIdx: Array[Int]): Boolean = ps.exists(_.skip(chunkIdx))
+    def describe: String = ps.map(_.describe).mkString("[", " & ", "]")
   }
 }

@@ -283,7 +283,7 @@ class ZarrScanBuilder(
         .map(d => (m.shape(d) + m.chunks(d) - 1) / m.chunks(d))
         .toVector
       val total = nChunksVec.map(_.toLong).product
-      if (doc.nChunks == total && ZarrChunkStats.domainFor(m.zdtype).contains(doc.intDomain))
+      if (doc.nChunks == total && ZarrChunkStats.domainOf(m.zdtype).contains(doc.domain))
         Some((doc, IndexMath.strides(nChunksVec)))
       else None
     }
@@ -292,6 +292,7 @@ class ZarrScanBuilder(
     else statsGeomFor(meta)
   private var statsPredsL: Vector[ZarrChunkStats.Pred[Long]] = Vector.empty
   private var statsPredsD: Vector[ZarrChunkStats.Pred[Double]] = Vector.empty
+  private var statsPredsS: Vector[CoordPredStr] = Vector.empty
   private var statsPredDescs: Vector[String] = Vector.empty
   // aligned scans: one pruner per value column that has both stats and
   // translated predicates; a chunk skips if ANY column's conjuncts cannot
@@ -729,16 +730,23 @@ class ZarrScanBuilder(
     // zone-map pruner when the store carries chunk stats
     statsGeom.foreach { case (doc, _) =>
       residual.foreach { f =>
-        if (doc.intDomain)
-          ZarrChunkStats.translate(f, statsValueCol, ZarrChunkStats.convLong).foreach { p =>
-            statsPredsL :+= p
-            statsPredDescs :+= f.toString
-          }
-        else
-          ZarrChunkStats.translate(f, statsValueCol, ZarrChunkStats.convDouble).foreach { p =>
-            statsPredsD :+= p
-            statsPredDescs :+= f.toString
-          }
+        doc.domain match {
+          case "int" =>
+            ZarrChunkStats.translate(f, statsValueCol, ZarrChunkStats.convLong).foreach { p =>
+              statsPredsL :+= p
+              statsPredDescs :+= f.toString
+            }
+          case "float" =>
+            ZarrChunkStats.translate(f, statsValueCol, ZarrChunkStats.convDouble).foreach { p =>
+              statsPredsD :+= p
+              statsPredDescs :+= f.toString
+            }
+          case _ =>
+            ZarrChunkStats.translateStr(f, statsValueCol).foreach { ps =>
+              statsPredsS ++= ps
+              statsPredDescs :+= f.toString
+            }
+        }
       }
     }
     // aligned scans: per-column pruners (shared chunk grid, so one skip
@@ -746,26 +754,34 @@ class ZarrScanBuilder(
     if (valueCols.size > 1)
       alignedPruners = valueCols.toVector.flatMap { case (name, m) =>
         statsGeomFor(m).flatMap { case (doc, strides) =>
-          if (doc.intDomain) {
-            val preds = residual.toVector
-              .flatMap(f => ZarrChunkStats.translate(f, name, ZarrChunkStats.convLong))
-            if (preds.isEmpty) None
-            else
-              statsFillLongOf(m) match {
-                case Right(fill) =>
-                  Some(ZarrChunkStats.LongPruner(preds, doc.boundsI, fill, strides, s"$name:${preds.size}"))
-                case Left(_) => None
-              }
-          } else {
-            val preds = residual.toVector
-              .flatMap(f => ZarrChunkStats.translate(f, name, ZarrChunkStats.convDouble))
-            if (preds.isEmpty) None
-            else
-              Some(
-                ZarrChunkStats.DoublePruner(
-                  preds, doc.boundsF, m.fillValue.map(ZarrChunkStats.norm), strides, s"$name:${preds.size}"
+          doc.domain match {
+            case "int" =>
+              val preds = residual.toVector
+                .flatMap(f => ZarrChunkStats.translate(f, name, ZarrChunkStats.convLong))
+              if (preds.isEmpty) None
+              else
+                statsFillLongOf(m) match {
+                  case Right(fill) =>
+                    Some(ZarrChunkStats.LongPruner(preds, doc.boundsI, fill, strides, s"$name:${preds.size}"))
+                  case Left(_) => None
+                }
+            case "float" =>
+              val preds = residual.toVector
+                .flatMap(f => ZarrChunkStats.translate(f, name, ZarrChunkStats.convDouble))
+              if (preds.isEmpty) None
+              else
+                Some(
+                  ZarrChunkStats.DoublePruner(
+                    preds, doc.boundsF, m.fillValue.map(ZarrChunkStats.norm), strides, s"$name:${preds.size}"
+                  )
                 )
-              )
+            case _ =>
+              val preds = residual.toVector.flatMap(f => ZarrChunkStats.translateStr(f, name)).flatten
+              if (preds.isEmpty) None
+              else
+                Some(
+                  ZarrChunkStats.StringPruner(preds, doc.boundsS, m.fillValueStr, strides, s"$name:${preds.size}")
+                )
           }
         }
       }
@@ -797,24 +813,28 @@ class ZarrScanBuilder(
       )
     statsGeom.flatMap { case (doc, strides) =>
       val desc = statsPredDescs.mkString("[", ", ", "]")
-      if (doc.intDomain && statsPredsL.nonEmpty)
-        statsFillLong match {
-          case Right(f) => Some(ZarrChunkStats.LongPruner(statsPredsL, doc.boundsI, f, strides, desc))
-          case Left(_) => None
-        }
-      else if (!doc.intDomain && statsPredsD.nonEmpty)
-        // float fill: NaN is a real cell value (orders greatest); an absent
-        // fill means unwritten chunks read as null
-        Some(
-          ZarrChunkStats.DoublePruner(
-            statsPredsD,
-            doc.boundsF,
-            meta.fillValue.map(ZarrChunkStats.norm),
-            strides,
-            desc
+      doc.domain match {
+        case "int" if statsPredsL.nonEmpty =>
+          statsFillLong match {
+            case Right(f) => Some(ZarrChunkStats.LongPruner(statsPredsL, doc.boundsI, f, strides, desc))
+            case Left(_) => None
+          }
+        case "float" if statsPredsD.nonEmpty =>
+          // float fill: NaN is a real cell value (orders greatest); an
+          // absent fill means unwritten chunks read as null
+          Some(
+            ZarrChunkStats.DoublePruner(
+              statsPredsD,
+              doc.boundsF,
+              meta.fillValue.map(ZarrChunkStats.norm),
+              strides,
+              desc
+            )
           )
-        )
-      else None
+        case "string" if statsPredsS.nonEmpty =>
+          Some(ZarrChunkStats.StringPruner(statsPredsS, doc.boundsS, meta.fillValueStr, strides, desc))
+        case _ => None
+      }
     }
   }
 
@@ -907,40 +927,52 @@ class ZarrScanBuilder(
   ): Option[(StructField, ((Int => Any, Long)) => Any, Any)] = statsGeom.flatMap { case (doc, _) =>
     if (!fullSelection) None
     else {
-      val anyMissing =
-        (if (doc.intDomain) doc.boundsI.size else doc.boundsF.size) < doc.nChunks
+      val anyMissing = doc.written.toLong < doc.nChunks
       val vt = fullSchema(statsValueCol).dataType
       val name = if (wantMin) s"min($statsValueCol)" else s"max($statsValueCol)"
-      if (doc.intDomain) {
-        val fillC: Option[Long] =
-          if (!anyMissing) None
-          else
-            statsFillLong match {
-              case Right(f) => f // None = null fill: contributes nothing
-              case Left(_) => return None // un-mappable fill: refuse
+      doc.domain match {
+        case "int" =>
+          val fillC: Option[Long] =
+            if (!anyMissing) None
+            else
+              statsFillLong match {
+                case Right(f) => f // None = null fill: contributes nothing
+                case Left(_) => return None // un-mappable fill: refuse
+              }
+          val cands = doc.boundsI.values.flatten.map(b => if (wantMin) b._1 else b._2) ++ fillC
+          val res: Any =
+            if (cands.isEmpty) null
+            else internalOfLong(if (wantMin) cands.min else cands.max, vt)
+          Some((StructField(name, vt, nullable = true), (_: (Int => Any, Long)) => res, null))
+        case "float" =>
+          val fillC: Option[Double] =
+            if (!anyMissing) None
+            else meta.fillValue.map(ZarrChunkStats.norm) // None = null fill
+          val cands = doc.boundsF.values.flatten.map(b => if (wantMin) b._1 else b._2) ++ fillC
+          val res: Any =
+            if (cands.isEmpty) null
+            else {
+              val v =
+                if (wantMin) cands.min(Ordering.Double.TotalOrdering)
+                else cands.max(Ordering.Double.TotalOrdering)
+              vt match {
+                case FloatType => v.toFloat
+                case _ => v
+              }
             }
-        val cands = doc.boundsI.values.flatten.map(b => if (wantMin) b._1 else b._2) ++ fillC
-        val res: Any =
-          if (cands.isEmpty) null
-          else internalOfLong(if (wantMin) cands.min else cands.max, vt)
-        Some((StructField(name, vt, nullable = true), (_: (Int => Any, Long)) => res, null))
-      } else {
-        val fillC: Option[Double] =
-          if (!anyMissing) None
-          else meta.fillValue.map(ZarrChunkStats.norm) // None = null fill
-        val cands = doc.boundsF.values.flatten.map(b => if (wantMin) b._1 else b._2) ++ fillC
-        val res: Any =
-          if (cands.isEmpty) null
-          else {
-            val v =
-              if (wantMin) cands.min(Ordering.Double.TotalOrdering)
-              else cands.max(Ordering.Double.TotalOrdering)
-            vt match {
-              case FloatType => v.toFloat
-              case _ => v
-            }
-          }
-        Some((StructField(name, vt, nullable = true), (_: (Int => Any, Long)) => res, null))
+          Some((StructField(name, vt, nullable = true), (_: (Int => Any, Long)) => res, null))
+        case _ =>
+          // byte-lexicographic extremum of string bounds + fill — exact for
+          // the same reason the numeric domains are
+          val fillC: Option[String] = if (!anyMissing) None else meta.fillValueStr
+          val cands =
+            (doc.boundsS.values.flatten.map(b => if (wantMin) b._1 else b._2) ++ fillC)
+              .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+          val res: Any =
+            if (cands.isEmpty) null
+            else if (wantMin) cands.min(Ordering.comparatorToOrdering(java.util.Comparator.naturalOrder[org.apache.spark.unsafe.types.UTF8String]()))
+            else cands.max(Ordering.comparatorToOrdering(java.util.Comparator.naturalOrder[org.apache.spark.unsafe.types.UTF8String]()))
+          Some((StructField(name, vt, nullable = true), (_: (Int => Any, Long)) => res, null))
       }
     }
   }
@@ -962,14 +994,21 @@ class ZarrScanBuilder(
     if (!fullSelection || code == ZDtype.M8 || code == ZDtype.TD) None
     else {
       val total = keep.map(_.length.toLong).product
-      val fillIsNull =
-        if (doc.intDomain) statsFillLong match {
-          case Right(None) => true
-          case Right(Some(_)) => false
-          case Left(_) => return None
-        }
-        else meta.fillValue.isEmpty
-      val written = if (doc.intDomain) doc.boundsI.keySet else doc.boundsF.keySet
+      val fillIsNull = doc.domain match {
+        case "int" =>
+          statsFillLong match {
+            case Right(None) => true
+            case Right(Some(_)) => false
+            case Left(_) => return None
+          }
+        case "float" => meta.fillValue.isEmpty
+        case _ => meta.fillValueStr.isEmpty
+      }
+      val written: Set[Long] = doc.domain match {
+        case "int" => doc.boundsI.keySet
+        case "float" => doc.boundsF.keySet
+        case _ => doc.boundsS.keySet
+      }
       if (!fillIsNull || written.size.toLong == doc.nChunks) Some(total)
       else {
         // subtract the cells of never-written (null-fill) chunks, ragged

@@ -135,20 +135,53 @@ object ZarrSink {
     case other => throw new IllegalArgumentException(s"zarr sink: unsupported dimension type $other")
   }
 
+  /** One flushed chunk's bounds in whichever stats domain applies; unused
+    * fields stay at their defaults. */
+  private[zarr] final case class ChunkBounds(
+      ord: Long,
+      has: Boolean,
+      loL: Long = 0L,
+      hiL: Long = 0L,
+      loD: Double = 0.0,
+      hiD: Double = 0.0,
+      loS: String = null,
+      hiS: String = null
+  )
+
+  /** Byte-lexicographic [min, max] over a string chunk's cells (fill-
+    * prefilled, so never null) — the same binary UTF-8 order Spark strings
+    * compare in. */
+  private def stringBoundsRecord(ordinal: Long, cells: Array[String]): ChunkBounds = {
+    var lo: String = null
+    var hi: String = null
+    var loB: Array[Byte] = null
+    var hiB: Array[Byte] = null
+    var i = 0
+    while (i < cells.length) {
+      val s = cells(i)
+      if (s != null) {
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (lo == null || java.util.Arrays.compareUnsigned(b, loB) < 0) { lo = s; loB = b }
+        if (hi == null || java.util.Arrays.compareUnsigned(b, hiB) > 0) { hi = s; hiB = b }
+      }
+      i += 1
+    }
+    ChunkBounds(ordinal, has = lo != null, loS = lo, hiS = hi)
+  }
+
   /** [min, max] over EVERY cell of a flushed chunk buffer (fill-prefilled
     * sparse cells and ragged-edge padding included — padding only widens,
     * never narrows, so the bounds stay sound). Long domain converts M8/TD
     * raw units to micros exactly like the read path (NaT cells are null
     * and excluded); double domain orders NaN greatest and normalizes -0.0,
-    * matching Spark comparisons. Record: (chunkOrdinal, hasBounds, loL,
-    * hiL, loD, hiD). */
+    * matching Spark comparisons. */
   private def chunkBoundsRecord(
       ordinal: Long,
       dt: ZDtype,
       buf: ByteBuffer,
       elems: Int,
       intDomain: Boolean
-  ): (Long, Boolean, Long, Long, Double, Double) =
+  ): ChunkBounds =
     if (intDomain) {
       var mn = Long.MaxValue
       var mx = Long.MinValue
@@ -173,7 +206,7 @@ object ZarrSink {
         if (!skip) { any = true; if (v < mn) mn = v; if (v > mx) mx = v }
         i += 1
       }
-      (ordinal, any, mn, mx, 0.0, 0.0)
+      ChunkBounds(ordinal, any, loL = mn, hiL = mx)
     } else {
       var mn = Double.NaN
       var mx = Double.NaN
@@ -193,7 +226,7 @@ object ZarrSink {
         }
         i += 1
       }
-      (ordinal, any, 0L, 0L, mn, mx)
+      ChunkBounds(ordinal, any, loD = mn, hiD = mx)
     }
 
   /** Encode one row's value into a chunk buffer — shared by the per-chunk
@@ -528,25 +561,36 @@ object ZarrSink {
     // Sharded stores record bounds per INNER chunk — the scan's pruning
     // granularity — so a pruned inner chunk skips its byte-range read
     // inside the shard object.
-    val statsDomain: Option[Boolean] =
-      if (strValue || structValue) None else ZarrChunkStats.domainFor(zdt)
+    val statsDomain: Option[String] =
+      if (structValue) None else ZarrChunkStats.domainOf(zdt)
     val statsOn: Boolean =
       statsDomain.isDefined && totalChunks <= 65536 &&
         opts.get("chunk_stats").forall(_.toBoolean)
     var statsDoc: Option[ZarrChunkStats.Doc] = None
-    def buildStatsDoc(rows: Array[(Long, Boolean, Long, Long, Double, Double)]): Unit =
+    def buildStatsDoc(rows: Array[ChunkBounds]): Unit =
       if (statsOn) {
-        val intDomain = statsDomain.getOrElse(true)
+        val domain = statsDomain.get
         statsDoc = Some(
-          ZarrChunkStats.Doc(
-            intDomain,
-            totalChunks,
-            if (intDomain)
-              rows.map { case (c, has, lo, hi, _, _) => c -> (if (has) Some((lo, hi)) else None) }.toMap
-            else Map.empty,
-            if (intDomain) Map.empty
-            else rows.map { case (c, has, _, _, lo, hi) => c -> (if (has) Some((lo, hi)) else None) }.toMap
-          )
+          domain match {
+            case "int" =>
+              ZarrChunkStats.Doc(
+                "int",
+                totalChunks,
+                boundsI = rows.map(r => r.ord -> (if (r.has) Some((r.loL, r.hiL)) else None)).toMap
+              )
+            case "float" =>
+              ZarrChunkStats.Doc(
+                "float",
+                totalChunks,
+                boundsF = rows.map(r => r.ord -> (if (r.has) Some((r.loD, r.hiD)) else None)).toMap
+              )
+            case _ =>
+              ZarrChunkStats.Doc(
+                "string",
+                totalChunks,
+                boundsS = rows.map(r => r.ord -> (if (r.has) Some((r.loS, r.hiS)) else None)).toMap
+              )
+          }
         )
       }
 
@@ -554,17 +598,21 @@ object ZarrSink {
       case None if isStrValue =>
         // ---- string (vlen-utf8) chunks: one cells array at a time; unset
         // cells become the fill string so written-chunk and absent-chunk
-        // reads agree
+        // reads agree. Stats: byte-lexicographic [min, max] per chunk.
         val prepared =
           indexed.select(chunkExpr.as("__chunk"), localExpr.as("__local"), col("value").as("__value"))
         val parts = math.max(1L, math.min(shufflePartitions.toLong, totalChunks)).toInt
-        prepared
+        val statsOnSerStr = statsOn
+        val strStatsRows: Array[ChunkBounds] = prepared
           .repartition(parts, col("__chunk"))
           .sortWithinPartitions("__chunk")
-          .foreachPartition { (rows: Iterator[Row]) =>
+          .rdd
+          .mapPartitions { (rows: Iterator[Row]) =>
             var current = -1L
             var cells: Array[String] = null
+            val stats = Array.newBuilder[ChunkBounds]
             def flush(): Unit = if (current >= 0L) {
+              if (statsOnSerStr) stats += stringBoundsRecord(current, cells)
               val raw = ZarrStoreWriter.vlenEncode(cells)
               val bytes =
                 if (isV3) v3CfgsSer.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, 1))
@@ -590,7 +638,10 @@ object ZarrSink {
               cells(r.getLong(1).toInt) = if (v == null) fillStrSer else v
             }
             flush()
+            stats.result().iterator
           }
+          .collect()
+        buildStatsDoc(strStatsRows)
 
       case None =>
         // ---- one task-streamed chunk buffer at a time; each chunk is one
@@ -602,8 +653,8 @@ object ZarrSink {
           indexed.select(chunkExpr.as("__chunk"), localExpr.as("__local"), col("value").as("__value"))
         val parts = math.max(1L, math.min(shufflePartitions.toLong, totalChunks)).toInt
         val statsOnSer = statsOn
-        val statsIntSer = statsDomain.getOrElse(true)
-        val statsRows: Array[(Long, Boolean, Long, Long, Double, Double)] = prepared
+        val statsIntSer = statsDomain.contains("int")
+        val statsRows: Array[ChunkBounds] = prepared
           .repartition(parts, col("__chunk"))
           .sortWithinPartitions("__chunk")
           .rdd
@@ -611,7 +662,7 @@ object ZarrSink {
             val order = if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
             var current = -1L
             var buf: ByteBuffer = null
-            val stats = Array.newBuilder[(Long, Boolean, Long, Long, Double, Double)]
+            val stats = Array.newBuilder[ChunkBounds]
             def flush(): Unit = if (current >= 0L) {
               if (statsOnSer) stats += chunkBoundsRecord(current, dt, buf, elems, statsIntSer)
               val bytes =
@@ -677,8 +728,8 @@ object ZarrSink {
         val innerStrides = IndexMath.strides(innerPerVec).toArray
         val nInner = innerPerVec.map(_.toLong).product.toInt
         val statsOnSerSh = statsOn
-        val statsIntSerSh = statsDomain.getOrElse(true)
-        val shardStatsRows: Array[(Long, Boolean, Long, Long, Double, Double)] = prepared
+        val statsIntSerSh = statsDomain.contains("int")
+        val shardStatsRows: Array[ChunkBounds] = prepared
           .repartition(parts, col("__shard"))
           .sortWithinPartitions("__shard", "__chunk")
           .rdd
@@ -691,11 +742,12 @@ object ZarrSink {
             var cells: Array[String] = null // string values: vlen inner chunks
             val shardData = new java.io.ByteArrayOutputStream()
             val index = new Array[Long](nInner * 2)
-            val stats = Array.newBuilder[(Long, Boolean, Long, Long, Double, Double)]
+            val stats = Array.newBuilder[ChunkBounds]
             def flushChunk(): Unit = if (curChunk >= 0L) {
               // bounds per INNER chunk — the scan's pruning granularity
-              if (statsOnSerSh && !isStrValue)
-                stats += chunkBoundsRecord(curChunk, dt, buf, elems, statsIntSerSh)
+              if (statsOnSerSh)
+                stats += (if (isStrValue) stringBoundsRecord(curChunk, cells)
+                          else chunkBoundsRecord(curChunk, dt, buf, elems, statsIntSerSh))
               val raw =
                 if (isStrValue) ZarrStoreWriter.vlenEncode(cells) else buf.array()
               val enc = v3CfgsSer.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, math.max(dt.itemSize, 1)))
@@ -769,6 +821,9 @@ object ZarrSink {
       if (!ZarrFileIO.exists(gj, storageOptions))
         ZarrFileIO.writeString(gj, storageOptions, """{"zarr_format": 3, "node_type": "group"}""")
       val endianStr = if (zdt.bigEndian) "big" else "little"
+      val statsAttrsJson: String = statsDoc
+        .map(d => s"""{"${ZarrChunkStats.AttrKey}": ${ZarrChunkStats.toJson(d)}}""")
+        .getOrElse("{}")
       val arrayDoc = shardsOpt match {
         case None if strValue =>
           // data_type "string": vlen-utf8 replaces the bytes codec
@@ -781,7 +836,7 @@ object ZarrSink {
              |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
              |"fill_value": ${ZarrStoreWriter.jsonStr(fillStr)},
              |"codecs": $allCodecs,
-             |"attributes": {},
+             |"attributes": $statsAttrsJson,
              |"dimension_names": $dimNames}""".stripMargin
         case None =>
           ZarrStoreWriterV3.arrayJson(
@@ -808,7 +863,7 @@ object ZarrSink {
              |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
              |"fill_value": ${ZarrStoreWriter.jsonStr(fillStr)},
              |"codecs": [$shardingCfg],
-             |"attributes": {},
+             |"attributes": $statsAttrsJson,
              |"dimension_names": $dimNames}""".stripMargin
         case Some(shards) =>
           // chunk_grid carries the SHARD shape; the sharding codec nests the

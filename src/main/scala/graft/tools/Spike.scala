@@ -391,10 +391,9 @@ object Spike {
         }
       }.collect()
     val doc = ZarrChunkStats.Doc(
-      intDomain = false,
+      "float",
       nChunks.toLong,
-      Map.empty,
-      stats.map { case (c, lo, hi) => c -> Some((lo, hi)) }.toMap
+      boundsF = stats.map { case (c, lo, hi) => c -> Some((lo, hi)) }.toMap
     )
     java.nio.file.Files.writeString(
       ad.resolve(".zattrs"),

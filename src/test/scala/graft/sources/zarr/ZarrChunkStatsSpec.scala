@@ -37,7 +37,7 @@ class ZarrChunkStatsSpec extends AnyFunSuite with SparkTester {
     val store = new ZarrStore(root, Map.empty, None, None)
     val attr = store.arrayMeta("v").attrs(ZarrChunkStats.AttrKey)
     val doc = ZarrChunkStats.parse(attr).get
-    assert(doc.intDomain && doc.nChunks == 10)
+    assert(doc.domain == "int" && doc.nChunks == 10)
     assert(doc.boundsI(0L).contains((0L, 90L)))
     assert(doc.boundsI(9L).contains((900L, 990L)))
   }
@@ -238,17 +238,54 @@ class ZarrChunkStatsSpec extends AnyFunSuite with SparkTester {
   }
 
   test("stale stats are ignored when the grid no longer matches") {
-    val doc = ZarrChunkStats.Doc(intDomain = true, nChunks = 99, Map(0L -> Some((0L, 1L))), Map.empty)
+    val doc = ZarrChunkStats.Doc("int", nChunks = 99, boundsI = Map(0L -> Some((0L, 1L))))
     val json = ZarrChunkStats.toJson(doc)
     val parsed = ZarrChunkStats.parse(json).get
     assert(parsed == doc)
     // round-trip of float specials (compare via json: NaN != NaN under ==)
     val f = ZarrChunkStats.Doc(
-      intDomain = false, nChunks = 2,
-      Map.empty,
-      Map(0L -> Some((Double.NegativeInfinity, Double.NaN)), 1L -> None)
+      "float", nChunks = 2,
+      boundsF = Map(0L -> Some((Double.NegativeInfinity, Double.NaN)), 1L -> None)
     )
     val json2 = ZarrChunkStats.toJson(f)
     assert(ZarrChunkStats.toJson(ZarrChunkStats.parse(json2).get) == json2)
+    // string bounds round-trip with escapes
+    val s = ZarrChunkStats.Doc(
+      "string", nChunks = 2,
+      boundsS = Map(0L -> Some(("a\"b", "z\\9")), 1L -> None)
+    )
+    assert(ZarrChunkStats.parse(ZarrChunkStats.toJson(s)).get == s)
+  }
+
+  test("string values: byte-lex bounds prune equality, ranges and prefixes") {
+    val root = tmp()
+    // doc0000..doc0099 over i, chunks 10 -> per-chunk prefixes doc000x..
+    spark.range(0, 100)
+      .select(
+        col("id").cast("int").as("i"),
+        concat(lit("doc"), lpad(col("id").cast("string"), 4, "0")).as("value")
+      )
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "10")
+      .mode("append").save()
+    val store = new ZarrStore(root, Map.empty, None, None)
+    val doc = ZarrChunkStats.parse(store.arrayMeta("v").attrs(ZarrChunkStats.AttrKey)).get
+    assert(doc.domain == "string" && doc.boundsS(3L).contains(("doc0030", "doc0039")))
+    // equality: one chunk
+    val qe = read(root).filter(col("value") === "doc0057")
+    assert(qe.rdd.getNumPartitions == 1 && qe.count() == 1)
+    // range: chunks 8, 9
+    val qr = read(root).filter(col("value") >= "doc0085")
+    assert(qr.rdd.getNumPartitions == 2)
+    assert(qr.orderBy("i").collect().map(_.getString(1)).toSeq ==
+      (85 until 100).map(i => f"doc$i%04d"))
+    // prefix: doc004x lives in chunk 4 only
+    val qp = read(root).filter(col("value").startsWith("doc004"))
+    assert(qp.rdd.getNumPartitions == 1 && qp.count() == 10)
+    // metadata-only min/max over the full selection
+    val qm = read(root).agg(min("value"), max("value"))
+    assert(qm.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val rm = qm.collect().head
+    assert(rm.getString(0) == "doc0000" && rm.getString(1) == "doc0099")
   }
 }
