@@ -54,7 +54,10 @@ object DumpPlans {
       "opens. No BatchScan, no HashAggregate over data in the plan."),
     "q40_zarr_stats_prune" -> ("Chunk-statistics zone maps: the value predicate stays a residual " +
       "Filter (row-exactness) but the ZarrScan carries statsPruned=[...] — chunks whose [min,max] " +
-      "cannot match are never opened, the parquet-zone-map shape at zarr-chunk granularity.")
+      "cannot match are never opened, the parquet-zone-map shape at zarr-chunk granularity."),
+    "q41_zarr_string_prune" -> ("STRING zone maps: byte-lexicographic per-chunk bounds absorb " +
+      "prefix and range predicates on vlen-utf8 values (statsPruned on the ZarrScan); the " +
+      "residual Filter keeps row exactness while pruned chunks are never decoded.")
   )
 
   def main(args: Array[String]): Unit = {
