@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.{write => cw}
 import org.apache.spark.sql.sources._
@@ -258,6 +258,7 @@ class ZarrScanBuilder(
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var keep: Vector[KeptSet] = base.keep
@@ -316,6 +317,50 @@ class ZarrScanBuilder(
   }
 
   override def isPartiallyPushed(): Boolean = true
+
+  private var topNPushed = false
+
+  /** ORDER BY <dim> LIMIT k: the top-k rows can only carry the k smallest
+    * (or largest) leading-dim row values, so the kept set of that dim
+    * narrows to the indices holding them — ties at the boundary value kept
+    * in full, so deeper tie-break columns stay correct. PARTIAL push
+    * (isPartiallyPushed = true): Spark re-sorts and re-limits on top; the
+    * scan just stops reading chunks that cannot contain a winner. `ORDER BY
+    * time DESC LIMIT 5` over a 10^9-step store touches one chunk. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder], limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (orders.isEmpty || limit <= 0) return false
+    val first = orders.head
+    val colName = singleField(first.expression()).getOrElse(return false)
+    val d = eagerDim(colName).getOrElse(return false)
+    val ks = keep(d)
+    if (ks.length == 0 || ks.length > maxExplicitKept) return false
+    // null cells would need NullOrdering-aware placement; label axes with
+    // nulls just decline (partial push is an optimization)
+    if (dimNullable(d) && nonNullKeptCount(d) < ks.length) return false
+    var prodOther = 1L
+    keep.indices.foreach(e => if (e != d) prodOther *= keep(e).length)
+    if (prodOther == 0) return false
+    val needVals = math.min(ks.length.toLong, (limit.toLong + prodOther - 1) / prodOther).toInt
+    if (needVals >= ks.length) return false // nothing to prune
+    val asc = first.direction() == SortDirection.ASCENDING
+    val pairs = new Array[(Any, Int)](ks.length)
+    var i = 0
+    while (i < ks.length) { val g = ks(i); pairs(i) = (coords(d)(g), g); i += 1 }
+    val sorted = pairs.sortWith { case ((a, _), (b, _)) =>
+      if (asc) cellCompare(a, b) < 0 else cellCompare(a, b) > 0
+    }
+    // extend through boundary-value ties: a dropped tie could be the true
+    // winner under deeper order columns
+    val boundary = sorted(needVals - 1)._1
+    var end = needVals
+    while (end < sorted.length && cellCompare(sorted(end)._1, boundary) == 0) end += 1
+    if (end >= sorted.length) return false
+    val idx = sorted.take(end).map(_._2).sorted
+    keep = keep.updated(d, KeptSet.fromIndices(idx))
+    topNPushed = true
+    true
+  }
 
   private def dimIndex(name: String): Option[Int] = {
     val i = meta.dims.indexOf(name)
@@ -1043,7 +1088,7 @@ class ZarrScanBuilder(
   /** Plan a complete aggregate pushdown, or None when any piece needs chunk
     * data (value column, deferred axis, unsupported function). */
   private def planAggregate(agg: Aggregation): Option[(StructType, Array[InternalRow])] = {
-    if (pushedLimit.isDefined) return None
+    if (pushedLimit.isDefined || topNPushed) return None
     val groupDims: Vector[Int] = agg.groupByExpressions.toVector.map { e =>
       singleField(e).flatMap(eagerDim) match {
         case Some(d) => d
@@ -1100,6 +1145,57 @@ class ZarrScanBuilder(
           val n = distinctNonNullKept(d)
           val f: GroupCtx => Any = _ => n
           (StructField(s"count(DISTINCT ${meta.dims(d)})", LongType, nullable = false), f, 0L)
+        }
+      case sm: Sum if !sm.isDistinct =>
+        // INTEGRAL dims only: exact in any evaluation order (floating sums
+        // are order-dependent — Spark's own execution owns those); plan-
+        // time overflow aborts the pushdown (planAggregateSafe), keeping
+        // ANSI overflow behavior on the real scan
+        val d = singleField(sm.column).flatMap(eagerDim).getOrElse(return None)
+        val asLong: Int => Long = coords(d) match {
+          case Coord.Ints(a) => g => a(g).toLong
+          case Coord.Longs(a) => g => a(g)
+          case Coord.Index(_) => g => g.toLong
+          case _ => return None
+        }
+        if (groupSet.contains(d)) {
+          val others = prodExcept(groupSet)
+          val f: GroupCtx => Any = { case (gv, mult) =>
+            gv(d) match {
+              case null => null
+              case v => Math.multiplyExact(v.asInstanceOf[Number].longValue(), Math.multiplyExact(mult, others))
+            }
+          }
+          (StructField(s"sum(${meta.dims(d)})", LongType, nullable = true), f, null)
+        } else {
+          var s = 0L
+          keptForeach(d)(g => s = Math.addExact(s, asLong(g)))
+          val factor = prodExcept(groupSet + d)
+          val f: GroupCtx => Any = { case (_, mult) => Math.multiplyExact(s, Math.multiplyExact(mult, factor)) }
+          (StructField(s"sum(${meta.dims(d)})", LongType, nullable = true), f, null)
+        }
+      case av: Avg if !av.isDistinct =>
+        // each kept value of d repeats equally across a group, so the group
+        // average is the plain average of d's kept values — exact long sum,
+        // one double division (at least as accurate as the executed plan)
+        val d = singleField(av.column).flatMap(eagerDim).getOrElse(return None)
+        val asLong: Int => Long = coords(d) match {
+          case Coord.Ints(a) => g => a(g).toLong
+          case Coord.Longs(a) => g => a(g)
+          case Coord.Index(_) => g => g.toLong
+          case _ => return None
+        }
+        if (groupSet.contains(d)) {
+          val f: GroupCtx => Any = { case (gv, _) =>
+            gv(d) match { case null => null; case v => v.asInstanceOf[Number].doubleValue() }
+          }
+          (StructField(s"avg(${meta.dims(d)})", DoubleType, nullable = true), f, null)
+        } else {
+          var s = 0L
+          keptForeach(d)(g => s = Math.addExact(s, asLong(g)))
+          val n = keep(d).length
+          val r: Any = if (n == 0) null else s.toDouble / n
+          (StructField(s"avg(${meta.dims(d)})", DoubleType, nullable = true), (_: GroupCtx) => r, null)
         }
       case m: Min =>
         singleField(m.column) match {
@@ -1168,13 +1264,19 @@ class ZarrScanBuilder(
     Some((schema, rows.result()))
   }
 
+  /** Plan-time arithmetic overflow (huge SUM factors) aborts the pushdown —
+    * the executed plan then reproduces Spark's own ANSI overflow behavior. */
+  private def planAggregateSafe(agg: Aggregation): Option[(StructType, Array[InternalRow])] =
+    try planAggregate(agg)
+    catch { case _: ArithmeticException => None }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean = {
-    if (plannedAgg.isEmpty) plannedAgg = planAggregate(agg)
+    if (plannedAgg.isEmpty) plannedAgg = planAggregateSafe(agg)
     plannedAgg.isDefined
   }
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (plannedAgg.isEmpty) plannedAgg = planAggregate(agg)
+    if (plannedAgg.isEmpty) plannedAgg = planAggregateSafe(agg)
     plannedAgg.isDefined
   }
 

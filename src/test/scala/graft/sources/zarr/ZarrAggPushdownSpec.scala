@@ -127,6 +127,26 @@ class ZarrAggPushdownSpec extends AnyFunSuite with SparkTester {
     assert(rows.forall(r => r.getLong(1) == 3L * 15 && r.getFloat(2) == 30f && r.getFloat(3) == 35f && r.getLong(4) == 3L))
   }
 
+  test("sum/avg over integral dims push complete and match the chunk scan") {
+    val q = df.filter(col("time") >= 2)
+      .groupBy("time")
+      .agg(sum("lon").as("s"), avg("lon").as("a"), sum("time").as("st"), avg("time").as("at"))
+    assertMetadataOnly(q)
+    val oracle = df.filter(col("value") > -1e9f && col("time") >= 2)
+      .groupBy("time")
+      .agg(sum("lon").as("s"), avg("lon").as("a"), sum("time").as("st"), avg("time").as("at"))
+    assert(planOf(oracle).contains("BatchScan"))
+    assert(q.orderBy("time").collect().toSeq == oracle.orderBy("time").collect().toSeq)
+    // global, with a float dim refused (falls back) but integral fine
+    val g = df.agg(sum("time"), avg("lon"))
+    assertMetadataOnly(g)
+    val r = g.collect().head
+    assert(r.getLong(0) == (0 until 12).map(_.toLong).sum * 10 * 15)
+    assert(r.getDouble(1) == (0 until 15).map(_.toDouble).sum / 15)
+    // float dims: sum is order-dependent, pushdown refuses
+    assert(planOf(df.agg(sum("lat"))).contains("BatchScan"))
+  }
+
   test("scan reports exact row-count statistics; pruned scans auto-broadcast") {
     // full scan: 1800 rows; pruned: 150
     val full = df
@@ -139,6 +159,45 @@ class ZarrAggPushdownSpec extends AnyFunSuite with SparkTester {
     val joined = other.join(pruned, "lat")
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("ORDER BY dim LIMIT k prunes to the chunks holding the winners") {
+    // scan cell count (in the scan description) is the observable: the
+    // leading-dim kept set narrows to the winner candidates (1 of 12 time
+    // values x 150 rows each), not the full 1800 cells
+    def scanCells(d: org.apache.spark.sql.DataFrame): String = {
+      val p = d.queryExecution.executedPlan.toString
+      "cells=(\\d+)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("?")
+    }
+    val asc = df.orderBy("time").limit(3)
+    assert(scanCells(asc) == "150", asc.queryExecution.executedPlan.toString)
+    assert(asc.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 0))
+    val desc = df.orderBy(col("time").desc).limit(5)
+    assert(scanCells(desc) == "150")
+    assert(desc.collect().map(_.getInt(0)).toSeq == Seq(11, 11, 11, 11, 11))
+    // deeper tie-break columns stay correct: the kept candidate set holds
+    // EVERY row of the boundary time value, so lat/lon winners survive
+    val top = df.orderBy(col("time").desc, col("lat").desc, col("lon").desc).limit(2)
+    assert(scanCells(top) == "150")
+    assert(top.collect().map(r => (r.getInt(0), r.getFloat(1), r.getLong(2))).toSeq ==
+      Seq((11, 39f, 14L), (11, 39f, 13L)))
+  }
+
+  test("TopN boundary ties survive (duplicate coordinate values)") {
+    val r2 = java.nio.file.Files.createTempDirectory("zarrtopn").toString
+    val dir = ZarrStoreWriter.writeGroup(r2)
+    ZarrStoreWriter.writeArray(
+      dir, "v", Vector(6, 4), Vector(3, 2), "<f8", flat => flat.toDouble,
+      dims = Some(Vector("day", "site"))
+    )
+    ZarrStoreWriter.writeCoord(dir, "day", Coord.Ints(Array(0, 0, 1, 1, 2, 2)))
+    ZarrStoreWriter.consolidate(dir)
+    val d = spark.read.format("zarr").option("path", r2).option("array", "v").load()
+    // top-4 by day: day=0 spans indices {0, 1} (a tie at the boundary) —
+    // both must stay kept or a deeper tie-break could lose the true winner
+    val q = d.orderBy("day", "site").limit(4).collect()
+    assert(q.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 0L), (0, 0L), (0, 1L), (0, 1L)))
   }
 
   test("LIMIT pushed first refuses aggregate pushdown") {
