@@ -949,8 +949,55 @@ object CoreQueries {
              |WHERE ('doc' || lpad(CAST(t.i AS VARCHAR), 4, '0')) LIKE 'doc01%'
              |   OR ('doc' || lpad(CAST(t.i AS VARCHAR), 4, '0')) >= 'doc0190'
              |ORDER BY i""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // APPEND writes under the gate: create 0..99, append 100..149 (with a
+    // replayed batch id proving idempotence), scan the grown store.
+    Q(
+      "q42_zarr_append",
+      (s, _) => {
+        val root = CoreQueries.q42Store(s)
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("v")
+          .filter(col("i") >= 90)
+          .orderBy("i")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS i, CAST(t.i * 3 % 101 AS BIGINT) AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(90, 150)) t
+             |ORDER BY i""".stripMargin)
     )
   )
+
+  /** Build the q42 store once per JVM: sink-create i 0..99 (chunks 25),
+    * then APPEND 100..149 (batch 2) and REPLAY batch 2 (must no-op). */
+  private[queries] def q42Store(s: SparkSession): String = synchronized {
+    val root = FixtureCache.root("q42")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      def batch(lo: Int, hi: Int) =
+        s.range(lo, hi).select(col("id").cast("int").as("i"), (col("id") * 3 % 101).as("value"))
+      batch(0, 100)
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("chunks", "25").option("compressor", "zlib")
+        .option("append.dim", "i").option("append.batch_id", "1")
+        .mode("append").save()
+      batch(100, 150)
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("append.dim", "i").option("append.batch_id", "2")
+        .mode("append").save()
+      // replay: must be a no-op or the oracle rows double
+      batch(100, 150)
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("append.dim", "i").option("append.batch_id", "2")
+        .mode("append").save()
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
 
   /** Build the q41 store once per JVM: the product sink writing vlen-utf8
     * string values (chunk stats on by default) over i (200, chunks 25). */

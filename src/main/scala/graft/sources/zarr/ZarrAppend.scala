@@ -1,0 +1,299 @@
+package graft.sources.zarr
+
+import graft.model.IndexMath
+import graft.sources.Coord
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** APPEND writes along the leading dimension of an EXISTING v2 array —
+  * `df.write.format("zarr").option("append.dim", "time")` — the write-side
+  * complement of the streaming source (`stream.dim`): one job appends
+  * slabs, another streams them, each cell seen exactly once.
+  *
+  * Contract (v1, every violation rejects loudly before any byte lands):
+  *  - zarr v2, non-sharded, no numcodecs filters; numeric or vlen-utf8
+  *    string values;
+  *  - the append dim is the array's FIRST dim (C-order: existing chunk
+  *    files and existing chunk-stats ordinals stay valid — appending an
+  *    outer slab only ADDS chunk objects);
+  *  - the current extent sits on a chunk boundary (size batches to the
+  *    chunk; partial-chunk read-modify-write is exactly the mutable-object
+  *    pattern zarr stores avoid);
+  *  - non-append dims must carry exactly the store's existing axis values;
+  *  - new append-dim coordinate values must sort strictly AFTER the
+  *    existing axis (time moves forward), keeping the axis sorted so
+  *    deferred-axis pruning stays ≤ 2 boundary decodes;
+  *  - `append.batch_id=<long>` makes replays idempotent: a batch id at or
+  *    below the recorded one is a no-op (the foreachBatch streaming-sink
+  *    pattern). Metadata commit order is stats+batch-id, then shape — the
+  *    crash window between the two small metadata writes is documented
+  *    single-writer territory, like every plain-filesystem zarr writer.
+  *
+  * Chunk statistics: new chunks' bounds merge into the existing zone-map
+  * doc (same domain) with the grown grid size; a store without stats stays
+  * without (absence may be deliberate).
+  */
+object ZarrAppend {
+
+  val BatchAttrKey = "graft:append_batch"
+
+  def append(df: DataFrame, rawOptions: Map[String, String]): Unit = {
+    val opts = rawOptions.map { case (k, v) => k.toLowerCase -> v }
+    val path = opts("path")
+    val array = opts("array")
+    val group = opts.get("group")
+    val storageOptions = opts.collect { case (k, v) if k.startsWith("storage.") => k.drop("storage.".length) -> v }
+    val appendDim = opts("append.dim")
+    val batchId = opts.get("append.batch_id").map(_.toLong)
+    val spark = df.sparkSession
+
+    // fresh, UNconsolidated metadata — appends must see the live shape
+    val store = new ZarrStore(path, storageOptions, group, Some(false))
+    val meta = store.arrayMeta(array)
+    require(!meta.v3, "zarr append v1 supports zarr_format=2 arrays")
+    require(meta.shardShape.isEmpty, "zarr append does not support sharded arrays")
+    require(meta.filters.isEmpty, "zarr append does not support numcodecs-filtered arrays")
+    require(
+      meta.dims.headOption.contains(appendDim),
+      s"append.dim '$appendDim' must be the FIRST dimension of '${array}' (dims ${meta.dims.mkString(",")}) — " +
+        "outer-slab appends keep every existing chunk object and stats ordinal valid"
+    )
+    val strValue = ZDtype.isString(meta.zdtype.code)
+    require(
+      strValue || ZarrChunkStats.domainOf(meta.zdtype).exists(d => d == "int" || d == "float") ||
+        meta.zdtype.code == ZDtype.F2,
+      s"zarr append supports numeric and vlen-utf8 string values, not dtype '${meta.dtype}'"
+    )
+
+    // idempotent replay
+    val priorBatch: Option[Long] =
+      meta.attrs.get(BatchAttrKey).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    if (batchId.exists(id => priorBatch.exists(id <= _))) return
+
+    val extent = meta.shape.head
+    val chunk0 = meta.chunks.head
+    require(
+      extent % chunk0 == 0,
+      s"zarr append requires the current extent ($extent) on a chunk boundary (chunk $chunk0) — size batches to the chunk"
+    )
+    require(df.columns.contains("value"), "zarr append requires a 'value' column")
+    meta.dims.foreach(d => require(df.columns.contains(d), s"zarr append: missing dimension column '$d'"))
+
+    // ---- existing axes (eager-bounded; deferred axes refuse in coordFor)
+    val coords: Vector[Coord] =
+      meta.dims.zipWithIndex.map { case (d, i) => store.coordFor(d, meta.shape(i), 10000000) }
+    require(
+      !coords.exists(_.isInstanceOf[Coord.Deferred]),
+      "zarr append v1 requires driver-resident (eager) coordinate axes"
+    )
+
+    // ---- new append-dim values: distinct, sorted, strictly after the axis
+    val newValsRaw = df.select(col(appendDim)).distinct().limit(1000001).collect().map(_.get(0))
+    require(newValsRaw.length <= 1000000, "zarr append: > 1e6 new append-dim values in one batch")
+    require(newValsRaw.nonEmpty, "zarr append: empty batch")
+    val ord = ZarrSink.externalOrdering(df.schema(appendDim).dataType)
+    val newVals = newValsRaw.sorted(ord)
+    coords.head match {
+      case Coord.Index(_) =>
+        // positional axis: new "values" must be exactly the next indices
+        val expected = (extent.toLong until extent.toLong + newVals.length).toVector
+        val got = newVals.toVector.map {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => throw new IllegalArgumentException(s"positional append dim got $other")
+        }
+        require(got == expected, s"positional append dim must continue at $extent (got ${got.take(3).mkString(",")}...)")
+      case c =>
+        val last = c(extent - 1)
+        require(
+          ord.compare(newVals.head, externalOf(c, last)) > 0,
+          s"zarr append: new $appendDim values must sort strictly after the existing axis end"
+        )
+    }
+    val k = newVals.length
+    val newExtent = extent + k
+
+    // ---- row -> global index mapping: broadcast ordinal maps
+    val rank = meta.rank
+    val newShape = meta.shape.updated(0, newExtent)
+    val chunks = meta.chunks
+    val nChunksVec = newShape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    val gridStrides = IndexMath.strides(nChunksVec)
+    val chunkStrides = IndexMath.strides(chunks)
+    var indexed = df
+    meta.dims.zipWithIndex.foreach { case (d, di) =>
+      val dt = df.schema(d).dataType
+      val pairs: Seq[Row] =
+        if (di == 0) newVals.zipWithIndex.map { case (v, i) => Row(v, (extent + i).toLong) }.toSeq
+        else {
+          val c = coords(di)
+          require(
+            c.length == meta.shape(di),
+            s"axis '$d' length ${c.length} != shape ${meta.shape(di)}"
+          )
+          (0 until c.length).map(i => Row(externalOf(c, c(i)), i.toLong))
+        }
+      val idxSchema = org.apache.spark.sql.types.StructType(
+        Seq(
+          org.apache.spark.sql.types.StructField("__v", dt, nullable = false),
+          org.apache.spark.sql.types.StructField(s"__i$di", org.apache.spark.sql.types.LongType, nullable = false)
+        )
+      )
+      import scala.jdk.CollectionConverters._
+      val idxDf = spark.createDataFrame(pairs.asJava, idxSchema)
+      indexed = indexed.join(broadcast(idxDf), indexed(d) === idxDf("__v")).drop("__v")
+    }
+    // non-append dim values not present in the store's axes would silently
+    // drop in the join — count and reject instead
+    val inputRows = df.count()
+    val mappedRows = indexed.count()
+    require(
+      mappedRows == inputRows,
+      s"zarr append: ${inputRows - mappedRows} rows carry dimension values the store's axes do not have"
+    )
+
+    val chunkExpr = (0 until rank)
+      .map(di => expr(s"__i$di div ${chunks(di)}") * lit(gridStrides(di)))
+      .reduce(_ + _)
+    val localExpr = (0 until rank)
+      .map(di => (col(s"__i$di") % lit(chunks(di))) * lit(chunkStrides(di)))
+      .reduce(_ + _)
+    val elems = chunks.map(_.toLong).product.toInt
+    val fill = meta.fillValue.getOrElse(0.0)
+    val fillStr = meta.fillValueStr.getOrElse("")
+    val dt = meta.zdtype
+    val comp = meta.compressor
+    val arrayDirStr = store.arrayDir(array)
+    val executorOpts = ZarrFileIO.executorOptions(storageOptions)
+    val nChunksArr = nChunksVec.toArray
+    val statsDomain = ZarrChunkStats.domainOf(dt)
+    val existingStats = meta.attrs.get(ZarrChunkStats.AttrKey).flatMap(ZarrChunkStats.parse)
+    val statsOn = existingStats.exists(d => statsDomain.contains(d.domain)) &&
+      nChunksVec.map(_.toLong).product <= 65536
+    val statsOnSer = statsOn
+    val isStr = strValue
+    val intDomain = statsDomain.contains("int")
+
+    val totalNewChunks = nChunksVec.map(_.toLong).product
+    val parts = math.max(
+      1L,
+      math.min(spark.sessionState.conf.numShufflePartitions.toLong, totalNewChunks)
+    ).toInt
+    val statsRows: Array[ZarrSink.ChunkBounds] = indexed
+      .select(chunkExpr.as("__chunk"), localExpr.as("__local"), col("value").as("__value"))
+      .repartition(parts, col("__chunk"))
+      .sortWithinPartitions("__chunk")
+      .rdd
+      .mapPartitions { (rows: Iterator[Row]) =>
+        val order = if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+        var current = -1L
+        var buf: ByteBuffer = null
+        var cells: Array[String] = null
+        val stats = Array.newBuilder[ZarrSink.ChunkBounds]
+        def flush(): Unit = if (current >= 0L) {
+          if (statsOnSer)
+            stats += (if (isStr) ZarrSink.stringBoundsRecord(current, cells)
+                      else ZarrSink.chunkBoundsRecord(current, dt, buf, elems, intDomain))
+          val raw = if (isStr) ZarrStoreWriter.vlenEncode(cells) else buf.array()
+          val bytes = ZarrCodec.compress(comp, raw, typesize = math.max(dt.itemSize, 1))
+          val idx = new Array[Int](nChunksArr.length)
+          var rem = current
+          var d = nChunksArr.length - 1
+          while (d >= 0) { idx(d) = (rem % nChunksArr(d)).toInt; rem /= nChunksArr(d); d -= 1 }
+          ZarrFileIO.writeBytes(
+            new HPath(arrayDirStr, ZarrChunkIO.chunkFileName(idx.toSeq)),
+            executorOpts,
+            bytes
+          )
+        }
+        while (rows.hasNext) {
+          val r = rows.next()
+          val c = r.getLong(0)
+          if (c != current) {
+            flush()
+            current = c
+            if (isStr) {
+              if (cells == null) cells = new Array[String](elems)
+              java.util.Arrays.fill(cells.asInstanceOf[Array[AnyRef]], fillStr)
+            } else {
+              if (buf == null) buf = ByteBuffer.allocate(elems * dt.itemSize).order(order)
+              if (fill == 0.0) java.util.Arrays.fill(buf.array(), 0.toByte)
+              else { var i = 0; while (i < elems) { ZDtype.put(dt, buf, i, fill); i += 1 } }
+            }
+          }
+          if (isStr) {
+            val v = r.getString(2)
+            cells(r.getLong(1).toInt) = if (v == null) fillStr else v
+          } else ZarrSink.putCell(dt, buf, r.getLong(1).toInt, r.get(2), rCheck = false, 0L, 0L, meta.dtype)
+        }
+        flush()
+        stats.result().iterator
+      }
+      .collect()
+
+    // ---- metadata commit: coord array, then attrs (stats + batch id),
+    // then SHAPE (the visibility point), then consolidated snapshot
+    coords.head match {
+      case Coord.Index(_) => () // positional: nothing stored
+      case c =>
+        val existingExternal = Array.tabulate[Any](extent)(i => externalOf(c, c(i)))
+        ZarrSink.writeCoordArray(
+          store.groupDir,
+          appendDim,
+          existingExternal ++ newVals,
+          df.schema(appendDim).dataType,
+          meta.compressor,
+          storageOptions
+        )
+    }
+    val mergedStats: Option[ZarrChunkStats.Doc] =
+      if (!statsOn) None
+      else
+        existingStats.map { doc =>
+          val total = nChunksVec.map(_.toLong).product
+          doc.domain match {
+            case "int" =>
+              doc.copy(nChunks = total, boundsI = doc.boundsI ++ statsRows.map(r =>
+                r.ord -> (if (r.has) Some((r.loL, r.hiL)) else None)).toMap)
+            case "float" =>
+              doc.copy(nChunks = total, boundsF = doc.boundsF ++ statsRows.map(r =>
+                r.ord -> (if (r.has) Some((r.loD, r.hiD)) else None)).toMap)
+            case _ =>
+              doc.copy(nChunks = total, boundsS = doc.boundsS ++ statsRows.map(r =>
+                r.ord -> (if (r.has) Some((r.loS, r.hiS)) else None)).toMap)
+          }
+        }
+    val keptAttrs: Map[String, String] =
+      meta.attrs -- Seq(ZarrChunkStats.AttrKey, BatchAttrKey, "_ARRAY_DIMENSIONS") ++
+        mergedStats.map(d => ZarrChunkStats.AttrKey -> ZarrChunkStats.toJson(d)) ++
+        batchId.map(id => BatchAttrKey -> id.toString)
+    ZarrFileIO.writeString(
+      new HPath(arrayDirStr, ".zattrs"),
+      storageOptions,
+      ZarrStoreWriter.zattrsJson(Some(meta.dims), keptAttrs)
+    )
+    // shape last: an interrupted append leaves the new slab invisible
+    val zarrayRaw = ZarrFileIO
+      .readStringIfExists(new HPath(arrayDirStr, ".zarray"), storageOptions)
+      .getOrElse(throw new IllegalStateException(s"zarr append: missing .zarray under $arrayDirStr"))
+    val updated = zarrayRaw.replaceFirst(
+      """"shape"\s*:\s*\[[0-9,\s]*\]""",
+      s""""shape": [${newShape.mkString(",")}]"""
+    )
+    require(updated != zarrayRaw, "zarr append: could not rewrite .zarray shape")
+    ZarrFileIO.writeString(new HPath(arrayDirStr, ".zarray"), storageOptions, updated)
+    ZarrSink.consolidate(store.groupDir, storageOptions)
+  }
+
+  /** Internal coord cell -> the external (Row-compatible) value. */
+  private def externalOf(c: Coord, v: Any): Any = c match {
+    case _: Coord.Timestamps => java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(v.asInstanceOf[Long] * 1000L))
+    case _: Coord.Strings => v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    case _: Coord.Intervals => java.time.Duration.ofNanos(v.asInstanceOf[Long] * 1000L)
+    case _ => v
+  }
+}

@@ -159,7 +159,10 @@ object ZarrTable {
       Option(options.get("coord.deferred.threshold")).map(_.toInt).getOrElse(10000000)
     // streaming: the named dim is the growing append axis (readStream)
     val streamDim = Option(options.get("stream.dim"))
-    new ZarrTable(store, meta, sel, targetCells, coordThreshold, extras, streamDim)
+    // safety valve: `stats.pruning=false` ignores on-store chunk statistics
+    // (zone maps + metadata value aggregates) for this read
+    val useStats = Option(options.get("stats.pruning")).forall(_.toBoolean)
+    new ZarrTable(store, meta, sel, targetCells, coordThreshold, extras, streamDim, useStats)
   }
 }
 
@@ -170,7 +173,8 @@ class ZarrTable(
     targetCells: Long,
     coordThreshold: Int = Int.MaxValue,
     extras: Seq[ZarrArrayMeta] = Nil,
-    streamDim: Option[String] = None
+    streamDim: Option[String] = None,
+    useStats: Boolean = true
 ) extends Table
     with SupportsRead
     with SupportsWrite {
@@ -203,7 +207,7 @@ class ZarrTable(
     )
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(store, meta, resolved, coords, schema(), targetCells, valueCols, streamDim)
+    new ZarrScanBuilder(store, meta, resolved, coords, schema(), targetCells, valueCols, streamDim, useStats)
 
   // array exists: mode("overwrite") replaces it, mode("append") errors in
   // the sink with a clear message (no partial in-place chunk updates)
@@ -253,7 +257,8 @@ class ZarrScanBuilder(
     fullSchema: StructType,
     targetCells: Long,
     valueCols: Seq[(String, ZarrArrayMeta)] = Nil,
-    streamDim: Option[String] = None
+    streamDim: Option[String] = None,
+    useStats: Boolean = true
 ) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -279,7 +284,7 @@ class ZarrScanBuilder(
   private def effValueCols: Seq[(String, ZarrArrayMeta)] =
     if (valueCols.isEmpty) Seq("value" -> meta) else valueCols
   private def statsGeomFor(m: ZarrArrayMeta): Option[(ZarrChunkStats.Doc, Array[Long])] =
-    m.attrs.get(ZarrChunkStats.AttrKey).flatMap(ZarrChunkStats.parse).flatMap { doc =>
+    (if (useStats) m.attrs.get(ZarrChunkStats.AttrKey) else None).flatMap(ZarrChunkStats.parse).flatMap { doc =>
       val nChunksVec = m.shape.indices
         .map(d => (m.shape(d) + m.chunks(d) - 1) / m.chunks(d))
         .toVector

@@ -122,7 +122,7 @@ object ZarrSink {
     * diverge for supplementary-plane characters (emoji labels), and the
     * driver-side axis must sort identically to the distributed long-axis
     * path and to the scan's lexicographic pruning. */
-  private def externalOrdering(dt: DataType): Ordering[Any] = dt match {
+  private[zarr] def externalOrdering(dt: DataType): Ordering[Any] = dt match {
     case IntegerType => Ordering.by((v: Any) => v.asInstanceOf[Int])
     case LongType => Ordering.by((v: Any) => v.asInstanceOf[Long])
     case FloatType => Ordering.by((v: Any) => v.asInstanceOf[Float])(Ordering.Float.TotalOrdering)
@@ -151,7 +151,7 @@ object ZarrSink {
   /** Byte-lexicographic [min, max] over a string chunk's cells (fill-
     * prefilled, so never null) — the same binary UTF-8 order Spark strings
     * compare in. */
-  private def stringBoundsRecord(ordinal: Long, cells: Array[String]): ChunkBounds = {
+  private[zarr] def stringBoundsRecord(ordinal: Long, cells: Array[String]): ChunkBounds = {
     var lo: String = null
     var hi: String = null
     var loB: Array[Byte] = null
@@ -175,7 +175,7 @@ object ZarrSink {
     * raw units to micros exactly like the read path (NaT cells are null
     * and excluded); double domain orders NaN greatest and normalizes -0.0,
     * matching Spark comparisons. */
-  private def chunkBoundsRecord(
+  private[zarr] def chunkBoundsRecord(
       ordinal: Long,
       dt: ZDtype,
       buf: ByteBuffer,
@@ -232,7 +232,7 @@ object ZarrSink {
   /** Encode one row's value into a chunk buffer — shared by the per-chunk
     * and per-shard executor loops. Unsigned range validation fails loudly
     * instead of masking. */
-  private def putCell(
+  private[zarr] def putCell(
       dt: ZDtype,
       buf: ByteBuffer,
       local: Int,
@@ -290,7 +290,7 @@ object ZarrSink {
 
   /** External timestamp value → epoch micros (both java.sql and java.time
     * spellings, depending on spark.sql.datetime.java8API.enabled). */
-  private def micros(v: Any): Long = v match {
+  private[zarr] def micros(v: Any): Long = v match {
     case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
     case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000L
     case other => throw new IllegalArgumentException(s"zarr sink: bad timestamp value $other")
@@ -302,6 +302,23 @@ object ZarrSink {
       opts.getOrElse(k, throw new IllegalArgumentException(s"zarr sink requires option '$k'"))
     val path = required("path")
     val array = required("array")
+    // `append.dim`: extend an EXISTING array along its leading dimension
+    // (the streaming-foreachBatch pattern); a not-yet-existing array falls
+    // through to the normal create path, so the first batch bootstraps
+    if (opts.contains("append.dim") && !overwrite) {
+      val probe = new ZarrStore(
+        path,
+        opts.collect { case (k, v) if k.startsWith("storage.") => k.drop("storage.".length) -> v },
+        opts.get("group"),
+        Some(false)
+      )
+      val exists = try probe.listArrays().contains(array)
+      catch { case scala.util.control.NonFatal(_) => false }
+      if (exists) {
+        ZarrAppend.append(df, opts)
+        return
+      }
+    }
     val group = opts.get("group")
     val storageOptions = opts.collect { case (k, v) if k.startsWith("storage.") => k.drop("storage.".length) -> v }
     val spark = df.sparkSession
@@ -1194,7 +1211,7 @@ object ZarrSink {
   }
 
   /** Single-chunk 1-D coordinate array written through the Hadoop FS. */
-  private def writeCoordArray(
+  private[zarr] def writeCoordArray(
       groupDir: HPath,
       dim: String,
       vals: Array[Any],

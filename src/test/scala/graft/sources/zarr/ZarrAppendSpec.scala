@@ -1,0 +1,116 @@
+package graft.sources.zarr
+
+import graft.SparkTester
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Append writes (`append.dim`): extend an existing array along its
+  * leading dimension — chunk-aligned outer slabs, idempotent by batch id,
+  * zone maps merged, coordinate axis extended. Pairs with the streaming
+  * source for an end-to-end growing-store loop. */
+class ZarrAppendSpec extends AnyFunSuite with SparkTester {
+
+  private def writeBatch(root: String, lo: Int, hi: Int, batchId: Option[Long] = None): Unit = {
+    // full (t x s) cross product so the s axis always matches the store's
+    var w = spark.range(lo, hi).selectExpr("cast(id as int) as t")
+      .crossJoin(spark.range(0, 4).selectExpr("cast(id as int) as s"))
+      .withColumn("value", (col("t") * 4 + col("s")).cast("long"))
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "4,4")
+      .option("append.dim", "t")
+    batchId.foreach(id => w = w.option("append.batch_id", id.toString))
+    w.mode("append").save()
+  }
+
+  private def read(root: String): DataFrame =
+    spark.read.format("zarr").option("path", root).option("array", "v").load()
+
+  test("chunk-aligned appends extend shape, coords, values, and zone maps") {
+    val root = Files.createTempDirectory("zarrappend").toString
+    writeBatch(root, 0, 8, Some(1L)) // creates the store (first batch)
+    assert(read(root).count() == 32)
+    writeBatch(root, 8, 12, Some(2L)) // appends one t-chunk
+    val df = read(root)
+    assert(df.count() == 48)
+    val rows = df.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    for (t <- 0 until 12; s <- 0 until 4) assert(rows((t, s)) == t * 4L + s, s"cell ($t, $s)")
+    // zone maps merged: a predicate on the appended band prunes old chunks
+    val store = new ZarrStore(root, Map.empty, None, None)
+    val doc = ZarrChunkStats.parse(store.arrayMeta("v").attrs(ZarrChunkStats.AttrKey)).get
+    assert(doc.nChunks == 3 && doc.written == 3)
+    val pruned = spark.read.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("partition.target.cells", "1")
+      .load()
+      .filter(col("value") >= 40L)
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.count() == 8)
+  }
+
+  test("replayed batch ids are a no-op; stale ids too") {
+    val root = Files.createTempDirectory("zarrappend2").toString
+    writeBatch(root, 0, 4, Some(1L))
+    writeBatch(root, 4, 8, Some(2L))
+    assert(read(root).count() == 32)
+    writeBatch(root, 4, 8, Some(2L)) // exact replay
+    assert(read(root).count() == 32)
+    writeBatch(root, 0, 4, Some(1L)) // stale replay
+    assert(read(root).count() == 32)
+  }
+
+  test("misaligned extent, non-leading dim, backdated values all reject") {
+    val root = Files.createTempDirectory("zarrappend3").toString
+    spark.range(0, 6)
+      .selectExpr("cast(id as int) as t", "cast(0 as int) as s", "id as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "4,1")
+      .mode("append").save()
+    val more = spark.range(6, 10)
+      .selectExpr("cast(id as int) as t", "cast(0 as int) as s", "id as value")
+    val e1 = intercept[IllegalArgumentException] {
+      more.write.format("zarr").option("path", root).option("array", "v")
+        .option("append.dim", "t").mode("append").save()
+    }
+    assert(e1.getMessage.contains("chunk boundary"))
+    val e2 = intercept[IllegalArgumentException] {
+      more.write.format("zarr").option("path", root).option("array", "v")
+        .option("append.dim", "s").mode("append").save()
+    }
+    assert(e2.getMessage.contains("FIRST dimension"))
+    // aligned store, but values sort before the axis end
+    val root2 = Files.createTempDirectory("zarrappend4").toString
+    spark.range(0, 8)
+      .selectExpr("cast(id as int) as t", "cast(0 as int) as s", "id as value")
+      .write.format("zarr")
+      .option("path", root2).option("array", "v").option("chunks", "4,1")
+      .mode("append").save()
+    val e3 = intercept[IllegalArgumentException] {
+      spark.range(5, 9)
+        .selectExpr("cast(id as int) as t", "cast(0 as int) as s", "id as value")
+        .write.format("zarr").option("path", root2).option("array", "v")
+        .option("append.dim", "t").mode("append").save()
+    }
+    assert(e3.getMessage.contains("strictly after"))
+  }
+
+  test("streaming source picks up appended slabs end-to-end") {
+    val root = Files.createTempDirectory("zarrappendstream").toString
+    writeBatch(root, 0, 8, Some(1L))
+    val stream = spark.readStream.format("zarr")
+      .option("path", root).option("array", "v").option("stream.dim", "t")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("zappend").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("zappend").count() == 32)
+      writeBatch(root, 8, 12, Some(2L))
+      q.processAllAvailable()
+      val rows = spark.table("zappend").collect()
+      assert(rows.length == 48)
+      assert(rows.map(r => (r.getInt(0), r.getInt(1))).distinct.length == 48)
+    } finally q.stop()
+  }
+}
