@@ -82,6 +82,17 @@ object ZarrAppend {
     )
     require(df.columns.contains("value"), "zarr append requires a 'value' column")
     meta.dims.foreach(d => require(df.columns.contains(d), s"zarr append: missing dimension column '$d'"))
+    // fail BEFORE the distributed job, not mid-write in putCell
+    require(
+      (strValue && df.schema("value").dataType == org.apache.spark.sql.types.StringType) ||
+        (!strValue && df.schema("value").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) ||
+        (!strValue && Seq(
+          org.apache.spark.sql.types.BooleanType,
+          org.apache.spark.sql.types.TimestampType,
+          org.apache.spark.sql.types.DateType
+        ).contains(df.schema("value").dataType)),
+      s"zarr append: value column type ${df.schema("value").dataType} does not fit store dtype '${meta.dtype}'"
+    )
 
     // ---- existing axes (eager-bounded; deferred axes refuse in coordFor)
     val coords: Vector[Coord] =

@@ -172,9 +172,27 @@ object ZarrFileIO {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case f => f
     }
-    val out = fs.create(p, true)
-    try out.write(bytes)
-    finally out.close()
+    // local FS: write-then-atomic-rename so a concurrent reader (e.g. the
+    // streaming source polling .zarray while an append rewrites it) never
+    // observes a truncated file. Object stores already expose whole-object
+    // atomicity and keep the direct write (s3a rename is copy+delete — a
+    // MISSING-key window would be worse than the problem).
+    val local = Option(p.toUri.getScheme).forall(s => s == "file" || s.isEmpty)
+    if (local) {
+      val dst = java.nio.file.Paths.get(p.toUri.getPath)
+      Option(dst.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val tmp = dst.resolveSibling("." + dst.getFileName.toString + ".tmp" + Thread.currentThread().getId)
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(
+        tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING
+      )
+    } else {
+      val out = fs.create(p, true)
+      try out.write(bytes)
+      finally out.close()
+    }
   }
 
   def writeString(p: HPath, storageOptions: Map[String, String], s: String): Unit =

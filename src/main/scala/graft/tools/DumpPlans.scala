@@ -57,7 +57,10 @@ object DumpPlans {
       "cannot match are never opened, the parquet-zone-map shape at zarr-chunk granularity."),
     "q41_zarr_string_prune" -> ("STRING zone maps: byte-lexicographic per-chunk bounds absorb " +
       "prefix and range predicates on vlen-utf8 values (statsPruned on the ZarrScan); the " +
-      "residual Filter keeps row exactness while pruned chunks are never decoded.")
+      "residual Filter keeps row exactness while pruned chunks are never decoded."),
+    "q42_zarr_append" -> ("Append-grown store (create + chunk-aligned append + idempotent " +
+      "replay): the scan over the grown array is the same single BatchScan with the pushed " +
+      "i-range — appended slabs are indistinguishable from created ones.")
   )
 
   def main(args: Array[String]): Unit = {
