@@ -1218,6 +1218,9 @@ object CoreQueries {
         "graft/sources/zarr/ZarrStoreWriterV3$.class",
         "graft/sources/zarr/ZarrSink$.class",
         "graft/sources/zarr/ZarrSink.class",
+        // q42's store bytes come from the APPEND path and the zone-map doc
+        "graft/sources/zarr/ZarrAppend$.class",
+        "graft/sources/zarr/ZarrChunkStats$.class",
         "graft/sources/zarr/ZarrCodec$.class",
         "graft/sources/zarr/ZarrFilters$.class",
         "graft/sources/zarr/ZarrMeta$.class"
