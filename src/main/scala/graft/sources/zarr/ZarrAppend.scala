@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   *    deferred-axis pruning stays ≤ 2 boundary decodes;
   *  - `append.batch_id=<long>` makes replays idempotent: a batch id at or
   *    below the recorded one is a no-op (the foreachBatch streaming-sink
-  *    pattern). Metadata commit order is stats+batch-id, then shape — the
-  *    crash window between the two small metadata writes is documented
-  *    single-writer territory, like every plain-filesystem zarr writer.
+  *    pattern). Metadata commit order is stats, then shape, then the batch
+  *    id — the id is recorded only once the slab is VISIBLE, so a crash in
+  *    any window makes the replay either a clean rewrite or a loud
+  *    strictly-after violation, never a silently dropped batch.
   *
   * Chunk statistics: new chunks' bounds merge into the existing zone-map
   * doc (same domain) with the grown grid size; a store without stats stays
@@ -159,7 +160,10 @@ object ZarrAppend {
       indexed = indexed.join(broadcast(idxDf), indexed(d) === idxDf("__v")).drop("__v")
     }
     // non-append dim values not present in the store's axes would silently
-    // drop in the join — count and reject instead
+    // drop in the join — count and reject instead. Persist the mapped rows
+    // so the rows VALIDATED here are the rows WRITTEN below even for a
+    // nondeterministic source, and the input is scanned once, not thrice.
+    indexed = indexed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inputRows = df.count()
     val mappedRows = indexed.count()
     require(
@@ -188,6 +192,9 @@ object ZarrAppend {
     val statsOnSer = statsOn
     val isStr = strValue
     val intDomain = statsDomain.contains("int")
+    // in-shape-only stats geometry over the GROWN grid: appended boundary
+    // chunks may be ragged on any dim; padding cells must not widen bounds
+    val geom = ZarrSink.ChunkGeom(newShape.map(_.toLong).toArray, chunks.toArray, nChunksVec.toArray)
 
     val totalNewChunks = nChunksVec.map(_.toLong).product
     val parts = math.max(
@@ -207,8 +214,8 @@ object ZarrAppend {
         val stats = Array.newBuilder[ZarrSink.ChunkBounds]
         def flush(): Unit = if (current >= 0L) {
           if (statsOnSer)
-            stats += (if (isStr) ZarrSink.stringBoundsRecord(current, cells)
-                      else ZarrSink.chunkBoundsRecord(current, dt, buf, elems, intDomain))
+            stats += (if (isStr) ZarrSink.stringBoundsRecord(current, cells, geom)
+                      else ZarrSink.chunkBoundsRecord(current, dt, buf, geom, intDomain))
           val raw = if (isStr) ZarrStoreWriter.vlenEncode(cells) else buf.array()
           val bytes = ZarrCodec.compress(comp, raw, typesize = math.max(dt.itemSize, 1))
           val idx = new Array[Int](nChunksArr.length)
@@ -245,9 +252,16 @@ object ZarrAppend {
         stats.result().iterator
       }
       .collect()
+    indexed.unpersist(blocking = false)
 
-    // ---- metadata commit: coord array, then attrs (stats + batch id),
-    // then SHAPE (the visibility point), then consolidated snapshot
+    // ---- metadata commit: coord array, then attrs (stats, WITHOUT the
+    // batch id), then SHAPE, then attrs again WITH the batch id, then the
+    // consolidated snapshot. The batch id lands strictly AFTER the shape
+    // write: a crash in between leaves the slab visible but the batch
+    // unrecorded, so a replay fails LOUDLY (new values no longer strictly
+    // after the axis end) instead of silently dropping the batch — the
+    // failure mode of the reverse order, where a recorded-but-invisible
+    // batch replays as a no-op and the data is gone.
     coords.head match {
       case Coord.Index(_) => () // positional: nothing stored
       case c =>
@@ -278,16 +292,20 @@ object ZarrAppend {
                 r.ord -> (if (r.has) Some((r.loS, r.hiS)) else None)).toMap)
           }
         }
-    val keptAttrs: Map[String, String] =
-      meta.attrs -- Seq(ZarrChunkStats.AttrKey, BatchAttrKey, "_ARRAY_DIMENSIONS") ++
-        mergedStats.map(d => ZarrChunkStats.AttrKey -> ZarrChunkStats.toJson(d)) ++
-        batchId.map(id => BatchAttrKey -> id.toString)
+    val baseAttrs: Map[String, String] =
+      meta.attrs -- Seq(ZarrChunkStats.AttrKey, "_ARRAY_DIMENSIONS") ++
+        mergedStats.map(d => ZarrChunkStats.AttrKey -> ZarrChunkStats.toJson(d))
+    // stats first, PRIOR batch id retained: safe before the shape grows —
+    // appends are leading-dim only, so existing chunk ordinals are
+    // unchanged and the extra tail entries are never consulted under the
+    // old shape
     ZarrFileIO.writeString(
       new HPath(arrayDirStr, ".zattrs"),
       storageOptions,
-      ZarrStoreWriter.zattrsJson(Some(meta.dims), keptAttrs)
+      ZarrStoreWriter.zattrsJson(Some(meta.dims), baseAttrs)
     )
-    // shape last: an interrupted append leaves the new slab invisible
+    // shape: the visibility point — an interrupted append before this
+    // leaves the new slab invisible and the batch unrecorded (clean retry)
     val zarrayRaw = ZarrFileIO
       .readStringIfExists(new HPath(arrayDirStr, ".zarray"), storageOptions)
       .getOrElse(throw new IllegalStateException(s"zarr append: missing .zarray under $arrayDirStr"))
@@ -297,6 +315,14 @@ object ZarrAppend {
     )
     require(updated != zarrayRaw, "zarr append: could not rewrite .zarray shape")
     ZarrFileIO.writeString(new HPath(arrayDirStr, ".zarray"), storageOptions, updated)
+    // batch id LAST: recorded only once the slab is visible
+    batchId.foreach { id =>
+      ZarrFileIO.writeString(
+        new HPath(arrayDirStr, ".zattrs"),
+        storageOptions,
+        ZarrStoreWriter.zattrsJson(Some(meta.dims), (baseAttrs - BatchAttrKey) + (BatchAttrKey -> id.toString))
+      )
+    }
     ZarrSink.consolidate(store.groupDir, storageOptions)
   }
 

@@ -135,6 +135,67 @@ object ZarrSink {
     case other => throw new IllegalArgumentException(s"zarr sink: unsupported dimension type $other")
   }
 
+  /** Chunk-grid geometry for stats recording: decomposes a chunk ordinal
+    * into its grid position and visits the chunk-local linear index of
+    * every IN-SHAPE cell, skipping ragged-edge padding (cells past the
+    * array shape in a boundary chunk). Padding cells hold the fill value
+    * but are never readable, so including them would widen bounds with a
+    * value no query can observe — sound for pruning but WRONG for the
+    * scan's stats-only min/max aggregate (it would answer the fill from a
+    * store that never contains it). In-shape-only bounds are exact over
+    * readable cells, serving both. */
+  private[zarr] final case class ChunkGeom(
+      shape: Array[Long],
+      chunks: Array[Int],
+      nChunks: Array[Int]
+  ) extends Serializable {
+    private val strides: Array[Int] = {
+      val r = chunks.length
+      val s = new Array[Int](r)
+      var acc = 1
+      var d = r - 1
+      while (d >= 0) { s(d) = acc; acc *= chunks(d); d -= 1 }
+      s
+    }
+    val elems: Int = chunks.product
+
+    def foreachInShape(ordinal: Long)(f: Int => Unit): Unit = {
+      val r = chunks.length
+      val valid = new Array[Int](r)
+      var full = true
+      var rem = ordinal
+      var d = r - 1
+      while (d >= 0) {
+        val g = (rem % nChunks(d)).toInt
+        rem /= nChunks(d)
+        val v = math.min(chunks(d).toLong, shape(d) - g.toLong * chunks(d)).toInt
+        valid(d) = v
+        if (v != chunks(d)) full = false
+        d -= 1
+      }
+      if (full) {
+        var i = 0
+        while (i < elems) { f(i); i += 1 }
+      } else {
+        // odometer over the valid hyper-rectangle, linear index incremental
+        val idx = new Array[Int](r)
+        var lin = 0
+        var done = false
+        while (!done) {
+          f(lin)
+          var d2 = r - 1
+          var carry = true
+          while (carry && d2 >= 0) {
+            idx(d2) += 1
+            if (idx(d2) < valid(d2)) { lin += strides(d2); carry = false }
+            else { lin -= (valid(d2) - 1) * strides(d2); idx(d2) = 0; d2 -= 1 }
+          }
+          if (carry) done = true
+        }
+      }
+    }
+  }
+
   /** One flushed chunk's bounds in whichever stats domain applies; unused
     * fields stay at their defaults. */
   private[zarr] final case class ChunkBounds(
@@ -148,46 +209,48 @@ object ZarrSink {
       hiS: String = null
   )
 
-  /** Byte-lexicographic [min, max] over a string chunk's cells (fill-
-    * prefilled, so never null) — the same binary UTF-8 order Spark strings
-    * compare in. */
-  private[zarr] def stringBoundsRecord(ordinal: Long, cells: Array[String]): ChunkBounds = {
+  /** Byte-lexicographic [min, max] over a string chunk's IN-SHAPE cells
+    * (fill-prefilled, so never null) — the same binary UTF-8 order Spark
+    * strings compare in. */
+  private[zarr] def stringBoundsRecord(
+      ordinal: Long,
+      cells: Array[String],
+      geom: ChunkGeom
+  ): ChunkBounds = {
     var lo: String = null
     var hi: String = null
     var loB: Array[Byte] = null
     var hiB: Array[Byte] = null
-    var i = 0
-    while (i < cells.length) {
+    geom.foreachInShape(ordinal) { i =>
       val s = cells(i)
       if (s != null) {
         val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         if (lo == null || java.util.Arrays.compareUnsigned(b, loB) < 0) { lo = s; loB = b }
         if (hi == null || java.util.Arrays.compareUnsigned(b, hiB) > 0) { hi = s; hiB = b }
       }
-      i += 1
     }
     ChunkBounds(ordinal, has = lo != null, loS = lo, hiS = hi)
   }
 
-  /** [min, max] over EVERY cell of a flushed chunk buffer (fill-prefilled
-    * sparse cells and ragged-edge padding included — padding only widens,
-    * never narrows, so the bounds stay sound). Long domain converts M8/TD
-    * raw units to micros exactly like the read path (NaT cells are null
-    * and excluded); double domain orders NaN greatest and normalizes -0.0,
-    * matching Spark comparisons. */
+  /** [min, max] over every IN-SHAPE cell of a flushed chunk buffer (fill-
+    * prefilled sparse cells included — they are readable; ragged-edge
+    * padding excluded — it is not, and including it would poison the
+    * stats-only min/max aggregate with the fill value, see [[ChunkGeom]]).
+    * Long domain converts M8/TD raw units to micros exactly like the read
+    * path (NaT cells are null and excluded); double domain orders NaN
+    * greatest and normalizes -0.0, matching Spark comparisons. */
   private[zarr] def chunkBoundsRecord(
       ordinal: Long,
       dt: ZDtype,
       buf: ByteBuffer,
-      elems: Int,
+      geom: ChunkGeom,
       intDomain: Boolean
   ): ChunkBounds =
     if (intDomain) {
       var mn = Long.MaxValue
       var mx = Long.MinValue
       var any = false
-      var i = 0
-      while (i < elems) {
+      geom.foreachInShape(ordinal) { i =>
         var skip = false
         val v: Long = dt.code match {
           case ZDtype.BOOL | ZDtype.I1 => buf.get(i).toLong
@@ -204,15 +267,13 @@ object ZarrSink {
           case other => throw new IllegalStateException(s"stats domain int for dtype code $other")
         }
         if (!skip) { any = true; if (v < mn) mn = v; if (v > mx) mx = v }
-        i += 1
       }
       ChunkBounds(ordinal, any, loL = mn, hiL = mx)
     } else {
       var mn = Double.NaN
       var mx = Double.NaN
       var any = false
-      var i = 0
-      while (i < elems) {
+      geom.foreachInShape(ordinal) { i =>
         val v: Double = ZarrChunkStats.norm(dt.code match {
           case ZDtype.F2 => ZDtype.halfToFloat(buf.getShort(i * 2)).toDouble
           case ZDtype.F4 => buf.getFloat(i * 4).toDouble
@@ -224,7 +285,6 @@ object ZarrSink {
           if (java.lang.Double.compare(v, mn) < 0) mn = v
           if (java.lang.Double.compare(v, mx) > 0) mx = v
         }
-        i += 1
       }
       ChunkBounds(ordinal, any, loD = mn, hiD = mx)
     }
@@ -570,6 +630,9 @@ object ZarrSink {
     val fillStrSer = fillStr
     val isStrValue = strValue
     val structFillSer = structFill
+    // in-shape-only stats geometry: bounds must skip ragged-edge padding
+    // cells or the stats-only min/max aggregate answers the fill value
+    val geomSer = ChunkGeom(shape.map(_.toLong).toArray, chunks.toArray, nChunksVec.toArray)
 
     // ---- per-chunk value statistics (zone maps): on by default for
     // numeric/datetime dtypes on bounded grids; `chunk_stats=false` opts
@@ -629,7 +692,7 @@ object ZarrSink {
             var cells: Array[String] = null
             val stats = Array.newBuilder[ChunkBounds]
             def flush(): Unit = if (current >= 0L) {
-              if (statsOnSerStr) stats += stringBoundsRecord(current, cells)
+              if (statsOnSerStr) stats += stringBoundsRecord(current, cells, geomSer)
               val raw = ZarrStoreWriter.vlenEncode(cells)
               val bytes =
                 if (isV3) v3CfgsSer.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, 1))
@@ -681,7 +744,7 @@ object ZarrSink {
             var buf: ByteBuffer = null
             val stats = Array.newBuilder[ChunkBounds]
             def flush(): Unit = if (current >= 0L) {
-              if (statsOnSer) stats += chunkBoundsRecord(current, dt, buf, elems, statsIntSer)
+              if (statsOnSer) stats += chunkBoundsRecord(current, dt, buf, geomSer, statsIntSer)
               val bytes =
                 if (isV3) v3CfgsSer.foldLeft(buf.array())((b, cfg) => ZarrCodecV3.encode(cfg, b, dt.itemSize))
                 else ZarrCodec.compress(comp, buf.array(), typesize = dt.itemSize)
@@ -763,8 +826,8 @@ object ZarrSink {
             def flushChunk(): Unit = if (curChunk >= 0L) {
               // bounds per INNER chunk — the scan's pruning granularity
               if (statsOnSerSh)
-                stats += (if (isStrValue) stringBoundsRecord(curChunk, cells)
-                          else chunkBoundsRecord(curChunk, dt, buf, elems, statsIntSerSh))
+                stats += (if (isStrValue) stringBoundsRecord(curChunk, cells, geomSer)
+                          else chunkBoundsRecord(curChunk, dt, buf, geomSer, statsIntSerSh))
               val raw =
                 if (isStrValue) ZarrStoreWriter.vlenEncode(cells) else buf.array()
               val enc = v3CfgsSer.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, math.max(dt.itemSize, 1)))

@@ -96,6 +96,44 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     assert(e3.getMessage.contains("strictly after"))
   }
 
+  test("ragged slab bounds exclude padding; crash-window replay fails loudly") {
+    val root = Files.createTempDirectory("zarrappend5").toString
+    writeBatch(root, 0, 8, Some(1L))
+    // ragged slab: 2 new t values onto a chunk-4 grid -> edge chunk with
+    // 2 of 4 t-cells in shape; its bounds must not include the fill 0
+    spark.range(8, 10).selectExpr("cast(id as int) as t")
+      .crossJoin(spark.range(0, 4).selectExpr("cast(id as int) as s"))
+      .withColumn("value", (col("t") * 4 + col("s")).cast("long"))
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "4,4")
+      .option("append.dim", "t").option("append.batch_id", "2")
+      .mode("append").save()
+    val store = new ZarrStore(root, Map.empty, None, None)
+    val doc = ZarrChunkStats.parse(store.arrayMeta("v").attrs(ZarrChunkStats.AttrKey)).get
+    assert(doc.boundsI(2L).contains((32L, 39L)))
+    assert(read(root).count() == 40)
+    // crash window pinned by the commit ORDER (stats, shape, batch id
+    // LAST): if the writer dies after the shape write but before the batch
+    // id lands, the slab is visible and unrecorded — the replay must fail
+    // LOUDLY (strictly-after violation), never no-op away the batch.
+    // Simulate by rolling the recorded id back to the prior batch.
+    val zattrsPath = new org.apache.hadoop.fs.Path(store.arrayDir("v"), ".zattrs")
+    val raw = ZarrFileIO.readStringIfExists(zattrsPath, Map.empty).get
+    val rolled = raw.replace("\"" + ZarrAppend.BatchAttrKey + "\": 2", "\"" + ZarrAppend.BatchAttrKey + "\": 1")
+    assert(rolled != raw, s"could not roll back batch id in: $raw")
+    ZarrFileIO.writeString(zattrsPath, Map.empty, rolled)
+    val e = intercept[IllegalArgumentException] {
+      spark.range(8, 10).selectExpr("cast(id as int) as t")
+        .crossJoin(spark.range(0, 4).selectExpr("cast(id as int) as s"))
+        .withColumn("value", (col("t") * 4 + col("s")).cast("long"))
+        .write.format("zarr")
+        .option("path", root).option("array", "v").option("chunks", "4,4")
+        .option("append.dim", "t").option("append.batch_id", "2")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("chunk boundary") || e.getMessage.contains("strictly after"), e.getMessage)
+  }
+
   test("streaming source picks up appended slabs end-to-end") {
     val root = Files.createTempDirectory("zarrappendstream").toString
     writeBatch(root, 0, 8, Some(1L))

@@ -288,4 +288,68 @@ class ZarrChunkStatsSpec extends AnyFunSuite with SparkTester {
     val rm = qm.collect().head
     assert(rm.getString(0) == "doc0000" && rm.getString(1) == "doc0099")
   }
+
+  test("ragged-edge chunks: bounds exclude padding, stats-only min/max exact") {
+    // shape 10, chunks 8, fill 0, values 100..109 — the edge chunk's
+    // padding cells hold the fill but are UNREADABLE, so neither its
+    // bounds nor the metadata-only aggregate may answer 0
+    val root = tmp()
+    spark.range(0, 10)
+      .select(col("id").cast("int").as("i"), (col("id") + 100).as("value"))
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "8")
+      .mode("append").save()
+    val store = new ZarrStore(root, Map.empty, None, None)
+    val doc = ZarrChunkStats.parse(store.arrayMeta("v").attrs(ZarrChunkStats.AttrKey)).get
+    assert(doc.boundsI(0L).contains((100L, 107L)))
+    assert(doc.boundsI(1L).contains((108L, 109L))) // NOT (0, 109)
+    val q = read(root).agg(min("value"), max("value"))
+    assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val r = q.collect().head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 109L)
+    // string domain: the "" fill would byte-lex-sort below every real value
+    val rootS = tmp()
+    spark.range(0, 10)
+      .select(col("id").cast("int").as("i"),
+        concat(lit("x"), (col("id") + 100).cast("string")).as("value"))
+      .write.format("zarr")
+      .option("path", rootS).option("array", "v").option("chunks", "8")
+      .mode("append").save()
+    val docS = ZarrChunkStats.parse(
+      new ZarrStore(rootS, Map.empty, None, None).arrayMeta("v").attrs(ZarrChunkStats.AttrKey)).get
+    assert(docS.boundsS(1L).contains(("x108", "x109")))
+    val qs = read(rootS).agg(min("value"), max("value"))
+    assert(qs.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val rs = qs.collect().head
+    assert(rs.getString(0) == "x100" && rs.getString(1) == "x109")
+    // 2-D, ragged on BOTH dims (shape 3x10, chunks 2x8): the corner chunk
+    // is padded on two axes at once
+    val root2 = tmp()
+    spark.range(0, 30)
+      .select((col("id") / 10).cast("int").as("i"), (col("id") % 10).cast("int").as("j"),
+        (col("id") + 1000).as("value"))
+      .write.format("zarr")
+      .option("path", root2).option("array", "v").option("chunks", "2,8")
+      .mode("append").save()
+    val q2 = read(root2).agg(min("value"), max("value"))
+    assert(q2.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val r2 = q2.collect().head
+    assert(r2.getLong(0) == 1000L && r2.getLong(1) == 1029L)
+    // sharded v3: per-inner-chunk bounds on a ragged tail shard
+    val rootSh = tmp()
+    spark.range(0, 10)
+      .select(col("id").cast("int").as("i"), (col("id") + 100).as("value"))
+      .write.format("zarr")
+      .option("path", rootSh).option("array", "v")
+      .option("zarr_format", "3").option("chunks", "4").option("shards", "8")
+      .mode("append").save()
+    val docSh = ZarrChunkStats.parse(
+      new ZarrStore(rootSh, Map.empty, None, None).arrayMeta("v").attrs(ZarrChunkStats.AttrKey)).get
+    assert(docSh.boundsI(2L).contains((108L, 109L)))
+    val qsh = spark.read.format("zarr").option("path", rootSh).option("array", "v").load()
+      .agg(min("value"), max("value"))
+    assert(qsh.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val rsh = qsh.collect().head
+    assert(rsh.getLong(0) == 100L && rsh.getLong(1) == 109L)
+  }
 }
