@@ -688,6 +688,58 @@ object CoreQueries {
              |ORDER BY t""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // q29 ISOLATION TRIPLE (round 9): q29 has hash-mismatched on the
+    // driver's box (and only there) for two rounds, and it is the only
+    // query whose output carries BOTH a vlen-utf8 non-ASCII column
+    // (blosc:lz4) AND a u8->Decimal(20,0) column. These split the two
+    // columns apart — whichever row goes red in CORRECTNESS_r09 names the
+    // environment-sensitive output path; q29c additionally removes
+    // decimal parquet-representation sensitivity by casting to VARCHAR on
+    // both engines.
+    Q(
+      "q29a_zarr_vlen_labels",
+      (s, _) => {
+        val root = CoreQueries.q28Store()
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("label")
+          .select(col("t"), col("value").as("label"))
+          .orderBy("t")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS t,
+             |CASE WHEN t.i % 3 = 0 THEN 'doc-' || CAST(t.i AS VARCHAR) || '-α'
+             |     ELSE 'doc-' || CAST(t.i AS VARCHAR) END AS label
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 20)) t
+             |ORDER BY t""".stripMargin)
+    ),
+    Q(
+      "q29b_zarr_u8",
+      (s, _) => {
+        val root = CoreQueries.q28Store()
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("big")
+          .select(col("t"), col("value").as("big"))
+          .orderBy("t")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS t,
+             |CAST(4503599627370496 + t.i AS DECIMAL(20,0)) AS big
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 20)) t
+             |ORDER BY t""".stripMargin)
+    ),
+    Q(
+      "q29c_zarr_u8_str",
+      (s, _) => {
+        val root = CoreQueries.q28Store()
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("big")
+          .select(col("t"), col("value").cast("string").as("big_str"))
+          .orderBy("t")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS t,
+             |CAST(CAST(4503599627370496 + t.i AS DECIMAL(20,0)) AS VARCHAR) AS big_str
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 20)) t
+             |ORDER BY t""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Complex dtype (<c16 -> struct<re, im>): both components projected
     // and computed on exactly — the last numpy dtype family (spectral /
     // FFT products in the reference's domain).

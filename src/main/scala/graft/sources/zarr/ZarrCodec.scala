@@ -319,7 +319,12 @@ object Blosc {
       data: Array[Byte],
       typesize: Int,
       shuffleMode: Int,
-      blockSize: Int = 0
+      blockSize: Int = 0,
+      // test hook: lz4-java resolves fastestInstance() per-JVM (JNI ->
+      // unsafe -> safe), and the implementations emit different compressed
+      // bytes for the same input — specs pin that every variant's frame
+      // decodes identically, whatever the host JVM picks
+      lz4Factory: net.jpountz.lz4.LZ4Factory = lz4
   ): Array[Byte] = {
     val codec = cname match {
       case "blosclz" => 0
@@ -345,7 +350,7 @@ object Blosc {
     def compressOne(src: Array[Byte], off: Int, len: Int): Array[Byte] = codec match {
       case 0 => BloscLz.compress(src, off, len)
       case 1 =>
-        val c = lz4.fastCompressor()
+        val c = lz4Factory.fastCompressor()
         val outBuf = new Array[Byte](c.maxCompressedLength(len))
         val n = c.compress(src, off, len, outBuf, 0, outBuf.length)
         java.util.Arrays.copyOf(outBuf, n)

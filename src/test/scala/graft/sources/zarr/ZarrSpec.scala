@@ -706,6 +706,41 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("blosc:lz4 frames from every lz4-java implementation decode identically") {
+    // lz4-java resolves fastestInstance() per-JVM: JNI when the native lib
+    // loads, else unsafe, else safe — and the three emit DIFFERENT
+    // compressed bytes for the same input. The frame layout must decode
+    // all of them byte-exactly (csize==neblock is reserved for raw stores,
+    // so an exactly-block-sized compressed stream can never be emitted).
+    // Payloads are q29's exact bytes: the vlen-utf8 non-ASCII labels and
+    // the u8 2^52+i cells — the one driver-red query's output path.
+    import net.jpountz.lz4.LZ4Factory
+    val labels = Array.tabulate(20)(i => if (i % 3 == 0) s"doc-$i-α" else s"doc-$i")
+    val vlen = ZarrStoreWriter.vlenEncode(labels)
+    val u8 = {
+      val bb = java.nio.ByteBuffer.allocate(20 * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 20).foreach(i => bb.putLong(4503599627370496L + i))
+      bb.array()
+    }
+    val factories: Seq[(String, LZ4Factory)] =
+      Seq("fastest" -> LZ4Factory.fastestInstance(), "safe" -> LZ4Factory.safeInstance()) ++
+        scala.util.Try("unsafe" -> LZ4Factory.unsafeInstance()).toOption ++
+        scala.util.Try("native" -> LZ4Factory.nativeInstance()).toOption
+    assert(factories.size >= 2)
+    for {
+      (fname, f) <- factories
+      (ts, data, what) <- Seq((1, vlen, "vlen"), (8, u8, "u8"))
+      mode <- Seq(0, 1)
+      block <- Seq(0, 16, 40)
+    } {
+      val frame = Blosc.compressMode("lz4", data, ts, mode, block, lz4Factory = f)
+      assert(
+        java.util.Arrays.equals(Blosc.decompress(frame), data),
+        s"$what via lz4-java '$fname' (shuffle=$mode block=$block)"
+      )
+    }
+  }
+
   test("blosc .zarray carries numcodecs-shaped config; id alone drives decode") {
     val root = mkStore(Some("blosc:zstd"))
     val m = new ZarrDataReader(spark, root).getArrayInfo("temperature")
