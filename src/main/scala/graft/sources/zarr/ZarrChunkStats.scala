@@ -40,6 +40,23 @@ object ZarrChunkStats {
 
   val AttrKey = "graft:chunk_stats"
 
+  /** Directory (under the array dir) holding per-block fine-stats docs of
+    * HIERARCHICAL zone maps — one flat-format doc per block of
+    * `blockLen` consecutive chunk ordinals. Zarr readers ignore unknown
+    * keys, so the side docs are invisible to other implementations. */
+  val SideDir = "_graft_stats"
+
+  /** Flat per-chunk stats stop at this grid size (the attrs doc and the
+    * task-shipped pruner stay ~3 MB); larger grids switch to the
+    * two-level layout, which holds rollups for up to this many BLOCKS. */
+  val FlatCap = 65536L
+
+  /** Chunk ordinals per fine-stats block in the hierarchical layout.
+    * 4096 chunks x ~40 B keeps each side doc ~200 KB, and
+    * FlatCap x DefaultBlockLen ≈ 2.7e8 chunks (~27 PB at 100 MB/chunk)
+    * before stats are refused outright. */
+  val DefaultBlockLen = 4096L
+
   /** Stats domain of a dtype: "int" (exact Long), "float" (Double),
     * "string" (byte-lexicographic), None = unsupported (complex,
     * structured, uint64). */
@@ -71,6 +88,113 @@ object ZarrChunkStats {
       case _ => boundsS.size
     }
   }
+
+  /** Level-1 doc of HIERARCHICAL stats (grids past [[FlatCap]] chunks):
+    * per-BLOCK rollup bounds + written-chunk counts live in the attrs;
+    * per-chunk bounds live in one flat-format side doc per block at
+    * `<array>/_graft_stats/<block>`. `rollup` reuses [[Doc]] keyed by
+    * block ordinal (its nChunks field holds the BLOCK count).
+    *
+    * Soundness: a block's rollup bounds cover every readable cell of its
+    * WRITTEN chunks; `written(b) < chunksIn(b)` means some chunks of the
+    * block were never written and read as the fill — pruning must widen
+    * with the fill exactly like the flat absent-chunk rule. A block absent
+    * from `written` has no written chunk at all. */
+  final case class Hier(
+      domain: String,
+      nChunks: Long,
+      blockLen: Long,
+      written: Map[Long, Long],
+      rollup: Doc
+  ) extends Serializable {
+    def nBlocks: Long = (nChunks + blockLen - 1) / blockLen
+    def chunksIn(b: Long): Long = math.min(blockLen, nChunks - b * blockLen)
+    def writtenTotal: Long = written.values.sum
+  }
+
+  def toJsonHier(h: Hier): String = {
+    def boundJson(b: Long): String = h.domain match {
+      case "int" =>
+        h.rollup.boundsI.get(b).flatten.map { case (lo, hi) => s"[$lo, $hi]" }.getOrElse("null")
+      case "float" =>
+        h.rollup.boundsF.get(b).flatten
+          .map { case (lo, hi) => s"[${jsonNumF(lo)}, ${jsonNumF(hi)}]" }
+          .getOrElse("null")
+      case _ =>
+        h.rollup.boundsS.get(b).flatten
+          .map { case (lo, hi) => s"[${ZarrStoreWriter.jsonStr(lo)}, ${ZarrStoreWriter.jsonStr(hi)}]" }
+          .getOrElse("null")
+    }
+    val entries = h.written.toSeq.sortBy(_._1).map { case (b, w) =>
+      s""""$b": {"w": $w, "b": ${boundJson(b)}}"""
+    }
+    s"""{"domain": "${h.domain}", "n": ${h.nChunks}, "block_len": ${h.blockLen}, """ +
+      s""""blocks": {${entries.mkString(", ")}}}"""
+  }
+
+  /** Parse a hierarchical attrs doc; None on flat docs or anything
+    * malformed (stats are an optimization — never fail a scan over them). */
+  def parseHier(raw: String): Option[Hier] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(raw)
+      val domain = (j \ "domain") match {
+        case JString(d @ ("int" | "float" | "string")) => d
+        case _ => return None
+      }
+      def long(v: JValue): Option[Long] = v match {
+        case JInt(i) => Some(i.toLong)
+        case JLong(l) => Some(l)
+        case _ => None
+      }
+      val n = long(j \ "n").getOrElse(return None)
+      val blockLen = long(j \ "block_len").getOrElse(return None)
+      if (blockLen <= 0) return None
+      val blockFields = (j \ "blocks") match {
+        case JObject(fields) => fields
+        case _ => return None
+      }
+      var written = Map.empty[Long, Long]
+      var bI = Map.empty[Long, Option[(Long, Long)]]
+      var bF = Map.empty[Long, Option[(Double, Double)]]
+      var bS = Map.empty[Long, Option[(String, String)]]
+      def numD(v: JValue): Option[Double] = v match {
+        case JDouble(d) => Some(d)
+        case JInt(i) => Some(i.toDouble)
+        case JLong(l) => Some(l.toDouble)
+        case JDecimal(d) => Some(d.toDouble)
+        case JString("NaN") => Some(Double.NaN)
+        case JString("Infinity") => Some(Double.PositiveInfinity)
+        case JString("-Infinity") => Some(Double.NegativeInfinity)
+        case _ => None
+      }
+      blockFields.foreach {
+        case (k, JObject(fs)) =>
+          val m = fs.toMap
+          val b = k.toLong
+          written += b -> long(m.getOrElse("w", return None)).getOrElse(return None)
+          m.getOrElse("b", JNull) match {
+            case JNull => () // written chunks exist but none has a comparable cell
+            case JArray(List(lo, hi)) =>
+              domain match {
+                case "int" =>
+                  bI += b -> Some((long(lo).getOrElse(return None), long(hi).getOrElse(return None)))
+                case "float" =>
+                  bF += b -> Some((numD(lo).getOrElse(return None), numD(hi).getOrElse(return None)))
+                case _ =>
+                  (lo, hi) match {
+                    case (JString(l), JString(h2)) => bS += b -> Some((l, h2))
+                    case _ => return None
+                  }
+              }
+            case _ => return None
+          }
+        case _ => return None
+      }
+      val nBlocks = (n + blockLen - 1) / blockLen
+      Some(Hier(domain, n, blockLen, written, Doc(domain, nBlocks, bI, bF, bS)))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def jsonNumF(d: Double): String =
     if (d.isNaN) "\"NaN\""
@@ -371,4 +495,122 @@ object ZarrChunkStats {
     def skip(chunkIdx: Array[Int]): Boolean = ps.exists(_.skip(chunkIdx))
     def describe: String = ps.map(_.describe).mkString("[", " & ", "]")
   }
+
+  /** Two-level pruner for hierarchical stats. Level 1 (attrs rollups, no
+    * I/O): a chunk's BLOCK skips when the rollup interval — widened with
+    * the fill if the block has unwritten chunks — cannot match. Level 2
+    * (lazy): a surviving block's side doc is fetched once per pruner
+    * instance (pruners deserialize per task, so the cache is task-local
+    * and unsynchronized), parsed into the matching FLAT pruner, and
+    * delegated to for per-chunk decisions. A missing/corrupt side doc
+    * falls back to the coarse answer — stats never fail a scan.
+    *
+    * Exactly one of predsL/predsD/predsS is non-empty, matching `domain`.
+    * Soundness mirrors the flat rule set: readers may skip MORE chunks
+    * than the planner counted (value predicates stay residual in the
+    * plan), and both levels only skip chunks no cell of which can match. */
+  final case class HierPruner(
+      hier: Hier,
+      predsL: Vector[Pred[Long]],
+      fillL: Option[Long],
+      predsD: Vector[Pred[Double]],
+      fillD: Option[Double],
+      predsS: Vector[CoordPredStr],
+      fillS: Option[String],
+      gridStrides: Array[Long],
+      arrayDir: String,
+      storageOptions: Map[String, String],
+      desc: String
+  ) extends Pruner {
+
+    /** Block-doc cache: side docs are ~200 KB; 64 entries bounds a task at
+      * ~13 MB while a C-order ordinal walk stays fully cached. */
+    @transient private lazy val cache: java.util.LinkedHashMap[Long, Option[Pruner]] =
+      new java.util.LinkedHashMap[Long, Option[Pruner]](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[Long, Option[Pruner]]): Boolean =
+          size() > 64
+      }
+
+    private def fillCanMatch: Boolean = hier.domain match {
+      case "int" =>
+        fillL match {
+          case Some(f) => !predsL.exists(p => !Pred.canMatch(p, f, f))
+          case None => false // null fill: no comparison matches
+        }
+      case "float" =>
+        fillD match {
+          case Some(f) => !predsD.exists(p => !Pred.canMatch(p, f, f))
+          case None => false
+        }
+      case _ =>
+        fillS.map(UTF8String.fromString) match {
+          case Some(f) => !predsS.exists(p => !p.eval(f))
+          case None => false
+        }
+    }
+
+    private def rollupCanMatch(b: Long): Boolean = hier.domain match {
+      case "int" =>
+        hier.rollup.boundsI.get(b).flatten.exists { case (lo, hi) =>
+          !predsL.exists(p => !Pred.canMatch(p, lo, hi))
+        }
+      case "float" =>
+        hier.rollup.boundsF.get(b).flatten.exists { case (lo, hi) =>
+          !predsD.exists(p => !Pred.canMatch(p, lo, hi))
+        }
+      case _ =>
+        hier.rollup.boundsS.get(b).flatten.exists { case (lo, hi) =>
+          val (l, h) = (UTF8String.fromString(lo), UTF8String.fromString(hi))
+          !predsS.exists(p => !p.anyIn(l, h))
+        }
+    }
+
+    private def fineOf(b: Long): Option[Pruner] = {
+      val cached = cache.get(b)
+      if (cached != null) return cached
+      val built: Option[Pruner] =
+        try {
+          graft.sources.zarr.ZarrFileIO
+            .readStringIfExists(
+              new org.apache.hadoop.fs.Path(arrayDir, s"$SideDir/$b"),
+              storageOptions
+            )
+            .flatMap(parse)
+            .filter(d => d.domain == hier.domain && d.nChunks == hier.nChunks)
+            .map { d =>
+              hier.domain match {
+                case "int" => LongPruner(predsL, d.boundsI, fillL, gridStrides, desc)
+                case "float" => DoublePruner(predsD, d.boundsF, fillD, gridStrides, desc)
+                case _ => StringPruner(predsS, d.boundsS, fillS, gridStrides, desc)
+              }
+            }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      cache.put(b, built)
+      built
+    }
+
+    def skip(chunkIdx: Array[Int]): Boolean = {
+      val ord = ordinalOf(chunkIdx, gridStrides)
+      val b = ord / hier.blockLen
+      val writtenInBlock = hier.written.getOrElse(b, 0L)
+      // level 1: entirely-unwritten block -> pure fill semantics
+      if (writtenInBlock == 0L) return !fillCanMatch
+      val hasUnwritten = writtenInBlock < hier.chunksIn(b)
+      if (!rollupCanMatch(b) && !(hasUnwritten && fillCanMatch)) return true
+      // level 2: the block might match — ask its side doc about THIS chunk
+      fineOf(b) match {
+        case Some(p) => p.skip(chunkIdx)
+        case None => false // side doc unavailable: keep (coarse answer)
+      }
+    }
+    def describe: String = s"hier($desc)"
+  }
+
+  /** Byte-lexicographic (UTF-8 binary) string min/max — the order the
+    * bounds were recorded in; String.compareTo (UTF-16) differs for
+    * supplementary characters, so rollup merging must not use it. */
+  def byteLexMin(a: String, b: String): String =
+    if (UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) <= 0) a else b
+  def byteLexMax(a: String, b: String): String =
+    if (UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) >= 0) a else b
 }

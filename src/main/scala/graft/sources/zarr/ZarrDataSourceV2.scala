@@ -283,19 +283,36 @@ class ZarrScanBuilder(
     * upstream — so every column's stats share one chunk-ordinal space). */
   private def effValueCols: Seq[(String, ZarrArrayMeta)] =
     if (valueCols.isEmpty) Seq("value" -> meta) else valueCols
-  private def statsGeomFor(m: ZarrArrayMeta): Option[(ZarrChunkStats.Doc, Array[Long])] =
-    (if (useStats) m.attrs.get(ZarrChunkStats.AttrKey) else None).flatMap(ZarrChunkStats.parse).flatMap { doc =>
+  /** Stats attached to an array: Left = flat per-chunk doc, Right = the
+    * hierarchical level-1 rollup doc (per-chunk bounds in side docs). A doc
+    * whose grid size or domain no longer matches the array is ignored. */
+  private def statsGeomFor(
+      m: ZarrArrayMeta
+  ): Option[(Either[ZarrChunkStats.Doc, ZarrChunkStats.Hier], Array[Long])] =
+    (if (useStats) m.attrs.get(ZarrChunkStats.AttrKey) else None).flatMap { raw =>
       val nChunksVec = m.shape.indices
         .map(d => (m.shape(d) + m.chunks(d) - 1) / m.chunks(d))
         .toVector
       val total = nChunksVec.map(_.toLong).product
-      if (doc.nChunks == total && ZarrChunkStats.domainOf(m.zdtype).contains(doc.domain))
-        Some((doc, IndexMath.strides(nChunksVec)))
-      else None
+      val strides = IndexMath.strides(nChunksVec)
+      val okDomain = ZarrChunkStats.domainOf(m.zdtype)
+      ZarrChunkStats.parse(raw) match {
+        case Some(doc) =>
+          if (doc.nChunks == total && okDomain.contains(doc.domain)) Some((Left(doc), strides))
+          else None
+        case None =>
+          ZarrChunkStats.parseHier(raw) match {
+            case Some(h) if h.nChunks == total && okDomain.contains(h.domain) =>
+              Some((Right(h), strides))
+            case _ => None
+          }
+      }
     }
-  private lazy val statsGeom: Option[(ZarrChunkStats.Doc, Array[Long])] =
+  private lazy val statsGeom: Option[(Either[ZarrChunkStats.Doc, ZarrChunkStats.Hier], Array[Long])] =
     if (valueCols.size > 1) None // primary-column geometry, single scans only
     else statsGeomFor(meta)
+  private def statsDomainOf(ref: Either[ZarrChunkStats.Doc, ZarrChunkStats.Hier]): String =
+    ref.fold(_.domain, _.domain)
   private var statsPredsL: Vector[ZarrChunkStats.Pred[Long]] = Vector.empty
   private var statsPredsD: Vector[ZarrChunkStats.Pred[Double]] = Vector.empty
   private var statsPredsS: Vector[CoordPredStr] = Vector.empty
@@ -778,9 +795,9 @@ class ZarrScanBuilder(
     // value-column predicates stay residual (pruning is chunk-granular, so
     // Spark must still evaluate them per row) but additionally feed the
     // zone-map pruner when the store carries chunk stats
-    statsGeom.foreach { case (doc, _) =>
+    statsGeom.foreach { case (ref, _) =>
       residual.foreach { f =>
-        doc.domain match {
+        statsDomainOf(ref) match {
           case "int" =>
             ZarrChunkStats.translate(f, statsValueCol, ZarrChunkStats.convLong).foreach { p =>
               statsPredsL :+= p
@@ -803,39 +820,63 @@ class ZarrScanBuilder(
     // decision space); a chunk skips if ANY column's conjuncts cannot match
     if (valueCols.size > 1)
       alignedPruners = valueCols.toVector.flatMap { case (name, m) =>
-        statsGeomFor(m).flatMap { case (doc, strides) =>
-          doc.domain match {
-            case "int" =>
-              val preds = residual.toVector
-                .flatMap(f => ZarrChunkStats.translate(f, name, ZarrChunkStats.convLong))
-              if (preds.isEmpty) None
-              else
-                statsFillLongOf(m) match {
-                  case Right(fill) =>
-                    Some(ZarrChunkStats.LongPruner(preds, doc.boundsI, fill, strides, s"$name:${preds.size}"))
-                  case Left(_) => None
-                }
-            case "float" =>
-              val preds = residual.toVector
-                .flatMap(f => ZarrChunkStats.translate(f, name, ZarrChunkStats.convDouble))
-              if (preds.isEmpty) None
-              else
-                Some(
-                  ZarrChunkStats.DoublePruner(
-                    preds, doc.boundsF, m.fillValue.map(ZarrChunkStats.norm), strides, s"$name:${preds.size}"
-                  )
-                )
-            case _ =>
-              val preds = residual.toVector.flatMap(f => ZarrChunkStats.translateStr(f, name)).flatten
-              if (preds.isEmpty) None
-              else
-                Some(
-                  ZarrChunkStats.StringPruner(preds, doc.boundsS, m.fillValueStr, strides, s"$name:${preds.size}")
-                )
-          }
+        statsGeomFor(m).flatMap { case (ref, strides) =>
+          val predsL = residual.toVector
+            .flatMap(f => ZarrChunkStats.translate(f, name, ZarrChunkStats.convLong))
+          val predsD = residual.toVector
+            .flatMap(f => ZarrChunkStats.translate(f, name, ZarrChunkStats.convDouble))
+          val predsS = residual.toVector.flatMap(f => ZarrChunkStats.translateStr(f, name)).flatten
+          mkDomainPruner(ref, strides, m, predsL, predsD, predsS, s"$name:${(predsL ++ predsD).size + predsS.size}")
         }
       }
     residual
+  }
+
+  /** One value column's pruner over flat OR hierarchical stats. Only the
+    * predicate vector matching the stats domain is consulted; None when no
+    * predicate translates or an int-domain fill is un-mappable. */
+  private def mkDomainPruner(
+      ref: Either[ZarrChunkStats.Doc, ZarrChunkStats.Hier],
+      strides: Array[Long],
+      m: ZarrArrayMeta,
+      predsL: Vector[ZarrChunkStats.Pred[Long]],
+      predsD: Vector[ZarrChunkStats.Pred[Double]],
+      predsS: Vector[CoordPredStr],
+      desc: String
+  ): Option[ZarrChunkStats.Pruner] = statsDomainOf(ref) match {
+    case "int" if predsL.nonEmpty =>
+      statsFillLongOf(m) match {
+        case Right(fill) =>
+          Some(ref match {
+            case Left(doc) => ZarrChunkStats.LongPruner(predsL, doc.boundsI, fill, strides, desc)
+            case Right(h) =>
+              ZarrChunkStats.HierPruner(
+                h, predsL, fill, Vector.empty, None, Vector.empty, None,
+                strides, store.arrayDir(m.name), store.storageOptions, desc
+              )
+          })
+        case Left(_) => None
+      }
+    case "float" if predsD.nonEmpty =>
+      val fill = m.fillValue.map(ZarrChunkStats.norm)
+      Some(ref match {
+        case Left(doc) => ZarrChunkStats.DoublePruner(predsD, doc.boundsF, fill, strides, desc)
+        case Right(h) =>
+          ZarrChunkStats.HierPruner(
+            h, Vector.empty, None, predsD, fill, Vector.empty, None,
+            strides, store.arrayDir(m.name), store.storageOptions, desc
+          )
+      })
+    case "string" if predsS.nonEmpty =>
+      Some(ref match {
+        case Left(doc) => ZarrChunkStats.StringPruner(predsS, doc.boundsS, m.fillValueStr, strides, desc)
+        case Right(h) =>
+          ZarrChunkStats.HierPruner(
+            h, Vector.empty, None, Vector.empty, None, predsS, m.fillValueStr,
+            strides, store.arrayDir(m.name), store.storageOptions, desc
+          )
+      })
+    case _ => None
   }
 
   /** Array fill in the Long stats domain: Right(None) = null fill (an
@@ -861,30 +902,11 @@ class ZarrScanBuilder(
         if (alignedPruners.size == 1) alignedPruners.head
         else ZarrChunkStats.Conjunction(alignedPruners)
       )
-    statsGeom.flatMap { case (doc, strides) =>
+    statsGeom.flatMap { case (ref, strides) =>
       val desc = statsPredDescs.mkString("[", ", ", "]")
-      doc.domain match {
-        case "int" if statsPredsL.nonEmpty =>
-          statsFillLong match {
-            case Right(f) => Some(ZarrChunkStats.LongPruner(statsPredsL, doc.boundsI, f, strides, desc))
-            case Left(_) => None
-          }
-        case "float" if statsPredsD.nonEmpty =>
-          // float fill: NaN is a real cell value (orders greatest); an
-          // absent fill means unwritten chunks read as null
-          Some(
-            ZarrChunkStats.DoublePruner(
-              statsPredsD,
-              doc.boundsF,
-              meta.fillValue.map(ZarrChunkStats.norm),
-              strides,
-              desc
-            )
-          )
-        case "string" if statsPredsS.nonEmpty =>
-          Some(ZarrChunkStats.StringPruner(statsPredsS, doc.boundsS, meta.fillValueStr, strides, desc))
-        case _ => None
-      }
+      // float fill note: NaN is a real cell value (orders greatest); an
+      // absent fill means unwritten chunks read as null
+      mkDomainPruner(ref, strides, meta, statsPredsL, statsPredsD, statsPredsS, desc)
     }
   }
 
@@ -974,10 +996,17 @@ class ZarrScanBuilder(
     * <100 TB array>` costs zero chunk reads. */
   private def valueMinMaxFromStats(
       wantMin: Boolean
-  ): Option[(StructField, ((Int => Any, Long)) => Any, Any)] = statsGeom.flatMap { case (doc, _) =>
+  ): Option[(StructField, ((Int => Any, Long)) => Any, Any)] = statsGeom.flatMap { case (ref, _) =>
     if (!fullSelection) None
     else {
-      val anyMissing = doc.written.toLong < doc.nChunks
+      // hierarchical rollups are exact extrema of their blocks' chunk
+      // bounds, so the global extremum over rollups equals the extremum
+      // over per-chunk bounds — no side-doc reads needed here
+      val anyMissing = ref.fold(
+        doc => doc.written.toLong < doc.nChunks,
+        h => h.writtenTotal < h.nChunks
+      )
+      val doc = ref.fold(identity, _.rollup)
       val vt = fullSchema(statsValueCol).dataType
       val name = if (wantMin) s"min($statsValueCol)" else s"max($statsValueCol)"
       doc.domain match {
@@ -1039,12 +1068,13 @@ class ZarrScanBuilder(
   /** Exact COUNT(value) (non-null count) from stats geometry: cells are
     * null only when an unwritten chunk has a null fill (M8/TD excluded —
     * written NaT cells are null and stats cannot count them). */
-  private def valueCountFromStats(): Option[Long] = statsGeom.flatMap { case (doc, _) =>
+  private def valueCountFromStats(): Option[Long] = statsGeom.flatMap { case (ref, _) =>
     val code = meta.zdtype.code
     if (!fullSelection || code == ZDtype.M8 || code == ZDtype.TD) None
     else {
       val total = keep.map(_.length.toLong).product
-      val fillIsNull = doc.domain match {
+      val domain = statsDomainOf(ref)
+      val fillIsNull = domain match {
         case "int" =>
           statsFillLong match {
             case Right(None) => true
@@ -1054,7 +1084,16 @@ class ZarrScanBuilder(
         case "float" => meta.fillValue.isEmpty
         case _ => meta.fillValueStr.isEmpty
       }
-      val written: Set[Long] = doc.domain match {
+      val doc = ref match {
+        case Left(d) => d
+        case Right(h) =>
+          // hierarchical: rollups carry per-block written COUNTS but not
+          // which ordinals are missing — exact only when nothing is
+          // missing or the fill contributes anyway; otherwise fall back
+          // to the chunk scan (loud, never wrong)
+          return if (!fillIsNull || h.writtenTotal == h.nChunks) Some(total) else None
+      }
+      val written: Set[Long] = domain match {
         case "int" => doc.boundsI.keySet
         case "float" => doc.boundsF.keySet
         case _ => doc.boundsS.keySet

@@ -636,41 +636,114 @@ object ZarrSink {
 
     // ---- per-chunk value statistics (zone maps): on by default for
     // numeric/datetime dtypes on bounded grids; `chunk_stats=false` opts
-    // out. 65536 chunks x ~40 B keeps the attrs doc and the task-binary
-    // pruner under ~3 MB — the same order as an eager coordinate axis.
-    // Sharded stores record bounds per INNER chunk — the scan's pruning
-    // granularity — so a pruned inner chunk skips its byte-range read
-    // inside the shard object.
+    // out. Grids up to the flat cap (65536 chunks x ~40 B ≈ 3 MB attrs
+    // doc + task-binary pruner) store per-chunk bounds in the attrs;
+    // LARGER grids (up to flat_cap x block_len ≈ 2.7e8 chunks) switch to
+    // the two-level layout — per-BLOCK rollups in the attrs, per-chunk
+    // bounds in one side doc per block written by EXECUTORS (the driver
+    // only ever collects <= flat_cap rollup records, never 1e6+ chunk
+    // bounds). Sharded stores record bounds per INNER chunk — the scan's
+    // pruning granularity — so a pruned inner chunk skips its byte-range
+    // read inside the shard object. `stats.flat_cap` / `stats.block_len`
+    // exist for spec-scale forcing of the hierarchical layout.
     val statsDomain: Option[String] =
       if (structValue) None else ZarrChunkStats.domainOf(zdt)
+    val statsFlatCap: Long =
+      opts.get("stats.flat_cap").map(_.toLong).getOrElse(ZarrChunkStats.FlatCap)
+    val statsBlockLen: Long =
+      opts.get("stats.block_len").map(_.toLong).getOrElse(ZarrChunkStats.DefaultBlockLen)
+    require(statsFlatCap > 0 && statsBlockLen > 0, "stats.flat_cap / stats.block_len must be positive")
+    val statsHier: Boolean = totalChunks > statsFlatCap
     val statsOn: Boolean =
-      statsDomain.isDefined && totalChunks <= 65536 &&
+      statsDomain.isDefined && totalChunks <= statsFlatCap * statsBlockLen &&
         opts.get("chunk_stats").forall(_.toBoolean)
-    var statsDoc: Option[ZarrChunkStats.Doc] = None
-    def buildStatsDoc(rows: Array[ChunkBounds]): Unit =
-      if (statsOn) {
+    var statsAttrJson: Option[String] = None
+
+    def docOf(domain: String, rows: Iterable[ChunkBounds]): ZarrChunkStats.Doc = domain match {
+      case "int" =>
+        ZarrChunkStats.Doc(
+          "int",
+          totalChunks,
+          boundsI = rows.map(r => r.ord -> (if (r.has) Some((r.loL, r.hiL)) else None)).toMap
+        )
+      case "float" =>
+        ZarrChunkStats.Doc(
+          "float",
+          totalChunks,
+          boundsF = rows.map(r => r.ord -> (if (r.has) Some((r.loD, r.hiD)) else None)).toMap
+        )
+      case _ =>
+        ZarrChunkStats.Doc(
+          "string",
+          totalChunks,
+          boundsS = rows.map(r => r.ord -> (if (r.has) Some((r.loS, r.hiS)) else None)).toMap
+        )
+    }
+
+    /** Runs the write job carried by `rdd` and records its stats. Flat
+      * grids collect the per-chunk bounds driver-side (bounded by the flat
+      * cap); hierarchical grids shuffle the bounds by block (tiny — ~40 B
+      * per WRITTEN chunk), write one side doc per block from executors,
+      * and collect only the per-block rollups. */
+    def finishStats(rdd: org.apache.spark.rdd.RDD[ChunkBounds]): Unit =
+      if (!statsOn || !statsHier) {
+        val rows = rdd.collect()
+        if (statsOn) statsAttrJson = Some(ZarrChunkStats.toJson(docOf(statsDomain.get, rows)))
+      } else {
         val domain = statsDomain.get
-        statsDoc = Some(
-          domain match {
-            case "int" =>
-              ZarrChunkStats.Doc(
-                "int",
-                totalChunks,
-                boundsI = rows.map(r => r.ord -> (if (r.has) Some((r.loL, r.hiL)) else None)).toMap
-              )
-            case "float" =>
-              ZarrChunkStats.Doc(
-                "float",
-                totalChunks,
-                boundsF = rows.map(r => r.ord -> (if (r.has) Some((r.loD, r.hiD)) else None)).toMap
-              )
-            case _ =>
-              ZarrChunkStats.Doc(
-                "string",
-                totalChunks,
-                boundsS = rows.map(r => r.ord -> (if (r.has) Some((r.loS, r.hiS)) else None)).toMap
-              )
+        val blockLen = statsBlockLen
+        val dirStr = arrayDirStr
+        val eOpts = executorOpts
+        val totC = totalChunks
+        val docOfSer = docOf _
+        val nBlocks = (totC + blockLen - 1) / blockLen
+        val rollParts = math.max(1L, math.min(shufflePartitions.toLong, nBlocks)).toInt
+        val rollups: Array[(Long, Long, ChunkBounds)] = rdd
+          .map(b => (b.ord / blockLen, b))
+          .groupByKey(rollParts)
+          .map { case (blk, bsIter) =>
+            val bs = bsIter.toArray
+            ZarrFileIO.writeString(
+              new HPath(dirStr, s"${ZarrChunkStats.SideDir}/$blk"),
+              eOpts,
+              ZarrChunkStats.toJson(docOfSer(domain, bs))
+            )
+            val has = bs.filter(_.has)
+            val roll: ChunkBounds =
+              if (has.isEmpty) ChunkBounds(blk, has = false)
+              else
+                domain match {
+                  case "int" =>
+                    ChunkBounds(blk, has = true, loL = has.map(_.loL).min, hiL = has.map(_.hiL).max)
+                  case "float" =>
+                    ChunkBounds(
+                      blk,
+                      has = true,
+                      loD = has.map(_.loD).min(Ordering.Double.TotalOrdering),
+                      hiD = has.map(_.hiD).max(Ordering.Double.TotalOrdering)
+                    )
+                  case _ =>
+                    ChunkBounds(
+                      blk,
+                      has = true,
+                      loS = has.map(_.loS).reduce(ZarrChunkStats.byteLexMin),
+                      hiS = has.map(_.hiS).reduce(ZarrChunkStats.byteLexMax)
+                    )
+                }
+            (blk, bs.length.toLong, roll)
           }
+          .collect()
+        val rollDoc = docOf(domain, rollups.map(_._3)).copy(nChunks = nBlocks)
+        statsAttrJson = Some(
+          ZarrChunkStats.toJsonHier(
+            ZarrChunkStats.Hier(
+              domain,
+              totC,
+              blockLen,
+              rollups.map(t => t._1 -> t._2).toMap,
+              rollDoc
+            )
+          )
         )
       }
 
@@ -683,7 +756,7 @@ object ZarrSink {
           indexed.select(chunkExpr.as("__chunk"), localExpr.as("__local"), col("value").as("__value"))
         val parts = math.max(1L, math.min(shufflePartitions.toLong, totalChunks)).toInt
         val statsOnSerStr = statsOn
-        val strStatsRows: Array[ChunkBounds] = prepared
+        val strStatsRdd = prepared
           .repartition(parts, col("__chunk"))
           .sortWithinPartitions("__chunk")
           .rdd
@@ -720,21 +793,21 @@ object ZarrSink {
             flush()
             stats.result().iterator
           }
-          .collect()
-        buildStatsDoc(strStatsRows)
+        finishStats(strStatsRdd)
 
       case None =>
         // ---- one task-streamed chunk buffer at a time; each chunk is one
         // on-store object. When stats are on (numeric dtype, bounded grid),
         // each task ALSO emits one [min, max] record per chunk it flushed —
-        // collected driver-side (bounded by the 65536-chunk stats cap) and
-        // written into the array attributes as chunk zone maps.
+        // rolled up via finishStats (driver-collected under the flat cap,
+        // block side docs + rollups past it) and written into the array
+        // attributes as chunk zone maps.
         val prepared =
           indexed.select(chunkExpr.as("__chunk"), localExpr.as("__local"), col("value").as("__value"))
         val parts = math.max(1L, math.min(shufflePartitions.toLong, totalChunks)).toInt
         val statsOnSer = statsOn
         val statsIntSer = statsDomain.contains("int")
-        val statsRows: Array[ChunkBounds] = prepared
+        val statsRdd = prepared
           .repartition(parts, col("__chunk"))
           .sortWithinPartitions("__chunk")
           .rdd
@@ -780,8 +853,7 @@ object ZarrSink {
             flush()
             stats.result().iterator
           }
-          .collect()
-        buildStatsDoc(statsRows)
+        finishStats(statsRdd)
 
       case Some(shards) =>
         // ---- sharded write: cluster rows by SHARD ordinal so each shard
@@ -809,7 +881,7 @@ object ZarrSink {
         val nInner = innerPerVec.map(_.toLong).product.toInt
         val statsOnSerSh = statsOn
         val statsIntSerSh = statsDomain.contains("int")
-        val shardStatsRows: Array[ChunkBounds] = prepared
+        val shardStatsRdd = prepared
           .repartition(parts, col("__shard"))
           .sortWithinPartitions("__shard", "__chunk")
           .rdd
@@ -890,8 +962,7 @@ object ZarrSink {
             flushShard()
             stats.result().iterator
           }
-          .collect()
-        buildStatsDoc(shardStatsRows)
+        finishStats(shardStatsRdd)
     }
 
     // ---- metadata (driver-side, after the data job): group marker, array
@@ -901,8 +972,8 @@ object ZarrSink {
       if (!ZarrFileIO.exists(gj, storageOptions))
         ZarrFileIO.writeString(gj, storageOptions, """{"zarr_format": 3, "node_type": "group"}""")
       val endianStr = if (zdt.bigEndian) "big" else "little"
-      val statsAttrsJson: String = statsDoc
-        .map(d => s"""{"${ZarrChunkStats.AttrKey}": ${ZarrChunkStats.toJson(d)}}""")
+      val statsAttrsJson: String = statsAttrJson
+        .map(j => s"""{"${ZarrChunkStats.AttrKey}": $j}""")
         .getOrElse("{}")
       val arrayDoc = shardsOpt match {
         case None if strValue =>
@@ -922,7 +993,7 @@ object ZarrSink {
           ZarrStoreWriterV3.arrayJson(
             shape, chunks, v3DataTypeName(dtype), v3Cfgs, Some(fillValue), Some(dims),
             separator = "/", endian = endianStr,
-            attrs = statsDoc.map(d => ZarrChunkStats.AttrKey -> ZarrChunkStats.toJson(d)).toMap
+            attrs = statsAttrJson.map(j => ZarrChunkStats.AttrKey -> j).toMap
           )
         case Some(shards) if strValue =>
           // sharded strings: vlen-utf8 inner chunks inside shard objects;
@@ -960,7 +1031,7 @@ object ZarrSink {
           val withOuter = ZarrStoreWriterV3.arrayJson(
             shape, shards, v3DataTypeName(dtype), Nil, Some(fillValue), Some(dims),
             separator = "/", endian = endianStr,
-            attrs = statsDoc.map(d => ZarrChunkStats.AttrKey -> ZarrChunkStats.toJson(d)).toMap
+            attrs = statsAttrJson.map(j => ZarrChunkStats.AttrKey -> j).toMap
           )
           val doc = withOuter.replace(
             s""""codecs": [{"name": "bytes", "configuration": {"endian": "$endianStr"}}]""",
@@ -1003,7 +1074,7 @@ object ZarrSink {
         storageOptions,
         ZarrStoreWriter.zattrsJson(
           Some(dims),
-          statsDoc.map(d => ZarrChunkStats.AttrKey -> ZarrChunkStats.toJson(d)).toMap
+          statsAttrJson.map(j => ZarrChunkStats.AttrKey -> j).toMap
         )
       )
       axes.foreach {
