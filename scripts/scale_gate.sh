@@ -8,6 +8,11 @@
 #                       [min,max] stats: metadata-only min/max/count (zero
 #                       chunk reads) + value-band predicate pruning
 #                       4096 -> 64 chunks, both exact closed-form
+#   2b. zarr-hier     — 2^20-inner-chunk sharded store via the SINK:
+#                       hierarchical zone maps at DEFAULT caps (256 block
+#                       rollups + executor-written side docs), metadata-
+#                       only aggregates, value bands pruning through two
+#                       stats levels, closed-form exact
 #   3. zarr-deferred-str — a 10^7-label STRING axis written through the
 #                       sink's distributed-ordinal path, read deferred with
 #                       lexicographic chunk-stats pruning (range + prefix,
@@ -23,6 +28,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 sbt -batch "runMain graft.tools.Spike zarr-sf10"      2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike zarr-zonemap"   2>&1 | grep -E '\[spike\]'
+sbt -batch "runMain graft.tools.Spike zarr-hier"      2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike zarr-deferred-str" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike x41-planted 500000" 2>&1 | grep -E '\[spike\]'
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \

@@ -590,6 +590,89 @@ object Spike {
     )
   }
 
+  /** `runMain graft.tools.Spike zarr-hier` — the HIERARCHICAL zone-map
+    * scale gate: the product sink writes a 2^20-inner-chunk sharded v3
+    * store (8,388,608 cells, chunks 8, shards 8192 -> 1024 shard objects),
+    * which crosses the 65,536-chunk flat cap at DEFAULT settings and
+    * produces the two-level layout — 256 block rollups in the attrs, 256
+    * executor-written side docs of 4096 chunk bounds each. Gates, all
+    * exact against closed form (value = cell index):
+    *  1. layout: attrs parse as Hier (256 blocks, all written), side docs
+    *     present on disk
+    *  2. metadata-only min/max/count over 2^20 chunks: LocalTableScan,
+    *     zero chunk reads
+    *  3. a 100-cell value band inside one block: level 1 keeps 1 of 256
+    *     blocks, level 2 keeps 13 of its 4096 chunks — partitions == 13
+    *  4. a 16-cell band straddling a block boundary: 2 partitions, both
+    *     side docs consulted */
+  private def zarrHier(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.zarr.{ZarrChunkStats, ZarrFileIO, ZarrStore}
+    val root = "/tmp/graft_zarr_hier"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val total = 8388608L // 2^20 chunks x 8 cells
+    val nChunks = 1048576L
+    val nBlocks = nChunks / ZarrChunkStats.DefaultBlockLen // 256
+    val t0 = System.nanoTime()
+    spark.range(0, total)
+      .select(col("id").cast("int").as("i"), col("id").as("value"))
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("zarr_format", "3").option("chunks", "8").option("shards", "8192")
+      .mode("append").save()
+    val tw = (System.nanoTime() - t0) / 1e9
+    // gate 1: two-level layout on disk
+    val store = new ZarrStore(root, Map.empty, None, None)
+    val raw = store.arrayMeta("v").attrs(ZarrChunkStats.AttrKey)
+    require(ZarrChunkStats.parse(raw).isEmpty, "expected hierarchical, found flat stats")
+    val h = ZarrChunkStats.parseHier(raw).getOrElse(sys.error("hier attrs unparseable"))
+    require(h.nChunks == nChunks && h.blockLen == ZarrChunkStats.DefaultBlockLen, s"$h")
+    require(h.nBlocks == nBlocks && h.writtenTotal == nChunks, s"blocks ${h.nBlocks} written ${h.writtenTotal}")
+    val sideCount = (0L until nBlocks).count { b =>
+      ZarrFileIO.readStringIfExists(
+        new org.apache.hadoop.fs.Path(store.arrayDir("v"), s"${ZarrChunkStats.SideDir}/$b"),
+        Map.empty
+      ).isDefined
+    }
+    require(sideCount == nBlocks, s"side docs: $sideCount of $nBlocks")
+    println(f"[spike] zarr-hier write: $tw%.1fs, $total cells, $nChunks chunks -> $nBlocks rollups + $nBlocks side docs")
+    def read(targetCells: String) = spark.read.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("partition.target.cells", targetCells).load()
+    // gate 2: metadata-only aggregates over 2^20 chunks
+    val t2 = System.nanoTime()
+    val magg = read("1048576").agg(count(lit(1)), min("value"), max("value"), count("value"))
+    val r2 = magg.collect().head
+    val ts2 = (System.nanoTime() - t2) / 1e9
+    val plan2 = magg.queryExecution.executedPlan.toString
+    require(plan2.contains("LocalTableScan") && !plan2.contains("BatchScan"), s"not metadata-only:\n$plan2")
+    require(r2.getLong(0) == total && r2.getLong(3) == total, "metadata counts mismatch")
+    require(r2.getLong(1) == 0L && r2.getLong(2) == total - 1, s"min/max ${r2.getLong(1)}/${r2.getLong(2)}")
+    println(f"[spike] zarr-hier metadata agg: $ts2%.3fs for min/max/count over $nChunks-chunk rollups — ZERO chunk reads, exact")
+    // gate 3: 100-cell band inside block 100 (cells 3276800..3276899 ->
+    // chunks 409600..409612, all in block 100)
+    val t3 = System.nanoTime()
+    val band = read("1").filter(col("value") >= 3276800L && col("value") <= 3276899L)
+    val parts3 = band.rdd.getNumPartitions
+    require(parts3 == 13, s"expected 13 surviving chunks, got $parts3")
+    val r3 = band.agg(count(lit(1)), sum("value")).collect().head
+    val ts3 = (System.nanoTime() - t3) / 1e9
+    require(r3.getLong(0) == 100L, s"band count ${r3.getLong(0)}")
+    require(r3.getLong(1) == 100L * 3276800 + 4950, s"band sum ${r3.getLong(1)}")
+    println(f"[spike] zarr-hier value band: $ts3%.1fs — pruned $nChunks -> 13 chunks through 2 stats levels, exact")
+    // gate 4: a band straddling the block 149/150 boundary (chunk 614400
+    // = block 150's first): 2 chunks from 2 different side docs
+    val t4 = System.nanoTime()
+    val edge = read("1").filter(col("value") >= 4915192L && col("value") <= 4915207L)
+    val parts4 = edge.rdd.getNumPartitions
+    require(parts4 == 2, s"expected 2 surviving chunks, got $parts4")
+    val r4 = edge.agg(count(lit(1)), sum("value")).collect().head
+    val ts4 = (System.nanoTime() - t4) / 1e9
+    require(r4.getLong(0) == 16L && r4.getLong(1) == (4915192L to 4915207L).sum, "edge band mismatch")
+    println(f"[spike] zarr-hier block-boundary band: $ts4%.1fs — 2 chunks, 2 side docs, exact — gate PASS")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** `runMain graft.tools.Spike zarr-deferred-str [nLabels]` — the STRING
     * deferred-axis scale gate: the sink writes a 10^7-label axis through
     * the distributed-ordinal path (multi-chunk vlen-utf8 coordinates,
@@ -772,6 +855,7 @@ object Spike {
     if (args.sameElements(Array("zarr-deferred"))) { zarrDeferred(spark); spark.stop(); return }
     if (args.sameElements(Array("zarr-sf10"))) { zarrSf10(spark); spark.stop(); return }
     if (args.sameElements(Array("zarr-zonemap"))) { zarrZoneMap(spark); spark.stop(); return }
+    if (args.sameElements(Array("zarr-hier"))) { zarrHier(spark); spark.stop(); return }
     if (args.sameElements(Array("cc-telemetry"))) { ccTelemetry(spark); spark.stop(); return }
     if (args.sameElements(Array("skew"))) { skew(spark); spark.stop(); return }
     if (args.sameElements(Array("sf10"))) { sf10(spark); spark.stop(); return }
