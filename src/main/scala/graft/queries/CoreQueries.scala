@@ -1017,6 +1017,26 @@ object CoreQueries {
       Some("""SELECT CAST(t.i AS INTEGER) AS i, CAST(t.i * 3 % 101 AS BIGINT) AS value
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(90, 150)) t
              |ORDER BY i""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // DEFERRED-axis append under the gate: a label axis written through
+    // the distributed coordinate path, appended WITHOUT materializing the
+    // axis (boundary decode + in-place coord tail chunks), then read back
+    // deferred with lexicographic pruning on the grown axis.
+    Q(
+      "q43_zarr_append_deferred",
+      (s, _) => {
+        val root = CoreQueries.q43Store(s)
+        s.read.format("zarr")
+          .option("path", root).option("array", "v")
+          .option("coord.deferred.threshold", "10")
+          .load()
+          .filter(col("t") >= "k0100")
+          .orderBy("t")
+      },
+      Some("""SELECT 'k' || lpad(CAST(t.i AS VARCHAR), 4, '0') AS t, CAST(t.i * 7 % 113 AS BIGINT) AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(100, 120)) t
+             |ORDER BY t""".stripMargin)
     )
   )
 
@@ -1045,6 +1065,37 @@ object CoreQueries {
         .write.format("zarr")
         .option("path", root).option("array", "v")
         .option("append.dim", "i").option("append.batch_id", "2")
+        .mode("append").save()
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
+
+  /** Build the q43 store once per JVM: labels k0000..k0079 written through
+    * the DISTRIBUTED coordinate path (max_coord_values 10, coord chunks
+    * 32), then k0080..k0119 APPENDED with the deferral threshold forced
+    * below the extent — the axis never materializes; the partial coord
+    * chunk is read-modified-rewritten and a new tail chunk appended. */
+  private[queries] def q43Store(s: SparkSession): String = synchronized {
+    val root = FixtureCache.root("q43")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      def batch(lo: Int, hi: Int) =
+        s.range(lo, hi).selectExpr(
+          "concat('k', lpad(cast(id as string), 4, '0')) as t",
+          "id * 7 % 113 as value"
+        )
+      batch(0, 80)
+        .write.format("zarr")
+        .option("path", root).option("array", "v").option("chunks", "20")
+        .option("max_coord_values", "10").option("coord_chunk_values", "32")
+        .mode("append").save()
+      batch(80, 120)
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("append.dim", "t").option("append.batch_id", "1")
+        .option("coord.deferred.threshold", "10")
         .mode("append").save()
       java.nio.file.Files.writeString(marker, "ok")
     }

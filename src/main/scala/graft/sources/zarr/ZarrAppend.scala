@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
   *  - the current extent sits on a chunk boundary (size batches to the
   *    chunk; partial-chunk read-modify-write is exactly the mutable-object
   *    pattern zarr stores avoid);
-  *  - non-append dims must carry exactly the store's existing axis values;
+  *  - non-append dims must carry exactly the store's existing axis values
+  *    and must be driver-resident (they broadcast as ordinal join maps);
+  *    the APPEND dim itself may be DEFERRED (10M+ values): the
+  *    strictly-after check boundary-decodes one coordinate chunk and the
+  *    commit appends tail chunks to the coordinate array in place —
+  *    O(batch + 1 chunk), never the whole axis;
   *  - new append-dim coordinate values must sort strictly AFTER the
   *    existing axis (time moves forward), keeping the axis sorted so
   *    deferred-axis pruning stays ≤ 2 boundary decodes;
@@ -95,12 +100,20 @@ object ZarrAppend {
       s"zarr append: value column type ${df.schema("value").dataType} does not fit store dtype '${meta.dtype}'"
     )
 
-    // ---- existing axes (eager-bounded; deferred axes refuse in coordFor)
+    // ---- existing axes. The APPEND dim may be deferred (10M+ values):
+    // the strictly-after check boundary-decodes the axis tail (1 chunk
+    // read) and the commit appends tail chunks to the coordinate array
+    // instead of rewriting it — the axis never materializes on the
+    // driver. NON-append dims must stay eager: they become broadcast
+    // ordinal maps for the row->index join.
+    val deferredThreshold =
+      opts.get("coord.deferred.threshold").map(_.toInt).getOrElse(10000000)
     val coords: Vector[Coord] =
-      meta.dims.zipWithIndex.map { case (d, i) => store.coordFor(d, meta.shape(i), 10000000) }
+      meta.dims.zipWithIndex.map { case (d, i) => store.coordFor(d, meta.shape(i), deferredThreshold) }
     require(
-      !coords.exists(_.isInstanceOf[Coord.Deferred]),
-      "zarr append v1 requires driver-resident (eager) coordinate axes"
+      !coords.drop(1).exists(_.isInstanceOf[Coord.Deferred]),
+      "zarr append v1 requires driver-resident (eager) NON-append coordinate axes — " +
+        "each one broadcasts as the row->ordinal join map"
     )
 
     // ---- new append-dim values: distinct, sorted, strictly after the axis
@@ -119,6 +132,13 @@ object ZarrAppend {
           case other => throw new IllegalArgumentException(s"positional append dim got $other")
         }
         require(got == expected, s"positional append dim must continue at $extent (got ${got.take(3).mkString(",")}...)")
+      case _: Coord.Deferred =>
+        // boundary decode: ONE coordinate chunk read gives the axis end
+        val lastExt = deferredTailValue(store, appendDim, extent, storageOptions)
+        require(
+          ord.compare(newVals.head, lastExt) > 0,
+          s"zarr append: new $appendDim values must sort strictly after the existing axis end ($lastExt)"
+        )
       case c =>
         val last = c(extent - 1)
         require(
@@ -264,6 +284,11 @@ object ZarrAppend {
     // batch replays as a no-op and the data is gone.
     coords.head match {
       case Coord.Index(_) => () // positional: nothing stored
+      case _: Coord.Deferred =>
+        // extend the coordinate array IN PLACE: rewrite at most the one
+        // partial tail chunk (read-modify-write), append whole new
+        // chunks, bump the coord .zarray shape — never the whole axis
+        appendCoordTail(store, appendDim, extent, newVals, storageOptions)
       case c =>
         val existingExternal = Array.tabulate[Any](extent)(i => externalOf(c, c(i)))
         ZarrSink.writeCoordArray(
@@ -324,6 +349,154 @@ object ZarrAppend {
       )
     }
     ZarrSink.consolidate(store.groupDir, storageOptions)
+  }
+
+  /** Supported coordinate-array dtypes for the in-place tail append: the
+    * shapes the sink itself writes (plus their big-endian variants). M8/TD
+    * require exact-micros units because externals arrive as micros; fixed
+    * |S / <U and uint64 axes refuse loudly (the eager path rewrites those
+    * whole, which is what a sub-10M axis gets anyway). */
+  private def requireAppendableCoord(cm: ZarrArrayMeta, dim: String): Unit = {
+    require(!cm.v3, s"deferred append dim '$dim': coordinate array must be zarr v2")
+    require(cm.rank == 1, s"deferred append dim '$dim': coordinate array must be 1-D")
+    require(cm.shardShape.isEmpty, s"deferred append dim '$dim': sharded coordinate arrays unsupported")
+    require(cm.filters.isEmpty, s"deferred append dim '$dim': numcodecs-filtered coordinate arrays unsupported")
+    cm.zdtype.code match {
+      case ZDtype.I4 | ZDtype.I8 | ZDtype.F4 | ZDtype.F8 | ZDtype.VSTR => ()
+      case ZDtype.M8 | ZDtype.TD =>
+        require(
+          cm.zdtype.m8Num == 1L && cm.zdtype.m8Den == 1L,
+          s"deferred append dim '$dim': datetime coordinate unit must be microseconds ('${cm.dtype}')"
+        )
+      case other =>
+        throw new IllegalArgumentException(
+          s"deferred append dim '$dim': coordinate dtype '${cm.dtype}' ($other) unsupported for in-place append"
+        )
+    }
+  }
+
+  /** Last coordinate value of a DEFERRED append axis as an external
+    * (Row-compatible) value — one chunk read, never the whole axis. */
+  private def deferredTailValue(
+      store: ZarrStore,
+      dim: String,
+      extent: Int,
+      storageOptions: Map[String, String]
+  ): Any = {
+    val cm = store.arrayMeta(dim)
+    require(cm.shape.head == extent, s"coordinate axis '$dim' length ${cm.shape.head} != extent $extent")
+    requireAppendableCoord(cm, dim)
+    val chunkLen = cm.chunks.head
+    val c = (extent - 1) / chunkLen
+    val buf = ZarrChunkIO
+      .readChunk(store.arrayDir(dim), cm, Seq(c), storageOptions)
+      .getOrElse(
+        throw new IllegalStateException(s"deferred append dim '$dim': missing coordinate chunk $c")
+      )
+    val local = (extent - 1) - c * chunkLen
+    cm.zdtype.code match {
+      case ZDtype.I4 => buf.getInt(local)
+      case ZDtype.I8 => buf.getLong(local)
+      case ZDtype.F4 => buf.getFloat(local)
+      case ZDtype.F8 => buf.getDouble(local)
+      case ZDtype.M8 =>
+        buf.getM8(local) match {
+          case null =>
+            throw new IllegalStateException(s"deferred append dim '$dim': NaT at the axis end")
+          case us: Long => java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000L))
+        }
+      case ZDtype.TD =>
+        buf.getM8(local) match {
+          case null =>
+            throw new IllegalStateException(s"deferred append dim '$dim': NaT at the axis end")
+          case us: Long => java.time.Duration.ofNanos(us * 1000L)
+        }
+      case ZDtype.VSTR =>
+        Option(buf.getUTF8(local))
+          .map(_.toString)
+          .getOrElse(
+            throw new IllegalStateException(s"deferred append dim '$dim': null label at the axis end")
+          )
+      case other => throw new IllegalStateException(s"unreachable coord dtype $other")
+    }
+  }
+
+  /** Append `newVals` to a DEFERRED coordinate axis in place: rewrite the
+    * one partial tail chunk if the extent is mid-chunk (read-modify-write,
+    * byte-exact copy of the existing prefix), write whole new chunks, then
+    * bump the coord `.zarray` shape. Work is O(newVals + 1 chunk), driver-
+    * side (newVals is already bounded at 1e6). */
+  private def appendCoordTail(
+      store: ZarrStore,
+      dim: String,
+      extent: Int,
+      newVals: Array[Any],
+      storageOptions: Map[String, String]
+  ): Unit = {
+    val cm = store.arrayMeta(dim)
+    require(cm.shape.head == extent, s"coordinate axis '$dim' length ${cm.shape.head} != extent $extent")
+    requireAppendableCoord(cm, dim)
+    val dirStr = store.arrayDir(dim)
+    val chunkLen = cm.chunks.head
+    val dt = cm.zdtype
+    val isStr = dt.code == ZDtype.VSTR
+    val newTotal = extent + newVals.length
+    val startChunk = extent / chunkLen
+    val lastChunk = (newTotal - 1) / chunkLen
+    val order = if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    // the partial tail chunk's existing cells (byte-exact for numerics)
+    val nKeep = extent - startChunk * chunkLen
+    val existing: Option[ZarrBuffer] =
+      if (nKeep > 0)
+        Some(
+          ZarrChunkIO
+            .readChunk(dirStr, cm, Seq(startChunk), storageOptions)
+            .getOrElse(
+              throw new IllegalStateException(s"deferred append dim '$dim': missing coordinate chunk $startChunk")
+            )
+        )
+      else None
+    var c = startChunk
+    while (c <= lastChunk) {
+      val bytes: Array[Byte] =
+        if (isStr) {
+          val arr = Array.fill(chunkLen)("") // ""-padded past the axis end
+          if (c == startChunk) existing.foreach { b =>
+            var i = 0
+            while (i < nKeep) { arr(i) = Option(b.getUTF8(i)).map(_.toString).getOrElse(""); i += 1 }
+          }
+          var g = math.max(c.toLong * chunkLen, extent.toLong)
+          val end = math.min((c.toLong + 1) * chunkLen, newTotal.toLong)
+          while (g < end) {
+            arr((g - c.toLong * chunkLen).toInt) = newVals((g - extent).toInt).asInstanceOf[String]
+            g += 1
+          }
+          ZarrCodec.compress(cm.compressor, ZarrStoreWriter.vlenEncode(arr), typesize = 1)
+        } else {
+          val buf = ByteBuffer.allocate(chunkLen * dt.itemSize).order(order) // zero pad past the end
+          if (c == startChunk) existing.foreach(b => System.arraycopy(b.raw, 0, buf.array(), 0, nKeep * dt.itemSize))
+          var g = math.max(c.toLong * chunkLen, extent.toLong)
+          val end = math.min((c.toLong + 1) * chunkLen, newTotal.toLong)
+          while (g < end) {
+            ZarrSink.putCoordCell(dt, buf, (g - c.toLong * chunkLen).toInt, newVals((g - extent).toInt))
+            g += 1
+          }
+          ZarrCodec.compress(cm.compressor, buf.array(), typesize = dt.itemSize)
+        }
+      ZarrFileIO.writeBytes(new HPath(dirStr, c.toString), storageOptions, bytes)
+      c += 1
+    }
+    // bump the coordinate array's shape LAST (the tail chunks above are
+    // invisible until this lands; a crash before it leaves the old axis)
+    val zarrayRaw = ZarrFileIO
+      .readStringIfExists(new HPath(dirStr, ".zarray"), storageOptions)
+      .getOrElse(throw new IllegalStateException(s"deferred append dim '$dim': missing .zarray"))
+    val updated = zarrayRaw.replaceFirst(
+      """"shape"\s*:\s*\[[0-9,\s]*\]""",
+      s""""shape": [$newTotal]"""
+    )
+    require(updated != zarrayRaw, s"deferred append dim '$dim': could not rewrite .zarray shape")
+    ZarrFileIO.writeString(new HPath(dirStr, ".zarray"), storageOptions, updated)
   }
 
   /** Internal coord cell -> the external (Row-compatible) value. */

@@ -1105,7 +1105,7 @@ object ZarrSink {
 
   /** One coordinate cell → buffer, exact for integral/timestamp types
     * (shared by the driver-side and distributed coordinate writers). */
-  private def putCoordCell(dt: ZDtype, buf: ByteBuffer, i: Int, v: Any): Unit = v match {
+  private[zarr] def putCoordCell(dt: ZDtype, buf: ByteBuffer, i: Int, v: Any): Unit = v match {
     case x: java.lang.Integer => ZDtype.putLong(dt, buf, i, x.longValue())
     case l: java.lang.Long => ZDtype.putLong(dt, buf, i, l.longValue())
     case f: java.lang.Float => ZDtype.put(dt, buf, i, f.doubleValue())

@@ -134,6 +134,93 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     assert(e.getMessage.contains("chunk boundary") || e.getMessage.contains("strictly after"), e.getMessage)
   }
 
+  test("deferred numeric append dim: tail boundary decode + in-place coord extension") {
+    val root = Files.createTempDirectory("zarrappenddef").toString
+    // 40-value long axis written through the DISTRIBUTED coord path
+    // (max_coord_values 10), coord chunks of 16 -> chunk files 0,1,2 with
+    // the tail chunk holding 8 of 16 cells. Value chunks 8: extent 40 on a
+    // boundary.
+    spark.range(0, 40).selectExpr("id as t", "id * 3 + 7 as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "8")
+      .option("max_coord_values", "10").option("coord_chunk_values", "16")
+      .mode("append").save()
+    // append 16 values with the deferral threshold forced below the
+    // extent: the axis never materializes; the partial coord chunk 2 is
+    // read-modified-rewritten and chunk 3 appended
+    spark.range(40, 56).selectExpr("id as t", "id * 3 + 7 as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("append.dim", "t").option("coord.deferred.threshold", "10")
+      .mode("append").save()
+    // coord array: shape grew to 56, chunk 3 exists
+    val store = new ZarrStore(root, Map.empty, None, None)
+    val cm = store.arrayMeta("t")
+    assert(cm.shape.head == 56 && cm.chunks.head == 16)
+    assert(ZarrFileIO.exists(new org.apache.hadoop.fs.Path(store.arrayDir("t"), "3"), Map.empty))
+    // eager read: every cell exact
+    val rows = read(root).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 56)
+    (0L until 56L).foreach(t => assert(rows(t) == t * 3 + 7, s"t=$t"))
+    // deferred read over the grown axis: same rows, range pruning works
+    val dfd = spark.read.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("coord.deferred.threshold", "10")
+      .load()
+    assert(dfd.count() == 56)
+    assert(dfd.filter(col("t") >= 44L).count() == 12)
+    // backdated deferred append fails loudly off the boundary-decoded tail
+    val e = intercept[IllegalArgumentException] {
+      spark.range(30, 38).selectExpr("id as t", "id * 3 + 7 as value")
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("append.dim", "t").option("coord.deferred.threshold", "10")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("strictly after"), e.getMessage)
+  }
+
+  test("deferred string append dim: vlen tail chunks extend in place") {
+    val root = Files.createTempDirectory("zarrappenddefs").toString
+    spark.range(0, 40)
+      .selectExpr("concat('lab', lpad(cast(id as string), 3, '0')) as t", "id as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "8")
+      .option("max_coord_values", "10").option("coord_chunk_values", "16")
+      .mode("append").save()
+    spark.range(40, 56)
+      .selectExpr("concat('lab', lpad(cast(id as string), 3, '0')) as t", "id as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("append.dim", "t").option("coord.deferred.threshold", "10")
+      .mode("append").save()
+    val rows = read(root).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size == 56)
+    (0 until 56).foreach(i => assert(rows(f"lab$i%03d") == i.toLong, s"label lab$i%03d"))
+    // deferred read with lexicographic pruning over the grown label axis
+    val dfd = spark.read.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("coord.deferred.threshold", "10")
+      .load()
+    assert(dfd.filter(col("t") >= "lab048").count() == 8)
+  }
+
+  test("deferred NON-append dims still refuse loudly") {
+    val root = Files.createTempDirectory("zarrappenddefn").toString
+    writeBatch(root, 0, 8)
+    val e = intercept[IllegalArgumentException] {
+      // threshold 2 defers BOTH axes; t (append dim) is allowed, s is not
+      spark.range(8, 12).selectExpr("cast(id as int) as t")
+        .crossJoin(spark.range(0, 4).selectExpr("cast(id as int) as s"))
+        .withColumn("value", (col("t") * 4 + col("s")).cast("long"))
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("append.dim", "t").option("coord.deferred.threshold", "2")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("NON-append"), e.getMessage)
+  }
+
   test("streaming source picks up appended slabs end-to-end") {
     val root = Files.createTempDirectory("zarrappendstream").toString
     writeBatch(root, 0, 8, Some(1L))
