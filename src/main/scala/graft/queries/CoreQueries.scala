@@ -1037,6 +1037,25 @@ object CoreQueries {
       Some("""SELECT 'k' || lpad(CAST(t.i AS VARCHAR), 4, '0') AS t, CAST(t.i * 7 % 113 AS BIGINT) AS value
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(100, 120)) t
              |ORDER BY t""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // COUNT pushdown on a DEFERRED axis: the kept-set cardinality answer
+    // (metadata-only LocalScan — shape pinned in ZarrAggPushdownSpec)
+    // under a deferred-dim predicate refined by streaming coord chunks.
+    Q(
+      "q44_zarr_deferred_count",
+      (s, _) => {
+        val root = CoreQueries.q43Store(s)
+        s.read.format("zarr")
+          .option("path", root).option("array", "v")
+          .option("coord.deferred.threshold", "10")
+          .load()
+          .filter(col("t") >= "k0060")
+          .agg(count(lit(1)).as("n"), count(col("value")).as("nv"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nv
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 120)) t
+             |WHERE ('k' || lpad(CAST(t.i AS VARCHAR), 4, '0')) >= 'k0060'""".stripMargin)
     )
   )
 

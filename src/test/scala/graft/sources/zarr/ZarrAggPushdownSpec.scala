@@ -206,4 +206,46 @@ class ZarrAggPushdownSpec extends AnyFunSuite with SparkTester {
     val q = df.limit(10).agg(count("*"))
     assert(q.collect().head.getLong(0) == 10L)
   }
+
+  test("count aggregates push complete on DEFERRED axes (kept-set cardinalities)") {
+    // deferred axes carry no driver-side values, but COUNT(*)/count(value)
+    // need only kept-set sizes — and pushed dim predicates refine the kept
+    // set exactly at planning time by streaming coordinate chunks, so the
+    // pushdown stays complete even under a deferred-dim filter
+    val r2 = Files.createTempDirectory("zarraggdef").toString
+    spark.range(0, 40).selectExpr(
+      "concat('k', lpad(cast(id as string), 3, '0')) as t", "id * 2 as value")
+      .write.format("zarr")
+      .option("path", r2).option("array", "v").option("chunks", "8")
+      .option("max_coord_values", "10").option("coord_chunk_values", "16")
+      .mode("append").save()
+    val d = spark.read.format("zarr")
+      .option("path", r2).option("array", "v")
+      .option("coord.deferred.threshold", "10").load()
+    val q1 = d.agg(count(lit(1)), count("value"), min("value"), max("value"))
+    assertMetadataOnly(q1)
+    val r1 = q1.collect().head
+    assert(r1.getLong(0) == 40L && r1.getLong(1) == 40L)
+    assert(r1.getLong(2) == 0L && r1.getLong(3) == 78L)
+    val q2 = d.filter(col("t") >= "k020").agg(count(lit(1)))
+    assertMetadataOnly(q2)
+    assert(q2.collect().head.getLong(0) == 20L)
+    // numeric deferred axis too
+    val r3 = Files.createTempDirectory("zarraggdefn").toString
+    spark.range(0, 40).selectExpr("id as t", "id * 2 as value")
+      .write.format("zarr")
+      .option("path", r3).option("array", "v").option("chunks", "8")
+      .option("max_coord_values", "10").option("coord_chunk_values", "16")
+      .mode("append").save()
+    val dn = spark.read.format("zarr")
+      .option("path", r3).option("array", "v")
+      .option("coord.deferred.threshold", "10").load()
+    val q3 = dn.filter(col("t") >= 20L && col("t") < 30L).agg(count(lit(1)))
+    assertMetadataOnly(q3)
+    assert(q3.collect().head.getLong(0) == 10L)
+    // aggregates needing the deferred axis VALUES still fall back
+    val q4 = dn.agg(min("t"))
+    assert(planOf(q4).contains("BatchScan"))
+    assert(q4.collect().head.getLong(0) == 0L)
+  }
 }
