@@ -18,8 +18,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    // load gate: timings from a contended machine are the noisiest artifact
+    // of the round — wait (bounded) for the 1-minute load to settle below
+    // the threshold before starting; if it never does, proceed but stamp
+    // the artifact with "load_warning" so the number is never mistaken for
+    // a quiet-box measurement
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5").toDouble
+    val loadWaitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "180").toInt
+    var waited = 0
+    while (loadAvg() > maxLoad && waited < loadWaitS) {
+      if (waited == 0)
+        System.err.println(f"[bench] load ${loadAvg()}%.2f > $maxLoad%.1f — waiting up to ${loadWaitS}s for quiet")
+      Thread.sleep(5000); waited += 5
+    }
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val load0 = loadAvg()
+    val loadWarning = load0 > maxLoad
     // warm up JIT/codegen/parquet-footer caches so the first measured query
     // doesn't absorb session fixed costs
     try {
@@ -57,7 +71,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs":$runs,"load_start":$load0,"load_end":$load1}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs":$runs,"load_start":$load0,"load_end":$load1,"load_gate_waited":$waited,"load_warning":$loadWarning}"""
     // the round artifact captures a bounded stdout TAIL: stop Spark FIRST so
     // no shutdown log lines follow the JSON, write the full record to a file
     // (r6/r7 artifacts lost 4-5 per-query times off the front of the

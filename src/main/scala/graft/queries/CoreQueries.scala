@@ -1056,6 +1056,25 @@ object CoreQueries {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nv
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 120)) t
              |WHERE ('k' || lpad(CAST(t.i AS VARCHAR), 4, '0')) >= 'k0060'""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // TopN pushdown on an INNER dim: ORDER BY s DESC narrows the s kept
+    // set the same way a leading-dim TopN narrows t (cell-count plan shape
+    // pinned in ZarrTopNInnerSpec); full ordering keeps the row set
+    // deterministic for the hash compare.
+    Q(
+      "q45_zarr_topn_inner",
+      (s, _) => {
+        val root = CoreQueries.q45Store(s)
+        s.read.format("zarr")
+          .option("path", root).option("array", "v")
+          .load()
+          .orderBy(desc("s"), desc("t"))
+          .limit(5)
+      },
+      Some("""SELECT CAST(g.i // 20 AS INTEGER) AS t, CAST(g.i % 20 AS INTEGER) AS s, CAST(g.i AS BIGINT) AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 400)) g
+             |ORDER BY s DESC, t DESC LIMIT 5""".stripMargin)
     )
   )
 
@@ -1115,6 +1134,23 @@ object CoreQueries {
         .option("path", root).option("array", "v")
         .option("append.dim", "t").option("append.batch_id", "1")
         .option("coord.deferred.threshold", "10")
+        .mode("append").save()
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
+
+  /** Build the q45 store once per JVM: a 20x20 grid (chunks 5,5) whose
+    * value is the flat cell index — the inner-dim TopN target. */
+  private[queries] def q45Store(s: SparkSession): String = synchronized {
+    val root = FixtureCache.root("q45")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      s.range(0, 400)
+        .selectExpr("cast(id div 20 as int) as t", "cast(id % 20 as int) as s", "id as value")
+        .write.format("zarr")
+        .option("path", root).option("array", "v").option("chunks", "5,5")
         .mode("append").save()
       java.nio.file.Files.writeString(marker, "ok")
     }

@@ -87,6 +87,7 @@ object ZarrSink {
             case LongType => "<i8"
             case FloatType => "<f4"
             case DoubleType => "<f8"
+            case TimestampType => "<M8[us]"
             case other =>
               throw new IllegalArgumentException(
                 s"zarr sink: struct field '${f.name}': cannot infer a dtype for $other — " +

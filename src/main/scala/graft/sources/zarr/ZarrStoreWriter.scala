@@ -434,7 +434,20 @@ object ZarrStoreWriter {
       case ZDtype.I1 | ZDtype.U1 => bb.put(off, asLong(v).toByte)
       case ZDtype.I2 | ZDtype.U2 => bb.putShort(off, asLong(v).toShort)
       case ZDtype.I4 | ZDtype.U4 => bb.putInt(off, asLong(v).toInt)
-      case ZDtype.I8 | ZDtype.U8 | ZDtype.M8 | ZDtype.TD => bb.putLong(off, asLong(v))
+      case ZDtype.I8 | ZDtype.U8 => bb.putLong(off, asLong(v))
+      case ZDtype.M8 | ZDtype.TD =>
+        // datetime/timedelta fields: externals arrive as Timestamp/Instant
+        // (M8) or Duration (TD) and must land in the field dtype's RAW
+        // stored unit — the inverse of the read path's m8Micros scaling
+        // (micros = raw * m8Num / m8Den). Raw longs pass through untouched
+        // for callers that already hold stored units.
+        val raw: Long = v match {
+          case t @ (_: java.sql.Timestamp | _: java.time.Instant) =>
+            ZarrSink.micros(t) * fdt.m8Den / fdt.m8Num
+          case d: java.time.Duration => (d.toNanos / 1000L) * fdt.m8Den / fdt.m8Num
+          case other => asLong(other)
+        }
+        bb.putLong(off, raw)
       case ZDtype.F2 => bb.putShort(off, ZDtype.floatToHalf(asDouble(v).toFloat))
       case ZDtype.F4 => bb.putFloat(off, asDouble(v).toFloat)
       case ZDtype.F8 => bb.putDouble(off, asDouble(v))

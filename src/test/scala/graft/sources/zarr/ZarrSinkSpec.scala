@@ -612,4 +612,39 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
     }
     assert(msgOf(e).contains("more than 5 distinct values"), msgOf(e))
   }
+
+  test("datetime struct fields: external Timestamps land in the field's stored unit") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("zarrsinkstructdt").toString
+    // inferred: TimestampType struct field -> <M8[us]
+    val df = (0 until 12)
+      .map(i => (i, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i * 60)), i * 2L))
+      .toDF("i", "at", "n")
+      .select(col("i"), struct(col("at"), col("n")).as("value"))
+    df.write.format("zarr")
+      .option("path", s"$base/s1").option("array", "rec").option("chunks", "4")
+      .mode("append").save()
+    val back = new ZarrDataReader(spark, s"$base/s1").readArray("rec")
+      .select(col("i"), col("value.at").cast("long").as("sec"), col("value.n"))
+      .orderBy("i").collect()
+    (0 until 12).foreach { i =>
+      assert(back(i).getLong(1) == 1700000000L + i * 60, s"i=$i")
+      assert(back(i).getLong(2) == i * 2L)
+    }
+    // explicit NON-micro unit (<M8[ms]): micros must scale to the stored
+    // unit (the read path scales back), not land raw
+    val df2 = (0 until 8)
+      .map(i => (i, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i))))
+      .toDF("i", "at")
+      .select(col("i"), struct(col("at")).as("value"))
+    df2.write.format("zarr")
+      .option("path", s"$base/s2").option("array", "rec")
+      .option("dtype", """[["at", "<M8[ms]"]]""")
+      .option("chunks", "4")
+      .mode("append").save()
+    val back2 = new ZarrDataReader(spark, s"$base/s2").readArray("rec")
+      .select(col("i"), col("value.at").cast("long").as("sec"))
+      .orderBy("i").collect()
+    (0 until 8).foreach(i => assert(back2(i).getLong(1) == 1700000000L + i, s"i=$i"))
+  }
 }

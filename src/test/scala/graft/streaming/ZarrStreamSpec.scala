@@ -92,4 +92,51 @@ class ZarrStreamSpec extends AnyFunSuite with SparkTester {
     }
     assert(ex.getMessage != null)
   }
+
+  test("end-to-end: windowed aggregate with watermark over a live ZarrAppend loop") {
+    import org.apache.spark.sql.functions._
+    // SINK-create a timestamped store (ts minutes 0..7, chunks 4), then
+    // APPEND minutes 8..15 while a watermarked tumbling-window aggregate
+    // streams it. Append mode only finalizes windows whose end <= the
+    // watermark (max event time - 1 minute); results are pinned exactly
+    // at both checkpoints — the full loop: ZarrSink -> ZarrAppend ->
+    // ZarrStreamSource -> event-time state, every window exact.
+    val root = Files.createTempDirectory("zarrstreamwin").toString
+    def batch(lo: Int, hi: Int) =
+      spark.range(lo, hi).selectExpr(
+        "timestamp_seconds(1700000040 + id * 60) as ts",
+        "cast(id * id as double) as value"
+      )
+    batch(0, 8).write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "4")
+      .mode("append").save()
+
+    val agg = spark.readStream.format("zarr")
+      .option("path", root).option("array", "v").option("stream.dim", "ts")
+      .load()
+      .withWatermark("ts", "1 minutes")
+      .groupBy(window(col("ts"), "2 minutes").as("w"))
+      .agg(sum("value").as("s"))
+      .select(col("w.start").cast("long").as("start"), col("s"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("zwin").start()
+    try {
+      q.processAllAvailable()
+      def expected(upTo: Int): Set[(Long, Double)] =
+        (0 until upTo by 2).map { k =>
+          (1700000040L + k * 60L, (k.toLong * k + (k + 1L) * (k + 1L)).toDouble)
+        }.toSet
+      // watermark = minute 7 - 1 = 6: windows [0,2) [2,4) [4,6) finalized
+      val first = spark.table("zwin").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(first == expected(6), s"got $first")
+
+      batch(8, 16).write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("append.dim", "ts").option("append.batch_id", "2")
+        .mode("append").save()
+      q.processAllAvailable()
+      // watermark = minute 15 - 1 = 14: windows through [12,14) finalized
+      val second = spark.table("zwin").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(second == expected(14), s"got $second")
+    } finally q.stop()
+  }
 }
