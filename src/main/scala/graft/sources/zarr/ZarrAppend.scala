@@ -39,9 +39,15 @@ import org.apache.spark.sql.functions._
   *    any window makes the replay either a clean rewrite or a loud
   *    strictly-after violation, never a silently dropped batch.
   *
-  * Chunk statistics: new chunks' bounds merge into the existing zone-map
-  * doc (same domain) with the grown grid size; a store without stats stays
-  * without (absence may be deliberate).
+  * Chunk statistics survive the append in every layout: flat docs merge
+  * the new chunks' bounds under the grown grid; a grid growing past the
+  * flat cap upgrades flat -> HIERARCHICAL (side docs for every block,
+  * rollup attrs); a hierarchical store rewrites at most the one
+  * boundary-straddling block's side doc and widens the touched rollups —
+  * fully-old blocks keep their side docs, which stay exact because
+  * leading-dim appends never rewrite existing ordinals. A store without
+  * stats stays without (absence may be deliberate); a grid growing past
+  * flat_cap x block_len drops them (the sink's own ceiling).
   */
 object ZarrAppend {
 
@@ -206,9 +212,29 @@ object ZarrAppend {
     val executorOpts = ZarrFileIO.executorOptions(storageOptions)
     val nChunksArr = nChunksVec.toArray
     val statsDomain = ZarrChunkStats.domainOf(dt)
-    val existingStats = meta.attrs.get(ZarrChunkStats.AttrKey).flatMap(ZarrChunkStats.parse)
-    val statsOn = existingStats.exists(d => statsDomain.contains(d.domain)) &&
-      nChunksVec.map(_.toLong).product <= 65536
+    val rawStatsAttr = meta.attrs.get(ZarrChunkStats.AttrKey)
+    val existingFlatStats =
+      rawStatsAttr.flatMap(ZarrChunkStats.parse).filter(d => statsDomain.contains(d.domain))
+    val existingHierStats =
+      rawStatsAttr.flatMap(ZarrChunkStats.parseHier).filter(h => statsDomain.contains(h.domain))
+    val statsFlatCap =
+      opts.get("stats.flat_cap").map(_.toLong).getOrElse(ZarrChunkStats.FlatCap)
+    // an existing hier layout fixes the block length; otherwise the option
+    // (or default) decides the flat->hier upgrade geometry
+    val statsBlockLen = existingHierStats
+      .map(_.blockLen)
+      .getOrElse(
+        opts.get("stats.block_len").map(_.toLong).getOrElse(ZarrChunkStats.DefaultBlockLen)
+      )
+    val grownTotalChunks = nChunksVec.map(_.toLong).product
+    val oldTotalChunks =
+      (extent.toLong / chunk0) * nChunksVec.drop(1).map(_.toLong).product
+    // stats survive the append when the store already has same-domain
+    // stats, the grown grid fits the two-level ceiling, and the batch's
+    // own chunk records stay driver-collectable (flat-cap bound)
+    val statsOn = (existingFlatStats.isDefined || existingHierStats.isDefined) &&
+      grownTotalChunks <= statsFlatCap * statsBlockLen &&
+      grownTotalChunks - oldTotalChunks <= statsFlatCap
     val statsOnSer = statsOn
     val isStr = strValue
     val intDomain = statsDomain.contains("int")
@@ -300,26 +326,109 @@ object ZarrAppend {
           storageOptions
         )
     }
-    val mergedStats: Option[ZarrChunkStats.Doc] =
+    // ---- stats maintenance across the append. Side docs land BEFORE the
+    // attrs that reference them (a missing side doc only degrades fine
+    // pruning to the block rollup). Three transitions:
+    //   flat -> flat   merged per-chunk doc in the attrs (grown grid)
+    //   flat -> hier   the grown grid crosses the flat cap: side docs for
+    //                  every block (old entries from the flat attrs, new
+    //                  from this batch), rollups, hier attrs
+    //   hier -> hier   rewrite at most the ONE boundary-straddling block's
+    //                  side doc (read-modify-write; fully-old blocks keep
+    //                  their still-exact docs — the pruner accepts stale
+    //                  nChunks for blocks the old grid fully covered), add
+    //                  side docs for new blocks, widen those blocks'
+    //                  rollups + written counts
+    val statsAttrJson: Option[String] =
       if (!statsOn) None
-      else
-        existingStats.map { doc =>
-          val total = nChunksVec.map(_.toLong).product
-          doc.domain match {
-            case "int" =>
-              doc.copy(nChunks = total, boundsI = doc.boundsI ++ statsRows.map(r =>
-                r.ord -> (if (r.has) Some((r.loL, r.hiL)) else None)).toMap)
-            case "float" =>
-              doc.copy(nChunks = total, boundsF = doc.boundsF ++ statsRows.map(r =>
-                r.ord -> (if (r.has) Some((r.loD, r.hiD)) else None)).toMap)
-            case _ =>
-              doc.copy(nChunks = total, boundsS = doc.boundsS ++ statsRows.map(r =>
-                r.ord -> (if (r.has) Some((r.loS, r.hiS)) else None)).toMap)
+      else {
+        val domain = statsDomain.get
+        val newDoc = ZarrChunkStats.docOfBounds(domain, grownTotalChunks, statsRows)
+        if (existingHierStats.isEmpty && grownTotalChunks <= statsFlatCap) {
+          existingFlatStats.map(d =>
+            ZarrChunkStats.toJson(ZarrChunkStats.mergeFlat(d, newDoc, grownTotalChunks))
+          )
+        } else {
+          val blockLen = statsBlockLen
+          val nBlocksNew = (grownTotalChunks + blockLen - 1) / blockLen
+          val newBlocks: Set[Long] = statsRows.map(_.ord / blockLen).toSet
+          // the one block straddling the old grid end (if any): its side
+          // doc must be rewritten with the grown nChunks even when the
+          // batch wrote nothing in it, or the pruner rejects it as stale
+          val boundaryBlock: Option[Long] =
+            if (oldTotalChunks % blockLen == 0) None else Some(oldTotalChunks / blockLen)
+          val oldBlocks: Set[Long] = existingHierStats match {
+            case Some(_) => boundaryBlock.toSet
+            case None => (0L until (oldTotalChunks + blockLen - 1) / blockLen).toSet
           }
+          val baseHier: ZarrChunkStats.Hier = existingHierStats.getOrElse(
+            ZarrChunkStats.Hier(
+              domain,
+              grownTotalChunks,
+              blockLen,
+              Map.empty,
+              ZarrChunkStats.Doc(domain, 0)
+            )
+          )
+          var written = baseHier.written
+          var rollRecs = Map.empty[Long, ZarrSink.ChunkBounds]
+          (newBlocks ++ oldBlocks).toSeq.sorted.foreach { b =>
+            val newSub = ZarrChunkStats.blockSlice(newDoc, b, blockLen, grownTotalChunks)
+            val oldSideDoc: Option[ZarrChunkStats.Doc] = existingHierStats match {
+              case Some(_) if oldBlocks.contains(b) =>
+                ZarrFileIO
+                  .readStringIfExists(
+                    new HPath(arrayDirStr, s"${ZarrChunkStats.SideDir}/$b"),
+                    storageOptions
+                  )
+                  .flatMap(ZarrChunkStats.parse)
+                  .filter(_.domain == domain)
+              case None =>
+                Some(
+                  ZarrChunkStats.blockSlice(existingFlatStats.get, b, blockLen, grownTotalChunks)
+                )
+              case _ => Some(ZarrChunkStats.Doc(domain, grownTotalChunks)) // purely-new block
+            }
+            oldSideDoc match {
+              case Some(oldSub) =>
+                val merged = ZarrChunkStats.mergeFlat(oldSub, newSub, grownTotalChunks)
+                ZarrFileIO.writeString(
+                  new HPath(arrayDirStr, s"${ZarrChunkStats.SideDir}/$b"),
+                  storageOptions,
+                  ZarrChunkStats.toJson(merged)
+                )
+                written = written.updated(b, merged.written.toLong)
+                rollRecs += b -> ZarrChunkStats.rollupRecord(b, merged)
+              case None =>
+                // boundary block with written old chunks but no readable
+                // side doc: per-chunk entries are unrecoverable — do NOT
+                // write a doc claiming completeness (absent old ordinals
+                // would read as "never written"). Keep the coarse level
+                // sound instead: widen the old rollup with the new bounds
+                // and add the new written count.
+                written = written.updated(b, baseHier.written.getOrElse(b, 0L) + newSub.written)
+                val newRec = ZarrChunkStats.rollupRecord(b, newSub)
+                rollRecs += b -> ZarrChunkStats
+                  .entryRecord(baseHier.rollup, b)
+                  .map(old => ZarrChunkStats.widen(old, newRec, domain))
+                  .getOrElse(newRec)
+            }
+          }
+          val mergedRoll = ZarrChunkStats.mergeFlat(
+            baseHier.rollup,
+            ZarrChunkStats.docOfBounds(domain, nBlocksNew, rollRecs.values),
+            nBlocksNew
+          )
+          Some(
+            ZarrChunkStats.toJsonHier(
+              ZarrChunkStats.Hier(domain, grownTotalChunks, blockLen, written, mergedRoll)
+            )
+          )
         }
+      }
     val baseAttrs: Map[String, String] =
       meta.attrs -- Seq(ZarrChunkStats.AttrKey, "_ARRAY_DIMENSIONS") ++
-        mergedStats.map(d => ZarrChunkStats.AttrKey -> ZarrChunkStats.toJson(d))
+        statsAttrJson.map(j => ZarrChunkStats.AttrKey -> j)
     // stats first, PRIOR batch id retained: safe before the shape grows —
     // appends are leading-dim only, so existing chunk ordinals are
     // unchanged and the extra tail entries are never consulted under the

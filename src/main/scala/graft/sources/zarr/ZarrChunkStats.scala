@@ -72,6 +72,124 @@ object ZarrChunkStats {
   /** -0.0 -> 0.0 (Spark treats them equal; java compare does not). */
   def norm(d: Double): Double = if (d == 0.0) 0.0 else d
 
+  // ---- append-path helpers: build / merge docs driver-side -------------
+
+  /** Flat per-chunk doc from flushed-chunk bounds records — the append
+    * path's driver-side counterpart of the sink's executor-side docOf. */
+  private[zarr] def docOfBounds(
+      domain: String,
+      nChunks: Long,
+      rows: Iterable[ZarrSink.ChunkBounds]
+  ): Doc = domain match {
+    case "int" =>
+      Doc(
+        "int",
+        nChunks,
+        boundsI = rows.map(r => r.ord -> (if (r.has) Some((r.loL, r.hiL)) else None)).toMap
+      )
+    case "float" =>
+      Doc(
+        "float",
+        nChunks,
+        boundsF = rows.map(r => r.ord -> (if (r.has) Some((r.loD, r.hiD)) else None)).toMap
+      )
+    case _ =>
+      Doc(
+        "string",
+        nChunks,
+        boundsS = rows.map(r => r.ord -> (if (r.has) Some((r.loS, r.hiS)) else None)).toMap
+      )
+  }
+
+  /** Key-union of two same-domain docs under a new grid size. Append
+    * ordinals are disjoint from existing ones; on overlap `add` wins (a
+    * replayed batch rewrites identical chunk content). */
+  private[zarr] def mergeFlat(base: Doc, add: Doc, nChunks: Long): Doc = base.domain match {
+    case "int" => base.copy(nChunks = nChunks, boundsI = base.boundsI ++ add.boundsI)
+    case "float" => base.copy(nChunks = nChunks, boundsF = base.boundsF ++ add.boundsF)
+    case _ => base.copy(nChunks = nChunks, boundsS = base.boundsS ++ add.boundsS)
+  }
+
+  /** Sub-doc of the entries with keys in [b*blockLen, (b+1)*blockLen). */
+  private[zarr] def blockSlice(d: Doc, b: Long, blockLen: Long, nChunks: Long): Doc = {
+    val lo = b * blockLen
+    val hi = lo + blockLen
+    def in(k: Long): Boolean = k >= lo && k < hi
+    d.domain match {
+      case "int" => Doc("int", nChunks, boundsI = d.boundsI.filter(e => in(e._1)))
+      case "float" => Doc("float", nChunks, boundsF = d.boundsF.filter(e => in(e._1)))
+      case _ => Doc("string", nChunks, boundsS = d.boundsS.filter(e => in(e._1)))
+    }
+  }
+
+  /** Rollup record over ALL of a per-chunk doc's entries (keyed `blk`):
+    * extrema of the Some bounds; has=false when no entry carries bounds. */
+  private[zarr] def rollupRecord(blk: Long, d: Doc): ZarrSink.ChunkBounds = d.domain match {
+    case "int" =>
+      val vs = d.boundsI.values.flatten
+      if (vs.isEmpty) ZarrSink.ChunkBounds(blk, has = false)
+      else ZarrSink.ChunkBounds(blk, has = true, loL = vs.map(_._1).min, hiL = vs.map(_._2).max)
+    case "float" =>
+      val vs = d.boundsF.values.flatten
+      if (vs.isEmpty) ZarrSink.ChunkBounds(blk, has = false)
+      else
+        ZarrSink.ChunkBounds(
+          blk,
+          has = true,
+          loD = vs.map(_._1).min(Ordering.Double.TotalOrdering),
+          hiD = vs.map(_._2).max(Ordering.Double.TotalOrdering)
+        )
+    case _ =>
+      val vs = d.boundsS.values.flatten
+      if (vs.isEmpty) ZarrSink.ChunkBounds(blk, has = false)
+      else
+        ZarrSink.ChunkBounds(
+          blk,
+          has = true,
+          loS = vs.map(_._1).reduce(byteLexMin),
+          hiS = vs.map(_._2).reduce(byteLexMax)
+        )
+  }
+
+  /** One doc entry as a bounds record; None when the key is absent. */
+  private[zarr] def entryRecord(d: Doc, key: Long): Option[ZarrSink.ChunkBounds] = d.domain match {
+    case "int" =>
+      d.boundsI.get(key).map {
+        case Some((lo, hi)) => ZarrSink.ChunkBounds(key, has = true, loL = lo, hiL = hi)
+        case None => ZarrSink.ChunkBounds(key, has = false)
+      }
+    case "float" =>
+      d.boundsF.get(key).map {
+        case Some((lo, hi)) => ZarrSink.ChunkBounds(key, has = true, loD = lo, hiD = hi)
+        case None => ZarrSink.ChunkBounds(key, has = false)
+      }
+    case _ =>
+      d.boundsS.get(key).map {
+        case Some((lo, hi)) => ZarrSink.ChunkBounds(key, has = true, loS = lo, hiS = hi)
+        case None => ZarrSink.ChunkBounds(key, has = false)
+      }
+  }
+
+  /** Interval union of two bounds records (same block, old ∪ new). */
+  private[zarr] def widen(
+      a: ZarrSink.ChunkBounds,
+      b: ZarrSink.ChunkBounds,
+      domain: String
+  ): ZarrSink.ChunkBounds =
+    if (!a.has) b.copy(ord = a.ord)
+    else if (!b.has) a
+    else
+      domain match {
+        case "int" =>
+          a.copy(loL = math.min(a.loL, b.loL), hiL = math.max(a.hiL, b.hiL))
+        case "float" =>
+          a.copy(
+            loD = if (java.lang.Double.compare(a.loD, b.loD) <= 0) a.loD else b.loD,
+            hiD = if (java.lang.Double.compare(a.hiD, b.hiD) >= 0) a.hiD else b.hiD
+          )
+        case _ => a.copy(loS = byteLexMin(a.loS, b.loS), hiS = byteLexMax(a.hiS, b.hiS))
+      }
+
   /** Per-chunk bounds keyed by C-order linear chunk ordinal over the FULL
     * chunk grid. `None` bounds = written chunk with no comparable cell.
     * Exactly one of the three maps is populated, per `domain`. */
@@ -576,7 +694,20 @@ object ZarrChunkStats {
               storageOptions
             )
             .flatMap(parse)
-            .filter(d => d.domain == hier.domain && d.nChunks == hier.nChunks)
+            // A side doc written under a SMALLER grid stays exact for a
+            // block the old grid fully covered: appends are leading-dim
+            // only, so existing chunk ordinals are never rewritten and the
+            // block gains no new ordinals. The straddling boundary block
+            // does gain ordinals (absent entries would read as "never
+            // written" for chunks an append DID write), so it stays strict
+            // — the append path rewrites its side doc with the grown
+            // nChunks. Docs with nChunks > hier.nChunks (a crashed append's
+            // orphan) are rejected -> coarse answer.
+            .filter(d =>
+              d.domain == hier.domain &&
+                (d.nChunks == hier.nChunks ||
+                  (d.nChunks < hier.nChunks && (b + 1) * hier.blockLen <= d.nChunks))
+            )
             .map { d =>
               hier.domain match {
                 case "int" => LongPruner(predsL, d.boundsI, fillL, gridStrides, desc)

@@ -279,4 +279,123 @@ class ZarrHierStatsSpec extends AnyFunSuite with SparkTester {
       ZarrChunkStats.toJson(ZarrChunkStats.Doc("int", 2, boundsI = Map(0L -> Some((1L, 2L)))))
     ).isEmpty)
   }
+
+  // ---- append maintenance -------------------------------------------------
+
+  /** Appends [lo, hi) x10 values along i. `flatCap` must outgrow the
+    * fixture's write-time cap of 5: the hier ceiling is flat_cap x the
+    * EXISTING doc's block_len (4). */
+  private def appendBatch(root: String, lo: Int, hi: Int, flatCap: Int = 8): Unit =
+    spark.range(lo, hi)
+      .select(col("id").cast("int").as("i"), (col("id") * 10).as("value"))
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "5")
+      .option("append.dim", "i")
+      .option("stats.flat_cap", flatCap.toString).option("stats.block_len", "4")
+      .mode("append").save()
+
+  private def hierDoc(root: String): ZarrChunkStats.Hier =
+    ZarrChunkStats.parseHier(
+      new ZarrStore(root, Map.empty, None, Some(false)).arrayMeta("v").attrs(ZarrChunkStats.AttrKey)
+    ).get
+
+  private def sideDoc(root: String, b: Long): Option[ZarrChunkStats.Doc] = {
+    val store = new ZarrStore(root, Map.empty, None, None)
+    ZarrFileIO
+      .readStringIfExists(
+        new org.apache.hadoop.fs.Path(store.arrayDir("v"), s"${ZarrChunkStats.SideDir}/$b"),
+        Map.empty
+      )
+      .flatMap(ZarrChunkStats.parse)
+  }
+
+  test("append maintains hier stats: new blocks, boundary read-modify-write, old docs kept") {
+    val root = tmp()
+    writeHier(root) // 100 cells, 20 chunks, 5 full blocks
+    appendBatch(root, 100, 110) // +2 chunks; 20 % 4 == 0 -> block 5 is purely new
+    val h1 = hierDoc(root)
+    assert(h1.nChunks == 22 && h1.blockLen == 4 && h1.written(5L) == 2L)
+    assert(h1.rollup.boundsI(5L).contains((1000L, 1090L)))
+    assert(sideDoc(root, 5L).exists(d => d.nChunks == 22 && d.boundsI(21L).contains((1050L, 1090L))))
+    appendBatch(root, 110, 120) // +2 chunks; 22 % 4 == 2 -> block 5 straddles: read-modify-write
+    val h2 = hierDoc(root)
+    assert(h2.nChunks == 24 && h2.written(5L) == 4L && h2.writtenTotal == 24L)
+    assert(h2.rollup.boundsI(5L).contains((1000L, 1190L)))
+    assert(h2.rollup.boundsI(0L).contains((0L, 190L))) // untouched rollups intact
+    val side5 = sideDoc(root, 5L).get
+    assert(side5.nChunks == 24 && (20L to 23L).forall(side5.boundsI.contains))
+    // fully-old blocks keep their ORIGINAL side docs (stale nChunks == 20)...
+    assert((0L to 4L).forall(b => sideDoc(root, b).exists(_.nChunks == 20)))
+    // ...and the pruner still accepts them for FINE pruning: a band inside
+    // old block 1 lands on exactly its 2 chunks
+    val qOld = read(root).filter(col("value") >= 380L && col("value") <= 420L)
+    assert(qOld.rdd.getNumPartitions == 2, s"got ${qOld.rdd.getNumPartitions}")
+    assert(qOld.count() == 5)
+    // appended band: one chunk, through the rewritten boundary doc
+    val qNew = read(root).filter(col("value") > 1140L)
+    assert(qNew.rdd.getNumPartitions == 1 && qNew.count() == 5)
+    // parity with the safety valve across the old/new seam
+    val band = col("value") >= 950L && col("value") <= 1060L
+    val pruned = read(root).filter(band).orderBy("i").collect().toSeq
+    val unpruned = read(root, Map("stats.pruning" -> "false")).filter(band).orderBy("i").collect().toSeq
+    assert(pruned == unpruned && pruned.size == 12)
+    // stats-backed aggregates stay exact over the grown grid
+    val agg = read(root).agg(min("value"), max("value"), count("value")).collect()(0)
+    assert(agg.getLong(0) == 0L && agg.getLong(1) == 1190L && agg.getLong(2) == 120L)
+  }
+
+  test("append across the flat cap upgrades flat stats to hierarchical") {
+    val root = tmp()
+    // 25 cells -> 5 chunks <= flat_cap 5 -> FLAT layout at write time
+    spark.range(0, 25)
+      .select(col("id").cast("int").as("i"), (col("id") * 10).as("value"))
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "5")
+      .option("stats.flat_cap", "5").option("stats.block_len", "4")
+      .mode("append").save()
+    val store0 = new ZarrStore(root, Map.empty, None, None)
+    assert(ZarrChunkStats.parse(store0.arrayMeta("v").attrs(ZarrChunkStats.AttrKey)).isDefined)
+    // +75 cells -> 20 chunks > cap 15 (batch's 15 new chunks still fit the
+    // driver-collection bound): the append upgrades the layout
+    appendBatch(root, 25, 100, flatCap = 15)
+    val h = hierDoc(root)
+    assert(h.nChunks == 20 && h.blockLen == 4 && h.nBlocks == 5)
+    assert((0L until 5L).forall(b => h.written(b) == 4L))
+    assert(h.rollup.boundsI(0L).contains((0L, 190L)) && h.rollup.boundsI(4L).contains((800L, 990L)))
+    // block 1 mixes flat-era ordinal 4 with appended ordinals 5..7
+    val side1 = sideDoc(root, 1L).get
+    assert(side1.nChunks == 20 && side1.boundsI(4L).contains((200L, 240L)) &&
+      side1.boundsI(7L).contains((350L, 390L)))
+    // two-level pruning works through the upgraded layout, exactly
+    val qe = read(root).filter(col("value") === 440L)
+    assert(qe.rdd.getNumPartitions == 1 && qe.count() == 1)
+    val band = col("value") >= 380L && col("value") <= 420L
+    val pruned = read(root).filter(band).orderBy("i").collect().toSeq
+    val unpruned = read(root, Map("stats.pruning" -> "false")).filter(band).orderBy("i").collect().toSeq
+    assert(pruned == unpruned && pruned.size == 5)
+  }
+
+  test("append past the hier ceiling drops stats; missing boundary side doc degrades coarsely") {
+    // ceiling: flat_cap 5 x block_len 4 = 20 chunks; growing to 22 drops stats
+    val root = tmp()
+    writeHier(root)
+    appendBatch(root, 100, 110, flatCap = 5)
+    val attrs = new ZarrStore(root, Map.empty, None, Some(false)).arrayMeta("v").attrs
+    assert(!attrs.contains(ZarrChunkStats.AttrKey))
+    assert(read(root).count() == 110) // scan correct without stats
+    // missing boundary side doc: coarse level stays sound and exact
+    val root2 = tmp()
+    writeHier(root2)
+    appendBatch(root2, 100, 110) // block 5 <- ords 20, 21
+    val store2 = new ZarrStore(root2, Map.empty, None, None)
+    Files.delete(Paths.get(store2.arrayDir("v").stripPrefix("file:"), ZarrChunkStats.SideDir, "5"))
+    appendBatch(root2, 110, 120) // boundary block 5's doc is gone: rollup-only merge
+    val h = hierDoc(root2)
+    assert(h.written(5L) == 4L && h.rollup.boundsI(5L).contains((1000L, 1190L)))
+    assert(sideDoc(root2, 5L).isEmpty) // no doc claiming completeness was written
+    // block 5 survives only coarsely -> all 4 of its chunks kept; exact rows
+    val q = read(root2).filter(col("value") >= 1150L)
+    assert(q.rdd.getNumPartitions == 4, s"got ${q.rdd.getNumPartitions}")
+    assert(q.orderBy("i").collect().map(_.getLong(1)).toSeq == (115 until 120).map(_ * 10L))
+  }
 }
