@@ -1075,8 +1075,63 @@ object CoreQueries {
       Some("""SELECT CAST(g.i // 20 AS INTEGER) AS t, CAST(g.i % 20 AS INTEGER) AS s, CAST(g.i AS BIGINT) AS value
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 400)) g
              |ORDER BY s DESC, t DESC LIMIT 5""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // DEFERRED NON-append dim under the gate: appending to a store whose
+    // label axis is past the deferral threshold — executors decode the
+    // coordinate chunks into a distributed (value, ordinal) join map and
+    // the row->index join shuffles; the axis never rides the driver or a
+    // broadcast. Read back deferred with string pruning on the label axis.
+    Q(
+      "q46_zarr_append_deferred_inner",
+      (s, _) => {
+        val root = CoreQueries.q46Store(s)
+        s.read.format("zarr")
+          .option("path", root).option("array", "v")
+          .option("coord.deferred.threshold", "5")
+          .load()
+          .filter(col("lab") >= "st025")
+          .orderBy("t", "lab")
+      },
+      Some(
+        """SELECT CAST(t.i AS INTEGER) AS t, 'st' || lpad(CAST(s.j AS VARCHAR), 3, '0') AS lab, CAST(t.i * 30 + s.j AS BIGINT) AS value
+          |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 16)) t,
+          |     (SELECT CAST(range AS INTEGER) AS j FROM range(25, 30)) s
+          |ORDER BY t, lab""".stripMargin
+      )
     )
   )
+
+  /** Build the q46 store once per JVM: a (t x lab) grid whose 30-label
+    * string axis sits past the forced deferral threshold at append time —
+    * the appended slab's row->ordinal join for `lab` runs as a
+    * distributed map decoded from coordinate chunks by executors. */
+  private[queries] def q46Store(s: SparkSession): String = synchronized {
+    val root = FixtureCache.root("q46")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      def batch(lo: Int, hi: Int) =
+        s.range(lo, hi)
+          .selectExpr("cast(id as int) as t")
+          .crossJoin(
+            s.range(0, 30)
+              .selectExpr("concat('st', lpad(cast(id as string), 3, '0')) as lab", "id as li")
+          )
+          .selectExpr("t", "lab", "cast(t * 30 + li as bigint) as value")
+      batch(0, 8)
+        .write.format("zarr")
+        .option("path", root).option("array", "v").option("chunks", "4,8")
+        .mode("append").save()
+      batch(8, 16)
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("append.dim", "t").option("coord.deferred.threshold", "5")
+        .mode("append").save()
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
 
   /** Build the q42 store once per JVM: sink-create i 0..99 (chunks 25),
     * then APPEND 100..149 (batch 2) and REPLAY batch 2 (must no-op). */

@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *  - the current extent sits on a chunk boundary (size batches to the
   *    chunk; partial-chunk read-modify-write is exactly the mutable-object
   *    pattern zarr stores avoid);
-  *  - non-append dims must carry exactly the store's existing axis values
-  *    and must be driver-resident (they broadcast as ordinal join maps);
-  *    the APPEND dim itself may be DEFERRED (10M+ values): the
+  *  - non-append dims must carry exactly the store's existing axis values;
+  *    eager axes broadcast as ordinal join maps, DEFERRED ones (10M+
+  *    values) become distributed (value, ordinal) maps decoded from the
+  *    coordinate chunks by executors and shuffle-joined — no axis ever
+  *    rides the driver; the APPEND dim itself may also be deferred: the
   *    strictly-after check boundary-decodes one coordinate chunk and the
   *    commit appends tail chunks to the coordinate array in place —
   *    O(batch + 1 chunk), never the whole axis;
@@ -106,21 +108,17 @@ object ZarrAppend {
       s"zarr append: value column type ${df.schema("value").dataType} does not fit store dtype '${meta.dtype}'"
     )
 
-    // ---- existing axes. The APPEND dim may be deferred (10M+ values):
-    // the strictly-after check boundary-decodes the axis tail (1 chunk
-    // read) and the commit appends tail chunks to the coordinate array
-    // instead of rewriting it — the axis never materializes on the
-    // driver. NON-append dims must stay eager: they become broadcast
-    // ordinal maps for the row->index join.
+    // ---- existing axes. Any dim may be deferred (10M+ values). The
+    // APPEND dim: the strictly-after check boundary-decodes the axis tail
+    // (1 chunk read) and the commit appends tail chunks to the coordinate
+    // array instead of rewriting it. NON-append dims: executors decode the
+    // coordinate chunks into a distributed (value, ordinal) map and the
+    // row->index join shuffles instead of broadcasting — no axis ever
+    // materializes on the driver.
     val deferredThreshold =
       opts.get("coord.deferred.threshold").map(_.toInt).getOrElse(10000000)
     val coords: Vector[Coord] =
       meta.dims.zipWithIndex.map { case (d, i) => store.coordFor(d, meta.shape(i), deferredThreshold) }
-    require(
-      !coords.drop(1).exists(_.isInstanceOf[Coord.Deferred]),
-      "zarr append v1 requires driver-resident (eager) NON-append coordinate axes — " +
-        "each one broadcasts as the row->ordinal join map"
-    )
 
     // ---- new append-dim values: distinct, sorted, strictly after the axis
     val newValsRaw = df.select(col(appendDim)).distinct().limit(1000001).collect().map(_.get(0))
@@ -165,25 +163,32 @@ object ZarrAppend {
     var indexed = df
     meta.dims.zipWithIndex.foreach { case (d, di) =>
       val dt = df.schema(d).dataType
-      val pairs: Seq[Row] =
-        if (di == 0) newVals.zipWithIndex.map { case (v, i) => Row(v, (extent + i).toLong) }.toSeq
-        else {
-          val c = coords(di)
-          require(
-            c.length == meta.shape(di),
-            s"axis '$d' length ${c.length} != shape ${meta.shape(di)}"
+      coords(di) match {
+        case _: Coord.Deferred if di > 0 =>
+          val idxDf = deferredOrdinalMap(spark, store, d, meta.shape(di), dt, di, storageOptions)
+          indexed = indexed.join(idxDf, indexed(d) === idxDf("__v")).drop("__v")
+        case _ =>
+          val pairs: Seq[Row] =
+            if (di == 0) newVals.zipWithIndex.map { case (v, i) => Row(v, (extent + i).toLong) }.toSeq
+            else {
+              val c = coords(di)
+              require(
+                c.length == meta.shape(di),
+                s"axis '$d' length ${c.length} != shape ${meta.shape(di)}"
+              )
+              (0 until c.length).map(i => Row(externalOf(c, c(i)), i.toLong))
+            }
+          val idxSchema = org.apache.spark.sql.types.StructType(
+            Seq(
+              org.apache.spark.sql.types.StructField("__v", dt, nullable = false),
+              org.apache.spark.sql.types
+                .StructField(s"__i$di", org.apache.spark.sql.types.LongType, nullable = false)
+            )
           )
-          (0 until c.length).map(i => Row(externalOf(c, c(i)), i.toLong))
-        }
-      val idxSchema = org.apache.spark.sql.types.StructType(
-        Seq(
-          org.apache.spark.sql.types.StructField("__v", dt, nullable = false),
-          org.apache.spark.sql.types.StructField(s"__i$di", org.apache.spark.sql.types.LongType, nullable = false)
-        )
-      )
-      import scala.jdk.CollectionConverters._
-      val idxDf = spark.createDataFrame(pairs.asJava, idxSchema)
-      indexed = indexed.join(broadcast(idxDf), indexed(d) === idxDf("__v")).drop("__v")
+          import scala.jdk.CollectionConverters._
+          val idxDf = spark.createDataFrame(pairs.asJava, idxSchema)
+          indexed = indexed.join(broadcast(idxDf), indexed(d) === idxDf("__v")).drop("__v")
+      }
     }
     // non-append dim values not present in the store's axes would silently
     // drop in the join — count and reject instead. Persist the mapped rows
@@ -503,31 +508,86 @@ object ZarrAppend {
         throw new IllegalStateException(s"deferred append dim '$dim': missing coordinate chunk $c")
       )
     val local = (extent - 1) - c * chunkLen
-    cm.zdtype.code match {
-      case ZDtype.I4 => buf.getInt(local)
-      case ZDtype.I8 => buf.getLong(local)
-      case ZDtype.F4 => buf.getFloat(local)
-      case ZDtype.F8 => buf.getDouble(local)
-      case ZDtype.M8 =>
-        buf.getM8(local) match {
-          case null =>
-            throw new IllegalStateException(s"deferred append dim '$dim': NaT at the axis end")
-          case us: Long => java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000L))
-        }
-      case ZDtype.TD =>
-        buf.getM8(local) match {
-          case null =>
-            throw new IllegalStateException(s"deferred append dim '$dim': NaT at the axis end")
-          case us: Long => java.time.Duration.ofNanos(us * 1000L)
-        }
-      case ZDtype.VSTR =>
-        Option(buf.getUTF8(local))
-          .map(_.toString)
-          .getOrElse(
-            throw new IllegalStateException(s"deferred append dim '$dim': null label at the axis end")
-          )
-      case other => throw new IllegalStateException(s"unreachable coord dtype $other")
+    coordExternal(buf, local) match {
+      case null =>
+        throw new IllegalStateException(s"deferred append dim '$dim': null/NaT at the axis end")
+      case ext => ext
     }
+  }
+
+  /** One decoded coordinate cell as the EXTERNAL value Spark's Row builders
+    * and joins expect; null for NaT / null labels. Covers every dtype
+    * [[ZarrStore.coordFor]] can defer. */
+  private def coordExternal(b: ZarrBuffer, local: Int): Any = b.dt.code match {
+    case ZDtype.I4 => b.getInt(local)
+    case ZDtype.I8 => b.getLong(local)
+    case ZDtype.F4 => b.getFloat(local)
+    case ZDtype.F8 => b.getDouble(local)
+    case ZDtype.M8 =>
+      b.getM8(local) match {
+        case null => null
+        case us: Long => java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000L))
+      }
+    case ZDtype.TD =>
+      b.getM8(local) match {
+        case null => null
+        case us: Long => java.time.Duration.ofNanos(us * 1000L)
+      }
+    case ZDtype.S | ZDtype.US | ZDtype.VSTR =>
+      Option(b.getUTF8(local)).map(_.toString).orNull
+    case ZDtype.U8 => b.getU8Dec(local).toJavaBigDecimal
+    case other => throw new IllegalStateException(s"coordinate dtype $other is never deferred")
+  }
+
+  /** Distributed (value, ordinal) map of a DEFERRED non-append axis:
+    * executors decode the coordinate array's chunks and the row->index
+    * join SHUFFLES on the value — a 10^8-element axis never rides the
+    * driver or a broadcast. Null cells (NaT / null labels) emit no pair;
+    * rows carrying them reject in the coverage check like any dim value
+    * the axis does not have. */
+  private def deferredOrdinalMap(
+      spark: org.apache.spark.sql.SparkSession,
+      store: ZarrStore,
+      dim: String,
+      extent: Int,
+      sparkType: org.apache.spark.sql.types.DataType,
+      di: Int,
+      storageOptions: Map[String, String]
+  ): DataFrame = {
+    val cm = store.arrayMeta(dim)
+    require(
+      cm.rank == 1 && cm.shape.head == extent,
+      s"coordinate axis '$dim' shape ${cm.shape.mkString("x")} != extent $extent"
+    )
+    val chunkLen = cm.chunks.head
+    val nCoordChunks = (extent + chunkLen - 1) / chunkLen
+    val dir = store.arrayDir(dim)
+    val executorOpts = ZarrFileIO.executorOptions(storageOptions)
+    val parts = math.max(1, math.min(spark.sessionState.conf.numShufflePartitions, nCoordChunks))
+    val rows = spark.sparkContext
+      .parallelize(0 until nCoordChunks, parts)
+      .flatMap { c =>
+        val start = c * chunkLen
+        val end = math.min(start + chunkLen, extent)
+        ZarrChunkIO.readChunk(dir, cm, Seq(c), executorOpts) match {
+          case None => Iterator.empty // unwritten chunk: null coords join nothing
+          case Some(b) =>
+            Iterator.range(start, end).flatMap { i =>
+              coordExternal(b, i - start) match {
+                case null => None
+                case ext => Some(Row(ext, i.toLong))
+              }
+            }
+        }
+      }
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("__v", sparkType, nullable = false),
+        org.apache.spark.sql.types
+          .StructField(s"__i$di", org.apache.spark.sql.types.LongType, nullable = false)
+      )
+    )
+    spark.createDataFrame(rows, schema)
   }
 
   /** Append `newVals` to a DEFERRED coordinate axis in place: rewrite the

@@ -205,20 +205,54 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     assert(dfd.filter(col("t") >= "lab048").count() == 8)
   }
 
-  test("deferred NON-append dims still refuse loudly") {
+  test("deferred NON-append dims shuffle-join a distributed ordinal map") {
     val root = Files.createTempDirectory("zarrappenddefn").toString
     writeBatch(root, 0, 8)
+    // threshold 2 defers BOTH axes: t takes the boundary-decode append
+    // path, s becomes an executor-decoded (value, ordinal) join map
+    spark.range(8, 12).selectExpr("cast(id as int) as t")
+      .crossJoin(spark.range(0, 4).selectExpr("cast(id as int) as s"))
+      .withColumn("value", (col("t") * 4 + col("s")).cast("long"))
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("append.dim", "t").option("coord.deferred.threshold", "2")
+      .mode("append").save()
+    val df = read(root)
+    assert(df.count() == 48)
+    val rows = df.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    for (t <- 0 until 12; s <- 0 until 4) assert(rows((t, s)) == t * 4L + s, s"cell ($t, $s)")
+    // a row with an s value the axis does not have still rejects loudly
+    // through the coverage count (the inner join drops it)
     val e = intercept[IllegalArgumentException] {
-      // threshold 2 defers BOTH axes; t (append dim) is allowed, s is not
-      spark.range(8, 12).selectExpr("cast(id as int) as t")
-        .crossJoin(spark.range(0, 4).selectExpr("cast(id as int) as s"))
+      spark.range(12, 16).selectExpr("cast(id as int) as t")
+        .crossJoin(spark.range(0, 5).selectExpr("cast(id as int) as s")) // s=4 unknown
         .withColumn("value", (col("t") * 4 + col("s")).cast("long"))
         .write.format("zarr")
         .option("path", root).option("array", "v")
         .option("append.dim", "t").option("coord.deferred.threshold", "2")
         .mode("append").save()
     }
-    assert(e.getMessage.contains("NON-append"), e.getMessage)
+    assert(e.getMessage.contains("axes do not have"), e.getMessage)
+  }
+
+  test("deferred STRING non-append dim joins by label; appended cells exact") {
+    val root = Files.createTempDirectory("zarrappenddefs").toString
+    def batch(lo: Int, hi: Int) =
+      spark.range(lo, hi).selectExpr("cast(id as int) as t")
+        .crossJoin(spark.range(0, 6).selectExpr("concat('st-', id) as s", "id as sv"))
+        .withColumn("value", (col("t") * 6 + col("sv")).cast("long"))
+        .drop("sv")
+    batch(0, 4).write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "4,4")
+      .mode("append").save()
+    batch(4, 8).write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("append.dim", "t").option("coord.deferred.threshold", "3")
+      .mode("append").save()
+    val df = read(root)
+    assert(df.count() == 48)
+    val rows = df.collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+    for (t <- 0 until 8; s <- 0 until 6) assert(rows((t, s"st-$s")) == t * 6L + s, s"cell ($t, st-$s)")
   }
 
   test("streaming source picks up appended slabs end-to-end") {
