@@ -18,8 +18,11 @@ object Sessions {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries a timestamp[ns] column; Spark has no nanosecond
-      // timestamp type, so surface it as a LongType of epoch nanos.
+      // Older testdata vintages wrote events.ts as parquet timestamp[ns];
+      // Spark has no nanosecond timestamp type, so surface those as LongType
+      // epoch nanos. The current vintage writes timestamp[us] (read as
+      // TIMESTAMP_NTZ) — Tables.normalizeTs converts either shape to
+      // epoch-nanos longs at the loader.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     val spark = b.getOrCreate()

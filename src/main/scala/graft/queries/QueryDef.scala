@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** One declared query: a Spark DataFrame program plus (when SQL-expressible)
   * the equivalent ANSI SQL the DuckDB oracle runs on the same parquet tables.
@@ -14,7 +16,21 @@ final case class Q(
 
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Testdata vintages store `events.ts` either as epoch-nanos int64 (read
+    * as LongType under `nanosAsLong`) or as parquet timestamp[us] (read as
+    * TIMESTAMP_NTZ). Every downstream program does integer arithmetic on ts
+    * as epoch nanos, so normalize here: the session timezone is UTC, making
+    * the NTZ→timestamp cast lossless, and `unix_micros * 1000` restores the
+    * exact epoch-nanos longs. LongType passes through untouched so both
+    * vintages work. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case _ => df
+    }
 }
 
 /** Shared DuckDB-SQL fragments for oracle strings. */

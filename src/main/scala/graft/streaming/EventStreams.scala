@@ -14,11 +14,14 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema as read with nanosAsLong (ts = epoch nanos). */
+  /** events schema as written by the current testdata vintage (ts =
+    * parquet timestamp[us] → TIMESTAMP_NTZ). Prefer [[eventsSchema]] for
+    * streaming reads — it infers from the actual files so either vintage
+    * (int64 epoch-nanos or timestamp[us]) works. */
   val EventsSchema: StructType = StructType(
     Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType),
+      StructField("ts", TimestampNTZType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
@@ -26,11 +29,20 @@ object EventStreams {
     )
   )
 
-  /** Convert nano-long events to a proper event-time column (no-op if the
-    * caller already attached one, e.g. with a watermark). */
+  /** Schema for a streaming read of an events parquet directory, inferred
+    * from the files so both ts vintages stream correctly. */
+  def eventsSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
+
+  /** Normalize ts to epoch-nanos long (either vintage) and attach a proper
+    * event-time column (no-op if the caller already attached one, e.g. with
+    * a watermark). */
   def withEventTime(df: DataFrame): DataFrame =
     if (df.columns.contains("etime")) df
-    else df.withColumn("etime", timestamp_micros(expr("ts div 1000")))
+    else
+      graft.queries.Tables
+        .normalizeTs(df)
+        .withColumn("etime", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling 5-minute aggregate; in streaming mode add
     * `.withWatermark("etime", ...)` upstream. Batch-parity: x12_window_5m. */
@@ -117,7 +129,7 @@ object EventStreams {
       watermarkCol: String = "etime",
       watermark: String = "1 hour"
   ): StreamingQuery = {
-    val src = spark.readStream.schema(EventsSchema).parquet(parquetPath)
+    val src = spark.readStream.schema(eventsSchema(spark, parquetPath)).parquet(parquetPath)
     val withWm = transform(withEventTime(src).withWatermark(watermarkCol, watermark))
     val q = withWm.writeStream
       .outputMode("append")

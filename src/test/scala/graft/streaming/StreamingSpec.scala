@@ -36,7 +36,9 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
         dir.resolve(s"$n.parquet")
       )
     }
-    val src = spark.readStream.schema(EventStreams.EventsSchema).parquet(dir.toString)
+    val src = spark.readStream
+      .schema(EventStreams.eventsSchema(spark, dir.toString))
+      .parquet(dir.toString)
     val q = EventStreams
       .dedupWithinWatermark(src, Seq("event_id"), "2 hours")
       .select("event_id")
@@ -99,9 +101,12 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
 
   test("flatMapGroupsWithState anomaly flags match batch expanding-mean computation") {
     import spark.implicits._
-    val src = spark.readStream
-      .schema(EventStreams.EventsSchema)
-      .parquet(eventsDir)
+    val src = graft.queries.Tables
+      .normalizeTs(
+        spark.readStream
+          .schema(EventStreams.eventsSchema(spark, eventsDir))
+          .parquet(eventsDir)
+      )
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[EventStreams.EventRow]
     val q = EventStreams
