@@ -25,11 +25,18 @@ object Bench {
     // a quiet-box measurement
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5").toDouble
     val loadWaitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "180").toInt
+    // require SUSTAINED quiet (3 consecutive below-threshold samples, 15 s)
+    // before starting, and keep spending the wait budget if load re-spikes —
+    // a single dip at the check is exactly how round-9's contaminated run
+    // slipped through the gate (load 1.52→2.13 during the run)
+    val quietNeeded = 3
+    var quiet = if (loadAvg() <= maxLoad) 1 else 0
     var waited = 0
-    while (loadAvg() > maxLoad && waited < loadWaitS) {
-      if (waited == 0)
-        System.err.println(f"[bench] load ${loadAvg()}%.2f > $maxLoad%.1f — waiting up to ${loadWaitS}s for quiet")
+    while (quiet < quietNeeded && waited < loadWaitS) {
+      if (waited == 0 && quiet == 0)
+        System.err.println(f"[bench] load ${loadAvg()}%.2f > $maxLoad%.1f — waiting up to ${loadWaitS}s for sustained quiet")
       Thread.sleep(5000); waited += 5
+      quiet = if (loadAvg() <= maxLoad) quiet + 1 else 0
     }
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val load0 = loadAvg()
@@ -77,11 +84,19 @@ object Bench {
     // (r6/r7 artifacts lost 4-5 per-query times off the front of the
     // capture), then emit the JSON as the process's final stdout line
     spark.stop()
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")),
-      json + "\n"
-    )
-    catch { case e: Throwable => System.err.println(s"[bench] result-file write failed: $e") }
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")),
+        json + "\n"
+      )
+      // keep the most recent CLEAN run alongside BENCH_LAST so a contaminated
+      // latest run never erases the quiet-box reference point
+      if (!loadWarning && failed.isEmpty)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_OUT", "/root/repo/BENCH_QUIET.json")),
+          json + "\n"
+        )
+    } catch { case e: Throwable => System.err.println(s"[bench] result-file write failed: $e") }
     println(json)
   }
 }

@@ -19,6 +19,13 @@ import org.apache.spark.sql.types._
   * function. */
 object Multimodal {
 
+  // ImageIO defaults to a FILE-backed stream cache: every encode/decode
+  // writes a temp file, which serializes 32 concurrent codec tasks on
+  // disk IO. All payloads here are in-memory byte arrays — cache in heap.
+  // Referenced from executor closures, so it runs once per JVM wherever
+  // the codec work lands.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val MetaType: StructType = StructType(
     Seq(
       StructField("mime", StringType),
@@ -211,11 +218,24 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Spread rows so per-row codec work uses every core: the synth/encode
+    * stages (and the decode stages that inherit their partitioning) are
+    * CPU-bound, and a small upstream parquet otherwise pins the whole
+    * pipeline to one core. A partition-COUNT guard cannot detect that:
+    * Spark byte-range-splits small files to defaultParallelism splits, but
+    * parquet is row-group granular, so every row still lands in the one
+    * split holding the row group. The repartition is unconditional — it
+    * shuffles only the narrow pre-payload rows (ids), which is noise next
+    * to the codec work it parallelizes. */
+  private def widen(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Attach a deterministic synthetic WAV payload per row: `n` mono 16-bit
     * samples at `sampleRate`, sample(i) = (id*31 + i*17) % 20001 - 10000 —
     * an expression the SQL oracle recomputes exactly (PCM16 round-trips
     * bit-exact through the WAV container). */
-  def withSynthWavPayload(df: DataFrame, idCol: String, n: Int, sampleRate: Float): DataFrame = {
+  def withSynthWavPayload(in: DataFrame, idCol: String, n: Int, sampleRate: Float): DataFrame = {
+    val df = widen(in)
     val schema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
     df.mapPartitions { rows =>
@@ -412,7 +432,8 @@ object Multimodal {
   /** Deterministic REAL AVI fixtures: per row a uniform-gray MJPEG video
     * whose geometry/rate/frame-count derive from the id — so a SQL oracle
     * can recompute the container metadata the decoder must report. */
-  def withSynthAviPayload(df: DataFrame, idCol: String): DataFrame = {
+  def withSynthAviPayload(in: DataFrame, idCol: String): DataFrame = {
+    val df = widen(in)
     val schema = StructType(
       Seq(StructField(idCol, df.schema(idCol).dataType), StructField("payload", BinaryType))
     )

@@ -739,6 +739,27 @@ object CoreQueries {
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 20)) t
              |ORDER BY t""".stripMargin)
     ),
+    // q29d (round 10): decimal PARQUET-REPRESENTATION discriminator. Spark
+    // writes DECIMAL(20,0) as FIXED_LEN_BYTE_ARRAY but precision <= 18 as
+    // INT64-backed decimal; the q29 fixture values (2^52..2^52+19, 16
+    // digits) fit DECIMAL(18,0) exactly. q29c already proved the decoded
+    // u8 VALUES are right (VARCHAR on both engines, green); a green q29d
+    // next to a red q29b pins the driver-only q29/q29b hash-red to the
+    // FLBA decimal read path of the driver's hasher, not to this engine.
+    Q(
+      "q29d_zarr_u8_d18",
+      (s, _) => {
+        val root = CoreQueries.q28Store()
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("big")
+          .select(col("t"), col("value").cast(DecimalType(18, 0)).as("big"))
+          .orderBy("t")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS t,
+             |CAST(4503599627370496 + t.i AS DECIMAL(18,0)) AS big
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 20)) t
+             |ORDER BY t""".stripMargin)
+    ),
     // ------------------------------------------------------------------
     // Complex dtype (<c16 -> struct<re, im>): both components projected
     // and computed on exactly — the last numpy dtype family (spectral /

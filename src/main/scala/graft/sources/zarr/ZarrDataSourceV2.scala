@@ -1084,14 +1084,78 @@ class ZarrScanBuilder(
         case "float" => meta.fillValue.isEmpty
         case _ => meta.fillValueStr.isEmpty
       }
+      // in-shape cell count of chunk `ord` (ragged edges respected)
+      def chunkCells(nChunksVec: Vector[Long], ord: Long): Long = {
+        var rem = ord
+        var cells = 1L
+        var d = meta.rank - 1
+        while (d >= 0) {
+          val cid = rem % nChunksVec(d); rem /= nChunksVec(d)
+          cells *= math.min(meta.chunks(d).toLong, meta.shape(d).toLong - cid * meta.chunks(d))
+          d -= 1
+        }
+        cells
+      }
       val doc = ref match {
         case Left(d) => d
         case Right(h) =>
-          // hierarchical: rollups carry per-block written COUNTS but not
-          // which ordinals are missing — exact only when nothing is
-          // missing or the fill contributes anyway; otherwise fall back
-          // to the chunk scan (loud, never wrong)
-          return if (!fillIsNull || h.writtenTotal == h.nChunks) Some(total) else None
+          // hierarchical: rollups carry per-block written COUNTS; the
+          // side docs carry the written ORDINALS. When the fill is null
+          // and some chunks were never written, answer from metadata by
+          // reading side docs for the non-full blocks only (side-doc
+          // opens, never chunk opens) and subtracting unwritten chunks'
+          // in-shape cells. A fully-unwritten block needs no side doc;
+          // an unreadable/stale side doc could hide written chunks, so
+          // it falls back to the chunk scan (loud, never wrong).
+          if (!fillIsNull || h.writtenTotal == h.nChunks) return Some(total)
+          val nChunksVec = meta.shape.indices
+            .map(d => ((meta.shape(d) + meta.chunks(d) - 1) / meta.chunks(d)).toLong)
+            .toVector
+          val arrayDir = store.arrayDir(meta.name)
+          var missingCells = 0L
+          var b = 0L
+          while (b < h.nBlocks) {
+            val inBlock = h.chunksIn(b)
+            val wr = h.written.getOrElse(b, 0L)
+            if (wr < inBlock) {
+              val lo = b * h.blockLen
+              if (wr == 0L) {
+                var ord = lo
+                while (ord < lo + inBlock) { missingCells += chunkCells(nChunksVec, ord); ord += 1 }
+              } else {
+                val side = ZarrFileIO
+                  .readStringIfExists(
+                    new org.apache.hadoop.fs.Path(arrayDir, s"${ZarrChunkStats.SideDir}/$b"),
+                    store.storageOptions
+                  )
+                  .flatMap(ZarrChunkStats.parse)
+                  // same staleness rule as the pruner's fineOf: a doc from
+                  // a smaller grid stays exact for blocks that grid fully
+                  // covered (appends never rewrite existing ordinals)
+                  .filter(d =>
+                    d.domain == h.domain &&
+                      (d.nChunks == h.nChunks ||
+                        (d.nChunks < h.nChunks && (b + 1) * h.blockLen <= d.nChunks))
+                  )
+                side match {
+                  case Some(sd) =>
+                    val writtenOrds: Set[Long] = h.domain match {
+                      case "int" => sd.boundsI.keySet
+                      case "float" => sd.boundsF.keySet
+                      case _ => sd.boundsS.keySet
+                    }
+                    var ord = lo
+                    while (ord < lo + inBlock) {
+                      if (!writtenOrds.contains(ord)) missingCells += chunkCells(nChunksVec, ord)
+                      ord += 1
+                    }
+                  case None => return None
+                }
+              }
+            }
+            b += 1
+          }
+          return Some(total - missingCells)
       }
       val written: Set[Long] = domain match {
         case "int" => doc.boundsI.keySet

@@ -848,8 +848,47 @@ object Spike {
     report("IVF cells (x34: 8 seed centroids)", asg.groupBy("cen_id").count())
   }
 
+  /** Stage-level profile of the x56 multimodal pipeline. */
+  private def mmProfile(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
+    println(s"[mm] docs rows=${docs.count()} parts=${docs.rdd.getNumPartitions}")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[mm] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val withAvi = graft.operators.Multimodal.withSynthAviPayload(docs, "doc_id")
+    println(s"[mm] synth parts=${withAvi.rdd.getNumPartitions}")
+    time("synth only (count)") { withAvi.count() }
+    val feats = graft.operators.Multimodal.extractVideoFeatures(withAvi, "doc_id")
+    time("synth+extract (count)") { feats.count() }
+    time("synth+extract (noop)") {
+      feats.write.format("noop").mode("overwrite").save()
+    }
+    import org.apache.spark.sql.functions._
+    val sel = feats.select(
+      col("doc_id"), col("width"), col("height"), col("n_frames"),
+      round(col("fps"), 6).as("fps"), col("codec")
+    )
+    time("select, no order (noop)") {
+      sel.write.format("noop").mode("overwrite").save()
+    }
+    time("select+orderBy (noop)") {
+      sel.orderBy("doc_id").write.format("noop").mode("overwrite").save()
+    }
+    time("full x56 (noop)") {
+      graft.SparkEntry.queries("x56_video_meta")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("full x56 again (noop)") {
+      graft.SparkEntry.queries("x56_video_meta")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("32")
+    if (args.sameElements(Array("mm-profile"))) { mmProfile(spark); spark.stop(); return }
     if (args.sameElements(Array("zarr-scale"))) { zarrScale(spark); spark.stop(); return }
     if (args.sameElements(Array("zarr-1b"))) { zarr1b(spark); spark.stop(); return }
     if (args.sameElements(Array("zarr-deferred"))) { zarrDeferred(spark); spark.stop(); return }

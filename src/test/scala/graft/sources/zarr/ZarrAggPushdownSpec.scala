@@ -248,4 +248,64 @@ class ZarrAggPushdownSpec extends AnyFunSuite with SparkTester {
     assert(planOf(q4).contains("BatchScan"))
     assert(q4.collect().head.getLong(0) == 0L)
   }
+
+  test("count(value) answers from metadata on sparse hier stores with null fill") {
+    // 20x15 grid, chunks (5,5) -> 4x3 = 12 chunk ordinals (ord = ic*3+jc);
+    // flat_cap 4 forces hierarchical, block_len 4 -> 3 blocks. The drop set
+    // leaves every axis value present (dense 20x15 shape still derives)
+    // while making block 1 (ords 4..7) ENTIRELY unwritten (no side doc
+    // needed) and block 2 (ords 8..11) PARTIAL (ord 9 missing — the
+    // written-ordinal set must come from the side doc).
+    val r3 = Files.createTempDirectory("zarraggsparse").toString
+    spark.range(0, 300)
+      .select(
+        (col("id") / 15).cast("int").as("i"),
+        (col("id") % 15).cast("int").as("j"),
+        (col("id") + 1).as("value")
+      )
+      .filter(!(
+        (col("i") >= 5 && col("i") < 10 && col("j") >= 5) ||
+        (col("i") >= 10 && col("i") < 15 && col("j") < 10) ||
+        (col("i") >= 15 && col("j") < 5)
+      ))
+      .write.format("zarr")
+      .option("path", r3).option("array", "v").option("chunks", "5,5")
+      .option("stats.flat_cap", "4").option("stats.block_len", "4")
+      .mode("append").save()
+    val store = new ZarrStore(r3, Map.empty, None, None)
+    val h = ZarrChunkStats.parseHier(store.arrayMeta("v").attrs(ZarrChunkStats.AttrKey)).get
+    assert(h.nChunks == 12 && h.nBlocks == 3)
+    assert(!h.written.contains(1L) && h.written(2L) == 3L, s"written: ${h.written}")
+    // rewrite the fill to null: unwritten cells now read as NULL, so
+    // count(value) must subtract them — previously a chunk-scan fallback
+    val zarray = java.nio.file.Paths.get(store.arrayDir("v").stripPrefix("file:"), ".zarray")
+    Files.writeString(
+      zarray,
+      Files.readString(zarray).replaceAll("\"fill_value\"\\s*:\\s*[^,}]+", "\"fill_value\": null")
+    )
+    // drop consolidated metadata so the edited .zarray is authoritative
+    Files.deleteIfExists(java.nio.file.Paths.get(r3.stripPrefix("file:"), ".zmetadata"))
+    def rd(extra: Map[String, String] = Map.empty): DataFrame = {
+      var r = spark.read.format("zarr").option("path", r3).option("array", "v")
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.load()
+    }
+    val q = rd().agg(count("value"), count("*"))
+    assertMetadataOnly(q)
+    val row = q.collect().head
+    // 300 cells - block1's 100 (4 chunks x 25) - ord 9's 25
+    assert(row.getLong(0) == 175L && row.getLong(1) == 300L)
+    // chunk-scan parity with stats pruning disabled
+    val full = rd(Map("stats.pruning" -> "false")).agg(count("value"), count("*"))
+    assert(planOf(full).contains("BatchScan"))
+    val f = full.collect().head
+    assert(f.getLong(0) == 175L && f.getLong(1) == 300L)
+    // a deleted side doc for the partial block must fall back, never guess
+    val side = java.nio.file.Paths
+      .get(store.arrayDir("v").stripPrefix("file:"), ZarrChunkStats.SideDir, "2")
+    assert(Files.deleteIfExists(side), s"expected to delete $side")
+    val degraded = rd().agg(count("value"))
+    assert(planOf(degraded).contains("BatchScan"))
+    assert(degraded.collect().head.getLong(0) == 175L)
+  }
 }
