@@ -199,23 +199,32 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Build a WAV container from 16-bit PCM samples (interleaved when
-    * `channels` > 1) — fixture/synthetic-payload seam for [[decodeAudio]]. */
+    * `channels` > 1) — fixture/synthetic-payload seam for [[decodeAudio]].
+    * Emits the canonical 44-byte PCM16LE RIFF/WAVE layout directly (the
+    * same bytes `AudioSystem.write(Type.WAVE)` produces for this format):
+    * the JDK writer funnels every call through a synchronized provider
+    * registry, which serializes concurrent synth tasks — decode stays on
+    * the real `javax.sound` path. */
   def wavBytes(samples: Array[Short], sampleRate: Float = 8000f, channels: Int = 1): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
-    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
-    val data = new Array[Byte](samples.length * 2)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val rate = sampleRate.toInt
+    val blockAlign = channels * 2
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + dataLen).put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes(ascii)).putInt(dataLen)
     var i = 0
-    while (i < samples.length) {
-      data(2 * i) = (samples(i) & 0xff).toByte
-      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
-      i += 1
-    }
-    val ais = new AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, samples.length / channels
-    )
-    val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
   }
 
   /** Spread rows so per-row codec work uses every core: the synth/encode

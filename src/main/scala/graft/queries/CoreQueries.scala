@@ -222,17 +222,19 @@ object CoreQueries {
     Q(
       "q10_quantiles",
       (s, d) =>
-        // one percentile agg with an array of fractions: a single sort of the
-        // data instead of five independent percentile buffers
-        t(s, d, "lineitem")
-          .agg(expr("percentile(l_extendedprice, array(0.05D, 0.25D, 0.50D, 0.75D, 0.95D))").as("ps"))
-          .select(
-            round(element_at(col("ps"), 1), 6).as("p05"),
-            round(element_at(col("ps"), 2), 6).as("p25"),
-            round(element_at(col("ps"), 3), 6).as("p50"),
-            round(element_at(col("ps"), 4), 6).as("p75"),
-            round(element_at(col("ps"), 5), 6).as("p95")
-          ),
+        // Quantiles facade, exact=true: one percentile buffer for all five
+        // fractions (a single sort, not five). Exact is safe here because
+        // the "group" is one global row on a bench-scale table; the 100 TB
+        // default is exact=false -> the x58 sketch path.
+        graft.operators.Quantiles
+          .quantiles(
+            t(s, d, "lineitem"),
+            Nil,
+            "l_extendedprice",
+            Seq(0.05, 0.25, 0.50, 0.75, 0.95),
+            exact = true
+          )
+          .select(Seq("p05", "p25", "p50", "p75", "p95").map(c => round(col(c), 6).as(c)): _*),
       Some("""SELECT round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
              |round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
              |round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,

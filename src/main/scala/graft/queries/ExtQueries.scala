@@ -901,14 +901,19 @@ object ExtQueries {
     Q(
       "x42_group_quantiles",
       (s, d) =>
-        t(s, d, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))").as("ps"))
+        // Quantiles facade, exact=true: groups here are the 3 returnflags
+        // of a bench-scale table, so the O(group-rows) exact buffer is
+        // safe; at 100 TB the default exact=false sketch path applies.
+        graft.operators.Quantiles
+          .quantiles(
+            t(s, d, "lineitem"),
+            Seq("l_returnflag"),
+            "l_extendedprice",
+            Seq(0.25, 0.50, 0.75),
+            exact = true
+          )
           .select(
-            col("l_returnflag"),
-            round(element_at(col("ps"), 1), 6).as("p25"),
-            round(element_at(col("ps"), 2), 6).as("p50"),
-            round(element_at(col("ps"), 3), 6).as("p75")
+            col("l_returnflag") +: Seq("p25", "p50", "p75").map(c => round(col(c), 6).as(c)): _*
           )
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,

@@ -884,6 +884,18 @@ object Spike {
       graft.SparkEntry.queries("x56_video_meta")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
+    val withWav = graft.operators.Multimodal.withSynthWavPayload(docs, "doc_id", 200, 8000f)
+    time("wav synth only (count)") { withWav.count() }
+    val af = graft.operators.Multimodal.extractAudioFeatures(withWav, "doc_id")
+    time("wav synth+extract (noop)") { af.write.format("noop").mode("overwrite").save() }
+    time("full x55 (noop)") {
+      graft.SparkEntry.queries("x55_audio_features")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("full x55 again (noop)") {
+      graft.SparkEntry.queries("x55_audio_features")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
   }
 
   def main(args: Array[String]): Unit = {

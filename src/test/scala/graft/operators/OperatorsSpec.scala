@@ -830,4 +830,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("quantiles facade: exact flag routes percentile vs approx_percentile") {
+    val li = t(spark, sfTiny, "lineitem")
+    val exact = Quantiles
+      .quantiles(li, Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.5, 0.75), exact = true)
+    assert(exact.queryExecution.analyzed.toString.contains("percentile"))
+    assert(!exact.queryExecution.analyzed.toString.contains("approx_percentile"))
+    val approx = Quantiles
+      .quantiles(li, Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.5, 0.75), accuracy = 10000)
+    assert(approx.queryExecution.analyzed.toString.contains("approx_percentile"))
+    assert(exact.columns.toSeq == Seq("l_returnflag", "p25", "p50", "p75"))
+    // high-accuracy sketch agrees with exact to well under the rank bound
+    val e = exact.orderBy("l_returnflag").collect()
+    val a = approx.orderBy("l_returnflag").collect()
+    assert(e.length == a.length && e.length == 3)
+    e.zip(a).foreach { case (er, ar) =>
+      (1 to 3).foreach { i =>
+        val (ev, av) = (er.getDouble(i), ar.getDouble(i))
+        assert(math.abs(ev - av) / math.max(1.0, math.abs(ev)) < 0.02, s"$ev vs $av")
+      }
+    }
+    // global (no keys): one row, labels from fractions incl. sub-percent
+    val g = Quantiles.quantiles(li, Nil, "l_extendedprice", Seq(0.05, 0.999), exact = true)
+    assert(g.columns.toSeq == Seq("p05", "p99_9"))
+    assert(g.count() == 1)
+  }
 }
