@@ -671,6 +671,58 @@ object Spike {
     require(r4.getLong(0) == 16L && r4.getLong(1) == (4915192L to 4915207L).sum, "edge band mismatch")
     println(f"[spike] zarr-hier block-boundary band: $ts4%.1fs — 2 chunks, 2 side docs, exact — gate PASS")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+
+    // gate 5: metadata-only count(value) on a SPARSE hier store with null
+    // fill. 4096x2048 cells, chunks (16,16) -> 256x128 = 32768 chunk
+    // ordinals (ord = ic*128 + jc), flat_cap 8192 -> hier with 8 blocks of
+    // 4096. Dropping (even ic, jc >= 64) leaves every axis value present
+    // but 8192 chunks unwritten, spread over ALL blocks -> every block is
+    // partial, so the count must read all 8 side docs and walk the full
+    // 32768-ordinal grid on the driver — the exact work this path costs at
+    // scale — instead of opening 24576 chunks.
+    val root5 = "/tmp/graft_zarr_hier_sparse"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root5))
+    val t5w = System.nanoTime()
+    spark.range(0, 8388608L)
+      .select((col("id") / 2048).cast("int").as("i"), (col("id") % 2048).cast("int").as("j"), col("id").as("value"))
+      .filter(!expr("((i div 16) % 2 = 0) and (j div 16) >= 64"))
+      .write.format("zarr")
+      .option("path", root5).option("array", "v").option("chunks", "16,16")
+      .option("stats.flat_cap", "8192")
+      .mode("append").save()
+    val ts5w = (System.nanoTime() - t5w) / 1e9
+    val store5 = new ZarrStore(root5, Map.empty, None, None)
+    val h5 = ZarrChunkStats.parseHier(store5.arrayMeta("v").attrs(ZarrChunkStats.AttrKey))
+      .getOrElse(sys.error("sparse store: hier attrs unparseable"))
+    require(h5.nChunks == 32768L && h5.nBlocks == 8L, s"$h5")
+    require(h5.written.values.forall(_ == 3072L), s"every block partial: ${h5.written}")
+    // null out the fill so unwritten cells read as NULL (count must subtract)
+    val zarray5 = java.nio.file.Paths.get(store5.arrayDir("v").stripPrefix("file:"), ".zarray")
+    java.nio.file.Files.writeString(
+      zarray5,
+      java.nio.file.Files.readString(zarray5)
+        .replaceAll("\"fill_value\"\\s*:\\s*[^,}]+", "\"fill_value\": null")
+    )
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(root5, ".zmetadata"))
+    def read5(extra: (String, String)*) = {
+      var r = spark.read.format("zarr").option("path", root5).option("array", "v")
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.load()
+    }
+    val expect = 8388608L - 8192L * 256L // 6,291,456 written cells
+    val t5 = System.nanoTime()
+    val cq = read5().agg(count("value"), count(lit(1)))
+    val r5 = cq.collect().head
+    val ts5 = (System.nanoTime() - t5) / 1e9
+    val plan5 = cq.queryExecution.executedPlan.toString
+    require(plan5.contains("LocalTableScan") && !plan5.contains("BatchScan"), s"not metadata-only:\n$plan5")
+    require(r5.getLong(0) == expect && r5.getLong(1) == 8388608L, s"counts ${r5.getLong(0)}/${r5.getLong(1)}")
+    val t5s = System.nanoTime()
+    val scan = read5("stats.pruning" -> "false").agg(count("value")).collect().head
+    val ts5s = (System.nanoTime() - t5s) / 1e9
+    require(scan.getLong(0) == expect, s"chunk-scan parity ${scan.getLong(0)}")
+    println(f"[spike] zarr-hier sparse count: write $ts5w%.1fs; metadata-only count(value)=$expect $ts5%.3fs (8 side docs + 32768-ordinal walk, ZERO chunk reads) vs chunk scan $ts5s%.1fs — gate PASS")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root5))
   }
 
   /** `runMain graft.tools.Spike zarr-deferred-str [nLabels]` — the STRING
