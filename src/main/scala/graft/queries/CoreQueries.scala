@@ -1122,6 +1122,25 @@ object CoreQueries {
           |     (SELECT CAST(range AS INTEGER) AS j FROM range(25, 30)) s
           |ORDER BY t, lab""".stripMargin
       )
+    ),
+    // ------------------------------------------------------------------
+    // v3 APPEND (round 10): same grow-by-slabs contract against a
+    // zarr_format=3 store — v3 codec chain on the appended chunks, and the
+    // whole metadata commit (shape + merged zone maps + batch id) lands in
+    // ONE zarr.json write instead of v2's three ordered files. Replay of
+    // batch 2 included: idempotence or the oracle rows double.
+    Q(
+      "q47_zarr_append_v3",
+      (s, _) => {
+        val root = CoreQueries.q47Store(s)
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("v")
+          .filter(col("i") >= 90)
+          .orderBy("i")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS i, CAST(t.i * 5 % 97 AS BIGINT) AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(90, 150)) t
+             |ORDER BY i""".stripMargin)
     )
   )
 
@@ -1182,6 +1201,28 @@ object CoreQueries {
         .option("path", root).option("array", "v")
         .option("append.dim", "i").option("append.batch_id", "2")
         .mode("append").save()
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
+
+  /** Build the q47 store once per JVM: a zarr_format=3 zstd array grown by
+    * two appended batches plus an exact replay of the second. */
+  private[queries] def q47Store(s: SparkSession): String = synchronized {
+    val root = FixtureCache.root("q47")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      def batch(lo: Int, hi: Int, id: Long) =
+        s.range(lo, hi).select(col("id").cast("int").as("i"), (col("id") * 5 % 97).as("value"))
+          .write.format("zarr")
+          .option("path", root).option("array", "v")
+          .option("chunks", "25").option("zarr_format", "3").option("compressor", "zstd")
+          .option("append.dim", "i").option("append.batch_id", id.toString)
+          .mode("append").save()
+      batch(0, 100, 1L)
+      batch(100, 150, 2L)
+      batch(100, 150, 2L) // replay: must be a no-op
       java.nio.file.Files.writeString(marker, "ok")
     }
     root

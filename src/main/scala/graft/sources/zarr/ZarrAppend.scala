@@ -9,14 +9,18 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
-/** APPEND writes along the leading dimension of an EXISTING v2 array —
+/** APPEND writes along the leading dimension of an EXISTING array —
   * `df.write.format("zarr").option("append.dim", "time")` — the write-side
   * complement of the streaming source (`stream.dim`): one job appends
   * slabs, another streams them, each cell seen exactly once.
   *
-  * Contract (v1, every violation rejects loudly before any byte lands):
-  *  - zarr v2, non-sharded, no numcodecs filters; numeric or vlen-utf8
-  *    string values;
+  * Contract (every violation rejects loudly before any byte lands):
+  *  - zarr v2 or v3, non-sharded, no numcodecs filters / array→array
+  *    codecs; numeric or vlen-utf8 string values. v2 commits metadata in
+  *    three ordered writes (stats attrs → shape → batch id, see below);
+  *    v3 keeps all three in ONE zarr.json, so the commit is a single
+  *    write (one PUT on an object store) after which the slab, its
+  *    stats, and the batch id become visible together;
   *  - the append dim is the array's FIRST dim (C-order: existing chunk
   *    files and existing chunk-stats ordinals stay valid — appending an
   *    outer slab only ADDS chunk objects);
@@ -68,7 +72,6 @@ object ZarrAppend {
     // fresh, UNconsolidated metadata — appends must see the live shape
     val store = new ZarrStore(path, storageOptions, group, Some(false))
     val meta = store.arrayMeta(array)
-    require(!meta.v3, "zarr append v1 supports zarr_format=2 arrays")
     require(meta.shardShape.isEmpty, "zarr append does not support sharded arrays")
     require(meta.filters.isEmpty, "zarr append does not support numcodecs-filtered arrays")
     require(
@@ -213,6 +216,17 @@ object ZarrAppend {
     val fillStr = meta.fillValueStr.getOrElse("")
     val dt = meta.zdtype
     val comp = meta.compressor
+    // v3 encodes through the parsed bytes→bytes codec chain; v2 through the
+    // numcodecs compressor id. Chunk keys follow the store's key encoding
+    // (v2 dotted / v3 "c"-prefixed with the configured separator).
+    val isV3 = meta.v3
+    val v3Cfgs = meta.v3Codecs
+    val keyEnc = meta.keyEncoding
+    val keySep = meta.keySeparator
+    def chunkKeyOf(idx: Seq[Int]): String = keyEnc match {
+      case "default" => if (idx.isEmpty) "c" else "c" + keySep + idx.mkString(keySep)
+      case _ => if (idx.isEmpty) "0" else idx.mkString(keySep)
+    }
     val arrayDirStr = store.arrayDir(array)
     val executorOpts = ZarrFileIO.executorOptions(storageOptions)
     val nChunksArr = nChunksVec.toArray
@@ -268,13 +282,15 @@ object ZarrAppend {
             stats += (if (isStr) ZarrSink.stringBoundsRecord(current, cells, geom)
                       else ZarrSink.chunkBoundsRecord(current, dt, buf, geom, intDomain))
           val raw = if (isStr) ZarrStoreWriter.vlenEncode(cells) else buf.array()
-          val bytes = ZarrCodec.compress(comp, raw, typesize = math.max(dt.itemSize, 1))
+          val bytes =
+            if (isV3) v3Cfgs.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, math.max(dt.itemSize, 1)))
+            else ZarrCodec.compress(comp, raw, typesize = math.max(dt.itemSize, 1))
           val idx = new Array[Int](nChunksArr.length)
           var rem = current
           var d = nChunksArr.length - 1
           while (d >= 0) { idx(d) = (rem % nChunksArr(d)).toInt; rem /= nChunksArr(d); d -= 1 }
           ZarrFileIO.writeBytes(
-            new HPath(arrayDirStr, ZarrChunkIO.chunkFileName(idx.toSeq)),
+            new HPath(arrayDirStr, chunkKeyOf(idx.toSeq)),
             executorOpts,
             bytes
           )
@@ -322,14 +338,24 @@ object ZarrAppend {
         appendCoordTail(store, appendDim, extent, newVals, storageOptions)
       case c =>
         val existingExternal = Array.tabulate[Any](extent)(i => externalOf(c, c(i)))
-        ZarrSink.writeCoordArray(
-          store.groupDir,
-          appendDim,
-          existingExternal ++ newVals,
-          df.schema(appendDim).dataType,
-          meta.compressor,
-          storageOptions
-        )
+        if (meta.v3)
+          ZarrSink.writeCoordArrayV3(
+            store.groupDir,
+            appendDim,
+            existingExternal ++ newVals,
+            df.schema(appendDim).dataType,
+            store.arrayMeta(appendDim).v3Codecs,
+            storageOptions
+          )
+        else
+          ZarrSink.writeCoordArray(
+            store.groupDir,
+            appendDim,
+            existingExternal ++ newVals,
+            df.schema(appendDim).dataType,
+            meta.compressor,
+            storageOptions
+          )
     }
     // ---- stats maintenance across the append. Side docs land BEFORE the
     // attrs that reference them (a missing side doc only degrades fine
@@ -434,35 +460,83 @@ object ZarrAppend {
     val baseAttrs: Map[String, String] =
       meta.attrs -- Seq(ZarrChunkStats.AttrKey, "_ARRAY_DIMENSIONS") ++
         statsAttrJson.map(j => ZarrChunkStats.AttrKey -> j)
-    // stats first, PRIOR batch id retained: safe before the shape grows —
-    // appends are leading-dim only, so existing chunk ordinals are
-    // unchanged and the extra tail entries are never consulted under the
-    // old shape
-    ZarrFileIO.writeString(
-      new HPath(arrayDirStr, ".zattrs"),
-      storageOptions,
-      ZarrStoreWriter.zattrsJson(Some(meta.dims), baseAttrs)
-    )
-    // shape: the visibility point — an interrupted append before this
-    // leaves the new slab invisible and the batch unrecorded (clean retry)
-    val zarrayRaw = ZarrFileIO
-      .readStringIfExists(new HPath(arrayDirStr, ".zarray"), storageOptions)
-      .getOrElse(throw new IllegalStateException(s"zarr append: missing .zarray under $arrayDirStr"))
-    val updated = zarrayRaw.replaceFirst(
-      """"shape"\s*:\s*\[[0-9,\s]*\]""",
-      s""""shape": [${newShape.mkString(",")}]"""
-    )
-    require(updated != zarrayRaw, "zarr append: could not rewrite .zarray shape")
-    ZarrFileIO.writeString(new HPath(arrayDirStr, ".zarray"), storageOptions, updated)
-    // batch id LAST: recorded only once the slab is visible
-    batchId.foreach { id =>
+    if (meta.v3) {
+      // v3 keeps shape, attributes (stats + batch id), and everything else
+      // in ONE zarr.json — a single write makes the slab, its stats, and
+      // the batch id visible together; a crash before it leaves the old
+      // metadata intact and the replay is clean
+      val raw = ZarrFileIO
+        .readStringIfExists(new HPath(arrayDirStr, "zarr.json"), storageOptions)
+        .getOrElse(throw new IllegalStateException(s"zarr append: missing zarr.json under $arrayDirStr"))
+      val finalAttrs =
+        batchId.foldLeft(baseAttrs)((m, id) => (m - BatchAttrKey) + (BatchAttrKey -> id.toString))
+      ZarrFileIO.writeString(
+        new HPath(arrayDirStr, "zarr.json"),
+        storageOptions,
+        v3MetaWithShapeAttrs(raw, newShape, finalAttrs)
+      )
+      ZarrSink.consolidateV3(store.groupDir, storageOptions)
+    } else {
+      // stats first, PRIOR batch id retained: safe before the shape grows —
+      // appends are leading-dim only, so existing chunk ordinals are
+      // unchanged and the extra tail entries are never consulted under the
+      // old shape
       ZarrFileIO.writeString(
         new HPath(arrayDirStr, ".zattrs"),
         storageOptions,
-        ZarrStoreWriter.zattrsJson(Some(meta.dims), (baseAttrs - BatchAttrKey) + (BatchAttrKey -> id.toString))
+        ZarrStoreWriter.zattrsJson(Some(meta.dims), baseAttrs)
       )
+      // shape: the visibility point — an interrupted append before this
+      // leaves the new slab invisible and the batch unrecorded (clean retry)
+      val zarrayRaw = ZarrFileIO
+        .readStringIfExists(new HPath(arrayDirStr, ".zarray"), storageOptions)
+        .getOrElse(throw new IllegalStateException(s"zarr append: missing .zarray under $arrayDirStr"))
+      val updated = zarrayRaw.replaceFirst(
+        """"shape"\s*:\s*\[[0-9,\s]*\]""",
+        s""""shape": [${newShape.mkString(",")}]"""
+      )
+      require(updated != zarrayRaw, "zarr append: could not rewrite .zarray shape")
+      ZarrFileIO.writeString(new HPath(arrayDirStr, ".zarray"), storageOptions, updated)
+      // batch id LAST: recorded only once the slab is visible
+      batchId.foreach { id =>
+        ZarrFileIO.writeString(
+          new HPath(arrayDirStr, ".zattrs"),
+          storageOptions,
+          ZarrStoreWriter.zattrsJson(Some(meta.dims), (baseAttrs - BatchAttrKey) + (BatchAttrKey -> id.toString))
+        )
+      }
+      ZarrSink.consolidate(store.groupDir, storageOptions)
     }
-    ZarrSink.consolidate(store.groupDir, storageOptions)
+  }
+
+  /** Rewrite a v3 array's zarr.json with a grown shape and replaced
+    * attributes, preserving every other field verbatim (top-level-only
+    * transform: "shape" also appears nested inside sharding configs, which
+    * append rejects anyway, but never at the top level twice). Attr values
+    * are raw JSON fragments — the same convention the sink's attrs maps
+    * use. */
+  private def v3MetaWithShapeAttrs(
+      raw: String,
+      newShape: Vector[Int],
+      attrs: Map[String, String]
+  ): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val attrsJ: JValue = JObject(attrs.toList.map { case (k, v) => k -> JsonMethods.parse(v) })
+    JsonMethods.parse(raw) match {
+      case JObject(fields) =>
+        val replaced = fields.map {
+          case ("shape", _) => ("shape", JArray(newShape.toList.map(s => JInt(BigInt(s)))): JValue)
+          case ("attributes", _) => ("attributes", attrsJ)
+          case f => f
+        }
+        val withAttrs =
+          if (replaced.exists(_._1 == "attributes")) replaced
+          else replaced :+ ("attributes" -> attrsJ)
+        JsonMethods.compact(JsonMethods.render(JObject(withAttrs)))
+      case other =>
+        throw new IllegalStateException(s"zarr append: array zarr.json is not an object: $other")
+    }
   }
 
   /** Supported coordinate-array dtypes for the in-place tail append: the

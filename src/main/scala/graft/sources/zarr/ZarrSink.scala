@@ -1269,7 +1269,7 @@ object ZarrSink {
   }
 
   /** Single-chunk 1-D v3 coordinate array written through the Hadoop FS. */
-  private def writeCoordArrayV3(
+  private[zarr] def writeCoordArrayV3(
       groupDir: HPath,
       dim: String,
       vals: Array[Any],

@@ -272,4 +272,83 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
       assert(rows.map(r => (r.getInt(0), r.getInt(1))).distinct.length == 48)
     } finally q.stop()
   }
+
+  private def writeBatchV3(root: String, lo: Int, hi: Int, batchId: Long, extra: Map[String, String] = Map.empty): Unit = {
+    var w = spark.range(lo, hi).selectExpr("cast(id as int) as t")
+      .crossJoin(spark.range(0, 4).selectExpr("cast(id as int) as s"))
+      .withColumn("value", (col("t") * 4 + col("s")).cast("long"))
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "4,4")
+      .option("zarr_format", "3").option("compressor", "zstd")
+      .option("append.dim", "t").option("append.batch_id", batchId.toString)
+    extra.foreach { case (k, v) => w = w.option(k, v) }
+    w.mode("append").save()
+  }
+
+  test("v3 appends: single-write metadata commit, zone maps merged, replay no-op") {
+    val root = Files.createTempDirectory("zarrappendv3").toString
+    writeBatchV3(root, 0, 8, 1L)
+    assert(read(root).count() == 32)
+    writeBatchV3(root, 8, 12, 2L)
+    val df = read(root)
+    assert(df.count() == 48)
+    val rows = df.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    for (t <- 0 until 12; s <- 0 until 4) assert(rows((t, s)) == t * 4L + s, s"cell ($t, $s)")
+    // one metadata file: shape, stats, and batch id all live in zarr.json
+    val store = new ZarrStore(root, Map.empty, None, None)
+    val m = store.arrayMeta("v")
+    assert(m.v3 && m.shape == Vector(12, 4))
+    assert(m.attrs(ZarrAppend.BatchAttrKey).trim == "2")
+    val doc = ZarrChunkStats.parse(m.attrs(ZarrChunkStats.AttrKey)).get
+    assert(doc.nChunks == 3 && doc.written == 3)
+    // merged zone maps prune the old band
+    val pruned = spark.read.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("partition.target.cells", "1")
+      .load()
+      .filter(col("value") >= 40L)
+    assert(pruned.rdd.getNumPartitions == 1 && pruned.count() == 8)
+    // replay + stale replay are no-ops
+    writeBatchV3(root, 8, 12, 2L)
+    writeBatchV3(root, 0, 8, 1L)
+    assert(read(root).count() == 48)
+    // consolidated view refreshed: a consolidated-only open sees the new shape
+    val consolidated = new ZarrStore(root, Map.empty, None, Some(true))
+    assert(consolidated.arrayMeta("v").shape == Vector(12, 4))
+  }
+
+  test("v3 string values append through the vlen-utf8 chain") {
+    val root = Files.createTempDirectory("zarrappendv3s").toString
+    def batch(lo: Int, hi: Int, id: Long): Unit =
+      spark.range(lo, hi).selectExpr(
+          "cast(id as int) as t",
+          "concat('w', lpad(cast(id as string), 3, '0')) as value"
+        )
+        .write.format("zarr")
+        .option("path", root).option("array", "v").option("chunks", "5")
+        .option("zarr_format", "3")
+        .option("append.dim", "t").option("append.batch_id", id.toString)
+        .mode("append").save()
+    batch(0, 10, 1L)
+    batch(10, 15, 2L)
+    val got = read(root).orderBy("t").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == (0 until 15).map(i => (i, f"w$i%03d")))
+  }
+
+  test("v3 sharded stores refuse append loudly") {
+    val root = Files.createTempDirectory("zarrappendv3sh").toString
+    spark.range(0, 16).selectExpr("cast(id as int) as t", "id as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "4")
+      .option("zarr_format", "3").option("shards", "8")
+      .mode("append").save()
+    val e = intercept[IllegalArgumentException] {
+      spark.range(16, 20).selectExpr("cast(id as int) as t", "id as value")
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("append.dim", "t").option("append.batch_id", "2")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("sharded"))
+  }
 }
