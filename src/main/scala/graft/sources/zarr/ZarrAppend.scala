@@ -545,7 +545,6 @@ object ZarrAppend {
     * |S / <U and uint64 axes refuse loudly (the eager path rewrites those
     * whole, which is what a sub-10M axis gets anyway). */
   private def requireAppendableCoord(cm: ZarrArrayMeta, dim: String): Unit = {
-    require(!cm.v3, s"deferred append dim '$dim': coordinate array must be zarr v2")
     require(cm.rank == 1, s"deferred append dim '$dim': coordinate array must be 1-D")
     require(cm.shardShape.isEmpty, s"deferred append dim '$dim': sharded coordinate arrays unsupported")
     require(cm.filters.isEmpty, s"deferred append dim '$dim': numcodecs-filtered coordinate arrays unsupported")
@@ -687,6 +686,11 @@ object ZarrAppend {
     val startChunk = extent / chunkLen
     val lastChunk = (newTotal - 1) / chunkLen
     val order = if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    // v3 coords encode through their parsed codec chain + key encoding
+    def encodeCoord(raw: Array[Byte], typesize: Int): Array[Byte] =
+      if (cm.v3) cm.v3Codecs.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, typesize))
+      else ZarrCodec.compress(cm.compressor, raw, typesize)
+    def coordKey(c: Int): String = cm.chunkKey(Seq(c))
     // the partial tail chunk's existing cells (byte-exact for numerics)
     val nKeep = extent - startChunk * chunkLen
     val existing: Option[ZarrBuffer] =
@@ -714,7 +718,7 @@ object ZarrAppend {
             arr((g - c.toLong * chunkLen).toInt) = newVals((g - extent).toInt).asInstanceOf[String]
             g += 1
           }
-          ZarrCodec.compress(cm.compressor, ZarrStoreWriter.vlenEncode(arr), typesize = 1)
+          encodeCoord(ZarrStoreWriter.vlenEncode(arr), typesize = 1)
         } else {
           val buf = ByteBuffer.allocate(chunkLen * dt.itemSize).order(order) // zero pad past the end
           if (c == startChunk) existing.foreach(b => System.arraycopy(b.raw, 0, buf.array(), 0, nKeep * dt.itemSize))
@@ -724,22 +728,33 @@ object ZarrAppend {
             ZarrSink.putCoordCell(dt, buf, (g - c.toLong * chunkLen).toInt, newVals((g - extent).toInt))
             g += 1
           }
-          ZarrCodec.compress(cm.compressor, buf.array(), typesize = dt.itemSize)
+          encodeCoord(buf.array(), typesize = dt.itemSize)
         }
-      ZarrFileIO.writeBytes(new HPath(dirStr, c.toString), storageOptions, bytes)
+      ZarrFileIO.writeBytes(new HPath(dirStr, coordKey(c)), storageOptions, bytes)
       c += 1
     }
     // bump the coordinate array's shape LAST (the tail chunks above are
     // invisible until this lands; a crash before it leaves the old axis)
-    val zarrayRaw = ZarrFileIO
-      .readStringIfExists(new HPath(dirStr, ".zarray"), storageOptions)
-      .getOrElse(throw new IllegalStateException(s"deferred append dim '$dim': missing .zarray"))
-    val updated = zarrayRaw.replaceFirst(
-      """"shape"\s*:\s*\[[0-9,\s]*\]""",
-      s""""shape": [$newTotal]"""
-    )
-    require(updated != zarrayRaw, s"deferred append dim '$dim': could not rewrite .zarray shape")
-    ZarrFileIO.writeString(new HPath(dirStr, ".zarray"), storageOptions, updated)
+    if (cm.v3) {
+      val raw = ZarrFileIO
+        .readStringIfExists(new HPath(dirStr, "zarr.json"), storageOptions)
+        .getOrElse(throw new IllegalStateException(s"deferred append dim '$dim': missing zarr.json"))
+      ZarrFileIO.writeString(
+        new HPath(dirStr, "zarr.json"),
+        storageOptions,
+        v3MetaWithShapeAttrs(raw, Vector(newTotal), cm.attrs)
+      )
+    } else {
+      val zarrayRaw = ZarrFileIO
+        .readStringIfExists(new HPath(dirStr, ".zarray"), storageOptions)
+        .getOrElse(throw new IllegalStateException(s"deferred append dim '$dim': missing .zarray"))
+      val updated = zarrayRaw.replaceFirst(
+        """"shape"\s*:\s*\[[0-9,\s]*\]""",
+        s""""shape": [$newTotal]"""
+      )
+      require(updated != zarrayRaw, s"deferred append dim '$dim': could not rewrite .zarray shape")
+      ZarrFileIO.writeString(new HPath(dirStr, ".zarray"), storageOptions, updated)
+    }
   }
 
   /** Internal coord cell -> the external (Row-compatible) value. */

@@ -335,6 +335,35 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     assert(got.toSeq == (0 until 15).map(i => (i, f"w$i%03d")))
   }
 
+  test("v3 deferred append dim: coord tail chunks extend through the codec chain") {
+    val root = Files.createTempDirectory("zarrappendv3def").toString
+    // long axis through the v3 DISTRIBUTED coord path: chunk files c/0..c/2
+    spark.range(0, 40).selectExpr("id as t", "id * 3 + 7 as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "8")
+      .option("zarr_format", "3").option("compressor", "zstd")
+      .option("max_coord_values", "10").option("coord_chunk_values", "16")
+      .mode("append").save()
+    spark.range(40, 56).selectExpr("id as t", "id * 3 + 7 as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("append.dim", "t").option("coord.deferred.threshold", "10")
+      .mode("append").save()
+    val store = new ZarrStore(root, Map.empty, None, None)
+    val cm = store.arrayMeta("t")
+    assert(cm.v3 && cm.shape.head == 56 && cm.chunks.head == 16)
+    assert(ZarrFileIO.exists(new org.apache.hadoop.fs.Path(store.arrayDir("t"), "c/3"), Map.empty))
+    val rows = read(root).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 56)
+    (0L until 56L).foreach(t => assert(rows(t) == t * 3 + 7, s"t=$t"))
+    // deferred read over the grown v3 axis, range pruning intact
+    val dfd = spark.read.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("coord.deferred.threshold", "10")
+      .load()
+    assert(dfd.count() == 56 && dfd.filter(col("t") >= 44L).count() == 12)
+  }
+
   test("v3 sharded stores refuse append loudly") {
     val root = Files.createTempDirectory("zarrappendv3sh").toString
     spark.range(0, 16).selectExpr("cast(id as int) as t", "id as value")
