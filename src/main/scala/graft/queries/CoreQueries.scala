@@ -1141,6 +1141,24 @@ object CoreQueries {
       Some("""SELECT CAST(t.i AS INTEGER) AS i, CAST(t.i * 5 % 97 AS BIGINT) AS value
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(90, 150)) t
              |ORDER BY i""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // SHARDED v3 append (round 10): slabs arrive as whole NEW shard
+    // objects (one PUT each, existing objects untouched; extent must sit
+    // on a shard boundary), zone maps maintained at inner-chunk
+    // granularity. The object-store append shape at 100 TB.
+    Q(
+      "q48_zarr_append_sharded",
+      (s, _) => {
+        val root = CoreQueries.q48Store(s)
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("v")
+          .filter(col("i") >= 90)
+          .orderBy("i")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS i, CAST(t.i * 11 % 89 AS BIGINT) AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(90, 160)) t
+             |ORDER BY i""".stripMargin)
     )
   )
 
@@ -1223,6 +1241,29 @@ object CoreQueries {
       batch(0, 100, 1L)
       batch(100, 150, 2L)
       batch(100, 150, 2L) // replay: must be a no-op
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
+
+  /** Build the q48 store once per JVM: a sharded v3 array (shards of 40 =
+    * 2 inner chunks of 20) grown by a shard-aligned append + replay. */
+  private[queries] def q48Store(s: SparkSession): String = synchronized {
+    val root = FixtureCache.root("q48")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      def batch(lo: Int, hi: Int, id: Long) =
+        s.range(lo, hi).select(col("id").cast("int").as("i"), (col("id") * 11 % 89).as("value"))
+          .write.format("zarr")
+          .option("path", root).option("array", "v")
+          .option("chunks", "20").option("shards", "40")
+          .option("zarr_format", "3").option("compressor", "zstd")
+          .option("append.dim", "i").option("append.batch_id", id.toString)
+          .mode("append").save()
+      batch(0, 120, 1L)
+      batch(120, 160, 2L)
+      batch(120, 160, 2L) // replay: must be a no-op
       java.nio.file.Files.writeString(marker, "ok")
     }
     root

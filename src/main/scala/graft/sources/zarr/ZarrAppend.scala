@@ -72,7 +72,6 @@ object ZarrAppend {
     // fresh, UNconsolidated metadata — appends must see the live shape
     val store = new ZarrStore(path, storageOptions, group, Some(false))
     val meta = store.arrayMeta(array)
-    require(meta.shardShape.isEmpty, "zarr append does not support sharded arrays")
     require(meta.filters.isEmpty, "zarr append does not support numcodecs-filtered arrays")
     require(
       meta.dims.headOption.contains(appendDim),
@@ -97,6 +96,17 @@ object ZarrAppend {
       extent % chunk0 == 0,
       s"zarr append requires the current extent ($extent) on a chunk boundary (chunk $chunk0) — size batches to the chunk"
     )
+    // sharded (v3-only): appends add whole new SHARD objects — the extent
+    // must sit on a shard boundary so no existing object is ever rewritten
+    // (a batch may end mid-shard, leaving a valid partial tail shard whose
+    // absent inner chunks index as missing; the NEXT append then refuses
+    // until the extent is realigned)
+    meta.shardShape.foreach { sh =>
+      require(
+        extent % sh.head == 0,
+        s"zarr append on a sharded array requires the current extent ($extent) on a SHARD boundary (shard ${sh.head})"
+      )
+    }
     require(df.columns.contains("value"), "zarr append requires a 'value' column")
     meta.dims.foreach(d => require(df.columns.contains(d), s"zarr append: missing dimension column '$d'"))
     // fail BEFORE the distributed job, not mid-write in putCell
@@ -266,7 +276,7 @@ object ZarrAppend {
       1L,
       math.min(spark.sessionState.conf.numShufflePartitions.toLong, totalNewChunks)
     ).toInt
-    val statsRows: Array[ZarrSink.ChunkBounds] = indexed
+    def appendChunked(): Array[ZarrSink.ChunkBounds] = indexed
       .select(chunkExpr.as("__chunk"), localExpr.as("__local"), col("value").as("__value"))
       .repartition(parts, col("__chunk"))
       .sortWithinPartitions("__chunk")
@@ -319,6 +329,14 @@ object ZarrAppend {
         stats.result().iterator
       }
       .collect()
+    val statsRows: Array[ZarrSink.ChunkBounds] = meta.shardShape match {
+      case Some(shards) =>
+        appendSharded(
+          indexed, meta, shards, newShape, nChunksVec, chunkExpr, localExpr,
+          geom, elems, fill, fillStr, statsOnSer, intDomain, arrayDirStr, executorOpts, parts
+        )
+      case None => appendChunked()
+    }
     indexed.unpersist(blocking = false)
 
     // ---- metadata commit: coord array, then attrs (stats, WITHOUT the
@@ -507,6 +525,145 @@ object ZarrAppend {
       }
       ZarrSink.consolidate(store.groupDir, storageOptions)
     }
+  }
+
+  /** SHARDED (v3) append: cluster the batch's rows by SHARD ordinal over
+    * the grown grid so each task streams one complete shard object (inner
+    * chunks + crc32c'd byte-range index) — one PUT per NEW shard, existing
+    * objects untouched (the extent is shard-aligned by contract). Emits the
+    * same per-INNER-chunk bounds records the chunked path does, so zone-map
+    * maintenance downstream is layout-blind. Mirrors the sink's sharded
+    * writer (ZarrSink.scala `case Some(shards)`), restricted to the append
+    * contract (no range re-check: dtype already validated). */
+  private def appendSharded(
+      indexed: DataFrame,
+      meta: ZarrArrayMeta,
+      shards: Vector[Int],
+      newShape: Vector[Int],
+      nChunksVec: Vector[Int],
+      chunkExpr: org.apache.spark.sql.Column,
+      localExpr: org.apache.spark.sql.Column,
+      geom: ZarrSink.ChunkGeom,
+      elems: Int,
+      fill: Double,
+      fillStr: String,
+      statsOn: Boolean,
+      intDomain: Boolean,
+      arrayDirStr: String,
+      executorOpts: Map[String, String],
+      parts: Int
+  ): Array[ZarrSink.ChunkBounds] = {
+    val dt = meta.zdtype
+    val isStr = ZDtype.isString(dt.code)
+    val chunks = meta.chunks
+    shards.zip(chunks).foreach { case (s, c) =>
+      require(s % c == 0, s"shard shape $shards must be a multiple of inner chunks $chunks")
+    }
+    val nShardsVec = newShape.zip(shards).map { case (s, c) => (s + c - 1) / c }
+    val shardStrides = IndexMath.strides(nShardsVec)
+    val innerPerVec = shards.zip(chunks).map { case (s, c) => s / c }
+    val shardExpr = meta.dims.indices
+      .map(di => expr(s"__i$di div ${shards(di)}") * lit(shardStrides(di)))
+      .reduce(_ + _)
+    val nChunksArr = nChunksVec.toArray
+    val nShardsArr = nShardsVec.toArray
+    val innerPerArr = innerPerVec.toArray
+    val innerStrides = IndexMath.strides(innerPerVec).toArray
+    val nInner = innerPerVec.map(_.toLong).product.toInt
+    val v3Cfgs = meta.v3Codecs
+    val keyEnc = meta.keyEncoding
+    val keySep = meta.keySeparator
+    val dtypeStr = meta.dtype
+    indexed
+      .select(
+        shardExpr.as("__shard"),
+        chunkExpr.as("__chunk"),
+        localExpr.as("__local"),
+        col("value").as("__value")
+      )
+      .repartition(parts, col("__shard"))
+      .sortWithinPartitions("__shard", "__chunk")
+      .rdd
+      .mapPartitions { (rows: Iterator[Row]) =>
+        val order = if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+        val rank = nShardsArr.length
+        var curShard = -1L
+        var curChunk = -1L
+        var buf: ByteBuffer = null
+        var cells: Array[String] = null
+        val shardData = new java.io.ByteArrayOutputStream()
+        val index = new Array[Long](nInner * 2)
+        val stats = Array.newBuilder[ZarrSink.ChunkBounds]
+        def flushChunk(): Unit = if (curChunk >= 0L) {
+          if (statsOn)
+            stats += (if (isStr) ZarrSink.stringBoundsRecord(curChunk, cells, geom)
+                      else ZarrSink.chunkBoundsRecord(curChunk, dt, buf, geom, intDomain))
+          val raw = if (isStr) ZarrStoreWriter.vlenEncode(cells) else buf.array()
+          val enc = v3Cfgs.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, math.max(dt.itemSize, 1)))
+          val cIdx = new Array[Int](rank)
+          var rem = curChunk
+          var d = rank - 1
+          while (d >= 0) { cIdx(d) = (rem % nChunksArr(d)).toInt; rem /= nChunksArr(d); d -= 1 }
+          var w = 0L
+          var k = 0
+          while (k < rank) { w += (cIdx(k) % innerPerArr(k)).toLong * innerStrides(k); k += 1 }
+          index(2 * w.toInt) = shardData.size().toLong
+          index(2 * w.toInt + 1) = enc.length.toLong
+          shardData.write(enc)
+        }
+        def flushShard(): Unit = if (curShard >= 0L) {
+          flushChunk()
+          curChunk = -1L
+          val ib = ByteBuffer.allocate(nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < nInner * 2) { ib.putLong(i * 8, index(i)); i += 1 }
+          val idxBytes =
+            ZarrCodecV3.encode("""{"name": "crc32c"}""", ib.array(), math.max(dt.itemSize, 1))
+          val sIdx = new Array[Int](rank)
+          var rem = curShard
+          var d = rank - 1
+          while (d >= 0) { sIdx(d) = (rem % nShardsArr(d)).toInt; rem /= nShardsArr(d); d -= 1 }
+          val key = keyEnc match {
+            case "default" => "c" + keySep + sIdx.mkString(keySep)
+            case _ => sIdx.mkString(keySep)
+          }
+          ZarrFileIO.writeBytes(
+            new HPath(arrayDirStr, key),
+            executorOpts,
+            shardData.toByteArray ++ idxBytes
+          )
+          shardData.reset()
+        }
+        while (rows.hasNext) {
+          val r = rows.next()
+          val s = r.getLong(0)
+          val c = r.getLong(1)
+          if (s != curShard) {
+            flushShard()
+            curShard = s
+            java.util.Arrays.fill(index, -1L) // 2^64-1: missing inner chunk
+          }
+          if (c != curChunk) {
+            flushChunk()
+            curChunk = c
+            if (isStr) {
+              if (cells == null) cells = new Array[String](elems)
+              java.util.Arrays.fill(cells.asInstanceOf[Array[AnyRef]], fillStr)
+            } else {
+              if (buf == null) buf = ByteBuffer.allocate(elems * dt.itemSize).order(order)
+              if (fill == 0.0) java.util.Arrays.fill(buf.array(), 0.toByte)
+              else { var i = 0; while (i < elems) { ZDtype.put(dt, buf, i, fill); i += 1 } }
+            }
+          }
+          if (isStr) {
+            val v = r.getString(3)
+            cells(r.getLong(2).toInt) = if (v == null) fillStr else v
+          } else ZarrSink.putCell(dt, buf, r.getLong(2).toInt, r.get(3), rCheck = false, 0L, 0L, dtypeStr)
+        }
+        flushShard()
+        stats.result().iterator
+      }
+      .collect()
   }
 
   /** Rewrite a v3 array's zarr.json with a grown shape and replaced

@@ -364,20 +364,39 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     assert(dfd.count() == 56 && dfd.filter(col("t") >= 44L).count() == 12)
   }
 
-  test("v3 sharded stores refuse append loudly") {
+  test("v3 sharded append: whole new shard objects, inner-chunk zone maps, alignment contract") {
     val root = Files.createTempDirectory("zarrappendv3sh").toString
-    spark.range(0, 16).selectExpr("cast(id as int) as t", "id as value")
-      .write.format("zarr")
-      .option("path", root).option("array", "v").option("chunks", "4")
-      .option("zarr_format", "3").option("shards", "8")
-      .mode("append").save()
+    def batch(lo: Int, hi: Int, id: Long): Unit =
+      spark.range(lo, hi).selectExpr("cast(id as int) as t", "(id * 7 % 103) as value")
+        .write.format("zarr")
+        .option("path", root).option("array", "v").option("chunks", "4")
+        .option("zarr_format", "3").option("shards", "8")
+        .option("append.dim", "t").option("append.batch_id", id.toString)
+        .mode("append").save()
+    batch(0, 16, 1L) // creates: shards c/0, c/1 (2 shards x 2 inner chunks)
+    batch(16, 28, 2L) // appends shard c/2 (full) + c/3 (partial: 1 of 2 inner)
+    val store = new ZarrStore(root, Map.empty, None, None)
+    val m = store.arrayMeta("v")
+    assert(m.v3 && m.shardShape.contains(Vector(8)) && m.shape == Vector(28))
+    assert(ZarrFileIO.exists(new org.apache.hadoop.fs.Path(store.arrayDir("v"), "c/2"), Map.empty))
+    assert(ZarrFileIO.exists(new org.apache.hadoop.fs.Path(store.arrayDir("v"), "c/3"), Map.empty))
+    val rows = read(root).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.size == 28)
+    (0 until 28).foreach(t => assert(rows(t) == t * 7L % 103, s"t=$t"))
+    // zone maps merged at INNER-chunk granularity across the append
+    val doc = ZarrChunkStats.parse(m.attrs(ZarrChunkStats.AttrKey)).get
+    assert(doc.nChunks == 7 && doc.written == 7)
+    // replay is a no-op
+    batch(16, 28, 2L)
+    assert(read(root).count() == 28)
+    // extent 28 is mid-shard: the next append must refuse until realigned
     val e = intercept[IllegalArgumentException] {
-      spark.range(16, 20).selectExpr("cast(id as int) as t", "id as value")
+      spark.range(28, 32).selectExpr("cast(id as int) as t", "(id * 7 % 103) as value")
         .write.format("zarr")
         .option("path", root).option("array", "v")
-        .option("append.dim", "t").option("append.batch_id", "2")
+        .option("append.dim", "t").option("append.batch_id", "3")
         .mode("append").save()
     }
-    assert(e.getMessage.contains("sharded"))
+    assert(e.getMessage.contains("SHARD boundary"), e.getMessage)
   }
 }
