@@ -364,6 +364,30 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     assert(dfd.count() == 56 && dfd.filter(col("t") >= 44L).count() == 12)
   }
 
+  test("streaming source follows sharded v3 appends end-to-end") {
+    val root = Files.createTempDirectory("zarrappendv3stream").toString
+    def batch(lo: Int, hi: Int, id: Long): Unit =
+      spark.range(lo, hi).selectExpr("cast(id as int) as t", "id * 2 as value")
+        .write.format("zarr")
+        .option("path", root).option("array", "v").option("chunks", "4")
+        .option("zarr_format", "3").option("shards", "8")
+        .option("append.dim", "t").option("append.batch_id", id.toString)
+        .mode("append").save()
+    batch(0, 16, 1L)
+    val stream = spark.readStream.format("zarr")
+      .option("path", root).option("array", "v").option("stream.dim", "t")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("zv3stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("zv3stream").count() == 16)
+      batch(16, 24, 2L) // one new shard object
+      q.processAllAvailable()
+      val rows = spark.table("zv3stream").collect().map(r => r.getInt(0) -> r.getLong(1))
+      assert(rows.length == 24 && rows.toMap.forall { case (t, v) => v == t * 2L })
+    } finally q.stop()
+  }
+
   test("v3 sharded append: whole new shard objects, inner-chunk zone maps, alignment contract") {
     val root = Files.createTempDirectory("zarrappendv3sh").toString
     def batch(lo: Int, hi: Int, id: Long): Unit =
