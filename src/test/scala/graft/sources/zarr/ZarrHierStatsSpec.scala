@@ -375,6 +375,37 @@ class ZarrHierStatsSpec extends AnyFunSuite with SparkTester {
     assert(pruned == unpruned && pruned.size == 5)
   }
 
+  test("SHARDED v3 append across the flat cap upgrades to hierarchical (layout-blind stats)") {
+    val root = tmp()
+    // 40 cells, inner chunks 5, shards 20 -> 8 inner ordinals, flat at cap
+    // 12 (the batch's 12 new chunks must also fit the driver-collection
+    // bound, grown - old <= cap)
+    def batch(lo: Int, hi: Int): Unit =
+      spark.range(lo, hi)
+        .select(col("id").cast("int").as("i"), (col("id") * 10).as("value"))
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("chunks", "5").option("shards", "20").option("zarr_format", "3")
+        .option("stats.flat_cap", "12").option("stats.block_len", "4")
+        .option("append.dim", "i")
+        .mode("append").save()
+    batch(0, 40)
+    val store0 = new ZarrStore(root, Map.empty, None, None)
+    assert(ZarrChunkStats.parse(store0.arrayMeta("v").attrs(ZarrChunkStats.AttrKey)).isDefined)
+    // +60 cells -> 20 inner chunks > cap 12: the sharded append upgrades
+    batch(40, 100)
+    val h = hierDoc(root)
+    assert(h.nChunks == 20 && h.blockLen == 4 && h.nBlocks == 5)
+    assert((0L until 5L).forall(b => h.written(b) == 4L))
+    // pruning parity through shard objects + upgraded two-level stats
+    val band = col("value") >= 380L && col("value") <= 420L
+    val pruned = read(root).filter(band).orderBy("i").collect().toSeq
+    val unpruned = read(root, Map("stats.pruning" -> "false")).filter(band).orderBy("i").collect().toSeq
+    assert(pruned == unpruned && pruned.size == 5)
+    val qe = read(root).filter(col("value") === 440L)
+    assert(qe.rdd.getNumPartitions == 1 && qe.count() == 1)
+  }
+
   test("append past the hier ceiling drops stats; missing boundary side doc degrades coarsely") {
     // ceiling: flat_cap 5 x block_len 4 = 20 chunks; growing to 22 drops stats
     val root = tmp()
