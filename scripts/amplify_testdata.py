@@ -14,8 +14,9 @@ dedup operators quadratic by construction).
   disjoint copies of the base graph (linear scaling), while exact token
   statistics still change per copy
 - pyarrow (not a SQL engine rewrite) preserves physical types exactly —
-  notably events.ts stays timestamp[ns], which the Spark session reads via
-  spark.sql.legacy.parquet.nanosAsLong
+  notably events.ts keeps the source vintage's physical type (timestamp[ns]
+  or timestamp[us]); the Spark side normalizes either to epoch-nanos longs
+  at the loader (Tables.normalizeTs + the nanosAsLong session conf)
 
 Usage: python3 scripts/amplify_testdata.py [SRC] [DST] [COPIES]
 Tooling only — not part of the library.
