@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   * slabs, another streams them, each cell seen exactly once.
   *
   * Contract (every violation rejects loudly before any byte lands):
-  *  - zarr v2 or v3, non-sharded, no numcodecs filters / array→array
-  *    codecs; numeric or vlen-utf8 string values. v2 commits metadata in
+  *  - zarr v2 or v3 (incl. v3 sharding_indexed: the extent must sit on a
+  *    SHARD boundary and each slab lands as whole new shard objects — one
+  *    PUT each, never read-modify-write — unless `append.realign=true`
+  *    absorbs a mid-shard tail by rewriting the tail-row objects merged
+  *    with the batch, one RMW PUT each, everything else still
+  *    append-only; the shard index honors the store's declared
+  *    index_location / index_codecs / endianness); no
+  *    numcodecs filters / array→array codecs; numeric or vlen-utf8 string
+  *    values. v2 commits metadata in
   *    three ordered writes (stats attrs → shape → batch id, see below);
   *    v3 keeps all three in ONE zarr.json, so the commit is a single
   *    write (one PUT on an object store) after which the slab, its
@@ -100,11 +107,18 @@ object ZarrAppend {
     // must sit on a shard boundary so no existing object is ever rewritten
     // (a batch may end mid-shard, leaving a valid partial tail shard whose
     // absent inner chunks index as missing; the NEXT append then refuses
-    // until the extent is realigned)
+    // unless `append.realign=true` absorbs the tail: the one shard row
+    // holding the old extent is re-read and REWRITTEN merged with the new
+    // batch — a single read-modify-write PUT per tail-row object, every
+    // other object still append-only)
+    val realign = opts.get("append.realign").exists(_.toBoolean)
     meta.shardShape.foreach { sh =>
       require(
-        extent % sh.head == 0,
-        s"zarr append on a sharded array requires the current extent ($extent) on a SHARD boundary (shard ${sh.head})"
+        extent % sh.head == 0 || realign,
+        s"zarr append on a sharded array requires the current extent ($extent) on a SHARD boundary " +
+          s"(shard ${sh.head}). A mid-shard tail (e.g. a final batch that ended early) is absorbed by " +
+          "passing option append.realign=true: the partial tail shard object is re-read and rewritten " +
+          "merged with this batch (one read-modify-write PUT of that object only)"
       )
     }
     require(df.columns.contains("value"), "zarr append requires a 'value' column")
@@ -331,9 +345,14 @@ object ZarrAppend {
       .collect()
     val statsRows: Array[ZarrSink.ChunkBounds] = meta.shardShape match {
       case Some(shards) =>
+        // realign: the shard ROW (dim-0 shard index) holding the old
+        // extent already has objects on disk; their live inner chunks are
+        // copied byte-for-byte into the rewritten tail objects
+        val tailShardRow = if (extent % shards.head == 0) -1L else (extent / shards.head).toLong
         appendSharded(
           indexed, meta, shards, newShape, nChunksVec, chunkExpr, localExpr,
-          geom, elems, fill, fillStr, statsOnSer, intDomain, arrayDirStr, executorOpts, parts
+          geom, elems, fill, fillStr, statsOnSer, intDomain, arrayDirStr, executorOpts, parts,
+          tailShardRow
         )
       case None => appendChunked()
     }
@@ -529,8 +548,11 @@ object ZarrAppend {
 
   /** SHARDED (v3) append: cluster the batch's rows by SHARD ordinal over
     * the grown grid so each task streams one complete shard object (inner
-    * chunks + crc32c'd byte-range index) — one PUT per NEW shard, existing
-    * objects untouched (the extent is shard-aligned by contract). Emits the
+    * chunks + byte-range index in the STORE's declared layout: location
+    * end|start, crc32c or bare, either endianness) — one PUT per NEW
+    * shard, existing objects untouched (extent shard-aligned by contract;
+    * `append.realign=true` absorbs a mid-shard tail by rewriting the
+    * tail-row objects merged with the batch — see `tailShardRow`). Emits the
     * same per-INNER-chunk bounds records the chunked path does, so zone-map
     * maintenance downstream is layout-blind. Mirrors the sink's sharded
     * writer (ZarrSink.scala `case Some(shards)`), restricted to the append
@@ -551,7 +573,8 @@ object ZarrAppend {
       intDomain: Boolean,
       arrayDirStr: String,
       executorOpts: Map[String, String],
-      parts: Int
+      parts: Int,
+      tailShardRow: Long
   ): Array[ZarrSink.ChunkBounds] = {
     val dt = meta.zdtype
     val isStr = ZDtype.isString(dt.code)
@@ -574,6 +597,16 @@ object ZarrAppend {
     val keyEnc = meta.keyEncoding
     val keySep = meta.keySeparator
     val dtypeStr = meta.dtype
+    // Honor the STORE's declared shard-index layout (index_location,
+    // index_codecs crc32c-or-not, endianness) — ZarrStoreWriter can itself
+    // produce index_location=start stores, and appending a hardcoded
+    // end/crc/LE index to one would corrupt every shard object we write.
+    val idxAtEnd = meta.shardIndexAtEnd
+    val idxCrc = meta.shardIndexCrc
+    val idxBig = meta.shardIndexBigEndian
+    // Spec: index offsets are absolute within the shard object, so a
+    // leading index shifts the data region by its own stored length.
+    val dataBase = if (idxAtEnd) 0L else nInner * 16L + (if (idxCrc) 4L else 0L)
     indexed
       .select(
         shardExpr.as("__shard"),
@@ -594,6 +627,43 @@ object ZarrAppend {
         val shardData = new java.io.ByteArrayOutputStream()
         val index = new Array[Long](nInner * 2)
         val stats = Array.newBuilder[ZarrSink.ChunkBounds]
+        val stride0 = shardStrides.head
+        def keyOf(shardOrd: Long): String = {
+          val sIdx = new Array[Int](rank)
+          var rem = shardOrd
+          var d = rank - 1
+          while (d >= 0) { sIdx(d) = (rem % nShardsArr(d)).toInt; rem /= nShardsArr(d); d -= 1 }
+          keyEnc match {
+            case "default" => "c" + keySep + sIdx.mkString(keySep)
+            case _ => sIdx.mkString(keySep)
+          }
+        }
+        // REALIGN: this shard sits on the row holding the old (mid-shard)
+        // extent — copy the existing object's live inner chunks into the
+        // rewritten object byte-for-byte (no decode; their ChunkBounds
+        // records are already in the stats doc). New-batch chunk positions
+        // are disjoint: old chunks end before the chunk-aligned extent.
+        def preloadTail(shardOrd: Long): Unit =
+          ZarrFileIO
+            .readBytesIfExists(new HPath(arrayDirStr, keyOf(shardOrd)), executorOpts)
+            .foreach { raw =>
+              val storedLen = nInner * 16 + (if (idxCrc) 4 else 0)
+              val idxOff = if (idxAtEnd) raw.length - storedLen else 0
+              val bb = ByteBuffer
+                .wrap(raw)
+                .order(if (idxBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+              var w = 0
+              while (w < nInner) {
+                val off = bb.getLong(idxOff + w * 16)
+                val len = bb.getLong(idxOff + w * 16 + 8)
+                if (off != -1L) {
+                  index(2 * w) = dataBase + shardData.size().toLong
+                  index(2 * w + 1) = len
+                  shardData.write(raw, off.toInt, len.toInt)
+                }
+                w += 1
+              }
+            }
         def flushChunk(): Unit = if (curChunk >= 0L) {
           if (statsOn)
             stats += (if (isStr) ZarrSink.stringBoundsRecord(curChunk, cells, geom)
@@ -607,30 +677,25 @@ object ZarrAppend {
           var w = 0L
           var k = 0
           while (k < rank) { w += (cIdx(k) % innerPerArr(k)).toLong * innerStrides(k); k += 1 }
-          index(2 * w.toInt) = shardData.size().toLong
+          index(2 * w.toInt) = dataBase + shardData.size().toLong
           index(2 * w.toInt + 1) = enc.length.toLong
           shardData.write(enc)
         }
         def flushShard(): Unit = if (curShard >= 0L) {
           flushChunk()
           curChunk = -1L
-          val ib = ByteBuffer.allocate(nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
+          val ib = ByteBuffer
+            .allocate(nInner * 16)
+            .order(if (idxBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
           var i = 0
           while (i < nInner * 2) { ib.putLong(i * 8, index(i)); i += 1 }
           val idxBytes =
-            ZarrCodecV3.encode("""{"name": "crc32c"}""", ib.array(), math.max(dt.itemSize, 1))
-          val sIdx = new Array[Int](rank)
-          var rem = curShard
-          var d = rank - 1
-          while (d >= 0) { sIdx(d) = (rem % nShardsArr(d)).toInt; rem /= nShardsArr(d); d -= 1 }
-          val key = keyEnc match {
-            case "default" => "c" + keySep + sIdx.mkString(keySep)
-            case _ => sIdx.mkString(keySep)
-          }
+            if (idxCrc) ZarrCodecV3.encode("""{"name": "crc32c"}""", ib.array(), math.max(dt.itemSize, 1))
+            else ib.array()
           ZarrFileIO.writeBytes(
-            new HPath(arrayDirStr, key),
+            new HPath(arrayDirStr, keyOf(curShard)),
             executorOpts,
-            shardData.toByteArray ++ idxBytes
+            if (idxAtEnd) shardData.toByteArray ++ idxBytes else idxBytes ++ shardData.toByteArray
           )
           shardData.reset()
         }
@@ -642,6 +707,7 @@ object ZarrAppend {
             flushShard()
             curShard = s
             java.util.Arrays.fill(index, -1L) // 2^64-1: missing inner chunk
+            if (tailShardRow >= 0L && s / stride0 == tailShardRow) preloadTail(s)
           }
           if (c != curChunk) {
             flushChunk()
@@ -667,11 +733,12 @@ object ZarrAppend {
   }
 
   /** Rewrite a v3 array's zarr.json with a grown shape and replaced
-    * attributes, preserving every other field verbatim (top-level-only
-    * transform: "shape" also appears nested inside sharding configs, which
-    * append rejects anyway, but never at the top level twice). Attr values
-    * are raw JSON fragments — the same convention the sink's attrs maps
-    * use. */
+    * attributes, preserving every other field verbatim. Top-level-only
+    * transform: a "chunk_shape" (not "shape") key appears nested inside
+    * sharding_indexed configs — sharded appends are supported and rely on
+    * that nested config passing through untouched; "shape" itself never
+    * occurs twice at the top level. Attr values are raw JSON fragments —
+    * the same convention the sink's attrs maps use. */
   private def v3MetaWithShapeAttrs(
       raw: String,
       newShape: Vector[Int],

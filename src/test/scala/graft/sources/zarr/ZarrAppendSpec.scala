@@ -1,6 +1,7 @@
 package graft.sources.zarr
 
 import graft.SparkTester
+import graft.sources.Coord
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -422,5 +423,61 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
         .mode("append").save()
     }
     assert(e.getMessage.contains("SHARD boundary"), e.getMessage)
+    // ... and the refusal names the recovery lever
+    assert(e.getMessage.contains("append.realign=true"), e.getMessage)
+  }
+
+  test("append.realign=true absorbs a mid-shard tail: one RMW of the tail object, then aligned") {
+    val root = Files.createTempDirectory("zarrrealign").toString
+    def batch(lo: Int, hi: Int, id: Long, realign: Boolean = false): Unit = {
+      var w = spark.range(lo, hi).selectExpr("cast(id as int) as t", "(id * 7 % 103) as value")
+        .write.format("zarr")
+        .option("path", root).option("array", "v").option("chunks", "4")
+        .option("zarr_format", "3").option("shards", "8")
+        .option("append.dim", "t").option("append.batch_id", id.toString)
+      if (realign) w = w.option("append.realign", "true")
+      w.mode("append").save()
+    }
+    batch(0, 12, 1L) // extent 12: chunk-aligned, MID-shard (shard c/1 partial: 1 of 2 inner)
+    intercept[IllegalArgumentException](batch(12, 20, 2L)) // strands without realign
+    batch(12, 20, 2L, realign = true) // absorbs c/1's live chunk + writes c/2
+    val store = new ZarrStore(root, Map.empty, None, None)
+    assert(store.arrayMeta("v").shape == Vector(20))
+    val rows = read(root).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.size == 20)
+    (0 until 20).foreach(t => assert(rows(t) == t * 7L % 103, s"t=$t"))
+    // zone maps: pre-realign chunks kept their records, new chunks added
+    val doc = ZarrChunkStats.parse(store.arrayMeta("v").attrs(ZarrChunkStats.AttrKey)).get
+    assert(doc.nChunks == 5 && doc.written == 5)
+    // extent 20 is aligned again at the next boundary? 20 % 8 = 4 — still
+    // mid-shard; a realigned follow-up lands too (realign is per-append)
+    batch(20, 24, 3L, realign = true)
+    val rows2 = read(root).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows2.size == 24)
+    (0 until 24).foreach(t => assert(rows2(t) == t * 7L % 103, s"t=$t"))
+  }
+
+  test("sharded append honors index_location=start stores (no corrupt shard objects)") {
+    val root = Files.createTempDirectory("zarridxstart").toString
+    val dir = ZarrStoreWriterV3.writeGroup(root)
+    // 12 cells, shard 8 = 2 inner chunks of 4; index at START of the object
+    ZarrStoreWriterV3.writeShardedArray(
+      dir, "v", Vector(16), Vector(8), Vector(4), "int64", i => (i * 3 % 61).toDouble,
+      dims = Some(Vector("t")), indexAtEnd = false
+    )
+    ZarrStoreWriterV3.writeCoord(dir, "t", Coord.Ints(Array.tabulate(16)(identity)))
+    ZarrStoreWriterV3.consolidate(dir)
+    assert(read(root).count() == 16)
+    spark.range(16, 32).selectExpr("cast(id as int) as t", "(id * 3 % 61) as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("append.dim", "t").option("append.batch_id", "1")
+      .mode("append").save()
+    val rows = read(root).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.size == 32)
+    (0 until 32).foreach(t => assert(rows(t) == t * 3L % 61, s"t=$t"))
+    // the appended objects carry a LEADING index like the rest of the store
+    val store = new ZarrStore(root, Map.empty, None, None)
+    assert(!store.arrayMeta("v").shardIndexAtEnd)
   }
 }
