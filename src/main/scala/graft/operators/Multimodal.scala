@@ -11,8 +11,10 @@ import org.apache.spark.sql.types._
   * Codecs: IMAGE decode is real — [[decodeImage]] reads PNG/BMP/JPEG/GIF
   * through the JDK's own ImageIO decoders (no native libraries) and
   * resamples to a luminance grid. AUDIO decode is real — [[decodeAudio]]
-  * reads WAV (PCM 8/16/24-bit, A-law, µ-law) through `javax.sound.sampled`
-  * and emits duration/RMS/peak/zero-crossing features. VIDEO codecs
+  * parses canonical PCM16LE RIFF directly (lock-free) and reads every
+  * other WAV flavor (PCM 8/24-bit, A-law, µ-law) through
+  * `javax.sound.sampled`, emitting duration/RMS/peak/zero-crossing
+  * features. VIDEO codecs
   * (ffmpeg-class dependencies that don't exist in this environment) stay
   * behind clearly-marked deterministic stubs with the distributed plumbing
   * real, so swapping in a JNI/ffmpeg call touches only the decode
@@ -130,15 +132,101 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
-  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV containers:
-    * PCM signed/unsigned 8/16/24-bit, A-law, µ-law — the codecs the JVM
-    * ships; no native libs). Non-PCM-signed input is converted through
-    * `AudioSystem`'s format-conversion providers to 16-bit signed PCM, then
-    * channels are mixed down by average and summary features computed:
-    * (frames, sampleRate, channels, duration s, RMS, peak, zero-crossing
-    * rate), amplitudes normalized by 2^15. Returns None for undecodable
-    * payloads (callers keep the row with null features). */
+  /** REAL audio decode: (frames, sampleRate, channels, duration s, RMS,
+    * peak, zero-crossing rate), channels mixed down by average, amplitudes
+    * normalized by 2^15. Returns None for undecodable payloads (callers
+    * keep the row with null features).
+    *
+    * Canonical PCM16LE RIFF/WAVE payloads — the overwhelming bulk of any
+    * real WAV corpus, and exactly what [[wavBytes]] emits — are parsed
+    * DIRECTLY (RIFF chunk walk + fixed-point loop, no locks, fully
+    * parallel across tasks). Everything else (8/24-bit, A-law, µ-law,
+    * AIFF/AU) falls back to `javax.sound.sampled`, whose provider
+    * registry takes a shared lock per `getAudioInputStream` call and
+    * serializes concurrent decode tasks — the same lock family the synth
+    * side dodges by emitting RIFF bytes directly. */
   def decodeAudio(payload: Array[Byte]): Option[(Long, Double, Int, Double, Double, Double, Double)] =
+    if (payload == null) None
+    else decodePcm16Riff(payload).orElse(decodeAudioJavax(payload))
+
+  /** Lock-free fast path: walk the RIFF chunk list (word-aligned chunks;
+    * extra LIST/fact/cue chunks skipped) and, for fmt code 1 (integer
+    * PCM) at 16 bits, compute the features straight off the sample bytes.
+    * A data chunk whose declared length overruns the payload is clamped —
+    * the same tolerance `javax.sound` shows truncated streams. Returns
+    * None (→ javax fallback) for any other layout. */
+  private[graft] def decodePcm16Riff(
+      p: Array[Byte]
+  ): Option[(Long, Double, Int, Double, Double, Double, Double)] = {
+    if (
+      p.length < 44 ||
+      p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+      p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E'
+    ) return None
+    val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmtCode = -1
+    var channels = -1
+    var rate = -1.0
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= p.length && dataOff < 0) {
+      val len = bb.getInt(off + 4)
+      if (len < 0) return None
+      val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (id == "fmt " && len >= 16 && off + 8 + 16 <= p.length) {
+        fmtCode = bb.getShort(off + 8) & 0xffff
+        channels = bb.getShort(off + 10) & 0xffff
+        rate = bb.getInt(off + 12).toDouble
+        bits = bb.getShort(off + 22) & 0xffff
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = math.min(len.toLong, (p.length - dataOff).toLong).toInt
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (fmtCode != 1 || bits != 16 || channels < 1 || dataOff < 0) return None
+    val frameBytes = channels * 2
+    val nFrames = (dataLen / frameBytes).toLong
+    var sumSq = 0.0
+    var peak = 0.0
+    var crossings = 0L
+    var prevNonNeg = true
+    var f = 0L
+    var o = dataOff
+    while (f < nFrames) {
+      var acc = 0L
+      var c = 0
+      while (c < channels) { acc += bb.getShort(o + 2 * c); c += 1 }
+      val s = acc.toDouble / channels
+      sumSq += s * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      val nonNeg = s >= 0
+      if (f > 0 && nonNeg != prevNonNeg) crossings += 1
+      prevNonNeg = nonNeg
+      f += 1
+      o += frameBytes
+    }
+    Some((
+      nFrames,
+      rate,
+      channels,
+      if (rate > 0) nFrames / rate else 0.0,
+      if (nFrames > 0) math.sqrt(sumSq / nFrames) / 32768.0 else 0.0,
+      peak / 32768.0,
+      if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0
+    ))
+  }
+
+  /** `javax.sound.sampled` fallback (WAV PCM signed/unsigned 8/16/24-bit,
+    * A-law, µ-law, plus AIFF/AU — the codecs the JVM ships; no native
+    * libs). Non-PCM16 input converts through `AudioSystem`'s providers to
+    * 16-bit signed PCM first. */
+  private[graft] def decodeAudioJavax(
+      payload: Array[Byte]
+  ): Option[(Long, Double, Int, Double, Double, Double, Double)] =
     try {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
       val src = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))

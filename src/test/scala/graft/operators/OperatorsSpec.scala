@@ -376,6 +376,14 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     javax.sound.sampled.AudioSystem.write(ais8, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
     val d8 = Multimodal.decodeAudio(bos8.toByteArray).get
     assert(d8._1 == 64 && d8._7 > 0.9) // alternating sign -> zcr near 1
+    // 8-bit payloads MISS the lock-free fast path (bits != 16) by design
+    assert(Multimodal.decodePcm16Riff(bos8.toByteArray).isEmpty)
+    // fast path == javax path, field for field, on canonical PCM16 payloads
+    for (payload <- Seq(rows.head._2, rows(1)._2, Multimodal.wavBytes(stereo, 8000f, channels = 2))) {
+      val fast = Multimodal.decodePcm16Riff(payload).get
+      val ref = Multimodal.decodeAudioJavax(payload).get
+      assert(fast == ref, s"fast $fast != javax $ref")
+    }
   }
 
   test("multimodal: REAL video decode — AVI/MJPEG container parse, frame pixels, fan-out") {
