@@ -30,9 +30,14 @@ object EventStreams {
   )
 
   /** Schema for a streaming read of an events parquet directory, inferred
-    * from the files so both ts vintages stream correctly. */
+    * from the files so both ts vintages stream correctly. A stream is
+    * often started BEFORE its writer's first batch lands — when inference
+    * finds no files (empty or not-yet-created directory), fall back to
+    * the static [[EventsSchema]] instead of failing stream start. */
   def eventsSchema(spark: SparkSession, path: String): StructType =
-    spark.read.parquet(path).schema
+    scala.util.Try(spark.read.parquet(path).schema).toOption
+      .filter(_.nonEmpty)
+      .getOrElse(EventsSchema)
 
   /** Normalize ts to epoch-nanos long (either vintage) and attach a proper
     * event-time column (no-op if the caller already attached one, e.g. with

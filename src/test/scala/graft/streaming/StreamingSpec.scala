@@ -27,6 +27,20 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     maxNs / 1000000000L - 3600L
   }
 
+  test("eventsSchema on an empty or absent directory falls back to the static schema") {
+    // streams are often started before the writer's first batch lands
+    val empty = java.nio.file.Files.createTempDirectory("events_none")
+    assert(EventStreams.eventsSchema(spark, empty.toString) == EventStreams.EventsSchema)
+    assert(
+      EventStreams.eventsSchema(spark, empty.resolve("never_created").toString) ==
+        EventStreams.EventsSchema
+    )
+    // with files present, inference still wins (vintage-accurate ts type)
+    assert(
+      EventStreams.eventsSchema(spark, s"$sfTiny/events.parquet").fieldNames.contains("ts")
+    )
+  }
+
   test("streaming dedup within watermark drops in-window duplicates, keeps batch parity") {
     // stage a directory where every event arrives TWICE (two files)
     val dir = java.nio.file.Files.createTempDirectory("events_dup")
