@@ -279,6 +279,20 @@ object ZarrAppend {
       grownTotalChunks <= statsFlatCap * statsBlockLen &&
       grownTotalChunks - oldTotalChunks <= statsFlatCap
     val statsOnSer = statsOn
+    // a store that HAD stats loses them here: record why in the attrs so
+    // the scan can warn instead of silently losing pruning. A marker left
+    // by an earlier drop carries forward (later appends see no stats and
+    // must not erase the record of why).
+    val statsDroppedJson: Option[String] =
+      if (statsOn) None
+      else if (existingFlatStats.isDefined || existingHierStats.isDefined)
+        Some(
+          if (grownTotalChunks > statsFlatCap * statsBlockLen)
+            ZarrChunkStats.droppedJson(grownTotalChunks, statsFlatCap * statsBlockLen, "ceiling")
+          else
+            ZarrChunkStats.droppedJson(grownTotalChunks - oldTotalChunks, statsFlatCap, "batch_flat_cap")
+        )
+      else meta.attrs.get(ZarrChunkStats.DroppedAttrKey)
     val isStr = strValue
     val intDomain = statsDomain.contains("int")
     // in-shape-only stats geometry over the GROWN grid: appended boundary
@@ -495,8 +509,9 @@ object ZarrAppend {
         }
       }
     val baseAttrs: Map[String, String] =
-      meta.attrs -- Seq(ZarrChunkStats.AttrKey, "_ARRAY_DIMENSIONS") ++
-        statsAttrJson.map(j => ZarrChunkStats.AttrKey -> j)
+      meta.attrs -- Seq(ZarrChunkStats.AttrKey, ZarrChunkStats.DroppedAttrKey, "_ARRAY_DIMENSIONS") ++
+        statsAttrJson.map(j => ZarrChunkStats.AttrKey -> j) ++
+        statsDroppedJson.map(j => ZarrChunkStats.DroppedAttrKey -> j)
     if (meta.v3) {
       // v3 keeps shape, attributes (stats + batch id), and everything else
       // in ONE zarr.json — a single write makes the slab, its stats, and

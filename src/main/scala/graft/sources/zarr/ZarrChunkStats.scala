@@ -40,6 +40,17 @@ object ZarrChunkStats {
 
   val AttrKey = "graft:chunk_stats"
 
+  /** Attr recording that zone maps were DROPPED at write time (grid past
+    * the two-level ceiling, or an append batch past the driver-collect
+    * bound). Carried so the SCAN can warn that value predicates read every
+    * chunk — the alternative is a silent pruning regression the user only
+    * notices as cost. Written by the sink and by append; never consulted
+    * for pruning decisions. */
+  val DroppedAttrKey = "graft:chunk_stats_dropped"
+
+  def droppedJson(nChunks: Long, cap: Long, reason: String): String =
+    s"""{"n_chunks": $nChunks, "cap": $cap, "reason": "$reason"}"""
+
   /** Directory (under the array dir) holding per-block fine-stats docs of
     * HIERARCHICAL zone maps — one flat-format doc per block of
     * `blockLen` consecutive chunk ordinals. Zarr readers ignore unknown

@@ -260,6 +260,7 @@ class ZarrScanBuilder(
     streamDim: Option[String] = None,
     useStats: Boolean = true
 ) extends ScanBuilder
+    with org.apache.spark.internal.Logging
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
@@ -792,6 +793,18 @@ class ZarrScanBuilder(
       }
     }
     accepted = filters.diff(residual)
+    // stats were DROPPED at write time (grid past the ceiling): the scan
+    // still answers correctly but value predicates read every chunk — say
+    // so once, with the writer's recorded reason, instead of regressing
+    // pruning silently
+    if (residual.nonEmpty && statsGeom.isEmpty && useStats)
+      meta.attrs.get(ZarrChunkStats.DroppedAttrKey).foreach { why =>
+        logWarning(
+          s"zarr scan of '${meta.name}': chunk statistics were dropped at write time ($why) — " +
+            s"value predicates cannot zone-map-prune and the scan opens every chunk. " +
+            "Raise stats.flat_cap / stats.block_len at write time to keep statistics on grids this large."
+        )
+      }
     // value-column predicates stay residual (pruning is chunk-granular, so
     // Spark must still evaluate them per row) but additionally feed the
     // zone-map pruner when the store carries chunk stats

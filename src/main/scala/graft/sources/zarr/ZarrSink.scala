@@ -659,6 +659,16 @@ object ZarrSink {
       statsDomain.isDefined && totalChunks <= statsFlatCap * statsBlockLen &&
         opts.get("chunk_stats").forall(_.toBoolean)
     var statsAttrJson: Option[String] = None
+    // grid past the two-level ceiling: stats are skipped — record WHY in
+    // the attrs so the scan can warn instead of silently losing pruning
+    val statsDroppedJson: Option[String] =
+      if (statsDomain.isDefined && opts.get("chunk_stats").forall(_.toBoolean) &&
+          totalChunks > statsFlatCap * statsBlockLen)
+        Some(ZarrChunkStats.droppedJson(totalChunks, statsFlatCap * statsBlockLen, "ceiling"))
+      else None
+    def statsAttrMap: Map[String, String] =
+      statsAttrJson.map(j => ZarrChunkStats.AttrKey -> j).toMap ++
+        statsDroppedJson.map(j => ZarrChunkStats.DroppedAttrKey -> j).toMap
 
     def docOf(domain: String, rows: Iterable[ChunkBounds]): ZarrChunkStats.Doc = domain match {
       case "int" =>
@@ -973,9 +983,9 @@ object ZarrSink {
       if (!ZarrFileIO.exists(gj, storageOptions))
         ZarrFileIO.writeString(gj, storageOptions, """{"zarr_format": 3, "node_type": "group"}""")
       val endianStr = if (zdt.bigEndian) "big" else "little"
-      val statsAttrsJson: String = statsAttrJson
-        .map(j => s"""{"${ZarrChunkStats.AttrKey}": $j}""")
-        .getOrElse("{}")
+      val statsAttrsJson: String =
+        if (statsAttrMap.isEmpty) "{}"
+        else statsAttrMap.map { case (k, j) => s""""$k": $j""" }.mkString("{", ", ", "}")
       val arrayDoc = shardsOpt match {
         case None if strValue =>
           // data_type "string": vlen-utf8 replaces the bytes codec
@@ -994,7 +1004,7 @@ object ZarrSink {
           ZarrStoreWriterV3.arrayJson(
             shape, chunks, v3DataTypeName(dtype), v3Cfgs, Some(fillValue), Some(dims),
             separator = "/", endian = endianStr,
-            attrs = statsAttrJson.map(j => ZarrChunkStats.AttrKey -> j).toMap
+            attrs = statsAttrMap
           )
         case Some(shards) if strValue =>
           // sharded strings: vlen-utf8 inner chunks inside shard objects;
@@ -1032,7 +1042,7 @@ object ZarrSink {
           val withOuter = ZarrStoreWriterV3.arrayJson(
             shape, shards, v3DataTypeName(dtype), Nil, Some(fillValue), Some(dims),
             separator = "/", endian = endianStr,
-            attrs = statsAttrJson.map(j => ZarrChunkStats.AttrKey -> j).toMap
+            attrs = statsAttrMap
           )
           val doc = withOuter.replace(
             s""""codecs": [{"name": "bytes", "configuration": {"endian": "$endianStr"}}]""",
@@ -1075,7 +1085,7 @@ object ZarrSink {
         storageOptions,
         ZarrStoreWriter.zattrsJson(
           Some(dims),
-          statsAttrJson.map(j => ZarrChunkStats.AttrKey -> j).toMap
+          statsAttrMap
         )
       )
       axes.foreach {

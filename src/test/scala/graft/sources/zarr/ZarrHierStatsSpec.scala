@@ -41,6 +41,16 @@ class ZarrHierStatsSpec extends AnyFunSuite with SparkTester {
     r.load()
   }
 
+  test("sink CREATE past the ceiling records the drop marker instead of silent no-stats") {
+    // 20 chunks > flat_cap 2 x block_len 4 = 8 -> stats skipped at create
+    val root = tmp()
+    writeHier(root, Map("stats.flat_cap" -> "2", "stats.block_len" -> "4"))
+    val attrs = new ZarrStore(root, Map.empty, None, None).arrayMeta("v").attrs
+    assert(!attrs.contains(ZarrChunkStats.AttrKey))
+    assert(attrs(ZarrChunkStats.DroppedAttrKey).contains("ceiling"))
+    assert(read(root).filter(col("value") >= 900L).count() == 10) // still exact
+  }
+
   test("past the flat cap the sink writes rollup attrs + per-block side docs") {
     val root = tmp()
     writeHier(root)
@@ -413,7 +423,14 @@ class ZarrHierStatsSpec extends AnyFunSuite with SparkTester {
     appendBatch(root, 100, 110, flatCap = 5)
     val attrs = new ZarrStore(root, Map.empty, None, Some(false)).arrayMeta("v").attrs
     assert(!attrs.contains(ZarrChunkStats.AttrKey))
+    // the drop is recorded for the scan to warn on (never silent-to-queries)
+    assert(attrs(ZarrChunkStats.DroppedAttrKey).contains("ceiling"))
     assert(read(root).count() == 110) // scan correct without stats
+    assert(read(root).filter(col("value") >= 1000L).count() == 10) // predicates still exact
+    // a FURTHER append (no stats left) must not erase the marker
+    appendBatch(root, 110, 120, flatCap = 5)
+    val attrs2 = new ZarrStore(root, Map.empty, None, Some(false)).arrayMeta("v").attrs
+    assert(attrs2(ZarrChunkStats.DroppedAttrKey).contains("ceiling"))
     // missing boundary side doc: coarse level stays sound and exact
     val root2 = tmp()
     writeHier(root2)
