@@ -1162,6 +1162,26 @@ object CoreQueries {
       Some("""SELECT CAST(t.i AS INTEGER) AS i, CAST(t.i * 11 % 89 AS BIGINT) AS value
              |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(90, 160)) t
              |ORDER BY i""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // SHARDED v3 append with REALIGN (round 11): a final batch that ended
+    // mid-shard leaves the extent off the shard boundary; the next append
+    // passes `append.realign=true` and absorbs the partial tail shard (one
+    // read-modify-write PUT of that object, live chunks copied
+    // byte-for-byte), then replays idempotently. The recovery path for
+    // growing object stores whose producers don't batch to the shard.
+    Q(
+      "q49_zarr_append_realign",
+      (s, _) => {
+        val root = CoreQueries.q49Store(s)
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("v")
+          .filter(col("i") >= 8)
+          .orderBy("i")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS i, CAST(t.i * 13 % 71 AS BIGINT) AS value
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(8, 20)) t
+             |ORDER BY i""".stripMargin)
     )
   )
 
@@ -1267,6 +1287,32 @@ object CoreQueries {
       batch(0, 120, 1L)
       batch(120, 160, 2L)
       batch(120, 160, 2L) // replay: must be a no-op
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
+
+  /** Build the q49 store once per JVM: a sharded v3 array whose FIRST batch
+    * ends mid-shard (extent 12, shard 8), then a realigned append absorbs
+    * the partial tail shard and an exact replay of it must no-op. */
+  private[queries] def q49Store(s: SparkSession): String = synchronized {
+    val root = FixtureCache.root("q49")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      def batch(lo: Int, hi: Int, id: Long, realign: Boolean): Unit = {
+        var w = s.range(lo, hi).select(col("id").cast("int").as("i"), (col("id") * 13 % 71).as("value"))
+          .write.format("zarr")
+          .option("path", root).option("array", "v")
+          .option("chunks", "4").option("shards", "8")
+          .option("zarr_format", "3").option("compressor", "zstd")
+          .option("append.dim", "i").option("append.batch_id", id.toString)
+        if (realign) w = w.option("append.realign", "true")
+        w.mode("append").save()
+      }
+      batch(0, 12, 1L, realign = false) // creates: shard c/0 full, c/1 partial (extent mid-shard)
+      batch(12, 20, 2L, realign = true) // absorbs c/1's live chunk, adds c/2
+      batch(12, 20, 2L, realign = true) // replay: must be a no-op
       java.nio.file.Files.writeString(marker, "ok")
     }
     root

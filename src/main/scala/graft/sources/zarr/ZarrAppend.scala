@@ -622,6 +622,9 @@ object ZarrAppend {
     // Spec: index offsets are absolute within the shard object, so a
     // leading index shifts the data region by its own stored length.
     val dataBase = if (idxAtEnd) 0L else nInner * 16L + (if (idxCrc) 4L else 0L)
+    // chunk count along dim 0 under the OLD shape: the realign preload's
+    // boundary between chunks to copy and chunks the batch rewrites
+    val oldChunk0Count = (meta.shape.head / chunks.head).toLong
     indexed
       .select(
         shardExpr.as("__shard"),
@@ -658,6 +661,10 @@ object ZarrAppend {
         // rewritten object byte-for-byte (no decode; their ChunkBounds
         // records are already in the stats doc). New-batch chunk positions
         // are disjoint: old chunks end before the chunk-aligned extent.
+        // Chunks AT or past the old extent (left by a crashed realign
+        // attempt whose metadata commit never landed) are skipped — the
+        // replay rewrites them from the batch, keeping the rewritten
+        // object byte-identical run over run.
         def preloadTail(shardOrd: Long): Unit =
           ZarrFileIO
             .readBytesIfExists(new HPath(arrayDirStr, keyOf(shardOrd)), executorOpts)
@@ -671,7 +678,8 @@ object ZarrAppend {
               while (w < nInner) {
                 val off = bb.getLong(idxOff + w * 16)
                 val len = bb.getLong(idxOff + w * 16 + 8)
-                if (off != -1L) {
+                val chunk0 = tailShardRow * innerPerArr(0) + w / innerStrides(0)
+                if (off != -1L && chunk0 < oldChunk0Count) {
                   index(2 * w) = dataBase + shardData.size().toLong
                   index(2 * w + 1) = len
                   shardData.write(raw, off.toInt, len.toInt)
