@@ -184,7 +184,12 @@ object Multimodal {
         dataOff = off + 8
         dataLen = math.min(len.toLong, (p.length - dataOff).toLong).toInt
       }
-      off += 8 + len + (len & 1) // chunks are word-aligned
+      // a declared length overrunning the payload (truncated or garbage
+      // chunk) ends the walk — `off + len` on int arithmetic could also
+      // overflow negative and turn the loop guard into an out-of-bounds
+      // read, so never advance past p.length
+      if (len > p.length - off - 8) off = p.length
+      else off += 8 + len + (len & 1) // chunks are word-aligned
     }
     if (fmtCode != 1 || bits != 16 || channels < 1 || dataOff < 0) return None
     val frameBytes = channels * 2

@@ -669,15 +669,24 @@ object ZarrAppend {
           ZarrFileIO
             .readBytesIfExists(new HPath(arrayDirStr, keyOf(shardOrd)), executorOpts)
             .foreach { raw =>
-              val storedLen = nInner * 16 + (if (idxCrc) 4 else 0)
+              val storedLen = ZarrChunkIO.shardIndexStoredLen(nInner, idxCrc)
+              require(
+                raw.length >= storedLen,
+                s"zarr realign append: tail shard object ${keyOf(shardOrd)} (${raw.length} B) is " +
+                  s"smaller than its $storedLen B index — refusing to rewrite a corrupt object"
+              )
               val idxOff = if (idxAtEnd) raw.length - storedLen else 0
-              val bb = ByteBuffer
-                .wrap(raw)
-                .order(if (idxBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+              // shared parse (crc VERIFIED): a corrupt tail object rejects
+              // loudly here instead of being copied byte-for-byte into the
+              // rewritten shard
+              val idx = ZarrChunkIO.parseShardIndexBytes(
+                java.util.Arrays.copyOfRange(raw, idxOff, idxOff + storedLen),
+                nInner, idxCrc, idxBig
+              )
               var w = 0
               while (w < nInner) {
-                val off = bb.getLong(idxOff + w * 16)
-                val len = bb.getLong(idxOff + w * 16 + 8)
+                val off = idx(2 * w)
+                val len = idx(2 * w + 1)
                 val chunk0 = tailShardRow * innerPerArr(0) + w / innerStrides(0)
                 if (off != -1L && chunk0 < oldChunk0Count) {
                   index(2 * w) = dataBase + shardData.size().toLong

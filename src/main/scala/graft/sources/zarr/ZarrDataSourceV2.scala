@@ -796,8 +796,10 @@ class ZarrScanBuilder(
     // stats were DROPPED at write time (grid past the ceiling): the scan
     // still answers correctly but value predicates read every chunk — say
     // so once, with the writer's recorded reason, instead of regressing
-    // pruning silently
-    if (residual.nonEmpty && statsGeom.isEmpty && useStats)
+    // pruning silently. Only VALUE-column predicates would have pruned;
+    // coordinate-only residuals (contains on a deferred axis, ...) must
+    // not trigger a misdirected raise-the-cap warning.
+    if (residual.exists(_.references.contains(statsValueCol)) && statsGeom.isEmpty && useStats)
       meta.attrs.get(ZarrChunkStats.DroppedAttrKey).foreach { why =>
         logWarning(
           s"zarr scan of '${meta.name}': chunk statistics were dropped at write time ($why) — " +

@@ -546,7 +546,7 @@ object ZarrChunkIO {
       fileLen: Long,
       storageOptions: Map[String, String]
   ): Array[Long] = {
-    val storedLen = nInner * 16 + (if (meta.shardIndexCrc) 4 else 0)
+    val storedLen = shardIndexStoredLen(nInner, meta.shardIndexCrc)
     require(
       fileLen >= storedLen,
       s"shard ${shardPath.getName}: ${fileLen} B is smaller than its $storedLen B index"
@@ -557,11 +557,31 @@ object ZarrChunkIO {
       if (meta.shardIndexAtEnd) fileLen - storedLen else 0L,
       storedLen
     )
+    parseShardIndexBytes(raw, nInner, meta.shardIndexCrc, meta.shardIndexBigEndian)
+  }
+
+  /** Stored byte length of a shard's index: nInner u64 (offset, nbytes)
+    * pairs plus the crc32c trailer when the index_codecs declare one. */
+  def shardIndexStoredLen(nInner: Int, crc: Boolean): Int =
+    nInner * 16 + (if (crc) 4 else 0)
+
+  /** Decode a shard index's STORED bytes into `nInner` (offset, nbytes)
+    * u64 pairs — the ONE place the index byte layout (crc verification
+    * included; a mismatch throws loudly) is interpreted. Shared by the
+    * chunk reader above and the realign append preload
+    * (ZarrAppend.preloadTail), so a layout change can't drift between
+    * read and append. */
+  def parseShardIndexBytes(
+      stored: Array[Byte],
+      nInner: Int,
+      crc: Boolean,
+      bigEndian: Boolean
+  ): Array[Long] = {
     val bytes =
-      if (meta.shardIndexCrc) ZarrCodecV3.decode("""{"name": "crc32c"}""", raw, nInner * 16)
-      else raw
+      if (crc) ZarrCodecV3.decode("""{"name": "crc32c"}""", stored, nInner * 16)
+      else stored
     val bb = java.nio.ByteBuffer.wrap(bytes).order(
-      if (meta.shardIndexBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
       else java.nio.ByteOrder.LITTLE_ENDIAN
     )
     Array.tabulate(nInner * 2)(i => bb.getLong(i * 8))

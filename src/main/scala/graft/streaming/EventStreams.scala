@@ -32,12 +32,15 @@ object EventStreams {
   /** Schema for a streaming read of an events parquet directory, inferred
     * from the files so both ts vintages stream correctly. A stream is
     * often started BEFORE its writer's first batch lands — when inference
-    * finds no files (empty or not-yet-created directory), fall back to
-    * the static [[EventsSchema]] instead of failing stream start. */
+    * finds no files (empty or not-yet-created directory, an
+    * AnalysisException), fall back to the static [[EventsSchema]] instead
+    * of failing stream start. Any OTHER failure (corrupt footer,
+    * permission denied) propagates: silently substituting the static
+    * schema there would surface later as a confusing mid-stream type
+    * mismatch far from the root cause. */
   def eventsSchema(spark: SparkSession, path: String): StructType =
-    scala.util.Try(spark.read.parquet(path).schema).toOption
-      .filter(_.nonEmpty)
-      .getOrElse(EventsSchema)
+    try spark.read.parquet(path).schema
+    catch { case _: org.apache.spark.sql.AnalysisException => EventsSchema }
 
   /** Normalize ts to epoch-nanos long (either vintage) and attach a proper
     * event-time column (no-op if the caller already attached one, e.g. with

@@ -384,6 +384,13 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
       val ref = Multimodal.decodeAudioJavax(payload).get
       assert(fast == ref, s"fast $fast != javax $ref")
     }
+    // a chunk length near Int.MaxValue must not overflow the walk into an
+    // out-of-bounds read — undecodable means None, never a thrown task
+    val evil = java.nio.ByteBuffer.allocate(100).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")).putInt(92).put("WAVE".getBytes("US-ASCII"))
+    evil.put("JUNK".getBytes("US-ASCII")).putInt(0x7ffffff0)
+    assert(Multimodal.decodePcm16Riff(evil.array()).isEmpty)
+    assert(Multimodal.decodeAudio(evil.array()).isEmpty)
   }
 
   test("multimodal: REAL video decode — AVI/MJPEG container parse, frame pixels, fan-out") {

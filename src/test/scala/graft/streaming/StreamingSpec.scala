@@ -39,6 +39,12 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(
       EventStreams.eventsSchema(spark, s"$sfTiny/events.parquet").fieldNames.contains("ts")
     )
+    // a CORRUPT file is not "no files yet": the error must propagate, not
+    // silently substitute the static schema (which would resurface later
+    // as a mid-stream type mismatch far from the root cause)
+    val bad = java.nio.file.Files.createTempDirectory("events_bad")
+    java.nio.file.Files.write(bad.resolve("x.parquet"), "not a parquet file".getBytes("UTF-8"))
+    intercept[Exception](EventStreams.eventsSchema(spark, bad.toString))
   }
 
   test("streaming dedup within watermark drops in-window duplicates, keeps batch parity") {
