@@ -457,6 +457,37 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     (0 until 24).foreach(t => assert(rows2(t) == t * 7L % 103, s"t=$t"))
   }
 
+  test("2-D realign: every partial shard on the tail ROW is absorbed, other columns too") {
+    val root = Files.createTempDirectory("zarrrealign2d").toString
+    // (t x s) grid, chunks (4,4), shards (8,8): s=16 -> TWO shard columns,
+    // so a mid-shard extent leaves two partial tail objects to rewrite
+    def batch(lo: Int, hi: Int, id: Long, realign: Boolean = false): Unit = {
+      var w = spark.range(lo, hi).selectExpr("cast(id as int) as t")
+        .crossJoin(spark.range(0, 16).selectExpr("cast(id as int) as s"))
+        .selectExpr("t", "s", "cast(t * 16 + s as long) as value")
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("chunks", "4,4").option("shards", "8,8")
+        .option("zarr_format", "3")
+        .option("append.dim", "t").option("append.batch_id", id.toString)
+      if (realign) w = w.option("append.realign", "true")
+      w.mode("append").save()
+    }
+    batch(0, 12, 1L) // extent 12: chunk-aligned, mid-shard on BOTH columns of shard row 1
+    intercept[IllegalArgumentException](batch(12, 20, 2L))
+    batch(12, 20, 2L, realign = true)
+    val rows = read(root).collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(rows.size == 20 * 16)
+    for (t <- 0 until 20; s <- 0 until 16) assert(rows((t, s)) == t * 16L + s, s"cell ($t, $s)")
+    // zone maps continuous across the absorb: 5x4 chunk grid, all written
+    val store = new ZarrStore(root, Map.empty, None, None)
+    val doc = ZarrChunkStats.parse(store.arrayMeta("v").attrs(ZarrChunkStats.AttrKey)).get
+    assert(doc.nChunks == 20 && doc.written == 20)
+    // pruning still exact through the rewritten tail objects
+    val q = read(root).filter(col("value") >= 300L)
+    assert(q.count() == 20)
+  }
+
   test("sharded append honors index_location=start stores (no corrupt shard objects)") {
     val root = Files.createTempDirectory("zarridxstart").toString
     val dir = ZarrStoreWriterV3.writeGroup(root)
