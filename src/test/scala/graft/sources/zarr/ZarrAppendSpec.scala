@@ -488,6 +488,48 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     assert(q.count() == 20)
   }
 
+  test("realign copies vlen STRING chunks byte-for-byte (no decode on the absorb)") {
+    val root = Files.createTempDirectory("zarrrealignstr").toString
+    def batch(lo: Int, hi: Int, id: Long, realign: Boolean = false): Unit = {
+      var w = spark.range(lo, hi)
+        .selectExpr("cast(id as int) as t", "concat('v', cast(id as string), 'β') as value")
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("chunks", "4").option("shards", "8")
+        .option("zarr_format", "3")
+        .option("append.dim", "t").option("append.batch_id", id.toString)
+      if (realign) w = w.option("append.realign", "true")
+      w.mode("append").save()
+    }
+    batch(0, 12, 1L)
+    batch(12, 20, 2L, realign = true)
+    val rows = read(root).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows.size == 20)
+    (0 until 20).foreach(t => assert(rows(t) == s"v${t}β", s"t=$t"))
+  }
+
+  test("realign parses a LEADING shard index when absorbing an index_location=start tail") {
+    val root = Files.createTempDirectory("zarrrealignstart").toString
+    val dir = ZarrStoreWriterV3.writeGroup(root)
+    // extent 12 (chunk-aligned, mid-shard): c/0 full, c/1 partial w/ one
+    // live inner chunk — and the index sits at the START of each object
+    ZarrStoreWriterV3.writeShardedArray(
+      dir, "v", Vector(12), Vector(8), Vector(4), "int64", i => (i * 5 % 37).toDouble,
+      dims = Some(Vector("t")), indexAtEnd = false
+    )
+    ZarrStoreWriterV3.writeCoord(dir, "t", Coord.Ints(Array.tabulate(12)(identity)))
+    ZarrStoreWriterV3.consolidate(dir)
+    spark.range(12, 20).selectExpr("cast(id as int) as t", "(id * 5 % 37) as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("append.dim", "t").option("append.batch_id", "1")
+      .option("append.realign", "true")
+      .mode("append").save()
+    val rows = read(root).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.size == 20)
+    (0 until 20).foreach(t => assert(rows(t) == t * 5L % 37, s"t=$t"))
+  }
+
   test("sharded append honors index_location=start stores (no corrupt shard objects)") {
     val root = Files.createTempDirectory("zarridxstart").toString
     val dir = ZarrStoreWriterV3.writeGroup(root)
