@@ -97,6 +97,33 @@ object Scale {
     df.filter(h < rate * lit(1000.0))
   }
 
+  /** Per-key frequency cap — the curation step bounding any one source's
+    * contribution to a training corpus: keep at most `k` rows per `keyCol`,
+    * chosen as the k LARGEST by `(priority, idCol)` (the unique id breaks
+    * ties, so selection is deterministic at any parallelism). Returns the
+    * surviving FULL rows.
+    *
+    * 100 TB shape: a bounded-heap aggregate (TopKStructs — map-side
+    * k-element heaps with partial aggregation) picks winners, then a
+    * left-semi join on (key, id) keeps their rows. A window
+    * `row_number() OVER (PARTITION BY key ...)` would instead sort every
+    * row of the hottest source in one task — the skew cliff this avoids;
+    * the winner set is k x nKeys rows, tiny next to the input, so the
+    * semi-join's build side broadcasts under AQE. */
+  def capPerKey(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      priority: org.apache.spark.sql.Column,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"capPerKey: k must be positive, got $k")
+    val winners = Relational
+      .topKPerKey(df, Seq(keyCol), struct(priority.as("__prio"), col(idCol).as("__id")), k)
+      .select(col(keyCol), col("__id").as(idCol))
+    df.join(winners, Seq(keyCol, idCol), "left_semi")
+  }
+
   /** Two-phase aggregation for skewed group keys: partial aggregate on
     * (keys, salt), then final aggregate on keys. Caller supplies both
     * phases (they differ: e.g. partial count -> final sum). */

@@ -1409,6 +1409,31 @@ object ExtQueries {
              |(SELECT COUNT(*) FROM lineitem) AS n
              |FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) AS t(q)
              |ORDER BY q""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Per-source frequency cap (Scale.capPerKey): bound any one source's
+    // contribution to the corpus — keep the 5 longest docs per source
+    // (doc_id breaks ties deterministically), full rows survive. Bounded-
+    // heap winners + semi-join, never a window sort over a hot source.
+    Q(
+      "x59_source_cap",
+      (s, d) =>
+        graft.operators.Scale
+          .capPerKey(
+            t(s, d, "documents"),
+            "source",
+            "doc_id",
+            col("n_chars"),
+            5
+          )
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .orderBy("source", "doc_id"),
+      Some("""SELECT source, doc_id, n_chars FROM (
+             |  SELECT source, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id DESC) AS rk
+             |  FROM documents) t
+             |WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin)
     )
   )
 }

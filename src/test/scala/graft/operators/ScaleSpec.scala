@@ -157,4 +157,32 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
       assert(e.getMessage.contains("saltedJoin"), s"how=$how: ${e.getMessage}")
     }
   }
+
+  test("capPerKey keeps the k best rows per key, full rows, invariant to partitioning") {
+    import spark.implicits._
+    // skewed: key "hot" has 50 rows, "cold" has 2, "one" has 1
+    val rows =
+      (1 to 50).map(i => ("hot", i.toLong, i % 7, s"payload$i")) ++
+        Seq(("cold", 100L, 9, "c1"), ("cold", 101L, 9, "c2"), ("one", 200L, 1, "solo"))
+    val df = rows.toDF("source", "doc_id", "prio", "payload")
+    def run(parts: Int): Seq[(String, Long)] =
+      Scale
+        .capPerKey(df.repartition(parts), "source", "doc_id", col("prio"), 3)
+        .select("source", "doc_id")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .sorted
+        .toSeq
+    val got = run(4)
+    // hot: prio 6 rows are ids 6,13,20,27,34,41,48 -> top-3 by (prio, id) =
+    // ids 48,41,34; cold + one keep everything (fewer than k rows)
+    assert(got == Seq(("cold", 100L), ("cold", 101L), ("hot", 34L), ("hot", 41L), ("hot", 48L), ("one", 200L)))
+    // deterministic at any parallelism (the id tiebreak, not arrival order)
+    assert(run(1) == got && run(13) == got)
+    // full rows survive, not just the packed columns
+    assert(
+      Scale.capPerKey(df, "source", "doc_id", col("prio"), 3).columns.toSeq ==
+        Seq("source", "doc_id", "prio", "payload")
+    )
+  }
 }
