@@ -20,6 +20,11 @@
 #   4. x41-planted    — near-dup clustering at 100x docs (500k) against a
 #                       closed-form planted-component oracle (engine-
 #                       independent; DuckDB spills on this at sf10)
+#   4b. x60-planted   — embedding near-dup at 1M vectors against planted
+#                       scaled duplicates (exact float semantics -> same
+#                       LSH bucket, cosine 1.0): exact pair match required,
+#                       plus the bucket-join candidate volume (the quantity
+#                       that explodes if hyperplane bucketing degrades)
 #   5. cc-telemetry   — per-round connected-components job telemetry on the
 #                       sf0.1 documents table (round count + shuffle sizes)
 # Each step FAILS LOUDLY (require/assert inside the Spike mains) — a silent
@@ -31,6 +36,7 @@ sbt -batch "runMain graft.tools.Spike zarr-zonemap"   2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike zarr-hier"      2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike zarr-deferred-str" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike x41-planted 500000" 2>&1 | grep -E '\[spike\]'
+sbt -batch "runMain graft.tools.Spike x60-planted 1000000" 2>&1 | grep -E '\[spike\]'
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   sbt -batch "runMain graft.tools.Spike cc-telemetry" 2>&1 | grep -E '\[spike\]'
 echo "[scale_gate] all scale gates passed"

@@ -63,7 +63,18 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
 
 /** Random-hyperplane LSH bucket id as ONE codegen expression: `nBits` sign
   * bits of `vec · plane(b)`, planes being deterministic ±1 matrices derived
-  * from stable integer hashes of (bit, dim) — no RNG state to ship.
+  * from md5 digests of "bit:dim" — no RNG state to ship, and portable (the
+  * x60 oracle recomputes the same matrix in DuckDB SQL).
+  *
+  * Why md5 and not a cheap linear hash: sign rows from a linear
+  * congruential family are SHIFTS of one progression, and measured row
+  * correlations reach |0.97| — near-duplicate hyperplanes. On 200k uniform
+  * 64-dim vectors at nBits=16 that collapses 65,536 buckets to ~14.7k
+  * occupied and inflates the bucket-join candidate volume to 180.9M pairs;
+  * md5-derived signs (max |row corr| 0.41, the n=64 sampling floor) give
+  * 49.3k occupied buckets and 0.72M pairs — 251x less work for the same
+  * recall contract. The matrix is built ONCE on the driver (nBits*dim md5
+  * calls), so per-row cost is identical. See Spike x60-planted.
   *
   * Why a custom Expression (SURVEY.md §7.2): the compositional formulation
   * (`element_at` per (bit, dim) summed per bit) builds an O(nBits·dim)
@@ -72,9 +83,9 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
   * bucket id is a two-level loop over a precomputed sign matrix referenced
   * once; codegen size is constant in (nBits, dim).
   *
-  * Parity contract with the old tree (locked by x05's oracle): double
-  * accumulation left-to-right per bit; a null element nulls that bit's
-  * contribution (bit unset); `contrib > 0` sets bit b to `1L << b`. */
+  * Eval contract: double accumulation left-to-right per bit; a null
+  * element nulls that bit's contribution (bit unset); `contrib > 0` sets
+  * bit b to `1L << b`. */
 case class LshBucketBits(child: Expression, dim: Int, nBits: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(nBits >= 1 && nBits <= 62, s"nBits must be in [1, 62], got $nBits")
@@ -88,12 +99,18 @@ case class LshBucketBits(child: Expression, dim: Int, nBits: Int)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullIntolerant: Boolean = true
 
-  /** plane(b)(i) = ±1 from a stable integer hash — the same family the
-    * compositional version used, so bucket ids are unchanged. */
-  private lazy val signs: Array[Double] = Array.tabulate(nBits * dim) { j =>
-    val b = j / dim
-    val i = j % dim
-    if (((b * 1315423911L + i * 2654435761L) >>> 13) % 2 == 0) 1.0 else -1.0
+  /** plane(b)(i) = ±1 from the parity of md5("b:i")'s first hex nibble —
+    * full-avalanche (decorrelated rows) and portable: DuckDB reproduces it
+    * as `CAST('0x' || substr(md5(b || ':' || i), 1, 1) AS INT) % 2`. */
+  private lazy val signs: Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nBits * dim) { j =>
+      val b = j / dim
+      val i = j % dim
+      md.reset()
+      val d = md.digest(s"$b:$i".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      if (((d(0) >>> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+    }
   }
 
   private def requireDim(n: Int): Unit =

@@ -124,6 +124,65 @@ object Scale {
     df.join(winners, Seq(keyCol, idCol), "left_semi")
   }
 
+  /** Downsample to a target domain mixture — the DoReMi/Pile-style curation
+    * step: given target corpus shares per group (e.g. language or source
+    * weights summing to 1), keep the LARGEST output that respects every
+    * share without upsampling, via deterministic per-group hash rates.
+    *
+    * With N_g rows in group g and target share s_g, the max feasible total
+    * is S = min_g(N_g / s_g) (the binding group keeps 100% of its rows);
+    * every group is then filtered to rate_g = s_g * S / N_g with the same
+    * portable md5 hash-bucket predicate as [[stratifiedHashSample]] — no
+    * RNG, identical output at any partition count. Groups absent from
+    * `shares` are dropped (they're not part of the target mixture).
+    *
+    * 100 TB shape: one tiny groupBy(count) over the corpus (map-side
+    * partial agg, group-column-pruned scan), a rate table BOUNDED BY
+    * |shares| rows (the inner join with the target map) collected to
+    * compile the per-row rate predicate -- the same bounded-by-construction
+    * collect as kmeansFit's k centroids -- then a pure per-row filter: no
+    * shuffle of the data itself. The realized mixture converges to
+    * `shares` at corpus scale (hash buckets are uniform); small groups
+    * quantize at the 1/1000 bucket granularity like any hash sampler.
+    * A target group with ZERO corpus rows can't constrain the mixture (its
+    * share is unattainable); the max-total is taken over the groups
+    * actually present. */
+  def resampleToMix(
+      df: DataFrame,
+      idCols: Seq[String],
+      groupCol: String,
+      shares: Map[String, Double]
+  ): DataFrame = {
+    require(
+      shares.nonEmpty && shares.values.forall(s => s > 0 && s <= 1),
+      s"resampleToMix: shares must be in (0, 1]: $shares"
+    )
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = shares.toSeq.toDF(groupCol, "__share")
+    // the double cast makes the rate arithmetic bit-identical to the
+    // oracle's (DOUBLE division throughout, association (share*smax)/ng)
+    val present = df
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast("double").as("__ng"))
+      .join(broadcast(sh), Seq(groupCol))
+      .collect() // <= |shares| rows by the inner join: bounded by construction
+      .map(r => (r.get(0), r.getDouble(1), r.getDouble(2)))
+    if (present.isEmpty) return df.filter(lit(false))
+    val smax = present.map { case (_, ng, share) => ng / share }.min
+    val rate = present.foldLeft(lit(null).cast("double")) { case (acc, (g, ng, share)) =>
+      when(col(groupCol) === lit(g), lit(share * smax / ng)).otherwise(acc)
+    }
+    // same null-segment sentinel contract as stratifiedHashSample
+    val nullSentinel = "\u0001"
+    val keyed = idCols.map(c => coalesce(col(c).cast("string"), lit(nullSentinel)))
+    val h = pmod(
+      graft.operators.Dedup.tokenHash60(concat_ws("|", keyed: _*)),
+      lit(1000L)
+    )
+    df.filter(h < rate * lit(1000.0))
+  }
+
   /** Two-phase aggregation for skewed group keys: partial aggregate on
     * (keys, salt), then final aggregate on keys. Caller supplies both
     * phases (they differ: e.g. partial count -> final sum). */

@@ -461,4 +461,28 @@ object Similarity {
         round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("sim")
       )
   }
+
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
+    * generation ([[lshCandidates]]) verified by exact cosine >= `minSim`.
+    * The dedup-by-embedding step of a curation pipeline — semantically the
+    * same filter as MinHash→Jaccard for text ([[graft.operators.Dedup]]),
+    * but over the embedding space, catching paraphrase-level duplicates
+    * n-gram methods miss.
+    *
+    * 100 TB shape: candidate volume is sum over buckets of |bucket|² — a
+    * bucket equi-join (shuffle on the 2^nBits-valued key), never the n²
+    * cross join; nBits is the cost/recall knob (a pair lands in one bucket
+    * with probability (1 - theta/pi)^nBits at angle theta, so high-cosine
+    * pairs survive while the candidate set shrinks exponentially); to push
+    * recall toward 1 instead, probe neighboring buckets with
+    * [[approxTopK]]'s multi-probe machinery. */
+  def embedDupes(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nBits: Int,
+      minSim: Double
+  ): DataFrame =
+    lshCandidates(df, idCol, vecCol, dim, nBits).filter(col("sim") >= minSim)
 }

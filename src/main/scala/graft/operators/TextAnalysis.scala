@@ -264,4 +264,49 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rank"))
   }
+
+  /** Sequence-packing index: assign every document its token offset in the
+    * concatenate-then-chunk training layout (GPT-style packing — documents
+    * are concatenated per `groupCols` stream in ascending `idCol` order and
+    * sliced into `seqLen`-token windows). Emits, per document:
+    * `n_tokens`, `seq_id` (the window holding its first token) and
+    * `seq_off` (offset within that window). A doc whose tokens spill the
+    * window boundary continues into `seq_id + 1` — exactly the layout a
+    * packed-dataloader reproduces, so this IS the global shuffle-free index
+    * for "which sequence does doc d land in".
+    *
+    * 100 TB shape: packing is inherently sequential per stream, so the
+    * running offset is a window cumulative sum PARTITIONED BY the stream
+    * key — each stream sorts independently (one range-partitioned sort per
+    * group, no global order). At corpus scale, shard the stream key so no
+    * single stream exceeds a task's sort budget (e.g. group by
+    * (source, day)); the per-shard indexes are independent by
+    * construction. */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      groupCols: Seq[String],
+      textCol: String,
+      seqLen: Int
+  ): DataFrame = {
+    require(seqLen > 0, s"packSequences: seqLen must be positive, got $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(
+        (col(idCol) +: groupCols.map(col)) :+
+          size(tokens(col(textCol))).cast("long").as("n_tokens"): _*
+      )
+      .withColumn("tok_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        (col(idCol) +: groupCols.map(col)) ++ Seq(
+          col("n_tokens"),
+          floor(col("tok_start") / lit(seqLen.toLong)).cast("long").as("seq_id"),
+          pmod(col("tok_start"), lit(seqLen.toLong)).as("seq_off")
+        ): _*
+      )
+  }
 }

@@ -1434,6 +1434,87 @@ object ExtQueries {
              |      ORDER BY n_chars DESC, doc_id DESC) AS rk
              |  FROM documents) t
              |WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-dup (Similarity.embedDupes): hyperplane-LSH
+    // bucket candidates verified by exact cosine >= 0.3. The oracle
+    // recomputes the SAME deterministic md5 sign matrix (parity of
+    // md5("b:i")'s first hex nibble — the repo's portable-hash family) so
+    // the bucket structure itself is under test, not just the cosine.
+    Q(
+      "x60_embed_dupes",
+      (s, d) =>
+        Similarity
+          .embedDupes(t(s, d, "embeddings"), "vec_id", "embedding", 64, 8, 0.3)
+          .orderBy("d1", "d2"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |ex AS (SELECT vec_id, CAST(generate_subscripts(v,1) AS BIGINT) - 1 AS i,
+             |       unnest(v) AS x FROM e),
+             |bits AS (SELECT vec_id, b.b AS b,
+             |    SUM(x * (CASE WHEN CAST('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':'
+             |               || CAST(i AS VARCHAR)), 1, 1) AS INTEGER) % 2 = 0
+             |             THEN 1.0 ELSE -1.0 END)) AS acc
+             |  FROM ex CROSS JOIN (SELECT unnest(range(8)) AS b) b GROUP BY 1, 2),
+             |bk AS (SELECT vec_id,
+             |    SUM(CASE WHEN acc > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+             |  FROM bits GROUP BY 1)
+             |SELECT a.vec_id AS d1, c.vec_id AS d2,
+             |  round(list_dot_product(ea.v, ec.v)
+             |    / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(ec.v, ec.v))), 6) AS sim
+             |FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+             |JOIN e ea ON ea.vec_id = a.vec_id JOIN e ec ON ec.vec_id = c.vec_id
+             |WHERE round(list_dot_product(ea.v, ec.v)
+             |    / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(ec.v, ec.v))), 6) >= 0.3
+             |ORDER BY d1, d2""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Domain-mixture resampling (Scale.resampleToMix): downsample to
+    // target language shares — largest feasible output with no group
+    // upsampled, deterministic md5 hash-bucket filter per group.
+    Q(
+      "x61_domain_mix",
+      (s, d) =>
+        Scale
+          .resampleToMix(
+            t(s, d, "documents"),
+            Seq("doc_id"),
+            "lang",
+            Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+          )
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id"),
+      Some("""WITH n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS ng FROM documents GROUP BY 1),
+             |sh AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.15),
+             |       ('es', 0.1), ('zh', 0.05)) AS t(lang, share)),
+             |j AS (SELECT n.lang, ng, share, ng / share AS demand FROM n JOIN sh USING (lang)),
+             |s AS (SELECT min(demand) AS smax FROM j),
+             |r AS (SELECT lang, share * smax / ng AS rate FROM j CROSS JOIN s)
+             |SELECT d.doc_id, d.lang, d.source
+             |FROM documents d JOIN r USING (lang)
+             |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15) AS BIGINT) % 1000
+             |      < rate * 1000
+             |ORDER BY d.doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Sequence-packing index (TextAnalysis.packSequences): per-source
+    // concatenate-then-chunk token offsets — which 256-token training
+    // window does each document start in, and at what offset.
+    Q(
+      "x62_pack_sequences",
+      (s, d) =>
+        TextAnalysis
+          .packSequences(t(s, d, "documents"), "doc_id", Seq("source"), "text", 256)
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+             |cs AS (SELECT doc_id, source, n_tokens,
+             |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tok_start
+             |  FROM tk)
+             |SELECT doc_id, source, n_tokens,
+             |  CAST(tok_start // 256 AS BIGINT) AS seq_id,
+             |  CAST(tok_start % 256 AS BIGINT) AS seq_off
+             |FROM cs ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -844,6 +844,83 @@ object Spike {
     expected.unpersist(blocking = false)
   }
 
+  /** `runMain graft.tools.Spike x60-planted [nVecs]` — embedding near-dup
+    * at 100x+ vectors against a closed-form planted oracle. Synthetic
+    * 64-dim vectors from pure integer arithmetic (no RNG — identical at any
+    * partitioning); every 100th vector gets a companion scaled by 2
+    * (EXACT in float → identical direction, identical LSH bucket, cosine
+    * 1.0), so embedDupes(nBits=16, minSim=0.999) must return EXACTLY the
+    * planted pairs: random 64-dim directions concentrate at cos ~ N(0,1/64)
+    * and never reach 0.999. Verifies both directions via anti-joins and
+    * reports the candidate volume (sum over buckets of C(|bucket|,2)) — the
+    * quantity that explodes if bucketing ever degrades toward n². */
+  private def x60Planted(spark: org.apache.spark.sql.SparkSession, nVecs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    // v[i] in [-0.5, 0.5) from xxhash64(id, i): a full-avalanche mix is
+    // REQUIRED here — a linear congruential element hash shares structure
+    // with LshBucketBits' linear sign matrix and collapses 100k vectors
+    // into ~85 buckets (measured), turning the bucket join quadratic
+    def elem(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      ((pmod(xxhash64(id, i), lit(1000L)).cast("double") / lit(1000.0)) - lit(0.5))
+        .cast("float")
+    val idxs = sequence(lit(0L), lit(dim - 1L))
+    val base = spark
+      .range(nVecs)
+      .select(
+        col("id").as("vec_id"),
+        transform(idxs, i => elem(col("id"), i)).as("embedding")
+      )
+    val planted = base
+      .filter(col("vec_id") % 100 === 0)
+      .select(
+        (col("vec_id") + nVecs).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")
+      )
+    val df = base.unionByName(planted)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    val t0 = System.nanoTime()
+    val found = graft.operators.Similarity
+      .embedDupes(df, "vec_id", "embedding", dim, 16, 0.999)
+      .select("d1", "d2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nFound = found.count()
+    val ts = (System.nanoTime() - t0) / 1e9
+    val expected = base
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("d1"), (col("vec_id") + nVecs).as("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExpected = expected.count()
+    val missing = expected.join(found, Seq("d1", "d2"), "left_anti").count()
+    val extra = found.join(expected, Seq("d1", "d2"), "left_anti").count()
+    // candidate volume the bucket join actually formed
+    val cand = df
+      .select(graft.operators.Similarity.lshBucket(col("embedding"), dim, 16).as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n") * (col("n") - 1) / 2).cast("long").as("pairs"),
+        count(lit(1)).as("buckets")
+      )
+      .head()
+    println(
+      f"[spike] x60-planted: ${nVecs + nExpected} vecs, $nFound dup pairs in $ts%.1fs " +
+        f"(expected $nExpected) — missing=$missing extra=$extra; bucket join formed " +
+        f"${cand.getLong(0)} candidate pairs over ${cand.getLong(1)} buckets " +
+        f"(n² would be ${(nVecs + nExpected) * (nVecs + nExpected) / 2})"
+    )
+    require(
+      missing == 0 && extra == 0 && nFound == nExpected,
+      s"x60-planted MISMATCH: missing=$missing extra=$extra found=$nFound/$nExpected"
+    )
+    println("[spike] x60-planted: EXACT planted-pair match at scale — gate PASS")
+    found.unpersist(blocking = false)
+    expected.unpersist(blocking = false)
+    df.unpersist(blocking = false)
+  }
+
   /** `SPARK_GRAFT_SF_DIR=... runMain graft.tools.Spike skew` — bucket-size
     * distribution of the two bucketed-join operators whose cost model is
     * sum(bucket²): minhash LSH band buckets (x03 configuration) and IVF
@@ -966,6 +1043,10 @@ object Spike {
       x41Planted(spark, if (args.length > 1) args(1).toLong else 500000L)
       spark.stop(); return
     }
+    if (args.nonEmpty && args(0) == "x60-planted") {
+      x60Planted(spark, if (args.length > 1) args(1).toLong else 1000000L)
+      spark.stop(); return
+    }
     if (args.nonEmpty && args(0) == "zarr-deferred-str") {
       zarrDeferredStr(spark, if (args.length > 1) args(1).toLong else 10000000L)
       spark.stop(); return
@@ -975,6 +1056,13 @@ object Spike {
       val df = graft.SparkEntry.entry(spark)
       df.show(10, truncate = false)
       println("entry rows=" + df.count())
+    } else if (args(0) == "explain") {
+      // formatted physical plan for declared queries (plan-shape audits)
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      args.drop(1).foreach { n =>
+        println(s"===== $n =====")
+        graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     } else {
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
       args.foreach { n =>

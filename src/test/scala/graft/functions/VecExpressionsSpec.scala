@@ -13,7 +13,11 @@ class VecExpressionsSpec extends AnyFunSuite with SparkTester {
   private def treeLshBucket(vec: org.apache.spark.sql.Column, dim: Int, nBits: Int) = {
     val bits = (0 until nBits).map { b =>
       val contrib = (0 until dim).map { i =>
-        val sign = if (((b * 1315423911L + i * 2654435761L) >>> 13) % 2 == 0) 1.0 else -1.0
+        val sign = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$b:$i".getBytes("US-ASCII"))
+          if (((d(0) >>> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+        }
         element_at(vec, i + 1).cast("double") * lit(sign)
       }.reduce(_ + _)
       when(contrib > 0, lit(1L << b)).otherwise(lit(0L))

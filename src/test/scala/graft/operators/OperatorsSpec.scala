@@ -871,4 +871,80 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(g.columns.toSeq == Seq("p05", "p99_9"))
     assert(g.count() == 1)
   }
+
+  test("embedDupes: exact-verified subset of LSH candidates; planted dup pair found") {
+    import spark.implicits._
+    val emb = t(spark, sfTiny, "embeddings")
+    // plant a true near-dup: vec 0 scaled by 2 (exact in float -> identical
+    // direction, identical bucket) under a new id
+    val planted = emb.filter(col("vec_id") === 0).select(
+      lit(100000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+      col("label")
+    )
+    val df = emb.unionByName(planted)
+    val dupes = Similarity.embedDupes(df, "vec_id", "embedding", 64, 8, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // a uniform scaling preserves direction -> cosine ~ 1.0; same bucket by
+    // construction (all sign dots scale by the same positive factor)
+    assert(dupes.exists { case (d1, d2, s) => d1 == 0L && d2 == 100000L && s > 0.999 },
+      s"planted duplicate not found: ${dupes.mkString(",")}")
+    // every emitted pair really is same-bucket AND >= threshold: recompute
+    // buckets + exact cosine locally over the collected vectors
+    val vecs = df.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def bucket(v: Array[Float]): Long = {
+      var bk = 0L
+      for (b <- 0 until 8) {
+        var acc = 0.0
+        for (i <- 0 until 64) {
+          val sgn = {
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$b:$i".getBytes("US-ASCII"))
+            if (((d(0) >>> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+          }
+          acc += v(i).toDouble * sgn
+        }
+        if (acc > 0) bk |= (1L << b)
+      }
+      bk
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (ab, aa, bb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { ab += a(i).toDouble * b(i); aa += a(i).toDouble * a(i); bb += b(i).toDouble * b(i) }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    dupes.foreach { case (d1, d2, s) =>
+      assert(bucket(vecs(d1)) == bucket(vecs(d2)), s"pair ($d1,$d2) not same-bucket")
+      assert(math.abs(cos(vecs(d1), vecs(d2)) - s) < 1e-5 && s >= 0.9)
+    }
+  }
+
+  test("packSequences: offsets reconstruct the concatenated stream; partition invariant") {
+    val docs = t(spark, sfTiny, "documents")
+    val L = 128
+    val out = TextAnalysis.packSequences(docs, "doc_id", Seq("source"), "text", L)
+    assert(out.columns.toSeq == Seq("doc_id", "source", "n_tokens", "seq_id", "seq_off"))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // per source in doc_id order, offsets are the exact running token sum
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).foreach { case (id, src, n, seqId, seqOff) =>
+        assert(seqId == cum / L && seqOff == cum % L,
+          s"doc $id in $src: expected start $cum, got seq=$seqId off=$seqOff")
+        cum += n
+      }
+    }
+    // n_tokens matches tokenStats' whitespace convention
+    val nTok = TextAnalysis.tokenStats(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.foreach { case (id, _, n, _, _) => assert(nTok(id) == n) }
+    // identical at any parallelism (the window orders globally per group)
+    val repart = TextAnalysis
+      .packSequences(docs.repartition(13), "doc_id", Seq("source"), "text", L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(repart.toSet == rows.toSet)
+  }
 }

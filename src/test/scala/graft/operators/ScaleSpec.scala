@@ -185,4 +185,33 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
         Seq("source", "doc_id", "prio", "payload")
     )
   }
+
+  test("resampleToMix: binding group keeps all rows; equals hash sample at computed rates") {
+    val docs = t(spark, sfTiny, "documents")
+    val shares = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+    val out = Scale.resampleToMix(docs, Seq("doc_id"), "lang", shares)
+    // full row schema and column order preserved
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smax = shares.map { case (g, s) => byLang(g) / s }.min
+    val rates = shares.map { case (g, s) => g -> math.min(1.0, s * smax / byLang(g)) }
+    // the binding group's rate is ~1.0 -> it keeps every row
+    val binding = shares.keys.minBy(g => byLang(g) / shares(g))
+    val outByLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(outByLang(binding) == byLang(binding), s"binding group $binding must keep all rows")
+    // exact row-set equivalence with stratifiedHashSample at the derived
+    // rates (same hash, same bucket cut) -- pins the rate arithmetic
+    val viaStrat = Scale.stratifiedHashSample(docs, Seq("doc_id"), "lang", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == viaStrat)
+    // partition-count invariant; groups outside the mixture are dropped
+    val repart = Scale.resampleToMix(docs.repartition(11), Seq("doc_id"), "lang", shares)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart == got)
+    val partial = Scale.resampleToMix(docs, Seq("doc_id"), "lang", Map("en" -> 1.0))
+    assert(partial.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+  }
 }
