@@ -295,6 +295,64 @@ object Dedup {
     maxDocs.fold(agg)(cap => agg.filter(col("n_docs") <= cap))
   }
 
+  /** Span-level contamination SCORE against a reference set (benchmark /
+    * eval data): for every corpus document, the fraction of its distinct
+    * word n-gram spans that appear anywhere in the reference. Where
+    * [[decontaminate]] is the doc-level DROP (whole-document fingerprint
+    * match), this is the REPORT — the number an eval-contamination audit
+    * publishes, and the input to threshold policies ("drop above 20%
+    * overlap") that doc-level matching can't express (a doc quoting one
+    * benchmark question is 5% contaminated, not identical).
+    *
+    * Output: (idCol, n_spans, n_hit, contam) — contam = n_hit/n_spans
+    * rounded to 6 dp, NULL for docs with fewer than n tokens (no spans →
+    * no defined ratio; they still appear, never silently dropped).
+    *
+    * 100 TB shape: both sides reduce to distinct 60-bit span hashes (the
+    * narrow key; span STRINGS never shuffle). The reference side is
+    * distinct hashes, so the probe join is left-join-at-most-one — a hot
+    * boilerplate span cannot fan out. `broadcastReference=true` (default)
+    * keeps the corpus un-shuffled entirely; a reference too big to
+    * broadcast flips to a hash join on the span hash. */
+  def spanContamination(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      broadcastReference: Boolean = true
+  ): DataFrame = {
+    val cs = shingleRowsRaw(spread(corpus, idCol), idCol, textCol, n)
+      .select(col(idCol), tokenHash60(col("s")).as("__sh"))
+      .distinct()
+    val refSpans = shingleRowsRaw(
+      spread(reference, textCol).withColumn("__rid", lit(0L)),
+      "__rid",
+      textCol,
+      n
+    )
+      .select(tokenHash60(col("s")).as("__sh"))
+      .distinct()
+    val ref = (if (broadcastReference) broadcast(refSpans) else refSpans)
+      .withColumn("__hit", lit(1))
+    val hits = cs
+      .join(ref, Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"), count(col("__hit")).as("n_hit"))
+    corpus
+      .select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(
+          coalesce(col("n_spans"), lit(0L)) > 0,
+          round(col("n_hit").cast("double") / col("n_spans"), 6)
+        ).as("contam")
+      )
+  }
+
   /** Decontamination: drop every corpus document whose canonical fingerprint
     * (md5 of the sorted distinct token set — whitespace/order-insensitive)
     * appears in a reference set (benchmark/eval data). The classic

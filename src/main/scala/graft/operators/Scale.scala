@@ -183,6 +183,44 @@ object Scale {
     df.filter(h < rate * lit(1000.0))
   }
 
+  /** Deterministic named splits (train/val/test) by key hash — the
+    * reproducible split assignment a training pipeline records next to the
+    * data: a row's split is a pure function of its id columns, so it never
+    * changes with partitioning, re-runs, or corpus growth (new rows land in
+    * splits at the target fractions; existing rows never migrate — the
+    * property RNG-based `randomSplit` lacks).
+    *
+    * `splits` are (name, fraction) in priority order, fractions summing to
+    * 1; assignment thresholds are the cumulative fractions quantized to the
+    * 1000-bucket hash space with integer rounding (so an inexact double
+    * cumsum can never disagree with an oracle's literal thresholds).
+    * Pure per-row expression: no shuffle, no state. */
+  def hashSplit(
+      df: DataFrame,
+      idCols: Seq[String],
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"bad split fractions: $splits")
+    require(
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits"
+    )
+    val nullSentinel = "\u0001"
+    val keyed = idCols.map(c => coalesce(col(c).cast("string"), lit(nullSentinel)))
+    val h = pmod(
+      graft.operators.Dedup.tokenHash60(concat_ws("|", keyed: _*)),
+      lit(1000L)
+    )
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(c => math.round(c * 1000))
+    // last split is the default branch — its threshold is 1000 by the sum
+    // requirement, so every bucket lands somewhere
+    val assign = splits.init.zip(thresholds.init).reverse.foldLeft(
+      lit(splits.last._1)
+    ) { case (acc, ((name, _), cut)) => when(h < lit(cut), lit(name)).otherwise(acc) }
+    df.withColumn(splitCol, assign)
+  }
+
   /** Two-phase aggregation for skewed group keys: partial aggregate on
     * (keys, salt), then final aggregate on keys. Caller supplies both
     * phases (they differ: e.g. partial count -> final sum). */

@@ -1515,6 +1515,61 @@ object ExtQueries {
              |  CAST(tok_start // 256 AS BIGINT) AS seq_id,
              |  CAST(tok_start % 256 AS BIGINT) AS seq_off
              |FROM cs ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Deterministic train/val/test split (Scale.hashSplit): assignment is
+    // a pure function of doc_id — re-runs, repartitions, and corpus growth
+    // never migrate a row between splits (RNG randomSplit can't do this).
+    Q(
+      "x63_train_split",
+      (s, d) =>
+        Scale
+          .hashSplit(
+            t(s, d, "documents"),
+            Seq("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+          )
+          .select("doc_id", "lang", "split")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN hb < 800 THEN 'train' WHEN hb < 900 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id, lang,
+             |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15) AS BIGINT) % 1000 AS hb
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Span-level contamination score (Dedup.spanContamination): fraction
+    // of each doc's distinct 8-gram spans present in the reference set
+    // (docs with doc_id % 7 = 0, the x38 reference convention) — the
+    // eval-contamination audit number; doc-level fingerprints can't see
+    // partial overlap.
+    Q(
+      "x64_contam_score",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup
+          .spanContamination(docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh8 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+             |    || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS s
+             |  FROM toks, unnest(range(1, len(tk) - 6)) AS t(i)),
+             |ch AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) AS h
+             |  FROM sh8),
+             |rh AS (SELECT DISTINCT CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) AS h
+             |  FROM sh8 WHERE doc_id % 7 = 0),
+             |agg AS (SELECT c.doc_id, count(*) AS n_spans, count(r.h) AS n_hit
+             |  FROM ch c LEFT JOIN rh r ON c.h = r.h GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+             |  CASE WHEN coalesce(n_spans, 0) > 0
+             |       THEN round(CAST(n_hit AS DOUBLE) / n_spans, 6) END AS contam
+             |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+             |ORDER BY d.doc_id""".stripMargin)
     )
   )
 }

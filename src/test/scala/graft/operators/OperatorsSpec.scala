@@ -920,6 +920,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("spanContamination: exact span-overlap fractions, short docs null, paths agree") {
+    import spark.implicits._
+    // 4-token spans; doc 1 = reference verbatim (contam 1.0), doc 2 shares
+    // its first 4-gram only, doc 3 disjoint, doc 4 too short for any span
+    val corpus = Seq(
+      (1L, "a b c d e"), // spans: "a b c d", "b c d e" -> both in ref
+      (2L, "a b c d x y z"), // spans: 4 total, 1 in ref
+      (3L, "p q r s t"), // 2 spans, 0 in ref
+      (4L, "u v w") // < 4 tokens: no spans
+    ).toDF("doc_id", "text")
+    val reference = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    def run(bcast: Boolean) =
+      Dedup.spanContamination(corpus, reference, "doc_id", "text", n = 4, broadcastReference = bcast)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+        .sortBy(_._1).toSeq
+    val got = run(bcast = true)
+    assert(got == Seq(
+      (1L, 2L, 2L, Some(1.0)),
+      (2L, 4L, 1L, Some(0.25)),
+      (3L, 2L, 0L, Some(0.0)),
+      (4L, 0L, 0L, None)
+    ), got.mkString(","))
+    // shuffled-reference path is result-identical to the broadcast path
+    assert(run(bcast = false) == got)
+  }
+
   test("packSequences: offsets reconstruct the concatenated stream; partition invariant") {
     val docs = t(spark, sfTiny, "documents")
     val L = 128

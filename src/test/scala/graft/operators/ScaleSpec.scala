@@ -214,4 +214,30 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     val partial = Scale.resampleToMix(docs, Seq("doc_id"), "lang", Map("en" -> 1.0))
     assert(partial.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
   }
+
+  test("hashSplit: stable under partitioning and corpus growth; fractions near targets") {
+    val docs = t(spark, sfTiny, "documents")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Scale.hashSplit(df, Seq("doc_id"), splits)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assign(docs)
+    assert(assign(docs.repartition(9)) == a, "split must not depend on partitioning")
+    // growth stability: assignments computed on HALF the corpus agree with
+    // the full-corpus assignment on the shared rows (no migration — the
+    // property randomSplit lacks)
+    val half = assign(docs.filter(col("doc_id") % 2 === 0))
+    half.foreach { case (id, s) => assert(a(id) == s, s"doc $id migrated $s -> ${a(id)}") }
+    val byName = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    splits.foreach { case (name, f) =>
+      val got = byName.getOrElse(name, 0).toDouble / a.size
+      assert(math.abs(got - f) < 0.06, f"split $name: got $got%.3f want $f")
+    }
+    // every row lands in exactly one named split; bad fractions reject
+    assert(a.values.toSet.subsetOf(splits.map(_._1).toSet))
+    intercept[IllegalArgumentException] {
+      Scale.hashSplit(docs, Seq("doc_id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }
