@@ -44,4 +44,34 @@ object Pipeline {
       "left_anti"
     )
   }
+
+  /** The full curation story, end to end: [[cleanCorpus]] (quality gate →
+    * exact dedup → near-dup removal) → decontamination against a reference
+    * set → domain-mixture resampling to target `shares` → deterministic
+    * train/val/test assignment. Six operators composed; every stage is the
+    * library call a user would make individually, so the composition
+    * inherits each stage's scale contract (no new shuffles beyond the
+    * stages' own, no driver materialization beyond resampleToMix's
+    * |shares|-bounded collect).
+    *
+    * Stage ORDER is the semantic contract: the mixture is computed over
+    * what SURVIVES cleaning and decontamination (resampling first would
+    * let the dedup step distort the mix), and the split comes last so
+    * train/val/test fractions hold on the delivered corpus. */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      reference: DataFrame,
+      groupCol: String,
+      shares: Map[String, Double],
+      splits: Seq[(String, Double)],
+      minQuality: Double,
+      nearDupThreshold: Double
+  ): DataFrame = {
+    val cleaned = cleanCorpus(docs, idCol, textCol, minQuality, nearDupThreshold)
+    val decontaminated = Dedup.decontaminate(cleaned, reference, textCol)
+    val mixed = Scale.resampleToMix(decontaminated, Seq(idCol), groupCol, shares)
+    Scale.hashSplit(mixed, Seq(idCol), splits)
+  }
 }

@@ -1570,6 +1570,74 @@ object ExtQueries {
              |       THEN round(CAST(n_hit AS DOUBLE) / n_spans, 6) END AS contam
              |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
              |ORDER BY d.doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // The full curation pipeline end to end (Pipeline.curate): quality
+    // gate -> exact dedup -> MinHash-LSH near-dup removal -> fingerprint
+    // decontamination (ref = doc_id % 7 = 0) -> domain-mixture resampling
+    // over the SURVIVORS -> train/val/test split. Six operators composed,
+    // oracle-checked as one query.
+    Q(
+      "x65_curate_e2e",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline
+          .curate(
+            docs,
+            "doc_id",
+            "text",
+            docs.filter(col("doc_id") % 7 === 0),
+            "lang",
+            Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            minQuality = 0.6,
+            nearDupThreshold = 0.8
+          )
+          .select("doc_id", "lang", "source", "split")
+          .orderBy("doc_id")
+      },
+      Some {
+        val quality =
+          """round(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+            |  + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0), 6)""".stripMargin
+        s"""WITH passed AS (SELECT doc_id, text, lang, source FROM documents WHERE $quality >= 0.6),
+           |dedup AS (SELECT doc_id, text, lang, source FROM (
+           |  SELECT doc_id, text, lang, source,
+           |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |  FROM passed) t WHERE rn = 1),
+           |${shingleCteFrom("dedup")},
+           |$minhashCtes,
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+           |inter AS (SELECT c.d1, c.d2, COUNT(*) AS ni FROM cand c
+           |  JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+           |  GROUP BY 1, 2),
+           |prs AS (SELECT d1, d2 FROM inter
+           |  JOIN sizes sa ON sa.doc_id = inter.d1
+           |  JOIN sizes sb ON sb.doc_id = inter.d2
+           |  WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.8),
+           |cleaned AS (SELECT * FROM dedup WHERE doc_id NOT IN (SELECT d2 FROM prs)),
+           |fp AS (SELECT doc_id,
+           |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS f
+           |  FROM documents),
+           |decon AS (SELECT c.* FROM cleaned c JOIN fp ON fp.doc_id = c.doc_id
+           |  WHERE fp.f NOT IN (SELECT DISTINCT f FROM fp WHERE doc_id % 7 = 0)),
+           |n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS ng FROM decon GROUP BY 1),
+           |shr AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.15),
+           |       ('es', 0.1), ('zh', 0.05)) AS t(lang, share)),
+           |j AS (SELECT n.lang, ng, share, ng / share AS demand FROM n JOIN shr USING (lang)),
+           |smx AS (SELECT min(demand) AS smax FROM j),
+           |r AS (SELECT lang, share * smax / ng AS rate FROM j CROSS JOIN smx),
+           |mixed AS (SELECT d.doc_id, d.lang, d.source,
+           |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15) AS BIGINT) % 1000 AS hb
+           |  FROM decon d JOIN r USING (lang)
+           |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15) AS BIGINT) % 1000
+           |        < rate * 1000)
+           |SELECT doc_id, lang, source,
+           |  CASE WHEN hb < 800 THEN 'train' WHEN hb < 900 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM mixed ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }

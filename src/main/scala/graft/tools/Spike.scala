@@ -975,6 +975,13 @@ object Spike {
       .withColumn("r", row_number().over(Window.partitionBy("vec_id").orderBy(desc("sim"), col("cen_id"))))
       .filter(col("r") === 1)
     report("IVF cells (x34: 8 seed centroids)", asg.groupBy("cen_id").count())
+    // x60 hyperplane-LSH buckets (md5 sign matrix): the candidate cost of
+    // embedDupes is exactly pairsUpperBound here — the number that was
+    // 250x worse under the old correlated linear sign family
+    val lsh = e.select(
+      graft.operators.Similarity.lshBucket(col("embedding"), 64, 8).as("bh")
+    )
+    report("x60 hyperplane buckets (8 bits, md5 signs)", lsh.groupBy("bh").count())
   }
 
   /** Stage-level profile of the x56 multimodal pipeline. */

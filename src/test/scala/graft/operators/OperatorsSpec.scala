@@ -920,6 +920,66 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("curate == the hand-chained stages; splits cover survivors exactly") {
+    val docs = t(spark, sfTiny, "documents")
+    val reference = docs.filter(col("doc_id") % 7 === 0)
+    val shares = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Pipeline
+      .curate(docs, "doc_id", "text", reference, "lang", shares, splits, 0.6, 0.8)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val cleaned = Pipeline.cleanCorpus(docs, "doc_id", "text", 0.6, 0.8)
+    val manual = Scale.hashSplit(
+      Scale.resampleToMix(
+        Dedup.decontaminate(cleaned, reference, "text"),
+        Seq("doc_id"), "lang", shares),
+      Seq("doc_id"), splits)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == manual && got.nonEmpty)
+    // every survivor has exactly one split label from the declared set
+    assert(got.map(_._1).size == got.size)
+    assert(got.map(_._2).subsetOf(splits.map(_._1).toSet))
+  }
+
+  test("packSequences equals a local fold on random corpora (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genDoc = for {
+      grp <- Gen.oneOf("s0", "s1", "s2")
+      nTok <- Gen.choose(1, 40)
+    } yield (grp, nTok)
+    val genCorpus = Gen.choose(5, 40).flatMap(n => Gen.listOfN(n, genDoc))
+    val prop = Prop.forAll(genCorpus, Gen.choose(4, 64)) { (docsList, seqLen) =>
+      import spark.implicits._
+      val rows = docsList.zipWithIndex.map { case ((g, n), i) =>
+        (i.toLong, g, (0 until n).map(j => s"t$j").mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "source", "text").repartition(5)
+      val got = TextAnalysis
+        .packSequences(df, "doc_id", Seq("source"), "text", seqLen)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      // local simulation: running token sum per group in doc_id order
+      val want = rows
+        .groupBy(_._2)
+        .flatMap { case (_, rs) =>
+          rs.sortBy(_._1)
+            .foldLeft((0L, List.empty[(Long, (Long, Long, Long))])) {
+              case ((cum, acc), (id, _, text)) =>
+                val n = text.split(" ").length.toLong
+                (cum + n, (id -> (n, cum / seqLen, cum % seqLen)) :: acc)
+            }
+            ._2
+        }
+        .toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("spanContamination: exact span-overlap fractions, short docs null, paths agree") {
     import spark.implicits._
     // 4-token spans; doc 1 = reference verbatim (contam 1.0), doc 2 shares

@@ -215,6 +215,37 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     assert(partial.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
   }
 
+  test("resampleToMix equals hash-sample at derived rates for random share maps (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val docs = t(spark, sfTiny, "documents").select("doc_id", "lang").cache()
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val genShares: Gen[Map[String, Double]] = for {
+      k <- Gen.choose(2, langs.size)
+      chosen <- Gen.pick(k, langs)
+      ws <- Gen.listOfN(k, Gen.choose(1, 20))
+    } yield {
+      val tot = ws.sum.toDouble
+      chosen.toList.zip(ws.map(_ / tot)).toMap
+    }
+    val prop = Prop.forAll(genShares) { shares =>
+      val out = Scale.resampleToMix(docs, Seq("doc_id"), "lang", shares)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val smax = shares.map { case (g, s) => byLang(g) / s }.min
+      val rates = shares.map { case (g, s) => g -> math.min(1.0, s * smax / byLang(g)) }
+      val want = Scale.stratifiedHashSample(docs, Seq("doc_id"), "lang", rates)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val binding = shares.keys.minBy(g => byLang(g) / shares(g))
+      val keptBinding = Scale.resampleToMix(docs, Seq("doc_id"), "lang", shares)
+        .filter(col("lang") === binding).count()
+      out == want && keptBinding == byLang(binding)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    docs.unpersist()
+    assert(res.passed, res.status.toString)
+  }
+
   test("hashSplit: stable under partitioning and corpus growth; fractions near targets") {
     val docs = t(spark, sfTiny, "documents")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
