@@ -802,7 +802,13 @@ object ZarrAppend {
     * whole, which is what a sub-10M axis gets anyway). */
   private def requireAppendableCoord(cm: ZarrArrayMeta, dim: String): Unit = {
     require(cm.rank == 1, s"deferred append dim '$dim': coordinate array must be 1-D")
-    require(cm.shardShape.isEmpty, s"deferred append dim '$dim': sharded coordinate arrays unsupported")
+    cm.shardShape.foreach { ss =>
+      require(
+        ss.head % cm.chunks.head == 0,
+        s"deferred append dim '$dim': coordinate shard shape ${ss.head} must be a " +
+          s"multiple of its inner chunks ${cm.chunks.head}"
+      )
+    }
     require(cm.filters.isEmpty, s"deferred append dim '$dim': numcodecs-filtered coordinate arrays unsupported")
     cm.zdtype.code match {
       case ZDtype.I4 | ZDtype.I8 | ZDtype.F4 | ZDtype.F8 | ZDtype.VSTR => ()
@@ -959,35 +965,123 @@ object ZarrAppend {
             )
         )
       else None
-    var c = startChunk
-    while (c <= lastChunk) {
-      val bytes: Array[Byte] =
-        if (isStr) {
-          val arr = Array.fill(chunkLen)("") // ""-padded past the axis end
-          if (c == startChunk) existing.foreach { b =>
-            var i = 0
-            while (i < nKeep) { arr(i) = Option(b.getUTF8(i)).map(_.toString).getOrElse(""); i += 1 }
-          }
-          var g = math.max(c.toLong * chunkLen, extent.toLong)
-          val end = math.min((c.toLong + 1) * chunkLen, newTotal.toLong)
-          while (g < end) {
-            arr((g - c.toLong * chunkLen).toInt) = newVals((g - extent).toInt).asInstanceOf[String]
-            g += 1
-          }
-          encodeCoord(ZarrStoreWriter.vlenEncode(arr), typesize = 1)
-        } else {
-          val buf = ByteBuffer.allocate(chunkLen * dt.itemSize).order(order) // zero pad past the end
-          if (c == startChunk) existing.foreach(b => System.arraycopy(b.raw, 0, buf.array(), 0, nKeep * dt.itemSize))
-          var g = math.max(c.toLong * chunkLen, extent.toLong)
-          val end = math.min((c.toLong + 1) * chunkLen, newTotal.toLong)
-          while (g < end) {
-            ZarrSink.putCoordCell(dt, buf, (g - c.toLong * chunkLen).toInt, newVals((g - extent).toInt))
-            g += 1
-          }
-          encodeCoord(buf.array(), typesize = dt.itemSize)
+    // ENCODED bytes of rebuilt chunk c (>= startChunk): ""-/zero-padded
+    // past the axis end, existing partial prefix merged at the boundary
+    def encodedChunk(c: Int): Array[Byte] =
+      if (isStr) {
+        val arr = Array.fill(chunkLen)("") // ""-padded past the axis end
+        if (c == startChunk) existing.foreach { b =>
+          var i = 0
+          while (i < nKeep) { arr(i) = Option(b.getUTF8(i)).map(_.toString).getOrElse(""); i += 1 }
         }
-      ZarrFileIO.writeBytes(new HPath(dirStr, coordKey(c)), storageOptions, bytes)
-      c += 1
+        var g = math.max(c.toLong * chunkLen, extent.toLong)
+        val end = math.min((c.toLong + 1) * chunkLen, newTotal.toLong)
+        while (g < end) {
+          arr((g - c.toLong * chunkLen).toInt) = newVals((g - extent).toInt).asInstanceOf[String]
+          g += 1
+        }
+        encodeCoord(ZarrStoreWriter.vlenEncode(arr), typesize = 1)
+      } else {
+        val buf = ByteBuffer.allocate(chunkLen * dt.itemSize).order(order) // zero pad past the end
+        if (c == startChunk) existing.foreach(b => System.arraycopy(b.raw, 0, buf.array(), 0, nKeep * dt.itemSize))
+        var g = math.max(c.toLong * chunkLen, extent.toLong)
+        val end = math.min((c.toLong + 1) * chunkLen, newTotal.toLong)
+        while (g < end) {
+          ZarrSink.putCoordCell(dt, buf, (g - c.toLong * chunkLen).toInt, newVals((g - extent).toInt))
+          g += 1
+        }
+        encodeCoord(buf.array(), typesize = dt.itemSize)
+      }
+    cm.shardShape match {
+      case None =>
+        var c = startChunk
+        while (c <= lastChunk) {
+          ZarrFileIO.writeBytes(new HPath(dirStr, coordKey(c)), storageOptions, encodedChunk(c))
+          c += 1
+        }
+      case Some(ss) =>
+        // SHARDED coordinate axis (v3): same object-store shape as the
+        // value-array append — existing inner chunks of the tail shard copy
+        // byte-for-byte (no decode), chunks >= startChunk rebuild from the
+        // batch, each affected shard is ONE whole-object PUT, and the index
+        // follows the store's declared layout. Chunks at/past startChunk in
+        // a pre-existing tail object (a crashed attempt whose metadata
+        // commit never landed) are skipped, so replay rewrites the object
+        // byte-identically.
+        val shardLen = ss.head
+        val innerPer = shardLen / chunkLen
+        val idxAtEnd = cm.shardIndexAtEnd
+        val idxCrc = cm.shardIndexCrc
+        val idxBig = cm.shardIndexBigEndian
+        val storedLen = ZarrChunkIO.shardIndexStoredLen(innerPer, idxCrc)
+        val dataBase = if (idxAtEnd) 0L else storedLen.toLong
+        val startShard = extent / shardLen
+        val lastShard = (newTotal - 1) / shardLen
+        val oldTail: Option[(Array[Byte], Array[Long])] =
+          if (extent > startShard * shardLen)
+            ZarrFileIO
+              .readBytesIfExists(new HPath(dirStr, cm.chunkKey(Seq(startShard))), storageOptions)
+              .map { raw =>
+                require(
+                  raw.length >= storedLen,
+                  s"deferred append dim '$dim': tail coordinate shard object (${raw.length} B) is " +
+                    s"smaller than its $storedLen B index — refusing to rewrite a corrupt object"
+                )
+                val idxOff = if (idxAtEnd) raw.length - storedLen else 0
+                (
+                  raw,
+                  ZarrChunkIO.parseShardIndexBytes(
+                    java.util.Arrays.copyOfRange(raw, idxOff, idxOff + storedLen),
+                    innerPer,
+                    idxCrc,
+                    idxBig
+                  )
+                )
+              }
+          else None
+        var s = startShard
+        while (s <= lastShard) {
+          val data = new java.io.ByteArrayOutputStream()
+          val index = Array.fill(innerPer * 2)(-1L) // 2^64-1: missing inner chunk
+          var w = 0
+          while (w < innerPer) {
+            val c = s * innerPer + w
+            if (c.toLong * chunkLen < newTotal) {
+              if (c < startChunk) {
+                oldTail.foreach { case (raw, idx) =>
+                  val off = idx(2 * w)
+                  val len = idx(2 * w + 1)
+                  if (off != -1L) {
+                    index(2 * w) = dataBase + data.size().toLong
+                    index(2 * w + 1) = len
+                    data.write(raw, off.toInt, len.toInt)
+                  }
+                }
+              } else {
+                val enc = encodedChunk(c)
+                index(2 * w) = dataBase + data.size().toLong
+                index(2 * w + 1) = enc.length.toLong
+                data.write(enc)
+              }
+            }
+            w += 1
+          }
+          val ib = ByteBuffer
+            .allocate(innerPer * 16)
+            .order(if (idxBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < innerPer * 2) { ib.putLong(i * 8, index(i)); i += 1 }
+          val idxBytes =
+            if (idxCrc)
+              ZarrCodecV3.encode("""{"name": "crc32c"}""", ib.array(), math.max(dt.itemSize, 1))
+            else ib.array()
+          ZarrFileIO.writeBytes(
+            new HPath(dirStr, cm.chunkKey(Seq(s))),
+            storageOptions,
+            if (idxAtEnd) data.toByteArray ++ idxBytes else idxBytes ++ data.toByteArray
+          )
+          s += 1
+        }
     }
     // bump the coordinate array's shape LAST (the tail chunks above are
     // invisible until this lands; a crash before it leaves the old axis)

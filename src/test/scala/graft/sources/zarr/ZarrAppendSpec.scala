@@ -553,4 +553,66 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     val store = new ZarrStore(root, Map.empty, None, None)
     assert(!store.arrayMeta("v").shardIndexAtEnd)
   }
+
+  test("deferred append extends a SHARDED coordinate axis in place (tail-shard RMW + new shards)") {
+    val root = Files.createTempDirectory("zarrappshcoord").toString
+    val dir = ZarrStoreWriterV3.writeGroup(root)
+    ZarrStoreWriterV3.writeArray(dir, "v", Vector(40), Vector(8), "int64",
+      i => (i * 3 + 7).toDouble, dims = Some(Vector("t")))
+    // the COORD array itself is sharded: shape 40, shard 32, inner chunks
+    // 16 -> shard c/0 = chunks 0,1 (full), c/1 = chunk 2 (8 of 16 cells)
+    ZarrStoreWriterV3.writeShardedArray(dir, "t", Vector(40), Vector(32), Vector(16), "int64",
+      i => i.toDouble, dims = Some(Vector("t")))
+    ZarrStoreWriterV3.consolidate(dir)
+    def append(lo: Int, hi: Int, id: Long): Unit =
+      spark.range(lo, hi).selectExpr("id as t", "id * 3 + 7 as value")
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("append.dim", "t").option("append.batch_id", id.toString)
+        .option("coord.deferred.threshold", "10")
+        .mode("append").save()
+    // mid-chunk tail: coord chunk 2 merges its 8 existing cells + 8 new
+    append(40, 56, 1L)
+    val store = new ZarrStore(root, Map.empty, None, None)
+    val cm = store.arrayMeta("t")
+    assert(cm.shape.head == 56 && cm.shardShape.contains(Vector(32)) && cm.chunks == Vector(16))
+    // full-chunk COPY path + a brand-new shard: extent 56 -> chunk 3 is
+    // partial, shard c/1 also holds FULL chunk 2 (byte-for-byte copy);
+    // newTotal 72 -> chunk 4 lands in new shard object c/2
+    append(56, 72, 2L)
+    val store2 = new ZarrStore(root, Map.empty, None, None)
+    assert(store2.arrayMeta("t").shape.head == 72)
+    assert(ZarrFileIO.exists(new org.apache.hadoop.fs.Path(store2.arrayDir("t"), "c/2"), Map.empty))
+    val rows = read(root).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 72)
+    (0L until 72L).foreach(t => assert(rows(t) == t * 3 + 7, s"t=$t"))
+    // deferred read over the grown sharded axis: range pruning still exact
+    val dfd = spark.read.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("coord.deferred.threshold", "10").load()
+    assert(dfd.count() == 72 && dfd.filter(col("t") >= 60L).count() == 12)
+    // backdated append still refuses off the boundary-decoded tail
+    val e = intercept[IllegalArgumentException] { append(60, 80, 3L) }
+    assert(e.getMessage.contains("strictly after"), e.getMessage)
+  }
+
+  test("sharded coordinate append honors an index_location=start coord store") {
+    val root = Files.createTempDirectory("zarrappshcoordstart").toString
+    val dir = ZarrStoreWriterV3.writeGroup(root)
+    ZarrStoreWriterV3.writeArray(dir, "v", Vector(40), Vector(8), "int64",
+      i => (i * 5 % 37).toDouble, dims = Some(Vector("t")))
+    ZarrStoreWriterV3.writeShardedArray(dir, "t", Vector(40), Vector(32), Vector(16), "int64",
+      i => i.toDouble, dims = Some(Vector("t")), indexAtEnd = false)
+    ZarrStoreWriterV3.consolidate(dir)
+    spark.range(40, 56).selectExpr("id as t", "(id * 5 % 37) as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("append.dim", "t").option("append.batch_id", "1")
+      .option("coord.deferred.threshold", "10")
+      .mode("append").save()
+    val rows = read(root).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 56)
+    (0L until 56L).foreach(t => assert(rows(t) == t * 5 % 37, s"t=$t"))
+    assert(!new ZarrStore(root, Map.empty, None, None).arrayMeta("t").shardIndexAtEnd)
+  }
 }
