@@ -295,6 +295,75 @@ object Dedup {
     maxDocs.fold(agg)(cap => agg.filter(col("n_docs") <= cap))
   }
 
+  /** Boilerplate REMOVAL — the rewrite-side complement of
+    * [[duplicatedSpans]]' report (C4/RefinedWeb-style shared-passage
+    * stripping): every token covered by a word n-gram span that appears in
+    * MORE than `maxDocs` distinct documents is removed, and the document's
+    * text is rebuilt from the surviving tokens in order. Doc-level dedup
+    * can't do this: a navigation header shared by a million otherwise
+    * unique pages survives doc-level and near-dup filters untouched.
+    *
+    * Output: (idCol, text_clean, n_kept) — every input doc appears;
+    * a fully-boilerplate doc comes back with `text_clean = ""` (callers
+    * typically follow with a min-length quality gate).
+    *
+    * 100 TB shape: spans and positions are narrow (id, offset, 60-bit
+    * hash) — span STRINGS never shuffle past the hash projection. The hot
+    * set is found with the same distinct + partial-agg count as
+    * duplicatedSpans (map-side combine, no skew cliff); hot membership is
+    * a LEFT SEMI join (at-most-one, no fan-out); the rebuild groups by
+    * doc id with a bounded per-doc token list. */
+  def stripBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      maxDocs: Long = 2L
+  ): DataFrame = {
+    require(n >= 2 && maxDocs >= 1, s"stripBoilerplate: bad n=$n maxDocs=$maxDocs")
+    val base = spread(docs, idCol).select(col(idCol), split(col(textCol), " ").as("tk"))
+    val pos = base.select(col(idCol), posexplode(col("tk")).as(Seq("p", "tok")))
+      .select(col(idCol), col("p").cast("long").as("p"), col("tok"))
+    val spanArr = when(
+      size(col("tk")) >= n,
+      expr(
+        s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', ${(0 until n).map(j => s"tk[i + $j]").mkString(", ")}))"
+      )
+    ).otherwise(array().cast("array<string>"))
+    val spans = base
+      .select(col(idCol), posexplode(spanArr).as(Seq("s", "sp")))
+      .select(col(idCol), col("s").cast("long").as("s"), tokenHash60(col("sp")).as("__sh"))
+    val hot = spans
+      .select(col(idCol), col("__sh"))
+      .distinct()
+      .groupBy("__sh")
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select("__sh")
+    val covered = spans
+      .join(hot, Seq("__sh"), "left_semi")
+      .select(col(idCol), explode(sequence(col("s"), col("s") + lit((n - 1).toLong))).as("p"))
+      .distinct()
+    val rebuilt = pos
+      .join(covered, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(
+          " ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))), x => x.getField("tok"))
+        ).as("text_clean"),
+        count(lit(1)).as("n_kept")
+      )
+    docs
+      .select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept")
+      )
+  }
+
   /** Span-level contamination SCORE against a reference set (benchmark /
     * eval data): for every corpus document, the fraction of its distinct
     * word n-gram spans that appear anywhere in the reference. Where

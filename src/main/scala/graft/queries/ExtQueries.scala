@@ -1638,6 +1638,37 @@ object ExtQueries {
            |       ELSE 'test' END AS split
            |FROM mixed ORDER BY doc_id""".stripMargin
       }
+    ),
+    // ------------------------------------------------------------------
+    // Boilerplate removal (Dedup.stripBoilerplate): tokens covered by an
+    // 8-gram span shared by > 2 docs are stripped, text rebuilt in order —
+    // the C4/RefinedWeb shared-passage scrub that doc-level dedup misses.
+    // One fixture doc is entirely boilerplate and comes back as "".
+    Q(
+      "x66_strip_boilerplate",
+      (s, d) =>
+        Dedup
+          .stripBoilerplate(t(s, d, "documents"), "doc_id", "text", n = 8, maxDocs = 2L)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |pos AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS p, tk[i] AS tok
+             |  FROM toks, unnest(range(1, len(tk) + 1)) t(i)),
+             |st AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS s,
+             |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+             |    || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7] AS sp
+             |  FROM toks, unnest(range(1, len(tk) - 6)) t(i)),
+             |hot AS (SELECT sp FROM (SELECT DISTINCT doc_id, sp FROM st) GROUP BY sp
+             |  HAVING count(*) > 2),
+             |hs AS (SELECT DISTINCT doc_id, s FROM st JOIN hot USING (sp)),
+             |cov AS (SELECT DISTINCT doc_id, s + d.d AS p
+             |  FROM hs, (SELECT unnest(range(8)) AS d) d),
+             |kept AS (SELECT p.doc_id, p.p, p.tok FROM pos p
+             |  LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.p = c.p WHERE c.p IS NULL),
+             |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+             |  count(*) AS n_kept FROM kept GROUP BY 1)
+             |SELECT d.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+             |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+             |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin)
     )
   )
 }

@@ -920,6 +920,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("stripBoilerplate: exact coverage union, short docs untouched, full-boilerplate empty") {
+    import spark.implicits._
+    // 4-gram spans in > 1 docs are boilerplate. "a b c d" is shared by
+    // docs 1,2,3,5,6; "b c d e" by docs 5,6 (overlapping coverage).
+    val corpus = Seq(
+      (1L, "a b c d x y z"), // boiler prefix -> "x y z"
+      (2L, "p q r a b c d"), // boiler suffix -> "p q r"
+      (3L, "a b c d"), // fully boilerplate -> ""
+      (4L, "u v w"), // < n tokens: no spans, untouched
+      (5L, "a b c d e k5"), // two OVERLAPPING hot spans cover 0..4 -> "k5"
+      (6L, "a b c d e k6")
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.stripBoilerplate(df, "doc_id", "text", n = 4, maxDocs = 1L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val got = run(corpus)
+    assert(got == Seq(
+      (1L, "x y z", 3L),
+      (2L, "p q r", 3L),
+      (3L, "", 0L),
+      (4L, "u v w", 3L),
+      (5L, "k5", 1L),
+      (6L, "k6", 1L)
+    ), got.mkString(","))
+    assert(run(corpus.repartition(7)) == got)
+  }
+
   test("curate == the hand-chained stages; splits cover survivors exactly") {
     val docs = t(spark, sfTiny, "documents")
     val reference = docs.filter(col("doc_id") % 7 === 0)

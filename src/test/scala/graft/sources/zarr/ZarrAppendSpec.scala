@@ -596,6 +596,45 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     assert(e.getMessage.contains("strictly after"), e.getMessage)
   }
 
+  test("sharded coord append: randomized geometries and batch sizes round-trip exactly (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // value chunks fixed at 4 (appends must start chunk-aligned on the
+    // value side); the COORD geometry varies freely against it, so batch
+    // boundaries land mid-chunk, mid-shard, on-chunk, and on-shard
+    val genCase = for {
+      chunkLen <- Gen.oneOf(4, 8, 12)
+      innerPer <- Gen.oneOf(2, 3)
+      n0 <- Gen.choose(1, 10).map(_ * 4)
+      batches <- Gen.choose(1, 3).flatMap(k => Gen.listOfN(k, Gen.choose(1, 8).map(_ * 4)))
+    } yield (chunkLen, innerPer, n0, batches)
+    val prop = Prop.forAll(genCase) { case (chunkLen, innerPer, n0, batches) =>
+      val root = Files.createTempDirectory("zarrshcoordprop").toString
+      val dir = ZarrStoreWriterV3.writeGroup(root)
+      ZarrStoreWriterV3.writeArray(dir, "v", Vector(n0), Vector(4), "int64",
+        i => (i * 3 + 7).toDouble, dims = Some(Vector("t")))
+      ZarrStoreWriterV3.writeShardedArray(
+        dir, "t", Vector(n0), Vector(chunkLen * innerPer), Vector(chunkLen), "int64",
+        i => i.toDouble, dims = Some(Vector("t")))
+      ZarrStoreWriterV3.consolidate(dir)
+      var lo = n0
+      batches.zipWithIndex.foreach { case (sz, bi) =>
+        spark.range(lo, lo + sz).selectExpr("id as t", "id * 3 + 7 as value")
+          .write.format("zarr")
+          .option("path", root).option("array", "v")
+          .option("append.dim", "t").option("append.batch_id", (bi + 1).toString)
+          .option("coord.deferred.threshold", "1")
+          .mode("append").save()
+        lo += sz
+      }
+      val rows = read(root).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ok = rows.size == lo && (0L until lo.toLong).forall(t => rows(t) == t * 3 + 7)
+      val cm = new ZarrStore(root, Map.empty, None, None).arrayMeta("t")
+      ok && cm.shape.head == lo && cm.shardShape.contains(Vector(chunkLen * innerPer))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sharded coordinate append honors an index_location=start coord store") {
     val root = Files.createTempDirectory("zarrappshcoordstart").toString
     val dir = ZarrStoreWriterV3.writeGroup(root)
