@@ -429,6 +429,73 @@ object Similarity {
     )
   }
 
+  /** Deterministic farthest-point (k-means++-style maximin) seeding for
+    * [[kmeansFit]]: seed 0 is the lowest-id vector; each further seed is
+    * the vector MINIMIZING its max cosine to the chosen seeds (i.e. the
+    * angularly farthest point), ties broken by lowest id — fully
+    * deterministic at any parallelism, unlike sampled k-means++. Spread
+    * seeds cover the corpus better than the first-k default, which
+    * matters directly for [[ivfTopK]] recall at a given nProbe.
+    *
+    * 100 TB shape: each of the k-1 rounds is ONE aggregation — the
+    * current seeds ship as plan literals (k vectors, broadcast-sized) and
+    * the argmin is the same packed-long max as [[nearestNeighbor]]
+    * (HashAggregate, map-side partial), so no round shuffles the corpus;
+    * per-round driver traffic is a single row. Zero-norm vectors are
+    * excluded (no defined direction). Returns a LOCAL (cen_id, cen_v)
+    * frame with cen_id in [0, k), ready for `kmeansFit(initial = ...)`. */
+  def farthestPointSeeds(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"farthestPointSeeds: k must be positive, got $k")
+    val spark = df.sparkSession
+    val base = df
+      .select(
+        PackedArgmax.guardId(col(idCol), "farthestPointSeeds").as("id"),
+        col(vecCol).as("v"),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm")
+      )
+      .filter(col("nrm") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      require(
+        n >= k,
+        s"farthestPointSeeds: only $n non-degenerate vectors for k=$k seeds"
+      )
+      val first = base.orderBy("id").limit(1).collect()
+      val seeds = scala.collection.mutable.ArrayBuffer[Array[Float]](
+        first.head.getSeq[Float](1).toArray
+      )
+      while (seeds.length < k) {
+        // max cosine to any chosen seed, as literal-array dot products —
+        // one codegen'd projection, no join
+        val mc = seeds
+          .map { s =>
+            val sNorm = math.sqrt(s.map(x => x.toDouble * x).sum)
+            vecDot(col("v"), typedLit(s.toSeq)) / (col("nrm") * lit(sNorm))
+          }
+          .reduce((a, b) => greatest(a, b))
+        // farthest = MIN max-cosine: encode(-mc) under max; lowest id ties
+        val enc = PackedArgmax.encode(round(-mc, 6), col("id"))
+        val pickedId = base
+          .agg(max(enc).as("m"))
+          .select(PackedArgmax.decodeId(col("m")))
+          .collect()
+          .head
+          .getLong(0)
+        seeds += base.filter(col("id") === pickedId).head().getSeq[Float](1).toArray
+      }
+      import spark.implicits._
+      seeds.toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toSeq) }
+        .toDF("cen_id", "cen_v")
+    } finally base.unpersist()
+  }
+
   /** Per-label mean embedding in long format (label, pos, mean) — the
     * centroid-fit building block (feeds [[ivfTopK]], class prototypes,
     * embedding drift monitoring). posexplode + groupBy(label, pos) is one

@@ -157,6 +157,41 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("streaming curation (quality gate + split assignment) equals the batch operators") {
+    import graft.operators.{Scale, TextAnalysis}
+    // the stateless curation stages are pure per-row expressions, so they
+    // must run UNCHANGED under Structured Streaming in append mode with no
+    // state store — the incremental-ingest shape of a corpus pipeline.
+    // 3 part files + maxFilesPerTrigger=1 forces 3 micro-batches.
+    val docs = t(spark, sfTiny, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      Scale.hashSplit(
+        df.filter(TextAnalysis.qualityExpr(col("text")) >= 0.6),
+        Seq("doc_id"),
+        splits
+      ).select("doc_id", "lang", "split")
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = curate(stream)
+      .writeStream
+      .format("memory")
+      .queryName("curation_stream")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("curation_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = curate(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("tumbling agg matches the x12 declared query buckets") {
     val viaWindow = EventStreams.tumbling5m(t(spark, sfTiny, "events"))
       .select("bucket_s", "event_type", "n")
