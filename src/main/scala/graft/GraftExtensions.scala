@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("byte_dot"),
+        new ExpressionInfo(classOf[functions.ByteVecDot].getName, "byte_dot"),
+        binary("byte_dot", functions.ByteVecDot.apply)
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("sorted_intersect_count"),
         new ExpressionInfo(classOf[functions.SortedIntersectCount].getName, "sorted_intersect_count"),
         binary("sorted_intersect_count", functions.SortedIntersectCount.apply)

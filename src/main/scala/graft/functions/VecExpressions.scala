@@ -61,6 +61,66 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** Native codegen'd dot product over two int8 code arrays (`array<tinyint>`,
+  * the storage type of [[graft.operators.Similarity.sqQuantize]]'s scalar-
+  * quantized embeddings), accumulated in LONG — exact integer arithmetic, so
+  * the result is identical at any parallelism and engine (the x67 oracle
+  * recomputes it in SQL). Codes are in [-127, 127]; 2^15 per-element bound x
+  * array length makes overflow unreachable below ~2^48 dims.
+  *
+  * Why a custom Expression (SURVEY.md §7.2): this is the scoring kernel of
+  * the quantized ANN path — it runs once per candidate pair. The
+  * higher-order-function formulation allocates an intermediate array and
+  * boxes every element per pair; this is a primitive loop inside
+  * whole-stage codegen, and the int multiply is ~2x cheaper than the float
+  * path it approximates. */
+case class ByteVecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.ByteType, _),
+          ArrayType(org.apache.spark.sql.types.ByteType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"byte_dot requires two array<tinyint> arguments, got ${l.sql} and ${r.sql}"
+      )
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH bucket id as ONE codegen expression: `nBits` sign
   * bits of `vec · plane(b)`, planes being deterministic ±1 matrices derived
   * from md5 digests of "bit:dim" — no RNG state to ship, and portable (the
@@ -179,15 +239,24 @@ case class LshBucketBits(child: Expression, dim: Int, nBits: Int)
 
 object VecFunctions {
   /** Register SQL-callable graft functions on a session (idempotent). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
       graft.GraftExtensions.binary("vec_dot", FloatVecDot.apply),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_dot",
+      graft.GraftExtensions.binary("byte_dot", ByteVecDot.apply),
+      "built-in"
+    )
+  }
 
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def byteDot(a: Column, b: Column): Column =
+    GraftBridge.column(ByteVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def lshBucketBits(vec: Column, dim: Int, nBits: Int): Column =
     GraftBridge.column(LshBucketBits(GraftBridge.expression(vec), dim, nBits))

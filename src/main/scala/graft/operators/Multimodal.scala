@@ -624,6 +624,44 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Strided frame sampling over REAL video decode: keep every `every`-th
+    * frame of each AVI payload (frame 0, every, 2*every, ...), emitting
+    * (id, frame_idx, t_s, width, height, frame JPEG bytes) — the
+    * training-pipeline "1 frame per N" sampler, with the media timestamp
+    * (frame_idx / fps) attached for downstream alignment. Partition-
+    * preserving fan-out like [[explodeVideoFrames]]; undecodable payloads
+    * contribute no rows (a corrupt cell must never fail the job); fps <= 0
+    * yields a null t_s rather than Infinity. */
+  def sampleVideoFrames(df: DataFrame, idCol: String, every: Int): DataFrame = {
+    require(every > 0, s"sampleVideoFrames: every must be positive, got $every")
+    val schema = StructType(
+      Seq(
+        StructField(idCol, df.schema(idCol).dataType),
+        StructField("frame_idx", IntegerType),
+        StructField("t_s", DoubleType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("frame", BinaryType)
+      )
+    )
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payIdx)
+        val dec = if (payload == null) None else decodeAvi(payload)
+        dec match {
+          case Some((info, frames)) =>
+            Iterator.range(0, frames.length, every).map { i =>
+              val t = if (info.fps > 0) java.lang.Double.valueOf(i / info.fps) else null
+              Row(r.get(idIdx), i, t, info.width, info.height, frames(i))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** STUB video frame extraction (kept for the x20 oracle, which re-
     * expresses this fake in SQL): a real container parse is [[decodeAvi]]/
     * [[explodeVideoFrames]] above. The fake derives `nFrames` deterministic

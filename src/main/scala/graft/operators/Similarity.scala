@@ -496,6 +496,127 @@ object Similarity {
     } finally base.unpersist()
   }
 
+  // ------------------------------------------------------------------
+  // Int8 scalar quantization (SQ8) — the embedding STORAGE/SHUFFLE path at
+  // 100 TB: a 768-dim float32 embedding is 3 KB/row; its int8 codes + one
+  // double scale are ~780 B. Every ANN stage that only needs approximate
+  // similarity (bucketing, candidate scoring) can run on codes and touch
+  // the float vectors solely for the final exact rerank — 4x less state in
+  // every exchange and cache on the scoring path.
+  // ------------------------------------------------------------------
+
+  /** Attach int8 scalar-quantized codes to an embedding column: per-vector
+    * `sq_scale = max(|x|)/127` (0.0 for the all-zero vector) and
+    * `sq_codes[i] = round(x[i]/sq_scale)` in [-127, 127] as `tinyint`.
+    * Pure per-row projection — native array expressions, no UDF, no
+    * shuffle; deterministic (round half-away-from-zero in double, same as
+    * the SQL oracle). Max-abs scaling guarantees |code| <= 127 by
+    * construction, so the ANSI tinyint cast can never overflow.
+    *
+    * Reconstruction (`[[sqDequantize]]`) is within sq_scale/2 per element;
+    * quantized cosine ([[sqCosine]]) is scale-free (the per-vector scales
+    * cancel), so bucketing/scoring on codes needs no float data at all. */
+  def sqQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val mx = aggregate(
+      col(vecCol),
+      lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))
+    )
+    df.withColumn("__mx", mx)
+      .withColumn("sq_scale", col("__mx") / lit(127.0))
+      .withColumn(
+        "sq_codes",
+        when(
+          col("__mx") === 0.0,
+          transform(col(vecCol), _ => lit(0).cast("tinyint"))
+        ).otherwise(
+          transform(
+            col(vecCol),
+            x => round(x.cast("double") / col("sq_scale"), 0).cast("tinyint")
+          )
+        )
+      )
+      .drop("__mx")
+  }
+
+  /** Reconstruct approximate float vectors from SQ8 codes. */
+  def sqDequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => (c.cast("double") * scale).cast("float"))
+
+  /** Approximate dot product from SQ8 codes: `intdot(a, b) * sa * sb`.
+    * The integer dot is the codegen'd [[graft.functions.ByteVecDot]] —
+    * exact int64 arithmetic, deterministic everywhere. */
+  def sqDot(codesA: Column, scaleA: Column, codesB: Column, scaleB: Column): Column =
+    graft.functions.VecFunctions.byteDot(codesA, codesB).cast("double") * scaleA * scaleB
+
+  /** Approximate cosine from SQ8 codes ALONE — the per-vector scales cancel
+    * (cos(s_a*a, s_b*b) = cos(a, b)), so candidate scoring never touches
+    * float vectors or scales. Null when either code vector is all-zero. */
+  def sqCosine(codesA: Column, codesB: Column): Column = {
+    import graft.functions.VecFunctions.byteDot
+    val na = byteDot(codesA, codesA).cast("double")
+    val nb = byteDot(codesB, codesB).cast("double")
+    when(na > 0 && nb > 0, byteDot(codesA, codesB).cast("double") / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** Quantized brute-force top-k with exact rerank — the SQ8 scoring path:
+    * ALL pairs are scored on int8 codes (integer kernel, 4x smaller
+    * broadcast), the top `rerank` >= k candidates per query survive, and
+    * only those pairs compute the exact float cosine for the final k.
+    * `rerank` is the recall knob: the exact top-k is recovered whenever no
+    * true neighbor is pushed below rank `rerank` by quantization error
+    * (SQ8 cosine error is ~1e-3 at 64 dims — see SimilaritySpec's measured
+    * bound — so small oversampling suffices in practice). Output schema ==
+    * [[bruteForceTopK]]. */
+  def bruteForceTopKSq(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int
+  ): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val q = sqQuantize(queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("sq_codes").as("qc"))
+    val c = sqQuantize(candidates, idCol, vecCol)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("sq_codes").as("cc"))
+    // stage 1: quantized scores for every pair — broadcast carries CODES
+    // (plus the float vector for the rerank projection; drop it here too
+    // if the caller reranks via a join instead)
+    val scored = c
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .select(
+        col("qid"),
+        col("cid"),
+        col("qv"),
+        col("cv"),
+        round(sqCosine(col("qc"), col("cc")), 6).as("qsim")
+      )
+    // stage 2: keep top-`rerank` per query by quantized score (bounded
+    // heap — at most `rerank` rows per query per partition shuffle)
+    val kept = Relational
+      .topKPerKey(
+        scored.filter(col("qsim").isNotNull),
+        Seq("qid"),
+        struct(col("qsim"), (-col("cid")).as("__nc"), col("qv"), col("cv")),
+        rerank,
+        rankCol = "__qr"
+      )
+      .select(col("qid"), (-col("__nc")).as("cid"), col("qv"), col("cv"))
+    // stage 3: exact float cosine on the surviving sliver only
+    val sims = kept.select(
+      col("qid"),
+      col("cid"),
+      round(
+        vecDot(col("qv"), col("cv")) /
+          (sqrt(vecDot(col("qv"), col("qv"))) * sqrt(vecDot(col("cv"), col("cv")))),
+        6
+      ).as("sim")
+    )
+    rankTopK(sims, k)
+  }
+
   /** Per-label mean embedding in long format (label, pos, mean) — the
     * centroid-fit building block (feeds [[ivfTopK]], class prototypes,
     * embedding drift monitoring). posexplode + groupBy(label, pos) is one

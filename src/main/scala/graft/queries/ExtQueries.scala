@@ -1669,6 +1669,83 @@ object ExtQueries {
              |SELECT d.doc_id, coalesce(agg.text_clean, '') AS text_clean,
              |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
              |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Int8 scalar quantization (Similarity.sqQuantize): per-vector
+    // scale = max|x|/127, codes = round(x/scale) as tinyint — the 4x
+    // embedding storage/shuffle reduction of the SQ8 ANN path. Output pins
+    // the code multiset strongly (sum + sum-of-squares) plus the max
+    // reconstruction error; the oracle recomputes the identical double
+    // arithmetic over unnested elements.
+    Q(
+      "x67_embed_quant",
+      (s, d) =>
+        Similarity
+          .sqQuantize(t(s, d, "embeddings"), "vec_id", "embedding")
+          .select(
+            col("vec_id"),
+            round(col("sq_scale"), 6).as("scale"),
+            aggregate(col("sq_codes"), lit(0L), (a, c) => a + c.cast("long")).as("code_sum"),
+            graft.functions.VecFunctions
+              .byteDot(col("sq_codes"), col("sq_codes"))
+              .as("code_norm2"),
+            round(
+              aggregate(
+                zip_with(
+                  col("embedding"),
+                  col("sq_codes"),
+                  (x, c) => abs(x.cast("double") - c.cast("double") * col("sq_scale"))
+                ),
+                lit(0.0),
+                (a, e) => greatest(a, e)
+              ),
+              6
+            ).as("max_abs_err")
+          )
+          .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |ex AS (SELECT vec_id, unnest(v) AS x FROM e),
+             |m AS (SELECT vec_id, max(abs(x)) / 127 AS scale FROM ex GROUP BY 1),
+             |c AS (SELECT ex.vec_id, x, scale,
+             |    CASE WHEN scale = 0 THEN 0 ELSE CAST(round(x / scale) AS BIGINT) END AS code
+             |  FROM ex JOIN m USING (vec_id))
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |  CAST(SUM(code) AS BIGINT) AS code_sum,
+             |  CAST(SUM(code * code) AS BIGINT) AS code_norm2,
+             |  round(MAX(abs(x - code * scale)), 6) AS max_abs_err
+             |FROM c GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Strided REAL-video frame sampling (Multimodal.sampleVideoFrames):
+    // every 2nd frame of each muxed AVI-MJPEG payload with its media
+    // timestamp — the "1 frame per N" sampler of a video training
+    // pipeline. The oracle recomputes the sampled index set and t_s from
+    // the generator formulas, so the container walk must find exactly the
+    // frames that are really there. Pixel content of sampled frames is
+    // tolerance-checked in MultimodalSpec (JPEG is lossy).
+    Q(
+      "x68_frame_sample",
+      (s, d) => {
+        val withAvi = Multimodal.withSynthAviPayload(
+          t(s, d, "documents").select("doc_id"), "doc_id"
+        )
+        Multimodal
+          .sampleVideoFrames(withAvi, "doc_id", 2)
+          .select(
+            col("doc_id"),
+            col("frame_idx"),
+            round(col("t_s"), 6).as("t_s"),
+            col("width"),
+            col("height")
+          )
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             |  round(i / CAST(5 + (doc_id % 3) * 5 AS DOUBLE), 6) AS t_s,
+             |  CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS width,
+             |  CAST(8 + (doc_id % 5) * 8 AS INTEGER) AS height
+             |FROM documents, unnest(range(0, 2 + doc_id % 4, 2)) t(i)
+             |ORDER BY doc_id, frame_idx""".stripMargin)
     )
   )
 }

@@ -1092,4 +1092,111 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(repart.toSet == rows.toSet)
   }
+
+  test("sq8 quantize: codes bounded, reconstruction within scale/2, zero vector safe") {
+    import spark.implicits._
+    val e = t(spark, sfTiny, "embeddings")
+    val q = Similarity.sqQuantize(e, "vec_id", "embedding").cache()
+    // every code in [-127, 127]; max element hits ±127 exactly (max-abs scaling)
+    val stats = q.select(
+      aggregate(col("sq_codes"), lit(127), (a, c) => least(a, c.cast("int"))).as("mn"),
+      aggregate(col("sq_codes"), lit(-127), (a, c) => greatest(a, c.cast("int"))).as("mx")
+    ).agg(min("mn"), max("mx")).head()
+    assert(stats.getInt(0) >= -127 && stats.getInt(1) <= 127)
+    assert(q.filter(abs(element_at(
+      sort_array(transform(col("sq_codes"), c => abs(c.cast("int"))), asc = false), 1
+    )) =!= 127).count() == 0, "max |code| should be exactly 127 under max-abs scaling")
+    // reconstruction error bound: |x - code*scale| <= scale/2 (+1 float ulp)
+    val viol = q.filter(
+      aggregate(
+        zip_with(col("embedding"), col("sq_codes"),
+          (x, c) => abs(x.cast("double") - c.cast("double") * col("sq_scale"))),
+        lit(0.0), (a, v) => greatest(a, v)
+      ) > col("sq_scale") * 0.5 * (1.0 + 1e-9)
+    ).count()
+    assert(viol == 0)
+    // quantized cosine (codes only — scales cancel) tracks exact cosine
+    val self = q.limit(50).select(col("vec_id").as("qid"), col("embedding").as("qv"), col("sq_codes").as("qc"))
+    val other = q.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("sq_codes").as("cc"))
+    val maxDev = other.join(broadcast(self), col("qid") =!= col("cid"))
+      .select(abs(
+        Similarity.sqCosine(col("qc"), col("cc")) -
+          Similarity.cosine(col("qv"), col("cv"))
+      ).as("dev"))
+      .agg(max("dev")).head().getDouble(0)
+    assert(maxDev < 0.02, s"SQ8 cosine deviated $maxDev from exact")
+    // all-zero vector: scale 0, all-zero codes, no division blowup
+    val z = Similarity.sqQuantize(
+      Seq((1L, Seq(0f, 0f, 0f)), (2L, Seq(1f, -2f, 0.5f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding"
+    ).orderBy("vec_id").collect()
+    assert(z(0).getDouble(z(0).fieldIndex("sq_scale")) == 0.0)
+    assert(z(0).getSeq[Byte](z(0).fieldIndex("sq_codes")).forall(_ == 0))
+    assert(z(1).getSeq[Byte](z(1).fieldIndex("sq_codes")) == Seq[Byte](64, -127, 32))
+    // byte_dot is SQL-registered
+    q.limit(5).createOrReplaceTempView("sq_t")
+    assert(spark.sql("select byte_dot(sq_codes, sq_codes) d from sq_t").count() == 5)
+    q.unpersist()
+  }
+
+  test("sq8 topk: full rerank equals exact brute force; small rerank keeps recall") {
+    val e = t(spark, sfTiny, "embeddings").cache()
+    val small = e.limit(100).cache()
+    val exactSmall = Similarity.bruteForceTopK(small, small, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Int]("rn"))).toSet
+    // rerank >= corpus: stage 2 drops nothing, so the result IS the exact top-k
+    val full = Similarity.bruteForceTopKSq(small, small, "vec_id", "embedding", 5, rerank = 99)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Int]("rn"))).toSet
+    assert(full == exactSmall, s"missing=${exactSmall -- full} extra=${full -- exactSmall}")
+    // modest oversampling: near-total recall on the real corpus
+    val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 10)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("cid")).toSet).toMap
+    val sq = Similarity.bruteForceTopKSq(e, e, "vec_id", "embedding", 10, rerank = 30)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("cid")).toSet).toMap
+    val recall = exact.keys.toSeq.map { qid =>
+      (exact(qid) intersect sq.getOrElse(qid, Set.empty)).size.toDouble / exact(qid).size
+    }
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.99, s"SQ8 rerank recall@10 = $mean")
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopKSq(e, e, "vec_id", "embedding", 10, rerank = 5)
+    }
+    small.unpersist(); e.unpersist()
+  }
+
+  test("sampleVideoFrames: stride-2 indices, media timestamps, real pixels recovered") {
+    import spark.implicits._
+    val ids = (0L until 12L).toDF("doc_id")
+    val withAvi = Multimodal.withSynthAviPayload(ids, "doc_id")
+    val out = Multimodal.sampleVideoFrames(withAvi, "doc_id", 2).cache()
+    val rows = out.collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3), r.getInt(4),
+        r.getAs[Array[Byte]](5))
+    }
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val n = 2 + (id % 4).toInt
+      val fps = (5 + (id % 3).toInt * 5).toDouble
+      val expectIdx = (0 until n by 2).toSeq
+      assert(rs.map(_._2).sorted.toSeq == expectIdx, s"doc $id sampled wrong frames")
+      rs.foreach { case (_, i, t, w, h, frame) =>
+        assert(t == i / fps)
+        assert(w == 16 + (id % 3).toInt * 8 && h == 8 + (id % 5).toInt * 8)
+        // the sampled frame is a REAL JPEG of the synth gray pattern
+        val gray = ((id * 37 + i * 11) % 256).toInt
+        val lum = Multimodal.decodeImage(frame, 2).get._1
+        assert(lum.forall(v => math.abs(v - gray / 255.0) < 0.02))
+      }
+    }
+    // every=1 degenerates to the full explode; corrupt payload yields no rows
+    val all = Multimodal.sampleVideoFrames(withAvi, "doc_id", 1)
+    assert(all.count() == (0L until 12L).map(id => 2 + id % 4).sum)
+    val bad = Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(Multimodal.sampleVideoFrames(bad, "doc_id", 2).count() == 0)
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleVideoFrames(withAvi, "doc_id", 0)
+    }
+    out.unpersist()
+  }
 }
