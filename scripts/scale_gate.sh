@@ -25,6 +25,11 @@
 #                       LSH bucket, cosine 1.0): exact pair match required,
 #                       plus the bucket-join candidate volume (the quantity
 #                       that explodes if hyperplane bucketing degrades)
+#   4c. sq8-planted   — SQ8 quantized ANN at 202k vectors: planted exact
+#                       duplicates must come back at rank 1 through int8
+#                       scoring + exact rerank (ivfTopKSq); also reports
+#                       the measured float-vs-codes wall/shuffle/storage
+#                       trade-off (storage is where SQ8 wins: 3.6x)
 #   5. cc-telemetry   — per-round connected-components job telemetry on the
 #                       sf0.1 documents table (round count + shuffle sizes)
 # Each step FAILS LOUDLY (require/assert inside the Spike mains) — a silent
@@ -37,6 +42,7 @@ sbt -batch "runMain graft.tools.Spike zarr-hier"      2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike zarr-deferred-str" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike x41-planted 500000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike x60-planted 1000000" 2>&1 | grep -E '\[spike\]'
+sbt -batch "runMain graft.tools.Spike sq8-planted 200000" 2>&1 | grep -E '\[spike\]'
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   sbt -batch "runMain graft.tools.Spike cc-telemetry" 2>&1 | grep -E '\[spike\]'
 echo "[scale_gate] all scale gates passed"

@@ -24,6 +24,19 @@ object Sessions {
       // TIMESTAMP_NTZ) — Tables.normalizeTs converts either shape to
       // epoch-nanos longs at the loader.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (every TypedImperativeAggregate: TopKStructs,
+      // MinHashSignature, BoundedCollectSet, percentile) falls back to
+      // SORT-based aggregation after this many distinct in-memory keys per
+      // partition — the default 128 silently turns "map-side bounded heap"
+      // into "sort the whole partition" for any real group cardinality.
+      // Our buffers are small by construction (k-element heaps, 8-long
+      // minhash sigs), so 64k keys is a few MB; the fallback still guards
+      // the pathological many-keys x big-buffer case. Measured at sf0.1:
+      // parity with the default (partitions there hold only ~2k groups and
+      // sorting them is cheap); the setting is for real-scale partitions,
+      // where a sort-based fallback re-sorts the ENTIRE per-partition pair
+      // volume that the heap exists to avoid sorting.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -310,11 +310,150 @@ object Similarity {
       col("qn") > 0 && col("cn") > 0,
       round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
     )
-    val sims = qs
+    val simsRaw = qs
       .join(cands, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), pair.as("sim"))
-      .distinct() // nProbe > 1: a pair can meet in several probed cells
+    // nProbe > 1: a pair can meet in several probed cells → dedup. At
+    // nProbe == 1 each id has exactly one query row and one candidate row,
+    // so pairs are unique by construction and the distinct would be a full
+    // extra shuffle of the candidate volume for nothing (measured 39.8 →
+    // 28.0 s on the 202k-vector sq8-planted gate).
+    val sims = if (nProbe == 1) simsRaw else simsRaw.distinct()
+    rankTopK(sims, k)
+  }
+
+  /** IVF top-k scored on SQ8 codes: cell partitioning bounds WHICH pairs
+    * are scored ([[ivfTopK]]'s equi-join), int8 codes bound what each
+    * scored row carries (~dim bytes vs 4*dim of floats in the cell join)
+    * and scoring is the integer [[sqCosine]] kernel. Float vectors are
+    * fetched ONLY for the top-`rerank` sliver per query, which is then
+    * exactly reranked to the final k.
+    *
+    * With `rerank` >= the per-query candidate volume this provably equals
+    * [[ivfTopK]] at the same centroids/nProbe (every candidate survives to
+    * the exact stage — pinned in OperatorsSpec); in production `rerank` is
+    * a small multiple of k (SQ8 cosine error ~1e-3 at 64 dims). Cell
+    * ASSIGNMENT stays on float vectors: one broadcast pass against k
+    * centroids — cheap, never pairwise — so cell boundaries are identical
+    * to the unquantized index.
+    *
+    * WHEN TO USE — measured, not assumed (Spike sq8-planted, 202k x 64-dim
+    * self-ANN): for corpus-wide SELF-ANN with float vectors on hand,
+    * [[ivfTopK]] is strictly better (~21 s / 251 MB shuffled vs ~34-60 s /
+    * 1.29 GB) — its co-partitioned design never shuffles the pair volume,
+    * while the rerank fetch here drags a float vector across an exchange
+    * for every (query x rerank) sliver row; and on the JVM (no SIMD over
+    * byte arrays) the int8 kernel only matches float flops, it does not
+    * beat them. The quantized path pays where BYTES are the bill: the
+    * index stored AS codes (3.6x smaller scan/cache — the usual
+    * embedding-store layout) with the float table in cold storage touched
+    * only for slivers, memory-resident serving indexes 4x smaller, and
+    * scan-bound pipelines. See [[bruteForceTopKSq]] for the
+    * broadcast-batch analog and the same measured trade-off. */
+  def ivfTopKSq(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 1,
+      rerank: Int = 50
+  ): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val cenGuard = PackedArgmax.guardId(col(idCol), "ivfTopKSq centroid")
+    val cen = centroids.select(
+      cenGuard.as("cen_id"),
+      col(vecCol).as("cen_v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("cen_n")
+    )
+    // referenced by three subtrees (assignment, query-side and candidate-
+    // side rerank fetch) — the explicit repartition makes them an IDENTICAL
+    // exchange subplan, so Spark's ReuseExchange computes it once per job
+    // instead of re-quantizing per subtree; no persist handle to leak.
+    val base = sqQuantize(df, idCol, vecCol)
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"),
+        col("sq_codes").as("codes")
+      )
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    val sim = when(
+        col("nrm") > 0 && col("cen_n") > 0,
+        round(vecDot(col("v"), col("cen_v")) / (col("nrm") * col("cen_n")), 6)
+      )
+      val enc = PackedArgmax.encode(sim, col("cen_id"))
+      val scored = base
+        .join(broadcast(cen), lit(true))
+        .select(col("id"), col("codes"), enc.as("enc"))
+      val assigned =
+        if (nProbe == 1)
+          scored
+            .groupBy("id")
+            .agg(max(col("enc")).as("m"), first(col("codes")).as("codes"))
+            .select(col("id"), col("codes"), PackedArgmax.decodeId(col("m")).as("cell"), lit(1).as("rn"))
+        else {
+          val w = Window.partitionBy("id").orderBy(desc("enc"))
+          scored
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= nProbe)
+            .select(col("id"), col("codes"), PackedArgmax.decodeId(col("enc")).as("cell"), col("rn"))
+        }
+      // the cell join carries CODES (+ one precomputed squared norm),
+      // never float vectors
+      import graft.functions.VecFunctions.byteDot
+      val cands = assigned
+        .filter(col("rn") === 1)
+        .select(
+          col("id").as("cid"),
+          col("codes").as("cc"),
+          byteDot(col("codes"), col("codes")).as("cn2"),
+          col("cell")
+        )
+      val qs = assigned.select(
+        col("id").as("qid"),
+        col("codes").as("qc"),
+        byteDot(col("codes"), col("codes")).as("qn2"),
+        col("cell")
+      )
+      val qsimsRaw = qs
+        .join(cands, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .select(
+          col("qid"),
+          col("cid"),
+          round(sqCosinePre(col("qc"), col("qn2"), col("cc"), col("cn2")), 6).as("qsim")
+        )
+      // dedup only when nProbe > 1 (see ivfTopK — same argument)
+      val qsims = if (nProbe == 1) qsimsRaw else qsimsRaw.distinct()
+      val kept = Relational
+        .topKPerKey(
+          qsims.filter(col("qsim").isNotNull),
+          Seq("qid"),
+          struct(col("qsim"), (-col("cid")).as("__nc")),
+          rerank,
+          rankCol = "__qr"
+        )
+        .select(col("qid"), (-col("__nc")).as("cid"))
+      // exact rerank: fetch float vectors for the sliver only — straight
+      // from the source (column-pruned scan), NOT through `base`'s
+      // repartition, so float vectors never ride the quantized exchange
+      val srcV = df.select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm")
+      )
+      val qv = srcV.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val cv = srcV.select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      val sims = kept
+        .join(qv, Seq("qid"))
+        .join(cv, Seq("cid"))
+        .select(
+          col("qid"),
+          col("cid"),
+          round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim")
+        )
     rankTopK(sims, k)
   }
 
@@ -497,12 +636,15 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
-  // Int8 scalar quantization (SQ8) — the embedding STORAGE/SHUFFLE path at
-  // 100 TB: a 768-dim float32 embedding is 3 KB/row; its int8 codes + one
-  // double scale are ~780 B. Every ANN stage that only needs approximate
+  // Int8 scalar quantization (SQ8) — the embedding STORAGE path at 100 TB:
+  // a 768-dim float32 embedding is 3 KB/row; its int8 codes + one double
+  // scale are ~780 B (measured 3.6x smaller on parquet with full-entropy
+  // vectors — Spike sq8-planted). ANN stages that only need approximate
   // similarity (bucketing, candidate scoring) can run on codes and touch
-  // the float vectors solely for the final exact rerank — 4x less state in
-  // every exchange and cache on the scoring path.
+  // float vectors solely for the final exact rerank. Bytes, not flops, are
+  // what quantization buys on the JVM: scans, broadcasts and caches shrink
+  // ~4x, while the int8 kernel only ties the float kernel's speed (no SIMD
+  // over byte arrays) — the operator docs below carry the measurements.
   // ------------------------------------------------------------------
 
   /** Attach int8 scalar-quantized codes to an embedding column: per-vector
@@ -551,23 +693,43 @@ object Similarity {
 
   /** Approximate cosine from SQ8 codes ALONE — the per-vector scales cancel
     * (cos(s_a*a, s_b*b) = cos(a, b)), so candidate scoring never touches
-    * float vectors or scales. Null when either code vector is all-zero. */
+    * float vectors or scales. Null when either code vector is all-zero.
+    *
+    * Convenience form: THREE integer dots per invocation. Pairwise scoring
+    * loops must instead precompute `byteDot(c, c)` once per row and use
+    * [[sqCosinePre]] — one dot per pair, like the float operators'
+    * precomputed norms (this exact mistake made int8 scoring slower than
+    * float in the first sq8-planted measurement). */
   def sqCosine(codesA: Column, codesB: Column): Column = {
     import graft.functions.VecFunctions.byteDot
-    val na = byteDot(codesA, codesA).cast("double")
-    val nb = byteDot(codesB, codesB).cast("double")
-    when(na > 0 && nb > 0, byteDot(codesA, codesB).cast("double") / (sqrt(na) * sqrt(nb)))
+    sqCosinePre(codesA, byteDot(codesA, codesA), codesB, byteDot(codesB, codesB))
   }
 
+  /** Pairwise SQ8 cosine with per-row precomputed squared code norms —
+    * one integer dot per pair. */
+  def sqCosinePre(codesA: Column, norm2A: Column, codesB: Column, norm2B: Column): Column =
+    when(
+      norm2A > 0 && norm2B > 0,
+      graft.functions.VecFunctions.byteDot(codesA, codesB).cast("double") /
+        (sqrt(norm2A.cast("double")) * sqrt(norm2B.cast("double")))
+    )
+
   /** Quantized brute-force top-k with exact rerank — the SQ8 scoring path:
-    * ALL pairs are scored on int8 codes (integer kernel, 4x smaller
-    * broadcast), the top `rerank` >= k candidates per query survive, and
-    * only those pairs compute the exact float cosine for the final k.
-    * `rerank` is the recall knob: the exact top-k is recovered whenever no
-    * true neighbor is pushed below rank `rerank` by quantization error
-    * (SQ8 cosine error is ~1e-3 at 64 dims — see SimilaritySpec's measured
-    * bound — so small oversampling suffices in practice). Output schema ==
-    * [[bruteForceTopK]]. */
+    * ALL pairs are scored on int8 codes (one integer dot per pair against
+    * a 4x smaller broadcast), the top `rerank` >= k candidates per query
+    * survive as NARROW (qid, cid, qsim) rows, and only that sliver fetches
+    * float vectors for the exact final k. `rerank` is the recall knob: the
+    * exact top-k is recovered whenever no true neighbor is pushed below
+    * rank `rerank` by quantization error (SQ8 cosine error ~1e-3 at 64
+    * dims — measured bound in OperatorsSpec), so small oversampling
+    * suffices. Output schema == [[bruteForceTopK]].
+    *
+    * Measured (Spike sq8-planted serving shape, 2k x 202k): ~1.4x the
+    * float path's wall time on a hot in-memory corpus — JVM byte-array
+    * loops don't vectorize, so the int kernel only ties float flops while
+    * the rerank stages add work. Choose it when the corpus is STORED as
+    * codes (3.6x smaller scan — then the float path must first read 3.6x
+    * the bytes) or the broadcast budget, not CPU, binds. */
   def bruteForceTopKSq(
       queries: DataFrame,
       candidates: DataFrame,
@@ -577,43 +739,64 @@ object Similarity {
       rerank: Int
   ): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    import graft.functions.VecFunctions.byteDot
     val q = sqQuantize(queries, idCol, vecCol)
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("sq_codes").as("qc"))
+      .select(
+        col(idCol).as("qid"),
+        col("sq_codes").as("qc"),
+        byteDot(col("sq_codes"), col("sq_codes")).as("qn2")
+      )
     val c = sqQuantize(candidates, idCol, vecCol)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("sq_codes").as("cc"))
-    // stage 1: quantized scores for every pair — broadcast carries CODES
-    // (plus the float vector for the rerank projection; drop it here too
-    // if the caller reranks via a join instead)
+      .select(
+        col(idCol).as("cid"),
+        col("sq_codes").as("cc"),
+        byteDot(col("sq_codes"), col("sq_codes")).as("cn2")
+      )
+    // stage 1: quantized scores for every pair — the broadcast carries
+    // CODES only (4x smaller than the float query side), and the pair rows
+    // feeding the heap are NARROW (qid, cid, qsim). Never attach vectors
+    // to pair rows here: past the ObjectHashAggregate in-memory key
+    // threshold the aggregate processes rows sort-based, and sorting the
+    // full pair volume with 2x4xdim-byte vectors attached spills
+    // catastrophically (measured: filled the disk at 4e8 pairs x 64 dims).
     val scored = c
       .join(broadcast(q), col("qid") =!= col("cid"))
       .select(
         col("qid"),
         col("cid"),
-        col("qv"),
-        col("cv"),
-        round(sqCosine(col("qc"), col("cc")), 6).as("qsim")
+        round(sqCosinePre(col("qc"), col("qn2"), col("cc"), col("cn2")), 6).as("qsim")
       )
-    // stage 2: keep top-`rerank` per query by quantized score (bounded
-    // heap — at most `rerank` rows per query per partition shuffle)
+    // stage 2: top-`rerank` per query by quantized score (bounded heap —
+    // at most `rerank` narrow rows per query per partition shuffle)
     val kept = Relational
       .topKPerKey(
         scored.filter(col("qsim").isNotNull),
         Seq("qid"),
-        struct(col("qsim"), (-col("cid")).as("__nc"), col("qv"), col("cv")),
+        struct(col("qsim"), (-col("cid")).as("__nc")),
         rerank,
         rankCol = "__qr"
       )
-      .select(col("qid"), (-col("__nc")).as("cid"), col("qv"), col("cv"))
-    // stage 3: exact float cosine on the surviving sliver only
-    val sims = kept.select(
-      col("qid"),
-      col("cid"),
-      round(
-        vecDot(col("qv"), col("cv")) /
-          (sqrt(vecDot(col("qv"), col("qv"))) * sqrt(vecDot(col("cv"), col("cv")))),
-        6
-      ).as("sim")
+      .select(col("qid"), (-col("__nc")).as("cid"))
+    // stage 3: fetch float vectors for the sliver only and rerank exactly —
+    // the query side is broadcast-sized by contract (same as bruteForceTopK)
+    val qv = queries.select(
+      col(idCol).as("qid"),
+      col(vecCol).as("qv"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("qn")
     )
+    val cv = candidates.select(
+      col(idCol).as("cid"),
+      col(vecCol).as("cv"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("cn")
+    )
+    val sims = kept
+      .join(broadcast(qv), Seq("qid"))
+      .join(cv, Seq("cid"))
+      .select(
+        col("qid"),
+        col("cid"),
+        round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim")
+      )
     rankTopK(sims, k)
   }
 

@@ -921,6 +921,131 @@ object Spike {
     df.unpersist(blocking = false)
   }
 
+  /** `runMain graft.tools.Spike sq8-planted [nVecs]` — the SQ8 IVF path at
+    * 100x+ vectors against planted exact duplicates. Same deterministic
+    * corpus as x60-planted (every 100th vector gets a x2-scaled companion:
+    * exact in float → identical direction, identical int8 CODES, cosine
+    * 1.0); coarse centroids are the first 512 base vectors. Requires: for
+    * EVERY companion, ivfTopKSq's rank-1 neighbor is its partner at
+    * sim 1.0 — quantized scoring + cell routing + exact rerank must all
+    * agree at scale. Also times float [[graft.operators.Similarity.ivfTopK]]
+    * on the identical corpus/centroids: the in-cell scoring volume is the
+    * same, so the delta is the int8-codes-vs-float32 scoring and exchange
+    * payload (~dim+8 B vs ~4dim+8 B per candidate row). */
+  private def sq8Planted(spark: org.apache.spark.sql.SparkSession, nVecs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    // full-entropy elements (2^20 distinct values), unlike x60-planted's
+    // 1000-step grid: real embeddings don't dictionary-compress, and the
+    // storage comparison below would otherwise flatter the float side
+    def elem(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      ((pmod(xxhash64(id, i), lit(1048576L)).cast("double") / lit(1048576.0)) - lit(0.5))
+        .cast("float")
+    val idxs = sequence(lit(0L), lit(dim - 1L))
+    val base = spark
+      .range(nVecs)
+      .select(col("id").as("vec_id"), transform(idxs, i => elem(col("id"), i)).as("embedding"))
+    val planted = base
+      .filter(col("vec_id") % 100 === 0)
+      .select(
+        (col("vec_id") + nVecs).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")
+      )
+    val df = base.unionByName(planted)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = df.count()
+    val cen = base.filter(col("vec_id") < 512).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cen.count()
+    // shuffle-write telemetry: the quantity SQ8 exists to shrink — at
+    // cluster scale exchange bytes, not in-memory flops, are the cost
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted
+      ): Unit =
+        shuffleW.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    // JIT/codegen warmup on a small sample — the SQ variants otherwise pay
+    // whole-stage-codegen compilation + interpreter warmup inside their
+    // timed region while the float variants (run later) inherit a hot JVM
+    val warm = df.filter(col("vec_id") % 10 === 0)
+    val warmCen = cen.limit(64)
+    Seq(
+      () => graft.operators.Similarity.ivfTopKSq(warm, warmCen, "vec_id", "embedding", 5, 1, 10),
+      () => graft.operators.Similarity.ivfTopK(warm, warmCen, "vec_id", "embedding", 5, 1),
+      () => graft.operators.Similarity
+        .bruteForceTopKSq(warmCen, warm, "vec_id", "embedding", 5, 10),
+      () => graft.operators.Similarity.bruteForceTopK(warmCen, warm, "vec_id", "embedding", 5)
+    ).foreach(f => f().count())
+    spark.sparkContext.addSparkListener(listener)
+    def drained(): Long = { Thread.sleep(2000); shuffleW.get() } // listener is async
+    val t0 = System.nanoTime()
+    val sq = graft.operators.Similarity
+      .ivfTopKSq(df, cen, "vec_id", "embedding", k = 10, nProbe = 1, rerank = 20)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSq = sq.count()
+    val tSq = (System.nanoTime() - t0) / 1e9
+    val wSq = drained()
+    val t1 = System.nanoTime()
+    val nFloat = graft.operators.Similarity
+      .ivfTopK(df, cen, "vec_id", "embedding", k = 10, nProbe = 1)
+      .count()
+    val tFloat = (System.nanoTime() - t1) / 1e9
+    val wFloat = drained() - wSq
+    spark.sparkContext.removeSparkListener(listener)
+    // the SERVING shape (small query batch vs big corpus) — where SQ8
+    // scoring pays in wall time too: the broadcast query side is 4x
+    // smaller and every corpus row is scored with the int8 kernel
+    val qBatch = base.filter(col("vec_id") % 100 === 0)
+    val t2 = System.nanoTime()
+    val nBq = graft.operators.Similarity
+      .bruteForceTopKSq(qBatch, df, "vec_id", "embedding", k = 10, rerank = 30)
+      .count()
+    val tBq = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val nBf = graft.operators.Similarity
+      .bruteForceTopK(qBatch, df, "vec_id", "embedding", k = 10)
+      .count()
+    val tBf = (System.nanoTime() - t3) / 1e9
+    // storage: codes+scale parquet vs float parquet (the scan-bytes story)
+    val outF = java.nio.file.Files.createTempDirectory("sq8f").toString
+    val outQ = java.nio.file.Files.createTempDirectory("sq8q").toString
+    df.select("vec_id", "embedding").write.mode("overwrite").parquet(outF)
+    graft.operators.Similarity.sqQuantize(df, "vec_id", "embedding")
+      .select("vec_id", "sq_scale", "sq_codes").write.mode("overwrite").parquet(outQ)
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.isFile).map(_.length()).sum
+    }
+    val (bF, bQ) = (dirBytes(outF), dirBytes(outQ))
+    // every planted companion must rank its partner #1 at sim 1.0
+    val top1 = sq.filter(col("qid") >= nVecs && col("rn") === 1)
+    val nComp = n - nVecs
+    val good = top1
+      .filter(col("cid") === col("qid") - nVecs && col("sim") === 1.0)
+      .count()
+    println(
+      f"[spike] sq8-planted: $n vecs, 512 cells — ivfTopKSq $tSq%.1fs / ${wSq / 1e6}%.0f MB " +
+        f"shuffled ($nSq rows) vs float ivfTopK $tFloat%.1fs / ${wFloat / 1e6}%.0f MB " +
+        f"($nFloat rows); planted top-1 exact $good/$nComp"
+    )
+    println(
+      f"[spike] sq8-planted: serving shape (${nComp} queries x $n corpus) — " +
+        f"bruteForceTopKSq $tBq%.1fs ($nBq rows) vs float bruteForceTopK $tBf%.1fs ($nBf rows)"
+    )
+    println(
+      f"[spike] sq8-planted: storage — float parquet ${bF / 1e6}%.1f MB vs SQ8 codes " +
+        f"${bQ / 1e6}%.1f MB (${bF.toDouble / bQ}%.1fx smaller scan)"
+    )
+    require(good == nComp, s"sq8-planted MISMATCH: only $good of $nComp planted top-1 hits")
+    require(nBq == nBf, s"sq8-planted: serving row counts differ ($nBq vs $nBf)")
+    println("[spike] sq8-planted: all planted duplicates recovered at rank 1 — gate PASS")
+    sq.unpersist(blocking = false)
+    cen.unpersist(blocking = false)
+    df.unpersist(blocking = false)
+  }
+
   /** `SPARK_GRAFT_SF_DIR=... runMain graft.tools.Spike skew` — bucket-size
     * distribution of the two bucketed-join operators whose cost model is
     * sum(bucket²): minhash LSH band buckets (x03 configuration) and IVF
@@ -1052,6 +1177,10 @@ object Spike {
     }
     if (args.nonEmpty && args(0) == "x60-planted") {
       x60Planted(spark, if (args.length > 1) args(1).toLong else 1000000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "sq8-planted") {
+      sq8Planted(spark, if (args.length > 1) args(1).toLong else 200000L)
       spark.stop(); return
     }
     if (args.nonEmpty && args(0) == "zarr-deferred-str") {

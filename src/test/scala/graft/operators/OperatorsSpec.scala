@@ -1166,6 +1166,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     small.unpersist(); e.unpersist()
   }
 
+  test("sq8 ivf: full rerank equals float ivfTopK; codes-only join keeps recall") {
+    val e = t(spark, sfTiny, "embeddings").cache()
+    val cen = e.filter(col("vec_id") < 8).select("vec_id", "embedding")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Int]("rn"))).toSet
+    val floatIvf = asSet(Similarity.ivfTopK(e, cen, "vec_id", "embedding", 5, nProbe = 2))
+    // rerank >= corpus: every in-cell candidate reaches the exact stage
+    val sqFull = asSet(Similarity.ivfTopKSq(e, cen, "vec_id", "embedding", 5, nProbe = 2, rerank = 600))
+    assert(sqFull == floatIvf, s"missing=${floatIvf -- sqFull} extra=${sqFull -- floatIvf}")
+    // modest oversampling: near-total agreement with the float index
+    val sq = Similarity.ivfTopKSq(e, cen, "vec_id", "embedding", 5, nProbe = 2, rerank = 15)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("cid")).toSet).toMap
+    val truth = floatIvf.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val recalls = truth.keys.toSeq.map { qid =>
+      (truth(qid) intersect sq.getOrElse(qid, Set.empty)).size.toDouble / truth(qid).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.99, s"SQ8 IVF recall vs float IVF = $mean")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKSq(e, cen, "vec_id", "embedding", 10, rerank = 5)
+    }
+    e.unpersist()
+  }
+
   test("sampleVideoFrames: stride-2 indices, media timestamps, real pixels recovered") {
     import spark.implicits._
     val ids = (0L until 12L).toDF("doc_id")
