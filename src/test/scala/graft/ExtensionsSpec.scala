@@ -10,10 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * session build). */
 class ExtensionsSpec extends AnyFunSuite with SparkTester {
 
-  test("GraftExtensions injects vec_dot and sorted_intersect_count") {
+  test("GraftExtensions injects vec_dot, byte_dot and sorted_intersect_count") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     val reg = spark.sessionState.functionRegistry
-    Seq("vec_dot", "sorted_intersect_count").foreach { f =>
+    Seq("vec_dot", "byte_dot", "sorted_intersect_count").foreach { f =>
       reg.dropFunction(FunctionIdentifier(f))
       assert(!reg.functionExists(FunctionIdentifier(f)))
     }
@@ -21,10 +21,13 @@ class ExtensionsSpec extends AnyFunSuite with SparkTester {
     val d = spark
       .sql("""SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
              |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
-             |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS c""".stripMargin)
+             |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS c,
+             |  byte_dot(array(CAST(3 AS TINYINT), CAST(-2 AS TINYINT)),
+             |           array(CAST(5 AS TINYINT), CAST(7 AS TINYINT))) AS b""".stripMargin)
       .collect()
       .head
     assert(d.getDouble(0) == 11.0)
     assert(d.getInt(1) == 2)
+    assert(d.getLong(2) == 1L)
   }
 }
