@@ -501,6 +501,45 @@ object Dedup {
     clean.unionByName(verified)
   }
 
+  /** Near-duplicate CLUSTER representatives — the keep-one-per-cluster
+    * step that follows pair detection in a curation pipeline: pairwise
+    * near-dup removal (x22's "drop d2") can drop every member of a
+    * mutually-similar triangle or keep a low-quality member; grouping
+    * pairs into connected components and keeping the BEST doc per
+    * component is the standard fix (and what `n_cluster` sizes report).
+    *
+    * Stages: [[nearDuplicates]] pairs → [[Graph.connectedComponents]]
+    * (min-label) → every doc labeled with its cluster (singletons label
+    * themselves) → one survivor per cluster by ([[Scale.capPerKey]] k=1:
+    * highest `priority`, ties to highest id — deterministic at any
+    * parallelism). Output: one row per SURVIVOR: (idCol, cluster,
+    * n_cluster) — n_cluster counts every input doc in the survivor's
+    * cluster, so `sum(n_cluster) == |input|` always holds.
+    *
+    * 100 TB shape: pair detection is LSH-bucketed, components are the
+    * large/small-star rounds (shuffle-bounded, see Graph), the label
+    * attach is a hash join on the id, and the survivor pick is the
+    * bounded-heap top-1 — no window over the corpus, no collect. */
+  def clusterRepresentatives(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      priority: Column
+  ): DataFrame = {
+    val pairs = nearDuplicates(docs, idCol, textCol, threshold)
+    val comp = Graph.connectedComponents(pairs, "d1", "d2")
+    val withCluster = docs
+      .join(comp.select(col("node").as(idCol), col("label")), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("label"), col(idCol)))
+      .drop("label")
+    val sizes = withCluster.groupBy("cluster").agg(count(lit(1)).as("n_cluster"))
+    Scale
+      .capPerKey(withCluster, "cluster", idCol, priority, 1)
+      .join(sizes, Seq("cluster"))
+      .select(col(idCol), col("cluster"), col("n_cluster"))
+  }
+
   /** Exact pairwise token-set Jaccard over a (pre-filtered) document set.
     * All-pairs by construction — callers must bound the input (e.g., one
     * LSH bucket, one language partition); use minhashCandidates for the

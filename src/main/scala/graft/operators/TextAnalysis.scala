@@ -10,6 +10,45 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** HTML/markup → plain text — the web-crawl extraction stage that sits
+    * in front of every text-curation operator here (the CommonCrawl-style
+    * pipeline: extract → language-ID → quality → dedup). Pure chained
+    * regexp/replace column expression (whole-stage codegen, no UDF, no
+    * shuffle), portable to the SQL oracle (RE2 and Java agree on every
+    * pattern used: dotall via `(?s)`, lazy quantifiers, no backreferences):
+    *
+    *  1. `<script>`/`<style>` blocks removed WITH their content (code and
+    *     CSS are not text — naive tag-stripping leaves them in);
+    *  2. every remaining tag `<...>` → one space (block boundaries must
+    *     not glue words together);
+    *  3. the five standard entities decoded, `&amp;` LAST so `&amp;lt;`
+    *     correctly yields the literal `&lt;`, not `<`;
+    *  4. whitespace collapsed and trimmed.
+    *
+    * Not a browser: comments/CDATA inside scripts, conditional markup and
+    * malformed nesting degrade gracefully (tags still strip) but are not
+    * spec'd — the contract is crawl-scale text extraction, not DOM
+    * fidelity. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val unesc = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"
+          ),
+          "&quot;", "\""
+        ),
+        "&#39;", "'"
+      ),
+      "&amp;", "&"
+    )
+    trim(regexp_replace(unesc, "\\s+", " "))
+  }
+
   /** doc_id, n_tokens, n_uniq, type-token ratio. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tk = tokens(col(textCol))

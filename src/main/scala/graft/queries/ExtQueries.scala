@@ -1746,6 +1746,90 @@ object ExtQueries {
              |  CAST(8 + (doc_id % 5) * 8 AS INTEGER) AS height
              |FROM documents, unnest(range(0, 2 + doc_id % 4, 2)) t(i)
              |ORDER BY doc_id, frame_idx""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // HTML -> text extraction (TextAnalysis.htmlToText): the crawl-
+    // pipeline stage in front of every text operator. Each doc is wrapped
+    // in a deterministic HTML page (tags, a <script> whose BODY contains a
+    // bare '<', a <style> block, entities) by the SAME expression on both
+    // engines; the extractor must drop script/style WITH content, strip
+    // tags to spaces, decode entities (&amp; last), collapse whitespace.
+    Q(
+      "x69_html_extract",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><style>p{color:red}</style></head><body><h1>"),
+          col("lang"),
+          lit("</h1><script>var x=1; if (x<2) { x=3; }</script><p class=\"main\">"),
+          col("text"),
+          lit("</p><br/>&quot;fin&quot; &amp;lt; &#39;ok&#39;</body></html>")
+        )
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            TextAnalysis.htmlToText(html).as("text_plain")
+          )
+          .withColumn("n_chars_plain", length(col("text_plain")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<html><head><style>p{color:red}</style></head><body><h1>' || lang ||
+             |  '</h1><script>var x=1; if (x<2) { x=3; }</script><p class="main">' || text ||
+             |  '</p><br/>&quot;fin&quot; &amp;lt; &#39;ok&#39;</body></html>' AS html
+             |  FROM documents),
+             |x AS (SELECT doc_id,
+             |  trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+             |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+             |        '<[^>]*>', ' ', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+             |    '\s+', ' ', 'g')) AS text_plain
+             |  FROM h)
+             |SELECT doc_id, text_plain,
+             |  CAST(length(text_plain) AS BIGINT) AS n_chars_plain
+             |FROM x ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Near-dup cluster representatives (Dedup.clusterRepresentatives):
+    // LSH near-dup pairs -> connected components -> keep the best doc
+    // (highest n_chars, ties to highest id) per cluster; singletons
+    // survive as their own cluster. sum(n_cluster) == |documents|.
+    Q(
+      "x70_cluster_reps",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup
+          .clusterRepresentatives(docs, "doc_id", "text", 0.8, col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |$minhashCtes,
+              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+              |inter AS (SELECT c.d1, c.d2, COUNT(*) AS ni FROM cand c
+              |  JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+              |  GROUP BY 1, 2),
+              |prs AS (SELECT d1, d2 FROM inter
+              |  JOIN sizes sa ON sa.doc_id = inter.d1
+              |  JOIN sizes sb ON sb.doc_id = inter.d2
+              |  WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.8),
+              |edges AS (SELECT d1 AS a, d2 AS b FROM prs
+              |  UNION SELECT d2, d1 FROM prs),
+              |reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+              |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |comp AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY 1),
+              |wc AS (SELECT d.doc_id, d.n_chars, COALESCE(c.cluster, d.doc_id) AS cluster
+              |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+              |cs AS (SELECT cluster, COUNT(*) AS n_cluster FROM wc GROUP BY 1),
+              |rep AS (SELECT doc_id, cluster FROM (
+              |  SELECT doc_id, cluster,
+              |    row_number() OVER (PARTITION BY cluster
+              |      ORDER BY n_chars DESC, doc_id DESC) AS rk
+              |  FROM wc) t WHERE rk = 1)
+              |SELECT r.doc_id, r.cluster, CAST(cs.n_cluster AS BIGINT) AS n_cluster
+              |FROM rep r JOIN cs USING (cluster) ORDER BY r.doc_id""".stripMargin)
     )
   )
 }

@@ -1093,6 +1093,49 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(repart.toSet == rows.toSet)
   }
 
+  test("htmlToText: script/style dropped with content, tags to spaces, entities decoded") {
+    import spark.implicits._
+    val cases = Seq(
+      // script body containing a bare '<' must vanish entirely
+      ("<p>a</p><script>if (x<2) y=3;</script><p>b</p>", "a b"),
+      ("<style>p { color: red }</style>hello", "hello"),
+      // tags become spaces: block boundaries never glue words
+      ("<div>one</div><div>two</div>", "one two"),
+      // entity decode order: &amp;lt; is the LITERAL string "&lt;"
+      ("x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; &amp;lt; end",
+        "x <tag> \"q\" 's' & &lt; end"),
+      ("   spaced\n\tout   ", "spaced out"),
+      ("plain text untouched", "plain text untouched"),
+      ("", "")
+    ).toDF("html", "expect")
+    val got = cases.select(col("expect"), TextAnalysis.htmlToText(col("html")).as("got"))
+    got.collect().foreach(r => assert(r.getString(1) == r.getString(0),
+      s"expected '${r.getString(0)}' got '${r.getString(1)}'"))
+  }
+
+  test("clusterRepresentatives: best doc per component survives, singletons kept, sizes sum") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // docs 1,2,3 mutually near-dup (one token appended/changed), 2 is longest;
+    // docs 10, 11 unique singletons
+    val docs = Seq(
+      (1L, s"$base one"),
+      (2L, s"$base one two"),
+      (3L, s"$base three"),
+      (10L, "completely different content with many unrelated words here now"),
+      (11L, "another standalone document about nothing in particular at all")
+    ).toDF("doc_id", "text").withColumn("q", length(col("text")))
+    val out = Dedup.clusterRepresentatives(docs, "doc_id", "text", 0.5, col("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((2L, 1L, 3L), (10L, 10L, 1L), (11L, 11L, 1L)), out.toString)
+    // sizes always sum to the input count, survivors = one per cluster
+    val full = t(spark, sfTiny, "documents")
+    val reps = Dedup.clusterRepresentatives(full, "doc_id", "text", 0.8, col("n_chars")).cache()
+    assert(reps.agg(sum("n_cluster")).head().getLong(0) == full.count())
+    assert(reps.select("cluster").distinct().count() == reps.count())
+    reps.unpersist()
+  }
+
   test("sq8 quantize: codes bounded, reconstruction within scale/2, zero vector safe") {
     import spark.implicits._
     val e = t(spark, sfTiny, "embeddings")
