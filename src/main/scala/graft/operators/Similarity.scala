@@ -339,9 +339,9 @@ object Similarity {
     * to the unquantized index.
     *
     * WHEN TO USE — measured, not assumed (Spike sq8-planted, 202k x 64-dim
-    * self-ANN): for corpus-wide SELF-ANN with float vectors on hand,
-    * [[ivfTopK]] is strictly better (~21 s / 251 MB shuffled vs ~34-60 s /
-    * 1.29 GB) — its co-partitioned design never shuffles the pair volume,
+    * self-ANN, quiet box): for corpus-wide SELF-ANN with float vectors on
+    * hand, [[ivfTopK]] is strictly better (17.5 s / 251 MB shuffled vs
+    * 22.7 s / 1.29 GB) — its co-partitioned design never shuffles the pair volume,
     * while the rerank fetch here drags a float vector across an exchange
     * for every (query x rerank) sliver row; and on the JVM (no SIMD over
     * byte arrays) the int8 kernel only matches float flops, it does not
@@ -724,8 +724,8 @@ object Similarity {
     * dims — measured bound in OperatorsSpec), so small oversampling
     * suffices. Output schema == [[bruteForceTopK]].
     *
-    * Measured (Spike sq8-planted serving shape, 2k x 202k): ~1.4x the
-    * float path's wall time on a hot in-memory corpus — JVM byte-array
+    * Measured (Spike sq8-planted serving shape, 2k x 202k, quiet box):
+    * 20.7 s vs the float path's 14.6 s on a hot in-memory corpus — JVM byte-array
     * loops don't vectorize, so the int kernel only ties float flops while
     * the rerank stages add work. Choose it when the corpus is STORED as
     * codes (3.6x smaller scan — then the float path must first read 3.6x
