@@ -1113,6 +1113,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
       s"expected '${r.getString(0)}' got '${r.getString(1)}'"))
   }
 
+  test("htmlToText recovers the text of any generated page (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val genText = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val tag = Gen.oneOf("p", "div", "span", "b", "h1", "li")
+    // a page interleaves wrapped/bare segments plus script/style noise
+    val genSeg: Gen[(String, String)] = Gen.oneOf(
+      genText.flatMap(t => tag.map(g => (s"<$g>$t</$g>", t))),
+      genText.map(t => (t, t)),
+      Gen.const(("<script>var q = 1 < 2;</script>", "")),
+      Gen.const(("<style>b{font-weight:900}</style>", "")),
+      Gen.const(("<br/>", ""))
+    )
+    val genPage = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, genSeg))
+    val prop = Prop.forAll(genPage) { segs =>
+      val html = segs.map(_._1).mkString(" ")
+      val expect = segs.map(_._2).filter(_.nonEmpty).mkString(" ")
+      val got = Seq(html).toDF("h")
+        .select(TextAnalysis.htmlToText(col("h"))).head().getString(0)
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("clusterRepresentatives: best doc per component survives, singletons kept, sizes sum") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
