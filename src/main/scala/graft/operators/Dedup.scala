@@ -589,4 +589,79 @@ object Dedup {
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"), j.as("j"))
       .filter(col("j") >= threshold)
   }
+
+  /** C4-style GLOBAL segment dedup with rewrite: split every document into
+    * consecutive `segTokens`-token segments (tail partial kept), keep each
+    * distinct segment's GLOBALLY FIRST occurrence — ordered by
+    * `(id, seg_idx)` — and drop every other occurrence corpus-wide
+    * (including repeats inside the first doc itself), then rebuild each
+    * document's text from its surviving segments in order. This is the
+    * rewrite C4 applies at line granularity ("deduplicate the corpus at
+    * the three-sentence level, keeping one occurrence"); token-window
+    * segments stand in for lines on unsegmented text. A fully-duplicate
+    * document comes back as `""` with `n_segs_kept = 0`, never silently
+    * dropped — the caller decides whether empties survive.
+    *
+    * Complements [[stripBoilerplate]] (which strips spans shared by MORE
+    * than `maxDocs` docs and keeps no copy): here every segment keeps
+    * exactly one canonical occurrence, the policy for accidental
+    * duplication rather than boilerplate.
+    *
+    * 100 TB shape: segments reduce to 60-bit hashes ([[tokenHash60]]) at
+    * the projection, so strings never cross a shuffle; the first-occurrence
+    * winner per hash is a `min(struct(id, seg_idx))` groupBy — map-side
+    * partial aggregation, so a boilerplate segment present in millions of
+    * docs contributes ONE row per map partition, not a
+    * `row_number() OVER (PARTITION BY hash ...)` sort of the hot hash's
+    * entire row set in one task. Survivors join back on the hash (winner
+    * side is one row per distinct segment) and docs rebuild with a per-doc
+    * bounded sort. */
+  def dedupSegmentsKeepFirst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int = 8
+  ): DataFrame = {
+    require(segTokens > 0, s"dedupSegmentsKeepFirst: segTokens must be positive, got $segTokens")
+    val withTk = spread(docs, idCol).select(col(idCol), split(col(textCol), " ").as("tk"))
+    // (id, seg_idx, seg): consecutive fixed-width token windows; an empty
+    // split still yields one (empty) segment, so every doc has >= 1 row
+    val segs = withTk.select(
+      col(idCol),
+      posexplode(
+        expr(
+          s"transform(sequence(0, (size(tk) - 1) div $segTokens), " +
+            s"j -> concat_ws(' ', slice(tk, j * $segTokens + 1, $segTokens)))"
+        )
+      ).as(Seq("seg_idx", "seg"))
+    )
+    val hashed = segs.withColumn("h", tokenHash60(col("seg")))
+    val winners = hashed
+      .groupBy("h")
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("w"))
+      .select(col("h"), col("w").getField(idCol).as("__wid"), col("w.seg_idx").as("__widx"))
+    val kept = hashed
+      .join(winners, Seq("h"))
+      .filter(col(idCol) === col("__wid") && col("seg_idx") === col("__widx"))
+    val rebuilt = kept
+      .groupBy(idCol)
+      .agg(
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            x => x.getField("seg")
+          )
+        ).as("text_dedup"),
+        count(lit(1)).as("n_segs_kept")
+      )
+    docs
+      .select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_segs_kept"), lit(0L)).as("n_segs_kept")
+      )
+  }
 }

@@ -114,4 +114,40 @@ object TimeOps {
   /** Fixed-width tumbling bucket of a numeric time column (by name). */
   def tumble(tsCol: String, width: Long, outScale: Long = 1L): Column =
     expr(s"($tsCol div $width) * ${width / outScale}")
+
+  /** Time-RANGE rolling aggregates per key — the trailing-window feature
+    * family (count / exact sum / min / max of `valueCol` over the last
+    * `width` time units, endpoints inclusive: `[ts - width, ts]`). The
+    * frame is a true RANGE frame over the numeric time column, so
+    * irregularly-spaced events get correct time-based (not row-based)
+    * windows, and rows sharing a timestamp are peers (each sees the other,
+    * matching ANSI RANGE semantics on both engines).
+    *
+    * The sum routes through DECIMAL (see [[Relational.dsum]]): sliding
+    * double sums are evaluation-order dependent (Spark re-scans the frame,
+    * DuckDB uses segment trees), decimal addition is associative — exact
+    * and deterministic at any parallelism, which a 2-dp money-like column
+    * wants anyway.
+    *
+    * 100 TB shape: one hash exchange on `keyCol`, then each key sorts
+    * independently inside its partition — no global sort, no driver state;
+    * skewed keys shard like any window (salt the key upstream if one user
+    * dominates). Appended columns: `n_win`, `sum_win`, `min_win`,
+    * `max_win`. */
+  def rollingByTime(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      width: Long,
+      sumPrecision: Int = 14
+  ): DataFrame = {
+    require(width > 0, s"rollingByTime: width must be positive, got $width")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol)).rangeBetween(-width, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(sumPrecision, 2)
+    df.withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win", sum(col(valueCol).cast(dec)).over(w).cast("double"))
+      .withColumn("min_win", min(col(valueCol)).over(w))
+      .withColumn("max_win", max(col(valueCol)).over(w))
+  }
 }

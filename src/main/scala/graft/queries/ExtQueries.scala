@@ -1830,6 +1830,71 @@ object ExtQueries {
               |  FROM wc) t WHERE rk = 1)
               |SELECT r.doc_id, r.cluster, CAST(cs.n_cluster AS BIGINT) AS n_cluster
               |FROM rep r JOIN cs USING (cluster) ORDER BY r.doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // C4-style global segment dedup (Dedup.dedupSegmentsKeepFirst): every
+    // distinct 8-token segment keeps ONLY its globally-first occurrence
+    // (ordered by doc_id, seg_idx); docs are rebuilt from survivors. The
+    // winner per segment hash is a min-struct groupBy (map-side partials —
+    // no hot-hash window sort); a fully-duplicated doc survives as "".
+    Q(
+      "x71_seg_dedup",
+      (s, d) =>
+        Dedup
+          .dedupSegmentsKeepFirst(t(s, d, "documents"), "doc_id", "text", segTokens = 8)
+          .withColumn("n_chars_dedup", length(col("text_dedup")).cast("long"))
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |segs AS (SELECT doc_id, j AS seg_idx,
+             |    array_to_string(tk[j*8+1 : j*8+8], ' ') AS seg
+             |  FROM toks, unnest(range(0, (len(tk)-1)//8 + 1)) AS t(j)),
+             |hs AS (SELECT *, CAST('0x' || substr(md5(seg), 18, 15) AS BIGINT) AS h FROM segs),
+             |keep AS (SELECT doc_id, seg_idx, seg FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+             |    FROM hs) z WHERE rn = 1),
+             |agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+             |    COUNT(*) AS n_segs_kept FROM keep GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(a.text_dedup, '') AS text_dedup,
+             |  CAST(COALESCE(a.n_segs_kept, 0) AS BIGINT) AS n_segs_kept,
+             |  CAST(length(COALESCE(a.text_dedup, '')) AS BIGINT) AS n_chars_dedup
+             |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Trailing time-window features (TimeOps.rollingByTime): per-user
+    // count / exact decimal sum / min / max of `value` over the last 60 s
+    // (RANGE frame — irregular event spacing gets true time windows, and
+    // same-ts rows are peers on both engines). One hash exchange on
+    // user_id; each key sorts independently — no global sort.
+    Q(
+      "x75_rolling_time",
+      (s, d) =>
+        TimeOps
+          .rollingByTime(
+            t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"), col("value")),
+            "user_id",
+            "ts",
+            "value",
+            width = 60_000_000_000L
+          )
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("n_win").as("n_60s"),
+            col("sum_win").as("sum_60s"),
+            col("min_win").as("min_60s"),
+            col("max_win").as("max_60s")
+          )
+          .orderBy("event_id"),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value FROM events)
+             |SELECT event_id, user_id,
+             |  COUNT(*) OVER w AS n_60s,
+             |  CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS sum_60s,
+             |  MIN(value) OVER w AS min_60s,
+             |  MAX(value) OVER w AS max_60s
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
+             |  RANGE BETWEEN 60000000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)
     )
   )
 }

@@ -1293,4 +1293,77 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
     out.unpersist()
   }
+
+  test("dedupSegmentsKeepFirst keeps globally-first occurrence, rebuilds in order") {
+    import spark.implicits._
+    // segTokens=2: doc 0 = [a b][c d][a b]  (internal repeat of its own first seg)
+    //              doc 1 = [c d][e f]       (c d first seen in doc 0 seg 1)
+    //              doc 2 = [a b][c d]       (fully duplicate -> "")
+    //              doc 3 = [g h]            (unique singleton)
+    val docs = Seq(
+      (0L, "a b c d a b"),
+      (1L, "c d e f"),
+      (2L, "a b c d"),
+      (3L, "g h")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .dedupSegmentsKeepFirst(docs, "doc_id", "text", segTokens = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(out == Seq(
+      (0L, "a b c d", 2L), // internal repeat dropped too
+      (1L, "e f", 1L),
+      (2L, "", 0L), // fully duplicate doc survives as empty, not dropped
+      (3L, "g h", 1L)
+    ))
+    // partial tail segment is a segment of its own: "x y z" = [x y][z]
+    val tail = Seq((0L, "x y z"), (1L, "z")).toDF("doc_id", "text")
+    val t2 = Dedup
+      .dedupSegmentsKeepFirst(tail, "doc_id", "text", segTokens = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(t2 == Seq((0L, "x y z"), (1L, ""))) // doc 0's tail [z] wins over doc 1's [z]
+    intercept[IllegalArgumentException] {
+      Dedup.dedupSegmentsKeepFirst(docs, "doc_id", "text", segTokens = 0)
+    }
+  }
+
+  test("dedupSegmentsKeepFirst is partition-count invariant") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, (0 until 12).map(j => s"w${(i * 7 + j) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Dedup.dedupSegmentsKeepFirst(docs.repartition(1), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.dedupSegmentsKeepFirst(docs.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("rollingByTime RANGE frames: irregular spacing, ts peers, exact decimal sum") {
+    import spark.implicits._
+    // key 1: ts 0, 50, 110 (110 sees only 50+110 under width 60); ts peers at 200
+    val ev = Seq(
+      (1L, 0L, 1.25), (2L, 50L, 2.50), (3L, 110L, 4.00),
+      (4L, 200L, 1.00), (5L, 200L, 3.00), // peers: each sees both
+      (6L, 1000L, 9.99)
+    ).map { case (id, ts, v) => (id, 7L, ts, v) }.toDF("event_id", "user_id", "ts", "value")
+    val out = TimeOps.rollingByTime(ev, "user_id", "ts", "value", width = 60L)
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 1L, 1.25, 1.25, 1.25),
+      (2L, 2L, 3.75, 1.25, 2.50), // [0,50] in range (endpoints inclusive)
+      (3L, 2L, 6.50, 2.50, 4.00), // 0 aged out: [50,110]
+      (4L, 2L, 4.00, 1.00, 3.00), // peer row included both ways
+      (5L, 2L, 4.00, 1.00, 3.00),
+      (6L, 1L, 9.99, 9.99, 9.99)
+    ))
+    intercept[IllegalArgumentException] {
+      TimeOps.rollingByTime(ev, "user_id", "ts", "value", width = 0L)
+    }
+  }
 }
