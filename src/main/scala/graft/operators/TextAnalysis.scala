@@ -49,6 +49,55 @@ object TextAnalysis {
     trim(regexp_replace(unesc, "\\s+", " "))
   }
 
+  /** Canonical URL form for crawl-level dedup — the normalization every
+    * URL-keyed pipeline stage (frontier dedup, per-site caps, exact URL
+    * dedup) applies before comparing:
+    *  1. fragment stripped (never reaches the server);
+    *  2. scheme and host lowercased (RFC 3986 case-insensitive parts; the
+    *     PATH keeps its case — it is case-sensitive);
+    *  3. leading `www.` and scheme-default port (`:80` http / `:443`
+    *     https) dropped from the host;
+    *  4. duplicate slashes in the path collapsed, trailing slashes
+    *     stripped (root becomes "");
+    *  5. tracking params (`utm_*`, `fbclid`, `gclid`) removed, the rest
+    *     byte-order sorted and rejoined — `?b=2&a=1` == `?a=1&b=2`.
+    *
+    * Every regex behaves identically under Java regex and RE2, so the
+    * DuckDB oracle replays the exact chain. Pure per-row column — no
+    * shuffle; compose with [[Dedup.exactWithCounts]] on the result for
+    * URL-level dedup. Non-URL input degrades to best effort (empty
+    * scheme/host), never throws. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val noWww = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", ""
+    )
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val path = regexp_replace(
+      regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/{2,}", "/"),
+      "/+$", ""
+    )
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val params = array_join(
+      array_sort(
+        filter(
+          split(query, "&"),
+          p => p =!= lit("") && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)")
+        )
+      ),
+      "&"
+    )
+    concat(
+      scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params))
+    )
+  }
+
   /** doc_id, n_tokens, n_uniq, type-token ratio. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tk = tokens(col(textCol))

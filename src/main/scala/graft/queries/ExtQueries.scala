@@ -1860,6 +1860,68 @@ object ExtQueries {
              |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // URL canonicalization + URL-level dedup (TextAnalysis.canonicalUrl +
+    // Dedup.exactWithCounts): synthesized crawl URLs with case/port/www/
+    // tracking-param/fragment noise collapse to one canonical form; dedup
+    // keeps the lowest doc_id per canonical URL with a duplicate count.
+    // Canonicalization is a pure per-row column (no shuffle); the dedup is
+    // the one hash shuffle on the canonical key.
+    Q(
+      "x72_url_dedup",
+      (s, d) => {
+        val dk = col("doc_id")
+        val u = concat(
+          when(dk % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
+          lit("://"),
+          when(dk % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit(".Example.COM"),
+          when(dk % 4 === 0, lit(":443")).otherwise(lit("")),
+          lit("/Docs/"), col("lang"), lit("/"), (dk % 25).cast("string"),
+          when(dk % 2 === 0, lit("/")).otherwise(lit("")),
+          when(dk % 5 === 0, lit("?utm_source=feed&b=2&a=1")).otherwise(lit("?a=1&b=2")),
+          when(dk % 7 === 0, lit("#frag")).otherwise(lit(""))
+        )
+        val withCanon = t(s, d, "documents")
+          .withColumn("url_canon", TextAnalysis.canonicalUrl(u))
+        Dedup
+          .exactWithCounts(withCanon, Seq("url_canon"), "doc_id")
+          .select(col("doc_id"), col("url_canon"), col("n_dups"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH syn AS (SELECT doc_id,
+             |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+             |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+             |  source || '.Example.COM' ||
+             |  (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+             |  '/Docs/' || lang || '/' || CAST(doc_id % 25 AS VARCHAR) ||
+             |  (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+             |  (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&b=2&a=1' ELSE '?a=1&b=2' END) ||
+             |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS u
+             |  FROM documents),
+             |c1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u1 FROM syn),
+             |c2 AS (SELECT doc_id,
+             |  lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |  regexp_replace(lower(regexp_extract(u1,
+             |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS h0,
+             |  regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+             |  FROM c1),
+             |c3 AS (SELECT doc_id, scheme,
+             |  CASE WHEN scheme = 'http' THEN regexp_replace(h0, ':80$', '')
+             |       WHEN scheme = 'https' THEN regexp_replace(h0, ':443$', '')
+             |       ELSE h0 END AS host,
+             |  regexp_replace(regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+             |    '/{2,}', '/', 'g'), '/+$', '') AS path,
+             |  array_to_string(list_sort(list_filter(
+             |    string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
+             |    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))),
+             |    '&') AS params
+             |  FROM c2),
+             |canon AS (SELECT doc_id, scheme || '://' || host || path ||
+             |  (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS url_canon FROM c3)
+             |SELECT MIN(doc_id) AS doc_id, url_canon, COUNT(*) AS n_dups
+             |FROM canon GROUP BY url_canon ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Trailing time-window features (TimeOps.rollingByTime): per-user
     // count / exact decimal sum / min / max of `value` over the last 60 s
     // (RANGE frame — irregular event spacing gets true time windows, and

@@ -1341,6 +1341,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(a == b)
   }
 
+  test("canonicalUrl collapses case/www/default-port/tracking/fragment noise") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://WWW.Site.Example.COM:443/Docs//a/7/?utm_source=x&b=2&a=1#frag",
+      "https://site.example.com/Docs/a/7?a=1&b=2",
+      "http://site.example.com:80/Docs/a/7?a=1&b=2", // http != https: distinct
+      "https://site.example.com/Docs/A/7?a=1&b=2", // path case-SENSITIVE: distinct
+      "https://site.example.com:8443/x?fbclid=1&gclid=2&utm_medium=m", // odd port kept
+      "not a url at all"
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val out = urls
+      .select(col("id"), TextAnalysis.canonicalUrl(col("url")).as("c"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(out(0) == "https://site.example.com/Docs/a/7?a=1&b=2")
+    assert(out(1) == out(0)) // the two https variants collapse
+    assert(out(2) == "http://site.example.com/Docs/a/7?a=1&b=2")
+    assert(out(2) != out(0))
+    assert(out(3) == "https://site.example.com/Docs/A/7?a=1&b=2")
+    assert(out(4) == "https://site.example.com:8443/x") // all params were tracking
+    assert(out(5) == "://") // non-URL degrades, never throws
+  }
+
   test("rollingByTime RANGE frames: irregular spacing, ts peers, exact decimal sum") {
     import spark.implicits._
     // key 1: ts 0, 50, 110 (110 sees only 50+110 under width 60); ts peers at 200
