@@ -205,4 +205,67 @@ object Graph {
       out
     }
   }
+
+  /** PageRank over a directed multigraph edge list, fixed iteration count
+    * (the batch-analytics form: a known budget of synchronous rounds, not
+    * convergence detection — iterations are the caller's contract, so two
+    * engines produce bit-comparable ranks). Parallel edges each carry
+    * weight: a src with `deg` out-edges sends `rank/deg` along EVERY edge
+    * instance. Dangling nodes (no out-edges) redistribute their mass
+    * uniformly, so total rank stays 1 every round:
+    * `r'(v) = (1-d)/N + d * (Σ_in r(u)/deg(u) + danglingMass/N)`.
+    *
+    * 100 TB shape: the edge list joins ranks on `src` (one hash exchange,
+    * co-partitioned across rounds since the key never changes) and
+    * aggregates contributions on `dst` with map-side partials; the
+    * dangling mass is a 1-row aggregate broadcast into the update (never a
+    * driver-side loop); rank state is one row per node. Each round is
+    * eagerly `localCheckpoint`ed — the update references the previous
+    * round's frame in two subtrees (contributions + dangling), so carrying
+    * lineage would recompute 2^iters subtrees (see object doc for the
+    * checkpoint trade). N is a single distinct-count scalar.
+    *
+    * @return (node, rank) for every node appearing as src or dst. */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3,
+      damping: Double = 0.85
+  ): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"pageRank: damping must be in (0,1), got $damping")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val ew = e.join(deg, "src").localCheckpoint(true) // (src, dst, deg) — static across rounds
+    val nodes = e
+      .select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val degAsNode = deg.withColumnRenamed("src", "node")
+    var ranks = nodes.select(col("node"), (lit(1.0) / lit(n)).as("rank")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = ew
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("c"))
+      val dang = ranks
+        .join(degAsNode, Seq("node"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(
+          col("node"),
+          ((lit(1.0) - lit(damping)) / lit(n) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))).as("rank")
+        )
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

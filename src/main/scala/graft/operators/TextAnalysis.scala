@@ -397,4 +397,43 @@ object TextAnalysis {
         ): _*
       )
   }
+
+  /** Bounded inverted index: one output row per (token, posting) with the
+    * token's document frequency `df`, collection frequency `cf`, and its
+    * top-`k` postings ranked by `(tf DESC, id ASC)` — the corpus-search /
+    * retrieval-debug structure ("which docs dominate this term?").
+    *
+    * 100 TB shape: term frequencies are one `(token, id)` groupBy (map-side
+    * partials absorb within-doc repeats), then ONE aggregate per token
+    * computes df + cf + the posting list together via the bounded-heap
+    * [[graft.functions.TopKStructs]] — at most k postings per token per
+    * partition cross the shuffle, never a `row_number()` sort of a
+    * stopword's entire posting set in one task, and the output is bounded
+    * by `|vocab| * k` regardless of corpus size. Ids are packed negated so
+    * the heap's descending struct order yields the ASC id tie-break. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"invertedIndex: k must be positive, got $k")
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy("token")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("cf"),
+        graft.functions.TopKAggFunctions
+          .topKStructs(struct(col("tf"), (-col(idCol)).as("__nid")), k)
+          .as("__topk")
+      )
+      .select(
+        col("token"), col("df"), col("cf"),
+        posexplode(col("__topk")).as(Seq("__pos", "__s"))
+      )
+      .select(
+        col("token"), col("df"), col("cf"),
+        (col("__pos") + 1).cast("long").as("rank"),
+        (-col("__s.__nid")).as(idCol),
+        col("__s.tf").as("tf")
+      )
+  }
 }

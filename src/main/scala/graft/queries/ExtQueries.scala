@@ -1922,6 +1922,82 @@ object ExtQueries {
              |FROM canon GROUP BY url_canon ORDER BY doc_id""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // PageRank, fixed 3 iterations (Graph.pageRank) over the events
+    // user -> item multigraph (item nodes offset past the user-id space so
+    // they are PURE SINKS — the dangling-mass path is genuinely exercised,
+    // not vacuously zero). Edge joins co-partition on src across rounds;
+    // contributions aggregate map-side; dangling mass is a 1-row broadcast.
+    // The oracle unrolls the same three synchronous rounds as CTEs with
+    // mirrored double arithmetic.
+    Q(
+      "x73_pagerank",
+      (s, d) => {
+        val edges = t(s, d, "events")
+          .select(
+            col("user_id").as("src"),
+            (get_json_object(col("props"), "$.k").cast("long") + 1000000L).as("dst")
+          )
+          .where(col("dst").isNotNull)
+        Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85).orderBy("node")
+      },
+      Some("""WITH e AS (SELECT user_id AS src,
+             |    1000000 + CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+             |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+             |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+             |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+             |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+             |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+             |c1 AS (SELECT e.dst AS node, SUM(r.rank / d.deg) AS c FROM e
+             |  JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+             |d1 AS (SELECT COALESCE(SUM(r.rank), CAST(0 AS DOUBLE)) AS dm FROM r0 r
+             |  LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+             |r1 AS (SELECT ns.node,
+             |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + CAST(0.85 AS DOUBLE) *
+             |      (COALESCE(c.c, CAST(0 AS DOUBLE)) + d1.dm / nn.n) AS rank
+             |  FROM nodes ns CROSS JOIN nn CROSS JOIN d1 LEFT JOIN c1 c ON c.node = ns.node),
+             |c2 AS (SELECT e.dst AS node, SUM(r.rank / d.deg) AS c FROM e
+             |  JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+             |d2 AS (SELECT COALESCE(SUM(r.rank), CAST(0 AS DOUBLE)) AS dm FROM r1 r
+             |  LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+             |r2 AS (SELECT ns.node,
+             |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + CAST(0.85 AS DOUBLE) *
+             |      (COALESCE(c.c, CAST(0 AS DOUBLE)) + d2.dm / nn.n) AS rank
+             |  FROM nodes ns CROSS JOIN nn CROSS JOIN d2 LEFT JOIN c2 c ON c.node = ns.node),
+             |c3 AS (SELECT e.dst AS node, SUM(r.rank / d.deg) AS c FROM e
+             |  JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src GROUP BY 1),
+             |d3 AS (SELECT COALESCE(SUM(r.rank), CAST(0 AS DOUBLE)) AS dm FROM r2 r
+             |  LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+             |r3 AS (SELECT ns.node,
+             |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + CAST(0.85 AS DOUBLE) *
+             |      (COALESCE(c.c, CAST(0 AS DOUBLE)) + d3.dm / nn.n) AS rank
+             |  FROM nodes ns CROSS JOIN nn CROSS JOIN d3 LEFT JOIN c3 c ON c.node = ns.node)
+             |SELECT node, rank FROM r3 ORDER BY node""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Bounded inverted index (TextAnalysis.invertedIndex): per-token df /
+    // cf + top-5 postings by (tf DESC, doc_id ASC) via the bounded-heap
+    // aggregate — at most k postings per token per partition cross the
+    // shuffle; output bounded by |vocab| * k at any corpus size.
+    Q(
+      "x74_inverted_index",
+      (s, d) =>
+        TextAnalysis
+          .invertedIndex(t(s, d, "documents"), "doc_id", "text", k = 5)
+          .orderBy("token", "rank"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |agg AS (SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+             |  FROM tf GROUP BY 1),
+             |rk AS (SELECT token, doc_id, tf,
+             |    row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id ASC) AS rank
+             |  FROM tf)
+             |SELECT r.token, a.df, a.cf, CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+             |  CAST(r.tf AS BIGINT) AS tf
+             |FROM rk r JOIN agg a USING (token)
+             |WHERE r.rank <= 5 ORDER BY r.token, r.rank""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Trailing time-window features (TimeOps.rollingByTime): per-user
     // count / exact decimal sum / min / max of `value` over the last 60 s
     // (RANGE frame — irregular event spacing gets true time windows, and

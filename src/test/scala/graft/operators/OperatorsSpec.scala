@@ -1341,6 +1341,61 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(a == b)
   }
 
+  test("pageRank matches a local reference; mass conserved; dangling + parallel edges") {
+    import spark.implicits._
+    // 1 -> 2 (twice: parallel edges), 1 -> 3, 2 -> 1; 3 is dangling
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 4, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // local dense reference on the same multigraph
+    val es = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L))
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val deg = es.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 4) {
+      val contrib = es.groupBy(_._2).view.mapValues(
+        _.map(e => r(e._1) / deg(e._1)).sum).toMap
+      val dm = nodes.filterNot(deg.contains).map(r).sum
+      r = nodes.map(v => v -> ((1.0 - 0.85) / n + 0.85 * (contrib.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-12, s"node $v: ${got(v)} vs ${r(v)}"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // dangling redistribution conserves mass
+    // parallel edges matter: without the duplicate 1->2, node 2 ranks lower
+    val single = Graph.pageRank(Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst"),
+      "src", "dst", iters = 4, damping = 0.85)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+    assert(single(2L) < got(2L))
+    intercept[IllegalArgumentException] { Graph.pageRank(edges, "src", "dst", iters = 0) }
+    intercept[IllegalArgumentException] { Graph.pageRank(edges, "src", "dst", damping = 1.0) }
+  }
+
+  test("invertedIndex: df/cf exact, postings ranked (tf DESC, id ASC), k-bounded") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "a a a b"),
+      (11L, "a a b b"),
+      (12L, "a b c"),
+      (13L, "a z")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "doc_id", "text", k = 2)
+      .orderBy("token", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(out == Seq(
+      ("a", 4L, 7L, 1L, 10L, 3L), // tf 3 beats tf 2
+      ("a", 4L, 7L, 2L, 11L, 2L), // tf tie (11 vs 12,13): lowest id wins rank 2
+      ("b", 3L, 4L, 1L, 11L, 2L),
+      ("b", 3L, 4L, 2L, 10L, 1L), // tf tie at 1: id 10 < 12
+      ("c", 1L, 1L, 1L, 12L, 1L),
+      ("z", 1L, 1L, 1L, 13L, 1L)
+    )) // k=2 bound: token 'a' (df 4) and 'b' (df 3) emit exactly 2 postings
+    intercept[IllegalArgumentException] {
+      TextAnalysis.invertedIndex(docs, "doc_id", "text", k = 0)
+    }
+  }
+
   test("canonicalUrl collapses case/www/default-port/tracking/fragment noise") {
     import spark.implicits._
     val urls = Seq(
