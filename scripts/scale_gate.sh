@@ -20,6 +20,10 @@
 #   4. x41-planted    — near-dup clustering at 100x docs (500k) against a
 #                       closed-form planted-component oracle (engine-
 #                       independent; DuckDB spills on this at sf10)
+#   4a2. pagerank-planted — PageRank on a 10M-edge hub-skewed multigraph
+#                       with dangling sinks + a planted 2-cycle, against an
+#                       exact driver-side array reference from the same
+#                       edge formulas (per-node maxDiff ~4e-17, mass = 1)
 #   4b. x60-planted   — embedding near-dup at 1M vectors against planted
 #                       scaled duplicates (exact float semantics -> same
 #                       LSH bucket, cosine 1.0): exact pair match required,
@@ -41,6 +45,7 @@ sbt -batch "runMain graft.tools.Spike zarr-zonemap"   2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike zarr-hier"      2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike zarr-deferred-str" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike x41-planted 500000" 2>&1 | grep -E '\[spike\]'
+sbt -batch "runMain graft.tools.Spike pagerank-planted" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike x60-planted 1000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike sq8-planted 200000" 2>&1 | grep -E '\[spike\]'
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \

@@ -1159,6 +1159,89 @@ object Spike {
     }
   }
 
+  /** PageRank scale gate: a 10M-edge synthetic multigraph (hub-skewed
+    * in-degree, dangling sinks, one planted isolated 2-cycle) checked
+    * against an exact DRIVER-SIDE primitive-array reference computed from
+    * the same deterministic edge formulas — per-node agreement (measured
+    * 3.7e-17 max divergence at 1M nodes), mass conservation, the planted
+    * cycle's symmetry (the pair exchange full rank each round, so their
+    * ranks are identical at every round; note an "isolated" cycle does
+    * NOT stay at 1/N in a graph WITH dangling nodes — it collects dm/N
+    * every round and compounds it, which the first run of this gate
+    * demonstrated), and hub dominance among the organic nodes. The
+    * quantity that would degrade at scale is the per-round shuffle (edges
+    * join ranks on src, contributions aggregate on dst); the gate pins
+    * wall for the full 4-round run. */
+  private def pagerankPlanted(spark: org.apache.spark.sql.SparkSession, nNodes: Long, nEdges: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val srcSpace = nNodes * 9 / 10 // [srcSpace, nNodes): never a src -> dangling if reached
+    val hubSpace = nNodes / 100 // half the edges land here: high in-degree hubs
+    val t0 = System.nanoTime()
+    val synth = spark
+      .range(nEdges)
+      .select(
+        ((col("id") * 1103515245L + 12345L) % srcSpace).as("src"),
+        when(col("id") % 2 === 0, (col("id") * 69069L + 1L) % nNodes)
+          .otherwise((col("id") * 48271L) % hubSpace)
+          .as("dst")
+      )
+    // planted isolated 2-cycle on ids nNodes, nNodes+1
+    val pair = spark
+      .range(1)
+      .select(lit(nNodes).as("src"), lit(nNodes + 1).as("dst"))
+      .union(spark.range(1).select(lit(nNodes + 1).as("src"), lit(nNodes).as("dst")))
+    val ranks = graft.operators.Graph
+      .pageRank(synth.union(pair), "src", "dst", iters = 4, damping = 0.85)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOut = ranks.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // driver-side exact reference from the same formulas
+    val present = new Array[Boolean](nNodes.toInt + 2)
+    val deg = new Array[Int](nNodes.toInt + 2)
+    val srcs = new Array[Int](nEdges.toInt + 2)
+    val dsts = new Array[Int](nEdges.toInt + 2)
+    var i = 0L
+    while (i < nEdges) {
+      val s = ((i * 1103515245L + 12345L) % srcSpace).toInt
+      val d0 = if (i % 2 == 0) ((i * 69069L + 1L) % nNodes).toInt else ((i * 48271L) % hubSpace).toInt
+      srcs(i.toInt) = s; dsts(i.toInt) = d0
+      present(s) = true; present(d0) = true; deg(s) += 1
+      i += 1
+    }
+    srcs(nEdges.toInt) = nNodes.toInt; dsts(nEdges.toInt) = nNodes.toInt + 1
+    srcs(nEdges.toInt + 1) = nNodes.toInt + 1; dsts(nEdges.toInt + 1) = nNodes.toInt
+    present(nNodes.toInt) = true; present(nNodes.toInt + 1) = true
+    deg(nNodes.toInt) += 1; deg(nNodes.toInt + 1) += 1
+    val nRef = present.count(identity).toDouble
+    var r = Array.tabulate(present.length)(v => if (present(v)) 1.0 / nRef else 0.0)
+    for (_ <- 1 to 4) {
+      val contrib = new Array[Double](present.length)
+      var j = 0
+      while (j < nEdges + 2) { contrib(dsts(j)) += r(srcs(j)) / deg(srcs(j)); j += 1 }
+      var dm = 0.0
+      var v = 0
+      while (v < present.length) { if (present(v) && deg(v) == 0) dm += r(v); v += 1 }
+      r = Array.tabulate(present.length)(v0 =>
+        if (present(v0)) (1.0 - 0.85) / nRef + 0.85 * (contrib(v0) + dm / nRef) else 0.0
+      )
+    }
+    val got = ranks.collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    require(nOut == nRef.toLong, s"node count: spark $nOut vs ref ${nRef.toLong}")
+    val maxDiff = got.iterator.map { case (v, rv) => math.abs(rv - r(v.toInt)) }.max
+    val mass = got.valuesIterator.sum
+    val cyc = got(nNodes)
+    val hubTop = got.iterator.filter(_._1 < nNodes).maxBy(_._2)._1
+    println(
+      f"[spike] pagerank-planted: $nEdges edges / $nOut nodes, 4 rounds in $wall%.1fs — " +
+        f"maxDiff=$maxDiff%.2e mass=$mass%.9f cycle=${cyc * nRef}%.9f/N top=$hubTop"
+    )
+    require(maxDiff < 1e-9, s"per-node divergence vs reference: $maxDiff")
+    require(math.abs(mass - 1.0) < 1e-6, s"mass not conserved: $mass")
+    require(math.abs(cyc - got(nNodes + 1)) < 1e-15, "planted cycle pair lost rank symmetry")
+    require(hubTop < hubSpace, s"max-rank organic node $hubTop is not a hub")
+    ranks.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("32")
     if (args.sameElements(Array("mm-profile"))) { mmProfile(spark); spark.stop(); return }
@@ -1171,6 +1254,14 @@ object Spike {
     if (args.sameElements(Array("cc-telemetry"))) { ccTelemetry(spark); spark.stop(); return }
     if (args.sameElements(Array("skew"))) { skew(spark); spark.stop(); return }
     if (args.sameElements(Array("sf10"))) { sf10(spark); spark.stop(); return }
+    if (args.nonEmpty && args(0) == "pagerank-planted") {
+      pagerankPlanted(
+        spark,
+        if (args.length > 1) args(1).toLong else 2000000L,
+        if (args.length > 2) args(2).toLong else 10000000L
+      )
+      spark.stop(); return
+    }
     if (args.nonEmpty && args(0) == "x41-planted") {
       x41Planted(spark, if (args.length > 1) args(1).toLong else 500000L)
       spark.stop(); return
