@@ -151,6 +151,23 @@ object Dedup {
       s"bands x rowsPerBand = $numHashes exceeds the hash-family size $MinhashMaxK"
     )
     val sig = minhashSignatures(docs, idCol, textCol, numHashes)
+    candidatesFromSignatures(sig, idCol, bands, rowsPerBand, maxBucketSize)
+  }
+
+  /** [[minhashCandidates]] over an ALREADY-COMPUTED signature frame
+    * (columns m0..m{k-1} from [[minhashSignatures]]) — lets callers that
+    * need the signatures again downstream (e.g. [[estimatedJaccard]])
+    * compute them once instead of re-running the shingle/hash pipeline
+    * inside the candidate join. */
+  def candidatesFromSignatures(
+      sig: DataFrame,
+      idCol: String,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      maxBucketSize: Option[Int] = None
+  ): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1, s"bad banding ($bands x $rowsPerBand)")
+    require(maxBucketSize.forall(_ >= 2), s"maxBucketSize must be >= 2, got $maxBucketSize")
     // ONE generator pass emits all band rows per doc — a union of per-band
     // selects would plan `bands` copies of the signature pipeline (bands x
     // the shingle/hash work unless exchange reuse happens to fire) and
@@ -202,6 +219,41 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol")
     ).select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .distinct()
+  }
+
+  /** Candidate pairs with the Jaccard similarity ESTIMATED from the
+    * MinHash signatures alone: `est_j = |{i : m_i(a) = m_i(b)}| / k` — the
+    * unbiased MinHash estimator (each component agrees with probability
+    * exactly j). This is the at-scale verification path: confirming a
+    * candidate with its true Jaccard ([[nearDuplicates]]) re-joins the
+    * SHINGLE sets (the widest data in the pipeline), while the estimate
+    * touches only the k-long signatures the LSH step already computed —
+    * the standard precision/cost trade (k bounds the estimator's variance:
+    * sd = sqrt(j(1-j)/k)).
+    *
+    * Signatures are computed ONCE (eagerly checkpointed) and reused by
+    * both the band join and the two estimate-side lookups; est values are
+    * exact multiples of 1/k, so both engines produce bit-identical
+    * doubles. */
+  def estimatedJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      maxBucketSize: Option[Int] = None
+  ): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minhashSignatures(docs, idCol, textCol, k).localCheckpoint(true)
+    val cands = candidatesFromSignatures(sig, idCol, bands, rowsPerBand, maxBucketSize)
+    val a = sig.as("a"); val b = sig.as("b")
+    val agree = (0 until k)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands
+      .join(a, cands("d1") === col(s"a.$idCol"))
+      .join(b, cands("d2") === col(s"b.$idCol"))
+      .select(col("d1"), col("d2"), (agree.cast("double") / lit(k.toDouble)).as("est_j"))
   }
 
   /** 16-bit SimHash over distinct word-3-gram shingle hashes. */

@@ -33,6 +33,31 @@ object Relational {
   def dsum(c: Column, precision: Int = 18): Column =
     sum(c.cast(org.apache.spark.sql.types.DecimalType(precision, 2))).cast("double")
 
+  /** Per-key standardization: appends the key-group mean, sample stddev,
+    * and z-score of `valueCol` — the outlier-screening / feature-scaling
+    * primitive. A constant (or singleton) group has zero stddev; its z is
+    * NULL (never ±Inf), so downstream |z| filters drop those rows instead
+    * of keeping every member of a degenerate group.
+    *
+    * 100 TB shape: the stats side is ONE map-side-partial aggregate
+    * bounded by |keys| rows, broadcast back onto the fact table — the data
+    * itself never shuffles. (A window-function formulation would instead
+    * hash-exchange every row and hold whole key groups per task.) */
+  def zscore(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val stats = df
+      .groupBy(keys.map(col): _*)
+      .agg(
+        avg(col(valueCol)).as("mean_v"),
+        stddev_samp(col(valueCol)).as("std_v")
+      )
+    df.join(broadcast(stats), keys)
+      .withColumn(
+        "z",
+        (col(valueCol) - col("mean_v")) /
+          when(col("std_v") === 0.0, lit(null)).otherwise(col("std_v"))
+      )
+  }
+
   /** Grouped top-k via the bounded-heap aggregate
     * [[graft.functions.TopKStructs]] — at most k rows per group per
     * partition cross the shuffle, vs `row_number() OVER (...)` which

@@ -1998,6 +1998,47 @@ object ExtQueries {
              |WHERE r.rank <= 5 ORDER BY r.token, r.rank""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // Per-key z-score standardization (Relational.zscore): group stats are
+    // a |keys|-row broadcast back onto the fact table — the data itself
+    // never shuffles; degenerate (zero-stddev) groups yield NULL z.
+    Q(
+      "x76_zscore",
+      (s, d) =>
+        Relational
+          .zscore(
+            t(s, d, "events").select(col("event_id"), col("event_type"), col("value")),
+            Seq("event_type"),
+            "value"
+          )
+          .select(col("event_id"), col("event_type"), col("value"), col("z"))
+          .orderBy("event_id"),
+      Some("""WITH s AS (SELECT event_type, AVG(value) AS mean_v,
+             |    STDDEV_SAMP(value) AS std_v FROM events GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.value,
+             |  (e.value - s.mean_v) / NULLIF(s.std_v, 0) AS z
+             |FROM events e JOIN s USING (event_type) ORDER BY e.event_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Signature-estimated Jaccard (Dedup.estimatedJaccard): LSH candidate
+    // pairs scored by the MinHash estimator |{i: m_i(a)=m_i(b)}| / k —
+    // verification that touches only the k-long signatures (computed once,
+    // checkpointed), never re-joining the shingle sets. est values are
+    // exact multiples of 1/8, so both engines emit identical doubles.
+    Q(
+      "x77_minhash_est",
+      (s, d) =>
+        Dedup
+          .estimatedJaccard(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("d1", "d2"),
+      Some(s"""WITH $shingleCte,
+              |$minhashCtes
+              |SELECT c.d1, c.d2,
+              |  CAST(${(0 until 8).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")}
+              |    AS DOUBLE) / CAST(8 AS DOUBLE) AS est_j
+              |FROM cand c JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2
+              |ORDER BY c.d1, c.d2""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Trailing time-window features (TimeOps.rollingByTime): per-user
     // count / exact decimal sum / min / max of `value` over the last 60 s
     // (RANGE frame — irregular event spacing gets true time windows, and

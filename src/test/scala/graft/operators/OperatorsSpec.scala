@@ -1341,6 +1341,44 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(a == b)
   }
 
+  test("zscore: per-key stats exact; constant and singleton groups yield NULL z") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), // mean 2, std 1
+      ("b", 4L, 5.0), ("b", 5L, 5.0), // constant group: std 0 -> NULL z
+      ("c", 6L, 9.0) // singleton: stddev_samp NULL -> NULL z
+    ).toDF("k", "id", "v")
+    val out = Relational.zscore(df, Seq("k"), "v").orderBy("id").collect()
+    assert(out.map(r => r.getAs[Double]("mean_v")).take(3).forall(_ == 2.0))
+    assert(math.abs(out(0).getAs[Double]("z") - (-1.0)) < 1e-12)
+    assert(math.abs(out(2).getAs[Double]("z") - 1.0) < 1e-12)
+    assert(out(3).isNullAt(out(3).fieldIndex("z")) && out(4).isNullAt(out(4).fieldIndex("z")))
+    assert(out(5).isNullAt(out(5).fieldIndex("z")))
+  }
+
+  test("estimatedJaccard agrees with signatures; identical docs estimate 1.0") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, base), (2L, base), // identical: every band collides, est 1.0
+      (3L, base + " x1 x2 x3"), // near-dup of 1/2
+      (4L, "z1 z2 z3 z4 z5 z6") // disjoint: no candidate pair with others
+    ).toDF("doc_id", "text")
+    val est = Dedup.estimatedJaccard(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est((1L, 2L)) == 1.0)
+    assert(est.keySet.forall { case (a, b) => a < b && b != 4L && a != 4L })
+    // every estimate is an exact multiple of 1/8 in [0,1] and matches a
+    // manual recount over the minhashSignatures output
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    est.foreach { case ((a, b), e) =>
+      val manual = sig(a).zip(sig(b)).count { case (x, y) => x == y } / 8.0
+      assert(e == manual, s"pair ($a,$b): $e vs $manual")
+      assert(e >= 0.0 && e <= 1.0 && (e * 8) == (e * 8).round)
+    }
+  }
+
   test("pageRank matches a local reference; mass conserved; dangling + parallel edges") {
     import spark.implicits._
     // 1 -> 2 (twice: parallel edges), 1 -> 3, 2 -> 1; 3 is dangling
