@@ -58,6 +58,40 @@ object Relational {
       )
   }
 
+  /** Winsorization: clamp `valueCol` into its per-key `[lo, hi]` quantile
+    * band — outlier clipping for numeric features (the keep-the-row
+    * alternative to dropping tail rows). Appends `<valueCol>_w`.
+    *
+    * Thresholds come from the [[Quantiles]] facade: `exact=false`
+    * (default) uses the mergeable sketch — the 100 TB path; `exact=true`
+    * sorts, for oracle parity at bench scale. Either way the threshold
+    * side is |keys| rows broadcast back onto the fact table — the data
+    * never shuffles, mirroring [[zscore]]. A value equal to a threshold is
+    * unchanged by the clamp, so interpolation ulp wobble cannot move an
+    * output by more than one ulp. */
+  def winsorize(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      exact: Boolean = false
+  ): DataFrame = {
+    require(lo < hi, s"winsorize: lo must be < hi, got [$lo, $hi]")
+    val stats = Quantiles
+      .quantiles(df, keys, valueCol, Seq(lo, hi), exact)
+      .toDF((keys :+ "__qlo" :+ "__qhi"): _*)
+    val joined =
+      if (keys.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), keys)
+    joined
+      .withColumn(
+        s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__qlo")), col("__qhi"))
+      )
+      .drop("__qlo", "__qhi")
+  }
+
   /** Grouped top-k via the bounded-heap aggregate
     * [[graft.functions.TopKStructs]] — at most k rows per group per
     * partition cross the shuffle, vs `row_number() OVER (...)` which

@@ -856,4 +856,171 @@ object Similarity {
       minSim: Double
   ): DataFrame =
     lshCandidates(df, idCol, vecCol, dim, nBits).filter(col("sim") >= minSim)
+
+  // ------------------------------------------------------------------
+  // PCA over embedding columns
+  // ------------------------------------------------------------------
+
+  /** Sample covariance matrix of a `array<float>` column, upper triangle,
+    * as rows `(i, j, n, cov)` with `i <= j`.
+    *
+    * 100 TB shape: each row expands to its d(d+1)/2 upper-triangular
+    * `(i, j, x_i*x_j, x_i, x_j)` products and ONE groupBy(i, j) reduces
+    * them — map-side combine collapses every partition to d(d+1)/2
+    * partial rows, so the shuffle is O(d² x partitions) regardless of row
+    * count, and nothing rides the driver. The d² per-row expansion is the
+    * standard Gram-matrix trade: CPU-bound and embarrassingly parallel,
+    * sized for embedding dims (d <= a few hundred), not for wide feature
+    * matrices. Covariance assembles from raw sums
+    * `(Σxy - ΣxΣy/n)/(n-1)` — fine for near-zero-mean embeddings; center
+    * upstream if your vectors have a large common offset. */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, s"covarianceMatrix: dim must be positive, got $dim")
+    df.filter(size(col(vecCol)) === dim)
+      .select(
+        explode(
+          expr(
+            s"""flatten(transform(sequence(0, $dim - 1), i ->
+               |  transform(sequence(i, $dim - 1), j -> named_struct(
+               |    'i', i, 'j', j,
+               |    'p', CAST($vecCol[i] AS DOUBLE) * CAST($vecCol[j] AS DOUBLE),
+               |    'xi', CAST($vecCol[i] AS DOUBLE),
+               |    'xj', CAST($vecCol[j] AS DOUBLE)))))""".stripMargin
+          )
+        ).as("s")
+      )
+      .select(col("s.*"))
+      .groupBy("i", "j")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("p").as("__sxy"),
+        sum("xi").as("__sx"),
+        sum("xj").as("__sy")
+      )
+      .select(
+        col("i"), col("j"), col("n"),
+        ((col("__sxy") - col("__sx") * col("__sy") / col("n")) / (col("n") - 1)).as("cov"),
+        (col("__sx") / col("n")).as("mean_i"),
+        (col("__sy") / col("n")).as("mean_j")
+      )
+  }
+
+  /** Fitted PCA basis: `mean` (d), `eigenvalues` (k, descending) and
+    * `components` (k rows of d) with deterministic sign (largest-|entry|
+    * coordinate positive). */
+  final case class PcaModel(
+      mean: Array[Double],
+      eigenvalues: Array[Double],
+      components: Array[Array[Double]]
+  )
+
+  /** Fit a PCA basis: distributed covariance ([[covarianceMatrix]] — the
+    * only pass over the data) + a d x d dense Jacobi eigensolver on the
+    * DRIVER. The collect is d(d+1)/2 rows — bounded by the embedding
+    * dimension exactly like [[kmeansFit]]'s k centroids, never by corpus
+    * size. Deterministic: cyclic Jacobi with a fixed sweep order and a
+    * canonical sign fix, so refits on the same data agree to float-sum
+    * wobble. */
+  def pcaFit(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
+    require(k >= 1 && k <= dim, s"pcaFit: need 1 <= k <= dim, got k=$k dim=$dim")
+    val rows = covarianceMatrix(df, vecCol, dim)
+      .select("i", "j", "cov", "mean_i")
+      .collect() // d(d+1)/2 rows — bounded by dim², never by corpus size
+    require(rows.length == dim * (dim + 1) / 2, s"covariance collect: got ${rows.length} rows")
+    val cov = Array.ofDim[Double](dim, dim)
+    val mean = new Array[Double](dim)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+      if (i == j) mean(i) = r.getDouble(3)
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => -evals(i)).take(k)
+    val components = order.map { c =>
+      val v = Array.tabulate(dim)(r => evecs(r)(c))
+      // canonical sign: the largest-|entry| coordinate is positive
+      val m = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(m) < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(mean, order.map(evals).toArray, components)
+  }
+
+  /** Cyclic Jacobi eigensolver for a small dense symmetric matrix —
+    * deterministic (fixed sweep order), driver-side, O(d³) per sweep.
+    * Returns (eigenvalues, eigenvector COLUMNS). */
+  private def jacobiEigen(
+      a: Array[Array[Double]],
+      maxSweeps: Int = 60,
+      tol: Double = 1e-13
+  ): (Array[Double], Array[Array[Double]]) = {
+    val n = a.length
+    val m = Array.tabulate(n, n)((i, j) => a(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s = 0.0
+      var p = 0
+      while (p < n) { var q = p + 1; while (q < n) { s += 2 * m(p)(q) * m(p)(q); q += 1 }; p += 1 }
+      math.sqrt(s)
+    }
+    val scale = math.max(1e-300, math.sqrt(m.map(r => r.map(x => x * x).sum).sum))
+    var sweep = 0
+    while (sweep < maxSweeps && offNorm > tol * scale) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = m(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (m(q)(q) - m(p)(p)) / (2 * apq)
+            val t =
+              (if (theta >= 0) 1.0 else -1.0) / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val s = t * c
+            var k0 = 0
+            while (k0 < n) {
+              val mkp = m(k0)(p); val mkq = m(k0)(q)
+              m(k0)(p) = c * mkp - s * mkq; m(k0)(q) = s * mkp + c * mkq
+              k0 += 1
+            }
+            k0 = 0
+            while (k0 < n) {
+              val mpk = m(p)(k0); val mqk = m(q)(k0)
+              m(p)(k0) = c * mpk - s * mqk; m(q)(k0) = s * mpk + c * mqk
+              k0 += 1
+            }
+            k0 = 0
+            while (k0 < n) {
+              val vkp = v(k0)(p); val vkq = v(k0)(q)
+              v(k0)(p) = c * vkp - s * vkq; v(k0)(q) = s * vkp + c * vkq
+              k0 += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => m(i)(i)), v)
+  }
+
+  /** Project vectors onto a fitted [[PcaModel]] basis: appends `y0..y{k-1}`
+    * = `components · (x - mean)`. Pure per-row arithmetic — the basis and
+    * the constant `components · mean` offsets ride the plan as literals
+    * (like [[kmeansFit]]'s centroids), so nothing shuffles and nothing is
+    * broadcast-joined. */
+  def pcaProject(df: DataFrame, vecCol: String, model: PcaModel): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    model.components.zipWithIndex.foldLeft(df) { case (acc, (comp, c)) =>
+      val meanDot = comp.zip(model.mean).map { case (w, mu) => w * mu }.sum
+      acc.withColumn(
+        s"y$c",
+        aggregate(
+          zip_with(vecD, typedlit(comp.toSeq), (x, w) => x * w),
+          lit(0.0),
+          (s0, e) => s0 + e
+        ) - lit(meanDot)
+      )
+    }
+  }
 }

@@ -2019,6 +2019,32 @@ object ExtQueries {
              |FROM events e JOIN s USING (event_type) ORDER BY e.event_id""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // Winsorization (Relational.winsorize): per-event-type [p01, p99]
+    // clamp of `value` — thresholds broadcast back (|keys| rows), data
+    // never shuffles. exact=true for oracle parity (percentile ==
+    // quantile_cont); the 100 TB default is the mergeable sketch.
+    Q(
+      "x78_winsorize",
+      (s, d) =>
+        Relational
+          .winsorize(
+            t(s, d, "events").select(col("event_id"), col("event_type"), col("value")),
+            Seq("event_type"),
+            "value",
+            lo = 0.01,
+            hi = 0.99,
+            exact = true
+          )
+          .select(col("event_id"), col("event_type"), col("value"), col("value_w"))
+          .orderBy("event_id"),
+      Some("""WITH s AS (SELECT event_type,
+             |    quantile_cont(value, 0.01) AS qlo, quantile_cont(value, 0.99) AS qhi
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.value,
+             |  least(greatest(e.value, s.qlo), s.qhi) AS value_w
+             |FROM events e JOIN s USING (event_type) ORDER BY e.event_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Signature-estimated Jaccard (Dedup.estimatedJaccard): LSH candidate
     // pairs scored by the MinHash estimator |{i: m_i(a)=m_i(b)}| / k —
     // verification that touches only the k-long signatures (computed once,
@@ -2037,6 +2063,51 @@ object ExtQueries {
               |    AS DOUBLE) / CAST(8 AS DOUBLE) AS est_j
               |FROM cand c JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2
               |ORDER BY c.d1, c.d2""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Distributed covariance matrix (Similarity.covarianceMatrix): each
+    // vector expands to its d(d+1)/2 upper-triangular products, ONE
+    // groupBy(i,j) reduces them — map-side combine bounds the shuffle at
+    // O(d² x partitions) regardless of corpus size. This is the single
+    // data pass under pcaFit; the oracle recomputes every cell with
+    // covar_samp over the unnested table.
+    Q(
+      "x79_embed_cov",
+      (s, d) =>
+        Similarity
+          .covarianceMatrix(t(s, d, "embeddings"), "embedding", dim = 64)
+          .select(
+            col("i").cast("long").as("i"),
+            col("j").cast("long").as("j"),
+            col("n"), col("cov")
+          )
+          .orderBy("i", "j"),
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             |    CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings WHERE len(embedding) = 64)
+             |SELECT a.i, b.i AS j, COUNT(*) AS n, covar_samp(a.x, b.x) AS cov
+             |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // PCA fit + project (Similarity.pcaFit/pcaProject): the one data pass
+    // is x79's covariance; the eigensolve is a d x d driver-side Jacobi
+    // (bounded by dim², like kmeansFit's k-centroid collect) and the
+    // projection rides the plan as literals. No SQL oracle (eigensolve is
+    // not SQL-expressible — driver records the rows-only check); the
+    // PcaSpec pins orthonormality, eigenpair residuals, planted-direction
+    // recovery and projected-variance == eigenvalues.
+    Q(
+      "x80_pca_project",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val model = Similarity.pcaFit(emb, "embedding", dim = 64, k = 4)
+        Similarity
+          .pcaProject(emb, "embedding", model)
+          .select(col("vec_id"), col("y0"), col("y1"), col("y2"), col("y3"))
+          .orderBy("vec_id")
+      },
+      None
     ),
     // ------------------------------------------------------------------
     // Trailing time-window features (TimeOps.rollingByTime): per-user
