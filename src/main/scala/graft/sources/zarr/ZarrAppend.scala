@@ -170,6 +170,20 @@ object ZarrAppend {
           ord.compare(newVals.head, lastExt) > 0,
           s"zarr append: new $appendDim values must sort strictly after the existing axis end ($lastExt)"
         )
+        // width/range precheck for exact-cell coord dtypes: an oversize
+        // |S/<U label or out-of-range uint64 must reject HERE, before any
+        // value byte lands — not mid-commit in appendCoordTail
+        val cmPre = store.arrayMeta(appendDim)
+        if (Set(ZDtype.S, ZDtype.US, ZDtype.U8)(cmPre.zdtype.code)) {
+          val scratch = ByteBuffer
+            .allocate(math.max(cmPre.zdtype.itemSize, 8))
+            .order(ByteOrder.LITTLE_ENDIAN)
+          newVals.foreach {
+            case s: String => ZDtype.putFixedString(cmPre.zdtype, scratch, 0, s)
+            case bd: java.math.BigDecimal => ZDtype.putUnsigned64(cmPre.zdtype, scratch, 0, bd)
+            case _ => ()
+          }
+        }
       case c =>
         val last = c(extent - 1)
         require(
@@ -796,10 +810,14 @@ object ZarrAppend {
   }
 
   /** Supported coordinate-array dtypes for the in-place tail append: the
-    * shapes the sink itself writes (plus their big-endian variants). M8/TD
-    * require exact-micros units because externals arrive as micros; fixed
-    * |S / <U and uint64 axes refuse loudly (the eager path rewrites those
-    * whole, which is what a sub-10M axis gets anyway). */
+    * shapes the sink itself writes (plus their big-endian variants), PLUS
+    * externally-written fixed `|S`/`<U` string axes (exact padded-cell
+    * encode, oversize cells refuse) and uint64 axes (exact decimal →
+    * raw-bits encode). M8/TD require exact-micros units because externals
+    * arrive as micros. numcodecs-FILTERED coordinate arrays append when
+    * every filter has a write path (delta, quantize, bitround,
+    * fixedscaleoffset, packbits — the same encode fold as
+    * ZarrStoreWriter); only categorize-filtered axes still refuse. */
   private def requireAppendableCoord(cm: ZarrArrayMeta, dim: String): Unit = {
     require(cm.rank == 1, s"deferred append dim '$dim': coordinate array must be 1-D")
     cm.shardShape.foreach { ss =>
@@ -809,9 +827,17 @@ object ZarrAppend {
           s"multiple of its inner chunks ${cm.chunks.head}"
       )
     }
-    require(cm.filters.isEmpty, s"deferred append dim '$dim': numcodecs-filtered coordinate arrays unsupported")
+    cm.filters.foreach { cfg =>
+      val id = ZarrFilters.idOf(cfg)
+      require(
+        Set("delta", "quantize", "bitround", "fixedscaleoffset", "packbits")(id),
+        s"deferred append dim '$dim': numcodecs filter '$id' has no write path " +
+          "(writable: delta, quantize, bitround, fixedscaleoffset, packbits)"
+      )
+    }
     cm.zdtype.code match {
       case ZDtype.I4 | ZDtype.I8 | ZDtype.F4 | ZDtype.F8 | ZDtype.VSTR => ()
+      case ZDtype.S | ZDtype.US | ZDtype.U8 => () // fixed strings / uint64: exact cell encode
       case ZDtype.M8 | ZDtype.TD =>
         require(
           cm.zdtype.m8Num == 1L && cm.zdtype.m8Den == 1L,
@@ -948,10 +974,17 @@ object ZarrAppend {
     val startChunk = extent / chunkLen
     val lastChunk = (newTotal - 1) / chunkLen
     val order = if (dt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
-    // v3 coords encode through their parsed codec chain + key encoding
+    // v3 coords encode through their parsed codec chain + key encoding;
+    // v2 applies the numcodecs filter chain forward (same fold as
+    // ZarrStoreWriter) before the compressor — the reader decodes in
+    // reverse, so a rebuilt tail chunk round-trips through any filter the
+    // precheck admitted
     def encodeCoord(raw: Array[Byte], typesize: Int): Array[Byte] =
       if (cm.v3) cm.v3Codecs.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, typesize))
-      else ZarrCodec.compress(cm.compressor, raw, typesize)
+      else {
+        val filtered = cm.filters.foldLeft(raw)((b, cfg) => ZarrFilters.encode(cfg, dt, b))
+        ZarrCodec.compress(cm.compressor, filtered, typesize)
+      }
     def coordKey(c: Int): String = cm.chunkKey(Seq(c))
     // the partial tail chunk's existing cells (byte-exact for numerics)
     val nKeep = extent - startChunk * chunkLen

@@ -317,6 +317,50 @@ object ZDtype {
     case other => throw new IllegalStateException(s"bad dtype code $other")
   }
 
+  /** Encode one STRING cell of a fixed-width string dtype (`|S` bytes /
+    * `<U`/`>U` UTF-32): content bytes/code-points first, zero-padded to
+    * the cell width; oversize cells REFUSE (truncation would silently
+    * corrupt a label axis). Byte order for U comes from the buffer. */
+  def putFixedString(dt: ZDtype, buf: java.nio.ByteBuffer, i: Int, s: String): Unit =
+    dt.code match {
+      case S =>
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        require(
+          bytes.length <= dt.itemSize,
+          s"fixed |S${dt.itemSize} cell overflow (${bytes.length} bytes): '$s'"
+        )
+        val base = i * dt.itemSize
+        var k = 0
+        while (k < dt.itemSize) {
+          buf.put(base + k, if (k < bytes.length) bytes(k) else 0.toByte); k += 1
+        }
+      case US =>
+        val cps = s.codePoints().toArray
+        val maxLen = dt.itemSize / 4
+        require(
+          cps.length <= maxLen,
+          s"fixed U$maxLen cell overflow (${cps.length} code points): '$s'"
+        )
+        val base = i * dt.itemSize
+        var k = 0
+        while (k < maxLen) { buf.putInt(base + k * 4, if (k < cps.length) cps(k) else 0); k += 1 }
+      case other =>
+        throw new IllegalStateException(s"putFixedString on non-fixed-string dtype $other")
+    }
+
+  /** Encode one uint64 cell from its exact decimal external: raw 64-bit
+    * pattern (values past 2^63 store as the wrapped negative long).
+    * Out-of-range / fractional values REFUSE. */
+  def putUnsigned64(dt: ZDtype, buf: java.nio.ByteBuffer, i: Int, v: java.math.BigDecimal): Unit = {
+    require(dt.code == U8, s"putUnsigned64 on dtype ${dt.code}")
+    val bi = v.toBigIntegerExact // throws on a fractional value — loud, correct
+    require(
+      bi.signum() >= 0 && bi.bitLength() <= 64,
+      s"uint64 cell out of range [0, 2^64): $v"
+    )
+    buf.putLong(i * 8, bi.longValue())
+  }
+
   /** Encode one value at element index `i` into a buffer whose order is
     * already this dtype's byte order (writer + fill-chunk encode seam).
     * M8 values are in the dtype's own stored unit. */

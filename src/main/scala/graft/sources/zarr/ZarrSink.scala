@@ -133,6 +133,10 @@ object ZarrSink {
       Ordering.by((v: Any) =>
         org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
       )
+    case _: org.apache.spark.sql.types.DecimalType => // uint64 axes scan as Decimal(20,0)
+      Ordering.fromLessThan((a: Any, b: Any) =>
+        a.asInstanceOf[java.math.BigDecimal].compareTo(b.asInstanceOf[java.math.BigDecimal]) < 0
+      )
     case other => throw new IllegalArgumentException(s"zarr sink: unsupported dimension type $other")
   }
 
@@ -1122,6 +1126,8 @@ object ZarrSink {
     case f: java.lang.Float => ZDtype.put(dt, buf, i, f.doubleValue())
     case d: java.lang.Double => ZDtype.put(dt, buf, i, d.doubleValue())
     case t @ (_: java.sql.Timestamp | _: java.time.Instant) => ZDtype.putLong(dt, buf, i, micros(t))
+    case s: String => ZDtype.putFixedString(dt, buf, i, s) // fixed |S / <U cells
+    case bd: java.math.BigDecimal => ZDtype.putUnsigned64(dt, buf, i, bd) // uint64 axis
     case other => throw new IllegalArgumentException(s"zarr sink: bad coord value $other")
   }
 

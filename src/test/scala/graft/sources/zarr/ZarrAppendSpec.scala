@@ -51,6 +51,135 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     assert(pruned.count() == 8)
   }
 
+  test("deferred append over fixed |S and <U coordinate axes: exact padded cells") {
+    for (dtype <- Seq("|S6", "<U6")) {
+      val root = Files.createTempDirectory("zarrappfix").toString
+      val dir = java.nio.file.Paths.get(root)
+      ZarrStoreWriter.writeArray(
+        dir, "v", Vector(6), Vector(2), "<i8", i => (i * 10).toDouble,
+        dims = Some(Vector("t"))
+      )
+      ZarrStoreWriter.writeStringArray(
+        dir, "t", Vector(6), Vector(4), dtype, i => f"st$i%03d",
+        dims = Some(Vector("t"))
+      )
+      // deferral forced below the extent: the |S tail chunk (cells 4-5 of
+      // chunk 1) is read-modified-rewritten with exact padded cells
+      spark.range(6, 10)
+        .selectExpr("concat('st', lpad(cast(id as string), 3, '0')) as t", "id * 10 as value")
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("append.dim", "t").option("coord.deferred.threshold", "2")
+        .mode("append").save()
+      val store = new ZarrStore(root, Map.empty, None, None)
+      assert(store.arrayMeta("t").shape.head == 10, dtype)
+      val rows = read(root).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.size == 10, dtype)
+      (0 until 10).foreach(i => assert(rows(f"st$i%03d") == i * 10L, s"$dtype st$i%03d"))
+      // oversize cell refuses loudly (truncation would corrupt the axis)
+      val e = intercept[Exception] {
+        spark.range(0, 1)
+          .selectExpr("'stzzz-way-too-long' as t", "id as value") // sorts after st009, overflows |S6
+          .write.format("zarr")
+          .option("path", root).option("array", "v")
+          .option("append.dim", "t").option("coord.deferred.threshold", "2")
+          .mode("append").save()
+      }
+      assert(e.getMessage.contains("overflow"), s"$dtype: ${e.getMessage}")
+    }
+  }
+
+  test("deferred append over a uint64 coordinate axis: exact past 2^63") {
+    val root = Files.createTempDirectory("zarrappu8").toString
+    val dir = java.nio.file.Paths.get(root)
+    ZarrStoreWriter.writeArray(
+      dir, "v", Vector(6), Vector(3), "<i8", i => (i * 10).toDouble,
+      dims = Some(Vector("t"))
+    )
+    // coord values near 1e15 (exact in the double generator)
+    ZarrStoreWriter.writeArray(
+      dir, "t", Vector(6), Vector(4), "<u8", i => (1.0e15 + i),
+      dims = Some(Vector("t"))
+    )
+    // append values PAST Long.MaxValue — only exact via the decimal path
+    val big = java.math.BigInteger.valueOf(Long.MaxValue)
+    val t0 = big.add(java.math.BigInteger.valueOf(2)) // 2^63 + 1
+    val t1 = big.add(java.math.BigInteger.valueOf(3))
+    spark.range(0, 2)
+      .selectExpr(s"CAST('$t0' AS DECIMAL(20,0)) + CAST(id AS DECIMAL(20,0)) as t", "id + 100 as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("append.dim", "t").option("coord.deferred.threshold", "2")
+      .mode("append").save()
+    // values past 2^63 need the DEFERRED decimal read (the eager coord
+    // path deliberately falls back to positional there — documented)
+    val rows = spark.read.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("coord.deferred.threshold", "2")
+      .load()
+      .collect()
+      .map(r => r.getDecimal(0).toBigInteger.toString -> r.getLong(1)).toMap
+    assert(rows.size == 8)
+    (0 until 6).foreach(i => assert(rows((1000000000000000L + i).toString) == i * 10L))
+    assert(rows(t0.toString) == 100L && rows(t1.toString) == 101L)
+    // raw-bits cell encode: reject out-of-range / fractional directly
+    val buf = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val u8 = ZDtype.parse("<u8")
+    intercept[IllegalArgumentException] {
+      ZDtype.putUnsigned64(u8, buf, 0, new java.math.BigDecimal("18446744073709551616")) // 2^64
+    }
+    intercept[IllegalArgumentException] {
+      ZDtype.putUnsigned64(u8, buf, 0, new java.math.BigDecimal("-1"))
+    }
+  }
+
+  test("deferred append over a delta-filtered coordinate axis; categorize still refuses") {
+    val root = Files.createTempDirectory("zarrappfilt").toString
+    val dir = java.nio.file.Paths.get(root)
+    ZarrStoreWriter.writeArray(
+      dir, "v", Vector(6), Vector(3), "<i8", i => (i * 10).toDouble,
+      dims = Some(Vector("t"))
+    )
+    ZarrStoreWriter.writeArray(
+      dir, "t", Vector(6), Vector(4), "<i8", i => (100.0 + i * 5),
+      dims = Some(Vector("t")), filters = Seq("delta")
+    )
+    spark.range(6, 10)
+      .selectExpr("100 + id * 5 as t", "id * 10 as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("append.dim", "t").option("coord.deferred.threshold", "2")
+      .mode("append").save()
+    // the rebuilt tail chunk and the new chunk re-encoded THROUGH delta:
+    // every cell round-trips exactly
+    val store = new ZarrStore(root, Map.empty, None, None)
+    assert(store.arrayMeta("t").shape.head == 10)
+    val rows = read(root).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 10)
+    (0 until 10).foreach(i => assert(rows(100L + i * 5) == i * 10L, s"t=${100 + i * 5}"))
+    // a filter with no write path (categorize) refuses loudly
+    val root2 = Files.createTempDirectory("zarrappcat").toString
+    val dir2 = java.nio.file.Paths.get(root2)
+    ZarrStoreWriter.writeArray(
+      dir2, "v", Vector(4), Vector(2), "<i8", i => i.toDouble,
+      dims = Some(Vector("t"))
+    )
+    ZarrStoreWriter.writeStringArray(
+      dir2, "t", Vector(4), Vector(2), "|S4", i => s"l$i",
+      dims = Some(Vector("t")),
+      filters = Seq("""{"id": "categorize", "labels": ["l0", "l1", "l2", "l3", "l4", "l5"], "astype": "|u1"}""")
+    )
+    val e = intercept[Exception] {
+      spark.range(4, 6)
+        .selectExpr("concat('l', cast(id as string)) as t", "id as value")
+        .write.format("zarr")
+        .option("path", root2).option("array", "v")
+        .option("append.dim", "t").option("coord.deferred.threshold", "2")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("no write path"), e.getMessage)
+  }
+
   test("replayed batch ids are a no-op; stale ids too") {
     val root = Files.createTempDirectory("zarrappend2").toString
     writeBatch(root, 0, 4, Some(1L))
