@@ -79,7 +79,25 @@ object ZarrAppend {
     // fresh, UNconsolidated metadata — appends must see the live shape
     val store = new ZarrStore(path, storageOptions, group, Some(false))
     val meta = store.arrayMeta(array)
-    require(meta.filters.isEmpty, "zarr append does not support numcodecs-filtered arrays")
+    // numcodecs-filtered VALUE arrays append when every filter has a write
+    // path (append slabs are whole chunks, and filters are per-chunk, so
+    // the encode fold is exactly the fixture writer's). String value
+    // arrays with filters still refuse: their one real filter (categorize)
+    // rewrites label codes, a whole-array concern.
+    if (ZDtype.isString(meta.zdtype.code))
+      require(
+        meta.filters.isEmpty,
+        "zarr append: filtered string value arrays unsupported (categorize label codes are a whole-array rewrite)"
+      )
+    else
+      meta.filters.foreach { cfg =>
+        val id = ZarrFilters.idOf(cfg)
+        require(
+          Set("delta", "quantize", "bitround", "fixedscaleoffset", "packbits")(id),
+          s"zarr append: numcodecs filter '$id' has no write path " +
+            "(writable: delta, quantize, bitround, fixedscaleoffset, packbits)"
+        )
+      }
     require(
       meta.dims.headOption.contains(appendDim),
       s"append.dim '$appendDim' must be the FIRST dimension of '${array}' (dims ${meta.dims.mkString(",")}) — " +
@@ -254,6 +272,7 @@ object ZarrAppend {
     val fillStr = meta.fillValueStr.getOrElse("")
     val dt = meta.zdtype
     val comp = meta.compressor
+    val v2Filters = meta.filters // encode fold before the compressor (v2 only)
     // v3 encodes through the parsed bytes→bytes codec chain; v2 through the
     // numcodecs compressor id. Chunk keys follow the store's key encoding
     // (v2 dotted / v3 "c"-prefixed with the configured separator).
@@ -336,7 +355,10 @@ object ZarrAppend {
           val raw = if (isStr) ZarrStoreWriter.vlenEncode(cells) else buf.array()
           val bytes =
             if (isV3) v3Cfgs.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, math.max(dt.itemSize, 1)))
-            else ZarrCodec.compress(comp, raw, typesize = math.max(dt.itemSize, 1))
+            else {
+              val filtered = v2Filters.foldLeft(raw)((b, cfg) => ZarrFilters.encode(cfg, dt, b))
+              ZarrCodec.compress(comp, filtered, typesize = math.max(dt.itemSize, 1))
+            }
           val idx = new Array[Int](nChunksArr.length)
           var rem = current
           var d = nChunksArr.length - 1

@@ -180,6 +180,49 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     assert(e.getMessage.contains("no write path"), e.getMessage)
   }
 
+  test("append to a delta-filtered VALUE array re-encodes slabs through the chain") {
+    val root = Files.createTempDirectory("zarrappvfilt").toString
+    val dir = java.nio.file.Paths.get(root)
+    ZarrStoreWriter.writeArray(
+      dir, "v", Vector(8), Vector(4), "<i8", i => (1000.0 + i * 7),
+      dims = Some(Vector("t")), filters = Seq("delta")
+    )
+    ZarrStoreWriter.writeArray(
+      dir, "t", Vector(8), Vector(4), "<i8", i => i.toDouble,
+      dims = Some(Vector("t"))
+    )
+    spark.range(8, 16)
+      .selectExpr("id as t", "1000 + id * 7 as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("append.dim", "t")
+      .mode("append").save()
+    val rows = read(root).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 16)
+    (0 until 16).foreach(i => assert(rows(i.toLong) == 1000L + i * 7, s"t=$i"))
+    // filtered STRING value arrays refuse loudly (categorize = whole-array rewrite)
+    val root2 = Files.createTempDirectory("zarrappvstr").toString
+    val dir2 = java.nio.file.Paths.get(root2)
+    ZarrStoreWriter.writeStringArray(
+      dir2, "v", Vector(4), Vector(2), "|O", i => s"w$i",
+      dims = Some(Vector("t")),
+      filters = Seq("""{"id": "categorize", "labels": ["w0", "w1", "w2", "w3"], "astype": "|u1"}""")
+    )
+    ZarrStoreWriter.writeArray(
+      dir2, "t", Vector(4), Vector(2), "<i8", i => i.toDouble,
+      dims = Some(Vector("t"))
+    )
+    val e = intercept[Exception] {
+      spark.range(4, 6)
+        .selectExpr("id as t", "concat('w', cast(id as string)) as value")
+        .write.format("zarr")
+        .option("path", root2).option("array", "v")
+        .option("append.dim", "t")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("filtered string value arrays unsupported"), e.getMessage)
+  }
+
   test("replayed batch ids are a no-op; stale ids too") {
     val root = Files.createTempDirectory("zarrappend2").toString
     writeBatch(root, 0, 4, Some(1L))
