@@ -730,4 +730,242 @@ object Multimodal {
       }
     }(Encoders.row(schema))
   }
+
+  // ------------------------------------------------------------------
+  // Perceptual hashing (image near-dup)
+  // ------------------------------------------------------------------
+
+  private val PHashGrid = 32
+  private val PHashBits = 63 // 8x8 low-frequency block minus the DC term
+
+  // orthonormal DCT-II basis, built once per JVM (32 x 32 doubles)
+  private lazy val dctBasis: Array[Array[Double]] = {
+    val n = PHashGrid
+    Array.tabulate(n, n) { (u, x) =>
+      val a = if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      a * math.cos((2 * x + 1) * u * math.Pi / (2.0 * n))
+    }
+  }
+
+  /** Exact fractional box-filter resample to n x n luminance: every
+    * output cell integrates pixel luminance over the REAL-valued cell
+    * rectangle `[gx·w/n, (gx+1)·w/n) x [gy·h/n, (gy+1)·h/n)` with
+    * fractional edge coverage. Unlike an integer-division grid, this is
+    * scale-consistent: an image upsampled by pixel replication produces
+    * the identical n x n average, which is what makes the pHash
+    * scale-robust. */
+  private def boxLuminance(img: java.awt.image.BufferedImage, n: Int): Array[Double] = {
+    val w = img.getWidth; val h = img.getHeight
+    val lum = Array.ofDim[Double](h, w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        lum(y)(x) = (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)) / 255.0
+        x += 1
+      }
+      y += 1
+    }
+    // 1-D fractional coverage weights for one axis of length `len`
+    def weights(len: Int): Array[Array[(Int, Double)]] = Array.tabulate(n) { g =>
+      val lo = g.toDouble * len / n
+      val hi = (g + 1).toDouble * len / n
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      var p = math.floor(lo).toInt
+      while (p < hi && p < len) {
+        val cover = math.min(hi, p + 1.0) - math.max(lo, p.toDouble)
+        if (cover > 0) out += (p -> cover)
+        p += 1
+      }
+      out.toArray
+    }
+    val wx = weights(w); val wy = weights(h)
+    val out = new Array[Double](n * n)
+    var gy = 0
+    while (gy < n) {
+      var gx = 0
+      while (gx < n) {
+        var acc = 0.0; var area = 0.0
+        wy(gy).foreach { case (py, cy) =>
+          wx(gx).foreach { case (px, cx) => acc += lum(py)(px) * cy * cx; area += cy * cx }
+        }
+        out(gy * n + gx) = acc / area
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** 63-bit perceptual hash (pHash): decode → 32x32 fractional-box
+    * luminance resample → 2-D DCT-II → the 8x8 low-frequency block minus
+    * DC → bit i = coefficient i > median. Robust to re-encoding, quality
+    * changes and resizing (the properties byte-level hashing lacks);
+    * deterministic pure-double math. None for undecodable payloads. */
+  def imagePHash(payload: Array[Byte]): Option[Long] =
+    (try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }).map { img =>
+      val lum = boxLuminance(img, PHashGrid)
+      val n = PHashGrid
+      // rows-then-columns separable DCT: T = B P Bᵀ, low 8x8 only
+      val tmp = Array.ofDim[Double](8, n) // rows 0..7 of B·P
+      var u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < n) {
+          var acc = 0.0
+          var x = 0
+          while (x < n) { acc += dctBasis(u)(x) * lum(x * n + y); x += 1 }
+          tmp(u)(y) = acc
+          y += 1
+        }
+        u += 1
+      }
+      val coeffs = new Array[Double](PHashBits)
+      var k = 0
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if (u != 0 || v != 0) {
+            var acc = 0.0
+            var y = 0
+            while (y < n) { acc += tmp(u)(y) * dctBasis(v)(y); y += 1 }
+            coeffs(k) = acc
+            k += 1
+          }
+          v += 1
+        }
+        u += 1
+      }
+      val sortedC = coeffs.sorted
+      val median = (sortedC(PHashBits / 2 - 1) + sortedC(PHashBits / 2)) / 2.0
+      var bits = 0L
+      k = 0
+      while (k < PHashBits) { if (coeffs(k) > median) bits |= (1L << k); k += 1 }
+      bits
+    }
+
+  /** (id, phash) via partition-preserving real decode; undecodable rows
+    * drop (a corrupt image cannot be a near-duplicate of anything). */
+  def imagePHashes(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(
+      Seq(
+        StructField(idCol, df.schema(idCol).dataType),
+        StructField("phash", LongType)
+      )
+    )
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payIdx)
+        (if (payload == null) None else imagePHash(payload))
+          .map(h => Row(r.get(idIdx), h))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Image near-duplicate pairs: pHash + banded-Hamming blocking. The 63
+    * hash bits split into `maxHamming + 1` bands; by pigeonhole, any pair
+    * within the Hamming budget agrees on at least one whole band — so the
+    * band-bucket equi-join has EXACT recall at the threshold, and the
+    * verify step (`bit_count(xor)`) only discards. The same
+    * sum(bucket²)-not-n² shape as SimHash/MinHash blocking; per-row cost
+    * is one real decode + one 32-point DCT.
+    *
+    * @return (d1, d2, hamming) with d1 < d2, hamming <= maxHamming. */
+  def pHashDupes(df: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < PHashBits, s"bad maxHamming $maxHamming")
+    val nBands = maxHamming + 1
+    val width = (PHashBits + nBands - 1) / nBands
+    val hashes = imagePHashes(df, idCol)
+    val bands = hashes.select(
+      col(idCol),
+      col("phash"),
+      posexplode(
+        array((0 until nBands).map { b =>
+          // band b = bits [b*width, min((b+1)*width, 63))
+          val lo = b * width
+          val w = math.min(width, PHashBits - lo)
+          (shiftright(col("phash"), lo) bitwiseAND lit((1L << w) - 1))
+        }: _*)
+      ).as(Seq("band", "bh"))
+    )
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(
+      b,
+      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col(s"a.$idCol") < col(s"b.$idCol")
+    )
+      .select(
+        col(s"a.$idCol").as("d1"),
+        col(s"b.$idCol").as("d2"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Synthetic patterned JPEG payloads for the pHash pipeline: the stripe
+    * pattern is a pure function of `pattern`, while size and encoder
+    * quality vary per id — so same-pattern docs are true NEAR-duplicates
+    * (different bytes, same image content), the case byte-hash dedup
+    * cannot see. */
+  def withSynthJpegPayload(in: DataFrame, idCol: String, patternCol: String): DataFrame = {
+    val df = widen(in)
+    val schema = StructType(
+      Seq(StructField(idCol, df.schema(idCol).dataType), StructField("payload", BinaryType))
+    )
+    val idIdx = df.schema.fieldIndex(idCol)
+    val patIdx = df.schema.fieldIndex(patternCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => throw new IllegalArgumentException(s"non-integral id $other")
+        }
+        val p = r.get(patIdx) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => throw new IllegalArgumentException(s"non-integral pattern $other")
+        }
+        val scale = 1 + (id % 3).toInt // 64x48, 128x96, 192x144
+        val w = 64 * scale; val h = 48 * scale
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // pseudo-random 4x4-px block texture, pure function of the
+            // pattern key: rich content across frequencies (a gradient or
+            // periodic checker concentrates the DCT in a few coefficients
+            // and leaves the rest as fragile sign-noise)
+            val bx = (x / scale) / 4; val by = (y / scale) / 4
+            // LCG avalanche so different pattern keys give UNCORRELATED
+            // textures (a bare xor of key multiples is a per-value remap —
+            // structurally similar images, measured cross-hamming 8)
+            val seed = p * 1000003L + bx * 7919L + by * 104729L
+            val g = (((seed * 6364136223846793005L + 1442695040888963407L) >>> 33) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val o = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(o)
+        writer.setOutput(ios)
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(0.7f + 0.1f * (id % 3)) // quality varies per id
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+        writer.dispose(); ios.close()
+        Row(r.get(idIdx), o.toByteArray)
+      }
+    }(Encoders.row(schema))
+  }
 }

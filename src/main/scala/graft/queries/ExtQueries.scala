@@ -2110,6 +2110,26 @@ object ExtQueries {
       None
     ),
     // ------------------------------------------------------------------
+    // Image near-dup via perceptual hash (Multimodal.pHashDupes): real
+    // JPEG decode → 32x32 fractional-box luminance → DCT pHash → banded-
+    // Hamming blocking (exact recall at the threshold by pigeonhole).
+    // Same-pattern synthetic images differ in SIZE and JPEG QUALITY —
+    // different bytes, same content, the pairs byte hashing cannot see.
+    // Not SQL-expressible (JPEG+DCT) → rows-only; the spec pins
+    // operator == brute-force at the threshold and the robustness bands.
+    Q(
+      "x81_phash_dupes",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), (col("doc_id") % 40).as("pat"))
+        val withP = Multimodal.withSynthJpegPayload(docs, "doc_id", "pat")
+        Multimodal
+          .pHashDupes(withP, "doc_id", maxHamming = 3)
+          .orderBy("d1", "d2")
+      },
+      None
+    ),
+    // ------------------------------------------------------------------
     // Trailing time-window features (TimeOps.rollingByTime): per-user
     // count / exact decimal sum / min / max of `value` over the last 60 s
     // (RANGE frame — irregular event spacing gets true time windows, and

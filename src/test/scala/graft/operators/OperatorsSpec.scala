@@ -1341,6 +1341,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(a == b)
   }
 
+  test("imagePHash robust to scale/quality; pHashDupes == brute force at the threshold") {
+    import spark.implicits._
+    // 12 docs over 4 patterns; same-pattern variants differ in SIZE and
+    // JPEG QUALITY (different bytes, same content — byte hashing is blind)
+    val docs = (0L until 12L).map(i => (i, i % 4)).toDF("doc_id", "pat")
+    val withP = Multimodal.withSynthJpegPayload(docs, "doc_id", "pat")
+    val hashes = Multimodal.imagePHashes(withP, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.size == 12)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val same = for (i <- 0L until 12L; j <- i + 1 until 12L if i % 4 == j % 4)
+      yield ham(hashes(i), hashes(j))
+    val cross = for (i <- 0L until 12L; j <- i + 1 until 12L if i % 4 != j % 4)
+      yield ham(hashes(i), hashes(j))
+    info(s"same-pattern hamming: ${same.sorted.mkString(",")}")
+    info(s"cross-pattern hamming min: ${cross.min}")
+    assert(same.max <= 3, s"same pattern hamming up to ${same.max}")
+    assert(cross.min > 10, s"cross pattern hamming down to ${cross.min}")
+    // banded blocking has EXACT recall at the threshold: operator output
+    // == brute-force all-pairs at hamming <= 3
+    val got = Multimodal.pHashDupes(withP, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      i <- 0L until 12L; j <- i + 1 until 12L
+      h = ham(hashes(i), hashes(j)) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    assert(got == want && got.nonEmpty)
+    // corrupt payloads decode to nothing and pair with nothing
+    val withBad = withP.union(
+      Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    )
+    assert(Multimodal.imagePHashes(withBad, "doc_id").count() == 12)
+    intercept[IllegalArgumentException] {
+      Multimodal.pHashDupes(withP, "doc_id", maxHamming = 63)
+    }
+  }
+
   test("zscore: per-key stats exact; constant and singleton groups yield NULL z") {
     import spark.implicits._
     val df = Seq(
