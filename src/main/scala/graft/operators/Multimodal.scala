@@ -868,29 +868,38 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
-  /** Image near-duplicate pairs: pHash + banded-Hamming blocking. The 63
-    * hash bits split into `maxHamming + 1` bands; by pigeonhole, any pair
-    * within the Hamming budget agrees on at least one whole band — so the
-    * band-bucket equi-join has EXACT recall at the threshold, and the
-    * verify step (`bit_count(xor)`) only discards. The same
-    * sum(bucket²)-not-n² shape as SimHash/MinHash blocking; per-row cost
-    * is one real decode + one 32-point DCT.
-    *
-    * @return (d1, d2, hamming) with d1 < d2, hamming <= maxHamming. */
-  def pHashDupes(df: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < PHashBits, s"bad maxHamming $maxHamming")
+  /** Banded-Hamming near-dup blocking over a 64-bit-or-less hash column:
+    * the `nBits` hash bits split into `maxHamming + 1` bands; by
+    * pigeonhole, any pair within the Hamming budget agrees on at least
+    * one whole band — so the band-bucket equi-join has EXACT recall at
+    * the threshold, and the verify step (`bit_count(xor)`) only
+    * discards. The same sum(bucket²)-not-n² shape as SimHash/MinHash
+    * blocking. Shared by [[pHashDupes]] and [[audioFpDupes]]. */
+  private def hammingDupes(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      nBits: Int,
+      maxHamming: Int
+  ): DataFrame = {
+    require(
+      maxHamming >= 0 && maxHamming < nBits,
+      s"bad maxHamming $maxHamming for $nBits-bit hashes"
+    )
     val nBands = maxHamming + 1
-    val width = (PHashBits + nBands - 1) / nBands
-    val hashes = imagePHashes(df, idCol)
+    val width = (nBits + nBands - 1) / nBands
     val bands = hashes.select(
       col(idCol),
-      col("phash"),
+      col(hashCol).as("__h"),
       posexplode(
         array((0 until nBands).map { b =>
-          // band b = bits [b*width, min((b+1)*width, 63))
+          // band b = bits [b*width, min((b+1)*width, nBits)); the mask
+          // also clears bits smeared in by the ARITHMETIC shift when the
+          // top hash bit is set
           val lo = b * width
-          val w = math.min(width, PHashBits - lo)
-          (shiftright(col("phash"), lo) bitwiseAND lit((1L << w) - 1))
+          val w = math.min(width, nBits - lo)
+          val mask = if (w >= 64) -1L else (1L << w) - 1
+          (shiftright(col(hashCol), lo) bitwiseAND lit(mask))
         }: _*)
       ).as(Seq("band", "bh"))
     )
@@ -903,10 +912,223 @@ object Multimodal {
       .select(
         col(s"a.$idCol").as("d1"),
         col(s"b.$idCol").as("d2"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming")
+        bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).cast("long").as("hamming")
       )
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Image near-duplicate pairs: pHash + banded-Hamming blocking (see
+    * [[hammingDupes]]); per-row cost is one real decode + one 32-point
+    * DCT. @return (d1, d2, hamming) with d1 < d2, hamming <= maxHamming. */
+  def pHashDupes(df: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame =
+    hammingDupes(imagePHashes(df, idCol), idCol, "phash", PHashBits, maxHamming)
+
+  /** Mono samples in [-1, 1], at most `maxFrames` of them: PCM16 RIFF
+    * fast path (same lock-free chunk walk as [[decodePcm16Riff]]), javax
+    * conversion fallback for everything else. None for undecodable. */
+  private[graft] def monoSamples(payload: Array[Byte], maxFrames: Int): Option[Array[Double]] = {
+    if (payload == null) return None
+    val p = payload
+    val fast: Option[Array[Double]] =
+      if (
+        p.length < 44 ||
+        p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+        p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E'
+      ) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var off = 12
+        var fmtCode = -1; var channels = -1; var bits = -1
+        var dataOff = -1; var dataLen = -1
+        while (off + 8 <= p.length && dataOff < 0) {
+          val len = bb.getInt(off + 4)
+          if (len < 0) return None
+          val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          if (id == "fmt " && len >= 16 && off + 8 + 16 <= p.length) {
+            fmtCode = bb.getShort(off + 8) & 0xffff
+            channels = bb.getShort(off + 10) & 0xffff
+            bits = bb.getShort(off + 22) & 0xffff
+          } else if (id == "data") {
+            dataOff = off + 8
+            dataLen = math.min(len.toLong, (p.length - dataOff).toLong).toInt
+          }
+          if (len > p.length - off - 8) off = p.length
+          else off += 8 + len + (len & 1)
+        }
+        if (fmtCode != 1 || bits != 16 || channels < 1 || dataOff < 0) None
+        else {
+          val frameBytes = channels * 2
+          val n = math.min((dataLen / frameBytes).toLong, maxFrames.toLong).toInt
+          val out = new Array[Double](n)
+          var f = 0; var o = dataOff
+          while (f < n) {
+            var acc = 0L; var c = 0
+            while (c < channels) { acc += bb.getShort(o + 2 * c); c += 1 }
+            out(f) = acc.toDouble / channels / 32768.0
+            f += 1; o += frameBytes
+          }
+          Some(out)
+        }
+      }
+    fast.orElse {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p)
+        )
+        val fmt = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2, fmt.getSampleRate, false
+        )
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val ch = fmt.getChannels
+        val frameBytes = ch * 2
+        val buf = new Array[Byte](frameBytes * maxFrames)
+        var read = 0; var r = 0
+        while (read < buf.length && { r = pcm.read(buf, read, buf.length - read); r > 0 })
+          read += r
+        val n = read / frameBytes
+        val bb2 = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Double](n)
+        var f = 0
+        while (f < n) {
+          var acc = 0L; var c = 0
+          while (c < ch) { acc += bb2.getShort(f * frameBytes + 2 * c); c += 1 }
+          out(f) = acc.toDouble / ch / 32768.0
+          f += 1
+        }
+        Some(out)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** splitmix64 finisher — a REAL avalanche. `(seed * K) >>> 33` is NOT
+    * one: the high bits of a product are linear in the seed (≈ seed *
+    * K/2^33), so "hashed" sequences over nearby seeds are arithmetic
+    * progressions — measured 0.91 correlation between two synth patterns'
+    * envelopes and 8k cross-pattern fingerprint collisions before this. */
+  private[graft] def mix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val AfpWindow = 1024 // samples per window
+  private val AfpBands = 8 // sub-windows per window
+  private val AfpWindows = 9 // windows hashed -> 8 transitions x 8 bands = 64 bits
+
+  /** 64-bit audio fingerprint: 9 windows of 1024 mono samples, 8 band
+    * energies per window, bit = "this band's energy ROSE vs the previous
+    * window". Energy RATIOS make the bits invariant to volume scaling and
+    * bit-depth rounding; only the clip's HEAD is hashed, so trailing
+    * silence or truncation past ~9k samples does not change the
+    * fingerprint. None for undecodable or too-short (< 2 windows) clips. */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    monoSamples(payload, AfpWindow * AfpWindows).flatMap { s =>
+      val nWin = s.length / AfpWindow
+      if (nWin < 2) None
+      else {
+        val bandLen = AfpWindow / AfpBands
+        val e = Array.ofDim[Double](nWin, AfpBands)
+        var w = 0
+        while (w < nWin) {
+          var b = 0
+          while (b < AfpBands) {
+            var acc = 0.0
+            var i = 0
+            val base = w * AfpWindow + b * bandLen
+            while (i < bandLen) { val x = s(base + i); acc += x * x; i += 1 }
+            e(w)(b) = acc
+            b += 1
+          }
+          w += 1
+        }
+        var bits = 0L
+        w = 1
+        while (w < nWin) {
+          var b = 0
+          while (b < AfpBands) {
+            if (e(w)(b) > e(w - 1)(b)) bits |= (1L << ((w - 1) * AfpBands + b))
+            b += 1
+          }
+          w += 1
+        }
+        Some(bits)
+      }
+    }
+
+  /** (id, afp) via partition-preserving decode; undecodable/too-short
+    * rows drop. */
+  def audioFingerprints(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(
+      Seq(
+        StructField(idCol, df.schema(idCol).dataType),
+        StructField("afp", LongType)
+      )
+    )
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payIdx)
+        (if (payload == null) None else audioFingerprint(payload))
+          .map(h => Row(r.get(idIdx), h))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Audio near-duplicate pairs: fingerprint + banded-Hamming blocking
+    * (see [[hammingDupes]]) over the 64 fingerprint bits.
+    * @return (d1, d2, hamming) with d1 < d2, hamming <= maxHamming. */
+  def audioFpDupes(df: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame =
+    hammingDupes(audioFingerprints(df, idCol), idCol, "afp", 64, maxHamming)
+
+  /** Synthetic WAV payloads for the fingerprint pipeline: the per-window
+    * energy envelope is a pure function of `pattern` (LCG avalanche),
+    * while AMPLITUDE and tail length vary per id — same-pattern docs are
+    * true near-duplicates (different bytes, different volume, same
+    * content head), exactly what energy-ratio fingerprinting is for. */
+  def withSynthWavVariantPayload(in: DataFrame, idCol: String, patternCol: String): DataFrame = {
+    val df = widen(in)
+    val schema = StructType(
+      Seq(StructField(idCol, df.schema(idCol).dataType), StructField("payload", BinaryType))
+    )
+    val idIdx = df.schema.fieldIndex(idCol)
+    val patIdx = df.schema.fieldIndex(patternCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx) match {
+          case l: Long => l; case i: Int => i.toLong
+          case other => throw new IllegalArgumentException(s"non-integral id $other")
+        }
+        val p = r.get(patIdx) match {
+          case l: Long => l; case i: Int => i.toLong
+          case other => throw new IllegalArgumentException(s"non-integral pattern $other")
+        }
+        val amp = 0.3 + 0.25 * (id % 3) // volume varies per id
+        val n = AfpWindow * AfpWindows + (id % 3).toInt * 512 // tail varies too
+        val samples = new Array[Short](n)
+        var t = 0
+        while (t < n) {
+          val w = t / AfpWindow
+          val b = (t % AfpWindow) / (AfpWindow / AfpBands)
+          // per-(pattern, window, BAND) level in [0.2, 1] — per-band
+          // variation is what gives each of the 64 fingerprint bits its
+          // own coin; a window-only envelope collapses all 8 band bits of
+          // a transition into one (measured: 30k cross-pattern hamming-0
+          // collisions on the 500-doc corpus). mix64, not a bare LCG —
+          // see [[mix64]] for the measured failure of high-product bits.
+          val lvl = 0.2 + 0.8 * ((mix64(p * 1000003L + w * 7919L + b * 104729L) >>> 33) % 1024) / 1023.0
+          // pattern-independent texture, pure function of t
+          val tx = (((t.toLong * 2654435761L + 11L) >>> 20) % 2048) / 1023.5 - 1.0
+          samples(t) = (amp * lvl * tx * 32767.0).toShort
+          t += 1
+        }
+        Row(r.get(idIdx), wavBytes(samples))
+      }
+    }(Encoders.row(schema))
   }
 
   /** Synthetic patterned JPEG payloads for the pHash pipeline: the stripe
@@ -945,11 +1167,11 @@ object Multimodal {
             // periodic checker concentrates the DCT in a few coefficients
             // and leaves the rest as fragile sign-noise)
             val bx = (x / scale) / 4; val by = (y / scale) / 4
-            // LCG avalanche so different pattern keys give UNCORRELATED
+            // mix64 avalanche so different pattern keys give UNCORRELATED
             // textures (a bare xor of key multiples is a per-value remap —
-            // structurally similar images, measured cross-hamming 8)
-            val seed = p * 1000003L + bx * 7919L + by * 104729L
-            val g = (((seed * 6364136223846793005L + 1442695040888963407L) >>> 33) % 256).toInt
+            // structurally similar images, measured cross-hamming 8; a
+            // bare LCG's high product bits are linear in the seed)
+            val g = ((mix64(p * 1000003L + bx * 7919L + by * 104729L) >>> 33) % 256).toInt
             img.setRGB(x, y, (g << 16) | (g << 8) | g)
             x += 1
           }

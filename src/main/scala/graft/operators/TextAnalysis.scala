@@ -398,6 +398,48 @@ object TextAnalysis {
       )
   }
 
+  /** Feature hashing (the "hashing trick"): project term frequencies into
+    * a fixed `dim`-bucket signed vector with NO vocabulary — bucket and
+    * sign derive from disjoint bits of the portable 60-bit md5 token hash
+    * ([[graft.operators.Dedup.tokenHash60]]), so the mapping is identical
+    * on every engine and every run, needs no fitted dictionary, and the
+    * signed sum makes collisions unbiased (E[x·y] preserved — Weinberger
+    * et al.). Output is the SPARSE form `(id, bucket, w)` with exact
+    * integer weights; densify with [[hashedTfDense]] to feed the
+    * cosine/ANN operators.
+    *
+    * 100 TB shape: one explode + one groupBy(id, bucket) with map-side
+    * combine — output bounded by `|docs| x dim` regardless of vocabulary
+    * size, and no vocabulary table is ever built, broadcast, or fitted. */
+  def hashedTf(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
+    require(dim > 0, s"hashedTf: dim must be positive, got $dim")
+    val h = Dedup.tokenHash60(col("tok"))
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(
+        col(idCol),
+        // shiftright, NOT `/ 2`: Column `/` is DOUBLE division, which
+        // rounds 60-bit hashes past the 53-bit mantissa
+        (shiftright(h, 1) % dim).cast("long").as("bucket"),
+        when(h % 2 === 1, lit(1L)).otherwise(lit(-1L)).as("sign")
+      )
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum("sign").as("w"))
+  }
+
+  /** Dense `array<double>` form of [[hashedTf]] — one row per doc, ready
+    * for cosine / ANN / quantization. Per-doc map assembly only (bounded
+    * by `dim`), no shuffle beyond hashedTf's aggregate. */
+  def hashedTfDense(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame =
+    hashedTf(docs, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w")))).as("__m"))
+      .select(
+        col(idCol),
+        expr(s"transform(sequence(0, $dim - 1), i -> CAST(coalesce(__m[CAST(i AS BIGINT)], 0) AS DOUBLE))")
+          .as("features")
+      )
+
   /** Bounded inverted index: one output row per (token, posting) with the
     * token's document frequency `df`, collection frequency `cf`, and its
     * top-`k` postings ranked by `(tf DESC, id ASC)` — the corpus-search /

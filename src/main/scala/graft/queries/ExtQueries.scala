@@ -2130,6 +2130,47 @@ object ExtQueries {
       None
     ),
     // ------------------------------------------------------------------
+    // Feature hashing (TextAnalysis.hashedTf): vocabulary-free signed
+    // TF projection into 64 buckets — bucket and sign from disjoint bits
+    // of the portable md5 token hash, so the oracle replays the exact
+    // mapping; weights are exact integers. Output bounded by |docs| x dim
+    // at any vocabulary size; no dictionary built or broadcast.
+    Q(
+      "x82_feature_hash",
+      (s, d) =>
+        TextAnalysis
+          .hashedTf(t(s, d, "documents"), "doc_id", "text", dim = 64)
+          .orderBy("doc_id", "bucket"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |h AS (SELECT doc_id,
+             |    CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
+             |sw AS (SELECT doc_id, (h60 // 2) % 64 AS bucket,
+             |    CASE WHEN h60 % 2 = 1 THEN 1 ELSE -1 END AS sign FROM h)
+             |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS w
+             |FROM sw GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Audio near-dup via energy-ratio fingerprint (Multimodal.
+    // audioFpDupes): real WAV decode → 8-band window energies → 64-bit
+    // "band rose vs previous window" hash (volume- and tail-invariant) →
+    // banded-Hamming blocking. Same-pattern synth clips differ in
+    // amplitude and length — near-dups byte hashing cannot see. Rows-only
+    // (PCM decode not SQL-expressible); spec pins operator == brute-force
+    // at the threshold and the invariances.
+    Q(
+      "x83_audio_dupes",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), (col("doc_id") % 40).as("pat"))
+        val withP = Multimodal.withSynthWavVariantPayload(docs, "doc_id", "pat")
+        Multimodal
+          .audioFpDupes(withP, "doc_id", maxHamming = 3)
+          .orderBy("d1", "d2")
+      },
+      None
+    ),
+    // ------------------------------------------------------------------
     // Trailing time-window features (TimeOps.rollingByTime): per-user
     // count / exact decimal sum / min / max of `value` over the last 60 s
     // (RANGE frame — irregular event spacing gets true time windows, and

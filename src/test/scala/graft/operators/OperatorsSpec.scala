@@ -1378,6 +1378,74 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("hashedTf: manual recount, dense==sparse, identical docs collide exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "a b a c"), // identical content
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val sparse = TextAnalysis.hashedTf(docs, "doc_id", "text", dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // manual recount with the same portable hash convention
+    def h60(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(17, 32), 16)
+    }
+    val want = Seq("a", "b", "a", "c").map(h60).groupBy(h => (h >>> 1) % 16)
+      .map { case (b, hs) => b -> hs.map(h => if (h % 2 == 1) 1L else -1L).sum }
+    want.foreach { case (b, w) => assert(sparse((1L, b)) == w, s"bucket $b") }
+    // identical docs produce identical sparse rows
+    assert(
+      sparse.collect { case ((d, b), w) if d == 1L => b -> w } ==
+        sparse.collect { case ((d, b), w) if d == 2L => b -> w }
+    )
+    // dense form is exactly the densified sparse form
+    val dense = TextAnalysis.hashedTfDense(docs, "doc_id", "text", dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (d <- Seq(1L, 2L, 3L); b <- 0 until 16)
+      assert(dense(d)(b) == sparse.getOrElse((d, b), 0L).toDouble, s"doc $d bucket $b")
+    assert(dense(1L) == dense(2L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedTf(docs, "doc_id", "text", dim = 0)
+    }
+  }
+
+  test("audioFingerprint volume/tail invariant; audioFpDupes == brute force at threshold") {
+    import spark.implicits._
+    // 12 docs over 4 patterns; same-pattern variants differ in AMPLITUDE
+    // and tail length — different bytes, same content head
+    val docs = (0L until 12L).map(i => (i, i % 4)).toDF("doc_id", "pat")
+    val withP = Multimodal.withSynthWavVariantPayload(docs, "doc_id", "pat")
+    val fps = Multimodal.audioFingerprints(withP, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.size == 12)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val same = for (i <- 0L until 12L; j <- i + 1 until 12L if i % 4 == j % 4)
+      yield ham(fps(i), fps(j))
+    val cross = for (i <- 0L until 12L; j <- i + 1 until 12L if i % 4 != j % 4)
+      yield ham(fps(i), fps(j))
+    info(s"same-pattern hamming: ${same.sorted.mkString(",")}; cross min: ${cross.min}")
+    assert(same.max <= 3, s"same pattern hamming up to ${same.max}")
+    assert(cross.min > 10, s"cross pattern hamming down to ${cross.min}")
+    val got = Multimodal.audioFpDupes(withP, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      i <- 0L until 12L; j <- i + 1 until 12L
+      h = ham(fps(i), fps(j)) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    assert(got == want && got.nonEmpty)
+    // corrupt and too-short payloads contribute nothing
+    val withBad = withP.union(
+      Seq(
+        (98L, Array[Byte](1, 2, 3)),
+        (99L, Multimodal.wavBytes(new Array[Short](100))) // < 2 windows
+      ).toDF("doc_id", "payload")
+    )
+    assert(Multimodal.audioFingerprints(withBad, "doc_id").count() == 12)
+  }
+
   test("zscore: per-key stats exact; constant and singleton groups yield NULL z") {
     import spark.implicits._
     val df = Seq(
