@@ -1085,6 +1085,118 @@ object Multimodal {
   def audioFpDupes(df: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame =
     hammingDupes(audioFingerprints(df, idCol), idCol, "afp", 64, maxHamming)
 
+  /** (id, frame_idx, phash) for every `every`-th REAL-decoded video
+    * frame: AVI/MJPEG container walk + JPEG decode + DCT pHash per
+    * sampled frame; corrupt payloads and undecodable frames contribute
+    * no rows. Partition-preserving fan-out, like [[sampleVideoFrames]]. */
+  def videoPHashes(df: DataFrame, idCol: String, every: Int): DataFrame = {
+    val frames = sampleVideoFrames(df, idCol, every)
+    val schema = StructType(
+      Seq(
+        StructField(idCol, frames.schema(idCol).dataType),
+        StructField("frame_idx", IntegerType),
+        StructField("phash", LongType)
+      )
+    )
+    val idIdx = frames.schema.fieldIndex(idCol)
+    val fiIdx = frames.schema.fieldIndex("frame_idx")
+    val frIdx = frames.schema.fieldIndex("frame")
+    frames.mapPartitions { rows =>
+      rows.flatMap { r =>
+        imagePHash(r.getAs[Array[Byte]](frIdx))
+          .map(h => Row(r.get(idIdx), r.getInt(fiIdx), h))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Video near-duplicate pairs: per-frame pHashes matched across videos
+    * via the banded-Hamming blocking, then videos pair when at least
+    * `minMatches` DISTINCT sampled frames of the lower-id video match
+    * SOME frame of the other (frame-index-free matching, so trims and
+    * offsets still pair). Ids pack as `doc * 2^20 + frame_idx` through
+    * the shared [[hammingDupes]] — doc-major, so the pair order is by
+    * doc id; same-doc frame matches are dropped.
+    *
+    * @return (d1, d2, n_match) with d1 < d2, n_match >= minMatches. */
+  def videoDupes(
+      df: DataFrame,
+      idCol: String,
+      every: Int = 2,
+      maxHamming: Int = 3,
+      minMatches: Int = 2
+  ): DataFrame = {
+    require(minMatches >= 1, s"videoDupes: minMatches must be >= 1, got $minMatches")
+    val hashes = videoPHashes(df, idCol, every)
+      .select(
+        (col(idCol).cast("long") * 1048576L + col("frame_idx")).as("fid"),
+        col("phash")
+      )
+    hammingDupes(hashes, "fid", "phash", PHashBits, maxHamming)
+      .select(
+        expr("d1 div 1048576").as("da"), // div, not `/`: Column `/` is double division
+        pmod(col("d1"), lit(1048576L)).as("fa"),
+        expr("d2 div 1048576").as("db")
+      )
+      .filter(col("da") =!= col("db"))
+      .groupBy(col("da").as("d1"), col("db").as("d2"))
+      .agg(countDistinct(col("fa")).as("n_match"))
+      .filter(col("n_match") >= minMatches)
+  }
+
+  /** Synthetic patterned AVI payloads for the video-dedup pipeline:
+    * mix64-textured frames keyed by `(pattern, frame)`, while JPEG
+    * quality and frame size vary per id — same-pattern docs are true
+    * near-duplicate videos (different bytes, same content). Frame count
+    * varies with the pattern so clip length is not a trivial key. */
+  def withSynthAviVariantPayload(in: DataFrame, idCol: String, patternCol: String): DataFrame = {
+    val df = widen(in)
+    val schema = StructType(
+      Seq(StructField(idCol, df.schema(idCol).dataType), StructField("payload", BinaryType))
+    )
+    val idIdx = df.schema.fieldIndex(idCol)
+    val patIdx = df.schema.fieldIndex(patternCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx) match {
+          case l: Long => l; case i: Int => i.toLong
+          case other => throw new IllegalArgumentException(s"non-integral id $other")
+        }
+        val p = r.get(patIdx) match {
+          case l: Long => l; case i: Int => i.toLong
+          case other => throw new IllegalArgumentException(s"non-integral pattern $other")
+        }
+        val scale = 1 + (id % 2).toInt
+        val w = 64 * scale; val h = 48 * scale
+        val n = 4 + (p % 3).toInt
+        val jpegs = (0 until n).map { fi =>
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val bx = (x / scale) / 4; val by = (y / scale) / 4
+              val g = ((mix64(p * 1000003L + fi * 999983L + bx * 7919L + by * 104729L) >>> 33) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val o = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(o)
+          writer.setOutput(ios)
+          val param = writer.getDefaultWriteParam
+          param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          param.setCompressionQuality(0.7f + 0.1f * (id % 3))
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+          writer.dispose(); ios.close()
+          o.toByteArray
+        }
+        Row(r.get(idIdx), encodeAviMjpeg(jpegs, w, h, 10))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Synthetic WAV payloads for the fingerprint pipeline: the per-window
     * energy envelope is a pure function of `pattern` (LCG avalanche),
     * while AMPLITUDE and tail length vary per id — same-pattern docs are

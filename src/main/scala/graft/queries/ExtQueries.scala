@@ -2171,6 +2171,25 @@ object ExtQueries {
       None
     ),
     // ------------------------------------------------------------------
+    // Video near-dup (Multimodal.videoDupes): real AVI/MJPEG decode →
+    // per-sampled-frame DCT pHash → banded-Hamming frame matching →
+    // videos pair when >= minMatches distinct frames match (frame-index-
+    // free, so trims/offsets still pair). Same-pattern synth clips differ
+    // in frame size and JPEG quality. Rows-only; the spec pins exact
+    // planted-pair recovery and per-frame hash agreement.
+    Q(
+      "x84_video_dupes",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), (col("doc_id") % 40).as("pat"))
+        val withP = Multimodal.withSynthAviVariantPayload(docs, "doc_id", "pat")
+        Multimodal
+          .videoDupes(withP, "doc_id", every = 2, maxHamming = 3, minMatches = 2)
+          .orderBy("d1", "d2")
+      },
+      None
+    ),
+    // ------------------------------------------------------------------
     // Trailing time-window features (TimeOps.rollingByTime): per-user
     // count / exact decimal sum / min / max of `value` over the last 60 s
     // (RANGE frame — irregular event spacing gets true time windows, and

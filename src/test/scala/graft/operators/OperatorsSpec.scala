@@ -1446,6 +1446,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(Multimodal.audioFingerprints(withBad, "doc_id").count() == 12)
   }
 
+  test("videoDupes: same-pattern clips pair with full frame matches, cross never") {
+    import spark.implicits._
+    // 8 docs over 4 patterns; variants differ in frame SIZE and JPEG quality
+    val docs = (0L until 8L).map(i => (i, i % 4)).toDF("doc_id", "pat")
+    val withP = Multimodal.withSynthAviVariantPayload(docs, "doc_id", "pat")
+    val out = Multimodal.videoDupes(withP, "doc_id", every = 2, maxHamming = 3, minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exactly the 4 same-pattern pairs; every sampled frame matches
+    assert(out.map { case (a, b, _) => (a, b) } ==
+      (0L until 4L).map(p => (p, p + 4)).toSet)
+    out.foreach { case (a, _, n) =>
+      val frames = 4 + (a % 4) % 3 // n frames for this pattern
+      val sampled = (frames + 1) / 2 // every=2
+      assert(n == sampled, s"pair of doc $a matched $n of $sampled sampled frames")
+    }
+    // frame-level hashes: same pattern+frame across variants agree closely
+    val ph = Multimodal.videoPHashes(withP, "doc_id", every = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (p <- 0L until 4L; f <- 0 until 4)
+      assert(ham(ph((p, f)), ph((p + 4, f))) <= 3, s"pattern $p frame $f")
+    // corrupt payload: no rows, no pairs
+    val bad = Seq((99L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    assert(Multimodal.videoPHashes(bad, "doc_id", 1).count() == 0)
+    intercept[IllegalArgumentException] {
+      Multimodal.videoDupes(withP, "doc_id", minMatches = 0)
+    }
+  }
+
   test("zscore: per-key stats exact; constant and singleton groups yield NULL z") {
     import spark.implicits._
     val df = Seq(
@@ -1559,6 +1588,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(out(3) == "https://site.example.com/Docs/A/7?a=1&b=2")
     assert(out(4) == "https://site.example.com:8443/x") // all params were tracking
     assert(out(5) == "://") // non-URL degrades, never throws
+    // idempotence: canonicalizing an already-canonical URL is a no-op
+    // (generated noisy URLs over schemes/hosts/ports/params/fragments)
+    import spark.implicits._
+    val gen = (0 until 200).map { i =>
+      val scheme = Seq("http", "HTTPS", "https", "HTTP")(i % 4)
+      val www = if (i % 3 == 0) "WWW." else ""
+      val port = Seq("", ":80", ":443", ":8080")(i % 4)
+      val path = Seq("/a/b/", "//x", "/P/Q", "")(i % 4)
+      val q = Seq("", "?b=2&a=1", "?utm_source=x", "?z=9&utm_medium=m&y=8")(i % 4)
+      val frag = if (i % 5 == 0) "#f" else ""
+      (i.toLong, s"$scheme://${www}Host$i.Example.COM$port$path$q$frag")
+    }.toDF("id", "url")
+    val twice = gen
+      .select(col("id"), TextAnalysis.canonicalUrl(col("url")).as("c1"))
+      .select(col("id"), col("c1"), TextAnalysis.canonicalUrl(col("c1")).as("c2"))
+      .collect()
+    twice.foreach(r => assert(r.getString(1) == r.getString(2), s"not idempotent: ${r.getString(1)}"))
   }
 
   test("rollingByTime RANGE frames: irregular spacing, ts peers, exact decimal sum") {
