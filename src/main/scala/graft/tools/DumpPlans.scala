@@ -60,7 +60,24 @@ object DumpPlans {
       "residual Filter keeps row exactness while pruned chunks are never decoded."),
     "q42_zarr_append" -> ("Append-grown store (create + chunk-aligned append + idempotent " +
       "replay): the scan over the grown array is the same single BatchScan with the pushed " +
-      "i-range — appended slabs are indistinguishable from created ones.")
+      "i-range — appended slabs are indistinguishable from created ones."),
+    "x71_seg_dedup" -> ("Global segment dedup: the first-occurrence winner per segment hash is a " +
+      "min(struct) aggregate (map-side partials — sort-based because struct min has no mutable " +
+      "hash buffer, but still partial-before-exchange, so a boilerplate hash never sorts its " +
+      "full row set in one task); survivors join back on the 60-bit hash, never the string."),
+    "x74_inverted_index" -> ("Bounded inverted index: tf is one (token, doc) HashAggregate pair; " +
+      "df/cf/top-k postings come from ONE ObjectHashAggregate pair (bounded-heap TopKStructs) — " +
+      "at most k postings per token per partition cross the exchange, no row_number window."),
+    "x75_rolling_time" -> ("Time-RANGE rolling features: a single hash exchange on user_id, one " +
+      "per-partition sort, Window operators with RANGE frames — no global sort, no join; the " +
+      "decimal-routed sum keeps the sliding aggregate exact."),
+    "x79_embed_cov" -> ("Distributed covariance: per-row Generate (d(d+1)/2 upper-triangular " +
+      "products) feeding a partial->final HashAggregate on (i, j) — the shuffle carries only " +
+      "O(dim^2) rows per partition regardless of corpus size; no collect before the final " +
+      "dim^2-bounded result."),
+    "x82_feature_hash" -> ("Feature hashing: explode -> two HashAggregate pairs (token tf, then " +
+      "bucket sums) — no vocabulary table, no join, no broadcast anywhere in the plan; the " +
+      "output is bounded by |docs| x dim.")
   )
 
   def main(args: Array[String]): Unit = {
