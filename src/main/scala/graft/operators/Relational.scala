@@ -58,6 +58,40 @@ object Relational {
       )
   }
 
+  /** Per-key rank statistics: appends ANSI `percent_rank` (`pr`) and
+    * `cume_dist` (`cd`) of `valueCol` within each key group — the
+    * normalized-position features ("what fraction of this user's events
+    * are smaller"). Ties share a value on both engines by definition, and
+    * the `(rank-1)/(n-1)` division is a single IEEE op, so outputs are
+    * bit-stable.
+    *
+    * 100 TB shape: one hash exchange on the keys, per-key sort inside the
+    * partition — the same cost class as any ranked output; a pathological
+    * hot key sorts in one task (salt upstream, or reach for the
+    * [[Quantiles]] sketch when approximate positions suffice). */
+  def rankStats(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol))
+    df.withColumn("pr", percent_rank().over(w)).withColumn("cd", cume_dist().over(w))
+  }
+
+  /** Per-group mode: the most frequent `valueCol` per key group, ties
+    * broken to the LARGEST value (deterministic at any parallelism), with
+    * its count. Two-level aggregate — `(keys, value)` counts, then a
+    * `max(struct(count, value))` per key: map-side partials both times,
+    * never a window sort over the raw rows. */
+  def modeOf(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(col("__n"), col(valueCol))).as("__m"))
+      .select(
+        keys.map(col) :+
+          col(s"__m.$valueCol").as(s"mode_$valueCol") :+
+          col("__m.__n").as("n_mode"): _*
+      )
+
   /** Winsorization: clamp `valueCol` into its per-key `[lo, hi]` quantile
     * band — outlier clipping for numeric features (the keep-the-row
     * alternative to dropping tail rows). Appends `<valueCol>_w`.

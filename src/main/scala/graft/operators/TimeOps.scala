@@ -115,6 +115,37 @@ object TimeOps {
   def tumble(tsCol: String, width: Long, outScale: Long = 1L): Column =
     expr(s"($tsCol div $width) * ${width / outScale}")
 
+  /** Sliding (hopping) event-time windows over a numeric time column:
+    * each row explodes into every window `[k·step, k·step + width)` that
+    * contains its timestamp, appended as `window_start` — the batch analog
+    * of Structured Streaming's `window(ts, width, step)`, for overlapping
+    * aggregates ("5-minute stats every minute"). `width < step` leaves
+    * gaps; rows falling in a gap emit no window rows, never a wrong one.
+    *
+    * 100 TB shape: a pure per-row generate of `ceil(width/step)` window
+    * rows followed by whatever aggregate the caller groups with — the
+    * fan-out factor is the window overlap, not data size, and map-side
+    * partial aggregation collapses it before any shuffle. */
+  def slide(df: DataFrame, tsCol: String, width: Long, step: Long): DataFrame = {
+    require(width > 0 && step > 0, s"slide: width/step must be positive, got $width/$step")
+    // FLOOR division, not `div`: SQL div truncates toward zero, which
+    // drops the earliest window for timestamps within `width` of zero (or
+    // any negative time column)
+    def fdiv(x: String): String =
+      s"((($x) div $step) + (CASE WHEN ($x) % $step != 0 AND ($x) < 0 THEN -1 ELSE 0 END))"
+    val loS = fdiv(s"$tsCol - $width") + " + 1"
+    val hiS = fdiv(tsCol)
+    df.withColumn(
+      "window_start",
+      explode(
+        when(
+          expr(loS) <= expr(hiS),
+          expr(s"transform(sequence($loS, $hiS), k -> k * $step)")
+        ).otherwise(array().cast("array<bigint>"))
+      )
+    )
+  }
+
   /** Time-RANGE rolling aggregates per key — the trailing-window feature
     * family (count / exact sum / min / max of `valueCol` over the last
     * `width` time units, endpoints inclusive: `[ts - width, ts]`). The

@@ -2190,6 +2190,69 @@ object ExtQueries {
       None
     ),
     // ------------------------------------------------------------------
+    // Sliding (hopping) windows (TimeOps.slide): 5-min windows every
+    // 100 s — each event explodes into its 3 containing windows; map-side
+    // partials collapse the fan-out before the one aggregate shuffle.
+    Q(
+      "x85_sliding_window",
+      (s, d) =>
+        TimeOps
+          .slide(
+            t(s, d, "events").select(col("ts"), col("event_type"), col("value")),
+            "ts",
+            width = 300_000_000_000L,
+            step = 100_000_000_000L
+          )
+          .groupBy(expr("window_start div 1000000000").as("window_s"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 14).as("sum_v"))
+          .orderBy("window_s", "event_type"),
+      Some(s"""WITH e AS (SELECT epoch_ns(ts) AS tns, event_type, value FROM events),
+              |w AS (SELECT event_type, value,
+              |    unnest(range((tns - 300000000000) // 100000000000 + 1,
+              |                 tns // 100000000000 + 1)) AS k
+              |  FROM e)
+              |SELECT k * 100 AS window_s, event_type, COUNT(*) AS n,
+              |  ${Sql.dsum("value", 14)} AS sum_v
+              |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Per-key rank statistics (Relational.rankStats): ANSI percent_rank +
+    // cume_dist per event_type — bit-stable ((rank-1)/(n-1) is one IEEE
+    // division); one exchange, per-key sort.
+    Q(
+      "x86_rank_stats",
+      (s, d) =>
+        Relational
+          .rankStats(
+            t(s, d, "events").select(col("event_id"), col("event_type"), col("value")),
+            Seq("event_type"),
+            "value"
+          )
+          .orderBy("event_id"),
+      Some("""SELECT event_id, event_type, value,
+             |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value)
+             |ORDER BY event_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Per-group mode (Relational.modeOf): most frequent event_type per
+    // user, largest-value tie-break — two map-side-partial aggregates,
+    // never a window sort over the raw events.
+    Q(
+      "x87_mode",
+      (s, d) =>
+        Relational
+          .modeOf(t(s, d, "events"), Seq("user_id"), "event_type")
+          .orderBy("user_id"),
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY n DESC, event_type DESC) AS rk FROM c)
+             |SELECT user_id, event_type AS mode_event_type, n AS n_mode
+             |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Trailing time-window features (TimeOps.rollingByTime): per-user
     // count / exact decimal sum / min / max of `value` over the last 60 s
     // (RANGE frame — irregular event spacing gets true time windows, and

@@ -1475,6 +1475,46 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("slide: membership exact incl. boundaries; width < step leaves gaps") {
+    import spark.implicits._
+    val df = Seq((1L, 13L), (2L, 12L), (3L, 0L)).toDF("id", "ts")
+    val out = TimeOps.slide(df, "ts", width = 10L, step = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // ts=13 in [4,14) [8,18) [12,22); ts=12 in [4,14) [8,18) [12,22); ts=0 in [-8,2) [-4,6) [0,10)
+    assert(out == Set(
+      (1L, 4L), (1L, 8L), (1L, 12L),
+      (2L, 4L), (2L, 8L), (2L, 12L),
+      (3L, -8L), (3L, -4L), (3L, 0L)
+    ))
+    // every emitted window really contains its ts; reconstruction is exact
+    out.foreach { case (_, w) => assert(w <= 13 && w + 10 > 0) }
+    // width < step: ts in a gap emits NO windows, ts in coverage emits one
+    val gaps = TimeOps.slide(Seq((1L, 4L), (2L, 6L)).toDF("id", "ts"), "ts", 2L, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(gaps == Set((2L, 5L))) // [5,7) holds 6; nothing holds 4
+    intercept[IllegalArgumentException] { TimeOps.slide(df, "ts", 0L, 4L) }
+  }
+
+  test("rankStats: percent_rank/cume_dist exact with ties; modeOf tie-breaks to largest") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0), ("a", 4L, 30.0), ("a", 5L, 40.0),
+      ("b", 6L, 7.0)
+    ).toDF("k", "id", "v")
+    val rs = Relational.rankStats(df, Seq("k"), "v").orderBy("id")
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    // group a (n=5): ranks 1,2,2,4,5 -> pr 0, .25, .25, .75, 1; cd 0.2, 0.6, 0.6, 0.8, 1
+    assert(rs.take(5).toSeq == Seq(
+      (1L, 0.0, 0.2), (2L, 0.25, 0.6), (3L, 0.25, 0.6), (4L, 0.75, 0.8), (5L, 1.0, 1.0)
+    ))
+    assert(rs(5) == ((6L, 0.0, 1.0))) // singleton: pr 0 (defined), cd 1
+    val m = Relational.modeOf(
+      Seq((1L, "x"), (1L, "x"), (1L, "y"), (1L, "y"), (2L, "z")).toDF("g", "v"),
+      Seq("g"), "v"
+    ).orderBy("g").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(m == Seq((1L, "y", 2L), (2L, "z", 1L))) // tie x/y at 2 -> largest wins
+  }
+
   test("zscore: per-key stats exact; constant and singleton groups yield NULL z") {
     import spark.implicits._
     val df = Seq(
