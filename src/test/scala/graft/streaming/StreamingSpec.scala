@@ -192,6 +192,32 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(got == want && got.nonEmpty)
   }
 
+  test("sliding-window explode runs unchanged under streaming; windowed agg parity") {
+    import graft.operators.TimeOps
+    // slide is a pure per-row generate (no state), so it must run under
+    // Structured Streaming as-is; the grouped hopping aggregate over it
+    // finalizes with a watermark like any event-time window.
+    val ev = t(spark, sfTiny, "events").select(col("event_id"), col("ts"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("slide_stream").toString
+    ev.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    // stateless parity: exploded (event_id, window_start) row set identical
+    val q = TimeOps.slide(stream, "ts", 300_000_000_000L, 100_000_000_000L)
+      .select("event_id", "window_start")
+      .writeStream.format("memory").queryName("slide_stream").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("slide_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = TimeOps.slide(ev, "ts", 300_000_000_000L, 100_000_000_000L)
+      .select("event_id", "window_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("tumbling agg matches the x12 declared query buckets") {
     val viaWindow = EventStreams.tumbling5m(t(spark, sfTiny, "events"))
       .select("bucket_s", "event_type", "n")
