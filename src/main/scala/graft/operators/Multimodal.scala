@@ -738,6 +738,51 @@ object Multimodal {
   private val PHashGrid = 32
   private val PHashBits = 63 // 8x8 low-frequency block minus the DC term
 
+  /** Integral id/pattern extraction shared by the synth generators. */
+  private def idLong(v: Any, what: String): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => throw new IllegalArgumentException(s"non-integral $what $other")
+  }
+
+  /** JPEG encode at an explicit quality (the default writer ignores
+    * quality; dispose/close ordering matters — one copy of it). */
+  private def encodeJpeg(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(o)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    o.toByteArray
+  }
+
+  /** (id, `outCol`) per decodable payload row via a partition-preserving
+    * map — the shared projection under [[imagePHashes]] and
+    * [[audioFingerprints]]; rows whose payload fails `f` drop (a corrupt
+    * blob cannot be a near-duplicate of anything). */
+  private def hashProjection(df: DataFrame, idCol: String, outCol: String)(
+      f: Array[Byte] => Option[Long]
+  ): DataFrame = {
+    val schema = StructType(
+      Seq(
+        StructField(idCol, df.schema(idCol).dataType),
+        StructField(outCol, LongType)
+      )
+    )
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payIdx)
+        (if (payload == null) None else f(payload)).map(h => Row(r.get(idIdx), h))
+      }
+    }(Encoders.row(schema))
+  }
+
   // orthonormal DCT-II basis, built once per JVM (32 x 32 doubles)
   private lazy val dctBasis: Array[Array[Double]] = {
     val n = PHashGrid
@@ -756,17 +801,16 @@ object Multimodal {
     * scale-robust. */
   private def boxLuminance(img: java.awt.image.BufferedImage, n: Int): Array[Double] = {
     val w = img.getWidth; val h = img.getHeight
-    val lum = Array.ofDim[Double](h, w)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        lum(y)(x) = (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-          0.114 * (rgb & 0xff)) / 255.0
-        x += 1
-      }
-      y += 1
+    // NO h x w luminance matrix: a 50-megapixel crawl image would
+    // transiently allocate ~400 MB of doubles per task. Pixels are read
+    // straight off the raster inside the cell loops (a fractional-
+    // boundary pixel is read at most 4x — cheap next to the allocation),
+    // preserving the exact per-cell summation order, so hashes are
+    // bit-identical to the matrix formulation.
+    def lumAt(x: Int, y: Int): Double = {
+      val rgb = img.getRGB(x, y)
+      (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)) / 255.0
     }
     // 1-D fractional coverage weights for one axis of length `len`
     def weights(len: Int): Array[Array[(Int, Double)]] = Array.tabulate(n) { g =>
@@ -789,7 +833,7 @@ object Multimodal {
       while (gx < n) {
         var acc = 0.0; var area = 0.0
         wy(gy).foreach { case (py, cy) =>
-          wx(gx).foreach { case (px, cx) => acc += lum(py)(px) * cy * cx; area += cy * cx }
+          wx(gx).foreach { case (px, cx) => acc += lumAt(px, py) * cy * cx; area += cy * cx }
         }
         out(gy * n + gx) = acc / area
         gx += 1
@@ -850,23 +894,8 @@ object Multimodal {
 
   /** (id, phash) via partition-preserving real decode; undecodable rows
     * drop (a corrupt image cannot be a near-duplicate of anything). */
-  def imagePHashes(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(
-      Seq(
-        StructField(idCol, df.schema(idCol).dataType),
-        StructField("phash", LongType)
-      )
-    )
-    val idIdx = df.schema.fieldIndex(idCol)
-    val payIdx = df.schema.fieldIndex("payload")
-    df.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val payload = r.getAs[Array[Byte]](payIdx)
-        (if (payload == null) None else imagePHash(payload))
-          .map(h => Row(r.get(idIdx), h))
-      }
-    }(Encoders.row(schema))
-  }
+  def imagePHashes(df: DataFrame, idCol: String): DataFrame =
+    hashProjection(df, idCol, "phash")(imagePHash)
 
   /** Banded-Hamming near-dup blocking over a 64-bit-or-less hash column:
     * the `nBits` hash bits split into `maxHamming + 1` bands; by
@@ -914,8 +943,12 @@ object Multimodal {
         col(s"b.$idCol").as("d2"),
         bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).cast("long").as("hamming")
       )
-      .distinct()
+      // filter BEFORE distinct: hamming is deterministic per pair, so the
+      // result is identical, but over-threshold band collisions (common —
+      // near-miss buckets share a band by chance) never ride the
+      // distinct's exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Image near-duplicate pairs: pHash + banded-Hamming blocking (see
@@ -1061,23 +1094,8 @@ object Multimodal {
 
   /** (id, afp) via partition-preserving decode; undecodable/too-short
     * rows drop. */
-  def audioFingerprints(df: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(
-      Seq(
-        StructField(idCol, df.schema(idCol).dataType),
-        StructField("afp", LongType)
-      )
-    )
-    val idIdx = df.schema.fieldIndex(idCol)
-    val payIdx = df.schema.fieldIndex("payload")
-    df.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val payload = r.getAs[Array[Byte]](payIdx)
-        (if (payload == null) None else audioFingerprint(payload))
-          .map(h => Row(r.get(idIdx), h))
-      }
-    }(Encoders.row(schema))
-  }
+  def audioFingerprints(df: DataFrame, idCol: String): DataFrame =
+    hashProjection(df, idCol, "afp")(audioFingerprint)
 
   /** Audio near-duplicate pairs: fingerprint + banded-Hamming blocking
     * (see [[hammingDupes]]) over the 64 fingerprint bits.
@@ -1126,11 +1144,20 @@ object Multimodal {
       minMatches: Int = 2
   ): DataFrame = {
     require(minMatches >= 1, s"videoDupes: minMatches must be >= 1, got $minMatches")
+    require(
+      Seq(LongType, IntegerType).contains(df.schema(idCol).dataType),
+      s"videoDupes: id column '$idCol' must be integral (got ${df.schema(idCol).dataType}) — " +
+        "ids pack into the frame-hash key"
+    )
+    // a frame index past the 2^20 packing slot would silently collide
+    // into the NEXT doc's frame space — raise loudly instead (sample more
+    // sparsely via `every` for multi-hour clips)
+    val fid = when(
+      col("frame_idx") >= 1048576,
+      raise_error(lit("videoDupes: frame_idx >= 2^20 — increase `every`")).cast("long")
+    ).otherwise(col(idCol).cast("long") * 1048576L + col("frame_idx"))
     val hashes = videoPHashes(df, idCol, every)
-      .select(
-        (col(idCol).cast("long") * 1048576L + col("frame_idx")).as("fid"),
-        col("phash")
-      )
+      .select(fid.as("fid"), col("phash"))
     hammingDupes(hashes, "fid", "phash", PHashBits, maxHamming)
       .select(
         expr("d1 div 1048576").as("da"), // div, not `/`: Column `/` is double division
@@ -1157,14 +1184,8 @@ object Multimodal {
     val patIdx = df.schema.fieldIndex(patternCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.get(idIdx) match {
-          case l: Long => l; case i: Int => i.toLong
-          case other => throw new IllegalArgumentException(s"non-integral id $other")
-        }
-        val p = r.get(patIdx) match {
-          case l: Long => l; case i: Int => i.toLong
-          case other => throw new IllegalArgumentException(s"non-integral pattern $other")
-        }
+        val id = idLong(r.get(idIdx), "id")
+        val p = idLong(r.get(patIdx), "pattern")
         val scale = 1 + (id % 2).toInt
         val w = 64 * scale; val h = 48 * scale
         val n = 4 + (p % 3).toInt
@@ -1181,16 +1202,7 @@ object Multimodal {
             }
             y += 1
           }
-          val o = new java.io.ByteArrayOutputStream()
-          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(o)
-          writer.setOutput(ios)
-          val param = writer.getDefaultWriteParam
-          param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-          param.setCompressionQuality(0.7f + 0.1f * (id % 3))
-          writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-          writer.dispose(); ios.close()
-          o.toByteArray
+          encodeJpeg(img, 0.7f + 0.1f * (id % 3))
         }
         Row(r.get(idIdx), encodeAviMjpeg(jpegs, w, h, 10))
       }
@@ -1211,14 +1223,8 @@ object Multimodal {
     val patIdx = df.schema.fieldIndex(patternCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.get(idIdx) match {
-          case l: Long => l; case i: Int => i.toLong
-          case other => throw new IllegalArgumentException(s"non-integral id $other")
-        }
-        val p = r.get(patIdx) match {
-          case l: Long => l; case i: Int => i.toLong
-          case other => throw new IllegalArgumentException(s"non-integral pattern $other")
-        }
+        val id = idLong(r.get(idIdx), "id")
+        val p = idLong(r.get(patIdx), "pattern")
         val amp = 0.3 + 0.25 * (id % 3) // volume varies per id
         val n = AfpWindow * AfpWindows + (id % 3).toInt * 512 // tail varies too
         val samples = new Array[Short](n)
@@ -1257,16 +1263,8 @@ object Multimodal {
     val patIdx = df.schema.fieldIndex(patternCol)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.get(idIdx) match {
-          case l: Long => l
-          case i: Int => i.toLong
-          case other => throw new IllegalArgumentException(s"non-integral id $other")
-        }
-        val p = r.get(patIdx) match {
-          case l: Long => l
-          case i: Int => i.toLong
-          case other => throw new IllegalArgumentException(s"non-integral pattern $other")
-        }
+        val id = idLong(r.get(idIdx), "id")
+        val p = idLong(r.get(patIdx), "pattern")
         val scale = 1 + (id % 3).toInt // 64x48, 128x96, 192x144
         val w = 64 * scale; val h = 48 * scale
         val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -1289,16 +1287,7 @@ object Multimodal {
           }
           y += 1
         }
-        val o = new java.io.ByteArrayOutputStream()
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(o)
-        writer.setOutput(ios)
-        val param = writer.getDefaultWriteParam
-        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-        param.setCompressionQuality(0.7f + 0.1f * (id % 3)) // quality varies per id
-        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-        writer.dispose(); ios.close()
-        Row(r.get(idIdx), o.toByteArray)
+        Row(r.get(idIdx), encodeJpeg(img, 0.7f + 0.1f * (id % 3))) // quality varies per id
       }
     }(Encoders.row(schema))
   }

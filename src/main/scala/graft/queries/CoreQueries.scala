@@ -1860,7 +1860,10 @@ object CoreQueries {
       w("d_bef8", ">f8", Some("zstd"), Seq("delta"), i => i * 0.25 - 3.0)
       w("d_f4", "<f4", Some("blosc:blosclz"), Seq("delta"), i => i * 0.5)
       w("d_m8", "<M8[s]", None, Seq("delta"), i => (1700000000L + i * 60).toDouble)
-      w("q_f8", "<f8", Some("zlib"), Seq("quantize"), i => i * 0.25)
+      w("q_f8", "<f8", Some("zlib"),
+        // digits=3 -> binary scale 2^10; i*0.25 is exactly representable
+        // on that grid, so the q23 oracle values are unchanged
+        Seq("""{"id": "quantize", "digits": 3, "dtype": "<f8"}"""), i => i * 0.25)
       w(
         "fso_f8", "<f8", Some("zlib"),
         Seq("""{"id": "fixedscaleoffset", "offset": 1000.0, "scale": 10.0, "dtype": "<f8", "astype": "|u1"}"""),

@@ -97,6 +97,11 @@ object ZarrAppend {
           s"zarr append: numcodecs filter '$id' has no write path " +
             "(writable: delta, quantize, bitround, fixedscaleoffset, packbits)"
         )
+        // id allowlist is not enough: encode preconditions (delta's
+        // same-type rule, fso/quantize/bitround dtype + params) must
+        // reject HERE, before the distributed write, not mid-job in an
+        // executor after slab chunks have landed
+        ZarrFilters.validateWritable(cfg, meta.zdtype)
       }
     require(
       meta.dims.headOption.contains(appendDim),
@@ -856,6 +861,7 @@ object ZarrAppend {
         s"deferred append dim '$dim': numcodecs filter '$id' has no write path " +
           "(writable: delta, quantize, bitround, fixedscaleoffset, packbits)"
       )
+      ZarrFilters.validateWritable(cfg, cm.zdtype) // encode preconditions, not just the id
     }
     cm.zdtype.code match {
       case ZDtype.I4 | ZDtype.I8 | ZDtype.F4 | ZDtype.F8 | ZDtype.VSTR => ()

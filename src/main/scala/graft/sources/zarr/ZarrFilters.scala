@@ -52,16 +52,119 @@ object ZarrFilters {
       )
   }
 
-  /** Encode for the fixture writer: same ids, forward direction. */
+  /** Encode (writer + append path): same ids, forward direction.
+    * quantize/bitround apply the REAL numcodecs transform — they are
+    * defined BY their encode-side rounding, so writing raw values into a
+    * filtered array would make appended slabs violate the array's
+    * declared precision contract. */
   def encode(cfg: String, dt: ZDtype, bytes: Array[Byte]): Array[Byte] = idOf(cfg) match {
     case "delta" =>
       requireSameType(cfg, dt)
       deltaEncode(dt, bytes)
       bytes
-    case "quantize" | "bitround" => bytes // fixtures hold already-quantized values
+    case "quantize" =>
+      quantizeEncode(cfg, dt, bytes)
+      bytes
+    case "bitround" =>
+      bitroundEncode(cfg, dt, bytes)
+      bytes
     case "fixedscaleoffset" => fsoEncode(cfg, dt, bytes)
     case "packbits" => packbitsEncode(dt, bytes)
     case other => throw new UnsupportedOperationException(s"zarr filter '$other' not supported for write")
+  }
+
+  /** Writable-filter precheck for the APPEND path: a filter id being in
+    * the allowlist is NOT enough — encode preconditions (delta's
+    * same-type rule, fso/quantize/bitround dtype + parameter
+    * requirements) must also hold, and they must reject BEFORE a
+    * distributed write starts, not mid-job in an executor. Dry-runs the
+    * encode on one zero cell; any failure rethrows as a loud
+    * IllegalArgumentException naming the config. */
+  def validateWritable(cfg: String, dt: ZDtype): Unit =
+    try encode(cfg, dt, new Array[Byte](math.max(dt.itemSize, 1)))
+    catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"numcodecs filter not writable for dtype ${dt.tag}: $cfg (${e.getMessage})"
+        )
+    }
+
+  /** numcodecs Quantize encode: keep `digits` decimal digits via the
+    * BINARY scale 2^ceil(digits·log2(10)) — `round(scale·x)/scale`,
+    * computed in the array's float width (float32 math for f4). Float
+    * dtypes only; `digits` is required, exactly as in numcodecs. */
+  private def quantizeEncode(cfg: String, dt: ZDtype, bytes: Array[Byte]): Unit = {
+    val digits = (JsonMethods.parse(cfg) \ "digits").extractOpt[Int].getOrElse(
+      throw new UnsupportedOperationException(s"quantize filter requires 'digits': $cfg")
+    )
+    require(digits >= 0, s"quantize digits must be >= 0, got $digits")
+    val bits = math.ceil(digits * math.log(10.0) / math.log(2.0)).toInt
+    val bb = buf(dt, bytes)
+    val n = bytes.length / dt.itemSize
+    dt.code match {
+      case ZDtype.F8 =>
+        val scale = math.pow(2.0, bits)
+        var i = 0
+        while (i < n) {
+          bb.putDouble(i * 8, math.rint(scale * bb.getDouble(i * 8)) / scale)
+          i += 1
+        }
+      case ZDtype.F4 =>
+        val scale = math.pow(2.0, bits).toFloat
+        var i = 0
+        while (i < n) {
+          bb.putFloat(i * 4, (math.rint((scale * bb.getFloat(i * 4)).toDouble).toFloat / scale))
+          i += 1
+        }
+      case other =>
+        throw new UnsupportedOperationException(s"quantize filter requires a float dtype (got ${dt.tag})")
+    }
+  }
+
+  /** numcodecs BitRound encode: round the mantissa to `keepbits` bits
+    * (round-half-away tie handling on the dropped bits, matching
+    * numcodecs: add `((b >> maskbits) & 1) + (1 << (maskbits-1)) - 1`,
+    * then mask). keepbits == mantissa width is a no-op. */
+  private def bitroundEncode(cfg: String, dt: ZDtype, bytes: Array[Byte]): Unit = {
+    val keep = (JsonMethods.parse(cfg) \ "keepbits").extractOpt[Int].getOrElse(
+      throw new UnsupportedOperationException(s"bitround filter requires 'keepbits': $cfg")
+    )
+    val bb = buf(dt, bytes)
+    val n = bytes.length / dt.itemSize
+    dt.code match {
+      case ZDtype.F4 =>
+        require(keep >= 0 && keep <= 23, s"bitround keepbits must be in [0, 23] for f4, got $keep")
+        if (keep < 23) {
+          val maskbits = 23 - keep
+          val mask = -1 << maskbits
+          val half = (1 << (maskbits - 1)) - 1
+          var i = 0
+          while (i < n) {
+            var b = java.lang.Float.floatToRawIntBits(bb.getFloat(i * 4))
+            b += ((b >> maskbits) & 1) + half
+            b &= mask
+            bb.putFloat(i * 4, java.lang.Float.intBitsToFloat(b))
+            i += 1
+          }
+        }
+      case ZDtype.F8 =>
+        require(keep >= 0 && keep <= 52, s"bitround keepbits must be in [0, 52] for f8, got $keep")
+        if (keep < 52) {
+          val maskbits = 52 - keep
+          val mask = -1L << maskbits
+          val half = (1L << (maskbits - 1)) - 1L
+          var i = 0
+          while (i < n) {
+            var b = java.lang.Double.doubleToRawLongBits(bb.getDouble(i * 8))
+            b += ((b >> maskbits) & 1L) + half
+            b &= mask
+            bb.putDouble(i * 8, java.lang.Double.longBitsToDouble(b))
+            i += 1
+          }
+        }
+      case other =>
+        throw new UnsupportedOperationException(s"bitround filter requires a float dtype (got ${dt.tag})")
+    }
   }
 
   /** STORED byte length of `len` decoded bytes after this filter's encode —

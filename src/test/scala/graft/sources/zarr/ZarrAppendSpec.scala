@@ -223,6 +223,74 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     assert(e.getMessage.contains("filtered string value arrays unsupported"), e.getMessage)
   }
 
+  test("quantize append applies the REAL transform; unwritable filter configs reject early") {
+    val root = Files.createTempDirectory("zarrappquant").toString
+    val dir = java.nio.file.Paths.get(root)
+    // digits=1 -> binary scale 2^ceil(log2(10)) = 16; the generator grid
+    // i*0.5 is exactly representable, so existing cells are unchanged
+    ZarrStoreWriter.writeArray(
+      dir, "v", Vector(4), Vector(2), "<f8", i => i * 0.5,
+      dims = Some(Vector("t")),
+      filters = Seq("""{"id": "quantize", "digits": 1, "dtype": "<f8"}""")
+    )
+    ZarrStoreWriter.writeArray(
+      dir, "t", Vector(4), Vector(2), "<i8", i => i.toDouble,
+      dims = Some(Vector("t"))
+    )
+    spark.range(4, 6)
+      .selectExpr("id as t", "CAST(CASE WHEN id = 4 THEN 0.3 ELSE 0.7 END AS DOUBLE) as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("append.dim", "t")
+      .mode("append").save()
+    val rows = read(root).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // appended values are QUANTIZED on store: round(16x)/16, not raw
+    assert(rows(4L) == 0.3125 && rows(5L) == 0.6875, rows)
+    (0 until 4).foreach(i => assert(rows(i.toLong) == i * 0.5))
+    // bitround unit: keepbits=8 zeroes the dropped mantissa bits (round-to-nearest)
+    val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putDouble(0, 0.3)
+    val enc = ZarrFilters.encode(
+      """{"id": "bitround", "keepbits": 8}""", ZDtype.parse("<f8"), bb.array()
+    )
+    val got = java.nio.ByteBuffer.wrap(enc).order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble(0)
+    val raw = java.lang.Double.doubleToRawLongBits(got)
+    assert((raw & ((1L << 44) - 1)) == 0L, f"dropped mantissa bits not zero: $raw%x")
+    assert(math.abs(got - 0.3) < 0.3 / 256, s"bitround moved too far: $got")
+    // unwritable configs reject at validateWritable, with the config named
+    val f8 = ZDtype.parse("<f8"); val i8 = ZDtype.parse("<i8")
+    for (
+      (cfg, dt) <- Seq(
+        ("""{"id": "delta", "dtype": "<i8", "astype": "<i4"}""", i8),
+        ("""{"id": "quantize", "dtype": "<f8"}""", f8), // digits missing
+        ("""{"id": "quantize", "digits": 2, "dtype": "<i8"}""", i8), // non-float
+        ("""{"id": "bitround", "dtype": "<f8"}""", f8) // keepbits missing
+      )
+    ) {
+      val e = intercept[IllegalArgumentException](ZarrFilters.validateWritable(cfg, dt))
+      assert(e.getMessage.contains("not writable"), s"$cfg: ${e.getMessage}")
+    }
+    // and the APPEND precheck runs it BEFORE any write: patch an
+    // astype-retyping delta into the store's .zarray, then append
+    val za = dir.resolve("v").resolve(".zarray")
+    Files.writeString(
+      za,
+      Files.readString(za).replace(
+        """"filters": [{"id": "quantize", "digits": 1, "dtype": "<f8"}]""",
+        """"filters": [{"id": "delta", "dtype": "<f8", "astype": "<f4"}]"""
+      )
+    )
+    val e = intercept[IllegalArgumentException] {
+      spark.range(6, 8)
+        .selectExpr("id as t", "cast(id as double) as value")
+        .write.format("zarr")
+        .option("path", root).option("array", "v")
+        .option("append.dim", "t")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("not writable"), e.getMessage)
+  }
+
   test("replayed batch ids are a no-op; stale ids too") {
     val root = Files.createTempDirectory("zarrappend2").toString
     writeBatch(root, 0, 4, Some(1L))

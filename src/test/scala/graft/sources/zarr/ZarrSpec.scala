@@ -335,7 +335,8 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
     )
     ZarrStoreWriter.writeArray(
       dir, "q_f8", Vector(60), Vector(16), "<f8", f => f * 0.5,
-      dims = Some(Vector("i")), compressor = Some("zlib"), filters = Seq("quantize")
+      dims = Some(Vector("i")), compressor = Some("zlib"),
+      filters = Seq("""{"id": "quantize", "digits": 3, "dtype": "<f8"}""")
     )
     ZarrStoreWriter.consolidate(dir)
     val r = new ZarrDataReader(spark, root)
