@@ -1151,10 +1151,15 @@ object Multimodal {
     )
     // a frame index past the 2^20 packing slot would silently collide
     // into the NEXT doc's frame space — raise loudly instead (sample more
-    // sparsely via `every` for multi-hour clips)
+    // sparsely via `every` for multi-hour clips). Negative doc ids break
+    // the unpack too (`div` truncates toward zero while pmod wraps), so
+    // they raise the same way
     val fid = when(
       col("frame_idx") >= 1048576,
       raise_error(lit("videoDupes: frame_idx >= 2^20 — increase `every`")).cast("long")
+    ).when(
+      col(idCol) < 0,
+      raise_error(lit("videoDupes: negative doc id breaks the 2^20 id*frame packing")).cast("long")
     ).otherwise(col(idCol).cast("long") * 1048576L + col("frame_idx"))
     val hashes = videoPHashes(df, idCol, every)
       .select(fid.as("fid"), col("phash"))

@@ -128,6 +128,10 @@ object TimeOps {
     * partial aggregation collapses it before any shuffle. */
   def slide(df: DataFrame, tsCol: String, width: Long, step: Long): DataFrame = {
     require(width > 0 && step > 0, s"slide: width/step must be positive, got $width/$step")
+    require(
+      !df.columns.contains("window_start"),
+      "slide: input already has a 'window_start' column — withColumn would silently overwrite it"
+    )
     // FLOOR division, not `div`: SQL div truncates toward zero, which
     // drops the earliest window for timestamps within `width` of zero (or
     // any negative time column)
@@ -174,6 +178,11 @@ object TimeOps {
       sumPrecision: Int = 14
   ): DataFrame = {
     require(width > 0, s"rollingByTime: width must be positive, got $width")
+    val clash = df.columns.toSet.intersect(Set("n_win", "sum_win", "min_win", "max_win"))
+    require(
+      clash.isEmpty,
+      s"rollingByTime: input already has ${clash.mkString(", ")} — withColumn would silently overwrite"
+    )
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol)).rangeBetween(-width, 0)
     val dec = org.apache.spark.sql.types.DecimalType(sumPrecision, 2)
     df.withColumn("n_win", count(lit(1)).over(w))

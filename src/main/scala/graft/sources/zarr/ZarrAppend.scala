@@ -312,8 +312,15 @@ object ZarrAppend {
       (extent.toLong / chunk0) * nChunksVec.drop(1).map(_.toLong).product
     // stats survive the append when the store already has same-domain
     // stats, the grown grid fits the two-level ceiling, and the batch's
-    // own chunk records stay driver-collectable (flat-cap bound)
+    // own chunk records stay driver-collectable (flat-cap bound). A lossy
+    // v2 filter (quantize/bitround/fixedscaleoffset) disqualifies: bounds
+    // taken from raw pre-filter values can be narrower than the decoded
+    // values, so a zonemap-pruned scan would silently drop matching rows
+    // — the sink never writes stats+lossy together, but an
+    // externally-authored store with graft stats attrs can arrive here
+    val lossyFiltered = !isV3 && meta.filters.exists(ZarrFilters.isLossy)
     val statsOn = (existingFlatStats.isDefined || existingHierStats.isDefined) &&
+      !lossyFiltered &&
       grownTotalChunks <= statsFlatCap * statsBlockLen &&
       grownTotalChunks - oldTotalChunks <= statsFlatCap
     val statsOnSer = statsOn
@@ -325,7 +332,9 @@ object ZarrAppend {
       if (statsOn) None
       else if (existingFlatStats.isDefined || existingHierStats.isDefined)
         Some(
-          if (grownTotalChunks > statsFlatCap * statsBlockLen)
+          if (lossyFiltered)
+            ZarrChunkStats.droppedJson(grownTotalChunks, 0L, "lossy_filter")
+          else if (grownTotalChunks > statsFlatCap * statsBlockLen)
             ZarrChunkStats.droppedJson(grownTotalChunks, statsFlatCap * statsBlockLen, "ceiling")
           else
             ZarrChunkStats.droppedJson(grownTotalChunks - oldTotalChunks, statsFlatCap, "batch_flat_cap")

@@ -73,6 +73,17 @@ object ZarrFilters {
     case other => throw new UnsupportedOperationException(s"zarr filter '$other' not supported for write")
   }
 
+  /** Filters whose ENCODE changes stored values — round-to-nearest in the
+    * value domain (quantize/bitround) or a rounded scaled-int
+    * re-representation (fixedscaleoffset). Zone-map bounds computed from
+    * raw pre-filter values can be up to half a quantum NARROWER than what
+    * a reader decodes, so chunk-stats recording must be disabled when one
+    * of these is in the chain (ADVICE r11). */
+  def isLossy(cfg: String): Boolean = idOf(cfg) match {
+    case "quantize" | "bitround" | "fixedscaleoffset" => true
+    case _ => false
+  }
+
   /** Writable-filter precheck for the APPEND path: a filter id being in
     * the allowlist is NOT enough — encode preconditions (delta's
     * same-type rule, fso/quantize/bitround dtype + parameter
@@ -94,6 +105,11 @@ object ZarrFilters {
     * computed in the array's float width (float32 math for f4). Float
     * dtypes only; `digits` is required, exactly as in numcodecs. */
   private def quantizeEncode(cfg: String, dt: ZDtype, bytes: Array[Byte]): Unit = {
+    // numcodecs Quantize supports astype != dtype (stores at a different
+    // float width); this encode writes full-width bytes, so such a config
+    // would produce chunks other readers mis-decode — reject up front,
+    // same rule as delta (ADVICE r11)
+    requireSameType(cfg, dt, "quantize")
     val digits = (JsonMethods.parse(cfg) \ "digits").extractOpt[Int].getOrElse(
       throw new UnsupportedOperationException(s"quantize filter requires 'digits': $cfg")
     )
@@ -126,6 +142,7 @@ object ZarrFilters {
     * numcodecs: add `((b >> maskbits) & 1) + (1 << (maskbits-1)) - 1`,
     * then mask). keepbits == mantissa width is a no-op. */
   private def bitroundEncode(cfg: String, dt: ZDtype, bytes: Array[Byte]): Unit = {
+    requireSameType(cfg, dt, "bitround")
     val keep = (JsonMethods.parse(cfg) \ "keepbits").extractOpt[Int].getOrElse(
       throw new UnsupportedOperationException(s"bitround filter requires 'keepbits': $cfg")
     )
@@ -344,7 +361,7 @@ object ZarrFilters {
     out
   }
 
-  private def requireSameType(cfg: String, dt: ZDtype): Unit = {
+  private def requireSameType(cfg: String, dt: ZDtype, filterName: String = "delta"): Unit = {
     val j = JsonMethods.parse(cfg)
     val astype = (j \ "astype").extractOpt[String]
     val dtype = (j \ "dtype").extractOpt[String]
@@ -352,7 +369,7 @@ object ZarrFilters {
       astype.exists(a => ZDtype.parse(a).code != dt.code || ZDtype.parse(a).itemSize != dt.itemSize)
     if (retyped)
       throw new UnsupportedOperationException(
-        s"zarr delta filter with astype != dtype ($cfg) not supported — stored chunk bytes " +
+        s"zarr $filterName filter with astype != dtype ($cfg) not supported — stored chunk bytes " +
           "would be a different width than the array dtype"
       )
   }

@@ -1473,6 +1473,15 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     intercept[IllegalArgumentException] {
       Multimodal.videoDupes(withP, "doc_id", minMatches = 0)
     }
+    // negative doc ids would mis-unpack (div truncates toward zero, pmod
+    // wraps) — they raise instead of mis-attributing pairs
+    val neg = Multimodal.withSynthAviVariantPayload(
+      Seq((1L, 0L), (5L, 0L)).toDF("doc_id", "pat"), "doc_id", "pat"
+    ).withColumn("doc_id", when($"doc_id" === 1L, -1L).otherwise($"doc_id"))
+    val e = intercept[Exception] { Multimodal.videoDupes(neg, "doc_id").collect() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("negative doc id"), msgs)
   }
 
   test("slide: membership exact incl. boundaries; width < step leaves gaps") {
@@ -1493,6 +1502,15 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(gaps == Set((2L, 5L))) // [5,7) holds 6; nothing holds 4
     intercept[IllegalArgumentException] { TimeOps.slide(df, "ts", 0L, 4L) }
+    // appended-column collisions refuse loudly instead of overwriting
+    intercept[IllegalArgumentException] {
+      TimeOps.slide(df.withColumn("window_start", lit(0L)), "ts", 10L, 4L)
+    }
+    intercept[IllegalArgumentException] {
+      TimeOps.rollingByTime(
+        df.withColumn("sum_win", lit(0.0)), "id", "ts", "sum_win", width = 10L
+      )
+    }
   }
 
   test("rankStats: percent_rank/cume_dist exact with ties; modeOf tie-breaks to largest") {

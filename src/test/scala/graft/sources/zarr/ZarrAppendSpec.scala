@@ -264,6 +264,7 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
         ("""{"id": "delta", "dtype": "<i8", "astype": "<i4"}""", i8),
         ("""{"id": "quantize", "dtype": "<f8"}""", f8), // digits missing
         ("""{"id": "quantize", "digits": 2, "dtype": "<i8"}""", i8), // non-float
+        ("""{"id": "quantize", "digits": 2, "dtype": "<f8", "astype": "<f4"}""", f8), // retyping
         ("""{"id": "bitround", "dtype": "<f8"}""", f8) // keepbits missing
       )
     ) {
@@ -893,5 +894,46 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     assert(rows.size == 56)
     (0L until 56L).foreach(t => assert(rows(t) == t * 5 % 37, s"t=$t"))
     assert(!new ZarrStore(root, Map.empty, None, None).arrayMeta("t").shardIndexAtEnd)
+  }
+
+  test("lossy-filtered store with stats attrs: append drops stats, records lossy_filter") {
+    // ADVICE r11: bounds recorded from raw pre-filter values can sit up to
+    // half a quantum NARROWER than what quantize stores — an
+    // externally-authored store carrying both graft stats attrs and a
+    // lossy v2 filter must lose its stats on append (loudly, via the
+    // dropped attr), not keep bounds a pruned scan would trust
+    val root = Files.createTempDirectory("zarrapplossy").toString
+    spark.range(0, 8).selectExpr("id as t", "cast(id as double) * 0.1 as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v").option("chunks", "4")
+      .option("append.dim", "t")
+      .mode("append").save()
+    assert(
+      new ZarrStore(root, Map.empty, None, None)
+        .arrayMeta("v").attrs.contains(ZarrChunkStats.AttrKey)
+    )
+    val za = java.nio.file.Paths.get(root).resolve("v").resolve(".zarray")
+    Files.writeString(
+      za,
+      Files.readString(za).replace(
+        "\"filters\": null",
+        """"filters": [{"id": "quantize", "digits": 1, "dtype": "<f8"}]"""
+      )
+    )
+    spark.range(8, 12).selectExpr("id as t", "cast(id as double) * 0.1 as value")
+      .write.format("zarr")
+      .option("path", root).option("array", "v")
+      .option("append.dim", "t")
+      .mode("append").save()
+    val m = new ZarrStore(root, Map.empty, None, None).arrayMeta("v")
+    assert(!m.attrs.contains(ZarrChunkStats.AttrKey), "stale zone maps survived a lossy append")
+    assert(
+      m.attrs.get(ZarrChunkStats.DroppedAttrKey).exists(_.contains("lossy_filter")),
+      m.attrs.get(ZarrChunkStats.DroppedAttrKey)
+    )
+    // values read back QUANTIZED (round(16x)/16), full scan still correct
+    val rows = read(root).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.size == 12)
+    (8L until 12L).foreach(t => assert(rows(t) == math.rint(16.0 * t * 0.1) / 16.0, s"t=$t"))
   }
 }
