@@ -941,17 +941,40 @@ object Similarity {
     * wobble. */
   def pcaFit(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
     require(k >= 1 && k <= dim, s"pcaFit: need 1 <= k <= dim, got k=$k dim=$dim")
+    val (cov, mean, _) = collectCov(df, vecCol, dim)
+    modelFromCov(cov, mean, k)
+  }
+
+  /** One covariance data pass, collected dense: `(cov d x d, mean d, n)`.
+    * The collect is d(d+1)/2 rows — bounded by the embedding dimension,
+    * never by corpus size. */
+  private def collectCov(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int
+  ): (Array[Array[Double]], Array[Double], Long) = {
     val rows = covarianceMatrix(df, vecCol, dim)
-      .select("i", "j", "cov", "mean_i")
-      .collect() // d(d+1)/2 rows — bounded by dim², never by corpus size
+      .select("i", "j", "cov", "mean_i", "n")
+      .collect()
     require(rows.length == dim * (dim + 1) / 2, s"covariance collect: got ${rows.length} rows")
     val cov = Array.ofDim[Double](dim, dim)
     val mean = new Array[Double](dim)
+    var n = 0L
     rows.foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
       cov(i)(j) = c; cov(j)(i) = c
       if (i == j) mean(i) = r.getDouble(3)
+      n = r.getLong(4)
     }
+    (cov, mean, n)
+  }
+
+  private def modelFromCov(
+      cov: Array[Array[Double]],
+      mean: Array[Double],
+      k: Int
+  ): PcaModel = {
+    val dim = cov.length
     val (evals, evecs) = jacobiEigen(cov)
     val order = evals.indices.sortBy(i => -evals(i)).take(k)
     val components = order.map { c =>
@@ -961,6 +984,66 @@ object Similarity {
       if (v(m) < 0) v.map(-_) else v
     }.toArray
     PcaModel(mean, order.map(evals).toArray, components)
+  }
+
+  /** Eigenpair-verification rows for a PCA fit — the oracle-facing
+    * counterpart of [[pcaFit]]. One row per component `c` with columns an
+    * external engine can pin: `n` (vectors fitted) and `trace` (total
+    * variance, Σ var(xᵢ) — recomputable from the raw table), plus
+    * booleans the ENGINE computes and the oracle pins TRUE:
+    *
+    *  - `resid_ok`   ‖C·vᶜ − λᶜvᶜ‖ ≤ 1e-8·max(1, ‖C‖_F)  (true eigenpair
+    *                 of the SAME covariance the distributed pass built —
+    *                 which x79 verifies cell-by-cell against the oracle)
+    *  - `unit_ok`    |‖vᶜ‖ − 1| ≤ 1e-10
+    *  - `orth_ok`    max_{c'≠c} |vᶜ·vᶜ'| ≤ 1e-10
+    *  - `desc_ok`    λᶜ ≤ λᶜ⁻¹ (descending order, with float slack)
+    *  - `var_ok`     var_samp of the DISTRIBUTED projection yᶜ equals λᶜ
+    *                 to 1e-6 relative — a second full data pass through
+    *                 [[pcaProject]], so the check exercises the projection
+    *                 arithmetic, not just the driver-side eigensolve
+    *
+    * Two data passes total (covariance + projected-variance): this is the
+    * audit query, not the production fit — [[pcaFit]] stays one pass. */
+  def pcaVerifyRows(df: DataFrame, vecCol: String, dim: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= dim, s"pcaVerifyRows: need 1 <= k <= dim, got k=$k dim=$dim")
+    val (cov, mean, n) = collectCov(df, vecCol, dim)
+    val model = modelFromCov(cov, mean, k)
+    val evals = model.eigenvalues
+    val comps = model.components
+    val covNorm = math.sqrt(cov.map(_.map(x => x * x).sum).sum)
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val residOk = (0 until k).map { c =>
+      val v = comps(c)
+      val r = (0 until dim).map { i =>
+        val cvi = (0 until dim).map(j => cov(i)(j) * v(j)).sum - evals(c) * v(i)
+        cvi * cvi
+      }.sum
+      math.sqrt(r) <= 1e-8 * math.max(1.0, covNorm)
+    }
+    val unitOk = (0 until k).map(c => math.abs(math.sqrt(dot(comps(c), comps(c))) - 1.0) <= 1e-10)
+    val orthOk = (0 until k).map { c =>
+      (0 until k).filter(_ != c).forall(c2 => math.abs(dot(comps(c), comps(c2))) <= 1e-10)
+    }
+    val descOk = (0 until k).map { c =>
+      c == 0 || evals(c) <= evals(c - 1) + 1e-12 * math.max(1.0, math.abs(evals(c - 1)))
+    }
+    val projVars = pcaProject(df.filter(size(col(vecCol)) === dim), vecCol, model)
+      .agg(
+        var_samp(col("y0")).as("v0"),
+        (1 until k).map(c => var_samp(col(s"y$c")).as(s"v$c")): _*
+      )
+      .head()
+    val varOk = (0 until k).map { c =>
+      math.abs(projVars.getDouble(c) - evals(c)) <= 1e-6 * math.max(1.0, math.abs(evals(c)))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    (0 until k)
+      .map(c => (c.toLong, n, trace, residOk(c), unitOk(c), orthOk(c), descOk(c), varOk(c)))
+      .toDF("c", "n", "trace", "resid_ok", "unit_ok", "orth_ok", "desc_ok", "var_ok")
   }
 
   /** Cyclic Jacobi eigensolver for a small dense symmetric matrix —

@@ -2093,21 +2093,31 @@ object ExtQueries {
     // PCA fit + project (Similarity.pcaFit/pcaProject): the one data pass
     // is x79's covariance; the eigensolve is a d x d driver-side Jacobi
     // (bounded by dim², like kmeansFit's k-centroid collect) and the
-    // projection rides the plan as literals. No SQL oracle (eigensolve is
-    // not SQL-expressible — driver records the rows-only check); the
-    // PcaSpec pins orthonormality, eigenpair residuals, planted-direction
-    // recovery and projected-variance == eigenvalues.
+    // projection rides the plan as literals. The eigensolve itself is not
+    // SQL-expressible, so the oracle row is the x58 boolean-pin shape:
+    // per-component rows carry what DuckDB CAN recompute (n, and trace =
+    // Σ var_samp(xᵢ) — sum of eigenvalues by trace invariance) plus
+    // engine-computed eigenpair invariants (residual, unit norm,
+    // orthogonality, descending order, projected variance == λ via a
+    // second distributed pass) that the oracle pins TRUE. Raw projections
+    // stay pinned by PcaSpec (brute-force parity, planted directions).
     Q(
-      "x80_pca_project",
-      (s, d) => {
-        val emb = t(s, d, "embeddings")
-        val model = Similarity.pcaFit(emb, "embedding", dim = 64, k = 4)
+      "x80_pca_eigen",
+      (s, d) =>
         Similarity
-          .pcaProject(emb, "embedding", model)
-          .select(col("vec_id"), col("y0"), col("y1"), col("y2"), col("y3"))
-          .orderBy("vec_id")
-      },
-      None
+          .pcaVerifyRows(t(s, d, "embeddings"), "embedding", dim = 64, k = 4)
+          .orderBy("c"),
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             |    CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings WHERE len(embedding) = 64),
+             |tr AS (SELECT SUM(v) AS trace
+             |  FROM (SELECT var_samp(x) AS v FROM e GROUP BY i)),
+             |nn AS (SELECT COUNT(*) AS n FROM embeddings WHERE len(embedding) = 64)
+             |SELECT CAST(t.c AS BIGINT) AS c, nn.n, tr.trace,
+             |  TRUE AS resid_ok, TRUE AS unit_ok, TRUE AS orth_ok,
+             |  TRUE AS desc_ok, TRUE AS var_ok
+             |FROM (VALUES (0), (1), (2), (3)) AS t(c), tr, nn
+             |ORDER BY c""".stripMargin)
     ),
     // ------------------------------------------------------------------
     // Image near-dup via perceptual hash (Multimodal.pHashDupes): real

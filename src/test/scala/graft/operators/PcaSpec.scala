@@ -103,4 +103,26 @@ class PcaSpec extends AnyFunSuite with SparkTester {
     // y2 carries only float-rounding noise on rank-2 data
     assert(varS(y2) < 1e-9)
   }
+
+  test("pcaVerifyRows: all invariants hold; n/trace match brute force; wrong-length excluded") {
+    import spark.implicits._
+    val base = (0 until n).map(r => (r.toLong, vec(r)))
+    val df = base.toDF("vec_id", "embedding")
+      .union(Seq((9999L, Array(1.0f))).toDF("vec_id", "embedding")) // excluded, not mis-fitted
+    val rows = Similarity.pcaVerifyRows(df, "embedding", dim, k = 3)
+      .orderBy("c").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    rows.foreach { r =>
+      assert(r.getLong(1) == n.toLong)
+      (3 to 7).foreach(i => assert(r.getBoolean(i), s"c=${r.getLong(0)} col $i"))
+    }
+    // trace == brute-force sum of per-coordinate sample variances
+    val cols = (0 until dim).map(i => base.map(_._2(i).toDouble))
+    def varS(xs: Seq[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val brute = cols.map(varS).sum
+    assert(math.abs(rows.head.getDouble(2) - brute) < 1e-9 * math.max(1.0, brute))
+  }
 }
