@@ -22,6 +22,18 @@ object ExtQueries {
        |       FROM toks, unnest(range(1, len(tk) - 1)) AS t(i))""".stripMargin
   private val shingleCte = shingleCteFrom("documents")
 
+  /** Planted ground truth of the x81/x83/x84 media-dedup queries: the
+    * synthetic payloads make docs with the same `doc_id % 40` pattern
+    * true near-duplicates (same content, different bytes) and everything
+    * else distinct, so the expected pair set is SQL-expressible even
+    * though the decode is not — and the hash check demands the full
+    * decode → hash → blocking path recover it exactly. */
+  private val plantedPairSql =
+    """SELECT a.doc_id AS d1, b.doc_id AS d2
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id < b.doc_id AND a.doc_id % 40 = b.doc_id % 40
+      |ORDER BY d1, d2""".stripMargin
+
   private val minhashMins = Dedup.MinhashAs
     .zip(Dedup.MinhashBs)
     .zipWithIndex
@@ -2125,8 +2137,13 @@ object ExtQueries {
     // Hamming blocking (exact recall at the threshold by pigeonhole).
     // Same-pattern synthetic images differ in SIZE and JPEG QUALITY —
     // different bytes, same content, the pairs byte hashing cannot see.
-    // Not SQL-expressible (JPEG+DCT) → rows-only; the spec pins
-    // operator == brute-force at the threshold and the robustness bands.
+    // The decode+DCT is not SQL-expressible, but the PLANTED TRUTH is:
+    // same-pattern (doc_id % 40) pairs are near-dups by construction and
+    // cross-pattern pairs are not, so the oracle recomputes the exact
+    // expected pair set and the hash check demands the full decode →
+    // pHash → banded-blocking path recover it with zero misses and zero
+    // false pairs. The spec additionally pins the hamming values against
+    // brute force at the threshold.
     Q(
       "x81_phash_dupes",
       (s, d) => {
@@ -2135,9 +2152,10 @@ object ExtQueries {
         val withP = Multimodal.withSynthJpegPayload(docs, "doc_id", "pat")
         Multimodal
           .pHashDupes(withP, "doc_id", maxHamming = 3)
+          .select(col("d1"), col("d2"))
           .orderBy("d1", "d2")
       },
-      None
+      Some(plantedPairSql)
     ),
     // ------------------------------------------------------------------
     // Feature hashing (TextAnalysis.hashedTf): vocabulary-free signed
@@ -2165,9 +2183,11 @@ object ExtQueries {
     // audioFpDupes): real WAV decode → 8-band window energies → 64-bit
     // "band rose vs previous window" hash (volume- and tail-invariant) →
     // banded-Hamming blocking. Same-pattern synth clips differ in
-    // amplitude and length — near-dups byte hashing cannot see. Rows-only
-    // (PCM decode not SQL-expressible); spec pins operator == brute-force
-    // at the threshold and the invariances.
+    // amplitude and length — near-dups byte hashing cannot see. PCM
+    // decode is not SQL-expressible, but the planted truth is (see x81):
+    // the oracle recomputes the exact expected same-pattern pair set and
+    // the hash check demands full recovery. Spec pins operator ==
+    // brute-force at the threshold and the invariances.
     Q(
       "x83_audio_dupes",
       (s, d) => {
@@ -2176,17 +2196,21 @@ object ExtQueries {
         val withP = Multimodal.withSynthWavVariantPayload(docs, "doc_id", "pat")
         Multimodal
           .audioFpDupes(withP, "doc_id", maxHamming = 3)
+          .select(col("d1"), col("d2"))
           .orderBy("d1", "d2")
       },
-      None
+      Some(plantedPairSql)
     ),
     // ------------------------------------------------------------------
     // Video near-dup (Multimodal.videoDupes): real AVI/MJPEG decode →
     // per-sampled-frame DCT pHash → banded-Hamming frame matching →
     // videos pair when >= minMatches distinct frames match (frame-index-
     // free, so trims/offsets still pair). Same-pattern synth clips differ
-    // in frame size and JPEG quality. Rows-only; the spec pins exact
-    // planted-pair recovery and per-frame hash agreement.
+    // in frame size and JPEG quality. Container walk + JPEG decode is not
+    // SQL-expressible, but the planted truth is (see x81): the oracle
+    // recomputes the exact expected same-pattern pair set and the hash
+    // check demands full recovery. Spec pins per-frame hash agreement and
+    // the match counts.
     Q(
       "x84_video_dupes",
       (s, d) => {
@@ -2195,9 +2219,10 @@ object ExtQueries {
         val withP = Multimodal.withSynthAviVariantPayload(docs, "doc_id", "pat")
         Multimodal
           .videoDupes(withP, "doc_id", every = 2, maxHamming = 3, minMatches = 2)
+          .select(col("d1"), col("d2"))
           .orderBy("d1", "d2")
       },
-      None
+      Some(plantedPairSql)
     ),
     // ------------------------------------------------------------------
     // Sliding (hopping) windows (TimeOps.slide): 5-min windows every
