@@ -24,9 +24,28 @@ object Pipeline {
       textCol: String,
       minQuality: Double,
       nearDupThreshold: Double
+  ): DataFrame =
+    cleanCorpus(
+      docs,
+      idCol,
+      textCol,
+      TextAnalysis.qualityExpr(col(textCol)) >= minQuality,
+      nearDupThreshold
+    )
+
+  /** [[cleanCorpus]] with a caller-supplied quality PREDICATE — e.g. a
+    * learned linear classifier (`TextAnalysis.linearLogit(col(text), w,
+    * b) >= 0`), the standard companion to the rule-based gate in curation
+    * stacks. Any per-row boolean Column keeps the stage shuffle-free. */
+  def cleanCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      quality: org.apache.spark.sql.Column,
+      nearDupThreshold: Double
   ): DataFrame = {
     // 1. quality gate — inline predicate, no join-back
-    val passed = docs.filter(TextAnalysis.qualityExpr(col(textCol)) >= minQuality)
+    val passed = docs.filter(quality)
     // 2. exact dedup (lowest id per identical text wins)
     val deduped = Dedup.exact(passed, Seq(textCol), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -68,8 +87,34 @@ object Pipeline {
       splits: Seq[(String, Double)],
       minQuality: Double,
       nearDupThreshold: Double
+  ): DataFrame =
+    curate(
+      docs,
+      idCol,
+      textCol,
+      reference,
+      groupCol,
+      shares,
+      splits,
+      TextAnalysis.qualityExpr(col(textCol)) >= minQuality,
+      nearDupThreshold
+    )
+
+  /** [[curate]] with a caller-supplied quality predicate — the learned
+    * classifier variant of the curation story (see the [[cleanCorpus]]
+    * overload). */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      reference: DataFrame,
+      groupCol: String,
+      shares: Map[String, Double],
+      splits: Seq[(String, Double)],
+      quality: org.apache.spark.sql.Column,
+      nearDupThreshold: Double
   ): DataFrame = {
-    val cleaned = cleanCorpus(docs, idCol, textCol, minQuality, nearDupThreshold)
+    val cleaned = cleanCorpus(docs, idCol, textCol, quality, nearDupThreshold)
     val decontaminated = Dedup.decontaminate(cleaned, reference, textCol)
     val mixed = Scale.resampleToMix(decontaminated, Seq(idCol), groupCol, shares)
     Scale.hashSplit(mixed, Seq(idCol), splits)

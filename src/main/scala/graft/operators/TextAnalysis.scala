@@ -440,6 +440,90 @@ object TextAnalysis {
           .as("features")
       )
 
+  /** Logit of a fasttext-style LINEAR quality classifier over hashed
+    * term-frequency features, as ONE column expression:
+    * `bias + Σ_tok sign(tok) · weights[bucket(tok)]` with bucket/sign from
+    * the same portable md5 mapping as [[hashedTf]] — so a model trained on
+    * hashedTf features scores without materializing the feature vector.
+    *
+    * 100 TB shape: the weights ride the plan as a literal array and the
+    * whole score is a per-row fold over the token array — NO shuffle, no
+    * broadcast join, no feature materialization; stays inside whole-stage
+    * codegen. Sized for literal-friendly dims (≤ ~64k buckets); for
+    * fasttext-scale bucket counts use [[scoreLinearSparse]]. Exactness
+    * note: weights on a small binary grid (k/256) make the fold
+    * order-independent — integer token counts times exact fractions sum
+    * exactly, which is what lets an external engine replay the score
+    * bit-for-bit. */
+  def linearLogit(text: Column, weights: Array[Double], bias: Double): Column = {
+    val dim = weights.length
+    require(dim > 0, "linearLogit: weights must be non-empty")
+    val wLit = typedlit(weights.toSeq)
+    aggregate(
+      tokens(text),
+      lit(bias),
+      (acc, tok) => {
+        val h = Dedup.tokenHash60(tok)
+        val sgn = when(h % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
+        // shiftright, NOT `/ 2` (see hashedTf); element_at is 1-based
+        acc + sgn * element_at(wLit, ((shiftright(h, 1) % dim) + 1).cast("int"))
+      }
+    )
+  }
+
+  /** Learned-quality-filter scoring (the CCNet/RefinedWeb/DCLM-style
+    * classifier stage that runs beside the rule-based [[qualityExpr]]):
+    * appends `logit` ([[linearLogit]]) and `keep` (logit >= 0) to the
+    * input. Pure per-row expressions — all input columns survive. */
+  def scoreLinear(
+      docs: DataFrame,
+      textCol: String,
+      weights: Array[Double],
+      bias: Double
+  ): DataFrame = {
+    val clash = docs.columns.toSet.intersect(Set("logit", "keep"))
+    require(
+      clash.isEmpty,
+      s"scoreLinear: input already has ${clash.mkString(", ")} — withColumn would silently overwrite"
+    )
+    docs
+      .withColumn("logit", linearLogit(col(textCol), weights, bias))
+      .withColumn("keep", col("logit") >= 0)
+  }
+
+  /** [[scoreLinear]] for bucket counts too large to ride the plan as a
+    * literal (fasttext defaults to 2M buckets): sparse hashed features
+    * ([[hashedTf]], exact integer weights) joined to a BROADCAST
+    * `(bucket, weight)` table, one per-doc sum. Buckets absent from the
+    * table weigh 0. Returns `(idCol, logit, keep)` — docs with no tokens
+    * in weighted buckets score `bias` via the left join, never vanish.
+    *
+    * 100 TB shape: hashedTf's one groupBy(id, bucket) with map-side
+    * combine + a broadcast hash join (weights ≤ tens of MB) + one
+    * groupBy(id) — output and shuffle bounded by |docs| x dim, no
+    * vocabulary, no driver loop. */
+  def scoreLinearSparse(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weightsDf: DataFrame,
+      dim: Int,
+      bias: Double
+  ): DataFrame = {
+    val dots = hashedTf(docs, idCol, textCol, dim)
+      .join(broadcast(weightsDf.select(col("bucket"), col("weight"))), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w") * col("weight")).as("__dot"))
+    docs
+      .select(col(idCol))
+      .join(dots, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        (coalesce(col("__dot"), lit(0.0)) + lit(bias)).as("logit"),
+        (coalesce(col("__dot"), lit(0.0)) + lit(bias) >= 0).as("keep")
+      )
+  }
+
   /** Bounded inverted index: one output row per (token, posting) with the
     * token's document frequency `df`, collection frequency `cf`, and its
     * top-`k` postings ranked by `(tf DESC, id ASC)` — the corpus-search /

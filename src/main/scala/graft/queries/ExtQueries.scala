@@ -28,6 +28,24 @@ object ExtQueries {
     * else distinct, so the expected pair set is SQL-expressible even
     * though the decode is not — and the hash check demands the full
     * decode → hash → blocking path recover it exactly. */
+  /** x88/x89 classifier weights: bucket b weighs ((b·37) % 101 − 50)/256
+    * — deterministic, sign-mixed, and on the 1/256 binary grid so every
+    * partial sum is exact (see TextAnalysis.linearLogit). */
+  private val qWeights: Array[Double] =
+    Array.tabulate(64)(b => ((b * 37) % 101 - 50) / 256.0)
+
+  private val scoreLinearSql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
+      |sw AS (SELECT doc_id, (h60 // 2) % 64 AS bucket,
+      |    CASE WHEN h60 % 2 = 1 THEN 1.0 ELSE -1.0 END AS sign FROM h),
+      |dots AS (SELECT doc_id,
+      |    SUM(sign * CAST((bucket * 37) % 101 - 50 AS DOUBLE) / 256.0) AS dot
+      |  FROM sw GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(dots.dot, 0) + 17.0/256.0 AS logit,
+      |  (COALESCE(dots.dot, 0) + 17.0/256.0) >= 0 AS keep
+      |FROM documents d LEFT JOIN dots USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   private val plantedPairSql =
     """SELECT a.doc_id AS d1, b.doc_id AS d2
       |FROM documents a JOIN documents b
@@ -2323,6 +2341,49 @@ object ExtQueries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
              |  RANGE BETWEEN 60000000000 PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Learned linear quality classifier (TextAnalysis.scoreLinear): the
+    // CCNet/RefinedWeb/DCLM-style fasttext stage beside the rule-based
+    // x52 — logit = bias + Σ_tok sign·w[bucket] over x82's portable md5
+    // hashed features. Weights on the k/256 binary grid make the score
+    // order-independent and EXACT, so the oracle replays it bit-for-bit.
+    // Engine shape: weights as plan literals, one per-row fold — no
+    // shuffle, no broadcast, no feature materialization.
+    Q(
+      "x88_quality_score",
+      (s, d) =>
+        TextAnalysis
+          .scoreLinear(
+            t(s, d, "documents").select(col("doc_id"), col("text")),
+            "text",
+            qWeights,
+            17.0 / 256.0
+          )
+          .select(col("doc_id"), col("logit"), col("keep"))
+          .orderBy("doc_id"),
+      Some(scoreLinearSql)
+    ),
+    // ------------------------------------------------------------------
+    // Same classifier through the LARGE-dim path (TextAnalysis.
+    // scoreLinearSparse): sparse hashedTf + broadcast (bucket, weight)
+    // table + one per-doc sum — the shape for fasttext-scale bucket
+    // counts that cannot ride the plan as literals. Same oracle: the two
+    // engine paths and DuckDB must agree exactly.
+    Q(
+      "x89_quality_score_sparse",
+      (s, d) => {
+        val wdf = s
+          .range(64)
+          .select(
+            col("id").as("bucket"),
+            (expr("CAST((id * 37) % 101 - 50 AS DOUBLE)") / 256.0).as("weight")
+          )
+        TextAnalysis
+          .scoreLinearSparse(t(s, d, "documents"), "doc_id", "text", wdf, dim = 64, bias = 17.0 / 256.0)
+          .orderBy("doc_id")
+      },
+      Some(scoreLinearSql)
     )
   )
 }

@@ -1412,6 +1412,61 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("scoreLinear: manual logit; sparse path agrees exactly; collision guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "x y z"),
+      (3L, "a a a a a a a a") // repeated token exercises the fold
+    ).toDF("doc_id", "text")
+    val dim = 16
+    val wts = Array.tabulate(dim)(b => ((b * 37) % 101 - 50) / 256.0)
+    val bias = 17.0 / 256.0
+    def h60(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(17, 32), 16)
+    }
+    def logit(text: String): Double =
+      bias + text.split(" ").map { t =>
+        val h = h60(t)
+        (if (h % 2 == 1) 1.0 else -1.0) * wts(((h >>> 1) % dim).toInt)
+      }.sum
+    val got = TextAnalysis.scoreLinear(docs, "text", wts, bias)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    for ((id, text) <- Seq(1L -> "a b a c", 2L -> "x y z", 3L -> "a a a a a a a a")) {
+      val l = logit(text)
+      assert(got(id) == ((l, l >= 0)), s"doc $id") // EXACT: 1/256-grid weights
+    }
+    // sparse (broadcast-table) path: bit-identical to the literal path
+    val wdf = wts.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq.toDF("bucket", "weight")
+    val sparse = TextAnalysis.scoreLinearSparse(docs, "doc_id", "text", wdf, dim, bias)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(sparse == got)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.scoreLinear(docs.withColumn("keep", lit(true)), "text", wts, bias)
+    }
+    // curate accepts the learned gate: equals hand-chained stages with the
+    // same predicate
+    val corpus = t(spark, sfTiny, "documents")
+    val reference = corpus.filter(col("doc_id") % 7 === 0)
+    val gate = TextAnalysis.linearLogit(col("text"), wts, bias) >= 0
+    val shares = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val viaCurate = Pipeline
+      .curate(corpus, "doc_id", "text", reference, "lang", shares, splits, gate, 0.8)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val manual = Scale.hashSplit(
+      Scale.resampleToMix(
+        Dedup.decontaminate(
+          Pipeline.cleanCorpus(corpus, "doc_id", "text", gate, 0.8),
+          reference, "text"),
+        Seq("doc_id"), "lang", shares),
+      Seq("doc_id"), splits)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaCurate == manual && viaCurate.nonEmpty)
+  }
+
   test("audioFingerprint volume/tail invariant; audioFpDupes == brute force at threshold") {
     import spark.implicits._
     // 12 docs over 4 patterns; same-pattern variants differ in AMPLITUDE
