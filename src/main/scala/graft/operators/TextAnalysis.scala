@@ -235,6 +235,37 @@ object TextAnalysis {
     )
   }
 
+  /** EXACT-mode [[tokenBudget]]: the regex estimate columns plus
+    * `n_bpe_exact` from the real merge-table tokenizer
+    * ([[bpeCount]]/[[graft.functions.Bpe]]) — what packing (x62), budgets
+    * and dedup-by-token-segment actually key off when a model's merge
+    * table is at hand. Still pure per-row codegen'd expressions. */
+  def tokenBudget(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bpeMerges: Seq[(String, String)]
+  ): DataFrame = {
+    val ws = size(tokens(col(textCol)))
+    val bpe = size(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0)))
+    docs.select(
+      col(idCol),
+      ws.as("n_ws_tokens"),
+      bpe.as("n_bpe_tokens"),
+      round(bpe.cast("double") / ws.cast("double"), 6).as("bpe_per_ws"),
+      bpeCount(col(textCol), bpeMerges).as("n_bpe_exact")
+    )
+  }
+
+  /** BPE token strings of `text` under `merges` (GPT-2 byte-level
+    * algorithm — see [[graft.functions.Bpe]]). Codegen'd expression. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeFunctions.bpeTokens(text, merges)
+
+  /** BPE token count — [[bpeTokens]] without the per-row array. */
+  def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeFunctions.bpeCount(text, merges)
+
   /** Gopher-style composite quality filter: the standard keep/drop
     * pre-training gate combining length, mean token length, lexical
     * diversity, and stopword presence. Thresholds are the knobs; the
@@ -376,6 +407,20 @@ object TextAnalysis {
       groupCols: Seq[String],
       textCol: String,
       seqLen: Int
+  ): DataFrame =
+    packSequences(docs, idCol, groupCols, size(tokens(col(textCol))).cast("long"), seqLen)
+
+  /** [[packSequences]] with a caller-supplied token-count Column — pass
+    * `bpeCount(col(text), merges).cast("long")` to pack on EXACT
+    * merge-table token counts instead of the whitespace estimate (the
+    * layout a real packed dataloader reproduces only matches when the
+    * counts are the model tokenizer's). */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      groupCols: Seq[String],
+      nTokens: Column,
+      seqLen: Int
   ): DataFrame = {
     require(seqLen > 0, s"packSequences: seqLen must be positive, got $seqLen")
     import org.apache.spark.sql.expressions.Window
@@ -386,7 +431,7 @@ object TextAnalysis {
     docs
       .select(
         (col(idCol) +: groupCols.map(col)) :+
-          size(tokens(col(textCol))).cast("long").as("n_tokens"): _*
+          nTokens.as("n_tokens"): _*
       )
       .withColumn("tok_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(

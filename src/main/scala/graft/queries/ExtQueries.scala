@@ -46,6 +46,28 @@ object ExtQueries {
       |  (COALESCE(dots.dot, 0) + 17.0/256.0) >= 0 AS keep
       |FROM documents d LEFT JOIN dots USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** x90 merge table: chained merges over corpus-vocabulary words (each
+    * later pair extends an earlier result or stands alone). Chains are
+    * chosen so NO two merge patterns compete for a character anywhere in
+    * the corpus vocabulary — under that condition the BPE token count has
+    * a closed form the oracle can replay: `length(text) − Σ_p
+    * non-overlapping occurrences of pattern p` (each successful merge
+    * removes exactly one symbol, and left-to-right `replace()` counting
+    * matches the merge dynamics when patterns never contend). The
+    * condition is exhaustively verified against the real merge loop in
+    * the BpeSpec vocab sweep; text outside the vocab (real corpora) keeps
+    * the engine correct but voids the closed form — the oracle is a
+    * property of THIS table+corpus pair, the operator is general. */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("o", "r"), ("or", "d"),
+    ("i", "n"), ("in", "d"), ("ind", "o"), ("indo", "w"),
+    ("e", "r"),
+    ("q", "u")
+  )
+
   private val plantedPairSql =
     """SELECT a.doc_id AS d1, b.doc_id AS d2
       |FROM documents a JOIN documents b
@@ -2384,6 +2406,34 @@ object ExtQueries {
           .orderBy("doc_id")
       },
       Some(scoreLinearSql)
+    ),
+    // ------------------------------------------------------------------
+    // REAL BPE tokenizer under the correctness gate (graft.functions.Bpe:
+    // GPT-2 pre-tokenizer + byte-level mapping + rank-table merge loop as
+    // a codegen'd expression). The merge table is chain-structured over
+    // the corpus vocabulary (see bpeMerges), which gives the token count
+    // a closed form DuckDB can replay EXACTLY — so the hash row pins the
+    // real iterative tokenizer, not an approximation. Regex estimate
+    // columns ride along (x54's surface, now with the exact count).
+    Q(
+      "x90_bpe_budget",
+      (s, d) =>
+        TextAnalysis
+          .tokenBudget(t(s, d, "documents"), "doc_id", "text", bpeMerges)
+          .orderBy("doc_id"),
+      Some {
+        val pats = bpeMerges.map { case (a, b) => a + b }
+        val exact = "CAST(length(text)" + pats
+          .map(p => s" - (length(text) - length(replace(text, '$p', ''))) // ${p.length}")
+          .mkString + " AS INTEGER)"
+        s"""SELECT doc_id,
+           |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+           |round(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
+           |  / len(string_split(text, ' ')), 6) AS bpe_per_ws,
+           |$exact AS n_bpe_exact
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }

@@ -1,0 +1,138 @@
+package graft.functions
+
+import graft.SparkTester
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite with SparkTester {
+
+  private def ranks(merges: (String, String)*) = new Bpe.Ranks(merges)
+
+  test("Sennrich merge chain: low/lower/newest/widest vectors") {
+    // the published BPE walkthrough alphabet: es+t -> est, l+o -> lo, lo+w -> low
+    val r = ranks(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    assert(Bpe.encode("low", r).toSeq == Seq("low"))
+    // space pre-tokens carry the Ġ-mapped leading space as its own symbol
+    // (no merge in the table touches Ġ)
+    assert(Bpe.encode("low lower newest widest", r).toSeq == Seq(
+      "low",
+      "Ġ", "low", "e", "r",
+      "Ġ", "n", "e", "w", "est",
+      "Ġ", "w", "i", "d", "est"
+    ))
+    assert(Bpe.countTokens("low lower newest widest", r) == 15)
+  }
+
+  test("GPT-2 pre-tokenizer: contractions, punct runs, digits, trailing-space lookahead") {
+    def pre(s: String): Seq[String] = {
+      val m = Bpe.PreTokenizer.matcher(s)
+      Iterator.continually(if (m.find()) Some(m.group()) else None).takeWhile(_.isDefined).flatten.toSeq
+    }
+    assert(pre("don't stop") == Seq("don", "'t", " stop"))
+    assert(pre("I'll we've he's") == Seq("I", "'ll", " we", "'ve", " he", "'s"))
+    assert(pre("a1b2") == Seq("a", "1", "b", "2"))
+    assert(pre("hello, world!!") == Seq("hello", ",", " world", "!!"))
+    // \s+(?!\S): interior multi-space keeps ONE space attached to the next
+    // word; the rest is its own whitespace token. Trailing spaces are one.
+    assert(pre("a  b") == Seq("a", " ", " b"))
+    assert(pre("ab  ") == Seq("ab", "  "))
+    assert(pre("x 42.5") == Seq("x", " 42", ".", "5"))
+  }
+
+  test("byte-level mapping: printable identity, space->Ġ, multibyte UTF-8, byte 0") {
+    assert(Bpe.byteMap("abcXYZ!~") == "abcXYZ!~")
+    assert(Bpe.byteMap(" ") == "Ġ") // Ġ
+    assert(Bpe.byteMap("\n") == "Ċ") // Ċ
+    assert(Bpe.byteMap("é") == "Ã©") // UTF-8 C3 A9: C3 self-maps, A9 self-maps
+    assert(Bpe.byteMap("\u0000") == "\u0100") // byte 0 -> first shifted slot (Ā)
+    // round-trip shape: mapped length == UTF-8 byte length
+    for (s <- Seq("héllo wörld", "日本語", "a\tb\nc"))
+      assert(Bpe.byteMap(s).length == s.getBytes("UTF-8").length, s)
+  }
+
+  test("merge loop: rank priority beats position; all occurrences merge; tokens concat losslessly") {
+    // (b,c) outranks (a,b): "abc" -> a,[bc] even though (a,b) is leftmost
+    assert(Bpe.encode("abc", ranks(("b", "c"), ("a", "b"))).toSeq == Seq("a", "bc"))
+    // position order when ranks equal-by-definition (one pair): all occurrences, left to right
+    assert(Bpe.encode("abab", ranks(("a", "b"))).toSeq == Seq("ab", "ab"))
+    assert(Bpe.encode("aaa", ranks(("a", "a"))).toSeq == Seq("aa", "a"))
+    // chained: ab + ab -> abab
+    assert(Bpe.encode("abab", ranks(("a", "b"), ("ab", "ab"))).toSeq == Seq("abab"))
+    // lossless: concat(tokens) == byteMap(input), any text, any table
+    val r = ranks(("t", "h"), ("th", "e"), ("e", "r"), ("Ġ", "t"))
+    for (s <- Seq("the weather there", "don't  stop!", "héllo", "", " ", "a  b  "))
+      assert(Bpe.encode(s, r).mkString == Bpe.byteMap(s), s"input '$s'")
+  }
+
+  test("x90 closed form: merge-loop count == substring-subtraction over the corpus vocabulary") {
+    // the x90 oracle's precondition, pinned exhaustively: for every word
+    // the testdata generator can emit, the real merge loop removes exactly
+    // one symbol per non-overlapping pattern occurrence
+    val merges = Seq(
+      ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+      ("s", "c"), ("sc", "a"), ("sca", "n"),
+      ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+      ("o", "r"), ("or", "d"),
+      ("i", "n"), ("in", "d"), ("ind", "o"), ("indo", "w"),
+      ("e", "r"),
+      ("q", "u")
+    )
+    val r = new Bpe.Ranks(merges)
+    val vocab = Seq(
+      "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+      "filter", "group", "hash", "join", "key", "line", "merge", "order", "part",
+      "query", "row", "scan", "slow", "small", "sort", "spark", "stream",
+      "table", "the", "value", "vector", "window"
+    )
+    def occ(s: String, p: String): Int = (s.length - s.replace(p, "").length) / p.length
+    val pats = merges.map { case (a, b) => a + b }
+    vocab.foreach { w =>
+      val closed = w.length - pats.map(occ(w, _)).sum
+      assert(Bpe.countTokens(w, r) == closed, s"word '$w'")
+      // and multi-word lines: each ' word' adds one Ġ token
+      val line = s"$w $w"
+      assert(Bpe.countTokens(line, r) == 2 * closed + 1, s"line '$line'")
+    }
+    // spot vectors for the table itself
+    assert(Bpe.encode("table", r).toSeq == Seq("table"))
+    assert(Bpe.encode("order", r).toSeq == Seq("ord", "er"))
+    assert(Bpe.encode("query", r).toSeq == Seq("qu", "er", "y"))
+    assert(Bpe.encode("window", r).toSeq == Seq("w", "indow"))
+    assert(Bpe.encode("data", r).toSeq == Seq("d", "a", "ta"))
+  }
+
+  test("expressions: codegen path, null safety, count==size(tokens), guards") {
+    import spark.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val df = Seq(
+      (1L, "low lower"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = df
+      .select(
+        col("id"),
+        BpeFunctions.bpeTokens(col("text"), merges).as("toks"),
+        BpeFunctions.bpeCount(col("text"), merges).as("n")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.getSeq[String](1)), if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .toMap
+    assert(got(1L) == ((Some(Seq("low", "Ġ", "low", "er")), 4)))
+    assert(got(2L) == ((Some(Seq.empty[String]), 0)))
+    assert(got(3L) == ((None, -1))) // null in, null out
+    // count always equals size(tokens) — cross-expression consistency
+    val docs = graft.queries.Tables.t(spark, sfTiny, "documents").limit(50)
+    val mism = docs
+      .select(
+        (BpeFunctions.bpeCount(col("text"), merges) =!=
+          size(BpeFunctions.bpeTokens(col("text"), merges))).as("bad")
+      )
+      .filter(col("bad"))
+      .count()
+    assert(mism == 0)
+    intercept[IllegalArgumentException] { new Bpe.Ranks(Seq.empty) }
+    intercept[IllegalArgumentException] { new Bpe.Ranks(Seq(("a", "b"), ("a", "b"))) }
+    intercept[IllegalArgumentException] { new Bpe.Ranks(Seq(("a\u0000", "b"))) }
+  }
+}
