@@ -119,4 +119,40 @@ object Pipeline {
     val mixed = Scale.resampleToMix(decontaminated, Seq(idCol), groupCol, shares)
     Scale.hashSplit(mixed, Seq(idCol), splits)
   }
+
+  /** Streaming corpus ingest — the curation stages that run FOREVER on an
+    * unbounded source: quality gate (stateless) → EXACT dedup on the
+    * content fingerprint with state bounded by the watermark (duplicates
+    * arriving within `delay` of each other are dropped; older state is
+    * evicted — `dropDuplicatesWithinWatermark`, the streaming face of
+    * `Dedup.exact`) → deterministic split assignment (stateless). The
+    * near-dup/mixture stages are corpus-global by nature and stay in the
+    * batch [[curate]]; this is the standard split: dedup-at-ingest
+    * streaming, similarity dedup in the periodic batch compaction.
+    *
+    * Survivor contract: FIRST arrival per fingerprint wins (streaming has
+    * no "lowest id later" to wait for). On a BATCH frame the same call
+    * degenerates to dropDuplicates on the fingerprint, so one definition
+    * serves both paths and the parity spec can compare them.
+    *
+    * 100 TB shape: per-micro-batch expressions plus one keyed state store
+    * whose size is bounded by (fingerprints seen within `delay`), not by
+    * corpus history. */
+  def curateStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      eventTimeCol: String,
+      delay: String,
+      quality: org.apache.spark.sql.Column,
+      splits: Seq[(String, Double)]
+  ): DataFrame = {
+    require(!docs.columns.contains("__fp"), "curateStream: input already has a __fp column")
+    val keyed = docs.filter(quality).withColumn("__fp", md5(col(textCol)))
+    val deduped =
+      if (docs.isStreaming)
+        keyed.withWatermark(eventTimeCol, delay).dropDuplicatesWithinWatermark("__fp")
+      else keyed.dropDuplicates("__fp")
+    Scale.hashSplit(deduped.drop("__fp"), Seq(idCol), splits)
+  }
 }

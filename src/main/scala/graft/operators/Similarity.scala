@@ -236,7 +236,14 @@ object Similarity {
     * [[nearestNeighbor]]), so it holds at any corpus size.
     *
     * nProbe > 1 probes the query's top-nProbe cells (by centroid cosine),
-    * trading cost for recall exactly like IVF `nprobe`. */
+    * trading cost for recall exactly like IVF `nprobe`.
+    *
+    * SIZE THE CELL COUNT WITH THE CORPUS: total scored pairs are
+    * N²/nCells·nProbe, so a FIXED nCells turns 100x data into 10,000x
+    * work. The standard IVF prescription nCells ≈ √N keeps cells at √N
+    * vectors (pair volume N^1.5); measured at the 100x set, nCells=8
+    * exceeds a 420 s cap while nCells=√N finishes in seconds
+    * (ROUND12.md, `Spike ivf-scale`). */
   def ivfTopK(
       df: DataFrame,
       centroids: DataFrame,

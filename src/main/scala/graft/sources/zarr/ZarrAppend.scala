@@ -81,28 +81,43 @@ object ZarrAppend {
     val meta = store.arrayMeta(array)
     // numcodecs-filtered VALUE arrays append when every filter has a write
     // path (append slabs are whole chunks, and filters are per-chunk, so
-    // the encode fold is exactly the fixture writer's). String value
-    // arrays with filters still refuse: their one real filter (categorize)
-    // rewrites label codes, a whole-array concern.
-    if (ZDtype.isString(meta.zdtype.code))
-      require(
-        meta.filters.isEmpty,
-        "zarr append: filtered string value arrays unsupported (categorize label codes are a whole-array rewrite)"
-      )
-    else
-      meta.filters.foreach { cfg =>
-        val id = ZarrFilters.idOf(cfg)
-        require(
-          Set("delta", "quantize", "bitround", "fixedscaleoffset", "packbits")(id),
-          s"zarr append: numcodecs filter '$id' has no write path " +
-            "(writable: delta, quantize, bitround, fixedscaleoffset, packbits)"
-        )
-        // id allowlist is not enough: encode preconditions (delta's
-        // same-type rule, fso/quantize/bitround dtype + params) must
-        // reject HERE, before the distributed write, not mid-job in an
-        // executor after slab chunks have landed
-        ZarrFilters.validateWritable(cfg, meta.zdtype)
+    // the encode fold is exactly the fixture writer's). String arrays:
+    // exactly ONE categorize filter appends too — label codes are
+    // per-chunk encodes as long as every appended value is IN the declared
+    // label set (unknown labels encode 0 and decode '', silent loss — the
+    // in-vocabulary precheck below refuses first). Other/stacked string
+    // filters still refuse.
+    val strCategorize: Option[String] =
+      if (ZDtype.isString(meta.zdtype.code)) meta.filters match {
+        case Seq() => None
+        case Seq(cfg) if ZarrFilters.idOf(cfg) == "categorize" => Some(cfg)
+        case other =>
+          throw new IllegalArgumentException(
+            "zarr append: filtered string value arrays support exactly one categorize filter " +
+              s"(got: ${other.map(ZarrFilters.idOf).mkString(", ")})"
+          )
+      } else {
+        meta.filters.foreach { cfg =>
+          val id = ZarrFilters.idOf(cfg)
+          require(
+            Set("delta", "quantize", "bitround", "fixedscaleoffset", "packbits")(id),
+            s"zarr append: numcodecs filter '$id' has no write path " +
+              "(writable: delta, quantize, bitround, fixedscaleoffset, packbits)"
+          )
+          // id allowlist is not enough: encode preconditions (delta's
+          // same-type rule, fso/quantize/bitround dtype + params) must
+          // reject HERE, before the distributed write, not mid-job in an
+          // executor after slab chunks have landed
+          ZarrFilters.validateWritable(cfg, meta.zdtype)
+        }
+        None
       }
+    strCategorize.foreach { _ =>
+      require(
+        meta.shardShape.isEmpty,
+        "zarr append: categorize-filtered SHARDED string arrays unsupported"
+      )
+    }
     require(
       meta.dims.headOption.contains(appendDim),
       s"append.dim '$appendDim' must be the FIRST dimension of '${array}' (dims ${meta.dims.mkString(",")}) — " +
@@ -275,6 +290,33 @@ object ZarrAppend {
     val elems = chunks.map(_.toLong).product.toInt
     val fill = meta.fillValue.getOrElse(0.0)
     val fillStr = meta.fillValueStr.getOrElse("")
+    // categorize in-vocabulary precheck: every appended value (and the fill
+    // landing in padded cells) must be a declared label or '' — an unknown
+    // label would encode 0 and decode '', i.e. silent data loss. One small
+    // scan of the batch, BEFORE any chunk byte lands.
+    strCategorize.foreach { cfg =>
+      val labels = ZarrFilters.categorizeLabels(cfg)
+      require(
+        fillStr.isEmpty || labels.contains(fillStr),
+        s"zarr append: string fill value '$fillStr' is not in the categorize labels — " +
+          "padded cells would decode as ''"
+      )
+      val bad = df
+        .filter(
+          col("value").isNotNull && col("value") =!= "" &&
+            !col("value").isin(labels.toSeq: _*)
+        )
+        .select(col("value"))
+        .limit(1)
+        .collect()
+      require(
+        bad.isEmpty,
+        s"zarr append: value '${bad.headOption.map(_.getString(0)).getOrElse("")}' is not in the " +
+          "categorize labels — unknown labels encode 0 and decode '' (silent loss); " +
+          "extend the store's label set first"
+      )
+    }
+    val strCatSer = strCategorize
     val dt = meta.zdtype
     val comp = meta.compressor
     val v2Filters = meta.filters // encode fold before the compressor (v2 only)
@@ -366,11 +408,21 @@ object ZarrAppend {
           if (statsOnSer)
             stats += (if (isStr) ZarrSink.stringBoundsRecord(current, cells, geom)
                       else ZarrSink.chunkBoundsRecord(current, dt, buf, geom, intDomain))
-          val raw = if (isStr) ZarrStoreWriter.vlenEncode(cells) else buf.array()
+          // categorize IS the string filter chain: codes replace the vlen
+          // stream entirely (the fixture writer's exact encode), so the
+          // v2 fold is skipped for it
+          val raw =
+            if (isStr) strCatSer match {
+              case Some(cfg) => ZarrFilters.categorizeEncodeCells(cfg, cells)
+              case None => ZarrStoreWriter.vlenEncode(cells)
+            }
+            else buf.array()
           val bytes =
             if (isV3) v3Cfgs.foldLeft(raw)((b, cfg) => ZarrCodecV3.encode(cfg, b, math.max(dt.itemSize, 1)))
             else {
-              val filtered = v2Filters.foldLeft(raw)((b, cfg) => ZarrFilters.encode(cfg, dt, b))
+              val filtered =
+                if (strCatSer.isDefined) raw
+                else v2Filters.foldLeft(raw)((b, cfg) => ZarrFilters.encode(cfg, dt, b))
               ZarrCodec.compress(comp, filtered, typesize = math.max(dt.itemSize, 1))
             }
           val idx = new Array[Int](nChunksArr.length)

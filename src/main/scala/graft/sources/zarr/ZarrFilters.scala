@@ -269,6 +269,10 @@ object ZarrFilters {
   def categorizeStoredLen(cfg: String, nCells: Int): Int =
     nCells * categorizeCfg(cfg)._2.itemSize
 
+  /** Declared label set of a categorize config (append's in-vocabulary
+    * precheck: unknown labels encode 0 and decode '' — silent loss). */
+  def categorizeLabels(cfg: String): Array[String] = categorizeCfg(cfg)._1
+
   /** numcodecs FixedScaleOffset decode: `enc / scale + offset` in double,
     * then numpy `.astype(dtype)` (truncation for int dtypes). */
   private def fsoDecode(cfg: String, dt: ZDtype, bytes: Array[Byte]): Array[Byte] = {

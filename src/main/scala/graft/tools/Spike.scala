@@ -540,6 +540,69 @@ object Spike {
     println(s"[sf10] wrote $outDir — next: python3 scripts/check.py $sfDir $outDir")
   }
 
+  /** `runMain graft.tools.Spike topk-ab` — A/B of the ObjectHashAggregate
+    * sort-fallback threshold (65536 in Sessions.local vs Spark's default
+    * 128) on the TypedImperativeAggregate-heavy queries, at whatever SF
+    * SPARK_GRAFT_SF_DIR points to (meant for the /tmp/testdata_sf10
+    * amplified set — round-11 set the threshold after the x67 spill hunt
+    * with only an sf0.1 A/B; this is the 100x validation). Each query
+    * runs once per threshold per round, alternating, noop-sunk. */
+  private def topkAb(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/testdata_sf10")
+    val names =
+      Seq("x34_ivf_topk", "x44_topk_per_key", "x59_source_cap", "x67_embed_quant", "x74_inverted_index")
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val capS = sys.env.getOrElse("SPARK_GRAFT_AB_CAP", "420").toLong
+    val out = new java.io.PrintWriter(new java.io.FileWriter("/tmp/topk_ab.txt", true), true)
+    def rec(line: String): Unit = { println(line); out.println(line) }
+    // a degenerate configuration (the default threshold turns bounded-heap
+    // aggregation into a full per-partition sort) can run ~unboundedly at
+    // sf10 — each timed run gets a watchdog that cancels its job group and
+    // records the cap as a LOWER bound instead of hanging the harness
+    def timedRun(n: String, tag: String): Unit = {
+      spark.sparkContext.setJobGroup(s"ab-$n", tag, interruptOnCancel = true)
+      val t0 = System.nanoTime()
+      val fut = scala.concurrent.Future {
+        graft.SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }(scala.concurrent.ExecutionContext.global)
+      try {
+        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(capS, "s"))
+        rec(f"[spike] topk-ab $tag $n%-22s ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(s"ab-$n")
+          try scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(120, "s"))
+          catch { case _: Throwable => () }
+          rec(f"[spike] topk-ab $tag $n%-22s > ${capS}s (CANCELLED — lower bound)")
+      } finally spark.sparkContext.clearJobGroup()
+    }
+    // warm-up pass (parquet footers, codegen) at the session threshold — not timed
+    names.foreach(n => graft.SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // 65536 side first (fast), then the default-128 side under the watchdog
+    for (thr <- Seq("65536", "128"); round <- 1 to 2) {
+      spark.conf.set(key, thr)
+      names.foreach(n => timedRun(n, s"round=$round thr=$thr"))
+    }
+    out.close()
+  }
+
+  /** `runMain graft.tools.Spike ivf-scale` — validates ivfTopK's
+    * documented cell-count contract at the amplified set: nCells = √N
+    * (vs x34's fixed 8, which the topk-ab watchdog caps at sf10 because
+    * total scored pairs are N²/nCells). */
+  private def ivfScale(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/testdata_sf10")
+    val e = graft.queries.Tables.t(spark, sfDir, "embeddings")
+    val n = e.count()
+    val nlist = math.max(8, math.sqrt(n.toDouble).toInt)
+    val t0 = System.nanoTime()
+    val rows = graft.operators.Similarity
+      .ivfTopK(e, e.filter(col("vec_id") < nlist), "vec_id", "embedding", 5)
+      .count()
+    println(f"[spike] ivf-scale n=$n nlist=$nlist out_rows=$rows ${(System.nanoTime() - t0) / 1e9}%.1fs")
+  }
+
   /** `runMain graft.tools.Spike zarr-aligned` — aligned multi-array scan
     * vs the long-format self-join it replaces, on a 2×25M-cell store:
     * both compute sum(a*b) over the shared grid; results must be exact
@@ -1279,6 +1342,8 @@ object Spike {
       spark.stop(); return
     }
     if (args.sameElements(Array("zarr-aligned"))) { zarrAligned(spark); spark.stop(); return }
+    if (args.sameElements(Array("topk-ab"))) { topkAb(spark); spark.stop(); return }
+    if (args.sameElements(Array("ivf-scale"))) { ivfScale(spark); spark.stop(); return }
     if (args.isEmpty) {
       val df = graft.SparkEntry.entry(spark)
       df.show(10, truncate = false)

@@ -200,7 +200,9 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     val rows = read(root).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.size == 16)
     (0 until 16).foreach(i => assert(rows(i.toLong) == 1000L + i * 7, s"t=$i"))
-    // filtered STRING value arrays refuse loudly (categorize = whole-array rewrite)
+    // categorize-filtered STRING value arrays: in-vocabulary appends write
+    // per-chunk label codes; out-of-vocabulary values refuse BEFORE any
+    // byte lands (they would encode 0 and decode '' — silent loss)
     val root2 = Files.createTempDirectory("zarrappvstr").toString
     val dir2 = java.nio.file.Paths.get(root2)
     ZarrStoreWriter.writeStringArray(
@@ -214,13 +216,33 @@ class ZarrAppendSpec extends AnyFunSuite with SparkTester {
     )
     val e = intercept[Exception] {
       spark.range(4, 6)
-        .selectExpr("id as t", "concat('w', cast(id as string)) as value")
+        .selectExpr("id as t", "concat('w', cast(id as string)) as value") // w4, w5: unknown labels
         .write.format("zarr")
         .option("path", root2).option("array", "v")
         .option("append.dim", "t")
         .mode("append").save()
     }
-    assert(e.getMessage.contains("filtered string value arrays unsupported"), e.getMessage)
+    assert(e.getMessage.contains("not in the categorize labels"), e.getMessage)
+    // nothing landed: the store still reads the original 4 cells
+    assert(read(root2).count() == 4)
+    // in-vocabulary append succeeds and round-trips through the codes
+    spark.range(4, 8)
+      .selectExpr("id as t", "concat('w', cast(3 - (id - 4) as string)) as value") // w3,w2,w1,w0
+      .write.format("zarr")
+      .option("path", root2).option("array", "v")
+      .option("append.dim", "t")
+      .mode("append").save()
+    val strRows = read(root2).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strRows.size == 8)
+    (0 until 4).foreach(i => assert(strRows(i.toLong) == s"w$i", s"old t=$i"))
+    (4 until 8).foreach(i => assert(strRows(i.toLong) == s"w${7 - i}", s"new t=$i"))
+    // the appended chunks really are CODE bytes (u1 per cell), not vlen
+    val chunk2 = Files.readAllBytes(dir2.resolve("v").resolve("2"))
+    val decomp = ZarrCodec.decompress(
+      new ZarrStore(root2, Map.empty, None, None).arrayMeta("v").compressor, chunk2, 2
+    )
+    assert(decomp.length == 2, s"expected 2 one-byte codes, got ${decomp.length} bytes")
+    assert(decomp.toSeq == Seq[Byte](4, 3)) // w3 -> code 4, w2 -> code 3
   }
 
   test("quantize append applies the REAL transform; unwritable filter configs reject early") {

@@ -192,6 +192,50 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(got == want && got.nonEmpty)
   }
 
+  test("curateStream: quality + watermark-bounded exact dedup + split — batch parity") {
+    import graft.operators.{Pipeline, TextAnalysis}
+    // every doc arrives TWICE across 2 files; 1-file triggers force the
+    // duplicate into a LATER micro-batch, so the dedup must be the keyed
+    // state store, not within-batch dropDuplicates
+    val base = t(spark, sfTiny, "documents")
+      .withColumn("ingest_ts", expr("timestamp_seconds(1700000000 + doc_id % 60)"))
+    val stage = java.nio.file.Files.createTempDirectory("docs_dupstage")
+    base.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val dir = java.nio.file.Files.createTempDirectory("docs_dupstream")
+    java.nio.file.Files.copy(part, dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(part, dir.resolve("b.parquet"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val gate = TextAnalysis.qualityExpr(col("text")) >= 0.6
+    val stream = spark.readStream
+      .schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = Pipeline
+      .curateStream(stream, "doc_id", "text", "ingest_ts", "2 hours", gate, splits)
+      .select("doc_id", "lang", "split")
+      .writeStream
+      .format("memory")
+      .queryName("curate_stream")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("curate_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // batch path: same call on the doubled frame degenerates to
+    // dropDuplicates — identical duplicate rows make the survivor identical
+    val want = Pipeline
+      .curateStream(base.unionAll(base), "doc_id", "text", "ingest_ts", "2 hours", gate, splits)
+      .select("doc_id", "lang", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want && got.nonEmpty)
+    // every quality survivor appears exactly once despite arriving twice
+    val nGot = spark.table("curate_stream").count()
+    assert(nGot == got.size.toLong, s"streamed output has duplicates: $nGot rows, ${got.size} distinct")
+  }
+
   test("sliding-window explode runs unchanged under streaming; windowed agg parity") {
     import graft.operators.TimeOps
     // slide is a pure per-row generate (no state), so it must run under
