@@ -496,6 +496,50 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** N-GRAM-overlap decontamination — the GPT-3-style eval-set scrub
+    * ([[decontaminate]]'s whole-document fingerprint misses a training doc
+    * that merely EMBEDS an eval question): drop every corpus document
+    * sharing ANY word `n`-gram with the reference set. n=13 is the
+    * published GPT-3 report convention.
+    *
+    * 100 TB shape: the reference's distinct gram HASHES (60-bit, so the
+    * join rows are one long each, never the gram strings) broadcast like
+    * [[decontaminate]]'s fingerprints; the corpus explodes to (id, gram
+    * hash) rows that die in the map-side semi-join unless contaminated, so
+    * the only shuffle is the distinct over CONTAMINATED ids (bounded by
+    * the hit count, not the corpus) feeding the final anti-join. For a
+    * reference too big to broadcast, set broadcastReference=false
+    * (shuffled semi-join) or pre-filter with the
+    * [[decontaminateBloom]] pattern. */
+  def decontaminateNgram(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      broadcastReference: Boolean = true
+  ): DataFrame = {
+    require(n >= 1, s"decontaminateNgram: n must be >= 1, got $n")
+    // per-doc n-gram hashes; sequence(1, size-n+1) would run DESCENDING on
+    // docs shorter than n (Spark sequence counts down), hence the guard
+    def gramHashes(c: Column): Column = {
+      val tk = split(c, " ")
+      val gs = transform(
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => tokenHash60(array_join(slice(tk, i, lit(n)), " "))
+      )
+      when(size(tk) >= n, gs).otherwise(array().cast("array<bigint>"))
+    }
+    val refG = reference.select(explode(gramHashes(col(textCol))).as("__g")).distinct()
+    val ref = if (broadcastReference) broadcast(refG) else refG
+    val contaminated = corpus
+      .select(col(idCol), explode(gramHashes(col(textCol))).as("__g"))
+      .join(ref, Seq("__g"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Bloom-prefiltered decontamination — the 100 TB shape when the
     * reference set is too large to broadcast AND shuffling the whole
     * corpus for an anti-join is the bottleneck. Built on the SAME

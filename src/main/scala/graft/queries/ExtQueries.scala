@@ -68,6 +68,26 @@ object ExtQueries {
     ("q", "u")
   )
 
+  private val bpeBudgetSql: Option[String] = Some {
+    val pats = bpeMerges.map { case (a, b) => a + b }
+    val exact = "CAST(length(text)" + pats
+      .map(p => s" - (length(text) - length(replace(text, '$p', ''))) // ${p.length}")
+      .mkString + " AS INTEGER)"
+    s"""SELECT doc_id,
+       |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+       |round(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
+       |  / len(string_split(text, ' ')), 6) AS bpe_per_ws,
+       |$exact AS n_bpe_exact
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** x91's planted eval canary: 13 words outside the corpus vocabulary,
+    * appended to every doc_id % 5 == 1 doc; the reference set is this one
+    * line, so its single 13-gram is the only possible overlap. */
+  private val CanaryLine =
+    "zcan1 zcan2 zcan3 zcan4 zcan5 zcan6 zcan7 zcan8 zcan9 zcan10 zcan11 zcan12 zcan13"
+
   private val plantedPairSql =
     """SELECT a.doc_id AS d1, b.doc_id AS d2
       |FROM documents a JOIN documents b
@@ -2421,19 +2441,45 @@ object ExtQueries {
         TextAnalysis
           .tokenBudget(t(s, d, "documents"), "doc_id", "text", bpeMerges)
           .orderBy("doc_id"),
-      Some {
-        val pats = bpeMerges.map { case (a, b) => a + b }
-        val exact = "CAST(length(text)" + pats
-          .map(p => s" - (length(text) - length(replace(text, '$p', ''))) // ${p.length}")
-          .mkString + " AS INTEGER)"
-        s"""SELECT doc_id,
-           |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
-           |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
-           |round(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
-           |  / len(string_split(text, ' ')), 6) AS bpe_per_ws,
-           |$exact AS n_bpe_exact
-           |FROM documents ORDER BY doc_id""".stripMargin
-      }
+      bpeBudgetSql
+    ),
+    // ------------------------------------------------------------------
+    // N-gram-overlap decontamination (Dedup.decontaminateNgram): the
+    // GPT-3-style 13-gram eval-set scrub — whole-doc fingerprints miss a
+    // training doc that merely EMBEDS an eval question. A 13-word canary
+    // is planted at the END of every doc_id % 5 == 1 doc (so gram
+    // positions vary with doc length); the reference is that one canary
+    // line. The oracle replays the full n-gram extraction and join in
+    // SQL, so survivorship is recomputed, not assumed.
+    Q(
+      "x91_decon_ngram",
+      (s, d) => {
+        import s.implicits._
+        val dirty = t(s, d, "documents")
+          .withColumn(
+            "text",
+            when(col("doc_id") % 5 === 1, concat(col("text"), lit(" " + CanaryLine)))
+              .otherwise(col("text"))
+          )
+        val reference = Seq(CanaryLine).toDF("text")
+        Dedup
+          .decontaminateNgram(dirty, reference, "doc_id", "text", n = 13)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, n_chars,
+             |    CASE WHEN doc_id % 5 = 1 THEN text || ' $CanaryLine' ELSE text END AS t
+             |  FROM documents),
+             |rtk AS (SELECT string_split('$CanaryLine', ' ') AS tk),
+             |rg AS (SELECT DISTINCT array_to_string(tk[i:i+12], ' ') AS g
+             |  FROM rtk, unnest(range(1, len(tk) - 11)) AS u(i)),
+             |dtk AS (SELECT doc_id, string_split(t, ' ') AS tk FROM d),
+             |dg AS (SELECT doc_id, array_to_string(tk[i:i+12], ' ') AS g
+             |  FROM dtk, unnest(range(1, len(tk) - 11)) AS u(i)),
+             |bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN rg USING (g))
+             |SELECT doc_id, n_chars FROM d
+             |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }

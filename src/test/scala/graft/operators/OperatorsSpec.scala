@@ -629,6 +629,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(out == Set(2L, 4L))
   }
 
+  test("decontaminateNgram: any shared n-gram kills, position-free; short docs survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "p q a b c r s"), // embeds the ref 3-gram mid-doc
+      (2L, "a b c"), // IS the ref line
+      (3L, "x a b y c"), // shares words but no 3-gram
+      (4L, "a b"), // shorter than n: zero grams, must survive
+      (5L, "u v w a b c") // ref 3-gram at the very end
+    ).toDF("doc_id", "text")
+    val reference = Seq("m n a b c").toDF("text")
+    val out = Dedup.decontaminateNgram(corpus, reference, "doc_id", "text", n = 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(3L, 4L))
+    // shuffled-reference path agrees with the broadcast path
+    val shuffled = Dedup
+      .decontaminateNgram(corpus, reference, "doc_id", "text", n = 3, broadcastReference = false)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(shuffled == out)
+    // n larger than every doc: nothing matches, everything survives
+    assert(Dedup.decontaminateNgram(corpus, reference, "doc_id", "text", n = 20).count() == 5)
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateNgram(corpus, reference, "doc_id", "text", n = 0)
+    }
+  }
+
   test("decontaminateBloom equals decontaminate, incl. under forced bloom false positives") {
     import spark.implicits._
     val corpus = spark.range(400)
