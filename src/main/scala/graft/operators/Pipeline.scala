@@ -138,6 +138,51 @@ object Pipeline {
     * 100 TB shape: per-micro-batch expressions plus one keyed state store
     * whose size is bounded by (fingerprints seen within `delay`), not by
     * corpus history. */
+  /** Curation funnel AUDIT — the per-stage survivor counters every
+    * production pipeline reports beside its output (drop-rate monitoring;
+    * a silent 90% quality-drop regression is invisible from the survivor
+    * set alone). One row: `n_total`, `n_quality` (gate passers),
+    * `n_after_dedup` (lowest-id survivor per exact text group AMONG
+    * passers — stage order matches [[cleanCorpus]]), `n_clean` (after
+    * fingerprint decontamination vs `reference`).
+    *
+    * 100 TB shape: ONE pass computes all flags — a window over the text
+    * key ranks passers (same exchange [[Dedup.exact]] needs anyway), the
+    * reference fingerprints broadcast, and everything collapses into a
+    * single global aggregate. No per-stage re-scan, no driver-side
+    * counting loop. */
+  def auditFunnel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      reference: DataFrame,
+      minQuality: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.qualityExpr(col(textCol)) >= minQuality
+    // passers rank first within each exact-text group, so rk==1 && __q is
+    // exactly "lowest-id passer of its group" — Dedup.exact over passers
+    val rk = row_number().over(
+      Window.partitionBy(col(textCol)).orderBy(q.desc, col(idCol))
+    )
+    val refFp = broadcast(
+      reference.select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+        .withColumn("__contam", lit(true))
+    )
+    docs
+      .select(col(idCol), col(textCol), q.as("__q"), rk.as("__rk"))
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(refFp, Seq("__fp"), "left")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("__q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("__q") && col("__rk") === 1, 1L).otherwise(0L)).as("n_after_dedup"),
+        sum(
+          when(col("__q") && col("__rk") === 1 && col("__contam").isNull, 1L).otherwise(0L)
+        ).as("n_clean")
+      )
+  }
+
   def curateStream(
       docs: DataFrame,
       idCol: String,

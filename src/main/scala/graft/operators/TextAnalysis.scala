@@ -443,6 +443,50 @@ object TextAnalysis {
       )
   }
 
+  /** Overlapping token-window chunking — the context-window prep stage
+    * (RAG passage splitting, long-doc pretraining windows): chunk `k`
+    * covers tokens `[k·stride, k·stride + window)`; the last chunk may be
+    * short, and every token is covered when `stride <= window`. Emits one
+    * row per chunk: `(idCol, chunk_id, chunk_text, n_chunk_tokens)`.
+    *
+    * 100 TB shape: a pure per-row transform + explode — fan-out is
+    * ceil(n/stride) per doc, no shuffle, no state; pairs with
+    * [[packSequences]] (which packs whole docs) when the unit is the
+    * chunk. */
+  def chunkDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int
+  ): DataFrame = {
+    require(window >= 1, s"chunkDocs: window must be >= 1, got $window")
+    require(
+      stride >= 1 && stride <= window,
+      s"chunkDocs: need 1 <= stride <= window, got stride=$stride window=$window"
+    )
+    val tk = tokens(col(textCol))
+    val chunks = transform(
+      // chunk starts 0, stride, 2·stride, … strictly below n (n>=1 always:
+      // split('') yields [''], so every doc emits at least chunk 0).
+      // floor, not Column./ alone: that is DOUBLE division
+      sequence(lit(0), floor((size(tk) - 1) / lit(stride)).cast("int")),
+      k => struct(
+        k.as("chunk_id"),
+        array_join(slice(tk, k * stride + 1, lit(window)), " ").as("chunk_text"),
+        least(size(tk) - k * stride, lit(window)).as("n_chunk_tokens")
+      )
+    )
+    docs
+      .select(col(idCol), explode(chunks).as("__c"))
+      .select(
+        col(idCol),
+        col("__c.chunk_id").cast("long").as("chunk_id"),
+        col("__c.chunk_text"),
+        col("__c.n_chunk_tokens")
+      )
+  }
+
   /** Feature hashing (the "hashing trick"): project term frequencies into
     * a fixed `dim`-bucket signed vector with NO vocabulary — bucket and
     * sign derive from disjoint bits of the portable 60-bit md5 token hash

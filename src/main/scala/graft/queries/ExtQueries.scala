@@ -2480,6 +2480,60 @@ object ExtQueries {
              |SELECT doc_id, n_chars FROM d
              |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
              |ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Curation funnel audit (Pipeline.auditFunnel): per-stage survivor
+    // counters — total → quality passers → lowest-id-per-text among
+    // passers → decontaminated — in ONE pass (window on the text key +
+    // broadcast fingerprints + one global aggregate). The drop-rate
+    // report every production pipeline runs beside its output; the
+    // oracle replays each stage's predicate with windows.
+    Q(
+      "x92_curation_funnel",
+      (s, d) =>
+        graft.operators.Pipeline.auditFunnel(
+          t(s, d, "documents"),
+          "doc_id",
+          "text",
+          t(s, d, "documents").filter(col("doc_id") % 7 === 0),
+          minQuality = 0.6
+        ),
+      Some("""WITH q AS (SELECT doc_id, text,
+             |    (0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+             |     + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |         / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0)) >= 0.6 AS ok
+             |  FROM documents),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY text
+             |    ORDER BY ok DESC, doc_id) AS rk FROM q),
+             |fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             |    string_split(text, ' '))), ' ')) AS f FROM documents),
+             |ref AS (SELECT DISTINCT f FROM fp WHERE doc_id % 7 = 0)
+             |SELECT COUNT(*) AS n_total,
+             |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             |  CAST(SUM(CASE WHEN ok AND rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+             |  CAST(SUM(CASE WHEN ok AND rk = 1
+             |      AND fp.f NOT IN (SELECT f FROM ref) THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+             |FROM r JOIN fp USING (doc_id)""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Overlapping token-window chunking (TextAnalysis.chunkDocs): the
+    // RAG/pretraining context-window prep — 32-token windows every 24
+    // tokens, last chunk short, every token covered. Pure per-row
+    // transform + explode; the oracle replays the slicing with DuckDB
+    // list windows.
+    Q(
+      "x93_chunk_docs",
+      (s, d) =>
+        TextAnalysis
+          .chunkDocs(t(s, d, "documents"), "doc_id", "text", window = 32, stride = 24)
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |k AS (SELECT doc_id, t, unnest(range(0, ((len(t) - 1) // 24) + 1)) AS c
+             |  FROM tk)
+             |SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+             |  array_to_string(t[c * 24 + 1 : c * 24 + 32], ' ') AS chunk_text,
+             |  CAST(least(len(t) - c * 24, 32) AS INTEGER) AS n_chunk_tokens
+             |FROM k ORDER BY doc_id, chunk_id""".stripMargin)
     )
   )
 }

@@ -654,6 +654,59 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("auditFunnel: staged counters match hand-built corpus and chained operators") {
+    import spark.implicits._
+    // 100 tokens of 8 chars: quality = 0.5*min(100/100,1) + 0.5*min(8/8,1) = 1.0
+    val good = Seq.fill(100)("wordword").mkString(" ")
+    val corpus = Seq(
+      (1L, good), // survivor
+      (2L, good), // exact dup of 1 -> dropped at dedup
+      (3L, "short"), // fails quality
+      (4L, good + " extra"), // survivor, but contaminated (in ref)
+      (5L, good + " unique tail here")
+    ).toDF("doc_id", "text")
+    val reference = Seq(good + " extra").toDF("text")
+    val row = Pipeline.auditFunnel(corpus, "doc_id", "text", reference, minQuality = 0.6).head()
+    assert(
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) == ((5L, 4L, 3L, 2L)),
+      row
+    )
+    // chained-operator parity on real data: n_clean == |decontaminate(exact(quality))|
+    val docs = t(spark, sfTiny, "documents")
+    val ref = docs.filter(col("doc_id") % 7 === 0)
+    val funnel = Pipeline.auditFunnel(docs, "doc_id", "text", ref, 0.6).head()
+    val chained = Dedup.decontaminate(
+      Dedup.exact(docs.filter(TextAnalysis.qualityExpr(col("text")) >= 0.6), Seq("text"), "doc_id"),
+      ref,
+      "text"
+    ).count()
+    assert(funnel.getLong(3) == chained)
+  }
+
+  test("chunkDocs: window/stride coverage exact; short docs; guards") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getInt(3))).toMap
+    // doc 1: 10 tokens, starts 0,3,6,9
+    assert(got((1L, 0L)) == (("t1 t2 t3 t4", 4)))
+    assert(got((1L, 1L)) == (("t4 t5 t6 t7", 4)))
+    assert(got((1L, 2L)) == (("t7 t8 t9 t10", 4)))
+    assert(got((1L, 3L)) == (("t10", 1))) // short tail chunk
+    assert(got((2L, 0L)) == (("a b", 2)))
+    assert(got.size == 5)
+    // every token covered at stride <= window; no overlap at stride == window
+    val tight = TextAnalysis.chunkDocs(docs, "doc_id", "text", window = 3, stride = 3)
+      .filter(col("doc_id") === 1L).collect().map(_.getString(2))
+    assert(tight.mkString(" ") == (1 to 10).map(i => s"t$i").mkString(" "))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocs(docs, "doc_id", "text", window = 3, stride = 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocs(docs, "doc_id", "text", window = 0, stride = 1)
+    }
+  }
+
   test("decontaminateBloom equals decontaminate, incl. under forced bloom false positives") {
     import spark.implicits._
     val corpus = spark.range(400)
