@@ -2534,6 +2534,41 @@ object ExtQueries {
              |  array_to_string(t[c * 24 + 1 : c * 24 + 32], ' ') AS chunk_text,
              |  CAST(least(len(t) - c * 24, 32) AS INTEGER) AS n_chunk_tokens
              |FROM k ORDER BY doc_id, chunk_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Sequence packing on EXACT BPE counts (packSequences' count-Column
+    // overload + BpeCount): the layout a packed dataloader reproduces
+    // only matches when the counts are the model tokenizer's — x62 packs
+    // the whitespace estimate, this packs the real merge-table counts.
+    // The oracle reuses x90's closed form for the per-doc count, then
+    // replays the same per-stream cumulative sum.
+    Q(
+      "x94_pack_bpe",
+      (s, d) =>
+        TextAnalysis
+          .packSequences(
+            t(s, d, "documents"),
+            "doc_id",
+            Seq("source"),
+            TextAnalysis.bpeCount(col("text"), bpeMerges).cast("long"),
+            256
+          )
+          .orderBy("doc_id"),
+      Some {
+        val pats = bpeMerges.map { case (a, b) => a + b }
+        val exact = "CAST(length(text)" + pats
+          .map(p => s" - (length(text) - length(replace(text, '$p', ''))) // ${p.length}")
+          .mkString + " AS BIGINT)"
+        s"""WITH tk AS (SELECT doc_id, source, $exact AS n_tokens FROM documents),
+           |cs AS (SELECT doc_id, source, n_tokens,
+           |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tok_start
+           |  FROM tk)
+           |SELECT doc_id, source, n_tokens,
+           |  CAST(tok_start // 256 AS BIGINT) AS seq_id,
+           |  CAST(tok_start % 256 AS BIGINT) AS seq_off
+           |FROM cs ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }

@@ -77,7 +77,28 @@ object DumpPlans {
       "dim^2-bounded result."),
     "x82_feature_hash" -> ("Feature hashing: explode -> two HashAggregate pairs (token tf, then " +
       "bucket sums) — no vocabulary table, no join, no broadcast anywhere in the plan; the " +
-      "output is bounded by |docs| x dim.")
+      "output is bounded by |docs| x dim."),
+    "x88_quality_score" -> ("Learned linear classifier, literal path: the whole logit is ONE " +
+      "per-row fold (aggregate over the token array, weights as plan literals) in a codegen " +
+      "Project directly over the scan — no shuffle, no broadcast, no feature materialization; " +
+      "the only exchange is the verification ORDER BY."),
+    "x89_quality_score_sparse" -> ("Learned linear classifier, fasttext-scale path: hashedTf's " +
+      "HashAggregate pair, a BroadcastHashJoin against the (bucket, weight) table, one per-doc " +
+      "sum, and a broadcast LEFT join back so zero-token docs score bias — the corpus shuffles " +
+      "once on (id, bucket) partials, never on raw tokens."),
+    "x90_bpe_budget" -> ("Real BPE token counts: BpeCount is a codegen expression calling the " +
+      "static merge-loop encoder — the regex estimates and the exact count are all one " +
+      "WholeStageCodegen Project over the scan, no shuffle before the verification sort."),
+    "x91_decon_ngram" -> ("13-gram decontamination: reference gram hashes build via a tiny local " +
+      "aggregate and BROADCAST; the corpus explodes to (id, hash) rows that die in a " +
+      "BroadcastHashJoin LeftSemi, the distinct is over contaminated ids only, and the final " +
+      "anti-join is broadcast too — the corpus never shuffles in full."),
+    "x92_curation_funnel" -> ("Curation funnel audit: ONE exchange (the text-key window ranking " +
+      "passers), a broadcast fingerprint join, then partial->final HashAggregate down to a " +
+      "single counters row — no per-stage re-scan of the corpus."),
+    "x93_chunk_docs" -> ("Token-window chunking: per-row transform + Generate (explode) in " +
+      "codegen over the scan — fan-out ceil(n/stride) per doc, no shuffle, no state before " +
+      "the verification sort.")
   )
 
   def main(args: Array[String]): Unit = {
