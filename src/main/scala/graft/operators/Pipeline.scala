@@ -120,24 +120,6 @@ object Pipeline {
     Scale.hashSplit(mixed, Seq(idCol), splits)
   }
 
-  /** Streaming corpus ingest — the curation stages that run FOREVER on an
-    * unbounded source: quality gate (stateless) → EXACT dedup on the
-    * content fingerprint with state bounded by the watermark (duplicates
-    * arriving within `delay` of each other are dropped; older state is
-    * evicted — `dropDuplicatesWithinWatermark`, the streaming face of
-    * `Dedup.exact`) → deterministic split assignment (stateless). The
-    * near-dup/mixture stages are corpus-global by nature and stay in the
-    * batch [[curate]]; this is the standard split: dedup-at-ingest
-    * streaming, similarity dedup in the periodic batch compaction.
-    *
-    * Survivor contract: FIRST arrival per fingerprint wins (streaming has
-    * no "lowest id later" to wait for). On a BATCH frame the same call
-    * degenerates to dropDuplicates on the fingerprint, so one definition
-    * serves both paths and the parity spec can compare them.
-    *
-    * 100 TB shape: per-micro-batch expressions plus one keyed state store
-    * whose size is bounded by (fingerprints seen within `delay`), not by
-    * corpus history. */
   /** Curation funnel AUDIT — the per-stage survivor counters every
     * production pipeline reports beside its output (drop-rate monitoring;
     * a silent 90% quality-drop regression is invisible from the survivor
@@ -183,6 +165,24 @@ object Pipeline {
       )
   }
 
+  /** Streaming corpus ingest — the curation stages that run FOREVER on an
+    * unbounded source: quality gate (stateless) → EXACT dedup on the
+    * content fingerprint with state bounded by the watermark (duplicates
+    * arriving within `delay` of each other are dropped; older state is
+    * evicted — `dropDuplicatesWithinWatermark`, the streaming face of
+    * `Dedup.exact`) → deterministic split assignment (stateless). The
+    * near-dup/mixture stages are corpus-global by nature and stay in the
+    * batch [[curate]]; this is the standard split: dedup-at-ingest
+    * streaming, similarity dedup in the periodic batch compaction.
+    *
+    * Survivor contract: FIRST arrival per fingerprint wins (streaming has
+    * no "lowest id later" to wait for). On a BATCH frame the same call
+    * degenerates to dropDuplicates on the fingerprint, so one definition
+    * serves both paths and the parity spec can compare them.
+    *
+    * 100 TB shape: per-micro-batch expressions plus one keyed state store
+    * whose size is bounded by (fingerprints seen within `delay`), not by
+    * corpus history. */
   def curateStream(
       docs: DataFrame,
       idCol: String,

@@ -1015,6 +1015,9 @@ object Similarity {
   def pcaVerifyRows(df: DataFrame, vecCol: String, dim: Int, k: Int): DataFrame = {
     require(k >= 1 && k <= dim, s"pcaVerifyRows: need 1 <= k <= dim, got k=$k dim=$dim")
     val (cov, mean, n) = collectCov(df, vecCol, dim)
+    // sample covariance and var_samp both divide by n-1: fewer than 2
+    // fitted vectors would surface as a bare NPE from a null var_samp
+    require(n >= 2, s"pcaVerifyRows: need >= 2 vectors of length $dim, got $n")
     val model = modelFromCov(cov, mean, k)
     val evals = model.eigenvalues
     val comps = model.components

@@ -478,7 +478,11 @@ object TextAnalysis {
       )
     )
     docs
-      .select(col(idCol), explode(chunks).as("__c"))
+      // null text emits ZERO chunk rows: the explicit isNotNull gate makes
+      // the column null, which explode drops — without it, non-ANSI
+      // size(null) = -1 semantics would run the sequence DESCENDING and
+      // fabricate garbage chunks
+      .select(col(idCol), explode(when(tk.isNotNull, chunks)).as("__c"))
       .select(
         col(idCol),
         col("__c.chunk_id").cast("long").as("chunk_id"),

@@ -292,8 +292,10 @@ object ZarrAppend {
     val fillStr = meta.fillValueStr.getOrElse("")
     // categorize in-vocabulary precheck: every appended value (and the fill
     // landing in padded cells) must be a declared label or '' — an unknown
-    // label would encode 0 and decode '', i.e. silent data loss. One small
-    // scan of the batch, BEFORE any chunk byte lands.
+    // label would encode 0 and decode '', i.e. silent data loss. Scans the
+    // PERSISTED `indexed` frame, not `df`: the persist exists so the rows
+    // validated are the rows written even for a nondeterministic source,
+    // and this check must sit inside that guarantee.
     strCategorize.foreach { cfg =>
       val labels = ZarrFilters.categorizeLabels(cfg)
       require(
@@ -301,7 +303,7 @@ object ZarrAppend {
         s"zarr append: string fill value '$fillStr' is not in the categorize labels — " +
           "padded cells would decode as ''"
       )
-      val bad = df
+      val bad = indexed
         .filter(
           col("value").isNotNull && col("value") =!= "" &&
             !col("value").isin(labels.toSeq: _*)

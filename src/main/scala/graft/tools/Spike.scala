@@ -560,9 +560,11 @@ object Spike {
     // sf10 — each timed run gets a watchdog that cancels its job group and
     // records the cap as a LOWER bound instead of hanging the harness
     def timedRun(n: String, tag: String): Unit = {
-      spark.sparkContext.setJobGroup(s"ab-$n", tag, interruptOnCancel = true)
       val t0 = System.nanoTime()
       val fut = scala.concurrent.Future {
+        // job groups are thread-local: set it on the SUBMITTING thread
+        // (this pooled one), or cancelJobGroup cancels nothing
+        spark.sparkContext.setJobGroup(s"ab-$n", tag, interruptOnCancel = true)
         graft.SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
       }(scala.concurrent.ExecutionContext.global)
       try {

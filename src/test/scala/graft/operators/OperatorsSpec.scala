@@ -702,6 +702,12 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     intercept[IllegalArgumentException] {
       TextAnalysis.chunkDocs(docs, "doc_id", "text", window = 3, stride = 4)
     }
+    // null text emits zero chunk rows, never fabricated ones
+    val withNull = docs.union(Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(
+      TextAnalysis.chunkDocs(withNull, "doc_id", "text", 4, 3)
+        .filter(col("doc_id") === 3L).count() == 0
+    )
     intercept[IllegalArgumentException] {
       TextAnalysis.chunkDocs(docs, "doc_id", "text", window = 0, stride = 1)
     }
