@@ -183,6 +183,43 @@ object Scale {
     df.filter(h < rate * lit(1000.0))
   }
 
+  /** Temperature-weighted domain mixture — the α-exponent sampling rule of
+    * multilingual/multi-domain pretraining (target share of group g ∝
+    * n_g^α): α=1 keeps natural proportions (every row survives — pinned in
+    * spec), α→0 approaches uniform, α=0.5 is the common √-rule that keeps
+    * head domains from drowning the tail. Shares route through
+    * [[resampleToMix]] unchanged, so sampling stays a deterministic
+    * per-row hash test.
+    *
+    * Determinism across engines and runs: the normalizing sum folds in
+    * ASCENDING group-key order (float addition is order-dependent; an
+    * unordered sum would wobble the rate boundaries in the last ulp), and
+    * α=0.5 goes through pow(x, 0.5) = sqrt — correctly rounded IEEE on
+    * every engine.
+    *
+    * 100 TB shape: one |groups|-bounded count aggregate collects to the
+    * driver (like resampleToMix's own share join), then one per-row
+    * hash filter — no extra pass beyond resampleToMix's. */
+  def temperatureMix(
+      df: DataFrame,
+      idCols: Seq[String],
+      groupCol: String,
+      alpha: Double
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperatureMix: alpha must be in (0, 1], got $alpha")
+    val rows = df
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .collect()
+    if (rows.isEmpty) return df.filter(lit(false))
+    val weighted = rows.map { r =>
+      require(!r.isNullAt(0), s"temperatureMix: null $groupCol group unsupported")
+      r.get(0).toString -> math.pow(r.getDouble(1), alpha)
+    }
+    val tot = weighted.sortBy(_._1).foldLeft(0.0)(_ + _._2) // ordered: deterministic float sum
+    resampleToMix(df, idCols, groupCol, weighted.map { case (g, w) => g -> w / tot }.toMap)
+  }
+
   /** Deterministic named splits (train/val/test) by key hash — the
     * reproducible split assignment a training pipeline records next to the
     * data: a row's split is a pure function of its id columns, so it never

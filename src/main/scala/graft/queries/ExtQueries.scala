@@ -2569,6 +2569,34 @@ object ExtQueries {
            |  CAST(tok_start % 256 AS BIGINT) AS seq_off
            |FROM cs ORDER BY doc_id""".stripMargin
       }
+    ),
+    // ------------------------------------------------------------------
+    // Temperature-weighted domain mixture (Scale.temperatureMix): share
+    // of each lang ∝ count^0.5 — the α-exponent rule that keeps head
+    // domains from drowning the tail. Bit-identical across engines by
+    // construction (ordered normalizing sum, pow(x,0.5)=sqrt, the same
+    // (share·smax)/ng rate association as x61), so the oracle recomputes
+    // the ENTIRE pipeline: counts → √-weights → shares → rates → the
+    // per-row hash test.
+    Q(
+      "x95_temperature_mix",
+      (s, d) =>
+        Scale
+          .temperatureMix(t(s, d, "documents"), Seq("doc_id"), "lang", alpha = 0.5)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id"),
+      Some("""WITH n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS ng FROM documents GROUP BY 1),
+             |w AS (SELECT lang, ng, pow(ng, 0.5) AS wt FROM n),
+             |tw AS (SELECT SUM(wt ORDER BY lang) AS tot FROM w),
+             |j AS (SELECT lang, ng, wt / tot AS share,
+             |    ng / (wt / tot) AS demand FROM w CROSS JOIN tw),
+             |s AS (SELECT min(demand) AS smax FROM j),
+             |r AS (SELECT lang, share * smax / ng AS rate FROM j CROSS JOIN s)
+             |SELECT d.doc_id, d.lang, d.source
+             |FROM documents d JOIN r USING (lang)
+             |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15) AS BIGINT) % 1000
+             |      < rate * 1000
+             |ORDER BY d.doc_id""".stripMargin)
     )
   )
 }

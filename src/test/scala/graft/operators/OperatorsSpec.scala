@@ -1085,6 +1085,38 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(got.map(_._2).subsetOf(splits.map(_._1).toSet))
   }
 
+  test("temperatureMix: sqrt-rule shares == manual resampleToMix; alpha=1 keeps all") {
+    import spark.implicits._
+    // counts 1 / 4 / 9 -> sqrt-weights 1 / 2 / 3 -> shares 1/6, 2/6, 3/6
+    val docs = ((1 to 1).map(i => (i.toLong, "a")) ++
+      (11 to 14).map(i => (i.toLong, "b")) ++
+      (21 to 29).map(i => (i.toLong, "c"))).toDF("doc_id", "lang")
+    val got = Scale.temperatureMix(docs, Seq("doc_id"), "lang", alpha = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val manual = Scale.resampleToMix(
+      docs, Seq("doc_id"), "lang",
+      Map("a" -> 1.0 / 6, "b" -> 2.0 / 6, "c" -> 3.0 / 6)
+    ).collect().map(_.getLong(0)).toSet
+    assert(got == manual && got.nonEmpty)
+    // alpha=1: shares proportional to counts -> every rate is 1, all rows kept
+    assert(Scale.temperatureMix(docs, Seq("doc_id"), "lang", alpha = 1.0).count() == 14)
+    intercept[IllegalArgumentException] {
+      Scale.temperatureMix(docs, Seq("doc_id"), "lang", alpha = 0.0)
+    }
+    // tail protection really happens: sqrt shares give the 1-doc domain a
+    // larger target share than its natural 1/14
+    val full = t(spark, sfTiny, "documents")
+    val mixed = Scale.temperatureMix(full, Seq("doc_id"), "lang", 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val natural = full.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = natural.minBy(_._2)._1
+    val maxLang = natural.maxBy(_._2)._1
+    // the smallest domain keeps (nearly) everything; the largest is downsampled
+    assert(mixed(minLang) >= natural(minLang) * 9 / 10, s"$minLang: $mixed vs $natural")
+    assert(mixed(maxLang) < natural(maxLang), s"$maxLang: $mixed vs $natural")
+  }
+
   test("packSequences equals a local fold on random corpora (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genDoc = for {
