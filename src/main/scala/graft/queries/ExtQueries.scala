@@ -2597,6 +2597,45 @@ object ExtQueries {
              |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15) AS BIGINT) % 1000
              |      < rate * 1000
              |ORDER BY d.doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // IVF top-k at the DOCUMENTED cell-count contract (nCells = floor(√N)
+    // — see ivfTopK's Scaladoc and ROUND12.md's sf10 measurement): x34
+    // pins the operator at a fixed 8 cells; this gates the scale
+    // parameterization itself — the cell count derives from the corpus,
+    // and the oracle recomputes the same √N cutoff, assignment, and
+    // within-cell ranking. sqrt/floor are correctly-rounded IEEE on both
+    // engines, so the cutoff is bit-identical.
+    Q(
+      "x96_ivf_sqrtn",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val nlist = math.max(1L, math.floor(math.sqrt(e.count().toDouble)).toLong)
+        Similarity
+          .ivfTopK(e, e.filter(col("vec_id") < nlist), "vec_id", "embedding", 5)
+          .select(col("qid"), col("cid"), col("sim"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |nl AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM e),
+             |cen AS (SELECT vec_id AS cen_id, v AS cv FROM e, nl WHERE vec_id < nlist),
+             |score AS (SELECT e.vec_id, cen.cen_id,
+             |  round(list_dot_product(e.v, cen.cv)
+             |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cen.cv, cen.cv))), 6) AS sim
+             |  FROM e CROSS JOIN cen),
+             |asg AS (SELECT vec_id, cen_id AS cell FROM (
+             |  SELECT vec_id, cen_id,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cen_id) AS r
+             |  FROM score) t WHERE r = 1),
+             |sims AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+             |  round(list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+             |  FROM asg qa JOIN asg ca ON qa.cell = ca.cell AND qa.vec_id != ca.vec_id
+             |  JOIN e q ON q.vec_id = qa.vec_id JOIN e c ON c.vec_id = ca.vec_id),
+             |rk AS (SELECT qid, cid, sim,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+             |  FROM sims)
+             |SELECT qid, cid, sim, rn FROM rk WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
     )
   )
 }
