@@ -192,6 +192,30 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(got == want && got.nonEmpty)
   }
 
+  test("scoreLinear and bpeCount run unchanged under streaming (stateless parity)") {
+    import graft.operators.TextAnalysis
+    val docs = t(spark, sfTiny, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("docs_score_stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val wts = Array.tabulate(16)(b => ((b * 37) % 101 - 50) / 256.0)
+    val merges = Seq(("t", "a"), ("ta", "b"))
+    def score(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.scoreLinear(df.select(col("doc_id"), col("text")), "text", wts, 0.25)
+        .withColumn("n_bpe", TextAnalysis.bpeCount(col("text"), merges))
+        .select("doc_id", "logit", "keep", "n_bpe")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = score(stream).writeStream
+      .format("memory").queryName("score_stream").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("score_stream").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getInt(3))).toSet
+    val want = score(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getInt(3))).toSet
+    assert(got == want && got.nonEmpty) // exact: 1/256-grid weights, integer counts
+  }
+
   test("curateStream: quality + watermark-bounded exact dedup + split — batch parity") {
     import graft.operators.{Pipeline, TextAnalysis}
     // every doc arrives TWICE across 2 files; 1-file triggers force the
