@@ -98,7 +98,17 @@ object DumpPlans {
       "single counters row — no per-stage re-scan of the corpus."),
     "x93_chunk_docs" -> ("Token-window chunking: per-row transform + Generate (explode) in " +
       "codegen over the scan — fan-out ceil(n/stride) per doc, no shuffle, no state before " +
-      "the verification sort.")
+      "the verification sort."),
+    "x94_pack_bpe" -> ("Packing on EXACT BPE counts: the BpeCount codegen expression feeds the " +
+      "same single-exchange window cumulative sum as x62 — swapping the estimate for the real " +
+      "tokenizer count changes NOTHING in the plan shape, only the counted column."),
+    "x95_temperature_mix" -> ("Temperature mixture: one |groups|-bounded count aggregate " +
+      "(driver-collected like resampleToMix's own share join), then a single per-row hash " +
+      "filter over the scan — sampling never shuffles the corpus."),
+    "x96_ivf_sqrtn" -> ("IVF at the sqrt(N) cell contract: centroid assignment is a broadcast " +
+      "join + packed-long max HashAggregate and the search a cell equi-join — same plan shape " +
+      "as x34, but the cell count derived from the corpus keeps per-cell candidate volume " +
+      "~sqrt(N), the parameterization that survives 100x (ROUND12.md).")
   )
 
   def main(args: Array[String]): Unit = {
