@@ -1117,6 +1117,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(mixed(maxLang) < natural(maxLang), s"$maxLang: $mixed vs $natural")
   }
 
+  test("decontaminateNgram equals brute force on random corpora (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny alphabet so n-gram collisions actually happen
+    val genDoc = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val prop = Prop.forAll(
+      Gen.choose(4, 15).flatMap(n => Gen.listOfN(n, genDoc)),
+      Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, genDoc)),
+      Gen.choose(2, 4)
+    ) { (corpusToks, refToks, n) =>
+      import spark.implicits._
+      val corpus = corpusToks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val df = corpus.toDF("doc_id", "text").repartition(3)
+      val ref = refToks.map(_.mkString(" ")).toDF("text")
+      val got = Dedup.decontaminateNgram(df, ref, "doc_id", "text", n)
+        .collect().map(_.getLong(0)).toSet
+      // brute force: string n-gram sets intersect?
+      def grams(ts: Seq[String]): Set[String] =
+        if (ts.length < n) Set.empty else ts.sliding(n).map(_.mkString(" ")).toSet
+      val refG = refToks.flatMap(grams).toSet
+      val want = corpus.collect {
+        case (id, _) if grams(corpusToks(id.toInt)).intersect(refG).isEmpty => id
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("packSequences equals a local fold on random corpora (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genDoc = for {
