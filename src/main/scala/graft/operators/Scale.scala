@@ -194,8 +194,11 @@ object Scale {
     * Determinism across engines and runs: the normalizing sum folds in
     * ASCENDING group-key order (float addition is order-dependent; an
     * unordered sum would wobble the rate boundaries in the last ulp), and
-    * α=0.5 goes through pow(x, 0.5) = sqrt — correctly rounded IEEE on
-    * every engine.
+    * α=0.5 is special-cased to math.sqrt — sqrt IS correctly-rounded IEEE
+    * on every engine, whereas Math.pow is only 1-ulp-accurate and not
+    * specified to equal sqrt, so pow(x, 0.5) could differ from a peer
+    * engine's libm in the last ulp and flip a row sitting exactly on a
+    * rate cutoff. General α stays best-effort pow (documented).
     *
     * 100 TB shape: one |groups|-bounded count aggregate collects to the
     * driver (like resampleToMix's own share join), then one per-row
@@ -214,7 +217,11 @@ object Scale {
     if (rows.isEmpty) return df.filter(lit(false))
     val weighted = rows.map { r =>
       require(!r.isNullAt(0), s"temperatureMix: null $groupCol group unsupported")
-      r.get(0).toString -> math.pow(r.getDouble(1), alpha)
+      // alpha == 0.5 MUST be sqrt, not pow: sqrt is correctly-rounded
+      // IEEE everywhere; pow is only 1-ulp and engine-dependent
+      val w =
+        if (alpha == 0.5) math.sqrt(r.getDouble(1)) else math.pow(r.getDouble(1), alpha)
+      r.get(0).toString -> w
     }
     val tot = weighted.sortBy(_._1).foldLeft(0.0)(_ + _._2) // ordered: deterministic float sum
     resampleToMix(df, idCols, groupCol, weighted.map { case (g, w) => g -> w / tot }.toMap)

@@ -243,7 +243,9 @@ object Similarity {
     * work. The standard IVF prescription nCells ≈ √N keeps cells at √N
     * vectors (pair volume N^1.5); measured at the 100x set, nCells=8
     * exceeds a 420 s cap while nCells=√N finishes in seconds
-    * (ROUND12.md, `Spike ivf-scale`). */
+    * (ROUND12.md, `Spike ivf-scale`). [[ivfTopKAuto]] derives the √N
+    * cell count and fits the centroids for you — reach for it unless you
+    * already have a fitted index. */
   def ivfTopK(
       df: DataFrame,
       centroids: DataFrame,
@@ -328,6 +330,43 @@ object Similarity {
     // 28.0 s on the 202k-vector sq8-planted gate).
     val sims = if (nProbe == 1) simsRaw else simsRaw.distinct()
     rankTopK(sims, k)
+  }
+
+  /** [[ivfTopK]] with the cell count DERIVED from the corpus — the
+    * convenience that makes the documented √N contract the path of least
+    * resistance instead of a hand-built centroid frame (the x34 fixed-8
+    * footgun). One `count()` pass sizes `nCells = max(1, floor(√N))`,
+    * [[kmeansFit]] fits that many centroids (`iters` Lloyd rounds from
+    * its deterministic first-k seeding; pass better seeds through the
+    * manual path if recall at low nProbe matters), and the rest IS
+    * ivfTopK — the composition is pinned equal to the manual calls in
+    * OperatorsSpec.
+    *
+    * `iters = 0` keeps the seeds verbatim (the first √N ids' vectors) —
+    * zero extra data passes beyond the count, and fully replayable by an
+    * external engine (x97 gates exactly that configuration).
+    *
+    * 100 TB shape: the derivation is what keeps scaled-up corpora safe —
+    * scored pairs stay N^1.5/√N-per-cell as N grows instead of N²/const
+    * (measured blow-up and the √N fix: ROUND12.md, `Spike ivf-scale`).
+    * kmeansFit's per-iteration cost is the same N·√N broadcast-assignment
+    * volume as the final scoring pass. NOTE: [[farthestPointSeeds]] is
+    * NOT used here by design — its k−1 sequential corpus passes are fine
+    * at small k but O(√N) full scans at the auto cell count. */
+  def ivfTopKAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 1,
+      iters: Int = 2
+  ): DataFrame = {
+    val n = df.count()
+    require(n > 0, "ivfTopKAuto: empty corpus")
+    val nCells = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+    val cen = kmeansFit(df, idCol, vecCol, nCells, iters)
+      .select(col("cen_id").as(idCol), col("cen_v").as(vecCol))
+    ivfTopK(df, cen, idCol, vecCol, k, nProbe)
   }
 
   /** IVF top-k scored on SQ8 codes: cell partitioning bounds WHICH pairs
@@ -881,8 +920,22 @@ object Similarity {
     * matrices. Covariance assembles from raw sums
     * `(Σxy - ΣxΣy/n)/(n-1)` — fine for near-zero-mean embeddings; center
     * upstream if your vectors have a large common offset. */
+  /** Hard dimension ceiling for [[covarianceMatrix]] / [[pcaFit]]: the
+    * d(d+1)/2 expansion, dim²-bounded collect, and O(d³) driver Jacobi
+    * are all fine at embedding dims but become a silent multi-GB collect
+    * plus an hours-long driver solve at fasttext/LLM hidden sizes. A
+    * d=16384 caller gets this crisp error instead. */
+  val MaxCovDim = 4096
+
   def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim > 0, s"covarianceMatrix: dim must be positive, got $dim")
+    require(
+      dim <= MaxCovDim,
+      s"covarianceMatrix: dim=$dim exceeds the supported ceiling $MaxCovDim — " +
+        s"the d(d+1)/2 shuffle cells (${dim.toLong * (dim + 1) / 2} here), driver collect, " +
+        "and O(d^3) Jacobi eigensolve are sized for embedding dims; reduce the " +
+        "dimension upstream (e.g. feature hashing) or use a distributed solver"
+    )
     // ONE generate emits the d(d+1)/2 product structs PLUS d marginal-sum
     // sentinel structs (j = -1, p = x_i) — 3 fields per struct instead of
     // carrying (xi, xj) on every pair. Wall-time parity with the 5-field

@@ -266,6 +266,40 @@ object TextAnalysis {
   def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
     graft.functions.BpeFunctions.bpeCount(text, merges)
 
+  /** BPE token IDS — what a training dataloader actually consumes:
+    * [[bpeTokens]] mapped through a `token string -> vocab id` table.
+    * The vocab rides the plan ONCE as a map literal (a GPT-2-scale 50k
+    * vocab is a few MB — same budget as the merge-rank table itself), so
+    * the whole lookup is a per-row `transform` + `element_at` inside
+    * whole-stage codegen: no shuffle, no broadcast join, no UDF.
+    *
+    * A token absent from the vocab maps to `unkId` when given; with
+    * `unkId = None` it raises a loud per-row error (a silent null id
+    * corrupts a training sequence), naming the offending token. */
+  def bpeIds(
+      text: Column,
+      merges: Seq[(String, String)],
+      vocab: Map[String, Int],
+      unkId: Option[Int] = None
+  ): Column = {
+    require(vocab.nonEmpty, "bpeIds: vocab must be non-empty")
+    val m = typedlit(vocab)
+    transform(
+      bpeTokens(text, merges),
+      t => {
+        val hit = element_at(m, t)
+        unkId match {
+          case Some(u) => coalesce(hit, lit(u))
+          case None =>
+            coalesce(
+              hit,
+              raise_error(concat(lit("bpeIds: token not in vocab: "), t)).cast("int")
+            )
+        }
+      }
+    )
+  }
+
   /** Gopher-style composite quality filter: the standard keep/drop
     * pre-training gate combining length, mean token length, lexical
     * diversity, and stopword presence. Thresholds are the knobs; the
@@ -552,8 +586,10 @@ object TextAnalysis {
     val dim = weights.length
     require(dim > 0, "linearLogit: weights must be non-empty")
     val wLit = typedlit(weights.toSeq)
+    // null text scores `bias` (not NULL), matching scoreLinearSparse's
+    // left-join + coalesce path — the two engine paths must agree exactly
     aggregate(
-      tokens(text),
+      coalesce(tokens(text), typedlit(Seq.empty[String])),
       lit(bias),
       (acc, tok) => {
         val h = Dedup.tokenHash60(tok)

@@ -57,7 +57,10 @@ object ExtQueries {
     * condition is exhaustively verified against the real merge loop in
     * the BpeSpec vocab sweep; text outside the vocab (real corpora) keeps
     * the engine correct but voids the closed form — the oracle is a
-    * property of THIS table+corpus pair, the operator is general. */
+    * property of THIS table+corpus pair, the operator is general. The
+    * oracle's base count uses DuckDB strlen (BYTES) to match the
+    * tokenizer's UTF-8 byte-level start state, so the ASCII-vs-not
+    * distinction cannot silently skew it. */
   private val bpeMerges: Seq[(String, String)] = Seq(
     ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
     ("s", "c"), ("sc", "a"), ("sca", "n"),
@@ -70,7 +73,12 @@ object ExtQueries {
 
   private val bpeBudgetSql: Option[String] = Some {
     val pats = bpeMerges.map { case (a, b) => a + b }
-    val exact = "CAST(length(text)" + pats
+    // Base count is strlen (BYTES): the engine's initial symbol count is
+    // the UTF-8 byte count, and char-based length() would silently drift
+    // on non-ASCII text instead of failing the precondition. Occurrence
+    // counting stays char-based (each hit removes p.length chars either
+    // way, and all patterns are ASCII).
+    val exact = "CAST(strlen(text)" + pats
       .map(p => s" - (length(text) - length(replace(text, '$p', ''))) // ${p.length}")
       .mkString + " AS INTEGER)"
     s"""SELECT doc_id,
@@ -80,6 +88,76 @@ object ExtQueries {
        |  / len(string_split(text, ' ')), 6) AS bpe_per_ws,
        |$exact AS n_bpe_exact
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** The closed corpus vocabulary the testdata generator draws
+    * documents.text from (pinned in BpeSpec's x90 sweep). */
+  private val corpusVocab = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order", "part",
+    "query", "row", "scan", "slow", "small", "sort", "spark", "stream",
+    "table", "the", "value", "vector", "window"
+  )
+
+  /** INDEPENDENT tokenization replay for the x98 oracle: greedy
+    * leftmost-longest match over the merge-RESULT pattern set. NOT the
+    * merge loop — under bpeMerges' no-contention chain property the two
+    * provably coincide, and that equivalence is pinned two ways: an
+    * exhaustive both-variant vocab sweep in BpeSpec, and a build-time
+    * require against the real encoder right below. Space maps to Ġ
+    * (byte-level table, ASCII-only corpus — see x90's strlen note). */
+  private def greedyBpe(word: String): Seq[String] = {
+    val pats = bpeMerges.map { case (a, b) => a + b }.sortBy(-_.length)
+    val mapped = word.map(c => if (c == ' ') 'Ġ' else c)
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < mapped.length) {
+      pats.find(p => mapped.startsWith(p, i)) match {
+        case Some(p) => out += p; i += p.length
+        case None => out += mapped(i).toString; i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Per-word token lists for both positions a word can occupy (doc-first
+    * = bare, otherwise space-prefixed — single-spaced corpus, GPT-2
+    * pre-tokenizer attaches the space to the following word), plus the
+    * derived token→id vocab (distinct tokens, sorted, id = index). */
+  private lazy val (bpeVocab: Map[String, Int], bpeWordIds: Seq[(String, Boolean, Seq[Int])]) = {
+    val variants = corpusVocab.flatMap { w =>
+      Seq((w, true, greedyBpe(w)), (w, false, greedyBpe(" " + w)))
+    }
+    // build-time pin: greedy replay == the REAL merge-loop encoder on
+    // every variant (the no-contention precondition, enforced loudly)
+    val ranks = new graft.functions.Bpe.Ranks(bpeMerges)
+    variants.foreach { case (w, first, toks) =>
+      val real = graft.functions.Bpe.encode(if (first) w else " " + w, ranks).toSeq
+      require(
+        real == toks,
+        s"x98 oracle precondition broken: greedy $toks != merge-loop $real for '$w' (first=$first)"
+      )
+    }
+    val vocab = variants.flatMap(_._3).distinct.sorted.zipWithIndex.toMap
+    (vocab, variants.map { case (w, first, toks) => (w, first, toks.map(vocab)) })
+  }
+
+  private lazy val bpeIdsSql: Option[String] = Some {
+    val rows = bpeWordIds
+      .map { case (w, first, ids) => s"('$w', ${if (first) "TRUE" else "FALSE"}, [${ids.mkString(", ")}])" }
+      .mkString(",\n|  ")
+    s"""WITH wt(w, first, ids) AS (VALUES
+       |  $rows),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |ex AS (SELECT doc_id, i, ws[i] AS w FROM tk, unnest(range(1, len(ws) + 1)) AS u(i)),
+       |wi AS (SELECT doc_id, i, wt.ids FROM ex JOIN wt ON wt.w = ex.w AND wt.first = (ex.i = 1)),
+       |o AS (SELECT doc_id, i, ids,
+       |    SUM(len(ids)) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(ids) AS off
+       |  FROM wi)
+       |SELECT doc_id, CAST(off + j - 1 AS INTEGER) AS pos, CAST(ids[j] AS INTEGER) AS token_id
+       |FROM o, unnest(range(1, len(ids) + 1)) AS u(j)
+       |ORDER BY doc_id, pos""".stripMargin
   }
 
   /** x91's planted eval canary: 13 words outside the corpus vocabulary,
@@ -2499,9 +2577,9 @@ object ExtQueries {
           minQuality = 0.6
         ),
       Some("""WITH q AS (SELECT doc_id, text,
-             |    (0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+             |    round(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
              |     + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
-             |         / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0)) >= 0.6 AS ok
+             |         / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0), 6) >= 0.6 AS ok
              |  FROM documents),
              |r AS (SELECT *, row_number() OVER (PARTITION BY text
              |    ORDER BY ok DESC, doc_id) AS rk FROM q),
@@ -2556,7 +2634,8 @@ object ExtQueries {
           .orderBy("doc_id"),
       Some {
         val pats = bpeMerges.map { case (a, b) => a + b }
-        val exact = "CAST(length(text)" + pats
+        // strlen = bytes, matching the BPE engine's base symbol count (x90)
+        val exact = "CAST(strlen(text)" + pats
           .map(p => s" - (length(text) - length(replace(text, '$p', ''))) // ${p.length}")
           .mkString + " AS BIGINT)"
         s"""WITH tk AS (SELECT doc_id, source, $exact AS n_tokens FROM documents),
@@ -2636,6 +2715,66 @@ object ExtQueries {
              |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
              |  FROM sims)
              |SELECT qid, cid, sim, rn FROM rk WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // The √N contract as the DEFAULT ergonomics (Similarity.ivfTopKAuto):
+    // cell count derived from the corpus, centroids fitted by kmeansFit.
+    // iters=0 keeps kmeansFit's deterministic seeding (the first √N ids'
+    // vectors, renumbered 0..√N-1) so an external engine can replay the
+    // whole path: the oracle re-derives √N, re-picks the seed vectors by
+    // id rank, and re-runs assignment + within-cell ranking. Lloyd
+    // iterations (iters>0) are pinned equal to the manual composition in
+    // OperatorsSpec instead.
+    Q(
+      "x97_ivf_auto",
+      (s, d) =>
+        Similarity
+          .ivfTopKAuto(t(s, d, "embeddings"), "vec_id", "embedding", 5, iters = 0)
+          .select(col("qid"), col("cid"), col("sim"), col("rn"))
+          .orderBy("qid", "rn"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |nl AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM e),
+             |cen AS (SELECT cen_vid, cv FROM (
+             |    SELECT vec_id AS cen_vid, v AS cv,
+             |      row_number() OVER (ORDER BY vec_id) AS rk FROM e) t, nl
+             |  WHERE rk <= nlist),
+             |score AS (SELECT e.vec_id, cen.cen_vid,
+             |  round(list_dot_product(e.v, cen.cv)
+             |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cen.cv, cen.cv))), 6) AS sim
+             |  FROM e CROSS JOIN cen),
+             |asg AS (SELECT vec_id, cen_vid AS cell FROM (
+             |  SELECT vec_id, cen_vid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cen_vid) AS r
+             |  FROM score) t WHERE r = 1),
+             |sims AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+             |  round(list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+             |  FROM asg qa JOIN asg ca ON qa.cell = ca.cell AND qa.vec_id != ca.vec_id
+             |  JOIN e q ON q.vec_id = qa.vec_id JOIN e c ON c.vec_id = ca.vec_id),
+             |rk AS (SELECT qid, cid, sim,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+             |  FROM sims)
+             |SELECT qid, cid, sim, rn FROM rk WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // BPE token IDS (TextAnalysis.bpeIds): the dataloader-facing surface
+    // — real merge-loop tokens mapped through a vocab that rides the plan
+    // as a map literal, exploded to (doc_id, pos, token_id). The oracle
+    // replays the whole sequence: per-word token-id lists (independent
+    // greedy replay, pinned == the merge loop at build time AND in
+    // BpeSpec), doc assembly by word position (first word bare, the rest
+    // space-prefixed), running offsets, flatten.
+    Q(
+      "x98_bpe_ids",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            posexplode(TextAnalysis.bpeIds(col("text"), bpeMerges, bpeVocab))
+          )
+          .withColumnRenamed("col", "token_id")
+          .orderBy("doc_id", "pos"),
+      bpeIdsSql
     )
   )
 }

@@ -1307,6 +1307,90 @@ object Spike {
     ranks.unpersist()
   }
 
+  /** `runMain graft.tools.Spike media-planted [nDocs] [maxHamming]` — the
+    * x81/x83/x84 media near-dup trio at 100x+ payloads against a planted
+    * oracle with BOUNDED cluster size. The sf-corpus oracle
+    * (`doc_id % 40`) is quadratic per pattern and cannot scale; here the
+    * pattern key is `doc_id % (n/40)`, so every pattern has EXACTLY 40
+    * members and the expected pair set (same residue, a < b) stays linear
+    * in n — generated distributively by a 40-member-bucket self-join and
+    * verified against the engine output by anti-joins in both directions
+    * (the x41-planted pattern; no DuckDB, no collect). Each modality must
+    * recover the planted set EXACTLY: a miss means the decode → fingerprint
+    * path degraded at scale, an extra means cross-pattern fingerprints
+    * collided (64-bit hamming-3 collision odds across C(n/40, 2) pattern
+    * pairs are ~1e-8 at n=1e5 — a nonzero count is a bug, not noise). */
+  private def mediaPlanted(spark: org.apache.spark.sql.SparkSession, nDocs: Long, maxHamming: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = math.max(40L, nDocs - nDocs % 40)
+    val p = n / 40
+    val docs = spark
+      .range(n)
+      .select(col("id").as("doc_id"), pmod(col("id"), lit(p)).as("pat"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    val m = docs.select(col("pat"), col("doc_id"))
+    val expected = m
+      .join(m.select(col("pat"), col("doc_id").as("d2")), "pat")
+      .filter(col("doc_id") < col("d2"))
+      .select(col("doc_id").as("d1"), col("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExpected = expected.count()
+    def gate(name: String, found: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val f = found.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nFound = f.count()
+      val ts = (System.nanoTime() - t0) / 1e9
+      val missing = expected.join(f, Seq("d1", "d2"), "left_anti").count()
+      val extra = f.join(expected, Seq("d1", "d2"), "left_anti").count()
+      println(
+        f"[spike] media-planted/$name: $n docs (${p} patterns x 40), $nFound pairs in $ts%.1fs " +
+          f"(expected $nExpected) — missing=$missing extra=$extra"
+      )
+      require(
+        missing == 0 && extra == 0 && nFound == nExpected,
+        s"media-planted/$name MISMATCH: missing=$missing extra=$extra found=$nFound/$nExpected"
+      )
+      println(s"[spike] media-planted/$name: EXACT planted-pair match at scale — gate PASS")
+      f.unpersist(blocking = false)
+    }
+    gate(
+      "image",
+      graft.operators.Multimodal
+        .pHashDupes(
+          graft.operators.Multimodal.withSynthJpegPayload(docs, "doc_id", "pat"),
+          "doc_id",
+          maxHamming
+        )
+        .select("d1", "d2")
+    )
+    gate(
+      "audio",
+      graft.operators.Multimodal
+        .audioFpDupes(
+          graft.operators.Multimodal.withSynthWavVariantPayload(docs, "doc_id", "pat"),
+          "doc_id",
+          maxHamming
+        )
+        .select("d1", "d2")
+    )
+    gate(
+      "video",
+      graft.operators.Multimodal
+        .videoDupes(
+          graft.operators.Multimodal.withSynthAviVariantPayload(docs, "doc_id", "pat"),
+          "doc_id",
+          every = 2,
+          maxHamming = maxHamming,
+          minMatches = 2
+        )
+        .select("d1", "d2")
+    )
+    expected.unpersist(blocking = false)
+    docs.unpersist(blocking = false)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("32")
     if (args.sameElements(Array("mm-profile"))) { mmProfile(spark); spark.stop(); return }
@@ -1324,6 +1408,14 @@ object Spike {
         spark,
         if (args.length > 1) args(1).toLong else 2000000L,
         if (args.length > 2) args(2).toLong else 10000000L
+      )
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "media-planted") {
+      mediaPlanted(
+        spark,
+        if (args.length > 1) args(1).toLong else 100000L,
+        if (args.length > 2) args(2).toInt else 3
       )
       spark.stop(); return
     }

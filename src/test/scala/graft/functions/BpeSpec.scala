@@ -135,4 +135,51 @@ class BpeSpec extends AnyFunSuite with SparkTester {
     intercept[IllegalArgumentException] { new Bpe.Ranks(Seq(("a", "b"), ("a", "b"))) }
     intercept[IllegalArgumentException] { new Bpe.Ranks(Seq(("a\u0000", "b"))) }
   }
+
+  test("bpeIds: vocab map lookup, unk substitution, loud unknown-token error") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    // tokens of "low lower": low, Ġ, low, e, r
+    val vocab = Map("low" -> 7, "Ġ" -> 0, "e" -> 3, "r" -> 4)
+    val df = Seq((1L, "low lower")).toDF("id", "text")
+    val ids = df
+      .select(TextAnalysis.bpeIds(col("text"), merges, vocab).as("ids"))
+      .collect()
+      .head
+      .getSeq[Int](0)
+    assert(ids == Seq(7, 0, 7, 3, 4))
+    // token outside the vocab: unkId substitutes...
+    val unk = df
+      .select(TextAnalysis.bpeIds(col("text"), merges, vocab - "e", unkId = Some(-1)).as("ids"))
+      .collect()
+      .head
+      .getSeq[Int](0)
+    assert(unk == Seq(7, 0, 7, -1, 4))
+    // ...and without unkId the row FAILS, naming the token — a silent
+    // null id would corrupt a training sequence
+    val err = intercept[Exception] {
+      df.select(TextAnalysis.bpeIds(col("text"), merges, vocab - "e").as("ids")).collect()
+    }
+    assert(err.getMessage.contains("not in vocab"), err.getMessage)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeIds(col("text"), merges, Map.empty)
+    }
+  }
+
+  test("x98 oracle precondition: greedy-replay == merge loop across the vocab (build-time pin fires)") {
+    // forcing the x98 oracle SQL executes ExtQueries' require that the
+    // independent greedy tokenization equals the real encoder on BOTH
+    // variants of every corpus word — this test makes that pin part of
+    // `sbt test`, not just query construction
+    val sql = graft.SparkEntry.oracleSql("x98_bpe_ids")
+    assert(sql.contains("wt(w, first, ids)"))
+    // and the id space is dense 0..|vocab|-1 (every id appears in the SQL)
+    val ids = "\\[([0-9, ]+)\\]".r
+      .findAllMatchIn(sql)
+      .flatMap(_.group(1).split(", "))
+      .map(_.trim.toInt)
+      .toSet
+    assert(ids == (0 until ids.size).toSet, s"vocab ids not dense: $ids")
+  }
 }

@@ -1890,4 +1890,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
       TimeOps.rollingByTime(ev, "user_id", "ts", "value", width = 0L)
     }
   }
+
+  test("ivfTopKAuto == manual kmeansFit + ivfTopK at the derived sqrt(N) cell count") {
+    val e = t(spark, sfTiny, "embeddings")
+    val n = e.count()
+    val nCells = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+    assert(nCells > 1, "fixture should derive a multi-cell index")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "sim", "rn").orderBy("qid", "rn").collect().toSeq
+    // iters > 0: composition with an explicit kmeansFit (deterministic at
+    // any partition count, so byte-equality is the right assertion)
+    val cen = Similarity
+      .kmeansFit(e, "vec_id", "embedding", nCells, iters = 2)
+      .select(col("cen_id").as("vec_id"), col("cen_v").as("embedding"))
+    assert(
+      rows(Similarity.ivfTopKAuto(e, "vec_id", "embedding", 5, iters = 2)) ==
+        rows(Similarity.ivfTopK(e, cen, "vec_id", "embedding", 5))
+    )
+    // iters = 0: centroids are the first-sqrt(N)-ids' vectors verbatim
+    val seeds = Similarity
+      .kmeansFit(e, "vec_id", "embedding", nCells, iters = 0)
+      .select(col("cen_id").as("vec_id"), col("cen_v").as("embedding"))
+    assert(
+      rows(Similarity.ivfTopKAuto(e, "vec_id", "embedding", 5, iters = 0)) ==
+        rows(Similarity.ivfTopK(e, seeds, "vec_id", "embedding", 5))
+    )
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKAuto(e.filter(lit(false)), "vec_id", "embedding", 5)
+    }
+  }
 }

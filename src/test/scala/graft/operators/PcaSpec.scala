@@ -125,4 +125,21 @@ class PcaSpec extends AnyFunSuite with SparkTester {
     val brute = cols.map(varS).sum
     assert(math.abs(rows.head.getDouble(2) - brute) < 1e-9 * math.max(1.0, brute))
   }
+
+  test("covarianceMatrix/pcaFit refuse dims beyond the documented ceiling, loudly") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val bad = Similarity.MaxCovDim + 1
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.covarianceMatrix(df, "embedding", bad)
+    }
+    assert(e1.getMessage.contains("ceiling") && e1.getMessage.contains(bad.toString))
+    // pcaFit routes through the same guard BEFORE any job runs
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pcaFit(df, "embedding", bad, k = 2)
+    }
+    assert(e2.getMessage.contains("ceiling"))
+    // the ceiling itself stays on the accepted side of the require
+    assert(Similarity.MaxCovDim == 4096)
+  }
 }
