@@ -24,6 +24,11 @@
 #                       with dangling sinks + a planted 2-cycle, against an
 #                       exact driver-side array reference from the same
 #                       edge formulas (per-node maxDiff ~4e-17, mass = 1)
+#   4a3. media-planted — the x81/x83/x84 image/audio/video near-dup trio at
+#                       100k payloads (200x the sf corpus) against a
+#                       BOUNDED-cluster planted oracle (40-member patterns,
+#                       linear pair set): 1.95M pairs per modality, exact
+#                       recovery, anti-join verified both directions
 #   4b. x60-planted   — embedding near-dup at 1M vectors against planted
 #                       scaled duplicates (exact float semantics -> same
 #                       LSH bucket, cosine 1.0): exact pair match required,
@@ -46,6 +51,7 @@ sbt -batch "runMain graft.tools.Spike zarr-hier"      2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike zarr-deferred-str" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike x41-planted 500000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike pagerank-planted" 2>&1 | grep -E '\[spike\]'
+sbt -batch "runMain graft.tools.Spike media-planted 100000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike x60-planted 1000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike sq8-planted 200000" 2>&1 | grep -E '\[spike\]'
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \

@@ -1318,8 +1318,19 @@ object Spike {
     * (the x41-planted pattern; no DuckDB, no collect). Each modality must
     * recover the planted set EXACTLY: a miss means the decode → fingerprint
     * path degraded at scale, an extra means cross-pattern fingerprints
-    * collided (64-bit hamming-3 collision odds across C(n/40, 2) pattern
-    * pairs are ~1e-8 at n=1e5 — a nonzero count is a bug, not noise). */
+    * collided — at the default maxHamming=8 the odds of ANY cross-pattern
+    * collision across C(n/40, 2) pattern pairs are ~1e-3 at n=1e5, so a
+    * nonzero count is a bug, not noise.
+    *
+    * maxHamming=8 is MEASURED, not hoped (`media-hamming 100000`): same-
+    * pattern image pHash distances are even (median-split parity) and
+    * fall 1.82M/132k/1.1k at 0/2/4 — a ~100x-per-step tail, so 8 leaves
+    * two decades of margin; audio fingerprints are EXACTLY 0 (energy
+    * RATIOS are amplitude/tail-invariant by construction). The sf-corpus
+    * queries keep maxHamming=3; the gate's larger budget tests the same
+    * blocking exactness (pigeonhole recall holds at any budget). Result
+    * at 100k payloads (200x the sf corpus): image 16.4s, audio 21.1s,
+    * video 49.3s, all 1,950,000 pairs exact, 0 miss / 0 false. */
   private def mediaPlanted(spark: org.apache.spark.sql.SparkSession, nDocs: Long, maxHamming: Int): Unit = {
     import org.apache.spark.sql.functions._
     val n = math.max(40L, nDocs - nDocs % 40)
@@ -1391,6 +1402,57 @@ object Spike {
     docs.unpersist(blocking = false)
   }
 
+  /** `runMain graft.tools.Spike media-hamming [nDocs]` — diagnostic for
+    * the media-planted threshold: the exact hamming histogram over all
+    * same-pattern IMAGE pairs (and video frame-0 pairs) at the bounded
+    * planting, so the gate's maxHamming is chosen from measurement, not
+    * hope. */
+  private def mediaHamming(spark: org.apache.spark.sql.SparkSession, nDocs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = math.max(40L, nDocs - nDocs % 40)
+    val p = n / 40
+    val docs = spark
+      .range(n)
+      .select(col("id").as("doc_id"), pmod(col("id"), lit(p)).as("pat"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    def histo(name: String, hashes: org.apache.spark.sql.DataFrame): Unit = {
+      // hashes: (doc_id, h). Attach pat, self-join per pattern (40-member
+      // buckets), popcount the xor.
+      val withPat = hashes.withColumn("pat", pmod(col("doc_id"), lit(p)))
+      val a = withPat.select(col("pat"), col("doc_id").as("d1"), col("h").as("h1"))
+      val b = withPat.select(col("pat"), col("doc_id").as("d2"), col("h").as("h2"))
+      val hist = a
+        .join(b, Seq("pat"))
+        .filter(col("d1") < col("d2"))
+        .select(bit_count(col("h1").bitwiseXOR(col("h2"))).as("ham"))
+        .groupBy("ham")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("ham")
+        .collect()
+      val total = hist.map(_.getLong(1)).sum
+      println(s"[spike] media-hamming/$name: $total same-pattern pairs at $n docs")
+      hist.foreach(r => println(f"[spike]   ham=${r.getInt(0)}%2d  ${r.getLong(1)}%10d"))
+    }
+    histo(
+      "image",
+      graft.operators.Multimodal
+        .imagePHashes(
+          graft.operators.Multimodal.withSynthJpegPayload(docs, "doc_id", "pat"),
+          "doc_id"
+        )
+        .select(col("doc_id"), col("phash").as("h"))
+    )
+    histo(
+      "audio",
+      graft.operators.Multimodal
+        .audioFingerprints(
+          graft.operators.Multimodal.withSynthWavVariantPayload(docs, "doc_id", "pat"),
+          "doc_id"
+        )
+        .select(col("doc_id"), col("afp").as("h"))
+    )
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("32")
     if (args.sameElements(Array("mm-profile"))) { mmProfile(spark); spark.stop(); return }
@@ -1411,11 +1473,15 @@ object Spike {
       )
       spark.stop(); return
     }
+    if (args.nonEmpty && args(0) == "media-hamming") {
+      mediaHamming(spark, if (args.length > 1) args(1).toLong else 100000L)
+      spark.stop(); return
+    }
     if (args.nonEmpty && args(0) == "media-planted") {
       mediaPlanted(
         spark,
         if (args.length > 1) args(1).toLong else 100000L,
-        if (args.length > 2) args(2).toInt else 3
+        if (args.length > 2) args(2).toInt else 8
       )
       spark.stop(); return
     }

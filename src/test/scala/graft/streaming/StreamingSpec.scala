@@ -286,6 +286,158 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(got == want && got.nonEmpty)
   }
 
+  test("nearDupStream: streamed LSH near-dup removal, planted dups straddling micro-batches") {
+    import graft.streaming.DedupStreams
+    // transformWithState prerequisite
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try {
+      import spark.implicits._
+      // corpus: 40 patterns x 4 copies; copy c of pattern g is doc 100*c+g,
+      // arrives in micro-batch c (4 files), ts base+c seconds — EVERY
+      // duplicate pair straddles micro-batches. Copies 0/1 are exact text;
+      // copy 2 appends one word (near-dup, not exact); copy 3 prepends one
+      // (ditto). Plus 5 docs with unique vocab (must all survive) and 3
+      // docs under 3 words (no shingles — bypass survivors).
+      def text(g: Int, c: Int): String = {
+        val base = (0 until 12).map(j => s"g${g}w$j")
+        (c match {
+          case 2 => base :+ s"g${g}tail"
+          case 3 => s"g${g}head" +: base
+          case _ => base
+        }).mkString(" ")
+      }
+      val rows =
+        (for (c <- 0 until 4; g <- 0 until 40)
+          yield (100L * c + g, c, text(g, c))) ++
+          (0 until 5).map(i => (500L + i, i % 4, (0 until 12).map(j => s"u${i}w$j").mkString(" "))) ++
+          (0 until 3).map(i => (600L + i, i % 4, s"tiny$i doc"))
+      val base = 1700000000L
+      val df = rows
+        .toDF("doc_id", "batch", "text")
+        .withColumn("ts", expr(s"timestamp_seconds($base + batch)"))
+      val dir = java.nio.file.Files.createTempDirectory("neardup_stream")
+      def stage(frame: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val s = java.nio.file.Files.createTempDirectory(s"nd_stage_$name")
+        frame.coalesce(1).write.mode("overwrite").parquet(s.toString)
+        val part = java.nio.file.Files
+          .list(s)
+          .filter(_.toString.endsWith(".parquet"))
+          .findFirst()
+          .get()
+        val dst = dir.resolve(s"$name.parquet")
+        java.nio.file.Files.copy(part, dst)
+        // FileStreamSource orders by mtime — pin it so micro-batch order
+        // is the arrival order the replay assumes
+        java.nio.file.Files.setLastModifiedTime(
+          dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime)
+        )
+      }
+      (0 until 4).foreach { c =>
+        stage(
+          df.filter(col("batch") === c).select("doc_id", "ts", "text"),
+          s"b$c",
+          1000000000000L + c * 60000L
+        )
+      }
+      // TWO sentinel batches far in the future: with chained stateful
+      // operators the downstream aggregate EVICTS with the previous
+      // batch's watermark (one trigger behind), so finalizing the real
+      // windows takes one batch to advance the watermark and one more to
+      // apply it
+      // sentinels need shingles: the watermark node sits on the stateful
+      // branch, so only docs that reach it advance the watermark
+      Seq(9, 10).foreach { s =>
+        stage(
+          Seq((9990L + s, (0 until 12).map(j => s"sent${s}w$j").mkString(" ")))
+            .toDF("doc_id", "text")
+            .withColumn("ts", expr(s"timestamp_seconds($base + ${s * 86400})"))
+            .select("doc_id", "ts", "text"),
+          s"b$s",
+          1000000000000L + s * 60000L
+        )
+      }
+      val schema = df.select("doc_id", "ts", "text").schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+      val q = DedupStreams
+        .nearDupStream(stream, "doc_id", "text", "ts", "30 seconds", threshold = 0.75)
+        .writeStream
+        .format("memory")
+        .queryName("neardup_stream")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // sentinels are shingle-less (stateless bypass) — drop them before
+      // comparing; the replay covers only the real corpus
+      val got = spark
+        .table("neardup_stream")
+        .select("doc_id")
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+        .filter(_ < 1000L)
+
+      // LOCAL sequential replay of the operator's contract — same hash
+      // family, banding, estimator, first-arrival-wins — as the oracle
+      def tokenHash60(s: String): Long = {
+        val hex = java.security.MessageDigest
+          .getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_))
+          .mkString
+        java.lang.Long.parseLong(hex.substring(17, 32), 16)
+      }
+      def sig(t: String): Option[Seq[Long]] = {
+        val w = t.split(" ")
+        if (w.length < 3) None
+        else {
+          val hs = (0 to w.length - 3)
+            .map(i => tokenHash60(s"${w(i)} ${w(i + 1)} ${w(i + 2)}") % graft.operators.Dedup.MinhashP1)
+          Some((0 until 8).map { i =>
+            hs.map(h =>
+              (graft.operators.Dedup.minhashA(i) * h + graft.operators.Dedup.minhashB(i)) %
+                graft.operators.Dedup.MinhashP2
+            ).min
+          })
+        }
+      }
+      val anchors = scala.collection.mutable.Map.empty[(Int, Long, Long), List[Seq[Long]]]
+      val expected = rows
+        .sortBy(r => (r._2, r._1)) // (ts, docId) order — ts == batch second
+        .flatMap { case (id, _, t) =>
+          sig(t) match {
+            case None => Some(id) // shingle-less bypass
+            case Some(sg) =>
+              val buckets = (0 until 4).map(b => (b, sg(2 * b), sg(2 * b + 1)))
+              val matched = buckets.exists(bk =>
+                anchors.getOrElse(bk, Nil).exists(a => a.zip(sg).count { case (x, y) => x == y } >= 6)
+              )
+              if (!matched) buckets.foreach(bk => anchors(bk) = sg :: anchors.getOrElse(bk, Nil))
+              if (matched) None else Some(id)
+          }
+        }
+        .toSet
+      assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+      // the planted structure actually exercised what it claims:
+      // pattern copies died, uniques and tiny docs survived
+      assert((0 until 40).forall(g => got.contains(g.toLong) && !got.contains(100L + g)))
+      assert((0 until 5).forall(i => got.contains(500L + i)) && (0 until 3).forall(i => got.contains(600L + i)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("tumbling agg matches the x12 declared query buckets") {
     val viaWindow = EventStreams.tumbling5m(t(spark, sfTiny, "events"))
       .select("bucket_s", "event_type", "n")
