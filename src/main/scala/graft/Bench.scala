@@ -64,9 +64,16 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // run the full suite `runs` times (round-robin, not back-to-back per
     // query) so a transient load spike can't poison both samples of the
-    // same query; min-of-runs then discards whichever pass was contended
+    // same query; min-of-runs then discards whichever pass was contended.
+    // The load average is sampled at each pass boundary so the artifact
+    // itself shows WHICH pass was contended.
+    val loadSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val samples: Seq[Map[String, Option[Double]]] =
-      (1 to runs).map(_ => ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap)
+      (1 to runs).map { _ =>
+        loadSamples += loadAvg()
+        ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
+      }
+    loadSamples += loadAvg()
     val results: Map[String, Double] = ordered.flatMap { case (n, _) =>
       val ok = samples.flatMap(_(n))
       if (ok.nonEmpty) Some(n -> ok.min) else None
@@ -77,8 +84,21 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // per-query times from EVERY pass (null = that pass failed), so a
+    // single-query swing between rounds is adjudicable from ONE artifact:
+    // both passes high = real; one pass high with a high load sample at
+    // that pass boundary = load, no cross-file archaeology needed
+    val samplesJson = ordered
+      .map { case (n, _) =>
+        val arr = samples
+          .map(_(n).map(v => f"$v%.6f").getOrElse("null"))
+          .mkString("[", ",", "]")
+        s"\"$n\":$arr"
+      }
+      .mkString("{", ",", "}")
+    val loadSamplesJson = loadSamples.map(v => f"$v%.2f").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","runs":$runs,"load_start":$load0,"load_end":$load1,"load_gate_waited":$waited,"load_warning":$loadWarning}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"load_samples":$loadSamplesJson,"failed":$failedJson,"sf":"$sfDir","runs":$runs,"load_start":$load0,"load_end":$load1,"load_gate_waited":$waited,"load_warning":$loadWarning}"""
     // the round artifact captures a bounded stdout TAIL: stop Spark FIRST so
     // no shutdown log lines follow the JSON, write the full record to a file
     // (r6/r7 artifacts lost 4-5 per-query times off the front of the
