@@ -896,6 +896,41 @@ object CoreQueries {
              |ORDER BY i""".stripMargin)
     ),
     // ------------------------------------------------------------------
+    // PER-FIELD-SHAPED structured dtype under the gate (the [name, dtype,
+    // shape] numpy-subarray spelling q35 rejects as scalar-only): a 3-
+    // vector f4 field, a 2x2 BIG-ENDIAN i2 matrix field, plus scalars —
+    // surfaced as nested Spark arrays, elements row-major; the withheld
+    // chunk reads the all-zero fill record through the same decode.
+    Q(
+      "q35b_zarr_struct_shaped",
+      (s, _) => {
+        val root = CoreQueries.q35bStore()
+        new graft.api.ZarrDataReader(s, root)
+          .readArray("rec")
+          .select(
+            col("i"),
+            col("value.pos").getItem(0).as("p0"),
+            col("value.pos").getItem(1).as("p1"),
+            col("value.pos").getItem(2).as("p2"),
+            col("value.m").getItem(0).getItem(1).cast("int").as("m01"),
+            col("value.m").getItem(1).getItem(0).cast("int").as("m10"),
+            col("value.sensor").as("sensor"),
+            col("value.tag").as("tag")
+          )
+          .orderBy("i")
+      },
+      Some("""SELECT CAST(t.i AS INTEGER) AS i,
+             |CAST(CASE WHEN t.i BETWEEN 16 AND 23 THEN 0.0 ELSE t.i * 2 END AS FLOAT) AS p0,
+             |CAST(CASE WHEN t.i BETWEEN 16 AND 23 THEN 0.0 ELSE t.i * 2 + 1 END AS FLOAT) AS p1,
+             |CAST(CASE WHEN t.i BETWEEN 16 AND 23 THEN 0.0 ELSE t.i * 2 + 2 END AS FLOAT) AS p2,
+             |CAST(CASE WHEN t.i BETWEEN 16 AND 23 THEN 0 ELSE t.i * 10 + 1 END AS INTEGER) AS m01,
+             |CAST(CASE WHEN t.i BETWEEN 16 AND 23 THEN 0 ELSE t.i * 10 + 2 END AS INTEGER) AS m10,
+             |CAST(CASE WHEN t.i BETWEEN 16 AND 23 THEN 0 ELSE t.i * 3 - 7 END AS INTEGER) AS sensor,
+             |CASE WHEN t.i BETWEEN 16 AND 23 THEN '' ELSE 'T' || CAST(t.i % 5 AS VARCHAR) END AS tag
+             |FROM (SELECT CAST(range AS INTEGER) AS i FROM range(0, 30)) t
+             |ORDER BY i""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
     // Structured WRITE path under the gate: the PRODUCT sink packs struct
     // records (i4, big-endian f8, |S4 fixed string) into compound cells;
     // one null-valued cell reads back as the all-zero fill record.
@@ -1479,6 +1514,38 @@ object CoreQueries {
         i => Seq((i * 3 - 7).toInt, i * 0.25 - 2.0, s"T${i % 5}"),
         dims = Some(Vector("i")), compressor = Some("zlib"),
         fillBase64 = Some(java.util.Base64.getEncoder.encodeToString(new Array[Byte](16)))
+      )
+      ZarrStoreWriter.writeCoord(dir, "i", Coord.Ints(Array.tabulate(30)(identity)))
+      ZarrStoreWriter.consolidate(dir)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(root, "rec", "2"))
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    root
+  }
+
+  /** Build the q35b PER-FIELD-SHAPED structured store once per JVM: `rec`
+    * is a compound [[pos <f4 (3)], [m >i2 (2,2)], [sensor <i4], [tag |S4]]
+    * (28 B cells — numpy subarray fields, the [name, dtype, shape] v2
+    * spelling zarr-python legally writes) over i (30, chunks 8), zlib;
+    * chunk 2 withheld so cells 16..23 read the all-zero fill record. */
+  private[queries] def q35bStore(): String = synchronized {
+    val root = FixtureCache.root("q35b")
+    val marker = java.nio.file.Paths.get(root, ".graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      import graft.sources.zarr.ZarrStoreWriter
+      val dir = ZarrStoreWriter.writeGroup(root)
+      ZarrStoreWriter.writeStructArray(
+        dir, "rec", Vector(30), Vector(8),
+        """[["pos", "<f4", [3]], ["m", ">i2", [2, 2]], ["sensor", "<i4"], ["tag", "|S4"]]""",
+        i => Seq(
+          Seq((i * 2).toFloat, (i * 2 + 1).toFloat, (i * 2 + 2).toFloat),
+          Seq(Seq(i * 10, i * 10 + 1), Seq(i * 10 + 2, i * 10 + 3)),
+          (i * 3 - 7).toInt,
+          s"T${i % 5}"
+        ),
+        dims = Some(Vector("i")), compressor = Some("zlib"),
+        fillBase64 = Some(java.util.Base64.getEncoder.encodeToString(new Array[Byte](28)))
       )
       ZarrStoreWriter.writeCoord(dir, "i", Coord.Ints(Array.tabulate(30)(identity)))
       ZarrStoreWriter.consolidate(dir)

@@ -82,11 +82,21 @@ final case class ZDtype(
     m8Den: Long = 1L,
     // structured (numpy compound / |V*) dtypes: named scalar fields packed
     // in declaration order; itemSize is their sum
-    fields: Vector[(String, ZDtype)] = Vector.empty
+    fields: Vector[(String, ZDtype)] = Vector.empty,
+    // subarray shape of a structured FIELD ([name, dtype, shape] spelling):
+    // non-empty only on field dtypes, whose itemSize is then
+    // scalar-size x product(shape) and whose sparkType nests ArrayTypes.
+    // Elements pack row-major (C order), numpy subarray layout.
+    shape: Vector[Int] = Vector.empty
 ) extends Serializable {
   /** Byte offset of each structured field within a packed cell. */
   @transient lazy val fieldOffsets: Array[Int] =
     fields.scanLeft(0) { case (off, (_, fdt)) => off + fdt.itemSize }.init.toArray
+
+  /** Scalar element dtype of a shaped structured field. */
+  @transient lazy val elem: ZDtype =
+    if (shape.isEmpty) this
+    else copy(itemSize = itemSize / shape.map(_.toLong).product.toInt, shape = Vector.empty)
 }
 
 object ZDtype {
@@ -153,33 +163,68 @@ object ZDtype {
   /** Structured dtype from the v2 JSON list-of-[name, dtype] spelling
     * (canonicalized to its compact JSON string as the tag, so the parse
     * round-trips through ZarrArrayMeta.dtype like every scalar dtype).
-    * Field dtypes must be scalar (no nesting, no per-field shapes) —
-    * anything else rejects loudly. */
+    * Field dtypes must be scalar or a SHAPED scalar (`[name, dtype,
+    * shape]`, the numpy subarray spelling — surfaced as nested Spark
+    * ArrayTypes, elements packed row-major); nested compounds, vlen and
+    * complex fields reject loudly. */
   def parseStructured(json: String): ZDtype = {
     import org.json4s.jackson.JsonMethods
+    def scalarField(fname: String, fdt: String): ZDtype = {
+      val z = parse(fdt)
+      require(
+        z.code != V && z.code != VSTR && !isComplex(z.code),
+        s"structured field '$fname': unsupported field dtype '$fdt' (scalar numeric, " +
+          "datetime, or fixed-width string fields only)"
+      )
+      z
+    }
     val fields: Vector[(String, ZDtype)] = JsonMethods.parse(json) match {
       case JArray(items) if items.nonEmpty =>
         items.map {
           case JArray(List(JString(fname), JString(fdt))) =>
-            val z = parse(fdt)
+            fname -> scalarField(fname, fdt)
+          case JArray(List(JString(fname), JString(fdt), JArray(shapeJ))) =>
+            val shape: Vector[Int] = shapeJ.map {
+              case JInt(n) => n.toInt
+              case other =>
+                throw new IllegalArgumentException(
+                  s"structured field '$fname': bad shape entry $other (expected int)"
+                )
+            }.toVector
             require(
-              z.code != V && z.code != VSTR && !isComplex(z.code),
-              s"structured field '$fname': unsupported field dtype '$fdt' (scalar numeric, " +
-                "datetime, or fixed-width string fields only)"
+              shape.nonEmpty && shape.forall(_ > 0),
+              s"structured field '$fname': shape $shape must be non-empty positive dims"
             )
-            fname -> z
+            val z = scalarField(fname, fdt)
+            val nElems = shape.map(_.toLong).product
+            require(
+              nElems <= Int.MaxValue / z.itemSize,
+              s"structured field '$fname': shape $shape overflows a packed cell"
+            )
+            // nested ArrayTypes, innermost first; only M8/TD ELEMENTS are
+            // nullable (NaT) — the arrays themselves are total
+            val elemNullable = z.code == M8 || z.code == TD
+            val sparkT = shape.foldRight(z.sparkType: DataType) { (_, inner) =>
+              ArrayType(inner, containsNull = inner == z.sparkType && elemNullable)
+            }
+            fname -> z.copy(
+              itemSize = z.itemSize * nElems.toInt,
+              sparkType = sparkT,
+              shape = shape
+            )
           case other =>
             throw new IllegalArgumentException(
-              s"structured dtype entry $other not supported (expected [name, dtype]; " +
-                "per-field shapes and nesting are not)"
+              s"structured dtype entry $other not supported (expected [name, dtype] or " +
+                "[name, dtype, shape]; nested compounds are not)"
             )
         }.toVector
       case other => throw new IllegalArgumentException(s"bad structured dtype $other")
     }
     require(fields.map(_._1).distinct.length == fields.length, s"structured dtype has duplicate field names: $json")
     val st = StructType(fields.map { case (n, z) =>
-      // M8/TD fields can be NaT (null); every other scalar field is total
-      StructField(n, z.sparkType, nullable = z.code == M8 || z.code == TD)
+      // M8/TD fields can be NaT (null); shaped fields are total arrays;
+      // every other scalar field is total
+      StructField(n, z.sparkType, nullable = z.shape.isEmpty && (z.code == M8 || z.code == TD))
     })
     ZDtype(json, V, fields.map(_._2.itemSize).sum, bigEndian = false, st, fields = fields)
   }

@@ -355,9 +355,33 @@ object ZarrBuffer {
     case other => throw new IllegalStateException(s"not a fixed-width string dtype: $other")
   }
 
-  /** One scalar FIELD of a structured cell at absolute byte offset `off`
-    * (field-local endianness; M8/TD fields scale to micros, NaT → null). */
-  private[zarr] def fieldValue(bytes: Array[Byte], off: Int, fdt: ZDtype): Any = {
+  /** One FIELD of a structured cell at absolute byte offset `off`
+    * (field-local endianness; M8/TD fields scale to micros, NaT → null).
+    * Shaped fields ([name, dtype, shape]) decode their row-major elements
+    * through the same scalar path and rebuild the numpy subarray as
+    * nested Spark arrays. */
+  private[zarr] def fieldValue(bytes: Array[Byte], off: Int, fdt: ZDtype): Any =
+    if (fdt.shape.isEmpty) scalarFieldValue(bytes, off, fdt)
+    else {
+      val e = fdt.elem
+      def build(dim: Int, base: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+        val n = fdt.shape(dim)
+        // elements of one sub-slab at this depth span stride bytes each
+        val stride = fdt.shape.drop(dim + 1).foldLeft(e.itemSize)(_ * _)
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (dim == fdt.shape.length - 1) scalarFieldValue(bytes, base + i * stride, e)
+            else build(dim + 1, base + i * stride)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      }
+      build(0, off)
+    }
+
+  private def scalarFieldValue(bytes: Array[Byte], off: Int, fdt: ZDtype): Any = {
     def bb = ByteBuffer
       .wrap(bytes, off, fdt.itemSize)
       .order(if (fdt.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)

@@ -414,6 +414,31 @@ object ZarrStoreWriter {
   }
 
   private[zarr] def packStructField(buf0: ByteBuffer, off: Int, fdt: ZDtype, v: Any): Unit = {
+    if (fdt.shape.nonEmpty) {
+      // shaped field: value is a (possibly nested) Seq matching the numpy
+      // subarray; elements pack row-major through the scalar path
+      def flatten(x: Any): Seq[Any] = x match {
+        case null =>
+          throw new IllegalArgumentException(
+            "null element in shaped structured field — zarr subarray cells have no per-element null"
+          )
+        // collection.Seq, not (immutable) Seq: Spark Rows surface array
+        // columns as mutable.ArraySeq in Scala 2.13
+        case s: scala.collection.Seq[_] => s.toSeq.flatMap(flatten)
+        case a: Array[_] => a.toSeq.flatMap(flatten)
+        case o => Seq(o)
+      }
+      val e = fdt.elem
+      val nElems = fdt.shape.map(_.toLong).product.toInt
+      val flat = flatten(v)
+      require(
+        flat.length == nElems,
+        s"shaped structured field expects ${fdt.shape.mkString("x")} = $nElems elements, got ${flat.length}"
+      )
+      var i = 0
+      flat.foreach { x => packStructField(buf0, off + i * e.itemSize, e, x); i += 1 }
+      return
+    }
     def asLong(x: Any): Long = x match {
       case i: Int => i.toLong
       case l: Long => l

@@ -108,7 +108,18 @@ object DumpPlans {
     "x96_ivf_sqrtn" -> ("IVF at the sqrt(N) cell contract: centroid assignment is a broadcast " +
       "join + packed-long max HashAggregate and the search a cell equi-join — same plan shape " +
       "as x34, but the cell count derived from the corpus keeps per-cell candidate volume " +
-      "~sqrt(N), the parameterization that survives 100x (ROUND12.md).")
+      "~sqrt(N), the parameterization that survives 100x (ROUND12.md)."),
+    "x97_ivf_auto" -> ("ivfTopKAuto (iters=0): the derived-sqrt(N) convenience plans EXACTLY " +
+      "like x96 — a TakeOrdered(k) seed pick, broadcast assignment + packed-long max, cell " +
+      "equi-join; the corpus-derived cell count rides in as literals, adding no operator."),
+    "x98_bpe_ids" -> ("BPE token ids: BpeTokens (codegen merge loop) -> transform + " +
+      "element_at over the PLAN-LITERAL vocab map -> posexplode, all one WholeStageCodegen " +
+      "Generate chain over the scan — no join against a vocab table, no broadcast, no " +
+      "shuffle before the verification sort."),
+    "q35b_zarr_struct_shaped" -> ("Per-field-SHAPED structured cells: numpy subarray fields " +
+      "surface as nested arrays from the row reader; element projections are codegen " +
+      "GetArrayItem/GetStructField — no explode, no join, the scan is still the only data " +
+      "operator.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -499,6 +499,24 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
         s"i=$i"
       )
     }
+    // PER-FIELD-SHAPED dtype through the PRODUCT sink: array-valued struct
+    // fields pack row-major into numpy subarray cells and read back exactly
+    val df3 = (0 until 12)
+      .map(i => (i, Seq((i * 2).toFloat, (i * 2 + 1).toFloat, (i * 2 + 2).toFloat), i * 7 - 3))
+      .toDF("i", "pos", "s")
+      .select(col("i"), struct(col("pos"), col("s")).as("value"))
+    df3.write.format("zarr")
+      .option("path", s"$base/s3").option("array", "rec")
+      .option("dtype", """[["pos", "<f4", [3]], ["s", "<i4"]]""")
+      .option("chunks", "5")
+      .mode("append").save()
+    val back3 = new ZarrDataReader(spark, s"$base/s3").readArray("rec")
+      .select(col("i"), col("value.pos"), col("value.s")).orderBy("i").collect()
+    (0 until 12).foreach { i =>
+      assert(back3(i).getSeq[Float](1) == Seq(i * 2f, i * 2 + 1f, i * 2 + 2f), s"i=$i")
+      assert(back3(i).getInt(2) == i * 7 - 3, s"i=$i")
+    }
+
     // misuse fails loudly: v3, field-name mismatch, null field
     def msgOf(t: Throwable): String = {
       var c: Throwable = t; val sb = new StringBuilder

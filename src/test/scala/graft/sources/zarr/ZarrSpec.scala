@@ -547,15 +547,81 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
         assert(rec.getInt(0) == i * 3 - 7 && rec.getDouble(1) == i * 0.25 - 2.0 && rec.getString(2) == s"T${i % 5}", s"i=$i")
       }
     }
-    // schema is a named struct; nested/shaped fields reject loudly
+    // schema is a named struct; nested compounds reject loudly (per-field
+    // SHAPES are supported — see the shaped-field test below)
     assert(
       r.readArray("rec").schema("value").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
         Seq("sensor", "temp", "tag")
     )
     val e = intercept[IllegalArgumentException] {
-      ZDtype.parse("""[["a", "<i4", [2]]]""")
+      ZDtype.parse("""[["a", [["b", "<i4"]]]]""")
     }
-    assert(e.getMessage.contains("per-field shapes"), e.getMessage)
+    assert(e.getMessage.contains("nested compounds"), e.getMessage)
+  }
+
+  test("structured per-field SHAPES: numpy subarray fields decode as nested arrays; write round-trip") {
+    // parse: shaped field widths, offsets, nested Spark types
+    val dt = ZDtype.parse("""[["pos", "<f4", [3]], ["m", ">i2", [2, 2]], ["s", "<i4"]]""")
+    assert(dt.itemSize == 12 + 8 + 4)
+    assert(dt.fieldOffsets.toSeq == Seq(0, 12, 20))
+    val st = dt.sparkType.asInstanceOf[StructType]
+    assert(st("pos").dataType == ArrayType(FloatType, containsNull = false))
+    assert(st("m").dataType == ArrayType(ArrayType(ShortType, containsNull = false), containsNull = false))
+    assert(st("s").dataType == IntegerType)
+    // element dtype of the shaped field keeps the scalar width + endianness
+    assert(dt.fields(1)._2.elem.itemSize == 2 && dt.fields(1)._2.elem.bigEndian)
+    // bad shapes reject loudly
+    val e0 = intercept[IllegalArgumentException](ZDtype.parse("""[["a", "<i4", []]]"""))
+    assert(e0.getMessage.contains("non-empty positive"), e0.getMessage)
+    val e1 = intercept[IllegalArgumentException](ZDtype.parse("""[["a", "<i4", [0]]]"""))
+    assert(e1.getMessage.contains("non-empty positive"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](ZDtype.parse("""[["a", "<i4", [65536, 65536]]]"""))
+    assert(e2.getMessage.contains("overflows"), e2.getMessage)
+
+    // fixture round-trip: row-major packing, big-endian matrix elements,
+    // zero-fill record for the withheld chunk (the q35b gate shape)
+    val root = Files.createTempDirectory("zarrstructshaped").toString
+    val dir = ZarrStoreWriter.writeGroup(root)
+    ZarrStoreWriter.writeStructArray(
+      dir, "rec", Vector(10), Vector(4),
+      """[["pos", "<f4", [3]], ["m", ">i2", [2, 2]], ["s", "<i4"]]""",
+      i => Seq(
+        Seq((i * 2).toFloat, (i * 2 + 1).toFloat, (i * 2 + 2).toFloat),
+        Seq(Seq(i * 10, i * 10 + 1), Seq(i * 10 + 2, i * 10 + 3)),
+        i.toInt
+      ),
+      dims = Some(Vector("i")), compressor = Some("zlib"),
+      fillBase64 = Some(java.util.Base64.getEncoder.encodeToString(new Array[Byte](24)))
+    )
+    ZarrStoreWriter.writeCoord(dir, "i", Coord.Ints(Array.tabulate(10)(identity)))
+    ZarrStoreWriter.consolidate(dir)
+    Files.delete(java.nio.file.Paths.get(root, "rec", "1")) // cells 4..7 -> fill
+    val got = new ZarrDataReader(spark, root)
+      .readArray("rec")
+      .orderBy("i")
+      .collect()
+    (0 until 10).foreach { i =>
+      val rec = got(i).getStruct(1)
+      val pos = rec.getSeq[Float](0)
+      val m = rec.getSeq[scala.collection.Seq[Short]](1)
+      if (i >= 4 && i < 8) {
+        assert(pos == Seq(0f, 0f, 0f) && m.map(_.toSeq) == Seq(Seq(0, 0), Seq(0, 0)) && rec.getInt(2) == 0, s"i=$i")
+      } else {
+        assert(pos == Seq(i * 2f, i * 2 + 1f, i * 2 + 2f), s"i=$i")
+        assert(m.map(_.toSeq) == Seq(Seq(i * 10, i * 10 + 1), Seq(i * 10 + 2, i * 10 + 3)), s"i=$i")
+        assert(rec.getInt(2) == i, s"i=$i")
+      }
+    }
+    // element count mismatch fails loudly, never writes garbage
+    val e3 = intercept[IllegalArgumentException] {
+      ZarrStoreWriter.writeStructArray(
+        dir, "bad", Vector(2), Vector(2),
+        """[["pos", "<f4", [3]]]""",
+        _ => Seq(Seq(1.0f, 2.0f)),
+        dims = Some(Vector("i"))
+      )
+    }
+    assert(e3.getMessage.contains("expects 3"), e3.getMessage)
   }
 
   test("numcodecs categorize: coded label chunks decode through the scan; unknowns read ''") {
