@@ -146,6 +146,16 @@ object Bpe {
     n
   }
 
+  /** Byte-mapped PRE-tokens of a string (no merging) — the training-side
+    * counterpart of [[encode]]: BPE learns its merge table from the
+    * frequency dictionary of exactly these units. */
+  def preTokenArray(s: String): GenericArrayData = {
+    val out = Array.newBuilder[Any]
+    val m = PreTokenizer.matcher(s)
+    while (m.find()) out += UTF8String.fromString(byteMap(m.group()))
+    new GenericArrayData(out.result())
+  }
+
   /** Codegen entry: tokens as Catalyst array data. */
   def encodeArray(s: String, ranks: Ranks): GenericArrayData = {
     val toks = encode(s, ranks)
@@ -208,9 +218,34 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)]) extends Un
     copy(child = newChild)
 }
 
+/** `bpe_words(text)` — byte-mapped GPT-2 pre-tokens per row (no merge
+  * table): the unit stream BPE TRAINING counts. Same codegen shape as
+  * [[BpeTokens]]. */
+case class BpeWords(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpe_words requires a string argument, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.preTokenArray(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.Bpe.preTokenArray($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BpeFunctions {
   def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeTokens(GraftBridge.expression(text), merges))
+
+  def bpeWords(text: Column): Column =
+    GraftBridge.column(BpeWords(GraftBridge.expression(text)))
 
   def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeCount(GraftBridge.expression(text), merges))

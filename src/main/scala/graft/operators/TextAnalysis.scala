@@ -266,6 +266,100 @@ object TextAnalysis {
   def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
     graft.functions.BpeFunctions.bpeCount(text, merges)
 
+  /** Byte-mapped GPT-2 pre-token frequency dictionary of a corpus — the
+    * structure BPE training actually consumes (Sennrich 2016 trains on
+    * the word-frequency dict, never the raw corpus). One explode + one
+    * count aggregate; output bounded by the corpus VOCABULARY (Heaps'
+    * law), not its size. */
+  def bpeWordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(graft.functions.BpeFunctions.bpeWords(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** LEARN a BPE merge table from the corpus — the training loop of
+    * Sennrich 2016 / Radford 2019, engine-side: ONE distributed pass
+    * builds the pre-token frequency dictionary ([[bpeWordCounts]]); the
+    * iterative pair-count/merge loop then runs on that dictionary — the
+    * standard trick that makes tokenizer training tractable (the loop
+    * touches |vocab| entries, never the corpus). Returns ranked merges
+    * ready for [[bpeTokens]]/[[bpeCount]]/[[bpeIds]] — train → tokenize
+    * → pack, all in-engine.
+    *
+    * Deterministic: pair counts are exact longs, and ties break on the
+    * lexicographically smallest (left, right) — byte-order comparison,
+    * identical in the JVM (BMP code units) and a UTF-8-collating SQL
+    * engine, so a replay agrees bit-for-bit. Adjacent pairs count at
+    * every position (overlaps included), merges apply left-to-right
+    * non-overlapping — the reference dynamics. Stops early when no pair
+    * repeats (count < 2 — a merge seen once compresses nothing).
+    *
+    * 100 TB shape: the corpus cost is the one explode+count aggregate;
+    * the driver holds only the dictionary, with a LOUD `require` at
+    * `maxVocab` (default 2^20 — GPT-2's dict was ~6M words; raise it
+    * deliberately, never silently). */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxVocab: Int = 1 << 20
+  ): Seq[(String, String)] = {
+    require(numMerges >= 1, s"bpeTrain: numMerges must be >= 1, got $numMerges")
+    val rows = bpeWordCounts(docs, textCol).limit(maxVocab + 1).collect()
+    require(
+      rows.length <= maxVocab,
+      s"bpeTrain: corpus pre-token vocabulary exceeds maxVocab=$maxVocab — " +
+        "raise maxVocab deliberately (the training dictionary is driver-held)"
+    )
+    // dictionary as (symbol array, count); the loop below never rescans docs
+    var dict: Array[(Array[String], Long)] =
+      rows.map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      dict.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          val prev = counts.get(key)
+          counts.put(key, if (prev == null) cnt else prev + cnt)
+          i += 1
+        }
+      }
+      // max count, ties to the lexicographically smallest (a, b)
+      var best: (String, String) = null
+      var bestC = 1L // a pair must repeat to be worth a merge
+      counts.forEach { (p, c) =>
+        if (c > bestC || (c == bestC && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null) done = true
+      else {
+        merges += best
+        val (a, b) = best
+        dict = dict.map { case (syms, cnt) =>
+          if (syms.length < 2) (syms, cnt)
+          else {
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), cnt)
+          }
+        }
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
   /** BPE token IDS — what a training dataloader actually consumes:
     * [[bpeTokens]] mapped through a `token string -> vocab id` table.
     * The vocab rides the plan ONCE as a map literal (a GPT-2-scale 50k

@@ -160,6 +160,68 @@ object ExtQueries {
        |ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** x99's oracle: the ENTIRE BPE training loop replayed in SQL — the
+    * word-frequency dictionary, then per learned merge one unrolled CTE
+    * stage that (a) counts adjacent pairs weighted by word count, (b)
+    * picks max-count / lexicographically-smallest, (c) merges all
+    * non-overlapping occurrences left-to-right (run starts via a
+    * LAG-window run id + parity — the scan dependency greedy merging
+    * needs, expressed with windows). Tie-break and pair-count semantics
+    * (overlaps counted) match TextAnalysis.bpeTrain exactly. The
+    * dictionary CTE replays the GPT-2 pre-tokenizer for this corpus
+    * family: per space-separated word, runs of letters/digits/other with
+    * Ġ on the FIRST piece (lowercase-ASCII precondition — sf10's
+    * amplified corpus adds digit-bearing words like `c5`, which the real
+    * pre-tokenizer splits, so a bare word split would diverge there).
+    *
+    * Every CTE from the frequency dictionary on is `AS MATERIALIZED`:
+    * DuckDB inlines CTEs by default, and with each stage referencing
+    * `s$$n`/`b$$n` several times the unrolled k-stage chain duplicates
+    * the corpus-level dictionary scan EXPONENTIALLY (~4^k copies — at
+    * sf0.1 that spilled >75 GB of temp before failing). Materialized,
+    * the corpus is scanned once and every later CTE is |vocab|-sized. */
+  private def bpeTrainSql(k: Int): Option[String] = Some {
+    def stage(n: Int): String =
+      s"""p$n AS MATERIALIZED (SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS c
+         |  FROM s$n, unnest(range(1, len(syms))) u(i) GROUP BY 1, 2),
+         |b$n AS MATERIALIZED (SELECT a, b FROM p$n ORDER BY c DESC, a, b LIMIT 1),
+         |e$n AS MATERIALIZED (SELECT w, cnt, i, syms[i] AS sym,
+         |    (i < len(syms) AND syms[i] = (SELECT a FROM b$n)
+         |     AND syms[i+1] = (SELECT b FROM b$n)) AS m
+         |  FROM s$n, unnest(range(1, len(syms) + 1)) u(i)),
+         |q$n AS (SELECT w, cnt, i, sym, m,
+         |    COALESCE(LAG(m) OVER (PARTITION BY w ORDER BY i), FALSE) AS pm
+         |  FROM e$n),
+         |r$n AS (SELECT w, cnt, i, sym, m,
+         |    SUM(CASE WHEN m AND NOT pm THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY w ORDER BY i) AS rid
+         |  FROM q$n),
+         |g$n AS (SELECT w, cnt, i, sym, m, rid,
+         |    MIN(CASE WHEN m THEN i END) OVER (PARTITION BY w, rid) AS rs
+         |  FROM r$n),
+         |h$n AS (SELECT w, cnt, i, sym, (m AND (i - rs) % 2 = 0) AS ms FROM g$n),
+         |k$n AS (SELECT w, cnt, i,
+         |    CASE WHEN ms THEN sym || (SELECT b FROM b$n)
+         |         WHEN COALESCE(LAG(ms) OVER (PARTITION BY w ORDER BY i), FALSE) THEN NULL
+         |         ELSE sym END AS nsym
+         |  FROM h$n),
+         |s${n + 1} AS MATERIALIZED (SELECT w, cnt, list(nsym ORDER BY i) AS syms
+         |  FROM k$n WHERE nsym IS NOT NULL GROUP BY w, cnt)""".stripMargin
+    val union = (0 until k)
+      .map(n => s"SELECT $n AS rank, a, b FROM b$n")
+      .mkString(" UNION ALL ")
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       |ex AS (SELECT CASE WHEN j = 1 THEN pre || ps[j] ELSE ps[j] END AS w
+       |  FROM (SELECT CASE WHEN i = 1 THEN '' ELSE 'Ġ' END AS pre,
+       |      regexp_extract_all(ws[i], '[a-z]+|[0-9]+|[^a-z0-9]+') AS ps
+       |    FROM tk, unnest(range(1, len(ws) + 1)) u(i)) t,
+       |  unnest(range(1, len(ps) + 1)) v(j)),
+       |wd AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT w, cnt, string_split(w, '') AS syms FROM wd),
+       |${(0 until k).map(stage).mkString(",\n")}
+       |SELECT CAST(rank AS INTEGER) AS rank, a, b FROM ($union) ORDER BY rank""".stripMargin
+  }
+
   /** x91's planted eval canary: 13 words outside the corpus vocabulary,
     * appended to every doc_id % 5 == 1 doc; the reference set is this one
     * line, so its single 13-gram is the only possible overlap. */
@@ -2775,6 +2837,29 @@ object ExtQueries {
           .withColumnRenamed("col", "token_id")
           .orderBy("doc_id", "pos"),
       bpeIdsSql
+    ),
+    // ------------------------------------------------------------------
+    // BPE tokenizer TRAINING in the engine (TextAnalysis.bpeTrain): one
+    // distributed pass builds the pre-token frequency dictionary (the
+    // Sennrich trick — the loop never touches the corpus again); the
+    // driver learns 6 merges on it. The oracle replays the WHOLE
+    // training loop in SQL — dictionary, pair counts (overlaps
+    // included), max-count/lexicographic selection, left-to-right
+    // non-overlapping merge via run-id + parity windows — so the learned
+    // table is recomputed, not assumed. Closes the loop with x90/x94/
+    // x98: train -> tokenize -> pack, all under the hash gate.
+    Q(
+      "x99_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        TextAnalysis
+          .bpeTrain(t(s, d, "documents"), "text", numMerges = 6)
+          .zipWithIndex
+          .map { case ((a, b), i) => (i, a, b) }
+          .toDF("rank", "a", "b")
+          .orderBy("rank")
+      },
+      bpeTrainSql(6)
     )
   )
 }

@@ -167,6 +167,45 @@ class BpeSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("bpeTrain: learns the hand-derivable merges; trained table drives the tokenizer") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // corpus engineered so every merge is hand-checkable:
+    //   "low low low lower lowest" -> pre-tokens: low(1), Ġlow(2),
+    //   Ġlower(1), Ġlowest(1)
+    // pair counts round 1: (Ġ,l)=4, (l,o)=5, (o,w)=5, (w,e)=2, (e,r)=1,
+    // (e,s)=1, (s,t)=1 -> max 5, tie (l,o) vs (o,w) -> lexicographic:
+    // 'l' < 'o' -> merge (l,o). Round 2: (lo,w)=5 wins. Round 3:
+    // (Ġ,low)=4. Round 4: (low,e)=2 beats count-2 (w? no) ties:
+    // pairs now: low(1) done; Ġlow(2); Ġlow,e? words: low, Ġlow, Ġlow|e|r,
+    // Ġlow|e|s|t -> (Ġlow,e)=2, (e,r)=1, (e,s)=1, (s,t)=1 -> (Ġlow,e).
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 4)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("Ġ", "low"), ("Ġlow", "e")), merges)
+    // the learned table drives the real tokenizer
+    val r = new Bpe.Ranks(merges)
+    assert(Bpe.encode("low lower", r).toSeq == Seq("low", "Ġlowe", "r"))
+    // early stop: once no pair repeats, training returns fewer merges
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeTrain(tiny, "text", numMerges = 10)
+    // (a,b), (Ġ,c), (c,d) all count 1 -> nothing repeats -> no merges
+    assert(m2.isEmpty, m2)
+    // vocabulary cap refuses loudly, never a silent driver blowup
+    val many = spark.range(200).selectExpr("id AS doc_id", "concat('w', id) AS text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrain(many, "text", numMerges = 2, maxVocab = 50)
+    }
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+    intercept[IllegalArgumentException](TextAnalysis.bpeTrain(tiny, "text", numMerges = 0))
+    // bpeWords: the unit stream training counts (byte-mapped pre-tokens)
+    val w = docs
+      .select(BpeFunctions.bpeWords(col("text")).as("w"))
+      .collect()
+      .head
+      .getSeq[String](0)
+    assert(w == Seq("low", "Ġlow", "Ġlow", "Ġlower", "Ġlowest"))
+  }
+
   test("x98 oracle precondition: greedy-replay == merge loop across the vocab (build-time pin fires)") {
     // forcing the x98 oracle SQL executes ExtQueries' require that the
     // independent greedy tokenization equals the real encoder on BOTH
