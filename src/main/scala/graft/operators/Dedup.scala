@@ -540,6 +540,59 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** FUZZY n-gram decontamination — catches eval text that survived
+    * [[decontaminateNgram]] because one token drifted (a typo fix, a
+    * re-tokenized number, an OCR slip): drop every corpus document with
+    * ANY word `n`-gram within `maxDist` character edits (Levenshtein) of
+    * a reference n-gram. `maxDist = 0` degenerates to exact-gram
+    * semantics (but ship strings instead of hashes — use
+    * [[decontaminateNgram]] for that).
+    *
+    * 100 TB shape: the reference's distinct gram STRINGS broadcast (eval
+    * sets are small; fuzzy matching needs the text, not a hash — that is
+    * the price of tolerance). The corpus explodes to (id, gram) and hits
+    * the broadcast in a map-side LEFT SEMI nested-loop join whose
+    * condition applies the classic length-band prune first
+    * (`abs(len(g) - len(r)) <= maxDist` — edit distance can never beat
+    * the length gap, so the O(L²) DP runs only on band survivors);
+    * `levenshtein` is codegen'd in both Spark and the oracle's engine
+    * and returns an exact integer, so the gate has no float wobble at
+    * all. Only CONTAMINATED ids shuffle (bounded by the hit count) into
+    * the final anti-join. */
+  def decontaminateFuzzy(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      maxDist: Int = 5
+  ): DataFrame = {
+    require(n >= 1, s"decontaminateFuzzy: n must be >= 1, got $n")
+    require(maxDist >= 0, s"decontaminateFuzzy: maxDist must be >= 0, got $maxDist")
+    def grams(c: Column): Column = {
+      val tk = split(c, " ")
+      val gs = transform(
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => array_join(slice(tk, i, lit(n)), " ")
+      )
+      when(size(tk) >= n, gs).otherwise(array().cast("array<string>"))
+    }
+    val refG = broadcast(
+      reference.select(explode(grams(col(textCol))).as("__r")).distinct()
+    )
+    val contaminated = corpus
+      .select(col(idCol), explode(grams(col(textCol))).as("__g"))
+      .join(
+        refG,
+        abs(length(col("__g")) - length(col("__r"))) <= maxDist &&
+          levenshtein(col("__g"), col("__r")) <= maxDist,
+        "left_semi"
+      )
+      .select(col(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Bloom-prefiltered decontamination — the 100 TB shape when the
     * reference set is too large to broadcast AND shuffling the whole
     * corpus for an anti-join is the bottleneck. Built on the SAME

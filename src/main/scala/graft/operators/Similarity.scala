@@ -1187,4 +1187,240 @@ object Similarity {
       )
     }
   }
+
+  // --------------------------------------------------------------------
+  // Product quantization (Jégou 2011 — the FAISS IVFADC architecture as
+  // DataFrame plans + codegen kernels; see functions/PqExpressions.scala)
+
+  /** Fitted PQ codebook: `m` subspaces of `dim/m` floats, `nCen`
+    * centroids each. `codebook(j)(c)` is centroid `c` of subspace `j`.
+    * Driver footprint is `nCen * dim` floats — model-sized like
+    * [[PcaModel]], never corpus-sized. */
+  final case class PqModel(dim: Int, m: Int, nCen: Int, codebook: Seq[Seq[Seq[Float]]])
+
+  /** Fit PQ codebooks: deterministic first-`nCen` seeding (the
+    * [[kmeansFit]] convention — seed `c` of every subspace is the
+    * `c`-th-lowest-id vector's subvector, so `iters = 0` is fully
+    * replayable by an external engine), then `iters` Lloyd rounds with
+    * L2 assignment — PQ quantizes magnitudes, so the metric is L2, not
+    * the cosine [[kmeansFit]] clusters by.
+    *
+    * 100 TB shape: ALL `m` subspaces train in ONE distributed pass per
+    * round — codes via the codegen [[graft.functions.PqAssign]] kernel
+    * (the codebook rides the plan; no broadcast, no join), then one
+    * `(subspace, code, pos)` decimal-exact mean aggregate whose collect
+    * is `m * nCen * sub = nCen * dim` rows — model-bounded. Empty cells
+    * keep their previous centroid. */
+  def pqFit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      nCen: Int,
+      iters: Int
+  ): PqModel = {
+    require(m >= 1 && dim % m == 0, s"pqFit: m=$m must divide dim=$dim")
+    require(nCen >= 1 && iters >= 0, s"bad pq params nCen=$nCen iters=$iters")
+    val sub = dim / m
+    val seedRows = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy("id")
+      .limit(nCen)
+      .collect()
+    require(
+      seedRows.length == nCen,
+      s"pqFit: corpus has only ${seedRows.length} vectors for nCen=$nCen"
+    )
+    var book: Seq[Seq[Seq[Float]]] = (0 until m).map { j =>
+      seedRows.toSeq.map { r =>
+        val v = r.getSeq[Float](1)
+        require(v.length == dim, s"pqFit: vector of ${v.length} dims, expected $dim")
+        v.slice(j * sub, (j + 1) * sub)
+      }
+    }
+    if (iters > 0) {
+      val base = df
+        .select(col(vecCol).as("v"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.count()
+      (0 until iters).foreach { _ =>
+        val means = base
+          .select(
+            col("v"),
+            posexplode(graft.functions.PqFunctions.pqAssign(col("v"), book)).as(Seq("j", "code"))
+          )
+          .select(
+            col("j"),
+            col("code"),
+            posexplode(slice(col("v"), col("j") * lit(sub) + lit(1), lit(sub))).as(Seq("t", "x"))
+          )
+          .groupBy("j", "code", "t")
+          .agg(
+            sum(col("x").cast("double").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+              .as("sx"),
+            count(lit(1)).as("n")
+          )
+          .select(
+            col("j"),
+            col("code"),
+            col("t"),
+            (col("sx").cast("double") / col("n")).cast("float").as("mu")
+          )
+          .collect() // m * nCen * sub = nCen * dim rows — model-bounded
+        val byCell = means.map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getFloat(3))).toMap
+        book = (0 until m).map { j =>
+          (0 until nCen).map { c =>
+            (0 until sub).map { t => byCell.getOrElse((j, c, t), book(j)(c)(t)) }
+          }
+        }
+      }
+      base.unpersist()
+    }
+    PqModel(dim, m, nCen, book)
+  }
+
+  /** Encode vectors to PQ codes: `(id, pq_codes array<int>, pq_norm)` —
+    * `pq_norm` is the reconstruction's L2 norm (`sqrt(vecDot(dec, dec))`
+    * over the decoded vector in flat index order), carried so ADC cosine
+    * never re-derives it per pair. Pure per-row codegen; the codebook
+    * rides the plan. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
+    val codes = graft.functions.PqFunctions.pqAssign(col(vecCol), model.codebook)
+    val dec = graft.functions.PqFunctions.pqDecode(col("pq_codes"), model.codebook)
+    df.select(col(idCol), codes.as("pq_codes"))
+      .withColumn("pq_norm", sqrt(vecDot(dec, dec)))
+  }
+
+  /** IVF + PQ top-k (IVFADC): [[ivfTopK]]'s cell partitioning bounds
+    * WHICH pairs are scored; candidates cross the cell join as `m` ints
+    * + one norm (~12 bytes at m=8 vs 256 of floats — the byte bill is
+    * the win, exactly [[ivfTopKSq]]'s measured trade at 4x less payload
+    * still), and each pair is scored by the asymmetric kernel
+    * `round(adcDot(q, codes) / (|q| * |decode(codes)|), 6)` — flop-equal
+    * to the exact dot (m lookups replace nothing at JVM scalar width)
+    * but against an index that fits in 1/32 the memory.
+    *
+    * `rerank = 0` returns the ADC ranking itself (FAISS's IVFADC
+    * default — `sim` is the quantized estimate; x100 gates this
+    * configuration bit-exact). `rerank >= k` re-scores the top-`rerank`
+    * ADC sliver per query with exact float dots — only the sliver drags
+    * float vectors across an exchange — and with `rerank` >= the cell
+    * candidate volume the result provably equals [[ivfTopK]] at the same
+    * centroids (every candidate reaches the exact stage; pinned in
+    * OperatorsSpec). Cell ASSIGNMENT always uses float vectors — one
+    * broadcast pass, cheap — so cell boundaries match the unquantized
+    * index. */
+  def pqTopK(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: PqModel,
+      nProbe: Int = 1,
+      rerank: Int = 0
+  ): DataFrame = {
+    require(rerank == 0 || rerank >= k, s"rerank ($rerank) must be 0 or >= k ($k)")
+    val cenGuard = PackedArgmax.guardId(col(idCol), "pqTopK centroid")
+    val cen = centroids.select(
+      cenGuard.as("cen_id"),
+      col(vecCol).as("cen_v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("cen_n")
+    )
+    val codes = graft.functions.PqFunctions.pqAssign(col(vecCol), model.codebook)
+    val dec = graft.functions.PqFunctions.pqDecode(col("codes"), model.codebook)
+    // one row per vector: float vec (query side), codes + decoded norm
+    // (candidate side). Explicit repartition => the three consumers below
+    // share ONE exchange subplan (the ivfTopKSq ReuseExchange trick).
+    val base = df
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"),
+        codes.as("codes")
+      )
+      .withColumn("pqn", sqrt(vecDot(dec, dec)))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    val sim = when(
+      col("nrm") > 0 && col("cen_n") > 0,
+      round(vecDot(col("v"), col("cen_v")) / (col("nrm") * col("cen_n")), 6)
+    )
+    val enc = PackedArgmax.encode(sim, col("cen_id"))
+    val scored = base
+      .join(broadcast(cen), lit(true))
+      .select(col("id"), col("v"), col("nrm"), col("codes"), col("pqn"), enc.as("enc"))
+    val assigned =
+      if (nProbe == 1)
+        scored
+          .groupBy("id")
+          .agg(
+            max(col("enc")).as("m"),
+            first(col("v")).as("v"),
+            first(col("nrm")).as("nrm"),
+            first(col("codes")).as("codes"),
+            first(col("pqn")).as("pqn")
+          )
+          .select(
+            col("id"),
+            col("v"),
+            col("nrm"),
+            col("codes"),
+            col("pqn"),
+            PackedArgmax.decodeId(col("m")).as("cell")
+          )
+      else {
+        val w = Window.partitionBy("id").orderBy(desc("enc"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= nProbe)
+          .select(
+            col("id"),
+            col("v"),
+            col("nrm"),
+            col("codes"),
+            col("pqn"),
+            PackedArgmax.decodeId(col("enc")).as("cell"),
+            col("rn")
+          )
+      }
+    // candidate side carries CODES only (the byte win); query side floats
+    val cands = (if (nProbe == 1) assigned else assigned.filter(col("rn") === 1))
+      .select(col("id").as("cid"), col("codes").as("cc"), col("pqn").as("cn"), col("cell"))
+    val qs = assigned
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val adc = when(
+      col("qn") > 0 && col("cn") > 0,
+      round(
+        graft.functions.PqFunctions.pqAdcDot(col("qv"), col("cc"), model.codebook) /
+          (col("qn") * col("cn")),
+        6
+      )
+    )
+    val simsRaw = qs
+      .join(cands, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qv"), col("qn"), adc.as("sim"))
+    val sims = if (nProbe == 1) simsRaw else simsRaw.dropDuplicates("qid", "cid")
+    if (rerank == 0) rankTopK(sims.select("qid", "cid", "sim"), k)
+    else {
+      // exact-rerank the top-`rerank` ADC sliver: only these rows fetch a
+      // float vector across the exchange
+      val w = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+      val sliver = sims.withColumn("arn", row_number().over(w)).filter(col("arn") <= rerank)
+      val fetch = base.select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cfn"))
+      val exact = sliver
+        .join(fetch, Seq("cid"))
+        .select(
+          col("qid"),
+          col("cid"),
+          when(
+            col("qn") > 0 && col("cfn") > 0,
+            round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cfn")), 6)
+          ).as("sim")
+        )
+      rankTopK(exact, k)
+    }
+  }
 }

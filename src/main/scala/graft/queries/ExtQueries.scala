@@ -2860,6 +2860,112 @@ object ExtQueries {
           .orderBy("rank")
       },
       bpeTrainSql(6)
+    ),
+    // ------------------------------------------------------------------
+    // Product-quantization ANN (Similarity.pqFit/pqTopK — the FAISS
+    // IVFADC architecture): IVF cells bound WHICH pairs are scored,
+    // candidates cross the cell join as m=8 codes + a norm instead of 64
+    // floats, and pairs are scored by the asymmetric codegen kernel.
+    // iters=0 everywhere keeps BOTH trainings at their deterministic
+    // first-k-by-id seeding (the x97 convention), so the oracle replays
+    // the entire path: √N cell seeds + cosine assignment, per-subspace
+    // L2 code assignment against the first-16 seed slices, reconstruction
+    // + its norm, and the same-cell ADC cosine ranking. The engine's
+    // kernels accumulate double left-to-right exactly like
+    // list_dot_product, so codes and sims replay bit-for-bit.
+    Q(
+      "x100_pq_adc",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val n = e.count()
+        val nCells = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+        val cen = Similarity
+          .kmeansFit(e, "vec_id", "embedding", nCells, iters = 0)
+          .select(col("cen_id").as("vec_id"), col("cen_v").as("embedding"))
+        val model = Similarity.pqFit(e, "vec_id", "embedding", dim = 64, m = 8, nCen = 16, iters = 0)
+        Similarity
+          .pqTopK(e, cen, "vec_id", "embedding", 5, model)
+          .select(col("qid"), col("cid"), col("sim"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |nl AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM e),
+             |rkd AS MATERIALIZED (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rk FROM e),
+             |cen AS MATERIALIZED (SELECT rk - 1 AS cen_id, v AS cv FROM rkd, nl WHERE rk <= nlist),
+             |score AS (SELECT e.vec_id, cen.cen_id,
+             |  round(list_dot_product(e.v, cen.cv)
+             |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cen.cv, cen.cv))), 6) AS sim
+             |  FROM e CROSS JOIN cen),
+             |asg AS MATERIALIZED (SELECT vec_id, cen_id AS cell FROM (
+             |  SELECT vec_id, cen_id,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cen_id) AS r
+             |  FROM score) t WHERE r = 1),
+             |sd AS MATERIALIZED (SELECT rk - 1 AS c, j, v[j*8+1 : j*8+8] AS cv
+             |  FROM rkd, unnest(range(0, 8)) u(j) WHERE rk <= 16),
+             |sdist AS (SELECT e.vec_id, sd.j, sd.c,
+             |    round(list_dot_product(
+             |      list_transform(range(1, 9), t -> e.v[sd.j*8 + t] - sd.cv[t]),
+             |      list_transform(range(1, 9), t -> e.v[sd.j*8 + t] - sd.cv[t])), 6) AS dd
+             |  FROM e CROSS JOIN sd),
+             |codes AS MATERIALIZED (SELECT vec_id, j, c FROM (
+             |  SELECT vec_id, j, c,
+             |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS r
+             |  FROM sdist) t WHERE r = 1),
+             |dec AS MATERIALIZED (SELECT codes.vec_id, flatten(list(sd.cv ORDER BY sd.j)) AS dv
+             |  FROM codes JOIN sd ON sd.j = codes.j AND sd.c = codes.c
+             |  GROUP BY codes.vec_id),
+             |dn AS MATERIALIZED (SELECT vec_id, sqrt(list_dot_product(dv, dv)) AS pqn FROM dec),
+             |sims AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+             |    round(list_dot_product(q.v, c.dv)
+             |      / (sqrt(list_dot_product(q.v, q.v)) * dn.pqn), 6) AS sim
+             |  FROM asg qa JOIN asg ca ON qa.cell = ca.cell AND qa.vec_id != ca.vec_id
+             |  JOIN e q ON q.vec_id = qa.vec_id
+             |  JOIN dec c ON c.vec_id = ca.vec_id
+             |  JOIN dn ON dn.vec_id = ca.vec_id),
+             |rk2 AS (SELECT qid, cid, sim,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+             |  FROM sims)
+             |SELECT qid, cid, sim, rn FROM rk2 WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // FUZZY n-gram decontamination (Dedup.decontaminateFuzzy): the eval
+    // text drifted one token — x91's exact 13-gram scrub misses it
+    // entirely. The planted canary is EXACT in the corpus but the
+    // reference carries a PERTURBED copy (zcan7 → zcanx7, one character
+    // edit inside one word), so survivorship here is decided purely by
+    // the Levenshtein band — an exact-gram join would drop nothing.
+    // Integer edit distance replays identically in DuckDB: no float
+    // wobble anywhere in this gate.
+    Q(
+      "x101_decon_fuzzy",
+      (s, d) => {
+        import s.implicits._
+        val dirty = t(s, d, "documents")
+          .withColumn(
+            "text",
+            when(col("doc_id") % 5 === 1, concat(col("text"), lit(" " + CanaryLine)))
+              .otherwise(col("text"))
+          )
+        val reference = Seq(CanaryLine.replace("zcan7", "zcanx7")).toDF("text")
+        Dedup
+          .decontaminateFuzzy(dirty, reference, "doc_id", "text", n = 13, maxDist = 2)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, n_chars,
+             |    CASE WHEN doc_id % 5 = 1 THEN text || ' $CanaryLine' ELSE text END AS t
+             |  FROM documents),
+             |rtk AS (SELECT string_split('${CanaryLine.replace("zcan7", "zcanx7")}', ' ') AS tk),
+             |rg AS (SELECT DISTINCT array_to_string(tk[i:i+12], ' ') AS g
+             |  FROM rtk, unnest(range(1, len(tk) - 11)) AS u(i)),
+             |dtk AS (SELECT doc_id, string_split(t, ' ') AS tk FROM d),
+             |dg AS (SELECT doc_id, array_to_string(tk[i:i+12], ' ') AS g
+             |  FROM dtk, unnest(range(1, len(tk) - 11)) AS u(i)),
+             |bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN rg
+             |  ON abs(length(dg.g) - length(rg.g)) <= 2 AND levenshtein(dg.g, rg.g) <= 2)
+             |SELECT doc_id, n_chars FROM d
+             |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -119,7 +119,21 @@ object DumpPlans {
     "q35b_zarr_struct_shaped" -> ("Per-field-SHAPED structured cells: numpy subarray fields " +
       "surface as nested arrays from the row reader; element projections are codegen " +
       "GetArrayItem/GetStructField — no explode, no join, the scan is still the only data " +
-      "operator.")
+      "operator."),
+    "x99_bpe_train" -> ("BPE training: the plan below is the LEARNED MERGE TABLE (training " +
+      "runs at build time, so the result is a local relation — 6 rows). The distributed " +
+      "work is bpeWordCounts' single explode(bpe_words) -> partial->final HashAggregate " +
+      "pair; the merge loop iterates on its vocabulary-bounded collect, never rescanning " +
+      "the corpus."),
+    "x100_pq_adc" -> ("IVFADC: cell assignment is the x97 broadcast + packed-long max shape; " +
+      "pq_assign (codegen, codebook rides the plan) encodes candidates to m ints, so the " +
+      "cell equi-join shuffles ~12-byte payloads instead of 256-byte float vectors; " +
+      "pq_adc_dot scores pairs inside WholeStageCodegen — no LUT table join, no second " +
+      "corpus pass."),
+    "x101_decon_fuzzy" -> ("Fuzzy decontamination: reference grams broadcast as STRINGS " +
+      "(fuzziness needs text); the corpus explodes to (id, gram) and dies in a " +
+      "BroadcastNestedLoopJoin LeftSemi whose condition runs the length-band prune BEFORE " +
+      "levenshtein — only contaminated ids shuffle into the anti-join.")
   )
 
   def main(args: Array[String]): Unit = {

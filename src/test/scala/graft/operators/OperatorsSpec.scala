@@ -1919,4 +1919,110 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
       Similarity.ivfTopKAuto(e.filter(lit(false)), "vec_id", "embedding", 5)
     }
   }
+
+  test("pqFit: iters=0 seeds are the first-nCen ids' subvectors; Lloyd means are exact") {
+    import spark.implicits._
+    val e = t(spark, sfTiny, "embeddings")
+    val m0 = Similarity.pqFit(e, "vec_id", "embedding", dim = 64, m = 8, nCen = 4, iters = 0)
+    assert(m0.m == 8 && m0.nCen == 4 && m0.dim == 64)
+    val firstFour = e.orderBy("vec_id").limit(4).collect().map(_.getSeq[Float](1))
+    (0 until 8).foreach { j =>
+      (0 until 4).foreach { c =>
+        assert(m0.codebook(j)(c) == firstFour(c).slice(j * 8, (j + 1) * 8), s"seed j=$j c=$c")
+      }
+    }
+    // one Lloyd round on a hand dataset: m=1 (whole vector), nCen=2, seeds
+    // are rows 0/1; all four rows assign by L2 and the new centroids are
+    // the elementwise means of their members
+    val tiny = Seq(
+      (0L, Array(0f, 0f)),
+      (1L, Array(10f, 10f)),
+      (2L, Array(2f, 0f)), // -> c0
+      (3L, Array(10f, 8f)) // -> c1
+    ).toDF("id", "v")
+    val m1 = Similarity.pqFit(tiny, "id", "v", dim = 2, m = 1, nCen = 2, iters = 1)
+    assert(m1.codebook(0)(0) == Seq(1f, 0f)) // mean of (0,0),(2,0)
+    assert(m1.codebook(0)(1) == Seq(10f, 9f)) // mean of (10,10),(10,8)
+    intercept[IllegalArgumentException] {
+      Similarity.pqFit(e, "vec_id", "embedding", dim = 64, m = 7, nCen = 4, iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqFit(tiny, "id", "v", dim = 2, m = 1, nCen = 10, iters = 0)
+    }
+  }
+
+  test("pqEncode carries codes + reconstruction norm; pqTopK rerank>=cells == ivfTopK") {
+    val e = t(spark, sfTiny, "embeddings")
+    val model = Similarity.pqFit(e, "vec_id", "embedding", dim = 64, m = 8, nCen = 16, iters = 0)
+    val enc = Similarity.pqEncode(e, "vec_id", "embedding", model)
+    assert(enc.columns.toSeq == Seq("vec_id", "pq_codes", "pq_norm"))
+    val sample = enc
+      .select(
+        col("pq_codes"),
+        col("pq_norm"),
+        sqrt(
+          Similarity.dotD(
+            graft.functions.PqFunctions.pqDecode(col("pq_codes"), model.codebook),
+            graft.functions.PqFunctions.pqDecode(col("pq_codes"), model.codebook)
+          )
+        ).as("n2")
+      )
+      .collect()
+    sample.foreach { r =>
+      assert(r.getSeq[Int](0).length == 8)
+      assert(r.getDouble(1) == r.getDouble(2))
+    }
+    // with rerank >= the whole corpus every ADC candidate is exactly
+    // re-scored, so the result equals the unquantized ivfTopK at the same
+    // centroids
+    val n = e.count()
+    val nCells = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+    val cen = Similarity
+      .kmeansFit(e, "vec_id", "embedding", nCells, iters = 0)
+      .select(col("cen_id").as("vec_id"), col("cen_v").as("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "sim", "rn").orderBy("qid", "rn").collect().toSeq
+    assert(
+      rows(Similarity.pqTopK(e, cen, "vec_id", "embedding", 5, model, rerank = n.toInt)) ==
+        rows(Similarity.ivfTopK(e, cen, "vec_id", "embedding", 5))
+    )
+    // rerank=0 (pure ADC) is deterministic and distinct from the exact
+    // ranking only through quantization: every returned pair shares the
+    // query's cell, rn runs 1..k
+    val adc = Similarity.pqTopK(e, cen, "vec_id", "embedding", 3, model)
+    val byQ = adc.groupBy("qid").agg(count(lit(1)).as("c"), max("rn").as("mx")).collect()
+    byQ.foreach(r => assert(r.getLong(1) <= 3 && r.getInt(2) <= 3))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(e, cen, "vec_id", "embedding", 5, model, rerank = 3)
+    }
+  }
+
+  test("decontaminateFuzzy: Levenshtein band catches drifted grams; maxDist=0 == exact") {
+    import spark.implicits._
+    val g = (1 to 5).map(i => s"tok$i").mkString(" ") // the 5-gram "tok1 .. tok5"
+    val docs = Seq(
+      (0L, s"alpha beta $g"), // exact planted gram
+      (1L, s"alpha beta ${g.replace("tok3", "tokx3")}"), // one edit inside a token
+      (2L, s"alpha beta ${g.replace("tok3", "zzzzzz")}"), // 6 edits — out of band
+      (3L, "alpha beta gamma delta"), // shorter than n — never matches
+      (4L, s"${g.reverse}") // same length, wildly different
+    ).toDF("doc_id", "text")
+    val ref = Seq(g).toDF("text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids(Dedup.decontaminateFuzzy(docs, ref, "doc_id", "text", n = 5, maxDist = 2)) ==
+      Seq(2L, 3L, 4L))
+    // maxDist=0 degenerates to exact-gram semantics == decontaminateNgram
+    assert(ids(Dedup.decontaminateFuzzy(docs, ref, "doc_id", "text", n = 5, maxDist = 0)) ==
+      ids(Dedup.decontaminateNgram(docs, ref, "doc_id", "text", n = 5)))
+    // the band boundary is inclusive: distance exactly maxDist drops
+    assert(ids(Dedup.decontaminateFuzzy(docs, ref, "doc_id", "text", n = 5, maxDist = 1)) ==
+      Seq(2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateFuzzy(docs, ref, "doc_id", "text", n = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateFuzzy(docs, ref, "doc_id", "text", maxDist = -1)
+    }
+  }
 }
