@@ -39,6 +39,11 @@
 #                       scoring + exact rerank (ivfTopKSq); also reports
 #                       the measured float-vs-codes wall/shuffle/storage
 #                       trade-off (storage is where SQ8 wins: 3.6x)
+#   4d. pq-planted    — product-quantized ANN (IVFADC, pqTopK) at 202k
+#                       vectors: planted duplicates must survive the
+#                       APPROXIMATE ADC top-50 cut and come back rank 1 /
+#                       sim 1.0 after exact rerank; reports ADC-vs-float
+#                       wall/shuffle and the codes-vs-float index bytes
 #   5. cc-telemetry   — per-round connected-components job telemetry on the
 #                       sf0.1 documents table (round count + shuffle sizes)
 # Each step FAILS LOUDLY (require/assert inside the Spike mains) — a silent
@@ -54,6 +59,7 @@ sbt -batch "runMain graft.tools.Spike pagerank-planted" 2>&1 | grep -E '\[spike\
 sbt -batch "runMain graft.tools.Spike media-planted 100000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike x60-planted 1000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike sq8-planted 200000" 2>&1 | grep -E '\[spike\]'
+sbt -batch "runMain graft.tools.Spike pq-planted 200000" 2>&1 | grep -E '\[spike\]'
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   sbt -batch "runMain graft.tools.Spike cc-telemetry" 2>&1 | grep -E '\[spike\]'
 echo "[scale_gate] all scale gates passed"

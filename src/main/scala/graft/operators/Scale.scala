@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale toolkit: the shuffle-avoidance and skew primitives a 100 TB
@@ -278,5 +278,116 @@ object Scale {
     val salted = df.withColumn("__salt", pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     val p = partial(salted.groupBy((keys :+ "__salt").map(col): _*))
     fin(p.groupBy(keys.map(col): _*))
+  }
+
+  // --------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al.,
+  // NeurIPS 2023): pick raw-corpus documents whose hashed-n-gram
+  // distribution looks like a TARGET corpus, by importance weight
+  // log w(x) = log p_target(x) − log p_raw(x) under smoothed
+  // bag-of-hashed-grams models, then Gumbel top-k resampling.
+
+  /** Hashed unigram + bigram stream of a document — the DSIR feature set
+    * (the paper uses word n-grams, n ≤ 2, hashed into `buckets`). */
+  private def dsirGrams(text: Column): Column = {
+    val tk = split(text, " ")
+    val bi = when(
+      size(tk) >= 2,
+      transform(
+        sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))
+      )
+    ).otherwise(array().cast("array<string>"))
+    concat(tk, bi)
+  }
+
+  private def dsirBucket(g: Column, buckets: Int): Column =
+    shiftright(graft.operators.Dedup.tokenHash60(g), 1) % buckets
+
+  /** One B-bounded count aggregate: gram occurrences per hash bucket. */
+  private def dsirCounts(df: DataFrame, textCol: String, buckets: Int): (Array[Long], Long) = {
+    val rows = df
+      .select(explode(dsirGrams(col(textCol))).as("g"))
+      .select(dsirBucket(col("g"), buckets).as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("c"))
+      .collect() // <= `buckets` rows — model-bounded, never corpus-bounded
+    val arr = new Array[Long](buckets)
+    var tot = 0L
+    rows.foreach { r => arr(r.getLong(0).toInt) = r.getLong(1); tot += r.getLong(1) }
+    (arr, tot)
+  }
+
+  /** Per-document DSIR log importance weight, appended as `dsir_logw`:
+    * `Σ_grams λ[bucket(gram)]` with
+    * `λ[b] = ln(t_b + 1) − ln(r_b + 1) + (ln(R + B) − ln(T + B))`
+    * (Laplace-smoothed target/raw log-prob ratio), λ snapped to the
+    * 2⁻²⁰ dyadic grid so per-doc sums are ORDER-INDEPENDENT and exact —
+    * the x88 exact-grid trick, which is what lets an external engine
+    * replay scores bit-for-bit with a plain group SUM.
+    *
+    * 100 TB shape: two B-bounded count aggregates fit the models (the
+    * only passes over target and raw); λ rides the plan as a literal
+    * array (B doubles — the x88 literal-weights path, sized for
+    * B ≤ ~64k) and scoring is a pure per-row fold — NO shuffle, no
+    * broadcast, no feature materialization. */
+  def dsirLogWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      buckets: Int = 4096
+  ): DataFrame = {
+    require(
+      buckets >= 1 && buckets <= (1 << 16),
+      s"dsirLogWeights: buckets must be in [1, 65536] (λ ships as a plan literal), got $buckets"
+    )
+    val (rc, rTot) = dsirCounts(raw, textCol, buckets)
+    val (tc, tTot) = dsirCounts(target, textCol, buckets)
+    require(tTot > 0, "dsirLogWeights: target corpus has no grams")
+    val c0 = math.log(rTot.toDouble + buckets) - math.log(tTot.toDouble + buckets)
+    val lam = (0 until buckets).map { b =>
+      val l = math.log(tc(b) + 1.0) - math.log(rc(b) + 1.0) + c0
+      math.floor(l * 1048576.0) / 1048576.0 // 2^-20 grid: exact, order-free sums
+    }
+    val lamLit = typedlit(lam)
+    raw.withColumn(
+      "dsir_logw",
+      aggregate(
+        dsirGrams(col(textCol)),
+        lit(0.0),
+        (acc, g) => acc + element_at(lamLit, (dsirBucket(g, buckets) + 1).cast("int"))
+      )
+    )
+  }
+
+  /** DSIR selection: the top-`k` raw documents by
+    * `dsir_logw + Gumbel(id)` — the paper's Gumbel-top-k trick, which
+    * samples k docs WITHOUT replacement with probability ∝ w(x) in one
+    * deterministic pass (the noise is a hash of the id:
+    * `u = (h60(id) + 0.5) / 2^60`, `g = −ln(−ln(u))` — u is an exact
+    * power-of-two scaling of an integer, so every engine computes the
+    * identical double; no RNG state, invariant to partitioning).
+    *
+    * 100 TB shape: scoring is [[dsirLogWeights]]'s per-row fold; the
+    * selection plans as TakeOrderedAndProject (per-partition k-heaps +
+    * driver merge of k·partitions rows) — never a global sort. */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      buckets: Int = 4096
+  ): DataFrame = {
+    require(k >= 1, s"dsirSelect: k must be >= 1, got $k")
+    val h = graft.operators.Dedup.tokenHash60(col(idCol).cast("string"))
+    val u = (h.cast("double") + lit(0.5)) / lit(math.pow(2.0, 60))
+    val key = col("dsir_logw") + -log(-log(u))
+    // dsir_key stays in the output: selections re-sort on it downstream
+    // (the post-limit row order is not a contract)
+    dsirLogWeights(raw, target, textCol, buckets)
+      .withColumn("dsir_key", key)
+      .orderBy(desc("dsir_key"), col(idCol))
+      .limit(k)
   }
 }

@@ -38,6 +38,32 @@ object Similarity {
         sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
     }
 
+  /** [[rankTopK]] for nProbe=1 cell joins — input carries the `cell`
+    * column and groups by (cell, qid): a query's pairs all live in its
+    * single cell and the pair stream is already hash-partitioned by
+    * cell, which SATISFIES the (cell, qid) clustering — so the bounded
+    * heap aggregates with ZERO exchange and only per-query winners ever
+    * move. Grouping by qid alone instead re-shuffles every partial heap:
+    * measured 1.43 GB for the rerank-sliver pick at the pq-planted 202k
+    * gate, eliminated by this grouping. Same output contract as
+    * [[rankTopK]]. */
+  private def rankTopKCellLocal(sims: DataFrame, k: Int): DataFrame =
+    sims.schema("cid").dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        Relational
+          .topKPerKey(
+            sims,
+            Seq("cell", "qid"),
+            struct(col("sim"), (-col("cid")).as("__nc")),
+            k,
+            rankCol = "rn"
+          )
+          .select(col("qid"), (-col("__nc")).as("cid"), col("sim"), col("rn"))
+      case _ =>
+        val w = Window.partitionBy("cell", "qid").orderBy(desc("sim"), col("cid"))
+        sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("cell")
+    }
+
   /** Exact dot product in double precision — native codegen'd Expression
     * (left-to-right fold → deterministic, oracle-matching; see
     * [[graft.functions.FloatVecDot]]). */
@@ -322,14 +348,15 @@ object Similarity {
     val simsRaw = qs
       .join(cands, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), pair.as("sim"))
+      .select(col("cell"), col("qid"), col("cid"), pair.as("sim"))
     // nProbe > 1: a pair can meet in several probed cells → dedup. At
     // nProbe == 1 each id has exactly one query row and one candidate row,
     // so pairs are unique by construction and the distinct would be a full
     // extra shuffle of the candidate volume for nothing (measured 39.8 →
-    // 28.0 s on the 202k-vector sq8-planted gate).
-    val sims = if (nProbe == 1) simsRaw else simsRaw.distinct()
-    rankTopK(sims, k)
+    // 28.0 s on the 202k-vector sq8-planted gate); the ranking heap also
+    // stays cell-local (zero exchange — see rankTopKCellLocal).
+    if (nProbe == 1) rankTopKCellLocal(simsRaw, k)
+    else rankTopK(simsRaw.drop("cell").distinct(), k)
   }
 
   /** [[ivfTopK]] with the cell count DERIVED from the corpus — the
@@ -1311,7 +1338,48 @@ object Similarity {
     * centroids (every candidate reaches the exact stage; pinned in
     * OperatorsSpec). Cell ASSIGNMENT always uses float vectors — one
     * broadcast pass, cheap — so cell boundaries match the unquantized
-    * index. */
+    * index.
+    *
+    * MEASURED at the `Spike pq-planted` gate (202k x 64-dim self-ANN,
+    * 512 cells, m=8, nCen=256, quiet box): ADC pass 184 MB shuffled vs
+    * float ivfTopK's 223 MB, index stored as codes 12.7x smaller (4.2 vs
+    * 53 MB parquet) — bytes, not flops, are what PQ buys on the JVM
+    * (the ADC wall time additionally carries the one-time encode of the
+    * corpus). The rerank fetch is the expensive stage — the candidate
+    * float vector rides an exchange once per (query x rerank) sliver row
+    * (~1.4 GB at rerank=50 here), exactly [[ivfTopKSq]]'s documented
+    * trade — so size `rerank` as a small multiple of k. Both ranking
+    * heaps (sliver pick and final) aggregate CELL-LOCALLY at nProbe=1
+    * (zero exchange; see rankTopKCellLocal — the qid-grouped heap this
+    * replaced re-shuffled 1.43 GB of partial heaps). */
+  /** [[pqTopK]] with the IVF cell count AND the PQ codebook derived from
+    * the corpus — the [[ivfTopKAuto]] ergonomics for the quantized
+    * index: one `count()` sizes `nCells = floor(√N)`, [[kmeansFit]]
+    * fits the cells, [[pqFit]] trains the codebooks (same `iters` for
+    * both; `iters = 0` keeps everything at deterministic first-k
+    * seeding). Composition is pinned equal to the manual calls in
+    * OperatorsSpec. */
+  def pqTopKAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      m: Int = 8,
+      nCen: Int = 16,
+      nProbe: Int = 1,
+      rerank: Int = 0,
+      iters: Int = 0
+  ): DataFrame = {
+    val n = df.count()
+    require(n > 0, "pqTopKAuto: empty corpus")
+    val nCells = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+    val cen = kmeansFit(df, idCol, vecCol, nCells, iters)
+      .select(col("cen_id").as(idCol), col("cen_v").as(vecCol))
+    val model = pqFit(df, idCol, vecCol, dim, m, nCen, iters)
+    pqTopK(df, cen, idCol, vecCol, k, model, nProbe, rerank)
+  }
+
   def pqTopK(
       df: DataFrame,
       centroids: DataFrame,
@@ -1401,26 +1469,43 @@ object Similarity {
     val simsRaw = qs
       .join(cands, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), col("qv"), col("qn"), adc.as("sim"))
-    val sims = if (nProbe == 1) simsRaw else simsRaw.dropDuplicates("qid", "cid")
-    if (rerank == 0) rankTopK(sims.select("qid", "cid", "sim"), k)
+      .select(col("cell"), col("qid"), col("cid"), adc.as("sim"))
+    def rank(df: DataFrame, n: Int): DataFrame =
+      if (nProbe == 1) rankTopKCellLocal(df, n)
+      else rankTopK(df.drop("cell").dropDuplicates("qid", "cid"), n)
+    if (rerank == 0) rank(simsRaw, k)
     else {
-      // exact-rerank the top-`rerank` ADC sliver: only these rows fetch a
-      // float vector across the exchange
-      val w = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
-      val sliver = sims.withColumn("arn", row_number().over(w)).filter(col("arn") <= rerank)
-      val fetch = base.select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cfn"))
+      // exact-rerank the top-`rerank` ADC sliver, picked by the SAME
+      // bounded-heap aggregate as the final ranking — cell-local at
+      // nProbe=1 (zero exchange; see rankTopKCellLocal — a qid-grouped
+      // heap re-shuffled 1.43 GB here, a window row_number the whole
+      // ~2 GB ADC pair stream); float vectors join in for the sliver
+      // alone, query side included.
+      // the sliver keeps its cell so the FINAL ranking is cell-local too
+      // (the broadcast fetch joins preserve the cell partitioning)
+      val sliver =
+        if (nProbe == 1) {
+          val w = struct(col("sim"), (-col("cid")).as("__nc"))
+          Relational
+            .topKPerKey(simsRaw, Seq("cell", "qid"), w, rerank, rankCol = "rn")
+            .select(col("cell"), col("qid"), (-col("__nc")).as("cid"))
+        } else rankTopK(simsRaw.drop("cell").dropDuplicates("qid", "cid"), rerank)
+          .select(lit(0L).as("cell"), col("qid"), col("cid"))
+      val fetchQ = base.select(col("id").as("qid"), col("v").as("qfv"), col("nrm").as("qfn"))
+      val fetchC = base.select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cfn"))
       val exact = sliver
-        .join(fetch, Seq("cid"))
+        .join(fetchC, Seq("cid"))
+        .join(fetchQ, Seq("qid"))
         .select(
+          col("cell"),
           col("qid"),
           col("cid"),
           when(
-            col("qn") > 0 && col("cfn") > 0,
-            round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cfn")), 6)
+            col("qfn") > 0 && col("cfn") > 0,
+            round(vecDot(col("qfv"), col("cv")) / (col("qfn") * col("cfn")), 6)
           ).as("sim")
         )
-      rankTopK(exact, k)
+      if (nProbe == 1) rankTopKCellLocal(exact, k) else rankTopK(exact.drop("cell"), k)
     }
   }
 }

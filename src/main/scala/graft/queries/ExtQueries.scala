@@ -2966,6 +2966,58 @@ object ExtQueries {
              |SELECT doc_id, n_chars FROM d
              |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
              |ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // DSIR data selection (Scale.dsirSelect — Xie et al., NeurIPS 2023):
+    // pick raw docs whose hashed-unigram+bigram distribution looks like
+    // a target corpus (here the doc_id % 7 == 0 slice), by smoothed
+    // log-prob-ratio importance weight + Gumbel-top-k. λ snapped to the
+    // 2^-20 dyadic grid makes per-doc sums order-independent (the x88
+    // exact-grid trick), the Gumbel noise is a pure id-hash transform,
+    // and the k cut breaks ties on doc_id — so the oracle replays the
+    // WHOLE method: gram extraction, bucket counts for both corpora, λ,
+    // per-doc weights, Gumbel keys, the top-k ranking.
+    Q(
+      "x102_dsir_select",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Scale
+          .dsirSelect(docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", k = 200, buckets = 1024)
+          .select(
+            col("doc_id"),
+            col("source"),
+            round(col("dsir_logw"), 6).as("dsir_logw")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH tw AS MATERIALIZED (SELECT doc_id, list_concat(ws,
+             |    CASE WHEN len(ws) >= 2
+             |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             |      ELSE CAST([] AS VARCHAR[]) END) AS gs
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+             |gb AS MATERIALIZED (SELECT doc_id,
+             |    (CAST('0x' || substr(md5(g), 18, 15) AS BIGINT) // 2) % 1024 AS b
+             |  FROM (SELECT doc_id, unnest(gs) AS g FROM tw)),
+             |rc AS MATERIALIZED (SELECT b, CAST(count(*) AS BIGINT) AS c FROM gb GROUP BY 1),
+             |tc AS MATERIALIZED (SELECT b, CAST(count(*) AS BIGINT) AS c FROM gb
+             |  WHERE doc_id % 7 = 0 GROUP BY 1),
+             |tot AS (SELECT (SELECT SUM(c) FROM rc) AS rt, (SELECT SUM(c) FROM tc) AS tt),
+             |lam AS MATERIALIZED (SELECT n.b,
+             |    floor((ln(COALESCE(tc.c, 0) + 1.0) - ln(COALESCE(rc.c, 0) + 1.0)
+             |      + (ln(rt + 1024.0) - ln(tt + 1024.0))) * 1048576.0) / 1048576.0 AS l
+             |  FROM (SELECT unnest(range(0, 1024)) AS b) n
+             |  LEFT JOIN rc ON rc.b = n.b LEFT JOIN tc ON tc.b = n.b CROSS JOIN tot),
+             |sc AS MATERIALIZED (SELECT gb.doc_id, SUM(l) AS logw
+             |  FROM gb JOIN lam ON lam.b = gb.b GROUP BY 1),
+             |ky AS (SELECT d.doc_id, d.source, sc.logw,
+             |    sc.logw + (-ln(-ln(
+             |      (CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15) AS BIGINT)
+             |        AS DOUBLE) + 0.5) / 1152921504606846976.0))) AS key
+             |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+             |sel AS (SELECT doc_id, source, logw,
+             |    row_number() OVER (ORDER BY key DESC, doc_id) AS r FROM ky)
+             |SELECT doc_id, source, round(logw, 6) AS dsir_logw
+             |FROM sel WHERE r <= 200 ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -133,7 +133,12 @@ object DumpPlans {
     "x101_decon_fuzzy" -> ("Fuzzy decontamination: reference grams broadcast as STRINGS " +
       "(fuzziness needs text); the corpus explodes to (id, gram) and dies in a " +
       "BroadcastNestedLoopJoin LeftSemi whose condition runs the length-band prune BEFORE " +
-      "levenshtein — only contaminated ids shuffle into the anti-join.")
+      "levenshtein — only contaminated ids shuffle into the anti-join."),
+    "x102_dsir_select" -> ("DSIR selection: model fitting is two B-bounded count aggregates " +
+      "(collected at build time); scoring is ONE per-row fold over the gram array with " +
+      "lambda as a plan literal (the x88 literal-weights shape — no shuffle, no broadcast, " +
+      "no feature vector), and the Gumbel-top-k cut plans as TakeOrderedAndProject — " +
+      "per-partition k-heaps, never a global sort of the corpus.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -1111,6 +1111,121 @@ object Spike {
     df.unpersist(blocking = false)
   }
 
+  /** `runMain graft.tools.Spike pq-planted [nVecs]` — product quantization
+    * (IVFADC) at 100x+ vectors against planted exact duplicates: the
+    * [[sq8Planted]] corpus (every 100th vector gets a x2-scaled companion
+    * — identical direction, cosine 1.0) through [[graft.operators
+    * .Similarity.pqTopK]] with 256-centroid codebooks and an exact rerank
+    * sliver. Unlike SQ8 (per-vector scale → identical codes for scaled
+    * copies), PQ codes ARE magnitude-sensitive, so the companion's partner
+    * must survive the ADC (approximate!) top-`rerank` cut before the exact
+    * stage restores sim 1.0 — a real recall statement about the quantized
+    * ranking, not a fixed point of the encoding.
+    *
+    * Also measures what PQ exists to shrink: shuffle bytes through the
+    * cell join (m=8 ints + a norm vs 64 floats per candidate) and stored
+    * index bytes (codes parquet vs float parquet), against float
+    * [[graft.operators.Similarity.ivfTopK]] on the identical
+    * corpus/centroids. */
+  private def pqPlanted(spark: org.apache.spark.sql.SparkSession, nVecs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    def elem(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      ((pmod(xxhash64(id, i), lit(1048576L)).cast("double") / lit(1048576.0)) - lit(0.5))
+        .cast("float")
+    val idxs = sequence(lit(0L), lit(dim - 1L))
+    val base = spark
+      .range(nVecs)
+      .select(col("id").as("vec_id"), transform(idxs, i => elem(col("id"), i)).as("embedding"))
+    val planted = base
+      .filter(col("vec_id") % 100 === 0)
+      .select(
+        (col("vec_id") + nVecs).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")
+      )
+    val df = base.unionByName(planted)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = df.count()
+    val cen = base.filter(col("vec_id") < 512).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cen.count()
+    val model =
+      graft.operators.Similarity.pqFit(df, "vec_id", "embedding", dim, m = 8, nCen = 256, iters = 0)
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted
+      ): Unit = {
+        val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        shuffleW.addAndGet(w)
+        if (sys.env.contains("SPIKE_PQ_STAGES") && w > 20000000L)
+          println(f"[spike]   stage ${sc.stageInfo.stageId}%4d wrote ${w / 1e6}%8.1f MB  (${sc.stageInfo.name})")
+      }
+    }
+    val warm = df.filter(col("vec_id") % 10 === 0)
+    val warmCen = cen.limit(64)
+    Seq(
+      () => graft.operators.Similarity.pqTopK(warm, warmCen, "vec_id", "embedding", 5, model, 1, 0),
+      () => graft.operators.Similarity.ivfTopK(warm, warmCen, "vec_id", "embedding", 5, 1)
+    ).foreach(f => f().count())
+    spark.sparkContext.addSparkListener(listener)
+    def drained(): Long = { Thread.sleep(2000); shuffleW.get() } // listener is async
+    val t0 = System.nanoTime()
+    val nAdc = graft.operators.Similarity
+      .pqTopK(df, cen, "vec_id", "embedding", k = 10, model, nProbe = 1, rerank = 0)
+      .count()
+    val tAdc = (System.nanoTime() - t0) / 1e9
+    val wAdc = drained()
+    val t1 = System.nanoTime()
+    val pqR = graft.operators.Similarity
+      .pqTopK(df, cen, "vec_id", "embedding", k = 10, model, nProbe = 1, rerank = 50)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPqR = pqR.count()
+    val tPqR = (System.nanoTime() - t1) / 1e9
+    val wPqR = drained() - wAdc
+    val t2 = System.nanoTime()
+    val nFloat = graft.operators.Similarity
+      .ivfTopK(df, cen, "vec_id", "embedding", k = 10, nProbe = 1)
+      .count()
+    val tFloat = (System.nanoTime() - t2) / 1e9
+    val wFloat = drained() - wAdc - wPqR
+    spark.sparkContext.removeSparkListener(listener)
+    // storage: PQ codes parquet vs float parquet — 8 B of codes + one norm
+    // against 256 B of floats per vector
+    val outF = java.nio.file.Files.createTempDirectory("pqf").toString
+    val outQ = java.nio.file.Files.createTempDirectory("pqc").toString
+    df.select("vec_id", "embedding").write.mode("overwrite").parquet(outF)
+    graft.operators.Similarity.pqEncode(df, "vec_id", "embedding", model)
+      .write.mode("overwrite").parquet(outQ)
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.isFile).map(_.length()).sum
+    }
+    val (bF, bQ) = (dirBytes(outF), dirBytes(outQ))
+    // every planted companion must rank its partner #1 at sim 1.0 AFTER
+    // surviving the approximate ADC top-50 cut
+    val nComp = n - nVecs
+    val good = pqR
+      .filter(col("qid") >= nVecs && col("rn") === 1)
+      .filter(col("cid") === col("qid") - nVecs && col("sim") === 1.0)
+      .count()
+    println(
+      f"[spike] pq-planted: $n vecs, 512 cells, m=8 nCen=256 — ADC pqTopK $tAdc%.1fs / " +
+        f"${wAdc / 1e6}%.0f MB shuffled ($nAdc rows); +rerank50 $tPqR%.1fs / ${wPqR / 1e6}%.0f MB " +
+        f"($nPqR rows); float ivfTopK $tFloat%.1fs / ${wFloat / 1e6}%.0f MB ($nFloat rows)"
+    )
+    println(
+      f"[spike] pq-planted: storage — float parquet ${bF / 1e6}%.1f MB vs PQ codes " +
+        f"${bQ / 1e6}%.1f MB (${bF.toDouble / bQ}%.1fx smaller index)"
+    )
+    println(f"[spike] pq-planted: planted top-1 exact through ADC cut $good/$nComp")
+    require(good == nComp, s"pq-planted MISMATCH: only $good of $nComp planted top-1 hits")
+    println("[spike] pq-planted: all planted duplicates recovered at rank 1 — gate PASS")
+    pqR.unpersist(blocking = false)
+    cen.unpersist(blocking = false)
+    df.unpersist(blocking = false)
+  }
+
   /** `SPARK_GRAFT_SF_DIR=... runMain graft.tools.Spike skew` — bucket-size
     * distribution of the two bucketed-join operators whose cost model is
     * sum(bucket²): minhash LSH band buckets (x03 configuration) and IVF
@@ -1495,6 +1610,21 @@ object Spike {
     }
     if (args.nonEmpty && args(0) == "sq8-planted") {
       sq8Planted(spark, if (args.length > 1) args(1).toLong else 200000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "pq-planted") {
+      pqPlanted(spark, if (args.length > 1) args(1).toLong else 200000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "pq-explain") {
+      // plan-shape audit of the rerank path (size-independent)
+      import org.apache.spark.sql.functions._
+      val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      val model = graft.operators.Similarity.pqFit(e, "vec_id", "embedding", 64, 8, 16, 0)
+      val cen = e.filter(col("vec_id") < 22)
+      graft.operators.Similarity
+        .pqTopK(e, cen, "vec_id", "embedding", 5, model, 1, 50)
+        .explain("formatted")
       spark.stop(); return
     }
     if (args.nonEmpty && args(0) == "zarr-deferred-str") {

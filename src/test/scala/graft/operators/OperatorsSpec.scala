@@ -1995,6 +1995,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     intercept[IllegalArgumentException] {
       Similarity.pqTopK(e, cen, "vec_id", "embedding", 5, model, rerank = 3)
     }
+    // the auto convenience == the manual composition at the derived cells
+    def rows3(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "sim", "rn").orderBy("qid", "rn").collect().toSeq
+    assert(
+      rows3(Similarity.pqTopKAuto(e, "vec_id", "embedding", dim = 64, k = 3)) ==
+        rows3(Similarity.pqTopK(e, cen, "vec_id", "embedding", 3, model))
+    )
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKAuto(e.filter(lit(false)), "vec_id", "embedding", 64, 3)
+    }
   }
 
   test("decontaminateFuzzy: Levenshtein band catches drifted grams; maxDist=0 == exact") {

@@ -271,4 +271,58 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
       Scale.hashSplit(docs, Seq("doc_id"), Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("dsirLogWeights: target-like docs outscore off-target; grid sums are partition-invariant") {
+    import spark.implicits._
+    // raw corpus: 20 "physics" docs + 20 "spam" docs; target = physics only.
+    // Importance weights must separate the two populations cleanly.
+    val phys = (0 until 20).map(i => (i.toLong, "quark gluon lattice boson field theory"))
+    val spam = (0 until 20).map(i => (20L + i, "click here buy now free prize winner"))
+    val raw = (phys ++ spam).toDF("doc_id", "text")
+    val target = phys.toDF("doc_id", "text")
+    val w = Scale.dsirLogWeights(raw, target, "text", buckets = 512)
+    val byDoc = w.select("doc_id", "dsir_logw").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val minPhys = (0 until 20).map(i => byDoc(i.toLong)).min
+    val maxSpam = (0 until 20).map(i => byDoc(20L + i)).max
+    assert(minPhys > maxSpam, s"physics $minPhys should outscore spam $maxSpam")
+    // every weight sits on the 2^-20 grid times an integer count — so the
+    // fold is exact and any partitioning computes the identical double
+    val re = Scale
+      .dsirLogWeights(raw.repartition(13), target, "text", buckets = 512)
+      .select("doc_id", "dsir_logw")
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    byDoc.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) == java.lang.Double.doubleToLongBits(re(id)), s"doc $id")
+    }
+    intercept[IllegalArgumentException] {
+      Scale.dsirLogWeights(raw, target.filter(lit(false)), "text", buckets = 512)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.dsirLogWeights(raw, target, "text", buckets = 1 << 20)
+    }
+  }
+
+  test("dsirSelect: Gumbel-top-k is deterministic, k-bounded, and favors high weights") {
+    import spark.implicits._
+    val phys = (0 until 20).map(i => (i.toLong, "quark gluon lattice boson field theory"))
+    val spam = (0 until 20).map(i => (20L + i, "click here buy now free prize winner"))
+    val raw = (phys ++ spam).toDF("doc_id", "text")
+    val target = phys.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val sel = Scale.dsirSelect(raw, target, "doc_id", "text", k = 10, buckets = 512)
+    assert(sel.count() == 10)
+    assert(sel.columns.contains("dsir_key") && sel.columns.contains("dsir_logw"))
+    // the weight gap here dwarfs Gumbel noise — all picks are physics docs
+    assert(ids(sel).forall(_ < 20L))
+    // deterministic: same picks at a different partitioning
+    assert(ids(Scale.dsirSelect(raw.repartition(7), target, "doc_id", "text", 10, 512)) == ids(sel))
+    // k >= corpus returns everything
+    assert(Scale.dsirSelect(raw, target, "doc_id", "text", 100, 512).count() == 40)
+    intercept[IllegalArgumentException] {
+      Scale.dsirSelect(raw, target, "doc_id", "text", k = 0)
+    }
+  }
 }
