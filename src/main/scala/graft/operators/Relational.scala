@@ -184,4 +184,44 @@ object Relational {
       .unionByName(shape(byK2, nul1, col(k2)))
       .unionByName(shape(total, nul1, nul2))
   }
+
+  /** Approximate per-key distinct cardinality — the 100 TB path for
+    * `COUNT(DISTINCT value)`: Spark's HyperLogLog++ sketch
+    * (`approx_count_distinct`) builds FIXED-SIZE per-key registers that
+    * merge map-side, so nothing but the sketches crosses the exchange;
+    * the exact aggregate instead shuffles every distinct value string.
+    * Deterministic: HLL registers are hash-derived maxima, so the result
+    * is independent of partitioning and row order (pinned in spec).
+    * `rsd` is the target relative standard deviation (default 5%). */
+  def approxDistinct(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      rsd: Double = 0.05
+  ): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).as("n_approx"))
+
+  /** [[approxDistinct]] AUDITED against the exact count in one pass —
+    * the verification query a pipeline runs on a sample before trusting
+    * the sketch corpus-wide: per key, the exact distinct count plus a
+    * boolean pinning `|approx − exact| <= 4·rsd·exact` (a ±4σ band on
+    * the sketch's target rsd). The exact side makes this the EXPENSIVE
+    * variant — it exists for auditing, not the hot path. */
+  def approxDistinctAudit(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      rsd: Double = 0.05
+  ): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        approx_count_distinct(col(valueCol), rsd).as("n_approx"),
+        countDistinct(col(valueCol)).as("n_exact")
+      )
+      .select(
+        keys.map(col) :+ col("n_exact") :+
+          (abs(col("n_approx") - col("n_exact")) <= lit(4.0 * rsd) * col("n_exact"))
+            .as("within_bound"): _*
+      )
 }

@@ -331,34 +331,49 @@ object Scale {
     * array (B doubles — the x88 literal-weights path, sized for
     * B ≤ ~64k) and scoring is a pure per-row fold — NO shuffle, no
     * broadcast, no feature materialization. */
+  /** Fit the DSIR model: the per-bucket log-prob-ratio λ, grid-snapped.
+    * Two B-bounded count aggregates — the only passes over target and
+    * raw; the returned λ is the whole model (serve it via
+    * [[dsirScore]], including on a STREAM — scoring is stateless). */
+  def dsirFit(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      buckets: Int = 4096
+  ): Seq[Double] = {
+    require(
+      buckets >= 1 && buckets <= (1 << 16),
+      s"dsirFit: buckets must be in [1, 65536] (λ ships as a plan literal), got $buckets"
+    )
+    val (rc, rTot) = dsirCounts(raw, textCol, buckets)
+    val (tc, tTot) = dsirCounts(target, textCol, buckets)
+    require(tTot > 0, "dsirFit: target corpus has no grams")
+    val c0 = math.log(rTot.toDouble + buckets) - math.log(tTot.toDouble + buckets)
+    (0 until buckets).map { b =>
+      val l = math.log(tc(b) + 1.0) - math.log(rc(b) + 1.0) + c0
+      math.floor(l * 1048576.0) / 1048576.0 // 2^-20 grid: exact, order-free sums
+    }
+  }
+
+  /** Score a text column under a fitted λ: the per-row fold
+    * `Σ_grams λ[bucket(gram)]` — pure column expression (batch or
+    * streaming), λ as a plan literal. */
+  def dsirScore(text: Column, lam: Seq[Double]): Column = {
+    val lamLit = typedlit(lam)
+    aggregate(
+      dsirGrams(text),
+      lit(0.0),
+      (acc, g) => acc + element_at(lamLit, (dsirBucket(g, lam.length) + 1).cast("int"))
+    )
+  }
+
   def dsirLogWeights(
       raw: DataFrame,
       target: DataFrame,
       textCol: String,
       buckets: Int = 4096
-  ): DataFrame = {
-    require(
-      buckets >= 1 && buckets <= (1 << 16),
-      s"dsirLogWeights: buckets must be in [1, 65536] (λ ships as a plan literal), got $buckets"
-    )
-    val (rc, rTot) = dsirCounts(raw, textCol, buckets)
-    val (tc, tTot) = dsirCounts(target, textCol, buckets)
-    require(tTot > 0, "dsirLogWeights: target corpus has no grams")
-    val c0 = math.log(rTot.toDouble + buckets) - math.log(tTot.toDouble + buckets)
-    val lam = (0 until buckets).map { b =>
-      val l = math.log(tc(b) + 1.0) - math.log(rc(b) + 1.0) + c0
-      math.floor(l * 1048576.0) / 1048576.0 // 2^-20 grid: exact, order-free sums
-    }
-    val lamLit = typedlit(lam)
-    raw.withColumn(
-      "dsir_logw",
-      aggregate(
-        dsirGrams(col(textCol)),
-        lit(0.0),
-        (acc, g) => acc + element_at(lamLit, (dsirBucket(g, buckets) + 1).cast("int"))
-      )
-    )
-  }
+  ): DataFrame =
+    raw.withColumn("dsir_logw", dsirScore(col(textCol), dsirFit(raw, target, textCol, buckets)))
 
   /** DSIR selection: the top-`k` raw documents by
     * `dsir_logw + Gumbel(id)` — the paper's Gumbel-top-k trick, which

@@ -113,6 +113,35 @@ object Similarity {
     rankTopK(sims, k)
   }
 
+  /** Recall@k audit of an APPROXIMATE ANN result against the EXACT
+    * ranking — the acceptance test every index deployment runs before
+    * trusting [[ivfTopK]]/[[pqTopK]]/[[approxTopK]] corpus-wide. Inputs
+    * are two `(qid, cid, rn, ...)` top-k frames (the shape every top-k
+    * op here emits). Per query: `n_hit = |approx ∩ exact|` over
+    * `rn <= k` rows, `n_exact` = exact neighbors present (a query whose
+    * cell holds fewer than k candidates is not punished for the
+    * shortfall), `recall = n_hit / n_exact`.
+    *
+    * 100 TB shape: both inputs are k-bounded per query, so this is one
+    * (qid, cid) equi-join plus per-qid counts over k·|queries| rows —
+    * vectors never enter. Run the exact side on a SAMPLE of queries at
+    * scale (bruteForceTopK over the full corpus is the O(N²) baseline). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"recallAtK: k must be >= 1, got $k")
+    val a = approx.filter(col("rn") <= k).select(col("qid"), col("cid"))
+    val e = exact.filter(col("rn") <= k).select(col("qid"), col("cid"))
+    val hits = a.join(e, Seq("qid", "cid")).groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    e.groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(
+        col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_exact"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6).as("recall")
+      )
+  }
+
   /** All-pairs exact nearest neighbor (k=1) via map-side max partial
     * aggregation — no 25M-row window shuffle, only one tiny row per query id
     * leaves each partition. Tie-break: lowest candidate id.

@@ -370,6 +370,20 @@ object TextAnalysis {
     * A token absent from the vocab maps to `unkId` when given; with
     * `unkId = None` it raises a loud per-row error (a silent null id
     * corrupts a training sequence), naming the offending token. */
+  /** GPT-2-style vocabulary from a merge table (Radford 2019's
+    * construction): the 256 byte-alphabet symbols in byte order get ids
+    * 0..255, then each merge's concatenated token gets `256 + rank` —
+    * so [[bpeTrain]]'s output feeds [[bpeIds]] directly: train → vocab
+    * → ids → pack, no hand-built table. Duplicate merged tokens (legal
+    * if two merge paths produce the same string; GPT-2's table has
+    * none) keep the FIRST (lowest) id, matching the reference encoders'
+    * first-wins dict loading. */
+  def bpeVocab(merges: Seq[(String, String)]): Map[String, Int] = {
+    val base = (0 until 256).map(b => graft.functions.Bpe.ByteToChar(b).toString -> b)
+    val merged = merges.zipWithIndex.map { case ((a, b), i) => (a + b) -> (256 + i) }
+    (merged.reverse ++ base.reverse).toMap // later wins in toMap → reversed = first wins
+  }
+
   def bpeIds(
       text: Column,
       merges: Seq[(String, String)],

@@ -3018,6 +3018,75 @@ object ExtQueries {
              |    row_number() OVER (ORDER BY key DESC, doc_id) AS r FROM ky)
              |SELECT doc_id, source, round(logw, 6) AS dsir_logw
              |FROM sel WHERE r <= 200 ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Approximate distinct cardinality, audited (Relational.
+    // approxDistinctAudit): HyperLogLog++ per-key sketches — the 100 TB
+    // COUNT(DISTINCT) path (fixed-size registers merge map-side; the
+    // exact aggregate shuffles every distinct string). The sketch VALUE
+    // is engine-specific, so the x58 boolean-pin shape gates it: the
+    // oracle recomputes the exact count and pins the ±4σ rsd band TRUE.
+    Q(
+      "x103_approx_distinct",
+      (s, d) =>
+        Relational
+          .approxDistinctAudit(t(s, d, "documents"), Seq("source"), "text")
+          .orderBy("source"),
+      Some("""SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact,
+             |TRUE AS within_bound
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // ANN recall audit (Similarity.recallAtK): recall@5 of the √N IVF
+    // index (x97's exact configuration) against the brute-force exact
+    // ranking, per query — the acceptance test an index deployment runs.
+    // Both rankings are deterministic (rounded sims, cid tie-break), so
+    // the oracle recomputes BOTH sides and the per-query intersection:
+    // the recall numbers are exact facts, not estimates.
+    Q(
+      "x104_ann_recall",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val approx = Similarity.ivfTopKAuto(e, "vec_id", "embedding", 5, iters = 0)
+        val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
+        Similarity.recallAtK(approx, exact, 5).orderBy("qid")
+      },
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |nl AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM e),
+             |cen AS MATERIALIZED (SELECT cen_vid, cv FROM (
+             |    SELECT vec_id AS cen_vid, v AS cv,
+             |      row_number() OVER (ORDER BY vec_id) AS rk FROM e) t, nl
+             |  WHERE rk <= nlist),
+             |score AS (SELECT e.vec_id, cen.cen_vid,
+             |  round(list_dot_product(e.v, cen.cv)
+             |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cen.cv, cen.cv))), 6) AS sim
+             |  FROM e CROSS JOIN cen),
+             |asg AS MATERIALIZED (SELECT vec_id, cen_vid AS cell FROM (
+             |  SELECT vec_id, cen_vid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cen_vid) AS r
+             |  FROM score) t WHERE r = 1),
+             |isims AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+             |  round(list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+             |  FROM asg qa JOIN asg ca ON qa.cell = ca.cell AND qa.vec_id != ca.vec_id
+             |  JOIN e q ON q.vec_id = qa.vec_id JOIN e c ON c.vec_id = ca.vec_id),
+             |ark AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+             |  FROM isims) t WHERE rn <= 5),
+             |bsims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |  round(list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+             |  FROM e q JOIN e c ON q.vec_id != c.vec_id),
+             |brk AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+             |  FROM bsims) t WHERE rn <= 5),
+             |hits AS (SELECT ark.qid, CAST(count(*) AS BIGINT) AS n_hit
+             |  FROM ark JOIN brk ON ark.qid = brk.qid AND ark.cid = brk.cid GROUP BY 1),
+             |base AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM brk GROUP BY 1)
+             |SELECT base.qid, COALESCE(hits.n_hit, 0) AS n_hit, base.n_exact,
+             |  round(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / base.n_exact, 6) AS recall
+             |FROM base LEFT JOIN hits ON hits.qid = base.qid
+             |ORDER BY base.qid""".stripMargin)
     )
   )
 }

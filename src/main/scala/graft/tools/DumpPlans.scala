@@ -138,7 +138,15 @@ object DumpPlans {
       "(collected at build time); scoring is ONE per-row fold over the gram array with " +
       "lambda as a plan literal (the x88 literal-weights shape — no shuffle, no broadcast, " +
       "no feature vector), and the Gumbel-top-k cut plans as TakeOrderedAndProject — " +
-      "per-partition k-heaps, never a global sort of the corpus.")
+      "per-partition k-heaps, never a global sort of the corpus."),
+    "x103_approx_distinct" -> ("HLL++ approximate distinct: ONE partial->final " +
+      "ObjectHashAggregate pair — fixed-size sketch registers merge map-side, so only " +
+      "sketches (plus the audit's exact-distinct expand) cross the exchange; the production " +
+      "approxDistinct path drops the exact side entirely."),
+    "x104_ann_recall" -> ("ANN recall audit: both top-k inputs are k-bounded per query, so " +
+      "the audit itself is one (qid, cid) equi-join plus two per-qid count aggregates over " +
+      "k*|queries| rows — no vectors, no pair volume; the expensive operand is the exact " +
+      "baseline (brute-force BNLJ), which at scale runs on a query SAMPLE.")
   )
 
   def main(args: Array[String]): Unit = {

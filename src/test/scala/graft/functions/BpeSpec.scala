@@ -206,6 +206,37 @@ class BpeSpec extends AnyFunSuite with SparkTester {
     assert(w == Seq("low", "Ġlow", "Ġlow", "Ġlower", "Ġlowest"))
   }
 
+  test("bpeVocab: GPT-2 construction (256 byte symbols + merges by rank); train→vocab→ids chain") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"), ("Ġ", "low"))
+    val v = TextAnalysis.bpeVocab(merges)
+    assert(v.size == 256 + 3)
+    // byte symbols get their byte value as id, in the GPT-2 mapped alphabet
+    assert(v("l") == 'l'.toInt && v("w") == 'w'.toInt)
+    assert(v(Bpe.ByteToChar(0).toString) == 0 && v(Bpe.ByteToChar(255).toString) == 255)
+    assert(v("Ġ") == 0x20) // Ġ is the mapped SPACE byte → id = its byte value
+    // merged tokens: 256 + rank
+    assert(v("lo") == 256 && v("low") == 257 && v("Ġlow") == 258)
+    // duplicate merged token keeps the FIRST id (reference first-wins load)
+    val dup = TextAnalysis.bpeVocab(Seq(("a", "b"), ("ab", "c"), ("a", "b")))
+    assert(dup("ab") == 256)
+    // the full learned chain: train on a corpus, derive the vocab, id-ify
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeTrain(docs, "text", numMerges = 4)
+    val vocab = TextAnalysis.bpeVocab(learned)
+    val ids = docs
+      .select(TextAnalysis.bpeIds(col("text"), learned, vocab).as("ids"))
+      .collect()
+      .head
+      .getSeq[Int](0)
+    // merges: (l,o)(lo,w)(Ġ,low)(Ġlow,e) → vocab: lo=256 low=257 Ġlow=258
+    // Ġlowe=259; "low low low lower lowest" tokens: [low, Ġlow, Ġlow,
+    // Ġlowe+r, Ġlow+e?]: encode("lowest") = Ġlow,e,s,t? merge (Ġlow,e) →
+    // Ġlowe,s,t
+    assert(ids == Seq(257, 258, 258, 259, 'r'.toInt, 259, 's'.toInt, 't'.toInt))
+  }
+
   test("x98 oracle precondition: greedy-replay == merge loop across the vocab (build-time pin fires)") {
     // forcing the x98 oracle SQL executes ExtQueries' require that the
     // independent greedy tokenization equals the real encoder on BOTH

@@ -2007,6 +2007,64 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("recallAtK: exact-vs-approx intersection per query; self-recall is 1; shortfall not punished") {
+    import spark.implicits._
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // 2 of 3 right
+      (2L, 20L, 1), (2L, 99L, 2), (2L, 98L, 3), // 1 of 3
+      (3L, 30L, 1) // query with only one exact neighbor: full recall
+    ).toDF("qid", "cid", "rn")
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 13L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1),
+      (4L, 40L, 1) // query the index missed entirely -> recall 0
+    ).toDF("qid", "cid", "rn")
+    val got = Similarity
+      .recallAtK(approx, exact, 3)
+      .orderBy("qid")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 3L, 0.666667),
+      (2L, 1L, 3L, 0.333333),
+      (3L, 1L, 1L, 1.0),
+      (4L, 0L, 1L, 0.0)
+    ))
+    // an index audited against itself scores 1.0 everywhere
+    val e = t(spark, sfTiny, "embeddings")
+    val ivf = Similarity.ivfTopKAuto(e, "vec_id", "embedding", 5, iters = 0)
+    val self = Similarity.recallAtK(ivf, ivf, 5)
+    assert(self.filter(col("recall") =!= 1.0).count() == 0 && self.count() > 0)
+    intercept[IllegalArgumentException](Similarity.recallAtK(approx, exact, 0))
+  }
+
+  test("approxDistinct: partition-invariant HLL counts; audit bound holds") {
+    import spark.implicits._
+    val df = (0 until 5000)
+      .map(i => (s"src${i % 3}", s"text-${i % 700}"))
+      .toDF("source", "text")
+    val a = Relational
+      .approxDistinct(df, Seq("source"), "text")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    // deterministic at any partitioning (HLL registers are hash maxima)
+    val b = Relational
+      .approxDistinct(df.repartition(17), Seq("source"), "text")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(a == b)
+    // within the ±4σ band of the exact counts
+    val audit = Relational.approxDistinctAudit(df, Seq("source"), "text").collect()
+    assert(audit.length == 3)
+    audit.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: approx outside bound (exact ${r.getLong(1)})")
+    }
+  }
+
   test("decontaminateFuzzy: Levenshtein band catches drifted grams; maxDist=0 == exact") {
     import spark.implicits._
     val g = (1 to 5).map(i => s"tok$i").mkString(" ") // the 5-gram "tok1 .. tok5"

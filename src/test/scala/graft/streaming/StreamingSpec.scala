@@ -216,6 +216,65 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(got == want && got.nonEmpty) // exact: 1/256-grid weights, integer counts
   }
 
+  test("pqEncode and dsirScore run unchanged under streaming (stateless parity)") {
+    import graft.operators.{Scale, Similarity}
+    // PQ side: encode a streamed embeddings table with a batch-fitted model
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val model = Similarity.pqFit(emb, "vec_id", "embedding", dim = 64, m = 8, nCen = 16, iters = 0)
+    val edir = java.nio.file.Files.createTempDirectory("emb_stream").toString
+    emb.repartition(3).write.mode("overwrite").parquet(edir)
+    val estream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(edir)
+    val eq = Similarity
+      .pqEncode(estream, "vec_id", "embedding", model)
+      .writeStream
+      .format("memory")
+      .queryName("pq_stream")
+      .outputMode("append")
+      .start()
+    try eq.processAllAvailable()
+    finally eq.stop()
+    val gotPq = spark
+      .table("pq_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getDouble(2)))
+      .toSet
+    val wantPq = Similarity
+      .pqEncode(emb, "vec_id", "embedding", model)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getDouble(2)))
+      .toSet
+    assert(gotPq == wantPq && gotPq.nonEmpty) // codes are ints, norms one fold — exact
+
+    // DSIR side: score a streamed corpus with a batch-fitted λ
+    val docs = t(spark, sfTiny, "documents")
+    val lam = Scale.dsirFit(docs, docs.filter(col("doc_id") % 7 === 0), "text", buckets = 256)
+    val ddir = java.nio.file.Files.createTempDirectory("docs_dsir_stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(ddir)
+    val dstream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(ddir)
+    val dq = dstream
+      .select(col("doc_id"), Scale.dsirScore(col("text"), lam).as("w"))
+      .writeStream
+      .format("memory")
+      .queryName("dsir_stream")
+      .outputMode("append")
+      .start()
+    try dq.processAllAvailable()
+    finally dq.stop()
+    val gotW = spark.table("dsir_stream").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val wantW = docs
+      .select(col("doc_id"), Scale.dsirScore(col("text"), lam).as("w"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toSet
+    assert(gotW == wantW && gotW.nonEmpty) // grid λ → exact fold at any batching
+  }
+
   test("curateStream: quality + watermark-bounded exact dedup + split — batch parity") {
     import graft.operators.{Pipeline, TextAnalysis}
     // every doc arrives TWICE across 2 files; 1-file triggers force the
