@@ -523,16 +523,21 @@ object Similarity {
         .join(cands, Seq("cell"))
         .filter(col("qid") =!= col("cid"))
         .select(
+          col("cell"),
           col("qid"),
           col("cid"),
           round(sqCosinePre(col("qc"), col("qn2"), col("cc"), col("cn2")), 6).as("qsim")
         )
-      // dedup only when nProbe > 1 (see ivfTopK — same argument)
-      val qsims = if (nProbe == 1) qsimsRaw else qsimsRaw.distinct()
+      // dedup only when nProbe > 1 (see ivfTopK — same argument); the
+      // sliver heap groups by (cell, qid) at nProbe=1 so it aggregates
+      // CELL-LOCALLY with zero exchange (see rankTopKCellLocal)
+      val (qsims, sliverKeys) =
+        if (nProbe == 1) (qsimsRaw, Seq("cell", "qid"))
+        else (qsimsRaw.drop("cell").distinct(), Seq("qid"))
       val kept = Relational
         .topKPerKey(
           qsims.filter(col("qsim").isNotNull),
-          Seq("qid"),
+          sliverKeys,
           struct(col("qsim"), (-col("cid")).as("__nc")),
           rerank,
           rankCol = "__qr"
