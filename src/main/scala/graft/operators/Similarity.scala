@@ -1386,6 +1386,85 @@ object Similarity {
     * heaps (sliver pick and final) aggregate CELL-LOCALLY at nProbe=1
     * (zero exchange; see rankTopKCellLocal — the qid-grouped heap this
     * replaced re-shuffled 1.43 GB of partial heaps). */
+  /** Hard-negative mining for contrastive / embedding training: per
+    * anchor, the `k` most-similar vectors with a DIFFERENT label — the
+    * near-boundary negatives a random sampler almost never draws
+    * (random pairs are far apart in high dimensions; training signal
+    * comes from the confusable ones). Output `(qid, cid, sim, rn)` with
+    * `label(cid) != label(qid)`.
+    *
+    * Same √N IVF shape as [[ivfTopKAuto]] (cells bound WHICH pairs are
+    * scored; `iters = 0` keeps the deterministic first-√N seeding, so
+    * an external engine can replay everything). The label-mismatch
+    * filter runs INSIDE the cell join — filtering an already-ranked
+    * top-k instead would LOSE negatives hiding behind same-label
+    * neighbors — and the ranking heap is cell-local (zero exchange,
+    * see rankTopKCellLocal). Labels ride the cell join as one extra
+    * column; null-label rows are excluded from both sides (no defined
+    * mismatch). */
+  def hardNegatives(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      iters: Int = 0
+  ): DataFrame = {
+    // the whole index — seeds included — is built over the labeled
+    // population only, so seeding is replayable from the filtered frame
+    val clean = df.filter(col(labelCol).isNotNull)
+    val n = clean.count()
+    require(n > 0, "hardNegatives: no labeled vectors")
+    val nCells = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+    val cen = kmeansFit(clean, idCol, vecCol, nCells, iters).select(
+      col("cen_id"),
+      col("cen_v"),
+      sqrt(vecDot(col("cen_v"), col("cen_v"))).as("cen_n")
+    )
+    val base = clean
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        col(labelCol).as("lbl"),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm")
+      )
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    val sim = when(
+      col("nrm") > 0 && col("cen_n") > 0,
+      round(vecDot(col("v"), col("cen_v")) / (col("nrm") * col("cen_n")), 6)
+    )
+    val assigned = base
+      .join(broadcast(cen), lit(true))
+      .select(
+        col("id"),
+        col("v"),
+        col("lbl"),
+        col("nrm"),
+        PackedArgmax.encode(sim, col("cen_id")).as("enc")
+      )
+      .groupBy("id")
+      .agg(
+        max(col("enc")).as("m"),
+        first(col("v")).as("v"),
+        first(col("lbl")).as("lbl"),
+        first(col("nrm")).as("nrm")
+      )
+      .select(col("id"), col("v"), col("lbl"), col("nrm"), PackedArgmax.decodeId(col("m")).as("cell"))
+    val cands = assigned
+      .select(col("id").as("cid"), col("v").as("cv"), col("lbl").as("clbl"), col("nrm").as("cn"), col("cell"))
+    val qs = assigned
+      .select(col("id").as("qid"), col("v").as("qv"), col("lbl").as("qlbl"), col("nrm").as("qn"), col("cell"))
+    val pair = when(
+      col("qn") > 0 && col("cn") > 0,
+      round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+    )
+    val sims = qs
+      .join(cands, Seq("cell"))
+      .filter(col("qid") =!= col("cid") && col("qlbl") =!= col("clbl"))
+      .select(col("cell"), col("qid"), col("cid"), pair.as("sim"))
+    rankTopKCellLocal(sims, k)
+  }
+
   /** [[pqTopK]] with the IVF cell count AND the PQ codebook derived from
     * the corpus — the [[ivfTopKAuto]] ergonomics for the quantized
     * index: one `count()` sizes `nCells = floor(√N)`, [[kmeansFit]]

@@ -3039,16 +3039,20 @@ object ExtQueries {
     // ------------------------------------------------------------------
     // ANN recall audit (Similarity.recallAtK): recall@5 of the √N IVF
     // index (x97's exact configuration) against the brute-force exact
-    // ranking, per query — the acceptance test an index deployment runs.
-    // Both rankings are deterministic (rounded sims, cid tie-break), so
-    // the oracle recomputes BOTH sides and the per-query intersection:
-    // the recall numbers are exact facts, not estimates.
+    // ranking — the acceptance test an index deployment runs, in its
+    // at-scale SHAPE: the exact baseline is O(N²), so it runs on a
+    // deterministic 1-in-10 query sample (recallAtK's documented
+    // contract) while the index ranks the full corpus. Both rankings
+    // are deterministic (rounded sims, cid tie-break), so the oracle
+    // recomputes BOTH sides and the per-query intersection: the recall
+    // numbers are exact facts, not estimates.
     Q(
       "x104_ann_recall",
       (s, d) => {
         val e = t(s, d, "embeddings")
         val approx = Similarity.ivfTopKAuto(e, "vec_id", "embedding", 5, iters = 0)
-        val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
+        val exact =
+          Similarity.bruteForceTopK(e.filter(col("vec_id") % 10 === 0), e, "vec_id", "embedding", 5)
         Similarity.recallAtK(approx, exact, 5).orderBy("qid")
       },
       Some("""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3076,7 +3080,8 @@ object ExtQueries {
              |bsims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
              |  round(list_dot_product(q.v, c.v)
              |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
-             |  FROM e q JOIN e c ON q.vec_id != c.vec_id),
+             |  FROM e q JOIN e c ON q.vec_id != c.vec_id
+             |  WHERE q.vec_id % 10 = 0),
              |brk AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
              |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
              |  FROM bsims) t WHERE rn <= 5),
@@ -3087,6 +3092,45 @@ object ExtQueries {
              |  round(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / base.n_exact, 6) AS recall
              |FROM base LEFT JOIN hits ON hits.qid = base.qid
              |ORDER BY base.qid""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Hard-negative mining (Similarity.hardNegatives): per anchor the 3
+    // most-similar DIFFERENT-label vectors — the confusable negatives
+    // contrastive training needs (random pairs are far apart in high
+    // dimensions). The mismatch filter runs INSIDE the √N cell join (a
+    // post-rank filter would lose negatives hiding behind same-label
+    // neighbors — the oracle replays exactly that distinction). iters=0
+    // first-√N seeding keeps the whole path SQL-replayable.
+    Q(
+      "x105_hard_negatives",
+      (s, d) =>
+        Similarity
+          .hardNegatives(t(s, d, "embeddings"), "vec_id", "embedding", "label", 3)
+          .orderBy("qid", "rn"),
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE label IS NOT NULL),
+             |nl AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM e),
+             |cen AS MATERIALIZED (SELECT rk - 1 AS cen_id, cv FROM (
+             |    SELECT v AS cv, row_number() OVER (ORDER BY vec_id) AS rk FROM e) t, nl
+             |  WHERE rk <= nlist),
+             |score AS (SELECT e.vec_id, cen.cen_id,
+             |  round(list_dot_product(e.v, cen.cv)
+             |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cen.cv, cen.cv))), 6) AS sim
+             |  FROM e CROSS JOIN cen),
+             |asg AS MATERIALIZED (SELECT vec_id, cen_id AS cell FROM (
+             |  SELECT vec_id, cen_id,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cen_id) AS r
+             |  FROM score) t WHERE r = 1),
+             |sims AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+             |  round(list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+             |  FROM asg qa JOIN asg ca ON qa.cell = ca.cell AND qa.vec_id != ca.vec_id
+             |  JOIN e q ON q.vec_id = qa.vec_id JOIN e c ON c.vec_id = ca.vec_id
+             |  WHERE q.label != c.label),
+             |rk AS (SELECT qid, cid, sim,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+             |  FROM sims)
+             |SELECT qid, cid, sim, rn FROM rk WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)
     )
   )
 }

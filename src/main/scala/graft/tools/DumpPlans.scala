@@ -146,7 +146,11 @@ object DumpPlans {
     "x104_ann_recall" -> ("ANN recall audit: both top-k inputs are k-bounded per query, so " +
       "the audit itself is one (qid, cid) equi-join plus two per-qid count aggregates over " +
       "k*|queries| rows — no vectors, no pair volume; the expensive operand is the exact " +
-      "baseline (brute-force BNLJ), which at scale runs on a query SAMPLE.")
+      "baseline (brute-force BNLJ), which runs on the deterministic 1-in-10 query sample."),
+    "x105_hard_negatives" -> ("Hard-negative mining: the x97 IVF shape (broadcast " +
+      "assignment + packed-long max, cell equi-join) with the label riding as ONE extra " +
+      "column and the mismatch predicate INSIDE the join condition — the ranking heap then " +
+      "aggregates cell-locally with zero exchange, same as ivfTopK.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -206,6 +206,79 @@ class BpeSpec extends AnyFunSuite with SparkTester {
     assert(w == Seq("low", "Ġlow", "Ġlow", "Ġlower", "Ġlowest"))
   }
 
+  test("bpeTrain == instance-based reference trainer on random corpora (ScalaCheck)") {
+    import graft.operators.TextAnalysis
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // independent reference: trains on the raw pre-token INSTANCES (no
+    // frequency dictionary), immutable collections, Scala Map counting —
+    // shares nothing with the engine's dict-based loop but the spec:
+    // overlap-counting pair stats, max-count/lex-min selection,
+    // left-to-right non-overlapping merges, stop when nothing repeats
+    def naiveTrain(words: Seq[String], numMerges: Int): Seq[(String, String)] = {
+      var ws: Seq[Vector[String]] = words.map(_.split("").filter(_.nonEmpty).toVector)
+      val out = Seq.newBuilder[(String, String)]
+      var k = 0
+      var done = false
+      while (k < numMerges && !done) {
+        val counts = ws
+          .flatMap(w => w.zip(w.drop(1)))
+          .groupBy(identity)
+          .view
+          .mapValues(_.size.toLong)
+          .toMap
+        val repeats = counts.filter(_._2 >= 2)
+        if (repeats.isEmpty) done = true
+        else {
+          val bestC = repeats.values.max
+          // toList first: Map.collect over pair results would rebuild a
+          // MAP keyed by the pair's first element, silently dropping tied
+          // rivals that share a left symbol (found the hard way)
+          val best = repeats.toList.collect { case (p, c) if c == bestC => p }.min
+          out += best
+          ws = ws.map { w =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < w.length) {
+              if (i < w.length - 1 && (w(i), w(i + 1)) == best) { b += w(i) + w(i + 1); i += 2 }
+              else { b += w(i); i += 1 }
+            }
+            b.result()
+          }
+          k += 1
+        }
+      }
+      out.result()
+    }
+    // tiny alphabet + short words force heavy pair contention and ties
+    val genWord = for {
+      n <- Gen.choose(1, 5)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val genDoc = for {
+      n <- Gen.choose(1, 8)
+      ws <- Gen.listOfN(n, genWord)
+    } yield ws.mkString(" ")
+    val genCase = for {
+      nd <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(nd, genDoc)
+      m <- Gen.choose(1, 8)
+    } yield (docs, m)
+    val prop = Prop.forAll(genCase) { case (docTexts, numMerges) =>
+      val docs = docTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = TextAnalysis.bpeTrain(docs, "text", numMerges)
+      // reference pre-tokens: first word bare, the rest space-prefixed
+      // (the GPT-2 byte map is the identity on [a-z], Ġ is mapped space)
+      val words = docTexts.flatMap { t =>
+        val w = t.split(" ")
+        w.head +: w.tail.map("Ġ" + _)
+      }
+      got == naiveTrain(words, numMerges)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bpeVocab: GPT-2 construction (256 byte symbols + merges by rank); train→vocab→ids chain") {
     import graft.operators.TextAnalysis
     import spark.implicits._

@@ -2007,6 +2007,46 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("hardNegatives: different-label only; filter inside the cell join, not after ranking") {
+    import spark.implicits._
+    val e = t(spark, sfTiny, "embeddings")
+    val out = Similarity.hardNegatives(e, "vec_id", "embedding", "label", 3)
+    val labels = e.select(col("vec_id"), col("label"))
+    // every returned pair crosses labels
+    val crossed = out
+      .join(labels.withColumnRenamed("vec_id", "qid").withColumnRenamed("label", "ql"), Seq("qid"))
+      .join(labels.withColumnRenamed("vec_id", "cid").withColumnRenamed("label", "cl"), Seq("cid"))
+    assert(crossed.filter(col("ql") === col("cl")).count() == 0)
+    assert(out.filter(col("rn") > 3).count() == 0 && out.count() > 0)
+    // the filter runs INSIDE the join: an anchor whose top-3 same-cell
+    // neighbors share its label still gets 3 negatives (post-rank
+    // filtering would return fewer). Verify against a per-cell brute
+    // force: for each qid the result equals ranking ALL different-label
+    // same-cell candidates.
+    val hand = Seq(
+      // one cell (identical direction, varying magnitude); labels: anchor
+      // 0's nearest neighbors 1,2 share its label — 3,4,5 must surface
+      (0L, Array.fill(4)(1.0f), 0),
+      (1L, Array.fill(4)(1.01f), 0),
+      (2L, Array.fill(4)(0.99f), 0),
+      (3L, Array.fill(4)(1.02f), 1),
+      (4L, Array.fill(4)(0.98f), 1),
+      (5L, Array.fill(4)(1.03f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .hardNegatives(hand, "vec_id", "embedding", "label", 3)
+      .filter(col("qid") === 0L)
+      .orderBy("rn")
+      .collect()
+      .map(r => r.getLong(1))
+      .toSeq
+    // all six share one direction → sim 1.0 everywhere → tie-break on cid
+    assert(got == Seq(3L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(hand.filter(col("label").isNull), "vec_id", "embedding", "label", 3)
+    }
+  }
+
   test("recallAtK: exact-vs-approx intersection per query; self-recall is 1; shortfall not punished") {
     import spark.implicits._
     val approx = Seq(
