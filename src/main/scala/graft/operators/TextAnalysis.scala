@@ -187,6 +187,27 @@ object TextAnalysis {
       regexp_replace(regexp_replace(text, UrlPattern, "<URL>"), EmailPattern, "<EMAIL>")
     ) { case (acc, (pat, tag)) => regexp_replace(acc, pat, tag) }
 
+  /** Dictionary tagging via the Aho–Corasick automaton
+    * ([[graft.functions.KeywordMatches]] — one text pass regardless of
+    * dictionary size): `(id, term)` rows for every DISTINCT dictionary
+    * term occurring in each doc (substring semantics; sorted term
+    * order). The topic-tagging / term-audit stage of a curation
+    * pipeline. Pure per-row codegen + explode — no shuffle, no join;
+    * the automaton rides the plan. */
+  def tagKeywords(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame =
+    docs.select(
+      col(idCol),
+      explode(graft.functions.KeywordFunctions.keywordMatches(col(textCol), terms)).as("term")
+    )
+
+  /** Blocklist gate: drop every doc containing ANY dictionary term —
+    * [[graft.functions.KeywordAny]] stops at the first hit, so clean
+    * docs pay one text pass and dirty docs even less. The naive
+    * `terms.map(contains).reduce(or)` plans one scan of the text per
+    * term — this is the 10k-term-blocklist shape. */
+  def blocklistFilter(docs: DataFrame, textCol: String, terms: Seq[String]): DataFrame =
+    docs.filter(!graft.functions.KeywordFunctions.keywordAny(col(textCol), terms))
+
   /** Per-document repetition metrics — the C4/Gopher-style boilerplate
     * signal: type-token ratio and the most-frequent-token share. Computed
     * per ROW (sort the token array once, fold over it counting the longest

@@ -3131,6 +3131,47 @@ object ExtQueries {
              |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
              |  FROM sims)
              |SELECT qid, cid, sim, rn FROM rk WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Aho–Corasick dictionary tagging (TextAnalysis.tagKeywords): one
+    // text pass finds every dictionary term — the naive formulation
+    // scans the text once PER TERM. The dictionary is chosen to stress
+    // the automaton: 'a' (hits inside almost every word), 'can'/'art'
+    // (proper substrings of corpus words via fail links), a two-word
+    // phrase, and an absent term. The oracle replays semantics with
+    // per-term contains() — trivially correct, dictionary-scale slow,
+    // which is exactly the point.
+    Q(
+      "x106_keyword_tag",
+      (s, d) =>
+        TextAnalysis
+          .tagKeywords(
+            t(s, d, "documents"),
+            "doc_id",
+            "text",
+            Seq("a", "art", "can", "data", "hash join", "scan", "the", "zebra")
+          )
+          .orderBy("doc_id", "term"),
+      Some("""SELECT doc_id, t AS term
+             |FROM documents, (VALUES ('a'), ('art'), ('can'), ('data'),
+             |  ('hash join'), ('scan'), ('the'), ('zebra')) terms(t)
+             |WHERE contains(text, t)
+             |ORDER BY doc_id, term""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Blocklist gate (TextAnalysis.blocklistFilter): drop every doc
+    // containing any dictionary term — keyword_any stops at the FIRST
+    // hit, one pass for clean docs, less for dirty ones.
+    Q(
+      "x107_blocklist",
+      (s, d) =>
+        TextAnalysis
+          .blocklistFilter(t(s, d, "documents"), "text", Seq("slow", "dup table"))
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars FROM documents
+             |WHERE NOT (contains(text, 'slow') OR contains(text, 'dup table'))
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }

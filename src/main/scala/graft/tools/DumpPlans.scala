@@ -150,7 +150,10 @@ object DumpPlans {
     "x105_hard_negatives" -> ("Hard-negative mining: the x97 IVF shape (broadcast " +
       "assignment + packed-long max, cell equi-join) with the label riding as ONE extra " +
       "column and the mismatch predicate INSIDE the join condition — the ranking heap then " +
-      "aggregates cell-locally with zero exchange, same as ivfTopK.")
+      "aggregates cell-locally with zero exchange, same as ivfTopK."),
+    "x106_keyword_tag" -> ("Aho-Corasick tagging: keyword_matches is ONE codegen expression " +
+      "over the scan (the automaton rides the plan) feeding a Generate — no join against a " +
+      "term table, no per-term scan, no shuffle before the verification sort.")
   )
 
   def main(args: Array[String]): Unit = {
