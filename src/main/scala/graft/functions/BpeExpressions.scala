@@ -64,6 +64,51 @@ object Bpe {
     new String(out)
   }
 
+  /** Inverse of [[ByteToChar]]: mapped char (code point < 324) → byte. */
+  private val CharToByte: Array[Int] = {
+    val out = Array.fill(324)(-1)
+    (0 until 256).foreach(b => out(ByteToChar(b)) = b)
+    out
+  }
+
+  /** DETOKENIZE: mapped-char token stream → original string — the
+    * byte-level round trip GPT-2 BPE guarantees (every token is a
+    * sequence of mapped BYTES, so concatenation + inverse byte map +
+    * UTF-8 decode is lossless regardless of how text was split into
+    * tokens). Raises on a char outside the 324-symbol byte alphabet —
+    * a corrupted token must not silently decode. */
+  def detokenize(tokens: Array[String]): String = {
+    var total = 0
+    var t = 0
+    while (t < tokens.length) { total += tokens(t).length; t += 1 }
+    val bytes = new Array[Byte](total)
+    var k = 0
+    t = 0
+    while (t < tokens.length) {
+      val s = tokens(t)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i).toInt
+        val b = if (c < 324) CharToByte(c) else -1
+        require(b >= 0, s"bpe detokenize: char U+${c.toHexString} is not in the byte alphabet")
+        bytes(k) = b.toByte
+        k += 1
+        i += 1
+      }
+      t += 1
+    }
+    new String(bytes, "UTF-8")
+  }
+
+  /** Codegen entry for [[detokenize]] over Catalyst array data. */
+  def detokenizeArray(tokens: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val n = tokens.numElements()
+    val arr = new Array[String](n)
+    var i = 0
+    while (i < n) { arr(i) = tokens.getUTF8String(i).toString; i += 1 }
+    UTF8String.fromString(detokenize(arr))
+  }
+
   /** Merge-rank table + per-task encode cache. One instance per expression
     * rides the codegen reference array; generated code for MANY partitions
     * of one task set shares it, so the cache is concurrent and bounded
@@ -240,9 +285,34 @@ case class BpeWords(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `bpe_detokenize(tokens)` — mapped-char token array back to the
+  * original string (inverse byte map + UTF-8 decode); the lossless
+  * round-trip guarantee of byte-level BPE, gated end-to-end by x108. */
+case class BpeDetokenize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpe_detokenize requires array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.detokenizeArray(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.Bpe.detokenizeArray($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BpeFunctions {
   def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeTokens(GraftBridge.expression(text), merges))
+
+  def bpeDetokenize(tokens: Column): Column =
+    GraftBridge.column(BpeDetokenize(GraftBridge.expression(tokens)))
 
   def bpeWords(text: Column): Column =
     GraftBridge.column(BpeWords(GraftBridge.expression(text)))

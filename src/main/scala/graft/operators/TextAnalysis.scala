@@ -287,6 +287,13 @@ object TextAnalysis {
   def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
     graft.functions.BpeFunctions.bpeCount(text, merges)
 
+  /** DETOKENIZE a mapped-char BPE token array back to the original
+    * string — byte-level BPE's lossless round-trip
+    * (`bpeDecode(bpeTokens(text, m)) == text` for ANY merge table; x108
+    * gates exactly that corpus-wide). Pure per-row codegen. */
+  def bpeDecode(tokens: Column): Column =
+    graft.functions.BpeFunctions.bpeDetokenize(tokens)
+
   /** Byte-mapped GPT-2 pre-token frequency dictionary of a corpus — the
     * structure BPE training actually consumes (Sennrich 2016 trains on
     * the word-frequency dict, never the raw corpus). One explode + one

@@ -3172,6 +3172,25 @@ object ExtQueries {
       Some("""SELECT doc_id, n_chars FROM documents
              |WHERE NOT (contains(text, 'slow') OR contains(text, 'dup table'))
              |ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Byte-level BPE round trip (TextAnalysis.bpeDecode): detokenizing
+    // the REAL merge-loop token stream must reproduce the original text
+    // byte-for-byte — the lossless-by-construction property byte-level
+    // BPE exists for (Radford 2019), here gated corpus-wide: the engine
+    // emits decode(encode(text)) and the oracle is simply the text
+    // column. Any tokenizer defect that loses or reorders a byte breaks
+    // the hash.
+    Q(
+      "x108_bpe_roundtrip",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            TextAnalysis.bpeDecode(TextAnalysis.bpeTokens(col("text"), bpeMerges)).as("text")
+          )
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")
     )
   )
 }

@@ -206,6 +206,54 @@ class BpeSpec extends AnyFunSuite with SparkTester {
     assert(w == Seq("low", "Ġlow", "Ġlow", "Ġlower", "Ġlowest"))
   }
 
+  test("bpeDetokenize: lossless byte-level round trip; corrupted tokens refuse loudly") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    // round trip survives multibyte UTF-8, control bytes and emoji —
+    // byte-level mapping means ANY string decodes back exactly
+    val texts = Seq(
+      "low lower lowest",
+      "naïve café über",
+      "混合 multilingual テキスト",
+      "tabs\tand\nnewlines zero",
+      "🦑 emoji 🚀"
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rt = df
+      .select(
+        col("id"),
+        col("text"),
+        TextAnalysis.bpeDecode(TextAnalysis.bpeTokens(col("text"), merges)).as("back")
+      )
+      .collect()
+    rt.foreach(r => assert(r.getString(1) == r.getString(2), s"row ${r.getLong(0)}"))
+    // direct kernel: detokenize concatenates tokens and inverts the map
+    assert(Bpe.detokenize(Array("low", "Ġlow", "er")) == "low lower")
+    // a char outside the 324-symbol byte alphabet is a corrupted token
+    val ex = intercept[Exception] {
+      spark.sql("SELECT array('ok', '日') AS t")
+        .select(BpeFunctions.bpeDetokenize(col("t")))
+        .collect()
+    }
+    assert(ex.getMessage.contains("byte alphabet") ||
+      Option(ex.getCause).exists(_.getMessage.contains("byte alphabet")))
+    // null stays null
+    val n = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS t")
+      .select(BpeFunctions.bpeDetokenize(col("t")).as("d"))
+      .collect()
+    assert(n.head.isNullAt(0))
+    // composes with a LEARNED table: train -> tokenize -> decode == id
+    val docs = Seq((1L, "low low lower lowest")).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeTrain(docs, "text", numMerges = 3)
+    val back = docs
+      .select(TextAnalysis.bpeDecode(TextAnalysis.bpeTokens(col("text"), learned)).as("b"))
+      .collect()
+      .head
+      .getString(0)
+    assert(back == "low low lower lowest")
+  }
+
   test("bpeTrain == instance-based reference trainer on random corpora (ScalaCheck)") {
     import graft.operators.TextAnalysis
     import org.scalacheck.{Gen, Prop, Test => SCTest}
