@@ -39,6 +39,12 @@
 #                       scoring + exact rerank (ivfTopKSq); also reports
 #                       the measured float-vs-codes wall/shuffle/storage
 #                       trade-off (storage is where SQ8 wins: 3.6x)
+#   4d2. keyword-scale — Aho-Corasick tagging with a 10k-term dictionary
+#                       over the sf0.1 corpus: one-pass tag (1.3s; the
+#                       per-term contains formulation is the cliff being
+#                       avoided), full-corpus blocklist-verdict equality
+#                       vs a 64-term contains-reduce, 200-doc tag-set
+#                       equality vs per-term contains
 #   4d. pq-planted    — product-quantized ANN (IVFADC, pqTopK) at 202k
 #                       vectors: planted duplicates must survive the
 #                       APPROXIMATE ADC top-50 cut and come back rank 1 /
@@ -60,6 +66,7 @@ sbt -batch "runMain graft.tools.Spike media-planted 100000" 2>&1 | grep -E '\[sp
 sbt -batch "runMain graft.tools.Spike x60-planted 1000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike sq8-planted 200000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike pq-planted 200000" 2>&1 | grep -E '\[spike\]'
+sbt -batch "runMain graft.tools.Spike keyword-scale 10000" 2>&1 | grep -E '\[spike\]'
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   sbt -batch "runMain graft.tools.Spike cc-telemetry" 2>&1 | grep -E '\[spike\]'
 echo "[scale_gate] all scale gates passed"

@@ -38,14 +38,23 @@ object Keywords {
     private val goto_ = new java.util.HashMap[Long, Integer]()
     private var nodeCount = 1
     private val outBuild = scala.collection.mutable.Map[Int, List[Int]]().withDefaultValue(Nil)
+    // per-node child lists alongside the edge map: the fail-link BFS
+    // visits each EDGE once — an all-edges sweep per node is O(E²) and
+    // measured 60+ s at a 10k-term dictionary (Spike keyword-scale)
+    private val childBuild =
+      scala.collection.mutable.Map[Int, List[(Char, Int)]]().withDefaultValue(Nil)
     table.zipWithIndex.foreach { case (t, ti) =>
       var s = 0
       var i = 0
       while (i < t.length) {
         val key = (s.toLong << 32) | t.charAt(i)
         val nxt = goto_.get(key)
-        if (nxt == null) { goto_.put(key, nodeCount); s = nodeCount; nodeCount += 1 }
-        else s = nxt
+        if (nxt == null) {
+          goto_.put(key, nodeCount)
+          childBuild(s) = (t.charAt(i), nodeCount) :: childBuild(s)
+          s = nodeCount
+          nodeCount += 1
+        } else s = nxt
         i += 1
       }
       outBuild(s) = ti :: outBuild(s)
@@ -54,30 +63,16 @@ object Keywords {
     // BFS fail links; outputs of the fail target union into the node
     locally {
       val q = new java.util.ArrayDeque[Integer]()
-      val it0 = goto_.entrySet().iterator()
-      val depth1 = scala.collection.mutable.ArrayBuffer[Int]()
-      while (it0.hasNext) {
-        val e = it0.next()
-        if ((e.getKey >>> 32) == 0) depth1 += e.getValue.intValue()
-      }
-      depth1.foreach { s => fail(s) = 0; q.add(s) }
+      childBuild(0).foreach { case (_, s) => fail(s) = 0; q.add(s) }
       while (!q.isEmpty) {
         val r = q.poll().intValue()
-        val it = goto_.entrySet().iterator()
-        // collect r's outgoing edges (iteration over all edges per node is
-        // build-time only; dictionaries are broadcast-sized)
-        while (it.hasNext) {
-          val e = it.next()
-          if ((e.getKey >>> 32) == r) {
-            val c = (e.getKey & 0xffffffffL).toChar
-            val s = e.getValue.intValue()
-            var f = fail(r)
-            while (f != 0 && goto_.get((f.toLong << 32) | c) == null) f = fail(f)
-            val fn = goto_.get((f.toLong << 32) | c)
-            fail(s) = if (fn == null || fn == s) 0 else fn.intValue()
-            if (outBuild.contains(fail(s))) outBuild(s) = outBuild(fail(s)) ::: outBuild(s)
-            q.add(s)
-          }
+        childBuild(r).foreach { case (c, s) =>
+          var f = fail(r)
+          while (f != 0 && goto_.get((f.toLong << 32) | c) == null) f = fail(f)
+          val fn = goto_.get((f.toLong << 32) | c)
+          fail(s) = if (fn == null || fn == s) 0 else fn.intValue()
+          if (outBuild.contains(fail(s))) outBuild(s) = outBuild(fail(s)) ::: outBuild(s)
+          q.add(s)
         }
       }
     }

