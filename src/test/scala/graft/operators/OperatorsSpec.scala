@@ -2002,6 +2002,12 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
       rows3(Similarity.pqTopKAuto(e, "vec_id", "embedding", dim = 64, k = 3)) ==
         rows3(Similarity.pqTopK(e, cen, "vec_id", "embedding", 3, model))
     )
+    // nProbe=2 exercises the dedup + non-cell-local ranking branch; full
+    // rerank again equals the unquantized index at the same probes
+    assert(
+      rows3(Similarity.pqTopK(e, cen, "vec_id", "embedding", 5, model, nProbe = 2, rerank = n.toInt)) ==
+        rows3(Similarity.ivfTopK(e, cen, "vec_id", "embedding", 5, nProbe = 2))
+    )
     intercept[IllegalArgumentException] {
       Similarity.pqTopKAuto(e.filter(lit(false)), "vec_id", "embedding", 64, 3)
     }
