@@ -154,6 +154,34 @@ object Dedup {
     candidatesFromSignatures(sig, idCol, bands, rowsPerBand, maxBucketSize)
   }
 
+  /** `(id, band, bh)` rows of a signature frame — ONE generator pass
+    * emits all band rows per doc (a union of per-band selects would plan
+    * `bands` copies of the signature pipeline and bands x the codegen
+    * stages).
+    *
+    * Band key: minhash values are < p < 100000, so up to 3 rows pack
+    * INJECTIVELY into one long (base-100000 positional) — a narrow
+    * shuffle key. Wider bands key on the minhash array itself (still
+    * injective; Spark hashes/compares arrays natively). Either way
+    * matches are exactly the docs whose band vectors are equal — the
+    * encoding never changes the result, only the key width. */
+  private def bandRows(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    def bandKey(b: Int): Column =
+      if (rowsPerBand <= 3)
+        (0 until rowsPerBand)
+          .map(r => col(s"m${rowsPerBand * b + r}"))
+          .reduceLeft((acc, m) => acc * lit(100000L) + m)
+      else array((0 until rowsPerBand).map(r => col(s"m${rowsPerBand * b + r}")): _*)
+    sig
+      .select(
+        col(idCol),
+        explode(
+          array((0 until bands).map(b => struct(lit(b).as("band"), bandKey(b).as("bh"))): _*)
+        ).as("p")
+      )
+      .select(col(idCol), col("p.band").as("band"), col("p.bh").as("bh"))
+  }
+
   /** [[minhashCandidates]] over an ALREADY-COMPUTED signature frame
     * (columns m0..m{k-1} from [[minhashSignatures]]) — lets callers that
     * need the signatures again downstream (e.g. [[estimatedJaccard]])
@@ -168,29 +196,7 @@ object Dedup {
   ): DataFrame = {
     require(bands >= 1 && rowsPerBand >= 1, s"bad banding ($bands x $rowsPerBand)")
     require(maxBucketSize.forall(_ >= 2), s"maxBucketSize must be >= 2, got $maxBucketSize")
-    // ONE generator pass emits all band rows per doc — a union of per-band
-    // selects would plan `bands` copies of the signature pipeline (bands x
-    // the shingle/hash work unless exchange reuse happens to fire) and
-    // bands x the codegen stages.
-    //
-    // Band key: minhash values are < p < 100000, so up to 3 rows pack
-    // INJECTIVELY into one long (base-100000 positional) — a narrow shuffle
-    // key. Wider bands key on the minhash array itself (still injective;
-    // Spark hashes/compares arrays natively). Either way candidates are
-    // exactly the docs whose band vectors are equal — the encoding never
-    // changes the result, only the key width.
-    def bandKey(b: Int): Column =
-      if (rowsPerBand <= 3)
-        (0 until rowsPerBand)
-          .map(r => col(s"m${rowsPerBand * b + r}"))
-          .reduceLeft((acc, m) => acc * lit(100000L) + m)
-      else array((0 until rowsPerBand).map(r => col(s"m${rowsPerBand * b + r}")): _*)
-    val allBands = sig.select(
-      col(idCol),
-      explode(
-        array((0 until bands).map(b => struct(lit(b).as("band"), bandKey(b).as("bh"))): _*)
-      ).as("p")
-    ).select(col(idCol), col("p.band").as("band"), col("p.bh").as("bh"))
+    val allBands = bandRows(sig, idCol, bands, rowsPerBand)
     // Hot-bucket cap — the sum(bucket²) skew lever: a bucket of m docs
     // contributes m² candidate pairs, and one boilerplate-heavy bucket
     // (identical headers/footers across thousands of docs) dominates the
@@ -589,6 +595,63 @@ object Dedup {
         "left_semi"
       )
       .select(col(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** PARAPHRASE decontamination — drop corpus docs NEAR-DUPLICATE to any
+    * reference doc, at the DOCUMENT level: the eval item was lightly
+    * rewritten (reordered clauses, swapped sentence, edited numbers), so
+    * neither [[decontaminate]]'s whole-doc fingerprint, the exact
+    * 13-gram scrub, nor [[decontaminateFuzzy]]'s per-gram edit band
+    * catches it — but the shingle sets still overlap heavily, which is
+    * exactly what MinHash measures. The Pile/GPT-3-style fuzzy eval
+    * overlap check as an operator.
+    *
+    * Shape: both sides get k = bands·rowsPerBand MinHash signatures
+    * ([[minhashSignatures]] — one pass each); the corpus band rows die
+    * in a map-side join against the BROADCAST reference bands (eval
+    * sets are small), survivors are confirmed on the signature-estimated
+    * Jaccard (`est = |agreeing components|/k` — exact multiples of 1/k,
+    * the [[estimatedJaccard]] economics: no shingle-set re-join), and
+    * only contaminated ids shuffle into the final anti-join. Docs with
+    * fewer than 3 words have no shingles and can never paraphrase-match
+    * (verbatim copies of such docs are [[decontaminate]]'s job). */
+  def decontaminateNearDup(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5,
+      broadcastReference: Boolean = true
+  ): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1, s"bad banding ($bands x $rowsPerBand)")
+    require(
+      minEstJaccard >= 0 && minEstJaccard <= 1,
+      s"decontaminateNearDup: minEstJaccard must be in [0, 1], got $minEstJaccard"
+    )
+    val k = bands * rowsPerBand
+    require(k <= MinhashMaxK, s"bands x rowsPerBand = $k exceeds the hash-family size $MinhashMaxK")
+    val cSig = minhashSignatures(corpus, idCol, textCol, k)
+    val rSig = minhashSignatures(reference, idCol, textCol, k)
+    val cB = bandRows(cSig, idCol, bands, rowsPerBand).withColumnRenamed(idCol, "__cid")
+    val rB0 = bandRows(rSig, idCol, bands, rowsPerBand).withColumnRenamed(idCol, "__rid")
+    val rB = if (broadcastReference) broadcast(rB0) else rB0
+    val cand = cB.join(rB, Seq("band", "bh")).select("__cid", "__rid").distinct()
+    // est Jaccard from the signatures both sides already computed —
+    // integer agreement count over k, so both engines compare the exact
+    // same rational against the threshold
+    val agree = (0 until k)
+      .map(i => when(col(s"c.m$i") === col(s"r.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val rSide = if (broadcastReference) broadcast(rSig.as("r")) else rSig.as("r")
+    val contaminated = cand
+      .join(cSig.as("c"), col("__cid") === col(s"c.$idCol"))
+      .join(rSide, col("__rid") === col(s"r.$idCol"))
+      .filter(agree.cast("double") / k >= minEstJaccard)
+      .select(col("__cid").as(idCol))
       .distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }

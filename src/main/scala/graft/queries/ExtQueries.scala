@@ -3191,6 +3191,60 @@ object ExtQueries {
           )
           .orderBy("doc_id"),
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")
+    ),
+    // ------------------------------------------------------------------
+    // PARAPHRASE decontamination (Dedup.decontaminateNearDup): the eval
+    // item was lightly rewritten, so fingerprint/13-gram/per-gram-edit
+    // scrubs all miss it — document-level MinHash overlap doesn't. The
+    // reference here is the doc_id % 7 == 0 slice with three words
+    // APPENDED (a true near-dup of those corpus docs: shingle sets
+    // overlap heavily but no fingerprint or 13-gram tail matches). The
+    // oracle replays BOTH signature pipelines, the band join against the
+    // reference, the exact 1/8-quantized agreement estimate and the
+    // anti-join — survivorship is recomputed end to end.
+    Q(
+      "x109_decon_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val reference = docs
+          .filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" zzeval zzset zzcanary")).as("text"))
+        Dedup
+          .decontaminateNearDup(docs, reference, "doc_id", "text")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ref AS (SELECT doc_id, text || ' zzeval zzset zzcanary' AS text
+             |    FROM documents WHERE doc_id % 7 = 0),
+             |${shingleCteFrom("documents")},
+             |tok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashP1} AS h FROM sh),
+             |sig AS MATERIALIZED (SELECT doc_id, $minhashMins FROM tok GROUP BY 1),
+             |rtoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM ref),
+             |rsh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+             |        FROM rtoks, unnest(range(1, len(tk) - 1)) AS t(i)),
+             |rtok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashP1} AS h FROM rsh),
+             |rsig AS MATERIALIZED (SELECT doc_id, $minhashMins FROM rtok GROUP BY 1),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, m0*100000+m1 AS bh FROM sig UNION ALL
+             |  SELECT doc_id, 1, m2*100000+m3 FROM sig UNION ALL
+             |  SELECT doc_id, 2, m4*100000+m5 FROM sig UNION ALL
+             |  SELECT doc_id, 3, m6*100000+m7 FROM sig),
+             |rbands AS (
+             |  SELECT doc_id, 0 AS band, m0*100000+m1 AS bh FROM rsig UNION ALL
+             |  SELECT doc_id, 1, m2*100000+m3 FROM rsig UNION ALL
+             |  SELECT doc_id, 2, m4*100000+m5 FROM rsig UNION ALL
+             |  SELECT doc_id, 3, m6*100000+m7 FROM rsig),
+             |cand AS (SELECT DISTINCT c.doc_id AS cid, r.doc_id AS rid
+             |  FROM bands c JOIN rbands r ON c.band = r.band AND c.bh = r.bh),
+             |bad AS (SELECT DISTINCT cand.cid AS doc_id
+             |  FROM cand JOIN sig cs ON cs.doc_id = cand.cid
+             |  JOIN rsig rs ON rs.doc_id = cand.rid
+             |  WHERE CAST(${(0 until 8)
+              .map(i => s"(CASE WHEN cs.m$i = rs.m$i THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS DOUBLE) / 8 >= 0.5)
+             |SELECT doc_id, n_chars FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }

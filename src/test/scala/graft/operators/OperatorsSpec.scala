@@ -2111,6 +2111,41 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("decontaminateNearDup: paraphrased eval docs drop; unrelated and shingle-less survive") {
+    import spark.implicits._
+    val w = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (0L, w), // near-dup of the reference (reference = w + extra words)
+      (1L, w), // exact text dup of 0 — same signatures, drops too
+      (2L, (100 to 129).map(i => s"v$i").mkString(" ")), // unrelated
+      (3L, "too few"), // < 3 words: no shingles, can never match
+      (4L, (1 to 15).map(i => s"w$i").mkString(" ") + " " +
+        (200 to 214).map(i => s"u$i").mkString(" ")) // half-overlap
+    ).toDF("doc_id", "text")
+    val reference = Seq((100L, w + " zz1 zz2")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val kept = ids(Dedup.decontaminateNearDup(corpus, reference, "doc_id", "text"))
+    assert(!kept.contains(0L) && !kept.contains(1L), s"near-dups must drop: $kept")
+    assert(kept.contains(2L) && kept.contains(3L), s"unrelated/shingle-less must survive: $kept")
+    // threshold 0 keeps only docs with NO band collision at all;
+    // threshold 1 requires ALL signature components to agree
+    val strict = ids(
+      Dedup.decontaminateNearDup(corpus, reference, "doc_id", "text", minEstJaccard = 1.0)
+    )
+    assert(strict.contains(2L) && strict.contains(3L))
+    // broadcast and shuffled reference paths agree
+    assert(kept == ids(
+      Dedup.decontaminateNearDup(corpus, reference, "doc_id", "text", broadcastReference = false)
+    ))
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateNearDup(corpus, reference, "doc_id", "text", minEstJaccard = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateNearDup(corpus, reference, "doc_id", "text", bands = 0)
+    }
+  }
+
   test("decontaminateFuzzy: Levenshtein band catches drifted grams; maxDist=0 == exact") {
     import spark.implicits._
     val g = (1 to 5).map(i => s"tok$i").mkString(" ") // the 5-gram "tok1 .. tok5"
