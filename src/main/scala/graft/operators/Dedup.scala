@@ -656,6 +656,105 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** INCREMENTAL near-dup dedup — the continuous-ingestion shape. A
+    * production corpus is not deduplicated once; it grows by daily
+    * batches, and re-running whole-corpus LSH over 100 TB per batch is
+    * the thing this operator exists to avoid. The accepted corpus is
+    * represented ONLY by its persisted signature index (the
+    * [[minhashSignatures]] frame — `idCol` plus m0..m{k-1}, a few dozen
+    * bytes per accepted doc), so a batch never rescans history text:
+    *
+    *  1. the batch's band rows shuffle-join the index's band rows on the
+    *     narrow packed-long bucket key (the index side is the BIG side at
+    *     scale, so no broadcast — both sides hash-partition on `bh`);
+    *  2. candidates are confirmed on the signature-estimated Jaccard
+    *     (exact multiples of 1/k, [[estimatedJaccard]]'s economics — the
+    *     index holds no shingle sets to verify against, by design);
+    *  3. batch survivors self-dedup with [[Pipeline.cleanCorpus]]'s rule
+    *     — of each candidate pair (d1 < d2) at/above the threshold, d2
+    *     drops (exact text duplicates land here too: identical texts
+    *     have identical signatures, est = 1).
+    *
+    * Returns the surviving batch rows (all columns). The caller closes
+    * the loop by appending `minhashSignatures(survivors, ...)` to the
+    * index — signatures are deterministic, so re-deriving them from the
+    * survivor rows equals filtering the batch signature frame. Batch
+    * docs with fewer than 3 words have no shingles, hence no signature
+    * and no index entry: they always survive (exact copies of such docs
+    * are [[exact]]'s job). Index ids never collide with batch ids in a
+    * sane ingestion scheme, but nothing here assumes it — the index side
+    * only ever contributes "drop this batch id" evidence. */
+  def incrementalNearDup(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5
+  ): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1, s"bad banding ($bands x $rowsPerBand)")
+    require(
+      minEstJaccard >= 0 && minEstJaccard <= 1,
+      s"incrementalNearDup: minEstJaccard must be in [0, 1], got $minEstJaccard"
+    )
+    val k = bands * rowsPerBand
+    require(k <= MinhashMaxK, s"bands x rowsPerBand = $k exceeds the hash-family size $MinhashMaxK")
+    val sigCols = (0 until k).map(i => s"m$i")
+    val missing = sigCols.filterNot(index.columns.contains)
+    require(
+      missing.isEmpty,
+      s"incrementalNearDup: index lacks signature columns ${missing.mkString(", ")} — " +
+        s"was it built with minhashSignatures(numHashes = $k)?"
+    )
+    // persist: the batch signature frame feeds four subtrees (its band
+    // rows twice, both est-Jaccard confirms) — without materialization
+    // each would re-run the shingle+minhash scan
+    val bSig = minhashSignatures(batch, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bSig.count() // eager: concurrent consumers race a lazily-filling cache
+    val bBands = bandRows(bSig, idCol, bands, rowsPerBand)
+    val iSig = index.select(col(idCol) +: sigCols.map(col): _*)
+    val iBands = bandRows(iSig, idCol, bands, rowsPerBand)
+    def agree(l: String, r: String): Column =
+      (0 until k)
+        .map(i => when(col(s"$l.m$i") === col(s"$r.m$i"), 1).otherwise(0))
+        .reduce(_ + _)
+        .cast("double") / k
+    // vs the index: any confirmed hit drops the batch doc
+    val idxHits = bBands
+      .withColumnRenamed(idCol, "__bid")
+      .join(iBands.withColumnRenamed(idCol, "__iid"), Seq("band", "bh"))
+      .select("__bid", "__iid")
+      .distinct()
+      .join(bSig.as("c"), col("__bid") === col(s"c.$idCol"))
+      .join(iSig.as("r"), col("__iid") === col(s"r.$idCol"))
+      .filter(agree("c", "r") >= minEstJaccard)
+      .select(col("__bid").as(idCol))
+      .distinct()
+    // within the batch: of each (d1 < d2) confirmed pair, d2 drops —
+    // independent of the index check, so the two drop sets compose
+    // order-free (a doc shadowed by an index-rejected earlier doc still
+    // drops: its content matches something that matched history)
+    val selfDrops = bBands
+      .as("a")
+      .join(
+        bBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$idCol") < col(s"b.$idCol")
+      )
+      .select(col(s"a.$idCol").as("__d1"), col(s"b.$idCol").as("__d2"))
+      .distinct()
+      .join(bSig.as("c"), col("__d1") === col(s"c.$idCol"))
+      .join(bSig.as("r"), col("__d2") === col(s"r.$idCol"))
+      .filter(agree("c", "r") >= minEstJaccard)
+      .select(col("__d2").as(idCol))
+      .distinct()
+    // no distinct on the union: the anti-join is insensitive to duplicate
+    // drop ids, and a distinct would be one more full exchange
+    batch.join(idxHits.union(selfDrops), Seq(idCol), "left_anti")
+  }
+
   /** Bloom-prefiltered decontamination — the 100 TB shape when the
     * reference set is too large to broadcast AND shuffling the whole
     * corpus for an anti-join is the bottleneck. Built on the SAME

@@ -2146,6 +2146,42 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("incrementalNearDup: index hits and within-batch d2 drop; index update closes the loop") {
+    import spark.implicits._
+    val w = (1 to 30).map(i => s"w$i").mkString(" ")
+    val v = (100 to 129).map(i => s"v$i").mkString(" ")
+    val history = Seq((0L, w)).toDF("doc_id", "text")
+    val index = Dedup.minhashSignatures(history, "doc_id", "text", 8)
+    val batch = Seq(
+      (10L, w + " zz1 zz2"), // near-dup of indexed doc 0 — index hit
+      (11L, v), // novel — survives
+      (12L, v), // exact dup of 11 within the batch — d2 of the pair, drops
+      (13L, "too few") // shingle-less: no signature, always survives
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val survivors = Dedup.incrementalNearDup(batch, index, "doc_id", "text")
+    assert(ids(survivors) == Seq(11L, 13L))
+    // closing the loop: appending survivor signatures makes batch-2 near-dups
+    // of batch-1 survivors die against the UPDATED index
+    val index2 = index.union(Dedup.minhashSignatures(survivors, "doc_id", "text", 8))
+    val batch2 = Seq((20L, v + " zz3 zz4"), (21L, "fresh unrelated " + (1 to 28).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(ids(Dedup.incrementalNearDup(batch2, index2, "doc_id", "text")) == Seq(21L))
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(batch, index, "doc_id", "text", minEstJaccard = -0.1)
+    }
+    // an index built at a different k refuses loudly
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(
+        batch,
+        Dedup.minhashSignatures(history, "doc_id", "text", 4),
+        "doc_id",
+        "text"
+      )
+    }
+  }
+
   test("decontaminateFuzzy: Levenshtein band catches drifted grams; maxDist=0 == exact") {
     import spark.implicits._
     val g = (1 to 5).map(i => s"tok$i").mkString(" ") // the 5-gram "tok1 .. tok5"
