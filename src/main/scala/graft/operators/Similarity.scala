@@ -1465,6 +1465,78 @@ object Similarity {
     rankTopKCellLocal(sims, k)
   }
 
+  /** SemDeDup (Abbas, Tirumala et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication — drop rows whose EMBEDDINGS are near-identical even
+    * when their text is not (translations, templated rewrites,
+    * paraphrases that evade MinHash shingle overlap). k-means cells
+    * bound the pairwise work exactly as in [[ivfTopK]]: cosine is scored
+    * ONLY within a cell (sum(cell²) pairs, never N²; √N cells), on the
+    * 6-dp-rounded value both engines agree on. Of each confirmed
+    * (d1 < d2) pair, d2 drops — the library-wide deterministic keep rule
+    * ([[graft.operators.Pipeline.cleanCorpus]]'s); the paper keeps the
+    * member farthest from its centroid, a float-ranked pick that flips
+    * on ties and re-runs, while the id rule drops the same CLUSTERS and
+    * is exactly replayable.
+    *
+    * Like the paper's pipeline, the cell boundary is an approximation:
+    * a pair split across cells is never scored, so rare boundary dups
+    * may survive — nothing ever false-drops. `iters = 0` keeps the
+    * deterministic first-√N-by-id seeding (SQL-replayable); a few Lloyd
+    * iterations tighten the cells without changing the contract.
+    * Zero-norm vectors have no defined cosine: they take no cell and
+    * always survive. */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      iters: Int = 0
+  ): DataFrame = {
+    require(
+      threshold >= -1 && threshold <= 1,
+      s"semDedup: threshold must be a cosine in [-1, 1], got $threshold"
+    )
+    val n = df.count()
+    require(n > 0, "semDedup: empty input")
+    val nCells = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+    val cen = kmeansFit(df, idCol, vecCol, nCells, iters).select(
+      col("cen_id"),
+      col("cen_v"),
+      sqrt(vecDot(col("cen_v"), col("cen_v"))).as("cen_n")
+    )
+    val base = df
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm")
+      )
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    val sim = when(
+      col("nrm") > 0 && col("cen_n") > 0,
+      round(vecDot(col("v"), col("cen_v")) / (col("nrm") * col("cen_n")), 6)
+    )
+    val assigned = base
+      .join(broadcast(cen), lit(true))
+      .select(col("id"), col("v"), col("nrm"), PackedArgmax.encode(sim, col("cen_id")).as("enc"))
+      .groupBy("id")
+      .agg(max(col("enc")).as("m"), first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("id"), col("v"), col("nrm"), PackedArgmax.decodeId(col("m")).as("cell"))
+    val a = assigned.select(col("id").as("d1"), col("v").as("v1"), col("nrm").as("n1"), col("cell"))
+    val b = assigned.select(col("id").as("d2"), col("v").as("v2"), col("nrm").as("n2"), col("cell"))
+    val pair = when(
+      col("n1") > 0 && col("n2") > 0,
+      round(vecDot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
+    )
+    val drops = a
+      .join(b, Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d2"), pair.as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("d2").as(idCol))
+      .distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** [[pqTopK]] with the IVF cell count AND the PQ codebook derived from
     * the corpus — the [[ivfTopKAuto]] ergonomics for the quantized
     * index: one `count()` sizes `nCells = floor(√N)`, [[kmeansFit]]

@@ -3323,6 +3323,63 @@ object ExtQueries {
            |  AND doc_id NOT IN (SELECT doc_id FROM sdrop)
            |ORDER BY doc_id""".stripMargin
       }
+    ),
+    // ------------------------------------------------------------------
+    // SemDeDup (Similarity.semDedup, Abbas et al. 2023): semantic dedup
+    // over embeddings — √N k-means cells bound the pairwise cosine, of
+    // each within-cell (d1 < d2) pair at/above the threshold d2 drops.
+    // The corpus has no high-cosine pairs (max pairwise 0.513), so the
+    // query plants them: the %9 slice re-enters at id+1e9 scaled by 2.0
+    // — DOUBLING is exact in binary FP and commutes with every rounding
+    // step, so the copy lands in the SAME cell with cosine round6 1.0
+    // by construction, not hope. The oracle replays seeding (first-√N
+    // by id), the argmax assignment (sim DESC, cen_id ASC — the
+    // PackedArgmax contract), the within-cell confirm and the
+    // anti-join.
+    Q(
+      "x111_semdedup",
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+        // x * 2.0f is EXACT in float (exponent bump, no mantissa rounding),
+        // so the double the oracle computes from the planted floats equals
+        // 2.0 * its double of the originals — both engines see the same reals
+        val planted = e
+          .filter(col("vec_id") % 9 === 0)
+          .select(
+            (col("vec_id") + lit(1000000000L)).as("vec_id"),
+            transform(col("v"), x => x * lit(2.0f)).as("v")
+          )
+        Similarity
+          .semDedup(e.union(planted), "vec_id", "v", 0.95)
+          .select(col("vec_id"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |u AS MATERIALIZED (
+             |  SELECT vec_id, v FROM base
+             |  UNION ALL
+             |  SELECT vec_id + 1000000000, list_transform(v, x -> x * 2.0)
+             |  FROM base WHERE vec_id % 9 = 0),
+             |nl AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM u),
+             |cen AS MATERIALIZED (SELECT rk - 1 AS cen_id, cv FROM (
+             |    SELECT v AS cv, row_number() OVER (ORDER BY vec_id) AS rk FROM u) t, nl
+             |  WHERE rk <= nlist),
+             |score AS (SELECT u.vec_id, cen.cen_id,
+             |  round(list_dot_product(u.v, cen.cv)
+             |    / (sqrt(list_dot_product(u.v, u.v)) * sqrt(list_dot_product(cen.cv, cen.cv))), 6) AS sim
+             |  FROM u CROSS JOIN cen),
+             |asg AS MATERIALIZED (SELECT vec_id, cen_id AS cell FROM (
+             |  SELECT vec_id, cen_id,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cen_id) AS r
+             |  FROM score) t WHERE r = 1),
+             |drops AS (SELECT DISTINCT b.vec_id
+             |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  JOIN u q ON q.vec_id = a.vec_id JOIN u c ON c.vec_id = b.vec_id
+             |  WHERE round(list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.95)
+             |SELECT vec_id FROM u
+             |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+             |ORDER BY vec_id""".stripMargin)
     )
   )
 }

@@ -2013,6 +2013,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("semDedup: same-direction vectors drop d2-side; distinct and zero vectors survive") {
+    import spark.implicits._
+    // n=6 -> floor(sqrt(6))=2 cells seeded by ids 0 and 1 (iters=0):
+    // cell 0 ~ x-axis, cell 1 ~ y-axis
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f)), // same direction as 0 -> cos 1.0, drops
+      (3L, Array(0.0f, 3.0f, 0.0f)), // same direction as 1 -> drops
+      (4L, Array(0.9f, 0.1f, 0.0f)), // cell 0, cos(v0,v4)=0.9939 < 0.999 -> survives
+      (5L, Array(0.0f, 0.0f, 0.0f)) // zero norm: no cell, always survives
+    ).toDF("vec_id", "v")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids(Similarity.semDedup(vecs, "vec_id", "v", 0.999)) == Seq(0L, 1L, 4L, 5L))
+    // at 0.99 the 0.9939 pair is a duplicate too -> 4 drops as the larger id
+    assert(ids(Similarity.semDedup(vecs, "vec_id", "v", 0.99)) == Seq(0L, 1L, 5L))
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(vecs, "vec_id", "v", 1.5)
+    }
+  }
+
   test("hardNegatives: different-label only; filter inside the cell join, not after ranking") {
     import spark.implicits._
     val e = t(spark, sfTiny, "embeddings")
