@@ -50,6 +50,12 @@
 #                       APPROXIMATE ADC top-50 cut and come back rank 1 /
 #                       sim 1.0 after exact rerank; reports ADC-vs-float
 #                       wall/shuffle and the codes-vs-float index bytes
+#   4e. incr-planted  — incremental near-dup dedup against a 2M-signature
+#                       persisted index with a 200k batch: planted
+#                       exact-copy truth (index hits + within-batch d2)
+#                       must be recovered exactly at 8/8 agreement; the
+#                       gate that exposed the degenerate minhash family
+#                       (see Dedup.MinhashAs scaladoc)
 #   5. cc-telemetry   — per-round connected-components job telemetry on the
 #                       sf0.1 documents table (round count + shuffle sizes)
 # Each step FAILS LOUDLY (require/assert inside the Spike mains) — a silent
@@ -61,6 +67,7 @@ sbt -batch "runMain graft.tools.Spike zarr-zonemap"   2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike zarr-hier"      2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike zarr-deferred-str" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike x41-planted 500000" 2>&1 | grep -E '\[spike\]'
+sbt -batch "runMain graft.tools.Spike incr-planted 2000000 200000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike pagerank-planted" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike media-planted 100000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike x60-planted 1000000" 2>&1 | grep -E '\[spike\]'

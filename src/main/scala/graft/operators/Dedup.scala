@@ -89,11 +89,29 @@ object Dedup {
     * arithmetic identical in Spark and the SQL oracle). The first 8
     * coefficients are the fixed values the oracles pin; [[minhashA]] /
     * [[minhashB]] extend the family splittably (pure function of the index,
-    * no RNG state) so any `numHashes` up to [[MinhashMaxK]] is available. */
-  val MinhashAs: Seq[Int] = Seq(7, 131, 257, 389, 521, 653, 787, 919)
-  val MinhashBs: Seq[Int] = Seq(11, 17, 23, 29, 31, 37, 41, 43)
-  val MinhashP1 = 100003
+    * no RNG state) so any `numHashes` up to [[MinhashMaxK]] is available.
+    *
+    * The multipliers MUST be large and mixed, and the shingle-hash domain
+    * MUST be [1, p-1] — both learned the hard way (`Spike incr-planted` at
+    * 2.2M docs). The original family reduced shingle hashes mod 100003 >
+    * p = 99991 with multipliers 7..919: h = 0 mapped to the constant b_i
+    * under EVERY permutation, values in [99991, 100003) aliased to 0..11,
+    * and for any h below ~p/919 no permutation ever wrapped, so a_i·h+b_i
+    * was monotone in h across ALL components — any two docs sharing one
+    * small-enough shingle hash (p ≈ 1e-6/pair) got FULLY IDENTICAL
+    * signatures regardless of content. Invisible at oracle scale, ~17k
+    * false duplicate pairs at 2M x 200k (and one giant band bucket — a
+    * skew bomb). With h in [1, p-1] and large mixed multipliers every
+    * permutation wraps many times over the domain, so a shared shingle
+    * can only win a component's min with p ≈ (1/|A|)(1/|B|) independently
+    * per component. */
+  val MinhashAs: Seq[Int] = Seq(45007, 28411, 61981, 83777, 17093, 92503, 37889, 70589)
+  val MinhashBs: Seq[Int] = Seq(21011, 47303, 9209, 88873, 30259, 65537, 54013, 77351)
   val MinhashP2 = 99991
+
+  /** Shingle hashes reduce to [1, [[MinhashP2]] - 1] — `h % (p-1) + 1`:
+    * never 0 (the affine fixed point) and never >= p (no aliasing). */
+  val MinhashHashMod: Int = MinhashP2 - 1
   val MinhashMaxK = 512
 
   /** i-th multiplier: fixed table below 8, derived (odd-ish, in [1, p-1])
@@ -119,7 +137,7 @@ object Dedup {
     // set, so skipping the distinct drops a full shuffle of shingle STRINGS —
     // the map-side partial aggregate is the only thing that touches them.
     val sh = shingleRowsRaw(spread(docs, idCol), idCol, textCol, 3)
-    val tok = sh.select(col(idCol), (tokenHash60(col("s")) % MinhashP1).as("h"))
+    val tok = sh.select(col(idCol), (tokenHash60(col("s")) % MinhashHashMod + 1).as("h"))
     tok
       .groupBy(col(idCol))
       .agg(graft.functions.MinHashAggFunctions.minhashSig(col("h"), numHashes).as("sig"))
@@ -683,7 +701,20 @@ object Dedup {
     * and no index entry: they always survive (exact copies of such docs
     * are [[exact]]'s job). Index ids never collide with batch ids in a
     * sane ingestion scheme, but nothing here assumes it — the index side
-    * only ever contributes "drop this batch id" evidence. */
+    * only ever contributes "drop this batch id" evidence.
+    *
+    * Threshold choice at scale (measured, `Spike incr-planted`): the
+    * estimate's noise floor is set by the shingle-hash space
+    * ([[MinhashHashMod]] ≈ 1e5 values). Two UNRELATED docs share a hash
+    * with p ≈ |A||B|/1e5, the shared value leaks ~1/(|A|+|B|-1) of true
+    * Jaccard into the signatures, and with the default k = 8 the
+    * Binomial(8, 1/19) tail reaches a 0.5 threshold at ~5e-7 per pair —
+    * invisible at 60k docs, thousands of false drops across a 2M x 200k
+    * batch-index join. Exact-ingestion workloads should run
+    * `minEstJaccard >= 0.9` (all components must agree; full-signature
+    * coincidence is ~(1/|A||B|)^k per shared hash — negligible at any
+    * scale); paraphrase-tolerant workloads should raise k so the
+    * binomial tail thins. */
   def incrementalNearDup(
       batch: DataFrame,
       index: DataFrame,

@@ -243,7 +243,7 @@ object ExtQueries {
   /** MinHash bands CTEs (shared by x03 and the x22 pipeline oracle);
     * expects `sh` in scope. */
   private val minhashCtes =
-    s"""tok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashP1} AS h FROM sh),
+    s"""tok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashHashMod} + 1 AS h FROM sh),
        |sig AS (SELECT doc_id, $minhashMins FROM tok GROUP BY 1),
        |bands AS (
        |  SELECT doc_id, 0 AS band, m0*100000+m1 AS bh FROM sig UNION ALL
@@ -3217,12 +3217,12 @@ object ExtQueries {
       Some(s"""WITH ref AS (SELECT doc_id, text || ' zzeval zzset zzcanary' AS text
              |    FROM documents WHERE doc_id % 7 = 0),
              |${shingleCteFrom("documents")},
-             |tok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashP1} AS h FROM sh),
+             |tok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashHashMod} + 1 AS h FROM sh),
              |sig AS MATERIALIZED (SELECT doc_id, $minhashMins FROM tok GROUP BY 1),
              |rtoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM ref),
              |rsh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
              |        FROM rtoks, unnest(range(1, len(tk) - 1)) AS t(i)),
-             |rtok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashP1} AS h FROM rsh),
+             |rtok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashHashMod} + 1 AS h FROM rsh),
              |rsig AS MATERIALIZED (SELECT doc_id, $minhashMins FROM rtok GROUP BY 1),
              |bands AS (
              |  SELECT doc_id, 0 AS band, m0*100000+m1 AS bh FROM sig UNION ALL
@@ -3287,12 +3287,12 @@ object ExtQueries {
            |htoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM hist),
            |hsh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
            |        FROM htoks, unnest(range(1, len(tk) - 1)) AS t(i)),
-           |htok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashP1} AS h FROM hsh),
+           |htok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashHashMod} + 1 AS h FROM hsh),
            |hsig AS MATERIALIZED (SELECT doc_id, $minhashMins FROM htok GROUP BY 1),
            |btoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM bat),
            |bsh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
            |        FROM btoks, unnest(range(1, len(tk) - 1)) AS t(i)),
-           |btok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashP1} AS h FROM bsh),
+           |btok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashHashMod} + 1 AS h FROM bsh),
            |bsig AS MATERIALIZED (SELECT doc_id, $minhashMins FROM btok GROUP BY 1),
            |hbands AS (
            |  SELECT doc_id, 0 AS band, m0*100000+m1 AS bh FROM hsig UNION ALL

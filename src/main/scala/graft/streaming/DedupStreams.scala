@@ -159,7 +159,7 @@ object DedupStreams {
           )
       )
     ).otherwise(array().cast("array<string>"))
-    val hs = transform(shingles, s => Dedup.tokenHash60(s) % lit(Dedup.MinhashP1))
+    val hs = transform(shingles, s => Dedup.tokenHash60(s) % lit(Dedup.MinhashHashMod) + lit(1L))
     array((0 until k).map { i =>
       coalesce(
         array_min(

@@ -856,6 +856,94 @@ object Spike {
     * closed-form gate must not depend on that recall). Expected components:
     * every planted member labels to its group's min id 8g; singletons never
     * appear. Verified by distributed anti-joins — no collect, no DuckDB. */
+  /** Scale gate for Dedup.incrementalNearDup — the continuous-ingestion
+    * mechanics at a size where the design choices matter: the history
+    * signature INDEX (nHistory docs, ~80 B/row) is far above any
+    * broadcast budget, so the batch band rows must meet it in a shuffle
+    * join; the batch is 10x smaller, the daily-drop shape. Planted truth
+    * is EXACT-duplicate only (jaccard 1 ⇒ every band matches and est = 1
+    * — deterministic at any banding; the NEAR path's recall is
+    * probabilistic by design and is correctness-gated by x110's full
+    * replay instead).
+    *
+    * The gate runs at minEstJaccard = 0.9 (with k = 8 that means ALL 8
+    * components agree), and the reasons are themselves scale findings
+    * this gate produced. First, a real BUG: the original hash family
+    * reduced shingle hashes mod 100003 > p = 99991 with multipliers
+    * 7..919 — h = 0 was a fixed point of every permutation and small h
+    * never wrapped any of them, so two docs sharing one small shingle
+    * hash got FULLY IDENTICAL signatures regardless of content (~17k
+    * false pairs at 2M x 200k; fixed in Dedup.MinhashAs/MinhashHashMod,
+    * see the scaladoc there). Second, the irreducible floor: two
+    * UNRELATED docs share a hash with p ≈ |A||B|/1e5 (1e-3 for
+    * 10-shingle docs), the shared value leaks a true Jaccard of ~1/19
+    * into the signatures, and Binomial(8, 1/19) reaches 4/8 often
+    * enough (~5e-7/pair) that a 0.5 threshold false-drops thousands of
+    * docs across the 4e11 batch x index pairs. At 8/8 a shared hash
+    * must win the min for both docs under all 8 permutations —
+    * negligible at any scale. Batch group g = 4 ids: r=0 copies history doc
+    * (7g % nHistory) → index drop; r=1 unique → survives; r=2 unique →
+    * survives; r=3 copies r=2's text (larger id) → self-dedup drop.
+    * Expected survivors = exactly the r∈{1,2} half, verified by
+    * distributed anti-joins in both directions — no collect, no DuckDB. */
+  private def incrPlanted(
+      spark: org.apache.spark.sql.SparkSession,
+      nHistory: Long,
+      nBatch: Long
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    val nB = nBatch - nBatch % 4 // whole groups only
+    def words(tag: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat_ws(" ", (0 until 12).map(j => concat(tag, lit(s"w$j"))): _*)
+    val hist = spark
+      .range(nHistory)
+      .select(col("id").as("doc_id"), words(concat(lit("h"), col("id"))).as("text"))
+    val t0 = System.nanoTime()
+    val index = graft.operators.Dedup
+      .minhashSignatures(hist, "doc_id", "text", 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxRows = index.count()
+    val tIdx = (System.nanoTime() - t0) / 1e9
+    val off = col("id") - nHistory
+    val g = (off / 4).cast("long")
+    val r = off % 4
+    val batch = spark
+      .range(nHistory, nHistory + nB)
+      .select(
+        col("id").as("doc_id"),
+        when(r === 0, words(concat(lit("h"), (g * 7) % nHistory)))
+          .when(r === 1, words(concat(lit("b"), g)))
+          .otherwise(words(concat(lit("u"), g)))
+          .as("text"),
+        r.as("r")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batch.count()
+    val t1 = System.nanoTime()
+    val survivors = graft.operators.Dedup
+      .incrementalNearDup(
+        batch.select("doc_id", "text"),
+        index,
+        "doc_id",
+        "text",
+        minEstJaccard = 0.9 // see scaladoc: the est-noise floor of the 1e5 hash space
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSurv = survivors.count()
+    val tRun = (System.nanoTime() - t1) / 1e9
+    val expected = batch.filter(col("r").isin(1, 2)).select("doc_id")
+    val missing = expected.join(survivors, Seq("doc_id"), "left_anti").count()
+    val extra = survivors.join(expected, Seq("doc_id"), "left_anti").count()
+    println(
+      f"[spike] incr-planted: index=$idxRows sigs (built $tIdx%.1fs), batch=$nB, " +
+        f"survivors=$nSurv (expected ${nB / 2}) in $tRun%.1fs — missing=$missing extra=$extra"
+    )
+    require(
+      missing == 0 && extra == 0 && nSurv == nB / 2,
+      s"incr-planted FAILED: missing=$missing extra=$extra survivors=$nSurv expected=${nB / 2}"
+    )
+  }
+
   private def x41Planted(spark: org.apache.spark.sql.SparkSession, nDocs: Long): Unit = {
     import org.apache.spark.sql.functions._
     val n = nDocs - nDocs % 8 // whole groups only: keeps the closed form exact
@@ -1670,6 +1758,14 @@ object Spike {
     }
     if (args.nonEmpty && args(0) == "x41-planted") {
       x41Planted(spark, if (args.length > 1) args(1).toLong else 500000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "incr-planted") {
+      incrPlanted(
+        spark,
+        if (args.length > 1) args(1).toLong else 2000000L,
+        if (args.length > 2) args(2).toLong else 200000L
+      )
       spark.stop(); return
     }
     if (args.nonEmpty && args(0) == "x60-planted") {

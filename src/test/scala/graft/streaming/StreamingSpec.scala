@@ -349,6 +349,60 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(got == want && got.nonEmpty)
   }
 
+  test("incrementalNearDup under foreachBatch: growing index across micro-batches == sequential replay") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    // The operator's real deployment shape: each micro-batch dies against
+    // the index of everything accepted SO FAR, survivors' signatures are
+    // appended (in production a Delta/parquet MERGE; here a driver var +
+    // localCheckpoint to truncate lineage), and acceptance decisions made
+    // in batch n are visible to batch n+1. foreachBatch is the documented
+    // home for exactly this read-modify-write-a-table pattern.
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (100 to 129).map(i => s"b$i").mkString(" ")
+    val c = (200 to 229).map(i => s"c$i").mkString(" ")
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((0L, a), (1L, a)), // 1 is an exact within-batch dup of 0
+      Seq((10L, a + " zz1 zz2"), (11L, b), (12L, b)), // 10 near-dups the INDEXED 0
+      Seq((20L, b), (21L, c)) // 20 exact-copies survivor 11 from the PRIOR batch
+    )
+    val emptyIndex = Dedup
+      .minhashSignatures(Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", 8)
+    def step(index: DataFrame, batch: DataFrame): (DataFrame, Seq[Long]) = {
+      val surv = Dedup.incrementalNearDup(batch, index, "doc_id", "text")
+      val nextIndex = index.union(Dedup.minhashSignatures(surv, "doc_id", "text", 8)).localCheckpoint()
+      (nextIndex, surv.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted)
+    }
+    // sequential ground truth over the static frames
+    val expected = batches
+      .scanLeft((emptyIndex, Seq.empty[Long])) { case ((idx, _), rows) =>
+        step(idx, rows.toDF("doc_id", "text"))
+      }
+      .drop(1)
+      .flatMap(_._2)
+    assert(expected == Seq(0L, 11L, 21L), s"planted truth drifted: $expected")
+    // streamed: one MemoryStream batch at a time through foreachBatch
+    val mem =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    var index = emptyIndex
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = mem
+      .toDF()
+      .toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val (next, ids) = step(index, df)
+        index = next
+        accepted ++= ids
+        ()
+      }
+      .start()
+    try batches.foreach { rows => mem.addData(rows); q.processAllAvailable() }
+    finally q.stop()
+    assert(accepted.toSeq == expected, s"streamed $accepted != sequential $expected")
+  }
+
   test("nearDupStream: streamed LSH near-dup removal, planted dups straddling micro-batches") {
     import graft.streaming.DedupStreams
     // transformWithState prerequisite
@@ -463,7 +517,9 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
         if (w.length < 3) None
         else {
           val hs = (0 to w.length - 3)
-            .map(i => tokenHash60(s"${w(i)} ${w(i + 1)} ${w(i + 2)}") % graft.operators.Dedup.MinhashP1)
+            .map(i =>
+              tokenHash60(s"${w(i)} ${w(i + 1)} ${w(i + 2)}") % graft.operators.Dedup.MinhashHashMod + 1
+            )
           Some((0 until 8).map { i =>
             hs.map(h =>
               (graft.operators.Dedup.minhashA(i) * h + graft.operators.Dedup.minhashB(i)) %
