@@ -738,6 +738,33 @@ object Dedup {
       s"incrementalNearDup: index lacks signature columns ${missing.mkString(", ")} — " +
         s"was it built with minhashSignatures(numHashes = $k)?"
     )
+    val (idxEvidence, selfEvidence) =
+      incrementalDropEvidence(batch, index, idCol, textCol, bands, rowsPerBand, minEstJaccard)
+    // no distinct on the union: the anti-join is insensitive to duplicate
+    // drop ids, and a distinct would be one more full exchange
+    batch.join(
+      idxEvidence.select(col("__did").as(idCol)).union(selfEvidence.select(col("__did").as(idCol))),
+      Seq(idCol),
+      "left_anti"
+    )
+  }
+
+  /** Confirmed drop evidence shared by [[incrementalNearDup]] and
+    * [[incrementalNearDupAudit]]: two `(__did, __partner)` frames — batch
+    * docs killed by an index hit, and batch docs shadowed by a smaller-id
+    * batch doc. Pair-level (one row per confirmed pair, deduped), so the
+    * audit can pick representatives without re-running the pipeline. */
+  private def incrementalDropEvidence(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int,
+      rowsPerBand: Int,
+      minEstJaccard: Double
+  ): (DataFrame, DataFrame) = {
+    val k = bands * rowsPerBand
+    val sigCols = (0 until k).map(i => s"m$i")
     // persist: the batch signature frame feeds four subtrees (its band
     // rows twice, both est-Jaccard confirms) — without materialization
     // each would re-run the shingle+minhash scan
@@ -753,7 +780,7 @@ object Dedup {
         .reduce(_ + _)
         .cast("double") / k
     // vs the index: any confirmed hit drops the batch doc
-    val idxHits = bBands
+    val idxEvidence = bBands
       .withColumnRenamed(idCol, "__bid")
       .join(iBands.withColumnRenamed(idCol, "__iid"), Seq("band", "bh"))
       .select("__bid", "__iid")
@@ -761,13 +788,12 @@ object Dedup {
       .join(bSig.as("c"), col("__bid") === col(s"c.$idCol"))
       .join(iSig.as("r"), col("__iid") === col(s"r.$idCol"))
       .filter(agree("c", "r") >= minEstJaccard)
-      .select(col("__bid").as(idCol))
-      .distinct()
+      .select(col("__bid").as("__did"), col("__iid").as("__partner"))
     // within the batch: of each (d1 < d2) confirmed pair, d2 drops —
     // independent of the index check, so the two drop sets compose
     // order-free (a doc shadowed by an index-rejected earlier doc still
     // drops: its content matches something that matched history)
-    val selfDrops = bBands
+    val selfEvidence = bBands
       .as("a")
       .join(
         bBands.as("b"),
@@ -779,11 +805,52 @@ object Dedup {
       .join(bSig.as("c"), col("__d1") === col(s"c.$idCol"))
       .join(bSig.as("r"), col("__d2") === col(s"r.$idCol"))
       .filter(agree("c", "r") >= minEstJaccard)
-      .select(col("__d2").as(idCol))
-      .distinct()
-    // no distinct on the union: the anti-join is insensitive to duplicate
-    // drop ids, and a distinct would be one more full exchange
-    batch.join(idxHits.union(selfDrops), Seq(idCol), "left_anti")
+      .select(col("__d2").as("__did"), col("__d1").as("__partner"))
+    (idxEvidence, selfEvidence)
+  }
+
+  /** Drop LEDGER for [[incrementalNearDup]] — production dedup needs
+    * provenance beside the survivor set: WHICH batch docs dropped, WHY,
+    * and against WHOM (the audit trail a curation pipeline reports, and
+    * the first thing a data owner asks when their document disappears).
+    * One row per (dropped doc, reason): `(idCol, reason, partner)` with
+    * `reason` ∈ {'index', 'batch'} and `partner` the SMALLEST qualifying
+    * partner id of that reason — deterministic, so the ledger is
+    * replayable and diffable across runs. A doc killed by both an index
+    * hit and a within-batch shadow carries both rows (they answer
+    * different operational questions: re-ingest dedup vs upstream
+    * duplication). Same evidence frames as [[incrementalNearDup]] — the
+    * survivor set is exactly the batch minus this ledger's distinct ids. */
+  def incrementalNearDupAudit(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5
+  ): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1, s"bad banding ($bands x $rowsPerBand)")
+    require(
+      minEstJaccard >= 0 && minEstJaccard <= 1,
+      s"incrementalNearDupAudit: minEstJaccard must be in [0, 1], got $minEstJaccard"
+    )
+    val k = bands * rowsPerBand
+    require(k <= MinhashMaxK, s"bands x rowsPerBand = $k exceeds the hash-family size $MinhashMaxK")
+    val sigCols = (0 until k).map(i => s"m$i")
+    val missing = sigCols.filterNot(index.columns.contains)
+    require(
+      missing.isEmpty,
+      s"incrementalNearDupAudit: index lacks signature columns ${missing.mkString(", ")} — " +
+        s"was it built with minhashSignatures(numHashes = $k)?"
+    )
+    val (idxEvidence, selfEvidence) =
+      incrementalDropEvidence(batch, index, idCol, textCol, bands, rowsPerBand, minEstJaccard)
+    def ledger(ev: DataFrame, reason: String): DataFrame =
+      ev.groupBy(col("__did"))
+        .agg(min(col("__partner")).as("partner"))
+        .select(col("__did").as(idCol), lit(reason).as("reason"), col("partner"))
+    ledger(idxEvidence, "index").union(ledger(selfEvidence, "batch"))
   }
 
   /** Bloom-prefiltered decontamination — the 100 TB shape when the

@@ -3380,6 +3380,78 @@ object ExtQueries {
              |SELECT vec_id FROM u
              |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
              |ORDER BY vec_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Incremental-dedup drop LEDGER (Dedup.incrementalNearDupAudit): the
+    // provenance trail beside x110's survivor set — which batch docs
+    // dropped, why ('index' hit vs within-'batch' shadow), and against
+    // whom (smallest qualifying partner — deterministic and diffable).
+    // Same corpus construction as x110; the oracle replays the evidence
+    // pipelines and aggregates min(partner) per (doc, reason).
+    Q(
+      "x112_incr_ledger",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val index =
+          Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", 8)
+        val batch = docs
+          .filter(col("doc_id") % 3 =!= 0)
+          .withColumn(
+            "text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" zinc zbatch znew")))
+              .otherwise(col("text"))
+          )
+        Dedup
+          .incrementalNearDupAudit(batch, index, "doc_id", "text")
+          .orderBy("doc_id", "reason")
+      },
+      Some {
+        def agree(l: String, r: String) =
+          s"CAST(${(0 until 8)
+              .map(i => s"(CASE WHEN $l.m$i = $r.m$i THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS DOUBLE) / 8 >= 0.5"
+        s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+           |bat AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 5 = 0 THEN text || ' zinc zbatch znew' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 3 <> 0),
+           |htoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM hist),
+           |hsh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+           |        FROM htoks, unnest(range(1, len(tk) - 1)) AS t(i)),
+           |htok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashHashMod} + 1 AS h FROM hsh),
+           |hsig AS MATERIALIZED (SELECT doc_id, $minhashMins FROM htok GROUP BY 1),
+           |btoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM bat),
+           |bsh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+           |        FROM btoks, unnest(range(1, len(tk) - 1)) AS t(i)),
+           |btok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashHashMod} + 1 AS h FROM bsh),
+           |bsig AS MATERIALIZED (SELECT doc_id, $minhashMins FROM btok GROUP BY 1),
+           |hbands AS (
+           |  SELECT doc_id, 0 AS band, m0*100000+m1 AS bh FROM hsig UNION ALL
+           |  SELECT doc_id, 1, m2*100000+m3 FROM hsig UNION ALL
+           |  SELECT doc_id, 2, m4*100000+m5 FROM hsig UNION ALL
+           |  SELECT doc_id, 3, m6*100000+m7 FROM hsig),
+           |bbands AS (
+           |  SELECT doc_id, 0 AS band, m0*100000+m1 AS bh FROM bsig UNION ALL
+           |  SELECT doc_id, 1, m2*100000+m3 FROM bsig UNION ALL
+           |  SELECT doc_id, 2, m4*100000+m5 FROM bsig UNION ALL
+           |  SELECT doc_id, 3, m6*100000+m7 FROM bsig),
+           |icand AS (SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+           |  FROM bbands b JOIN hbands h ON b.band = h.band AND b.bh = h.bh),
+           |iled AS (SELECT icand.bid AS doc_id, MIN(icand.hid) AS partner
+           |  FROM icand JOIN bsig cs ON cs.doc_id = icand.bid
+           |  JOIN hsig rs ON rs.doc_id = icand.hid
+           |  WHERE ${agree("cs", "rs")} GROUP BY 1),
+           |scand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bbands a JOIN bbands b
+           |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |sled AS (SELECT scand.d2 AS doc_id, MIN(scand.d1) AS partner
+           |  FROM scand JOIN bsig cs ON cs.doc_id = scand.d1
+           |  JOIN bsig rs ON rs.doc_id = scand.d2
+           |  WHERE ${agree("cs", "rs")} GROUP BY 1)
+           |SELECT doc_id, 'index' AS reason, partner FROM iled
+           |UNION ALL
+           |SELECT doc_id, 'batch' AS reason, partner FROM sled
+           |ORDER BY doc_id, reason""".stripMargin
+      }
     )
   )
 }

@@ -2202,6 +2202,15 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
         "text"
       )
     }
+    // the drop ledger: reason + smallest qualifying partner per drop, and
+    // survivors == batch minus the ledger's distinct ids
+    val ledger = Dedup
+      .incrementalNearDupAudit(batch, index, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(ledger == Set((10L, "index", 0L), (12L, "batch", 11L)), s"ledger: $ledger")
+    assert(ids(survivors) == Seq(11L, 13L))
   }
 
   test("decontaminateFuzzy: Levenshtein band catches drifted grams; maxDist=0 == exact") {
