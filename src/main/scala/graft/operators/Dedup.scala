@@ -371,6 +371,89 @@ object Dedup {
     maxDocs.fold(agg)(cap => agg.filter(col("n_docs") <= cap))
   }
 
+  /** ExactSubstr-style span SCRUBBING (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): [[duplicatedSpans]]
+    * finds word n-gram spans shared by >= `minDocs` docs; this REMOVES
+    * them — every token covered by a duplicated span is cut from every
+    * doc EXCEPT the span's first (min-id) carrier. Each span's marking is
+    * independent, so a token a doc keeps as first carrier of one span can
+    * still fall to a DIFFERENT overlapping duplicated span whose first
+    * carrier is elsewhere (the same behavior as the paper's
+    * cut-every-duplicate-occurrence-but-one rule). The substring-level
+    * half of the paper's pipeline: doc-level dedup keeps both docs when
+    * only a paragraph is shared; this keeps both docs but the paragraph
+    * once.
+    *
+    * Returns one row per input doc: `(idCol, scrubbed, n_removed)` —
+    * docs scrubbed to nothing come back with `scrubbed = ''` (the caller
+    * decides whether empty survivors stay; dropping them silently would
+    * hide the removal rate the audit needs).
+    *
+    * 100 TB shape — everything is LINEAR in token/occurrence count, no
+    * pair join anywhere: the span aggregate shuffles 60-bit hashes
+    * (map-side partial, [[duplicatedSpans]]); flagged occurrences come
+    * from ONE hash equi-join of per-doc gram rows against the span frame
+    * (one row per span, so a boilerplate span in a million docs costs a
+    * million join rows — occurrences, never pairs); position marking
+    * fans out x n bounded by flagged occurrences; reassembly is one
+    * groupBy(doc). Unlike removal-joins on span_hash (the
+    * [[duplicatedSpans]] `maxDocs` story), nothing here squares a hot
+    * span, so no cap is needed. */
+  def scrubDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(n >= 2, s"scrubDuplicatedSpans: span length must be >= 2 tokens, got $n")
+    require(minDocs >= 2, s"scrubDuplicatedSpans: minDocs must be >= 2, got $minDocs")
+    val spans = duplicatedSpans(docs, idCol, textCol, n, minDocs)
+      .select(col("span_hash").as("__h"), col("first_doc"))
+    val base = spread(docs.select(col(idCol), split(col(textCol), " ").as("__tk")), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // eager: three consumers (gram rows, token positions, counts)
+    // per-doc gram START positions (0-based), hashed with the same
+    // convention as duplicatedSpans — the join key is the narrow hash
+    val gramArr = when(
+      size(col("__tk")) >= n,
+      transform(
+        sequence(lit(0), size(col("__tk")) - n),
+        i => tokenHash60(concat_ws(" ", slice(col("__tk"), i + lit(1), lit(n))))
+      )
+    ).otherwise(array().cast("array<long>"))
+    val occ = base.select(col(idCol), posexplode(gramArr).as(Seq("__i", "__h")))
+    val flagged = occ
+      .join(spans, Seq("__h"))
+      .filter(col(idCol) =!= col("first_doc"))
+      .select(col(idCol), col("__i"))
+    val marked = flagged
+      .select(col(idCol), explode(sequence(col("__i"), col("__i") + lit(n - 1))).as("__p"))
+      .distinct()
+    val tokPos = base.select(col(idCol), posexplode(col("__tk")).as(Seq("__p", "__tok")))
+    val kept = tokPos
+      .join(marked, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("__p"), col("__tok")))),
+            s => s.getField("__tok")
+          )
+        ).as("__scrub"),
+        count(lit(1)).as("__nk")
+      )
+    base
+      .select(col(idCol), size(col("__tk")).as("__nt"))
+      .join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__scrub"), lit("")).as("scrubbed"),
+        (col("__nt") - coalesce(col("__nk"), lit(0L))).cast("int").as("n_removed")
+      )
+  }
+
   /** Boilerplate REMOVAL — the rewrite-side complement of
     * [[duplicatedSpans]]' report (C4/RefinedWeb-style shared-passage
     * stripping): every token covered by a word n-gram span that appears in

@@ -3452,6 +3452,41 @@ object ExtQueries {
            |SELECT doc_id, 'batch' AS reason, partner FROM sled
            |ORDER BY doc_id, reason""".stripMargin
       }
+    ),
+    // ------------------------------------------------------------------
+    // ExactSubstr span scrubbing (Dedup.scrubDuplicatedSpans, Lee et al.
+    // 2022): x53 FINDS word 8-gram spans shared by >= 2 docs; this
+    // removes them — tokens under a duplicated span are cut everywhere
+    // except the span's first (min-id) carrier. The oracle replays the
+    // whole surgery: per-position gram hashes, the >= 2-distinct-docs
+    // span set with first carriers, flagged occurrences, the n-position
+    // fan-out, the anti-joined token survivors and the ORDER BY-position
+    // string reassembly.
+    Q(
+      "x113_span_scrub",
+      (s, d) =>
+        Dedup
+          .scrubDuplicatedSpans(t(s, d, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |occ AS (SELECT doc_id, i - 1 AS i,
+             |    CAST('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+             |      || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]), 18, 15) AS BIGINT) AS h
+             |  FROM toks, unnest(range(1, len(tk) - 6)) AS t(i)),
+             |spans AS MATERIALIZED (SELECT h, MIN(doc_id) AS fd FROM (SELECT DISTINCT doc_id, h FROM occ)
+             |  GROUP BY 1 HAVING COUNT(*) >= 2),
+             |flag AS (SELECT o.doc_id, o.i FROM occ o JOIN spans s ON o.h = s.h AND o.doc_id <> s.fd),
+             |marked AS (SELECT DISTINCT doc_id, i + u AS p FROM flag, unnest(range(0, 8)) AS tt(u)),
+             |tokpos AS (SELECT doc_id, i - 1 AS p, tk[i] AS tok
+             |  FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)),
+             |kept AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.p) AS scrub,
+             |    COUNT(*) AS nk
+             |  FROM tokpos tp LEFT JOIN marked m ON m.doc_id = tp.doc_id AND m.p = tp.p
+             |  WHERE m.p IS NULL GROUP BY 1)
+             |SELECT t.doc_id, COALESCE(k.scrub, '') AS scrubbed,
+             |  CAST(len(t.tk) - COALESCE(k.nk, 0) AS INTEGER) AS n_removed
+             |FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+             |ORDER BY t.doc_id""".stripMargin)
     )
   )
 }

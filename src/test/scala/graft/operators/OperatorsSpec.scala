@@ -2168,6 +2168,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("scrubDuplicatedSpans: shared spans cut everywhere but the first carrier") {
+    import spark.implicits._
+    val span = "a b c d e f g h" // the duplicated 8-gram
+    val docs = Seq(
+      (0L, span + " x y"), // first carrier — keeps everything
+      (1L, "z1 z2 " + span), // loses the span tail -> "z1 z2"
+      (2L, (1 to 9).map(i => s"u$i").mkString(" ")), // unique -> untouched
+      (3L, "s1 s2"), // shorter than a span -> untouched
+      (4L, span + " x y") // exact copy of 0: ALL its grams are doc-0-first -> ''
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .scrubDuplicatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(out(0L) == (span + " x y", 0), s"first carrier must keep: ${out(0L)}")
+    assert(out(1L) == ("z1 z2", 8), s"span tail must drop: ${out(1L)}")
+    assert(out(2L)._2 == 0 && out(3L)._2 == 0)
+    assert(out(4L) == ("", 10), s"full duplicate scrubs to empty: ${out(4L)}")
+    intercept[IllegalArgumentException] {
+      Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", n = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", minDocs = 1)
+    }
+  }
+
   test("incrementalNearDup: index hits and within-batch d2 drop; index update closes the loop") {
     import spark.implicits._
     val w = (1 to 30).map(i => s"w$i").mkString(" ")
