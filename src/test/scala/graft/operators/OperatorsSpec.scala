@@ -2195,6 +2195,54 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("scrubDuplicatedSpans: ScalaCheck parity vs an independent local reference") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // independent reference: same contract, straight Scala — no shared
+    // hashing, banding or join machinery with the engine
+    def refScrub(docs: Seq[(Long, String)], n: Int, minDocs: Int): Map[Long, (String, Int)] = {
+      val grams = docs.flatMap { case (id, t) =>
+        val tk = t.split(" ")
+        if (tk.length < n) Seq.empty
+        else (0 to tk.length - n).map(i => (id, i, tk.slice(i, i + n).mkString(" ")))
+      }
+      val firstDoc = grams
+        .groupBy(_._3)
+        .collect { case (g, os) if os.map(_._1).distinct.size >= minDocs => g -> os.map(_._1).min }
+      val marked = grams
+        .filter { case (id, _, g) => firstDoc.get(g).exists(_ != id) }
+        .flatMap { case (id, i, _) => (i until i + n).map(p => (id, p)) }
+        .groupBy(_._1)
+        .map { case (id, ps) => id -> ps.map(_._2).toSet }
+      docs.map { case (id, t) =>
+        val tk = t.split(" ")
+        val m = marked.getOrElse(id, Set.empty[Int])
+        val kept = tk.zipWithIndex.collect { case (w, i) if !m(i) => w }
+        id -> ((kept.mkString(" "), tk.length - kept.length))
+      }.toMap
+    }
+    // 3-word vocabulary maximizes shared 3-grams and overlapping spans
+    val genDoc = for {
+      n <- Gen.choose(0, 14)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" ")
+    val genCase = for {
+      nd <- Gen.choose(4, 9)
+      ds <- Gen.listOfN(nd, genDoc)
+    } yield ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val prop = Prop.forAll(genCase) { docs =>
+      val got = Dedup
+        .scrubDuplicatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n = 3, minDocs = 2)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+        .toMap
+      got == refScrub(docs, 3, 2)
+    }
+    // each case is a full Spark job — 20 random corpora, not 300
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("incrementalNearDup: index hits and within-batch d2 drop; index update closes the loop") {
     import spark.implicits._
     val w = (1 to 30).map(i => s"w$i").mkString(" ")
