@@ -779,7 +779,16 @@ object Dedup {
     * Returns the surviving batch rows (all columns). The caller closes
     * the loop by appending `minhashSignatures(survivors, ...)` to the
     * index — signatures are deterministic, so re-deriving them from the
-    * survivor rows equals filtering the batch signature frame. Batch
+    * survivor rows equals filtering the batch signature frame.
+    *
+    * Production storage pattern: the recurring cost at 100 TB is
+    * re-shuffling the INDEX band rows every batch. Persist the index as
+    * band rows `(id, band, bh)` BUCKETED by exactly `(band, bh)`
+    * (`bucketBy(n, "band", "bh").saveAsTable`) and the scan arrives
+    * hash-partitioned on the join keys — only the small batch side
+    * exchanges (proven by plan shape in OperatorsSpec "bucketed band
+    * rows"; bucket columns must EQUAL the join keys — bucketing by `bh`
+    * alone cannot co-partition with a `(band, bh)` shuffle). Batch
     * docs with fewer than 3 words have no shingles, hence no signature
     * and no index entry: they always survive (exact copies of such docs
     * are [[exact]]'s job). Index ids never collide with batch ids in a

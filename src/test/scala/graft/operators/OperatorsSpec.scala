@@ -2195,6 +2195,53 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("signature index persisted as bucketed band rows: batch join reshuffles ONLY the batch") {
+    import spark.implicits._
+    // The 100 TB cost center of incrementalNearDup is re-shuffling the
+    // INDEX band rows for every daily batch. Persisting the index as
+    // band rows BUCKETED by the bucket key makes the scan itself
+    // hash-partitioned on exactly the join keys (bucket columns must
+    // EQUAL the join keys — a bh-only bucketing cannot co-partition
+    // with a (band, bh) shuffle on the other side), so only the small
+    // batch side exchanges — the storage pattern the operator's
+    // scaladoc prescribes for production.
+    def bandRows(sig: org.apache.spark.sql.DataFrame) = sig.select(
+      col("doc_id"),
+      explode(array((0 until 4).map { b =>
+        struct(
+          lit(b).as("band"),
+          (col(s"m${2 * b}") * 100000L + col(s"m${2 * b + 1}")).as("bh")
+        )
+      }: _*)).as("p")
+    ).select(col("doc_id"), col("p.band").as("band"), col("p.bh").as("bh"))
+    val mk = (tag: String, i: Int) => (1 to 30).map(j => s"$tag${i}w$j").mkString(" ")
+    val hist = (0 until 50).map(i => (i.toLong, mk("h", i))).toDF("doc_id", "text")
+    val batch = (100 until 110).map(i => (i.toLong, mk("h", i % 5))).toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS sig_band_idx")
+    bandRows(Dedup.minhashSignatures(hist, "doc_id", "text", 8)).write
+      .bucketBy(8, "band", "bh")
+      .sortBy("band", "bh")
+      .saveAsTable("sig_band_idx")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ: prove bucketing, not broadcast
+      val idx = spark.table("sig_band_idx")
+      val joined = bandRows(Dedup.minhashSignatures(batch, "doc_id", "text", 8))
+        .withColumnRenamed("doc_id", "bid")
+        .join(idx, Seq("band", "bh"))
+      assert(joined.count() > 0, "planted exact copies must band-collide")
+      val plan = joined.queryExecution.executedPlan.toString
+      // count only planner-inserted join shuffles: minhashSignatures'
+      // own spread() repartition (REPARTITION_BY_NUM) is deliberate
+      val shuffles = "ENSURE_REQUIREMENTS".r.findAllIn(plan).length
+      assert(plan.contains("Bucketed: true"), s"index scan must be bucketed:\n$plan")
+      assert(shuffles == 1, s"expected ONE join shuffle (batch side only), got $shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS sig_band_idx")
+    }
+  }
+
   test("scrubDuplicatedSpans: ScalaCheck parity vs an independent local reference") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
