@@ -2195,6 +2195,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("minhash family regression: one shared shingle must not collapse signatures") {
+    import spark.implicits._
+    // The round-13 degenerate-family bug, pinned at unit speed (the 2M-doc
+    // incr-planted gate caught it; this keeps it from ever reappearing):
+    // two docs sharing exactly ONE shingle used to get FULLY IDENTICAL
+    // signatures whenever that shingle's hash was small (h=0 was a fixed
+    // point of every permutation; multipliers 7..919 never wrapped small
+    // h). With the fixed family a shared shingle may win SOME component
+    // minima but not all — full equality for unrelated docs is ~1e-16.
+    val shared = "q1 q2 q3" // one 3-gram both docs contain
+    val a = (shared + " " + (1 to 20).map(i => s"a$i").mkString(" "))
+    val b = (shared + " " + (1 to 20).map(i => s"b$i").mkString(" "))
+    val sig = Dedup
+      .minhashSignatures(Seq((0L, a), (1L, b)).toDF("doc_id", "text"), "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (0 until 8).map(i => r.getLong(i + 1)))
+    assert(sig(0) != sig(1), s"unrelated docs with one shared shingle collapsed: ${sig(0)}")
+    // family invariants the fix relies on: multipliers large and mixed
+    // (small multipliers never wrap small h), hash domain [1, p-1]
+    // (0 is the affine fixed point; >= p aliases)
+    (0 until 16).foreach { i =>
+      assert(Dedup.minhashA(i) > 1000, s"multiplier a($i)=${Dedup.minhashA(i)} too small")
+      assert(Dedup.minhashA(i) < Dedup.MinhashP2)
+    }
+    val hs = Dedup
+      .shingleRows(Seq((0L, a)).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .select((Dedup.tokenHash60(col("s")) % Dedup.MinhashHashMod + 1).as("h"))
+      .collect()
+      .map(_.getLong(0))
+    assert(hs.forall(h => h >= 1 && h < Dedup.MinhashP2), s"hash domain violated: ${hs.min}..${hs.max}")
+  }
+
   test("signature index persisted as bucketed band rows: batch join reshuffles ONLY the batch") {
     import spark.implicits._
     // The 100 TB cost center of incrementalNearDup is re-shuffling the
