@@ -554,6 +554,81 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rank"))
   }
 
+  /** BM25 top-k retrieval (Robertson–Spärck Jones, the Lucene-standard
+    * formulation): `score(q,d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·len_d/avgdl))` with
+    * `idf(t) = ln(1 + (N−df+0.5)/(df+0.5))`. Query terms are
+    * DEDUPLICATED (the short-query convention — no query-side tf
+    * weighting). The retrieval primitive the curation stack composes
+    * with: find the corpus docs most similar to an eval item
+    * (lexical-side decontamination triage), to a seed set (targeted
+    * data selection), or to a blocklisted exemplar.
+    *
+    * 100 TB shape: a query NEVER meets the corpus — queries explode to
+    * (qid, term) rows and meet the (doc, term, tf) postings in one hash
+    * join on the term (both df and postings are already partitioned by
+    * term, so the df attach adds no exchange); per-(qid, doc) scores
+    * aggregate map-side; the per-query winners come from the bounded
+    * [[Relational.topKPerKey]] heap, so only k docs per query survive
+    * any stage. Per-term contributions are rounded to 6 dp and summed
+    * as DECIMAL — exact and associative, so the score is identical at
+    * any parallelism (a raw double sum is partial-aggregation-order
+    * dependent). Stop-word-heavy corpora should pre-filter the postings
+    * (a hot term's postings list is the skew unit, exactly as in
+    * [[invertedIndex]]).
+    *
+    * `idCol` must be numeric (the heap's tie-break negates it: ties on
+    * score break toward the SMALLEST doc id). Returns
+    * `(qidCol, rk, idCol, score)`. */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      qidCol: String,
+      queryCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bm25TopK: bad parameters k1=$k1 b=$b")
+    val tok = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val tf = tok
+      .select(col(idCol), size(col("__tk")).as("__len"), explode(col("__tk")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("__len")).as("__len"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = tok.agg(count(lit(1)).as("__N"), sum(size(col("__tk"))).as("__SL"))
+    val qterms = queries
+      .select(col(qidCol), explode(array_distinct(tokens(col(queryCol)))).as("term"))
+    val avgdl = col("__SL").cast("double") / col("__N")
+    // k1+1 computed at runtime from the same literal both engines parse —
+    // a pre-folded Scala `k1 + 1` can differ from SQL `1.2 + 1` by 1 ulp
+    val contrib = round(
+      log(lit(1.0) + (col("__N") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__len") / avgdl)),
+      6
+    ).cast(org.apache.spark.sql.types.DecimalType(28, 6))
+    val scored = qterms
+      .join(tf, "term")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .select(col(qidCol), col(idCol), contrib.as("__c"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(round(sum(col("__c")).cast("double"), 6).as("score"))
+    Relational
+      .topKPerKey(
+        scored,
+        Seq(qidCol),
+        struct(col("score"), (-col(idCol)).as("__nd")),
+        k,
+        rankCol = "rk"
+      )
+      .select(col(qidCol), col("rk"), (-col("__nd")).as(idCol), col("score"))
+  }
+
   /** Sequence-packing index: assign every document its token offset in the
     * concatenate-then-chunk training layout (GPT-style packing — documents
     * are concatenated per `groupCols` stream in ascending `idCol` order and

@@ -3487,6 +3487,55 @@ object ExtQueries {
              |  CAST(len(t.tk) - COALESCE(k.nk, 0) AS INTEGER) AS n_removed
              |FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
              |ORDER BY t.doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // BM25 top-k retrieval (TextAnalysis.bm25TopK): the Lucene-standard
+    // scoring over the x74 postings shape — a query never meets the
+    // corpus, only its terms' postings. Queries = the first 5 tokens of
+    // every %97 doc. Per-term contributions are rounded to 6 dp and
+    // summed as DECIMAL (order-independent — a raw double sum varies
+    // with partial-aggregation order); k1+1 is computed at runtime from
+    // the same literal both engines parse (a Scala-folded 1.2+1 can be
+    // 1 ulp off SQL's). The oracle replays tf/df/avgdl, the per-term
+    // formula, the decimal sum and the ranked cut. The query set is a
+    // FIXED workload (doc_id < 1e7 is every doc at the driver's SFs):
+    // retrieval cost must scale with the CORPUS, never corpus x queries
+    // — an N-proportional query set would make the term join O(N²),
+    // the same documented contract as x104's sampled exact baseline.
+    Q(
+      "x114_bm25",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val qs = docs
+          .filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000000L)
+          .select(
+            col("doc_id").as("qid"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("qtext")
+          )
+        TextAnalysis
+          .bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", 5)
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(len) AS len FROM (
+             |    SELECT doc_id, len(tk) AS len, unnest(tk) AS term FROM tok) u
+             |  GROUP BY 1, 2),
+             |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n, SUM(len(tk)) AS sl FROM tok),
+             |qt AS (SELECT DISTINCT doc_id AS qid, unnest(tk[1:5]) AS term
+             |  FROM tok WHERE doc_id % 97 = 0 AND doc_id < 10000000),
+             |contrib AS (SELECT qt.qid, tf.doc_id,
+             |    CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+             |      * (tf * (1.2 + 1.0))
+             |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / (CAST(sl AS DOUBLE) / n))), 6)
+             |      AS DECIMAL(28, 6)) AS c
+             |  FROM qt JOIN tf USING (term) JOIN dfq USING (term) CROSS JOIN st),
+             |sc AS (SELECT qid, doc_id, round(CAST(SUM(c) AS DOUBLE), 6) AS score
+             |  FROM contrib GROUP BY 1, 2),
+             |rk AS (SELECT qid, doc_id, score,
+             |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+             |  FROM sc)
+             |SELECT qid, rk, doc_id, score FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)
     )
   )
 }

@@ -1826,6 +1826,64 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("bm25TopK matches a local reference; ties break to smallest id; k bound; partition-invariant") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b"), (2L, "a a b"), (3L, "b c"), (4L, "c"),
+      (5L, "q q"), (6L, "q q") // identical docs: exact score tie on query 'q'
+    )
+    val docs = corpus.toDF("doc_id", "text")
+    val qs = Seq((100L, "a c a"), (101L, "q"), (102L, "nohit")).toDF("qid", "qtext")
+    val got = TextAnalysis.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", 3)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+
+    // local reference over the same corpus (query terms DEDUPLICATED)
+    val (k1, b) = (1.2, 0.75)
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    def score(qterms: Seq[String], d: Long): Double = {
+      val c = qterms.distinct.flatMap { t =>
+        val tf = toks(d).count(_ == t).toDouble
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          val raw = idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * (1.0 - b + b * toks(d).size / avgdl))
+          Some(BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+      }.sum
+      BigDecimal(c.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // query 100 ('a c', deduped): docs 1..4 all match some term
+    val exp100 = Seq(1L, 2L, 3L, 4L).map(d => d -> score(Seq("a", "c"), d))
+      .sortBy { case (d, s) => (-s, d) }.take(3)
+    exp100.zipWithIndex.foreach { case ((d, s), i) =>
+      assert(got((100L, i + 1)) == ((d, s)), s"q100 rk ${i + 1}")
+    }
+    // query 101: docs 5 and 6 are byte-identical -> exact score tie,
+    // smaller id takes rank 1
+    assert(got((101L, 1))._1 == 5L && got((101L, 2))._1 == 6L)
+    assert(got((101L, 1))._2 == got((101L, 2))._2)
+    // query 102 matches nothing -> absent entirely; k=3 bound held for q100
+    assert(!got.keySet.exists(_._1 == 102L))
+    assert(got.keySet.count(_._1 == 100L) == 3)
+
+    // decimal-summed contributions: identical at any parallelism
+    val gotPar = TextAnalysis
+      .bm25TopK(docs.repartition(7), qs.repartition(3), "doc_id", "text", "qid", "qtext", 3)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotPar == got)
+
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", 3, b = 1.5)
+    }
+  }
+
   test("canonicalUrl collapses case/www/default-port/tracking/fragment noise") {
     import spark.implicits._
     val urls = Seq(
