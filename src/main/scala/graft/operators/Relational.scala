@@ -224,4 +224,49 @@ object Relational {
           (abs(col("n_approx") - col("n_exact")) <= lit(4.0 * rsd) * col("n_exact"))
             .as("within_bound"): _*
       )
+
+  /** EXACT heavy hitters (every value with frequency > phi·N) without ever
+    * shuffling the full domain — the 100 TB answer to "which join keys /
+    * tokens / URLs are hot": a plain `GROUP BY value HAVING count > phi*N`
+    * shuffles one row per DISTINCT value of a possibly-unbounded domain.
+    *
+    * Two candidate-bounded passes instead:
+    *   1. ONE pass computes N and a Misra–Gries summary
+    *      ([[graft.functions.MisraGriesSummary]], cap = ceil(1/phi)
+    *      counters, fixed-size state merging map-side). The MG guarantee —
+    *      under ANY partitioning — is that every value with frequency
+    *      > N/(cap+1) ≥ phi·N survives, so the summary is a SUPERSET of
+    *      the answer with at most cap entries.
+    *   2. The ≤ cap candidates recount exactly behind a broadcast-hash
+    *      `isin` set (no join, no extra shuffle of non-candidates —
+    *      non-candidate rows die at the scan).
+    *
+    * The final output is therefore EXACT and partitioning-independent even
+    * though the intermediate summary is not (its estimates are
+    * partitioning-dependent lower bounds; only the superset guarantee is
+    * used). The threshold compare is one IEEE double product — identical
+    * in any engine. Composes with [[graft.operators.Scale.saltedJoin]]:
+    * feed the returned values in as the hot-key set. Values are compared
+    * and returned in STRING form (`valueCol` is cast); nulls are not part
+    * of the stream. Returns `(valueCol string, cnt long)`, unordered. */
+  def heavyHitters(df: DataFrame, valueCol: String, phi: Double): DataFrame = {
+    require(phi > 0.0 && phi < 1.0, s"heavyHitters: phi must be in (0,1), got $phi")
+    val cap = math.ceil(1.0 / phi).toInt
+    val v = col(valueCol).cast("string")
+    val head = df
+      .agg(count(v).as("__n"), graft.functions.MgAggFunctions.mgSummary(v, cap).as("__cand"))
+      .collect()(0) // bounded: one row, ≤ cap candidate structs
+    val n = head.getLong(0)
+    val cands = head
+      .getAs[collection.Seq[org.apache.spark.sql.Row]](1)
+      .map(_.getString(0))
+      .toSeq
+    val kept = df
+      .select(v.as(valueCol))
+      .filter(if (cands.isEmpty) lit(false) else col(valueCol).isin(cands: _*))
+    kept
+      .groupBy(valueCol)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(phi * n))
+  }
 }

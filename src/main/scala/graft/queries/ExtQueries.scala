@@ -3536,6 +3536,32 @@ object ExtQueries {
              |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rk
              |  FROM sc)
              |SELECT qid, rk, doc_id, score FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Exact heavy hitters (Relational.heavyHitters): every token with
+    // frequency > phi*N over the corpus token stream, WITHOUT shuffling
+    // the full domain — a Misra-Gries candidate pass (fixed cap =
+    // ceil(1/phi) counters, map-side merge; superset guaranteed under
+    // any partitioning) followed by an exact isin-bounded recount. The
+    // intermediate summary is partitioning-dependent but only its
+    // superset guarantee is used, so the OUTPUT is exact — the oracle is
+    // the plain GROUP BY ... HAVING the operator exists to avoid at
+    // scale. Threshold compare is one IEEE double product (identical in
+    // both engines).
+    Q(
+      "x115_heavy_hitters",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+        Relational
+          .heavyHitters(toks, "term", 0.034)
+          .orderBy(desc("cnt"), col("term"))
+      },
+      Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |st AS (SELECT COUNT(term) AS n FROM tk)
+             |SELECT term, COUNT(*) AS cnt FROM tk CROSS JOIN st
+             |GROUP BY term, st.n HAVING COUNT(*) > 0.034 * n
+             |ORDER BY cnt DESC, term""".stripMargin)
     )
   )
 }

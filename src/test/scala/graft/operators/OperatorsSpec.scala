@@ -2191,6 +2191,51 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("heavyHitters: exact vs plain GROUP BY at any partitioning; MG superset guarantee; nulls skipped") {
+    import spark.implicits._
+    // Zipf-ish stream: value v%m appears with frequency ~ 1/(1+v), plus a
+    // planted dominator and nulls (which must not count toward N)
+    val raw = (0 until 20000).map { i =>
+      val v = i % 20
+      if (i % 37 == 0) null
+      else if (v < 2) "hot" + v // 2 dominators at ~5% each
+      else if (v < 4) "hotC" // one at ~10%
+      else "cold" + (i % 1500) // long tail, far under threshold
+    }
+    val df = raw.toDF("v")
+    val phi = 0.02
+    val n = raw.count(_ != null).toLong
+    // exact reference: plain groupBy-having (the thing the operator avoids at scale)
+    val expected = raw.filter(_ != null).groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c > phi * n }.toMap
+    assert(expected.nonEmpty && expected.size <= 5) // the test is non-trivial
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Relational.heavyHitters(df.repartition(parts), "v", phi)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"parts=$parts: $got vs $expected")
+    }
+    // MG superset guarantee directly, with cap far below the domain size:
+    // every value with freq > N/(cap+1) must appear among the candidates
+    for (parts <- Seq(1, 13)) {
+      val cap = 25
+      val cands = df.repartition(parts)
+        .agg(graft.functions.MgAggFunctions.mgSummary(col("v"), cap))
+        .collect()(0).getAs[collection.Seq[org.apache.spark.sql.Row]](0)
+        .map(_.getString(0)).toSet
+      assert(cands.size <= cap)
+      val must = raw.filter(_ != null).groupBy(identity)
+        .collect { case (k, vs) if vs.size > n.toDouble / (cap + 1) => k }.toSet
+      assert(must.subsetOf(cands), s"parts=$parts missing ${must -- cands}")
+    }
+    // boundary is strict: a value at EXACTLY phi*N is not a heavy hitter
+    val even = (0 until 100).flatMap(i => Seq("a", "b")).toDF("v") // each exactly half
+    assert(Relational.heavyHitters(even, "v", 0.5).collect().isEmpty)
+    // empty input and out-of-range phi
+    assert(Relational.heavyHitters(df.filter(lit(false)), "v", 0.1).collect().isEmpty)
+    intercept[IllegalArgumentException] { Relational.heavyHitters(df, "v", 0.0) }
+    intercept[IllegalArgumentException] { Relational.heavyHitters(df, "v", 1.0) }
+  }
+
   test("decontaminateNearDup: paraphrased eval docs drop; unrelated and shingle-less survive") {
     import spark.implicits._
     val w = (1 to 30).map(i => s"w$i").mkString(" ")
