@@ -405,4 +405,40 @@ object Scale {
       .orderBy(desc("dsir_key"), col(idCol))
       .limit(k)
   }
+
+  /** Weighted sample of `k` rows WITHOUT replacement, inclusion
+    * probability ∝ `weightCol` — Efraimidis–Spirakis 2006 expressed as
+    * Gumbel-top-k (the two are the same algorithm: A-ES ranks by
+    * u^(1/w), whose log is Gumbel(ln w) up to monotone transform):
+    * top-k by `ln(w) + g(id)` with `g = −ln(−ln(u))`,
+    * `u = (h60(id) + 0.5) / 2^60`. The noise is a HASH of the id — an
+    * exact power-of-two scaling of an integer, so every engine computes
+    * the identical double; no RNG state, invariant to partitioning and
+    * re-runs (the [[dsirSelect]] contract, generalized to any weight:
+    * quality scores, token counts, inverse-domain rates).
+    *
+    * Rows with null or non-positive weight have probability ZERO and
+    * are excluded (the A-ES key is undefined there — this is the
+    * mathematically correct reading, not a silent drop).
+    *
+    * 100 TB shape: the key is a pure per-row expression and the
+    * selection plans as TakeOrderedAndProject (per-partition k-heaps +
+    * a driver merge of k·partitions rows) — never a global sort. The
+    * `sample_key` column stays in the output: downstream re-sorts on it
+    * (post-limit row order is not a contract). */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    val h = graft.operators.Dedup.tokenHash60(col(idCol).cast("string"))
+    val u = (h.cast("double") + lit(0.5)) / lit(math.pow(2.0, 60))
+    val key = log(col(weightCol).cast("double")) + -log(-log(u))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_key", key)
+      .orderBy(desc("sample_key"), col(idCol))
+      .limit(k)
+  }
 }

@@ -3562,6 +3562,28 @@ object ExtQueries {
              |SELECT term, COUNT(*) AS cnt FROM tk CROSS JOIN st
              |GROUP BY term, st.n HAVING COUNT(*) > 0.034 * n
              |ORDER BY cnt DESC, term""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Weighted sample without replacement (Scale.weightedSample):
+    // Efraimidis-Spirakis as Gumbel-top-k — inclusion ∝ n_chars, noise
+    // a hash of the id (exact power-of-two u, the x102 contract), so
+    // the pick is deterministic, partitioning-invariant and replayable.
+    // Selection plans as TakeOrderedAndProject, never a global sort.
+    Q(
+      "x116_weighted_sample",
+      (s, d) =>
+        Scale
+          .weightedSample(t(s, d, "documents"), "doc_id", "n_chars", 150)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id"),
+      Some("""WITH ky AS (SELECT doc_id, source, n_chars,
+             |    ln(CAST(n_chars AS DOUBLE)) + (-ln(-ln(
+             |      (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15) AS BIGINT)
+             |        AS DOUBLE) + 0.5) / 1152921504606846976.0))) AS key
+             |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+             |sel AS (SELECT doc_id, source, n_chars,
+             |    row_number() OVER (ORDER BY key DESC, doc_id) AS r FROM ky)
+             |SELECT doc_id, source, n_chars FROM sel WHERE r <= 150 ORDER BY doc_id""".stripMargin)
     )
   )
 }

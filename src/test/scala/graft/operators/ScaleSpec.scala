@@ -325,4 +325,45 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
       Scale.dsirSelect(raw, target, "doc_id", "text", k = 0)
     }
   }
+
+  test("weightedSample: matches a local A-ES replay; deterministic; nonpositive weights excluded") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      val w = if (i % 17 == 0) 0.0 else if (i % 23 == 0) -3.0 else (1 + i % 9).toDouble
+      (i.toLong, w)
+    }
+    val df = rows.map { case (id, w) => (id, Option(w)) }.toDF("id", "w")
+      .unionByName(Seq((999L, Option.empty[Double])).toDF("id", "w"))
+    val got = Scale.weightedSample(df, "id", "w", 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 25)
+    // local replay of the exact key formula over positive-weight rows
+    def h60(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.substring(17, 32), 16)
+    }
+    val expected = rows
+      .filter(_._2 > 0)
+      .map { case (id, w) =>
+        val u = (h60(id).toDouble + 0.5) / math.pow(2.0, 60)
+        (id, math.log(w) + -math.log(-math.log(u)))
+      }
+      .sortBy { case (id, k) => (-k, id) }.take(25).map(_._1).toSet
+    assert(got == expected)
+    // zero/negative/null weight rows never selected, even with k >= corpus
+    val all = Scale.weightedSample(df, "id", "w", 1000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!all.contains(999L) && all == rows.filter(_._2 > 0).map(_._1).toSet)
+    // partitioning-invariant
+    val gotPar = Scale.weightedSample(df.repartition(13), "id", "w", 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotPar == got)
+    // inclusion tracks weight: the top weight class is overrepresented
+    // vs the bottom one among the 25 picks (a deterministic fact here)
+    val picked9 = got.count(id => id < 200 && (1 + id % 9) == 9)
+    val picked1 = got.count(id => id < 200 && (1 + id % 9) == 1 && id % 17 != 0 && id % 23 != 0)
+    assert(picked9 > picked1, s"w=9 picks $picked9 should beat w=1 picks $picked1")
+    intercept[IllegalArgumentException] { Scale.weightedSample(df, "id", "w", 0) }
+  }
 }
