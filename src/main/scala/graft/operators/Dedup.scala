@@ -114,11 +114,66 @@ object Dedup {
   val MinhashHashMod: Int = MinhashP2 - 1
   val MinhashMaxK = 512
 
-  /** i-th multiplier: fixed table below 8, derived (odd-ish, in [1, p-1])
-    * above — deterministic, so executors agree without shipping state. */
+  /** i-th multiplier: fixed table below 8, derived above — deterministic,
+    * so executors agree without shipping state. Derived values below
+    * [[MinhashAFloor]] are REHASHED (stepping by a prime coprime to
+    * p-1, so the probe walks every residue and provably terminates): a
+    * small multiplier never wraps small h, partially reintroducing the
+    * monotone-permutation pathology the fixed table was chosen to kill
+    * — every component must be well-mixed at any k up to
+    * [[MinhashMaxK]], not just the first 8. */
   def minhashA(i: Int): Long =
     if (i < MinhashAs.length) MinhashAs(i).toLong
-    else (i.toLong * 2654435761L + 104729L) % (MinhashP2 - 1) + 1
+    else {
+      var j = 0L
+      var a = 0L
+      do {
+        a = (i.toLong * 2654435761L + 104729L + j * 7691L) % (MinhashP2 - 1) + 1
+        j += 1
+      } while (a <= MinhashAFloor)
+      a
+    }
+
+  /** Minimum derived multiplier: h below p/a never wraps permutation i,
+    * so a ≥ 1000 keeps the no-wrap band under ~0.1% of the domain. */
+  val MinhashAFloor = 1000L
+
+  /** Version of the minhash FAMILY (multipliers + hash domain) — bumped
+    * whenever signature VALUES change for the same text (v1: original,
+    * degenerate; v2: round-13 domain/multiplier fix; v3: derived-
+    * multiplier floor for k > 8). [[minhashSignatures]] stamps it as
+    * column METADATA on every m_i (metadata survives parquet and
+    * saveAsTable round-trips and costs nothing in the data), and
+    * [[incrementalNearDup]]/[[incrementalNearDupAudit]] REFUSE an index
+    * whose stamp is missing or different: a persisted index from an old
+    * family joined with new-batch signatures estimates ~0 Jaccard
+    * everywhere, so known duplicates silently re-enter the corpus —
+    * the failure must be loud. MIGRATION after a family bump: rebuild
+    * the index with one `minhashSignatures` pass over the surviving
+    * corpus text (signatures are deterministic; no dedup re-run). */
+  val MinhashFamilyVersion = 3L
+  val MinhashFamilyKey = "graft.minhash.family"
+
+  /** Loud family check for externally-persisted signature frames (see
+    * [[MinhashFamilyVersion]]). */
+  private[graft] def requireSignatureFamily(
+      sig: DataFrame,
+      what: String,
+      sigCols: Seq[String]
+  ): Unit =
+    sigCols.foreach { c =>
+      val m = sig.schema(c).metadata
+      val v = if (m.contains(MinhashFamilyKey)) m.getLong(MinhashFamilyKey) else -1L
+      require(
+        v == MinhashFamilyVersion,
+        s"$what: signature column $c carries minhash family " +
+          s"${if (v < 0) "NONE (unversioned)" else v.toString}, engine family is " +
+          s"$MinhashFamilyVersion — mixed families estimate ~0 Jaccard against fresh " +
+          "signatures and silently re-admit known duplicates; rebuild the persisted " +
+          "signature index with the current engine (one minhashSignatures pass over " +
+          "the surviving corpus text)"
+      )
+    }
 
   def minhashB(i: Int): Long =
     if (i < MinhashBs.length) MinhashBs(i).toLong
@@ -138,10 +193,16 @@ object Dedup {
     // the map-side partial aggregate is the only thing that touches them.
     val sh = shingleRowsRaw(spread(docs, idCol), idCol, textCol, 3)
     val tok = sh.select(col(idCol), (tokenHash60(col("s")) % MinhashHashMod + 1).as("h"))
+    val familyMd = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(MinhashFamilyKey, MinhashFamilyVersion)
+      .build()
     tok
       .groupBy(col(idCol))
       .agg(graft.functions.MinHashAggFunctions.minhashSig(col("h"), numHashes).as("sig"))
-      .select(col(idCol) +: (0 until numHashes).map(i => col("sig").getItem(i).as(s"m$i")): _*)
+      .select(
+        col(idCol) +:
+          (0 until numHashes).map(i => col("sig").getItem(i).as(s"m$i", familyMd)): _*
+      )
   }
 
   /** LSH candidate pairs: `bands` bands of `rowsPerBand` minhashes (default
@@ -830,6 +891,7 @@ object Dedup {
       s"incrementalNearDup: index lacks signature columns ${missing.mkString(", ")} — " +
         s"was it built with minhashSignatures(numHashes = $k)?"
     )
+    requireSignatureFamily(index, "incrementalNearDup", sigCols)
     val (idxEvidence, selfEvidence) =
       incrementalDropEvidence(batch, index, idCol, textCol, bands, rowsPerBand, minEstJaccard)
     // no distinct on the union: the anti-join is insensitive to duplicate
@@ -936,6 +998,7 @@ object Dedup {
       s"incrementalNearDupAudit: index lacks signature columns ${missing.mkString(", ")} — " +
         s"was it built with minhashSignatures(numHashes = $k)?"
     )
+    requireSignatureFamily(index, "incrementalNearDupAudit", sigCols)
     val (idxEvidence, selfEvidence) =
       incrementalDropEvidence(batch, index, idCol, textCol, bands, rowsPerBand, minEstJaccard)
     def ledger(ev: DataFrame, reason: String): DataFrame =

@@ -248,12 +248,31 @@ object Relational {
     * in any engine. Composes with [[graft.operators.Scale.saltedJoin]]:
     * feed the returned values in as the hot-key set. Values are compared
     * and returned in STRING form (`valueCol` is cast); nulls are not part
-    * of the stream. Returns `(valueCol string, cnt long)`, unordered. */
-  def heavyHitters(df: DataFrame, valueCol: String, phi: Double): DataFrame = {
+    * of the stream. Returns `(valueCol string, cnt long)`, unordered.
+    *
+    * PRECONDITION: `df` must evaluate to the SAME rows in both passes —
+    * the superset guarantee links pass 1's candidates to pass 2's
+    * recount, so a non-deterministic input (`rand()`/`sample` without a
+    * seed, a table mutated between jobs) silently voids exactness. For
+    * such inputs pass `cache = true`: the projected value column is
+    * persisted across the two passes and the (≤ cap rows) result is
+    * materialized before unpersisting — both passes provably see one
+    * snapshot. Default is off because persisting a 100 TB scan costs
+    * more than the second pass over an immutable source. */
+  def heavyHitters(
+      df: DataFrame,
+      valueCol: String,
+      phi: Double,
+      cache: Boolean = false
+  ): DataFrame = {
     require(phi > 0.0 && phi < 1.0, s"heavyHitters: phi must be in (0,1), got $phi")
     val cap = math.ceil(1.0 / phi).toInt
-    val v = col(valueCol).cast("string")
-    val head = df
+    val vals0 = df.select(col(valueCol).cast("string").as(valueCol))
+    val vals =
+      if (cache) vals0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else vals0
+    val v = col(valueCol)
+    val head = vals
       .agg(count(v).as("__n"), graft.functions.MgAggFunctions.mgSummary(v, cap).as("__cand"))
       .collect()(0) // bounded: one row, ≤ cap candidate structs
     val n = head.getLong(0)
@@ -261,12 +280,21 @@ object Relational {
       .getAs[collection.Seq[org.apache.spark.sql.Row]](1)
       .map(_.getString(0))
       .toSeq
-    val kept = df
-      .select(v.as(valueCol))
-      .filter(if (cands.isEmpty) lit(false) else col(valueCol).isin(cands: _*))
-    kept
+    val kept = vals
+      .filter(if (cands.isEmpty) lit(false) else v.isin(cands: _*))
       .groupBy(valueCol)
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(phi * n))
+    if (!cache) kept
+    else {
+      // materialize the ≤ cap result rows BEFORE unpersisting — the
+      // returned frame must not lazily re-read an evicted cache
+      val rows = kept.collect().toSeq
+      vals.unpersist()
+      df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(rows, 1),
+        kept.schema
+      )
+    }
   }
 }

@@ -379,9 +379,14 @@ object Scale {
     * `dsir_logw + Gumbel(id)` — the paper's Gumbel-top-k trick, which
     * samples k docs WITHOUT replacement with probability ∝ w(x) in one
     * deterministic pass (the noise is a hash of the id:
-    * `u = (h60(id) + 0.5) / 2^60`, `g = −ln(−ln(u))` — u is an exact
-    * power-of-two scaling of an integer, so every engine computes the
-    * identical double; no RNG state, invariant to partitioning).
+    * `u = (h60(id) >> 8 + 0.5) / 2^52`, `g = −ln(−ln(u))` — the top 52
+    * hash bits scaled by an exact power of two, so u is EXACTLY
+    * representable (a double's 53-bit mantissa holds 52-bit + 0.5
+    * values losslessly; a raw 60-bit hash would round, and values
+    * within ~128 of 2^60 would round u to exactly 1.0 → g = +Inf, an
+    * unconditional winner) and strictly inside (0, 1); every engine
+    * computes the identical double; no RNG state, invariant to
+    * partitioning).
     *
     * 100 TB shape: scoring is [[dsirLogWeights]]'s per-row fold; the
     * selection plans as TakeOrderedAndProject (per-partition k-heaps +
@@ -396,7 +401,7 @@ object Scale {
   ): DataFrame = {
     require(k >= 1, s"dsirSelect: k must be >= 1, got $k")
     val h = graft.operators.Dedup.tokenHash60(col(idCol).cast("string"))
-    val u = (h.cast("double") + lit(0.5)) / lit(math.pow(2.0, 60))
+    val u = (shiftright(h, 8).cast("double") + lit(0.5)) / lit(math.pow(2.0, 52))
     val key = col("dsir_logw") + -log(-log(u))
     // dsir_key stays in the output: selections re-sort on it downstream
     // (the post-limit row order is not a contract)
@@ -411,11 +416,16 @@ object Scale {
     * Gumbel-top-k (the two are the same algorithm: A-ES ranks by
     * u^(1/w), whose log is Gumbel(ln w) up to monotone transform):
     * top-k by `ln(w) + g(id)` with `g = −ln(−ln(u))`,
-    * `u = (h60(id) + 0.5) / 2^60`. The noise is a HASH of the id — an
-    * exact power-of-two scaling of an integer, so every engine computes
-    * the identical double; no RNG state, invariant to partitioning and
-    * re-runs (the [[dsirSelect]] contract, generalized to any weight:
-    * quality scores, token counts, inverse-domain rates).
+    * `u = (h60(id) >> 8 + 0.5) / 2^52`. The noise is a HASH of the
+    * id — the top 52 hash bits scaled by an exact power of two, so u is
+    * EXACTLY representable (52-bit + 0.5 fits a double's 53-bit
+    * mantissa; a raw 60-bit hash would round, and hashes within ~128 of
+    * 2^60 would round u to 1.0 → g = +Inf, an unconditional winner
+    * regardless of weight) and strictly in (0, 1); every engine
+    * computes the identical double; no RNG state, invariant to
+    * partitioning and re-runs (the [[dsirSelect]] contract, generalized
+    * to any weight: quality scores, token counts, inverse-domain
+    * rates).
     *
     * Rows with null or non-positive weight have probability ZERO and
     * are excluded (the A-ES key is undefined there — this is the
@@ -434,7 +444,7 @@ object Scale {
   ): DataFrame = {
     require(k >= 1, s"weightedSample: k must be >= 1, got $k")
     val h = graft.operators.Dedup.tokenHash60(col(idCol).cast("string"))
-    val u = (h.cast("double") + lit(0.5)) / lit(math.pow(2.0, 60))
+    val u = (shiftright(h, 8).cast("double") + lit(0.5)) / lit(math.pow(2.0, 52))
     val key = log(col(weightCol).cast("double")) + -log(-log(u))
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("sample_key", key)

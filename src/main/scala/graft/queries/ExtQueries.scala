@@ -3012,7 +3012,7 @@ object ExtQueries {
              |ky AS (SELECT d.doc_id, d.source, sc.logw,
              |    sc.logw + (-ln(-ln(
              |      (CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15) AS BIGINT)
-             |        AS DOUBLE) + 0.5) / 1152921504606846976.0))) AS key
+             |        // 256 AS DOUBLE) + 0.5) / 4503599627370496.0))) AS key
              |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
              |sel AS (SELECT doc_id, source, logw,
              |    row_number() OVER (ORDER BY key DESC, doc_id) AS r FROM ky)
@@ -3579,7 +3579,7 @@ object ExtQueries {
       Some("""WITH ky AS (SELECT doc_id, source, n_chars,
              |    ln(CAST(n_chars AS DOUBLE)) + (-ln(-ln(
              |      (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15) AS BIGINT)
-             |        AS DOUBLE) + 0.5) / 1152921504606846976.0))) AS key
+             |        // 256 AS DOUBLE) + 0.5) / 4503599627370496.0))) AS key
              |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
              |sel AS (SELECT doc_id, source, n_chars,
              |    row_number() OVER (ORDER BY key DESC, doc_id) AS r FROM ky)

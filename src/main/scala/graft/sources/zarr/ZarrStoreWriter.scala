@@ -415,28 +415,42 @@ object ZarrStoreWriter {
 
   private[zarr] def packStructField(buf0: ByteBuffer, off: Int, fdt: ZDtype, v: Any): Unit = {
     if (fdt.shape.nonEmpty) {
-      // shaped field: value is a (possibly nested) Seq matching the numpy
-      // subarray; elements pack row-major through the scalar path
-      def flatten(x: Any): Seq[Any] = x match {
+      // shaped field: value is a nested Seq matching the numpy subarray;
+      // elements pack row-major through the scalar path. Arity is checked
+      // LEVEL-BY-LEVEL against fdt.shape — a ragged nesting with the right
+      // flattened count (e.g. [[1,2,3],[4]] for 2x2) must fail, not pack
+      // silently with elements in the wrong cells.
+      val e = fdt.elem
+      def level(x: Any, depth: Int): Seq[Any] = x match {
         case null =>
           throw new IllegalArgumentException(
             "null element in shaped structured field — zarr subarray cells have no per-element null"
           )
         // collection.Seq, not (immutable) Seq: Spark Rows surface array
         // columns as mutable.ArraySeq in Scala 2.13
-        case s: scala.collection.Seq[_] => s.toSeq.flatMap(flatten)
-        case a: Array[_] => a.toSeq.flatMap(flatten)
-        case o => Seq(o)
+        case s: scala.collection.Seq[_] => s.toSeq
+        case a: Array[_] => a.toSeq
+        case o =>
+          throw new IllegalArgumentException(
+            s"shaped structured field ${fdt.shape.mkString("x")}: expected a sequence at " +
+              s"nesting depth $depth, got scalar $o"
+          )
       }
-      val e = fdt.elem
-      val nElems = fdt.shape.map(_.toLong).product.toInt
-      val flat = flatten(v)
-      require(
-        flat.length == nElems,
-        s"shaped structured field expects ${fdt.shape.mkString("x")} = $nElems elements, got ${flat.length}"
-      )
-      var i = 0
-      flat.foreach { x => packStructField(buf0, off + i * e.itemSize, e, x); i += 1 }
+      def walk(x: Any, dims: List[Int], o: Int): Unit = dims match {
+        case Nil => packStructField(buf0, o, e, x)
+        case d :: rest =>
+          val depth = fdt.shape.length - dims.length
+          val s = level(x, depth)
+          require(
+            s.length == d,
+            s"shaped structured field ${fdt.shape.mkString("x")}: nesting depth $depth has " +
+              s"${s.length} elements, expected $d"
+          )
+          val stride = rest.map(_.toLong).product.toInt * e.itemSize
+          var i = 0
+          s.foreach { c => walk(c, rest, o + i * stride); i += 1 }
+      }
+      walk(v, fdt.shape.toList, off)
       return
     }
     def asLong(x: Any): Long = x match {

@@ -2227,6 +2227,11 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
         .collect { case (k, vs) if vs.size > n.toDouble / (cap + 1) => k }.toSet
       assert(must.subsetOf(cands), s"parts=$parts missing ${must -- cands}")
     }
+    // cache=true (the non-deterministic-input escape hatch): same exact
+    // result, materialized from one persisted snapshot
+    val gotCached = Relational.heavyHitters(df.repartition(7), "v", phi, cache = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotCached == expected, s"cache=true: $gotCached vs $expected")
     // boundary is strict: a value at EXACTLY phi*N is not a heavy hitter
     val even = (0 until 100).flatMap(i => Seq("a", "b")).toDF("v") // each exactly half
     assert(Relational.heavyHitters(even, "v", 0.5).collect().isEmpty)
@@ -2319,8 +2324,8 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     // family invariants the fix relies on: multipliers large and mixed
     // (small multipliers never wrap small h), hash domain [1, p-1]
     // (0 is the affine fixed point; >= p aliases)
-    (0 until 16).foreach { i =>
-      assert(Dedup.minhashA(i) > 1000, s"multiplier a($i)=${Dedup.minhashA(i)} too small")
+    (0 until Dedup.MinhashMaxK).foreach { i =>
+      assert(Dedup.minhashA(i) > Dedup.MinhashAFloor, s"multiplier a($i)=${Dedup.minhashA(i)} too small")
       assert(Dedup.minhashA(i) < Dedup.MinhashP2)
     }
     val hs = Dedup
@@ -2469,6 +2474,48 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
       .toSet
     assert(ledger == Set((10L, "index", 0L), (12L, "batch", 11L)), s"ledger: $ledger")
     assert(ids(survivors) == Seq(11L, 13L))
+  }
+
+  test("incrementalNearDup: signature family is versioned — stale or unversioned index refuses loudly") {
+    import spark.implicits._
+    val w = (1 to 30).map(i => s"w$i").mkString(" ")
+    val history = Seq((0L, w)).toDF("doc_id", "text")
+    val batch = Seq((10L, w + " zz1")).toDF("doc_id", "text")
+    val index = Dedup.minhashSignatures(history, "doc_id", "text", 8)
+    // the stamp rides the schema as column metadata (and survives a
+    // parquet round-trip — Spark persists field metadata in the footer)
+    val dir = java.nio.file.Files.createTempDirectory("sigfam").toString
+    index.write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    (0 until 8).foreach { i =>
+      assert(
+        reread.schema(s"m$i").metadata.getLong(Dedup.MinhashFamilyKey) ==
+          Dedup.MinhashFamilyVersion
+      )
+    }
+    assert(Dedup.incrementalNearDup(batch, reread, "doc_id", "text").count() == 0)
+    // an UNVERSIONED index (hand-built, or persisted under a pre-stamp
+    // engine) must fail loudly, not silently estimate ~0 Jaccard
+    val stripped = reread.select(
+      col("doc_id") +: (0 until 8).map(i => col(s"m$i").as(s"m$i")): _*
+    )
+    val unversioned = spark.createDataFrame(stripped.rdd, org.apache.spark.sql.types.StructType(
+      stripped.schema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty))
+    ))
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(batch, unversioned, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("rebuild"), e1.getMessage)
+    // a STALE family stamp fails with the same loud migration message
+    val staleMd = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(Dedup.MinhashFamilyKey, 1L).build()
+    val stale = reread.select(
+      col("doc_id") +: (0 until 8).map(i => col(s"m$i").as(s"m$i", staleMd)): _*
+    )
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupAudit(batch, stale, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("family 1") && e2.getMessage.contains("rebuild"), e2.getMessage)
   }
 
   test("decontaminateFuzzy: Levenshtein band catches drifted grams; maxDist=0 == exact") {

@@ -346,11 +346,19 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     val expected = rows
       .filter(_._2 > 0)
       .map { case (id, w) =>
-        val u = (h60(id).toDouble + 0.5) / math.pow(2.0, 60)
+        val u = ((h60(id) >>> 8).toDouble + 0.5) / math.pow(2.0, 52)
         (id, math.log(w) + -math.log(-math.log(u)))
       }
       .sortBy { case (id, k) => (-k, id) }.take(25).map(_._1).toSet
     assert(got == expected)
+    // why the 52-bit slice: u must be EXACTLY representable and strictly
+    // inside (0,1) at every hash. The max 52-bit u stays below 1, while a
+    // raw 60-bit hash near 2^60 rounds (53-bit mantissa, double spacing
+    // 128 in that binade) to u = 1.0 exactly — -ln(-ln(1)) = +Inf, an
+    // unconditional winner regardless of weight
+    val uMax = (((1L << 52) - 1).toDouble + 0.5) / math.pow(2.0, 52)
+    assert(uMax < 1.0 && uMax > 0.0)
+    assert(((1L << 60) - 50L).toDouble + 0.5 == math.pow(2.0, 60)) // the old pathology
     // zero/negative/null weight rows never selected, even with k >= corpus
     val all = Scale.weightedSample(df, "id", "w", 1000)
       .select("id").collect().map(_.getLong(0)).toSet

@@ -533,6 +533,35 @@ class ZarrSinkSpec extends AnyFunSuite with SparkTester {
         .option("dtype", """[["wrong", "<i4"], ["temp", "<f8"]]""").mode("append").save()
     }
     assert(msgOf(e2).contains("do not match"), msgOf(e2))
+
+    // multi-dim shaped field: nested rows pack row-major and read back
+    val df4 = (0 until 6)
+      .map(i => (i, Seq(Seq(i * 4, i * 4 + 1), Seq(i * 4 + 2, i * 4 + 3))))
+      .toDF("i", "m")
+      .select(col("i"), struct(col("m")).as("value"))
+    df4.write.format("zarr")
+      .option("path", s"$base/s4").option("array", "rec")
+      .option("dtype", """[["m", "<i4", [2, 2]]]""")
+      .option("chunks", "4")
+      .mode("append").save()
+    val back4 = new ZarrDataReader(spark, s"$base/s4").readArray("rec")
+      .select(col("i"), col("value.m")).orderBy("i").collect()
+    (0 until 6).foreach { i =>
+      val m = back4(i).getSeq[scala.collection.Seq[Int]](1).map(_.toSeq)
+      assert(m == Seq(Seq(i * 4, i * 4 + 1), Seq(i * 4 + 2, i * 4 + 3)), s"i=$i: $m")
+    }
+    // RAGGED nesting with the correct flattened count must fail loudly —
+    // arity is validated level-by-level, not by total element count
+    // (ADVICE r13: [[1,2,3],[4]] for 2x2 used to pack silently with
+    // elements in the wrong cells)
+    val ragged = Seq((0, Seq(Seq(1, 2, 3), Seq(4))))
+      .toDF("i", "m")
+      .select(col("i"), struct(col("m")).as("value"))
+    val e3 = intercept[Exception] {
+      ragged.write.format("zarr").option("path", s"$base/b3").option("array", "rec")
+        .option("dtype", """[["m", "<i4", [2, 2]]]""").mode("append").save()
+    }
+    assert(msgOf(e3).contains("nesting depth"), msgOf(e3))
   }
 
   test("sink string axis is UTF-8-byte ordered on store (supplementary chars)") {
