@@ -297,4 +297,68 @@ object Relational {
       )
     }
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * N ranked retrieval lists — the standard hybrid-retrieval combiner
+    * (lexical BM25 + embedding ANN is the canonical pair; RRF needs no
+    * score normalization across lists because it consumes only RANKS).
+    * Per (query, doc): `score = Σ_lists 1 / (k0 + rank)`, then the top
+    * `k` docs per query. A doc absent from a list contributes nothing
+    * for it — no outer-join scaffolding, exactly the paper's sum.
+    *
+    * Inputs: frames each carrying (`qidCol`, `docCol`, `rankCol`) —
+    * the (qid, doc, rank) shape every top-k operator here emits
+    * ([[graft.operators.TextAnalysis.bm25TopK]],
+    * [[graft.operators.Similarity.ivfTopK]]/bruteForceTopK). `docCol`
+    * must be numeric (ids): the tie-break ranks equal fused scores by
+    * SMALLER doc id via sign flip inside the heap struct.
+    *
+    * Determinism: each reciprocal is rounded to 9 dp and summed as
+    * DECIMAL — exact and associative, so the fused ranking is identical
+    * at any parallelism and replayable by an external engine (the
+    * bm25TopK decimal contract); input ranks are ints, so no float
+    * wobble enters at all.
+    *
+    * 100 TB shape: every input is k-bounded per query by construction,
+    * so the union holds |queries| · Σ k_list rows; one (qid, doc)
+    * aggregate plus the bounded [[topKPerKey]] map-side heap — query
+    * text, postings and vectors never enter the fusion. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      qidCol: String,
+      docCol: String,
+      rankCol: String,
+      k: Int,
+      k0: Int = 60
+  ): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k >= 1, s"rrfFuse: k must be >= 1, got $k")
+    require(k0 >= 1, s"rrfFuse: k0 must be >= 1, got $k0")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val shaped = rankings.map(
+      _.select(
+        col(qidCol),
+        col(docCol),
+        round(lit(1.0) / (lit(k0).cast("double") + col(rankCol).cast("double")), 9)
+          .cast(dec)
+          .as("__c")
+      )
+    )
+    val scored = shaped
+      .reduce(_ unionByName _)
+      .groupBy(col(qidCol), col(docCol))
+      .agg(sum(col("__c")).as("__s"))
+    topKPerKey(
+      scored,
+      Seq(qidCol),
+      struct(col("__s"), (-col(docCol)).as("__nd")),
+      k,
+      rankCol = "rn"
+    ).select(
+      col(qidCol),
+      col("rn"),
+      (-col("__nd")).as(docCol),
+      round(col("__s").cast("double"), 9).as("rrf_score")
+    )
+  }
 }

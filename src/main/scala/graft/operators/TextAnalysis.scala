@@ -902,4 +902,220 @@ object TextAnalysis {
         col("__s.tf").as("tf")
       )
   }
+
+  /** Threshold calibration sweep for a scored binary filter — the
+    * question every learned quality classifier ([[scoreLinear]]) must
+    * answer before it gates a corpus: at which cut does it best
+    * reproduce the labels (human judgments, or a trusted rule filter
+    * like [[gopherFilter]])? One row per threshold t: predicted
+    * positives (`score >= t`), TP/FP/FN against `labelCol`, precision,
+    * recall and F1 (6 dp; precision is NULL at a threshold nothing
+    * passes, recall/F1 NULL when there are no positive labels).
+    *
+    * Determinism: counts are exact longs; each ratio is ONE IEEE double
+    * division of two exact integers (correctly rounded, identical in any
+    * engine) rounded to 6 dp — nothing order-dependent anywhere. Pair
+    * with an exact-grid score (the [[scoreLinear]] 1/256 contract) and
+    * the `>=` compares carry no float wobble either.
+    *
+    * 100 TB shape: ONE corpus pass — 2·|thresholds| + 2 conditional
+    * aggregates folded map-side into a single global aggregate row, then
+    * a |thresholds|-bounded explode. No shuffle of data rows, no
+    * per-threshold jobs. */
+  def calibrationSweep(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      thresholds: Seq[Double]
+  ): DataFrame = {
+    require(thresholds.nonEmpty, "calibrationSweep: need at least one threshold")
+    require(
+      thresholds.distinct.size == thresholds.size,
+      "calibrationSweep: duplicate thresholds"
+    )
+    val s = col(scoreCol)
+    val y = col(labelCol).cast("boolean")
+    val aggs: Seq[Column] =
+      coalesce(sum(when(y, 1L).otherwise(0L)), lit(0L)).as("__pos") +:
+        thresholds.zipWithIndex.flatMap { case (t, i) =>
+          Seq(
+            coalesce(sum(when(s >= lit(t), 1L).otherwise(0L)), lit(0L)).as(s"__pp$i"),
+            coalesce(sum(when(s >= lit(t) && y, 1L).otherwise(0L)), lit(0L)).as(s"__tp$i")
+          )
+        }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(
+        lit(t).as("threshold"),
+        col(s"__pp$i").as("n_pred_pos"),
+        col(s"__tp$i").as("tp")
+      )
+    }
+    one
+      .select(col("__pos"), explode(array(rows: _*)).as("r"))
+      .select(
+        col("r.threshold").as("threshold"),
+        col("r.n_pred_pos").as("n_pred_pos"),
+        col("r.tp").as("tp"),
+        (col("r.n_pred_pos") - col("r.tp")).as("fp"),
+        (col("__pos") - col("r.tp")).as("fn"),
+        when(
+          col("r.n_pred_pos") > 0,
+          round(col("r.tp").cast("double") / col("r.n_pred_pos"), 6)
+        ).as("precision"),
+        when(col("__pos") > 0, round(col("r.tp").cast("double") / col("__pos"), 6))
+          .as("recall"),
+        when(
+          col("r.n_pred_pos") + col("__pos") > 0,
+          round(
+            lit(2.0) * col("r.tp").cast("double") / (col("r.n_pred_pos") + col("__pos")),
+            6
+          )
+        ).as("f1")
+      )
+  }
+
+  /** Domain (lowercased host, `www.`/default port/fragment-insensitive
+    * via [[canonicalUrl]], explicit port stripped) of a URL — the
+    * grouping key for domain-level curation. Pure per-row column. */
+  def urlDomain(url: Column): Column =
+    regexp_replace(
+      regexp_extract(canonicalUrl(url), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
+      ":[0-9]+$",
+      ""
+    )
+
+  /** Per-domain corpus statistics: doc count and mean quality score —
+    * the aggregation behind domain-level curation (RefinedWeb-style:
+    * judge the SITE, not just the page; a domain whose average quality
+    * is low is boilerplate/SEO-spam even when single pages sneak past a
+    * per-doc filter).
+    *
+    * Determinism: per-row scores round to 6 dp and sum as DECIMAL
+    * (exact, associative — identical at any parallelism); the mean is
+    * one double division rounded to 6 dp. One groupBy(domain) shuffle —
+    * map-side partials bound it by the domain cardinality. */
+  def domainStats(docs: DataFrame, urlCol: String, scoreCol: String): DataFrame =
+    docs
+      .groupBy(urlDomain(col(urlCol)).as("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(
+          round(col(scoreCol).cast("double"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+        ).as("__s")
+      )
+      .select(
+        col("domain"),
+        col("n_docs"),
+        round(col("__s").cast("double") / col("n_docs"), 6).as("mean_score")
+      )
+
+  /** Domain-level curation filter: drop every doc whose domain has mean
+    * quality below `minMeanScore` OR sits on an explicit blocklist.
+    * Composes [[domainStats]] with an anti-join against only the BAD
+    * domains — the corpus shuffles once on the domain key (Spark
+    * broadcasts the bad side when it is small, the common case).
+    *
+    * The input is scanned twice (stats pass + filter pass) — like
+    * [[graft.operators.Relational.heavyHitters]], the input must be
+    * deterministic between the two jobs (parquet tables are; persist
+    * upstream non-determinism first). NULL-score docs count toward
+    * `n_docs` but contribute nothing to the sum — a mostly-unscored
+    * domain's mean sinks accordingly, which is the conservative reading
+    * for curation. */
+  def domainFilter(
+      docs: DataFrame,
+      urlCol: String,
+      scoreCol: String,
+      minMeanScore: Double,
+      blocked: Seq[String] = Nil
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val low = domainStats(docs, urlCol, scoreCol)
+      .filter(col("mean_score").isNull || col("mean_score") < minMeanScore)
+      .select(col("domain"))
+    val bad =
+      if (blocked.isEmpty) low
+      else low.unionByName(blocked.toDF("domain")).distinct()
+    docs
+      .withColumn("__dom", urlDomain(col(urlCol)))
+      .join(bad.withColumnRenamed("domain", "__dom"), Seq("__dom"), "left_anti")
+      .drop("__dom")
+  }
+
+  /** Distribution drift between two corpora — smoothed KL divergence
+    * over hashed unigram buckets, both directions (the mixture-
+    * monitoring primitive: "has this source's token distribution moved
+    * since the rates were tuned?", "how far is the candidate corpus
+    * from the target domain?"). Same hashed-feature convention as
+    * [[hashedTf]]/DSIR: `bucket = (h60(token) >> 1) % buckets`, add-one
+    * smoothing over the bucket domain so empty buckets carry mass and
+    * the ratio is always finite.
+    *
+    * Determinism (the x102 contract): the log-ratio is a sum of four
+    * integer-argument `ln`s snapped to the 2⁻²⁰ dyadic grid (kills the
+    * 1-ulp cross-engine `ln` wobble); each bucket's contribution
+    * `p_A · λ` rounds to 9 dp and sums as DECIMAL — order-independent
+    * and exactly replayable. Output: ONE row `(tot_a, tot_b, kl_ab,
+    * kl_ba)` with KL in nats, 6 dp.
+    *
+    * 100 TB shape: two token-count aggregates (map-side partials; the
+    * shuffle is `buckets`-bounded, never corpus-bound), a
+    * `buckets`-sized frame join, one global sum. Nothing pairwise,
+    * nothing collected beyond the single output row. */
+  def corpusDivergence(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      buckets: Int = 4096
+  ): DataFrame = {
+    require(buckets > 0, s"corpusDivergence: buckets must be positive, got $buckets")
+    val spark = a.sparkSession
+    def bucketCounts(df: DataFrame, name: String): DataFrame =
+      df.select(explode(tokens(col(textCol))).as("tok"))
+        .select((shiftright(Dedup.tokenHash60(col("tok")), 1) % buckets).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(name))
+    val ca = bucketCounts(a, "ca")
+    val cb = bucketCounts(b, "cb")
+    val grid = spark.range(buckets).select(col("id").as("bucket"))
+    val joined = grid
+      .join(ca, Seq("bucket"), "left")
+      .join(cb, Seq("bucket"), "left")
+      .select(
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb")
+      )
+    val snap = math.pow(2.0, 20)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    // λ = ln(p_a/p_b) = ln(ca+1) − ln(cb+1) + ln(TB+K) − ln(TA+K),
+    // dyadic-snapped; contributions are p·λ rounded to 9 dp, decimal-summed
+    def kl(cx: Column, cy: Column, tx: Column, ty: Column): Column = {
+      val lam = floor(
+        (log(cx + lit(1.0)) - log(cy + lit(1.0)) + log(ty + lit(buckets.toDouble)) -
+          log(tx + lit(buckets.toDouble))) * lit(snap)
+      ) / lit(snap)
+      val p = (cx.cast("double") + lit(1.0)) / (tx.cast("double") + lit(buckets.toDouble))
+      sum(round(p * lam, 9).cast(dec))
+    }
+    val withTotals = joined
+      .crossJoin(
+        broadcast(joined.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb")))
+      )
+    withTotals
+      .agg(
+        first(col("ta")).as("tot_a"),
+        first(col("tb")).as("tot_b"),
+        kl(col("ca"), col("cb"), col("ta"), col("tb")).as("__kab"),
+        kl(col("cb"), col("ca"), col("tb"), col("ta")).as("__kba")
+      )
+      .select(
+        col("tot_a"),
+        col("tot_b"),
+        round(col("__kab").cast("double"), 6).as("kl_ab"),
+        round(col("__kba").cast("double"), 6).as("kl_ba")
+      )
+  }
 }

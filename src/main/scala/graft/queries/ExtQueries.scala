@@ -3040,10 +3040,14 @@ object ExtQueries {
     // ANN recall audit (Similarity.recallAtK): recall@5 of the √N IVF
     // index (x97's exact configuration) against the brute-force exact
     // ranking — the acceptance test an index deployment runs, in its
-    // at-scale SHAPE: the exact baseline is O(N²), so it runs on a
-    // deterministic 1-in-10 query sample (recallAtK's documented
-    // contract) while the index ranks the full corpus. Both rankings
-    // are deterministic (rounded sims, cid tie-break), so the oracle
+    // at-scale SHAPE: the exact baseline is O(N·Q), so the query
+    // workload is FIXED (vec_id < 1e7 — every vector at the driver's
+    // SFs, base-copy ids only under amplification, sampled 1-in-10 —
+    // recallAtK's documented contract) while the index ranks the full
+    // corpus. An N-proportional query set would make the exact side
+    // O(N²) — the same fixed-workload contract as x114; this keeps the
+    // audit (and its oracle) linear at 100x. Both rankings are
+    // deterministic (rounded sims, cid tie-break), so the oracle
     // recomputes BOTH sides and the per-query intersection: the recall
     // numbers are exact facts, not estimates.
     Q(
@@ -3051,8 +3055,8 @@ object ExtQueries {
       (s, d) => {
         val e = t(s, d, "embeddings")
         val approx = Similarity.ivfTopKAuto(e, "vec_id", "embedding", 5, iters = 0)
-        val exact =
-          Similarity.bruteForceTopK(e.filter(col("vec_id") % 10 === 0), e, "vec_id", "embedding", 5)
+        val queries = e.filter(col("vec_id") < 10000000L && col("vec_id") % 10 === 0)
+        val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 5)
         Similarity.recallAtK(approx, exact, 5).orderBy("qid")
       },
       Some("""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3081,7 +3085,7 @@ object ExtQueries {
              |  round(list_dot_product(q.v, c.v)
              |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
              |  FROM e q JOIN e c ON q.vec_id != c.vec_id
-             |  WHERE q.vec_id % 10 = 0),
+             |  WHERE q.vec_id < 10000000 AND q.vec_id % 10 = 0),
              |brk AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
              |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
              |  FROM bsims) t WHERE rn <= 5),
@@ -3584,6 +3588,228 @@ object ExtQueries {
              |sel AS (SELECT doc_id, source, n_chars,
              |    row_number() OVER (ORDER BY key DESC, doc_id) AS r FROM ky)
              |SELECT doc_id, source, n_chars FROM sel WHERE r <= 150 ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Hybrid retrieval via reciprocal-rank fusion (Relational.rrfFuse,
+    // Cormack 2009): the lexical BM25 top-10 (x114's fixed workload) and
+    // the exact embedding top-10 (x104's brute-force shape — queries are
+    // the same fixed ids) fuse by rank only: per (query, doc) score =
+    // Σ 1/(60 + rank), reciprocals rounded to 9 dp and summed as DECIMAL
+    // (order-independent), final rank by (score DESC, doc). A doc on one
+    // list only carries that list's contribution — embeddings cover
+    // fewer ids than documents at sf0.1, so lexical-only qids exercise
+    // exactly that path. The oracle replays both retrievals end to end
+    // and the fusion arithmetic.
+    Q(
+      "x117_rrf_fusion",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val e = t(s, d, "embeddings")
+        val qs = docs
+          .filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000000L)
+          .select(
+            col("doc_id").as("qid"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("qtext")
+          )
+        val lex = TextAnalysis
+          .bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", 10)
+          .select(col("qid"), col("doc_id").as("did"), col("rk").as("rank"))
+        val qv = e.filter(col("vec_id") % 97 === 0 && col("vec_id") < 10000000L)
+        val sem = Similarity
+          .bruteForceTopK(qv, e, "vec_id", "embedding", 10)
+          .select(col("qid"), col("cid").as("did"), col("rn").as("rank"))
+        Relational.rrfFuse(Seq(lex, sem), "qid", "did", "rank", 10).orderBy("qid", "rn")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(len) AS len FROM (
+             |    SELECT doc_id, len(tk) AS len, unnest(tk) AS term FROM tok) u
+             |  GROUP BY 1, 2),
+             |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n, SUM(len(tk)) AS sl FROM tok),
+             |qt AS (SELECT DISTINCT doc_id AS qid, unnest(tk[1:5]) AS term
+             |  FROM tok WHERE doc_id % 97 = 0 AND doc_id < 10000000),
+             |contrib AS (SELECT qt.qid, tf.doc_id,
+             |    CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+             |      * (tf * (1.2 + 1.0))
+             |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / (CAST(sl AS DOUBLE) / n))), 6)
+             |      AS DECIMAL(28, 6)) AS c
+             |  FROM qt JOIN tf USING (term) JOIN dfq USING (term) CROSS JOIN st),
+             |sc AS (SELECT qid, doc_id, round(CAST(SUM(c) AS DOUBLE), 6) AS score
+             |  FROM contrib GROUP BY 1, 2),
+             |lrk AS (SELECT qid, doc_id AS did,
+             |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+             |  FROM sc),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |bs AS (SELECT q.vec_id AS qid, c.vec_id AS did,
+             |  round(list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+             |  FROM e q JOIN e c ON q.vec_id != c.vec_id
+             |  WHERE q.vec_id % 97 = 0 AND q.vec_id < 10000000),
+             |srk AS (SELECT qid, did,
+             |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rnk
+             |  FROM bs),
+             |u AS (SELECT qid, did, CAST(round(1.0 / (60 + rnk), 9) AS DECIMAL(28, 9)) AS c
+             |    FROM lrk WHERE rnk <= 10
+             |  UNION ALL
+             |  SELECT qid, did, CAST(round(1.0 / (60 + rnk), 9) AS DECIMAL(28, 9)) AS c
+             |    FROM srk WHERE rnk <= 10),
+             |f AS (SELECT qid, did, SUM(c) AS s FROM u GROUP BY 1, 2),
+             |r AS (SELECT qid, did, s,
+             |    CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, did) AS INTEGER) AS rn
+             |  FROM f)
+             |SELECT qid, rn, did, round(CAST(s AS DOUBLE), 9) AS rrf_score
+             |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Threshold calibration sweep (TextAnalysis.calibrationSweep): the
+    // learned x88 classifier scored against the x52 gopher-rule labels —
+    // at which logit cut does the cheap linear model best reproduce the
+    // rule filter? ONE corpus pass (2·|grid|+1 conditional aggregates
+    // folded map-side), |grid| output rows. Scores are on the exact
+    // 1/256 grid and thresholds on the 1/8 grid, so every >= compare is
+    // bit-exact; each ratio is one correctly-rounded double division of
+    // exact integers — the oracle replays score, labels and all counts.
+    Q(
+      "x118_calibration",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = TextAnalysis
+          .scoreLinear(docs.select(col("doc_id"), col("text")), "text", qWeights, 17.0 / 256.0)
+          .select(col("doc_id"), col("logit"))
+        val labels = TextAnalysis
+          .gopherFilter(docs, "doc_id", "text")
+          .select(col("doc_id"), col("keep").as("label"))
+        TextAnalysis
+          .calibrationSweep(
+            scored.join(labels, "doc_id"),
+            "logit",
+            "label",
+            (-8 to 8).map(_ * 0.125)
+          )
+          .orderBy("threshold")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
+             |sw AS (SELECT doc_id, (h60 // 2) % 64 AS bucket,
+             |    CASE WHEN h60 % 2 = 1 THEN 1.0 ELSE -1.0 END AS sign FROM h),
+             |dots AS (SELECT doc_id,
+             |    SUM(sign * CAST((bucket * 37) % 101 - 50 AS DOUBLE) / 256.0) AS dot
+             |  FROM sw GROUP BY 1),
+             |sc AS (SELECT d.doc_id, COALESCE(dots.dot, 0) + 17.0/256.0 AS logit
+             |  FROM documents d LEFT JOIN dots USING (doc_id)),
+             |m AS (SELECT doc_id,
+             |  string_split(text, ' ') AS tk,
+             |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_raw,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS dr_raw,
+             |  len(list_filter(string_split(text, ' '),
+             |    t -> t IN ('the', 'a', 'and', 'of', 'to'))) > 0 AS has_stop
+             |  FROM documents),
+             |lab AS (SELECT doc_id,
+             |  (len(tk) >= 10 AND len(tk) <= 100000 AND mean_raw >= CAST(2.0 AS DOUBLE)
+             |    AND mean_raw <= CAST(12.0 AS DOUBLE) AND dr_raw >= CAST(0.2 AS DOUBLE)
+             |    AND has_stop) AS label FROM m),
+             |j AS (SELECT logit, label FROM sc JOIN lab USING (doc_id)),
+             |pos AS (SELECT CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos FROM j),
+             |th AS (SELECT CAST(unnest([-1.0, -0.875, -0.75, -0.625, -0.5, -0.375, -0.25,
+             |    -0.125, 0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]) AS DOUBLE)
+             |  AS threshold),
+             |agg AS (SELECT threshold,
+             |    CAST(SUM(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+             |    CAST(SUM(CASE WHEN logit >= threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp
+             |  FROM th CROSS JOIN j GROUP BY 1)
+             |SELECT threshold, n_pred_pos, tp, n_pred_pos - tp AS fp, pos - tp AS fn,
+             |  CASE WHEN n_pred_pos > 0 THEN round(CAST(tp AS DOUBLE) / n_pred_pos, 6) END AS "precision",
+             |  CASE WHEN pos > 0 THEN round(CAST(tp AS DOUBLE) / pos, 6) END AS recall,
+             |  CASE WHEN n_pred_pos + pos > 0
+             |    THEN round(CAST(2 * tp AS DOUBLE) / (n_pred_pos + pos), 6) END AS f1
+             |FROM agg CROSS JOIN pos ORDER BY threshold""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Domain-level curation (TextAnalysis.domainStats/domainFilter):
+    // judge the SITE, not just the page — drop every doc whose domain
+    // (synthetic URLs on the x72 convention; canonicalUrl lowercases the
+    // host) has mean x88-classifier quality below the cut or sits on an
+    // explicit blocklist. Per-row scores round to 6 dp and sum as
+    // DECIMAL per domain (order-independent); the mean is one double
+    // division. The oracle replays URL → domain, the per-domain means,
+    // the bad set and the anti-join.
+    Q(
+      "x119_domain_filter",
+      (s, d) => {
+        val dk = col("doc_id")
+        val u = concat(
+          lit("https://"), col("source"), lit("-"), (dk % 13).cast("string"),
+          lit(".Example.com/"), col("lang"), lit("/"), dk.cast("string")
+        )
+        val docs = t(s, d, "documents").withColumn("url", u)
+        val scored = TextAnalysis.scoreLinear(docs, "text", qWeights, 17.0 / 256.0)
+        TextAnalysis
+          .domainFilter(scored, "url", "logit", 0.0, blocked = Seq("src3-7.example.com"))
+          .select(col("doc_id"), col("source"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
+             |sw AS (SELECT doc_id, (h60 // 2) % 64 AS bucket,
+             |    CASE WHEN h60 % 2 = 1 THEN 1.0 ELSE -1.0 END AS sign FROM h),
+             |dots AS (SELECT doc_id,
+             |    SUM(sign * CAST((bucket * 37) % 101 - 50 AS DOUBLE) / 256.0) AS dot
+             |  FROM sw GROUP BY 1),
+             |sc AS (SELECT d.doc_id, d.source, d.lang,
+             |    d.source || '-' || CAST(d.doc_id % 13 AS VARCHAR) || '.example.com' AS dom,
+             |    COALESCE(dots.dot, 0) + 17.0/256.0 AS logit
+             |  FROM documents d LEFT JOIN dots USING (doc_id)),
+             |ds AS (SELECT dom,
+             |    round(CAST(SUM(CAST(round(logit, 6) AS DECIMAL(28, 6))) AS DOUBLE)
+             |      / COUNT(*), 6) AS mean_score
+             |  FROM sc GROUP BY 1),
+             |bad AS (SELECT dom FROM ds WHERE mean_score < 0.0
+             |  UNION SELECT 'src3-7.example.com')
+             |SELECT doc_id, source, lang FROM sc
+             |WHERE dom NOT IN (SELECT dom FROM bad) ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Corpus distribution drift (TextAnalysis.corpusDivergence):
+    // smoothed KL divergence in both directions between src0 and the
+    // rest over 1024 hashed unigram buckets — the mixture-monitoring
+    // primitive. Log-ratios are sums of integer-argument lns snapped to
+    // the 2⁻²⁰ dyadic grid (the x102 contract); per-bucket contributions
+    // round to 9 dp and sum as DECIMAL, so the one output row is exactly
+    // replayable.
+    Q(
+      "x120_corpus_kl",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextAnalysis.corpusDivergence(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          "text",
+          1024
+        )
+      },
+      Some("""WITH ta AS (SELECT (CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) // 2) % 1024 AS b
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+             |        WHERE source = 'src0') u),
+             |tb AS (SELECT (CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) // 2) % 1024 AS b
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+             |        WHERE source != 'src0') u),
+             |ca AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM ta GROUP BY 1),
+             |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tb GROUP BY 1),
+             |g AS (SELECT unnest(range(0, 1024)) AS b),
+             |j AS (SELECT g.b, COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+             |  FROM g LEFT JOIN ca ON ca.b = g.b LEFT JOIN cb ON cb.b = g.b),
+             |tt AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb FROM j),
+             |k AS (SELECT MIN(ta) AS tot_a, MIN(tb) AS tot_b,
+             |  SUM(CAST(round(((ca + 1.0) / (ta + 1024.0)) *
+             |    (floor((ln(ca + 1.0) - ln(cb + 1.0) + ln(tb + 1024.0) - ln(ta + 1024.0))
+             |      * 1048576.0) / 1048576.0), 9) AS DECIMAL(28, 9))) AS kab,
+             |  SUM(CAST(round(((cb + 1.0) / (tb + 1024.0)) *
+             |    (floor((ln(cb + 1.0) - ln(ca + 1.0) + ln(ta + 1024.0) - ln(tb + 1024.0))
+             |      * 1048576.0) / 1048576.0), 9) AS DECIMAL(28, 9))) AS kba
+             |  FROM j CROSS JOIN tt)
+             |SELECT tot_a, tot_b, round(CAST(kab AS DOUBLE), 6) AS kl_ab,
+             |  round(CAST(kba AS DOUBLE), 6) AS kl_ba FROM k""".stripMargin)
     )
   )
 }

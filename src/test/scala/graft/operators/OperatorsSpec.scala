@@ -2546,4 +2546,155 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
       Dedup.decontaminateFuzzy(docs, ref, "doc_id", "text", maxDist = -1)
     }
   }
+
+  test("rrfFuse: matches the paper's sum on a local replay; missing-doc, tie and k semantics") {
+    import spark.implicits._
+    // two rankings over 3 queries: doc 100 is #1 on both for q0; doc 200
+    // only appears on list B; q2 exists only on list A
+    val la = Seq((0L, 100L, 1), (0L, 101L, 2), (1L, 110L, 1), (2L, 120L, 1))
+      .toDF("qid", "did", "rank")
+    val lb = Seq((0L, 100L, 1), (0L, 200L, 2), (1L, 110L, 2))
+      .toDF("qid", "did", "rank")
+    val got = Relational
+      .rrfFuse(Seq(la, lb), "qid", "did", "rank", 10)
+      .orderBy("qid", "rn")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    def c(rank: Int): BigDecimal =
+      BigDecimal(1.0 / (60 + rank)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val want = Seq(
+      (0L, 1, 100L, (c(1) + c(1)).toDouble), // on both lists
+      (0L, 2, 101L, c(2).toDouble), // list A only
+      (0L, 3, 200L, c(2).toDouble), // list B only — tie with 101, larger id ranks after
+      (1L, 1, 110L, (c(1) + c(2)).toDouble),
+      (2L, 1, 120L, c(1).toDouble)
+    )
+    assert(got == want, s"got $got")
+    // k bounds the per-query output; partitioning never changes the result
+    assert(Relational.rrfFuse(Seq(la, lb), "qid", "did", "rank", 1).count() == 3)
+    val gotPar = Relational
+      .rrfFuse(Seq(la.repartition(7), lb.repartition(3)), "qid", "did", "rank", 10)
+      .orderBy("qid", "rn")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(gotPar == want)
+    // a single list degrades to its own ranking
+    assert(
+      Relational
+        .rrfFuse(Seq(la), "qid", "did", "rank", 10)
+        .orderBy("qid", "rn")
+        .select("did")
+        .collect()
+        .map(_.getLong(0))
+        .toSeq == Seq(100L, 101L, 110L, 120L)
+    )
+    intercept[IllegalArgumentException] { Relational.rrfFuse(Nil, "qid", "did", "rank", 5) }
+    intercept[IllegalArgumentException] { Relational.rrfFuse(Seq(la), "qid", "did", "rank", 0) }
+    intercept[IllegalArgumentException] { Relational.rrfFuse(Seq(la), "qid", "did", "rank", 5, k0 = 0) }
+  }
+
+  test("calibrationSweep: exact counts and ratios on a hand example; edge guards") {
+    import spark.implicits._
+    // 6 rows: scores 0.1..0.6, labels true for the top 3 scores
+    val df = Seq(
+      (0.1, false), (0.2, false), (0.3, false),
+      (0.4, true), (0.5, true), (0.6, true)
+    ).toDF("score", "label")
+    val got = TextAnalysis
+      .calibrationSweep(df, "score", "label", Seq(0.0, 0.35, 0.45, 0.7))
+      .orderBy("threshold")
+      .collect()
+      .map(r =>
+        (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]),
+          Option(r.get(6)).map(_.asInstanceOf[Double]),
+          Option(r.get(7)).map(_.asInstanceOf[Double]))
+      )
+      .toSeq
+    val want = Seq(
+      // t=0.0: everything passes — precision 3/6, recall 1, f1 = 6/9
+      (0.0, 6L, 3L, 3L, 0L, Some(0.5), Some(1.0), Some(0.666667)),
+      // t=0.35: the 3 positives pass — perfect
+      (0.35, 3L, 3L, 0L, 0L, Some(1.0), Some(1.0), Some(1.0)),
+      // t=0.45: 2 of 3 positives pass
+      (0.45, 2L, 2L, 0L, 1L, Some(1.0), Some(0.666667), Some(0.8)),
+      // t=0.7: nothing passes — precision undefined (NULL)
+      (0.7, 0L, 0L, 0L, 3L, None, Some(0.0), Some(0.0))
+    )
+    assert(got == want, s"got $got")
+    // no positive labels: recall/f1 NULL when denominators are zero
+    val neg = Seq((0.5, false)).toDF("score", "label")
+    val r0 = TextAnalysis.calibrationSweep(neg, "score", "label", Seq(0.9)).collect()(0)
+    // pp = 0, pos = 0: all three ratios have zero denominators -> NULL
+    assert(r0.isNullAt(5) && r0.isNullAt(6) && r0.isNullAt(7))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.calibrationSweep(df, "score", "label", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.calibrationSweep(df, "score", "label", Seq(0.1, 0.1))
+    }
+  }
+
+  test("domainStats/domainFilter: per-domain means and the bad-domain anti-join") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "https://Good.Example.com/a", 1.0),
+      (1L, "https://good.example.com/b", 0.5), // same domain, case-insensitive host
+      (2L, "https://bad.example.com/a", -1.0),
+      (3L, "https://bad.example.com:8080/b", -0.5), // explicit port strips
+      (4L, "https://blocked.example.com/x", 5.0) // high quality but blocklisted
+    ).toDF("doc_id", "url", "score")
+    val stats = TextAnalysis
+      .domainStats(docs, "url", "score")
+      .orderBy("domain")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(stats == Seq(
+      ("bad.example.com", 2L, -0.75),
+      ("blocked.example.com", 1L, 5.0),
+      ("good.example.com", 2L, 0.75)
+    ), s"got $stats")
+    val kept = TextAnalysis
+      .domainFilter(docs, "url", "score", 0.0, blocked = Seq("blocked.example.com"))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L, 1L))
+    // a domain whose scores are all NULL has NULL mean — dropped (conservative)
+    val withNull = docs.unionByName(
+      Seq((5L, "https://unscored.example.com/x", Option.empty[Double]))
+        .toDF("doc_id", "url", "score")
+    )
+    val kept2 = TextAnalysis
+      .domainFilter(withNull, "url", "score", 0.0)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept2 == Seq(0L, 1L, 4L))
+  }
+
+  test("corpusDivergence: zero on identical corpora, positive and asymmetric on drift") {
+    import spark.implicits._
+    val a = Seq((0L, "aa bb cc dd"), (1L, "aa bb ee ff")).toDF("doc_id", "text")
+    val b = Seq((0L, "aa aa aa aa"), (1L, "zz zz yy xx")).toDF("doc_id", "text")
+    def kl(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) = {
+      val r = TextAnalysis.corpusDivergence(x, y, "text", 256).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    // identical corpora: every per-bucket log-ratio cancels EXACTLY
+    // (same counts term by term), so both directions are exactly 0
+    val same = kl(a, a)
+    assert(same == ((8L, 8L, 0.0, 0.0)), s"got $same")
+    // drifted corpora: both KLs strictly positive; direction asymmetry is
+    // the definition (swapping the arguments swaps the two columns)
+    val ab = kl(a, b)
+    assert(ab._3 > 0 && ab._4 > 0, s"got $ab")
+    val ba = kl(b, a)
+    assert(math.abs(ab._3 - ba._4) < 1e-9 && math.abs(ab._4 - ba._3) < 1e-9)
+    // partition-invariant (decimal contribution sums)
+    val abPar = kl(a.repartition(5), b.repartition(3))
+    assert(abPar == ab)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.corpusDivergence(a, b, "text", 0)
+    }
+  }
 }
