@@ -451,4 +451,77 @@ object Scale {
       .orderBy(desc("sample_key"), col(idCol))
       .limit(k)
   }
+
+  /** The highest-quality documents under a global TOKEN BUDGET — the
+    * final-selection operator behind quality-pruned training sets
+    * ("take the best B tokens", the FineWeb-Edu-style threshold cut).
+    * Semantically: walk docs in (`scoreCol` DESC, `idCol` ASC) order and
+    * keep every doc whose inclusive running `tokenCol` sum stays within
+    * `budget` (tokens are positive, so the running sum is monotone and
+    * the kept set is a prefix — docs are never split). Rows with NULL
+    * score or NULL/non-positive token counts are excluded.
+    *
+    * 100 TB shape — NO global sort: one `groupBy(score)` aggregate
+    * builds the per-score token histogram (map-side partials; bounded by
+    * |distinct scores|, which for grid-valued classifier outputs — the
+    * [[graft.operators.TextAnalysis.scoreLinear]] 1/256 contract — is
+    * thousands, and is guarded by `maxDistinctScores` with a loud
+    * "snap scores to a grid first" error otherwise). The driver scans
+    * that histogram for the threshold score; everything STRICTLY above
+    * it is kept by a plain filter, and only the single boundary-score
+    * LAYER pays a running-sum window (ordered by id; the one sequential
+    * piece, bounded by that layer's size — the x62 packing caveat
+    * class). */
+  def selectByBudget(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokenCol: String,
+      budget: Long,
+      maxDistinctScores: Int = 100000
+  ): DataFrame = {
+    require(budget >= 0, s"selectByBudget: budget must be >= 0, got $budget")
+    require(maxDistinctScores >= 1, "selectByBudget: maxDistinctScores must be >= 1")
+    val base = df.filter(
+      col(scoreCol).isNotNull && col(tokenCol).isNotNull && col(tokenCol) > 0
+    )
+    val hist = base
+      .groupBy(col(scoreCol).as("__sc"))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .orderBy(desc("__sc"))
+      .limit(maxDistinctScores + 1)
+      .collect() // bounded: maxDistinctScores + 1 rows, guarded below
+    require(
+      hist.length <= maxDistinctScores,
+      s"selectByBudget: more than $maxDistinctScores distinct scores — the driver-side " +
+        "histogram walk is sized for grid-valued scores (scoreLinear's 1/256 contract); " +
+        "snap the score to a grid (e.g. round(score, 6)) or raise maxDistinctScores"
+    )
+    if (hist.isEmpty) return base
+    var cum = 0L
+    var i = 0
+    while (i < hist.length && cum + hist(i).getLong(1) <= budget) {
+      cum += hist(i).getLong(1); i += 1
+    }
+    if (i >= hist.length) return base // everything fits
+    val sStar = hist(i).get(0)
+    val remaining = budget - cum
+    val above = base.filter(col(scoreCol) > lit(sStar))
+    val layer = base
+      .filter(col(scoreCol) === lit(sStar))
+      .withColumn(
+        "__cum",
+        sum(col(tokenCol).cast("long")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col(idCol))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow
+            )
+        )
+      )
+      .filter(col("__cum") <= lit(remaining))
+      .drop("__cum")
+    above.unionByName(layer)
+  }
 }

@@ -1045,6 +1045,50 @@ object TextAnalysis {
       .drop("__dom")
   }
 
+  /** CCNet/FineWeb-style corpus bucketing: tag every row `head` /
+    * `middle` / `tail` by the corpus-level quantile boundaries of
+    * `scoreCol` — CCNet buckets documents by language-model perplexity
+    * thirds (head = LOWEST score, the convention here; flip the score's
+    * sign for higher-is-better metrics), and curation pipelines use the
+    * buckets for curriculum ordering and mixture rates.
+    *
+    * Boundaries come from ONE global [[Quantiles.quantiles]] aggregate
+    * (`exact = false` default — the 100 TB sketch path; `exact = true`
+    * is the oracle-replayable opt-in, Spark's `percentile`:
+    * `pos = f·(n−1)`, result `(⌈pos⌉−pos)·v[⌊pos⌋] + (pos−⌊pos⌋)·v[⌈pos⌉]`
+    * over the sorted values — every step a correctly-rounded double op,
+    * so an external engine replaying that formula lands on the
+    * bit-identical boundary) and broadcast back; tagging is a pure
+    * per-row compare. NULL scores are ignored by the boundary aggregate
+    * and tag NULL. */
+  def scoreBuckets(
+      docs: DataFrame,
+      scoreCol: String,
+      lo: Double = 1.0 / 3,
+      hi: Double = 2.0 / 3,
+      exact: Boolean = false,
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(
+      lo > 0 && hi < 1 && lo <= hi,
+      s"scoreBuckets: need 0 < lo <= hi < 1, got lo=$lo hi=$hi"
+    )
+    require(!docs.columns.contains("bucket"), "scoreBuckets: input already has a bucket column")
+    val bounds = Quantiles
+      .quantiles(docs, Nil, scoreCol, Seq(lo, hi), exact, accuracy)
+      .toDF("__blo", "__bhi")
+    docs
+      .crossJoin(broadcast(bounds))
+      .withColumn(
+        "bucket",
+        when(col(scoreCol).isNull, lit(null).cast("string"))
+          .when(col(scoreCol) <= col("__blo"), lit("head"))
+          .when(col(scoreCol) <= col("__bhi"), lit("middle"))
+          .otherwise(lit("tail"))
+      )
+      .drop("__blo", "__bhi")
+  }
+
   /** Distribution drift between two corpora — smoothed KL divergence
     * over hashed unigram buckets, both directions (the mixture-
     * monitoring primitive: "has this source's token distribution moved

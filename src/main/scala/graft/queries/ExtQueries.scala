@@ -3810,6 +3810,93 @@ object ExtQueries {
              |  FROM j CROSS JOIN tt)
              |SELECT tot_a, tot_b, round(CAST(kab AS DOUBLE), 6) AS kl_ab,
              |  round(CAST(kba AS DOUBLE), 6) AS kl_ba FROM k""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // CCNet/FineWeb-style corpus bucketing (TextAnalysis.scoreBuckets):
+    // head/middle/tail by corpus-level score terciles — here the exact-
+    // grid x88 logit, so every `<= boundary` compare is wobble-free. The
+    // exact=true boundary is Spark's `percentile` formula —
+    // pos = f·(n−1), (⌈pos⌉−pos)·v[⌊pos⌋] + (pos−⌊pos⌋)·v[⌈pos⌉] over
+    // the sorted values, lower value when the neighbors are equal — every
+    // step a correctly-rounded double op, replayed verbatim by the
+    // oracle on the same sorted list (at 100 TB the default sketch
+    // boundaries apply instead, same facade as B17).
+    Q(
+      "x121_score_buckets",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = TextAnalysis
+          .scoreLinear(docs.select(col("doc_id"), col("text")), "text", qWeights, 17.0 / 256.0)
+          .select(col("doc_id"), col("logit"))
+        TextAnalysis
+          .scoreBuckets(scored, "logit", exact = true)
+          .select(col("doc_id"), col("logit"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
+             |sw AS (SELECT doc_id, (h60 // 2) % 64 AS bucket,
+             |    CASE WHEN h60 % 2 = 1 THEN 1.0 ELSE -1.0 END AS sign FROM h),
+             |dots AS (SELECT doc_id,
+             |    SUM(sign * CAST((bucket * 37) % 101 - 50 AS DOUBLE) / 256.0) AS dot
+             |  FROM sw GROUP BY 1),
+             |sc AS (SELECT d.doc_id, COALESCE(dots.dot, 0) + 17.0/256.0 AS logit
+             |  FROM documents d LEFT JOIN dots USING (doc_id)),
+             |vs AS (SELECT list_sort(list(logit)) AS v, COUNT(*) AS n FROM sc),
+             |ps AS (SELECT v, CAST(1 AS DOUBLE) / 3 * (n - 1) AS p1,
+             |    CAST(2 AS DOUBLE) / 3 * (n - 1) AS p2 FROM vs),
+             |bd AS (SELECT
+             |  CASE WHEN ceil(p1) = floor(p1)
+             |      OR v[CAST(floor(p1) AS BIGINT) + 1] = v[CAST(ceil(p1) AS BIGINT) + 1]
+             |    THEN v[CAST(floor(p1) AS BIGINT) + 1]
+             |    ELSE (ceil(p1) - p1) * v[CAST(floor(p1) AS BIGINT) + 1]
+             |      + (p1 - floor(p1)) * v[CAST(ceil(p1) AS BIGINT) + 1] END AS blo,
+             |  CASE WHEN ceil(p2) = floor(p2)
+             |      OR v[CAST(floor(p2) AS BIGINT) + 1] = v[CAST(ceil(p2) AS BIGINT) + 1]
+             |    THEN v[CAST(floor(p2) AS BIGINT) + 1]
+             |    ELSE (ceil(p2) - p2) * v[CAST(floor(p2) AS BIGINT) + 1]
+             |      + (p2 - floor(p2)) * v[CAST(ceil(p2) AS BIGINT) + 1] END AS bhi
+             |  FROM ps)
+             |SELECT doc_id, logit,
+             |  CASE WHEN logit <= blo THEN 'head' WHEN logit <= bhi THEN 'middle'
+             |    ELSE 'tail' END AS bucket
+             |FROM sc CROSS JOIN bd ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Token-budgeted quality selection (Scale.selectByBudget): "the best
+    // 15k tokens" — walk docs in (x88 logit DESC, id) order, keep while
+    // the inclusive token cumsum fits. The ENGINE never sorts globally
+    // (per-score histogram → driver threshold → filter + one boundary-
+    // layer window); the oracle proves the semantics equal the plain
+    // windowed-cumsum prefix it avoids at scale.
+    Q(
+      "x122_budget_select",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = TextAnalysis
+          .scoreLinear(docs.select(col("doc_id"), col("text")), "text", qWeights, 17.0 / 256.0)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        Scale
+          .selectByBudget(base, "doc_id", "logit", "n_tokens", 15000L)
+          .select(col("doc_id"), col("logit"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
+             |sw AS (SELECT doc_id, (h60 // 2) % 64 AS bucket,
+             |    CASE WHEN h60 % 2 = 1 THEN 1.0 ELSE -1.0 END AS sign FROM h),
+             |dots AS (SELECT doc_id,
+             |    SUM(sign * CAST((bucket * 37) % 101 - 50 AS DOUBLE) / 256.0) AS dot
+             |  FROM sw GROUP BY 1),
+             |sc AS (SELECT d.doc_id, COALESCE(dots.dot, 0) + 17.0/256.0 AS logit,
+             |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents d LEFT JOIN dots USING (doc_id)),
+             |c AS (SELECT doc_id, logit, n_tokens,
+             |    SUM(n_tokens) OVER (ORDER BY logit DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM sc WHERE n_tokens > 0)
+             |SELECT doc_id, logit, n_tokens FROM c WHERE cum <= 15000
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -2672,6 +2672,50 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(kept2 == Seq(0L, 1L, 4L))
   }
 
+  test("scoreBuckets: tercile tags match a local sort replay; nulls tag NULL; guards") {
+    import spark.implicits._
+    // 9 scores 1..9 → boundaries at pos 8/3 and 16/3 of the sorted list
+    val rows = (1 to 9).map(i => (i.toLong, i.toDouble))
+    val df = rows.toDF("id", "s")
+      .unionByName(Seq((99L, Option.empty[Double])).toDF("id", "s"))
+    val got = TextAnalysis
+      .scoreBuckets(df, "s", exact = true)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(2))))
+      .toSeq
+    // local replay of Spark's percentile interpolation
+    def pct(v: Seq[Double], f: Double): Double = {
+      val pos = f * (v.size - 1)
+      val l = math.floor(pos).toInt; val h = math.ceil(pos).toInt
+      if (l == h || v(l) == v(h)) v(l)
+      else (h - pos) * v(l) + (pos - l) * v(h)
+    }
+    val sorted = rows.map(_._2).sorted
+    val (blo, bhi) = (pct(sorted, 1.0 / 3), pct(sorted, 2.0 / 3))
+    val want = rows.map { case (id, s) =>
+      (id, Some(if (s <= blo) "head" else if (s <= bhi) "middle" else "tail"))
+    } :+ (99L, None)
+    assert(got == want, s"got $got (blo=$blo bhi=$bhi)")
+    // every non-null row is tagged and the three buckets are ~equal thirds
+    val byBucket = got.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    assert(byBucket == Map("head" -> 3, "middle" -> 3, "tail" -> 3), s"$byBucket")
+    // partition-invariant
+    val gotPar = TextAnalysis
+      .scoreBuckets(df.repartition(7), "s", exact = true)
+      .orderBy("id").collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    assert(gotPar == want)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.scoreBuckets(df, "s", lo = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.scoreBuckets(df, "s", lo = 0.7, hi = 0.3)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.scoreBuckets(df.withColumn("bucket", lit(1)), "s")
+    }
+  }
+
   test("corpusDivergence: zero on identical corpora, positive and asymmetric on drift") {
     import spark.implicits._
     val a = Seq((0L, "aa bb cc dd"), (1L, "aa bb ee ff")).toDF("doc_id", "text")

@@ -374,4 +374,51 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     assert(picked9 > picked1, s"w=9 picks $picked9 should beat w=1 picks $picked1")
     intercept[IllegalArgumentException] { Scale.weightedSample(df, "id", "w", 0) }
   }
+
+  test("selectByBudget: equals the greedy (score DESC, id) token prefix; layer ties; guards") {
+    import spark.implicits._
+    // scores with TIES so the boundary layer logic is exercised: three
+    // docs at score 3.0 with different ids and token counts
+    val rows = Seq(
+      (1L, 5.0, 10L), (2L, 4.0, 20L),
+      (3L, 3.0, 15L), (4L, 3.0, 5L), (5L, 3.0, 30L),
+      (6L, 2.0, 40L), (7L, 1.0, 50L)
+    )
+    val df = rows
+      .map { case (id, s, t) => (id, Option(s), Option(t)) }
+      .toDF("id", "s", "t")
+      .unionByName(Seq((8L, Option.empty[Double], Option(9L))).toDF("id", "s", "t"))
+      .unionByName(Seq((9L, Option(9.9), Option(0L))).toDF("id", "s", "t"))
+    def got(budget: Long) = Scale
+      .selectByBudget(df, "id", "s", "t", budget)
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    // local greedy replay over the valid rows
+    def want(budget: Long): Seq[Long] = {
+      var cum = 0L
+      rows
+        .sortBy { case (id, s, _) => (-s, id) }
+        .takeWhile { case (_, _, t) => { cum += t; cum <= budget } }
+        .map(_._1)
+        .sorted
+    }
+    // 50 cuts INSIDE the tied layer: 10+20 fit, then ids 3 (15) and 4 (5)
+    // fit (cum 50), id 5 (30) overflows — and ids after an overflow stay out
+    assert(got(50) == Seq(1L, 2L, 3L, 4L) && got(50) == want(50))
+    for (b <- Seq(0L, 9L, 10L, 30L, 45L, 80L, 100L, 170L, 1000L))
+      assert(got(b) == want(b), s"budget=$b: ${got(b)} vs ${want(b)}")
+    // everything fits -> all valid rows (null score / non-positive tokens out)
+    assert(got(1000) == rows.map(_._1).sorted)
+    // partition-invariant
+    assert(
+      Scale.selectByBudget(df.repartition(5), "id", "s", "t", 50)
+        .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq == want(50)
+    )
+    // the distinct-score guard names the fix
+    val wide = (0 until 50).map(i => (i.toLong, i.toDouble, 1L)).toDF("id", "s", "t")
+    val e = intercept[IllegalArgumentException] {
+      Scale.selectByBudget(wide, "id", "s", "t", 10L, maxDistinctScores = 10)
+    }
+    assert(e.getMessage.contains("grid"), e.getMessage)
+    intercept[IllegalArgumentException] { Scale.selectByBudget(df, "id", "s", "t", -1L) }
+  }
 }
