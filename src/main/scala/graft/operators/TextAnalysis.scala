@@ -1030,20 +1030,39 @@ object TextAnalysis {
       scoreCol: String,
       minMeanScore: Double,
       blocked: Seq[String] = Nil
+  ): DataFrame =
+    domainFilterAgainst(docs, urlCol, badDomains(docs, urlCol, scoreCol, minMeanScore, blocked))
+
+  /** The bad-domain frame [[domainFilter]] enforces: domains whose mean
+    * score is NULL or below `minMeanScore`, plus the explicit blocklist.
+    * Split out so production can compute it on a nightly batch SNAPSHOT
+    * and enforce it elsewhere (see [[domainFilterAgainst]]). */
+  def badDomains(
+      docs: DataFrame,
+      urlCol: String,
+      scoreCol: String,
+      minMeanScore: Double,
+      blocked: Seq[String] = Nil
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val low = domainStats(docs, urlCol, scoreCol)
       .filter(col("mean_score").isNull || col("mean_score") < minMeanScore)
       .select(col("domain"))
-    val bad =
-      if (blocked.isEmpty) low
-      else low.unionByName(blocked.toDF("domain")).distinct()
+    if (blocked.isEmpty) low
+    else low.unionByName(blocked.toDF("domain")).distinct()
+  }
+
+  /** [[domainFilter]]'s ENFORCEMENT stage against an already-computed
+    * bad-domain frame (one `domain` column) — the production split:
+    * stats from a nightly batch snapshot, enforcement wherever ingestion
+    * happens. A stream-static anti-join, so it runs unchanged under
+    * Structured Streaming (StreamingSpec pins streamed == batch). */
+  def domainFilterAgainst(docs: DataFrame, urlCol: String, badDomains: DataFrame): DataFrame =
     docs
       .withColumn("__dom", urlDomain(col(urlCol)))
-      .join(bad.withColumnRenamed("domain", "__dom"), Seq("__dom"), "left_anti")
+      .join(badDomains.select(col("domain").as("__dom")), Seq("__dom"), "left_anti")
       .drop("__dom")
-  }
 
   /** CCNet/FineWeb-style corpus bucketing: tag every row `head` /
     * `middle` / `tail` by the corpus-level quantile boundaries of
@@ -1079,14 +1098,23 @@ object TextAnalysis {
       .toDF("__blo", "__bhi")
     docs
       .crossJoin(broadcast(bounds))
-      .withColumn(
-        "bucket",
-        when(col(scoreCol).isNull, lit(null).cast("string"))
-          .when(col(scoreCol) <= col("__blo"), lit("head"))
-          .when(col(scoreCol) <= col("__bhi"), lit("middle"))
-          .otherwise(lit("tail"))
-      )
+      .withColumn("bucket", bucketTag(col(scoreCol), col("__blo"), col("__bhi")))
       .drop("__blo", "__bhi")
+  }
+
+  private def bucketTag(score: Column, blo: Column, bhi: Column): Column =
+    when(score.isNull, lit(null).cast("string"))
+      .when(score <= blo, lit("head"))
+      .when(score <= bhi, lit("middle"))
+      .otherwise(lit("tail"))
+
+  /** [[scoreBuckets]]'s TAGGING stage at fixed boundaries — pure per-row
+    * column, so it runs unchanged on a stream (boundaries come from a
+    * batch snapshot; re-deriving quantiles over an unbounded stream is
+    * not meaningful). */
+  def tagBuckets(df: DataFrame, scoreCol: String, blo: Double, bhi: Double): DataFrame = {
+    require(blo <= bhi, s"tagBuckets: need blo <= bhi, got $blo > $bhi")
+    df.withColumn("bucket", bucketTag(col(scoreCol), lit(blo), lit(bhi)))
   }
 
   /** Distribution drift between two corpora — smoothed KL divergence

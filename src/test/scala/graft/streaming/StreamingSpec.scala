@@ -220,6 +220,52 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(got == want && got.nonEmpty) // exact: 1/256-grid weights, integer counts
   }
 
+  test("domain filter and bucket tagging run unchanged under streaming (stream-static parity)") {
+    import graft.operators.TextAnalysis
+    // The production split this pins: domain stats + quantile boundaries
+    // come from a nightly BATCH snapshot; the live ingest stream is
+    // enforced against them (stream-static anti-join + per-row tagging).
+    val docs = t(spark, sfTiny, "documents")
+      .withColumn(
+        "url",
+        concat(
+          lit("https://"), col("source"), lit("-"), (col("doc_id") % 13).cast("string"),
+          lit(".Example.com/"), col("lang"), lit("/"), col("doc_id").cast("string")
+        )
+      )
+    val wts = Array.tabulate(16)(b => ((b * 37) % 101 - 50) / 256.0)
+    val scored = TextAnalysis.scoreLinear(docs, "text", wts, 0.25)
+    // batch snapshot: bad domains + tercile boundaries; blocklist an
+    // existing domain so the filter provably drops rows at this tiny SF
+    val dom0 = scored
+      .select(TextAnalysis.urlDomain(col("url")).as("d")).orderBy("d").first().getString(0)
+    val bad = TextAnalysis
+      .badDomains(scored, "url", "logit", 0.2, blocked = Seq(dom0))
+      .localCheckpoint()
+    val Array(blo, bhi) = graft.operators.Quantiles
+      .quantiles(scored, Nil, "logit", Seq(1.0 / 3, 2.0 / 3), exact = true)
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    def enforce(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis
+        .tagBuckets(TextAnalysis.domainFilterAgainst(df, "url", bad), "logit", blo, bhi)
+        .select("doc_id", "logit", "bucket")
+    val dir = java.nio.file.Files.createTempDirectory("domain_stream").toString
+    scored.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(scored.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = enforce(stream).writeStream
+      .format("memory").queryName("domain_stream").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("domain_stream").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val want = enforce(scored).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got == want && got.nonEmpty)
+    // the filter genuinely dropped something (bad domains exist at this cut)
+    assert(got.size < scored.count())
+  }
+
   test("pqEncode and dsirScore run unchanged under streaming (stateless parity)") {
     import graft.operators.{Scale, Similarity}
     // PQ side: encode a streamed embeddings table with a batch-fitted model
