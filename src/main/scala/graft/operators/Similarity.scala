@@ -1504,23 +1504,7 @@ object Similarity {
       col("cen_v"),
       sqrt(vecDot(col("cen_v"), col("cen_v"))).as("cen_n")
     )
-    val base = df
-      .select(
-        col(idCol).as("id"),
-        col(vecCol).as("v"),
-        sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm")
-      )
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
-    val sim = when(
-      col("nrm") > 0 && col("cen_n") > 0,
-      round(vecDot(col("v"), col("cen_v")) / (col("nrm") * col("cen_n")), 6)
-    )
-    val assigned = base
-      .join(broadcast(cen), lit(true))
-      .select(col("id"), col("v"), col("nrm"), PackedArgmax.encode(sim, col("cen_id")).as("enc"))
-      .groupBy("id")
-      .agg(max(col("enc")).as("m"), first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("id"), col("v"), col("nrm"), PackedArgmax.decodeId(col("m")).as("cell"))
+    val assigned = assignCells(df, idCol, vecCol, cen)
     val a = assigned.select(col("id").as("d1"), col("v").as("v1"), col("nrm").as("n1"), col("cell"))
     val b = assigned.select(col("id").as("d2"), col("v").as("v2"), col("nrm").as("n2"), col("cell"))
     val pair = when(
@@ -1535,6 +1519,131 @@ object Similarity {
       .select(col("d2").as(idCol))
       .distinct()
     df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** `(id, v, nrm, cell)` rows: every vector assigned to its nearest
+    * centroid by rounded cosine (ties → lowest cen_id — the
+    * [[PackedArgmax]] encoding shared with [[ivfTopK]]/[[semDedup]]);
+    * zero-norm vectors get a NULL cell. `cen` must carry
+    * `(cen_id, cen_v, cen_n)`. One broadcast pass — never pairwise. */
+  private def assignCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cen: DataFrame
+  ): DataFrame = {
+    val base = df
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("v"),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm")
+      )
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+    val sim = when(
+      col("nrm") > 0 && col("cen_n") > 0,
+      round(vecDot(col("v"), col("cen_v")) / (col("nrm") * col("cen_n")), 6)
+    )
+    base
+      .join(broadcast(cen), lit(true))
+      .select(col("id"), col("v"), col("nrm"), PackedArgmax.encode(sim, col("cen_id")).as("enc"))
+      .groupBy("id")
+      .agg(max(col("enc")).as("m"), first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("id"), col("v"), col("nrm"), PackedArgmax.decodeId(col("m")).as("cell"))
+  }
+
+  private def centroidFrame(centroids: DataFrame, idCol: String, vecCol: String, what: String) =
+    centroids.select(
+      PackedArgmax.guardId(col(idCol), s"$what centroid").as("cen_id"),
+      col(vecCol).as("cen_v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("cen_n")
+    )
+
+  /** Build (or extend) the persisted SemDeDup INDEX: each accepted
+    * vector with its cell under the FIXED `centroids` frame
+    * (`(idCol, vecCol)` rows, the [[ivfTopK]] convention). Returns
+    * `(idCol, vecCol, cell)` — persist it partitioned/bucketed by
+    * `cell` so [[incrementalSemDedup]]'s per-batch join arrives
+    * co-partitioned (the bucketed-band-rows pattern). Cells are
+    * assigned ONCE at acceptance time and never recomputed, which is
+    * what pins the index's pair-bounding geometry across batches —
+    * REFITTING centroids later would silently re-shard history and
+    * void the within-cell completeness argument; keep the centroid
+    * frame with the index as part of its contract. Zero-norm vectors
+    * carry a NULL cell (they can never confirm a cosine). */
+  def semIndex(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+    assignCells(df, idCol, vecCol, centroidFrame(centroids, idCol, vecCol, "semIndex"))
+      .select(col("id").as(idCol), col("v").as(vecCol), col("cell"))
+
+  /** INCREMENTAL SemDeDup — the continuous-ingestion shape of
+    * [[semDedup]], mirroring [[graft.operators.Dedup.incrementalNearDup]]
+    * for embeddings: the accepted corpus is represented ONLY by its
+    * persisted `(id, vec, cell)` index ([[semIndex]]), so a daily batch
+    * never recomputes history's cells or rescans raw history:
+    *
+    *  1. batch vectors assign to cells against the SAME broadcast
+    *     `centroids` the index was built with (the index contract);
+    *  2. within each cell, batch-vs-index rounded cosine ≥ `threshold`
+    *     drops the batch doc (the index is the BIG side at scale —
+    *     cell-keyed shuffle join, no broadcast);
+    *  3. batch survivors self-dedup within cells with the library rule:
+    *     of each (d1 < d2) pair at/above threshold, d2 drops;
+    *  4. the caller closes the loop by appending
+    *     `semIndex(survivors, ...)` rows.
+    *
+    * Unlike the minhash index (a few dozen bytes/doc), the vectors ARE
+    * the cosine evidence, so the index carries them (4·dim bytes/row);
+    * when index BYTES are the bill, store SQ8 codes beside the floats
+    * and pre-filter on [[sqCosine]] before the exact confirm (the
+    * [[ivfTopKSq]] trade, measured there). Pair volume is
+    * sum(cell·batch-cell) — cells bound WHICH pairs are scored, never
+    * all-pairs. Zero-norm batch vectors take no cell and always
+    * survive; index ids only ever contribute drop evidence, so id
+    * collisions between index and batch are harmless. */
+  def incrementalSemDedup(
+      batch: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    require(
+      threshold >= -1 && threshold <= 1,
+      s"incrementalSemDedup: threshold must be a cosine in [-1, 1], got $threshold"
+    )
+    require(
+      index.columns.contains("cell") && index.columns.contains(idCol) &&
+        index.columns.contains(vecCol),
+      s"incrementalSemDedup: index needs ($idCol, $vecCol, cell) — build it with semIndex " +
+        "under the SAME centroid frame"
+    )
+    val cen = centroidFrame(centroids, idCol, vecCol, "incrementalSemDedup")
+    val bAsg = assignCells(batch, idCol, vecCol, cen)
+    val iRows = index.select(
+      col(idCol).as("d1"),
+      col(vecCol).as("v1"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("n1"),
+      col("cell")
+    )
+    val bq = bAsg.select(col("id").as("d2"), col("v").as("v2"), col("nrm").as("n2"), col("cell"))
+    val pair = when(
+      col("n1") > 0 && col("n2") > 0,
+      round(vecDot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
+    )
+    val idxDrops = bq
+      .join(iRows, Seq("cell"))
+      .select(col("d2"), pair.as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("d2").as(idCol))
+    val b1 = bAsg.select(col("id").as("d1"), col("v").as("v1"), col("nrm").as("n1"), col("cell"))
+    val selfDrops = b1
+      .join(bq, Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d2"), pair.as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("d2").as(idCol))
+    // no distinct on the union: the anti-join is insensitive to duplicates
+    batch.join(idxDrops.union(selfDrops), Seq(idCol), "left_anti")
   }
 
   /** [[pqTopK]] with the IVF cell count AND the PQ codebook derived from

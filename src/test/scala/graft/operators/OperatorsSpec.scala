@@ -2672,6 +2672,44 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(kept2 == Seq(0L, 1L, 4L))
   }
 
+  test("incrementalSemDedup: index hits and within-batch d2 drop; semIndex append closes the loop") {
+    import spark.implicits._
+    // two orthogonal cells; cosines are scale-invariant so the planted
+    // magnitudes don't matter
+    val cen = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("id", "v")
+    val accepted = Seq((10L, Seq(1f, 0.01f)), (11L, Seq(0.01f, 1f))).toDF("id", "v")
+    val index = Similarity.semIndex(accepted, "id", "v", cen)
+    assert(
+      index.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+        Seq((10L, 0L), (11L, 1L))
+    )
+    val batch = Seq(
+      (20L, Seq(2f, 0.02f)), // scaled copy of indexed 10 — index hit, drops
+      (21L, Seq(1f, 0.8f)), // novel (cosine vs 10 ~ 0.79) — survives
+      (22L, Seq(1f, 0.8f)), // exact dup of 21 within the batch — d2 drops
+      (23L, Seq(0f, 0f)) // zero-norm: no cell, always survives
+    ).toDF("id", "v")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    val survivors = Similarity.incrementalSemDedup(batch, index, cen, "id", "v", 0.95)
+    assert(ids(survivors) == Seq(21L, 23L))
+    // closing the loop: appending survivor cells kills a batch-2 near-dup
+    // of a batch-1 survivor against the UPDATED index
+    val index2 = index.unionByName(
+      Similarity.semIndex(survivors.filter(col("id") === 21L), "id", "v", cen)
+    )
+    val batch2 = Seq((30L, Seq(2f, 1.6f)), (31L, Seq(-1f, 0.9f))).toDF("id", "v")
+    assert(ids(Similarity.incrementalSemDedup(batch2, index2, cen, "id", "v", 0.95)) == Seq(31L))
+    // guards: threshold range; an index without cells refuses loudly
+    intercept[IllegalArgumentException] {
+      Similarity.incrementalSemDedup(batch, index, cen, "id", "v", 1.5)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.incrementalSemDedup(batch, accepted, cen, "id", "v", 0.95)
+    }
+    assert(e.getMessage.contains("semIndex"), e.getMessage)
+  }
+
   test("scoreBuckets: tercile tags match a local sort replay; nulls tag NULL; guards") {
     import spark.implicits._
     // 9 scores 1..9 → boundaries at pos 8/3 and 16/3 of the sorted list

@@ -612,7 +612,8 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
         assert(rec.getInt(2) == i, s"i=$i")
       }
     }
-    // element count mismatch fails loudly, never writes garbage
+    // element count mismatch fails loudly, never writes garbage (arity is
+    // checked per nesting level since the r14 ragged-shape fix)
     val e3 = intercept[IllegalArgumentException] {
       ZarrStoreWriter.writeStructArray(
         dir, "bad", Vector(2), Vector(2),
@@ -621,7 +622,7 @@ class ZarrSpec extends AnyFunSuite with SparkTester {
         dims = Some(Vector("i"))
       )
     }
-    assert(e3.getMessage.contains("expects 3"), e3.getMessage)
+    assert(e3.getMessage.contains("has 2 elements, expected 3"), e3.getMessage)
   }
 
   test("numcodecs categorize: coded label chunks decode through the scan; unknowns read ''") {
