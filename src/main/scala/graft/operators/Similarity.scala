@@ -1617,8 +1617,36 @@ object Similarity {
       s"incrementalSemDedup: index needs ($idCol, $vecCol, cell) — build it with semIndex " +
         "under the SAME centroid frame"
     )
+    val (idxEvidence, selfEvidence) =
+      incrementalSemEvidence(batch, index, centroids, idCol, vecCol, threshold)
+    // no distinct on the union: the anti-join is insensitive to duplicates
+    batch.join(
+      idxEvidence.select(col("__did").as(idCol)).union(selfEvidence.select(col("__did").as(idCol))),
+      Seq(idCol),
+      "left_anti"
+    )
+  }
+
+  /** Confirmed drop evidence shared by [[incrementalSemDedup]] and
+    * [[incrementalSemDedupAudit]]: two `(__did, __partner)` frames —
+    * batch docs killed by an index hit, and batch docs shadowed by a
+    * smaller-id batch doc (the Dedup.incrementalDropEvidence shape). */
+  private def incrementalSemEvidence(
+      batch: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): (DataFrame, DataFrame) = {
     val cen = centroidFrame(centroids, idCol, vecCol, "incrementalSemDedup")
+    // persist: the assigned batch feeds three subtrees (both sides of the
+    // self-join and the index confirm) — without materialization each
+    // re-runs the broadcast assignment pass (the Dedup.incrementalDropEvidence
+    // precedent; measured 33 parquet scans in the unpersisted plan)
     val bAsg = assignCells(batch, idCol, vecCol, cen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bAsg.count() // eager: concurrent consumers race a lazily-filling cache
     val iRows = index.select(
       col(idCol).as("d1"),
       col(vecCol).as("v1"),
@@ -1630,20 +1658,55 @@ object Similarity {
       col("n1") > 0 && col("n2") > 0,
       round(vecDot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
     )
-    val idxDrops = bq
+    val idxEvidence = bq
       .join(iRows, Seq("cell"))
-      .select(col("d2"), pair.as("sim"))
+      .select(col("d2"), col("d1"), pair.as("sim"))
       .filter(col("sim") >= threshold)
-      .select(col("d2").as(idCol))
+      .select(col("d2").as("__did"), col("d1").as("__partner"))
     val b1 = bAsg.select(col("id").as("d1"), col("v").as("v1"), col("nrm").as("n1"), col("cell"))
-    val selfDrops = b1
+    val selfEvidence = b1
       .join(bq, Seq("cell"))
       .filter(col("d1") < col("d2"))
-      .select(col("d2"), pair.as("sim"))
+      .select(col("d2"), col("d1"), pair.as("sim"))
       .filter(col("sim") >= threshold)
-      .select(col("d2").as(idCol))
-    // no distinct on the union: the anti-join is insensitive to duplicates
-    batch.join(idxDrops.union(selfDrops), Seq(idCol), "left_anti")
+      .select(col("d2").as("__did"), col("d1").as("__partner"))
+    (idxEvidence, selfEvidence)
+  }
+
+  /** Drop LEDGER for [[incrementalSemDedup]] — the provenance trail a
+    * production pipeline reports beside the survivor set (the
+    * [[graft.operators.Dedup.incrementalNearDupAudit]] shape for the
+    * semantic path): one row per (dropped doc, reason ∈ {'index',
+    * 'batch'}) with the SMALLEST qualifying partner id of that reason —
+    * deterministic, so the ledger is replayable and diffable across
+    * runs. A doc killed by both carries both rows. Survivors == batch
+    * minus this ledger's distinct ids, by construction (shared
+    * evidence frames). */
+  def incrementalSemDedupAudit(
+      batch: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    require(
+      threshold >= -1 && threshold <= 1,
+      s"incrementalSemDedupAudit: threshold must be a cosine in [-1, 1], got $threshold"
+    )
+    require(
+      index.columns.contains("cell") && index.columns.contains(idCol) &&
+        index.columns.contains(vecCol),
+      s"incrementalSemDedupAudit: index needs ($idCol, $vecCol, cell) — build it with semIndex " +
+        "under the SAME centroid frame"
+    )
+    val (idxEvidence, selfEvidence) =
+      incrementalSemEvidence(batch, index, centroids, idCol, vecCol, threshold)
+    def ledger(ev: DataFrame, reason: String): DataFrame =
+      ev.groupBy(col("__did"))
+        .agg(min(col("__partner")).as("partner"))
+        .select(col("__did").as(idCol), lit(reason).as("reason"), col("partner"))
+    ledger(idxEvidence, "index").union(ledger(selfEvidence, "batch"))
   }
 
   /** [[pqTopK]] with the IVF cell count AND the PQ codebook derived from

@@ -3978,6 +3978,81 @@ object ExtQueries {
              |WHERE vec_id NOT IN (SELECT vec_id FROM idrops)
              |  AND vec_id NOT IN (SELECT vec_id FROM sdrops)
              |ORDER BY vec_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Incremental-SemDeDup drop LEDGER (incrementalSemDedupAudit): the
+    // x112 provenance shape for the semantic path — one row per
+    // (dropped doc, reason ∈ {index, batch}) with the smallest
+    // qualifying partner. Same corpus construction as x123; the oracle
+    // replays the evidence joins and the min(partner) aggregation.
+    Q(
+      "x124_incr_sem_ledger",
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+        val idx0 = e.filter(col("vec_id") % 3 === 0)
+        val nl = math.max(1L, math.floor(math.sqrt(idx0.count().toDouble)).toLong).toInt
+        val cen = Similarity
+          .kmeansFit(idx0, "vec_id", "v", nl, iters = 0)
+          .select(col("cen_id").as("vec_id"), col("cen_v").as("v"))
+        val index = Similarity.semIndex(idx0, "vec_id", "v", cen)
+        val batchRaw = e.filter(col("vec_id") % 3 =!= 0)
+        val plantedIdx = idx0
+          .filter(col("vec_id") % 9 === 0)
+          .select(
+            (col("vec_id") + lit(1000000000L)).as("vec_id"),
+            transform(col("v"), x => x * lit(2.0f)).as("v")
+          )
+        val dupInBatch = batchRaw
+          .filter(col("vec_id") % 7 === 1)
+          .select((col("vec_id") + lit(2000000000L)).as("vec_id"), col("v"))
+        val batch = batchRaw.union(plantedIdx).union(dupInBatch)
+        Similarity
+          .incrementalSemDedupAudit(batch, index, cen, "vec_id", "v", 0.95)
+          .orderBy("vec_id", "reason")
+      },
+      Some("""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |idx AS MATERIALIZED (SELECT vec_id, v FROM base WHERE vec_id % 3 = 0),
+             |nl AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM idx),
+             |cen AS MATERIALIZED (SELECT rk - 1 AS cen_id, cv FROM (
+             |    SELECT v AS cv, row_number() OVER (ORDER BY vec_id) AS rk FROM idx) t, nl
+             |  WHERE rk <= nlist),
+             |bat AS MATERIALIZED (
+             |  SELECT vec_id, v FROM base WHERE vec_id % 3 != 0
+             |  UNION ALL
+             |  SELECT vec_id + 1000000000, list_transform(v, x -> x * 2.0)
+             |  FROM idx WHERE vec_id % 9 = 0
+             |  UNION ALL
+             |  SELECT vec_id + 2000000000, v FROM base
+             |  WHERE vec_id % 3 != 0 AND vec_id % 7 = 1),
+             |iasg AS MATERIALIZED (SELECT vec_id, cell FROM (
+             |  SELECT i.vec_id, cen.cen_id AS cell,
+             |    row_number() OVER (PARTITION BY i.vec_id ORDER BY
+             |      round(list_dot_product(i.v, cen.cv)
+             |        / (sqrt(list_dot_product(i.v, i.v))
+             |           * sqrt(list_dot_product(cen.cv, cen.cv))), 6) DESC, cen.cen_id) AS r
+             |  FROM idx i CROSS JOIN cen) t WHERE r = 1),
+             |basg AS MATERIALIZED (SELECT vec_id, cell FROM (
+             |  SELECT b.vec_id, cen.cen_id AS cell,
+             |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             |      round(list_dot_product(b.v, cen.cv)
+             |        / (sqrt(list_dot_product(b.v, b.v))
+             |           * sqrt(list_dot_product(cen.cv, cen.cv))), 6) DESC, cen.cen_id) AS r
+             |  FROM bat b CROSS JOIN cen) t WHERE r = 1),
+             |iev AS (SELECT b.vec_id AS did, i.vec_id AS partner
+             |  FROM basg b JOIN iasg i ON b.cell = i.cell
+             |  JOIN bat q ON q.vec_id = b.vec_id JOIN idx c ON c.vec_id = i.vec_id
+             |  WHERE round(list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.95),
+             |sev AS (SELECT b2.vec_id AS did, b1.vec_id AS partner
+             |  FROM basg b1 JOIN basg b2 ON b1.cell = b2.cell AND b1.vec_id < b2.vec_id
+             |  JOIN bat q ON q.vec_id = b1.vec_id JOIN bat c ON c.vec_id = b2.vec_id
+             |  WHERE round(list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.95)
+             |SELECT did AS vec_id, reason, partner FROM (
+             |  SELECT did, 'index' AS reason, MIN(partner) AS partner FROM iev GROUP BY 1
+             |  UNION ALL
+             |  SELECT did, 'batch' AS reason, MIN(partner) AS partner FROM sev GROUP BY 1)
+             |ORDER BY vec_id, reason""".stripMargin)
     )
   )
 }

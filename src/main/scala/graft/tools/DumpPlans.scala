@@ -153,7 +153,25 @@ object DumpPlans {
       "aggregates cell-locally with zero exchange, same as ivfTopK."),
     "x106_keyword_tag" -> ("Aho-Corasick tagging: keyword_matches is ONE codegen expression " +
       "over the scan (the automaton rides the plan) feeding a Generate — no join against a " +
-      "term table, no per-term scan, no shuffle before the verification sort.")
+      "term table, no per-term scan, no shuffle before the verification sort."),
+    "x117_rrf_fusion" -> ("RRF hybrid fusion: both retrieval inputs arrive k-bounded per " +
+      "query (BM25 topKPerKey heap + brute-force broadcast ranking), so the fusion is a " +
+      "union of |q|·k skinny (qid, did, decimal) rows into ONE partial->final aggregate " +
+      "and the bounded topKPerKey heap — text, postings and vectors never cross the " +
+      "fusion exchange."),
+    "x119_domain_filter" -> ("Domain curation: per-domain decimal mean via one " +
+      "partial->final aggregate keyed on the derived domain; the bad-domain side then " +
+      "BROADCASTS into a left-anti hash join over the corpus scan — the corpus shuffles " +
+      "zero times when the bad set is small (the common case)."),
+    "x122_budget_select" -> ("Token-budget selection: the per-score histogram is a " +
+      "partial->final aggregate (map-side combine, |distinct scores| rows); the kept set " +
+      "is a plain codegen Filter above the driver-derived threshold UNIONed with the one " +
+      "boundary-score layer, whose running-sum window sorts ONLY that layer — no global " +
+      "sort of the corpus anywhere in the plan."),
+    "x123_incr_semdedup" -> ("Incremental SemDeDup: batch cell assignment is the x97 " +
+      "broadcast + packed-long max shape; both confirm joins are cell-keyed equi-joins " +
+      "(index side big, never broadcast), and the final anti-join keys on the id — raw " +
+      "history never enters, only its (id, vec, cell) index rows.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -2700,6 +2700,14 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     )
     val batch2 = Seq((30L, Seq(2f, 1.6f)), (31L, Seq(-1f, 0.9f))).toDF("id", "v")
     assert(ids(Similarity.incrementalSemDedup(batch2, index2, cen, "id", "v", 0.95)) == Seq(31L))
+    // the drop ledger: reason + smallest qualifying partner per drop, and
+    // survivors == batch minus the ledger's distinct ids
+    val ledger = Similarity
+      .incrementalSemDedupAudit(batch, index, cen, "id", "v", 0.95)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(ledger == Set((20L, "index", 10L), (22L, "batch", 21L)), s"ledger: $ledger")
     // guards: threshold range; an index without cells refuses loudly
     intercept[IllegalArgumentException] {
       Similarity.incrementalSemDedup(batch, index, cen, "id", "v", 1.5)
@@ -2708,6 +2716,9 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
       Similarity.incrementalSemDedup(batch, accepted, cen, "id", "v", 0.95)
     }
     assert(e.getMessage.contains("semIndex"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Similarity.incrementalSemDedupAudit(batch, accepted, cen, "id", "v", 0.95)
+    }
   }
 
   test("scoreBuckets: tercile tags match a local sort replay; nulls tag NULL; guards") {
