@@ -449,6 +449,54 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(accepted.toSeq == expected, s"streamed $accepted != sequential $expected")
   }
 
+  test("incrementalSemDedup under foreachBatch: growing cell index across micro-batches == sequential replay") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    // frozen centroid frame — the semIndex contract across all batches
+    val cen = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("id", "v")
+    val va = Seq(1f, 0.02f); val vb = Seq(0.02f, 1f); val vc = Seq(1f, 1f)
+    val batches: Seq[Seq[(Long, Seq[Float])]] = Seq(
+      Seq((0L, va), (1L, va.map(_ * 2f))), // 1 is a scaled dup of 0 within the batch
+      Seq((10L, va.map(_ * 4f)), (11L, vb)), // 10 near-dups the INDEXED 0
+      Seq((20L, vb.map(_ * 2f)), (21L, vc)) // 20 copies survivor 11 from the PRIOR batch; 21 novel
+    )
+    val emptyIndex =
+      Similarity.semIndex(Seq.empty[(Long, Seq[Float])].toDF("id", "v"), "id", "v", cen)
+    def step(index: DataFrame, batch: DataFrame): (DataFrame, Seq[Long]) = {
+      val surv = Similarity.incrementalSemDedup(batch, index, cen, "id", "v", 0.95)
+      val next = index.unionByName(Similarity.semIndex(surv, "id", "v", cen)).localCheckpoint()
+      (next, surv.select("id").collect().map(_.getLong(0)).toSeq.sorted)
+    }
+    // sequential ground truth over the static frames
+    val expected = batches
+      .scanLeft((emptyIndex, Seq.empty[Long])) { case ((idx, _), rows) =>
+        step(idx, rows.toDF("id", "v"))
+      }
+      .drop(1)
+      .flatMap(_._2)
+    assert(expected == Seq(0L, 11L, 21L), s"planted truth drifted: $expected")
+    // streamed: one MemoryStream batch at a time through foreachBatch
+    val mem =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])](spark)
+    var index = emptyIndex
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = mem
+      .toDF()
+      .toDF("id", "v")
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val (next, ids) = step(index, df)
+        index = next
+        accepted ++= ids
+        ()
+      }
+      .start()
+    try batches.foreach { rows => mem.addData(rows); q.processAllAvailable() }
+    finally q.stop()
+    assert(accepted.toSeq == expected, s"streamed $accepted != sequential $expected")
+  }
+
   test("nearDupStream: streamed LSH near-dup removal, planted dups straddling micro-batches") {
     import graft.streaming.DedupStreams
     // transformWithState prerequisite
