@@ -1558,6 +1558,20 @@ object Similarity {
       sqrt(vecDot(col(vecCol), col(vecCol))).as("cen_n")
     )
 
+  /** Leading-`dim` truncation of an embedding column — the
+    * Matryoshka-representation trade (Kusupati et al., NeurIPS 2022:
+    * MRL-trained embeddings keep most retrieval quality in their
+    * prefix), used to shrink index storage and pair-scoring flops by
+    * dim_full/dim. No renormalization: every consumer here scores by
+    * COSINE, which normalizes per-vector anyway. Audit the quality loss
+    * with [[recallAtK]] over truncated-vs-full rankings before adopting
+    * a prefix length — the x125 query is exactly that audit. Pure
+    * per-row projection (codegen `slice`), no shuffle. */
+  def truncateDims(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"truncateDims: dim must be >= 1, got $dim")
+    df.withColumn(vecCol, slice(col(vecCol), 1, dim))
+  }
+
   /** Build (or extend) the persisted SemDeDup INDEX: each accepted
     * vector with its cell under the FIXED `centroids` frame
     * (`(idCol, vecCol)` rows, the [[ivfTopK]] convention). Returns

@@ -4053,6 +4053,50 @@ object ExtQueries {
              |  UNION ALL
              |  SELECT did, 'batch' AS reason, MIN(partner) AS partner FROM sev GROUP BY 1)
              |ORDER BY vec_id, reason""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Matryoshka truncation audit (Similarity.truncateDims + recallAtK):
+    // recall@5 of the 16-dim PREFIX ranking against the full 64-dim
+    // exact ranking over the fixed x104 query workload — the
+    // measurement that justifies (or vetoes) shrinking an embedding
+    // index 4x. Both rankings are deterministic brute-force top-k, so
+    // the oracle recomputes both sides from list slices.
+    Q(
+      "x125_mrl_recall",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val qs = (df: org.apache.spark.sql.DataFrame) =>
+          df.filter(col("vec_id") < 10000000L && col("vec_id") % 10 === 0)
+        val trunc = Similarity.truncateDims(e, "embedding", 16)
+        val approx = Similarity.bruteForceTopK(qs(trunc), trunc, "vec_id", "embedding", 5)
+        val exact = Similarity.bruteForceTopK(qs(e), e, "vec_id", "embedding", 5)
+        Similarity.recallAtK(approx, exact, 5).orderBy("qid")
+      },
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |    CAST(embedding[1:16] AS DOUBLE[]) AS t FROM embeddings),
+             |asims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |  round(list_dot_product(q.t, c.t)
+             |    / (sqrt(list_dot_product(q.t, q.t)) * sqrt(list_dot_product(c.t, c.t))), 6) AS sim
+             |  FROM e q JOIN e c ON q.vec_id != c.vec_id
+             |  WHERE q.vec_id < 10000000 AND q.vec_id % 10 = 0),
+             |ark AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+             |  FROM asims) t WHERE rn <= 5),
+             |bsims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |  round(list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+             |  FROM e q JOIN e c ON q.vec_id != c.vec_id
+             |  WHERE q.vec_id < 10000000 AND q.vec_id % 10 = 0),
+             |brk AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+             |  FROM bsims) t WHERE rn <= 5),
+             |hits AS (SELECT ark.qid, CAST(count(*) AS BIGINT) AS n_hit
+             |  FROM ark JOIN brk ON ark.qid = brk.qid AND ark.cid = brk.cid GROUP BY 1),
+             |base AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM brk GROUP BY 1)
+             |SELECT base.qid, COALESCE(hits.n_hit, 0) AS n_hit, base.n_exact,
+             |  round(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / base.n_exact, 6) AS recall
+             |FROM base LEFT JOIN hits ON hits.qid = base.qid
+             |ORDER BY base.qid""".stripMargin)
     )
   )
 }

@@ -2721,6 +2721,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("truncateDims: leading-prefix projection; full-dim truncation changes nothing") {
+    import spark.implicits._
+    val df = Seq((0L, Seq(1f, 2f, 3f, 4f)), (1L, Seq(5f, 6f, 7f, 8f))).toDF("id", "v")
+    val got = Similarity.truncateDims(df, "v", 2).orderBy("id").collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+    assert(got == Seq(Seq(1f, 2f), Seq(5f, 6f)))
+    // truncating to the full dim is the identity, so recall vs the full
+    // ranking is exactly 1.0 — the audit's sanity anchor
+    val e = t(spark, "/root/testdata/sf0.001", "embeddings")
+    val full = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") % 10 === 0), e, "vec_id", "embedding", 3)
+    val same = Similarity.bruteForceTopK(
+      Similarity.truncateDims(e, "embedding", 64).filter(col("vec_id") % 10 === 0),
+      Similarity.truncateDims(e, "embedding", 64), "vec_id", "embedding", 3)
+    val rec = Similarity.recallAtK(same, full, 3)
+      .agg(min("recall"), max("recall")).collect()(0)
+    assert(rec.getDouble(0) == 1.0 && rec.getDouble(1) == 1.0)
+    intercept[IllegalArgumentException] { Similarity.truncateDims(df, "v", 0) }
+  }
+
   test("scoreBuckets: tercile tags match a local sort replay; nulls tag NULL; guards") {
     import spark.implicits._
     // 9 scores 1..9 → boundaries at pos 8/3 and 16/3 of the sorted list
