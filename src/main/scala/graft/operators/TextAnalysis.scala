@@ -993,7 +993,13 @@ object TextAnalysis {
     *
     * Determinism: per-row scores round to 6 dp and sum as DECIMAL
     * (exact, associative — identical at any parallelism); the mean is
-    * one double division rounded to 6 dp. One groupBy(domain) shuffle —
+    * ONE IEEE double division of that exact sum by the exact count —
+    * bit-identical in any engine. It is deliberately NOT re-rounded
+    * here: rounding a double to 6 dp is the one step engines disagree
+    * on at 7th-digit ties (Spark rounds the shortest decimal repr
+    * HALF_UP, DuckDB rounds the binary value — measured divergence at
+    * 0.2597655), while the raw quotient is exactly shared; round for
+    * display downstream if needed. One groupBy(domain) shuffle —
     * map-side partials bound it by the domain cardinality. */
   def domainStats(docs: DataFrame, urlCol: String, scoreCol: String): DataFrame =
     docs
@@ -1008,7 +1014,7 @@ object TextAnalysis {
       .select(
         col("domain"),
         col("n_docs"),
-        round(col("__s").cast("double") / col("n_docs"), 6).as("mean_score")
+        (col("__s").cast("double") / col("n_docs")).as("mean_score")
       )
 
   /** Domain-level curation filter: drop every doc whose domain has mean

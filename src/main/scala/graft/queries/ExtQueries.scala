@@ -3761,8 +3761,8 @@ object ExtQueries {
              |    COALESCE(dots.dot, 0) + 17.0/256.0 AS logit
              |  FROM documents d LEFT JOIN dots USING (doc_id)),
              |ds AS (SELECT dom,
-             |    round(CAST(SUM(CAST(round(logit, 6) AS DECIMAL(28, 6))) AS DOUBLE)
-             |      / COUNT(*), 6) AS mean_score
+             |    CAST(SUM(CAST(round(logit, 6) AS DECIMAL(28, 6))) AS DOUBLE)
+             |      / COUNT(*) AS mean_score
              |  FROM sc GROUP BY 1),
              |bad AS (SELECT dom FROM ds WHERE mean_score < 0.0
              |  UNION SELECT 'src3-7.example.com')
@@ -4097,6 +4097,39 @@ object ExtQueries {
              |  round(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / base.n_exact, 6) AS recall
              |FROM base LEFT JOIN hits ON hits.qid = base.qid
              |ORDER BY base.qid""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Per-domain statistics surface (TextAnalysis.domainStats): the
+    // dashboard behind x119's filter — doc count and decimal-exact mean
+    // quality per domain, the frame an operator inspects before picking
+    // the domainFilter cut. Same URL synthesis and x88 score as x119.
+    Q(
+      "x126_domain_stats",
+      (s, d) => {
+        val dk = col("doc_id")
+        val u = concat(
+          lit("https://"), col("source"), lit("-"), (dk % 13).cast("string"),
+          lit(".Example.com/"), col("lang"), lit("/"), dk.cast("string")
+        )
+        val docs = t(s, d, "documents").withColumn("url", u)
+        val scored = TextAnalysis.scoreLinear(docs, "text", qWeights, 17.0 / 256.0)
+        TextAnalysis.domainStats(scored, "url", "logit").orderBy("domain")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
+             |sw AS (SELECT doc_id, (h60 // 2) % 64 AS bucket,
+             |    CASE WHEN h60 % 2 = 1 THEN 1.0 ELSE -1.0 END AS sign FROM h),
+             |dots AS (SELECT doc_id,
+             |    SUM(sign * CAST((bucket * 37) % 101 - 50 AS DOUBLE) / 256.0) AS dot
+             |  FROM sw GROUP BY 1),
+             |sc AS (SELECT d.doc_id,
+             |    d.source || '-' || CAST(d.doc_id % 13 AS VARCHAR) || '.example.com' AS domain,
+             |    COALESCE(dots.dot, 0) + 17.0/256.0 AS logit
+             |  FROM documents d LEFT JOIN dots USING (doc_id))
+             |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CAST(round(logit, 6) AS DECIMAL(28, 6))) AS DOUBLE)
+             |    / COUNT(*) AS mean_score
+             |FROM sc GROUP BY 1 ORDER BY domain""".stripMargin)
     )
   )
 }
