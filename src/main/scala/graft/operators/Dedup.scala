@@ -171,7 +171,10 @@ object Dedup {
           s"$MinhashFamilyVersion — mixed families estimate ~0 Jaccard against fresh " +
           "signatures and silently re-admit known duplicates; rebuild the persisted " +
           "signature index with the current engine (one minhashSignatures pass over " +
-          "the surviving corpus text)"
+          "the surviving corpus text). EXCEPTION: a v2 (or unversioned) index built " +
+          "with numHashes <= 8 is VALUE-identical to v3 (the derived-multiplier floor " +
+          "only changes multipliers for i >= 8; the fixed table is unchanged), so it " +
+          "may be re-stamped in place — one metadata-only rewrite, no corpus re-scan"
       )
     }
 

@@ -255,10 +255,14 @@ object Relational {
     * recount, so a non-deterministic input (`rand()`/`sample` without a
     * seed, a table mutated between jobs) silently voids exactness. For
     * such inputs pass `cache = true`: the projected value column is
-    * persisted across the two passes and the (≤ cap rows) result is
-    * materialized before unpersisting — both passes provably see one
-    * snapshot. Default is off because persisting a 100 TB scan costs
-    * more than the second pass over an immutable source. */
+    * `localCheckpoint(true)`-ed across the two passes (eager, and the
+    * LINEAGE IS TRUNCATED — a checkpoint block lost to executor failure
+    * fails the job loudly instead of silently recomputing a DIFFERENT
+    * snapshot from the non-deterministic source, which a plain persist
+    * would do) and the (≤ cap rows) result is materialized before the
+    * snapshot is released — both passes provably see one snapshot or
+    * the call errors. Default is off because materializing a 100 TB
+    * scan costs more than the second pass over an immutable source. */
   def heavyHitters(
       df: DataFrame,
       valueCol: String,
@@ -268,9 +272,9 @@ object Relational {
     require(phi > 0.0 && phi < 1.0, s"heavyHitters: phi must be in (0,1), got $phi")
     val cap = math.ceil(1.0 / phi).toInt
     val vals0 = df.select(col(valueCol).cast("string").as(valueCol))
-    val vals =
-      if (cache) vals0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else vals0
+    // localCheckpoint, not persist: truncated lineage means a lost block
+    // FAILS instead of recomputing non-deterministic input between passes
+    val vals = if (cache) vals0.localCheckpoint(true) else vals0
     val v = col(valueCol)
     val head = vals
       .agg(count(v).as("__n"), graft.functions.MgAggFunctions.mgSummary(v, cap).as("__cand"))
@@ -287,10 +291,11 @@ object Relational {
       .filter(col("cnt") > lit(phi * n))
     if (!cache) kept
     else {
-      // materialize the ≤ cap result rows BEFORE unpersisting — the
-      // returned frame must not lazily re-read an evicted cache
+      // materialize the ≤ cap result rows BEFORE releasing the snapshot —
+      // the returned frame must not lazily re-read freed checkpoint blocks
+      // (the blocks themselves are released by the ContextCleaner once
+      // `vals` is unreachable; the returned frame holds no reference)
       val rows = kept.collect().toSeq
-      vals.unpersist()
       df.sparkSession.createDataFrame(
         df.sparkSession.sparkContext.parallelize(rows, 1),
         kept.schema

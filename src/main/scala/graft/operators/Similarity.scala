@@ -1684,7 +1684,15 @@ object Similarity {
       .select(col("d2"), col("d1"), pair.as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("d2").as("__did"), col("d1").as("__partner"))
-    (idxEvidence, selfEvidence)
+    // Materialize both (batch-bounded) evidence frames eagerly, then free
+    // the assigned-batch cache BEFORE returning: a foreachBatch caller
+    // invoking this per micro-batch must not accumulate persisted
+    // partitions across batches (the heavyHitters materialize-then-
+    // unpersist pattern; localCheckpoint(true) like Graph/Dedup.nearDup).
+    val idxOut = idxEvidence.localCheckpoint(true)
+    val selfOut = selfEvidence.localCheckpoint(true)
+    bAsg.unpersist()
+    (idxOut, selfOut)
   }
 
   /** Drop LEDGER for [[incrementalSemDedup]] — the provenance trail a

@@ -1064,11 +1064,17 @@ object TextAnalysis {
     * stats from a nightly batch snapshot, enforcement wherever ingestion
     * happens. A stream-static anti-join, so it runs unchanged under
     * Structured Streaming (StreamingSpec pins streamed == batch). */
-  def domainFilterAgainst(docs: DataFrame, urlCol: String, badDomains: DataFrame): DataFrame =
+  def domainFilterAgainst(docs: DataFrame, urlCol: String, badDomains: DataFrame): DataFrame = {
+    require(
+      !docs.columns.contains("__dom"),
+      "domainFilterAgainst: input already carries a __dom column, which this operator " +
+        "would silently overwrite and drop — rename it first (the scoreBuckets guard pattern)"
+    )
     docs
       .withColumn("__dom", urlDomain(col(urlCol)))
       .join(badDomains.select(col("domain").as("__dom")), Seq("__dom"), "left_anti")
       .drop("__dom")
+  }
 
   /** CCNet/FineWeb-style corpus bucketing: tag every row `head` /
     * `middle` / `tail` by the corpus-level quantile boundaries of

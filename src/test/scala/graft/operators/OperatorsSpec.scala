@@ -2721,6 +2721,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("incrementalSemDedup: no persisted-RDD accumulation across repeated calls (micro-batch leak)") {
+    import spark.implicits._
+    val cen = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("id", "v")
+    val accepted = Seq((10L, Seq(1f, 0.01f)), (11L, Seq(0.01f, 1f))).toDF("id", "v")
+    val index = Similarity.semIndex(accepted, "id", "v", cen)
+    val batch = Seq((20L, Seq(2f, 0.02f)), (21L, Seq(1f, 0.8f))).toDF("id", "v")
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted
+    (1 to 4).foreach { _ =>
+      // consume both public surfaces the evidence frames feed
+      assert(Similarity.incrementalSemDedup(batch, index, cen, "id", "v", 0.95).count() == 1L)
+      assert(
+        Similarity.incrementalSemDedupAudit(batch, index, cen, "id", "v", 0.95).count() == 1L
+      )
+    }
+    // the assigned-batch cache is unpersisted explicitly inside the call
+    // (a Dataset.persist is pinned by the CacheManager and NEVER collected
+    // by GC — the pre-fix leak); the checkpointed evidence frames are
+    // released by the ContextCleaner once unreferenced. Poll GC until the
+    // persisted count returns to baseline.
+    val deadline = System.currentTimeMillis() + 30000
+    var now = persisted
+    while (now > before && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(200); now = persisted
+    }
+    assert(now <= before, s"persisted RDDs leaked across calls: before=$before after=$now")
+  }
+
   test("truncateDims: leading-prefix projection; full-dim truncation changes nothing") {
     import spark.implicits._
     val df = Seq((0L, Seq(1f, 2f, 3f, 4f)), (1L, Seq(5f, 6f, 7f, 8f))).toDF("id", "v")

@@ -453,6 +453,7 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     import graft.operators.Similarity
     import org.apache.spark.sql.DataFrame
     import spark.implicits._
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     // frozen centroid frame — the semIndex contract across all batches
     val cen = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("id", "v")
     val va = Seq(1f, 0.02f); val vb = Seq(0.02f, 1f); val vc = Seq(1f, 1f)
@@ -495,6 +496,23 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     try batches.foreach { rows => mem.addData(rows); q.processAllAvailable() }
     finally q.stop()
     assert(accepted.toSeq == expected, s"streamed $accepted != sequential $expected")
+    // a long-running stream must not accumulate cached partitions: the
+    // per-call assigned-batch cache is unpersisted inside the operator
+    // (CacheManager-pinned persists are never GC-collected — the round-14
+    // leak), and the checkpointed evidence/index RDDs are ContextCleaner-
+    // collected once unreferenced. Only the final index checkpoint (still
+    // referenced by `index`) may remain above the pre-stream baseline.
+    index = null
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val deadline = System.currentTimeMillis() + 30000
+    var now = persisted
+    while (now > persistedBefore && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(200); now = persisted
+    }
+    assert(
+      now <= persistedBefore,
+      s"persisted RDDs leaked across micro-batches: before=$persistedBefore after=$now"
+    )
   }
 
   test("nearDupStream: streamed LSH near-dup removal, planted dups straddling micro-batches") {
