@@ -468,23 +468,43 @@ object Scale {
     * thousands, and is guarded by `maxDistinctScores` with a loud
     * "snap scores to a grid first" error otherwise). The driver scans
     * that histogram for the threshold score; everything STRICTLY above
-    * it is kept by a plain filter, and only the single boundary-score
-    * LAYER pays a running-sum window (ordered by id; the one sequential
-    * piece, bounded by that layer's size — the x62 packing caveat
-    * class). */
+    * it is kept by a plain filter. The boundary-score LAYER (the one
+    * sequential piece) pays a running-sum walk that is itself TWO-LEVEL
+    * for numeric ids: the layer is split into `boundaryBuckets` id-range
+    * buckets by approx-quantile boundaries (one bounded aggregate, the
+    * boundaries ride the plan as literals), a second bounded driver walk
+    * over the per-bucket token sums finds the single boundary BUCKET,
+    * and only THAT bucket's rows pay an ordered window — no task ever
+    * sorts a whole score layer, even when a coarse score grid makes one
+    * layer a large corpus fraction. Non-numeric ids keep the
+    * single-window layer path (documented trade; snap such ids to a
+    * numeric surrogate first at scale).
+    *
+    * `df` is traversed by several jobs (histogram, filters, layer
+    * walk) — when `scoreCol`/`tokenCol` are EXPENSIVE computed
+    * expressions (a [[graft.operators.TextAnalysis.scoreLinear]] fold, a
+    * tokenizer), each traversal re-evaluates them. Pass
+    * `materializeInput = true` to `localCheckpoint` the filtered input
+    * once so every pass reads stored rows instead of recomputing the
+    * fold (the 100 TB default when the score is not already a stored
+    * column; costs one materialization of the surviving rows). */
   def selectByBudget(
       df: DataFrame,
       idCol: String,
       scoreCol: String,
       tokenCol: String,
       budget: Long,
-      maxDistinctScores: Int = 100000
+      maxDistinctScores: Int = 100000,
+      boundaryBuckets: Int = 1024,
+      materializeInput: Boolean = false
   ): DataFrame = {
     require(budget >= 0, s"selectByBudget: budget must be >= 0, got $budget")
     require(maxDistinctScores >= 1, "selectByBudget: maxDistinctScores must be >= 1")
-    val base = df.filter(
+    require(boundaryBuckets >= 1, "selectByBudget: boundaryBuckets must be >= 1")
+    val base0 = df.filter(
       col(scoreCol).isNotNull && col(tokenCol).isNotNull && col(tokenCol) > 0
     )
+    val base = if (materializeInput) base0.localCheckpoint(true) else base0
     val hist = base
       .groupBy(col(scoreCol).as("__sc"))
       .agg(sum(col(tokenCol).cast("long")).as("__t"))
@@ -507,8 +527,64 @@ object Scale {
     val sStar = hist(i).get(0)
     val remaining = budget - cum
     val above = base.filter(col(scoreCol) > lit(sStar))
-    val layer = base
-      .filter(col(scoreCol) === lit(sStar))
+    val layerRows = base.filter(col(scoreCol) === lit(sStar))
+    val numericId = df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val layer =
+      if (!numericId || boundaryBuckets == 1) layerPrefix(layerRows, idCol, tokenCol, remaining)
+      else {
+        // two-level walk: id-range buckets from approx-quantile boundaries
+        // (sorted, ride the plan as literals — both jobs below see the
+        // SAME bucketing), per-bucket sums walked on the driver, then an
+        // ordered window over ONLY the boundary bucket's rows
+        val fracs = (1 until boundaryBuckets).map(_.toDouble / boundaryBuckets)
+        val bRow = layerRows
+          .agg(percentile_approx(col(idCol), typedlit(fracs), lit(10000)).as("__b"))
+          .collect()(0)
+        val bounds: Seq[Any] =
+          if (bRow.isNullAt(0)) Seq.empty else bRow.getAs[collection.Seq[Any]](0).toSeq
+        if (bounds.isEmpty) layerPrefix(layerRows, idCol, tokenCol, remaining)
+        else {
+          val bucketed = layerRows.withColumn("__lb", bucketOf(col(idCol), bounds))
+          val perBucket = bucketed
+            .groupBy(col("__lb"))
+            .agg(sum(col(tokenCol).cast("long")).as("__t"))
+            .collect() // bounded: <= boundaryBuckets rows
+            .map(r => (r.getInt(0), r.getLong(1)))
+            .sortBy(_._1)
+          var cumB = 0L
+          var j = 0
+          while (j < perBucket.length && cumB + perBucket(j)._2 <= remaining) {
+            cumB += perBucket(j)._2; j += 1
+          }
+          if (j >= perBucket.length) bucketed.drop("__lb") // whole layer fits
+          else {
+            val bStar = perBucket(j)._1
+            val fullBuckets = bucketed.filter(col("__lb") < lit(bStar)).drop("__lb")
+            val boundaryBucket = layerPrefix(
+              bucketed.filter(col("__lb") === lit(bStar)).drop("__lb"),
+              idCol,
+              tokenCol,
+              remaining - cumB
+            )
+            fullBuckets.unionByName(boundaryBucket)
+          }
+        }
+      }
+    above.unionByName(layer)
+  }
+
+  /** Inclusive running-sum prefix of `rows` in `idCol` ASC order kept
+    * within `limit` tokens — the single-window piece of
+    * [[selectByBudget]], applied only to one score layer (legacy path)
+    * or one id-range bucket (two-level path). */
+  private def layerPrefix(
+      rows: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      limit: Long
+  ): DataFrame =
+    rows
       .withColumn(
         "__cum",
         sum(col(tokenCol).cast("long")).over(
@@ -520,8 +596,19 @@ object Scale {
             )
         )
       )
-      .filter(col("__cum") <= lit(remaining))
+      .filter(col("__cum") <= lit(limit))
       .drop("__cum")
-    above.unionByName(layer)
-  }
+
+  /** Bucket index of `id` against sorted range `bounds`: the count of
+    * boundaries STRICTLY below the id (ties land in the boundary's own
+    * bucket) — one higher-order `aggregate` fold over a plan-literal
+    * array (compact codegen even at 1024 buckets), so both jobs that use
+    * it (per-bucket sums, boundary-bucket filter) see the same
+    * deterministic bucketing. */
+  private def bucketOf(id: Column, bounds: Seq[Any]): Column =
+    aggregate(
+      array(bounds.map(lit): _*),
+      lit(0),
+      (acc, b) => acc + when(id > b, 1).otherwise(0)
+    )
 }

@@ -1572,6 +1572,105 @@ object Similarity {
     df.withColumn(vecCol, slice(col(vecCol), 1, dim))
   }
 
+  /** Full-dimension exact rerank of a k-bounded `(qid, cid)` sliver —
+    * the second stage shared by the Matryoshka consumers (and the same
+    * fetch shape as [[ivfTopKSq]]'s rerank): float vectors are pulled
+    * straight from the column-pruned source for SLIVER rows only, never
+    * for the candidate volume. */
+  private def fullDimRerank(
+      sliver: DataFrame,
+      qSrc: DataFrame,
+      cSrc: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    def v(src: DataFrame) = src.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm")
+    )
+    val qv = v(qSrc).select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val cv = v(cSrc).select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val sims = sliver
+      .select("qid", "cid")
+      .join(qv, Seq("qid"))
+      .join(cv, Seq("cid"))
+      .select(
+        col("qid"),
+        col("cid"),
+        round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim")
+      )
+    rankTopK(sims, k)
+  }
+
+  /** The CONSUMER of the [[truncateDims]] measurement (x125 audits the
+    * prefix's recall; this operator banks the win): two-stage retrieval
+    * that scores the candidate volume on PREFIX dims only — paying
+    * `prefixDim / dim_full` of the flops and index bytes — then reranks
+    * the per-query top-`rerank` sliver with one exact full-dimension
+    * pass (the Matryoshka funnel of Kusupati et al. 2022, §4; the
+    * [[ivfTopKSq]] rerank trade with dims instead of bytes as the
+    * compressed axis). Brute-force prefix stage — queries broadcast,
+    * candidates arbitrary; for corpus-scale self-ANN use
+    * [[matryoshkaIvfTopK]]. With `rerank` ≥ the candidate count the
+    * result provably equals the full-dim exact ranking (the sliver is
+    * everything); the recall-vs-cost knob in between is measured by
+    * [[recallAtK]] exactly like any other approximate index. */
+  def matryoshkaTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixDim: Int,
+      rerank: Int
+  ): DataFrame = {
+    require(rerank >= k, s"matryoshkaTopK: rerank ($rerank) must be >= k ($k)")
+    val sliver = bruteForceTopK(
+      truncateDims(queries, vecCol, prefixDim),
+      truncateDims(candidates, vecCol, prefixDim),
+      idCol,
+      vecCol,
+      rerank
+    )
+    // qids resolve from the query frame, cids from the candidate frame —
+    // no union, no dedup shuffle
+    fullDimRerank(sliver, queries, candidates, idCol, vecCol, k)
+  }
+
+  /** [[matryoshkaTopK]]'s IVF-bucketed corpus-scale form — the
+    * prefix-dim INDEX path: cells are assigned and pairs scored entirely
+    * over `prefixDim`-truncated vectors (index bytes and pair flops both
+    * shrink by dim_full/prefixDim; [[ivfTopK]]'s √N-cell contract keeps
+    * the pair volume N^1.5), then the per-query top-`rerank` sliver is
+    * reranked at full dimension straight from the source (column-pruned
+    * fetch — full vectors never enter the cell join, exactly
+    * [[ivfTopKSq]]'s plumbing with dims for bytes). `centroids` is a
+    * FULL-dim frame truncated internally, so one fitted centroid set
+    * serves both this and the full-dim index. */
+  def matryoshkaIvfTopK(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixDim: Int,
+      nProbe: Int = 1,
+      rerank: Int = 50
+  ): DataFrame = {
+    require(rerank >= k, s"matryoshkaIvfTopK: rerank ($rerank) must be >= k ($k)")
+    val sliver = ivfTopK(
+      truncateDims(df, vecCol, prefixDim),
+      truncateDims(centroids, vecCol, prefixDim),
+      idCol,
+      vecCol,
+      rerank,
+      nProbe
+    )
+    fullDimRerank(sliver, df, df, idCol, vecCol, k)
+  }
+
   /** Build (or extend) the persisted SemDeDup INDEX: each accepted
     * vector with its cell under the FIXED `centroids` frame
     * (`(idCol, vecCol)` rows, the [[ivfTopK]] convention). Returns

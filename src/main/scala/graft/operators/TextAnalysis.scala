@@ -864,6 +864,175 @@ object TextAnalysis {
       )
   }
 
+  /** A trained [[trainLinear]] model: integer weight NUMERATORS on the
+    * `2^-scaleShift` dyadic grid (`weight_b = weightNums(b) / 2^k`), so
+    * the floats handed to [[scoreLinear]]/[[scoreLinearSparse]] are exact
+    * dyadic values and every downstream score stays order-independent —
+    * the same exactness contract the fixed x88 `k/256` weights satisfy. */
+  final case class LinearModel(weightNums: Array[Long], biasNum: Long, scaleShift: Int) {
+    private def scale: Double = (1L << scaleShift).toDouble
+    def dim: Int = weightNums.length
+    def weights: Array[Double] = weightNums.map(_ / scale)
+    def bias: Double = biasNum / scale
+
+    /** `(bucket, w_num, weight)` frame — bucket −1 is the bias row; the
+      * bucket ≥ 0 rows feed [[scoreLinearSparse]] unchanged. */
+    def frame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      (weightNums.zipWithIndex.map { case (wn, b) => (b.toLong, wn) } :+ (-1L, biasNum))
+        .toSeq
+        .toDF("bucket", "w_num")
+        .select(col("bucket"), col("w_num"), (col("w_num") / lit(scale)).as("weight"))
+    }
+  }
+
+  /** In-engine TRAINING of the linear quality classifier — the missing
+    * fourth side of the quality-filter loop (score = [[scoreLinear]],
+    * calibrate = [[calibrationSweep]], select = [[scoreBuckets]] /
+    * [[graft.operators.Scale.selectByBudget]]): a fasttext-style logit
+    * over [[hashedTf]] features (Joulin et al. 2016; the CCNet /
+    * RefinedWeb / DCLM quality-filter stage) fitted by full-batch
+    * gradient descent on the hard-sigmoid logistic surrogate, in EXACT
+    * INTEGER arithmetic so every step is deterministically replayable by
+    * an external engine:
+    *
+    *  - weights live as integer numerators `W_b` on the `2^-k` grid
+    *    (`k = scaleShift`); features are [[hashedTf]]'s exact signed
+    *    counts, so the per-doc margin numerator `M = B + Σ W_b·x_b` is
+    *    one int64 fold (ANSI: overflow throws, never wraps);
+    *  - the sigmoid is the HARD sigmoid `p = clamp(½ + m/4, 0, 1)`
+    *    (Courbariaux et al. 2015's σ_hard) — numerator
+    *    `P = clamp(2^(k+1) + M, 0, 2^(k+2))`, still an integer, unlike
+    *    `exp` whose cross-engine rounding is not reproducible;
+    *  - residual `R = P − y·2^(k+2)`; per-bucket gradient sums
+    *    `G_b = Σ_docs R·x_b` (+ `G_bias = Σ R`) accumulate in ONE
+    *    map-side [[graft.functions.VecSum128]] aggregate per step —
+    *    128-bit limbs, so the sum is exact at any corpus size and equal
+    *    to DuckDB's HUGEINT `SUM` bit-for-bit;
+    *  - update `ΔW_b = sign(G_b)·(|G_b| div (2^(s+2)·N))` with
+    *    `lr = 2^-s` — BigInt symmetric-truncating division, snapping
+    *    each step back onto the weight grid (the gradient MEAN times the
+    *    dyadic learning rate, truncated toward zero identically in every
+    *    engine).
+    *
+    * 100 TB shape: the dense integer feature frame (`(dim+1)·8` bytes a
+    * doc) is built by ONE [[hashedTf]] pass + per-doc map assembly and
+    * `localCheckpoint(true)`-ed; each of the `steps` iterations is then
+    * a single map-side aggregate over it producing `2·(dim+1)` longs per
+    * partition — no shuffle of doc rows, no vocabulary, and the only
+    * driver state is the dim-bounded weight vector (the kmeansFit
+    * model-collect precedent). Labels must be 0/1 (validated, loud).
+    * `dim ≤ 65536` keeps the weight literal plan-friendly — the
+    * fasttext-2M-bucket regime trains the same way but is deliberately
+    * out of scope for the literal path ([[scoreLinearSparse]] documents
+    * the scoring half of that trade). */
+  def trainLinear(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      dim: Int,
+      steps: Int,
+      lrShift: Int = 4,
+      scaleShift: Int = 20
+  ): LinearModel = {
+    require(dim > 0 && dim <= 65536, s"trainLinear: dim must be in [1, 65536], got $dim")
+    require(steps >= 1 && steps <= 128, s"trainLinear: steps must be in [1, 128], got $steps")
+    require(lrShift >= 0 && lrShift <= 24, s"trainLinear: lrShift must be in [0, 24], got $lrShift")
+    require(
+      scaleShift >= 1 && scaleShift <= 24,
+      s"trainLinear: scaleShift must be in [1, 24], got $scaleShift"
+    )
+    val clash = docs.columns.toSet.intersect(Set("__m", "__x", "__y"))
+    require(
+      clash.isEmpty,
+      s"trainLinear: input already has ${clash.mkString(", ")} — internal columns would collide"
+    )
+    val tfMap = hashedTf(docs, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w")))).as("__m"))
+    // dense integer features + label, materialized ONCE (localCheckpoint:
+    // blocks are ContextCleaner-freed when the frame is dropped, and the
+    // `steps` re-reads never recompute the hashedTf shuffle)
+    val dense = docs
+      .select(col(idCol), col(labelCol).cast("long").as("__y"))
+      .join(tfMap, Seq(idCol), "left")
+      .select(
+        col("__y"),
+        expr(
+          s"transform(sequence(0, ${dim - 1}), " +
+            "i -> coalesce(__m[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))"
+        ).as("__x")
+      )
+      .localCheckpoint(true)
+    val n = dense.count()
+    require(n > 0, "trainLinear: empty corpus")
+    val badLabels = dense
+      .filter(col("__y").isNull || (col("__y") =!= 0L && col("__y") =!= 1L))
+      .count()
+    require(
+      badLabels == 0,
+      s"trainLinear: $badLabels rows have labels outside {0, 1} — a mislabeled gradient " +
+        "is silent corruption, refuse loudly"
+    )
+    val pHalf = 1L << (scaleShift + 1)
+    val pMax = 1L << (scaleShift + 2)
+    val d = (BigInt(1) << (lrShift + 2)) * n
+    val w = Array.fill(dim)(0L)
+    var b = 0L
+    var step = 0
+    while (step < steps) {
+      val wLit = typedlit(w.toSeq)
+      val mCol = aggregate(
+        zip_with(col("__x"), wLit, (x, wc) => x * wc),
+        lit(b),
+        (acc, e) => acc + e
+      )
+      val rCol = greatest(least(lit(pHalf) + mCol, lit(pMax)), lit(0L)) - col("__y") * lit(pMax)
+      val limbs = dense
+        .select(col("__x"), rCol.as("__r"))
+        .agg(
+          graft.functions.VecAggFunctions
+            .vecSum128(concat(transform(col("__x"), t => col("__r") * t), array(col("__r"))), dim + 1)
+            .as("__g")
+        )
+        .collect()(0)
+        .getAs[collection.Seq[Long]](0)
+      val g = graft.functions.VecAggFunctions.decode128(limbs)
+      var i = 0
+      while (i <= dim) {
+        val delta = ((g(i).abs / d) * g(i).signum).toLong
+        if (i < dim) w(i) -= delta else b -= delta
+        i += 1
+      }
+      // margin headroom: |M| ≤ (Σ_b |W_b| + |B|)·max_tf must stay inside
+      // int64 — enforce a loud per-weight bound far before that point
+      require(
+        w.forall(v => math.abs(v) < (1L << 44)) && math.abs(b) < (1L << 44),
+        "trainLinear: weight numerators exceeded 2^44 — margin arithmetic would risk " +
+          "int64 overflow; lower steps/lr or raise lrShift"
+      )
+      step += 1
+    }
+    LinearModel(w, b, scaleShift)
+  }
+
+  /** [[trainLinear]] as a frame surface: the trained `(bucket, w_num,
+    * weight)` table (bucket −1 = bias) — the shape [[scoreLinearSparse]]
+    * consumes and the oracle replays. */
+  def trainLinearWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      dim: Int,
+      steps: Int,
+      lrShift: Int = 4,
+      scaleShift: Int = 20
+  ): DataFrame =
+    trainLinear(docs, idCol, textCol, labelCol, dim, steps, lrShift, scaleShift)
+      .frame(docs.sparkSession)
+
   /** Bounded inverted index: one output row per (token, posting) with the
     * token's document frequency `df`, collection frequency `cf`, and its
     * top-`k` postings ranked by `(tf DESC, id ASC)` — the corpus-search /

@@ -34,6 +34,50 @@ object ExtQueries {
   private val qWeights: Array[Double] =
     Array.tabulate(64)(b => ((b * 37) % 101 - 50) / 256.0)
 
+  /** x127/x128 training-loop replay: GD steps (kept small — each step is
+    * one full-corpus aggregate in BOTH engines). */
+  private val TrainSteps = 3
+
+  /** DuckDB replay of TextAnalysis.trainLinear's integer GD loop at
+    * dim=64, lr=2^-4, scale=2^-20, labels = text contains 'vector':
+    * signed hashedTf counts `tf`, then per step t — margin numerators
+    * (bias + Σ W·x), hard-sigmoid clamp, residuals, HUGEINT gradient
+    * sums (exactly the engine's 128-bit limb sums), and the
+    * sign-symmetric truncating update `W −= sign(G)·(|G| // (64·N))`.
+    * Ends with the `w$TrainSteps` CTE holding the trained numerators. */
+  private val trainLinearSqlPrefix: String = {
+    val pHalf = 1L << 21
+    val pMax = 1L << 22
+    val head =
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
+        |tf AS MATERIALIZED (SELECT doc_id, (h60 // 2) % 64 AS bucket,
+        |    SUM(CASE WHEN h60 % 2 = 1 THEN 1 ELSE -1 END) AS x
+        |  FROM h GROUP BY 1, 2),
+        |lab AS MATERIALIZED (SELECT doc_id,
+        |    CASE WHEN text LIKE '%vector%' THEN 1 ELSE 0 END AS y FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |w0 AS (SELECT unnest(generate_series(-1, 63)) AS bucket, CAST(0 AS BIGINT) AS wn)""".stripMargin
+    val steps = (1 to TrainSteps).map { t =>
+      val p = t - 1
+      s"""m$t AS MATERIALIZED (SELECT l.doc_id, l.y, COALESCE(SUM(tf.x * w.wn), 0) AS mm
+         |  FROM lab l LEFT JOIN tf ON tf.doc_id = l.doc_id
+         |  LEFT JOIN w$p w ON w.bucket = tf.bucket GROUP BY 1, 2),
+         |r$t AS MATERIALIZED (SELECT doc_id,
+         |    GREATEST(LEAST($pHalf + (SELECT wn FROM w$p WHERE bucket = -1) + mm, $pMax), 0)
+         |      - y * $pMax AS r
+         |  FROM m$t),
+         |g$t AS MATERIALIZED (SELECT tf.bucket, SUM(CAST(r.r AS HUGEINT) * tf.x) AS g
+         |    FROM r$t r JOIN tf ON tf.doc_id = r.doc_id GROUP BY 1
+         |  UNION ALL SELECT CAST(-1 AS BIGINT), SUM(CAST(r AS HUGEINT)) FROM r$t),
+         |w$t AS MATERIALIZED (SELECT w.bucket, w.wn - CAST(CASE
+         |    WHEN COALESCE(g.g, 0) < 0 THEN -((-g.g) // (64 * (SELECT n FROM nn)))
+         |    ELSE COALESCE(g.g, 0) // (64 * (SELECT n FROM nn)) END AS BIGINT) AS wn
+         |  FROM w$p w LEFT JOIN g$t g ON g.bucket = w.bucket)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   private val scoreLinearSql =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
@@ -3877,7 +3921,7 @@ object ExtQueries {
           .scoreLinear(docs.select(col("doc_id"), col("text")), "text", qWeights, 17.0 / 256.0)
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
         Scale
-          .selectByBudget(base, "doc_id", "logit", "n_tokens", 15000L)
+          .selectByBudget(base, "doc_id", "logit", "n_tokens", 15000L, materializeInput = true)
           .select(col("doc_id"), col("logit"), col("n_tokens"))
           .orderBy("doc_id")
       },
@@ -4130,6 +4174,119 @@ object ExtQueries {
              |  CAST(SUM(CAST(round(logit, 6) AS DECIMAL(28, 6))) AS DOUBLE)
              |    / COUNT(*) AS mean_score
              |FROM sc GROUP BY 1 ORDER BY domain""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // IN-ENGINE classifier TRAINING (TextAnalysis.trainLinear): the
+    // fourth side of the quality loop — score (x88) / calibrate (x118) /
+    // select (x121/x122) consumed literal weights until now; here the
+    // weights are FITTED over hashedTf features by full-batch gradient
+    // descent on the hard-sigmoid logistic surrogate, in exact integer
+    // arithmetic (weights on the 2^-20 grid, 128-bit gradient sums), so
+    // the oracle replays the ENTIRE training loop step by step in SQL
+    // (hugeint sums) and lands on bit-identical weight numerators.
+    // Labels: the planted text signal "contains 'vector'" (76% base
+    // rate) — content-derived, SQL-expressible, and genuinely learnable
+    // (bucket 55 carries the word collision-free at dim=64).
+    Q(
+      "x127_train_weights",
+      (s, d) =>
+        TextAnalysis
+          .trainLinearWeights(
+            t(s, d, "documents")
+              .select(
+                col("doc_id"),
+                col("text"),
+                when(col("text").contains("vector"), lit(1L)).otherwise(lit(0L)).as("label")
+              ),
+            "doc_id", "text", "label",
+            dim = 64, steps = TrainSteps, lrShift = 4, scaleShift = 20
+          )
+          .orderBy("bucket"),
+      Some(
+        s"""$trainLinearSqlPrefix
+           |SELECT bucket, wn AS w_num, CAST(wn AS DOUBLE) / 1048576.0 AS weight
+           |FROM w$TrainSteps ORDER BY bucket""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Trained weights feed scoreLinearSparse UNCHANGED — the composition
+    // the trainer exists for: fit on the corpus, then score every doc
+    // with the fitted frame (same dyadic-grid exactness argument as
+    // x88/x89, now with LEARNED weights). The oracle chains the full
+    // training replay into the scoring join, so a single hash row pins
+    // train → score end-to-end.
+    Q(
+      "x128_train_score",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextAnalysis.trainLinear(
+          docs.select(
+            col("doc_id"),
+            col("text"),
+            when(col("text").contains("vector"), lit(1L)).otherwise(lit(0L)).as("label")
+          ),
+          "doc_id", "text", "label",
+          dim = 64, steps = TrainSteps, lrShift = 4, scaleShift = 20
+        )
+        TextAnalysis
+          .scoreLinearSparse(
+            docs, "doc_id", "text",
+            model.frame(s).filter(col("bucket") >= 0), dim = 64, bias = model.bias
+          )
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$trainLinearSqlPrefix,
+           |wgt AS (SELECT bucket, CAST(wn AS DOUBLE) / 1048576.0 AS weight
+           |  FROM w$TrainSteps WHERE bucket >= 0),
+           |bias AS (SELECT CAST(wn AS DOUBLE) / 1048576.0 AS b
+           |  FROM w$TrainSteps WHERE bucket = -1),
+           |dots AS (SELECT tf.doc_id, SUM(tf.x * wgt.weight) AS dot
+           |  FROM tf JOIN wgt USING (bucket) GROUP BY 1)
+           |SELECT d.doc_id,
+           |  COALESCE(dots.dot, 0) + (SELECT b FROM bias) AS logit,
+           |  COALESCE(dots.dot, 0) + (SELECT b FROM bias) >= 0 AS keep
+           |FROM documents d LEFT JOIN dots USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Matryoshka two-stage retrieval (Similarity.matryoshkaTopK): the
+    // CONSUMER of x125's prefix-recall audit — candidate volume scored
+    // on 16 of 64 dims (1/4 the flops/bytes), then ONLY the per-query
+    // top-20 sliver reranked at full dimension. The oracle replays both
+    // stages (prefix ranking, sliver fetch, exact rerank) including the
+    // 6-dp rounding and cid tie-breaks, so the hash pins the funnel
+    // end-to-end. Fixed query workload (vec_id < 1e7, %10) keeps engine
+    // and oracle O(N·Q) under the key-shifted sf10 amplifier.
+    Q(
+      "x129_mrl_rerank",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val qs = e.filter(col("vec_id") < 10000000L && col("vec_id") % 10 === 0)
+        Similarity
+          .matryoshkaTopK(qs, e, "vec_id", "embedding", k = 5, prefixDim = 16, rerank = 20)
+          .select(col("qid"), col("cid"), col("sim"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |    CAST(embedding[1:16] AS DOUBLE[]) AS t FROM embeddings),
+             |asims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |  round(list_dot_product(q.t, c.t)
+             |    / (sqrt(list_dot_product(q.t, q.t)) * sqrt(list_dot_product(c.t, c.t))), 6) AS sim
+             |  FROM e q JOIN e c ON q.vec_id != c.vec_id
+             |  WHERE q.vec_id < 10000000 AND q.vec_id % 10 = 0),
+             |sliver AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
+             |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+             |  FROM asims) t WHERE rn <= 20),
+             |fsims AS (SELECT s.qid, s.cid,
+             |  round(list_dot_product(q.v, c.v)
+             |    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+             |  FROM sliver s JOIN e q ON q.vec_id = s.qid JOIN e c ON c.vec_id = s.cid)
+             |SELECT qid, cid, sim, rn FROM (SELECT qid, cid, sim,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+             |  FROM fsims) t
+             |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
     )
   )
 }

@@ -2769,6 +2769,51 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     intercept[IllegalArgumentException] { Similarity.truncateDims(df, "v", 0) }
   }
 
+  test("matryoshkaTopK/matryoshkaIvfTopK: prefix funnel reranks to the exact full-dim ranking") {
+    import spark.implicits._
+    val e = t(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = e.count().toInt
+    val qs = e.filter(col("vec_id") % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "sim", "rn").orderBy("qid", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // rerank >= |candidates|: the sliver is everything, so the two-stage
+    // result EQUALS the full-dim exact ranking — the correctness pin
+    val full = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 5)
+    val pinned = Similarity.matryoshkaTopK(qs, e, "vec_id", "embedding", 5, 16, rerank = n)
+    assert(rows(pinned) == rows(full), "rerank >= N must reproduce the exact ranking")
+    // the funnel at a REAL sliver (rerank 20): recall vs exact, and it can
+    // only improve on the raw prefix ranking it post-processes
+    val funnel = Similarity.matryoshkaTopK(qs, e, "vec_id", "embedding", 5, 16, rerank = 20)
+    val prefixOnly = Similarity.bruteForceTopK(
+      Similarity.truncateDims(qs, "embedding", 16),
+      Similarity.truncateDims(e, "embedding", 16), "vec_id", "embedding", 5)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame) = Similarity
+      .recallAtK(approx, full, 5).agg(avg("recall")).collect()(0).getDouble(0)
+    val (rFunnel, rPrefix) = (meanRecall(funnel), meanRecall(prefixOnly))
+    assert(rFunnel >= rPrefix, s"rerank must not lose recall: $rFunnel < $rPrefix")
+    // recall grows monotonically with the sliver width (rerank = N is the
+    // exact pin above); the ABSOLUTE recall at 16 dims is a property of
+    // the embeddings (synthetic, not MRL-trained — x125 measures it),
+    // not of this operator, so no fixed bar here
+    val wider = Similarity.matryoshkaTopK(qs, e, "vec_id", "embedding", 5, 16, rerank = 100)
+    val rWider = meanRecall(wider)
+    assert(rWider >= rFunnel, s"wider sliver lost recall: $rWider < $rFunnel")
+    assert(rFunnel > 0.0, s"funnel recall zero — the funnel is not ranking at all")
+    // IVF form under a single cell == brute-force form (same sliver set)
+    val oneCell = Seq((0L, Seq.fill(64)(1f))).toDF("vec_id", "embedding")
+    val ivfAll = Similarity
+      .matryoshkaIvfTopK(e, oneCell, "vec_id", "embedding", 5, 16, nProbe = 1, rerank = 20)
+    val bruteAll = Similarity.matryoshkaTopK(e, e, "vec_id", "embedding", 5, 16, rerank = 20)
+    assert(rows(ivfAll) == rows(bruteAll), "single-cell IVF funnel must equal brute funnel")
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(qs, e, "vec_id", "embedding", 5, 16, rerank = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaIvfTopK(e, oneCell, "vec_id", "embedding", 5, 16, rerank = 3)
+    }
+  }
+
   test("scoreBuckets: tercile tags match a local sort replay; nulls tag NULL; guards") {
     import spark.implicits._
     // 9 scores 1..9 → boundaries at pos 8/3 and 16/3 of the sorted list
@@ -2837,5 +2882,139 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     intercept[IllegalArgumentException] {
       TextAnalysis.corpusDivergence(a, b, "text", 0)
     }
+  }
+
+  test("VecSum128: exact 128-bit element-wise sums match BigInt, carries and negatives included") {
+    import spark.implicits._
+    import graft.functions.VecAggFunctions
+    // values chosen to force low-limb carries in both directions
+    val rows = Seq(
+      Seq(Long.MaxValue, -3L, 0L),
+      Seq(Long.MaxValue, -5L, 1L),
+      Seq(Long.MinValue, 7L, -1L),
+      Seq(Long.MinValue, Long.MinValue, 2L),
+      Seq(12345L, Long.MaxValue, -9L)
+    )
+    val limbs = rows
+      .toDF("a")
+      .repartition(3) // exercise partial-aggregate merges
+      .agg(VecAggFunctions.vecSum128(col("a"), 3))
+      .collect()(0)
+      .getAs[collection.Seq[Long]](0)
+    val got = VecAggFunctions.decode128(limbs).toSeq
+    val want = (0 until 3).map(i => rows.map(r => BigInt(r(i))).sum)
+    assert(got == want, s"got $got want $want")
+    // sized mismatch refuses loudly rather than truncating a gradient
+    val e = intercept[Exception] {
+      Seq(Seq(1L, 2L)).toDF("a").agg(VecAggFunctions.vecSum128(col("a"), 3)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("trainLinear: exact integer GD replay, scoreLinear composition, separability, guards") {
+    import spark.implicits._
+    val dim = 8; val steps = 4; val lrShift = 3; val scaleShift = 10
+    // planted corpus: label 1 docs carry 'pos' tokens, label 0 docs 'neg'
+    val docs = (0 until 24).map { i =>
+      val y = i % 2
+      val text =
+        if (y == 1) s"pos pos common w$i common"
+        else s"neg common w$i neg neg common"
+      (i.toLong, text, y)
+    }.toDF("doc_id", "text", "label")
+    val model =
+      TextAnalysis.trainLinear(docs, "doc_id", "text", "label", dim, steps, lrShift, scaleShift)
+    // ---- local pure-Scala replay over the ENGINE's own features ----
+    val feats = TextAnalysis
+      .hashedTf(docs, "doc_id", "text", dim)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (id, rs) =>
+        val x = Array.fill(dim)(0L); rs.foreach { case (_, b, w) => x(b) = w }; (id, x)
+      }
+    val labels = docs.collect().map(r => (r.getLong(0), r.getInt(2).toLong)).toMap
+    val n = labels.size
+    val w = Array.fill(dim)(BigInt(0)); var b = BigInt(0)
+    val pHalf = BigInt(1) << (scaleShift + 1); val pMax = BigInt(1) << (scaleShift + 2)
+    val d = (BigInt(1) << (lrShift + 2)) * n
+    (1 to steps).foreach { _ =>
+      val g = Array.fill(dim + 1)(BigInt(0))
+      feats.foreach { case (id, x) =>
+        val m = b + x.indices.map(i => w(i) * x(i)).sum
+        val p = (pHalf + m).max(BigInt(0)).min(pMax)
+        val r = p - labels(id) * pMax
+        x.indices.foreach(i => g(i) += r * x(i))
+        g(dim) += r
+      }
+      (0 until dim).foreach(i => w(i) -= (g(i).abs / d) * g(i).signum)
+      b -= (g(dim).abs / d) * g(dim).signum
+    }
+    assert(model.weightNums.toSeq == w.map(_.toLong).toSeq, "weight numerators diverged from replay")
+    assert(model.biasNum == b.toLong, "bias numerator diverged from replay")
+    // ---- trained weights feed BOTH scoring paths unchanged and equally ----
+    val viaDense = TextAnalysis
+      .scoreLinear(docs.select(col("doc_id"), col("text")), "text", model.weights, model.bias)
+      .select("doc_id", "logit").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val viaSparse = TextAnalysis
+      .scoreLinearSparse(
+        docs, "doc_id", "text",
+        model.frame(spark).filter(col("bucket") >= 0), dim, model.bias)
+      .select("doc_id", "logit").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(viaDense == viaSparse, "dense and sparse scoring disagree on trained weights")
+    // ---- the planted signal was learned: positives outscore negatives ----
+    val posMean = viaDense.filter(kv => labels(kv._1) == 1L).values.sum / (n / 2)
+    val negMean = viaDense.filter(kv => labels(kv._1) == 0L).values.sum / (n / 2)
+    assert(posMean > negMean, s"no separation: pos=$posMean neg=$negMean")
+    // ---- guards ----
+    intercept[IllegalArgumentException] { // non-0/1 label
+      TextAnalysis.trainLinear(
+        docs.withColumn("label", col("label") + 1), "doc_id", "text", "label", dim, 1)
+    }
+    intercept[IllegalArgumentException] { // internal column clash
+      TextAnalysis.trainLinear(
+        docs.withColumn("__x", lit(1)), "doc_id", "text", "label", dim, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLinear(docs, "doc_id", "text", "label", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLinear(docs.filter(lit(false)), "doc_id", "text", "label", dim, 1)
+    }
+  }
+
+  test("trainLinear -> scoreLinear -> calibrationSweep: the closed quality loop beats fixed weights") {
+    import spark.implicits._
+    // the x127 label signal on real corpus text: contains 'vector'
+    val docs = t(spark, sfTiny, "documents")
+      .select(
+        col("doc_id"), col("text"),
+        when(col("text").contains("vector"), lit(1L)).otherwise(lit(0L)).as("label")
+      )
+      .localCheckpoint(true)
+    val model = TextAnalysis.trainLinear(docs, "doc_id", "text", "label", 64, 3, 4, 20)
+    val scored = TextAnalysis.scoreLinear(docs, "text", model.weights, model.bias)
+    // x118's sweep picks the operating cut for the TRAINED scores
+    val cuts = Seq(-0.5, -0.25, 0.0, 0.25, 0.5)
+    val sweep = TextAnalysis
+      .calibrationSweep(scored, "logit", "label", cuts)
+      .collect()
+      .map(r => (r.getDouble(0), Option(r.get(7)).map(_.asInstanceOf[Double]).getOrElse(-1.0)))
+    val bestF1 = sweep.map(_._2).max
+    // fixed, label-agnostic qWeights as the baseline on the same labels
+    val qw = Array.tabulate(64)(b => ((b * 37) % 101 - 50) / 256.0)
+    val fixedScored = TextAnalysis
+      .scoreLinear(docs.drop("label"), "text", qw, 17.0 / 256.0)
+      .join(docs.select("doc_id", "label"), "doc_id")
+    val fixedBest = TextAnalysis
+      .calibrationSweep(fixedScored, "logit", "label", cuts)
+      .collect()
+      .map(r => Option(r.get(7)).map(_.asInstanceOf[Double]).getOrElse(-1.0))
+      .max
+    assert(
+      bestF1 > fixedBest,
+      s"training did not beat fixed weights on its own labels: trained F1 $bestF1 <= fixed $fixedBest"
+    )
+    assert(bestF1 > 0.8, s"trained classifier failed to learn the planted signal: best F1 $bestF1")
   }
 }

@@ -421,4 +421,52 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     assert(e.getMessage.contains("grid"), e.getMessage)
     intercept[IllegalArgumentException] { Scale.selectByBudget(df, "id", "s", "t", -1L) }
   }
+
+  test("selectByBudget two-level boundary walk: all-ties 1M-row layer, bucket paths agree") {
+    import spark.implicits._
+    // the coarse-grid worst case the two-level walk exists for: EVERY row
+    // in one score layer — a single-window plan would sort all 1M rows in
+    // one task; the two-level path windows only the boundary bucket
+    val n = 1000000L
+    val df = spark
+      .range(n)
+      .select(
+        col("id"),
+        lit(1.0).as("s"),
+        (col("id") % 7L + 1L).as("t") // mixed token counts, deterministic
+      )
+    val budget = 1000000L // cuts deep inside the layer
+    val twoLevel = Scale
+      .selectByBudget(df, "id", "s", "t", budget, boundaryBuckets = 64)
+      .agg(count(lit(1)), max("id"), sum("t"))
+      .collect()(0)
+    // ground truth: ids are walked in ASC order, tokens cycle 1..7 with
+    // period sum 28 — the kept prefix is computable in closed form
+    var cum = 0L; var kept = 0L
+    while (cum + (kept % 7 + 1) <= budget) { cum += kept % 7 + 1; kept += 1 }
+    assert(twoLevel.getLong(0) == kept, s"kept ${twoLevel.getLong(0)} want $kept")
+    assert(twoLevel.getLong(1) == kept - 1)
+    assert(twoLevel.getLong(2) == cum)
+    // the legacy single-window path (boundaryBuckets = 1) agrees exactly
+    val oneLevel = Scale
+      .selectByBudget(df, "id", "s", "t", budget, boundaryBuckets = 1)
+      .agg(count(lit(1)), max("id"), sum("t"))
+      .collect()(0)
+    assert(oneLevel == twoLevel)
+    // non-numeric ids fall back to the single-window path and stay correct
+    val sdf = Seq(("a", 1.0, 3L), ("b", 1.0, 4L), ("c", 1.0, 5L)).toDF("id", "s", "t")
+    assert(
+      Scale.selectByBudget(sdf, "id", "s", "t", 8L)
+        .select("id").orderBy("id").collect().map(_.getString(0)).toSeq == Seq("a", "b")
+    )
+    // mixed layers + ties at scale: two-level == legacy on a multi-layer frame
+    val mixed = spark
+      .range(20000)
+      .select(col("id"), (col("id") % 5L).cast("double").as("s"), (col("id") % 3L + 1L).as("t"))
+    val a = Scale.selectByBudget(mixed, "id", "s", "t", 9000L, boundaryBuckets = 16)
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    val b = Scale.selectByBudget(mixed, "id", "s", "t", 9000L, boundaryBuckets = 1)
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
