@@ -963,7 +963,15 @@ object Dedup {
       .join(bSig.as("r"), col("__d2") === col(s"r.$idCol"))
       .filter(agree("c", "r") >= minEstJaccard)
       .select(col("__d2").as("__did"), col("__d1").as("__partner"))
-    (idxEvidence, selfEvidence)
+    // Materialize the (batch-bounded) evidence eagerly and release the
+    // signature cache BEFORE returning — a foreachBatch caller invoking
+    // this per micro-batch must not accumulate CacheManager-pinned
+    // partitions across batches (the incrementalSemEvidence fix; leak
+    // regression asserted in OperatorsSpec/StreamingSpec).
+    val idxOut = idxEvidence.localCheckpoint(true)
+    val selfOut = selfEvidence.localCheckpoint(true)
+    bSig.unpersist()
+    (idxOut, selfOut)
   }
 
   /** Drop LEDGER for [[incrementalNearDup]] — production dedup needs

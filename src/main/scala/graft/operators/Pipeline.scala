@@ -200,4 +200,76 @@ object Pipeline {
       else keyed.dropDuplicates("__fp")
     Scale.hashSplit(deduped.drop("__fp"), Seq(idCol), splits)
   }
+
+  /** One micro-batch of [[curateIncremental]]: the surviving rows (with
+    * their split tag) plus the two INDEX DELTAS the caller must append
+    * before the next batch — returning them here is what makes the
+    * append-survivors loop explicit instead of folklore. */
+  final case class IncrementalCuration(
+      survivors: DataFrame,
+      minhashDelta: DataFrame,
+      semDelta: DataFrame
+  )
+
+  /** The composed CONTINUOUS curation recipe — every piece existed
+    * ([[curateStream]]'s ingest gate, the stream-static domain
+    * enforcement, both persisted-index incremental dedups); this is the
+    * single entry point a foreachBatch caller wires up:
+    *
+    *  1. quality gate (stateless per-row predicate);
+    *  2. domain enforcement against the nightly `badDomains` SNAPSHOT
+    *     ([[TextAnalysis.domainFilterAgainst]] — a stream-static
+    *     anti-join);
+    *  3. near-dup vs the persisted minhash signature index + within the
+    *     batch ([[Dedup.incrementalNearDup]] — history is ONLY its
+    *     index, never rescanned);
+    *  4. semantic dedup vs the persisted cell index + within the batch
+    *     ([[Similarity.incrementalSemDedup]] under the index's FROZEN
+    *     `centroids` — rows with NULL/zero-norm vectors take no cell and
+    *     pass this stage);
+    *  5. deterministic split assignment ([[Scale.hashSplit]]).
+    *
+    * THE LOOP CONTRACT: after each batch, append `minhashDelta` to the
+    * signature index and `semDelta` to the cell index (both deltas are
+    * derived from the SURVIVORS — deterministic, so re-deriving equals
+    * filtering), then feed the grown indexes to the next call.
+    * StreamingSpec pins micro-batched == sequential batch replay on
+    * planted dups straddling batch boundaries for BOTH indexes.
+    *
+    * Stage ORDER is the semantic contract (mirrors [[curate]]): quality
+    * and domain gates run first so junk never pays dedup; near-dup
+    * before semantic so the cheaper signature join absorbs exact/near
+    * copies and only textual survivors pay vector scoring. 100 TB shape:
+    * each stage is the library call's own documented shape — no new
+    * shuffles, and the per-batch caches inside the incremental stages
+    * are released before this returns (leak-regression pinned). */
+  def curateIncremental(
+      batch: DataFrame,
+      minhashIndex: DataFrame,
+      semIndex: DataFrame,
+      centroids: DataFrame,
+      badDomains: DataFrame,
+      idCol: String,
+      textCol: String,
+      urlCol: String,
+      vecCol: String,
+      quality: org.apache.spark.sql.Column,
+      splits: Seq[(String, Double)],
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5,
+      semThreshold: Double = 0.95
+  ): IncrementalCuration = {
+    val gated = TextAnalysis.domainFilterAgainst(batch.filter(quality), urlCol, badDomains)
+    val textSurvivors = Dedup.incrementalNearDup(
+      gated, minhashIndex, idCol, textCol, bands, rowsPerBand, minEstJaccard)
+    val survivors = Similarity.incrementalSemDedup(
+      textSurvivors, semIndex, centroids, idCol, vecCol, semThreshold)
+    IncrementalCuration(
+      survivors = Scale.hashSplit(survivors, Seq(idCol), splits),
+      minhashDelta =
+        Dedup.minhashSignatures(survivors, idCol, textCol, bands * rowsPerBand),
+      semDelta = Similarity.semIndex(survivors, idCol, vecCol, centroids)
+    )
+  }
 }

@@ -669,6 +669,115 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("curateIncremental under foreachBatch: full composed pipeline == sequential replay, both indexes grow") {
+    import graft.operators.{Dedup, Pipeline, Similarity}
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    // planted corpus: text dups and vector dups straddle batch boundaries;
+    // quality and domain junk salted in
+    val ta = (1 to 30).map(i => s"a$i").mkString(" ")
+    val tb = (100 to 129).map(i => s"b$i").mkString(" ")
+    val tc = (200 to 229).map(i => s"c$i").mkString(" ")
+    val td = (300 to 329).map(i => s"d$i").mkString(" ")
+    val va = Seq(1f, 0.02f); val vb = Seq(0.02f, 1f); val vc = Seq(1f, 1f)
+    val good = "https://good.example.com/x"
+    val bad = "https://spam.example.com/x"
+    val batches: Seq[Seq[(Long, String, String, Seq[Float])]] = Seq(
+      Seq(
+        (0L, ta, good, va),
+        (1L, ta, good, vb), // exact text dup of 0 within the batch -> drops
+        (2L, "short", good, va), // quality gate (under 3 tokens)
+        (3L, tb, bad, vb) // bad domain -> drops before any dedup
+      ),
+      Seq(
+        (10L, ta, good, vc), // text dup of INDEXED 0 -> drops
+        (11L, tb, good, vb), // novel text (3 died at the gate), novel vec
+        (12L, tc, good, vb.map(_ * 2f)) // novel text, but vec copies 11 IN-BATCH -> drops
+      ),
+      Seq(
+        // tc is NOVEL to the text index (12 dropped before indexing), but
+        // the vec copies INDEXED 0 -> semantic index kill
+        (20L, tc, good, va.map(_ * 3f)),
+        // novel text; vc assigns to cell 0 (tie -> lowest centroid) with
+        // cosine ~0.72 vs indexed va — below threshold, survives
+        (21L, (400 to 429).map(i => s"e$i").mkString(" "), good, vc.map(_ * 2f)),
+        (22L, td, good, Seq(0f, 0f)) // zero-norm vec: passes semantic stage
+      )
+    )
+    val quality = size(split(col("text"), " ")) >= 3
+    val splits = Seq(("train", 0.8), ("val", 0.2))
+    val badDomains = Seq("spam.example.com").toDF("domain")
+    val cen = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("id", "v")
+      .toDF("doc_id", "vec")
+    val emptyMinhash = Dedup
+      .minhashSignatures(Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", 8)
+    val emptySem = Similarity.semIndex(
+      Seq.empty[(Long, Seq[Float])].toDF("doc_id", "vec"), "doc_id", "vec", cen)
+    def step(mh: DataFrame, sem: DataFrame, batch: DataFrame)
+        : (DataFrame, DataFrame, Seq[(Long, String)]) = {
+      val r = Pipeline.curateIncremental(
+        batch, mh, sem, cen, badDomains,
+        "doc_id", "text", "url", "vec", quality, splits)
+      val ids = r.survivors.select("doc_id", "split").collect()
+        .map(x => (x.getLong(0), x.getString(1))).sortBy(_._1).toSeq
+      (
+        mh.union(r.minhashDelta).localCheckpoint(),
+        sem.unionByName(r.semDelta).localCheckpoint(),
+        ids
+      )
+    }
+    // sequential ground truth (a fold, not scanLeft: retaining every
+    // intermediate index frame would pin its checkpoint blocks and void
+    // the leak assertion below)
+    var seqMh = emptyMinhash
+    var seqSem = emptySem
+    val expected = batches.flatMap { rows =>
+      val (m2, s2, ids) = step(seqMh, seqSem, rows.toDF("doc_id", "text", "url", "vec"))
+      seqMh = m2; seqSem = s2; ids
+    }
+    val expectedIds = expected.map(_._1)
+    // planted truth: 0 survives b1; 11 survives b2 (10 text-dups indexed 0,
+    // 12 vec-copies 11 in-batch); in b3, 20's vec copies INDEXED 0 -> drops,
+    // 21's text is novel and vec copies nothing indexed (vc never entered
+    // the index: 12 dropped), 22 is zero-norm -> both survive
+    assert(expectedIds == Seq(0L, 11L, 21L, 22L), s"planted truth drifted: $expected")
+    // split tags are the deterministic hashSplit assignment — nonempty check
+    assert(expected.forall(p => p._2 == "train" || p._2 == "val"))
+    // streamed: one MemoryStream batch at a time through foreachBatch
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String, Seq[Float])](spark)
+    var mh = emptyMinhash
+    var sem = emptySem
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = mem
+      .toDF()
+      .toDF("doc_id", "text", "url", "vec")
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val (m2, s2, ids) = step(mh, sem, df)
+        mh = m2; sem = s2; accepted ++= ids
+        ()
+      }
+      .start()
+    try batches.foreach { rows => mem.addData(rows); q.processAllAvailable() }
+    finally q.stop()
+    assert(accepted.toSeq == expected, s"streamed $accepted != sequential $expected")
+    // no cached-partition accumulation across micro-batches (both
+    // incremental stages release their per-batch caches; checkpointed
+    // index/evidence RDDs are ContextCleaner-collected once unreferenced)
+    mh = null; sem = null; seqMh = null; seqSem = null
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val deadline = System.currentTimeMillis() + 30000
+    var now = persisted
+    while (now > persistedBefore && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(200); now = persisted
+    }
+    assert(
+      now <= persistedBefore,
+      s"persisted RDDs leaked across micro-batches: before=$persistedBefore after=$now"
+    )
+  }
+
   test("tumbling agg matches the x12 declared query buckets") {
     val viaWindow = EventStreams.tumbling5m(t(spark, sfTiny, "events"))
       .select("bucket_s", "event_type", "n")
