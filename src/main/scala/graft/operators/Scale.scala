@@ -599,6 +599,106 @@ object Scale {
       .filter(col("__cum") <= lit(limit))
       .drop("__cum")
 
+  /** DoReMi-style domain-mixture OPTIMIZATION (Xie et al., NeurIPS 2023:
+    * upweight domains with EXCESS loss; here the Group-DRO-flavored
+    * static-loss variant): starting uniform, each of `steps` rounds
+    * computes the current mixture's weighted mean loss
+    * `m = Σ α_d·L_d / Σ α_d` and applies the linearized
+    * multiplicative-weights update `α_d ← α_d · max(0, 1 + η·(L_d − m))`
+    * (Arora–Hazan–Kale's (1+ηm) form — no `exp`, whose cross-engine
+    * rounding is not reproducible). Domains whose loss sits above the
+    * mixture mean gain weight, below lose — iterations interact through
+    * the moving mean. Output: one row per domain with `n_docs`,
+    * `mean_loss` (raw IEEE quotient of the decimal-exact sum — the x126
+    * contract), and the normalized `weight` to feed [[resampleToMix]].
+    *
+    * Determinism/replay contract (the x121 engine-formula discipline):
+    * per-domain mean losses and the evolving α are SNAPPED to the
+    * `2^-scaleShift` dyadic grid via `floor(x·2^k)/2^k` (exact: scaling
+    * by a power of two is lossless), so both mixture sums are sums of
+    * grid values — exact and order-independent — and every remaining op
+    * (one division, the update chain) is a correctly-rounded scalar
+    * IEEE op an external engine replays bit-for-bit. `η = 2^-etaShift`.
+    *
+    * 100 TB shape: ONE corpus pass (groupBy(domain) count + decimal
+    * sum, map-side partials); the loop is driver scalar arithmetic over
+    * the ≤ `maxGroups`-bounded domain table (loud guard). NULL losses
+    * and NULL groups are excluded (documented; a mostly-null domain's
+    * mean reflects its scored rows only). */
+  def doremiMix(
+      docs: DataFrame,
+      groupCol: String,
+      lossCol: String,
+      steps: Int,
+      etaShift: Int = 2,
+      scaleShift: Int = 20,
+      maxGroups: Int = 100000
+  ): DataFrame = {
+    require(steps >= 1 && steps <= 128, s"doremiMix: steps must be in [1, 128], got $steps")
+    require(etaShift >= 0 && etaShift <= 24, s"doremiMix: etaShift must be in [0, 24]")
+    require(scaleShift >= 1 && scaleShift <= 30, s"doremiMix: scaleShift must be in [1, 30]")
+    require(maxGroups >= 1, "doremiMix: maxGroups must be >= 1")
+    val spark = docs.sparkSession
+    val stats = docs
+      .filter(col(groupCol).isNotNull && col(lossCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(
+          round(col(lossCol).cast("double"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+        ).as("__s")
+      )
+      .limit(maxGroups + 1)
+      .collect() // bounded: maxGroups + 1 rows, guarded below
+    require(
+      stats.length <= maxGroups,
+      s"doremiMix: more than $maxGroups distinct $groupCol groups — the driver-side " +
+        "mixture loop is sized for domain-level mixtures; raise maxGroups deliberately"
+    )
+    val scale = math.pow(2.0, scaleShift) // exact power of two
+    val eta = math.pow(2.0, -etaShift)
+    def snap(x: Double): Double = math.floor(x * scale) / scale
+    val d = stats.length
+    val groups = stats.map(_.get(0))
+    val ns = stats.map(_.getLong(1))
+    val means = stats.map(r => r.getDecimal(2).doubleValue() / r.getLong(1))
+    val ls = means.map(snap)
+    val a = Array.fill(d)(1.0)
+    var t = 0
+    while (t < steps) {
+      var sumA = 0.0
+      var sumAL = 0.0
+      var i = 0
+      while (i < d) { sumA += a(i); sumAL += a(i) * ls(i); i += 1 } // grid sums: exact
+      val m = sumAL / sumA
+      i = 0
+      while (i < d) {
+        a(i) = snap(a(i) * math.max(0.0, 1.0 + eta * (ls(i) - m)))
+        i += 1
+      }
+      t += 1
+    }
+    val totA = a.sum // grid sum: exact
+    require(totA > 0, "doremiMix: all domain weights collapsed to zero — lower eta")
+    val out = (0 until d).map { i =>
+      org.apache.spark.sql.Row(groups(i), ns(i), means(i), a(i) / totA)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          groupCol, docs.schema(groupCol).dataType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "n_docs", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "mean_loss", org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "weight", org.apache.spark.sql.types.DoubleType, nullable = false)
+      ))
+    )
+  }
+
   /** Bucket index of `id` against sorted range `bounds`: the count of
     * boundaries STRICTLY below the id (ties land in the boundary's own
     * bucket) — one higher-order `aggregate` fold over a plan-literal

@@ -4287,6 +4287,66 @@ object ExtQueries {
              |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
              |  FROM fsims) t
              |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // DoReMi-style mixture optimization (Scale.doremiMix): completes the
+    // mixture toolkit — temperatureMix/resampleToMix SET rates from
+    // counts; this LEARNS them from per-domain excess loss (x126's
+    // domain synthesis, x88's classifier as the loss signal, x120's
+    // KL-adjacent goal). Four multiplicative-weights rounds with the
+    // linearized (1+η·excess) update, every value snapped to the 2^-20
+    // dyadic grid so the mixture sums are exact and order-independent —
+    // the oracle replays the entire loop (decimal-exact domain means,
+    // floor-snaps, the moving mixture mean, normalization) in SQL.
+    Q(
+      "x130_doremi_mix",
+      (s, d) => {
+        val dk = col("doc_id")
+        val u = concat(
+          lit("https://"), col("source"), lit("-"), (dk % 13).cast("string"),
+          lit(".Example.com/"), col("lang"), lit("/"), dk.cast("string")
+        )
+        val docs = t(s, d, "documents").withColumn("url", u)
+        val scored = TextAnalysis
+          .scoreLinear(docs, "text", qWeights, 17.0 / 256.0)
+          .withColumn("domain", TextAnalysis.urlDomain(col("url")))
+          .withColumn("loss", -col("logit")) // high loss = low quality -> upweighted
+        Scale.doremiMix(scored, "domain", "loss", steps = 4).orderBy("domain")
+      },
+      Some {
+        val steps = (1 to 4).map { t =>
+          val p = t - 1
+          s"""mm$t AS (SELECT SUM(a.a * l.l) / SUM(a.a) AS m
+             |  FROM a$p a JOIN l USING (domain)),
+             |a$t AS (SELECT l.domain,
+             |    floor(a.a * GREATEST(0.0, 1.0 + 0.25 * (l.l - (SELECT m FROM mm$t)))
+             |      * 1048576.0) / 1048576.0 AS a
+             |  FROM a$p a JOIN l USING (domain))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
+           |sw AS (SELECT doc_id, (h60 // 2) % 64 AS bucket,
+           |    CASE WHEN h60 % 2 = 1 THEN 1.0 ELSE -1.0 END AS sign FROM h),
+           |dots AS (SELECT doc_id,
+           |    SUM(sign * CAST((bucket * 37) % 101 - 50 AS DOUBLE) / 256.0) AS dot
+           |  FROM sw GROUP BY 1),
+           |sc AS (SELECT d.doc_id,
+           |    d.source || '-' || CAST(d.doc_id % 13 AS VARCHAR) || '.example.com' AS domain,
+           |    -(COALESCE(dots.dot, 0) + 17.0/256.0) AS loss
+           |  FROM documents d LEFT JOIN dots USING (doc_id)),
+           |st AS MATERIALIZED (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n,
+           |    SUM(CAST(round(loss, 6) AS DECIMAL(28, 6))) AS s
+           |  FROM sc GROUP BY 1),
+           |l AS MATERIALIZED (SELECT domain,
+           |    floor((CAST(s AS DOUBLE) / n) * 1048576.0) / 1048576.0 AS l FROM st),
+           |a0 AS (SELECT domain, 1.0 AS a FROM l),
+           |$steps
+           |SELECT st.domain, st.n AS n_docs,
+           |  CAST(st.s AS DOUBLE) / st.n AS mean_loss,
+           |  a4.a / (SELECT SUM(a) FROM a4) AS weight
+           |FROM st JOIN a4 USING (domain)
+           |ORDER BY st.domain""".stripMargin
+      }
     )
   )
 }

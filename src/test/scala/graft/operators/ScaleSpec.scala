@@ -469,4 +469,49 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
       .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("doremiMix: excess-loss domains gain weight, local scalar replay exact, guards") {
+    import spark.implicits._
+    // three domains with planted mean losses 0.1 / 0.5 / 0.9 (two docs each)
+    val docs = Seq(
+      (0L, "lo", 0.1), (1L, "lo", 0.1),
+      (2L, "mid", 0.5), (3L, "mid", 0.5),
+      (4L, "hi", 0.9), (5L, "hi", 0.9),
+      (6L, "hi", Double.NaN), (7L, null.asInstanceOf[String], 0.5)
+    ).map { case (id, g, l) => (id, g, if (l.isNaN) Option.empty[Double] else Some(l)) }
+      .toDF("id", "dom", "loss")
+    val got = Scale
+      .doremiMix(docs, "dom", "loss", steps = 4)
+      .orderBy("dom")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // null loss / null group excluded: hi has 2 scored docs, null dom gone
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq(("hi", 2L), ("lo", 2L), ("mid", 2L)))
+    val byDom = got.map(x => x._1 -> x._4).toMap
+    assert(byDom("hi") > byDom("mid") && byDom("mid") > byDom("lo"),
+      s"excess-loss ordering violated: $byDom")
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-12)
+    // exact scalar replay of the documented op sequence
+    val scale = math.pow(2.0, 20)
+    def snap(x: Double) = math.floor(x * scale) / scale
+    val ls = Array(snap(0.9), snap(0.1), snap(0.5)) // hi, lo, mid (domain order)
+    val aa = Array.fill(3)(1.0)
+    for (_ <- 1 to 4) {
+      val m = aa.zip(ls).map { case (x, l) => x * l }.sum / aa.sum
+      for (i <- 0 until 3) aa(i) = snap(aa(i) * math.max(0.0, 1.0 + 0.25 * (ls(i) - m)))
+    }
+    val tot = aa.sum
+    assert(got.map(_._4).toSeq == Seq(aa(0) / tot, aa(1) / tot, aa(2) / tot),
+      "driver loop diverged from the documented scalar replay")
+    // uniform losses -> exactly uniform weights
+    val uni = Scale
+      .doremiMix(Seq((0L, "a", 0.3), (1L, "b", 0.3)).toDF("id", "dom", "loss"),
+        "dom", "loss", steps = 3)
+      .collect().map(_.getDouble(3)).toSeq
+    assert(uni == Seq(0.5, 0.5))
+    intercept[IllegalArgumentException] { Scale.doremiMix(docs, "dom", "loss", 0) }
+    intercept[IllegalArgumentException] {
+      Scale.doremiMix(docs, "dom", "loss", 2, maxGroups = 2)
+    }
+  }
 }
