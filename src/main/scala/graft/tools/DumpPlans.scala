@@ -171,7 +171,23 @@ object DumpPlans {
     "x123_incr_semdedup" -> ("Incremental SemDeDup: batch cell assignment is the x97 " +
       "broadcast + packed-long max shape; both confirm joins are cell-keyed equi-joins " +
       "(index side big, never broadcast), and the final anti-join keys on the id — raw " +
-      "history never enters, only its (id, vec, cell) index rows.")
+      "history never enters, only its (id, vec, cell) index rows."),
+    "x128_train_score" -> ("Classifier training + scoring: the plan shown is the SCORING " +
+      "half (training happens in per-step jobs: one hashedTf pass into a localCheckpoint, " +
+      "then per step ONE partial->final vec_sum128 aggregate — 2·(dim+1) longs per " +
+      "partition cross the exchange, no doc rows). Scoring is hashedTf's groupBy + a " +
+      "BROADCAST join against the 64-row trained weight frame + one per-doc sum — the " +
+      "x89 sparse shape with learned weights."),
+    "x129_mrl_rerank" -> ("Matryoshka funnel: stage 1 scores PREFIX slices inside " +
+      "WholeStageCodegen over a broadcast nested-loop (queries broadcast, 1/4 the dot " +
+      "flops), the bounded topKPerKey heap keeps 20/query; stage 2 joins ONLY those " +
+      "sliver rows back to full vectors (two column-pruned scans) for the exact rerank — " +
+      "full-dim vectors never enter the candidate-volume join."),
+    "x130_doremi_mix" -> ("DoReMi mixture: ONE partial->final aggregate keyed on the " +
+      "derived domain (decimal-exact loss sums, map-side combine); the multiplicative-" +
+      "weights loop is driver scalar arithmetic over the bounded domain table and the " +
+      "result is a LocalTableScan — no second corpus pass, no shuffle beyond the one " +
+      "domain aggregate.")
   )
 
   def main(args: Array[String]): Unit = {
