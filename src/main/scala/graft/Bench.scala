@@ -104,18 +104,23 @@ object Bench {
     // (r6/r7 artifacts lost 4-5 per-query times off the front of the
     // capture), then emit the JSON as the process's final stdout line
     spark.stop()
+    // record which files THIS run actually wrote (env-resolved paths): on a
+    // contended or partially-failed run the quiet file is NOT rewritten, so
+    // the final summary must point at the file holding this run's record,
+    // not a stale quiet reference
+    val written = scala.collection.mutable.ArrayBuffer[String]()
     try {
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")),
-        json + "\n"
-      )
+      val lastPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(lastPath), json + "\n")
+      written += lastPath
       // keep the most recent CLEAN run alongside BENCH_LAST so a contaminated
       // latest run never erases the quiet-box reference point
-      if (!loadWarning && failed.isEmpty)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_OUT", "/root/repo/BENCH_QUIET.json")),
-          json + "\n"
-        )
+      if (!loadWarning && failed.isEmpty) {
+        val quietPath =
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_OUT", "/root/repo/BENCH_QUIET.json")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(quietPath), json + "\n")
+        written += quietPath
+      }
     } catch { case e: Throwable => System.err.println(s"[bench] result-file write failed: $e") }
     // The round artifact keeps only a ~4 KB stdout TAIL; at 180 queries the
     // full record (per-query mins + per-pass samples) no longer fits, so
@@ -129,7 +134,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""failed":$failedJson,"sf":"$sfDir","runs":$runs,""" +
         s""""load_samples":$loadSamplesJson,"load_gate_waited":$waited,""" +
-        s""""load_warning":$loadWarning,"queries_file":"BENCH_QUIET.json"}"""
+        s""""load_warning":$loadWarning,"queries_files":${written.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     )
   }
 }

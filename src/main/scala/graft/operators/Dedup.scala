@@ -171,10 +171,14 @@ object Dedup {
           s"$MinhashFamilyVersion — mixed families estimate ~0 Jaccard against fresh " +
           "signatures and silently re-admit known duplicates; rebuild the persisted " +
           "signature index with the current engine (one minhashSignatures pass over " +
-          "the surviving corpus text). EXCEPTION: a v2 (or unversioned) index built " +
-          "with numHashes <= 8 is VALUE-identical to v3 (the derived-multiplier floor " +
+          "the surviving corpus text). EXCEPTION: a v2-STAMPED index built with " +
+          "numHashes <= 8 is VALUE-identical to v3 (the derived-multiplier floor " +
           "only changes multipliers for i >= 8; the fixed table is unchanged), so it " +
-          "may be re-stamped in place — one metadata-only rewrite, no corpus re-scan"
+          "may be re-stamped in place — one metadata-only rewrite, no corpus re-scan. " +
+          "An UNVERSIONED index gets no such exception: it may be v1 (different " +
+          "multipliers AND hash domain — signatures differ at every component, even " +
+          "for numHashes <= 8), and re-stamping a v1 index silently re-admits known " +
+          "duplicates, the exact failure this guard exists to make loud"
       )
     }
 
@@ -381,9 +385,16 @@ object Dedup {
     // the persist the shingle pipeline would run twice, once inside a
     // broadcast exchange.) Hash collisions (64-bit, per pair) are
     // negligible at any realistic corpus size.
-    val sets = shingleHashSets(docs, idCol, textCol, 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sets.count() // eager: two consumers below race a lazily-filling cache
+    // localCheckpoint(true), NOT persist+count: eager like the count, but
+    // the blocks are ContextCleaner-freed once the returned frame is
+    // dropped — a Dataset.persist is CacheManager-pinned and NEVER freed
+    // by GC, so a session calling this repeatedly would accumulate pinned
+    // partitions (the incrementalNearDup leak fix; regression-spec'd).
+    // Checkpointing the corpus-sized intermediate instead of the OUTPUT
+    // keeps the result streamable to a sink without a second
+    // materialization; the truncated lineage failing loudly on a lost
+    // block is fine — the shingle pipeline is deterministic.
+    val sets = shingleHashSets(docs, idCol, textCol, 3).localCheckpoint(true)
     val inter = graft.functions.ArrayFunctions
       .sortedIntersectCount(col("sha"), col("shb"))
       .cast("double")
@@ -474,9 +485,13 @@ object Dedup {
     require(minDocs >= 2, s"scrubDuplicatedSpans: minDocs must be >= 2, got $minDocs")
     val spans = duplicatedSpans(docs, idCol, textCol, n, minDocs)
       .select(col("span_hash").as("__h"), col("first_doc"))
+    // localCheckpoint(true), NOT persist+count: eager for the three
+    // consumers below (gram rows, token positions, counts), but freed by
+    // the ContextCleaner once the returned frame is dropped instead of
+    // CacheManager-pinned forever (the nearDuplicates/incrementalNearDup
+    // leak pattern; regression-spec'd in OperatorsSpec)
     val base = spread(docs.select(col(idCol), split(col(textCol), " ").as("__tk")), idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.count() // eager: three consumers (gram rows, token positions, counts)
+      .localCheckpoint(true)
     // per-doc gram START positions (0-based), hashed with the same
     // convention as duplicatedSpans — the join key is the narrow hash
     val gramArr = when(

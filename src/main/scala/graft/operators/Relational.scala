@@ -293,9 +293,16 @@ object Relational {
     else {
       // materialize the ≤ cap result rows BEFORE releasing the snapshot —
       // the returned frame must not lazily re-read freed checkpoint blocks
-      // (the blocks themselves are released by the ContextCleaner once
-      // `vals` is unreachable; the returned frame holds no reference)
       val rows = kept.collect().toSeq
+      // EAGER release of the snapshot's checkpoint blocks: a long-lived
+      // driver making repeated cached calls over large frames must not
+      // accumulate blocks between ContextCleaner GC cycles — unpersist the
+      // checkpointed RDD backing `vals` now (the ContextCleaner stays as
+      // the backstop for the no-longer-reachable RDD object itself)
+      vals.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+        case _                                             => ()
+      }
       df.sparkSession.createDataFrame(
         df.sparkSession.sparkContext.parallelize(rows, 1),
         kept.schema

@@ -619,6 +619,13 @@ object Scale {
     * grid values — exact and order-independent — and every remaining op
     * (one division, the update chain) is a correctly-rounded scalar
     * IEEE op an external engine replays bit-for-bit. `η = 2^-etaShift`.
+    * The order-independence of the mixture sums is exact only while each
+    * `α_d·L_d` product is itself on the grid (roughly `|α·L| < 2^(53 -
+    * 2·scaleShift)` — ~2^13 at the default 2^-20 grid; classifier logits
+    * are far inside it, raw perplexities may not be); the driver loop
+    * therefore ALSO iterates in sorted-group-key order, so the result is
+    * deterministic and replayable (ORDER BY the group key in the replay)
+    * even when loss magnitudes exceed the exact-sum range.
     *
     * 100 TB shape: ONE corpus pass (groupBy(domain) count + decimal
     * sum, map-side partials); the loop is driver scalar arithmetic over
@@ -651,6 +658,12 @@ object Scale {
       )
       .limit(maxGroups + 1)
       .collect() // bounded: maxGroups + 1 rows, guarded below
+      // DETERMINISTIC iteration order: groupBy-collect order varies with
+      // partitioning, and the grid-sum exactness argument below only covers
+      // |a·l| within the 2^-scaleShift grid's exact range — sorting by group
+      // key (cheap, bounded by maxGroups) makes the loop replayable even
+      // when loss magnitudes push the sums past that range
+      .sortBy(r => String.valueOf(r.get(0)))
     require(
       stats.length <= maxGroups,
       s"doremiMix: more than $maxGroups distinct $groupCol groups — the driver-side " +

@@ -2749,6 +2749,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(now <= before, s"persisted RDDs leaked across calls: before=$before after=$now")
   }
 
+  test("nearDuplicates / scrubDuplicatedSpans: no pinned-cache accumulation across repeated calls") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different text with no shared shingles at all anywhere here now")
+    ).toDF("doc_id", "text")
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted
+    (1 to 3).foreach { _ =>
+      assert(Dedup.nearDuplicates(docs, "doc_id", "text", 0.8).count() == 1L)
+      assert(Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2).count() == 3L)
+    }
+    // the intermediates (shingle sets / tokenized base) are localCheckpoint'd,
+    // not Dataset.persist'ed — a persist is CacheManager-pinned and NEVER
+    // collected by GC (the pre-fix leak); checkpoint blocks are released by
+    // the ContextCleaner once the result frames above are unreachable.
+    // Poll GC until the persisted count returns to baseline.
+    val deadline = System.currentTimeMillis() + 30000
+    var now = persisted
+    while (now > before && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(200); now = persisted
+    }
+    assert(now <= before, s"persisted RDDs leaked across calls: before=$before after=$now")
+  }
+
   test("truncateDims: leading-prefix projection; full-dim truncation changes nothing") {
     import spark.implicits._
     val df = Seq((0L, Seq(1f, 2f, 3f, 4f)), (1L, Seq(5f, 6f, 7f, 8f))).toDF("id", "v")
