@@ -1033,6 +1033,139 @@ object TextAnalysis {
     trainLinear(docs, idCol, textCol, labelCol, dim, steps, lrShift, scaleShift)
       .frame(docs.sparkSession)
 
+  /** [[trainLinear]] with SPARSE gradient accumulation — the same exact
+    * integer GD loop (identical margin, hard sigmoid, residual, and
+    * truncating update, so the returned [[LinearModel]] is BIT-IDENTICAL
+    * to the dense path's on any corpus; spec-pinned), but the feature
+    * pass stays nnz-proportional instead of `O(N·dim)`:
+    *
+    *  - the checkpointed frame holds each doc's [[hashedTf]] entries as a
+    *    sparse `(bucket, count)` array (+ one bias entry), so the one
+    *    materialization costs `O(Σ nnz)` — at fasttext-scale dims the
+    *    dense path's `(dim+1)·8` bytes/doc (~512 KB/doc at 64k, more
+    *    above) would dwarf the corpus text, which is exactly the regime
+    *    this path exists for;
+    *  - per step, the margin is a per-row fold over the doc's OWN entries
+    *    against the weight-array literal (no shuffle), and the gradient
+    *    sums `G_b = Σ R·x_b` come from ONE bucket-keyed aggregate of the
+    *    exploded entries — shuffle volume ∝ nnz (map-side partials bound
+    *    it further by distinct-buckets-per-partition), summed as
+    *    `DECIMAL(38,0)` (exact to 10^38, the same integer every engine
+    *    computes), collected as ≤ dim+1 rows (absent buckets have G=0).
+    *
+    * Regime split vs [[trainLinear]]: the dense path's per-step aggregate
+    * is shuffle-FREE (one VecSum128 over the checkpointed vectors) and
+    * wins at classifier-typical dims where `N·dim` is cheap; this path
+    * pays one nnz-sized shuffle per step but never materializes a dense
+    * vector, so its ceiling is the fasttext bucket regime
+    * (`dim ≤ 2^21`). The per-step weight literal is `dim·8` bytes riding
+    * the task binary (~16 MB at the ceiling) — driver→executor broadcast
+    * per step, not a shuffle. */
+  def trainLinearSparse(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      dim: Int,
+      steps: Int,
+      lrShift: Int = 4,
+      scaleShift: Int = 20
+  ): LinearModel = {
+    require(dim > 0 && dim <= (1 << 21), s"trainLinearSparse: dim must be in [1, 2^21], got $dim")
+    require(steps >= 1 && steps <= 128, s"trainLinearSparse: steps must be in [1, 128], got $steps")
+    require(lrShift >= 0 && lrShift <= 24, s"trainLinearSparse: lrShift must be in [0, 24], got $lrShift")
+    require(
+      scaleShift >= 1 && scaleShift <= 24,
+      s"trainLinearSparse: scaleShift must be in [1, 24], got $scaleShift"
+    )
+    val clash = docs.columns.toSet.intersect(Set("__e", "__y", "__r", "__m"))
+    require(
+      clash.isEmpty,
+      s"trainLinearSparse: input already has ${clash.mkString(", ")} — internal columns would collide"
+    )
+    val tfEntries = hashedTf(docs, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("bucket").as("key"), col("w").as("value"))).as("__e"))
+    // sparse integer features + label, materialized ONCE (O(Σ nnz), the
+    // whole point; localCheckpoint blocks are ContextCleaner-freed when
+    // the frame is dropped, and the `steps` re-reads never recompute the
+    // hashedTf shuffle)
+    val sparse = docs
+      .select(col(idCol), col(labelCol).cast("long").as("__y"))
+      .join(tfEntries, Seq(idCol), "left")
+      .select(
+        col("__y"),
+        coalesce(col("__e"), array().cast("array<struct<key:bigint,value:bigint>>")).as("__e")
+      )
+      .localCheckpoint(true)
+    val n = sparse.count()
+    require(n > 0, "trainLinearSparse: empty corpus")
+    val badLabels = sparse
+      .filter(col("__y").isNull || (col("__y") =!= 0L && col("__y") =!= 1L))
+      .count()
+    require(
+      badLabels == 0,
+      s"trainLinearSparse: $badLabels rows have labels outside {0, 1} — a mislabeled " +
+        "gradient is silent corruption, refuse loudly"
+    )
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pHalf = 1L << (scaleShift + 1)
+    val pMax = 1L << (scaleShift + 2)
+    val d = (BigInt(1) << (lrShift + 2)) * n
+    val w = Array.fill(dim)(0L)
+    var b = 0L
+    var step = 0
+    while (step < steps) {
+      val wLit = typedlit(w.toSeq)
+      // per-doc margin numerator: fold the doc's OWN entries (integer
+      // adds — order-free, identical to the dense full-vector fold)
+      val mCol = aggregate(
+        col("__e"),
+        lit(b),
+        (acc, e) => acc + e.getField("value") * element_at(wLit, e.getField("key").cast("int") + 1)
+      )
+      val rCol = greatest(least(lit(pHalf) + mCol, lit(pMax)), lit(0L)) - col("__y") * lit(pMax)
+      // ONE bucket-keyed aggregate of the exploded entries (+ a bias
+      // entry per doc): G_b = Σ R·x_b, G_bias = Σ R — exact decimal sums,
+      // ≤ dim+1 result rows (the same model-bounded collect class as the
+      // weight vector itself)
+      val biasEntry = array(struct(lit(-1L).as("key"), lit(1L).as("value")))
+      val g = sparse
+        .select(explode(concat(col("__e"), biasEntry)).as("kv"), rCol.as("__r"))
+        .groupBy(col("kv.key").as("__k"))
+        .agg(sum((col("kv.value") * col("__r")).cast(dec)).as("__g"))
+        .collect()
+        .map(r => (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger)))
+      g.foreach { case (k, gk) =>
+        val delta = ((gk.abs / d) * gk.signum).toLong
+        if (k >= 0L) w(k.toInt) -= delta else b -= delta
+      }
+      // same loud margin-headroom bound as the dense path
+      require(
+        w.forall(v => math.abs(v) < (1L << 44)) && math.abs(b) < (1L << 44),
+        "trainLinearSparse: weight numerators exceeded 2^44 — margin arithmetic would " +
+          "risk int64 overflow; lower steps/lr or raise lrShift"
+      )
+      step += 1
+    }
+    LinearModel(w, b, scaleShift)
+  }
+
+  /** [[trainLinearSparse]] as a frame surface — the same `(bucket, w_num,
+    * weight)` table shape as [[trainLinearWeights]]. */
+  def trainLinearSparseWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      dim: Int,
+      steps: Int,
+      lrShift: Int = 4,
+      scaleShift: Int = 20
+  ): DataFrame =
+    trainLinearSparse(docs, idCol, textCol, labelCol, dim, steps, lrShift, scaleShift)
+      .frame(docs.sparkSession)
+
   /** Bounded inverted index: one output row per (token, posting) with the
     * token's document frequency `df`, collection frequency `cf`, and its
     * top-`k` postings ranked by `(tf DESC, id ASC)` — the corpus-search /

@@ -4347,6 +4347,113 @@ object ExtQueries {
            |FROM st JOIN a4 USING (domain)
            |ORDER BY st.domain""".stripMargin
       }
+    ),
+    // ------------------------------------------------------------------
+    // Sparse-gradient trainer (TextAnalysis.trainLinearSparse): the SAME
+    // exact integer GD loop as x127 — identical margins, residuals, and
+    // truncating updates — but the feature pass stays nnz-proportional
+    // (sparse entry arrays + one bucket-keyed decimal gradient aggregate
+    // per step) instead of materializing a dense (dim+1)-long vector per
+    // doc. Bit-identical weights by construction, so the oracle IS x127's
+    // full training replay: one hash row pins the sparse path to the same
+    // SQL-replayed truth as the dense path, at every SF.
+    Q(
+      "x131_train_sparse",
+      (s, d) =>
+        TextAnalysis
+          .trainLinearSparseWeights(
+            t(s, d, "documents")
+              .select(
+                col("doc_id"),
+                col("text"),
+                when(col("text").contains("vector"), lit(1L)).otherwise(lit(0L)).as("label")
+              ),
+            "doc_id", "text", "label",
+            dim = 64, steps = TrainSteps, lrShift = 4, scaleShift = 20
+          )
+          .orderBy("bucket"),
+      Some(
+        s"""$trainLinearSqlPrefix
+           |SELECT bucket, wn AS w_num, CAST(wn AS DOUBLE) / 1048576.0 AS weight
+           |FROM w$TrainSteps ORDER BY bucket""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // doremiMix -> resampleToMix composition (the x128 optimize->apply
+    // pattern, now for mixtures): the learned domain weights from x130's
+    // multiplicative-weights loop feed the x61 resampling machinery
+    // directly, so ONE hash row pins learn-weights -> downsample-corpus
+    // end-to-end. Exactness chain: the α weights are dyadic-grid values
+    // replayed bit-for-bit (x130), weight = α/Σα and the per-domain rate
+    // (share·smax)/ng are correctly-rounded IEEE ops in a pinned
+    // association (the x61 contract), and membership is the portable
+    // md5 hash-bucket test — no RNG, no order dependence anywhere.
+    Q(
+      "x132_doremi_resample",
+      (s, d) => {
+        val dk = col("doc_id")
+        val u = concat(
+          lit("https://"), col("source"), lit("-"), (dk % 13).cast("string"),
+          lit(".Example.com/"), col("lang"), lit("/"), dk.cast("string")
+        )
+        val docs = t(s, d, "documents").withColumn("url", u)
+        val scored = TextAnalysis
+          .scoreLinear(docs, "text", qWeights, 17.0 / 256.0)
+          .withColumn("domain", TextAnalysis.urlDomain(col("url")))
+          .withColumn("loss", -col("logit"))
+        val shares = Scale
+          .doremiMix(scored, "domain", "loss", steps = 4)
+          .select("domain", "weight")
+          .collect() // bounded by doremiMix's maxGroups guard
+          .map(r => r.getString(0) -> r.getDouble(1))
+          .filter(_._2 > 0)
+          .toMap
+        Scale
+          .resampleToMix(scored, Seq("doc_id"), "domain", shares)
+          .select("doc_id", "domain")
+          .orderBy("doc_id")
+      },
+      Some {
+        val steps = (1 to 4).map { t =>
+          val p = t - 1
+          s"""mm$t AS (SELECT SUM(a.a * l.l) / SUM(a.a) AS m
+             |  FROM a$p a JOIN l USING (domain)),
+             |a$t AS (SELECT l.domain,
+             |    floor(a.a * GREATEST(0.0, 1.0 + 0.25 * (l.l - (SELECT m FROM mm$t)))
+             |      * 1048576.0) / 1048576.0 AS a
+             |  FROM a$p a JOIN l USING (domain))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
+           |sw AS (SELECT doc_id, (h60 // 2) % 64 AS bucket,
+           |    CASE WHEN h60 % 2 = 1 THEN 1.0 ELSE -1.0 END AS sign FROM h),
+           |dots AS (SELECT doc_id,
+           |    SUM(sign * CAST((bucket * 37) % 101 - 50 AS DOUBLE) / 256.0) AS dot
+           |  FROM sw GROUP BY 1),
+           |sc AS MATERIALIZED (SELECT d.doc_id,
+           |    d.source || '-' || CAST(d.doc_id % 13 AS VARCHAR) || '.example.com' AS domain,
+           |    -(COALESCE(dots.dot, 0) + 17.0/256.0) AS loss
+           |  FROM documents d LEFT JOIN dots USING (doc_id)),
+           |st AS MATERIALIZED (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n,
+           |    SUM(CAST(round(loss, 6) AS DECIMAL(28, 6))) AS s
+           |  FROM sc GROUP BY 1),
+           |l AS MATERIALIZED (SELECT domain,
+           |    floor((CAST(s AS DOUBLE) / n) * 1048576.0) / 1048576.0 AS l FROM st),
+           |a0 AS (SELECT domain, 1.0 AS a FROM l),
+           |$steps,
+           |wts AS (SELECT domain, a / (SELECT SUM(a) FROM a4) AS share
+           |  FROM a4 WHERE a > 0),
+           |j AS (SELECT st.domain, CAST(st.n AS DOUBLE) AS ng, wts.share,
+           |    CAST(st.n AS DOUBLE) / wts.share AS demand
+           |  FROM st JOIN wts USING (domain)),
+           |smax AS (SELECT min(demand) AS smax FROM j),
+           |r AS (SELECT domain, share * smax / ng AS rate FROM j CROSS JOIN smax)
+           |SELECT sc.doc_id, sc.domain
+           |FROM sc JOIN r USING (domain)
+           |WHERE CAST('0x' || substr(md5(CAST(sc.doc_id AS VARCHAR)), 18, 15) AS BIGINT) % 1000
+           |      < rate * 1000
+           |ORDER BY sc.doc_id""".stripMargin
+      }
     )
   )
 }

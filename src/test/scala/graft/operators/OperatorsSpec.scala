@@ -3009,6 +3009,51 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("trainLinearSparse: bit-identical weights to the dense path; fasttext-dim regime; guards") {
+    import spark.implicits._
+    // planted corpus, including an EMPTY-feature doc (no tokens -> the
+    // bias entry alone must still contribute its residual)
+    val docs = ((0 until 24).map { i =>
+      val y = i % 2
+      val text = if (y == 1) s"pos pos common w$i common" else s"neg common w$i neg neg common"
+      (i.toLong, text, y.toLong)
+    } :+ ((24L, "", 0L))).toDF("doc_id", "text", "label")
+    for ((dim, steps, lr, sc) <- Seq((8, 4, 3, 10), (64, 3, 4, 20))) {
+      val dense = TextAnalysis.trainLinear(docs, "doc_id", "text", "label", dim, steps, lr, sc)
+      val sparse =
+        TextAnalysis.trainLinearSparse(docs, "doc_id", "text", "label", dim, steps, lr, sc)
+      assert(sparse.weightNums.toSeq == dense.weightNums.toSeq, s"weights diverged at dim=$dim")
+      assert(sparse.biasNum == dense.biasNum, s"bias diverged at dim=$dim")
+    }
+    // the gate corpus with the x127 label signal: the oracle-pinned config
+    val gate = t(spark, sfTiny, "documents")
+      .select(
+        col("doc_id"), col("text"),
+        when(col("text").contains("vector"), lit(1L)).otherwise(lit(0L)).as("label")
+      )
+      .localCheckpoint(true)
+    val dg = TextAnalysis.trainLinear(gate, "doc_id", "text", "label", 64, 3, 4, 20)
+    val sg = TextAnalysis.trainLinearSparse(gate, "doc_id", "text", "label", 64, 3, 4, 20)
+    assert(sg.weightNums.toSeq == dg.weightNums.toSeq && sg.biasNum == dg.biasNum)
+    // past the dense ceiling: the fasttext-dim regime this path exists for
+    val big = TextAnalysis.trainLinearSparse(gate, "doc_id", "text", "label", 1 << 17, 2, 4, 20)
+    assert(big.weightNums.length == (1 << 17) && big.weightNums.exists(_ != 0L))
+    // guards mirror the dense path
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLinearSparse(
+        docs.withColumn("label", col("label") + 1), "doc_id", "text", "label", 8, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLinearSparse(docs.withColumn("__e", lit(1)), "doc_id", "text", "label", 8, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLinearSparse(docs, "doc_id", "text", "label", (1 << 21) + 1, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLinearSparse(docs.filter(lit(false)), "doc_id", "text", "label", 8, 1)
+    }
+  }
+
   test("trainLinear -> scoreLinear -> calibrationSweep: the closed quality loop beats fixed weights") {
     import spark.implicits._
     // the x127 label signal on real corpus text: contains 'vector'
