@@ -50,6 +50,17 @@
 #                       APPROXIMATE ADC top-50 cut and come back rank 1 /
 #                       sim 1.0 after exact rerank; reports ADC-vs-float
 #                       wall/shuffle and the codes-vs-float index bytes
+#   4d3. mrl-planted  — matryoshkaIvfTopK through the ACTUAL IVF path at
+#                       2M vectors: planted scaled duplicates must survive
+#                       the prefix-dim cut AND the truncated-vector cell
+#                       routing AND the full-dim rerank (rank 1 / sim 1.0);
+#                       reports prefix-vs-full wall/shuffle honestly
+#   4f. curate-incr-planted — the COMPOSED Pipeline.curateIncremental
+#                       recipe at 2M batch docs + 200k-doc history indexes:
+#                       id-modulo planted truth per drop reason (quality,
+#                       domain, minhash-index, sem-index), exact survivor
+#                       set, delta row counts, and round-2 loop closure
+#                       (survivor copies vs updated indexes -> 0 survivors)
 #   4e. incr-planted  — incremental near-dup dedup against a 2M-signature
 #                       persisted index with a 200k batch: planted
 #                       exact-copy truth (index hits + within-batch d2)
@@ -73,6 +84,8 @@ sbt -batch "runMain graft.tools.Spike media-planted 100000" 2>&1 | grep -E '\[sp
 sbt -batch "runMain graft.tools.Spike x60-planted 1000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike sq8-planted 200000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike pq-planted 200000" 2>&1 | grep -E '\[spike\]'
+SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.Spike mrl-planted 1000000" 2>&1 | grep -E '\[spike\]'
+sbt -batch "runMain graft.tools.Spike curate-incr-planted 2000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike keyword-scale 10000" 2>&1 | grep -E '\[spike\]'
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   sbt -batch "runMain graft.tools.Spike cc-telemetry" 2>&1 | grep -E '\[spike\]'

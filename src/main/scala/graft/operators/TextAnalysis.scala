@@ -1151,6 +1151,147 @@ object TextAnalysis {
     LinearModel(w, b, scaleShift)
   }
 
+  /** Sharded local-SGD trainer — the WALL-CLOCK shape of [[trainLinear]]
+    * for huge corpora (local SGD / FedAvg-style model averaging, McMahan
+    * et al. 2017): instead of `steps` full-corpus aggregates, each of
+    * `rounds` passes runs `localSteps` exact integer GD steps INSIDE each
+    * of `nShards` deterministic shards (shard = hash(id) mod nShards — a
+    * pure function of the id, so membership never depends on input
+    * partitioning), then merges the shard models by exact integer
+    * averaging (Σ numerators, symmetric truncating division by the shard
+    * count — order-free, deterministic at any parallelism).
+    *
+    * Contract vs the oracle-exact core: with `nShards = 1, rounds = 1`
+    * the single shard IS the full corpus, so the result is BIT-IDENTICAL
+    * to `trainLinear(steps = localSteps)` (spec-pinned). Multi-shard
+    * results differ from full-batch GD (that's the point — local steps
+    * trade exact replayability for fewer corpus passes) but remain fully
+    * DETERMINISTIC: same corpus → same model, any partitioning (also
+    * spec-pinned). Gate quality with a planted-separability check, not a
+    * SQL replay.
+    *
+    * 100 TB shape: one sparse O(Σ nnz) feature materialization (the
+    * [[trainLinearSparse]] frame), then per round ONE shard-keyed
+    * shuffle (mapGroups) in which each task buffers ITS shard's sparse
+    * rows and runs the local loop in memory — size shards so a shard
+    * fits an executor (`nShards` ≥ corpus_bytes / executor_mem; guarded
+    * at ≤ 65536 so the driver merge stays trivial). Driver state: one
+    * (dim+1)-long vector per shard per round. */
+  def trainLinearSgd(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      dim: Int,
+      nShards: Int,
+      rounds: Int,
+      localSteps: Int,
+      lrShift: Int = 4,
+      scaleShift: Int = 20
+  ): LinearModel = {
+    require(dim > 0 && dim <= 65536, s"trainLinearSgd: dim must be in [1, 65536], got $dim")
+    require(nShards >= 1 && nShards <= 65536, s"trainLinearSgd: nShards must be in [1, 65536]")
+    require(rounds >= 1 && rounds <= 64, s"trainLinearSgd: rounds must be in [1, 64], got $rounds")
+    require(
+      localSteps >= 1 && localSteps <= 128,
+      s"trainLinearSgd: localSteps must be in [1, 128], got $localSteps"
+    )
+    require(lrShift >= 0 && lrShift <= 24, s"trainLinearSgd: lrShift must be in [0, 24]")
+    require(scaleShift >= 1 && scaleShift <= 24, s"trainLinearSgd: scaleShift must be in [1, 24]")
+    val clash = docs.columns.toSet.intersect(Set("__e", "__y", "__s", "__m"))
+    require(
+      clash.isEmpty,
+      s"trainLinearSgd: input already has ${clash.mkString(", ")} — internal columns would collide"
+    )
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tfEntries = hashedTf(docs, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      // tuple-encoder field names so the typed view below resolves
+      .agg(collect_list(struct(col("bucket").as("_1"), col("w").as("_2"))).as("__e"))
+    val sparse = docs
+      .select(col(idCol), col(labelCol).cast("long").as("__y"))
+      .join(tfEntries, Seq(idCol), "left")
+      .select(
+        pmod(xxhash64(col(idCol)), lit(nShards.toLong)).cast("int").as("__s"),
+        col("__y"),
+        coalesce(col("__e"), array().cast("array<struct<_1:bigint,_2:bigint>>")).as("__e")
+      )
+      .localCheckpoint(true)
+    require(sparse.count() > 0, "trainLinearSgd: empty corpus")
+    val badLabels = sparse
+      .filter(col("__y").isNull || (col("__y") =!= 0L && col("__y") =!= 1L))
+      .count()
+    require(
+      badLabels == 0,
+      s"trainLinearSgd: $badLabels rows have labels outside {0, 1} — a mislabeled gradient " +
+        "is silent corruption, refuse loudly"
+    )
+    val ds = sparse
+      .select(col("__s").as("_1"), col("__y").as("_2"), col("__e").as("_3"))
+      .as[(Int, Long, Seq[(Long, Long)])]
+    val pHalf = BigInt(1) << (scaleShift + 1)
+    val pMax = BigInt(1) << (scaleShift + 2)
+    var w = Array.fill(dim)(0L)
+    var b = 0L
+    var round = 0
+    while (round < rounds) {
+      val (w0, b0) = (w, b) // captured by the task closure
+      // per shard: buffer the shard's sparse rows ONCE, run localSteps
+      // exact integer GD steps over them (identical arithmetic to
+      // trainLinear: margin fold, hard-sigmoid residual, BigInt gradient
+      // sums, truncating mean update — order-free, so the group
+      // iterator's nondeterministic order cannot leak into the model)
+      val shardModels = ds
+        .groupByKey(_._1)
+        .mapGroups { (_, it) =>
+          val rows = it.map { case (_, y, e) => (y, e.toArray) }.toArray
+          val nL = rows.length.toLong
+          val dL = (BigInt(1) << (lrShift + 2)) * nL
+          val wl = w0.clone()
+          var bl = b0
+          var st = 0
+          while (st < localSteps) {
+            val g = Array.fill(dim + 1)(BigInt(0))
+            rows.foreach { case (y, e) =>
+              var m = BigInt(bl)
+              e.foreach { case (k, v) => m += BigInt(v) * wl(k.toInt) }
+              val r = (pHalf + m).max(BigInt(0)).min(pMax) - BigInt(y) * pMax
+              e.foreach { case (k, v) => g(k.toInt) += r * v }
+              g(dim) += r
+            }
+            var i = 0
+            while (i <= dim) {
+              val delta = (g(i).abs / dL) * g(i).signum
+              if (i < dim) wl(i) = (BigInt(wl(i)) - delta).toLong
+              else bl = (BigInt(bl) - delta).toLong
+              i += 1
+            }
+            st += 1
+          }
+          wl :+ bl
+        }
+        .collect() // ≤ nShards rows of (dim+1) longs — bounded by construction
+      // exact integer averaging across shards: Σ numerators is an exact
+      // BigInt sum (order-free), symmetric truncating division snaps back
+      // onto the weight grid identically in every run
+      val k = BigInt(shardModels.length)
+      val merged = Array.tabulate(dim + 1) { i =>
+        val s = shardModels.foldLeft(BigInt(0))((acc, m) => acc + m(i))
+        ((s.abs / k) * s.signum).toLong
+      }
+      w = merged.take(dim)
+      b = merged(dim)
+      require(
+        w.forall(v => math.abs(v) < (1L << 44)) && math.abs(b) < (1L << 44),
+        "trainLinearSgd: weight numerators exceeded 2^44 — margin arithmetic would risk " +
+          "int64 overflow; lower rounds/localSteps or raise lrShift"
+      )
+      round += 1
+    }
+    LinearModel(w, b, scaleShift)
+  }
+
   /** [[trainLinearSparse]] as a frame surface — the same `(bucket, w_num,
     * weight)` table shape as [[trainLinearWeights]]. */
   def trainLinearSparseWeights(

@@ -1267,6 +1267,263 @@ object Spike {
     docs.unpersist(blocking = false)
   }
 
+  /** `runMain graft.tools.Spike curate-incr-planted [nDocs]` — the COMPOSED
+    * [[graft.operators.Pipeline.curateIncremental]] recipe end-to-end at
+    * 100x+ docs against planted truth derived INDEPENDENTLY of any
+    * engine/oracle shared convention (the incr-planted discipline): each
+    * id-modulo class plants exactly one drop reason —
+    *
+    *   - `id % 10 == 1`: low quality score (quality gate),
+    *   - `id % 10 == 2`: URL on the bad-domain list (domain gate),
+    *   - `id % 10 == 3`: text an EXACT copy of an indexed history doc
+    *     (incremental near-dup against the minhash index),
+    *   - `id % 10 == 4`: embedding a x2-scaled copy of an indexed history
+    *     vector, text unique (incremental SemDeDup against the sem index),
+    *   - everything else: unique text/direction/domain, good quality.
+    *
+    * Expected survivors = exactly the 6 clean classes (0.6·n), both index
+    * deltas carry one row per survivor, and a SECOND batch built from
+    * survivor copies (half text-copies, half embedding-copies with fresh
+    * text) against the UPDATED indexes (history ∪ delta) must yield ZERO
+    * survivors — the loop-closure property the composed recipe exists
+    * for. Random cross-class collisions are astronomically improbable by
+    * construction (12-token texts over a 2^64 token space; 64-dim
+    * directions concentrate at cos ~ N(0, 1/64)). */
+  private def curateIncrPlanted(spark: org.apache.spark.sql.SparkSession, nDocs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nDocs % 10 == 0, s"curate-incr-planted: nDocs must be a multiple of 10, got $nDocs")
+    val dim = 64
+    val h = nDocs / 10 // history size
+    def elem(key: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      ((pmod(xxhash64(key, i), lit(1048576L)).cast("double") / lit(1048576.0)) - lit(0.5))
+        .cast("float")
+    val idxs = sequence(lit(0L), lit(dim - 1L))
+    def textOf(key: org.apache.spark.sql.Column) =
+      concat_ws(
+        " ",
+        transform(sequence(lit(0L), lit(11L)), j => concat(lit("t"), xxhash64(key, j).cast("string")))
+      )
+    def vecOf(key: org.apache.spark.sql.Column) = transform(idxs, i => elem(key, i))
+    // key domains: batch-unique text = id; history text = 1e9 + j;
+    // batch-unique embedding = id; history embedding = 2e9 + j;
+    // centroids = 3e9 + c; batch-2 fresh text/embedding = 5e9/4e9 + id
+    val hist = spark
+      .range(h)
+      .select(
+        (col("id") + nDocs).as("doc_id"),
+        textOf(col("id") + 1000000000L).as("text"),
+        vecOf(col("id") + 2000000000L).as("embedding")
+      )
+    val centroids = spark
+      .range(512)
+      .select(col("id").as("doc_id"), vecOf(col("id") + 3000000000L).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    centroids.count()
+    val minhashIndex = graft.operators.Dedup
+      .minhashSignatures(hist, "doc_id", "text", 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val semIdx = graft.operators.Similarity
+      .semIndex(hist, "doc_id", "embedding", centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[spike] curate-incr-planted: history indexes ${minhashIndex.count()} sigs / ${semIdx.count()} cells")
+    val cls = col("id") % 10
+    // integer division: Column./ is DOUBLE division (53-bit mantissa)
+    val histRef = expr("id DIV 10") % h
+    val batch = spark
+      .range(nDocs)
+      .select(
+        col("id").as("doc_id"),
+        when(cls === 3, textOf(histRef + 1000000000L)).otherwise(textOf(col("id"))).as("text"),
+        when(cls === 4, transform(vecOf(histRef + 2000000000L), x => x * lit(2.0f)))
+          .otherwise(vecOf(col("id"))).as("embedding"),
+        when(cls === 1, lit(0.1)).otherwise(lit(0.9)).as("q"),
+        when(
+          cls === 2,
+          concat(lit("https://spam-"), (col("id") % 7).cast("string"), lit(".example.com/p"))
+        ).otherwise(
+          concat(lit("https://ok-"), (col("id") % 97).cast("string"), lit(".example.com/p"))
+        ).as("url")
+      )
+      .repartition(spark.sparkContext.defaultParallelism)
+    val badDomains = spark
+      .range(7)
+      .select(concat(lit("spam-"), col("id").cast("string"), lit(".example.com")).as("domain"))
+    // minEstJaccard = 1.0 (8/8 agreement), the incr-planted convention:
+    // the minhash value domain is ~100k (MinhashHashMod), so two SHORT
+    // random texts share hashed shingle VALUES by birthday collision and
+    // their hashed-set Jaccard is nonzero — at the default 4/8 cut that
+    // confirmed ~1.4% false index hits on 12-token texts (observed, round
+    // 16). Exact-copy planting makes 8/8 the truth-preserving cut; random
+    // pairs reach it with P ≈ (hash-set J)^8 ≈ 0.
+    val t0 = System.nanoTime()
+    val cur = graft.operators.Pipeline.curateIncremental(
+      batch, minhashIndex, semIdx, centroids, badDomains,
+      "doc_id", "text", "url", "embedding",
+      quality = col("q") >= 0.5,
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      minEstJaccard = 1.0
+    )
+    val surv = cur.survivors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSurv = surv.count()
+    val t1 = (System.nanoTime() - t0) / 1e9
+    val expected = nDocs * 6 / 10
+    val wrongClass = surv.filter((col("doc_id") % 10).isin(1, 2, 3, 4)).count()
+    val mhDelta = cur.minhashDelta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val semDelta = cur.semDelta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nMh, nSem) = (mhDelta.count(), semDelta.count())
+    println(
+      f"[spike] curate-incr-planted: batch $nDocs + history $h — $nSurv survivors in $t1%.1fs " +
+        f"(expected $expected, wrong-class $wrongClass), deltas mh=$nMh sem=$nSem"
+    )
+    require(
+      nSurv == expected && wrongClass == 0,
+      s"curate-incr-planted MISMATCH: survivors=$nSurv/$expected wrongClass=$wrongClass"
+    )
+    require(
+      nMh == expected && nSem == expected,
+      s"curate-incr-planted DELTA MISMATCH: mh=$nMh sem=$nSem expected=$expected"
+    )
+    // ---- round 2: survivor copies vs the UPDATED indexes must all drop ----
+    val sample = surv.filter(col("doc_id") % 100 === 0) // survivor ids end in 0 ⇒ clean class
+    val copyText = sample.select(
+      (col("doc_id") + nDocs * 10).as("doc_id"),
+      col("text"),
+      vecOf(col("doc_id") + 4000000000L).as("embedding"),
+      lit(0.9).as("q"),
+      concat(lit("https://ok-0.example.com/p")).as("url")
+    )
+    val copyVec = sample.select(
+      (col("doc_id") + nDocs * 20).as("doc_id"),
+      textOf(col("doc_id") + 5000000000L).as("text"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+      lit(0.9).as("q"),
+      concat(lit("https://ok-0.example.com/p")).as("url")
+    )
+    val batch2 = copyText.unionByName(copyVec)
+    val n2 = batch2.count()
+    val t2 = System.nanoTime()
+    val cur2 = graft.operators.Pipeline.curateIncremental(
+      batch2,
+      minhashIndex.unionByName(mhDelta),
+      semIdx.unionByName(semDelta),
+      centroids, badDomains,
+      "doc_id", "text", "url", "embedding",
+      quality = col("q") >= 0.5,
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      minEstJaccard = 1.0
+    )
+    val nSurv2 = cur2.survivors.count()
+    println(
+      f"[spike] curate-incr-planted: round-2 $n2 survivor copies vs updated indexes — " +
+        f"$nSurv2 survivors in ${(System.nanoTime() - t2) / 1e9}%.1fs (expected 0)"
+    )
+    require(nSurv2 == 0, s"curate-incr-planted LOOP-CLOSURE MISMATCH: $nSurv2 copies survived")
+    println("[spike] curate-incr-planted: exact planted truth at scale, loop closes — gate PASS")
+    Seq(surv, mhDelta, semDelta, minhashIndex, semIdx, centroids)
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  /** `runMain graft.tools.Spike mrl-planted [nVecs]` — matryoshkaIvfTopK
+    * through the ACTUAL IVF path at 100x+ vectors against planted exact
+    * duplicates (x129 oracles the brute funnel; this derives truth
+    * independently of any engine/oracle shared convention). Same
+    * deterministic corpus as sq8-planted: every 100th base vector gets a
+    * x2-scaled companion — identical DIRECTION, so it must survive all
+    * three stages the operator composes: (1) the prefix-dim cut (prefix
+    * cosine of the pair is exactly 1.0 — the max — at any prefixDim),
+    * (2) the cell routing over TRUNCATED vectors (same direction ⇒ same
+    * argmax centroid for query and partner), (3) the full-dim exact
+    * rerank (pair cosine 1.0 beats every unrelated vector). Requires:
+    * every companion's rank-1 neighbor is its partner at sim 1.0. Also
+    * times full-dim [[graft.operators.Similarity.ivfTopK]] on the same
+    * corpus/centroids with shuffle-write telemetry. Measured honestly:
+    * the IVF stage's cell exchange carries prefixDim/dim of the vector
+    * bytes and the in-cell PAIR scoring (the N^1.5 term that dominates
+    * at corpus scale) runs at prefixDim/dim of the flops, but the
+    * full-dim rerank FETCH adds a shuffle linear in |sliver|·dim_full
+    * (k-bounded per query, so linear in N) that the no-rerank full-dim
+    * path doesn't pay — at toy dims the fetch can exceed the cell-join
+    * savings in bytes; the flop savings scale with dim, the fetch
+    * doesn't scale with pair volume. */
+  private def mrlPlanted(spark: org.apache.spark.sql.SparkSession, nVecs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    def elem(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      ((pmod(xxhash64(id, i), lit(1048576L)).cast("double") / lit(1048576.0)) - lit(0.5))
+        .cast("float")
+    val idxs = sequence(lit(0L), lit(dim - 1L))
+    val base = spark
+      .range(nVecs)
+      .select(col("id").as("vec_id"), transform(idxs, i => elem(col("id"), i)).as("embedding"))
+    val planted = base
+      .filter(col("vec_id") % 100 === 0)
+      .select(
+        (col("vec_id") + nVecs).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")
+      )
+    val df = base.unionByName(planted)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = df.count()
+    // √N cells — the ivfTopK cell contract: a FIXED cell count makes the
+    // in-cell pair volume N²/cells blow up quadratically with corpus size
+    // (512 cells OOMed this gate at 2M vectors); √N keeps it N^1.5
+    val nCells = math.max(512L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val cen = base.filter(col("vec_id") < nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cen.count()
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted
+      ): Unit =
+        shuffleW.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    // codegen/JIT warmup outside the timed region (both variants)
+    val warm = df.filter(col("vec_id") % 10 === 0)
+    val warmCen = cen.limit(64)
+    Seq(
+      () => graft.operators.Similarity
+        .matryoshkaIvfTopK(warm, warmCen, "vec_id", "embedding", 5, 16, 1, 10),
+      () => graft.operators.Similarity.ivfTopK(warm, warmCen, "vec_id", "embedding", 5, 1)
+    ).foreach(f => f().count())
+    spark.sparkContext.addSparkListener(listener)
+    def drained(): Long = { Thread.sleep(2000); shuffleW.get() } // listener is async
+    val t0 = System.nanoTime()
+    val mrl = graft.operators.Similarity
+      .matryoshkaIvfTopK(df, cen, "vec_id", "embedding", k = 10, prefixDim = 16, nProbe = 1,
+        rerank = 20)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nMrl = mrl.count()
+    val tMrl = (System.nanoTime() - t0) / 1e9
+    val wMrl = drained()
+    val t1 = System.nanoTime()
+    val nFull = graft.operators.Similarity
+      .ivfTopK(df, cen, "vec_id", "embedding", k = 10, nProbe = 1)
+      .count()
+    val tFull = (System.nanoTime() - t1) / 1e9
+    val wFull = drained() - wMrl
+    spark.sparkContext.removeSparkListener(listener)
+    // every planted companion must rank its partner #1 at sim 1.0 AFTER
+    // the prefix cut + cell routing + full-dim rerank
+    val nComp = n - nVecs
+    val good = mrl
+      .filter(col("qid") >= nVecs && col("rn") === 1)
+      .filter(col("cid") === col("qid") - nVecs && col("sim") === 1.0)
+      .count()
+    println(
+      f"[spike] mrl-planted: $n vecs, $nCells cells, prefix 16/64 — matryoshkaIvfTopK $tMrl%.1fs / " +
+        f"${wMrl / 1e6}%.0f MB shuffled ($nMrl rows; bytes include the linear k-bounded " +
+        f"full-dim rerank fetch) vs full-dim ivfTopK $tFull%.1fs / " +
+        f"${wFull / 1e6}%.0f MB ($nFull rows); planted top-1 exact $good/$nComp"
+    )
+    require(good == nComp, s"mrl-planted MISMATCH: only $good of $nComp planted top-1 hits")
+    println("[spike] mrl-planted: all planted duplicates recovered at rank 1 through the IVF path — gate PASS")
+    mrl.unpersist(blocking = false)
+    cen.unpersist(blocking = false)
+    df.unpersist(blocking = false)
+  }
+
   /** `runMain graft.tools.Spike pq-planted [nVecs]` — product quantization
     * (IVFADC) at 100x+ vectors against planted exact duplicates: the
     * [[sq8Planted]] corpus (every 100th vector gets a x2-scaled companion
@@ -1778,6 +2035,14 @@ object Spike {
     }
     if (args.nonEmpty && args(0) == "pq-planted") {
       pqPlanted(spark, if (args.length > 1) args(1).toLong else 200000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "mrl-planted") {
+      mrlPlanted(spark, if (args.length > 1) args(1).toLong else 200000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "curate-incr-planted") {
+      curateIncrPlanted(spark, if (args.length > 1) args(1).toLong else 200000L)
       spark.stop(); return
     }
     if (args.nonEmpty && args(0) == "keyword-scale") {

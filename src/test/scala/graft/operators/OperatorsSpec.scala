@@ -3054,6 +3054,45 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("trainLinearSgd: single-shard == full-batch bit-for-bit; multi-shard deterministic and separating") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      val y = i % 2
+      val text = if (y == 1) s"pos pos common w$i common" else s"neg common w$i neg neg common"
+      (i.toLong, text, y.toLong)
+    }.toDF("doc_id", "text", "label")
+    // nShards=1, rounds=1: the single shard IS the corpus — the local loop
+    // must reproduce full-batch GD exactly
+    val full = TextAnalysis.trainLinear(docs, "doc_id", "text", "label", 8, 4, 3, 10)
+    val one = TextAnalysis.trainLinearSgd(docs, "doc_id", "text", "label", 8, 1, 1, 4, 3, 10)
+    assert(one.weightNums.toSeq == full.weightNums.toSeq && one.biasNum == full.biasNum)
+    // multi-shard: deterministic at ANY input partitioning (shard = pure
+    // hash of id), and the planted signal still separates
+    val sharded = TextAnalysis.trainLinearSgd(docs, "doc_id", "text", "label", 8, 4, 2, 2, 3, 10)
+    val reparted =
+      TextAnalysis.trainLinearSgd(docs.repartition(7), "doc_id", "text", "label", 8, 4, 2, 2, 3, 10)
+    assert(sharded.weightNums.toSeq == reparted.weightNums.toSeq)
+    assert(sharded.biasNum == reparted.biasNum)
+    val labels = docs.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val scored = TextAnalysis
+      .scoreLinear(docs.select("doc_id", "text"), "text", sharded.weights, sharded.bias)
+      .select("doc_id", "logit").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val posMean = scored.filter(kv => labels(kv._1) == 1L).values.sum / 20
+    val negMean = scored.filter(kv => labels(kv._1) == 0L).values.sum / 20
+    assert(posMean > negMean, s"no separation: pos=$posMean neg=$negMean")
+    // guards
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLinearSgd(
+        docs.withColumn("label", col("label") + 1), "doc_id", "text", "label", 8, 2, 1, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLinearSgd(docs, "doc_id", "text", "label", 8, 0, 1, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLinearSgd(docs.filter(lit(false)), "doc_id", "text", "label", 8, 2, 1, 1)
+    }
+  }
+
   test("trainLinear -> scoreLinear -> calibrationSweep: the closed quality loop beats fixed weights") {
     import spark.implicits._
     // the x127 label signal on real corpus text: contains 'vector'
