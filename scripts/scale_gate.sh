@@ -55,6 +55,11 @@
 #                       the prefix-dim cut AND the truncated-vector cell
 #                       routing AND the full-dim rerank (rank 1 / sim 1.0);
 #                       reports prefix-vs-full wall/shuffle honestly
+#   4g. sgd-planted   — trainLinearSgd (sharded local-SGD, 32 shards x
+#                       2 rounds) at 1M planted-separability docs:
+#                       bit-identical weights across input partitionings
+#                       (the pure-hash shard contract) + sign-accuracy
+#                       > 0.8 on the planted signal
 #   4f. curate-incr-planted — the COMPOSED Pipeline.curateIncremental
 #                       recipe at 2M batch docs + 200k-doc history indexes:
 #                       id-modulo planted truth per drop reason (quality,
@@ -86,6 +91,7 @@ sbt -batch "runMain graft.tools.Spike sq8-planted 200000" 2>&1 | grep -E '\[spik
 sbt -batch "runMain graft.tools.Spike pq-planted 200000" 2>&1 | grep -E '\[spike\]'
 SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.Spike mrl-planted 1000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike curate-incr-planted 2000000" 2>&1 | grep -E '\[spike\]'
+sbt -batch "runMain graft.tools.Spike sgd-planted 1000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike keyword-scale 10000" 2>&1 | grep -E '\[spike\]'
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   sbt -batch "runMain graft.tools.Spike cc-telemetry" 2>&1 | grep -E '\[spike\]'

@@ -138,10 +138,13 @@ object Scale {
     *
     * 100 TB shape: one tiny groupBy(count) over the corpus (map-side
     * partial agg, group-column-pruned scan), a rate table BOUNDED BY
-    * |shares| rows (the inner join with the target map) collected to
-    * compile the per-row rate predicate -- the same bounded-by-construction
-    * collect as kmeansFit's k centroids -- then a pure per-row filter: no
-    * shuffle of the data itself. The realized mixture converges to
+    * |shares| rows (the inner join with the target map) collected to the
+    * driver -- the same bounded-by-construction collect as kmeansFit's k
+    * centroids -- then re-broadcast as a rate-table hash join + per-row
+    * hash filter: no shuffle of the data itself, and the group column is
+    * evaluated ONCE per row (a per-group when-chain predicate would
+    * re-evaluate it per branch -- ruinous when the group is a derived
+    * expression like a regex domain). The realized mixture converges to
     * `shares` at corpus scale (hash buckets are uniform); small groups
     * quantize at the 1/1000 bucket granularity like any hash sampler.
     * A target group with ZERO corpus rows can't constrain the mixture (its
@@ -170,9 +173,34 @@ object Scale {
       .map(r => (r.get(0), r.getDouble(1), r.getDouble(2)))
     if (present.isEmpty) return df.filter(lit(false))
     val smax = present.map { case (_, ng, share) => ng / share }.min
-    val rate = present.foldLeft(lit(null).cast("double")) { case (acc, (g, ng, share)) =>
-      when(col(groupCol) === lit(g), lit(share * smax / ng)).otherwise(acc)
-    }
+    // rates attach via a BROADCAST join on the group column, NOT a
+    // per-group when-chain predicate: a chain evaluates the group column
+    // once PER BRANCH per row, which is catastrophic when the column is a
+    // derived expression (a regex urlDomain over 60M rows at 65 groups ran
+    // >30 min before this change; the join form hashes the group key once
+    // per row). Absent groups drop on the inner join exactly as the
+    // null-default chain dropped them; the rate doubles are the same
+    // driver-computed (share·smax)/ng values, so the kept set is
+    // bit-identical (oracle-gated at x61/x95/x132).
+    require(
+      !df.columns.contains("__rate"),
+      "resampleToMix: input already carries a __rate column — rename it first"
+    )
+    val rateDf = broadcast(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          present.toSeq.map { case (g, ng, share) =>
+            org.apache.spark.sql.Row(g, share * smax / ng)
+          },
+          1
+        ),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(groupCol, df.schema(groupCol).dataType),
+          org.apache.spark.sql.types.StructField(
+            "__rate", org.apache.spark.sql.types.DoubleType, nullable = false)
+        ))
+      )
+    )
     // same null-segment sentinel contract as stratifiedHashSample
     val nullSentinel = "\u0001"
     val keyed = idCols.map(c => coalesce(col(c).cast("string"), lit(nullSentinel)))
@@ -180,7 +208,9 @@ object Scale {
       graft.operators.Dedup.tokenHash60(concat_ws("|", keyed: _*)),
       lit(1000L)
     )
-    df.filter(h < rate * lit(1000.0))
+    df.join(rateDf, Seq(groupCol))
+      .filter(h < col("__rate") * lit(1000.0))
+      .select(df.columns.map(col): _*)
   }
 
   /** Temperature-weighted domain mixture — the α-exponent sampling rule of

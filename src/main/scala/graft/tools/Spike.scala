@@ -1267,6 +1267,90 @@ object Spike {
     docs.unpersist(blocking = false)
   }
 
+  /** `runMain graft.tools.Spike sgd-planted [nDocs]` — the sharded
+    * local-SGD trainer ([[graft.operators.TextAnalysis.trainLinearSgd]])
+    * at 100x+ docs against planted separability: label = id % 2, positive
+    * docs draw 6 tokens from a 50-token `pos*` pool, negatives from a
+    * `neg*` pool, everyone shares 6 noise tokens from a 1000-token pool.
+    * Requires (1) DETERMINISM AT SCALE — bit-identical weights when the
+    * input arrives under a different partitioning (the pure-hash shard
+    * contract is exactly what a repartition would break if it leaked),
+    * (2) the planted signal is LEARNED — mean positive logit exceeds mean
+    * negative (margin printed), sign-accuracy printed. Also times the
+    * full-batch [[graft.operators.TextAnalysis.trainLinear]] at the same
+    * TOTAL step count: the SGD shape pays rounds corpus passes instead of
+    * rounds·localSteps — the wall-clock trade it exists for. */
+  private def sgdPlanted(spark: org.apache.spark.sql.SparkSession, nDocs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val cls = col("id") % 2
+    val clsTok = transform(
+      sequence(lit(0L), lit(5L)),
+      j =>
+        concat(
+          when(cls === 1, lit("pos")).otherwise(lit("neg")),
+          pmod(xxhash64(col("id"), j), lit(50L)).cast("string")
+        )
+    )
+    val noiseTok = transform(
+      sequence(lit(6L), lit(11L)),
+      j => concat(lit("c"), pmod(xxhash64(col("id"), j), lit(1000L)).cast("string"))
+    )
+    val docs = spark
+      .range(nDocs)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(" ", concat(clsTok, noiseTok)).as("text"),
+        cls.cast("long").as("label")
+      )
+      .repartition(spark.sparkContext.defaultParallelism)
+    val (dim, nShards, rounds, localSteps) = (64, 32, 2, 2)
+    val t0 = System.nanoTime()
+    val m1 = graft.operators.TextAnalysis
+      .trainLinearSgd(docs, "doc_id", "text", "label", dim, nShards, rounds, localSteps)
+    val tSgd = (System.nanoTime() - t0) / 1e9
+    // determinism at scale: a different input partitioning must produce
+    // the SAME model (shard = pure hash of id; integer sums order-free)
+    val m2 = graft.operators.TextAnalysis
+      .trainLinearSgd(docs.repartition(53), "doc_id", "text", "label", dim, nShards, rounds, localSteps)
+    require(
+      m1.weightNums.toSeq == m2.weightNums.toSeq && m1.biasNum == m2.biasNum,
+      "sgd-planted NONDETERMINISM: weights differ across input partitionings"
+    )
+    // full-batch at the same total step count, for the passes-vs-steps trade
+    val t1 = System.nanoTime()
+    val mf = graft.operators.TextAnalysis
+      .trainLinear(docs, "doc_id", "text", "label", dim, rounds * localSteps)
+    val tFull = (System.nanoTime() - t1) / 1e9
+    // the planted signal was learned
+    val scored = graft.operators.TextAnalysis
+      .scoreLinear(docs.select("doc_id", "text"), "text", m1.weights, m1.bias)
+      .join(docs.select("doc_id", "label"), "doc_id")
+      .select(
+        avg(when(col("label") === 1, col("logit"))).as("posMean"),
+        avg(when(col("label") === 0, col("logit"))).as("negMean"),
+        avg(
+          when((col("logit") >= 0) === (col("label") === 1), 1.0).otherwise(0.0)
+        ).as("acc")
+      )
+      .collect()(0)
+    val (posMean, negMean, acc) = (scored.getDouble(0), scored.getDouble(1), scored.getDouble(2))
+    val fullScored = graft.operators.TextAnalysis
+      .scoreLinear(docs.select("doc_id", "text"), "text", mf.weights, mf.bias)
+      .join(docs.select("doc_id", "label"), "doc_id")
+      .select(avg(when((col("logit") >= 0) === (col("label") === 1), 1.0).otherwise(0.0)))
+      .collect()(0)
+      .getDouble(0)
+    println(
+      f"[spike] sgd-planted: $nDocs docs, $nShards shards x $rounds rounds x $localSteps local " +
+        f"steps — $tSgd%.1fs (2 corpus passes) vs full-batch ${rounds * localSteps} steps " +
+        f"$tFull%.1fs (4 passes); deterministic across partitionings; " +
+        f"pos=$posMean%.4f neg=$negMean%.4f acc=$acc%.4f (full-batch acc=$fullScored%.4f)"
+    )
+    require(posMean > negMean, s"sgd-planted NO SEPARATION: pos=$posMean neg=$negMean")
+    require(acc > 0.8, s"sgd-planted WEAK MODEL: sign-accuracy $acc <= 0.8")
+    println("[spike] sgd-planted: deterministic, separating at scale — gate PASS")
+  }
+
   /** `runMain graft.tools.Spike curate-incr-planted [nDocs]` — the COMPOSED
     * [[graft.operators.Pipeline.curateIncremental]] recipe end-to-end at
     * 100x+ docs against planted truth derived INDEPENDENTLY of any
@@ -2043,6 +2127,10 @@ object Spike {
     }
     if (args.nonEmpty && args(0) == "curate-incr-planted") {
       curateIncrPlanted(spark, if (args.length > 1) args(1).toLong else 200000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "sgd-planted") {
+      sgdPlanted(spark, if (args.length > 1) args(1).toLong else 1000000L)
       spark.stop(); return
     }
     if (args.nonEmpty && args(0) == "keyword-scale") {
