@@ -4454,6 +4454,96 @@ object ExtQueries {
            |      < rate * 1000
            |ORDER BY sc.doc_id""".stripMargin
       }
+    ),
+    // ------------------------------------------------------------------
+    // The FULLY-LEARNED curation chain in one hash row: train the
+    // classifier (x127), score every doc with the trained weights
+    // (x128), learn domain-mixture weights from the trained losses
+    // (x130's loop over LEARNED losses instead of fixed-weight ones),
+    // and resample the corpus to the learned mixture (x132's apply
+    // step). Exactness stacks the three proven contracts: integer-exact
+    // training -> dyadic-grid logits (common denominator 2^scaleShift,
+    // sums exact) -> grid-snapped mixture loop -> pinned-association
+    // rates + md5 membership. The oracle replays all four stages in one
+    // SQL chain.
+    Q(
+      "x133_train_mix",
+      (s, d) => {
+        val dk = col("doc_id")
+        val u = concat(
+          lit("https://"), col("source"), lit("-"), (dk % 13).cast("string"),
+          lit(".Example.com/"), col("lang"), lit("/"), dk.cast("string")
+        )
+        val docs = t(s, d, "documents").withColumn("url", u)
+        val model = TextAnalysis.trainLinear(
+          docs.select(
+            col("doc_id"),
+            col("text"),
+            when(col("text").contains("vector"), lit(1L)).otherwise(lit(0L)).as("label")
+          ),
+          "doc_id", "text", "label",
+          dim = 64, steps = TrainSteps, lrShift = 4, scaleShift = 20
+        )
+        val scored = TextAnalysis.scoreLinearSparse(
+          docs, "doc_id", "text",
+          model.frame(s).filter(col("bucket") >= 0), dim = 64, bias = model.bias
+        )
+        val withDom = docs
+          .select(col("doc_id"), TextAnalysis.urlDomain(col("url")).as("domain"))
+          .join(scored.select(col("doc_id"), (-col("logit")).as("loss")), Seq("doc_id"))
+        val shares = Scale
+          .doremiMix(withDom, "domain", "loss", steps = 4)
+          .select("domain", "weight")
+          .collect()
+          .map(r => r.getString(0) -> r.getDouble(1))
+          .filter(_._2 > 0)
+          .toMap
+        Scale
+          .resampleToMix(withDom, Seq("doc_id"), "domain", shares)
+          .select("doc_id", "domain")
+          .orderBy("doc_id")
+      },
+      Some {
+        val steps = (1 to 4).map { t =>
+          val p = t - 1
+          s"""mm$t AS (SELECT SUM(a.a * l.l) / SUM(a.a) AS m
+             |  FROM a$p a JOIN l USING (domain)),
+             |a$t AS (SELECT l.domain,
+             |    floor(a.a * GREATEST(0.0, 1.0 + 0.25 * (l.l - (SELECT m FROM mm$t)))
+             |      * 1048576.0) / 1048576.0 AS a
+             |  FROM a$p a JOIN l USING (domain))""".stripMargin
+        }.mkString(",\n")
+        s"""$trainLinearSqlPrefix,
+           |wgt AS (SELECT bucket, CAST(wn AS DOUBLE) / 1048576.0 AS weight
+           |  FROM w$TrainSteps WHERE bucket >= 0),
+           |bias AS (SELECT CAST(wn AS DOUBLE) / 1048576.0 AS b
+           |  FROM w$TrainSteps WHERE bucket = -1),
+           |dots AS (SELECT tf.doc_id, SUM(tf.x * wgt.weight) AS dot
+           |  FROM tf JOIN wgt USING (bucket) GROUP BY 1),
+           |sc AS MATERIALIZED (SELECT d.doc_id,
+           |    d.source || '-' || CAST(d.doc_id % 13 AS VARCHAR) || '.example.com' AS domain,
+           |    -(COALESCE(dots.dot, 0) + (SELECT b FROM bias)) AS loss
+           |  FROM documents d LEFT JOIN dots USING (doc_id)),
+           |st AS MATERIALIZED (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n,
+           |    SUM(CAST(round(loss, 6) AS DECIMAL(28, 6))) AS s
+           |  FROM sc GROUP BY 1),
+           |l AS MATERIALIZED (SELECT domain,
+           |    floor((CAST(s AS DOUBLE) / n) * 1048576.0) / 1048576.0 AS l FROM st),
+           |a0 AS (SELECT domain, 1.0 AS a FROM l),
+           |$steps,
+           |wts AS (SELECT domain, a / (SELECT SUM(a) FROM a4) AS share
+           |  FROM a4 WHERE a > 0),
+           |j AS (SELECT st.domain, CAST(st.n AS DOUBLE) AS ng, wts.share,
+           |    CAST(st.n AS DOUBLE) / wts.share AS demand
+           |  FROM st JOIN wts USING (domain)),
+           |smax AS (SELECT min(demand) AS smax FROM j),
+           |r AS (SELECT domain, share * smax / ng AS rate FROM j CROSS JOIN smax)
+           |SELECT sc.doc_id, sc.domain
+           |FROM sc JOIN r USING (domain)
+           |WHERE CAST('0x' || substr(md5(CAST(sc.doc_id AS VARCHAR)), 18, 15) AS BIGINT) % 1000
+           |      < rate * 1000
+           |ORDER BY sc.doc_id""".stripMargin
+      }
     )
   )
 }

@@ -187,7 +187,19 @@ object DumpPlans {
       "derived domain (decimal-exact loss sums, map-side combine); the multiplicative-" +
       "weights loop is driver scalar arithmetic over the bounded domain table and the " +
       "result is a LocalTableScan — no second corpus pass, no shuffle beyond the one " +
-      "domain aggregate.")
+      "domain aggregate."),
+    "x132_doremi_resample" -> ("Learned mixture applied: the plan shown is the RESAMPLE " +
+      "half (the doremiMix learn pass is its own bounded-aggregate job, the x130 shape). " +
+      "The |domains|-bounded rate table BROADCASTS into one hash join over the scan and " +
+      "the md5 membership test is a codegen Filter — the group expression (a regex " +
+      "urlDomain) evaluates ONCE per row as the join key. The per-group when-chain this " +
+      "replaced evaluated it once per BRANCH per row: >30 min at 60M rows x 65 domains, " +
+      "now minutes (ROUND16.md item 8)."),
+    "x133_train_mix" -> ("The fully-learned chain (train -> score -> learn mixture -> " +
+      "resample): training and the mixture loop are bounded-aggregate jobs (x128/x130 " +
+      "shapes); the plan shown is the final apply — scoring's broadcast weight join " +
+      "feeding the broadcast rate join + hash filter. Corpus passes stay count-bounded " +
+      "(one per stage), never per-group or per-step over raw text.")
   )
 
   def main(args: Array[String]): Unit = {
