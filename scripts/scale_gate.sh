@@ -60,6 +60,11 @@
 #                       bit-identical weights across input partitionings
 #                       (the pure-hash shard contract) + sign-accuracy
 #                       > 0.8 on the planted signal
+#   4h. sparse-dim-scale — trainLinearSparse at its fasttext ceiling
+#                       (dim 2^21) on a 500k-doc wide-vocab corpus:
+#                       bit-identical weights vs the INDEPENDENT
+#                       in-memory GD implementation (single-shard
+#                       trainLinearSgd), ~84k buckets moved
 #   4f. curate-incr-planted — the COMPOSED Pipeline.curateIncremental
 #                       recipe at 2M batch docs + 200k-doc history indexes:
 #                       id-modulo planted truth per drop reason (quality,
@@ -92,6 +97,7 @@ sbt -batch "runMain graft.tools.Spike pq-planted 200000" 2>&1 | grep -E '\[spike
 SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.Spike mrl-planted 1000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike curate-incr-planted 2000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike sgd-planted 1000000" 2>&1 | grep -E '\[spike\]'
+SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.Spike sparse-dim-scale 500000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike keyword-scale 10000" 2>&1 | grep -E '\[spike\]'
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   sbt -batch "runMain graft.tools.Spike cc-telemetry" 2>&1 | grep -E '\[spike\]'

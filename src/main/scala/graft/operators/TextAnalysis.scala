@@ -1189,7 +1189,11 @@ object TextAnalysis {
       lrShift: Int = 4,
       scaleShift: Int = 20
   ): LinearModel = {
-    require(dim > 0 && dim <= 65536, s"trainLinearSgd: dim must be in [1, 65536], got $dim")
+    // same fasttext ceiling as trainLinearSparse: the per-shard dense
+    // weight array is dim·8 bytes of TASK state (not per-doc storage) and
+    // the current model rides the closure once per round — 16 MB at the
+    // ceiling, fine for a per-round broadcast
+    require(dim > 0 && dim <= (1 << 21), s"trainLinearSgd: dim must be in [1, 2^21], got $dim")
     require(nShards >= 1 && nShards <= 65536, s"trainLinearSgd: nShards must be in [1, 65536]")
     require(rounds >= 1 && rounds <= 64, s"trainLinearSgd: rounds must be in [1, 64], got $rounds")
     require(

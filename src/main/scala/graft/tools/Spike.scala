@@ -1267,6 +1267,76 @@ object Spike {
     docs.unpersist(blocking = false)
   }
 
+  /** `runMain graft.tools.Spike sparse-dim-scale [nDocs]` — the
+    * sparse-gradient trainer at its FASTTEXT CEILING (dim = 2^21, past
+    * the dense path's 65536) on a synthetic wide-vocabulary corpus
+    * (~500k distinct tokens hashing across the 2M buckets — the sf
+    * documents table's closed 31-word vocabulary would only touch 31
+    * buckets and prove nothing about high dim). Truth is
+    * CROSS-IMPLEMENTATION bit-equality: [[graft.operators.TextAnalysis
+    * .trainLinearSparse]] (per-step bucket-keyed decimal aggregate) and
+    * [[graft.operators.TextAnalysis.trainLinearSgd]] with
+    * `nShards = 1, rounds = 1` (a single in-memory BigInt GD loop over
+    * buffered rows — a completely independent execution path) run the
+    * same mathematical recursion, so every weight numerator must match
+    * exactly. Also reports wall time and nonzero-weight count. */
+  private def sparseDimScale(spark: org.apache.spark.sql.SparkSession, nDocs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val dim = 1 << 21
+    val steps = 2
+    // 12 tokens/doc: 6 class-conditioned from a 100k-token pool per class
+    // (each class token lands in ~30 same-label docs at 500k docs, so its
+    // bucket gradient ~30·2^21 clears the truncating-update threshold
+    // 64·N and the weight actually moves) + 6 label-agnostic noise tokens
+    // whose mixed-sign gradients stay BELOW it — a realistic sparse-signal
+    // shape, and it exercises ~200k distinct buckets of the 2^21 space.
+    // A label uncorrelated with tokens would leave every |G| under the
+    // threshold and prove nothing.
+    val cls = col("id") % 2
+    val clsTok = transform(
+      sequence(lit(0L), lit(5L)),
+      j =>
+        concat(
+          when(cls === 1, lit("p")).otherwise(lit("n")),
+          pmod(xxhash64(col("id"), j), lit(100000L)).cast("string")
+        )
+    )
+    val noiseTok = transform(
+      sequence(lit(6L), lit(11L)),
+      j => concat(lit("c"), pmod(xxhash64(col("id"), j), lit(100000L)).cast("string"))
+    )
+    val docs = spark
+      .range(nDocs)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(" ", concat(clsTok, noiseTok)).as("text"),
+        cls.cast("long").as("label")
+      )
+      .repartition(spark.sparkContext.defaultParallelism)
+    val t0 = System.nanoTime()
+    val sparse = graft.operators.TextAnalysis
+      .trainLinearSparse(docs, "doc_id", "text", "label", dim, steps)
+    val tSparse = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val sgd = graft.operators.TextAnalysis
+      .trainLinearSgd(docs, "doc_id", "text", "label", dim, 1, 1, steps)
+    val tSgd = (System.nanoTime() - t1) / 1e9
+    val nnz = sparse.weightNums.count(_ != 0L)
+    println(
+      f"[spike] sparse-dim-scale: $nDocs docs, dim=$dim, $steps steps — " +
+        f"trainLinearSparse $tSparse%.1fs vs single-shard in-memory GD $tSgd%.1fs; " +
+        f"$nnz nonzero weights"
+    )
+    require(
+      sparse.weightNums.toSeq == sgd.weightNums.toSeq && sparse.biasNum == sgd.biasNum,
+      "sparse-dim-scale MISMATCH: the two independent trainer implementations diverged"
+    )
+    // ~84k of the ~190k class buckets clear the truncating-update
+    // threshold at 500k docs (Poisson spread around k≈30 docs/token)
+    require(nnz > 50000, s"sparse-dim-scale DEGENERATE: only $nnz nonzero weights at dim 2^21")
+    println("[spike] sparse-dim-scale: bit-identical across implementations at dim 2^21 — gate PASS")
+  }
+
   /** `runMain graft.tools.Spike sgd-planted [nDocs]` — the sharded
     * local-SGD trainer ([[graft.operators.TextAnalysis.trainLinearSgd]])
     * at 100x+ docs against planted separability: label = id % 2, positive
@@ -2131,6 +2201,10 @@ object Spike {
     }
     if (args.nonEmpty && args(0) == "sgd-planted") {
       sgdPlanted(spark, if (args.length > 1) args(1).toLong else 1000000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "sparse-dim-scale") {
+      sparseDimScale(spark, if (args.length > 1) args(1).toLong else 500000L)
       spark.stop(); return
     }
     if (args.nonEmpty && args(0) == "keyword-scale") {
