@@ -1195,6 +1195,16 @@ object TextAnalysis {
     // ceiling, fine for a per-round broadcast
     require(dim > 0 && dim <= (1 << 21), s"trainLinearSgd: dim must be in [1, 2^21], got $dim")
     require(nShards >= 1 && nShards <= 65536, s"trainLinearSgd: nShards must be in [1, 65536]")
+    // JOINT bound: the per-round merge collects nShards·(dim+1) longs to
+    // the driver — each cap is individually fine, but together they'd
+    // accept a ~1 TB collect (65536 shards × 2^21 dims). 2^27 longs
+    // (1 GB) keeps every sane combination (dim 64 → all 65536 shards;
+    // dim 2^21 → 63 shards) and refuses the absurd corner loudly.
+    require(
+      nShards.toLong * (dim + 1L) <= (1L << 27),
+      s"trainLinearSgd: nShards·(dim+1) = ${nShards.toLong * (dim + 1L)} exceeds 2^27 — " +
+        "the per-round driver merge would collect that many longs; lower nShards or dim"
+    )
     require(rounds >= 1 && rounds <= 64, s"trainLinearSgd: rounds must be in [1, 64], got $rounds")
     require(
       localSteps >= 1 && localSteps <= 128,

@@ -3091,6 +3091,9 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     intercept[IllegalArgumentException] {
       TextAnalysis.trainLinearSgd(docs.filter(lit(false)), "doc_id", "text", "label", 8, 2, 1, 1)
     }
+    intercept[IllegalArgumentException] { // joint driver-merge bound: 65536 shards x 2^21 dims
+      TextAnalysis.trainLinearSgd(docs, "doc_id", "text", "label", 1 << 21, 65536, 1, 1)
+    }
   }
 
   test("trainLinear -> scoreLinear -> calibrationSweep: the closed quality loop beats fixed weights") {
