@@ -3096,6 +3096,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("trainLinearSparse/trainLinearSgd: ScalaCheck bit-equality with trainLinear on random corpora") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random corpora including empty texts, repeated tokens (signed tf
+    // magnitudes > 1), skewed labels — the three trainers implement ONE
+    // exact integer recursion through three execution paths (dense
+    // VecSum128 aggregate / sparse bucket-keyed aggregate / in-memory
+    // single-shard GD), so the models must match bit-for-bit everywhere
+    val vocab = (1 to 14).map(i => s"tok$i") :+ "" // "" → empty-ish text rows
+    val genDoc = for {
+      n <- Gen.choose(0, 10)
+      tks <- Gen.listOfN(n, Gen.oneOf(vocab))
+      y <- Gen.oneOf(0L, 1L)
+    } yield (tks.filter(_.nonEmpty).mkString(" "), y)
+    val genCase = for {
+      m <- Gen.choose(3, 16)
+      ds <- Gen.listOfN(m, genDoc)
+      steps <- Gen.choose(1, 3)
+      dim <- Gen.oneOf(4, 8, 32)
+    } yield (ds.zipWithIndex.map { case ((t, y), i) => (i.toLong, t, y) }, steps, dim)
+    val prop = Prop.forAll(genCase) { case (docs, steps, dim) =>
+      val df = docs.toDF("doc_id", "text", "label")
+      val dense = TextAnalysis.trainLinear(df, "doc_id", "text", "label", dim, steps, 3, 10)
+      val sparse = TextAnalysis.trainLinearSparse(df, "doc_id", "text", "label", dim, steps, 3, 10)
+      val sgd = TextAnalysis.trainLinearSgd(df, "doc_id", "text", "label", dim, 1, 1, steps, 3, 10)
+      sparse.weightNums.toSeq == dense.weightNums.toSeq && sparse.biasNum == dense.biasNum &&
+      sgd.weightNums.toSeq == dense.weightNums.toSeq && sgd.biasNum == dense.biasNum
+    }
+    // each case runs three full trainers — 15 random corpora, not 300
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("trainLinear -> scoreLinear -> calibrationSweep: the closed quality loop beats fixed weights") {
     import spark.implicits._
     // the x127 label signal on real corpus text: contains 'vector'
