@@ -1170,13 +1170,16 @@ object TextAnalysis {
     * spec-pinned). Gate quality with a planted-separability check, not a
     * SQL replay.
     *
-    * 100 TB shape: one sparse O(Σ nnz) feature materialization (the
-    * [[trainLinearSparse]] frame), then per round ONE shard-keyed
-    * shuffle (mapGroups) in which each task buffers ITS shard's sparse
-    * rows and runs the local loop in memory — size shards so a shard
-    * fits an executor (`nShards` ≥ corpus_bytes / executor_mem; guarded
-    * at ≤ 65536 so the driver merge stays trivial). Driver state: one
-    * (dim+1)-long vector per shard per round. */
+    * 100 TB shape: ONE shard-keyed shuffle total — the sparse O(Σ nnz)
+    * feature frame is repartitioned by shard BEFORE its localCheckpoint,
+    * so every round is a shuffle-free scan of the checkpointed blocks
+    * (mapPartitions groups the co-located shards in memory and runs the
+    * local loop); at `rounds = R` that is R−1 fewer corpus-sized
+    * exchanges than a per-round groupByKey. Size shards so a PARTITION
+    * (possibly several hash-colliding shards) fits an executor
+    * (`nShards` ≥ corpus_bytes / executor_mem; jointly guarded with dim
+    * so the driver merge stays bounded). Driver state: one (dim+1)-long
+    * vector per shard per round. */
   def trainLinearSgd(
       docs: DataFrame,
       idCol: String,
@@ -1223,6 +1226,13 @@ object TextAnalysis {
       .groupBy(col(idCol))
       // tuple-encoder field names so the typed view below resolves
       .agg(collect_list(struct(col("bucket").as("_1"), col("w").as("_2"))).as("__e"))
+    // repartition BY SHARD before the checkpoint: every round is then a
+    // shuffle-free scan of the checkpointed blocks (all rows of a shard
+    // are physically co-located), instead of re-shuffling the corpus per
+    // round through a groupByKey exchange — at rounds=R that's R-1 fewer
+    // nnz-sized shuffles. A task buffers its PARTITION (possibly several
+    // hash-colliding shards), so size nShards against executor memory
+    // with that in mind.
     val sparse = docs
       .select(col(idCol), col(labelCol).cast("long").as("__y"))
       .join(tfEntries, Seq(idCol), "left")
@@ -1231,6 +1241,7 @@ object TextAnalysis {
         col("__y"),
         coalesce(col("__e"), array().cast("array<struct<_1:bigint,_2:bigint>>")).as("__e")
       )
+      .repartition(nShards.min(4096), col("__s"))
       .localCheckpoint(true)
     require(sparse.count() > 0, "trainLinearSgd: empty corpus")
     val badLabels = sparse
@@ -1254,36 +1265,41 @@ object TextAnalysis {
       // per shard: buffer the shard's sparse rows ONCE, run localSteps
       // exact integer GD steps over them (identical arithmetic to
       // trainLinear: margin fold, hard-sigmoid residual, BigInt gradient
-      // sums, truncating mean update — order-free, so the group
-      // iterator's nondeterministic order cannot leak into the model)
+      // sums, truncating mean update — order-free, so the partition
+      // iterator's nondeterministic order cannot leak into the model).
+      // mapPartitions, NOT groupByKey: the frame is already hash-
+      // partitioned by __s, so each round reads the checkpoint blocks
+      // with ZERO exchange and groups the (few) co-located shards
+      // in-memory
       val shardModels = ds
-        .groupByKey(_._1)
-        .mapGroups { (_, it) =>
-          val rows = it.map { case (_, y, e) => (y, e.toArray) }.toArray
-          val nL = rows.length.toLong
-          val dL = (BigInt(1) << (lrShift + 2)) * nL
-          val wl = w0.clone()
-          var bl = b0
-          var st = 0
-          while (st < localSteps) {
-            val g = Array.fill(dim + 1)(BigInt(0))
-            rows.foreach { case (y, e) =>
-              var m = BigInt(bl)
-              e.foreach { case (k, v) => m += BigInt(v) * wl(k.toInt) }
-              val r = (pHalf + m).max(BigInt(0)).min(pMax) - BigInt(y) * pMax
-              e.foreach { case (k, v) => g(k.toInt) += r * v }
-              g(dim) += r
+        .mapPartitions { it =>
+          it.toArray.groupBy(_._1).iterator.map { case (_, shardRows) =>
+            val rows = shardRows.map { case (_, y, e) => (y, e.toArray) }
+            val nL = rows.length.toLong
+            val dL = (BigInt(1) << (lrShift + 2)) * nL
+            val wl = w0.clone()
+            var bl = b0
+            var st = 0
+            while (st < localSteps) {
+              val g = Array.fill(dim + 1)(BigInt(0))
+              rows.foreach { case (y, e) =>
+                var m = BigInt(bl)
+                e.foreach { case (k, v) => m += BigInt(v) * wl(k.toInt) }
+                val r = (pHalf + m).max(BigInt(0)).min(pMax) - BigInt(y) * pMax
+                e.foreach { case (k, v) => g(k.toInt) += r * v }
+                g(dim) += r
+              }
+              var i = 0
+              while (i <= dim) {
+                val delta = (g(i).abs / dL) * g(i).signum
+                if (i < dim) wl(i) = (BigInt(wl(i)) - delta).toLong
+                else bl = (BigInt(bl) - delta).toLong
+                i += 1
+              }
+              st += 1
             }
-            var i = 0
-            while (i <= dim) {
-              val delta = (g(i).abs / dL) * g(i).signum
-              if (i < dim) wl(i) = (BigInt(wl(i)) - delta).toLong
-              else bl = (BigInt(bl) - delta).toLong
-              i += 1
-            }
-            st += 1
+            wl :+ bl
           }
-          wl :+ bl
         }
         .collect() // ≤ nShards rows of (dim+1) longs — bounded by construction
       // exact integer averaging across shards: Σ numerators is an exact
