@@ -524,6 +524,146 @@ object TextAnalysis {
       )
   }
 
+  /** Sentence-start marker for the bigram LM ([[trainBigramLm]]): every
+    * token gets a left context, so documents of ANY length score (the
+    * [[bigramCrossEntropy]] transition form skips 1-token docs). U+0001
+    * cannot come out of crawl text that passed [[htmlToText]] (control
+    * chars never survive extraction); a raw corpus that legitimately
+    * contains it as a whitespace-delimited token would alias the
+    * sentence-start context — documented, not guarded, because the guard
+    * would cost a full scan. */
+  private val LmBos = "\u0001"
+
+  /** The per-token `(prev, tok)` transition rows both LM operators share:
+    * tokens with a prepended [[LmBos]], zipped against themselves shifted
+    * by one. Pure per-row generator (codegen `slice`/`zip_with`), shuffle
+    * ∝ token count only after the caller aggregates. */
+  private def bigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    val arr = concat(array(lit(LmBos)), tk)
+    val n = size(tk)
+    docs
+      .select(
+        col(idCol),
+        explode(
+          zip_with(
+            slice(arr, lit(1), n),
+            slice(arr, lit(2), n),
+            (p, w) => struct(p.as("prev"), w.as("tok"))
+          )
+        ).as("__b")
+      )
+      .select(col(idCol), col("__b.prev").as("prev"), col("__b.tok").as("tok"))
+  }
+
+  /** Train a bigram language model — the PERSISTABLE half of the
+    * CCNet-style perplexity filter (Wenzek et al. 2020: score crawl text
+    * under an LM fit on a trusted REFERENCE corpus; KenLM's role there).
+    * Output `(prev, tok, cnt)` is the complete model: context totals and
+    * the vocabulary size derive from it ([[perplexityScore]] does), so
+    * one parquet table IS the artifact — train once on the reference,
+    * score every future batch/stream against it, exactly the
+    * [[trainLinear]]→[[scoreLinearSparse]] split for LMs.
+    *
+    * vs [[bigramCrossEntropy]] (self-fit, one-shot, float `ln` rounded to
+    * 9 dp): this form separates fit from apply and scores on the INTEGER
+    * Q20 log grid ([[graft.functions.FixedLog2]]), so a model persisted
+    * today reproduces bit-identical scores on any engine, any time.
+    *
+    * 100 TB shape: one token explode + one (prev, tok) count aggregate —
+    * map-side partials bound the shuffle by distinct bigrams per
+    * partition, never token volume. No collect; the model stays a frame. */
+  def trainBigramLm(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramRows(docs, idCol, textCol)
+      .groupBy("prev", "tok")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Score documents under a [[trainBigramLm]] model — per-doc total and
+    * per-token negative log-likelihood on the EXACT Q20 integer grid.
+    * Add-one smoothing over the model vocabulary: `p(tok|prev) =
+    * (cnt + 1) / (ctx(prev) + V)` with `ctx` the model's context totals
+    * and `V` its distinct-token count, so unseen bigrams (cnt = 0) and
+    * unseen contexts (ctx = 0 — scoring text the reference never saw)
+    * stay finite. Per token `nll = log2q20(den) − log2q20(num)`; both
+    * logs are [[graft.functions.FixedLog2]] integers, so the per-doc SUM
+    * is order-free and the whole score replays bit-for-bit in external
+    * SQL (the x135 oracle replays train + score end-to-end, recursive-CTE
+    * log included).
+    *
+    * Output: `(idCol, n_tokens, nll_q20, ce_bits)` where `nll_q20` is the
+    * Q20 total and `ce_bits = (nll_q20 div n_tokens) / 2^20` — the
+    * floor-to-grid cross-entropy in bits/token (a dyadic double, exact).
+    * Perplexity is `2^ce_bits` — left to the consumer because `pow` is
+    * not correctly-rounded across engines and the RANKING, which is what
+    * filters use, is identical. Docs with NULL text emit no row.
+    *
+    * 100 TB shape: token explode, two shuffle joins on the model keys
+    * (`(prev, tok)` then `prev` — Spark broadcasts them when the model is
+    * small; both sides scale as standard hash joins when it is not), the
+    * V scalar via one broadcast aggregate, one per-doc sum. Nothing
+    * collected, nothing pairwise. */
+  def perplexityScore(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    require(
+      Seq("prev", "tok", "cnt").forall(model.columns.contains),
+      "perplexityScore: model needs (prev, tok, cnt) — build it with trainBigramLm"
+    )
+    val vRow = model.agg(countDistinct(col("tok")).as("__v"))
+    val ctx = model.groupBy("prev").agg(sum("cnt").as("__ctx"))
+    val nll = graft.functions.LogFunctions.fixedLog2(
+      coalesce(col("__ctx"), lit(0L)) + col("__v")
+    ) - graft.functions.LogFunctions.fixedLog2(coalesce(col("cnt"), lit(0L)) + lit(1L))
+    bigramRows(docs, idCol, textCol)
+      .join(model.select("prev", "tok", "cnt"), Seq("prev", "tok"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .crossJoin(broadcast(vRow))
+      .select(col(idCol), nll.as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__nll")).as("nll_q20"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("nll_q20"),
+        (expr("nll_q20 div n_tokens").cast("double") / lit(1048576.0)).as("ce_bits")
+      )
+  }
+
+  /** CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
+    * PER-LANGUAGE perplexity terciles under a reference LM — the
+    * composition of [[perplexityScore]] with [[scoreBuckets]]' boundary
+    * machinery, partitioned by language because perplexity scales are not
+    * comparable across languages. head = lowest cross-entropy (closest to
+    * the reference), the bucket CCNet keeps preferentially.
+    *
+    * Boundaries come from ONE grouped quantile aggregate
+    * ([[Quantiles.quantiles]]; `exact = false` sketch default for the
+    * 100 TB path, `exact = true` the oracle-replayable opt-in) joined
+    * back broadcast — the lang-cardinality boundary frame is tiny. The
+    * per-row tag is a pure compare on the dyadic-exact `ce_bits`. */
+  def perplexityBuckets(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      exact: Boolean = false,
+      accuracy: Int = 10000
+  ): DataFrame = {
+    val sc = perplexityScore(docs, model, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val bounds = Quantiles
+      .quantiles(sc, Seq(langCol), "ce_bits", Seq(1.0 / 3, 2.0 / 3), exact, accuracy)
+    val bCols = bounds.columns.filterNot(_ == langCol)
+    val bd = bounds.select(col(langCol), col(bCols(0)).as("__blo"), col(bCols(1)).as("__bhi"))
+    sc.join(broadcast(bd), Seq(langCol))
+      .withColumn("bucket", bucketTag(col("ce_bits"), col("__blo"), col("__bhi")))
+      .drop("__blo", "__bhi")
+  }
+
   /** Per-document top-`k` TF-IDF terms. tf = term count in doc; idf =
     * ln((N+1)/(df+1)) with df = #docs containing the term. Three shuffles
     * total — (doc,term) count, per-term df, per-doc top-k window — each

@@ -78,6 +78,52 @@ object ExtQueries {
     (head +: steps).mkString(",\n")
   }
 
+  /** x135/x136 shared replay: en-reference bigram LM (BOS = chr(1)),
+    * add-one smoothing, and the FixedLog2 Q20 shift-and-square recurrence
+    * as one recursive CTE over the DISTINCT count values (num/den are
+    * +1-smoothed counts — far fewer distinct values than token rows).
+    * Ends with `nl(doc_id, nll)` = per-token Q20 negative log-likelihood.
+    * The mantissa uses the two-sided-shift form (never `x << 20`), exactly
+    * like the engine expression, so the domain is every positive count. */
+  private val bigramLmSqlPrefix: String =
+    """WITH RECURSIVE
+      |tkr AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE lang = 'en'),
+      |ar AS (SELECT list_prepend(chr(1), ts) AS arr FROM tkr),
+      |bgr AS (SELECT unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok FROM ar),
+      |m AS MATERIALIZED (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM bgr GROUP BY 1, 2),
+      |cx AS MATERIALIZED (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS ctx FROM m GROUP BY 1),
+      |vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM m),
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |aa AS (SELECT doc_id, list_prepend(chr(1), ts) AS arr FROM tk),
+      |bg AS (SELECT doc_id, unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok
+      |  FROM aa),
+      |pt AS MATERIALIZED (SELECT b.doc_id,
+      |    COALESCE(m.cnt, 0) + 1 AS num,
+      |    COALESCE(cx.ctx, 0) + (SELECT v FROM vv) AS den
+      |  FROM bg b LEFT JOIN m USING (prev, tok) LEFT JOIN cx ON b.prev = cx.prev),
+      |vals AS (SELECT DISTINCT num AS x FROM pt UNION SELECT DISTINCT den FROM pt),
+      |n0 AS (SELECT x, x AS r, 0 AS e FROM vals),
+      |n1 AS (SELECT x, CASE WHEN r >= 4294967296 THEN r >> 32 ELSE r END AS r,
+      |  e + CASE WHEN r >= 4294967296 THEN 32 ELSE 0 END AS e FROM n0),
+      |n2 AS (SELECT x, CASE WHEN r >= 65536 THEN r >> 16 ELSE r END AS r,
+      |  e + CASE WHEN r >= 65536 THEN 16 ELSE 0 END AS e FROM n1),
+      |n3 AS (SELECT x, CASE WHEN r >= 256 THEN r >> 8 ELSE r END AS r,
+      |  e + CASE WHEN r >= 256 THEN 8 ELSE 0 END AS e FROM n2),
+      |n4 AS (SELECT x, CASE WHEN r >= 16 THEN r >> 4 ELSE r END AS r,
+      |  e + CASE WHEN r >= 16 THEN 4 ELSE 0 END AS e FROM n3),
+      |n5 AS (SELECT x, CASE WHEN r >= 4 THEN r >> 2 ELSE r END AS r,
+      |  e + CASE WHEN r >= 4 THEN 2 ELSE 0 END AS e FROM n4),
+      |n6 AS (SELECT x, e + CASE WHEN r >= 2 THEN 1 ELSE 0 END AS e FROM n5),
+      |it AS (SELECT x, e, CASE WHEN e >= 20 THEN x >> (e - 20) ELSE x << (20 - e) END AS mt,
+      |    CAST(0 AS BIGINT) AS frac, 0 AS j FROM n6
+      |  UNION ALL SELECT x, e,
+      |    CASE WHEN ((mt*mt) >> 20) >= 2097152 THEN ((mt*mt) >> 20) >> 1 ELSE (mt*mt) >> 20 END,
+      |    frac * 2 + CASE WHEN ((mt*mt) >> 20) >= 2097152 THEN 1 ELSE 0 END,
+      |    j + 1 FROM it WHERE j < 20),
+      |l2 AS MATERIALIZED (SELECT x, e * 1048576 + frac AS lq FROM it WHERE j = 20),
+      |nl AS (SELECT pt.doc_id, ld.lq - ln_.lq AS nll FROM pt
+      |  JOIN l2 ln_ ON pt.num = ln_.x JOIN l2 ld ON pt.den = ld.x)""".stripMargin
+
   private val scoreLinearSql =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
@@ -4544,6 +4590,95 @@ object ExtQueries {
            |      < rate * 1000
            |ORDER BY sc.doc_id""".stripMargin
       }
+    ),
+    // ------------------------------------------------------------------
+    // Bigram LM training (TextAnalysis.trainBigramLm): the PERSISTABLE
+    // reference-LM artifact of the CCNet perplexity filter (Wenzek 2020;
+    // KenLM's role) — fit on the trusted subset (lang='en' as the
+    // reference corpus), one (prev, tok, cnt) frame IS the model.
+    // BOS = chr(1) gives every token a left context.
+    Q(
+      "x134_lm_model",
+      (s, d) =>
+        TextAnalysis
+          .trainBigramLm(t(s, d, "documents").filter(col("lang") === "en"), "doc_id", "text")
+          .orderBy("prev", "tok"),
+      Some("""WITH tkr AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE lang = 'en'),
+             |ar AS (SELECT list_prepend(chr(1), ts) AS arr FROM tkr),
+             |bgr AS (SELECT unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok
+             |  FROM ar)
+             |SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM bgr GROUP BY 1, 2 ORDER BY prev, tok""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Perplexity scoring under the reference LM (TextAnalysis
+    // .perplexityScore): every document scored against the en-trained
+    // model — cross-corpus, so unseen bigrams genuinely exercise the
+    // add-one path. The per-token log2 is the EXACT Q20 shift-and-square
+    // integer recurrence (graft.functions.FixedLog2), so per-doc NLL
+    // sums are order-free integers and the oracle replays the ENTIRE
+    // chain — train, smooth, fixed-point log (one recursive CTE over
+    // the distinct count values), sum — to the bit at every SF.
+    Q(
+      "x135_perplexity",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextAnalysis.trainBigramLm(docs.filter(col("lang") === "en"), "doc_id", "text")
+        TextAnalysis.perplexityScore(docs, model, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(
+        s"""$bigramLmSqlPrefix,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1)
+           |SELECT doc_id, n_tokens, nll_q20,
+           |  CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce_bits
+           |FROM ag ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // CCNet head/middle/tail (TextAnalysis.perplexityBuckets): the
+    // consumer the LM exists for — PER-LANGUAGE cross-entropy terciles
+    // under the reference model (perplexity scales are not comparable
+    // across languages), head = closest to the reference. Boundaries
+    // are the x121 exact-percentile formula, here per lang; ce values
+    // are dyadic-exact doubles so every compare is wobble-free.
+    Q(
+      "x136_ppl_buckets",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextAnalysis.trainBigramLm(docs.filter(col("lang") === "en"), "doc_id", "text")
+        TextAnalysis
+          .perplexityBuckets(docs, model, "doc_id", "text", "lang", exact = true)
+          .select(col("doc_id"), col("lang"), col("ce_bits"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$bigramLmSqlPrefix,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1),
+           |sc AS MATERIALIZED (SELECT ag.doc_id, d.lang,
+           |    CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce
+           |  FROM ag JOIN documents d USING (doc_id)),
+           |vs AS (SELECT lang, list_sort(list(ce)) AS v, COUNT(*) AS n FROM sc GROUP BY 1),
+           |ps AS (SELECT lang, v, CAST(1 AS DOUBLE) / 3 * (n - 1) AS p1,
+           |    CAST(2 AS DOUBLE) / 3 * (n - 1) AS p2 FROM vs),
+           |bd AS (SELECT lang,
+           |  CASE WHEN ceil(p1) = floor(p1)
+           |      OR v[CAST(floor(p1) AS BIGINT) + 1] = v[CAST(ceil(p1) AS BIGINT) + 1]
+           |    THEN v[CAST(floor(p1) AS BIGINT) + 1]
+           |    ELSE (ceil(p1) - p1) * v[CAST(floor(p1) AS BIGINT) + 1]
+           |      + (p1 - floor(p1)) * v[CAST(ceil(p1) AS BIGINT) + 1] END AS blo,
+           |  CASE WHEN ceil(p2) = floor(p2)
+           |      OR v[CAST(floor(p2) AS BIGINT) + 1] = v[CAST(ceil(p2) AS BIGINT) + 1]
+           |    THEN v[CAST(floor(p2) AS BIGINT) + 1]
+           |    ELSE (ceil(p2) - p2) * v[CAST(floor(p2) AS BIGINT) + 1]
+           |      + (p2 - floor(p2)) * v[CAST(ceil(p2) AS BIGINT) + 1] END AS bhi
+           |  FROM ps)
+           |SELECT sc.doc_id, sc.lang, sc.ce AS ce_bits,
+           |  CASE WHEN sc.ce <= bd.blo THEN 'head'
+           |    WHEN sc.ce <= bd.bhi THEN 'middle' ELSE 'tail' END AS bucket
+           |FROM sc JOIN bd USING (lang) ORDER BY sc.doc_id""".stripMargin
+      )
     )
   )
 }

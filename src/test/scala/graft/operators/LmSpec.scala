@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.SparkTester
+import graft.functions.{FixedLog2, LogFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bigram LM train/score split (TextAnalysis.trainBigramLm /
+  * perplexityScore / perplexityBuckets) and the FixedLog2 determinism
+  * primitive underneath it. */
+class LmSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  // ---- FixedLog2: the exact integer recurrence ----
+
+  test("FixedLog2 matches the DuckDB recursive-CTE replay on pinned values") {
+    // values computed by the oracle's recurrence in DuckDB (round-16 session):
+    // same shift-and-square loop, so these pin cross-engine bit-identity
+    val pinned = Seq(
+      1L -> 0L,
+      2L -> 1048576L,
+      3L -> 1661953L,
+      4L -> 2097152L,
+      5L -> 2434718L,
+      7L -> 2943724L,
+      8L -> 3145728L,
+      1000L -> 10449882L,
+      1048576L -> 20971520L,
+      4398046511104L -> 44040192L // 2^42
+    )
+    pinned.foreach { case (x, lq) => assert(FixedLog2.log2q20(x) == lq, s"x=$x") }
+  }
+
+  test("FixedLog2 is exact at powers of two, monotone, within 2^-19 of log2") {
+    (0 to 62).foreach { e =>
+      assert(FixedLog2.log2q20(1L << e) == e.toLong << 20)
+    }
+    var prev = -1L
+    (1L to 5000L).foreach { x =>
+      val lq = FixedLog2.log2q20(x)
+      assert(lq >= prev, s"not monotone at $x")
+      prev = lq
+      val err = math.abs(lq / 1048576.0 - math.log(x.toDouble) / math.log(2.0))
+      assert(err < 1.0 / (1 << 19), s"error $err at $x")
+    }
+    // beyond the old 2^43 shift-left ceiling: the two-sided-shift mantissa
+    // keeps every positive long in-domain (a 100 TB context count fits)
+    assert(FixedLog2.log2q20((1L << 62) - 1L) == (62L << 20) - 1L)
+  }
+
+  test("FixedLog2 throws loudly on non-positive input") {
+    intercept[IllegalArgumentException](FixedLog2.log2q20(0L))
+    intercept[IllegalArgumentException](FixedLog2.log2q20(-5L))
+  }
+
+  test("fixed_log2 column expression agrees with the scala helper under codegen") {
+    val xs = Seq(1L, 2L, 3L, 17L, 999L, 123456789L)
+    val got = xs.toDF("x").select(LogFunctions.fixedLog2(col("x")).as("lq")).as[Long].collect()
+    assert(got.toSeq == xs.map(FixedLog2.log2q20))
+  }
+
+  // ---- trainBigramLm / perplexityScore: hand-computed truth ----
+
+  private val bos = "\u0001"
+
+  private def refDocs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+
+  test("trainBigramLm counts transitions with a BOS context per document") {
+    val m = TextAnalysis
+      .trainBigramLm(refDocs, "doc_id", "text")
+      .as[(String, String, Long)]
+      .collect()
+      .toSet
+    assert(
+      m == Set((bos, "a", 1L), (bos, "b", 1L), ("a", "b", 1L), ("b", "a", 2L))
+    )
+  }
+
+  test("perplexityScore is the exact Q20 add-one bigram NLL, unseen paths included") {
+    val model = TextAnalysis.trainBigramLm(refDocs, "doc_id", "text")
+    // model: ctx(BOS)=2, ctx(a)=1, ctx(b)=2; V=2
+    val docs = Seq((10L, "a b"), (11L, "c c")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .perplexityScore(docs, model, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .toSeq
+    def lq(x: Long) = FixedLog2.log2q20(x)
+    // "a b": (BOS,a) num=2 den=4; (a,b) num=2 den=3
+    val nll10 = (lq(4) - lq(2)) + (lq(3) - lq(2))
+    // "c c": (BOS,c) unseen bigram num=1 den=4; (c,c) unseen CONTEXT num=1 den=0+V=2
+    val nll11 = (lq(4) - lq(1)) + (lq(2) - lq(1))
+    assert(
+      got == Seq(
+        (10L, 2L, nll10, (nll10 / 2).toDouble / 1048576.0),
+        (11L, 2L, nll11, (nll11 / 2).toDouble / 1048576.0)
+      )
+    )
+    assert(nll11 == 3145728L) // lq(4)+lq(2): 2 bits + 1 bit on the Q20 grid
+  }
+
+  test("perplexityScore is deterministic under repartitioning") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val model = TextAnalysis.trainBigramLm(docs.filter($"lang" === "en"), "doc_id", "text")
+    val a = TextAnalysis.perplexityScore(docs, model, "doc_id", "text")
+    val b = TextAnalysis.perplexityScore(docs.repartition(7), model, "doc_id", "text")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("reference-fit model separates reference-like text from shuffled-garble text") {
+    // natural docs: repeated high-probability transitions of the reference;
+    // garble: tokens the reference never emits in these transitions
+    val ref = (1L to 50L).map(i => (i, "the cat sat on the mat")).toDF("doc_id", "text")
+    val model = TextAnalysis.trainBigramLm(ref, "doc_id", "text")
+    val probe = Seq((100L, "the cat sat on the mat"), (101L, "mat the on sat cat the"))
+      .toDF("doc_id", "text")
+    val ce = TextAnalysis
+      .perplexityScore(probe, model, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("ce_bits")
+      .as[Double]
+      .collect()
+    assert(ce(0) < ce(1), s"natural ${ce(0)} should beat garble ${ce(1)}")
+  }
+
+  // ---- perplexityBuckets: CCNet head/middle/tail per language ----
+
+  test("perplexityBuckets tags per-language terciles on exact boundaries") {
+    // V must be >= 2: with a single-word vocabulary an unseen context's
+    // add-one distribution is uniform over ONE word (p = 1, nll = 0), so
+    // all-unseen text would score BETTER than partially-seen text
+    val ref = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val model = TextAnalysis.trainBigramLm(ref, "doc_id", "text")
+    // three docs per lang with strictly increasing unseen-token share -> ce
+    // (hand-checked: ce = 0.5, ~0.896, ~1.146 bits/token)
+    val docs = Seq(
+      (10L, "a b a b", "en"), (11L, "a b z b", "en"), (12L, "z z z z", "en"),
+      (20L, "a b a b", "de"), (21L, "a b z b", "de"), (22L, "z z z z", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis
+      .perplexityBuckets(docs, model, "doc_id", "text", "lang", exact = true)
+      .select("doc_id", "bucket")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    assert(got == Map(
+      10L -> "head", 11L -> "middle", 12L -> "tail",
+      20L -> "head", 21L -> "middle", 22L -> "tail"
+    ))
+  }
+}
