@@ -47,10 +47,10 @@ object Similarity {
     * measured 1.43 GB for the rerank-sliver pick at the pq-planted 202k
     * gate, eliminated by this grouping. Same output contract as
     * [[rankTopK]]. */
-  private def rankTopKCellLocal(sims: DataFrame, k: Int): DataFrame =
+  private def rankTopKCellLocal(sims: DataFrame, k: Int, keepCell: Boolean = false): DataFrame =
     sims.schema("cid").dataType match {
       case _: org.apache.spark.sql.types.NumericType =>
-        Relational
+        val ranked = Relational
           .topKPerKey(
             sims,
             Seq("cell", "qid"),
@@ -58,10 +58,12 @@ object Similarity {
             k,
             rankCol = "rn"
           )
-          .select(col("qid"), (-col("__nc")).as("cid"), col("sim"), col("rn"))
+        val base = Seq(col("qid"), (-col("__nc")).as("cid"), col("sim"), col("rn"))
+        ranked.select((if (keepCell) col("cell") +: base else base): _*)
       case _ =>
         val w = Window.partitionBy("cell", "qid").orderBy(desc("sim"), col("cid"))
-        sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("cell")
+        val ranked = sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        if (keepCell) ranked else ranked.drop("cell")
     }
 
   /** Exact dot product in double precision — native codegen'd Expression
@@ -308,7 +310,23 @@ object Similarity {
       vecCol: String,
       k: Int,
       nProbe: Int = 1
+  ): DataFrame = ivfTopKImpl(df, centroids, idCol, vecCol, k, nProbe, keepCell = false)
+
+  /** [[ivfTopK]] body, with the option to KEEP the pair's cell id in the
+    * output (nProbe = 1 only — there each pair lives in exactly one cell).
+    * The cell column is what lets [[matryoshkaIvfTopK]]'s cell-grouped
+    * rerank fetch route pairs and vectors with one narrow key instead of
+    * re-deriving assignments with a second scoring pass. */
+  private def ivfTopKImpl(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      keepCell: Boolean
   ): DataFrame = {
+    require(!keepCell || nProbe == 1, "ivfTopK: keepCell requires nProbe = 1")
     // centroid ids enter the same packed-long encoding as nearestNeighbor,
     // so they get the same runtime [0, 2^32) guard — an out-of-range id
     // (e.g. hash-derived) would silently alias cells otherwise. Zero-norm /
@@ -384,7 +402,7 @@ object Similarity {
     // extra shuffle of the candidate volume for nothing (measured 39.8 →
     // 28.0 s on the 202k-vector sq8-planted gate); the ranking heap also
     // stays cell-local (zero exchange — see rankTopKCellLocal).
-    if (nProbe == 1) rankTopKCellLocal(simsRaw, k)
+    if (nProbe == 1) rankTopKCellLocal(simsRaw, k, keepCell)
     else rankTopK(simsRaw.drop("cell").distinct(), k)
   }
 
@@ -1639,6 +1657,67 @@ object Similarity {
     fullDimRerank(sliver, queries, candidates, idCol, vecCol, k)
   }
 
+  /** Cell-grouped variant of [[fullDimRerank]] for slivers that carry
+    * their (nProbe = 1) cell id: instead of attaching a full-dim vector
+    * to every PAIR row across two shuffle joins (|q|·rerank·dim_full
+    * bytes through the second exchange), each needed vector ships ONCE
+    * into its cell — `(cell, id)` needs are deduped narrow rows, the
+    * column-pruned source joins on id, and one `map_from_entries`
+    * aggregate builds a per-cell id→(vec, norm) map that the pair rows
+    * join on the cell key. The similarity projection runs in the SAME
+    * stage as that join (two `element_at` lookups feeding the identical
+    * codegen'd `vecDot`/`sqrt`/`round(…, 6)` expressions as the per-pair
+    * path), so the maps never re-shuffle and bit-equality holds by
+    * construction — pinned both directions in MrlFetchSpec.
+    *
+    * Measured at the 202k-vector A/B (`Spike mrl-fetch-ab`, this
+    * implementation): 4.2× less shuffle (276 MB vs 1159 MB), 1.4× slower
+    * wall on local[32] where exchange is memory-speed and the per-cell
+    * map aggregation is pure overhead — the reason `fetch = "cell"` is
+    * opt-in for network-bound clusters, not the default.
+    *
+    * Per-cell map size is cell-vectors·dim_full floats — at the √N cell
+    * contract that is √N·dim_full·4 bytes in ONE aggregation row (~97 MB
+    * at N = 10⁹, dim 768), the documented ceiling of this path. */
+  private def fullDimRerankCell(
+      sliver: DataFrame,
+      src: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val dfv = src.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm")
+    )
+    // (cell, qid) alone covers every needed id: at nProbe = 1 a pair's cid
+    // is a member of the same cell, and any cell with >= 2 members emits
+    // pairs BOTH ways (cid appears as a qid with >= 1 candidate), so the
+    // cid side is a subset of the qid side — no union, one less read of
+    // the sliver
+    val need = sliver.select(col("cell"), col("qid").as("id")).distinct()
+    val maps = need
+      .join(dfv, Seq("id"))
+      .groupBy("cell")
+      .agg(map_from_entries(collect_list(struct(col("id"), struct(col("v"), col("nrm"))))).as("__m"))
+    // element_at under ANSI throws on a missing key — a miss would mean the
+    // sliver's cell routing diverged from the need-set, and must be LOUD
+    val q = element_at(col("__m"), col("qid"))
+    val c = element_at(col("__m"), col("cid"))
+    val sims = sliver
+      .join(maps, Seq("cell"))
+      .select(
+        col("qid"),
+        col("cid"),
+        round(
+          vecDot(q.getField("v"), c.getField("v")) / (q.getField("nrm") * c.getField("nrm")),
+          6
+        ).as("sim")
+      )
+    rankTopK(sims, k)
+  }
+
   /** [[matryoshkaTopK]]'s IVF-bucketed corpus-scale form — the
     * prefix-dim INDEX path: cells are assigned and pairs scored entirely
     * over `prefixDim`-truncated vectors (index bytes and pair flops both
@@ -1648,7 +1727,15 @@ object Similarity {
     * fetch — full vectors never enter the cell join, exactly
     * [[ivfTopKSq]]'s plumbing with dims for bytes). `centroids` is a
     * FULL-dim frame truncated internally, so one fitted centroid set
-    * serves both this and the full-dim index. */
+    * serves both this and the full-dim index.
+    *
+    * `fetch` picks the rerank-fetch shape (bit-identical results, pinned
+    * in MrlFetchSpec): `"pairs"` (default) joins a full-dim vector to
+    * every sliver row — fewest stages, best wall-clock when exchange is
+    * memory-speed; `"cell"` (nProbe = 1 only) ships each vector once
+    * into its cell and pair rows look vectors up in a per-cell map —
+    * 4.2× less shuffle at the 202k A/B, the pick when the exchange
+    * fabric is the bottleneck (see [[fullDimRerankCell]]). */
   def matryoshkaIvfTopK(
       df: DataFrame,
       centroids: DataFrame,
@@ -1657,18 +1744,40 @@ object Similarity {
       k: Int,
       prefixDim: Int,
       nProbe: Int = 1,
-      rerank: Int = 50
+      rerank: Int = 50,
+      fetch: String = "pairs"
   ): DataFrame = {
     require(rerank >= k, s"matryoshkaIvfTopK: rerank ($rerank) must be >= k ($k)")
-    val sliver = ivfTopK(
-      truncateDims(df, vecCol, prefixDim),
-      truncateDims(centroids, vecCol, prefixDim),
-      idCol,
-      vecCol,
-      rerank,
-      nProbe
+    require(
+      fetch == "pairs" || fetch == "cell",
+      s"matryoshkaIvfTopK: fetch must be 'pairs' or 'cell', got '$fetch'"
     )
-    fullDimRerank(sliver, df, df, idCol, vecCol, k)
+    require(
+      fetch == "pairs" || nProbe == 1,
+      "matryoshkaIvfTopK: fetch = 'cell' requires nProbe = 1 (pairs must be same-cell)"
+    )
+    if (fetch == "cell") {
+      val sliver = ivfTopKImpl(
+        truncateDims(df, vecCol, prefixDim),
+        truncateDims(centroids, vecCol, prefixDim),
+        idCol,
+        vecCol,
+        rerank,
+        nProbe,
+        keepCell = true
+      ).select("cell", "qid", "cid")
+      fullDimRerankCell(sliver, df, idCol, vecCol, k)
+    } else {
+      val sliver = ivfTopK(
+        truncateDims(df, vecCol, prefixDim),
+        truncateDims(centroids, vecCol, prefixDim),
+        idCol,
+        vecCol,
+        rerank,
+        nProbe
+      )
+      fullDimRerank(sliver, df, df, idCol, vecCol, k)
+    }
   }
 
   /** Build (or extend) the persisted SemDeDup INDEX: each accepted

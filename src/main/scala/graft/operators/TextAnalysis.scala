@@ -578,6 +578,26 @@ object TextAnalysis {
       .groupBy("prev", "tok")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Merge two [[trainBigramLm]] models — bigram counts are additive, so
+    * `mergeBigramLm(train(A), train(B)) == train(A ∪ B)` EXACTLY (spec-
+    * pinned), which makes the persisted model an INCREMENTALLY updatable
+    * artifact: train on each new reference batch alone and fold it into
+    * the stored model, never rescanning history (the minhash/sem index
+    * append pattern, for LMs). One union + one (prev, tok) sum — the
+    * shuffle is model-sized, not corpus-sized. */
+  def mergeBigramLm(a: DataFrame, b: DataFrame): DataFrame = {
+    Seq(a, b).foreach(m =>
+      require(
+        Seq("prev", "tok", "cnt").forall(m.columns.contains),
+        "mergeBigramLm: both sides need (prev, tok, cnt) — build them with trainBigramLm"
+      )
+    )
+    a.select("prev", "tok", "cnt")
+      .unionByName(b.select("prev", "tok", "cnt"))
+      .groupBy("prev", "tok")
+      .agg(sum("cnt").as("cnt"))
+  }
+
   /** Score documents under a [[trainBigramLm]] model — per-doc total and
     * per-token negative log-likelihood on the EXACT Q20 integer grid.
     * Add-one smoothing over the model vocabulary: `p(tok|prev) =

@@ -199,7 +199,13 @@ object DumpPlans {
       "resample): training and the mixture loop are bounded-aggregate jobs (x128/x130 " +
       "shapes); the plan shown is the final apply — scoring's broadcast weight join " +
       "feeding the broadcast rate join + hash filter. Corpus passes stay count-bounded " +
-      "(one per stage), never per-group or per-step over raw text.")
+      "(one per stage), never per-group or per-step over raw text."),
+    "x135_perplexity" -> ("Bigram-LM perplexity: the model is two count aggregates " +
+      "(map-side partials; shuffle bounded by distinct bigrams), scoring is the token " +
+      "explode joined to the model on (prev, tok) then prev — broadcast at this SF, " +
+      "plain hash joins when the model outgrows it — and fixed_log2 is a codegen " +
+      "expression inside the projection, so the per-doc NLL sum is one integer " +
+      "HashAggregate. No window, no collect, nothing corpus-pairwise.")
   )
 
   def main(args: Array[String]): Unit = {

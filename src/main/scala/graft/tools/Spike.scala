@@ -1337,19 +1337,17 @@ object Spike {
     println("[spike] sparse-dim-scale: bit-identical across implementations at dim 2^21 — gate PASS")
   }
 
-  /** `runMain graft.tools.Spike mrl-fetch-ab [nVecs]` — A/B EXPERIMENT
-    * (no operator change) de-risking the round-17 rerank-fetch seed: the
-    * matryoshka funnel's full-dim rerank currently shuffles one full
-    * vector per SLIVER row (|q|·rerank·dim bytes); since nProbe=1 pairs
-    * are same-cell, a cell-cogrouped fetch would shuffle each vector
-    * ONCE (N·dim) plus narrow pairs. A = the production
-    * [[graft.operators.Similarity.matryoshkaIvfTopK]]; B = the same
-    * public ivfTopK sliver + cell-keyed cogroup fetch computing the
-    * identical rounded cosine in Scala (FloatVecDot's exact accumulation
-    * order, Math.sqrt, HALF_UP 6-dp — all correctly-rounded-replicable)
-    * + the same (sim DESC, cid ASC) ranking. Asserts BIT-EQUAL outputs
-    * both directions (exceptAll), which empirically settles the
-    * float-replication question, and reports wall/shuffle for both. */
+  /** `runMain graft.tools.Spike mrl-fetch-ab [nVecs]` — A/B harness for
+    * the matryoshka rerank-fetch modes, now BOTH production code paths:
+    * A = `matryoshkaIvfTopK(..., fetch = "pairs")` (default per-pair
+    * fetch: one full vector shuffled per SLIVER row), B = the same call
+    * with `fetch = "cell"` (each vector ships once into its cell's
+    * id→vec map; adopted from the round-16 cogroup prototype, which
+    * measured 3.8× less shuffle but lost wall-clock to typed-row
+    * overhead — the production form is DataFrame-native
+    * `map_from_entries` + the SAME codegen vecDot, so equality is by
+    * construction). Asserts BIT-EQUAL outputs both directions
+    * (exceptAll) and reports wall/shuffle for both. */
   private def mrlFetchAb(spark: org.apache.spark.sql.SparkSession, nVecs: Long): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -1394,51 +1392,11 @@ object Spike {
     val nA = a.count()
     val tA = (System.nanoTime() - t0) / 1e9
     val wA = drained()
-    // ---- B: same sliver, cell-cogrouped full-dim fetch ----
+    // ---- B: the production cell-grouped fetch ----
     val t1 = System.nanoTime()
-    val tdf = graft.operators.Similarity.truncateDims(df, "embedding", prefix)
-    val tcen = graft.operators.Similarity.truncateDims(cen, "embedding", prefix)
-    val sliver = graft.operators.Similarity
-      .ivfTopK(tdf, tcen, "vec_id", "embedding", rerank, 1)
-      .select("qid", "cid")
-    // the SAME packed-argmax cell assignment ivfTopK used (assignCells via
-    // the public semIndex surface, on the truncated frames)
-    val cells = graft.operators.Similarity
-      .semIndex(tdf, "vec_id", "embedding", tcen)
-      .select(col("vec_id"), col("cell").cast("long").as("cell"))
-    val vecs = cells
-      .join(df, "vec_id") // full vectors attach ONCE: N·dim bytes
-      .select(col("cell").as("_1"), col("vec_id").as("_2"), col("embedding").as("_3"))
-      .as[(Long, Long, Seq[Float])]
-    val ps = sliver
-      .join(cells.withColumnRenamed("vec_id", "qid"), "qid") // narrow
-      .select(col("cell").as("_1"), col("qid").as("_2"), col("cid").as("_3"))
-      .as[(Long, Long, Long)]
-    def dot(x: Array[Float], y: Array[Float]): Double = {
-      val m = math.min(x.length, y.length)
-      var acc = 0.0
-      var i = 0
-      while (i < m) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
-      acc
-    }
-    val fetched = ps
-      .groupByKey(_._1)
-      .cogroup(vecs.groupByKey(_._1)) { (_, pit, vit) =>
-        val m = vit.map(t => t._2 -> t._3.toArray).toMap
-        pit.map { case (_, q, c) =>
-          val qv = m(q) // a miss here would mean semIndex and ivfTopK cells diverged
-          val cv = m(c)
-          val sim = BigDecimal(dot(qv, cv) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(cv, cv))))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-            .toDouble
-          (q, c, sim)
-        }
-      }
-      .toDF("qid", "cid", "sim")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
-    val b = fetched
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    val b = graft.operators.Similarity
+      .matryoshkaIvfTopK(df, cen, "vec_id", "embedding", k, prefix, 1, rerank, fetch = "cell")
+      .select("qid", "cid", "sim", "rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nB = b.count()
     val tB = (System.nanoTime() - t1) / 1e9
@@ -1448,15 +1406,15 @@ object Spike {
     val extraB = b.exceptAll(a).count()
     println(
       f"[spike] mrl-fetch-ab: $n vecs, $nCells cells — A(production per-pair fetch) $tA%.1fs / " +
-        f"${wA / 1e6}%.0f MB shuffled ($nA rows) vs B(cell-cogroup fetch) $tB%.1fs / " +
+        f"${wA / 1e6}%.0f MB shuffled ($nA rows) vs B(fetch=cell) $tB%.1fs / " +
         f"${wB / 1e6}%.0f MB ($nB rows); A\\B=$extraA B\\A=$extraB"
     )
     require(
       extraA == 0 && extraB == 0 && nA == nB,
-      s"mrl-fetch-ab MISMATCH: A\\B=$extraA B\\A=$extraB nA=$nA nB=$nB — the Scala replication " +
-        "of the rounded cosine or the cell reuse is NOT exact; the r17 seed is blocked"
+      s"mrl-fetch-ab MISMATCH: A\\B=$extraA B\\A=$extraB nA=$nA nB=$nB — the two production " +
+        "fetch modes diverged; fetch=cell is NOT semantics-safe"
     )
-    println("[spike] mrl-fetch-ab: outputs bit-equal — the cell-cogroup fetch is semantics-safe")
+    println("[spike] mrl-fetch-ab: outputs bit-equal — fetch=cell is semantics-safe")
     Seq(a, b, df, cen).foreach(_.unpersist(blocking = false))
   }
 

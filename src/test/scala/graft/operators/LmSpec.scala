@@ -124,6 +124,26 @@ class LmSpec extends AnyFunSuite with SparkTester {
     assert(ce(0) < ce(1), s"natural ${ce(0)} should beat garble ${ce(1)}")
   }
 
+  test("mergeBigramLm: count additivity makes the model an incremental artifact") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val a = docs.filter($"doc_id" % 3 === 0)
+    val b = docs.filter($"doc_id" % 3 =!= 0)
+    val merged = TextAnalysis.mergeBigramLm(
+      TextAnalysis.trainBigramLm(a, "doc_id", "text"),
+      TextAnalysis.trainBigramLm(b, "doc_id", "text")
+    )
+    val whole = TextAnalysis.trainBigramLm(docs, "doc_id", "text")
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    // and the merged model SCORES identically — the artifact contract
+    val probe = docs.limit(20)
+    val sa = TextAnalysis.perplexityScore(probe, merged, "doc_id", "text")
+    val sb = TextAnalysis.perplexityScore(probe, whole, "doc_id", "text")
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.mergeBigramLm(whole, Seq((1L, "x")).toDF("doc_id", "text"))
+    }
+  }
+
   // ---- perplexityBuckets: CCNet head/middle/tail per language ----
 
   test("perplexityBuckets tags per-language terciles on exact boundaries") {

@@ -2840,6 +2840,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("matryoshkaIvfTopK fetch='cell' is bit-identical to the per-pair fetch") {
+    val e = t(spark, "/root/testdata/sf0.001", "embeddings")
+    // a REAL multi-cell index (16 cells), so the per-cell vector maps and
+    // the cell-keyed pair routing are genuinely exercised
+    val cen = e.filter(col("vec_id") < 16)
+    val pairsF = Similarity
+      .matryoshkaIvfTopK(e, cen, "vec_id", "embedding", 5, 16, nProbe = 1, rerank = 20)
+      .select("qid", "cid", "sim", "rn")
+    val cellF = Similarity
+      .matryoshkaIvfTopK(
+        e, cen, "vec_id", "embedding", 5, 16, nProbe = 1, rerank = 20, fetch = "cell")
+      .select("qid", "cid", "sim", "rn")
+    assert(pairsF.exceptAll(cellF).isEmpty && cellF.exceptAll(pairsF).isEmpty)
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaIvfTopK(e, cen, "vec_id", "embedding", 5, 16, nProbe = 2, fetch = "cell")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaIvfTopK(e, cen, "vec_id", "embedding", 5, 16, fetch = "rows")
+    }
+  }
+
   test("scoreBuckets: tercile tags match a local sort replay; nulls tag NULL; guards") {
     import spark.implicits._
     // 9 scores 1..9 → boundaries at pos 8/3 and 16/3 of the sorted list

@@ -220,6 +220,45 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(got == want && got.nonEmpty) // exact: 1/256-grid weights, integer counts
   }
 
+  test("perplexityScore under foreachBatch: streamed batches against the static LM == batch scoring") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.DataFrame
+    // The deployment shape the train/score split exists for: the bigram LM
+    // is a persisted batch artifact (trained once on the reference corpus);
+    // every ingest micro-batch scores against it as a plain batch frame.
+    // The per-doc NLL aggregation makes this a foreachBatch consumer (the
+    // incremental-dedup convention), not a stateless row map.
+    val docs = t(spark, sfTiny, "documents")
+    val model = TextAnalysis
+      .trainBigramLm(docs.filter(col("lang") === "en"), "doc_id", "text")
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("ppl_stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got ++= TextAnalysis
+          .perplexityScore(df, model, "doc_id", "text")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val want = TextAnalysis
+      .perplexityScore(docs, model, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // per-doc scores depend only on the doc and the STATIC model, so the
+    // micro-batched union is exactly the batch result — integer Q20 grid,
+    // no float wobble to hide behind
+    assert(got.toSet == want && got.size == want.size && got.nonEmpty)
+  }
+
   test("domain filter and bucket tagging run unchanged under streaming (stream-static parity)") {
     import graft.operators.TextAnalysis
     // The production split this pins: domain stats + quantile boundaries
