@@ -60,6 +60,14 @@
 #                       bit-identical weights across input partitionings
 #                       (the pure-hash shard contract) + sign-accuracy
 #                       > 0.8 on the planted signal
+#   4i. lm-planted    — bigram-LM train/score at 1M docs with a WIDE
+#                       (250k-token) vocabulary against a closed-form
+#                       integer oracle: cyclic-window corpus gives every
+#                       model count an exact formula, so 5000 natural +
+#                       5000 garble probes must land EXACT FixedLog2 NLL
+#                       integers (model 500k rows — past broadcast, the
+#                       joins genuinely shuffle; the sf vocab is 31 words
+#                       and never exercises that)
 #   4h. sparse-dim-scale — trainLinearSparse at its fasttext ceiling
 #                       (dim 2^21) on a 500k-doc wide-vocab corpus:
 #                       bit-identical weights vs the INDEPENDENT
@@ -98,6 +106,7 @@ SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.Spike mrl-planted 1000000" 
 sbt -batch "runMain graft.tools.Spike curate-incr-planted 2000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike sgd-planted 1000000" 2>&1 | grep -E '\[spike\]'
 SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.Spike sparse-dim-scale 500000" 2>&1 | grep -E '\[spike\]'
+sbt -batch "runMain graft.tools.Spike lm-planted 1000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike keyword-scale 10000" 2>&1 | grep -E '\[spike\]'
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   sbt -batch "runMain graft.tools.Spike cc-telemetry" 2>&1 | grep -E '\[spike\]'

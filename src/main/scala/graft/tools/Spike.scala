@@ -1502,6 +1502,95 @@ object Spike {
     println("[spike] sgd-planted: deterministic, separating at scale — gate PASS")
   }
 
+  /** `runMain graft.tools.Spike lm-planted [nDocs]` — the bigram LM
+    * train/score split ([[graft.operators.TextAnalysis.trainBigramLm]] /
+    * `perplexityScore`) at 100x+ docs with a WIDE vocabulary (V = 250k —
+    * the sf corpus' closed 31-word set keeps the model broadcast-tiny, so
+    * the sf10 oracle gate never exercises model-sized joins) against a
+    * CLOSED-FORM integer oracle: the corpus is cyclic-window text
+    * (doc id's window of length L over the token ring w0..w_{V-1}), so
+    * every model count has an exact formula — (BOS, w_s) = nDocs/V,
+    * (w_j, w_{j+1}) = ctx(w_j) = (nDocs/V)·(L−1), vocab = V — and the
+    * expected per-doc NLL of a natural (in-ring) probe and an all-unseen
+    * garble probe are exact FixedLog2 sums computable in the driver.
+    * Requires: model row count == 2V, Σcnt == nDocs·L, EVERY natural
+    * probe lands the exact natural NLL, EVERY garble probe the exact
+    * garble NLL, and garble > natural. A count aggregation, model-join or
+    * doc-sum defect at scale shifts an integer and fails loudly. */
+  private def lmPlanted(spark: org.apache.spark.sql.SparkSession, nDocs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.FixedLog2.log2q20
+    val V = 250000L
+    val L = 20L
+    require(nDocs % V == 0, s"lm-planted: nDocs must be a multiple of V=$V, got $nDocs")
+    val c = nDocs / V
+    def window(start: org.apache.spark.sql.Column) = concat_ws(
+      " ",
+      transform(sequence(lit(0L), lit(L - 1)), i => concat(lit("w"), pmod(start + i, lit(V)).cast("string")))
+    )
+    val docs = spark
+      .range(nDocs)
+      .select(col("id").as("doc_id"), window(col("id")).as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val t0 = System.nanoTime()
+    val model = graft.operators.TextAnalysis
+      .trainBigramLm(docs, "doc_id", "text")
+      .localCheckpoint()
+    val mRows = model.count()
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    require(mRows == 2 * V, s"lm-planted MODEL SHAPE: $mRows rows, expected ${2 * V}")
+    val tot = model.agg(sum("cnt")).collect()(0).getLong(0)
+    require(tot == nDocs * L, s"lm-planted COUNT MASS: sum(cnt)=$tot, expected ${nDocs * L}")
+    // closed-form expected NLLs (exact integers on the Q20 grid)
+    val nllNat = (log2q20(nDocs + V) - log2q20(c + 1)) +
+      (L - 1) * (log2q20(c * (L - 1) + V) - log2q20(c * (L - 1) + 1))
+    val nllGar = log2q20(nDocs + V) + (L - 1) * log2q20(V)
+    val nProbe = 5000L
+    val natural = spark
+      .range(nProbe)
+      .select(col("id").as("doc_id"), window(pmod(col("id") * 37L, lit(V))).as("text"))
+    val garble = spark
+      .range(nProbe)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(
+          " ",
+          transform(
+            sequence(lit(0L), lit(L - 1)),
+            i => concat(lit("z"), col("id").cast("string"), lit("_"), i.cast("string"))
+          )
+        ).as("text")
+      )
+    val t1 = System.nanoTime()
+    def check(probes: org.apache.spark.sql.DataFrame, want: Long, what: String): Unit = {
+      val r = graft.operators.TextAnalysis
+        .perplexityScore(probes, model, "doc_id", "text")
+        .agg(
+          count(lit(1)).as("n"),
+          min("nll_q20").as("lo"),
+          max("nll_q20").as("hi"),
+          min("n_tokens").as("tl"),
+          max("n_tokens").as("th")
+        )
+        .collect()(0)
+      require(
+        r.getLong(0) == nProbe && r.getLong(1) == want && r.getLong(2) == want &&
+          r.getLong(3) == L && r.getLong(4) == L,
+        s"lm-planted $what MISMATCH: n=${r.getLong(0)} nll=[${r.getLong(1)},${r.getLong(2)}] " +
+          s"tokens=[${r.getLong(3)},${r.getLong(4)}], expected $nProbe x $want @ $L tokens"
+      )
+    }
+    check(natural, nllNat, "natural")
+    check(garble, nllGar, "garble")
+    val tScore = (System.nanoTime() - t1) / 1e9
+    require(nllGar > nllNat, s"lm-planted ORDER: garble $nllGar <= natural $nllNat")
+    println(
+      f"[spike] lm-planted: $nDocs docs, V=$V vocab, L=$L — model $mRows rows " +
+        f"(train $tTrain%.1fs), $nProbe+$nProbe probes scored exactly (score $tScore%.1fs): " +
+        f"natural ${nllNat / 1048576.0 / L}%.3f bits/tok vs garble ${nllGar / 1048576.0 / L}%.3f — gate PASS"
+    )
+  }
+
   /** `runMain graft.tools.Spike curate-incr-planted [nDocs]` — the COMPOSED
     * [[graft.operators.Pipeline.curateIncremental]] recipe end-to-end at
     * 100x+ docs against planted truth derived INDEPENDENTLY of any
@@ -2282,6 +2371,10 @@ object Spike {
     }
     if (args.nonEmpty && args(0) == "sgd-planted") {
       sgdPlanted(spark, if (args.length > 1) args(1).toLong else 1000000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "lm-planted") {
+      lmPlanted(spark, if (args.length > 1) args(1).toLong else 1000000L)
       spark.stop(); return
     }
     if (args.nonEmpty && args(0) == "sparse-dim-scale") {
