@@ -536,24 +536,25 @@ object TextAnalysis {
 
   /** The per-token `(prev, tok)` transition rows both LM operators share:
     * tokens with a prepended [[LmBos]], zipped against themselves shifted
-    * by one. Pure per-row generator (codegen `slice`/`zip_with`), shuffle
+    * by one; `carry` columns (the doc id, model key columns) ride along.
+    * Pure per-row generator (codegen `slice`/`zip_with`), shuffle
     * ∝ token count only after the caller aggregates. */
-  private def bigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private def bigramRows(docs: DataFrame, carry: Seq[String], textCol: String): DataFrame = {
     val tk = tokens(col(textCol))
     val arr = concat(array(lit(LmBos)), tk)
     val n = size(tk)
     docs
       .select(
-        col(idCol),
-        explode(
-          zip_with(
-            slice(arr, lit(1), n),
-            slice(arr, lit(2), n),
-            (p, w) => struct(p.as("prev"), w.as("tok"))
-          )
-        ).as("__b")
+        carry.map(col) :+
+          explode(
+            zip_with(
+              slice(arr, lit(1), n),
+              slice(arr, lit(2), n),
+              (p, w) => struct(p.as("prev"), w.as("tok"))
+            )
+          ).as("__b"): _*
       )
-      .select(col(idCol), col("__b.prev").as("prev"), col("__b.tok").as("tok"))
+      .select(carry.map(col) :+ col("__b.prev").as("prev") :+ col("__b.tok").as("tok"): _*)
   }
 
   /** Train a bigram language model — the PERSISTABLE half of the
@@ -570,12 +571,24 @@ object TextAnalysis {
     * Q20 log grid ([[graft.functions.FixedLog2]]), so a model persisted
     * today reproduces bit-identical scores on any engine, any time.
     *
-    * 100 TB shape: one token explode + one (prev, tok) count aggregate —
-    * map-side partials bound the shuffle by distinct bigrams per
-    * partition, never token volume. No collect; the model stays a frame. */
-  def trainBigramLm(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    bigramRows(docs, idCol, textCol)
-      .groupBy("prev", "tok")
+    * `keyCols` trains one INDEPENDENT model per key value in a single
+    * pass — `Seq(langCol)` is CCNet proper (one LM per language; Wenzek
+    * 2020 trains per-lang Wikipedia KenLMs). The output gains the key
+    * columns and every derived quantity ([[perplexityScore]]'s context
+    * totals and vocabulary) is computed within the key.
+    *
+    * 100 TB shape: one token explode + one (keys, prev, tok) count
+    * aggregate — map-side partials bound the shuffle by distinct bigrams
+    * per partition, never token volume. No collect; the model stays a
+    * frame. */
+  def trainBigramLm(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCols: Seq[String] = Nil
+  ): DataFrame =
+    bigramRows(docs, keyCols, textCol)
+      .groupBy((keyCols :+ "prev" :+ "tok").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
 
   /** Merge two [[trainBigramLm]] models — bigram counts are additive, so
@@ -585,16 +598,17 @@ object TextAnalysis {
     * the stored model, never rescanning history (the minhash/sem index
     * append pattern, for LMs). One union + one (prev, tok) sum — the
     * shuffle is model-sized, not corpus-sized. */
-  def mergeBigramLm(a: DataFrame, b: DataFrame): DataFrame = {
+  def mergeBigramLm(a: DataFrame, b: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    val cols = keyCols ++ Seq("prev", "tok", "cnt")
     Seq(a, b).foreach(m =>
       require(
-        Seq("prev", "tok", "cnt").forall(m.columns.contains),
-        "mergeBigramLm: both sides need (prev, tok, cnt) — build them with trainBigramLm"
+        cols.forall(m.columns.contains),
+        s"mergeBigramLm: both sides need (${cols.mkString(", ")}) — build them with trainBigramLm"
       )
     )
-    a.select("prev", "tok", "cnt")
-      .unionByName(b.select("prev", "tok", "cnt"))
-      .groupBy("prev", "tok")
+    a.select(cols.map(col): _*)
+      .unionByName(b.select(cols.map(col): _*))
+      .groupBy((keyCols :+ "prev" :+ "tok").map(col): _*)
       .agg(sum("cnt").as("cnt"))
   }
 
@@ -617,6 +631,12 @@ object TextAnalysis {
     * not correctly-rounded across engines and the RANKING, which is what
     * filters use, is identical. Docs with NULL text emit no row.
     *
+    * `keyCols` scores each doc under ITS key's model (a `trainBigramLm`
+    * fit with the same keys — CCNet's per-language LMs): counts,
+    * context totals and the vocabulary all resolve within the key.
+    * Keys are expected low-cardinality (languages — the per-key vocab
+    * frame broadcasts); a doc whose key has no model emits no row.
+    *
     * 100 TB shape: token explode, two shuffle joins on the model keys
     * (`(prev, tok)` then `prev` — Spark broadcasts them when the model is
     * small; both sides scale as standard hash joins when it is not), the
@@ -626,21 +646,34 @@ object TextAnalysis {
       docs: DataFrame,
       model: DataFrame,
       idCol: String,
-      textCol: String
+      textCol: String,
+      keyCols: Seq[String] = Nil
   ): DataFrame = {
     require(
-      Seq("prev", "tok", "cnt").forall(model.columns.contains),
-      "perplexityScore: model needs (prev, tok, cnt) — build it with trainBigramLm"
+      (keyCols ++ Seq("prev", "tok", "cnt")).forall(model.columns.contains),
+      s"perplexityScore: model needs (${(keyCols ++ Seq("prev", "tok", "cnt")).mkString(", ")}) " +
+        "— build it with trainBigramLm under the same keyCols"
     )
-    val vRow = model.agg(countDistinct(col("tok")).as("__v"))
-    val ctx = model.groupBy("prev").agg(sum("cnt").as("__ctx"))
+    val mdl = model.select((keyCols ++ Seq("prev", "tok", "cnt")).map(col): _*)
+    val ctx = mdl.groupBy((keyCols :+ "prev").map(col): _*).agg(sum("cnt").as("__ctx"))
     val nll = graft.functions.LogFunctions.fixedLog2(
       coalesce(col("__ctx"), lit(0L)) + col("__v")
     ) - graft.functions.LogFunctions.fixedLog2(coalesce(col("cnt"), lit(0L)) + lit(1L))
-    bigramRows(docs, idCol, textCol)
-      .join(model.select("prev", "tok", "cnt"), Seq("prev", "tok"), "left")
-      .join(ctx, Seq("prev"), "left")
-      .crossJoin(broadcast(vRow))
+    val grams = bigramRows(docs, idCol +: keyCols, textCol)
+    val withV =
+      if (keyCols.isEmpty)
+        grams.crossJoin(broadcast(mdl.agg(countDistinct(col("tok")).as("__v"))))
+      else {
+        // per-key vocabulary; a doc whose key has NO model emits no row
+        // (no defined probability under that key), documented contract
+        val vByKey = mdl
+          .groupBy(keyCols.map(col): _*)
+          .agg(countDistinct(col("tok")).as("__v"))
+        grams.join(broadcast(vByKey), keyCols)
+      }
+    withV
+      .join(mdl, keyCols ++ Seq("prev", "tok"), "left")
+      .join(ctx, keyCols :+ "prev", "left")
       .select(col(idCol), nll.as("__nll"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__nll")).as("nll_q20"))
@@ -671,9 +704,10 @@ object TextAnalysis {
       textCol: String,
       langCol: String,
       exact: Boolean = false,
-      accuracy: Int = 10000
+      accuracy: Int = 10000,
+      keyCols: Seq[String] = Nil
   ): DataFrame = {
-    val sc = perplexityScore(docs, model, idCol, textCol)
+    val sc = perplexityScore(docs, model, idCol, textCol, keyCols)
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
     val bounds = Quantiles
       .quantiles(sc, Seq(langCol), "ce_bits", Seq(1.0 / 3, 2.0 / 3), exact, accuracy)

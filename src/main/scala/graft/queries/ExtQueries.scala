@@ -85,23 +85,13 @@ object ExtQueries {
     * Ends with `nl(doc_id, nll)` = per-token Q20 negative log-likelihood.
     * The mantissa uses the two-sided-shift form (never `x << 20`), exactly
     * like the engine expression, so the domain is every positive count. */
-  private val bigramLmSqlPrefix: String =
-    """WITH RECURSIVE
-      |tkr AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE lang = 'en'),
-      |ar AS (SELECT list_prepend(chr(1), ts) AS arr FROM tkr),
-      |bgr AS (SELECT unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok FROM ar),
-      |m AS MATERIALIZED (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM bgr GROUP BY 1, 2),
-      |cx AS MATERIALIZED (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS ctx FROM m GROUP BY 1),
-      |vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM m),
-      |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      |aa AS (SELECT doc_id, list_prepend(chr(1), ts) AS arr FROM tk),
-      |bg AS (SELECT doc_id, unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok
-      |  FROM aa),
-      |pt AS MATERIALIZED (SELECT b.doc_id,
-      |    COALESCE(m.cnt, 0) + 1 AS num,
-      |    COALESCE(cx.ctx, 0) + (SELECT v FROM vv) AS den
-      |  FROM bg b LEFT JOIN m USING (prev, tok) LEFT JOIN cx ON b.prev = cx.prev),
-      |vals AS (SELECT DISTINCT num AS x FROM pt UNION SELECT DISTINCT den FROM pt),
+  /** The generic half of the LM replay: given a `pt(doc_id, num, den)`
+    * CTE upstream, computes FixedLog2 for every distinct count value and
+    * ends with `nl(doc_id, nll)`. Model-building CTEs vary per query
+    * (global en reference in x135/x136/x138, per-language in x137);
+    * this part never does. */
+  private val lmLogReplayCtes: String =
+    """vals AS (SELECT DISTINCT num AS x FROM pt UNION SELECT DISTINCT den FROM pt),
       |n0 AS (SELECT x, x AS r, 0 AS e FROM vals),
       |n1 AS (SELECT x, CASE WHEN r >= 4294967296 THEN r >> 32 ELSE r END AS r,
       |  e + CASE WHEN r >= 4294967296 THEN 32 ELSE 0 END AS e FROM n0),
@@ -123,6 +113,24 @@ object ExtQueries {
       |l2 AS MATERIALIZED (SELECT x, e * 1048576 + frac AS lq FROM it WHERE j = 20),
       |nl AS (SELECT pt.doc_id, ld.lq - ln_.lq AS nll FROM pt
       |  JOIN l2 ln_ ON pt.num = ln_.x JOIN l2 ld ON pt.den = ld.x)""".stripMargin
+
+  private val bigramLmSqlPrefix: String =
+    s"""WITH RECURSIVE
+      |tkr AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE lang = 'en'),
+      |ar AS (SELECT list_prepend(chr(1), ts) AS arr FROM tkr),
+      |bgr AS (SELECT unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok FROM ar),
+      |m AS MATERIALIZED (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM bgr GROUP BY 1, 2),
+      |cx AS MATERIALIZED (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS ctx FROM m GROUP BY 1),
+      |vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM m),
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |aa AS (SELECT doc_id, list_prepend(chr(1), ts) AS arr FROM tk),
+      |bg AS (SELECT doc_id, unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok
+      |  FROM aa),
+      |pt AS MATERIALIZED (SELECT b.doc_id,
+      |    COALESCE(m.cnt, 0) + 1 AS num,
+      |    COALESCE(cx.ctx, 0) + (SELECT v FROM vv) AS den
+      |  FROM bg b LEFT JOIN m USING (prev, tok) LEFT JOIN cx ON b.prev = cx.prev),
+      |$lmLogReplayCtes""".stripMargin
 
   private val scoreLinearSql =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -4679,6 +4687,130 @@ object ExtQueries {
            |    WHEN sc.ce <= bd.bhi THEN 'middle' ELSE 'tail' END AS bucket
            |FROM sc JOIN bd USING (lang) ORDER BY sc.doc_id""".stripMargin
       )
+    ),
+    // ------------------------------------------------------------------
+    // Per-language reference LMs (trainBigramLm keyCols — CCNet proper:
+    // Wenzek 2020 trains one KenLM per language): ONE pass fits an
+    // independent model per lang on the trusted source subset
+    // (source='src0'), and every doc scores under ITS language's model —
+    // counts, context totals and the vocabulary all resolve within the
+    // key. Same Q20 integer exactness as x135; the oracle adds the lang
+    // key to every model join and replays the identical recursive log.
+    Q(
+      "x137_lang_lm",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextAnalysis.trainBigramLm(
+          docs.filter(col("source") === "src0"), "doc_id", "text", Seq("lang"))
+        TextAnalysis
+          .perplexityScore(docs, model, "doc_id", "text", Seq("lang"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE
+           |tkr AS (SELECT lang, string_split(text, ' ') AS ts FROM documents
+           |  WHERE source = 'src0'),
+           |ar AS (SELECT lang, list_prepend(chr(1), ts) AS arr FROM tkr),
+           |bgr AS (SELECT lang, unnest(arr[1:len(arr)-1]) AS prev,
+           |    unnest(arr[2:len(arr)]) AS tok FROM ar),
+           |m AS MATERIALIZED (SELECT lang, prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM bgr GROUP BY 1, 2, 3),
+           |cx AS MATERIALIZED (SELECT lang, prev, CAST(SUM(cnt) AS BIGINT) AS ctx
+           |  FROM m GROUP BY 1, 2),
+           |vv AS MATERIALIZED (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+           |  FROM m GROUP BY 1),
+           |tk AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+           |aa AS (SELECT doc_id, lang, list_prepend(chr(1), ts) AS arr FROM tk),
+           |bg AS (SELECT doc_id, lang, unnest(arr[1:len(arr)-1]) AS prev,
+           |    unnest(arr[2:len(arr)]) AS tok FROM aa),
+           |pt AS MATERIALIZED (SELECT b.doc_id,
+           |    COALESCE(m.cnt, 0) + 1 AS num,
+           |    COALESCE(cx.ctx, 0) + vv.v AS den
+           |  FROM bg b JOIN vv USING (lang)
+           |  LEFT JOIN m ON m.lang = b.lang AND m.prev = b.prev AND m.tok = b.tok
+           |  LEFT JOIN cx ON cx.lang = b.lang AND cx.prev = b.prev),
+           |$lmLogReplayCtes,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1)
+           |SELECT doc_id, n_tokens, nll_q20,
+           |  CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce_bits
+           |FROM ag ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Perplexity as the DoReMi loss (the x130 optimize -> x132 apply
+    // chain with the LM as the loss signal): domains whose text the
+    // reference LM finds hard carry EXCESS cross-entropy and get
+    // upweighted, then the corpus resamples to the learned mixture —
+    // LM -> mixture -> resample in ONE hash row. Exactness stacks three
+    // proven contracts: Q20-integer NLLs (x135) -> ce_bits is a dyadic
+    // double whose round(.,6)/decimal sums replay exactly (the x130
+    // loop) -> pinned-association rates + md5 membership (x61/x132).
+    Q(
+      "x138_ppl_mix",
+      (s, d) => {
+        val dk = col("doc_id")
+        val u = concat(
+          lit("https://"), col("source"), lit("-"), (dk % 13).cast("string"),
+          lit(".Example.com/"), col("lang"), lit("/"), dk.cast("string")
+        )
+        val docs = t(s, d, "documents").withColumn("url", u)
+        val model = TextAnalysis.trainBigramLm(docs.filter(col("lang") === "en"), "doc_id", "text")
+        val ce = TextAnalysis
+          .perplexityScore(docs, model, "doc_id", "text")
+          .select(col("doc_id"), col("ce_bits").as("loss"))
+        val withDom = docs
+          .select(col("doc_id"), TextAnalysis.urlDomain(col("url")).as("domain"))
+          .join(ce, Seq("doc_id"))
+        val shares = Scale
+          .doremiMix(withDom, "domain", "loss", steps = 4)
+          .select("domain", "weight")
+          .collect() // bounded by doremiMix's maxGroups guard
+          .map(r => r.getString(0) -> r.getDouble(1))
+          .filter(_._2 > 0)
+          .toMap
+        Scale
+          .resampleToMix(withDom, Seq("doc_id"), "domain", shares)
+          .select("doc_id", "domain")
+          .orderBy("doc_id")
+      },
+      Some {
+        val steps = (1 to 4).map { t =>
+          val p = t - 1
+          s"""mm$t AS (SELECT SUM(a.a * l.l) / SUM(a.a) AS m
+             |  FROM a$p a JOIN l USING (domain)),
+             |a$t AS (SELECT l.domain,
+             |    floor(a.a * GREATEST(0.0, 1.0 + 0.25 * (l.l - (SELECT m FROM mm$t)))
+             |      * 1048576.0) / 1048576.0 AS a
+             |  FROM a$p a JOIN l USING (domain))""".stripMargin
+        }.mkString(",\n")
+        s"""$bigramLmSqlPrefix,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1),
+           |sc AS MATERIALIZED (SELECT d.doc_id,
+           |    d.source || '-' || CAST(d.doc_id % 13 AS VARCHAR) || '.example.com' AS domain,
+           |    CAST(ag.nll_q20 // ag.n_tokens AS DOUBLE) / 1048576.0 AS loss
+           |  FROM documents d JOIN ag USING (doc_id)),
+           |st AS MATERIALIZED (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n,
+           |    SUM(CAST(round(loss, 6) AS DECIMAL(28, 6))) AS s
+           |  FROM sc GROUP BY 1),
+           |l AS MATERIALIZED (SELECT domain,
+           |    floor((CAST(s AS DOUBLE) / n) * 1048576.0) / 1048576.0 AS l FROM st),
+           |a0 AS (SELECT domain, 1.0 AS a FROM l),
+           |$steps,
+           |wts AS (SELECT domain, a / (SELECT SUM(a) FROM a4) AS share
+           |  FROM a4 WHERE a > 0),
+           |j AS (SELECT st.domain, CAST(st.n AS DOUBLE) AS ng, wts.share,
+           |    CAST(st.n AS DOUBLE) / wts.share AS demand
+           |  FROM st JOIN wts USING (domain)),
+           |smax AS (SELECT min(demand) AS smax FROM j),
+           |r AS (SELECT domain, share * smax / ng AS rate FROM j CROSS JOIN smax)
+           |SELECT sc.doc_id, sc.domain
+           |FROM sc JOIN r USING (domain)
+           |WHERE CAST('0x' || substr(md5(CAST(sc.doc_id AS VARCHAR)), 18, 15) AS BIGINT) % 1000
+           |      < rate * 1000
+           |ORDER BY sc.doc_id""".stripMargin
+      }
     )
   )
 }

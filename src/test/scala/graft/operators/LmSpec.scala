@@ -144,6 +144,35 @@ class LmSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("keyCols: one pass of per-language models == training each language alone") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val keyed = TextAnalysis.trainBigramLm(docs, "doc_id", "text", Seq("lang"))
+    val sKeyed = TextAnalysis
+      .perplexityScore(docs, keyed, "doc_id", "text", Seq("lang"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    Seq("en", "zh").foreach { l =>
+      val sub = docs.filter($"lang" === l)
+      val sSub = TextAnalysis
+        .perplexityScore(sub, TextAnalysis.trainBigramLm(sub, "doc_id", "text"), "doc_id", "text")
+      val gotL = sKeyed.filter($"lang" === l).drop("lang")
+      assert(gotL.exceptAll(sSub).isEmpty && sSub.exceptAll(gotL).isEmpty, s"lang $l diverged")
+    }
+    // keyed merge additivity, same contract as the global model
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 =!= 0)
+    val merged = TextAnalysis.mergeBigramLm(
+      TextAnalysis.trainBigramLm(a, "doc_id", "text", Seq("lang")),
+      TextAnalysis.trainBigramLm(b, "doc_id", "text", Seq("lang")),
+      Seq("lang")
+    )
+    assert(merged.exceptAll(keyed).isEmpty && keyed.exceptAll(merged).isEmpty)
+    // a doc whose key has no model emits no row (no defined probability)
+    val stray = Seq((999L, "a b", "xx")).toDF("doc_id", "text", "lang")
+    assert(
+      TextAnalysis.perplexityScore(stray, keyed, "doc_id", "text", Seq("lang")).isEmpty
+    )
+  }
+
   // ---- perplexityBuckets: CCNet head/middle/tail per language ----
 
   test("perplexityBuckets tags per-language terciles on exact boundaries") {
