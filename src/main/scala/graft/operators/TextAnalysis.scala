@@ -612,6 +612,137 @@ object TextAnalysis {
       .agg(sum("cnt").as("cnt"))
   }
 
+  /** Train a TRIGRAM count model — the artifact for [[scoreStupidBackoff]].
+    * Output `(prev2, prev1, tok, cnt)` with a DOUBLE [[LmBos]] prefix, so
+    * every token has two left contexts and the lower orders DERIVE from
+    * this one table: summing over `prev2` reproduces [[trainBigramLm]]'s
+    * counts exactly (the single-BOS bigram rows are the tail of each
+    * double-BOS trigram row — consistency is by construction, spec-
+    * pinned), and summing further gives unigram counts. One artifact,
+    * three orders. Counts are additive, so incremental updates are the
+    * same union+sum as [[mergeBigramLm]].
+    *
+    * 100 TB shape: one token explode + one (prev2, prev1, tok) count
+    * aggregate — this is exactly the distributed-count setting stupid
+    * backoff was designed for (Brants et al., EMNLP 2007). */
+  def trainTrigramLm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    val arr = concat(array(lit(LmBos), lit(LmBos)), tk)
+    val n = size(tk)
+    docs
+      .select(
+        explode(
+          zip_with(
+            zip_with(
+              slice(arr, lit(1), n),
+              slice(arr, lit(2), n),
+              (a, b) => struct(a.as("prev2"), b.as("prev1"))
+            ),
+            slice(arr, lit(3), n),
+            (p, w) => struct(p.getField("prev2").as("prev2"), p.getField("prev1").as("prev1"), w.as("tok"))
+          )
+        ).as("__g")
+      )
+      .select(col("__g.prev2").as("prev2"), col("__g.prev1").as("prev1"), col("__g.tok").as("tok"))
+      .groupBy("prev2", "prev1", "tok")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Stupid-backoff trigram scoring (Brants et al., EMNLP 2007 §4: the
+    * smoothing Google built FOR distributed count-based LMs — no
+    * discount fitting, no normalization, just relative frequencies with
+    * a fixed backoff penalty; "score, not probability" is the documented
+    * trade). Per token with contexts (p2, p1):
+    *
+    *   seen trigram:  nll = lq(ctx3) − lq(cnt3)
+    *   seen bigram:   nll = αbits + lq(ctx2) − lq(cnt2)
+    *   else:          nll = 2·αbits + lq(N + V) − lq(cnt1 + 1)
+    *
+    * where every count derives from the ONE [[trainTrigramLm]] table,
+    * the final level is add-one-smoothed so unseen tokens stay finite,
+    * and α = 2^-alphaShift (αbits = alphaShift·2^20) — Brants' α = 0.4
+    * becomes the nearest power of two so the penalty is EXACT on the Q20
+    * grid and the whole score replays in external SQL (same recursive-
+    * CTE log as x135, plus an integer addend). All [[graft.functions.FixedLog2]]
+    * integers: per-doc sums are order-free, hash-exact at any SF.
+    *
+    * Output: `(idCol, n_tokens, nll_q20, ce_bits)` — the [[perplexityScore]]
+    * contract, directly comparable per corpus (lower = closer to the
+    * reference).
+    *
+    * 100 TB shape: the lower-order tables are model-sized aggregates of
+    * the trigram table; scoring is the token explode + three left joins
+    * on (p2,p1,t)/(p1,t)/(t) and two context joins — standard hash
+    * joins, broadcast while the model allows, one per-doc integer sum.
+    * Nothing collected, nothing pairwise. */
+  def scoreStupidBackoff(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      alphaShift: Int = 1
+  ): DataFrame = {
+    require(
+      Seq("prev2", "prev1", "tok", "cnt").forall(model.columns.contains),
+      "scoreStupidBackoff: model needs (prev2, prev1, tok, cnt) — build it with trainTrigramLm"
+    )
+    require(alphaShift >= 1, s"scoreStupidBackoff: alphaShift must be >= 1, got $alphaShift")
+    val tri = model.select(
+      col("prev2"), col("prev1"), col("tok"), col("cnt").as("__c3"))
+    val bi = tri.groupBy("prev1", "tok").agg(sum("__c3").as("__c2"))
+    val uni = bi.groupBy("tok").agg(sum("__c2").as("__c1"))
+    val ctx3 = tri.groupBy("prev2", "prev1").agg(sum("__c3").as("__x3"))
+    val ctx2 = bi.groupBy("prev1").agg(sum("__c2").as("__x2"))
+    val nv = uni.agg((sum("__c1") + countDistinct("tok")).as("__nv"))
+    val tk = tokens(col(textCol))
+    val arr = concat(array(lit(LmBos), lit(LmBos)), tk)
+    val n = size(tk)
+    val grams = docs
+      .select(
+        col(idCol),
+        explode(
+          zip_with(
+            zip_with(
+              slice(arr, lit(1), n),
+              slice(arr, lit(2), n),
+              (a, b) => struct(a.as("prev2"), b.as("prev1"))
+            ),
+            slice(arr, lit(3), n),
+            (p, w) =>
+              struct(p.getField("prev2").as("prev2"), p.getField("prev1").as("prev1"), w.as("tok"))
+          )
+        ).as("__g")
+      )
+      .select(col(idCol), col("__g.prev2").as("prev2"), col("__g.prev1").as("prev1"), col("__g.tok").as("tok"))
+    import graft.functions.LogFunctions.fixedLog2
+    val bits = lit(alphaShift.toLong * 1048576L)
+    val nll = when(
+      col("__c3").isNotNull,
+      fixedLog2(col("__x3")) - fixedLog2(col("__c3"))
+    ).when(
+      col("__c2").isNotNull,
+      bits + fixedLog2(col("__x2")) - fixedLog2(col("__c2"))
+    ).otherwise(
+      bits * 2 + fixedLog2(col("__nv")) - fixedLog2(coalesce(col("__c1"), lit(0L)) + lit(1L))
+    )
+    grams
+      .join(tri, Seq("prev2", "prev1", "tok"), "left")
+      .join(ctx3, Seq("prev2", "prev1"), "left")
+      .join(bi, Seq("prev1", "tok"), "left")
+      .join(ctx2, Seq("prev1"), "left")
+      .join(uni, Seq("tok"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col(idCol), nll.as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__nll")).as("nll_q20"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("nll_q20"),
+        (expr("nll_q20 div n_tokens").cast("double") / lit(1048576.0)).as("ce_bits")
+      )
+  }
+
   /** Score documents under a [[trainBigramLm]] model — per-doc total and
     * per-token negative log-likelihood on the EXACT Q20 integer grid.
     * Add-one smoothing over the model vocabulary: `p(tok|prev) =

@@ -85,13 +85,20 @@ object ExtQueries {
     * Ends with `nl(doc_id, nll)` = per-token Q20 negative log-likelihood.
     * The mantissa uses the two-sided-shift form (never `x << 20`), exactly
     * like the engine expression, so the domain is every positive count. */
-  /** The generic half of the LM replay: given a `pt(doc_id, num, den)`
+  /** The generic half of the LM replay: given a `pt(doc_id, num, den, adq)`
     * CTE upstream, computes FixedLog2 for every distinct count value and
-    * ends with `nl(doc_id, nll)`. Model-building CTEs vary per query
+    * ends with `nl(doc_id, nll)`, nll = lq(den) − lq(num) + adq
+    * (adq carries x139's integer backoff penalty; 0 elsewhere).
+    * Model-building CTEs vary per query
     * (global en reference in x135/x136/x138, per-language in x137);
-    * this part never does. */
+    * this part never does. `vals` dedups via an OUTER DISTINCT over a
+    * UNION ALL: in DuckDB 1.0.0 a bare UNION inside a WITH RECURSIVE
+    * block does NOT deduplicate (x135-x138 masked it because their
+    * num/den ranges are disjoint; x139's overlap exposed it — duplicate
+    * l2 rows fan out the nl join). */
   private val lmLogReplayCtes: String =
-    """vals AS (SELECT DISTINCT num AS x FROM pt UNION SELECT DISTINCT den FROM pt),
+    """vals AS (SELECT DISTINCT x FROM
+      |  (SELECT num AS x FROM pt UNION ALL SELECT den FROM pt)),
       |n0 AS (SELECT x, x AS r, 0 AS e FROM vals),
       |n1 AS (SELECT x, CASE WHEN r >= 4294967296 THEN r >> 32 ELSE r END AS r,
       |  e + CASE WHEN r >= 4294967296 THEN 32 ELSE 0 END AS e FROM n0),
@@ -111,7 +118,7 @@ object ExtQueries {
       |    frac * 2 + CASE WHEN ((mt*mt) >> 20) >= 2097152 THEN 1 ELSE 0 END,
       |    j + 1 FROM it WHERE j < 20),
       |l2 AS MATERIALIZED (SELECT x, e * 1048576 + frac AS lq FROM it WHERE j = 20),
-      |nl AS (SELECT pt.doc_id, ld.lq - ln_.lq AS nll FROM pt
+      |nl AS (SELECT pt.doc_id, ld.lq - ln_.lq + pt.adq AS nll FROM pt
       |  JOIN l2 ln_ ON pt.num = ln_.x JOIN l2 ld ON pt.den = ld.x)""".stripMargin
 
   private val bigramLmSqlPrefix: String =
@@ -128,7 +135,8 @@ object ExtQueries {
       |  FROM aa),
       |pt AS MATERIALIZED (SELECT b.doc_id,
       |    COALESCE(m.cnt, 0) + 1 AS num,
-      |    COALESCE(cx.ctx, 0) + (SELECT v FROM vv) AS den
+      |    COALESCE(cx.ctx, 0) + (SELECT v FROM vv) AS den,
+      |    CAST(0 AS BIGINT) AS adq
       |  FROM bg b LEFT JOIN m USING (prev, tok) LEFT JOIN cx ON b.prev = cx.prev),
       |$lmLogReplayCtes""".stripMargin
 
@@ -4725,7 +4733,8 @@ object ExtQueries {
            |    unnest(arr[2:len(arr)]) AS tok FROM aa),
            |pt AS MATERIALIZED (SELECT b.doc_id,
            |    COALESCE(m.cnt, 0) + 1 AS num,
-           |    COALESCE(cx.ctx, 0) + vv.v AS den
+           |    COALESCE(cx.ctx, 0) + vv.v AS den,
+           |    CAST(0 AS BIGINT) AS adq
            |  FROM bg b JOIN vv USING (lang)
            |  LEFT JOIN m ON m.lang = b.lang AND m.prev = b.prev AND m.tok = b.tok
            |  LEFT JOIN cx ON cx.lang = b.lang AND cx.prev = b.prev),
@@ -4811,6 +4820,62 @@ object ExtQueries {
            |      < rate * 1000
            |ORDER BY sc.doc_id""".stripMargin
       }
+    ),
+    // ------------------------------------------------------------------
+    // Stupid-backoff trigram scoring (TextAnalysis.trainTrigramLm /
+    // scoreStupidBackoff — Brants 2007, the smoothing built FOR
+    // distributed count LMs): one (prev2, prev1, tok, cnt) table is the
+    // whole artifact (lower orders derive by summation), and each token
+    // scores at the deepest seen order with a fixed 2^-1 backoff
+    // penalty — exactly alphaShift·2^20 on the Q20 grid, so the oracle
+    // replays the case ladder as an integer addend on the SAME recursive
+    // log CTE as x135.
+    Q(
+      "x139_backoff",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextAnalysis.trainTrigramLm(docs.filter(col("lang") === "en"), "doc_id", "text")
+        TextAnalysis.scoreStupidBackoff(docs, model, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE
+           |tkr AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE lang = 'en'),
+           |ar AS (SELECT list_prepend(chr(1), list_prepend(chr(1), ts)) AS arr FROM tkr),
+           |g3 AS (SELECT unnest(arr[1:len(arr)-2]) AS p2, unnest(arr[2:len(arr)-1]) AS p1,
+           |    unnest(arr[3:len(arr)]) AS t FROM ar),
+           |t3 AS MATERIALIZED (SELECT p2, p1, t, CAST(COUNT(*) AS BIGINT) AS c3
+           |  FROM g3 GROUP BY 1, 2, 3),
+           |b2 AS MATERIALIZED (SELECT p1, t, CAST(SUM(c3) AS BIGINT) AS c2 FROM t3 GROUP BY 1, 2),
+           |u1 AS MATERIALIZED (SELECT t, CAST(SUM(c2) AS BIGINT) AS c1 FROM b2 GROUP BY 1),
+           |x3 AS MATERIALIZED (SELECT p2, p1, CAST(SUM(c3) AS BIGINT) AS x3 FROM t3 GROUP BY 1, 2),
+           |x2 AS MATERIALIZED (SELECT p1, CAST(SUM(c2) AS BIGINT) AS x2 FROM b2 GROUP BY 1),
+           |nv AS (SELECT CAST(SUM(c1) + COUNT(DISTINCT t) AS BIGINT) AS nv FROM u1),
+           |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |aa AS (SELECT doc_id, list_prepend(chr(1), list_prepend(chr(1), ts)) AS arr FROM tk),
+           |bg AS (SELECT doc_id, unnest(arr[1:len(arr)-2]) AS p2,
+           |    unnest(arr[2:len(arr)-1]) AS p1, unnest(arr[3:len(arr)]) AS t FROM aa),
+           |pt AS MATERIALIZED (SELECT b.doc_id,
+           |    CASE WHEN t3.c3 IS NOT NULL THEN t3.c3
+           |      WHEN b2.c2 IS NOT NULL THEN b2.c2
+           |      ELSE COALESCE(u1.c1, 0) + 1 END AS num,
+           |    CASE WHEN t3.c3 IS NOT NULL THEN x3.x3
+           |      WHEN b2.c2 IS NOT NULL THEN x2.x2
+           |      ELSE (SELECT nv FROM nv) END AS den,
+           |    CAST(CASE WHEN t3.c3 IS NOT NULL THEN 0
+           |      WHEN b2.c2 IS NOT NULL THEN 1048576 ELSE 2097152 END AS BIGINT) AS adq
+           |  FROM bg b
+           |  LEFT JOIN t3 ON t3.p2 = b.p2 AND t3.p1 = b.p1 AND t3.t = b.t
+           |  LEFT JOIN x3 ON x3.p2 = b.p2 AND x3.p1 = b.p1
+           |  LEFT JOIN b2 ON b2.p1 = b.p1 AND b2.t = b.t
+           |  LEFT JOIN x2 ON x2.p1 = b.p1
+           |  LEFT JOIN u1 ON u1.t = b.t),
+           |$lmLogReplayCtes,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1)
+           |SELECT doc_id, n_tokens, nll_q20,
+           |  CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce_bits
+           |FROM ag ORDER BY doc_id""".stripMargin
+      )
     )
   )
 }

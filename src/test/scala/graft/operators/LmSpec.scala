@@ -173,6 +173,42 @@ class LmSpec extends AnyFunSuite with SparkTester {
     )
   }
 
+  test("trainTrigramLm + scoreStupidBackoff: hand-computed backoff ladder") {
+    val model = TextAnalysis.trainTrigramLm(refDocs, "doc_id", "text")
+    // tri: (B,B,a):1 (B,a,b):1 (a,b,a):1 (B,B,b):1 (B,b,a):1
+    val tri = model.as[(String, String, String, Long)].collect().toSet
+    assert(tri == Set(
+      (bos, bos, "a", 1L), (bos, "a", "b", 1L), ("a", "b", "a", 1L),
+      (bos, bos, "b", 1L), (bos, "b", "a", 1L)
+    ))
+    // derived bigram == trainBigramLm (consistency by construction)
+    val bi = model.groupBy("prev1", "tok").agg(sum("cnt").as("cnt"))
+    val bi2 = TextAnalysis.trainBigramLm(refDocs, "doc_id", "text")
+    assert(bi.exceptAll(bi2).isEmpty && bi2.exceptAll(bi).isEmpty)
+    def lq(x: Long) = FixedLog2.log2q20(x)
+    val got = TextAnalysis
+      .scoreStupidBackoff(
+        Seq((10L, "a b a"), (11L, "b a b"), (12L, "z z")).toDF("doc_id", "text"),
+        model, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .toSeq
+    val q = 1048576L
+    // "a b a": all three trigrams seen; ctx3(B,B)=2
+    val n10 = lq(2)
+    // "b a b": (B,B,b) seen lq(2); (B,b,a) seen 0; (b,a,b) -> bigram (a,b)
+    // cnt2=1 ctx2(a)=1: penalty 1 bit
+    val n11 = lq(2) + q
+    // "z z": both tokens double-backoff to add-one unigram: N=5 V=2
+    val n12 = 2L * (2 * q + lq(7) - lq(1))
+    assert(got == Seq(
+      (10L, 3L, n10, (n10 / 3).toDouble / 1048576.0),
+      (11L, 3L, n11, (n11 / 3).toDouble / 1048576.0),
+      (12L, 2L, n12, (n12 / 2).toDouble / 1048576.0)
+    ))
+  }
+
   // ---- perplexityBuckets: CCNet head/middle/tail per language ----
 
   test("perplexityBuckets tags per-language terciles on exact boundaries") {
