@@ -140,6 +140,39 @@ object ExtQueries {
       |  FROM bg b LEFT JOIN m USING (prev, tok) LEFT JOIN cx ON b.prev = cx.prev),
       |$lmLogReplayCtes""".stripMargin
 
+  /** x137/x140 shared replay: per-LANGUAGE bigram models fit on the
+    * source='src0' trusted subset (trainBigramLm keyCols), every doc
+    * scored under its language's model — the x135 chain with the lang
+    * key added to every model join. Ends with
+    * `ag(doc_id, n_tokens, nll_q20)`. */
+  private val langLmSqlPrefix: String =
+    s"""WITH RECURSIVE
+       |tkr AS (SELECT lang, string_split(text, ' ') AS ts FROM documents
+       |  WHERE source = 'src0'),
+       |ar AS (SELECT lang, list_prepend(chr(1), ts) AS arr FROM tkr),
+       |bgr AS (SELECT lang, unnest(arr[1:len(arr)-1]) AS prev,
+       |    unnest(arr[2:len(arr)]) AS tok FROM ar),
+       |m AS MATERIALIZED (SELECT lang, prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM bgr GROUP BY 1, 2, 3),
+       |cx AS MATERIALIZED (SELECT lang, prev, CAST(SUM(cnt) AS BIGINT) AS ctx
+       |  FROM m GROUP BY 1, 2),
+       |vv AS MATERIALIZED (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+       |  FROM m GROUP BY 1),
+       |tk AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+       |aa AS (SELECT doc_id, lang, list_prepend(chr(1), ts) AS arr FROM tk),
+       |bg AS (SELECT doc_id, lang, unnest(arr[1:len(arr)-1]) AS prev,
+       |    unnest(arr[2:len(arr)]) AS tok FROM aa),
+       |pt AS MATERIALIZED (SELECT b.doc_id,
+       |    COALESCE(m.cnt, 0) + 1 AS num,
+       |    COALESCE(cx.ctx, 0) + vv.v AS den,
+       |    CAST(0 AS BIGINT) AS adq
+       |  FROM bg b JOIN vv USING (lang)
+       |  LEFT JOIN m ON m.lang = b.lang AND m.prev = b.prev AND m.tok = b.tok
+       |  LEFT JOIN cx ON cx.lang = b.lang AND cx.prev = b.prev),
+       |$lmLogReplayCtes,
+       |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1)""".stripMargin
+
   private val scoreLinearSql =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
@@ -4715,35 +4748,57 @@ object ExtQueries {
           .orderBy("doc_id")
       },
       Some(
-        s"""WITH RECURSIVE
-           |tkr AS (SELECT lang, string_split(text, ' ') AS ts FROM documents
-           |  WHERE source = 'src0'),
-           |ar AS (SELECT lang, list_prepend(chr(1), ts) AS arr FROM tkr),
-           |bgr AS (SELECT lang, unnest(arr[1:len(arr)-1]) AS prev,
-           |    unnest(arr[2:len(arr)]) AS tok FROM ar),
-           |m AS MATERIALIZED (SELECT lang, prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt
-           |  FROM bgr GROUP BY 1, 2, 3),
-           |cx AS MATERIALIZED (SELECT lang, prev, CAST(SUM(cnt) AS BIGINT) AS ctx
-           |  FROM m GROUP BY 1, 2),
-           |vv AS MATERIALIZED (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
-           |  FROM m GROUP BY 1),
-           |tk AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
-           |aa AS (SELECT doc_id, lang, list_prepend(chr(1), ts) AS arr FROM tk),
-           |bg AS (SELECT doc_id, lang, unnest(arr[1:len(arr)-1]) AS prev,
-           |    unnest(arr[2:len(arr)]) AS tok FROM aa),
-           |pt AS MATERIALIZED (SELECT b.doc_id,
-           |    COALESCE(m.cnt, 0) + 1 AS num,
-           |    COALESCE(cx.ctx, 0) + vv.v AS den,
-           |    CAST(0 AS BIGINT) AS adq
-           |  FROM bg b JOIN vv USING (lang)
-           |  LEFT JOIN m ON m.lang = b.lang AND m.prev = b.prev AND m.tok = b.tok
-           |  LEFT JOIN cx ON cx.lang = b.lang AND cx.prev = b.prev),
-           |$lmLogReplayCtes,
-           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1)
+        s"""$langLmSqlPrefix
            |SELECT doc_id, n_tokens, nll_q20,
            |  CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce_bits
            |FROM ag ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // The complete CCNet shape in one hash row (Wenzek 2020 §4.3 as
+    // deployed): per-LANGUAGE reference models (x137's keyed training on
+    // the trusted source subset), each doc scored under its language's
+    // model, and head/middle/tail cut at PER-LANGUAGE exact terciles of
+    // the resulting cross-entropy (x136's boundary replay, now over
+    // per-lang-model scores). perplexityBuckets(keyCols = lang) is the
+    // engine composition; the oracle chains the x137 replay into the
+    // x121 percentile formula per lang.
+    Q(
+      "x140_ccnet_buckets",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextAnalysis.trainBigramLm(
+          docs.filter(col("source") === "src0"), "doc_id", "text", Seq("lang"))
+        TextAnalysis
+          .perplexityBuckets(
+            docs, model, "doc_id", "text", "lang", exact = true, keyCols = Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("ce_bits"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$langLmSqlPrefix,
+           |sc AS MATERIALIZED (SELECT ag.doc_id, d.lang,
+           |    CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce
+           |  FROM ag JOIN documents d USING (doc_id)),
+           |vs AS (SELECT lang, list_sort(list(ce)) AS v, COUNT(*) AS n FROM sc GROUP BY 1),
+           |ps AS (SELECT lang, v, CAST(1 AS DOUBLE) / 3 * (n - 1) AS p1,
+           |    CAST(2 AS DOUBLE) / 3 * (n - 1) AS p2 FROM vs),
+           |bd AS (SELECT lang,
+           |  CASE WHEN ceil(p1) = floor(p1)
+           |      OR v[CAST(floor(p1) AS BIGINT) + 1] = v[CAST(ceil(p1) AS BIGINT) + 1]
+           |    THEN v[CAST(floor(p1) AS BIGINT) + 1]
+           |    ELSE (ceil(p1) - p1) * v[CAST(floor(p1) AS BIGINT) + 1]
+           |      + (p1 - floor(p1)) * v[CAST(ceil(p1) AS BIGINT) + 1] END AS blo,
+           |  CASE WHEN ceil(p2) = floor(p2)
+           |      OR v[CAST(floor(p2) AS BIGINT) + 1] = v[CAST(ceil(p2) AS BIGINT) + 1]
+           |    THEN v[CAST(floor(p2) AS BIGINT) + 1]
+           |    ELSE (ceil(p2) - p2) * v[CAST(floor(p2) AS BIGINT) + 1]
+           |      + (p2 - floor(p2)) * v[CAST(ceil(p2) AS BIGINT) + 1] END AS bhi
+           |  FROM ps)
+           |SELECT sc.doc_id, sc.lang, sc.ce AS ce_bits,
+           |  CASE WHEN sc.ce <= bd.blo THEN 'head'
+           |    WHEN sc.ce <= bd.bhi THEN 'middle' ELSE 'tail' END AS bucket
+           |FROM sc JOIN bd USING (lang) ORDER BY sc.doc_id""".stripMargin
       )
     ),
     // ------------------------------------------------------------------
