@@ -816,6 +816,136 @@ object TextAnalysis {
       )
   }
 
+  /** Interpolated Kneser–Ney scoring over a [[trainBigramLm]] artifact —
+    * the quality standard among count smoothers (Kneser & Ney 1995; Chen &
+    * Goodman 1999's empirical winner), on the SAME exact Q20 integer grid
+    * as [[perplexityScore]], so per-doc NLL sums stay order-free and the
+    * whole score replays bit-for-bit in external SQL. No new training op:
+    * every KN statistic derives from the one `(prev, tok, cnt)` table —
+    * context totals `c(v)`, context fan-outs `N1+(v·)`, continuation
+    * counts `N1+(·w)`, bigram-type total `T`, vocabulary `V`, and the
+    * Chen–Goodman discount `D = n1/(n1+2·n2)` — so the persisted model
+    * stays incrementally mergeable ([[mergeBigramLm]]).
+    *
+    * Exact-grid formulation: `D` is snapped to the dyadic grid
+    * `dq/2^discountShift`, `dq = clamp(floor(2^S·n1/(n1+2n2)), 1, 2^S-1)`
+    * (D = 1/2 when `n1+2n2 = 0` — a corpus with no count-1/2 bigram types
+    * gives the estimator no evidence; the midpoint is the documented
+    * fallback). The continuation distribution carries add-one mass so
+    * unseen TOKENS stay finite: `p_cont(w) = (N1+(·w)+1)/(T+V)`. Then per
+    * token with context `v`:
+    *
+    *   seen v:   p = [ (c(v,w)·2^S − dq)⁺·(T+V) + dq·N1+(v·)·(N1+(·w)+1) ]
+    *                 / [ 2^S · c(v) · (T+V) ]
+    *   unseen v: p = p_cont(w)
+    *
+    * Numerator and denominator are INTEGERS; `nll = S·2^20 + lq(c(v)) +
+    * lq(T+V) − lqDec(num)` (per-FACTOR logs — the defined function, not a
+    * claim that lq distributes over ×). The numerator reaches ~2^90 at
+    * 100 TB counts (`c·2^S·(T+V)`), past any long — it rides a
+    * `DECIMAL(38,0)` (2^126 headroom; overflow would need ~3·10^17 tokens,
+    * 4 orders past 100 TB) through [[graft.functions.FixedLog2.log2q20Dec]],
+    * the 128-bit widening of the Q20 recurrence. Positivity is by
+    * construction: `dq ≥ 1` makes both branches ≥ 1.
+    *
+    * `keyCols` scores each doc under ITS key's model (per-language KN —
+    * the CCNet deployment shape), all statistics within-key; a doc whose
+    * key has no model emits no row (the [[perplexityScore]] contract).
+    *
+    * Output: `(idCol, n_tokens, nll_q20, ce_bits)` — directly comparable
+    * with [[perplexityScore]]/[[scoreStupidBackoff]] rows.
+    *
+    * 100 TB shape: the model-derived stat frames are model-sized
+    * aggregates (broadcast while small, standard hash joins when not);
+    * scoring is the token explode + three left joins + one broadcast of
+    * the per-key scalar frame + one per-doc integer sum. Nothing
+    * collected, nothing pairwise. */
+  def scoreKneserNey(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      discountShift: Int = 10,
+      keyCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(
+      (keyCols ++ Seq("prev", "tok", "cnt")).forall(model.columns.contains),
+      s"scoreKneserNey: model needs (${(keyCols ++ Seq("prev", "tok", "cnt")).mkString(", ")}) " +
+        "— build it with trainBigramLm under the same keyCols"
+    )
+    require(
+      discountShift >= 1 && discountShift <= 20,
+      s"scoreKneserNey: discountShift must be in [1, 20], got $discountShift — " +
+        "past 20 the cnt*2^S product would erode the 100 TB count headroom"
+    )
+    val two = 1L << discountShift
+    val k = keyCols.map(col)
+    val mdl = model.select((keyCols ++ Seq("prev", "tok", "cnt")).map(col): _*)
+    // per-context totals AND fan-outs in one aggregate: model rows are
+    // distinct (prev, tok), so count(*) per prev IS N1+(v·)
+    val ctx = mdl
+      .groupBy((keyCols :+ "prev").map(col): _*)
+      .agg(sum("cnt").as("__ctx"), count(lit(1)).as("__nv"))
+    val cw = mdl.groupBy((keyCols :+ "tok").map(col): _*).agg(count(lit(1)).as("__cw"))
+    // per-key scalars: type total T, vocab V, and the snapped discount dq
+    val dqExpr = when(col("__n1") + lit(2L) * col("__n2") === 0L, lit(two / 2))
+      .otherwise(
+        least(
+          greatest(expr(s"(__n1 * ${two}L) div (__n1 + 2L * __n2)"), lit(1L)),
+          lit(two - 1)
+        )
+      )
+    val glob = mdl
+      .groupBy(k: _*)
+      .agg(
+        count(lit(1)).as("__t"),
+        countDistinct(col("tok")).as("__v"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("__n2")
+      )
+      .withColumn("__dq", dqExpr.cast("long"))
+      .select((k :+ col("__t") :+ col("__v") :+ col("__dq")): _*)
+    val grams = bigramRows(docs, idCol +: keyCols, textCol)
+    val withG =
+      if (keyCols.isEmpty) grams.crossJoin(broadcast(glob))
+      else grams.join(broadcast(glob), keyCols)
+    val c = coalesce(col("cnt"), lit(0L))
+    val x = coalesce(col("__ctx"), lit(0L))
+    val nv = coalesce(col("__nv"), lit(0L))
+    val cwp1 = coalesce(col("__cw"), lit(0L)) + lit(1L)
+    val tv = col("__t") + col("__v")
+    val seen = x > 0L
+    val dec = "decimal(38,0)"
+    val numRaw = when(
+      seen,
+      greatest(c * lit(two) - col("__dq"), lit(0L)).cast(dec) * tv.cast(dec)
+        + (col("__dq") * nv).cast(dec) * cwp1.cast(dec)
+    ).otherwise(cwp1.cast(dec))
+    // the only null source after the coalesces above is a decimal-38
+    // overflow (~3·10^17 tokens) — fail loudly, never a silent null NLL
+    val num = when(
+      numRaw.isNull,
+      raise_error(lit("scoreKneserNey: decimal(38,0) numerator overflow — corrupted counts?"))
+        .cast(dec)
+    ).otherwise(numRaw)
+    import graft.functions.LogFunctions.{fixedLog2, fixedLog2Dec}
+    val nll = when(seen, lit(discountShift.toLong << 20) + fixedLog2(x) + fixedLog2(tv))
+      .otherwise(fixedLog2(tv)) - fixedLog2Dec(num)
+    withG
+      .join(mdl, keyCols ++ Seq("prev", "tok"), "left")
+      .join(ctx, keyCols :+ "prev", "left")
+      .join(cw, keyCols :+ "tok", "left")
+      .select(col(idCol), nll.as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__nll")).as("nll_q20"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("nll_q20"),
+        (expr("nll_q20 div n_tokens").cast("double") / lit(1048576.0)).as("ce_bits")
+      )
+  }
+
   /** CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
     * PER-LANGUAGE perplexity terciles under a reference LM — the
     * composition of [[perplexityScore]] with [[scoreBuckets]]' boundary
@@ -827,7 +957,14 @@ object TextAnalysis {
     * ([[Quantiles.quantiles]]; `exact = false` sketch default for the
     * 100 TB path, `exact = true` the oracle-replayable opt-in) joined
     * back broadcast — the lang-cardinality boundary frame is tiny. The
-    * per-row tag is a pure compare on the dyadic-exact `ce_bits`. */
+    * per-row tag is a pure compare on the dyadic-exact `ce_bits`.
+    *
+    * `smoothing` picks the scorer over the same model artifact:
+    * `"addone"` ([[perplexityScore]], the replayable baseline) or
+    * `"kn"` ([[scoreKneserNey]], the quality standard — CCNet as
+    * actually deployed uses a proper LM, and KN is the count-model
+    * equivalent). Both are exact-grid, so the tercile compares stay
+    * wobble-free either way. */
   def perplexityBuckets(
       docs: DataFrame,
       model: DataFrame,
@@ -836,10 +973,17 @@ object TextAnalysis {
       langCol: String,
       exact: Boolean = false,
       accuracy: Int = 10000,
-      keyCols: Seq[String] = Nil
+      keyCols: Seq[String] = Nil,
+      smoothing: String = "addone"
   ): DataFrame = {
-    val sc = perplexityScore(docs, model, idCol, textCol, keyCols)
-      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val scored = smoothing match {
+      case "addone" => perplexityScore(docs, model, idCol, textCol, keyCols)
+      case "kn" => scoreKneserNey(docs, model, idCol, textCol, keyCols = keyCols)
+      case other =>
+        throw new IllegalArgumentException(
+          s"perplexityBuckets: smoothing must be 'addone' or 'kn', got '$other'")
+    }
+    val sc = scored.join(docs.select(col(idCol), col(langCol)), Seq(idCol))
     val bounds = Quantiles
       .quantiles(sc, Seq(langCol), "ce_bits", Seq(1.0 / 3, 2.0 / 3), exact, accuracy)
     val bCols = bounds.columns.filterNot(_ == langCol)

@@ -173,6 +173,125 @@ object ExtQueries {
        |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1)""".stripMargin
 
+  /** The HUGEINT widening of [[lmLogReplayCtes]] for the Kneser–Ney
+    * replay: pt here is `(doc_id, num HUGEINT, den1, den2, adq)` — the
+    * interpolated-KN numerator is a sum of count PRODUCTS (~2^90 at
+    * 100 TB counts), so the log ladder runs on HUGEINT (one 64-bit
+    * exponent step on top, mantissa via `x >> (e-20)` — DuckDB hugeint
+    * supports both, probe-verified bit-identical to the engine's
+    * FixedLog2.log2q20Dec on boundary values up to 2^126) and the
+    * denominator contributes PER-FACTOR logs: `nll = lq(den1) + lq(den2)
+    * − lq(num) + adq` (den2 = 1 ⇒ lq = 0 on the unseen-context branch;
+    * adq carries the 2^discountShift scale constant). */
+  private val knLogReplayCtes: String =
+    """vals AS (SELECT DISTINCT x FROM
+      |  (SELECT num AS x FROM pt UNION ALL SELECT CAST(den1 AS HUGEINT) FROM pt
+      |   UNION ALL SELECT CAST(den2 AS HUGEINT) FROM pt)),
+      |n0 AS (SELECT x, x AS r, 0 AS e FROM vals),
+      |h1 AS (SELECT x, CASE WHEN r >= 18446744073709551616 THEN r >> 64 ELSE r END AS r,
+      |  e + CASE WHEN r >= 18446744073709551616 THEN 64 ELSE 0 END AS e FROM n0),
+      |n1 AS (SELECT x, CASE WHEN r >= 4294967296 THEN r >> 32 ELSE r END AS r,
+      |  e + CASE WHEN r >= 4294967296 THEN 32 ELSE 0 END AS e FROM h1),
+      |n2 AS (SELECT x, CASE WHEN r >= 65536 THEN r >> 16 ELSE r END AS r,
+      |  e + CASE WHEN r >= 65536 THEN 16 ELSE 0 END AS e FROM n1),
+      |n3 AS (SELECT x, CASE WHEN r >= 256 THEN r >> 8 ELSE r END AS r,
+      |  e + CASE WHEN r >= 256 THEN 8 ELSE 0 END AS e FROM n2),
+      |n4 AS (SELECT x, CASE WHEN r >= 16 THEN r >> 4 ELSE r END AS r,
+      |  e + CASE WHEN r >= 16 THEN 4 ELSE 0 END AS e FROM n3),
+      |n5 AS (SELECT x, CASE WHEN r >= 4 THEN r >> 2 ELSE r END AS r,
+      |  e + CASE WHEN r >= 4 THEN 2 ELSE 0 END AS e FROM n4),
+      |n6 AS (SELECT x, e + CASE WHEN r >= 2 THEN 1 ELSE 0 END AS e FROM n5),
+      |it AS (SELECT x, e,
+      |    CAST(CASE WHEN e >= 20 THEN x >> (e - 20) ELSE x << (20 - e) END AS BIGINT) AS mt,
+      |    CAST(0 AS BIGINT) AS frac, 0 AS j FROM n6
+      |  UNION ALL SELECT x, e,
+      |    CASE WHEN ((mt*mt) >> 20) >= 2097152 THEN ((mt*mt) >> 20) >> 1 ELSE (mt*mt) >> 20 END,
+      |    frac * 2 + CASE WHEN ((mt*mt) >> 20) >= 2097152 THEN 1 ELSE 0 END,
+      |    j + 1 FROM it WHERE j < 20),
+      |l2 AS MATERIALIZED (SELECT x, e * 1048576 + frac AS lq FROM it WHERE j = 20),
+      |nl AS (SELECT pt.doc_id, ld1.lq + ld2.lq - ln_.lq + pt.adq AS nll FROM pt
+      |  JOIN l2 ln_ ON pt.num = ln_.x
+      |  JOIN l2 ld1 ON CAST(pt.den1 AS HUGEINT) = ld1.x
+      |  JOIN l2 ld2 ON CAST(pt.den2 AS HUGEINT) = ld2.x)""".stripMargin
+
+  /** x141 replay: interpolated Kneser–Ney under the en-reference bigram
+    * model (same train subset as x135) — every KN statistic derives from
+    * the one (prev, tok, cnt) table: context totals+fan-outs (cx),
+    * continuation counts (cw), and the Chen–Goodman discount snapped to
+    * the Q10 dyadic grid with the engine's clamp and no-evidence
+    * midpoint. The pt branches mirror scoreKneserNey exactly. */
+  private val knSqlPrefix: String =
+    s"""WITH RECURSIVE
+      |tkr AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE lang = 'en'),
+      |ar AS (SELECT list_prepend(chr(1), ts) AS arr FROM tkr),
+      |bgr AS (SELECT unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok FROM ar),
+      |m AS MATERIALIZED (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM bgr GROUP BY 1, 2),
+      |cx AS MATERIALIZED (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS ctx,
+      |  CAST(COUNT(*) AS BIGINT) AS nv FROM m GROUP BY 1),
+      |cw AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cw FROM m GROUP BY 1),
+      |gq AS (SELECT t, v, CASE WHEN n1 + 2*n2 = 0 THEN CAST(512 AS BIGINT)
+      |    ELSE least(greatest((n1*1024)//(n1+2*n2), 1), 1023) END AS dq
+      |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v,
+      |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 FROM m)),
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |aa AS (SELECT doc_id, list_prepend(chr(1), ts) AS arr FROM tk),
+      |bg AS (SELECT doc_id, unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok
+      |  FROM aa),
+      |pt AS MATERIALIZED (SELECT b.doc_id,
+      |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN
+      |      CAST(greatest(COALESCE(m.cnt, 0)*1024 - gq.dq, 0) AS HUGEINT) * (gq.t + gq.v)
+      |      + CAST(gq.dq * cx.nv AS HUGEINT) * (COALESCE(cw.cw, 0) + 1)
+      |    ELSE CAST(COALESCE(cw.cw, 0) + 1 AS HUGEINT) END AS num,
+      |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN cx.ctx ELSE gq.t + gq.v END AS den1,
+      |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN gq.t + gq.v ELSE CAST(1 AS BIGINT) END AS den2,
+      |    CAST(CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN 10485760 ELSE 0 END AS BIGINT) AS adq
+      |  FROM bg b LEFT JOIN m USING (prev, tok) LEFT JOIN cx ON b.prev = cx.prev
+      |    LEFT JOIN cw ON b.tok = cw.tok CROSS JOIN gq),
+      |$knLogReplayCtes""".stripMargin
+
+  /** x142 replay: per-LANGUAGE Kneser–Ney (the CCNet deployment shape —
+    * x137's keyed training composed with the KN smoother): every KN
+    * statistic resolves within the lang key, docs of languages without a
+    * model drop on the inner gq join (the keyed-scorer contract). */
+  private val knLangSqlPrefix: String =
+    s"""WITH RECURSIVE
+      |tkr AS (SELECT lang, string_split(text, ' ') AS ts FROM documents
+      |  WHERE source = 'src0'),
+      |ar AS (SELECT lang, list_prepend(chr(1), ts) AS arr FROM tkr),
+      |bgr AS (SELECT lang, unnest(arr[1:len(arr)-1]) AS prev,
+      |    unnest(arr[2:len(arr)]) AS tok FROM ar),
+      |m AS MATERIALIZED (SELECT lang, prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM bgr GROUP BY 1, 2, 3),
+      |cx AS MATERIALIZED (SELECT lang, prev, CAST(SUM(cnt) AS BIGINT) AS ctx,
+      |  CAST(COUNT(*) AS BIGINT) AS nv FROM m GROUP BY 1, 2),
+      |cw AS MATERIALIZED (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cw
+      |  FROM m GROUP BY 1, 2),
+      |gq AS (SELECT lang, t, v, CASE WHEN n1 + 2*n2 = 0 THEN CAST(512 AS BIGINT)
+      |    ELSE least(greatest((n1*1024)//(n1+2*n2), 1), 1023) END AS dq
+      |  FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS t,
+      |    CAST(COUNT(DISTINCT tok) AS BIGINT) AS v,
+      |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |    FROM m GROUP BY 1)),
+      |tk AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+      |aa AS (SELECT doc_id, lang, list_prepend(chr(1), ts) AS arr FROM tk),
+      |bg AS (SELECT doc_id, lang, unnest(arr[1:len(arr)-1]) AS prev,
+      |    unnest(arr[2:len(arr)]) AS tok FROM aa),
+      |pt AS MATERIALIZED (SELECT b.doc_id,
+      |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN
+      |      CAST(greatest(COALESCE(m.cnt, 0)*1024 - gq.dq, 0) AS HUGEINT) * (gq.t + gq.v)
+      |      + CAST(gq.dq * cx.nv AS HUGEINT) * (COALESCE(cw.cw, 0) + 1)
+      |    ELSE CAST(COALESCE(cw.cw, 0) + 1 AS HUGEINT) END AS num,
+      |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN cx.ctx ELSE gq.t + gq.v END AS den1,
+      |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN gq.t + gq.v ELSE CAST(1 AS BIGINT) END AS den2,
+      |    CAST(CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN 10485760 ELSE 0 END AS BIGINT) AS adq
+      |  FROM bg b JOIN gq USING (lang)
+      |    LEFT JOIN m ON m.lang = b.lang AND m.prev = b.prev AND m.tok = b.tok
+      |    LEFT JOIN cx ON cx.lang = b.lang AND cx.prev = b.prev
+      |    LEFT JOIN cw ON cw.lang = b.lang AND cw.tok = b.tok),
+      |$knLogReplayCtes""".stripMargin
+
   private val scoreLinearSql =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
@@ -4930,6 +5049,104 @@ object ExtQueries {
            |SELECT doc_id, n_tokens, nll_q20,
            |  CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce_bits
            |FROM ag ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Interpolated Kneser–Ney (TextAnalysis.scoreKneserNey — Kneser & Ney
+    // 1995; Chen & Goodman 1999's empirical winner): the quality-standard
+    // smoother over the SAME trainBigramLm artifact — discounted seen
+    // mass interpolated with the continuation distribution N1+(·w), the
+    // Chen–Goodman discount n1/(n1+2n2) snapped to the Q10 dyadic grid.
+    // The interpolated numerator is a sum of count products (~2^90 at
+    // 100 TB counts): it rides a DECIMAL(38,0) through the 128-bit
+    // FixedLog2 widening, and the oracle replays the identical recurrence
+    // on HUGEINT — exponent ladder + one 64-bit step, mantissa by shift.
+    Q(
+      "x141_kneser_ney",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextAnalysis.trainBigramLm(docs.filter(col("lang") === "en"), "doc_id", "text")
+        TextAnalysis.scoreKneserNey(docs, model, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(
+        s"""$knSqlPrefix,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1)
+           |SELECT doc_id, n_tokens, nll_q20,
+           |  CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce_bits
+           |FROM ag ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Per-language Kneser–Ney (scoreKneserNey keyCols — the CCNet
+    // deployment shape with the quality-standard smoother): x137's keyed
+    // per-lang training on the trusted source subset, every doc scored
+    // under ITS language's model with ALL KN statistics (context totals,
+    // fan-outs, continuation counts, discount) resolved within the key.
+    Q(
+      "x142_kn_lang",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextAnalysis.trainBigramLm(
+          docs.filter(col("source") === "src0"), "doc_id", "text", Seq("lang"))
+        TextAnalysis
+          .scoreKneserNey(docs, model, "doc_id", "text", keyCols = Seq("lang"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$knLangSqlPrefix,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1)
+           |SELECT doc_id, n_tokens, nll_q20,
+           |  CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce_bits
+           |FROM ag ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // CCNet with the quality-standard smoother (perplexityBuckets
+    // smoothing = "kn"): x140's complete shape — per-language models on
+    // the trusted subset, per-language exact terciles — but the
+    // cross-entropy under interpolated Kneser–Ney instead of add-one.
+    // The oracle chains the x142 keyed-KN replay into the x121
+    // percentile formula per lang.
+    Q(
+      "x143_kn_buckets",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextAnalysis.trainBigramLm(
+          docs.filter(col("source") === "src0"), "doc_id", "text", Seq("lang"))
+        TextAnalysis
+          .perplexityBuckets(docs, model, "doc_id", "text", "lang",
+            exact = true, keyCols = Seq("lang"), smoothing = "kn")
+          .select(col("doc_id"), col("lang"), col("ce_bits"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$knLangSqlPrefix,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1),
+           |sc AS MATERIALIZED (SELECT ag.doc_id, d.lang,
+           |    CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce
+           |  FROM ag JOIN documents d USING (doc_id)),
+           |vs AS (SELECT lang, list_sort(list(ce)) AS v, COUNT(*) AS n FROM sc GROUP BY 1),
+           |ps AS (SELECT lang, v, CAST(1 AS DOUBLE) / 3 * (n - 1) AS p1,
+           |    CAST(2 AS DOUBLE) / 3 * (n - 1) AS p2 FROM vs),
+           |bd AS (SELECT lang,
+           |  CASE WHEN ceil(p1) = floor(p1)
+           |      OR v[CAST(floor(p1) AS BIGINT) + 1] = v[CAST(ceil(p1) AS BIGINT) + 1]
+           |    THEN v[CAST(floor(p1) AS BIGINT) + 1]
+           |    ELSE (ceil(p1) - p1) * v[CAST(floor(p1) AS BIGINT) + 1]
+           |      + (p1 - floor(p1)) * v[CAST(ceil(p1) AS BIGINT) + 1] END AS blo,
+           |  CASE WHEN ceil(p2) = floor(p2)
+           |      OR v[CAST(floor(p2) AS BIGINT) + 1] = v[CAST(ceil(p2) AS BIGINT) + 1]
+           |    THEN v[CAST(floor(p2) AS BIGINT) + 1]
+           |    ELSE (ceil(p2) - p2) * v[CAST(floor(p2) AS BIGINT) + 1]
+           |      + (p2 - floor(p2)) * v[CAST(ceil(p2) AS BIGINT) + 1] END AS bhi
+           |  FROM ps)
+           |SELECT sc.doc_id, sc.lang, sc.ce AS ce_bits,
+           |  CASE WHEN sc.ce <= bd.blo THEN 'head'
+           |    WHEN sc.ce <= bd.bhi THEN 'middle' ELSE 'tail' END AS bucket
+           |FROM sc JOIN bd USING (lang) ORDER BY sc.doc_id""".stripMargin
       )
     )
   )

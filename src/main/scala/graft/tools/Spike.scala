@@ -1589,6 +1589,50 @@ object Spike {
         f"(train $tTrain%.1fs), $nProbe+$nProbe probes scored exactly (score $tScore%.1fs): " +
         f"natural ${nllNat / 1048576.0 / L}%.3f bits/tok vs garble ${nllGar / 1048576.0 / L}%.3f — gate PASS"
     )
+    // ---- Kneser–Ney leg: the SAME model artifact scored by the KN
+    // smoother against its own closed forms. Cyclic-corpus KN stats:
+    // ctx(BOS) = nDocs, nv(BOS) = V; ring ctx = nv·c(L−1) with nv = 1;
+    // every continuation count N1+(·w) = 2 (from BOS and the ring
+    // predecessor); T = 2V types, tv = 3V; all counts are c or c(L−1),
+    // so n1 = n2 = 0 and the discount takes the documented no-evidence
+    // midpoint dq = 512 at the standard nDocs = 4V run (every count is c
+    // or c(L−1), both > 2). Numerators here stay far below 2^63 — the
+    // 128-bit lqDec range is pinned by LmSpec (values to 2^126) and the
+    // DuckDB HUGEINT ladder probes; THIS leg proves the count/join/sum
+    // integrity of the KN path at a model past the broadcast threshold.
+    // dq from the closed-form type counts (general in c, so a smaller
+    // smoke run still lands its exact integers):
+    val n1t = (if (c == 1) V else 0L) + (if (c * (L - 1) == 1) V else 0L)
+    val n2t = (if (c == 2) V else 0L) + (if (c * (L - 1) == 2) V else 0L)
+    val dq =
+      if (n1t + 2 * n2t == 0) 512L
+      else math.min(math.max(n1t * 1024 / (n1t + 2 * n2t), 1L), 1023L)
+    val knNat = (10L << 20) + log2q20(nDocs) + log2q20(3 * V) -
+      log2q20((c * 1024 - dq) * 3 * V + dq * V * 3) +
+      (L - 1) * ((10L << 20) + log2q20(c * (L - 1)) + log2q20(3 * V) -
+        log2q20((c * (L - 1) * 1024 - dq) * 3 * V + dq * 3))
+    val knGar = ((10L << 20) + log2q20(nDocs) + log2q20(3 * V) - log2q20(dq * V)) +
+      (L - 1) * log2q20(3 * V)
+    val t2 = System.nanoTime()
+    def checkKn(probes: org.apache.spark.sql.DataFrame, want: Long, what: String): Unit = {
+      val r = graft.operators.TextAnalysis
+        .scoreKneserNey(probes, model, "doc_id", "text")
+        .agg(count(lit(1)).as("n"), min("nll_q20").as("lo"), max("nll_q20").as("hi"))
+        .collect()(0)
+      require(
+        r.getLong(0) == nProbe && r.getLong(1) == want && r.getLong(2) == want,
+        s"lm-planted KN $what MISMATCH: n=${r.getLong(0)} " +
+          s"nll=[${r.getLong(1)},${r.getLong(2)}], expected $nProbe x $want"
+      )
+    }
+    checkKn(natural, knNat, "natural")
+    checkKn(garble, knGar, "garble")
+    require(knGar > knNat, s"lm-planted KN ORDER: garble $knGar <= natural $knNat")
+    println(
+      f"[spike] lm-planted KN leg: ${(System.nanoTime() - t2) / 1e9}%.1fs — " +
+        f"natural ${knNat / 1048576.0 / L}%.3f bits/tok vs garble ${knGar / 1048576.0 / L}%.3f " +
+        f"(midpoint discount exercised) — gate PASS"
+    )
   }
 
   /** `runMain graft.tools.Spike curate-incr-planted [nDocs]` — the COMPOSED

@@ -53,6 +53,55 @@ class LmSpec extends AnyFunSuite with SparkTester {
     intercept[IllegalArgumentException](FixedLog2.log2q20(-5L))
   }
 
+  // ---- FixedLog2Dec: the 128-bit domain widening ----
+
+  private def dec(b: BigInt) =
+    org.apache.spark.sql.types.Decimal(scala.math.BigDecimal(b), 38, 0)
+
+  test("FixedLog2Dec equals FixedLog2 everywhere the domains overlap") {
+    val xs = Seq(1L, 2L, 3L, 7L, (1L << 20) - 1, 1L << 20, (1L << 20) + 1,
+      1L << 43, 123456789L, (1L << 62) - 1, Long.MaxValue)
+    xs.foreach(x => assert(FixedLog2.log2q20Dec(dec(BigInt(x))) == FixedLog2.log2q20(x), s"x=$x"))
+  }
+
+  test("FixedLog2Dec: pinned values above the long ceiling (DuckDB HUGEINT ladder replay)") {
+    // each value was run through the oracle's HUGEINT recursive CTE
+    // (round-16 session): one 64-bit exponent step on top of the bigint
+    // ladder, mantissa via x >> (e-20) on hugeint — bit-identical
+    val pinned = Seq(
+      (BigInt(1) << 63) + 12345 -> 66060288L,
+      (BigInt(1) << 100) + 999999999999L -> 104857600L,
+      BigInt(10).pow(37) -> 128881880L,
+      BigInt("121932631966163686788446883") -> 90865626L,
+      (BigInt(1) << 126) - 1 -> 132120575L // top of the decimal(38,0)-carried range
+    )
+    pinned.foreach { case (x, lq) => assert(FixedLog2.log2q20Dec(dec(x)) == lq, s"x=$x") }
+    // exact at powers of two across the widened domain
+    (0 to 125).foreach(e => assert(FixedLog2.log2q20Dec(dec(BigInt(1) << e)) == e.toLong << 20))
+  }
+
+  test("FixedLog2Dec is monotone across random 128-bit pairs and throws on non-positive") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val a = BigInt(125, rnd) + 1
+      val b = BigInt(125, rnd) + 1
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      assert(FixedLog2.log2q20Dec(dec(lo)) <= FixedLog2.log2q20Dec(dec(hi)), s"$lo vs $hi")
+    }
+    intercept[IllegalArgumentException](FixedLog2.log2q20Dec(dec(BigInt(0))))
+    intercept[IllegalArgumentException](FixedLog2.log2q20Dec(dec(BigInt(-7))))
+  }
+
+  test("fixed_log2_dec column expression agrees with the scala helper under codegen") {
+    val xs = Seq("1", "6144", "9223372036854788153", "10000000000000000000000000000000000000")
+    val got = xs
+      .toDF("s")
+      .select(LogFunctions.fixedLog2Dec(col("s").cast("decimal(38,0)")).as("lq"))
+      .as[Long]
+      .collect()
+    assert(got.toSeq == xs.map(s => FixedLog2.log2q20Dec(dec(BigInt(s)))))
+  }
+
   test("fixed_log2 column expression agrees with the scala helper under codegen") {
     val xs = Seq(1L, 2L, 3L, 17L, 999L, 123456789L)
     val got = xs.toDF("x").select(LogFunctions.fixedLog2(col("x")).as("lq")).as[Long].collect()
@@ -207,6 +256,102 @@ class LmSpec extends AnyFunSuite with SparkTester {
       (11L, 3L, n11, (n11 / 3).toDouble / 1048576.0),
       (12L, 2L, n12, (n12 / 2).toDouble / 1048576.0)
     ))
+  }
+
+  // ---- scoreKneserNey: interpolated KN on the exact Q20 grid ----
+
+  test("scoreKneserNey: hand-computed interpolated-KN NLLs, all three branches") {
+    val model = TextAnalysis.trainBigramLm(refDocs, "doc_id", "text")
+    // model: (B,a):1 (B,b):1 (a,b):1 (b,a):2
+    // ctx: B->2(nv 2), a->1(nv 1), b->2(nv 1); cw: a->2, b->2
+    // T=4, V=2, tv=6; n1=3, n2=1 -> dq = (3*1024) div 5 = 614
+    val got = TextAnalysis
+      .scoreKneserNey(Seq((10L, "a b"), (11L, "c c")).toDF("doc_id", "text"),
+        model, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .toSeq
+    def lq(x: Long) = FixedLog2.log2q20(x)
+    val s10 = 10L << 20
+    // (B,a): seen ctx, cnt=1: num = (1024-614)*6 + 614*2*(2+1) = 2460+3684 = 6144
+    // (a,b): cnt=1: num = (1024-614)*6 + 614*1*(2+1) = 2460+1842 = 4302
+    val nll10 = (s10 + lq(2) + lq(6) - lq(6144)) + (s10 + lq(1) + lq(6) - lq(4302))
+    // (B,c): seen ctx, cnt=0 -> pure continuation: num = 614*2*(0+1) = 1228
+    // (c,c): unseen context -> p_cont: num = 0+1 = 1, den = tv = 6
+    val nll11 = (s10 + lq(2) + lq(6) - lq(1228)) + (lq(6) - lq(1))
+    assert(got == Seq(
+      (10L, 2L, nll10, (nll10 / 2).toDouble / 1048576.0),
+      (11L, 2L, nll11, (nll11 / 2).toDouble / 1048576.0)
+    ))
+  }
+
+  test("scoreKneserNey: discount edges — no-evidence midpoint and all-singletons clamp") {
+    def lq(x: Long) = FixedLog2.log2q20(x)
+    val s10 = 10L << 20
+    // every bigram type has count >= 3 -> n1 = n2 = 0 -> dq = 512 (D = 1/2)
+    val m1 = TextAnalysis.trainBigramLm(
+      Seq((1L, "a a a a"), (2L, "a a a a"), (3L, "a a a a")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // model: (B,a):3 (a,a):9; ctx B->3(nv 1), a->9(nv 1); cw a->2; T=2 V=1 tv=3
+    // probe "a": (B,a) cnt=3: num = (3*1024-512)*3 + 512*1*3 = 7680+1536 = 9216
+    // p = 9216/(1024*3*3) = 1 exactly (deterministic corpus) — and the
+    // per-FACTOR truncated logs land the defined NLL at lq(3)+lq(3)-lq(9)
+    // = -1 on the Q20 grid (~-1e-6 bits), the documented semantics
+    val g1 = TextAnalysis
+      .scoreKneserNey(Seq((9L, "a")).toDF("doc_id", "text"), m1, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(g1._3 == s10 + lq(3) + lq(3) - lq(9216))
+    // all count-1 types -> (n1*1024) div n1 = 1024 -> clamps to 1023
+    val m2 = TextAnalysis.trainBigramLm(Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text")
+    // model: (B,a):1 (a,b):1 (b,c):1; ctx B->1(nv 1), a->1(nv 1), b->1(nv 1)
+    // cw: a->1 b->1 c->1; T=3 V=3 tv=6
+    // probe "a": (B,a) cnt=1: num = (1024-1023)*6 + 1023*1*2 = 6+2046 = 2052
+    val g2 = TextAnalysis
+      .scoreKneserNey(Seq((9L, "a")).toDF("doc_id", "text"), m2, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(g2._3 == s10 + lq(1) + lq(6) - lq(2052))
+    intercept[IllegalArgumentException](
+      TextAnalysis.scoreKneserNey(refDocs, m2, "doc_id", "text", discountShift = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.scoreKneserNey(refDocs, refDocs, "doc_id", "text"))
+  }
+
+  test("scoreKneserNey: deterministic under repartitioning; separates natural from garble") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val model = TextAnalysis.trainBigramLm(docs.filter($"lang" === "en"), "doc_id", "text")
+    val a = TextAnalysis.scoreKneserNey(docs, model, "doc_id", "text")
+    val b = TextAnalysis.scoreKneserNey(docs.repartition(7), model, "doc_id", "text")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val ref = (1L to 50L).map(i => (i, "the cat sat on the mat")).toDF("doc_id", "text")
+    val m = TextAnalysis.trainBigramLm(ref, "doc_id", "text")
+    val ce = TextAnalysis
+      .scoreKneserNey(
+        Seq((100L, "the cat sat on the mat"), (101L, "mat the on sat cat the"))
+          .toDF("doc_id", "text"),
+        m, "doc_id", "text")
+      .orderBy("doc_id").select("ce_bits").as[Double].collect()
+    assert(ce(0) < ce(1), s"natural ${ce(0)} should beat garble ${ce(1)}")
+  }
+
+  test("scoreKneserNey keyCols: one keyed pass == scoring each language alone") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val keyed = TextAnalysis.trainBigramLm(docs, "doc_id", "text", Seq("lang"))
+    val sKeyed = TextAnalysis
+      .scoreKneserNey(docs, keyed, "doc_id", "text", keyCols = Seq("lang"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    Seq("en", "zh").foreach { l =>
+      val sub = docs.filter($"lang" === l)
+      val sSub = TextAnalysis.scoreKneserNey(
+        sub, TextAnalysis.trainBigramLm(sub, "doc_id", "text"), "doc_id", "text")
+      val gotL = sKeyed.filter($"lang" === l).drop("lang")
+      assert(gotL.exceptAll(sSub).isEmpty && sSub.exceptAll(gotL).isEmpty, s"lang $l diverged")
+    }
+    // a doc whose key has no model emits no row, like perplexityScore
+    val stray = Seq((999L, "a b", "xx")).toDF("doc_id", "text", "lang")
+    assert(
+      TextAnalysis.scoreKneserNey(stray, keyed, "doc_id", "text", keyCols = Seq("lang")).isEmpty
+    )
   }
 
   // ---- perplexityBuckets: CCNet head/middle/tail per language ----
