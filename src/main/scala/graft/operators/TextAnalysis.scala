@@ -852,6 +852,24 @@ object TextAnalysis {
     * the CCNet deployment shape), all statistics within-key; a doc whose
     * key has no model emits no row (the [[perplexityScore]] contract).
     *
+    * `modified = true` is Chen & Goodman's MODIFIED Kneser–Ney (1999 §3,
+    * their empirical winner over plain KN): three count-conditioned
+    * discounts instead of one —
+    *
+    *   D1 = Y = n1/(n1+2n2)   (the identity 1 − 2Y·n2/n1 = Y)
+    *   D2 = 2 − 3Y·n3/n2      D3 = 3 − 4Y·n4/n3   (D3 for cnt ≥ 3)
+    *   λ(v) = (D1·N1(v) + D2·N2(v) + D3·N3+(v)) / c(v)
+    *
+    * each snapped to the same Q-`discountShift` grid, `dq_k` clamped to
+    * `[1, k·2^S − 1]` (keeps every branch's numerator ≥ 1), with the
+    * `(2k−1)·2^(S−1)` midpoint (k − ½) whenever the estimator has no
+    * evidence (`n_k = 0`, `n_{k+1} = 0`, or `n1+2n2 = 0` — the plain-KN
+    * fallback convention extended per level). The discount-formula
+    * products (`3·2^S·n1·n3`) can reach ~2^94 at 100 TB type counts, so
+    * they ride DECIMAL(38,0) with an integral `div`; the quotient is
+    * grid-small. Same output, same replayability (the oracle computes
+    * the identical HUGEINT expressions).
+    *
     * Output: `(idCol, n_tokens, nll_q20, ce_bits)` — directly comparable
     * with [[perplexityScore]]/[[scoreStupidBackoff]] rows.
     *
@@ -866,7 +884,8 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       discountShift: Int = 10,
-      keyCols: Seq[String] = Nil
+      keyCols: Seq[String] = Nil,
+      modified: Boolean = false
   ): DataFrame = {
     require(
       (keyCols ++ Seq("prev", "tok", "cnt")).forall(model.columns.contains),
@@ -882,12 +901,24 @@ object TextAnalysis {
     val k = keyCols.map(col)
     val mdl = model.select((keyCols ++ Seq("prev", "tok", "cnt")).map(col): _*)
     // per-context totals AND fan-outs in one aggregate: model rows are
-    // distinct (prev, tok), so count(*) per prev IS N1+(v·)
-    val ctx = mdl
-      .groupBy((keyCols :+ "prev").map(col): _*)
-      .agg(sum("cnt").as("__ctx"), count(lit(1)).as("__nv"))
+    // distinct (prev, tok), so count(*) per prev IS N1+(v·); the modified
+    // form also needs the count-conditioned fan-outs N1/N2/N3+(v·)
+    val baseCtx = mdl.groupBy((keyCols :+ "prev").map(col): _*)
+    val ctx =
+      if (!modified) baseCtx.agg(sum("cnt").as("__ctx"), count(lit(1)).as("__nv"))
+      else
+        baseCtx.agg(
+          sum("cnt").as("__ctx"),
+          sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("__nv1"),
+          sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("__nv2"),
+          sum(when(col("cnt") >= 3L, 1L).otherwise(0L)).as("__nv3")
+        )
     val cw = mdl.groupBy((keyCols :+ "tok").map(col): _*).agg(count(lit(1)).as("__cw"))
-    // per-key scalars: type total T, vocab V, and the snapped discount dq
+    // per-key scalars: type total T, vocab V, and the snapped discount(s).
+    // D1 uses the plain-KN formula (the 1 − 2Y·n2/n1 = Y identity); D2/D3
+    // products can reach ~2^94 at 100 TB type counts, so the formula rides
+    // DECIMAL(38,0) with an integral div (grid-small quotient), midpoint
+    // k − ½ fallback when the estimator has no evidence at that level
     val dqExpr = when(col("__n1") + lit(2L) * col("__n2") === 0L, lit(two / 2))
       .otherwise(
         least(
@@ -895,32 +926,76 @@ object TextAnalysis {
           lit(two - 1)
         )
       )
-    val glob = mdl
+    def dqK(kk: Int, nk: String, nk1: String): Column =
+      when(
+        col("__n1") + lit(2L) * col("__n2") === 0L || col(nk) === 0L || col(nk1) === 0L,
+        lit((2L * kk - 1) * (two / 2))
+      ).otherwise(
+        least(
+          greatest(
+            lit(kk * two) - expr(
+              s"(CAST($kk + 1 AS DECIMAL(38,0)) * ${two}L * __n1 * $nk1) div " +
+                s"(CAST(__n1 + 2L * __n2 AS DECIMAL(38,0)) * $nk)"
+            ),
+            lit(1L)
+          ),
+          lit(kk * two - 1)
+        )
+      )
+    val baseGlob = mdl
       .groupBy(k: _*)
       .agg(
         count(lit(1)).as("__t"),
         countDistinct(col("tok")).as("__v"),
         sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("__n1"),
-        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("__n2")
+        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("__n2"),
+        sum(when(col("cnt") === 3L, 1L).otherwise(0L)).as("__n3"),
+        sum(when(col("cnt") === 4L, 1L).otherwise(0L)).as("__n4")
       )
-      .withColumn("__dq", dqExpr.cast("long"))
-      .select((k :+ col("__t") :+ col("__v") :+ col("__dq")): _*)
+    val glob =
+      if (!modified)
+        baseGlob
+          .withColumn("__dq", dqExpr.cast("long"))
+          .select((k :+ col("__t") :+ col("__v") :+ col("__dq")): _*)
+      else
+        baseGlob
+          .withColumn("__dq1", dqExpr.cast("long"))
+          .withColumn("__dq2", dqK(2, "__n2", "__n3").cast("long"))
+          .withColumn("__dq3", dqK(3, "__n3", "__n4").cast("long"))
+          .select(
+            (k :+ col("__t") :+ col("__v")
+              :+ col("__dq1") :+ col("__dq2") :+ col("__dq3")): _*
+          )
     val grams = bigramRows(docs, idCol +: keyCols, textCol)
     val withG =
       if (keyCols.isEmpty) grams.crossJoin(broadcast(glob))
       else grams.join(broadcast(glob), keyCols)
     val c = coalesce(col("cnt"), lit(0L))
     val x = coalesce(col("__ctx"), lit(0L))
-    val nv = coalesce(col("__nv"), lit(0L))
     val cwp1 = coalesce(col("__cw"), lit(0L)) + lit(1L)
     val tv = col("__t") + col("__v")
     val seen = x > 0L
     val dec = "decimal(38,0)"
-    val numRaw = when(
-      seen,
-      greatest(c * lit(two) - col("__dq"), lit(0L)).cast(dec) * tv.cast(dec)
-        + (col("__dq") * nv).cast(dec) * cwp1.cast(dec)
-    ).otherwise(cwp1.cast(dec))
+    val numRaw =
+      if (!modified) {
+        val nv = coalesce(col("__nv"), lit(0L))
+        when(
+          seen,
+          greatest(c * lit(two) - col("__dq"), lit(0L)).cast(dec) * tv.cast(dec)
+            + (col("__dq") * nv).cast(dec) * cwp1.cast(dec)
+        ).otherwise(cwp1.cast(dec))
+      } else {
+        val dqSel = when(c === 1L, col("__dq1")).when(c === 2L, col("__dq2"))
+          .otherwise(col("__dq3"))
+        val lamNum = col("__dq1").cast(dec) * coalesce(col("__nv1"), lit(0L)).cast(dec) +
+          col("__dq2").cast(dec) * coalesce(col("__nv2"), lit(0L)).cast(dec) +
+          col("__dq3").cast(dec) * coalesce(col("__nv3"), lit(0L)).cast(dec)
+        when(
+          seen,
+          greatest(c * lit(two) - dqSel, lit(0L)).cast(dec) * tv.cast(dec)
+            + lamNum * cwp1.cast(dec)
+        ).otherwise(cwp1.cast(dec))
+      }
     // the only null source after the coalesces above is a decimal-38
     // overflow (~3·10^17 tokens) — fail loudly, never a silent null NLL
     val num = when(

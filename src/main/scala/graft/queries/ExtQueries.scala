@@ -44,19 +44,22 @@ object ExtQueries {
     * (bias + Σ W·x), hard-sigmoid clamp, residuals, HUGEINT gradient
     * sums (exactly the engine's 128-bit limb sums), and the
     * sign-symmetric truncating update `W −= sign(G)·(|G| // (64·N))`.
-    * Ends with the `w$TrainSteps` CTE holding the trained numerators. */
-  private val trainLinearSqlPrefix: String = {
+    * Ends with the `w$TrainSteps` CTE holding the trained numerators.
+    * `trainLinearCtes(labCte)` parameterizes the LABEL source (x144
+    * distills an LM-derived label; x127/x128 keep the planted text
+    * signal) — the training corpus is exactly the `lab` rows, so `nn`
+    * counts lab, and the tf/margin joins all start FROM lab. */
+  private def trainLinearCtes(labCte: String): String = {
     val pHalf = 1L << 21
     val pMax = 1L << 22
     val head =
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
         |tf AS MATERIALIZED (SELECT doc_id, (h60 // 2) % 64 AS bucket,
         |    SUM(CASE WHEN h60 % 2 = 1 THEN 1 ELSE -1 END) AS x
         |  FROM h GROUP BY 1, 2),
-        |lab AS MATERIALIZED (SELECT doc_id,
-        |    CASE WHEN text LIKE '%vector%' THEN 1 ELSE 0 END AS y FROM documents),
-        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |$labCte,
+        |nn AS (SELECT COUNT(*) AS n FROM lab),
         |w0 AS (SELECT unnest(generate_series(-1, 63)) AS bucket, CAST(0 AS BIGINT) AS wn)""".stripMargin
     val steps = (1 to TrainSteps).map { t =>
       val p = t - 1
@@ -77,6 +80,12 @@ object ExtQueries {
     }
     (head +: steps).mkString(",\n")
   }
+
+  private val trainLinearSqlPrefix: String =
+    "WITH " + trainLinearCtes(
+      """lab AS MATERIALIZED (SELECT doc_id,
+        |    CASE WHEN text LIKE '%vector%' THEN 1 ELSE 0 END AS y FROM documents)""".stripMargin
+    )
 
   /** x135/x136 shared replay: en-reference bigram LM (BOS = chr(1)),
     * add-one smoothing, and the FixedLog2 Q20 shift-and-square recurrence
@@ -242,6 +251,59 @@ object ExtQueries {
       |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN
       |      CAST(greatest(COALESCE(m.cnt, 0)*1024 - gq.dq, 0) AS HUGEINT) * (gq.t + gq.v)
       |      + CAST(gq.dq * cx.nv AS HUGEINT) * (COALESCE(cw.cw, 0) + 1)
+      |    ELSE CAST(COALESCE(cw.cw, 0) + 1 AS HUGEINT) END AS num,
+      |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN cx.ctx ELSE gq.t + gq.v END AS den1,
+      |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN gq.t + gq.v ELSE CAST(1 AS BIGINT) END AS den2,
+      |    CAST(CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN 10485760 ELSE 0 END AS BIGINT) AS adq
+      |  FROM bg b LEFT JOIN m USING (prev, tok) LEFT JOIN cx ON b.prev = cx.prev
+      |    LEFT JOIN cw ON b.tok = cw.tok CROSS JOIN gq),
+      |$knLogReplayCtes""".stripMargin
+
+  /** x145 replay: MODIFIED Kneser–Ney (Chen & Goodman 1999 §3) under the
+    * en-reference model — three count-conditioned discounts (D1 via the
+    * 1 − 2Y·n2/n1 = Y identity, D2/D3 by the HUGEINT formula with the
+    * k − ½ midpoint fallback and [1, k·2^S−1] clamp) and the
+    * count-conditioned fan-outs N1/N2/N3+(v·) in λ(v). Same HUGEINT log
+    * ladder; integer products distribute exactly, so the λ·(cw+1) form
+    * matches the engine bit-for-bit. */
+  private val mknSqlPrefix: String =
+    s"""WITH RECURSIVE
+      |tkr AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE lang = 'en'),
+      |ar AS (SELECT list_prepend(chr(1), ts) AS arr FROM tkr),
+      |bgr AS (SELECT unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok FROM ar),
+      |m AS MATERIALIZED (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM bgr GROUP BY 1, 2),
+      |cx AS MATERIALIZED (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS ctx,
+      |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nv1,
+      |  CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nv2,
+      |  CAST(SUM(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nv3 FROM m GROUP BY 1),
+      |cw AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cw FROM m GROUP BY 1),
+      |gs AS (SELECT CAST(COUNT(*) AS BIGINT) AS t, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v,
+      |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN cnt = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      |    CAST(SUM(CASE WHEN cnt = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4 FROM m),
+      |gq AS (SELECT t, v,
+      |  CASE WHEN n1 + 2*n2 = 0 THEN CAST(512 AS BIGINT)
+      |    ELSE least(greatest((n1*1024)//(n1+2*n2), 1), 1023) END AS dq1,
+      |  CASE WHEN n1 + 2*n2 = 0 OR n2 = 0 OR n3 = 0 THEN CAST(1536 AS BIGINT)
+      |    ELSE CAST(least(greatest(2048 - (CAST(3 AS HUGEINT) * 1024 * n1 * n3)
+      |      // (CAST(n1 + 2*n2 AS HUGEINT) * n2), 1), 2047) AS BIGINT) END AS dq2,
+      |  CASE WHEN n1 + 2*n2 = 0 OR n3 = 0 OR n4 = 0 THEN CAST(2560 AS BIGINT)
+      |    ELSE CAST(least(greatest(3072 - (CAST(4 AS HUGEINT) * 1024 * n1 * n4)
+      |      // (CAST(n1 + 2*n2 AS HUGEINT) * n3), 1), 3071) AS BIGINT) END AS dq3
+      |  FROM gs),
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |aa AS (SELECT doc_id, list_prepend(chr(1), ts) AS arr FROM tk),
+      |bg AS (SELECT doc_id, unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok
+      |  FROM aa),
+      |pt AS MATERIALIZED (SELECT b.doc_id,
+      |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN
+      |      CAST(greatest(COALESCE(m.cnt, 0)*1024 -
+      |        CASE WHEN COALESCE(m.cnt, 0) = 1 THEN gq.dq1
+      |          WHEN COALESCE(m.cnt, 0) = 2 THEN gq.dq2 ELSE gq.dq3 END, 0) AS HUGEINT)
+      |        * (gq.t + gq.v)
+      |      + (CAST(gq.dq1 AS HUGEINT) * cx.nv1 + CAST(gq.dq2 AS HUGEINT) * cx.nv2
+      |        + CAST(gq.dq3 AS HUGEINT) * cx.nv3) * (COALESCE(cw.cw, 0) + 1)
       |    ELSE CAST(COALESCE(cw.cw, 0) + 1 AS HUGEINT) END AS num,
       |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN cx.ctx ELSE gq.t + gq.v END AS den1,
       |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN gq.t + gq.v ELSE CAST(1 AS BIGINT) END AS den2,
@@ -5147,6 +5209,100 @@ object ExtQueries {
            |  CASE WHEN sc.ce <= bd.blo THEN 'head'
            |    WHEN sc.ce <= bd.bhi THEN 'middle' ELSE 'tail' END AS bucket
            |FROM sc JOIN bd USING (lang) ORDER BY sc.doc_id""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // MODIFIED Kneser–Ney (scoreKneserNey modified = true — Chen &
+    // Goodman 1999 §3, their empirical winner over plain KN): three
+    // count-conditioned discounts (D1 = Y by identity; D2/D3 with
+    // midpoint fallbacks and per-level clamps) and count-conditioned
+    // fan-outs in the interpolation weight. Discount-formula products
+    // reach ~2^94 at 100 TB type counts, so both engines compute them in
+    // 128-bit (DECIMAL(38,0) div / HUGEINT //).
+    Q(
+      "x145_mkn",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = TextAnalysis.trainBigramLm(docs.filter(col("lang") === "en"), "doc_id", "text")
+        TextAnalysis
+          .scoreKneserNey(docs, model, "doc_id", "text", modified = true)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$mknSqlPrefix,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1)
+           |SELECT doc_id, n_tokens, nll_q20,
+           |  CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce_bits
+           |FROM ag ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Classifier distillation from the LM signal (the FineWeb-Edu /
+    // quality-classifier pattern: an expensive-but-cheaply-supervised
+    // signal becomes the LABEL for a fast linear model that scores
+    // everything thereafter): x143's CCNet-KN head bucket (per-language
+    // KN terciles) labels the corpus, x127's exact integer GD trains on
+    // those labels, and scoreLinearSparse scores every doc — LM → bucket
+    // → label → train → score, ONE hash row. The oracle chains the full
+    // keyed-KN HUGEINT replay into the tercile formula into the
+    // step-by-step training replay into the scoring join.
+    Q(
+      "x144_lm_distill",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val lm = TextAnalysis.trainBigramLm(
+          docs.filter(col("source") === "src0"), "doc_id", "text", Seq("lang"))
+        val labeled = docs.join(
+          TextAnalysis
+            .perplexityBuckets(docs, lm, "doc_id", "text", "lang",
+              exact = true, keyCols = Seq("lang"), smoothing = "kn")
+            .select(
+              col("doc_id"),
+              when(col("bucket") === "head", 1L).otherwise(0L).as("label")),
+          Seq("doc_id"))
+        val model = TextAnalysis.trainLinear(
+          labeled.select(col("doc_id"), col("text"), col("label")),
+          "doc_id", "text", "label",
+          dim = 64, steps = TrainSteps, lrShift = 4, scaleShift = 20)
+        TextAnalysis
+          .scoreLinearSparse(
+            docs, "doc_id", "text",
+            model.frame(s).filter(col("bucket") >= 0), dim = 64, bias = model.bias)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$knLangSqlPrefix,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1),
+           |sc AS MATERIALIZED (SELECT ag.doc_id, d.lang,
+           |    CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce
+           |  FROM ag JOIN documents d USING (doc_id)),
+           |vs AS (SELECT lang, list_sort(list(ce)) AS v, COUNT(*) AS n FROM sc GROUP BY 1),
+           |ps AS (SELECT lang, v, CAST(1 AS DOUBLE) / 3 * (n - 1) AS p1 FROM vs),
+           |bd AS (SELECT lang,
+           |  CASE WHEN ceil(p1) = floor(p1)
+           |      OR v[CAST(floor(p1) AS BIGINT) + 1] = v[CAST(ceil(p1) AS BIGINT) + 1]
+           |    THEN v[CAST(floor(p1) AS BIGINT) + 1]
+           |    ELSE (ceil(p1) - p1) * v[CAST(floor(p1) AS BIGINT) + 1]
+           |      + (p1 - floor(p1)) * v[CAST(ceil(p1) AS BIGINT) + 1] END AS blo
+           |  FROM ps),
+           |${trainLinearCtes(
+             """lab AS MATERIALIZED (SELECT sc.doc_id,
+               |    CASE WHEN sc.ce <= bd.blo THEN 1 ELSE 0 END AS y
+               |  FROM sc JOIN bd USING (lang))""".stripMargin
+           )},
+           |wgt AS (SELECT bucket, CAST(wn AS DOUBLE) / 1048576.0 AS weight
+           |  FROM w$TrainSteps WHERE bucket >= 0),
+           |bias AS (SELECT CAST(wn AS DOUBLE) / 1048576.0 AS b
+           |  FROM w$TrainSteps WHERE bucket = -1),
+           |dots AS (SELECT tf.doc_id, SUM(tf.x * wgt.weight) AS dot
+           |  FROM tf JOIN wgt USING (bucket) GROUP BY 1)
+           |SELECT d.doc_id,
+           |  COALESCE(dots.dot, 0) + (SELECT b FROM bias) AS logit,
+           |  COALESCE(dots.dot, 0) + (SELECT b FROM bias) >= 0 AS keep
+           |FROM documents d LEFT JOIN dots USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
       )
     )
   )

@@ -205,7 +205,22 @@ object DumpPlans {
       "explode joined to the model on (prev, tok) then prev — broadcast at this SF, " +
       "plain hash joins when the model outgrows it — and fixed_log2 is a codegen " +
       "expression inside the projection, so the per-doc NLL sum is one integer " +
-      "HashAggregate. No window, no collect, nothing corpus-pairwise.")
+      "HashAggregate. No window, no collect, nothing corpus-pairwise."),
+    "x141_kneser_ney" -> ("Interpolated Kneser-Ney: all FOUR statistic frames (model, " +
+      "context totals+fan-outs, continuation counts, the 1-row discount/type scalars) " +
+      "are model-sized aggregates of the one (prev, tok, cnt) table — broadcast at this " +
+      "SF, standard hash joins when the model outgrows them. Scoring is the token " +
+      "explode + three left joins + the scalar cross-broadcast; the DECIMAL(38,0) " +
+      "numerator and both fixed-point logs (fixed_log2 + the 128-bit fixed_log2_dec) " +
+      "are codegen expressions inside one projection, so per-doc NLL is again a single " +
+      "integer HashAggregate. The corpus shuffles once (the doc_id sum); nothing " +
+      "corpus-pairwise, nothing collected."),
+    "x144_lm_distill" -> ("The distillation chain (LM -> KN buckets -> labels -> " +
+      "integer-GD training -> scoring): labeling and training are their own bounded-" +
+      "aggregate jobs (the x141 KN shape feeding the x128 VecSum128 training shape — " +
+      "one corpus pass per GD step, driver holds only the weight vector). The plan " +
+      "shown is the final apply: scoring's broadcast weight join over hashedTf. Corpus " +
+      "passes stay count-bounded (label pass + steps + score), never per-group.")
   )
 
   def main(args: Array[String]): Unit = {

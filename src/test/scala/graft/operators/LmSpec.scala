@@ -317,6 +317,45 @@ class LmSpec extends AnyFunSuite with SparkTester {
       TextAnalysis.scoreKneserNey(refDocs, refDocs, "doc_id", "text"))
   }
 
+  test("scoreKneserNey(modified = true): hand-computed three-discount NLLs") {
+    val model = TextAnalysis.trainBigramLm(refDocs, "doc_id", "text")
+    // counts {1,1,1,2} -> n1=3 n2=1 n3=n4=0:
+    //   dq1 = (3*1024) div 5 = 614; dq2/dq3 fall back to the k-1/2
+    //   midpoints 1536/2560 (n3 = 0 starves both estimators)
+    // fan-outs: B -> nv1=2; a -> nv1=1; b -> nv2=1 (the count-2 type)
+    val got = TextAnalysis
+      .scoreKneserNey(Seq((10L, "b a"), (11L, "c c")).toDF("doc_id", "text"),
+        model, "doc_id", "text", modified = true)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .toSeq
+    def lq(x: Long) = FixedLog2.log2q20(x)
+    val s10 = 10L << 20
+    // (B,b): cnt=1, lam(B) = dq1*2 = 1228:
+    //   num = (1024-614)*6 + 1228*(cw(b)+1=3) = 2460 + 3684 = 6144
+    // (b,a): cnt=2 -> D2 branch, lam(b) = dq2*nv2 = 1536:
+    //   num = (2048-1536)*6 + 1536*(cw(a)+1=3) = 3072 + 4608 = 7680
+    val nll10 = (s10 + lq(2) + lq(6) - lq(6144)) + (s10 + lq(2) + lq(6) - lq(7680))
+    // (B,c): cnt=0 -> pure continuation mass: num = lam(B) = 1228
+    // (c,c): unseen context -> num = 1, den = tv = 6
+    val nll11 = (s10 + lq(2) + lq(6) - lq(1228)) + (lq(6) - lq(1))
+    assert(got == Seq(
+      (10L, 2L, nll10, (nll10 / 2).toDouble / 1048576.0),
+      (11L, 2L, nll11, (nll11 / 2).toDouble / 1048576.0)
+    ))
+    // deterministic-corpus invariance: with a single successor per context
+    // and tv = 3, any discount cancels ((k*1024-d)*3 + d*1*3 = 3072k) —
+    // modified and plain KN must agree exactly on the all-"a" corpus
+    val m1 = TextAnalysis.trainBigramLm(
+      Seq((1L, "a a a a"), (2L, "a a a a"), (3L, "a a a a")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val probe = Seq((9L, "a a")).toDF("doc_id", "text")
+    val plain = TextAnalysis.scoreKneserNey(probe, m1, "doc_id", "text")
+    val mkn = TextAnalysis.scoreKneserNey(probe, m1, "doc_id", "text", modified = true)
+    assert(plain.exceptAll(mkn).isEmpty && mkn.exceptAll(plain).isEmpty)
+  }
+
   test("scoreKneserNey: deterministic under repartitioning; separates natural from garble") {
     val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
     val model = TextAnalysis.trainBigramLm(docs.filter($"lang" === "en"), "doc_id", "text")

@@ -259,6 +259,40 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(got.toSet == want && got.size == want.size && got.nonEmpty)
   }
 
+  test("scoreKneserNey under foreachBatch: streamed batches against the static LM == batch scoring") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.DataFrame
+    // same artifact-scorer contract as the add-one test above: the KN
+    // statistics (discount included) are functions of the STATIC model
+    // alone, so micro-batched scoring must equal the batch run exactly
+    val docs = t(spark, sfTiny, "documents")
+    val model = TextAnalysis
+      .trainBigramLm(docs.filter(col("lang") === "en"), "doc_id", "text")
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("kn_stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got ++= TextAnalysis
+          .scoreKneserNey(df, model, "doc_id", "text")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val want = TextAnalysis
+      .scoreKneserNey(docs, model, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.toSet == want && got.size == want.size && got.nonEmpty)
+  }
+
   test("domain filter and bucket tagging run unchanged under streaming (stream-static parity)") {
     import graft.operators.TextAnalysis
     // The production split this pins: domain stats + quantile boundaries
