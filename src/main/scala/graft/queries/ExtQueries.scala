@@ -5212,6 +5212,129 @@ object ExtQueries {
       )
     ),
     // ------------------------------------------------------------------
+    // Distillation QUALITY audit (the FineWeb-Edu ablation, in-engine):
+    // how much of its own supervision signal does x144's distilled
+    // classifier actually capture? Confusion counts of the classifier's
+    // keep decision against the KN-head labels it was trained on, plus
+    // precision/recall (single IEEE divisions of exact integer counts —
+    // both engines land the same double). Exactness is x144's chain plus
+    // one global aggregate; the NUMBER is the ablation: at 3 GD steps
+    // over 64 hash buckets the linear model is a cheap approximation of
+    // the LM signal, and this row says exactly how cheap.
+    Q(
+      "x146_distill_audit",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val lm = TextAnalysis.trainBigramLm(
+          docs.filter(col("source") === "src0"), "doc_id", "text", Seq("lang"))
+        val labels = TextAnalysis
+          .perplexityBuckets(docs, lm, "doc_id", "text", "lang",
+            exact = true, keyCols = Seq("lang"), smoothing = "kn")
+          .select(col("doc_id"), when(col("bucket") === "head", 1L).otherwise(0L).as("label"))
+        val labeled = docs.join(labels, Seq("doc_id"))
+        val model = TextAnalysis.trainLinear(
+          labeled.select(col("doc_id"), col("text"), col("label")),
+          "doc_id", "text", "label",
+          dim = 64, steps = TrainSteps, lrShift = 4, scaleShift = 20)
+        val scored = TextAnalysis.scoreLinearSparse(
+          docs, "doc_id", "text",
+          model.frame(s).filter(col("bucket") >= 0), dim = 64, bias = model.bias)
+        // rank-matched cut: the exact global 2/3 logit quantile selects
+        // ~the same share the head-tercile labels carry, so agreement
+        // ABOVE it measures ranking signal independent of the keep
+        // threshold's calibration (which 3 cheap GD steps never reach)
+        val bq = Quantiles.quantiles(scored, Nil, "logit", Seq(2.0 / 3), exact = true)
+        val bqCol = bq.columns.head
+        scored
+          .join(labels, Seq("doc_id"))
+          .crossJoin(broadcast(bq.select(col(bqCol).as("__bq"))))
+          .agg(
+            sum(when(col("keep") && col("label") === 1L, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("keep") && col("label") === 0L, 1L).otherwise(0L)).as("fp"),
+            sum(when(!col("keep") && col("label") === 1L, 1L).otherwise(0L)).as("fn"),
+            sum(when(!col("keep") && col("label") === 0L, 1L).otherwise(0L)).as("tn"),
+            sum(when(col("logit") > col("__bq") && col("label") === 1L, 1L).otherwise(0L))
+              .as("top_hits"),
+            sum(when(col("logit") > col("__bq"), 1L).otherwise(0L)).as("top_n"),
+            sum(col("label")).as("base_p")
+          )
+          .select(
+            col("tp"), col("fp"), col("fn"), col("tn"),
+            col("top_hits"), col("top_n"), col("base_p"),
+            // NULL when the class is empty (an all-drop classifier at tiny
+            // SF has no defined precision; ANSI would throw on the /0)
+            when(col("tp") + col("fp") === 0L, lit(null).cast("double"))
+              .otherwise(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+              .as("precision"),
+            when(col("tp") + col("fn") === 0L, lit(null).cast("double"))
+              .otherwise(col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+              .as("recall"),
+            when(col("top_n") === 0L, lit(null).cast("double"))
+              .otherwise(col("top_hits").cast("double") / col("top_n").cast("double"))
+              .as("precision_top")
+          )
+      },
+      Some(
+        s"""$knLangSqlPrefix,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1),
+           |sc AS MATERIALIZED (SELECT ag.doc_id, d.lang,
+           |    CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce
+           |  FROM ag JOIN documents d USING (doc_id)),
+           |vs AS (SELECT lang, list_sort(list(ce)) AS v, COUNT(*) AS n FROM sc GROUP BY 1),
+           |ps AS (SELECT lang, v, CAST(1 AS DOUBLE) / 3 * (n - 1) AS p1 FROM vs),
+           |bd AS (SELECT lang,
+           |  CASE WHEN ceil(p1) = floor(p1)
+           |      OR v[CAST(floor(p1) AS BIGINT) + 1] = v[CAST(ceil(p1) AS BIGINT) + 1]
+           |    THEN v[CAST(floor(p1) AS BIGINT) + 1]
+           |    ELSE (ceil(p1) - p1) * v[CAST(floor(p1) AS BIGINT) + 1]
+           |      + (p1 - floor(p1)) * v[CAST(ceil(p1) AS BIGINT) + 1] END AS blo
+           |  FROM ps),
+           |${trainLinearCtes(
+             """lab AS MATERIALIZED (SELECT sc.doc_id,
+               |    CASE WHEN sc.ce <= bd.blo THEN 1 ELSE 0 END AS y
+               |  FROM sc JOIN bd USING (lang))""".stripMargin
+           )},
+           |wgt AS (SELECT bucket, CAST(wn AS DOUBLE) / 1048576.0 AS weight
+           |  FROM w$TrainSteps WHERE bucket >= 0),
+           |bias AS (SELECT CAST(wn AS DOUBLE) / 1048576.0 AS b
+           |  FROM w$TrainSteps WHERE bucket = -1),
+           |dots AS (SELECT tf.doc_id, SUM(tf.x * wgt.weight) AS dot
+           |  FROM tf JOIN wgt USING (bucket) GROUP BY 1),
+           |lgt AS MATERIALIZED (SELECT d.doc_id,
+           |    COALESCE(dots.dot, 0) + (SELECT b FROM bias) AS logit
+           |  FROM documents d LEFT JOIN dots USING (doc_id)),
+           |qv AS (SELECT list_sort(list(logit)) AS v, COUNT(*) AS n FROM lgt),
+           |qp AS (SELECT v, CAST(2 AS DOUBLE) / 3 * (n - 1) AS p2 FROM qv),
+           |qb AS (SELECT
+           |  CASE WHEN ceil(p2) = floor(p2)
+           |      OR v[CAST(floor(p2) AS BIGINT) + 1] = v[CAST(ceil(p2) AS BIGINT) + 1]
+           |    THEN v[CAST(floor(p2) AS BIGINT) + 1]
+           |    ELSE (ceil(p2) - p2) * v[CAST(floor(p2) AS BIGINT) + 1]
+           |      + (p2 - floor(p2)) * v[CAST(ceil(p2) AS BIGINT) + 1] END AS bq
+           |  FROM qp),
+           |cf AS (SELECT
+           |    CAST(SUM(CASE WHEN logit >= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(SUM(CASE WHEN logit >= 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(SUM(CASE WHEN logit < 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |    CAST(SUM(CASE WHEN logit < 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           |    CAST(SUM(CASE WHEN logit > (SELECT bq FROM qb) AND y = 1
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS top_hits,
+           |    CAST(SUM(CASE WHEN logit > (SELECT bq FROM qb)
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS top_n,
+           |    CAST(SUM(y) AS BIGINT) AS base_p
+           |  FROM lgt JOIN lab USING (doc_id))
+           |SELECT tp, fp, fn, tn, top_hits, top_n, base_p,
+           |  CASE WHEN tp + fp = 0 THEN NULL
+           |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+           |  CASE WHEN tp + fn = 0 THEN NULL
+           |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+           |  CASE WHEN top_n = 0 THEN NULL
+           |    ELSE CAST(top_hits AS DOUBLE) / CAST(top_n AS DOUBLE) END AS precision_top
+           |FROM cf""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
     // MODIFIED Kneser–Ney (scoreKneserNey modified = true — Chen &
     // Goodman 1999 §3, their empirical winner over plain KN): three
     // count-conditioned discounts (D1 = Y by identity; D2/D3 with
