@@ -648,6 +648,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge two [[trainTrigramLm]] models — trigram counts are additive
+    * exactly like bigram counts, so `mergeTrigramLm(train(A), train(B))
+    * == train(A ∪ B)` EXACTLY (spec-pinned), closing the one asymmetry
+    * the round-16 audit flagged: the stupid-backoff artifact is now as
+    * incrementally updatable as [[mergeBigramLm]]'s. Because the lower
+    * orders DERIVE from the trigram table (sum over `prev2` reproduces
+    * [[trainBigramLm]] — x139's consistency contract), a merged trigram
+    * model keeps that derivation: derived-bigrams(merge) ==
+    * mergeBigramLm(derived-bigrams) == trainBigramLm(A ∪ B), also
+    * spec-pinned. One union + one (prev2, prev1, tok) sum — the shuffle
+    * is model-sized, not corpus-sized. `keyCols` merges per-key models
+    * built from keyed trigram counts (same column contract). */
+  def mergeTrigramLm(a: DataFrame, b: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    val cols = keyCols ++ Seq("prev2", "prev1", "tok", "cnt")
+    Seq(a, b).foreach(m =>
+      require(
+        cols.forall(m.columns.contains),
+        s"mergeTrigramLm: both sides need (${cols.mkString(", ")}) — build them with trainTrigramLm"
+      )
+    )
+    a.select(cols.map(col): _*)
+      .unionByName(b.select(cols.map(col): _*))
+      .groupBy((keyCols ++ Seq("prev2", "prev1", "tok")).map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+  }
+
   /** Stupid-backoff trigram scoring (Brants et al., EMNLP 2007 §4: the
     * smoothing Google built FOR distributed count-based LMs — no
     * discount fitting, no normalization, just relative frequencies with
@@ -725,22 +751,17 @@ object TextAnalysis {
     ).otherwise(
       bits * 2 + fixedLog2(col("__nv")) - fixedLog2(coalesce(col("__c1"), lit(0L)) + lit(1L))
     )
-    grams
-      .join(tri, Seq("prev2", "prev1", "tok"), "left")
-      .join(ctx3, Seq("prev2", "prev1"), "left")
-      .join(bi, Seq("prev1", "tok"), "left")
-      .join(ctx2, Seq("prev1"), "left")
-      .join(uni, Seq("tok"), "left")
-      .crossJoin(broadcast(nv))
-      .select(col(idCol), nll.as("__nll"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__nll")).as("nll_q20"))
-      .select(
-        col(idCol),
-        col("n_tokens"),
-        col("nll_q20"),
-        (expr("nll_q20 div n_tokens").cast("double") / lit(1048576.0)).as("ce_bits")
-      )
+    nllAggregate(
+      grams
+        .join(tri, Seq("prev2", "prev1", "tok"), "left")
+        .join(ctx3, Seq("prev2", "prev1"), "left")
+        .join(bi, Seq("prev1", "tok"), "left")
+        .join(ctx2, Seq("prev1"), "left")
+        .join(uni, Seq("tok"), "left")
+        .crossJoin(broadcast(nv))
+        .select(col(idCol), nll.as("__nll")),
+      idCol
+    )
   }
 
   /** Score documents under a [[trainBigramLm]] model — per-doc total and
@@ -802,10 +823,20 @@ object TextAnalysis {
           .agg(countDistinct(col("tok")).as("__v"))
         grams.join(broadcast(vByKey), keyCols)
       }
-    withV
-      .join(mdl, keyCols ++ Seq("prev", "tok"), "left")
-      .join(ctx, keyCols :+ "prev", "left")
-      .select(col(idCol), nll.as("__nll"))
+    nllAggregate(
+      withV
+        .join(mdl, keyCols ++ Seq("prev", "tok"), "left")
+        .join(ctx, keyCols :+ "prev", "left")
+        .select(col(idCol), nll.as("__nll")),
+      idCol
+    )
+  }
+
+  /** The shared per-doc tail of every LM scorer: token count, Q20 NLL
+    * total, and the floor-to-grid cross-entropy in bits/token. Expects a
+    * `(idCol, __nll)` frame. */
+  private def nllAggregate(scored: DataFrame, idCol: String): DataFrame =
+    scored
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__nll")).as("nll_q20"))
       .select(
@@ -814,6 +845,192 @@ object TextAnalysis {
         col("nll_q20"),
         (expr("nll_q20 div n_tokens").cast("double") / lit(1048576.0)).as("ce_bits")
       )
+
+  /** `T + V` with the ADVICE-r16 empty-model guard: a keyCols = Nil score
+    * against an EMPTY model still emits one global-aggregate row with
+    * `__t = __v = 0`, which would reach `fixedLog2(0)` and throw the
+    * misleading "corrupted count" error — raise loudly naming the real
+    * cause instead. Plan-level (a `when` + `raise_error`), so the guard
+    * costs no extra pass; keyed mode drops such docs cleanly per the
+    * documented contract and stays unguarded. */
+  private def emptyModelGuard(op: String, keyCols: Seq[String]): Column = {
+    val tv = col("__t") + col("__v")
+    if (keyCols.nonEmpty) tv
+    else
+      when(
+        tv === 0L,
+        raise_error(
+          lit(s"$op: empty model (0 bigram types, 0 vocabulary) — train it with trainBigramLm on a non-empty corpus")
+        ).cast("long")
+      ).otherwise(tv)
+  }
+
+  /** The joined per-token stat frame every continuation-interpolated
+    * scorer starts from: document bigram rows against the model's counts
+    * (`cnt`), context totals and fan-outs (`__ctx`, `__nv`), continuation
+    * counts (`__cw`), and the per-key scalars (`__t` bigram types, `__v`
+    * vocabulary) — broadcast, since keys are languages at most. Shared by
+    * [[scoreJelinekMercer]] and [[scoreWittenBell]] (KN builds the same
+    * frame plus its discount columns). */
+  private def contStatJoin(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    val mdl = model.select((keyCols ++ Seq("prev", "tok", "cnt")).map(col): _*)
+    val ctx = mdl
+      .groupBy((keyCols :+ "prev").map(col): _*)
+      .agg(sum("cnt").as("__ctx"), count(lit(1)).as("__nv"))
+    val cw = mdl.groupBy((keyCols :+ "tok").map(col): _*).agg(count(lit(1)).as("__cw"))
+    val glob = mdl
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__t"), countDistinct(col("tok")).as("__v"))
+    val grams = bigramRows(docs, idCol +: keyCols, textCol)
+    val withG =
+      if (keyCols.isEmpty) grams.crossJoin(broadcast(glob))
+      else grams.join(broadcast(glob), keyCols)
+    withG
+      .join(mdl, keyCols ++ Seq("prev", "tok"), "left")
+      .join(ctx, keyCols :+ "prev", "left")
+      .join(cw, keyCols :+ "tok", "left")
+  }
+
+  /** Jelinek–Mercer interpolated scoring over a [[trainBigramLm]]
+    * artifact (Jelinek & Mercer 1980; Chen & Goodman 1999 §2's simplest
+    * interpolated smoother): a FIXED dyadic mixing weight instead of
+    * KN's estimated discount —
+    *
+    *   seen v:   p = λ·c(v,w)/c(v) + (1−λ)·p_cont(w)
+    *   unseen v: p = p_cont(w)
+    *
+    * with λ = lambdaQ/2^lambdaShift on the dyadic grid and the SAME
+    * add-one continuation distribution as [[scoreKneserNey]]
+    * (`p_cont(w) = (N1+(·w)+1)/(T+V)`) as the lower order, so every
+    * statistic still derives from the one `(prev, tok, cnt)` table and
+    * the artifact stays incrementally mergeable. Exact-grid integers:
+    *
+    *   num = λq·c(v,w)·(T+V) + (2^S−λq)·c(v)·(N1+(·w)+1)
+    *   nll = S·2^20 + lq(c(v)) + lq(T+V) − lqDec(num)
+    *
+    * num ≥ 1 by construction (λq ≤ 2^S−1 keeps the second term ≥ 1);
+    * it reaches ~2^98 at 100 TB counts so it rides DECIMAL(38,0) through
+    * [[graft.functions.FixedLog2.log2q20Dec]] like KN's. Same output
+    * contract and keyed semantics as [[perplexityScore]].
+    *
+    * 100 TB shape: identical to [[scoreKneserNey]] — model-sized stat
+    * aggregates, token explode + three left joins + one broadcast scalar
+    * frame + one per-doc integer sum. */
+  def scoreJelinekMercer(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambdaQ: Long = 1L,
+      lambdaShift: Int = 1,
+      keyCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(
+      (keyCols ++ Seq("prev", "tok", "cnt")).forall(model.columns.contains),
+      s"scoreJelinekMercer: model needs (${(keyCols ++ Seq("prev", "tok", "cnt")).mkString(", ")}) " +
+        "— build it with trainBigramLm under the same keyCols"
+    )
+    require(
+      lambdaShift >= 1 && lambdaShift <= 20,
+      s"scoreJelinekMercer: lambdaShift must be in [1, 20], got $lambdaShift — " +
+        "past 20 the count·2^S product would erode the 100 TB count headroom"
+    )
+    val two = 1L << lambdaShift
+    require(
+      lambdaQ >= 1 && lambdaQ <= two - 1,
+      s"scoreJelinekMercer: lambdaQ must be in [1, ${two - 1}] at lambdaShift=$lambdaShift, got $lambdaQ"
+    )
+    val c = coalesce(col("cnt"), lit(0L))
+    val x = coalesce(col("__ctx"), lit(0L))
+    val cwp1 = coalesce(col("__cw"), lit(0L)) + lit(1L)
+    val tv = emptyModelGuard("scoreJelinekMercer", keyCols)
+    val seen = x > 0L
+    val dec = "decimal(38,0)"
+    // every factor is cast to decimal BEFORE multiplying: c·2^S alone can
+    // pass 2^63 at 100 TB counts with a large lambdaShift — the long
+    // intermediate would wrap silently
+    val numRaw = when(
+      seen,
+      c.cast(dec) * lit(lambdaQ).cast(dec) * tv.cast(dec)
+        + x.cast(dec) * lit(two - lambdaQ).cast(dec) * cwp1.cast(dec)
+    ).otherwise(cwp1.cast(dec))
+    val num = when(
+      numRaw.isNull,
+      raise_error(lit("scoreJelinekMercer: decimal(38,0) numerator overflow — corrupted counts?"))
+        .cast(dec)
+    ).otherwise(numRaw)
+    import graft.functions.LogFunctions.{fixedLog2, fixedLog2Dec}
+    val nll = when(seen, lit(lambdaShift.toLong << 20) + fixedLog2(x) + fixedLog2(tv))
+      .otherwise(fixedLog2(tv)) - fixedLog2Dec(num)
+    nllAggregate(
+      contStatJoin(docs, model, idCol, textCol, keyCols).select(col(idCol), nll.as("__nll")),
+      idCol
+    )
+  }
+
+  /** Witten–Bell scoring over a [[trainBigramLm]] artifact (Witten &
+    * Bell 1991, method C; Chen & Goodman 1999 §2): the mixing weight is
+    * ESTIMATED per context from its type fan-out — contexts with many
+    * distinct successors trust the lower order more —
+    *
+    *   seen v:   p = [c(v,w) + T(v)·p_cont(w)] / [c(v) + T(v)]
+    *   unseen v: p = p_cont(w)
+    *
+    * with `T(v) = N1+(v·)` the context's distinct-successor count and
+    * the same add-one continuation distribution as [[scoreKneserNey]].
+    * No dyadic snap needed — the weights `c(v)/(c(v)+T(v))` are already
+    * exact count ratios:
+    *
+    *   num = c(v,w)·(T+V) + N1+(v·)·(N1+(·w)+1)
+    *   nll = lq(c(v) + N1+(v·)) + lq(T+V) − lqDec(num)
+    *
+    * num ≥ 1 by construction (a seen context has `N1+(v·) ≥ 1`); the
+    * products are SMALLER than KN's (no 2^S factor) and ride the same
+    * DECIMAL(38,0) ladder. Same output contract and keyed semantics as
+    * [[perplexityScore]]; same 100 TB shape as [[scoreKneserNey]]. */
+  def scoreWittenBell(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(
+      (keyCols ++ Seq("prev", "tok", "cnt")).forall(model.columns.contains),
+      s"scoreWittenBell: model needs (${(keyCols ++ Seq("prev", "tok", "cnt")).mkString(", ")}) " +
+        "— build it with trainBigramLm under the same keyCols"
+    )
+    val c = coalesce(col("cnt"), lit(0L))
+    val x = coalesce(col("__ctx"), lit(0L))
+    val nv = coalesce(col("__nv"), lit(0L))
+    val cwp1 = coalesce(col("__cw"), lit(0L)) + lit(1L)
+    val tv = emptyModelGuard("scoreWittenBell", keyCols)
+    val seen = x > 0L
+    val dec = "decimal(38,0)"
+    // nv·(cw+1) can pass 2^63 at 100 TB type counts — cast each factor
+    // to decimal before multiplying, never the long product
+    val numRaw = when(
+      seen,
+      c.cast(dec) * tv.cast(dec) + nv.cast(dec) * cwp1.cast(dec)
+    ).otherwise(cwp1.cast(dec))
+    val num = when(
+      numRaw.isNull,
+      raise_error(lit("scoreWittenBell: decimal(38,0) numerator overflow — corrupted counts?"))
+        .cast(dec)
+    ).otherwise(numRaw)
+    import graft.functions.LogFunctions.{fixedLog2, fixedLog2Dec}
+    val nll = when(seen, fixedLog2(x + nv) + fixedLog2(tv))
+      .otherwise(fixedLog2(tv)) - fixedLog2Dec(num)
+    nllAggregate(
+      contStatJoin(docs, model, idCol, textCol, keyCols).select(col(idCol), nll.as("__nll")),
+      idCol
+    )
   }
 
   /** Interpolated Kneser–Ney scoring over a [[trainBigramLm]] artifact —
@@ -973,7 +1190,7 @@ object TextAnalysis {
     val c = coalesce(col("cnt"), lit(0L))
     val x = coalesce(col("__ctx"), lit(0L))
     val cwp1 = coalesce(col("__cw"), lit(0L)) + lit(1L)
-    val tv = col("__t") + col("__v")
+    val tv = emptyModelGuard("scoreKneserNey", keyCols)
     val seen = x > 0L
     val dec = "decimal(38,0)"
     val numRaw =
@@ -1006,19 +1223,14 @@ object TextAnalysis {
     import graft.functions.LogFunctions.{fixedLog2, fixedLog2Dec}
     val nll = when(seen, lit(discountShift.toLong << 20) + fixedLog2(x) + fixedLog2(tv))
       .otherwise(fixedLog2(tv)) - fixedLog2Dec(num)
-    withG
-      .join(mdl, keyCols ++ Seq("prev", "tok"), "left")
-      .join(ctx, keyCols :+ "prev", "left")
-      .join(cw, keyCols :+ "tok", "left")
-      .select(col(idCol), nll.as("__nll"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__nll")).as("nll_q20"))
-      .select(
-        col(idCol),
-        col("n_tokens"),
-        col("nll_q20"),
-        (expr("nll_q20 div n_tokens").cast("double") / lit(1048576.0)).as("ce_bits")
-      )
+    nllAggregate(
+      withG
+        .join(mdl, keyCols ++ Seq("prev", "tok"), "left")
+        .join(ctx, keyCols :+ "prev", "left")
+        .join(cw, keyCols :+ "tok", "left")
+        .select(col(idCol), nll.as("__nll")),
+      idCol
+    )
   }
 
   /** CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
@@ -1049,11 +1261,17 @@ object TextAnalysis {
       exact: Boolean = false,
       accuracy: Int = 10000,
       keyCols: Seq[String] = Nil,
-      smoothing: String = "addone"
+      smoothing: String = "addone",
+      discountShift: Int = 10,
+      modified: Boolean = false
   ): DataFrame = {
+    // ADVICE r16: discountShift/modified plumb through to the KN scorer so
+    // modified-KN terciles are reachable from the bucket composition;
+    // defaults match scoreKneserNey's, so existing calls are unchanged
     val scored = smoothing match {
       case "addone" => perplexityScore(docs, model, idCol, textCol, keyCols)
-      case "kn" => scoreKneserNey(docs, model, idCol, textCol, keyCols = keyCols)
+      case "kn" =>
+        scoreKneserNey(docs, model, idCol, textCol, discountShift, keyCols, modified)
       case other =>
         throw new IllegalArgumentException(
           s"perplexityBuckets: smoothing must be 'addone' or 'kn', got '$other'")

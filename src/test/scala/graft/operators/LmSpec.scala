@@ -418,4 +418,164 @@ class LmSpec extends AnyFunSuite with SparkTester {
       20L -> "head", 21L -> "middle", 22L -> "tail"
     ))
   }
+
+  test("perplexityBuckets plumbs discountShift/modified through to the KN scorer") {
+    // ADVICE r16: modified-KN terciles must be reachable from the bucket
+    // composition — pin that the plumbed params change the underlying ce
+    // exactly as a direct scoreKneserNey call would
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet").limit(60)
+    val model = TextAnalysis.trainBigramLm(docs.filter($"lang" === "en"), "doc_id", "text")
+    def bucketCe(mod: Boolean, shift: Int) = TextAnalysis
+      .perplexityBuckets(docs, model, "doc_id", "text", "lang",
+        exact = true, smoothing = "kn", discountShift = shift, modified = mod)
+      .select("doc_id", "ce_bits")
+    def directCe(mod: Boolean, shift: Int) = TextAnalysis
+      .scoreKneserNey(docs, model, "doc_id", "text", discountShift = shift, modified = mod)
+      .select("doc_id", "ce_bits")
+    Seq((false, 10), (true, 10), (false, 6)).foreach { case (mod, shift) =>
+      val a = bucketCe(mod, shift); val b = directCe(mod, shift)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"(mod=$mod, shift=$shift)")
+    }
+  }
+
+  // ---- mergeTrigramLm: the stupid-backoff artifact's incremental merge ----
+
+  test("mergeTrigramLm: merge == retrain, derived bigrams stay consistent, scoring identical") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val a = docs.filter($"doc_id" % 3 === 0)
+    val b = docs.filter($"doc_id" % 3 =!= 0)
+    val merged = TextAnalysis.mergeTrigramLm(
+      TextAnalysis.trainTrigramLm(a, "doc_id", "text"),
+      TextAnalysis.trainTrigramLm(b, "doc_id", "text")
+    )
+    val whole = TextAnalysis.trainTrigramLm(docs, "doc_id", "text")
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    // x139's consistency contract HOLDS THROUGH the merge: bigrams derived
+    // from the merged trigram table == trainBigramLm on the union ==
+    // mergeBigramLm of the per-half derived bigrams
+    def derive(m: org.apache.spark.sql.DataFrame) =
+      m.groupBy("prev1", "tok").agg(sum("cnt").as("cnt"))
+        .select($"prev1".as("prev"), $"tok", $"cnt")
+    val fromMerged = derive(merged)
+    val direct = TextAnalysis.trainBigramLm(docs, "doc_id", "text")
+    assert(fromMerged.exceptAll(direct).isEmpty && direct.exceptAll(fromMerged).isEmpty)
+    val mergedLower = TextAnalysis.mergeBigramLm(
+      derive(TextAnalysis.trainTrigramLm(a, "doc_id", "text")),
+      derive(TextAnalysis.trainTrigramLm(b, "doc_id", "text"))
+    )
+    assert(fromMerged.exceptAll(mergedLower).isEmpty && mergedLower.exceptAll(fromMerged).isEmpty)
+    // and the merged model SCORES identically — the artifact contract
+    val probe = docs.limit(20)
+    val sa = TextAnalysis.scoreStupidBackoff(probe, merged, "doc_id", "text")
+    val sb = TextAnalysis.scoreStupidBackoff(probe, whole, "doc_id", "text")
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.mergeTrigramLm(whole, Seq((1L, "x")).toDF("doc_id", "text"))
+    }
+  }
+
+  // ---- Jelinek–Mercer / Witten–Bell: the remaining classic smoothers ----
+
+  test("scoreJelinekMercer: hand-computed dyadic-lambda NLLs, both branches") {
+    val model = TextAnalysis.trainBigramLm(refDocs, "doc_id", "text")
+    // model: (B,a):1 (B,b):1 (a,b):1 (b,a):2
+    // ctx: B->2, a->1, b->2; cw: a->2, b->2; T=4, V=2, tv=6
+    def lq(x: Long) = FixedLog2.log2q20(x)
+    val s1 = 1L << 20
+    val got = TextAnalysis
+      .scoreJelinekMercer(Seq((10L, "a b"), (11L, "c c")).toDF("doc_id", "text"),
+        model, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    // λ = 1/2: (B,a) num = 1·1·6 + 2·1·3 = 12  (p = 12/24 = ½·½ + ½·(3/6))
+    //          (a,b) num = 1·1·6 + 1·1·3 = 9   (p = 9/12 = ½·1 + ½·(3/6))
+    val nll10 = (s1 + lq(2) + lq(6) - lq(12)) + (s1 + lq(1) + lq(6) - lq(9))
+    // (B,c): seen ctx, cnt=0 -> num = 2·1·1 = 2   (p = 2/24 = ½·(1/6))
+    // (c,c): unseen context -> p_cont: num = 1, den = tv = 6
+    val nll11 = (s1 + lq(2) + lq(6) - lq(2)) + (lq(6) - lq(1))
+    assert(got == Seq(
+      (10L, 2L, nll10, (nll10 / 2).toDouble / 1048576.0),
+      (11L, 2L, nll11, (nll11 / 2).toDouble / 1048576.0)
+    ))
+    // non-default λ = 3/4: (B,a) num = 1·3·6 + 2·1·3 = 24 (p = 24/48 = ¾·½ + ¼·½)
+    val s2 = 2L << 20
+    val g34 = TextAnalysis
+      .scoreJelinekMercer(Seq((10L, "a")).toDF("doc_id", "text"),
+        model, "doc_id", "text", lambdaQ = 3L, lambdaShift = 2)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(g34._3 == s2 + lq(2) + lq(6) - lq(24))
+    intercept[IllegalArgumentException](
+      TextAnalysis.scoreJelinekMercer(refDocs, model, "doc_id", "text", lambdaQ = 2L, lambdaShift = 1))
+    intercept[IllegalArgumentException](
+      TextAnalysis.scoreJelinekMercer(refDocs, model, "doc_id", "text", lambdaShift = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.scoreJelinekMercer(refDocs, refDocs, "doc_id", "text"))
+  }
+
+  test("scoreWittenBell: hand-computed fan-out-weighted NLLs, both branches") {
+    val model = TextAnalysis.trainBigramLm(refDocs, "doc_id", "text")
+    // ctx: B->2(nv 2), a->1(nv 1), b->2(nv 1); cw: a->2, b->2; T=4, V=2, tv=6
+    def lq(x: Long) = FixedLog2.log2q20(x)
+    val got = TextAnalysis
+      .scoreWittenBell(Seq((10L, "a b"), (11L, "c c")).toDF("doc_id", "text"),
+        model, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    // (B,a): num = 1·6 + 2·3 = 12, den = (2+2)·6   (p = ½ = [1 + 2·½]/4)
+    // (a,b): num = 1·6 + 1·3 = 9,  den = (1+1)·6   (p = ¾ = [1 + ½]/2)
+    val nll10 = (lq(4) + lq(6) - lq(12)) + (lq(2) + lq(6) - lq(9))
+    // (B,c): cnt=0 -> num = 2·1 = 2, den = 4·6     (p = 1/12 = [2·(1/6)]/4)
+    // (c,c): unseen context -> p_cont: num = 1, den = tv = 6
+    val nll11 = (lq(4) + lq(6) - lq(2)) + (lq(6) - lq(1))
+    assert(got == Seq(
+      (10L, 2L, nll10, (nll10 / 2).toDouble / 1048576.0),
+      (11L, 2L, nll11, (nll11 / 2).toDouble / 1048576.0)
+    ))
+    intercept[IllegalArgumentException](
+      TextAnalysis.scoreWittenBell(refDocs, refDocs, "doc_id", "text"))
+  }
+
+  test("JM/WB: deterministic under repartitioning; keyed pass == per-language alone") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val model = TextAnalysis.trainBigramLm(docs.filter($"lang" === "en"), "doc_id", "text")
+    Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "jm" -> (d => TextAnalysis.scoreJelinekMercer(d, model, "doc_id", "text")),
+      "wb" -> (d => TextAnalysis.scoreWittenBell(d, model, "doc_id", "text"))
+    ).foreach { case (n, f) =>
+      val a = f(docs); val b = f(docs.repartition(7))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$n not deterministic")
+    }
+    val keyed = TextAnalysis.trainBigramLm(docs, "doc_id", "text", Seq("lang"))
+    val sKeyed = TextAnalysis
+      .scoreWittenBell(docs, keyed, "doc_id", "text", keyCols = Seq("lang"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val sub = docs.filter($"lang" === "zh")
+    val sSub = TextAnalysis.scoreWittenBell(
+      sub, TextAnalysis.trainBigramLm(sub, "doc_id", "text"), "doc_id", "text")
+    val gotL = sKeyed.filter($"lang" === "zh").drop("lang")
+    assert(gotL.exceptAll(sSub).isEmpty && sSub.exceptAll(gotL).isEmpty)
+  }
+
+  // ---- ADVICE r16: the empty-model guard ----
+
+  test("empty model at keyCols = Nil raises the real cause, keyed mode drops cleanly") {
+    val empty = TextAnalysis.trainBigramLm(
+      refDocs.filter($"doc_id" < 0), "doc_id", "text")
+    Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      "kn" -> (() => TextAnalysis.scoreKneserNey(refDocs, empty, "doc_id", "text")),
+      "jm" -> (() => TextAnalysis.scoreJelinekMercer(refDocs, empty, "doc_id", "text")),
+      "wb" -> (() => TextAnalysis.scoreWittenBell(refDocs, empty, "doc_id", "text"))
+    ).foreach { case (n, f) =>
+      val e = intercept[Throwable](f().collect())
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("empty model"), s"$n raised the wrong error: $msgs")
+    }
+    // keyed mode: the empty model has no keys, so every doc drops — no row,
+    // no misleading error (the documented contract)
+    val emptyKeyed = TextAnalysis.trainBigramLm(
+      refDocs.filter($"doc_id" < 0).withColumn("lang", lit("en")),
+      "doc_id", "text", Seq("lang"))
+    assert(TextAnalysis
+      .scoreKneserNey(refDocs.withColumn("lang", lit("en")), emptyKeyed,
+        "doc_id", "text", keyCols = Seq("lang"))
+      .isEmpty)
+  }
 }
