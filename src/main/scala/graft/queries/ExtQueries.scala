@@ -354,6 +354,41 @@ object ExtQueries {
       |    LEFT JOIN cw ON cw.lang = b.lang AND cw.tok = b.tok),
       |$knLogReplayCtes""".stripMargin
 
+  /** x148/x149 shared replay scaffolding: the en-reference bigram model
+    * with context totals+fan-outs (cx), continuation counts (cw), and the
+    * (T, V) scalars — the [[knSqlPrefix]] chain minus the discount
+    * estimator; `ptCols` supplies the per-smoother num/den1/den2/adq CASE
+    * columns feeding the shared HUGEINT log ladder. */
+  private def contSqlPrefix(ptCols: String): String =
+    s"""WITH RECURSIVE
+      |tkr AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE lang = 'en'),
+      |ar AS (SELECT list_prepend(chr(1), ts) AS arr FROM tkr),
+      |bgr AS (SELECT unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok FROM ar),
+      |m AS MATERIALIZED (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM bgr GROUP BY 1, 2),
+      |cx AS MATERIALIZED (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS ctx,
+      |  CAST(COUNT(*) AS BIGINT) AS nv FROM m GROUP BY 1),
+      |cw AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cw FROM m GROUP BY 1),
+      |gq AS (SELECT CAST(COUNT(*) AS BIGINT) AS t, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      |  FROM m),
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |aa AS (SELECT doc_id, list_prepend(chr(1), ts) AS arr FROM tk),
+      |bg AS (SELECT doc_id, unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok
+      |  FROM aa),
+      |pt AS MATERIALIZED (SELECT b.doc_id,
+      |$ptCols
+      |  FROM bg b LEFT JOIN m USING (prev, tok) LEFT JOIN cx ON b.prev = cx.prev
+      |    LEFT JOIN cw ON b.tok = cw.tok CROSS JOIN gq),
+      |$knLogReplayCtes""".stripMargin
+
+  /** The shared `(doc_id, n_tokens, nll_q20, ce_bits)` oracle tail of the
+    * LM scoring replays. */
+  private val nllSqlTail: String =
+    """ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1)
+      |SELECT doc_id, n_tokens, nll_q20,
+      |  CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce_bits
+      |FROM ag ORDER BY doc_id""".stripMargin
+
   private val scoreLinearSql =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS h60 FROM toks),
@@ -5426,6 +5461,159 @@ object ExtQueries {
            |  COALESCE(dots.dot, 0) + (SELECT b FROM bias) >= 0 AS keep
            |FROM documents d LEFT JOIN dots USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // LM-GATED curation — the complete CCNet-gated curation story in one
+    // row (Wenzek 2020's deployment: the perplexity filter sits IN FRONT
+    // of the cleaning pipeline): x143's per-language KN terciles keep
+    // head+middle, and the survivors flow through the full x65 pipeline
+    // (quality gate -> exact dedup -> MinHash-LSH near-dup removal ->
+    // fingerprint decontamination -> mixture resampling -> split). The
+    // oracle chains the keyed-KN HUGEINT replay into the tercile formula
+    // into the entire x65 curate chain.
+    Q(
+      "x147_lm_curate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val lm = TextAnalysis.trainBigramLm(
+          docs.filter(col("source") === "src0"), "doc_id", "text", Seq("lang"))
+        val gated = docs.join(
+          TextAnalysis
+            .perplexityBuckets(docs, lm, "doc_id", "text", "lang",
+              exact = true, keyCols = Seq("lang"), smoothing = "kn")
+            .filter(col("bucket") =!= "tail")
+            .select("doc_id"),
+          Seq("doc_id"))
+        Pipeline
+          .curate(
+            gated,
+            "doc_id",
+            "text",
+            docs.filter(col("doc_id") % 7 === 0),
+            "lang",
+            Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            minQuality = 0.6,
+            nearDupThreshold = 0.8
+          )
+          .select("doc_id", "lang", "source", "split")
+          .orderBy("doc_id")
+      },
+      Some {
+        val quality =
+          """round(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+            |  + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0), 6)""".stripMargin
+        s"""$knLangSqlPrefix,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1),
+           |sc AS MATERIALIZED (SELECT ag.doc_id, d.lang,
+           |    CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce
+           |  FROM ag JOIN documents d USING (doc_id)),
+           |vs AS (SELECT lang, list_sort(list(ce)) AS v, COUNT(*) AS n FROM sc GROUP BY 1),
+           |ps AS (SELECT lang, v, CAST(2 AS DOUBLE) / 3 * (n - 1) AS p2 FROM vs),
+           |bd AS (SELECT lang,
+           |  CASE WHEN ceil(p2) = floor(p2)
+           |      OR v[CAST(floor(p2) AS BIGINT) + 1] = v[CAST(ceil(p2) AS BIGINT) + 1]
+           |    THEN v[CAST(floor(p2) AS BIGINT) + 1]
+           |    ELSE (ceil(p2) - p2) * v[CAST(floor(p2) AS BIGINT) + 1]
+           |      + (p2 - floor(p2)) * v[CAST(ceil(p2) AS BIGINT) + 1] END AS bhi
+           |  FROM ps),
+           |gated AS (SELECT sc.doc_id FROM sc JOIN bd USING (lang) WHERE sc.ce <= bd.bhi),
+           |passed AS (SELECT d.doc_id, d.text, d.lang, d.source FROM documents d
+           |  JOIN gated USING (doc_id) WHERE $quality >= 0.6),
+           |dedup AS (SELECT doc_id, text, lang, source FROM (
+           |  SELECT doc_id, text, lang, source,
+           |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |  FROM passed) t WHERE rn = 1),
+           |${shingleCteFrom("dedup")},
+           |$minhashCtes,
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+           |inter AS (SELECT c.d1, c.d2, COUNT(*) AS ni FROM cand c
+           |  JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+           |  GROUP BY 1, 2),
+           |prs AS (SELECT d1, d2 FROM inter
+           |  JOIN sizes sa ON sa.doc_id = inter.d1
+           |  JOIN sizes sb ON sb.doc_id = inter.d2
+           |  WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.8),
+           |cleaned AS (SELECT * FROM dedup WHERE doc_id NOT IN (SELECT d2 FROM prs)),
+           |fp AS (SELECT doc_id,
+           |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS f
+           |  FROM documents),
+           |decon AS (SELECT c.* FROM cleaned c JOIN fp ON fp.doc_id = c.doc_id
+           |  WHERE fp.f NOT IN (SELECT DISTINCT f FROM fp WHERE doc_id % 7 = 0)),
+           |n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS ng FROM decon GROUP BY 1),
+           |shr AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.15),
+           |       ('es', 0.1), ('zh', 0.05)) AS t(lang, share)),
+           |j AS (SELECT n.lang, ng, share, ng / share AS demand FROM n JOIN shr USING (lang)),
+           |smx AS (SELECT min(demand) AS smax FROM j),
+           |r AS (SELECT lang, share * smax / ng AS rate FROM j CROSS JOIN smx),
+           |mixed AS (SELECT d.doc_id, d.lang, d.source,
+           |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15) AS BIGINT) % 1000 AS hb
+           |  FROM decon d JOIN r USING (lang)
+           |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15) AS BIGINT) % 1000
+           |        < rate * 1000)
+           |SELECT doc_id, lang, source,
+           |  CASE WHEN hb < 800 THEN 'train' WHEN hb < 900 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM mixed ORDER BY doc_id""".stripMargin
+      }
+    ),
+    // ------------------------------------------------------------------
+    // Jelinek–Mercer interpolation (scoreJelinekMercer — Chen & Goodman
+    // 1999 §2's simplest interpolated smoother): fixed dyadic λ = 1/2
+    // mixing the bigram ML estimate with the add-one continuation
+    // distribution, same trainBigramLm artifact, same exact Q20 grid and
+    // HUGEINT log ladder as the KN replay.
+    Q(
+      "x148_jelinek_mercer",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model =
+          TextAnalysis.trainBigramLm(docs.filter(col("lang") === "en"), "doc_id", "text")
+        TextAnalysis.scoreJelinekMercer(docs, model, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(
+        s"""${contSqlPrefix(
+            """    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN
+              |      CAST(COALESCE(m.cnt, 0) AS HUGEINT) * (gq.t + gq.v)
+              |      + CAST(cx.ctx AS HUGEINT) * (COALESCE(cw.cw, 0) + 1)
+              |    ELSE CAST(COALESCE(cw.cw, 0) + 1 AS HUGEINT) END AS num,
+              |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN cx.ctx ELSE gq.t + gq.v END AS den1,
+              |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN gq.t + gq.v
+              |      ELSE CAST(1 AS BIGINT) END AS den2,
+              |    CAST(CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN 1048576 ELSE 0 END AS BIGINT) AS adq""".stripMargin
+          )},
+           |$nllSqlTail""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Witten–Bell smoothing (scoreWittenBell — Witten & Bell 1991 method
+    // C): per-context mixing weight from the type fan-out N1+(v·), no
+    // dyadic snap needed (the weights are exact count ratios), same
+    // artifact, grid, and ladder.
+    Q(
+      "x149_witten_bell",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model =
+          TextAnalysis.trainBigramLm(docs.filter(col("lang") === "en"), "doc_id", "text")
+        TextAnalysis.scoreWittenBell(docs, model, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(
+        s"""${contSqlPrefix(
+            """    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN
+              |      CAST(COALESCE(m.cnt, 0) AS HUGEINT) * (gq.t + gq.v)
+              |      + CAST(cx.nv AS HUGEINT) * (COALESCE(cw.cw, 0) + 1)
+              |    ELSE CAST(COALESCE(cw.cw, 0) + 1 AS HUGEINT) END AS num,
+              |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN cx.ctx + cx.nv
+              |      ELSE gq.t + gq.v END AS den1,
+              |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN gq.t + gq.v
+              |      ELSE CAST(1 AS BIGINT) END AS den2,
+              |    CAST(0 AS BIGINT) AS adq""".stripMargin
+          )},
+           |$nllSqlTail""".stripMargin
       )
     )
   )
