@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
 
 /** Benchmark entrypoint: one JSON line with per-query wall time.
   *
@@ -9,11 +10,48 @@ import org.apache.spark.sql.SparkSession
   * showed phantom 4-27x regressions that evaporated under low load). The
   * JSON line also records the 1-minute system load average at start and end
   * so a contaminated run is detectable from the artifact itself.
+  *
+  * Timeout-proofing (round-16 lesson: the driver's only perf record was
+  * LOST to a host-load rc=124 because per-query timings were written only
+  * at the end): BENCH_LAST.json is atomically rewritten after EVERY query
+  * completes, carrying `"partial": true` until the final write — a killed
+  * run always leaves a parsable artifact holding every per-query number
+  * measured so far. The clean-run final record keeps the same keys as
+  * before (plus the canary/partial fields), and the compact stdout summary
+  * stays the process's last line.
+  *
+  * Noise calibration: a fixed-work CANARY (constant synthetic input, no
+  * parquet — range → hash keys → one shuffle → aggregate) runs at every
+  * pass boundary. Its wall time moves with host contention but never with
+  * repo code, so cross-round query ratios can be read normalized by the
+  * canary ratio instead of adjudicated by cross-file load archaeology.
+  *
+  * Inline-retrain budget: queries in `SPARK_GRAFT_BENCH_HEAVY` (default:
+  * the four whole-chain training replays — they retrain per run BY DESIGN;
+  * deployment reads persisted artifacts) run in pass 1 only. That is the
+  * "train once per bench process" cost bound: the repeated passes pay for
+  * every ordinary query's min-of-runs noise floor without re-paying the
+  * training chains, and the artifact lists them under `"single_pass"` so
+  * the asymmetry is visible (their one sample is adjudicated against the
+  * per-pass canary instead of a second sample).
   */
 object Bench {
   private def loadAvg(): Double =
     try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
+
+  /** Atomic replace: a reader (or a kill) never observes a torn file. */
+  private def atomicWrite(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(
+      tmp,
+      p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING
+    )
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,44 +99,96 @@ object Bench {
         case e: Throwable => System.err.println(s"[bench] $name failed: $e"); None
       }
     }
+    // fixed-work canary: 16M synthetic rows, one hash-keyed shuffle, one
+    // aggregate — no parquet, no repo operator, constant by construction.
+    // Runs at every pass boundary; its ratio across rounds measures the
+    // HOST, so a query ratio divided by the canary ratio reads as code.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark
+        .range(0L, 16000000L, 1L, 32)
+        .selectExpr("id % 9973 AS k", "(id * 2654435761) % 1000003 AS v")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("s"),
+          org.apache.spark.sql.functions.count("*").as("c"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // whole-chain training replays retrain inline BY DESIGN (deployment
+    // reads persisted artifacts); run them once per process, not per pass
+    val heavy = sys.env
+      .getOrElse(
+        "SPARK_GRAFT_BENCH_HEAVY",
+        "x133_train_mix,x144_lm_distill,x146_distill_audit,x147_lm_curate")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val singlePass = ordered.map(_._1).filter(heavy.contains)
     // run the full suite `runs` times (round-robin, not back-to-back per
     // query) so a transient load spike can't poison both samples of the
     // same query; min-of-runs then discards whichever pass was contended.
     // The load average is sampled at each pass boundary so the artifact
     // itself shows WHICH pass was contended.
-    val loadSamples = scala.collection.mutable.ArrayBuffer[Double]()
-    val samples: Seq[Map[String, Option[Double]]] =
-      (1 to runs).map { _ =>
-        loadSamples += loadAvg()
-        ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
-      }
-    loadSamples += loadAvg()
-    val results: Map[String, Double] = ordered.flatMap { case (n, _) =>
-      val ok = samples.flatMap(_(n))
-      if (ok.nonEmpty) Some(n -> ok.min) else None
-    }.toMap
-    val failed = ordered.map(_._1).filter(n => samples.flatMap(_(n)).isEmpty)
-    val load1 = loadAvg()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // per-query times from EVERY pass (null = that pass failed), so a
-    // single-query swing between rounds is adjudicable from ONE artifact:
-    // both passes high = real; one pass high with a high load sample at
-    // that pass boundary = load, no cross-file archaeology needed
-    val samplesJson = ordered
-      .map { case (n, _) =>
+    val loadSamples = mutable.ArrayBuffer[Double]()
+    val canarySecs = mutable.ArrayBuffer[Double]()
+    val samples = mutable.ArrayBuffer[mutable.LinkedHashMap[String, Option[Double]]]()
+    val lastPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+
+    def fmtD(v: Double): String = f"$v%.6f"
+    // the full record from whatever has been measured so far; identical
+    // shape for the partial flushes and the final write
+    def record(partial: Boolean): String = {
+      val done = ordered.map(_._1).filter(n => samples.exists(_.contains(n)))
+      val results: Map[String, Double] = done.flatMap { n =>
+        val ok = samples.flatMap(_.get(n).flatten)
+        if (ok.nonEmpty) Some(n -> ok.min) else None
+      }.toMap
+      val failed = done.filter(n => samples.flatMap(_.get(n).flatten).isEmpty)
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      // per-query times from EVERY pass (null = that pass failed or was
+      // skipped as single_pass), so a single-query swing between rounds is
+      // adjudicable from ONE artifact: both passes high = real; one pass
+      // high with a high load sample at that pass boundary = load
+      val samplesJson = done.map { n =>
         val arr = samples
-          .map(_(n).map(v => f"$v%.6f").getOrElse("null"))
+          .map(_.get(n).flatten.map(fmtD).getOrElse("null"))
           .mkString("[", ",", "]")
         s"\"$n\":$arr"
+      }.mkString("{", ",", "}")
+      val loadSamplesJson = loadSamples.map(v => f"$v%.2f").mkString("[", ",", "]")
+      val canaryJson = canarySecs.map(fmtD).mkString("[", ",", "]")
+      val canaryMin = if (canarySecs.nonEmpty) fmtD(canarySecs.min) else "null"
+      val singlePassJson = singlePass.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"load_samples":$loadSamplesJson,"canary_secs":$canaryJson,"canary_sec":$canaryMin,"single_pass":$singlePassJson,"failed":$failedJson,"sf":"$sfDir","runs":$runs,"load_start":$load0,"load_end":${loadAvg()},"load_gate_waited":$waited,"load_warning":$loadWarning,"partial":$partial}"""
+    }
+    def flushPartial(): Unit =
+      try atomicWrite(lastPath, record(partial = true) + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] partial flush failed: $e") }
+
+    (1 to runs).foreach { pass =>
+      loadSamples += loadAvg()
+      canarySecs += canaryOnce()
+      flushPartial()
+      val m = mutable.LinkedHashMap[String, Option[Double]]()
+      samples += m
+      ordered.foreach { case (n, f) =>
+        if (pass == 1 || !heavy.contains(n)) {
+          m(n) = timeOnce(n, f)
+          flushPartial()
+        }
       }
-      .mkString("{", ",", "}")
-    val loadSamplesJson = loadSamples.map(v => f"$v%.2f").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"load_samples":$loadSamplesJson,"failed":$failedJson,"sf":"$sfDir","runs":$runs,"load_start":$load0,"load_end":$load1,"load_gate_waited":$waited,"load_warning":$loadWarning}"""
+    }
+    loadSamples += loadAvg()
+    canarySecs += canaryOnce()
+    val json = record(partial = false)
+    val results: Map[String, Double] = ordered.map(_._1).flatMap { n =>
+      val ok = samples.flatMap(_.get(n).flatten)
+      if (ok.nonEmpty) Some(n -> ok.min) else None
+    }.toMap
+    val failed = ordered.map(_._1).filter(n => samples.flatMap(_.get(n).flatten).isEmpty)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
     // the round artifact captures a bounded stdout TAIL: stop Spark FIRST so
     // no shutdown log lines follow the JSON, write the full record to a file
     // (r6/r7 artifacts lost 4-5 per-query times off the front of the
@@ -108,17 +198,16 @@ object Bench {
     // contended or partially-failed run the quiet file is NOT rewritten, so
     // the final summary must point at the file holding this run's record,
     // not a stale quiet reference
-    val written = scala.collection.mutable.ArrayBuffer[String]()
+    val written = mutable.ArrayBuffer[String]()
     try {
-      val lastPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(lastPath), json + "\n")
+      atomicWrite(lastPath, json + "\n")
       written += lastPath
       // keep the most recent CLEAN run alongside BENCH_LAST so a contaminated
       // latest run never erases the quiet-box reference point
       if (!loadWarning && failed.isEmpty) {
         val quietPath =
           sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_OUT", "/root/repo/BENCH_QUIET.json")
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(quietPath), json + "\n")
+        atomicWrite(quietPath, json + "\n")
         written += quietPath
       }
     } catch { case e: Throwable => System.err.println(s"[bench] result-file write failed: $e") }
@@ -130,10 +219,13 @@ object Bench {
     // the round artifact parses standalone; the per-query record is the
     // committed BENCH_LAST/BENCH_QUIET file.
     println(json)
+    val loadSamplesJson = loadSamples.map(v => f"$v%.2f").mkString("[", ",", "]")
+    val canaryJson = canarySecs.map(fmtD).mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""failed":$failedJson,"sf":"$sfDir","runs":$runs,""" +
-        s""""load_samples":$loadSamplesJson,"load_gate_waited":$waited,""" +
+        s""""load_samples":$loadSamplesJson,"canary_secs":$canaryJson,""" +
+        s""""load_gate_waited":$waited,""" +
         s""""load_warning":$loadWarning,"queries_files":${written.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     )
   }

@@ -272,4 +272,49 @@ object Pipeline {
       semDelta = Similarity.semIndex(survivors, idCol, vecCol, centroids)
     )
   }
+
+  /** The STREAMING face of the CCNet perplexity filter: keep rows whose
+    * cross-entropy under the persisted reference LM is at most
+    * `maxCeBits`. [[TextAnalysis.perplexityBuckets]]' terciles are
+    * corpus-global — a micro-batch cannot see the corpus — so continuous
+    * ingestion applies a FIXED threshold calibrated offline (CCNet as
+    * deployed: cutoffs computed once on the reference corpus, applied as
+    * constants thereafter; re-derive them periodically from the batch
+    * tercile query when the corpus drifts). The scorers are pure
+    * functions of the STATIC model artifact, so this gate is stateless
+    * per batch and streamed == batch parity is exact (the spec pins the
+    * full lmGate → [[curateIncremental]] composition on planted dups and
+    * tail-perplexity docs straddling micro-batches).
+    *
+    * `smoothing` follows [[TextAnalysis.perplexityBuckets]]: `"kn"` (the
+    * quality standard, default here because the threshold is calibrated
+    * on KN terciles) or `"addone"`. Keyed mode (`keyCols` — per-language
+    * thresholds make cross-language ce comparable) drops rows whose key
+    * has no model, the scorer's documented contract.
+    *
+    * 100 TB shape: the scorer's own (token explode + model-keyed joins +
+    * per-doc sum) plus one id semi-join back to the batch — nothing new. */
+  def lmGate(
+      batch: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxCeBits: Double,
+      keyCols: Seq[String] = Nil,
+      smoothing: String = "kn"
+  ): DataFrame = {
+    val scored = smoothing match {
+      case "kn" =>
+        TextAnalysis.scoreKneserNey(batch, model, idCol, textCol, keyCols = keyCols)
+      case "addone" => TextAnalysis.perplexityScore(batch, model, idCol, textCol, keyCols)
+      case other =>
+        throw new IllegalArgumentException(
+          s"lmGate: smoothing must be 'addone' or 'kn', got '$other'")
+    }
+    batch.join(
+      scored.filter(col("ce_bits") <= maxCeBits).select(col(idCol)),
+      Seq(idCol),
+      "left_semi"
+    )
+  }
 }

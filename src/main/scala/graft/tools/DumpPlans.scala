@@ -220,7 +220,22 @@ object DumpPlans {
       "aggregate jobs (the x141 KN shape feeding the x128 VecSum128 training shape — " +
       "one corpus pass per GD step, driver holds only the weight vector). The plan " +
       "shown is the final apply: scoring's broadcast weight join over hashedTf. Corpus " +
-      "passes stay count-bounded (label pass + steps + score), never per-group.")
+      "passes stay count-bounded (label pass + steps + score), never per-group."),
+    "x149_witten_bell" -> ("Witten-Bell smoothing: the x141 shape minus the discount " +
+      "scalars — the same four model-sized stat aggregates, token explode + three left " +
+      "joins + the 1-row (T, V) cross-broadcast; the fan-out weights are plain count " +
+      "columns already in the context frame, so NO extra join or aggregate vs KN, and " +
+      "the DECIMAL(38,0) numerator products are smaller (no 2^S factor). One corpus " +
+      "shuffle (the per-doc sum), nothing collected."),
+    "x147_lm_curate" -> ("LM-gated curation (the full CCNet deployment): the keyed-KN " +
+      "scoring chain (x141's shape with lang keys) feeds the per-lang tercile " +
+      "boundaries (one grouped quantile aggregate, lang-sized broadcast back), the " +
+      "head+middle id set semi-joins the corpus, and the survivors run the x65 curate " +
+      "chain — quality gate in a codegen Filter, exact-dedup window on the text key, " +
+      "LSH band equi-join (bucket-bounded pair volume), broadcast fingerprint " +
+      "anti-join, |langs|-bounded resample rate broadcast, hash-split projection. " +
+      "Every pair-generating stage stays bucket- or broadcast-bounded; the corpus " +
+      "never cross-joins.")
   )
 
   def main(args: Array[String]): Unit = {

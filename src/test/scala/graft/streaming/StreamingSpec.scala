@@ -851,6 +851,105 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     )
   }
 
+  test("lmGate → curateIncremental: streamed LM-gated curation == sequential, straddling batches") {
+    import graft.operators.{Dedup, Pipeline, Similarity, TextAnalysis}
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    // persisted reference LM: four sentences sharing NO word 3-gram (so
+    // distinct texts can never LSH-collide), each seen 10x
+    val s1 = "the cat sat on the mat"
+    val s2 = "a dog ran in a park"
+    val s3 = "birds fly over tall green trees"
+    val s4 = "fish swim under cold dark water"
+    val g1 = "mat the on sat cat the" // reversal: unseen transitions
+    val g2 = "park a in ran dog a"
+    val ref = Seq(s1, s2, s3, s4).zipWithIndex
+      .flatMap { case (s, i) => (0 until 10).map(k => (i * 100L + k, s)) }
+      .toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(ref, "doc_id", "text").localCheckpoint()
+    // offline threshold calibration, the CCNet deployment shape: natural
+    // text must separate from garble under the persisted model, and the
+    // gate constant is the midpoint
+    val probe = Seq((0L, s1), (1L, s2), (2L, s3), (3L, s4), (4L, "the cat"),
+      (10L, g1), (11L, g2)).toDF("doc_id", "text")
+    val ce = TextAnalysis.scoreKneserNey(probe, lm, "doc_id", "text")
+      .select("doc_id", "ce_bits").as[(Long, Double)].collect().toMap
+    val maxNat = (0L to 4L).map(ce).max
+    val minGar = Seq(10L, 11L).map(ce).min
+    assert(maxNat < minGar, s"LM does not separate: natural <= $maxNat, garble >= $minGar")
+    val thr = (maxNat + minGar) / 2
+    // planted batches: tail-perplexity docs AND text/vec dups straddle the
+    // micro-batch boundaries
+    val good = "https://good.example.com/x"
+    val bad = "https://spam.example.com/x"
+    val va = Seq(1f, 0.02f); val vb = Seq(0.02f, 1f); val vc = Seq(1f, 1f)
+    val batches: Seq[Seq[(Long, String, String, Seq[Float])]] = Seq(
+      Seq(
+        (0L, s1, good, va), // survives
+        (1L, g1, good, vb), // LM gate (tail perplexity) -> never indexed
+        (2L, "the cat", good, vb), // natural-scoring but < 3 tokens -> quality gate
+        (3L, s2, bad, vb) // passes LM, bad domain -> never indexed
+      ),
+      Seq(
+        (10L, s1, good, vc), // text dup of INDEXED 0 -> minhash kill
+        (11L, s2, good, vb), // novel (3 died at the domain gate) -> survives
+        (12L, g2, good, vb) // LM gate, straddled garble
+      ),
+      Seq(
+        (20L, s4, good, va.map(_ * 3f)), // novel text, vec copies INDEXED 0 -> sem kill
+        (21L, s3, good, vc), // cell 0 (tie -> lowest id), cos vs va ~0.72 -> survives
+        (22L, g1, good, Seq(0f, 0f)) // g1 was never indexed; the gate kills it AGAIN
+      )
+    )
+    val quality = size(split(col("text"), " ")) >= 3
+    val splits = Seq(("train", 0.8), ("val", 0.2))
+    val badDomains = Seq("spam.example.com").toDF("domain")
+    val cen = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("doc_id", "vec")
+    val emptyMinhash = Dedup
+      .minhashSignatures(Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", 8)
+    val emptySem = Similarity.semIndex(
+      Seq.empty[(Long, Seq[Float])].toDF("doc_id", "vec"), "doc_id", "vec", cen)
+    def step(mh: DataFrame, sem: DataFrame, batch: DataFrame)
+        : (DataFrame, DataFrame, Seq[(Long, String)]) = {
+      val gated = Pipeline.lmGate(batch, lm, "doc_id", "text", thr)
+      val r = Pipeline.curateIncremental(
+        gated, mh, sem, cen, badDomains,
+        "doc_id", "text", "url", "vec", quality, splits)
+      val ids = r.survivors.select("doc_id", "split").collect()
+        .map(x => (x.getLong(0), x.getString(1))).sortBy(_._1).toSeq
+      (
+        mh.union(r.minhashDelta).localCheckpoint(),
+        sem.unionByName(r.semDelta).localCheckpoint(),
+        ids
+      )
+    }
+    var seqMh = emptyMinhash
+    var seqSem = emptySem
+    val expected = batches.flatMap { rows =>
+      val (m2, s2_, ids) = step(seqMh, seqSem, rows.toDF("doc_id", "text", "url", "vec"))
+      seqMh = m2; seqSem = s2_; ids
+    }
+    assert(expected.map(_._1) == Seq(0L, 11L, 21L), s"planted truth drifted: $expected")
+    // streamed: one MemoryStream batch at a time through foreachBatch
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String, Seq[Float])](spark)
+    var mh = emptyMinhash
+    var sem = emptySem
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = mem
+      .toDF()
+      .toDF("doc_id", "text", "url", "vec")
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val (m2, s2_, ids) = step(mh, sem, df)
+        mh = m2; sem = s2_; accepted ++= ids
+        ()
+      }
+      .start()
+    try batches.foreach { rows => mem.addData(rows); q.processAllAvailable() }
+    finally q.stop()
+    assert(accepted.toSeq == expected, s"streamed $accepted != sequential $expected")
+  }
+
   test("tumbling agg matches the x12 declared query buckets") {
     val viaWindow = EventStreams.tumbling5m(t(spark, sfTiny, "events"))
       .select("bucket_s", "event_type", "n")
