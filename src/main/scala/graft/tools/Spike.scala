@@ -1633,6 +1633,60 @@ object Spike {
         f"natural ${knNat / 1048576.0 / L}%.3f bits/tok vs garble ${knGar / 1048576.0 / L}%.3f " +
         f"(midpoint discount exercised) — gate PASS"
     )
+    // ---- Jelinek–Mercer + Witten–Bell legs (round 17): the SAME artifact
+    // scored by the remaining classic smoothers against their own closed
+    // forms — all statistics are the KN leg's (ctx(BOS) = nDocs with
+    // nv = V, ring ctx = c(L−1) with nv = 1, every N1+(·w) = 2, tv = 3V).
+    // JM at the default dyadic λ = 1/2: a natural BOS transition's
+    // numerator collapses to λq·c·3V + x·(cw+1) = 3nDocs + 3nDocs =
+    // 6·nDocs (c·V = nDocs), the ring's to 3·c(L−1)·(V+1); garble's BOS
+    // num = nDocs cancels against the lq(nDocs) denominator factor
+    // exactly on the integer grid. WB weighs by the fan-outs: the natural
+    // BOS probability is exactly 1/V (num = 3(nDocs+V), den = (nDocs+V)·3V)
+    // — per-FACTOR truncated logs, so the closed form keeps the three-term
+    // shape rather than lq(V).
+    val s1q = 1L << 20
+    val jmNat = (s1q + log2q20(nDocs) + log2q20(3 * V) - log2q20(6 * nDocs)) +
+      (L - 1) * (s1q + log2q20(c * (L - 1)) + log2q20(3 * V) -
+        log2q20(3 * c * (L - 1) * (V + 1)))
+    val jmGar = s1q + L * log2q20(3 * V)
+    val wbNat = (log2q20(nDocs + V) + log2q20(3 * V) - log2q20(3 * (nDocs + V))) +
+      (L - 1) * (log2q20(c * (L - 1) + 1) + log2q20(3 * V) -
+        log2q20(3 * c * (L - 1) * V + 3))
+    val wbGar = (log2q20(nDocs + V) + log2q20(3 * V) - log2q20(V)) +
+      (L - 1) * log2q20(3 * V)
+    def checkScorer(
+        tag: String,
+        score: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        probes: org.apache.spark.sql.DataFrame,
+        want: Long,
+        what: String
+    ): Unit = {
+      val r = score(probes)
+        .agg(count(lit(1)).as("n"), min("nll_q20").as("lo"), max("nll_q20").as("hi"))
+        .collect()(0)
+      require(
+        r.getLong(0) == nProbe && r.getLong(1) == want && r.getLong(2) == want,
+        s"lm-planted $tag $what MISMATCH: n=${r.getLong(0)} " +
+          s"nll=[${r.getLong(1)},${r.getLong(2)}], expected $nProbe x $want"
+      )
+    }
+    val t3 = System.nanoTime()
+    val jm = (d: org.apache.spark.sql.DataFrame) =>
+      graft.operators.TextAnalysis.scoreJelinekMercer(d, model, "doc_id", "text")
+    val wb = (d: org.apache.spark.sql.DataFrame) =>
+      graft.operators.TextAnalysis.scoreWittenBell(d, model, "doc_id", "text")
+    checkScorer("JM", jm, natural, jmNat, "natural")
+    checkScorer("JM", jm, garble, jmGar, "garble")
+    checkScorer("WB", wb, natural, wbNat, "natural")
+    checkScorer("WB", wb, garble, wbGar, "garble")
+    require(jmGar > jmNat, s"lm-planted JM ORDER: garble $jmGar <= natural $jmNat")
+    require(wbGar > wbNat, s"lm-planted WB ORDER: garble $wbGar <= natural $wbNat")
+    println(
+      f"[spike] lm-planted JM/WB legs: ${(System.nanoTime() - t3) / 1e9}%.1fs — " +
+        f"JM natural ${jmNat / 1048576.0 / L}%.3f vs garble ${jmGar / 1048576.0 / L}%.3f, " +
+        f"WB natural ${wbNat / 1048576.0 / L}%.3f vs garble ${wbGar / 1048576.0 / L}%.3f bits/tok — gate PASS"
+    )
   }
 
   /** `runMain graft.tools.Spike curate-incr-planted [nDocs]` — the COMPOSED
