@@ -85,6 +85,40 @@ object Dedup {
     )
   }
 
+  /** Per-document n-gram NOVELTY — the fraction of a doc's distinct word
+    * n-gram shingles that appear in NO other document. The measurement
+    * side of the dedup stack: after a near-dup pass, surviving docs
+    * should read high (their content is theirs alone); a corpus-wide
+    * novelty histogram quantifies residual cross-doc duplication that
+    * pairwise dedup missed (templated spans, quote chains), and a
+    * per-source average localizes which source ships boilerplate.
+    *
+    * `novelty = novel / n_shingles` (novel = shingles with corpus
+    * document-frequency 1), rounded to 6 dp. Docs with fewer than `n`
+    * tokens have no shingles and emit NO row (no defined ratio) — the
+    * [[shingleRows]] convention.
+    *
+    * 100 TB shape: one distinct-(doc, shingle) pass, one shingle-keyed
+    * document-frequency aggregate (map-side partials bound the shuffle
+    * by distinct shingles per partition), one join back on the shingle
+    * key, one per-doc sum — all linear in shingle occurrences, nothing
+    * pairwise. A hot shingle's row fan-in is its df, the same skew unit
+    * as [[graft.operators.TextAnalysis.invertedIndex]]'s postings. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val df = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+    sh.join(df, "s")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("novel_shingles")
+      )
+      .withColumn(
+        "novelty",
+        round(col("novel_shingles").cast("double") / col("n_shingles"), 6)
+      )
+  }
+
   /** Affine hash family used by minhash (small moduli keep ANSI-safe int64
     * arithmetic identical in Spark and the SQL oracle). The first 8
     * coefficients are the fixed values the oracles pin; [[minhashA]] /

@@ -26,6 +26,78 @@ object Scale {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** Curriculum ordering with source ROUND-ROBIN interleave: rank docs
+    * within each source by difficulty (easiest first — the classic
+    * short-to-long curriculum when `difficultyCol` is a token count),
+    * then assign the GLOBAL training position by taking rank-1 docs
+    * from every source in source order, then rank-2, and so on —
+    * sorted-by-quality data without long same-source runs (the
+    * data-ordering half of curriculum learning, Bengio et al. 2009,
+    * with the source-stratified interleave multi-corpus trainers use).
+    *
+    * The global position is NOT a global window: with per-source totals
+    * `cnt_s` (a tiny broadcast frame), the position of the doc at
+    * per-source rank `rn` of source `src` under (rn, source) ordering is
+    * CLOSED-FORM — `Σ_s min(rn−1, cnt_s)` docs from earlier rounds plus
+    * this round's sources at-or-before `src` that still have a doc
+    * (`cnt_s ≥ rn`). Per-row arithmetic over a broadcast array: no
+    * single-partition window, no global sort.
+    *
+    * The per-source rank itself is two-level for the same reason: a
+    * window partitioned by (source, difficulty) — fine-grained, no
+    * whole-source partition — plus a broadcast cumulative offset per
+    * (source, difficulty) group. The offset frame has one row per
+    * (source, distinct difficulty), bounded for any discrete difficulty
+    * (token counts top out at the corpus max doc length).
+    *
+    * Output: `(idCol, sourceCol, difficultyCol, rn, pos)`, `pos` 1-based.
+    * Ties within (source, difficulty) break by ascending id. */
+  def curriculumInterleave(
+      docs: DataFrame,
+      idCol: String,
+      difficultyCol: String,
+      sourceCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col(idCol), col(sourceCol), col(difficultyCol))
+    // per-(source, difficulty) counts -> per-source running offsets; the
+    // window runs on the aggregated frame (sources x distinct difficulties)
+    val grp = d
+      .groupBy(col(sourceCol), col(difficultyCol))
+      .agg(count(lit(1)).as("__gc"))
+    val offW = Window
+      .partitionBy(sourceCol)
+      .orderBy(difficultyCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = grp.withColumn("__off", coalesce(sum("__gc").over(offW), lit(0L)))
+    val rnW = Window.partitionBy(sourceCol, difficultyCol).orderBy(idCol)
+    val ranked = d
+      .join(broadcast(off.select(col(sourceCol), col(difficultyCol), col("__off"))),
+        Seq(sourceCol, difficultyCol))
+      .withColumn("rn", col("__off") + row_number().over(rnW))
+    // per-source totals as ONE broadcast array column; pos is pure per-row
+    // arithmetic over it (aggregate + filter higher-order functions)
+    val cnts = grp
+      .groupBy(col(sourceCol))
+      .agg(sum("__gc").as("__cnt"))
+      .agg(collect_list(struct(col(sourceCol).as("src"), col("__cnt").as("cnt"))).as("__cs"))
+    val prior = aggregate(
+      col("__cs"),
+      lit(0L),
+      (acc, x) => acc + least(col("rn") - 1L, x.getField("cnt"))
+    )
+    val thisRound = size(
+      filter(
+        col("__cs"),
+        x => x.getField("cnt") >= col("rn") && x.getField("src") <= col(sourceCol)
+      )
+    ).cast("long")
+    ranked
+      .crossJoin(broadcast(cnts))
+      .withColumn("pos", prior + thisRound)
+      .select(col(idCol), col(sourceCol), col(difficultyCol), col("rn"), col("pos"))
+  }
+
   /** Salted equi-join for skewed keys: the left side gets a deterministic
     * per-row salt, the right side is replicated once per salt value, and the
     * join key becomes (keys, salt) — a hot key's rows spread over

@@ -865,6 +865,124 @@ object TextAnalysis {
       ).otherwise(tv)
   }
 
+  /** Excess-perplexity data selection (the RHO-1 / DoReMi "excess loss"
+    * signal, Lin et al. 2024 §3.1, at document granularity): score every
+    * doc under TWO [[trainBigramLm]] artifacts — a trusted REFERENCE
+    * model and a SELF model fit on the raw corpus itself — and rank by
+    * `excess = ce_self − ce_ref`. A large positive excess means the
+    * reference distribution predicts the doc well but the corpus's own
+    * distribution does not: high-quality AND under-represented, the
+    * upweight set; a large negative excess is corpus-typical text the
+    * reference disfavors (boilerplate, spam), the downweight set.
+    *
+    * Both scores are [[perplexityScore]]'s add-one Q20 integers, so
+    * `excess_bits` — a difference of two dyadic doubles — is EXACT and
+    * the ranking replays bit-for-bit in external SQL. Consumers select
+    * with `orderBy(desc("excess_bits"), idCol).limit(n)`, which Spark
+    * plans as TakeOrderedAndProject: no global sort materializes.
+    *
+    * Output: `(idCol, n_tokens, ref_nll_q20, self_nll_q20, ref_ce_bits,
+    * self_ce_bits, excess_bits)`. `keyCols` routes BOTH scores through
+    * per-key models (CCNet-style per-language references) — both models
+    * must then carry the keys, and a doc whose key is missing from
+    * EITHER model emits no row (inner join of the two score frames).
+    *
+    * 100 TB shape: two independent [[perplexityScore]] passes (each a
+    * token explode + model-keyed joins + one per-doc integer sum) and
+    * one equi-join on the doc id — no new shuffle class; the self model
+    * is the only corpus-derived frame and it stays model-sized. */
+  def excessPerplexity(
+      docs: DataFrame,
+      refModel: DataFrame,
+      selfModel: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCols: Seq[String] = Nil
+  ): DataFrame = {
+    val r = perplexityScore(docs, refModel, idCol, textCol, keyCols)
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("nll_q20").as("ref_nll_q20"),
+        col("ce_bits").as("ref_ce_bits")
+      )
+    val s = perplexityScore(docs, selfModel, idCol, textCol, keyCols)
+      .select(
+        col(idCol),
+        col("nll_q20").as("self_nll_q20"),
+        col("ce_bits").as("self_ce_bits")
+      )
+    r.join(s, Seq(idCol))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("ref_nll_q20"),
+        col("self_nll_q20"),
+        col("ref_ce_bits"),
+        col("self_ce_bits"),
+        (col("self_ce_bits") - col("ref_ce_bits")).as("excess_bits")
+      )
+  }
+
+  /** Vocabulary growth curve (Heaps' law audit): distinct word types and
+    * total tokens, cumulative over `nBuckets` ordinal slices of the
+    * corpus — the tokenizer-planning instrument (is the type inventory
+    * still growing at the corpus tail, i.e. does the BPE vocab budget
+    * cover the long tail?) and a drift canary (a flattening-then-jumping
+    * curve marks a new domain entering the crawl).
+    *
+    * The slice is `floor(id·nBuckets / (max_id + 1))` — a pure function
+    * of the doc id against ONE broadcast scalar, standing in for
+    * ingestion order; no global row-number window. Each type counts
+    * once, in the FIRST bucket containing it (`min(bucket)` per token —
+    * one token-keyed aggregate, the same shuffle class as a vocabulary
+    * count), so `sum(new_types)` over any prefix IS the distinct-type
+    * count of that prefix. The cumulative window runs on the nBuckets-row
+    * aggregate, never the corpus. Empty buckets (sparse ids) emit no row.
+    *
+    * Output: `(bucket, n_docs, bucket_tokens, cum_tokens, new_types,
+    * cum_types)`, ordered nowhere — consumers sort the tiny frame. */
+  def vocabGrowth(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 20
+  ): DataFrame = {
+    require(nBuckets >= 1, s"vocabGrowth: nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val mx = docs.agg((max(col(idCol)) + 1L).as("__mx"))
+    val bucketed = docs
+      .crossJoin(broadcast(mx))
+      .select(
+        // integer division keeps the slice exact at any id magnitude (a
+        // double divide loses ulps past 2^53 and the oracle uses `//`)
+        expr(s"($idCol * $nBuckets) div __mx").as("__b"),
+        col(textCol)
+      )
+    val toks = bucketed.select(col("__b"), explode(tokens(col(textCol))).as("__tok"))
+    val perBucket = bucketed
+      .select(col("__b"), size(tokens(col(textCol))).cast("long").as("__nt"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("bucket_tokens"))
+    val firstSeen = toks
+      .groupBy("__tok")
+      .agg(min("__b").as("__fb"))
+      .groupBy(col("__fb").as("__b"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    perBucket
+      .join(firstSeen, Seq("__b"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .select(
+        col("__b").as("bucket"),
+        col("n_docs"),
+        col("bucket_tokens"),
+        sum("bucket_tokens").over(w).as("cum_tokens"),
+        col("new_types"),
+        sum("new_types").over(w).as("cum_types")
+      )
+  }
+
   /** The joined per-token stat frame every continuation-interpolated
     * scorer starts from: document bigram rows against the model's counts
     * (`cnt`), context totals and fan-outs (`__ctx`, `__nv`), continuation

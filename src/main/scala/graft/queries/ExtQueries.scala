@@ -105,8 +105,14 @@ object ExtQueries {
     * block does NOT deduplicate (x135-x138 masked it because their
     * num/den ranges are disjoint; x139's overlap exposed it — duplicate
     * l2 rows fan out the nl join). */
-  private val lmLogReplayCtes: String =
-    """vals AS (SELECT DISTINCT x FROM
+  private val lmLogReplayCtes: String = lmLogReplayCtesCols("")
+
+  /** [[lmLogReplayCtes]] with extra `pt` columns carried through `nl`
+    * (x150 threads a model `side` tag so ONE ladder serves two models —
+    * `vals` dedups across both, exactly as the engine's FixedLog2 is one
+    * expression over both score passes). */
+  private def lmLogReplayCtesCols(extra: String): String =
+    s"""vals AS (SELECT DISTINCT x FROM
       |  (SELECT num AS x FROM pt UNION ALL SELECT den FROM pt)),
       |n0 AS (SELECT x, x AS r, 0 AS e FROM vals),
       |n1 AS (SELECT x, CASE WHEN r >= 4294967296 THEN r >> 32 ELSE r END AS r,
@@ -127,7 +133,7 @@ object ExtQueries {
       |    frac * 2 + CASE WHEN ((mt*mt) >> 20) >= 2097152 THEN 1 ELSE 0 END,
       |    j + 1 FROM it WHERE j < 20),
       |l2 AS MATERIALIZED (SELECT x, e * 1048576 + frac AS lq FROM it WHERE j = 20),
-      |nl AS (SELECT pt.doc_id, ld.lq - ln_.lq + pt.adq AS nll FROM pt
+      |nl AS (SELECT pt.doc_id$extra, ld.lq - ln_.lq + pt.adq AS nll FROM pt
       |  JOIN l2 ln_ ON pt.num = ln_.x JOIN l2 ld ON pt.den = ld.x)""".stripMargin
 
   private val bigramLmSqlPrefix: String =
@@ -5614,6 +5620,158 @@ object ExtQueries {
               |    CAST(0 AS BIGINT) AS adq""".stripMargin
           )},
            |$nllSqlTail""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Excess-perplexity selection (TextAnalysis.excessPerplexity — the
+    // RHO-1 / DoReMi excess-loss signal at doc granularity): every doc
+    // scored under the en-trained REFERENCE LM and under a SELF model
+    // fit on the whole raw corpus; excess = ce_self − ce_ref ranks docs
+    // that the reference predicts well but the corpus's own distribution
+    // does not — high-quality and under-represented, the upweight set.
+    // Both scores are the exact-Q20 add-one chain, so the top-200 cut
+    // (ties broken by doc_id) is deterministic in both engines; ONE log
+    // ladder serves both models via a side tag, and Spark plans the
+    // orderBy+limit as TakeOrderedAndProject (no global sort).
+    Q(
+      "x150_excess_ppl",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ref =
+          TextAnalysis.trainBigramLm(docs.filter(col("lang") === "en"), "doc_id", "text")
+        val self = TextAnalysis.trainBigramLm(docs, "doc_id", "text")
+        TextAnalysis
+          .excessPerplexity(docs, ref, self, "doc_id", "text")
+          .orderBy(desc("excess_bits"), col("doc_id"))
+          .limit(200)
+      },
+      Some(
+        s"""WITH RECURSIVE
+           |rt AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE lang = 'en'),
+           |ra AS (SELECT list_prepend(chr(1), ts) AS arr FROM rt),
+           |rb AS (SELECT unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok
+           |  FROM ra),
+           |rm AS MATERIALIZED (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM rb GROUP BY 1, 2),
+           |rcx AS MATERIALIZED (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS ctx FROM rm GROUP BY 1),
+           |rv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM rm),
+           |st AS (SELECT string_split(text, ' ') AS ts FROM documents),
+           |sa AS (SELECT list_prepend(chr(1), ts) AS arr FROM st),
+           |sb AS (SELECT unnest(arr[1:len(arr)-1]) AS prev, unnest(arr[2:len(arr)]) AS tok
+           |  FROM sa),
+           |sm AS MATERIALIZED (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM sb GROUP BY 1, 2),
+           |scx AS MATERIALIZED (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS ctx FROM sm GROUP BY 1),
+           |sv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM sm),
+           |tkd AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |aad AS (SELECT doc_id, list_prepend(chr(1), ts) AS arr FROM tkd),
+           |bgd AS (SELECT doc_id, unnest(arr[1:len(arr)-1]) AS prev,
+           |    unnest(arr[2:len(arr)]) AS tok FROM aad),
+           |pt AS MATERIALIZED (
+           |  SELECT doc_id, 'r' AS side, COALESCE(rm.cnt, 0) + 1 AS num,
+           |      COALESCE(rcx.ctx, 0) + (SELECT v FROM rv) AS den, CAST(0 AS BIGINT) AS adq
+           |    FROM bgd LEFT JOIN rm USING (prev, tok) LEFT JOIN rcx ON bgd.prev = rcx.prev
+           |  UNION ALL
+           |  SELECT doc_id, 's', COALESCE(sm.cnt, 0) + 1,
+           |      COALESCE(scx.ctx, 0) + (SELECT v FROM sv), CAST(0 AS BIGINT)
+           |    FROM bgd LEFT JOIN sm USING (prev, tok) LEFT JOIN scx ON bgd.prev = scx.prev),
+           |${lmLogReplayCtesCols(", pt.side")},
+           |ag AS (SELECT doc_id, side, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nllq FROM nl GROUP BY 1, 2),
+           |rr AS (SELECT doc_id, n_tokens, nllq FROM ag WHERE side = 'r'),
+           |ss AS (SELECT doc_id, nllq FROM ag WHERE side = 's'),
+           |j AS (SELECT rr.doc_id, rr.n_tokens,
+           |    rr.nllq AS ref_nll_q20, ss.nllq AS self_nll_q20,
+           |    CAST(rr.nllq // rr.n_tokens AS DOUBLE) / 1048576.0 AS ref_ce_bits,
+           |    CAST(ss.nllq // rr.n_tokens AS DOUBLE) / 1048576.0 AS self_ce_bits
+           |  FROM rr JOIN ss USING (doc_id))
+           |SELECT doc_id, n_tokens, ref_nll_q20, self_nll_q20, ref_ce_bits, self_ce_bits,
+           |  self_ce_bits - ref_ce_bits AS excess_bits
+           |FROM j ORDER BY excess_bits DESC, doc_id LIMIT 200""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // N-gram novelty (Dedup.ngramNovelty): per-doc fraction of distinct
+    // word 3-grams that appear in NO other document — the measurement
+    // side of the dedup stack (survivors of a near-dup pass should read
+    // high; the low tail localizes residual templated/boilerplate spans
+    // pairwise dedup missed). One shingle-df aggregate + one join back,
+    // linear in shingle occurrences.
+    Q(
+      "x151_ngram_novelty",
+      (s, d) =>
+        Dedup
+          .ngramNovelty(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH $shingleCte,
+           |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1)
+           |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_shingles,
+           |  round(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*), 6) AS novelty
+           |FROM sh JOIN df USING (s) GROUP BY 1 ORDER BY doc_id""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Curriculum ordering with source round-robin (Scale
+    // .curriculumInterleave): shortest-first within each source (the
+    // classic length curriculum), global position interleaves rank 1
+    // of every source, then rank 2, ... — sorted-by-difficulty data
+    // without long same-source runs. The oracle IS the two-window
+    // definition; the engine computes the same positions CLOSED-FORM
+    // from broadcast per-source counts (no single-partition window).
+    Q(
+      "x152_curriculum",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        Scale
+          .curriculumInterleave(docs, "doc_id", "n_tokens", "source")
+          .orderBy("pos")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, source,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+          |r AS (SELECT doc_id, source, n_tokens,
+          |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
+          |      AS BIGINT) AS rn FROM d)
+          |SELECT doc_id, source, n_tokens, rn,
+          |  CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS pos
+          |FROM r ORDER BY pos""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Vocabulary growth curve (TextAnalysis.vocabGrowth — the Heaps'-law
+    // audit): distinct word types and total tokens, cumulative over 20
+    // ordinal corpus slices; each type counts once in its FIRST slice
+    // (min-bucket per token), so every cum_types prefix is the exact
+    // distinct-type count of that prefix. Tokenizer-budget planning and
+    // a domain-drift canary, from one token-keyed aggregate.
+    Q(
+      "x153_vocab_growth",
+      (s, d) =>
+        TextAnalysis
+          .vocabGrowth(t(s, d, "documents"), "doc_id", "text", 20)
+          .orderBy("bucket"),
+      Some(
+        """WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+          |b AS (SELECT (doc_id * 20) // m AS bucket, text FROM documents CROSS JOIN mx),
+          |pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS bucket_tokens
+          |  FROM b GROUP BY 1),
+          |tk AS (SELECT bucket, unnest(string_split(text, ' ')) AS tok FROM b),
+          |fs AS (SELECT tok, MIN(bucket) AS fb FROM tk GROUP BY 1),
+          |nt AS (SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM fs GROUP BY 1)
+          |SELECT pb.bucket, pb.n_docs, pb.bucket_tokens,
+          |  CAST(SUM(pb.bucket_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+          |  CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+          |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY pb.bucket) AS BIGINT)
+          |    AS cum_types
+          |FROM pb LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin
       )
     )
   )

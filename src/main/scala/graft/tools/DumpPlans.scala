@@ -235,7 +235,20 @@ object DumpPlans {
       "LSH band equi-join (bucket-bounded pair volume), broadcast fingerprint " +
       "anti-join, |langs|-bounded resample rate broadcast, hash-split projection. " +
       "Every pair-generating stage stays bucket- or broadcast-bounded; the corpus " +
-      "never cross-joins.")
+      "never cross-joins."),
+    "x150_excess_ppl" -> ("Excess-perplexity selection (RHO-1 signal): two independent " +
+      "add-one score passes (token explode + model joins + per-doc integer sum each), " +
+      "one equi-join on doc_id, and the top-200 cut is a TakeOrderedAndProject — the " +
+      "k-bounded heap, never a global sort of the corpus."),
+    "x152_curriculum" -> ("Curriculum interleave: NO single-partition window — the " +
+      "per-source rank is a window over fine-grained (source, difficulty) partitions " +
+      "plus a broadcast cumulative-offset frame, and the global position is closed-form " +
+      "per-row arithmetic (aggregate/filter HOFs) over ONE broadcast per-source-count " +
+      "array. The two whole-frame windows exist only in the oracle's definition."),
+    "x153_vocab_growth" -> ("Vocabulary growth: the corpus-sized work is one token-keyed " +
+      "min-bucket aggregate (map-side partials bound the shuffle by distinct types per " +
+      "partition) + one per-bucket count; the only unpartitioned window runs on the " +
+      "<=nBuckets-row aggregate, never the corpus.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -578,4 +578,48 @@ class LmSpec extends AnyFunSuite with SparkTester {
         "doc_id", "text", keyCols = Seq("lang"))
       .isEmpty)
   }
+
+  // ---- excessPerplexity: the RHO-1-style two-model signal ----
+
+  test("excessPerplexity equals the join of the two perplexityScore passes exactly") {
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+    val ref = TextAnalysis.trainBigramLm(docs.filter($"lang" === "en"), "doc_id", "text")
+    val self = TextAnalysis.trainBigramLm(docs, "doc_id", "text")
+    val got = TextAnalysis.excessPerplexity(docs, ref, self, "doc_id", "text")
+    val r = TextAnalysis.perplexityScore(docs, ref, "doc_id", "text")
+    val s = TextAnalysis.perplexityScore(docs, self, "doc_id", "text")
+    val want = r
+      .select($"doc_id", $"n_tokens", $"nll_q20".as("ref_nll_q20"), $"ce_bits".as("ref_ce_bits"))
+      .join(
+        s.select($"doc_id", $"nll_q20".as("self_nll_q20"), $"ce_bits".as("self_ce_bits")),
+        Seq("doc_id"))
+      .withColumn("excess_bits", $"self_ce_bits" - $"ref_ce_bits")
+      .select(got.columns.map(col).toSeq: _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // determinism under repartitioning (the whole chain is exact integers)
+    val again = TextAnalysis.excessPerplexity(docs.repartition(7), ref, self, "doc_id", "text")
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
+  test("excessPerplexity ranks reference-like-but-corpus-rare docs above corpus-typical ones") {
+    // corpus: many copies of the "typical" phrase pattern + ONE doc written
+    // in the reference's register. The self model fits the typical mass, so
+    // the reference-like doc is the one the reference predicts BETTER than
+    // the corpus does -> largest excess.
+    val typical = (1 to 40).map(i => (i.toLong, s"spam spam buy now offer $i"))
+    val refLike = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+    val corpus = (typical ++ refLike).toDF("doc_id", "text")
+    val refCorpus = (1 to 20)
+      .map(i => (1000L + i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val ref = TextAnalysis.trainBigramLm(refCorpus, "doc_id", "text")
+    val self = TextAnalysis.trainBigramLm(corpus, "doc_id", "text")
+    val top = TextAnalysis
+      .excessPerplexity(corpus, ref, self, "doc_id", "text")
+      .orderBy(desc("excess_bits"), $"doc_id")
+      .select("doc_id")
+      .head()
+      .getLong(0)
+    assert(top == 100L, s"expected the reference-register doc on top, got $top")
+  }
 }

@@ -3184,4 +3184,56 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     )
     assert(bestF1 > 0.8, s"trained classifier failed to learn the planted signal: best F1 $bestF1")
   }
+
+  test("ngramNovelty: shared shingles drop novelty, short docs emit no row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), // shingles {a b c, b c d}; "a b c" shared with doc 2
+      (2L, "a b c x"), // shingles {a b c, b c x}
+      (3L, "q w e r t"), // all 3 shingles unique
+      (4L, "too short") // < 3 tokens -> no shingles -> no row
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .ngramNovelty(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 2L, 1L, 0.5),
+      (3L, 3L, 3L, 1.0)
+    ))
+    // repeated shingles within ONE doc count once (distinct set semantics)
+    val rep = Dedup.ngramNovelty(
+      Seq((9L, "x y z x y z x y z")).toDF("doc_id", "text"), "doc_id", "text")
+    val r9 = rep.head()
+    assert(r9.getLong(1) == 3L && r9.getDouble(3) == 1.0) // {x y z, y z x, z x y}
+  }
+
+  test("vocabGrowth: first-seen buckets make every cum_types prefix the exact distinct count") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b"), (1L, "b c"), // bucket 0: types a,b,c; 4 tokens
+      (2L, "c d"), (3L, "a e") //  bucket 1: new d,e;     4 tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .vocabGrowth(docs, "doc_id", "text", nBuckets = 2)
+      .orderBy("bucket")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      (0L, 2L, 4L, 4L, 3L, 3L),
+      (1L, 2L, 4L, 8L, 2L, 5L)
+    ))
+    // invariant at any partitioning and any bucket count: total types ==
+    // corpus distinct types, final cum_tokens == corpus token count
+    val g5 = TextAnalysis.vocabGrowth(docs.repartition(3), "doc_id", "text", nBuckets = 4)
+    val last = g5.orderBy(desc("bucket")).head()
+    assert(last.getLong(5) == 5L && last.getLong(3) == 8L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabGrowth(docs, "doc_id", "text", nBuckets = 0)
+    }
+  }
 }

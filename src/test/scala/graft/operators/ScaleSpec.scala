@@ -514,4 +514,34 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
       Scale.doremiMix(docs, "dom", "loss", 2, maxGroups = 2)
     }
   }
+
+  test("curriculumInterleave: closed-form positions == the two-window definition") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // unequal source sizes (one source exhausts early), duplicate
+    // difficulties (the tie-group path), ids out of order
+    val docs = Seq(
+      (7L, "b", 3L), (1L, "a", 5L), (2L, "a", 2L), (3L, "c", 2L),
+      (4L, "a", 2L), (5L, "b", 9L), (6L, "c", 1L), (8L, "c", 2L),
+      (9L, "a", 7L), (10L, "c", 8L)
+    ).toDF("doc_id", "source", "diff")
+    val got = Scale.curriculumInterleave(docs, "doc_id", "diff", "source")
+    // the oracle definition: per-source row_number, then a global
+    // row_number over (rn, source) — fine on a 10-row test frame
+    val rnW = Window.partitionBy("source").orderBy("diff", "doc_id")
+    val posW = Window.orderBy("rn", "source")
+    val want = docs
+      .withColumn("rn", row_number().over(rnW).cast("long"))
+      .withColumn("pos", row_number().over(posW).cast("long"))
+      .select("doc_id", "source", "diff", "rn", "pos")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // positions are a permutation of 1..N and round-robin starts with one
+    // doc from every source
+    val byPos = got.orderBy("pos").collect()
+    assert(byPos.map(_.getLong(4)).toSeq == (1L to 10L))
+    assert(byPos.take(3).map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+    // deterministic at any partitioning
+    val again = Scale.curriculumInterleave(docs.repartition(5), "doc_id", "diff", "source")
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
 }
