@@ -107,6 +107,7 @@ sbt -batch "runMain graft.tools.Spike curate-incr-planted 2000000" 2>&1 | grep -
 sbt -batch "runMain graft.tools.Spike sgd-planted 1000000" 2>&1 | grep -E '\[spike\]'
 SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.Spike sparse-dim-scale 500000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike lm-planted 1000000" 2>&1 | grep -E '\[spike\]'
+sbt -batch "runMain graft.tools.Spike curriculum-planted 20000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike keyword-scale 10000" 2>&1 | grep -E '\[spike\]'
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   sbt -batch "runMain graft.tools.Spike cc-telemetry" 2>&1 | grep -E '\[spike\]'

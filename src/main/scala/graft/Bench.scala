@@ -28,12 +28,15 @@ import scala.collection.mutable
   *
   * Inline-retrain budget: queries in `SPARK_GRAFT_BENCH_HEAVY` (default:
   * the four whole-chain training replays — they retrain per run BY DESIGN;
-  * deployment reads persisted artifacts) run in pass 1 only. That is the
-  * "train once per bench process" cost bound: the repeated passes pay for
-  * every ordinary query's min-of-runs noise floor without re-paying the
-  * training chains, and the artifact lists them under `"single_pass"` so
-  * the asymmetry is visible (their one sample is adjudicated against the
-  * per-pass canary instead of a second sample).
+  * deployment reads persisted artifacts) run in the LAST pass only. That
+  * is the "train once per bench process" cost bound: the repeated passes
+  * pay for every ordinary query's min-of-runs noise floor without
+  * re-paying the training chains, and the artifact lists them under
+  * `"single_pass"` so the asymmetry is visible (their one sample is
+  * adjudicated against the per-pass canary instead of a second sample).
+  * Last, not first: pass 1 pays JVM/codegen warmup (its canary reads ~3x
+  * the quiet floor), so a single sample taken there is systematically the
+  * worst one.
   */
 object Bench {
   private def loadAvg(): Double =
@@ -173,7 +176,13 @@ object Bench {
       val m = mutable.LinkedHashMap[String, Option[Double]]()
       samples += m
       ordered.foreach { case (n, f) =>
-        if (pass == 1 || !heavy.contains(n)) {
+        // heavies run in the LAST pass, not the first: pass 1 pays JIT/
+        // codegen warmup (its canary reads ~3x the quiet floor), and a
+        // single-sample query pinned there would record the systematically
+        // WORST sample (r17: x133 17.8s cold vs 4.3s warmed). The last
+        // pass is the warmed one; a killed run loses only the heavies'
+        // samples while every min-of-n query keeps its pass-1 numbers.
+        if (pass == runs || !heavy.contains(n)) {
           m(n) = timeOnce(n, f)
           flushPartial()
         }

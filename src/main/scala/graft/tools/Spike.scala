@@ -997,6 +997,98 @@ object Spike {
     expected.unpersist(blocking = false)
   }
 
+  /** `runMain graft.tools.Spike curriculum-planted [nDocs]` — the
+    * curriculumInterleave closed form at scale. Synthetic corpus from
+    * pure integer arithmetic (no RNG): 7 sources with DELIBERATELY
+    * uneven sizes (one ~60% whale, one 1% sliver that exhausts after a
+    * few rounds — the min/filter terms of the position formula both
+    * bite), difficulty = xxhash64(id) % 1000 (heavy tie groups — the
+    * two-level offset+rank path). Two checks:
+    *
+    *   1. EQUALITY at nDocs/4: the shipped closed form (broadcast
+    *      counts + HOF arithmetic) against the NAIVE two-window
+    *      definition (row_number over a single partition) — a fully
+    *      independent code path, and exactly the formulation the
+    *      DuckDB oracle runs. Zero mismatching rows required. The
+    *      naive side is what CAPS this leg's size: it sorts the whole
+    *      frame on one core, which is precisely why the closed form
+    *      exists.
+    *   2. PERMUTATION at nDocs: where the naive form cannot go, the
+    *      invariants still pin the output — count(distinct pos) == N,
+    *      min == 1, max == N, sum == N(N+1)/2 (exact in int64 far past
+    *      this scale) — plus per-source rn contiguity (max(rn) ==
+    *      source size). */
+  private def curriculumPlanted(spark: org.apache.spark.sql.SparkSession, nDocs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // uneven source split over id % 100: sizes 1, 4, 5, 10, 10, 10, 60
+    val srcExpr = when(pmod(col("id"), lit(100L)) < 1, "src0")
+      .when(pmod(col("id"), lit(100L)) < 5, "src1")
+      .when(pmod(col("id"), lit(100L)) < 10, "src2")
+      .when(pmod(col("id"), lit(100L)) < 20, "src3")
+      .when(pmod(col("id"), lit(100L)) < 30, "src4")
+      .when(pmod(col("id"), lit(100L)) < 40, "src5")
+      .otherwise("src6")
+    def corpus(n: Long) = spark
+      .range(n)
+      .select(
+        col("id").as("doc_id"),
+        srcExpr.as("source"),
+        pmod(xxhash64(col("id")), lit(1000L)).as("diff")
+      )
+    // --- 1. closed form == naive definition (independent code path) ---
+    val nEq = math.max(nDocs / 4, 100000L)
+    val small = corpus(nEq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    small.count()
+    val t0 = System.nanoTime()
+    val closed = graft.operators.Scale
+      .curriculumInterleave(small, "doc_id", "diff", "source")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nClosed = closed.count()
+    val tClosed = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val naive = small
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("diff", "doc_id")).cast("long"))
+      .withColumn("pos", row_number().over(Window.orderBy("rn", "source")).cast("long"))
+      .select("doc_id", "source", "diff", "rn", "pos")
+    val mism = closed.exceptAll(naive).count() + naive.exceptAll(closed).count()
+    val tNaive = (System.nanoTime() - t1) / 1e9
+    require(nClosed == nEq, s"closed form dropped rows: $nClosed of $nEq")
+    require(mism == 0, s"closed form != two-window definition: $mism mismatching rows")
+    small.unpersist(); closed.unpersist()
+    // --- 2. permutation invariants at full size ---
+    val big = corpus(nDocs)
+    val t2 = System.nanoTime()
+    val out = graft.operators.Scale
+      .curriculumInterleave(big, "doc_id", "diff", "source")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = out
+      .agg(
+        countDistinct(col("pos")).as("d"),
+        min("pos").as("mn"),
+        max("pos").as("mx"),
+        sum("pos").as("s"),
+        count(lit(1)).as("n"))
+      .head()
+    val tBig = (System.nanoTime() - t2) / 1e9
+    require(
+      inv.getLong(4) == nDocs && inv.getLong(0) == nDocs && inv.getLong(1) == 1L &&
+        inv.getLong(2) == nDocs && inv.getLong(3) == nDocs * (nDocs + 1) / 2,
+      s"positions are not a permutation of 1..$nDocs: $inv")
+    val rnTop = out
+      .groupBy("source")
+      .agg(max("rn").as("mr"), count(lit(1)).as("c"))
+      .filter(col("mr") =!= col("c"))
+      .count()
+    require(rnTop == 0, "per-source ranks are not contiguous 1..|source|")
+    out.unpersist()
+    println(
+      f"[spike] curriculum-planted: closed==naive at $nEq%d rows (0 mismatches, " +
+        f"closed $tClosed%.1fs vs naive single-partition $tNaive%.1fs); permutation " +
+        f"invariants at $nDocs%d rows in $tBig%.1fs (7 sources, 60%% whale, 1%% sliver)")
+  }
+
   /** `runMain graft.tools.Spike x60-planted [nVecs]` — embedding near-dup
     * at 100x+ vectors against a closed-form planted oracle. Synthetic
     * 64-dim vectors from pure integer arithmetic (no RNG — identical at any
@@ -2449,6 +2541,10 @@ object Spike {
     }
     if (args.nonEmpty && args(0) == "x60-planted") {
       x60Planted(spark, if (args.length > 1) args(1).toLong else 1000000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "curriculum-planted") {
+      curriculumPlanted(spark, if (args.length > 1) args(1).toLong else 20000000L)
       spark.stop(); return
     }
     if (args.nonEmpty && args(0) == "sq8-planted") {
