@@ -716,6 +716,55 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Word n-gram 60-bit hashes of a text column ([[tokenHash60]] per
+    * gram, so join rows are one long each, never gram strings).
+    * `sequence(1, size-n+1)` would run DESCENDING on docs shorter than
+    * `n` (Spark sequence counts down), hence the guard. */
+  private def ngramHashes60(c: Column, n: Int): Column = {
+    val tk = split(c, " ")
+    val gs = transform(
+      sequence(lit(1), size(tk) - (n - 1)),
+      i => tokenHash60(array_join(slice(tk, i, lit(n)), " "))
+    )
+    when(size(tk) >= n, gs).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Contamination ATTRIBUTION report — the deliverable a lab publishes
+    * beside its decontaminated corpus ([[decontaminateNgram]] only says
+    * WHICH docs died; audits need to know against WHAT): one row per
+    * (contaminated doc, eval suite) with the count of distinct shared
+    * word n-grams. A doc embedding items from two suites gets two rows;
+    * clean docs emit none. Same n=13 GPT-3-report convention.
+    *
+    * Output: `(idCol, suiteCol, n_gram_hits)`.
+    *
+    * 100 TB shape: [[decontaminateNgram]]'s exactly — the reference's
+    * distinct (suite, gram-hash) rows broadcast; corpus (id, gram-hash)
+    * rows die in the map-side join unless contaminated, so the only
+    * shuffle is the per-(doc, suite) count aggregate, bounded by the
+    * HIT volume, never the corpus. */
+  def contaminationReport(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      suiteCol: String,
+      n: Int = 13,
+      broadcastReference: Boolean = true
+  ): DataFrame = {
+    require(n >= 1, s"contaminationReport: n must be >= 1, got $n")
+    val refG = reference
+      .select(col(suiteCol), explode(ngramHashes60(col(textCol), n)).as("__g"))
+      .distinct()
+    val ref = if (broadcastReference) broadcast(refG) else refG
+    corpus
+      .select(col(idCol), explode(ngramHashes60(col(textCol), n)).as("__g"))
+      .distinct()
+      .join(ref, Seq("__g"))
+      .groupBy(col(idCol), col(suiteCol))
+      .agg(count(lit(1)).as("n_gram_hits"))
+  }
+
   /** N-GRAM-overlap decontamination — the GPT-3-style eval-set scrub
     * ([[decontaminate]]'s whole-document fingerprint misses a training doc
     * that merely EMBEDS an eval question): drop every corpus document
@@ -740,16 +789,7 @@ object Dedup {
       broadcastReference: Boolean = true
   ): DataFrame = {
     require(n >= 1, s"decontaminateNgram: n must be >= 1, got $n")
-    // per-doc n-gram hashes; sequence(1, size-n+1) would run DESCENDING on
-    // docs shorter than n (Spark sequence counts down), hence the guard
-    def gramHashes(c: Column): Column = {
-      val tk = split(c, " ")
-      val gs = transform(
-        sequence(lit(1), size(tk) - (n - 1)),
-        i => tokenHash60(array_join(slice(tk, i, lit(n)), " "))
-      )
-      when(size(tk) >= n, gs).otherwise(array().cast("array<bigint>"))
-    }
+    def gramHashes(c: Column): Column = ngramHashes60(c, n)
     val refG = reference.select(explode(gramHashes(col(textCol))).as("__g")).distinct()
     val ref = if (broadcastReference) broadcast(refG) else refG
     val contaminated = corpus

@@ -983,6 +983,47 @@ object TextAnalysis {
       )
   }
 
+  /** Pairwise vocabulary overlap between corpus partitions (languages,
+    * sources): distinct word types per key, Jaccard over each key pair —
+    * the mixture-design diagnostic (how much subword budget do two
+    * languages actually share? which two sources are near-mirrors?).
+    * Pairs sharing ZERO types emit no row (inner join on the type).
+    *
+    * Output: `(key_a, key_b, n_a, n_b, n_shared, jaccard)` with
+    * `key_a < key_b`, jaccard rounded to 6 dp.
+    *
+    * 100 TB shape: one distinct-(key, type) pass (the vocabulary frame —
+    * model-sized, types not tokens), one type-keyed self-join whose
+    * per-type fan-out is bounded by the KEY cardinality (a type in k of
+    * K keys yields C(k,2) ≤ C(K,2) pair rows — K is languages/sources,
+    * single digits), one C(K,2)-row aggregate. Nothing corpus-pairwise. */
+  def vocabOverlap(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val st = docs
+      .select(col(keyCol).as("__k"), explode(tokens(col(textCol))).as("__tok"))
+      .distinct()
+    val sizes = st.groupBy("__k").agg(count(lit(1)).as("__n"))
+    val inter = st
+      .select(col("__k").as("key_a"), col("__tok"))
+      .join(st.select(col("__k").as("key_b"), col("__tok")), "__tok")
+      .filter(col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b")
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("__k").as("key_a"), col("__n").as("n_a"))), "key_a")
+      .join(broadcast(sizes.select(col("__k").as("key_b"), col("__n").as("n_b"))), "key_b")
+      .select(
+        col("key_a"),
+        col("key_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_shared"),
+        round(
+          col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")),
+          6
+        ).as("jaccard")
+      )
+  }
+
   /** The joined per-token stat frame every continuation-interpolated
     * scorer starts from: document bigram rows against the model's counts
     * (`cnt`), context totals and fan-outs (`__ctx`, `__nv`), continuation

@@ -432,16 +432,23 @@ object ExtQueries {
     ("q", "u")
   )
 
-  private val bpeBudgetSql: Option[String] = Some {
+  /** The x90 closed-form exact BPE token count as a SQL expression (see
+    * bpeBudgetSql's strlen note) — shared with x156's per-language
+    * fertility aggregate. */
+  private val bpeExactSqlExpr: String = {
     val pats = bpeMerges.map { case (a, b) => a + b }
+    "CAST(strlen(text)" + pats
+      .map(p => s" - (length(text) - length(replace(text, '$p', ''))) // ${p.length}")
+      .mkString + " AS INTEGER)"
+  }
+
+  private val bpeBudgetSql: Option[String] = Some {
     // Base count is strlen (BYTES): the engine's initial symbol count is
     // the UTF-8 byte count, and char-based length() would silently drift
     // on non-ASCII text instead of failing the precondition. Occurrence
     // counting stays char-based (each hit removes p.length chars either
     // way, and all patterns are ASCII).
-    val exact = "CAST(strlen(text)" + pats
-      .map(p => s" - (length(text) - length(replace(text, '$p', ''))) // ${p.length}")
-      .mkString + " AS INTEGER)"
+    val exact = bpeExactSqlExpr
     s"""SELECT doc_id,
        |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
@@ -588,6 +595,12 @@ object ExtQueries {
     * line, so its single 13-gram is the only possible overlap. */
   private val CanaryLine =
     "zcan1 zcan2 zcan3 zcan4 zcan5 zcan6 zcan7 zcan8 zcan9 zcan10 zcan11 zcan12 zcan13"
+
+  /** x157's SECOND planted suite: 15 words -> THREE 13-grams, so its hit
+    * counts differ from suite A's single gram (the attribution report
+    * must carry real per-suite counts, not booleans). */
+  private val CanaryLineB =
+    "qcan1 qcan2 qcan3 qcan4 qcan5 qcan6 qcan7 qcan8 qcan9 qcan10 qcan11 qcan12 qcan13 qcan14 qcan15"
 
   private val plantedPairSql =
     """SELECT a.doc_id AS d1, b.doc_id AS d2
@@ -5772,6 +5785,151 @@ object ExtQueries {
           |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY pb.bucket) AS BIGINT)
           |    AS cum_types
           |FROM pb LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Pairwise vocabulary overlap across languages (TextAnalysis
+    // .vocabOverlap): distinct word types per lang, Jaccard per lang
+    // pair — the mixture/tokenizer-design diagnostic (how much subword
+    // budget do two languages share?). The type-keyed self-join fans
+    // out by C(k,2) per type with k <= #langs — never corpus-pairwise.
+    Q(
+      "x154_vocab_overlap",
+      (s, d) =>
+        TextAnalysis
+          .vocabOverlap(t(s, d, "documents"), "lang", "text")
+          .orderBy("key_a", "key_b"),
+      Some(
+        """WITH st AS (SELECT DISTINCT k, tok FROM
+          |  (SELECT lang AS k, unnest(string_split(text, ' ')) AS tok FROM documents)),
+          |sz AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1),
+          |iv AS (SELECT a.k AS key_a, b.k AS key_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+          |  FROM st a JOIN st b USING (tok) WHERE a.k < b.k GROUP BY 1, 2)
+          |SELECT key_a, key_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+          |  round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+          |FROM iv JOIN sz sa ON sa.k = key_a JOIN sz sb ON sb.k = key_b
+          |ORDER BY key_a, key_b""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Perplexity drift over ordinal corpus slices — the monitoring face
+    // of the CCNet filter (composition of perplexityScore with x153's
+    // ordinal bucketing): mean reference-LM cross-entropy per slice. A
+    // rising tail says the crawl is drifting from the reference; a step
+    // says a new domain entered. ce_bits values are dyadic (k/2^20), so
+    // their double sums are EXACT at any aggregation order (numerators
+    // stay far under 2^52) and the per-bucket mean is deterministic.
+    Q(
+      "x155_ppl_drift",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model =
+          TextAnalysis.trainBigramLm(docs.filter(col("lang") === "en"), "doc_id", "text")
+        val mx = docs.agg((max(col("doc_id")) + 1L).as("__mx"))
+        TextAnalysis
+          .perplexityScore(docs, model, "doc_id", "text")
+          .crossJoin(broadcast(mx))
+          .groupBy(expr("(doc_id * 20) div __mx").as("bucket"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("nll_q20").as("nll_q20"),
+            round(avg("ce_bits"), 6).as("avg_ce_bits")
+          )
+          .orderBy("bucket")
+      },
+      Some(
+        s"""$bigramLmSqlPrefix,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1),
+           |mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+           |sc AS (SELECT (ag.doc_id * 20) // m AS bucket, ag.nll_q20,
+           |    CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce
+           |  FROM ag CROSS JOIN mx)
+           |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(nll_q20) AS BIGINT) AS nll_q20,
+           |  round(AVG(ce), 6) AS avg_ce_bits
+           |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // BPE fertility per language (bytes per EXACT BPE token — the
+    // multilingual tokenizer-equity audit: a language with low
+    // bytes/token pays more sequence positions per byte of content).
+    // Composes x90's exact merge-table count with a per-lang aggregate;
+    // the oracle reuses x90's closed-form count expression.
+    Q(
+      "x156_bpe_fertility",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        docs
+          .select(col("doc_id"), col("lang"), octet_length(col("text")).cast("long").as("__b"))
+          .join(
+            TextAnalysis
+              .tokenBudget(docs, "doc_id", "text", bpeMerges)
+              .select(col("doc_id"), col("n_bpe_exact")),
+            Seq("doc_id"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("__b").as("n_bytes"),
+            sum("n_bpe_exact").as("n_bpe_tokens"),
+            round(sum("__b").cast("double") / sum("n_bpe_exact"), 6).as("bytes_per_token")
+          )
+          .orderBy("lang")
+      },
+      Some(
+        s"""WITH e AS (SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS b,
+           |    $bpeExactSqlExpr AS nbe FROM documents)
+           |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(b) AS BIGINT) AS n_bytes,
+           |  CAST(SUM(nbe) AS BIGINT) AS n_bpe_tokens,
+           |  round(CAST(SUM(b) AS DOUBLE) / SUM(nbe), 6) AS bytes_per_token
+           |FROM e GROUP BY 1 ORDER BY lang""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Contamination ATTRIBUTION (Dedup.contaminationReport): not just
+    // which docs are contaminated (x91 scrubs those) but against WHICH
+    // eval suite and by how many shared 13-grams — the audit table a
+    // lab publishes beside its decontaminated corpus. Two planted
+    // suites: A = one 13-word canary (1 gram), B = a 15-word canary
+    // (3 grams); docs at %35==16 embed BOTH and must get two rows with
+    // different counts.
+    Q(
+      "x157_contam_report",
+      (s, d) => {
+        import s.implicits._
+        val dirty = t(s, d, "documents")
+          .withColumn(
+            "text",
+            when(col("doc_id") % 35 === 16,
+              concat(col("text"), lit(" " + CanaryLine + " " + CanaryLineB)))
+              .when(col("doc_id") % 5 === 1, concat(col("text"), lit(" " + CanaryLine)))
+              .when(col("doc_id") % 7 === 2, concat(col("text"), lit(" " + CanaryLineB)))
+              .otherwise(col("text"))
+          )
+        val suites = Seq(("suiteA", CanaryLine), ("suiteB", CanaryLineB)).toDF("suite", "text")
+        Dedup
+          .contaminationReport(dirty, suites, "doc_id", "text", "suite")
+          .orderBy("doc_id", "suite")
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 35 = 16 THEN text || ' $CanaryLine $CanaryLineB'
+           |      WHEN doc_id % 5 = 1 THEN text || ' $CanaryLine'
+           |      WHEN doc_id % 7 = 2 THEN text || ' $CanaryLineB'
+           |      ELSE text END AS t
+           |  FROM documents),
+           |r AS (SELECT 'suiteA' AS suite, '$CanaryLine' AS rt
+           |  UNION ALL SELECT 'suiteB', '$CanaryLineB'),
+           |rtk AS (SELECT suite, string_split(rt, ' ') AS tk FROM r),
+           |rg AS (SELECT DISTINCT suite, array_to_string(tk[i:i+12], ' ') AS g
+           |  FROM rtk, unnest(range(1, len(tk) - 11)) AS u(i)),
+           |dtk AS (SELECT doc_id, string_split(t, ' ') AS tk FROM d),
+           |dg AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+12], ' ') AS g
+           |  FROM dtk, unnest(range(1, len(tk) - 11)) AS u(i))
+           |SELECT doc_id, suite, CAST(COUNT(*) AS BIGINT) AS n_gram_hits
+           |FROM dg JOIN rg USING (g) GROUP BY 1, 2 ORDER BY doc_id, suite""".stripMargin
       )
     )
   )

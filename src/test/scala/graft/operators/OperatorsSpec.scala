@@ -3236,4 +3236,57 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
       TextAnalysis.vocabGrowth(docs, "doc_id", "text", nBuckets = 0)
     }
   }
+
+  test("vocabOverlap: hand-computed pairwise type Jaccard; zero-overlap pairs emit no row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b c"), (2L, "en", "b c d"), //   en types {a,b,c,d}
+      (3L, "de", "c d e"), //                        de types {c,d,e}
+      (4L, "zh", "x y") //                           zh types {x,y} — disjoint
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis
+      .vocabOverlap(docs, "lang", "text")
+      .orderBy("key_a", "key_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq
+    // de∩en = {c,d} -> 2/(3+4-2) = 0.4; zh shares nothing -> absent
+    assert(got == Seq(("de", "en", 3L, 4L, 2L, 0.4)))
+    // repeated tokens count once per key (type semantics, not token counts)
+    val rep = TextAnalysis.vocabOverlap(
+      Seq((1L, "a", "x x x y"), (2L, "b", "x")).toDF("doc_id", "k", "text"), "k", "text")
+    val r0 = rep.head()
+    assert(r0.getLong(2) == 2L && r0.getLong(3) == 1L && r0.getLong(4) == 1L &&
+      r0.getDouble(5) == 0.5)
+  }
+
+  test("contaminationReport: per-suite distinct-gram hit counts; clean docs emit no row") {
+    import spark.implicits._
+    // n=3 grams; suiteA = "a b c d" -> grams {a b c, b c d};
+    // suiteB = "x y z" -> gram {x y z}
+    val suites = Seq(("suiteA", "a b c d"), ("suiteB", "x y z")).toDF("suite", "text")
+    val corpus = Seq(
+      (1L, "p q a b c d r"), // both A-grams -> (1, suiteA, 2)
+      (2L, "a b c q x y z"), // one A-gram + the B-gram -> two rows
+      (3L, "a b x y c d"), //   no shared 3-gram -> clean
+      (4L, "a b c a b c d") //  gram "a b c" twice, distinct counts once -> 2
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .contaminationReport(corpus, suites, "doc_id", "text", "suite", n = 3)
+      .orderBy("doc_id", "suite")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "suiteA", 2L),
+      (2L, "suiteA", 1L), (2L, "suiteB", 1L),
+      (4L, "suiteA", 2L)
+    ))
+    // shuffled-reference path agrees with the broadcast default
+    val shuffled = Dedup.contaminationReport(
+      corpus, suites, "doc_id", "text", "suite", n = 3, broadcastReference = false)
+    assert(shuffled.orderBy("doc_id", "suite").collect().toSeq ==
+      Dedup.contaminationReport(corpus, suites, "doc_id", "text", "suite", n = 3)
+        .orderBy("doc_id", "suite").collect().toSeq)
+  }
 }
