@@ -103,7 +103,12 @@ sbt -batch "runMain graft.tools.Spike x60-planted 1000000" 2>&1 | grep -E '\[spi
 sbt -batch "runMain graft.tools.Spike sq8-planted 200000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike pq-planted 200000" 2>&1 | grep -E '\[spike\]'
 SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.Spike mrl-planted 1000000" 2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike curate-incr-planted 2000000" 2>&1 | grep -E '\[spike\]'
+# 2M batch docs + both persisted indexes across 32 executor threads share
+# ONE local-mode heap; 8g is reproducibly marginal on this box (r17: two
+# OOMs at 8g, clean PASS at 16g, identical outputs) — a cluster gives each
+# executor its own heap, so this is a local-harness constraint, not an
+# operator ceiling
+SPARK_DRIVER_MEM=16g sbt -batch "runMain graft.tools.Spike curate-incr-planted 2000000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike sgd-planted 1000000" 2>&1 | grep -E '\[spike\]'
 SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.Spike sparse-dim-scale 500000" 2>&1 | grep -E '\[spike\]'
 sbt -batch "runMain graft.tools.Spike lm-planted 1000000" 2>&1 | grep -E '\[spike\]'
