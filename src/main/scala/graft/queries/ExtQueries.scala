@@ -5931,6 +5931,82 @@ object ExtQueries {
            |SELECT doc_id, suite, CAST(COUNT(*) AS BIGINT) AS n_gram_hits
            |FROM dg JOIN rg USING (g) GROUP BY 1, 2 ORDER BY doc_id, suite""".stripMargin
       )
+    ),
+    // ------------------------------------------------------------------
+    // Eval-leakage guard (hashSplit -> decontaminateNearDup): in-corpus
+    // train/test leakage — after splitting ONE corpus, near-duplicates
+    // of test docs must leave the train split or the eval is
+    // contaminated by construction (the within-corpus counterpart of
+    // x109's external decontamination). Planted leakage: every %11 doc
+    // gets a near-dup twin at id+1e8 (above any sf10-amplified id);
+    // twin and original hash to INDEPENDENT md5 split buckets, so some
+    // twins land train while their original lands test — exactly the
+    // pairs the scrub must catch. The oracle replays the split buckets,
+    // both minhash pipelines, the band join, the 1/8-exact agreement
+    // confirm and the anti-join.
+    Q(
+      "x158_split_leakage",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val twins = docs
+          .filter(col("doc_id") % 11 === 0)
+          .select(
+            (col("doc_id") + 100000000L).as("doc_id"),
+            concat(col("text"), lit(" ztwin zleak")).as("text"),
+            col("n_chars"))
+        val corpus = docs.select("doc_id", "text", "n_chars").unionByName(twins)
+        val sp = Scale.hashSplit(
+          corpus, Seq("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        Dedup
+          .decontaminateNearDup(
+            sp.filter(col("split") === "train").drop("split"),
+            sp.filter(col("split") === "test").drop("split"),
+            "doc_id",
+            "text")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000000, text || ' ztwin zleak', n_chars
+             |    FROM documents WHERE doc_id % 11 = 0),
+             |sp AS MATERIALIZED (SELECT doc_id, text, n_chars,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15) AS BIGINT) % 1000 AS hb
+             |  FROM corpus),
+             |tr AS (SELECT * FROM sp WHERE hb < 800),
+             |te AS (SELECT * FROM sp WHERE hb >= 900),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM tr),
+             |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+             |       FROM toks, unnest(range(1, len(tk) - 1)) AS t(i)),
+             |tok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashHashMod} + 1 AS h FROM sh),
+             |sig AS MATERIALIZED (SELECT doc_id, $minhashMins FROM tok GROUP BY 1),
+             |rtoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM te),
+             |rsh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+             |        FROM rtoks, unnest(range(1, len(tk) - 1)) AS t(i)),
+             |rtok AS (SELECT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) % ${Dedup.MinhashHashMod} + 1 AS h FROM rsh),
+             |rsig AS MATERIALIZED (SELECT doc_id, $minhashMins FROM rtok GROUP BY 1),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, m0*100000+m1 AS bh FROM sig UNION ALL
+             |  SELECT doc_id, 1, m2*100000+m3 FROM sig UNION ALL
+             |  SELECT doc_id, 2, m4*100000+m5 FROM sig UNION ALL
+             |  SELECT doc_id, 3, m6*100000+m7 FROM sig),
+             |rbands AS (
+             |  SELECT doc_id, 0 AS band, m0*100000+m1 AS bh FROM rsig UNION ALL
+             |  SELECT doc_id, 1, m2*100000+m3 FROM rsig UNION ALL
+             |  SELECT doc_id, 2, m4*100000+m5 FROM rsig UNION ALL
+             |  SELECT doc_id, 3, m6*100000+m7 FROM rsig),
+             |cand AS (SELECT DISTINCT c.doc_id AS cid, r.doc_id AS rid
+             |  FROM bands c JOIN rbands r ON c.band = r.band AND c.bh = r.bh),
+             |bad AS (SELECT DISTINCT cand.cid AS doc_id
+             |  FROM cand JOIN sig cs ON cs.doc_id = cand.cid
+             |  JOIN rsig rs ON rs.doc_id = cand.rid
+             |  WHERE CAST(${(0 until 8)
+              .map(i => s"(CASE WHEN cs.m$i = rs.m$i THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS DOUBLE) / 8 >= 0.5)
+             |SELECT doc_id, n_chars FROM tr
+             |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }
