@@ -248,7 +248,11 @@ object DumpPlans {
     "x153_vocab_growth" -> ("Vocabulary growth: the corpus-sized work is one token-keyed " +
       "min-bucket aggregate (map-side partials bound the shuffle by distinct types per " +
       "partition) + one per-bucket count; the only unpartitioned window runs on the " +
-      "<=nBuckets-row aggregate, never the corpus.")
+      "<=nBuckets-row aggregate, never the corpus."),
+    "x157_contam_report" -> ("Contamination attribution: the reference's (suite, gram-hash) " +
+      "rows broadcast; corpus (id, gram-hash) rows die in the map-side hash join unless " +
+      "contaminated, so the only exchange is the per-(doc, suite) count aggregate — " +
+      "bounded by HIT volume, never the corpus gram stream.")
   )
 
   def main(args: Array[String]): Unit = {
