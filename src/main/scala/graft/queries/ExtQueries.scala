@@ -6007,6 +6007,34 @@ object ExtQueries {
              |SELECT doc_id, n_chars FROM tr
              |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
              |ORDER BY doc_id""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Incremental LM artifact CROSS-ENGINE (mergeBigramLm): the engine
+    // trains on two reference halves SEPARATELY and scores under the
+    // MERGED model; the oracle trains on the union in one pass. The
+    // merge == retrain additivity is already spec-pinned engine-side —
+    // this row pins it against an independent engine: any count the
+    // merge loses or double-folds breaks the hash. This is the contract
+    // that lets a 100 TB deployment fold each day's reference batch
+    // into the stored model without rescanning history.
+    Q(
+      "x159_lm_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val en = docs.filter(col("lang") === "en")
+        val merged = TextAnalysis.mergeBigramLm(
+          TextAnalysis.trainBigramLm(en.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+          TextAnalysis.trainBigramLm(en.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+        TextAnalysis.perplexityScore(docs, merged, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(
+        s"""$bigramLmSqlPrefix,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1)
+           |SELECT doc_id, n_tokens, nll_q20,
+           |  CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce_bits
+           |FROM ag ORDER BY doc_id""".stripMargin
+      )
     )
   )
 }
