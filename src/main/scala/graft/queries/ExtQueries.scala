@@ -6035,6 +6035,150 @@ object ExtQueries {
            |  CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce_bits
            |FROM ag ORDER BY doc_id""".stripMargin
       )
+    ),
+    // ------------------------------------------------------------------
+    // PER-LANGUAGE excess-perplexity selection (x150's RHO-1 signal with
+    // keyCols = lang + the bounded topKPerKey heap): both the trusted
+    // reference (fit on source='src0', per lang — the x137 setup) and
+    // the self model (fit on the whole corpus, per lang) resolve within
+    // the language, so the excess ranking is comparable WITHIN each
+    // language even though perplexity scales differ across them (the
+    // CCNet argument, applied to selection). Top-20 per language via the
+    // map-side k-element heap — never a per-language window sort of the
+    // corpus; the desc-struct heap tie-breaks on the NEGATED id, i.e.
+    // smallest doc_id wins ties, matching the oracle's ORDER BY.
+    Q(
+      "x160_excess_lang",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ref = TextAnalysis.trainBigramLm(
+          docs.filter(col("source") === "src0"), "doc_id", "text", Seq("lang"))
+        val self = TextAnalysis.trainBigramLm(docs, "doc_id", "text", Seq("lang"))
+        Relational
+          .topKPerKey(
+            TextAnalysis
+              .excessPerplexity(docs, ref, self, "doc_id", "text", Seq("lang"))
+              .join(docs.select("doc_id", "lang"), Seq("doc_id")),
+            Seq("lang"),
+            struct(col("excess_bits").as("excess_bits"), (-col("doc_id")).as("__nid")),
+            20
+          )
+          .select(col("lang"), col("rk"), col("excess_bits"), (-col("__nid")).as("doc_id"))
+          .orderBy("lang", "rk")
+      },
+      Some(
+        s"""WITH RECURSIVE
+           |rtk AS (SELECT lang, string_split(text, ' ') AS ts FROM documents
+           |  WHERE source = 'src0'),
+           |rar AS (SELECT lang, list_prepend(chr(1), ts) AS arr FROM rtk),
+           |rbg AS (SELECT lang, unnest(arr[1:len(arr)-1]) AS prev,
+           |    unnest(arr[2:len(arr)]) AS tok FROM rar),
+           |rm AS MATERIALIZED (SELECT lang, prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM rbg GROUP BY 1, 2, 3),
+           |rcx AS MATERIALIZED (SELECT lang, prev, CAST(SUM(cnt) AS BIGINT) AS ctx
+           |  FROM rm GROUP BY 1, 2),
+           |rvv AS MATERIALIZED (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+           |  FROM rm GROUP BY 1),
+           |stk AS (SELECT lang, string_split(text, ' ') AS ts FROM documents),
+           |sar AS (SELECT lang, list_prepend(chr(1), ts) AS arr FROM stk),
+           |sbg AS (SELECT lang, unnest(arr[1:len(arr)-1]) AS prev,
+           |    unnest(arr[2:len(arr)]) AS tok FROM sar),
+           |sm AS MATERIALIZED (SELECT lang, prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM sbg GROUP BY 1, 2, 3),
+           |scx AS MATERIALIZED (SELECT lang, prev, CAST(SUM(cnt) AS BIGINT) AS ctx
+           |  FROM sm GROUP BY 1, 2),
+           |svv AS MATERIALIZED (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+           |  FROM sm GROUP BY 1),
+           |tkd AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+           |aad AS (SELECT doc_id, lang, list_prepend(chr(1), ts) AS arr FROM tkd),
+           |bgd AS (SELECT doc_id, lang, unnest(arr[1:len(arr)-1]) AS prev,
+           |    unnest(arr[2:len(arr)]) AS tok FROM aad),
+           |pt AS MATERIALIZED (
+           |  SELECT b.doc_id, 'r' AS side, COALESCE(rm.cnt, 0) + 1 AS num,
+           |      COALESCE(rcx.ctx, 0) + rvv.v AS den, CAST(0 AS BIGINT) AS adq
+           |    FROM bgd b JOIN rvv USING (lang)
+           |    LEFT JOIN rm ON rm.lang = b.lang AND rm.prev = b.prev AND rm.tok = b.tok
+           |    LEFT JOIN rcx ON rcx.lang = b.lang AND rcx.prev = b.prev
+           |  UNION ALL
+           |  SELECT b.doc_id, 's', COALESCE(sm.cnt, 0) + 1,
+           |      COALESCE(scx.ctx, 0) + svv.v, CAST(0 AS BIGINT)
+           |    FROM bgd b JOIN svv USING (lang)
+           |    LEFT JOIN sm ON sm.lang = b.lang AND sm.prev = b.prev AND sm.tok = b.tok
+           |    LEFT JOIN scx ON scx.lang = b.lang AND scx.prev = b.prev),
+           |${lmLogReplayCtesCols(", pt.side")},
+           |ag AS (SELECT doc_id, side, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nllq FROM nl GROUP BY 1, 2),
+           |rr AS (SELECT doc_id, n_tokens, nllq FROM ag WHERE side = 'r'),
+           |ss AS (SELECT doc_id, nllq FROM ag WHERE side = 's'),
+           |j AS (SELECT rr.doc_id,
+           |    CAST(ss.nllq // rr.n_tokens AS DOUBLE) / 1048576.0
+           |      - CAST(rr.nllq // rr.n_tokens AS DOUBLE) / 1048576.0 AS excess_bits
+           |  FROM rr JOIN ss USING (doc_id)),
+           |rkd AS (SELECT d.lang, j.doc_id, j.excess_bits,
+           |    CAST(row_number() OVER (PARTITION BY d.lang
+           |      ORDER BY j.excess_bits DESC, j.doc_id) AS INTEGER) AS rk
+           |  FROM j JOIN documents d USING (doc_id))
+           |SELECT lang, rk, excess_bits, doc_id FROM rkd
+           |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // Incremental TRIGRAM artifact CROSS-ENGINE (mergeTrigramLm — closing
+    // x159's symmetry for the stupid-backoff model): the engine trains
+    // trigram counts on two reference halves separately and scores under
+    // the MERGED table; the oracle trains on the union. Because the
+    // lower orders (bigram/unigram/context totals) all DERIVE from the
+    // one trigram table by summation, a merge error anywhere corrupts
+    // every backoff level — the hash pins all of them at once.
+    Q(
+      "x161_backoff_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val en = docs.filter(col("lang") === "en")
+        val merged = TextAnalysis.mergeTrigramLm(
+          TextAnalysis.trainTrigramLm(en.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+          TextAnalysis.trainTrigramLm(en.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+        TextAnalysis.scoreStupidBackoff(docs, merged, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE
+           |tkr AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE lang = 'en'),
+           |ar AS (SELECT list_prepend(chr(1), list_prepend(chr(1), ts)) AS arr FROM tkr),
+           |g3 AS (SELECT unnest(arr[1:len(arr)-2]) AS p2, unnest(arr[2:len(arr)-1]) AS p1,
+           |    unnest(arr[3:len(arr)]) AS t FROM ar),
+           |t3 AS MATERIALIZED (SELECT p2, p1, t, CAST(COUNT(*) AS BIGINT) AS c3
+           |  FROM g3 GROUP BY 1, 2, 3),
+           |b2 AS MATERIALIZED (SELECT p1, t, CAST(SUM(c3) AS BIGINT) AS c2 FROM t3 GROUP BY 1, 2),
+           |u1 AS MATERIALIZED (SELECT t, CAST(SUM(c2) AS BIGINT) AS c1 FROM b2 GROUP BY 1),
+           |x3 AS MATERIALIZED (SELECT p2, p1, CAST(SUM(c3) AS BIGINT) AS x3 FROM t3 GROUP BY 1, 2),
+           |x2 AS MATERIALIZED (SELECT p1, CAST(SUM(c2) AS BIGINT) AS x2 FROM b2 GROUP BY 1),
+           |nv AS (SELECT CAST(SUM(c1) + COUNT(DISTINCT t) AS BIGINT) AS nv FROM u1),
+           |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |aa AS (SELECT doc_id, list_prepend(chr(1), list_prepend(chr(1), ts)) AS arr FROM tk),
+           |bg AS (SELECT doc_id, unnest(arr[1:len(arr)-2]) AS p2,
+           |    unnest(arr[2:len(arr)-1]) AS p1, unnest(arr[3:len(arr)]) AS t FROM aa),
+           |pt AS MATERIALIZED (SELECT b.doc_id,
+           |    CASE WHEN t3.c3 IS NOT NULL THEN t3.c3
+           |      WHEN b2.c2 IS NOT NULL THEN b2.c2
+           |      ELSE COALESCE(u1.c1, 0) + 1 END AS num,
+           |    CASE WHEN t3.c3 IS NOT NULL THEN x3.x3
+           |      WHEN b2.c2 IS NOT NULL THEN x2.x2
+           |      ELSE (SELECT nv FROM nv) END AS den,
+           |    CAST(CASE WHEN t3.c3 IS NOT NULL THEN 0
+           |      WHEN b2.c2 IS NOT NULL THEN 1048576 ELSE 2097152 END AS BIGINT) AS adq
+           |  FROM bg b
+           |  LEFT JOIN t3 ON t3.p2 = b.p2 AND t3.p1 = b.p1 AND t3.t = b.t
+           |  LEFT JOIN x3 ON x3.p2 = b.p2 AND x3.p1 = b.p1
+           |  LEFT JOIN b2 ON b2.p1 = b.p1 AND b2.t = b.t
+           |  LEFT JOIN x2 ON x2.p1 = b.p1
+           |  LEFT JOIN u1 ON u1.t = b.t),
+           |$lmLogReplayCtes,
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1)
+           |SELECT doc_id, n_tokens, nll_q20,
+           |  CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce_bits
+           |FROM ag ORDER BY doc_id""".stripMargin
+      )
     )
   )
 }
