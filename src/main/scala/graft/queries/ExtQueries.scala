@@ -6179,6 +6179,53 @@ object ExtQueries {
            |  CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce_bits
            |FROM ag ORDER BY doc_id""".stripMargin
       )
+    ),
+    // ------------------------------------------------------------------
+    // Curriculum-ordered token budget (curriculumInterleave ∘
+    // selectByBudget): take the FIRST ~20k tokens of the round-robin
+    // curriculum — the "train the first epoch slice in curriculum
+    // order" cut. The curriculum position coarse-grids into 256 tiers
+    // (selectByBudget's documented grid-valued-score contract — a
+    // per-doc rank as the score would put N distinct values through
+    // the driver histogram); whole earliest tiers fill first, the
+    // boundary tier resolves by doc id (the operator's documented
+    // boundary rule). Oracle = the greedy (tier, id) prefix with
+    // cumulative tokens <= budget, on top of the x152 window replay.
+    Q(
+      "x162_curriculum_budget",
+      (s, d) => {
+        val docs0 = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        val cur = Scale.curriculumInterleave(docs0, "doc_id", "n_tokens", "source")
+        val n1 = cur.agg((count(lit(1)) + 1L).as("__n1"))
+        val tiered = cur
+          .crossJoin(broadcast(n1))
+          .withColumn("tier", expr("(pos * 256) div __n1"))
+          .withColumn("score", -col("tier"))
+        Scale
+          .selectByBudget(tiered, "doc_id", "score", "n_tokens", 20000L)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("pos"), col("tier"))
+          .orderBy("pos")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, source,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+          |r AS (SELECT doc_id, source, n_tokens,
+          |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
+          |      AS BIGINT) AS rn FROM d),
+          |p AS (SELECT doc_id, source, n_tokens,
+          |    CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS pos FROM r),
+          |nn AS (SELECT COUNT(*) + 1 AS n1 FROM p),
+          |tr2 AS (SELECT p.*, (pos * 256) // n1 AS tier FROM p CROSS JOIN nn),
+          |c AS (SELECT doc_id, source, n_tokens, pos, tier,
+          |    SUM(n_tokens) OVER (ORDER BY tier, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM tr2)
+          |SELECT doc_id, source, n_tokens, pos, tier FROM c
+          |WHERE cum <= 20000 ORDER BY pos""".stripMargin
+      )
     )
   )
 }
