@@ -6226,6 +6226,50 @@ object ExtQueries {
           |SELECT doc_id, source, n_tokens, pos, tier FROM c
           |WHERE cum <= 20000 ORDER BY pos""".stripMargin
       )
+    ),
+    // ------------------------------------------------------------------
+    // Which source ships boilerplate (ngramNovelty per source): x151's
+    // per-doc novelty aggregated to the per-source report a curation
+    // run publishes. The ratio is the MICRO-average over exact integer
+    // sums (one double division per source — deterministic), NOT a mean
+    // of the per-doc 6-dp ratios (summing rounded doubles is
+    // aggregation-order dependent); the low tail counts docs under 0.5
+    // on the per-doc rounded value both engines already hash-agree on.
+    Q(
+      "x163_source_novelty",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup
+          .ngramNovelty(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_shingles").as("n_shingles"),
+            sum("novel_shingles").as("novel_shingles"),
+            round(sum("novel_shingles").cast("double") / sum("n_shingles"), 6)
+              .as("novelty_micro"),
+            sum(when(col("novelty") < 0.5, 1L).otherwise(0L)).as("n_low")
+          )
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH $shingleCte,
+           |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+           |nv AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           |    CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_shingles,
+           |    round(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / COUNT(*), 6) AS novelty
+           |  FROM sh JOIN df USING (s) GROUP BY 1)
+           |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(nv.n_shingles) AS BIGINT) AS n_shingles,
+           |  CAST(SUM(nv.novel_shingles) AS BIGINT) AS novel_shingles,
+           |  round(CAST(SUM(nv.novel_shingles) AS DOUBLE) / SUM(nv.n_shingles), 6)
+           |    AS novelty_micro,
+           |  CAST(SUM(CASE WHEN nv.novelty < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+           |FROM nv JOIN documents d USING (doc_id)
+           |GROUP BY 1 ORDER BY source""".stripMargin
+      )
     )
   )
 }
