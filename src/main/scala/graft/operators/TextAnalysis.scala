@@ -1406,11 +1406,13 @@ object TextAnalysis {
     * per-row tag is a pure compare on the dyadic-exact `ce_bits`.
     *
     * `smoothing` picks the scorer over the same model artifact:
-    * `"addone"` ([[perplexityScore]], the replayable baseline) or
+    * `"addone"` ([[perplexityScore]], the replayable baseline),
     * `"kn"` ([[scoreKneserNey]], the quality standard — CCNet as
     * actually deployed uses a proper LM, and KN is the count-model
-    * equivalent). Both are exact-grid, so the tercile compares stay
-    * wobble-free either way. */
+    * equivalent), `"jm"` ([[scoreJelinekMercer]] at its default dyadic
+    * λ) or `"wb"` ([[scoreWittenBell]]). All four are exact-grid, so
+    * the tercile compares stay wobble-free whichever smoother the
+    * deployment standardizes on. */
   def perplexityBuckets(
       docs: DataFrame,
       model: DataFrame,
@@ -1431,9 +1433,11 @@ object TextAnalysis {
       case "addone" => perplexityScore(docs, model, idCol, textCol, keyCols)
       case "kn" =>
         scoreKneserNey(docs, model, idCol, textCol, discountShift, keyCols, modified)
+      case "jm" => scoreJelinekMercer(docs, model, idCol, textCol, keyCols = keyCols)
+      case "wb" => scoreWittenBell(docs, model, idCol, textCol, keyCols = keyCols)
       case other =>
         throw new IllegalArgumentException(
-          s"perplexityBuckets: smoothing must be 'addone' or 'kn', got '$other'")
+          s"perplexityBuckets: smoothing must be 'addone', 'kn', 'jm' or 'wb', got '$other'")
     }
     val sc = scored.join(docs.select(col(idCol), col(langCol)), Seq(idCol))
     val bounds = Quantiles

@@ -6270,6 +6270,62 @@ object ExtQueries {
            |FROM nv JOIN documents d USING (doc_id)
            |GROUP BY 1 ORDER BY source""".stripMargin
       )
+    ),
+    // ------------------------------------------------------------------
+    // CCNet buckets under Witten–Bell (perplexityBuckets smoothing="wb"
+    // — the bucket composition now reaches all four smoothers; this row
+    // pins the jm/wb routing cross-engine): x136's per-language tercile
+    // machinery over x149's WB per-token replay — same model artifact,
+    // same HUGEINT ladder, same boundary formula.
+    Q(
+      "x164_wb_buckets",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model =
+          TextAnalysis.trainBigramLm(docs.filter(col("lang") === "en"), "doc_id", "text")
+        TextAnalysis
+          .perplexityBuckets(docs, model, "doc_id", "text", "lang",
+            exact = true, smoothing = "wb")
+          .select(col("doc_id"), col("lang"), col("ce_bits"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""${contSqlPrefix(
+            """    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN
+              |      CAST(COALESCE(m.cnt, 0) AS HUGEINT) * (gq.t + gq.v)
+              |      + CAST(cx.nv AS HUGEINT) * (COALESCE(cw.cw, 0) + 1)
+              |    ELSE CAST(COALESCE(cw.cw, 0) + 1 AS HUGEINT) END AS num,
+              |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN cx.ctx + cx.nv
+              |      ELSE gq.t + gq.v END AS den1,
+              |    CASE WHEN COALESCE(cx.ctx, 0) > 0 THEN gq.t + gq.v
+              |      ELSE CAST(1 AS BIGINT) END AS den2,
+              |    CAST(0 AS BIGINT) AS adq""".stripMargin
+          )},
+           |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(nll) AS BIGINT) AS nll_q20 FROM nl GROUP BY 1),
+           |sc AS MATERIALIZED (SELECT ag.doc_id, d.lang,
+           |    CAST(nll_q20 // n_tokens AS DOUBLE) / 1048576.0 AS ce
+           |  FROM ag JOIN documents d USING (doc_id)),
+           |vs AS (SELECT lang, list_sort(list(ce)) AS v, COUNT(*) AS n FROM sc GROUP BY 1),
+           |ps AS (SELECT lang, v, CAST(1 AS DOUBLE) / 3 * (n - 1) AS p1,
+           |    CAST(2 AS DOUBLE) / 3 * (n - 1) AS p2 FROM vs),
+           |bd AS (SELECT lang,
+           |  CASE WHEN ceil(p1) = floor(p1)
+           |      OR v[CAST(floor(p1) AS BIGINT) + 1] = v[CAST(ceil(p1) AS BIGINT) + 1]
+           |    THEN v[CAST(floor(p1) AS BIGINT) + 1]
+           |    ELSE (ceil(p1) - p1) * v[CAST(floor(p1) AS BIGINT) + 1]
+           |      + (p1 - floor(p1)) * v[CAST(ceil(p1) AS BIGINT) + 1] END AS blo,
+           |  CASE WHEN ceil(p2) = floor(p2)
+           |      OR v[CAST(floor(p2) AS BIGINT) + 1] = v[CAST(ceil(p2) AS BIGINT) + 1]
+           |    THEN v[CAST(floor(p2) AS BIGINT) + 1]
+           |    ELSE (ceil(p2) - p2) * v[CAST(floor(p2) AS BIGINT) + 1]
+           |      + (p2 - floor(p2)) * v[CAST(ceil(p2) AS BIGINT) + 1] END AS bhi
+           |  FROM ps)
+           |SELECT sc.doc_id, sc.lang, sc.ce AS ce_bits,
+           |  CASE WHEN sc.ce <= bd.blo THEN 'head'
+           |    WHEN sc.ce <= bd.bhi THEN 'middle' ELSE 'tail' END AS bucket
+           |FROM sc JOIN bd USING (lang) ORDER BY sc.doc_id""".stripMargin
+      )
     )
   )
 }

@@ -436,6 +436,20 @@ class LmSpec extends AnyFunSuite with SparkTester {
       val a = bucketCe(mod, shift); val b = directCe(mod, shift)
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"(mod=$mod, shift=$shift)")
     }
+    // jm/wb route to their scorers with defaults; unknown names refuse
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "jm" -> TextAnalysis.scoreJelinekMercer(docs, model, "doc_id", "text"),
+      "wb" -> TextAnalysis.scoreWittenBell(docs, model, "doc_id", "text")
+    ).foreach { case (sm, direct) =>
+      val viaBuckets = TextAnalysis
+        .perplexityBuckets(docs, model, "doc_id", "text", "lang", exact = true, smoothing = sm)
+        .select("doc_id", "ce_bits")
+      val d = direct.select("doc_id", "ce_bits")
+      assert(viaBuckets.exceptAll(d).isEmpty && d.exceptAll(viaBuckets).isEmpty, sm)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.perplexityBuckets(docs, model, "doc_id", "text", "lang", smoothing = "x")
+    }
   }
 
   // ---- mergeTrigramLm: the stupid-backoff artifact's incremental merge ----
