@@ -6206,7 +6206,11 @@ object ExtQueries {
           .withColumn("tier", expr("(pos * 256) div __n1"))
           .withColumn("score", -col("tier"))
         Scale
-          .selectByBudget(tiered, "doc_id", "score", "n_tokens", 20000L)
+          // materializeInput: the budget walk takes several actions
+          // (histogram collect, boundary quantiles, final filter) — without
+          // it each one would replay the whole curriculum window chain
+          .selectByBudget(tiered, "doc_id", "score", "n_tokens", 20000L,
+            materializeInput = true)
           .select(col("doc_id"), col("source"), col("n_tokens"), col("pos"), col("tier"))
           .orderBy("pos")
       },
