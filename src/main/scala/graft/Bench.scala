@@ -175,17 +175,21 @@ object Bench {
       flushPartial()
       val m = mutable.LinkedHashMap[String, Option[Double]]()
       samples += m
-      ordered.foreach { case (n, f) =>
-        // heavies run in the LAST pass, not the first: pass 1 pays JIT/
-        // codegen warmup (its canary reads ~3x the quiet floor), and a
-        // single-sample query pinned there would record the systematically
-        // WORST sample (r17: x133 17.8s cold vs 4.3s warmed). The last
-        // pass is the warmed one; a killed run loses only the heavies'
-        // samples while every min-of-n query keeps its pass-1 numbers.
-        if (pass == runs || !heavy.contains(n)) {
-          m(n) = timeOnce(n, f)
-          flushPartial()
-        }
+      // heavies run in the LAST pass, not the first: pass 1 pays JIT/
+      // codegen warmup (its canary reads ~3x the quiet floor), and a
+      // single-sample query pinned there would record the systematically
+      // WORST sample (r17: x133 17.8s cold vs 4.3s warmed). Within the
+      // last pass the heavies go FIRST (ADVICE r17): an interrupt mid-pass
+      // then loses only RE-samples of min-of-n queries (which keep their
+      // pass-1 numbers) instead of a heavy's ONLY sample.
+      val passOrder =
+        if (pass == runs) {
+          val (h, rest) = ordered.partition { case (n, _) => heavy.contains(n) }
+          h ++ rest
+        } else ordered.filterNot { case (n, _) => heavy.contains(n) }
+      passOrder.foreach { case (n, f) =>
+        m(n) = timeOnce(n, f)
+        flushPartial()
       }
     }
     loadSamples += loadAvg()

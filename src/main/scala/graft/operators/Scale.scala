@@ -50,14 +50,24 @@ object Scale {
     * (source, distinct difficulty), bounded for any discrete difficulty
     * (token counts top out at the corpus max doc length).
     *
+    * CARDINALITY CONTRACT (ADVICE r17): `sourceCol` must be a
+    * LOW-cardinality corpus label (sources, languages — single-to-double
+    * digits). The per-source count array is ONE broadcast row evaluated
+    * with aggregate/filter HOFs per doc — O(|sources|) work per row and a
+    * single in-memory array. A high-cardinality column (a domain or URL
+    * host) would blow both; the `maxSources` guard (plan-level, no extra
+    * action) refuses past the bound rather than degrading silently.
+    *
     * Output: `(idCol, sourceCol, difficultyCol, rn, pos)`, `pos` 1-based.
     * Ties within (source, difficulty) break by ascending id. */
   def curriculumInterleave(
       docs: DataFrame,
       idCol: String,
       difficultyCol: String,
-      sourceCol: String
+      sourceCol: String,
+      maxSources: Int = 1000
   ): DataFrame = {
+    require(maxSources >= 1, s"curriculumInterleave: maxSources must be >= 1, got $maxSources")
     import org.apache.spark.sql.expressions.Window
     val d = docs.select(col(idCol), col(sourceCol), col(difficultyCol))
     // per-(source, difficulty) counts -> per-source running offsets; the
@@ -94,7 +104,20 @@ object Scale {
     ).cast("long")
     ranked
       .crossJoin(broadcast(cnts))
-      .withColumn("pos", prior + thisRound)
+      .withColumn(
+        "pos",
+        // plan-level cardinality guard: fires on the first evaluated row if
+        // the broadcast source array exceeds the contract, before any
+        // O(rows x sources) work completes
+        when(
+          size(col("__cs")) > maxSources,
+          raise_error(concat(
+            lit(s"curriculumInterleave: more than $maxSources distinct sources ("),
+            size(col("__cs")).cast("string"),
+            lit(s") — the per-row closed-form walks the broadcast source array; " +
+              "pass a low-cardinality source label or raise maxSources deliberately")))
+        ).otherwise(prior + thisRound)
+      )
       .select(col(idCol), col(sourceCol), col(difficultyCol), col("rn"), col("pos"))
   }
 

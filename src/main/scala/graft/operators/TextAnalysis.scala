@@ -951,12 +951,25 @@ object TextAnalysis {
     require(nBuckets >= 1, s"vocabGrowth: nBuckets must be >= 1, got $nBuckets")
     import org.apache.spark.sql.expressions.Window
     val mx = docs.agg((max(col(idCol)) + 1L).as("__mx"))
+    // ADVICE r17: quote the id column (backtick-safe), widen the product to
+    // decimal(38,0) (a raw long id near Long.MaxValue/nBuckets overflows
+    // id*nBuckets), and require nonnegative ids at plan level — `div`
+    // truncates toward zero, which equals the oracle's floor `//` only for
+    // nonnegative operands
+    val idQ = "`" + idCol.replace("`", "``") + "`"
     val bucketed = docs
       .crossJoin(broadcast(mx))
       .select(
         // integer division keeps the slice exact at any id magnitude (a
         // double divide loses ulps past 2^53 and the oracle uses `//`)
-        expr(s"($idCol * $nBuckets) div __mx").as("__b"),
+        when(
+          col(idCol) < 0,
+          raise_error(concat(
+            lit("vocabGrowth: ids must be nonnegative, got "),
+            col(idCol).cast("string")))
+        ).otherwise(
+          expr(s"(cast($idQ as decimal(38,0)) * $nBuckets) div __mx"))
+          .as("__b"),
         col(textCol)
       )
     val toks = bucketed.select(col("__b"), explode(tokens(col(textCol))).as("__tok"))
@@ -1426,6 +1439,16 @@ object TextAnalysis {
       discountShift: Int = 10,
       modified: Boolean = false
   ): DataFrame = {
+    // ADVICE r17: discountShift/modified are KN-only knobs — silently
+    // ignoring them under jm/wb/addone would let a caller believe they
+    // tuned something; refuse loudly instead (JM's lambda is tunable via
+    // scoreJelinekMercer directly)
+    require(
+      smoothing == "kn" || (discountShift == 10 && !modified),
+      s"perplexityBuckets: discountShift/modified only apply to smoothing='kn' " +
+        s"(got smoothing='$smoothing', discountShift=$discountShift, modified=$modified); " +
+        "for JM lambda tuning call scoreJelinekMercer directly"
+    )
     // ADVICE r16: discountShift/modified plumb through to the KN scorer so
     // modified-KN terciles are reachable from the bucket composition;
     // defaults match scoreKneserNey's, so existing calls are unchanged

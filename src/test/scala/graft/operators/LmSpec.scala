@@ -450,6 +450,17 @@ class LmSpec extends AnyFunSuite with SparkTester {
     intercept[IllegalArgumentException] {
       TextAnalysis.perplexityBuckets(docs, model, "doc_id", "text", "lang", smoothing = "x")
     }
+    // ADVICE r17: KN-only knobs with a non-KN smoother refuse loudly
+    // instead of being silently ignored
+    val knOnly = intercept[IllegalArgumentException] {
+      TextAnalysis.perplexityBuckets(
+        docs, model, "doc_id", "text", "lang", smoothing = "jm", discountShift = 5)
+    }
+    assert(knOnly.getMessage.contains("only apply to smoothing='kn'"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.perplexityBuckets(
+        docs, model, "doc_id", "text", "lang", smoothing = "wb", modified = true)
+    }
   }
 
   // ---- mergeTrigramLm: the stupid-backoff artifact's incremental merge ----

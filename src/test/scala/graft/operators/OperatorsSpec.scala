@@ -3235,6 +3235,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     intercept[IllegalArgumentException] {
       TextAnalysis.vocabGrowth(docs, "doc_id", "text", nBuckets = 0)
     }
+    // ADVICE r17 guards: negative ids refuse at plan level (div truncates
+    // toward zero, the oracle floors — they diverge below 0), and a column
+    // name needing backticks parses (the bucket expr quotes it)
+    val neg = intercept[Exception] {
+      TextAnalysis
+        .vocabGrowth(Seq((-1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 2)
+        .collect()
+    }
+    assert(neg.getMessage.contains("ids must be nonnegative"))
+    val weird = docs.withColumnRenamed("doc_id", "doc id")
+    val gw = TextAnalysis.vocabGrowth(weird, "doc id", "text", nBuckets = 2)
+    assert(gw.orderBy(desc("bucket")).head().getLong(5) == 5L)
+    // ids near Long.MaxValue/nBuckets: the decimal(38,0) widening keeps
+    // id*nBuckets exact where the raw long product would overflow
+    val big = Seq((Long.MaxValue - 1L, "a b"), (0L, "c")).toDF("doc_id", "text")
+    val gb = TextAnalysis.vocabGrowth(big, "doc_id", "text", nBuckets = 4)
+      .orderBy("bucket").collect()
+    assert(gb.map(_.getLong(0)).toSeq == Seq(0L, 3L)) // first + last slice
   }
 
   test("vocabOverlap: hand-computed pairwise type Jaccard; zero-overlap pairs emit no row") {

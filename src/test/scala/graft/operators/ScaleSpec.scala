@@ -543,5 +543,11 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     // deterministic at any partitioning
     val again = Scale.curriculumInterleave(docs.repartition(5), "doc_id", "diff", "source")
     assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    // ADVICE r17: the per-row closed form walks a broadcast array of ALL
+    // sources — a high-cardinality source column must refuse, not degrade
+    val guard = intercept[Exception] {
+      Scale.curriculumInterleave(docs, "doc_id", "diff", "source", maxSources = 2).collect()
+    }
+    assert(guard.getMessage.contains("distinct sources"))
   }
 }
