@@ -117,7 +117,16 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ONLY=x101_decon_fuzzy,q01_... runs a targeted
+    // subset (adjudicating one query's cross-round swing without paying the
+    // full suite); the canary still runs at every pass boundary so the
+    // subset artifact is load-normalizable like the full one
+    val only = sys.env
+      .get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // whole-chain training replays retrain inline BY DESIGN (deployment
     // reads persisted artifacts); run them once per process, not per pass
     val heavy = sys.env
@@ -134,7 +143,11 @@ object Bench {
     val loadSamples = mutable.ArrayBuffer[Double]()
     val canarySecs = mutable.ArrayBuffer[Double]()
     val samples = mutable.ArrayBuffer[mutable.LinkedHashMap[String, Option[Double]]]()
-    val lastPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    // a targeted-subset run writes to /tmp by default so it never clobbers
+    // the committed full-suite BENCH_LAST record
+    val lastPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "/root/repo/BENCH_LAST.json" else "/tmp/BENCH_SUBSET.json")
 
     def fmtD(v: Double): String = f"$v%.6f"
     // the full record from whatever has been measured so far; identical
@@ -216,8 +229,10 @@ object Bench {
       atomicWrite(lastPath, json + "\n")
       written += lastPath
       // keep the most recent CLEAN run alongside BENCH_LAST so a contaminated
-      // latest run never erases the quiet-box reference point
-      if (!loadWarning && failed.isEmpty) {
+      // latest run never erases the quiet-box reference point — and never
+      // let a targeted-subset run (SPARK_GRAFT_BENCH_ONLY) replace the
+      // full-suite reference
+      if (!loadWarning && failed.isEmpty && only.isEmpty) {
         val quietPath =
           sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_OUT", "/root/repo/BENCH_QUIET.json")
         atomicWrite(quietPath, json + "\n")
