@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 32 executor threads share ONE local-mode JVM; shuffle codecs enter JNI
+  // critical sections that hold the GCLocker, and JDK 17's default of 2
+  // retry attempts turns a BLOCKED allocation into a premature
+  // OutOfMemoryError under that concurrency ("Retried waiting for GCLocker
+  // too often" — observed on the curate-incr gate at 8g with ~1 MiB task
+  // allocations). More retries make the allocation wait out the critical
+  // section instead of dying with most of the heap still free.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq)

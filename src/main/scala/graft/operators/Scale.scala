@@ -757,6 +757,170 @@ object Scale {
     * the ≤ `maxGroups`-bounded domain table (loud guard). NULL losses
     * and NULL groups are excluded (documented; a mostly-null domain's
     * mean reflects its scored rows only). */
+  /** Multi-epoch curriculum under a token budget — the generalization of
+    * the [[curriculumInterleave]] ∘ [[selectByBudget]] first-epoch slice
+    * (the x162 composition) to budgets that EXCEED one pass over the
+    * corpus, which real token budgets do (Muennighoff et al. 2023: 4+
+    * epochs of a constrained corpus are worth near-fresh data). Semantics:
+    *
+    *   - The corpus is ordered once by [[curriculumInterleave]] and cut
+    *     into `tiers` equal position slices (`(pos·tiers) div (N+1)`, the
+    *     x162 grid contract) — the easy→hard tier RAMP repeats identically
+    *     every epoch.
+    *   - Full epochs `0 .. k−1` (k = `budget div totalTokens`, bounded by
+    *     `maxEpochs`) carry every doc.
+    *   - The final PARTIAL epoch k (if `budget mod totalTokens > 0`) fills
+    *     whole earliest tiers first; the boundary tier is cut by the
+    *     per-epoch shuffle order (below).
+    *   - Within a tier, each epoch reads docs in a fresh DETERMINISTIC
+    *     order: `shuffle_key = tokenHash60(id || '#' || epoch)` — the
+    *     md5-based convention of [[stratifiedHashSample]]/[[hashSplit]]
+    *     (x39/x63), portable to the oracle, no RNG state, invariant to
+    *     partitioning. Epoch 0 included: ONE uniform rule (x162's id
+    *     tie-break was the single-epoch special case; this operator is
+    *     the multi-epoch contract).
+    *
+    * Output: one row per (doc, epoch) assignment — (`idCol`, `sourceCol`,
+    * `tokenCol`, `epoch`, `tier`, `shuffle_key`, `pos`) with `pos` the
+    * 1-based position WITHIN the epoch under (tier, shuffle_key, id)
+    * order — the exact sequence a trainer consumes.
+    *
+    * 100 TB shape — NO global sort or single-partition window anywhere:
+    * the input chain is localCheckpoint'ed once (the x162/x122
+    * materializeInput lesson — this operator takes several bounded
+    * actions); (N, T) is ONE 1-row collect; the partial-epoch cut is a
+    * two-level driver walk (≤`tiers`-row tier histogram, then ≤1024
+    * fixed-range hash-bucket sums — hashes are uniform by construction,
+    * so no quantile job) and only the boundary BUCKET's rows (~layer/1024)
+    * pay an ordered window; per-epoch positions are closed-form — a
+    * (epoch, tier, bucket) count aggregate, a cumulative window over that
+    * ≤epochs·tiers·1024-row frame partitioned by epoch, a fine-grained
+    * rank window, and one equi-join back. Requires unique `idCol`. Docs
+    * with NULL/non-positive `tokenCol` are excluded (the
+    * [[selectByBudget]] convention). */
+  def curriculumEpochs(
+      docs: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      difficultyCol: String,
+      sourceCol: String,
+      budgetTokens: Long,
+      tiers: Int = 256,
+      maxEpochs: Int = 16,
+      maxSources: Int = 1000
+  ): DataFrame = {
+    require(budgetTokens >= 0, s"curriculumEpochs: budget must be >= 0, got $budgetTokens")
+    require(tiers >= 1 && tiers <= 65536, s"curriculumEpochs: tiers must be in [1, 65536]")
+    require(maxEpochs >= 1 && maxEpochs <= 128, "curriculumEpochs: maxEpochs must be in [1, 128]")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.filter(col(tokenCol).isNotNull && col(tokenCol) > 0)
+    val cur = curriculumInterleave(base, idCol, difficultyCol, sourceCol, maxSources)
+    val withTok = cur
+      .join(base.select(col(idCol), col(tokenCol).cast("long").as("__tok")), Seq(idCol))
+    // several bounded actions follow — materialize the curriculum chain
+    // once so none of them replays the interleave windows (x162's lesson)
+    val mat = withTok.localCheckpoint(true)
+    val head = mat.agg(count(lit(1)).as("n"), sum("__tok").as("t")).collect()(0)
+    val n = head.getLong(0)
+    val total = if (n == 0L) 0L else head.getLong(1)
+    def shaped(df: DataFrame): DataFrame =
+      df.select(
+        col(idCol), col(sourceCol), col("__tok").as(tokenCol),
+        col("epoch"), col("tier"), col("shuffle_key"), col("pos"))
+    if (n == 0L || budgetTokens == 0L)
+      return shaped(mat
+        .withColumn("epoch", lit(0L)).withColumn("tier", lit(0L))
+        .withColumn("shuffle_key", lit(0L)).withColumn("pos", lit(0L))
+        .limit(0))
+    require(
+      budgetTokens / total <= maxEpochs,
+      s"curriculumEpochs: budget $budgetTokens spans ${budgetTokens / total} full epochs of " +
+        s"$total corpus tokens > maxEpochs=$maxEpochs — every epoch re-emits the corpus; " +
+        "raise maxEpochs deliberately if the repetition is intended"
+    )
+    val kFull = budgetTokens / total
+    val rem = budgetTokens - kFull * total
+    val tiered = mat.withColumn("tier", expr(s"(pos * $tiers) div ${n + 1L}"))
+    def ekOf(epoch: Column): Column =
+      graft.operators.Dedup.tokenHash60(
+        concat(col(idCol).cast("string"), lit("#"), epoch.cast("string")))
+    val bucketWidth = 1125899906842624L // 2^50 -> 1024 order-preserving buckets of the 60-bit hash
+    val full =
+      if (kFull >= 1L)
+        Some(tiered.withColumn("epoch", explode(sequence(lit(0L), lit(kFull - 1L)))))
+      else None
+    val partial =
+      if (rem > 0L) {
+        // tier histogram: <= `tiers` rows, the selectByBudget walk
+        val perTier = tiered
+          .groupBy("tier").agg(sum("__tok").as("__t"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var cum = 0L; var i = 0
+        while (i < perTier.length && cum + perTier(i)._2 <= rem) { cum += perTier(i)._2; i += 1 }
+        // rem < total, so some tier always overflows
+        val tStar = perTier(i)._1
+        val rem2 = rem - cum
+        val below = tiered.filter(col("tier") < lit(tStar))
+        val layer = tiered
+          .filter(col("tier") === lit(tStar))
+          .withColumn("__ek", ekOf(lit(kFull)))
+          .withColumn("__bk", expr(s"__ek div $bucketWidth"))
+        val perBucket = layer
+          .groupBy("__bk").agg(sum("__tok").as("__t"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var cumB = 0L; var j = 0
+        while (j < perBucket.length && cumB + perBucket(j)._2 <= rem2) {
+          cumB += perBucket(j)._2; j += 1
+        }
+        val cut =
+          if (j >= perBucket.length) layer.drop("__ek", "__bk") // whole layer fits
+          else {
+            val bStar = perBucket(j)._1
+            val boundary = layer
+              .filter(col("__bk") === lit(bStar))
+              .withColumn(
+                "__cum",
+                sum(col("__tok")).over(
+                  Window.orderBy(col("__ek"), col(idCol))
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+              .filter(col("__cum") <= lit(rem2 - cumB))
+              .drop("__cum")
+            layer.filter(col("__bk") < lit(bStar)).unionByName(boundary)
+              .drop("__ek", "__bk")
+          }
+        Some(below.unionByName(cut).withColumn("epoch", lit(kFull)))
+      } else None
+    val assigned = (full, partial) match {
+      case (Some(f), Some(p)) => f.unionByName(p)
+      case (Some(f), None)    => f
+      case (None, Some(p))    => p
+      case (None, None)       => tiered.withColumn("epoch", lit(0L)).limit(0)
+    }
+    // per-epoch positions, closed-form: cumulative (tier, bucket) offsets
+    // per epoch (a window over the tiny aggregate frame) + a fine-grained
+    // rank — the bucket prefix is order-preserving in the shuffle key, so
+    // offset + rank == row_number over (tier, shuffle_key, id) per epoch.
+    // The assignment frame feeds TWO consumers (the offset aggregate and
+    // the final rank join) — materialize it once so the partial-epoch
+    // boundary window isn't re-evaluated per consumer (the x162 lesson;
+    // the frame is the operator's own output size, linear state)
+    val keyed = assigned
+      .withColumn("shuffle_key", ekOf(col("epoch")))
+      .withColumn("__bk", expr(s"shuffle_key div $bucketWidth"))
+      .localCheckpoint(true)
+    val grp = keyed.groupBy("epoch", "tier", "__bk").agg(count(lit(1)).as("__gc"))
+    val offW = Window.partitionBy("epoch").orderBy("tier", "__bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = grp
+      .withColumn("__off", coalesce(sum("__gc").over(offW), lit(0L)))
+      .drop("__gc")
+    val rnW = Window.partitionBy("epoch", "tier", "__bk").orderBy(col("shuffle_key"), col(idCol))
+    shaped(
+      keyed
+        .join(off, Seq("epoch", "tier", "__bk"))
+        .withColumn("pos", col("__off") + row_number().over(rnW)))
+  }
+
   def doremiMix(
       docs: DataFrame,
       groupCol: String,

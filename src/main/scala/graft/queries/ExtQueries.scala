@@ -6330,6 +6330,63 @@ object ExtQueries {
            |    WHEN sc.ce <= bd.bhi THEN 'middle' ELSE 'tail' END AS bucket
            |FROM sc JOIN bd USING (lang) ORDER BY sc.doc_id""".stripMargin
       )
+    ),
+    // ------------------------------------------------------------------
+    // Multi-epoch curriculum budget (VERDICT r17 Next #5 — x162's
+    // first-epoch slice extended past one corpus pass): budget = 2.5
+    // corpus epochs, exact integers from ONE 1-row aggregate, so the
+    // budget genuinely spans 2 full epochs + a half-corpus partial at
+    // EVERY scale factor. Epochs repeat the x162 tier ramp; within a
+    // tier each epoch reads docs in a fresh md5-keyed deterministic
+    // order (the x39/x63 hash convention, replayed verbatim by the
+    // oracle); the partial epoch fills whole earliest tiers first and
+    // cuts the boundary tier by that epoch's shuffle order. The oracle
+    // IS the naive definition — per-epoch greedy prefix over
+    // (tier, shuffle_key, doc_id) with a window cumsum — so the
+    // engine's two-level driver walk + closed-form positions are pinned
+    // against the formulation they exist to avoid.
+    Q(
+      "x165_epoch_budget",
+      (s, d) => {
+        val docs0 = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        // 2.5 epochs: (5T) div 2 — one bounded 1-row collect
+        val totalT = docs0.agg(sum("n_tokens")).collect()(0).getLong(0)
+        Scale
+          .curriculumEpochs(docs0, "doc_id", "n_tokens", "n_tokens", "source",
+            totalT * 5L / 2L)
+          .orderBy("epoch", "pos")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, source,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+          |r AS (SELECT doc_id, source, n_tokens,
+          |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
+          |      AS BIGINT) AS rn FROM d),
+          |p AS (SELECT doc_id, source, n_tokens,
+          |    CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS pos0 FROM r),
+          |nn AS (SELECT COUNT(*) + 1 AS n1, SUM(n_tokens) AS t FROM p),
+          |b AS (SELECT t, (t * 5) // 2 AS budget, ((t * 5) // 2) // t AS k,
+          |    (t * 5) // 2 - ((t * 5) // 2) // t * t AS rem FROM nn),
+          |tr AS (SELECT p.*, (pos0 * 256) // n1 AS tier FROM p CROSS JOIN nn),
+          |eps AS (SELECT unnest(generate_series(0,
+          |    CAST((SELECT k FROM b) AS BIGINT))) AS epoch),
+          |x AS (SELECT tr.*, eps.epoch,
+          |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+          |      CAST(epoch AS VARCHAR)), 18, 15) AS BIGINT) AS shuffle_key
+          |  FROM tr CROSS JOIN eps),
+          |c AS (SELECT x.*, SUM(n_tokens) OVER (PARTITION BY epoch
+          |    ORDER BY tier, shuffle_key, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM x),
+          |f AS (SELECT doc_id, source, n_tokens, epoch, tier, shuffle_key FROM c, b
+          |  WHERE epoch < b.k OR cum <= b.rem)
+          |SELECT doc_id, source, n_tokens, epoch, tier, shuffle_key,
+          |  CAST(row_number() OVER (PARTITION BY epoch
+          |    ORDER BY tier, shuffle_key, doc_id) AS BIGINT) AS pos
+          |FROM f ORDER BY epoch, pos""".stripMargin
+      )
     )
   )
 }

@@ -550,4 +550,59 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     }
     assert(guard.getMessage.contains("distinct sources"))
   }
+
+  test("curriculumEpochs: full epochs + partial boundary cut == naive per-epoch greedy prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // total tokens = 17; budget 43 = 2 full epochs + a 9-token partial
+    val docs = Seq(
+      (1L, "a", 5L), (2L, "a", 2L), (3L, "b", 4L),
+      (4L, "b", 1L), (5L, "a", 3L), (6L, "b", 2L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val got = Scale.curriculumEpochs(
+      docs, "doc_id", "n_tokens", "n_tokens", "source", 43L, tiers = 4)
+    // independent replay: naive two-window curriculum, x162 tier grid,
+    // md5 shuffle key, global greedy prefix per epoch
+    val rnW = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    val posW = Window.orderBy("rn", "source")
+    val tierd = docs
+      .withColumn("rn", row_number().over(rnW).cast("long"))
+      .withColumn("pos0", row_number().over(posW).cast("long"))
+      .withColumn("tier", expr("(pos0 * 4) div 7")) // N + 1 = 7
+    val x = tierd
+      .crossJoin(spark.range(3).select(col("id").as("epoch")))
+      .withColumn(
+        "shuffle_key",
+        expr("cast(conv(substring(md5(concat(cast(doc_id as string), '#', " +
+          "cast(epoch as string))), 18, 15), 16, 10) as long)"))
+    val ordW = Window.partitionBy("epoch").orderBy("tier", "shuffle_key", "doc_id")
+    val want = x
+      .withColumn("cum",
+        sum("n_tokens").over(ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("epoch") < 2 || col("cum") <= 9)
+      .withColumn("pos", row_number().over(ordW).cast("long"))
+      .select("doc_id", "source", "n_tokens", "epoch", "tier", "shuffle_key", "pos")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // both full epochs carry every doc; the partial epoch genuinely cuts;
+    // the reshuffle is real (epoch orders differ)
+    val byEpoch = got.groupBy("epoch").count().orderBy("epoch").collect()
+    assert(byEpoch.map(r => (r.getLong(0), r.getLong(1))).toSeq.take(2) ==
+      Seq((0L, 6L), (1L, 6L)))
+    assert(byEpoch(2).getLong(1) < 6L && byEpoch(2).getLong(1) > 0L)
+    val ord0 = got.filter(col("epoch") === 0).orderBy("pos").collect().map(_.getLong(0)).toSeq
+    val ord1 = got.filter(col("epoch") === 1).orderBy("pos").collect().map(_.getLong(0)).toSeq
+    assert(ord0 != ord1, "per-epoch hash reshuffle must change the within-tier order")
+    // deterministic at any partitioning
+    val again = Scale.curriculumEpochs(
+      docs.repartition(5), "doc_id", "n_tokens", "n_tokens", "source", 43L, tiers = 4)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    // guards: budget past maxEpochs refuses; zero budget is empty
+    val g = intercept[IllegalArgumentException] {
+      Scale.curriculumEpochs(docs, "doc_id", "n_tokens", "n_tokens", "source",
+        17L * 20, tiers = 4, maxEpochs = 16)
+    }
+    assert(g.getMessage.contains("full epochs"))
+    assert(Scale.curriculumEpochs(
+      docs, "doc_id", "n_tokens", "n_tokens", "source", 0L).count() == 0L)
+  }
 }
