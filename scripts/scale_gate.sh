@@ -91,29 +91,63 @@
 # pass is impossible. ~6-8 min total on local[32].
 set -euo pipefail
 cd "$(dirname "$0")/.."
-sbt -batch "runMain graft.tools.Spike zarr-sf10"      2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike zarr-zonemap"   2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike zarr-hier"      2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike zarr-deferred-str" 2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike x41-planted 500000" 2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike incr-planted 2000000 200000" 2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike pagerank-planted" 2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike media-planted 100000" 2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike x60-planted 1000000" 2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike sq8-planted 200000" 2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike pq-planted 200000" 2>&1 | grep -E '\[spike\]'
-SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.Spike mrl-planted 1000000" 2>&1 | grep -E '\[spike\]'
-# 2M batch docs + both persisted indexes across 32 executor threads share
-# ONE local-mode heap; 8g is reproducibly marginal on this box (r17: two
-# OOMs at 8g, clean PASS at 16g, identical outputs) — a cluster gives each
-# executor its own heap, so this is a local-harness constraint, not an
-# operator ceiling
-SPARK_DRIVER_MEM=16g sbt -batch "runMain graft.tools.Spike curate-incr-planted 2000000" 2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike sgd-planted 1000000" 2>&1 | grep -E '\[spike\]'
-SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.Spike sparse-dim-scale 500000" 2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike lm-planted 1000000" 2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike curriculum-planted 20000000" 2>&1 | grep -E '\[spike\]'
-sbt -batch "runMain graft.tools.Spike keyword-scale 10000" 2>&1 | grep -E '\[spike\]'
-SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
-  sbt -batch "runMain graft.tools.Spike cc-telemetry" 2>&1 | grep -E '\[spike\]'
+export SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+
+# Machine-readable sweep record (VERDICT r17 Next #7): per-leg wall
+# seconds, driver-mem pin and pass/fail land in SCALEGATE_LAST.json,
+# FLUSHED after every leg — gate-runtime drift (like r17's curate-incr
+# heap-floor move) surfaces as a diffable artifact instead of an anecdote,
+# and a killed sweep still leaves every completed leg's timing.
+ART="${SCALEGATE_OUT:-SCALEGATE_LAST.json}"
+LEGS=""
+flush() {
+  printf '{"legs":[%s],"partial":%s,"host_cpus":%s}\n' \
+    "${LEGS%,}" "$1" "$(nproc)" > "$ART.tmp" && mv "$ART.tmp" "$ART"
+}
+run_leg() { # run_leg <name> <driver_mem|-> <spike args...>
+  local name="$1" mem="$2"; shift 2
+  local t0 t1 status="pass"
+  t0=$(date +%s)
+  if [ "$mem" = "-" ]; then
+    sbt -batch "runMain graft.tools.Spike $*" 2>&1 | grep -E '\[spike\]' || status="fail"
+  else
+    SPARK_DRIVER_MEM="$mem" sbt -batch "runMain graft.tools.Spike $*" 2>&1 \
+      | grep -E '\[spike\]' || status="fail"
+  fi
+  t1=$(date +%s)
+  LEGS+="{\"leg\":\"$name\",\"args\":\"$*\",\"driver_mem\":\"$([ "$mem" = - ] && echo 8g || echo "$mem")\",\"wall_s\":$((t1 - t0)),\"status\":\"$status\"},"
+  flush true
+  echo "[scale_gate] $name: $status in $((t1 - t0))s"
+  [ "$status" = "pass" ] || { echo "[scale_gate] LEG FAILED: $name"; flush false; exit 1; }
+}
+
+run_leg zarr-sf10          - zarr-sf10
+run_leg zarr-zonemap       - zarr-zonemap
+run_leg zarr-hier          - zarr-hier
+run_leg zarr-deferred-str  - zarr-deferred-str
+run_leg x41-planted        - x41-planted 500000
+run_leg incr-planted       - incr-planted 2000000 200000
+run_leg pagerank-planted   - pagerank-planted
+run_leg media-planted      - media-planted 100000
+run_leg x60-planted        - x60-planted 1000000
+run_leg sq8-planted        - sq8-planted 200000
+run_leg pq-planted         - pq-planted 200000
+run_leg mrl-planted        24g mrl-planted 1000000
+# 16g pin, adjudicated r18 (ROUND18.md): NOT a code regression — r16's
+# code OOMs at 8g on this box in the same stage 110. Measured at OOM
+# (GC log): 6.4-7.0 GiB live of 8 GiB with ~730 humongous regions
+# (~2.9 GiB of columnar cache batches for the two persisted indexes +
+# survivors, plus 64 MiB unsafe shuffle pages), Full-GC storm, final
+# allocations dying in 32 concurrent tasks' spill read-ahead buffers.
+# Neither GCLockerRetryAllocationCount=64, halved threads (16), nor
+# 16 MiB G1 regions rescues 8g — the live set is real. A cluster gives
+# each executor its own heap; local-harness constraint, pin inherent.
+run_leg curate-incr-planted 16g curate-incr-planted 2000000
+run_leg sgd-planted        - sgd-planted 1000000
+run_leg sparse-dim-scale   24g sparse-dim-scale 500000
+run_leg lm-planted         - lm-planted 1000000
+run_leg curriculum-planted - curriculum-planted 20000000
+run_leg keyword-scale      - keyword-scale 10000
+run_leg cc-telemetry       - cc-telemetry
+flush false
 echo "[scale_gate] all scale gates passed"

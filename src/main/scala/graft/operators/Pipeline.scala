@@ -294,6 +294,96 @@ object Pipeline {
     *
     * 100 TB shape: the scorer's own (token explode + model-keyed joins +
     * per-doc sum) plus one id semi-join back to the batch — nothing new. */
+  /** The publishable per-source corpus DATASHEET (VERDICT r17 Next #6) —
+    * the report card a lab ships beside a released training corpus
+    * (Gebru et al. 2021 "Datasheets for Datasets", aggregated to source
+    * granularity): docs, tokens, language mix (count + dominant
+    * language), quality-gate share ([[TextAnalysis.qualityExpr]] ≥
+    * `minQuality`), contamination exposure (docs sharing any `contamN`-
+    * gram with an eval suite — [[Dedup.contaminationReport]]'s machinery)
+    * and the n-gram novelty micro-average ([[Dedup.ngramNovelty]]'s
+    * integer sums — exact, aggregation-order independent), one row per
+    * source.
+    *
+    * ONE corpus read (the audit surfaces exist piecemeal as x126 / x163 /
+    * x155 / x157 / x92 — this composes them WITHOUT per-metric re-scans):
+    * the column-pruned per-doc frame is materialized once (the
+    * x122/x162 materializeInput pattern) and all three derived streams —
+    * the per-doc metric projection, novelty's shingle-df aggregate+join,
+    * the contamination gram join — read STORED rows; the source is
+    * scanned exactly once per call. At deployment scale pass an already-
+    * stored projection and the checkpoint is the only extra copy
+    * (linear, column-pruned).
+    *
+    * Scale shapes are the fragments' own: novelty is one shingle-df
+    * aggregate + join back (linear in shingle occurrences); contamination
+    * broadcasts the suites' gram hashes and its shuffle is bounded by HIT
+    * volume; everything else is a two-level (source, lang) → source
+    * re-aggregation. The dominant language is `max(struct(docs, lang))`
+    * — deterministic ties (largest count, then lexicographically last
+    * lang), the min-struct-winner convention. */
+  def corpusDatasheet(
+      docs: DataFrame,
+      evalSuites: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      langCol: String,
+      suiteCol: String,
+      minQuality: Double = 0.6,
+      noveltyN: Int = 3,
+      contamN: Int = 13
+  ): DataFrame = {
+    val base = docs
+      .select(col(idCol), col(sourceCol), col(langCol), col(textCol))
+      .localCheckpoint(true)
+    val nov = Dedup
+      .ngramNovelty(base, idCol, textCol, noveltyN)
+      .select(col(idCol), col("n_shingles"), col("novel_shingles"))
+    val contam = Dedup
+      .contaminationReport(base, evalSuites, idCol, textCol, suiteCol, contamN)
+      .select(col(idCol))
+      .distinct()
+      .withColumn("__contam", lit(true))
+    val perDoc = base
+      .select(
+        col(idCol),
+        col(sourceCol),
+        col(langCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__nt"),
+        (TextAnalysis.qualityExpr(col(textCol)) >= minQuality).as("__q")
+      )
+      .join(nov, Seq(idCol), "left")
+      .join(contam, Seq(idCol), "left")
+    val perLang = perDoc
+      .groupBy(col(sourceCol), col(langCol))
+      .agg(
+        count(lit(1)).as("__docs"),
+        sum("__nt").as("__toks"),
+        sum(when(col("__q"), 1L).otherwise(0L)).as("__nq"),
+        sum(when(col("__contam"), 1L).otherwise(0L)).as("__nc"),
+        sum(coalesce(col("n_shingles"), lit(0L))).as("__sh"),
+        sum(coalesce(col("novel_shingles"), lit(0L))).as("__nvl")
+      )
+    perLang
+      .groupBy(col(sourceCol))
+      .agg(
+        sum("__docs").as("n_docs"),
+        sum("__toks").as("n_tokens"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("__docs").as("d"), col(langCol).as("l")))
+          .getField("l").as("top_lang"),
+        sum("__nq").as("n_quality"),
+        round(sum("__nq").cast("double") / sum("__docs").cast("double"), 6)
+          .as("quality_share"),
+        sum("__nc").as("n_contaminated"),
+        when(
+          sum("__sh") > 0L,
+          round(sum("__nvl").cast("double") / sum("__sh").cast("double"), 6)
+        ).as("novelty_micro")
+      )
+  }
+
   def lmGate(
       batch: DataFrame,
       model: DataFrame,

@@ -6387,6 +6387,80 @@ object ExtQueries {
           |    ORDER BY tier, shuffle_key, doc_id) AS BIGINT) AS pos
           |FROM f ORDER BY epoch, pos""".stripMargin
       )
+    ),
+    // ------------------------------------------------------------------
+    // The per-source corpus DATASHEET (VERDICT r17 Next #6): the audit
+    // surfaces that exist piecemeal (x126 domain stats, x163 source
+    // novelty, x157 contamination, x92 funnel) composed into the report
+    // card a lab publishes beside a released corpus — docs, tokens,
+    // language mix, quality-gate share, contamination exposure, novelty
+    // micro-average — ONE row per source from ONE corpus read (the
+    // per-doc frame is materialized once; the plan-contract spec pins
+    // zero parquet scans in the final plan). The corpus reuses x157's
+    // planted canary transform so contamination is non-trivially > 0 and
+    // the novelty tail sees heavy shared shingles.
+    Q(
+      "x166_datasheet",
+      (s, d) => {
+        import s.implicits._
+        val dirty = t(s, d, "documents")
+          .withColumn(
+            "text",
+            when(col("doc_id") % 35 === 16,
+              concat(col("text"), lit(" " + CanaryLine + " " + CanaryLineB)))
+              .when(col("doc_id") % 5 === 1, concat(col("text"), lit(" " + CanaryLine)))
+              .when(col("doc_id") % 7 === 2, concat(col("text"), lit(" " + CanaryLineB)))
+              .otherwise(col("text"))
+          )
+        val suites = Seq(("suiteA", CanaryLine), ("suiteB", CanaryLineB)).toDF("suite", "text")
+        Pipeline
+          .corpusDatasheet(dirty, suites, "doc_id", "text", "source", "lang", "suite")
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, source, lang,
+           |    CASE WHEN doc_id % 35 = 16 THEN text || ' $CanaryLine $CanaryLineB'
+           |      WHEN doc_id % 5 = 1 THEN text || ' $CanaryLine'
+           |      WHEN doc_id % 7 = 2 THEN text || ' $CanaryLineB'
+           |      ELSE text END AS text
+           |  FROM documents),
+           |${shingleCteFrom("d")},
+           |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+           |nv AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS nsh,
+           |    CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nvl
+           |  FROM sh JOIN df USING (s) GROUP BY 1),
+           |r AS (SELECT '$CanaryLine' AS rt UNION ALL SELECT '$CanaryLineB'),
+           |rtk AS (SELECT string_split(rt, ' ') AS tk FROM r),
+           |rg AS (SELECT DISTINCT array_to_string(tk[i:i+12], ' ') AS g
+           |  FROM rtk, unnest(range(1, len(tk) - 11)) AS u(i)),
+           |dtk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d),
+           |dg AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+12], ' ') AS g
+           |  FROM dtk, unnest(range(1, len(tk) - 11)) AS u(i)),
+           |cn AS (SELECT DISTINCT doc_id, TRUE AS contam FROM dg JOIN rg USING (g)),
+           |q AS (SELECT doc_id, source, lang,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+           |    round(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+           |      + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |          / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0), 6) >= 0.6 AS ok
+           |  FROM d),
+           |pl AS (SELECT source, lang, COUNT(*) AS docs, SUM(nt) AS toks,
+           |    SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS nq,
+           |    SUM(CASE WHEN COALESCE(contam, FALSE) THEN 1 ELSE 0 END) AS nc,
+           |    SUM(COALESCE(nv.nsh, 0)) AS sh2, SUM(COALESCE(nv.nvl, 0)) AS nvl2
+           |  FROM q LEFT JOIN nv USING (doc_id) LEFT JOIN cn USING (doc_id)
+           |  GROUP BY 1, 2)
+           |SELECT source, CAST(SUM(docs) AS BIGINT) AS n_docs,
+           |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           |  CAST(COUNT(*) AS BIGINT) AS n_langs,
+           |  (max(struct_pack(d := docs, l := lang))).l AS top_lang,
+           |  CAST(SUM(nq) AS BIGINT) AS n_quality,
+           |  round(CAST(SUM(nq) AS DOUBLE) / CAST(SUM(docs) AS DOUBLE), 6) AS quality_share,
+           |  CAST(SUM(nc) AS BIGINT) AS n_contaminated,
+           |  CASE WHEN SUM(sh2) > 0 THEN
+           |    round(CAST(SUM(nvl2) AS DOUBLE) / CAST(SUM(sh2) AS DOUBLE), 6)
+           |  END AS novelty_micro
+           |FROM pl GROUP BY 1 ORDER BY source""".stripMargin
+      )
     )
   )
 }

@@ -220,6 +220,14 @@ class PlanContractsSpec extends AnyFunSuite with SparkTester {
     checkContract("x153", planOf("x153_vocab_growth"), maxGlobalSorts = 1)
   }
 
+  test("x166_datasheet: one corpus read — the final plan scans the checkpoint, not parquet") {
+    val p = planOf("x166_datasheet")
+    checkContract("x166", p)
+    // the per-doc frame is materialized once; every metric stream reads
+    // stored rows, so the documents parquet appears in NO final operator
+    assert(!p.toString.contains("Scan parquet"), p.toString)
+  }
+
   test("x165_epoch_budget: only the boundary-bucket prefix pays a global window") {
     // the boundary prefix sort runs inside the operator's checkpoint job
     // (bounded to one hash bucket's rows); the FINAL plan — the one that

@@ -654,6 +654,44 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("corpusDatasheet: hand-built per-source report card, deterministic top-lang ties") {
+    import spark.implicits._
+    val suites = Seq(("s1", "a b c d e f g h i j k l m")).toDF("suite", "text") // one 13-gram
+    val docs = Seq(
+      (1L, "srcA", "en", "a b c d e f g h i j k l m xx"), // contaminated, 14 tokens, 12 shingles
+      (2L, "srcA", "de", "z1 z2"), //                         2 tokens, no shingles
+      (3L, "srcB", "en", "p q r") //                          1 novel shingle
+    ).toDF("doc_id", "source", "lang", "text")
+    val got = Pipeline
+      .corpusDatasheet(docs, suites, "doc_id", "text", "source", "lang", "suite")
+      .orderBy("source")
+      .collect()
+    val a = got(0)
+    assert(a.getString(0) == "srcA" && a.getLong(1) == 2L && a.getLong(2) == 16L)
+    assert(a.getLong(3) == 2L) // two langs
+    // top-lang TIE (1 doc each): max(struct(docs, lang)) breaks to the
+    // lexicographically last lang — "en" over "de", deterministically
+    assert(a.getString(4) == "en")
+    assert(a.getLong(5) == 0L && a.getDouble(6) == 0.0) // nothing passes quality
+    assert(a.getLong(7) == 1L) // doc 1 shares the 13-gram
+    assert(a.getDouble(8) == 1.0) // all 12 shingles are corpus-unique
+    val b = got(1)
+    assert(b.getString(0) == "srcB" && b.getLong(1) == 1L && b.getLong(7) == 0L)
+    assert(b.getDouble(8) == 1.0)
+    // deterministic at any partitioning
+    val again = Pipeline
+      .corpusDatasheet(docs.repartition(5), suites, "doc_id", "text", "source", "lang", "suite")
+      .orderBy("source")
+    assert(again.exceptAll(
+      Pipeline.corpusDatasheet(docs, suites, "doc_id", "text", "source", "lang", "suite")
+    ).isEmpty)
+    // a source whose docs are all sub-shingle-length gets a NULL novelty
+    val tiny = Seq((9L, "srcC", "en", "one two")).toDF("doc_id", "source", "lang", "text")
+    val r9 = Pipeline
+      .corpusDatasheet(tiny, suites, "doc_id", "text", "source", "lang", "suite").head()
+    assert(r9.isNullAt(8) && r9.getLong(1) == 1L)
+  }
+
   test("auditFunnel: staged counters match hand-built corpus and chained operators") {
     import spark.implicits._
     // 100 tokens of 8 chars: quality = 0.5*min(100/100,1) + 0.5*min(8/8,1) = 1.0
