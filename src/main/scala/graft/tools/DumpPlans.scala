@@ -252,7 +252,20 @@ object DumpPlans {
     "x157_contam_report" -> ("Contamination attribution: the reference's (suite, gram-hash) " +
       "rows broadcast; corpus (id, gram-hash) rows die in the map-side hash join unless " +
       "contaminated, so the only exchange is the per-(doc, suite) count aggregate — " +
-      "bounded by HIT volume, never the corpus gram stream.")
+      "bounded by HIT volume, never the corpus gram stream."),
+    "x165_epoch_budget" -> ("Multi-epoch curriculum budget: full epochs explode the tier " +
+      "frame per epoch; the partial-epoch cut is a two-level driver walk (tier histogram, " +
+      "then fixed-range hash buckets — uniform by construction, no quantile job) and only " +
+      "the boundary BUCKET's rows pay an ordered window, inside the one materialization of " +
+      "the assignment frame; per-epoch positions are closed-form (a (epoch, tier, bucket) " +
+      "offset join + a fine-grained rank), so the FINAL plan has no global sort at all " +
+      "(PlanContractsSpec pins this)."),
+    "x166_datasheet" -> ("Per-source corpus datasheet: ONE corpus read — the per-doc frame " +
+      "is materialized once and all three metric streams (quality/token projection, " +
+      "novelty's shingle-df aggregate + join, the broadcast contamination gram join) read " +
+      "stored rows; the final plan contains zero parquet scans (PlanContractsSpec pins " +
+      "this). Aggregation is two-level (source, lang) -> source, with the dominant " +
+      "language a deterministic max(struct).")
   )
 
   def main(args: Array[String]): Unit = {

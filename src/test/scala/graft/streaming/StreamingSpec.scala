@@ -950,6 +950,52 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(accepted.toSeq == expected, s"streamed $accepted != sequential $expected")
   }
 
+  test("contaminationReport under foreachBatch: streamed attribution rows == batch, straddling batches") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    // x157's report is STATELESS per batch given the broadcast reference
+    // (per-doc distinct grams never cross docs), so continuous ingestion
+    // attribution is the same operator under foreachBatch; this pins the
+    // parity with contaminated docs STRADDLING micro-batches — the
+    // completing face of the decontamination family (VERDICT r17 Next #8)
+    val sa = (1 to 14).map(i => s"qa$i").mkString(" ") // 14 tokens -> two 13-grams
+    val sb = (1 to 13).map(i => s"qb$i").mkString(" ") // one 13-gram
+    val suites = Seq(("suiteA", sa), ("suiteB", sb)).toDF("suite", "text")
+    def filler(d: Int) = (1 to 15).map(i => s"f${d}w$i").mkString(" ")
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, s"${filler(1)} $sa"), (2L, filler(2))), //        1: both A-grams
+      Seq((3L, s"$sb ${filler(3)}"), (4L, s"$sa $sb")), //       3: B; 4: A(2) + B(1)
+      Seq((5L, (1 to 13).map(i => s"qa$i").mkString(" ")), //    5: A's first gram only
+        (6L, filler(6)))
+    )
+    val all = batches.flatten.toDF("doc_id", "text")
+    val expected = Dedup
+      .contaminationReport(all, suites, "doc_id", "text", "suite")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+    // planted truth, hand-counted
+    assert(expected == Seq(
+      (1L, "suiteA", 2L), (3L, "suiteB", 1L),
+      (4L, "suiteA", 2L), (4L, "suiteB", 1L), (5L, "suiteA", 1L)
+    ), s"planted truth drifted: $expected")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = mem
+      .toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got ++= Dedup
+          .contaminationReport(df, suites, "doc_id", "text", "suite")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        ()
+      }
+      .start()
+    try batches.foreach { rows => mem.addData(rows); q.processAllAvailable() }
+    finally q.stop()
+    assert(got.sortBy(x => (x._1, x._2)).toSeq == expected,
+      s"streamed $got != batch $expected")
+  }
+
   test("tumbling agg matches the x12 declared query buckets") {
     val viaWindow = EventStreams.tumbling5m(t(spark, sfTiny, "events"))
       .select("bucket_s", "event_type", "n")
