@@ -147,6 +147,12 @@ run_leg sgd-planted        - sgd-planted 1000000
 run_leg sparse-dim-scale   24g sparse-dim-scale 500000
 run_leg lm-planted         - lm-planted 1000000
 run_leg curriculum-planted - curriculum-planted 20000000
+# 4j. epoch-planted — curriculumEpochs (x165) at 8M docs / 20M (doc, epoch)
+#     assignments: closed-form positions + two-level hash-bucket budget cut
+#     vs the naive per-epoch single-partition definition at 2M, then full
+#     per-epoch permutation invariants + a window-free budget-cut
+#     MAXIMALITY proof (first excluded doc in walk order cannot fit)
+run_leg epoch-planted      - epoch-planted 8000000
 run_leg keyword-scale      - keyword-scale 10000
 run_leg cc-telemetry       - cc-telemetry
 flush false

@@ -1089,6 +1089,150 @@ object Spike {
         f"invariants at $nDocs%d rows in $tBig%.1fs (7 sources, 60%% whale, 1%% sliver)")
   }
 
+  /** `runMain graft.tools.Spike epoch-planted [nDocs]` — the multi-epoch
+    * curriculum budget ([[graft.operators.Scale.curriculumEpochs]], x165)
+    * at scale. Same uneven 7-source corpus as curriculum-planted (60%
+    * whale, 1% sliver, difficulty = xxhash64 % 1000 — heavy tie groups)
+    * plus deterministic token counts `5 + id % 7`; budget = 2.5 corpus
+    * epochs, so 2 full epochs + a genuinely cutting partial. Two checks:
+    *
+    *   1. EQUALITY at nDocs/4: the shipped pipeline (closed-form
+    *      positions, two-level hash-bucket boundary walk) against the
+    *      NAIVE per-epoch definition — single-partition windows for the
+    *      curriculum rank, the per-epoch (tier, shuffle_key, id) greedy
+    *      cumsum prefix, and the per-epoch row_number — the exact
+    *      formulation the DuckDB oracle runs, an independent code path.
+    *      Zero mismatching (doc, epoch, ...) rows required. The naive
+    *      side caps this leg's size: it funnels every epoch through one
+    *      task, which is precisely why the closed form exists.
+    *   2. INVARIANTS at nDocs, where the naive form cannot go: both full
+    *      epochs carry ALL N docs with positions an exact permutation of
+    *      1..N (count distinct, min, max, closed-form sum — int64-exact
+    *      far past this scale); the partial epoch's positions are a
+    *      permutation of 1..|kept|; and the budget cut is proven MAXIMAL
+    *      without any window — kept-token sum ≤ rem AND adding the FIRST
+    *      excluded doc in (tier, shuffle_key, id) walk order (one
+    *      min(struct) aggregate over the anti-joined exclusions) would
+    *      exceed rem. */
+  private def epochPlanted(spark: org.apache.spark.sql.SparkSession, nDocs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val srcExpr = when(pmod(col("id"), lit(100L)) < 1, "src0")
+      .when(pmod(col("id"), lit(100L)) < 5, "src1")
+      .when(pmod(col("id"), lit(100L)) < 10, "src2")
+      .when(pmod(col("id"), lit(100L)) < 20, "src3")
+      .when(pmod(col("id"), lit(100L)) < 30, "src4")
+      .when(pmod(col("id"), lit(100L)) < 40, "src5")
+      .otherwise("src6")
+    def corpus(n: Long) = spark
+      .range(n)
+      .select(
+        col("id").as("doc_id"),
+        srcExpr.as("source"),
+        pmod(xxhash64(col("id")), lit(1000L)).as("diff"),
+        (lit(5L) + pmod(col("id"), lit(7L))).as("n_tokens")
+      )
+    def budgetOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val t = df.agg(sum("n_tokens")).head().getLong(0)
+      (t, t * 5L / 2L) // 2.5 epochs, exact integers
+    }
+    // --- 1. closed form == naive per-epoch definition ---
+    val nEq = math.max(nDocs / 4, 100000L)
+    val small = corpus(nEq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    small.count()
+    val (tSmall, bSmall) = budgetOf(small)
+    val kSmall = bSmall / tSmall
+    val remSmall = bSmall - kSmall * tSmall
+    val t0 = System.nanoTime()
+    val closed = graft.operators.Scale
+      .curriculumEpochs(small, "doc_id", "n_tokens", "diff", "source", bSmall)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nClosed = closed.count()
+    val tClosed = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val ordW = Window.partitionBy("epoch").orderBy("tier", "shuffle_key", "doc_id")
+    val naive = small
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("diff", "doc_id")).cast("long"))
+      .withColumn("pos0", row_number().over(Window.orderBy("rn", "source")).cast("long"))
+      .withColumn("tier", expr(s"(pos0 * 256) div ${nEq + 1L}"))
+      .crossJoin(spark.range(kSmall + 1L).select(col("id").as("epoch")))
+      .withColumn(
+        "shuffle_key",
+        expr("cast(conv(substring(md5(concat(cast(doc_id as string), '#', " +
+          "cast(epoch as string))), 18, 15), 16, 10) as long)"))
+      .withColumn("cum",
+        sum("n_tokens").over(ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("epoch") < kSmall || col("cum") <= remSmall)
+      .withColumn("pos", row_number().over(ordW).cast("long"))
+      .select("doc_id", "source", "n_tokens", "epoch", "tier", "shuffle_key", "pos")
+    val mism = closed.exceptAll(naive).count() + naive.exceptAll(closed).count()
+    val tNaive = (System.nanoTime() - t1) / 1e9
+    require(mism == 0, s"curriculumEpochs != naive per-epoch definition: $mism mismatching rows")
+    require(nClosed > nEq * kSmall, s"partial epoch empty: $nClosed rows")
+    small.unpersist(); closed.unpersist()
+    // --- 2. invariants at full size ---
+    val big = corpus(nDocs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    big.count()
+    val (tBig, bBig) = budgetOf(big)
+    val kBig = bBig / tBig
+    val remBig = bBig - kBig * tBig
+    val t2 = System.nanoTime()
+    val out = graft.operators.Scale
+      .curriculumEpochs(big, "doc_id", "n_tokens", "diff", "source", bBig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perEpoch = out
+      .groupBy("epoch")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("pos")).as("d"),
+        min("pos").as("mn"),
+        max("pos").as("mx"),
+        sum("pos").as("s"),
+        sum("n_tokens").as("tok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    val tRun = (System.nanoTime() - t2) / 1e9
+    require(perEpoch.map(_._1).toSeq == (0L to kBig), s"epoch labels wrong: ${perEpoch.toSeq}")
+    perEpoch.foreach { case (e, n, d, mn, mx, s, tok) =>
+      val full = e < kBig
+      require(!full || (n == nDocs && tok == tBig), s"full epoch $e incomplete: n=$n tok=$tok")
+      require(
+        d == n && mn == 1L && mx == n && s == n * (n + 1) / 2,
+        s"epoch $e positions not a permutation of 1..$n: d=$d mn=$mn mx=$mx s=$s")
+    }
+    val keptTok = perEpoch.last._7
+    require(keptTok <= remBig, s"partial epoch overshoots: $keptTok > $remBig")
+    // maximality WITHOUT a window: the first excluded doc in walk order
+    // (tier from the already-gate-proven interleave, this epoch's hash)
+    // must not fit in the remaining budget
+    val pos0 = graft.operators.Scale
+      .curriculumInterleave(big, "doc_id", "diff", "source")
+    val allTiered = big
+      .join(pos0.select("doc_id", "pos"), Seq("doc_id"))
+      .withColumn("tier", expr(s"(pos * 256) div ${nDocs + 1L}"))
+      .withColumn(
+        "shuffle_key",
+        expr(s"cast(conv(substring(md5(concat(cast(doc_id as string), '#', " +
+          s"cast($kBig as string))), 18, 15), 16, 10) as long)"))
+    val firstExcl = allTiered
+      .join(out.filter(col("epoch") === kBig).select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(min(struct(col("tier"), col("shuffle_key"), col("doc_id"), col("n_tokens"))).as("m"))
+      .head().getStruct(0)
+    require(
+      keptTok + firstExcl.getLong(3) > remBig,
+      s"cut not maximal: kept $keptTok + next ${firstExcl.getLong(3)} <= rem $remBig")
+    big.unpersist(); out.unpersist()
+    println(
+      f"[spike] epoch-planted: closed==naive at $nEq%d docs x ${kSmall + 1}%d epochs " +
+        f"(0 mismatches, closed $tClosed%.1fs vs naive single-partition $tNaive%.1fs); " +
+        f"at $nDocs%d docs: ${kBig}%d full epochs complete, per-epoch permutations exact, " +
+        f"partial epoch $keptTok%d/$remBig%d tokens with maximality proven, in $tRun%.1fs")
+    println("[spike] epoch-planted: multi-epoch budget exact at scale — gate PASS")
+  }
+
   /** `runMain graft.tools.Spike x60-planted [nVecs]` — embedding near-dup
     * at 100x+ vectors against a closed-form planted oracle. Synthetic
     * 64-dim vectors from pure integer arithmetic (no RNG — identical at any
@@ -2545,6 +2689,10 @@ object Spike {
     }
     if (args.nonEmpty && args(0) == "curriculum-planted") {
       curriculumPlanted(spark, if (args.length > 1) args(1).toLong else 20000000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "epoch-planted") {
+      epochPlanted(spark, if (args.length > 1) args(1).toLong else 2000000L)
       spark.stop(); return
     }
     if (args.nonEmpty && args(0) == "sq8-planted") {
