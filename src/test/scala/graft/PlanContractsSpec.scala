@@ -220,6 +220,57 @@ class PlanContractsSpec extends AnyFunSuite with SparkTester {
     checkContract("x153", planOf("x153_vocab_growth"), maxGlobalSorts = 1)
   }
 
+  test("x03_minhash_lsh: signatures via the typed aggregate, never a cross join") {
+    checkContract("x03", planOf("x03_minhash_lsh"), required = Seq("minhash_sig"))
+  }
+
+  test("x34_ivf_topk: packed-long max aggregate, no window over the corpus") {
+    checkContract("x34", planOf("x34_ivf_topk"), forbidden = Seq("Window"))
+  }
+
+  test("x36_range_join: bucket-exploded equi-join, never a nested loop over the cross product") {
+    checkContract("x36", planOf("x36_range_join"),
+      forbidden = Seq("BroadcastNestedLoopJoin"))
+  }
+
+  test("x44_topk_per_key: bounded heap aggregate, no row_number window") {
+    checkContract("x44", planOf("x44_topk_per_key"),
+      required = Seq("top_k_structs"), forbidden = Seq("Window"))
+  }
+
+  test("x74_inverted_index: k-bounded postings heap, no row_number window") {
+    checkContract("x74", planOf("x74_inverted_index"),
+      required = Seq("top_k_structs"), forbidden = Seq("Window"))
+  }
+
+  test("x111_semdedup: no cartesian, no global sort — cells bound the pair volume") {
+    // the centroid-assignment BNLJ broadcasts the model-bounded centroid
+    // frame by design; the forbidden shape is an unbounded cross product
+    checkContract("x111", planOf("x111_semdedup"))
+  }
+
+  test("x115_heavy_hitters: the confirm pass is one aggregate, no window") {
+    // the mg_summary pass is a build-time job (one bounded collect); the
+    // returned frame is the exact-count confirm pass
+    checkContract("x115", planOf("x115_heavy_hitters"),
+      required = Seq("HashAggregate"), forbidden = Seq("Window"))
+  }
+
+  test("x119_domain_filter: bad domains broadcast into a left-anti hash join") {
+    checkContract("x119", planOf("x119_domain_filter"),
+      required = Seq("BroadcastHashJoin"))
+  }
+
+  test("x135_perplexity: codegen fixed_log2 scoring, no window, no global sort") {
+    checkContract("x135", planOf("x135_perplexity"),
+      required = Seq("fixedpointlog2"), forbidden = Seq("Window"))
+  }
+
+  test("x141_kneser_ney: the 128-bit decimal log rides codegen, no window") {
+    checkContract("x141", planOf("x141_kneser_ney"),
+      required = Seq("fixedpointlog2"), forbidden = Seq("Window"))
+  }
+
   test("x166_datasheet: one corpus read — the final plan scans the checkpoint, not parquet") {
     val p = planOf("x166_datasheet")
     checkContract("x166", p)
