@@ -16,6 +16,36 @@ object ExtQueries {
   /** Shared shingle CTE: distinct word 3-grams per doc (matches
     * Dedup.shingleRows) + the md5-derived 60-bit token hash (matches
     * Dedup.tokenHash60). Parametrized by the source relation. */
+  /** The per-source datasheet aggregates (x166's shape) over corpus CTE
+    * `src`, every CTE name prefixed with `p` so the fragment can appear
+    * twice in one query (x167's before/after diff). Expects a global `rg`
+    * CTE of distinct reference 13-grams. Emits `${p}ds(source, n_docs,
+    * n_tokens, n_contaminated, novelty_micro)`. */
+  private def datasheetSqlCtes(src: String, p: String): String =
+    s"""${p}tk AS (SELECT doc_id, source, lang, string_split(text, ' ') AS tk FROM $src),
+       |${p}sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+       |  FROM ${p}tk, unnest(range(1, len(tk) - 1)) AS t(i)),
+       |${p}df AS (SELECT s, COUNT(*) AS df FROM ${p}sh GROUP BY 1),
+       |${p}nv AS (SELECT ${p}sh.doc_id, CAST(COUNT(*) AS BIGINT) AS nsh,
+       |    CAST(SUM(CASE WHEN ${p}df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nvl
+       |  FROM ${p}sh JOIN ${p}df USING (s) GROUP BY 1),
+       |${p}dg AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+12], ' ') AS g
+       |  FROM ${p}tk, unnest(range(1, len(tk) - 11)) AS u(i)),
+       |${p}cn AS (SELECT DISTINCT doc_id, TRUE AS contam FROM ${p}dg JOIN rg USING (g)),
+       |${p}pl AS (SELECT source, lang, COUNT(*) AS docs,
+       |    SUM(CAST(len(tk) AS BIGINT)) AS toks,
+       |    SUM(CASE WHEN COALESCE(contam, FALSE) THEN 1 ELSE 0 END) AS nc,
+       |    SUM(COALESCE(${p}nv.nsh, 0)) AS sh2, SUM(COALESCE(${p}nv.nvl, 0)) AS nvl2
+       |  FROM ${p}tk LEFT JOIN ${p}nv USING (doc_id) LEFT JOIN ${p}cn USING (doc_id)
+       |  GROUP BY 1, 2),
+       |${p}ds AS (SELECT source, CAST(SUM(docs) AS BIGINT) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(nc) AS BIGINT) AS n_contaminated,
+       |    CASE WHEN SUM(sh2) > 0 THEN
+       |      round(CAST(SUM(nvl2) AS DOUBLE) / CAST(SUM(sh2) AS DOUBLE), 6)
+       |    END AS novelty_micro
+       |  FROM ${p}pl GROUP BY 1)""".stripMargin
+
   private def shingleCteFrom(src: String) =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
        |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
@@ -6461,6 +6491,97 @@ object ExtQueries {
            |  END AS novelty_micro
            |FROM pl GROUP BY 1 ORDER BY source""".stripMargin
       )
+    ),
+    // ------------------------------------------------------------------
+    // The datasheet DIFF — the before/after card a lab publishes showing
+    // what curation changed, per source: the canary-dirty corpus runs
+    // quality gate -> exact dedup -> 13-gram decontamination AGAINST THE
+    // SAME SUITES the datasheet measures, so the after-card's
+    // contamination column is provably ZERO — the report card proves the
+    // scrub. kept_share / token deltas / novelty movement are the
+    // curation summary; both cards are corpusDatasheet's one-read shape.
+    Q(
+      "x167_datasheet_diff",
+      (s, d) => {
+        import s.implicits._
+        val dirty = t(s, d, "documents")
+          .withColumn(
+            "text",
+            when(col("doc_id") % 35 === 16,
+              concat(col("text"), lit(" " + CanaryLine + " " + CanaryLineB)))
+              .when(col("doc_id") % 5 === 1, concat(col("text"), lit(" " + CanaryLine)))
+              .when(col("doc_id") % 7 === 2, concat(col("text"), lit(" " + CanaryLineB)))
+              .otherwise(col("text"))
+          )
+        val suites = Seq(("suiteA", CanaryLine), ("suiteB", CanaryLineB)).toDF("suite", "text")
+        val gated = dirty.filter(TextAnalysis.qualityExpr(col("text")) >= 0.6)
+        val deduped = Dedup.exact(gated, Seq("text"), "doc_id")
+        val scrubbed = Dedup.decontaminateNgram(deduped, suites, "doc_id", "text")
+        def card(corpus: org.apache.spark.sql.DataFrame) =
+          Pipeline.corpusDatasheet(corpus, suites, "doc_id", "text", "source", "lang", "suite")
+        val b = card(dirty).select(
+          col("source"),
+          col("n_docs").as("docs_before"),
+          col("n_tokens").as("tokens_before"),
+          col("n_contaminated").as("contam_before"),
+          col("novelty_micro").as("novelty_before"))
+        val a = card(scrubbed).select(
+          col("source"),
+          col("n_docs").as("__da"),
+          col("n_tokens").as("__ta"),
+          col("n_contaminated").as("__ca"),
+          col("novelty_micro").as("novelty_after"))
+        b.join(a, Seq("source"), "left")
+          .select(
+            col("source"),
+            col("docs_before"),
+            coalesce(col("__da"), lit(0L)).as("docs_after"),
+            round(coalesce(col("__da"), lit(0L)).cast("double")
+              / col("docs_before").cast("double"), 6).as("kept_share"),
+            col("tokens_before"),
+            coalesce(col("__ta"), lit(0L)).as("tokens_after"),
+            col("contam_before"),
+            coalesce(col("__ca"), lit(0L)).as("contam_after"),
+            col("novelty_before"),
+            col("novelty_after"))
+          .orderBy("source")
+      },
+      Some {
+        val quality =
+          """round(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+            |  + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0), 6)""".stripMargin
+        s"""WITH d AS (SELECT doc_id, source, lang,
+           |    CASE WHEN doc_id % 35 = 16 THEN text || ' $CanaryLine $CanaryLineB'
+           |      WHEN doc_id % 5 = 1 THEN text || ' $CanaryLine'
+           |      WHEN doc_id % 7 = 2 THEN text || ' $CanaryLineB'
+           |      ELSE text END AS text
+           |  FROM documents),
+           |r AS (SELECT '$CanaryLine' AS rt UNION ALL SELECT '$CanaryLineB'),
+           |rtk AS (SELECT string_split(rt, ' ') AS tk FROM r),
+           |rg AS (SELECT DISTINCT array_to_string(tk[i:i+12], ' ') AS g
+           |  FROM rtk, unnest(range(1, len(tk) - 11)) AS u(i)),
+           |${datasheetSqlCtes("d", "b")},
+           |passed AS (SELECT doc_id, source, lang, text FROM d WHERE $quality >= 0.6),
+           |ded AS (SELECT doc_id, source, lang, text FROM (
+           |  SELECT doc_id, source, lang, text,
+           |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |  FROM passed) t WHERE rn = 1),
+           |dtk2 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM ded),
+           |sg AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+12], ' ') AS g
+           |  FROM dtk2, unnest(range(1, len(tk) - 11)) AS u(i)),
+           |badids AS (SELECT DISTINCT sg.doc_id FROM sg JOIN rg USING (g)),
+           |scrub AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM badids)),
+           |${datasheetSqlCtes("scrub", "a")}
+           |SELECT b.source, b.n_docs AS docs_before,
+           |  COALESCE(a.n_docs, 0) AS docs_after,
+           |  round(COALESCE(a.n_docs, 0) / CAST(b.n_docs AS DOUBLE), 6) AS kept_share,
+           |  b.n_tokens AS tokens_before, COALESCE(a.n_tokens, 0) AS tokens_after,
+           |  b.n_contaminated AS contam_before,
+           |  COALESCE(a.n_contaminated, 0) AS contam_after,
+           |  b.novelty_micro AS novelty_before, a.novelty_micro AS novelty_after
+           |FROM bds b LEFT JOIN ads a USING (source) ORDER BY source""".stripMargin
+      }
     )
   )
 }

@@ -265,7 +265,12 @@ object DumpPlans {
       "novelty's shingle-df aggregate + join, the broadcast contamination gram join) read " +
       "stored rows; the final plan contains zero parquet scans (PlanContractsSpec pins " +
       "this). Aggregation is two-level (source, lang) -> source, with the dominant " +
-      "language a deterministic max(struct).")
+      "language a deterministic max(struct)."),
+    "x167_datasheet_diff" -> ("Before/after curation datasheet diff: each card is the x166 " +
+      "one-read shape over its own checkpoint (the after-card's input chain — quality " +
+      "filter, text-keyed dedup window, broadcast 13-gram scrub — runs inside that " +
+      "checkpoint job); the final plan is a |sources|-sized left join of the two card " +
+      "aggregates, zero parquet scans (PlanContractsSpec pins this).")
   )
 
   def main(args: Array[String]): Unit = {

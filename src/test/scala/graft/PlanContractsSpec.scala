@@ -279,6 +279,12 @@ class PlanContractsSpec extends AnyFunSuite with SparkTester {
     assert(!p.toString.contains("Scan parquet"), p.toString)
   }
 
+  test("x167_datasheet_diff: both cards read their checkpoints — no parquet in the final plan") {
+    val p = planOf("x167_datasheet_diff")
+    checkContract("x167", p)
+    assert(!p.toString.contains("Scan parquet"), p.toString)
+  }
+
   test("x165_epoch_budget: only the boundary-bucket prefix pays a global window") {
     // the boundary prefix sort runs inside the operator's checkpoint job
     // (bounded to one hash bucket's rows); the FINAL plan — the one that
