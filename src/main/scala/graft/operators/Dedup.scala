@@ -382,6 +382,47 @@ object Dedup {
       .select(col("d1"), col("d2"), (agree.cast("double") / lit(k.toDouble)).as("est_j"))
   }
 
+  /** Cross-source duplication OVERLAP MATRIX — which source pairs ship
+    * each other's content, the corpus-composition audit behind crawl-
+    * snapshot overlap studies (and the diagonal, `source_a == source_b`,
+    * is each source's INTERNAL near-dup load): count the near-duplicate
+    * pairs from [[estimatedJaccard]] (signature agreement ≥
+    * `minEstJaccard`) per unordered source pair.
+    *
+    * Output: `(source_a, source_b, n_pairs)` with `source_a ≤ source_b`
+    * (string order); source pairs with zero near-dup pairs emit no row.
+    *
+    * 100 TB shape: candidate volume is band-bucket bounded (Σ bucket²,
+    * never n² — `maxBucketSize` caps hot buckets, the x03 contract); the
+    * two source attaches are id-keyed equi-joins on the pair frame; the
+    * final aggregate is ≤ K(K+1)/2 rows for K sources. Nothing here
+    * re-reads text — signatures are built once and checkpointed inside
+    * [[estimatedJaccard]]. */
+  def sourceOverlap(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5,
+      maxBucketSize: Option[Int] = None
+  ): DataFrame = {
+    require(
+      minEstJaccard >= 0 && minEstJaccard <= 1,
+      s"sourceOverlap: minEstJaccard must be in [0, 1], got $minEstJaccard")
+    val pairs = estimatedJaccard(docs, idCol, textCol, bands, rowsPerBand, maxBucketSize)
+      .filter(col("est_j") >= minEstJaccard)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("d1"), col(sourceCol).as("__s1")), Seq("d1"))
+      .join(src.select(col(idCol).as("d2"), col(sourceCol).as("__s2")), Seq("d2"))
+      .groupBy(
+        least(col("__s1"), col("__s2")).as("source_a"),
+        greatest(col("__s1"), col("__s2")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** 16-bit SimHash over distinct word-3-gram shingle hashes. */
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // dedup AFTER hashing: one distinct over (id, int64) instead of two

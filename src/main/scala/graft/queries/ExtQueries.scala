@@ -6582,6 +6582,34 @@ object ExtQueries {
            |  b.novelty_micro AS novelty_before, a.novelty_micro AS novelty_after
            |FROM bds b LEFT JOIN ads a USING (source) ORDER BY source""".stripMargin
       }
+    ),
+    // ------------------------------------------------------------------
+    // Cross-source duplication overlap matrix (Dedup.sourceOverlap):
+    // which source PAIRS ship each other's content — the crawl-snapshot
+    // overlap audit — with the diagonal as each source's internal
+    // near-dup load. Near-dup pairs = the x77 signature-agreement
+    // estimate at the 4/8 cut, aggregated per unordered source pair;
+    // the oracle replays the full minhash pipeline + agreement + the
+    // least/greatest pair normalization.
+    Q(
+      "x168_source_overlap",
+      (s, d) =>
+        Dedup
+          .sourceOverlap(t(s, d, "documents"), "doc_id", "text", "source")
+          .orderBy("source_a", "source_b"),
+      Some(s"""WITH $shingleCte,
+              |$minhashCtes,
+              |est AS (SELECT c.d1, c.d2,
+              |  CAST(${(0 until 8).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")}
+              |    AS DOUBLE) / CAST(8 AS DOUBLE) AS est_j
+              |  FROM cand c JOIN sig a ON a.doc_id = c.d1 JOIN sig b ON b.doc_id = c.d2),
+              |pr AS (SELECT d1, d2 FROM est WHERE est_j >= 0.5),
+              |sj AS (SELECT least(s1.source, s2.source) AS source_a,
+              |    greatest(s1.source, s2.source) AS source_b
+              |  FROM pr JOIN documents s1 ON s1.doc_id = pr.d1
+              |          JOIN documents s2 ON s2.doc_id = pr.d2)
+              |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+              |FROM sj GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }

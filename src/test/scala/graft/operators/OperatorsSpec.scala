@@ -654,6 +654,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("sourceOverlap: planted cross-source duplicates land in the right matrix cells") {
+    import spark.implicits._
+    val tA = (1 to 12).map(i => s"a$i").mkString(" ")
+    val tB = (1 to 12).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, "cc", tA), (2L, "c4", tA), //   cross-source exact pair -> (c4, cc)
+      (3L, "cc", tB), (4L, "cc", tB), //   internal cc pair -> the diagonal
+      (5L, "wiki", (1 to 12).map(i => s"u$i").mkString(" ")) // unique, no row
+    ).toDF("doc_id", "source", "text")
+    // 8/8 agreement cut: exact copies reach est 1.0; unrelated short texts
+    // reach it with P ~ (hash-set J)^8 ~ 0 (the curate-incr convention)
+    def run(df: org.apache.spark.sql.DataFrame) = Dedup
+      .sourceOverlap(df, "doc_id", "text", "source", minEstJaccard = 1.0)
+      .orderBy("source_a", "source_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val got = run(docs)
+    assert(got == Seq(("c4", "cc", 1L), ("cc", "cc", 1L)), got)
+    assert(run(docs.repartition(4)) == got) // deterministic at any partitioning
+    intercept[IllegalArgumentException] {
+      Dedup.sourceOverlap(docs, "doc_id", "text", "source", minEstJaccard = 1.5)
+    }
+  }
+
   test("corpusDatasheet: hand-built per-source report card, deterministic top-lang ties") {
     import spark.implicits._
     val suites = Seq(("s1", "a b c d e f g h i j k l m")).toDF("suite", "text") // one 13-gram
