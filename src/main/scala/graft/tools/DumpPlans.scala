@@ -270,7 +270,12 @@ object DumpPlans {
       "one-read shape over its own checkpoint (the after-card's input chain — quality " +
       "filter, text-keyed dedup window, broadcast 13-gram scrub — runs inside that " +
       "checkpoint job); the final plan is a |sources|-sized left join of the two card " +
-      "aggregates, zero parquet scans (PlanContractsSpec pins this).")
+      "aggregates, zero parquet scans (PlanContractsSpec pins this)."),
+    "x168_source_overlap" -> ("Cross-source overlap matrix: signatures build once into a " +
+      "checkpoint (estimatedJaccard's contract); the final plan is the band-bucket " +
+      "candidate equi-join (pair volume = sum of bucket sizes squared, never n^2), two " +
+      "id-keyed source attaches, and a K(K+1)/2-row aggregate — no window, no global " +
+      "sort, nothing text-keyed after signature construction.")
   )
 
   def main(args: Array[String]): Unit = {

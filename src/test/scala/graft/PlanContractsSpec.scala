@@ -285,6 +285,10 @@ class PlanContractsSpec extends AnyFunSuite with SparkTester {
     assert(!p.toString.contains("Scan parquet"), p.toString)
   }
 
+  test("x168_source_overlap: no cartesian, no window, no global sort after signatures") {
+    checkContract("x168", planOf("x168_source_overlap"), forbidden = Seq("Window"))
+  }
+
   test("x165_epoch_budget: only the boundary-bucket prefix pays a global window") {
     // the boundary prefix sort runs inside the operator's checkpoint job
     // (bounded to one hash bucket's rows); the FINAL plan — the one that
