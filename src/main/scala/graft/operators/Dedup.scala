@@ -423,6 +423,66 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** The STREAMING face of [[sourceOverlap]] — the overlap-matrix DELTA a
+    * new batch contributes against a persisted signature index (built with
+    * [[minhashSignatures]] and carrying `sourceCol`): confirmed
+    * (batch, index) pairs plus confirmed batch-internal pairs, attributed
+    * to unordered source pairs. Because signatures are per-doc
+    * deterministic and every near-dup pair is either within one batch
+    * (counted by the self evidence, once) or across batches (counted when
+    * the LATER doc's batch runs, against the index), summing the deltas
+    * over any batch decomposition equals the one-shot [[sourceOverlap]]
+    * matrix exactly — the parity StreamingSpec pins it with pairs
+    * straddling micro-batches. Callers grow the index with the batch's
+    * own signatures after each call (the [[incrementalNearDup]] loop).
+    *
+    * 100 TB shape: [[incrementalNearDup]]'s own — batch signatures built
+    * once, band-keyed joins against the (big) index, evidence
+    * checkpointed batch-bounded; then two id-keyed source attaches and a
+    * ≤K(K+1)/2-row aggregate. */
+  def incrementalSourceOverlap(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5
+  ): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1, s"bad banding ($bands x $rowsPerBand)")
+    require(
+      minEstJaccard >= 0 && minEstJaccard <= 1,
+      s"incrementalSourceOverlap: minEstJaccard must be in [0, 1], got $minEstJaccard")
+    val k = bands * rowsPerBand
+    val sigCols = (0 until k).map(i => s"m$i")
+    val missing = (sigCols :+ sourceCol).filterNot(index.columns.contains)
+    require(
+      missing.isEmpty,
+      s"incrementalSourceOverlap: index lacks columns ${missing.mkString(", ")} — build it " +
+        s"with minhashSignatures(numHashes = $k) joined to the $sourceCol column")
+    requireSignatureFamily(index, "incrementalSourceOverlap", sigCols)
+    val (idxE, selfE) =
+      incrementalDropEvidence(batch, index, idCol, textCol, bands, rowsPerBand, minEstJaccard)
+    val bSrc = batch.select(col(idCol).as("__did"), col(sourceCol).as("__s1"))
+    val cross = idxE
+      .join(bSrc, Seq("__did"))
+      .join(
+        index.select(col(idCol).as("__partner"), col(sourceCol).as("__s2")),
+        Seq("__partner"))
+    val self = selfE
+      .join(bSrc, Seq("__did"))
+      .join(
+        batch.select(col(idCol).as("__partner"), col(sourceCol).as("__s2")),
+        Seq("__partner"))
+    cross
+      .unionByName(self)
+      .groupBy(
+        least(col("__s1"), col("__s2")).as("source_a"),
+        greatest(col("__s1"), col("__s2")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** 16-bit SimHash over distinct word-3-gram shingle hashes. */
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // dedup AFTER hashing: one distinct over (id, int64) instead of two

@@ -996,6 +996,62 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
       s"streamed $got != batch $expected")
   }
 
+  test("incrementalSourceOverlap under foreachBatch: summed deltas == one-shot matrix, pairs straddling batches") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    // every near-dup pair is either within one batch (self evidence) or
+    // across batches (index evidence when the LATER doc arrives) — the
+    // decomposition is exact, so summing per-batch deltas must equal the
+    // one-shot sourceOverlap matrix. Planted: an exact pair WITHIN batch 0
+    // (cc internal), a cross-source pair straddling batches 0->1
+    // (cc -> c4), a cross-source pair straddling 0->2 (cc -> wiki), and a
+    // within-batch-2 cross-source pair (c4, wiki); uniques salt every batch.
+    def t12(p: String) = (1 to 12).map(i => s"$p$i").mkString(" ")
+    val batches: Seq[Seq[(Long, String, String)]] = Seq(
+      Seq((1L, "cc", t12("a")), (2L, "cc", t12("a")), (3L, "cc", t12("b")),
+        (4L, "wiki", t12("u"))),
+      Seq((10L, "c4", t12("a")), (11L, "c4", t12("v"))),
+      Seq((20L, "wiki", t12("b")), (21L, "c4", t12("w")), (22L, "wiki", t12("w")))
+    )
+    val all = batches.flatten.toDF("doc_id", "source", "text")
+    val expected = Dedup
+      .sourceOverlap(all, "doc_id", "text", "source", minEstJaccard = 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // planted truth: (1,2) cc-cc; (1,10)+(2,10) cc-c4; (3,20) cc-wiki;
+    // (21,22) c4-wiki
+    assert(expected == Seq(
+      ("c4", "cc", 2L), ("c4", "wiki", 1L), ("cc", "cc", 1L), ("cc", "wiki", 1L)
+    ), s"planted truth drifted: $expected")
+    val emptyIdx = Dedup
+      .minhashSignatures(Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", 8)
+      .withColumn("source", lit(""))
+    var idx: DataFrame = emptyIdx
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)](spark)
+    val q = mem
+      .toDF().toDF("doc_id", "source", "text")
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val delta = Dedup.incrementalSourceOverlap(
+          df, idx, "doc_id", "text", "source", minEstJaccard = 1.0)
+        acc ++= delta.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        idx = idx.unionByName(
+          Dedup.minhashSignatures(df, "doc_id", "text", 8)
+            .join(df.select("doc_id", "source"), Seq("doc_id"))
+        ).localCheckpoint()
+        ()
+      }
+      .start()
+    try batches.foreach { rows => mem.addData(rows); q.processAllAvailable() }
+    finally q.stop()
+    val summed = acc.groupBy(x => (x._1, x._2)).map { case ((a, b), xs) =>
+      (a, b, xs.map(_._3).sum)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    assert(summed == expected, s"streamed deltas $summed != one-shot $expected")
+  }
+
   test("tumbling agg matches the x12 declared query buckets") {
     val viaWindow = EventStreams.tumbling5m(t(spark, sfTiny, "events"))
       .select("bucket_s", "event_type", "n")
