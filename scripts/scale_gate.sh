@@ -153,6 +153,12 @@ run_leg curriculum-planted - curriculum-planted 20000000
 #     per-epoch permutation invariants + a window-free budget-cut
 #     MAXIMALITY proof (first excluded doc in walk order cannot fit)
 run_leg epoch-planted      - epoch-planted 8000000
+# 4k. overlap-planted — sourceOverlap (x168) + incrementalSourceOverlap at
+#     2M docs + 2000 planted cross-source copies: closed-form per-cell
+#     counts (4 cells x nDocs/4000 pairs) for the one-shot matrix AND the
+#     streaming decomposition (within-batch self evidence vs cross-batch
+#     index evidence land in disjoint, known cells; summed deltas == matrix)
+run_leg overlap-planted    - overlap-planted 2000000
 run_leg keyword-scale      - keyword-scale 10000
 run_leg cc-telemetry       - cc-telemetry
 flush false

@@ -1233,6 +1233,96 @@ object Spike {
     println("[spike] epoch-planted: multi-epoch budget exact at scale — gate PASS")
   }
 
+  /** `runMain graft.tools.Spike overlap-planted [nDocs]` — the
+    * cross-source overlap matrix ([[graft.operators.Dedup.sourceOverlap]],
+    * x168) and its streaming face at 100x+ docs against CLOSED-FORM
+    * planted cell counts. Corpus: nDocs base docs over 4 sources
+    * (`src(id%4)`), unique 12-token texts over a 2^64 token space; every
+    * 1000th doc gets an exact-copy companion whose source is
+    * `src((id/1000)%4)` — so every planted pair's matrix CELL is known by
+    * construction: originals are all src0 (1000 % 4 == 0), companions
+    * cycle the four sources, giving exactly nDocs/4000 pairs in each of
+    * (src0,src0) (src0,src1) (src0,src2) (src0,src3). At the 8/8
+    * agreement cut accidental pairs need identical minhash signatures —
+    * P ≈ (hash-set J)^8 ≈ 0 for random texts (the curate-incr planted
+    * convention), so the matrix must be EXACTLY the planted one. Then the
+    * streaming decomposition: companions with even id/1000 arrive WITH
+    * the originals (within-batch self evidence → the two even cells),
+    * the odd half arrives as batch 2 against the grown index
+    * (cross-batch index evidence → the two odd cells); each delta and
+    * their sum must match closed form — [[graft.operators.Dedup
+    * .incrementalSourceOverlap]]'s exact-decomposition contract at
+    * scale, not just the spec's 9 docs. */
+  private def overlapPlanted(spark: org.apache.spark.sql.SparkSession, nDocs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nDocs % 4000 == 0, s"overlap-planted: nDocs must be a multiple of 4000, got $nDocs")
+    def textOf(key: org.apache.spark.sql.Column) =
+      concat_ws(
+        " ",
+        transform(sequence(lit(0L), lit(11L)), j => concat(lit("t"), xxhash64(key, j).cast("string"))))
+    val base = spark
+      .range(nDocs)
+      .select(
+        col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(4L)).cast("string")).as("source"),
+        textOf(col("id")).as("text"))
+    val comp = spark
+      .range(nDocs)
+      .filter(pmod(col("id"), lit(1000L)) === 0)
+      .select(
+        (col("id") + nDocs).as("doc_id"),
+        concat(lit("src"), pmod(expr("id DIV 1000"), lit(4L)).cast("string")).as("source"),
+        textOf(col("id")).as("text"))
+    val corpus = base.unionByName(comp)
+    val p = nDocs / 1000
+    val want = Seq(
+      ("src0", "src0", p / 4), ("src0", "src1", p / 4),
+      ("src0", "src2", p / 4), ("src0", "src3", p / 4))
+    val t0 = System.nanoTime()
+    val got = graft.operators.Dedup
+      .sourceOverlap(corpus, "doc_id", "text", "source", minEstJaccard = 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val tFull = (System.nanoTime() - t0) / 1e9
+    require(got == want, s"overlap-planted MISMATCH: got $got want $want")
+    // --- streaming decomposition: even companions in-batch, odd vs index ---
+    val evenComp = comp.filter(expr(s"((doc_id - ${nDocs}L) DIV 1000) % 2") === 0)
+    val oddComp = comp.filter(expr(s"((doc_id - ${nDocs}L) DIV 1000) % 2") === 1)
+    val b1 = base.unionByName(evenComp)
+    val emptyIdx = graft.operators.Dedup
+      .minhashSignatures(
+        spark.range(0).select(col("id").as("doc_id"), lit("").as("text")),
+        "doc_id", "text", 8)
+      .withColumn("source", lit(""))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val t1 = System.nanoTime()
+    val d1 = cells(graft.operators.Dedup.incrementalSourceOverlap(
+      b1, emptyIdx, "doc_id", "text", "source", minEstJaccard = 1.0))
+    val idx = emptyIdx.unionByName(
+      graft.operators.Dedup.minhashSignatures(b1, "doc_id", "text", 8)
+        .join(b1.select("doc_id", "source"), Seq("doc_id")))
+      .localCheckpoint()
+    val d2 = cells(graft.operators.Dedup.incrementalSourceOverlap(
+      oddComp, idx, "doc_id", "text", "source", minEstJaccard = 1.0))
+    val tIncr = (System.nanoTime() - t1) / 1e9
+    require(
+      d1 == Seq(("src0", "src0", p / 4), ("src0", "src2", p / 4)),
+      s"batch-1 delta wrong: $d1")
+    require(
+      d2 == Seq(("src0", "src1", p / 4), ("src0", "src3", p / 4)),
+      s"batch-2 delta wrong: $d2")
+    val summed = (d1 ++ d2).groupBy(x => (x._1, x._2))
+      .map { case ((a, b), xs) => (a, b, xs.map(_._3).sum) }.toSeq.sortBy(x => (x._1, x._2))
+    require(summed == want, s"summed deltas != one-shot matrix: $summed vs $want")
+    println(
+      f"[spike] overlap-planted: $nDocs%d docs + ${p}%d planted cross-source copies — " +
+        f"one-shot matrix exact (4 cells x ${p / 4}%d pairs) in $tFull%.1fs; streaming " +
+        f"decomposition exact (even cells in-batch, odd cells vs the grown index) in $tIncr%.1fs")
+    println("[spike] overlap-planted: overlap matrix exact at scale — gate PASS")
+  }
+
   /** `runMain graft.tools.Spike x60-planted [nVecs]` — embedding near-dup
     * at 100x+ vectors against a closed-form planted oracle. Synthetic
     * 64-dim vectors from pure integer arithmetic (no RNG — identical at any
@@ -2693,6 +2783,10 @@ object Spike {
     }
     if (args.nonEmpty && args(0) == "epoch-planted") {
       epochPlanted(spark, if (args.length > 1) args(1).toLong else 2000000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "overlap-planted") {
+      overlapPlanted(spark, if (args.length > 1) args(1).toLong else 2000000L)
       spark.stop(); return
     }
     if (args.nonEmpty && args(0) == "sq8-planted") {
