@@ -19,6 +19,7 @@ Usage:
   python3 scripts/bench_report.py                 # cross-round table
   python3 scripts/bench_report.py --movers 16 17  # per-query movers r16->r17
   python3 scripts/bench_report.py --query x101_decon_fuzzy
+  python3 scripts/bench_report.py --check   # CI: wt BENCH_QUIET vs newest round, exit 1 on regression
 """
 import argparse
 import json
@@ -148,13 +149,10 @@ def table(recs):
         prev = (rnd, recs[rnd])
 
 
-def movers(recs, a, b, threshold):
-    (pa, sa), (pb, sb) = recs[a], recs[b]
+def mover_rows(pa, pb, threshold):
     can = None
     if pa["canary"] and pb["canary"]:
         can = pb["canary"] / pa["canary"]
-    print(f"movers r{a} ({sa}) -> r{b} ({sb}); canary ratio "
-          f"{fmt(can)} (norm {'ON' if can else 'OFF — raw'})")
     rows = []
     for q in sorted(set(pa["queries"]) & set(pb["queries"])):
         va, vb = pa["queries"][q], pb["queries"][q]
@@ -163,10 +161,38 @@ def movers(recs, a, b, threshold):
         r = (vb / va) / (can or 1.0)
         if r >= threshold or r <= 1 / threshold:
             rows.append((r, q, va, vb))
+    return can, rows
+
+
+def movers(recs, a, b, threshold):
+    (pa, sa), (pb, sb) = recs[a], recs[b]
+    can, rows = mover_rows(pa, pb, threshold)
+    print(f"movers r{a} ({sa}) -> r{b} ({sb}); canary ratio "
+          f"{fmt(can)} (norm {'ON' if can else 'OFF — raw'})")
     for r, q, va, vb in sorted(rows, reverse=True):
         print(f"  {r:6.2f}x  {q:<28} {va:8.3f} -> {vb:8.3f}")
     if not rows:
         print(f"  none past {threshold}x (normalized)")
+
+
+def check(recs, threshold):
+    """CI mode: compare the working-tree BENCH_QUIET against the newest
+    committed round record, canary-normalized; exit 1 on any shared query
+    slower than `threshold`x. Makes the x101-style adjudication a script's
+    job — a perf regression fails here, not in a judge's cross-round read."""
+    with open(f"{REPO}/BENCH_QUIET.json") as fh:
+        cur = summarize(json.load(fh))
+    baseline_rnd = max(recs)
+    base, src = recs[baseline_rnd]
+    can, rows = mover_rows(base, cur, threshold)
+    regressions = [r for r in sorted(rows, reverse=True) if r[0] >= threshold]
+    print(f"check: BENCH_QUIET (wt, nq {cur['n']}, canary {fmt(cur['canary'], '{:.3f}')}) "
+          f"vs r{baseline_rnd} ({src}); canary ratio {fmt(can)}; threshold {threshold}x")
+    for r, q, va, vb in regressions:
+        print(f"  REGRESSION {r:6.2f}x  {q:<28} {va:8.3f} -> {vb:8.3f}")
+    if regressions:
+        sys.exit(1)
+    print("  no normalized regressions past threshold")
 
 
 def query_history(recs, name):
@@ -186,6 +212,8 @@ def main():
     ap.add_argument("--movers", nargs=2, type=int, metavar=("A", "B"))
     ap.add_argument("--threshold", type=float, default=2.0)
     ap.add_argument("--query")
+    ap.add_argument("--check", action="store_true",
+                    help="CI: working-tree BENCH_QUIET vs the newest round record; exit 1 on regression")
     ap.add_argument("--extra", nargs="*", default=[], metavar="LABEL=PATH",
                     help="include a working-tree record, e.g. wt=/root/repo/BENCH_QUIET.json")
     args = ap.parse_args()
@@ -197,6 +225,9 @@ def main():
         if d.get("queries"):
             # extras sort after real rounds: label as round 1000+i
             recs[1000 + args.extra.index(spec)] = (summarize(d), label)
+    if args.check:
+        check(recs, args.threshold)
+        return
     if args.movers:
         a, b = args.movers
         if a not in recs or b not in recs:
