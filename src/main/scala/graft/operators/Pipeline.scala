@@ -384,6 +384,142 @@ object Pipeline {
       )
   }
 
+  /** State + current card of the STREAMING datasheet (see
+    * [[corpusDatasheetIncremental]]): callers persist/localCheckpoint the
+    * two index frames between batches, the card is the report over
+    * everything ingested so far. */
+  final case class IncrementalDatasheet(
+      card: DataFrame,
+      dfIndex: DataFrame,
+      statsIndex: DataFrame
+  )
+
+  /** The STREAMING face of [[corpusDatasheet]] — a per-source report card
+    * over EVERYTHING ingested so far, maintained incrementally. Every
+    * column except novelty is additive per (source, lang) and folds into
+    * `statsIndex`; novelty is the one metric that is NOT stateless per
+    * batch (a shingle novel today stops being novel when a later doc
+    * reuses it — the df is corpus-global and RETROACTIVE), so the state
+    * carries a shingle document-frequency index `dfIndex(s, df, owner)`
+    * where `owner` is the source of the single containing doc while
+    * `df == 1` (and NULL once a second doc shares the shingle — the
+    * shingle can never become novel again, so the owner is never needed
+    * back). Per-source novel counts then read straight off the index:
+    * `df == 1` rows grouped by owner. Summing stats and merging df over
+    * ANY batch decomposition yields byte-identical cards to the one-shot
+    * [[corpusDatasheet]] over the union — the StreamingSpec parity, with
+    * novelty-flipping shingles straddling micro-batches.
+    *
+    * The index keys on the shingle STRING — [[Dedup.ngramNovelty]]'s own
+    * representation, so parity with the batch card is exact (a 60-bit
+    * hash key would admit cross-shingle collisions; at deployment scale
+    * swap in the hash and accept the ~2^-60 per-pair error, documented
+    * trade).
+    *
+    * 100 TB shape: the batch pays its own datasheet shapes (one read,
+    * checkpointed); the df merge is one shingle-keyed aggregate over
+    * (index ∪ batch-df) — the same additive-merge class as
+    * [[TextAnalysis.mergeBigramLm]]'s count tables; stats merge is
+    * (source, lang)-sized. The card derives from the two indexes alone —
+    * no re-scan of ingested batches, ever. */
+  def corpusDatasheetIncremental(
+      batch: DataFrame,
+      dfIndex: DataFrame,
+      statsIndex: DataFrame,
+      evalSuites: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      langCol: String,
+      suiteCol: String,
+      minQuality: Double = 0.6,
+      noveltyN: Int = 3,
+      contamN: Int = 13
+  ): IncrementalDatasheet = {
+    val dfMissing = Seq("s", "df", "owner").filterNot(dfIndex.columns.contains)
+    require(
+      dfMissing.isEmpty,
+      s"corpusDatasheetIncremental: dfIndex lacks ${dfMissing.mkString(", ")} — " +
+        "(s string, df long, owner string), empty on the first batch")
+    val stMissing =
+      Seq(sourceCol, langCol, "docs", "toks", "nq", "nc", "nsh").filterNot(statsIndex.columns.contains)
+    require(
+      stMissing.isEmpty,
+      s"corpusDatasheetIncremental: statsIndex lacks ${stMissing.mkString(", ")}")
+    val base = batch
+      .select(col(idCol), col(sourceCol), col(langCol), col(textCol))
+      .localCheckpoint(true)
+    // batch shingle df + single-doc owner (source of the one containing doc)
+    val sh = Dedup
+      .shingleRows(base, idCol, textCol, noveltyN)
+      .join(base.select(col(idCol), col(sourceCol)), Seq(idCol))
+    val batchDf = sh
+      .groupBy(col("s"))
+      .agg(
+        count(lit(1)).as("df"),
+        when(count(lit(1)) === 1L, max(col(sourceCol))).otherwise(lit(null)).as("owner"))
+    // merge: dfs add; a merged df of 1 has exactly one non-null owner side
+    val mergedDf = dfIndex
+      .unionByName(batchDf)
+      .groupBy(col("s"))
+      .agg(
+        sum("df").as("df"),
+        when(sum("df") === 1L, max("owner")).otherwise(lit(null)).as("owner"))
+    val contam = Dedup
+      .contaminationReport(base, evalSuites, idCol, textCol, suiteCol, contamN)
+      .select(col(idCol))
+      .distinct()
+      .withColumn("__contam", lit(true))
+    val perDoc = base
+      .select(
+        col(idCol),
+        col(sourceCol),
+        col(langCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__nt"),
+        (TextAnalysis.qualityExpr(col(textCol)) >= minQuality).as("__q"))
+      .join(sh.groupBy(col(idCol)).agg(count(lit(1)).as("__nsh")), Seq(idCol), "left")
+      .join(contam, Seq(idCol), "left")
+    val statsDelta = perDoc
+      .groupBy(col(sourceCol), col(langCol))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("__nt").as("toks"),
+        sum(when(col("__q"), 1L).otherwise(0L)).as("nq"),
+        sum(when(col("__contam"), 1L).otherwise(0L)).as("nc"),
+        sum(coalesce(col("__nsh"), lit(0L))).as("nsh"))
+    val mergedStats = statsIndex
+      .unionByName(statsDelta)
+      .groupBy(col(sourceCol), col(langCol))
+      .agg(
+        sum("docs").as("docs"), sum("toks").as("toks"), sum("nq").as("nq"),
+        sum("nc").as("nc"), sum("nsh").as("nsh"))
+    // the card, from the two indexes alone — the batch card's exact columns
+    val novel = mergedDf
+      .filter(col("df") === 1L)
+      .groupBy(col("owner").as(sourceCol))
+      .agg(count(lit(1)).as("__novel"))
+    val card = mergedStats
+      .groupBy(col(sourceCol))
+      .agg(
+        sum("docs").as("n_docs"),
+        sum("toks").as("n_tokens"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("docs").as("d"), col(langCol).as("l")))
+          .getField("l").as("top_lang"),
+        sum("nq").as("n_quality"),
+        round(sum("nq").cast("double") / sum("docs").cast("double"), 6).as("quality_share"),
+        sum("nc").as("n_contaminated"),
+        sum("nsh").as("__sh"))
+      .join(novel, Seq(sourceCol), "left")
+      .withColumn(
+        "novelty_micro",
+        when(
+          col("__sh") > 0L,
+          round(coalesce(col("__novel"), lit(0L)).cast("double") / col("__sh").cast("double"), 6)))
+      .drop("__sh", "__novel")
+    IncrementalDatasheet(card, mergedDf, mergedStats)
+  }
+
   def lmGate(
       batch: DataFrame,
       model: DataFrame,

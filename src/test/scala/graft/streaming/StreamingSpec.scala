@@ -1052,6 +1052,59 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(summed == expected, s"streamed deltas $summed != one-shot $expected")
   }
 
+  test("corpusDatasheetIncremental under foreachBatch: every prefix card == one-shot card, novelty flips retroactively") {
+    import graft.operators.Pipeline
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val sa = (1 to 13).map(i => s"qa$i").mkString(" ")
+    val suites = Seq(("sA", sa)).toDF("suite", "text")
+    // doc 4 (batch 2) reuses doc 1's (batch 0) shingle "x y z" — the df
+    // index must RETROACTIVELY strip that shingle's novelty from src1's
+    // card; doc 5 embeds the suite gram (contamination); langs mix for
+    // the top-lang column
+    val batches: Seq[Seq[(Long, String, String, String)]] = Seq(
+      Seq((1L, "src1", "en", "x y z a b"), (2L, "src2", "en", "p q r")),
+      Seq((3L, "src1", "de", "m n o"), (5L, "src2", "de", s"w1 w2 $sa")),
+      Seq((4L, "src2", "en", "x y z c d"))
+    )
+    def cardOf(rows: Seq[(Long, String, String, String)]): Seq[String] =
+      Pipeline
+        .corpusDatasheet(
+          rows.toDF("doc_id", "source", "lang", "text"), suites,
+          "doc_id", "text", "source", "lang", "suite")
+        .orderBy("source").collect().map(_.toString).toSeq
+    var dfIdx: DataFrame = Seq.empty[(String, Long, String)].toDF("s", "df", "owner")
+    var stats: DataFrame = Seq.empty[(String, String, Long, Long, Long, Long, Long)]
+      .toDF("source", "lang", "docs", "toks", "nq", "nc", "nsh")
+    val cards = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String, String)](spark)
+    val q = mem
+      .toDF().toDF("doc_id", "source", "lang", "text")
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val r = Pipeline.corpusDatasheetIncremental(
+          df, dfIdx, stats, suites, "doc_id", "text", "source", "lang", "suite")
+        cards += r.card.orderBy("source").collect().map(_.toString).toSeq
+        dfIdx = r.dfIndex.localCheckpoint()
+        stats = r.statsIndex.localCheckpoint()
+        ()
+      }
+      .start()
+    try batches.foreach { rows => mem.addData(rows); q.processAllAvailable() }
+    finally q.stop()
+    // EVERY prefix card equals the one-shot batch datasheet over that prefix
+    batches.indices.foreach { k =>
+      val want = cardOf(batches.take(k + 1).flatten)
+      assert(cards(k) == want, s"prefix $k: streamed ${cards(k)} != batch $want")
+    }
+    // and the flip is real: src1's novelty DROPS when batch 2 lands (doc 4
+    // reuses "x y z"), with no src1 doc in that batch
+    def novelty(card: Seq[String], src: String): String =
+      card.find(_.startsWith(s"[$src")).get.split(",").last
+    assert(novelty(cards(1), "src1") != novelty(cards(2), "src1"),
+      s"novelty did not flip retroactively: ${cards(1)} vs ${cards(2)}")
+  }
+
   test("tumbling agg matches the x12 declared query buckets") {
     val viaWindow = EventStreams.tumbling5m(t(spark, sfTiny, "events"))
       .select("bucket_s", "event_type", "n")
