@@ -1001,6 +1001,83 @@ object Scale {
     )
   }
 
+  /** Sequence-packing index over the MULTI-EPOCH curriculum stream — the
+    * [[curriculumEpochs]] ∘ [[graft.operators.TextAnalysis.packSequences]]
+    * composition: the budgeted (doc, epoch) stream is ONE concatenated
+    * token stream in (epoch, pos) order, sliced into `seqLen`-token
+    * context windows. Every assignment row gains `stream_off` (its first
+    * token's offset in the global stream), `seq_id` (the window holding
+    * that token) and `seq_off` (the offset within it) — the exact
+    * (epoch, window) layout a packed dataloader reproduces over the WHOLE
+    * training run, not just one epoch. A doc whose tokens spill the
+    * window boundary continues into `seq_id + 1` (packSequences'
+    * contract), and windows likewise run straight across epoch
+    * boundaries: the stream is continuous, a trainer never restarts a
+    * context window because an epoch ticked over.
+    *
+    * Input contract: a [[curriculumEpochs]]-shaped frame — `epoch`,
+    * `tier`, `shuffle_key` columns present; epochs `0..k−1` carry the
+    * full corpus and only the LAST epoch may be partial — which
+    * curriculumEpochs guarantees by construction.
+    *
+    * 100 TB shape — the per-epoch token prefix is the SAME closed-form
+    * family as curriculumEpochs' `pos`, NOT a per-epoch sort (a window
+    * partitioned only by `epoch` would funnel the whole corpus through
+    * one task per epoch): a (epoch, tier, bucket) token-sum aggregate
+    * (≤ epochs·tiers·1024 rows), an exclusive cumulative-offset window
+    * over that tiny frame, and a within-bucket running sum ordered by
+    * (shuffle_key, id) — the 2^50 bucket prefix of the 60-bit hash is
+    * order-preserving, so offset + running sum == the token prefix under
+    * (tier, shuffle_key, id) order. The epoch BASE needs no per-epoch
+    * aggregate at all: full epochs each carry the whole corpus, so
+    * base(e) = e · T₀ with T₀ = epoch-0 tokens (one scalar aggregate —
+    * exact for every epoch because an epoch with a different total can
+    * only be the last). The input is materialized once (it feeds the
+    * offset aggregate and the final join — the x162 lesson). */
+  def packEpochs(
+      assignments: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      seqLen: Int
+  ): DataFrame = {
+    require(seqLen > 0, s"packEpochs: seqLen must be positive, got $seqLen")
+    Seq("epoch", "tier", "shuffle_key").foreach(c =>
+      require(
+        assignments.columns.contains(c),
+        s"packEpochs: input must be curriculumEpochs-shaped — column '$c' missing"))
+    import org.apache.spark.sql.expressions.Window
+    val bucketWidth = 1125899906842624L // 2^50: the curriculumEpochs bucket grid
+    val keyed = assignments
+      .withColumn("__bk", expr(s"shuffle_key div $bucketWidth"))
+      .localCheckpoint(true)
+    val t0Row = keyed.filter(col("epoch") === 0L)
+      .agg(sum(col(tokenCol).cast("long"))).collect()(0)
+    val t0 = if (t0Row.isNullAt(0)) 0L else t0Row.getLong(0)
+    val grp = keyed
+      .groupBy("epoch", "tier", "__bk")
+      .agg(sum(col(tokenCol).cast("long")).as("__gt"))
+    val offW = Window
+      .partitionBy("epoch")
+      .orderBy("tier", "__bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = grp
+      .withColumn("__goff", coalesce(sum("__gt").over(offW), lit(0L)))
+      .drop("__gt")
+    val runW = Window
+      .partitionBy("epoch", "tier", "__bk")
+      .orderBy(col("shuffle_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .join(broadcast(off), Seq("epoch", "tier", "__bk"))
+      .withColumn(
+        "stream_off",
+        col("epoch") * lit(t0) + col("__goff")
+          + sum(col(tokenCol).cast("long")).over(runW) - col(tokenCol).cast("long"))
+      .withColumn("seq_id", floor(col("stream_off") / lit(seqLen.toLong)).cast("long"))
+      .withColumn("seq_off", pmod(col("stream_off"), lit(seqLen.toLong)))
+      .drop("__bk", "__goff")
+  }
+
   /** Bucket index of `id` against sorted range `bounds`: the count of
     * boundaries STRICTLY below the id (ties land in the boundary's own
     * bucket) — one higher-order `aggregate` fold over a plan-literal

@@ -6610,6 +6610,68 @@ object ExtQueries {
               |          JOIN documents s2 ON s2.doc_id = pr.d2)
               |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
               |FROM sj GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    // ------------------------------------------------------------------
+    // Epoch-aware sequence packing (the round-18 seed): the x165 budget
+    // stream — 2.5 corpus epochs in curriculum order with per-epoch
+    // md5 reshuffles — packed into 1024-token context windows as ONE
+    // continuous token stream (windows run straight across epoch
+    // boundaries; a doc spilling a window continues into the next — the
+    // packSequences contract, now spanning the whole training run). The
+    // engine's per-epoch token prefix is the same closed-form family as
+    // pos ((epoch, tier, bucket) aggregate + tiny offset window +
+    // within-bucket running sum; epoch base = epoch · T from ONE scalar
+    // aggregate); the oracle IS the naive definition — a per-epoch
+    // window cumsum over (tier, shuffle_key, doc_id) plus epoch · T.
+    Q(
+      "x169_epoch_pack",
+      (s, d) => {
+        val docs0 = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        val totalT = docs0.agg(sum("n_tokens")).collect()(0).getLong(0)
+        val asg = Scale.curriculumEpochs(
+          docs0, "doc_id", "n_tokens", "n_tokens", "source", totalT * 5L / 2L)
+        Scale
+          .packEpochs(asg, "doc_id", "n_tokens", 1024)
+          .select(
+            "doc_id", "source", "n_tokens", "epoch", "pos",
+            "stream_off", "seq_id", "seq_off")
+          .orderBy("epoch", "pos")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, source,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+          |r AS (SELECT doc_id, source, n_tokens,
+          |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
+          |      AS BIGINT) AS rn FROM d),
+          |p AS (SELECT doc_id, source, n_tokens,
+          |    CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS pos0 FROM r),
+          |nn AS (SELECT COUNT(*) + 1 AS n1, SUM(n_tokens) AS t FROM p),
+          |b AS (SELECT t, (t * 5) // 2 AS budget, ((t * 5) // 2) // t AS k,
+          |    (t * 5) // 2 - ((t * 5) // 2) // t * t AS rem FROM nn),
+          |tr AS (SELECT p.*, (pos0 * 256) // n1 AS tier FROM p CROSS JOIN nn),
+          |eps AS (SELECT unnest(generate_series(0,
+          |    CAST((SELECT k FROM b) AS BIGINT))) AS epoch),
+          |x AS (SELECT tr.*, eps.epoch,
+          |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+          |      CAST(epoch AS VARCHAR)), 18, 15) AS BIGINT) AS shuffle_key
+          |  FROM tr CROSS JOIN eps),
+          |c AS (SELECT x.*, SUM(n_tokens) OVER (PARTITION BY epoch
+          |    ORDER BY tier, shuffle_key, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM x),
+          |f AS (SELECT doc_id, source, n_tokens, epoch, tier, shuffle_key,
+          |    epoch * (SELECT t FROM nn) + cum - n_tokens AS so
+          |  FROM c, b WHERE epoch < b.k OR cum <= b.rem)
+          |SELECT doc_id, source, n_tokens, epoch,
+          |  CAST(row_number() OVER (PARTITION BY epoch
+          |    ORDER BY tier, shuffle_key, doc_id) AS BIGINT) AS pos,
+          |  CAST(so AS BIGINT) AS stream_off,
+          |  CAST(so // 1024 AS BIGINT) AS seq_id,
+          |  CAST(so % 1024 AS BIGINT) AS seq_off
+          |FROM f ORDER BY epoch, pos""".stripMargin
+      )
     )
   )
 }

@@ -295,4 +295,14 @@ class PlanContractsSpec extends AnyFunSuite with SparkTester {
     // scales with assignments — must have no global sort at all
     checkContract("x165", planOf("x165_epoch_budget"))
   }
+
+  test("x169_epoch_pack: stream offsets are closed-form — no global sort, no parquet rescan") {
+    // packEpochs' token prefix must come from the (epoch, tier, bucket)
+    // aggregate + within-bucket windows (hash-partitioned), NEVER a
+    // window partitioned only by epoch (that funnels the corpus through
+    // one task per epoch); the final plan reads the operator's checkpoint
+    val p = planOf("x169_epoch_pack")
+    checkContract("x169", p)
+    assert(!p.toString.contains("Scan parquet"), p.toString)
+  }
 }

@@ -605,4 +605,55 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     assert(Scale.curriculumEpochs(
       docs, "doc_id", "n_tokens", "n_tokens", "source", 0L).count() == 0L)
   }
+
+  test("packEpochs: one continuous stream across epochs == naive per-epoch cumsum + epoch base") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the curriculumEpochs hand corpus: T = 17, budget 43 = 2 full + 9 partial
+    val docs = Seq(
+      (1L, "a", 5L), (2L, "a", 2L), (3L, "b", 4L),
+      (4L, "b", 1L), (5L, "a", 3L), (6L, "b", 2L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val asg = Scale.curriculumEpochs(
+      docs, "doc_id", "n_tokens", "n_tokens", "source", 43L, tiers = 4)
+    val got = Scale.packEpochs(asg, "doc_id", "n_tokens", seqLen = 7)
+      .select("doc_id", "n_tokens", "epoch", "pos", "stream_off", "seq_id", "seq_off")
+    // naive replay: per-epoch window cumsum over (tier, shuffle_key, id)
+    // + epoch base 17 — the formulation the closed form exists to avoid
+    val ordW = Window.partitionBy("epoch").orderBy("tier", "shuffle_key", "doc_id")
+    val want = asg
+      .withColumn("__cum",
+        sum("n_tokens").over(ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("stream_off", col("epoch") * lit(17L) + col("__cum") - col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("epoch"), col("pos"), col("stream_off"),
+        floor(col("stream_off") / lit(7L)).cast("long").as("seq_id"),
+        pmod(col("stream_off"), lit(7L)).as("seq_off"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the stream is CONTIGUOUS: ordered by (epoch, pos), every row starts
+    // exactly where the previous one ended, from offset 0 — epoch
+    // boundaries included (epoch 1's first doc starts at exactly T = 17)
+    val seq = got.orderBy("epoch", "pos").collect()
+    var expect = 0L
+    seq.foreach { r =>
+      assert(r.getLong(4) == expect, s"stream_off gap at doc ${r.getLong(0)}")
+      expect += r.getLong(1)
+    }
+    assert(seq.find(r => r.getLong(2) == 1L && r.getLong(3) == 1L).get.getLong(4) == 17L)
+    // a doc genuinely spills its window (seq_off + n_tokens > seqLen)
+    assert(seq.exists(r => r.getLong(6) + r.getLong(1) > 7L))
+    // deterministic at any partitioning
+    val again = Scale.packEpochs(
+      asg.repartition(5), "doc_id", "n_tokens", seqLen = 7)
+      .select("doc_id", "n_tokens", "epoch", "pos", "stream_off", "seq_id", "seq_off")
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    // guards: bad seqLen; a frame that is not curriculumEpochs-shaped
+    assertThrows[IllegalArgumentException] {
+      Scale.packEpochs(asg, "doc_id", "n_tokens", seqLen = 0)
+    }
+    val g2 = intercept[IllegalArgumentException] {
+      Scale.packEpochs(docs, "doc_id", "n_tokens", seqLen = 7)
+    }
+    assert(g2.getMessage.contains("curriculumEpochs-shaped"))
+  }
 }
