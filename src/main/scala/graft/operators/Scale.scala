@@ -1078,6 +1078,239 @@ object Scale {
       .drop("__bk", "__goff")
   }
 
+  /** UniMax budget allocation (Chung et al., ICLR 2023: "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a total token budget UNIFORMLY across sources,
+    * capping every source at `maxEpochs` passes over its own data and
+    * redistributing what the capped sources can't absorb — the
+    * epoch-capped alternative to temperature sampling ([[temperatureMix]])
+    * that never over-repeats a small source to hit a mixture ratio.
+    *
+    * The iterative redistribution has a CLOSED FORM (waterfilling): with
+    * caps `c₁ ≤ … ≤ c_S` ascending, source `i` is capped iff
+    * `cᵢ·(S−i+1) + Σ_{j<i} cⱼ ≤ B` — the predicate is prefix-closed
+    * (if `i` caps, so does every smaller cap: `c_{i−1}(S−i+2)+C_{i−2} =
+    * c_{i−1}(S−i+1)+C_{i−1} ≤ cᵢ(S−i+1)+C_{i−1} ≤ B`) — and every
+    * uncapped source gets the uniform level `(B − Σ_capped c) / (S − m)`.
+    * If the budget exceeds ALL caps, every source allocates its cap and
+    * the remainder is deliberately left unallocated (UniMax's contract:
+    * repetition is bounded; the budget, not the corpus, gives way).
+    *
+    * Output: one row per source — `n_docs`, `n_tokens`, `cap_tokens`
+    * (= n_tokens · maxEpochs), `capped`, `alloc_tokens`, `epochs`
+    * (= alloc / n_tokens ≤ maxEpochs). NULL sources / non-positive token
+    * counts are excluded (the [[selectByBudget]] convention).
+    *
+    * 100 TB shape: ONE corpus pass (groupBy(source) count + sum with
+    * map-side partials); the waterfill is driver scalar arithmetic over
+    * the ≤`maxGroups`-bounded source table (loud guard — the
+    * [[doremiMix]] pattern), iterated in sorted (cap, source) order so
+    * the result is deterministic and replayable at any partitioning. */
+  def unimaxMix(
+      docs: DataFrame,
+      sourceCol: String,
+      tokenCol: String,
+      budgetTokens: Long,
+      maxEpochs: Int,
+      maxGroups: Int = 100000
+  ): DataFrame = {
+    require(budgetTokens >= 0, s"unimaxMix: budget must be >= 0, got $budgetTokens")
+    require(maxEpochs >= 1 && maxEpochs <= 128, "unimaxMix: maxEpochs must be in [1, 128]")
+    require(maxGroups >= 1, "unimaxMix: maxGroups must be >= 1")
+    val spark = docs.sparkSession
+    val stats = docs
+      .filter(col(sourceCol).isNotNull && col(tokenCol).isNotNull && col(tokenCol) > 0)
+      .groupBy(col(sourceCol).as("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col(tokenCol).cast("long")).as("__t"))
+      .limit(maxGroups + 1)
+      .collect() // bounded: maxGroups + 1 rows, guarded below
+      .map(r => (String.valueOf(r.get(0)), r.get(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (key, _, _, t) => (t, key) } // ascending caps; key tie-break
+    require(
+      stats.length <= maxGroups,
+      s"unimaxMix: more than $maxGroups distinct $sourceCol groups — the driver-side " +
+        "waterfill is sized for source/language-level mixtures; raise maxGroups deliberately"
+    )
+    stats.foreach { case (_, _, _, t) =>
+      require(
+        t <= Long.MaxValue / maxEpochs,
+        "unimaxMix: n_tokens * maxEpochs overflows int64 — lower maxEpochs")
+    }
+    val s = stats.length
+    val caps = stats.map(_._4 * maxEpochs)
+    // Prefix-closed capped predicate: the FIRST failure in ascending-cap
+    // order ends capping (every later cap is >= this one against a level
+    // that can only have grown, so continuing to test would wrongly cap a
+    // later tie — caps [10,10] at B=19 must waterfill to 9.5/9.5, not
+    // 9/10). With the break, cum IS the full prefix sum, so the loop is
+    // equivalent to the independent per-row predicate the oracle
+    // evaluates with window functions.
+    var cum = 0L
+    val capped = new Array[Boolean](s)
+    var m = 0
+    var i = 0
+    var open = true
+    while (i < s && open) {
+      // division form of cap·(S−i) ≤ B−cum: cannot overflow int64
+      if (caps(i) <= (budgetTokens - cum) / (s - i).toLong) {
+        capped(i) = true; cum += caps(i); m += 1; i += 1
+      } else open = false
+    }
+    val level =
+      if (m == s) 0.0 else (budgetTokens - cum).toDouble / (s - m).toDouble
+    val out: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList((0 until s).map { j =>
+        val (_, src, n, t) = stats(j)
+        val alloc = if (capped(j)) caps(j).toDouble else level
+        org.apache.spark.sql.Row(src, n, t, caps(j), capped(j), alloc, alloc / t.toDouble)
+      }: _*)
+    spark.createDataFrame(
+      out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          sourceCol, docs.schema(sourceCol).dataType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "n_docs", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "n_tokens", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "cap_tokens", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "capped", org.apache.spark.sql.types.BooleanType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "alloc_tokens", org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "epochs", org.apache.spark.sql.types.DoubleType, nullable = false)
+      ))
+    )
+  }
+
+  /** UniMax MATERIALIZATION — the [[unimaxMix]] allocation applied to the
+    * corpus (the x128/x132 optimize→apply pattern): one (doc, epoch)
+    * assignment row for every pass a trained-on doc takes under the
+    * waterfilled budget. Per source, the fractional allocation becomes an
+    * integer token budget (`cap_tokens` exactly for capped sources —
+    * never through a double; `floor(level)` for uncapped), which splits
+    * into `k = alloc div n_tokens` FULL passes over the source (every doc,
+    * epochs `0..k−1`) plus a PARTIAL epoch `k` of `alloc mod n_tokens`
+    * tokens — the greedy prefix of the source's docs in the per-epoch
+    * deterministic order `tokenHash60(id || '#' || k)` (the
+    * [[curriculumEpochs]] reshuffle convention, md5-portable to the
+    * oracle). Selected-token maximality holds per source: the next doc in
+    * shuffle order would overflow the source's allocation.
+    *
+    * 100 TB shape: the corpus is materialized once (several bounded
+    * actions read it); the waterfill is [[unimaxMix]]'s one pass +
+    * driver arithmetic; full epochs are a broadcast join + conditional
+    * `sequence` explode (≤ maxEpochs fan-out, no shuffle); the
+    * partial-epoch cut NEVER sorts a source globally — a fixed-range
+    * bucket walk over the 60-bit hash (≤ sources·1024 tiny rows collected,
+    * bounded by `maxGroups`; hashes are uniform by construction, no
+    * quantile job) takes whole buckets while they fit, and only each
+    * source's BOUNDARY bucket (~1/1024 of the source) pays an ordered
+    * window, partitioned by source so boundary cuts run in parallel.
+    * NULL sources and NULL/non-positive token counts are excluded (the
+    * [[unimaxMix]] convention). */
+  def unimaxSelect(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokenCol: String,
+      budgetTokens: Long,
+      maxEpochs: Int,
+      maxGroups: Int = 1024
+  ): DataFrame = {
+    require(budgetTokens >= 0, s"unimaxSelect: budget must be >= 0, got $budgetTokens")
+    require(maxEpochs >= 1 && maxEpochs <= 128, "unimaxSelect: maxEpochs must be in [1, 128]")
+    require(maxGroups >= 1, "unimaxSelect: maxGroups must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val base = docs
+      .filter(col(sourceCol).isNotNull && col(tokenCol).isNotNull && col(tokenCol) > 0)
+      .select(col(idCol), col(sourceCol), col(tokenCol).cast("long").as(tokenCol))
+      .localCheckpoint(true) // feeds the waterfill, the bucket sums, and both branches
+    val alloc = unimaxMix(base, sourceCol, tokenCol, budgetTokens, maxEpochs, maxGroups)
+      .collect() // bounded: one row per source, <= maxGroups (unimaxMix guards)
+    // integer per-source budgets: capped sources take their exact Long cap
+    // (never routed through the double), uncapped floor the uniform level
+    val plan = alloc.map { r =>
+      val t = r.getLong(2)
+      val at = if (r.getBoolean(4)) r.getLong(3) else math.floor(r.getDouble(5)).toLong
+      (String.valueOf(r.get(0)), r.get(0), at / t, at % t)
+    }
+    val srcType = docs.schema(sourceCol).dataType
+    val ksRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(plan.map { case (_, src, k, rem) =>
+        org.apache.spark.sql.Row(src, k, rem)
+      }: _*)
+    val ks = spark.createDataFrame(
+      ksRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(sourceCol, srcType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "__k", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "__rem", org.apache.spark.sql.types.LongType, nullable = false)
+      ))
+    )
+    val joined = base.join(broadcast(ks), Seq(sourceCol))
+    def shaped(df: DataFrame): DataFrame =
+      df.select(col(idCol), col(sourceCol), col(tokenCol), col("epoch"))
+    val full = joined
+      .filter(col("__k") > 0L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__k") - 1L)))
+    val bucketWidth = 1125899906842624L // 2^50 -> 1024 order-preserving buckets of the 60-bit hash
+    val pk = joined
+      .filter(col("__rem") > 0L)
+      .withColumn(
+        "__ek",
+        graft.operators.Dedup.tokenHash60(
+          concat(col(idCol).cast("string"), lit("#"), col("__k").cast("string"))))
+      .withColumn("__bk", expr(s"__ek div $bucketWidth"))
+    val perBucket = pk
+      .groupBy(col(sourceCol).as("__s"), col("__bk"))
+      .agg(sum(col(tokenCol)).as("__t"))
+      .collect() // bounded: <= maxGroups sources x 1024 buckets
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    // per-source walk: whole buckets while they fit; the boundary bucket
+    // always exists because rem < the source's total tokens
+    val cutRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(plan.filter(p => p._4 > 0 && perBucket.contains(p._1)).map {
+        case (key, src, _, rem) =>
+          val buckets = perBucket(key).map(b => (b._2, b._3)).sortBy(_._1)
+          var cum = 0L
+          var j = 0
+          while (j < buckets.length && cum + buckets(j)._2 <= rem) {
+            cum += buckets(j)._2; j += 1
+          }
+          org.apache.spark.sql.Row(src, buckets(j)._1, rem - cum)
+      }: _*)
+    val cuts = spark.createDataFrame(
+      cutRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(sourceCol, srcType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "__bstar", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "__rem2", org.apache.spark.sql.types.LongType, nullable = false)
+      ))
+    )
+    val pkc = pk.join(broadcast(cuts), Seq(sourceCol))
+    val below = pkc.filter(col("__bk") < col("__bstar"))
+    val boundary = pkc
+      .filter(col("__bk") === col("__bstar"))
+      .withColumn(
+        "__cum",
+        sum(col(tokenCol)).over(
+          Window.partitionBy(col(sourceCol)).orderBy(col("__ek"), col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__cum") <= col("__rem2"))
+      .drop("__cum")
+    val partial = below.unionByName(boundary).withColumn("epoch", col("__k"))
+    shaped(full).unionByName(shaped(partial))
+  }
+
   /** Bucket index of `id` against sorted range `bounds`: the count of
     * boundaries STRICTLY below the id (ties land in the boundary's own
     * bucket) — one higher-order `aggregate` fold over a plan-literal

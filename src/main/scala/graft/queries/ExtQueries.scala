@@ -6672,6 +6672,145 @@ object ExtQueries {
           |  CAST(so % 1024 AS BIGINT) AS seq_off
           |FROM f ORDER BY epoch, pos""".stripMargin
       )
+    ),
+    // ------------------------------------------------------------------
+    // UniMax budget allocation (Scale.unimaxMix — Chung et al., ICLR
+    // 2023): the epoch-capped alternative to x95's temperature mixing —
+    // a total token budget waterfilled UNIFORMLY across sources, every
+    // source capped at maxEpochs passes over its own data, the capped
+    // surplus redistributed by the closed-form prefix predicate. Sources
+    // are synthesized from doc_id residues (the x130 domain convention)
+    // with shares ~1/16, 3/16, 4/16, 8/16 so a budget of 1.1 corpus
+    // epochs at maxEpochs=2 provably caps the smallest source and
+    // levels the rest AT EVERY SF (the binding predicate holds a >13%
+    // margin against residue-class token jitter). The oracle evaluates
+    // the same predicate independently per row with window prefix sums —
+    // legal exactly because the predicate is prefix-closed, which is the
+    // property the engine's first-failure break relies on.
+    Q(
+      "x170_unimax",
+      (s, d) => {
+        val res = col("doc_id") % 16
+        val src = when(res === 0, lit("s0"))
+          .when(res < 4, lit("s1"))
+          .when(res < 8, lit("s2"))
+          .otherwise(lit("s3"))
+        val docs0 = t(s, d, "documents")
+          .select(
+            src.as("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        val totalT = docs0.agg(sum("n_tokens")).collect()(0).getLong(0)
+        Scale
+          .unimaxMix(docs0, "source", "n_tokens", totalT * 11L / 10L, maxEpochs = 2)
+          .orderBy("source")
+      },
+      Some(
+        """WITH d AS (SELECT
+          |    CASE WHEN doc_id % 16 = 0 THEN 's0'
+          |         WHEN doc_id % 16 < 4 THEN 's1'
+          |         WHEN doc_id % 16 < 8 THEN 's2'
+          |         ELSE 's3' END AS src,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |b AS (SELECT SUM(n_tokens) * 11 // 10 AS budget FROM d),
+          |st AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n,
+          |    SUM(n_tokens) AS t FROM d GROUP BY 1),
+          |w AS (SELECT src, n, t, t * 2 AS cap,
+          |    CAST(row_number() OVER (ORDER BY t, src) AS BIGINT) AS rk,
+          |    COALESCE(SUM(t * 2) OVER (ORDER BY t, src
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+          |    CAST(COUNT(*) OVER () AS BIGINT) AS s
+          |  FROM st),
+          |c AS (SELECT w.*, cap * (s - rk + 1) + pre <= b.budget AS capped
+          |  FROM w, b),
+          |ag AS (SELECT COALESCE(SUM(cap) FILTER (capped), 0) AS csum,
+          |    COALESCE(COUNT(*) FILTER (capped), 0) AS m, MAX(s) AS s FROM c),
+          |sel AS (SELECT c.src, c.n, c.t, c.cap, c.capped,
+          |    CASE WHEN c.capped THEN CAST(c.cap AS DOUBLE)
+          |         ELSE CAST(b.budget - ag.csum AS DOUBLE)
+          |           / CAST(ag.s - ag.m AS DOUBLE) END AS alloc
+          |  FROM c, ag, b)
+          |SELECT src AS source, n AS n_docs, CAST(t AS BIGINT) AS n_tokens,
+          |  CAST(cap AS BIGINT) AS cap_tokens, capped,
+          |  alloc AS alloc_tokens, alloc / CAST(t AS DOUBLE) AS epochs
+          |FROM sel ORDER BY source""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // UniMax materialization (Scale.unimaxSelect — the x128/x132
+    // optimize→apply pattern for x170's allocation): one (doc, epoch)
+    // row per training pass. Per source the fractional allocation
+    // becomes an integer budget (exact Long cap for capped sources,
+    // floor(level) for uncapped) = k full passes + a partial epoch cut
+    // by the md5 per-epoch shuffle order (the x165 reshuffle
+    // convention). Same synthetic sources/budget as x170, so the three
+    // allocation regimes all materialize: the capped small source ships
+    // k=2 full epochs and NO tail, mid sources ship full epochs + a
+    // greedy partial prefix, the big source is partial-only (k=0). The
+    // oracle replays waterfill → integer split → generate_series full
+    // epochs → per-source window prefix over (md5(id#k), id).
+    Q(
+      "x171_unimax_select",
+      (s, d) => {
+        val res = col("doc_id") % 16
+        val src = when(res === 0, lit("s0"))
+          .when(res < 4, lit("s1"))
+          .when(res < 8, lit("s2"))
+          .otherwise(lit("s3"))
+        val docs0 = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            src.as("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        val totalT = docs0.agg(sum("n_tokens")).collect()(0).getLong(0)
+        Scale
+          .unimaxSelect(docs0, "doc_id", "source", "n_tokens",
+            totalT * 11L / 10L, maxEpochs = 2)
+          .orderBy("source", "epoch", "doc_id")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 16 = 0 THEN 's0'
+          |         WHEN doc_id % 16 < 4 THEN 's1'
+          |         WHEN doc_id % 16 < 8 THEN 's2'
+          |         ELSE 's3' END AS source,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |b AS (SELECT SUM(n_tokens) * 11 // 10 AS budget FROM d),
+          |st AS (SELECT source, SUM(n_tokens) AS t FROM d GROUP BY 1),
+          |w AS (SELECT source, t, t * 2 AS cap,
+          |    CAST(row_number() OVER (ORDER BY t, source) AS BIGINT) AS rk,
+          |    COALESCE(SUM(t * 2) OVER (ORDER BY t, source
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+          |    CAST(COUNT(*) OVER () AS BIGINT) AS s
+          |  FROM st),
+          |c AS (SELECT w.*, cap * (s - rk + 1) + pre <= b.budget AS capped
+          |  FROM w, b),
+          |ag AS (SELECT COALESCE(SUM(cap) FILTER (capped), 0) AS csum,
+          |    COALESCE(COUNT(*) FILTER (capped), 0) AS m, MAX(s) AS s FROM c),
+          |al AS (SELECT c.source, c.t,
+          |    CASE WHEN c.capped THEN CAST(c.cap AS BIGINT)
+          |         ELSE CAST(floor(CAST(b.budget - ag.csum AS DOUBLE)
+          |           / CAST(ag.s - ag.m AS DOUBLE)) AS BIGINT) END AS at
+          |  FROM c, ag, b),
+          |ks AS (SELECT source, CAST(at // t AS BIGINT) AS k,
+          |    CAST(at % t AS BIGINT) AS rem FROM al),
+          |fe AS (SELECT d.doc_id, d.source, d.n_tokens,
+          |    unnest(generate_series(0, ks.k - 1)) AS epoch
+          |  FROM d JOIN ks USING (source) WHERE ks.k > 0),
+          |pk AS (SELECT d.doc_id, d.source, d.n_tokens, ks.k, ks.rem,
+          |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' ||
+          |      CAST(ks.k AS VARCHAR)), 18, 15) AS BIGINT) AS ek
+          |  FROM d JOIN ks USING (source) WHERE ks.rem > 0),
+          |pc AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+          |    ORDER BY ek, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM pk),
+          |pe AS (SELECT doc_id, source, n_tokens, k AS epoch FROM pc
+          |  WHERE cum <= rem)
+          |SELECT doc_id, source, n_tokens, CAST(epoch AS BIGINT) AS epoch FROM fe
+          |UNION ALL
+          |SELECT doc_id, source, n_tokens, CAST(epoch AS BIGINT) AS epoch FROM pe
+          |ORDER BY source, epoch, doc_id""".stripMargin
+      )
     )
   )
 }

@@ -305,4 +305,13 @@ class PlanContractsSpec extends AnyFunSuite with SparkTester {
     checkContract("x169", p)
     assert(!p.toString.contains("Scan parquet"), p.toString)
   }
+
+  test("x170_unimax: waterfill resolves driver-side — local relation, no scan, no exchange") {
+    // the ONE corpus pass happens inside unimaxMix's bounded collect;
+    // the returned per-source table is a LocalRelation, so the final
+    // plan must touch neither parquet nor an exchange of any kind
+    val p = planOf("x170_unimax")
+    checkContract("x170", p, required = Seq("LocalTableScan"), maxHashExchanges = 0)
+    assert(!p.toString.contains("Scan parquet"), p.toString)
+  }
 }

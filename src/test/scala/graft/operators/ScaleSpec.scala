@@ -656,4 +656,142 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     }
     assert(g2.getMessage.contains("curriculumEpochs-shaped"))
   }
+
+  test("unimaxMix: waterfill closed form, tie uniformity, caps, guards") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("doc_id", "source", "n_tokens")
+    // hand waterfill: tokens a=5 b=20 c=100, maxEpochs=2 -> caps 10/40/200;
+    // B=100 caps a and b (10*3=30<=100; 40*2+10=90<=100), c gets the
+    // level (100-50)/1 = 50 = half an epoch
+    val docs = mk(Seq(
+      (1L, "a", 2L), (2L, "a", 3L),
+      (3L, "b", 20L),
+      (4L, "c", 60L), (5L, "c", 40L),
+      (6L, null, 9L), (7L, "a", 0L), (8L, "b", -3L) // excluded rows
+    ))
+    val got = Scale.unimaxMix(docs, "source", "n_tokens", 100L, maxEpochs = 2)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      ("a", 2L, 5L, 10L, true, 10.0, 2.0),
+      ("b", 1L, 20L, 40L, true, 40.0, 2.0),
+      ("c", 2L, 100L, 200L, false, 50.0, 0.5)))
+    // tie at the waterline: caps [10,10] at B=19 must split 9.5/9.5 —
+    // the prefix-closed predicate rejects BOTH (10*2=20>19), neither may
+    // cap after the other's failure
+    val tie = Scale
+      .unimaxMix(mk(Seq((1L, "a", 10L), (2L, "b", 10L))),
+        "source", "n_tokens", 19L, maxEpochs = 1)
+      .orderBy("source").collect()
+      .map(r => (r.getBoolean(4), r.getDouble(5)))
+    assert(tie.toSeq == Seq((false, 9.5), (false, 9.5)))
+    // budget past ALL caps: every source at its cap, remainder unallocated
+    val full = Scale.unimaxMix(docs, "source", "n_tokens", 100000L, maxEpochs = 2)
+      .collect().map(r => (r.getBoolean(4), r.getDouble(5), r.getDouble(6)))
+    assert(full.forall(_._1) && full.map(_._2).sum == 250.0 &&
+      full.forall(_._3 == 2.0))
+    // zero budget: nothing capped (caps are positive), level 0
+    val zero = Scale.unimaxMix(docs, "source", "n_tokens", 0L, maxEpochs = 2)
+      .collect().map(r => (r.getBoolean(4), r.getDouble(5)))
+    assert(zero.forall(r => !r._1 && r._2 == 0.0))
+    // invariants on a wider frame + repartition determinism; budget just
+    // below the total cap so at least one source is provably uncapped
+    val wide = mk((1L to 400L).map(i =>
+      (i, "s" + (i % 23), 1L + (i * i) % 97)))
+    val budget =
+      3L * wide.agg(sum("n_tokens")).collect()(0).getLong(0) * 9L / 10L
+    val w1 = Scale.unimaxMix(wide, "source", "n_tokens", budget, maxEpochs = 3)
+    val w2 = Scale.unimaxMix(wide.repartition(7), "source", "n_tokens", budget, maxEpochs = 3)
+    assert(w1.exceptAll(w2).isEmpty && w2.exceptAll(w1).isEmpty)
+    val rows = w1.collect().map(r => (r.getLong(3), r.getBoolean(4), r.getDouble(5)))
+    val allocSum = rows.map(_._3).sum
+    assert(math.abs(allocSum - budget.toDouble) < 1e-6,
+      s"budget not exhausted: $allocSum vs $budget")
+    val levels = rows.filter(!_._2).map(_._3).distinct
+    assert(levels.length == 1, "uncapped sources must share one uniform level")
+    assert(rows.filter(_._2).forall(_._1 <= levels.head.ceil.toLong),
+      "a capped source's cap must sit below the waterline")
+    assert(rows.filter(!_._2).forall(r => levels.head <= r._1.toDouble),
+      "the level may never exceed an uncapped source's cap")
+    // guards
+    intercept[IllegalArgumentException] {
+      Scale.unimaxMix(docs, "source", "n_tokens", -1L, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.unimaxMix(docs, "source", "n_tokens", 10L, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.unimaxMix(docs, "source", "n_tokens", 10L, 2, maxGroups = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.unimaxMix(
+        mk(Seq((1L, "a", Long.MaxValue / 2))), "source", "n_tokens", 10L, 4)
+    }
+  }
+
+  test("unimaxSelect: full epochs + greedy partial prefix == naive replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed sources: tiny (~7%), mid (~27%), big (~66%) of tokens
+    val docs = (1L to 300L).map { i =>
+      val src = if (i <= 20) "tiny" else if (i <= 100) "mid" else "big"
+      (i, src, 1L + (i * 7) % 23)
+    }.toDF("doc_id", "source", "n_tokens")
+    val totalT = docs.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val budget = totalT * 11L / 10L
+    val got = Scale.unimaxSelect(docs, "doc_id", "source", "n_tokens", budget, maxEpochs = 3)
+    // naive replay from the allocation table: full-epoch explode + a
+    // per-source window prefix over (tokenHash60(id#k), id) order
+    val mix = Scale.unimaxMix(docs, "source", "n_tokens", budget, maxEpochs = 3).collect()
+    val plan = mix.map { r =>
+      val t = r.getLong(2)
+      val at = if (r.getBoolean(4)) r.getLong(3) else math.floor(r.getDouble(5)).toLong
+      (r.getString(0), at / t, at % t)
+    }
+    val ks = plan.toSeq.map(p => (p._1, p._2, p._3)).toDF("source", "k", "rem")
+    val joined = docs.join(ks, Seq("source"))
+    val fullN = joined.filter(col("k") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("k") - 1L)))
+    val partN = joined.filter(col("rem") > 0)
+      .withColumn("__ek", Dedup.tokenHash60(
+        concat(col("doc_id").cast("string"), lit("#"), col("k").cast("string"))))
+      .withColumn("__cum", sum("n_tokens").over(
+        Window.partitionBy("source").orderBy("__ek", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__cum") <= col("rem"))
+      .withColumn("epoch", col("k"))
+    val want = fullN.select("doc_id", "source", "n_tokens", "epoch")
+      .unionByName(partN.select("doc_id", "source", "n_tokens", "epoch"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // at least one source has full epochs AND a partial tail in this setup
+    val byEp = got.groupBy("source").agg(max("epoch").as("me"),
+      countDistinct("epoch").as("ne")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.count() > 0 && byEp.nonEmpty)
+    // per-source partial-epoch tokens never exceed rem; selection maximal
+    // by construction (monotone prefix — pinned by the replay equality)
+    val remBy = plan.map(p => p._1 -> p._3).toMap
+    val partTok = got.join(ks, Seq("source")).filter(col("epoch") === col("k"))
+      .groupBy("source").agg(sum("n_tokens").as("pt")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    partTok.foreach { case (s, pt) => assert(pt <= remBy(s), s"$s partial overflow") }
+    // budget >= all caps: every doc appears exactly maxEpochs times
+    val everything = Scale
+      .unimaxSelect(docs, "doc_id", "source", "n_tokens", totalT * 100L, maxEpochs = 2)
+    assert(everything.count() == 600L &&
+      everything.groupBy("doc_id").count().filter(col("count") =!= 2L).count() == 0L)
+    // zero budget -> empty; determinism under repartition
+    assert(Scale.unimaxSelect(docs, "doc_id", "source", "n_tokens", 0L, 2).count() == 0L)
+    val again = Scale
+      .unimaxSelect(docs.repartition(13), "doc_id", "source", "n_tokens", budget, maxEpochs = 3)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    intercept[IllegalArgumentException] {
+      Scale.unimaxSelect(docs, "doc_id", "source", "n_tokens", -1L, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.unimaxSelect(docs, "doc_id", "source", "n_tokens", 10L, 2, maxGroups = 0)
+    }
+  }
 }
