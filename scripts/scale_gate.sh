@@ -159,6 +159,13 @@ run_leg epoch-planted      - epoch-planted 8000000
 #     streaming decomposition (within-batch self evidence vs cross-batch
 #     index evidence land in disjoint, known cells; summed deltas == matrix)
 run_leg overlap-planted    - overlap-planted 2000000
+# 4l. unimax-planted — unimaxMix + unimaxSelect (x170/x171) at 2M docs:
+#     7 residue-class sources with constant per-source tokens make the
+#     whole waterfill AND the per-(source, epoch) selection counts
+#     closed forms of nDocs alone (equal-token prefix => partial count
+#     is exactly rem div tok); allocation table field-exact, selection
+#     cell-exact, partial cuts maximal, no duplicate (doc, epoch)
+run_leg unimax-planted     - unimax-planted 2000000
 run_leg keyword-scale      - keyword-scale 10000
 run_leg cc-telemetry       - cc-telemetry
 flush false

@@ -1233,6 +1233,124 @@ object Spike {
     println("[spike] epoch-planted: multi-epoch budget exact at scale — gate PASS")
   }
 
+  /** `runMain graft.tools.Spike unimax-planted [nDocs]` — UniMax
+    * allocation ([[graft.operators.Scale.unimaxMix]], x170) and its
+    * materialization ([[graft.operators.Scale.unimaxSelect]], x171) at
+    * millions of docs against CLOSED-FORM truth. Corpus: 7 sources from
+    * id%100 residue classes (1/4/5/10/10/10/60% of docs) with a CONSTANT
+    * per-source token count `8 + srcIdx`, so every per-source doc count,
+    * token total, cap, the whole waterfill, and even the partial-epoch
+    * SELECTION COUNT (`rem div tok` — any m-doc prefix of an equal-token
+    * source holds exactly m·tok tokens) are driver-side closed forms of
+    * (nDocs) alone — derived here from the planted shares, never from the
+    * data. Budget 1.5·T at maxEpochs=4 makes the per-source r_i·(8+i)
+    * weights [8,36,50,110,120,130,840] hit all three regimes at ANY
+    * nDocs%100==0: src0–2 capped at 4 epochs, src3–5 full+partial,
+    * src6 partial-only (k=0). Checks: the allocation table equals the
+    * closed form field-for-field (including the IEEE level double), the
+    * selection's per-(source, epoch) counts and token sums equal the
+    * closed form exactly, no (doc, epoch) duplicates, and the partial
+    * count is maximal by the equal-token argument. */
+  private def unimaxPlanted(spark: org.apache.spark.sql.SparkSession, nDocs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nDocs % 100 == 0 && nDocs >= 100000, s"unimax-planted: nDocs %% 100 != 0: $nDocs")
+    val rsh = Array(1L, 4L, 5L, 10L, 10L, 10L, 60L) // residue shares of 100
+    val nSrc = rsh.length
+    val maxEpochs = 4
+    val r = pmod(col("id"), lit(100L))
+    val cuts = rsh.scanLeft(0L)(_ + _).tail // 1,5,10,20,30,40,100
+    val srcIdx = cuts.init.zipWithIndex.foldRight(lit(nSrc - 1)) {
+      case ((cut, i), elseCol) => when(r < cut, lit(i)).otherwise(elseCol)
+    }
+    val corpus = spark
+      .range(nDocs)
+      .select(
+        col("id").as("doc_id"),
+        concat(lit("src"), srcIdx.cast("string")).as("source"),
+        (srcIdx.cast("long") + 8L).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+    // ---- closed-form truth from the planted shares ----
+    val ns = rsh.map(_ * nDocs / 100)
+    val toks = Array.tabulate(nSrc)(i => 8L + i)
+    val ts = Array.tabulate(nSrc)(i => ns(i) * toks(i)) // ascending: r_i·(8+i) ascends
+    val total = ts.sum
+    val budget = total * 3L / 2L
+    val caps = ts.map(_ * maxEpochs)
+    var cum = 0L; var m = 0; var open = true
+    val capped = new Array[Boolean](nSrc)
+    while (m < nSrc && open) {
+      if (caps(m) <= (budget - cum) / (nSrc - m).toLong) { capped(m) = true; cum += caps(m); m += 1 }
+      else open = false
+    }
+    require(m >= 1 && m < nSrc, s"planted budget must mix regimes: m=$m")
+    val level = (budget - cum).toDouble / (nSrc - m).toDouble
+    val at = Array.tabulate(nSrc)(i => if (capped(i)) caps(i) else math.floor(level).toLong)
+    val ks = Array.tabulate(nSrc)(i => at(i) / ts(i))
+    val rems = Array.tabulate(nSrc)(i => at(i) % ts(i))
+    require(ks.exists(_ == 0) && Array.tabulate(nSrc)(i => ks(i) > 0 && rems(i) > 0).exists(identity),
+      "planted budget must produce a partial-only source and a full+partial source")
+    // ---- 1. the allocation table equals the closed form ----
+    val mix = graft.operators.Scale
+      .unimaxMix(corpus, "source", "n_tokens", budget, maxEpochs)
+      .collect()
+      .map(row => row.getString(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3), row.getBoolean(4),
+          row.getDouble(5))))
+      .toMap
+    require(mix.size == nSrc, s"expected $nSrc allocation rows, got ${mix.size}")
+    (0 until nSrc).foreach { i =>
+      val (gn, gt, gc, gcap, galloc) = mix(s"src$i")
+      val wantAlloc = if (capped(i)) caps(i).toDouble else level
+      require(
+        gn == ns(i) && gt == ts(i) && gc == caps(i) && gcap == capped(i) && galloc == wantAlloc,
+        s"allocation src$i: got ($gn,$gt,$gc,$gcap,$galloc) " +
+          s"want (${ns(i)},${ts(i)},${caps(i)},${capped(i)},$wantAlloc)")
+    }
+    // ---- 2. the materialized selection equals the closed form ----
+    val t0 = System.nanoTime()
+    val sel = graft.operators.Scale
+      .unimaxSelect(corpus, "doc_id", "source", "n_tokens", budget, maxEpochs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = sel
+      .groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("tok"))
+      .collect()
+      .map(row => (row.getString(0), row.getLong(1)) -> ((row.getLong(2), row.getLong(3))))
+      .toMap
+    val nRows = sel.count()
+    val tSel = (System.nanoTime() - t0) / 1e9
+    var wantRows = 0L
+    (0 until nSrc).foreach { i =>
+      (0L until ks(i)).foreach { e =>
+        require(agg((s"src$i", e)) == ((ns(i), ts(i))), s"full epoch $e of src$i wrong: ${agg((s"src$i", e))}")
+        wantRows += ns(i)
+      }
+      if (rems(i) > 0) {
+        val pc = rems(i) / toks(i) // equal-token greedy prefix: exact count
+        require(agg((s"src$i", ks(i))) == ((pc, pc * toks(i))),
+          s"partial epoch of src$i wrong: ${agg((s"src$i", ks(i)))} want ($pc, ${pc * toks(i)})")
+        require(pc * toks(i) + toks(i) > rems(i), s"partial cut of src$i not maximal")
+        wantRows += pc
+      }
+    }
+    require(agg.size.toLong == (0 until nSrc).map(i => ks(i) + (if (rems(i) > 0) 1L else 0L)).sum,
+      s"unexpected (source, epoch) cells: ${agg.size}")
+    require(nRows == wantRows, s"row count $nRows != closed form $wantRows")
+    val dups = sel.groupBy("doc_id", "epoch").count().filter(col("count") > 1L).count()
+    require(dups == 0L, s"$dups duplicated (doc, epoch) assignments")
+    corpus.unpersist(); sel.unpersist()
+    val nCap = capped.count(identity)
+    val nFp = (0 until nSrc).count(i => ks(i) > 0 && rems(i) > 0 && !capped(i))
+    val nPo = (0 until nSrc).count(i => ks(i) == 0)
+    println(
+      f"[spike] unimax-planted: allocation table == closed-form waterfill at $nDocs%d docs " +
+        f"($nCap%d capped / $nFp%d full+partial / $nPo%d partial-only); selection $nRows%d " +
+        f"(doc, epoch) rows == closed form per (source, epoch) cell, partial counts maximal, " +
+        f"in $tSel%.1fs")
+    println("[spike] unimax-planted: UniMax allocation + materialization exact at scale — gate PASS")
+  }
+
   /** `runMain graft.tools.Spike overlap-planted [nDocs]` — the
     * cross-source overlap matrix ([[graft.operators.Dedup.sourceOverlap]],
     * x168) and its streaming face at 100x+ docs against CLOSED-FORM
@@ -2787,6 +2905,10 @@ object Spike {
     }
     if (args.nonEmpty && args(0) == "overlap-planted") {
       overlapPlanted(spark, if (args.length > 1) args(1).toLong else 2000000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "unimax-planted") {
+      unimaxPlanted(spark, if (args.length > 1) args(1).toLong else 2000000L)
       spark.stop(); return
     }
     if (args.nonEmpty && args(0) == "sq8-planted") {

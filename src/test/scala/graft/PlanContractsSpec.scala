@@ -314,4 +314,14 @@ class PlanContractsSpec extends AnyFunSuite with SparkTester {
     checkContract("x170", p, required = Seq("LocalTableScan"), maxHashExchanges = 0)
     assert(!p.toString.contains("Scan parquet"), p.toString)
   }
+
+  test("x171_unimax_select: plan tables broadcast, boundary window partitioned by source") {
+    // full epochs = broadcast join + sequence explode; the partial cut's
+    // only window is partitioned BY SOURCE over one bucket's rows — a
+    // SinglePartition sort anywhere means the per-source walk regressed
+    // to a global one; the corpus feeds from the operator's checkpoint
+    val p = planOf("x171_unimax_select")
+    checkContract("x171", p, required = Seq("BroadcastHashJoin"))
+    assert(!p.toString.contains("Scan parquet"), p.toString)
+  }
 }
