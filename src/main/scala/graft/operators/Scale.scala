@@ -1117,15 +1117,33 @@ object Scale {
     require(budgetTokens >= 0, s"unimaxMix: budget must be >= 0, got $budgetTokens")
     require(maxEpochs >= 1 && maxEpochs <= 128, "unimaxMix: maxEpochs must be in [1, 128]")
     require(maxGroups >= 1, "unimaxMix: maxGroups must be >= 1")
-    val spark = docs.sparkSession
     val stats = docs
       .filter(col(sourceCol).isNotNull && col(tokenCol).isNotNull && col(tokenCol) > 0)
       .groupBy(col(sourceCol).as("__s"))
       .agg(count(lit(1)).as("__n"), sum(col(tokenCol).cast("long")).as("__t"))
       .limit(maxGroups + 1)
-      .collect() // bounded: maxGroups + 1 rows, guarded below
+      .collect() // bounded: maxGroups + 1 rows, guarded in the waterfill
       .map(r => (String.valueOf(r.get(0)), r.get(0), r.getLong(1), r.getLong(2)))
-      .sortBy { case (key, _, _, t) => (t, key) } // ascending caps; key tie-break
+    unimaxWaterfill(
+      docs.sparkSession, sourceCol, docs.schema(sourceCol).dataType,
+      stats, budgetTokens, maxEpochs, maxGroups)
+  }
+
+  /** The shared driver-side waterfill behind [[unimaxMix]] (batch stats)
+    * and [[unimaxMixIncremental]] (merged stats index) — both faces route
+    * the SAME collected (source, n, t) rows through this closed form, so
+    * streamed-prefix allocations equal the one-shot table by
+    * construction (and StreamingSpec pins it anyway). */
+  private def unimaxWaterfill(
+      spark: SparkSession,
+      sourceCol: String,
+      srcType: org.apache.spark.sql.types.DataType,
+      stats0: Array[(String, Any, Long, Long)],
+      budgetTokens: Long,
+      maxEpochs: Int,
+      maxGroups: Int
+  ): DataFrame = {
+    val stats = stats0.sortBy { case (key, _, _, t) => (t, key) } // ascending caps; key tie-break
     require(
       stats.length <= maxGroups,
       s"unimaxMix: more than $maxGroups distinct $sourceCol groups — the driver-side " +
@@ -1167,8 +1185,7 @@ object Scale {
     spark.createDataFrame(
       out,
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(
-          sourceCol, docs.schema(sourceCol).dataType, nullable = false),
+        org.apache.spark.sql.types.StructField(sourceCol, srcType, nullable = false),
         org.apache.spark.sql.types.StructField(
           "n_docs", org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField(
@@ -1183,6 +1200,66 @@ object Scale {
           "epochs", org.apache.spark.sql.types.DoubleType, nullable = false)
       ))
     )
+  }
+
+  /** The allocation snapshot + merged stats index of one streamed batch —
+    * see [[unimaxMixIncremental]]. */
+  final case class IncrementalUnimax(allocation: DataFrame, statsIndex: DataFrame)
+
+  /** STREAMING face of [[unimaxMix]] (continuous-ingestion allocation —
+    * the x110/x123 persisted-index discipline): the corpus-wide state a
+    * UniMax allocation needs is exactly the additive per-source
+    * `(n_docs, n_tokens)` stats index, so under `foreachBatch` each batch
+    * folds its delta into the index and the waterfill re-runs over the
+    * merged table — the returned `allocation` is the EXACT [[unimaxMix]]
+    * table of everything ingested so far (both faces route the same
+    * collected stats through [[unimaxWaterfill]]; StreamingSpec pins
+    * every prefix against the one-shot anyway). The caller persists the
+    * returned `statsIndex` (columns `sourceCol, n, t`; empty on the first
+    * batch) and feeds it back — index size is #sources rows, never
+    * corpus-sized. Allocations are NOT monotone across batches (a growing
+    * source can newly cap, shrinking everyone else's level): each
+    * snapshot is the fair allocation for the corpus AS OF that batch,
+    * which is the operator's contract, not a defect.
+    *
+    * 100 TB shape: per batch ONE map-side-combined aggregate over the
+    * batch + a ≤`maxGroups`-row index merge and collect; nothing rescans
+    * history. */
+  def unimaxMixIncremental(
+      batch: DataFrame,
+      statsIndex: DataFrame,
+      sourceCol: String,
+      tokenCol: String,
+      budgetTokens: Long,
+      maxEpochs: Int,
+      maxGroups: Int = 100000
+  ): IncrementalUnimax = {
+    require(budgetTokens >= 0, s"unimaxMixIncremental: budget must be >= 0, got $budgetTokens")
+    require(
+      maxEpochs >= 1 && maxEpochs <= 128, "unimaxMixIncremental: maxEpochs must be in [1, 128]")
+    require(maxGroups >= 1, "unimaxMixIncremental: maxGroups must be >= 1")
+    val missing = Seq(sourceCol, "n", "t").filterNot(statsIndex.columns.contains)
+    require(
+      missing.isEmpty,
+      s"unimaxMixIncremental: statsIndex lacks ${missing.mkString(", ")} — " +
+        s"($sourceCol, n long, t long), empty on the first batch")
+    val delta = batch
+      .filter(col(sourceCol).isNotNull && col(tokenCol).isNotNull && col(tokenCol) > 0)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n"), sum(col(tokenCol).cast("long")).as("t"))
+    val merged = statsIndex
+      .select(col(sourceCol), col("n").cast("long").as("n"), col("t").cast("long").as("t"))
+      .unionByName(delta)
+      .groupBy(col(sourceCol))
+      .agg(sum("n").as("n"), sum("t").as("t"))
+    val stats = merged
+      .limit(maxGroups + 1)
+      .collect() // bounded: maxGroups + 1 rows, guarded in the waterfill
+      .map(r => (String.valueOf(r.get(0)), r.get(0), r.getLong(1), r.getLong(2)))
+    val allocation = unimaxWaterfill(
+      batch.sparkSession, sourceCol, batch.schema(sourceCol).dataType,
+      stats, budgetTokens, maxEpochs, maxGroups)
+    IncrementalUnimax(allocation, merged)
   }
 
   /** UniMax MATERIALIZATION — the [[unimaxMix]] allocation applied to the

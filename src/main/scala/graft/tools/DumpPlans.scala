@@ -275,7 +275,20 @@ object DumpPlans {
       "checkpoint (estimatedJaccard's contract); the final plan is the band-bucket " +
       "candidate equi-join (pair volume = sum of bucket sizes squared, never n^2), two " +
       "id-keyed source attaches, and a K(K+1)/2-row aggregate — no window, no global " +
-      "sort, nothing text-keyed after signature construction.")
+      "sort, nothing text-keyed after signature construction."),
+    "x170_unimax" -> ("UniMax budget allocation: the ONE corpus pass (groupBy(source) " +
+      "count+sum with map-side partials) happens inside the operator's bounded collect; " +
+      "the waterfill is driver scalar arithmetic over the maxGroups-bounded source table " +
+      "and the returned per-source frame is a LocalRelation — the FINAL plan is a " +
+      "LocalTableScan with zero exchanges and zero parquet scans (PlanContractsSpec pins " +
+      "this)."),
+    "x171_unimax_select" -> ("UniMax materialization: full epochs are a broadcast join of " +
+      "the tiny (source, k, rem) plan table + a conditional sequence explode (bounded " +
+      "maxEpochs fan-out, no shuffle); the partial-epoch cut joins a broadcast " +
+      "(source, boundary-bucket, residual) table and only each source's BOUNDARY bucket " +
+      "(~1/1024 of the source) pays an ordered window, partitioned BY SOURCE so cuts run " +
+      "in parallel — no SinglePartition sort anywhere (PlanContractsSpec pins this); the " +
+      "corpus feeds from the operator's one checkpoint.")
   )
 
   def main(args: Array[String]): Unit = {

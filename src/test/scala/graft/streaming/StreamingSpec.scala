@@ -1105,6 +1105,52 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
       s"novelty did not flip retroactively: ${cards(1)} vs ${cards(2)}")
   }
 
+  test("unimaxMixIncremental under foreachBatch: every prefix allocation == one-shot, regimes flip") {
+    import graft.operators.Scale
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    // prefix 1: a=10/b=10 — both capped (budget past all caps, m == s);
+    // prefix 2: b grows, c arrives — only a stays capped; prefix 3: c
+    // dominates — a UN-caps (allocations are snapshots, not monotone).
+    // Null source and non-positive tokens salt the batches (excluded).
+    val batches: Seq[Seq[(Long, String, Long)]] = Seq(
+      Seq((1L, "a", 10L), (2L, "b", 10L)),
+      Seq((3L, "b", 40L), (4L, "c", 25L), (90L, null, 9L)),
+      Seq((5L, "c", 125L), (6L, "a", 5L), (91L, "b", -2L))
+    )
+    val B = 60L
+    def oneShot(rows: Seq[(Long, String, Long)]): Seq[String] =
+      Scale
+        .unimaxMix(rows.toDF("doc_id", "source", "n_tokens"), "source", "n_tokens", B, 2)
+        .orderBy("source").collect().map(_.toString).toSeq
+    var idx: DataFrame = Seq.empty[(String, Long, Long)].toDF("source", "n", "t")
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val cappedBy = scala.collection.mutable.ArrayBuffer.empty[Map[String, Boolean]]
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)](spark)
+    val q = mem
+      .toDF().toDF("doc_id", "source", "n_tokens")
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val r = Scale.unimaxMixIncremental(df, idx, "source", "n_tokens", B, 2)
+        val rows = r.allocation.orderBy("source").collect()
+        snaps += rows.map(_.toString).toSeq
+        cappedBy += rows.map(x => x.getString(0) -> x.getBoolean(4)).toMap
+        idx = r.statsIndex.localCheckpoint()
+        ()
+      }
+      .start()
+    try batches.foreach { rows => mem.addData(rows); q.processAllAvailable() }
+    finally q.stop()
+    batches.indices.foreach { i =>
+      val want = oneShot(batches.take(i + 1).flatten)
+      assert(snaps(i) == want, s"prefix ${i + 1}: streamed ${snaps(i)} != one-shot $want")
+    }
+    // the planted regime flips really happened
+    assert(cappedBy(0) == Map("a" -> true, "b" -> true), s"prefix 1: ${cappedBy(0)}")
+    assert(cappedBy(1)("a") && !cappedBy(1)("b") && !cappedBy(1)("c"), s"prefix 2: ${cappedBy(1)}")
+    assert(!cappedBy(2)("a"), s"prefix 3 must un-cap a: ${cappedBy(2)}")
+  }
+
   test("tumbling agg matches the x12 declared query buckets") {
     val viaWindow = EventStreams.tumbling5m(t(spark, sfTiny, "events"))
       .select("bucket_s", "event_type", "n")
