@@ -52,6 +52,44 @@ object ExtQueries {
        |       FROM toks, unnest(range(1, len(tk) - 1)) AS t(i))""".stripMargin
   private val shingleCte = shingleCteFrom("documents")
 
+  /** The x171 waterfill→select replay as a reusable CTE block (prefix
+    * `p`, source CTE `dc` with (doc_id, source, n_tokens), budget scalar
+    * `budgetExpr`, epoch cap `e`): the x172 anneal composition runs it
+    * twice — once per phase — so the whole two-phase schedule is one
+    * oracle row. Selected rows land in `${p}fe` (full epochs) and
+    * `${p}pe` (the partial-epoch prefix). */
+  private def unimaxSelectSql(dc: String, budgetExpr: String, e: Int, p: String): String =
+    s"""${p}b AS (SELECT $budgetExpr AS budget),
+       |${p}st AS (SELECT source, SUM(n_tokens) AS t FROM $dc GROUP BY 1),
+       |${p}w AS (SELECT source, t, t * $e AS cap,
+       |    CAST(row_number() OVER (ORDER BY t, source) AS BIGINT) AS rk,
+       |    COALESCE(SUM(t * $e) OVER (ORDER BY t, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS s
+       |  FROM ${p}st),
+       |${p}c AS (SELECT ${p}w.*, cap * (s - rk + 1) + pre <= b.budget AS capped
+       |  FROM ${p}w, ${p}b b),
+       |${p}ag AS (SELECT COALESCE(SUM(cap) FILTER (capped), 0) AS csum,
+       |    COALESCE(COUNT(*) FILTER (capped), 0) AS m, MAX(s) AS s FROM ${p}c),
+       |${p}al AS (SELECT c.source, c.t,
+       |    CASE WHEN c.capped THEN CAST(c.cap AS BIGINT)
+       |         ELSE CAST(floor(CAST(b.budget - ag.csum AS DOUBLE)
+       |           / CAST(ag.s - ag.m AS DOUBLE)) AS BIGINT) END AS at
+       |  FROM ${p}c c, ${p}ag ag, ${p}b b),
+       |${p}ks AS (SELECT source, CAST(at // t AS BIGINT) AS k,
+       |    CAST(at % t AS BIGINT) AS rem FROM ${p}al),
+       |${p}fe AS (SELECT d.doc_id, d.source, d.n_tokens,
+       |    unnest(generate_series(0, ks.k - 1)) AS epoch
+       |  FROM $dc d JOIN ${p}ks ks USING (source) WHERE ks.k > 0),
+       |${p}pk AS (SELECT d.doc_id, d.source, d.n_tokens, ks.k, ks.rem,
+       |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' ||
+       |      CAST(ks.k AS VARCHAR)), 18, 15) AS BIGINT) AS ek
+       |  FROM $dc d JOIN ${p}ks ks USING (source) WHERE ks.rem > 0),
+       |${p}pc AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+       |    ORDER BY ek, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM ${p}pk),
+       |${p}pe AS (SELECT doc_id, source, n_tokens, k AS epoch FROM ${p}pc
+       |  WHERE cum <= rem)""".stripMargin
+
   /** Planted ground truth of the x81/x83/x84 media-dedup queries: the
     * synthetic payloads make docs with the same `doc_id % 40` pattern
     * true near-duplicates (same content, different bytes) and everything
@@ -6811,6 +6849,77 @@ object ExtQueries {
           |SELECT doc_id, source, n_tokens, CAST(epoch AS BIGINT) AS epoch FROM pe
           |ORDER BY source, epoch, doc_id""".stripMargin
       )
+    ),
+    // ------------------------------------------------------------------
+    // Two-phase anneal schedule (the WSD / midtraining practice: a broad
+    // stable phase, then a decay phase re-reading only high-quality
+    // data): phase 0 = unimaxSelect over the FULL mix at 1.2 corpus
+    // epochs (maxEpochs 2 — the small source caps, the rest waterfill);
+    // phase 1 = unimaxSelect over the quality-gated subset (the x08
+    // heuristic >= 0.6, the x167 gate) at 1.3 gated epochs (maxEpochs 3
+    // — nothing caps, per-source passes spread k in {0, 1, 2} plus
+    // partial tails). One oracle row replays BOTH waterfills and both
+    // selections (the x171 replay as a reusable CTE block, run twice),
+    // so the entire training schedule — who trains, in which phase, how
+    // many passes — is pinned cross-engine end to end.
+    Q(
+      "x172_anneal",
+      (s, d) => {
+        val res = col("doc_id") % 16
+        val src = when(res === 0, lit("s0"))
+          .when(res < 4, lit("s1"))
+          .when(res < 8, lit("s2"))
+          .otherwise(lit("s3"))
+        val docs0 = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            src.as("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+            TextAnalysis.qualityExpr(col("text")).as("__q"))
+          .localCheckpoint(true) // two scalar aggs + two phase selections read it
+        val totalT = docs0.agg(sum("n_tokens")).collect()(0).getLong(0)
+        val gated = docs0.filter(col("__q") >= 0.6).drop("__q")
+        val annealT = gated.agg(sum("n_tokens")).collect()(0).getLong(0)
+        val stable = Scale
+          .unimaxSelect(docs0.drop("__q"), "doc_id", "source", "n_tokens",
+            totalT * 6L / 5L, maxEpochs = 2)
+          .withColumn("phase", lit(0L))
+        val anneal = Scale
+          .unimaxSelect(gated, "doc_id", "source", "n_tokens",
+            annealT * 13L / 10L, maxEpochs = 3)
+          .withColumn("phase", lit(1L))
+        stable
+          .unionByName(anneal)
+          .select("doc_id", "source", "n_tokens", "phase", "epoch")
+          .orderBy("phase", "source", "epoch", "doc_id")
+      },
+      Some {
+        val quality =
+          """round(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+            |  + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0), 6)""".stripMargin
+        s"""WITH d0 AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 16 = 0 THEN 's0'
+           |         WHEN doc_id % 16 < 4 THEN 's1'
+           |         WHEN doc_id % 16 < 8 THEN 's2'
+           |         ELSE 's3' END AS source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |    $quality AS q
+           |  FROM documents),
+           |d AS (SELECT doc_id, source, n_tokens FROM d0),
+           |g AS (SELECT doc_id, source, n_tokens FROM d0 WHERE q >= 0.6),
+           |${unimaxSelectSql("d", "(SELECT SUM(n_tokens) * 6 // 5 FROM d)", 2, "a")},
+           |${unimaxSelectSql("g", "(SELECT SUM(n_tokens) * 13 // 10 FROM g)", 3, "z")}
+           |SELECT doc_id, source, n_tokens, CAST(0 AS BIGINT) AS phase,
+           |  CAST(epoch AS BIGINT) AS epoch FROM afe
+           |UNION ALL SELECT doc_id, source, n_tokens, CAST(0 AS BIGINT),
+           |  CAST(epoch AS BIGINT) FROM ape
+           |UNION ALL SELECT doc_id, source, n_tokens, CAST(1 AS BIGINT),
+           |  CAST(epoch AS BIGINT) FROM zfe
+           |UNION ALL SELECT doc_id, source, n_tokens, CAST(1 AS BIGINT),
+           |  CAST(epoch AS BIGINT) FROM zpe
+           |ORDER BY phase, source, epoch, doc_id""".stripMargin
+      }
     )
   )
 }

@@ -324,4 +324,13 @@ class PlanContractsSpec extends AnyFunSuite with SparkTester {
     checkContract("x171", p, required = Seq("BroadcastHashJoin"))
     assert(!p.toString.contains("Scan parquet"), p.toString)
   }
+
+  test("x172_anneal: both phase selections keep the x171 shape — no cartesian, no global sort") {
+    // the union of two unimaxSelect schedules must not introduce any
+    // SinglePartition sort (each phase's boundary window stays
+    // source-partitioned) and feeds from the phases' checkpoints
+    val p = planOf("x172_anneal")
+    checkContract("x172", p, required = Seq("BroadcastHashJoin"))
+    assert(!p.toString.contains("Scan parquet"), p.toString)
+  }
 }
