@@ -1262,6 +1262,112 @@ object Scale {
     IncrementalUnimax(allocation, merged)
   }
 
+  /** Sequence-packing index over an ARBITRARY partitioned stream — the
+    * generalization of [[packEpochs]] from the curriculum stream to any
+    * frame carrying long-typed stream-partition columns (e.g. the x172
+    * anneal schedule's `(phase, epoch)`): the stream is all rows in
+    * ascending `partCols` order, within a partition in ascending
+    * (`keyCol`, `idCol`) order, concatenated into ONE token stream and
+    * sliced into `seqLen`-token context windows. Adds `stream_off` /
+    * `seq_id` / `seq_off` ([[packEpochs]]' contract: docs spill across
+    * window boundaries, windows run straight across partition
+    * boundaries — a trainer never restarts a context window because a
+    * phase or epoch ticked over).
+    *
+    * `keyCol` must be a uniform hash key (the `tokenHash60` convention)
+    * — uniformity is what makes the fixed-range bucket prefix exact
+    * WITHOUT a quantile job; `(partCols, idCol)` must be unique; rows
+    * with NULL/non-positive `tokenCol` are excluded (the
+    * [[selectByBudget]] convention). `partCols` must be LongType —
+    * stream order is numeric (a string sort orders epoch "10" before
+    * "2"), and the long pin keeps the broadcast base table's join
+    * types exact.
+    *
+    * 100 TB shape — no global sort, no single-partition window: token
+    * prefixes come from a (partCols, bucket) aggregate (2^50-wide
+    * buckets of the 60-bit key are order-preserving), an exclusive
+    * cumulative window over that tiny frame partitioned BY partCols,
+    * and a within-bucket running sum; partition BASES are a
+    * ≤`maxParts`-row collect walked on the driver in numeric order and
+    * broadcast back — the [[unimaxSelect]] cut-table pattern, so every
+    * window in the plan is hash-partitioned. The input is materialized
+    * once (it feeds the aggregates and the final joins). */
+  def packStream(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      partCols: Seq[String],
+      keyCol: String,
+      seqLen: Long,
+      maxParts: Int = 4096
+  ): DataFrame = {
+    require(seqLen >= 1, s"packStream: seqLen must be >= 1, got $seqLen")
+    require(partCols.nonEmpty, "packStream: partCols must be non-empty")
+    require(maxParts >= 1, "packStream: maxParts must be >= 1")
+    val missing = (partCols :+ keyCol :+ idCol :+ tokenCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"packStream: input lacks ${missing.mkString(", ")}")
+    partCols.foreach { c =>
+      require(
+        df.schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"packStream: partition column $c must be LongType — stream order is numeric " +
+          "(a string sort orders epoch '10' before '2')")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val pc = partCols.map(col)
+    val bucketWidth = 1125899906842624L // 2^50 -> 1024 order-preserving buckets of the 60-bit hash
+    val mat = df
+      .filter(col(tokenCol).isNotNull && col(tokenCol) > 0)
+      .withColumn("__bk", expr(s"`$keyCol` div $bucketWidth"))
+      .localCheckpoint(true) // feeds the offset aggregate, the base collect, and the final join
+    val grp = mat
+      .groupBy(pc :+ col("__bk"): _*)
+      .agg(sum(col(tokenCol).cast("long")).as("__bt"))
+    // partition bases: tiny collect, numeric-order driver walk, broadcast back
+    val totals = grp
+      .groupBy(pc: _*)
+      .agg(sum("__bt").as("__t"))
+      .limit(maxParts + 1)
+      .collect() // bounded: maxParts + 1 rows, guarded below
+    require(
+      totals.length <= maxParts,
+      s"packStream: more than $maxParts stream partitions — partCols should be " +
+        "phase/epoch-grained; raise maxParts deliberately")
+    def lexLt(a: Seq[Long], b: Seq[Long]): Boolean =
+      a.zip(b).find { case (x, y) => x != y }.exists { case (x, y) => x < y }
+    val sorted = totals
+      .map(r => (partCols.indices.map(r.getLong).toSeq, r.getLong(partCols.length)))
+      .sortWith((a, b) => lexLt(a._1, b._1))
+    val bases = sorted.scanLeft(0L)(_ + _._2).init
+    val baseRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(sorted.zip(bases).map { case ((ks, _), b) =>
+        org.apache.spark.sql.Row.fromSeq(ks :+ b)
+      }: _*)
+    val baseDf = spark.createDataFrame(
+      baseRows,
+      org.apache.spark.sql.types.StructType(
+        partCols.map(c => org.apache.spark.sql.types.StructField(
+          c, org.apache.spark.sql.types.LongType, nullable = false)) :+
+          org.apache.spark.sql.types.StructField(
+            "__base", org.apache.spark.sql.types.LongType, nullable = false)))
+    val offW = Window.partitionBy(pc: _*).orderBy("__bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = grp
+      .withColumn("__boff", coalesce(sum("__bt").over(offW), lit(0L)))
+      .drop("__bt")
+    val rnW = Window.partitionBy(pc :+ col("__bk"): _*).orderBy(col(keyCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mat
+      .join(off, partCols :+ "__bk")
+      .join(broadcast(baseDf), partCols)
+      .withColumn("__run", sum(col(tokenCol).cast("long")).over(rnW))
+      .withColumn(
+        "stream_off", col("__base") + col("__boff") + col("__run") - col(tokenCol).cast("long"))
+      .withColumn("seq_id", expr(s"stream_off div $seqLen"))
+      .withColumn("seq_off", col("stream_off") % lit(seqLen))
+      .drop("__bk", "__boff", "__base", "__run")
+  }
+
   /** UniMax MATERIALIZATION — the [[unimaxMix]] allocation applied to the
     * corpus (the x128/x132 optimize→apply pattern): one (doc, epoch)
     * assignment row for every pass a trained-on doc takes under the

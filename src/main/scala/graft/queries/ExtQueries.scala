@@ -6920,6 +6920,93 @@ object ExtQueries {
            |  CAST(epoch AS BIGINT) FROM zpe
            |ORDER BY phase, source, epoch, doc_id""".stripMargin
       }
+    ),
+    // ------------------------------------------------------------------
+    // The x172 anneal schedule PACKED into context windows
+    // (Scale.packStream — packEpochs generalized to any long-typed
+    // stream partitioning): the whole two-phase training run is ONE
+    // continuous token stream in (phase, epoch) order, within a
+    // partition in (md5(id#epoch), id) order, sliced into 1024-token
+    // windows that run straight across phase AND epoch boundaries. The
+    // engine's offsets are closed-form (a (phase, epoch, bucket)
+    // aggregate + hash-partitioned windows + a driver-walked broadcast
+    // base table — no global sort anywhere); the oracle IS the naive
+    // definition: a per-(phase, epoch) window cumsum plus cumulative
+    // partition bases.
+    Q(
+      "x173_anneal_pack",
+      (s, d) => {
+        val res = col("doc_id") % 16
+        val src = when(res === 0, lit("s0"))
+          .when(res < 4, lit("s1"))
+          .when(res < 8, lit("s2"))
+          .otherwise(lit("s3"))
+        val docs0 = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            src.as("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+            TextAnalysis.qualityExpr(col("text")).as("__q"))
+          .localCheckpoint(true)
+        val totalT = docs0.agg(sum("n_tokens")).collect()(0).getLong(0)
+        val gated = docs0.filter(col("__q") >= 0.6).drop("__q")
+        val annealT = gated.agg(sum("n_tokens")).collect()(0).getLong(0)
+        val sched = Scale
+          .unimaxSelect(docs0.drop("__q"), "doc_id", "source", "n_tokens",
+            totalT * 6L / 5L, maxEpochs = 2)
+          .withColumn("phase", lit(0L))
+          .unionByName(
+            Scale
+              .unimaxSelect(gated, "doc_id", "source", "n_tokens",
+                annealT * 13L / 10L, maxEpochs = 3)
+              .withColumn("phase", lit(1L)))
+          .withColumn("__key", graft.operators.Dedup.tokenHash60(
+            concat(col("doc_id").cast("string"), lit("#"), col("epoch").cast("string"))))
+        Scale
+          .packStream(sched, "doc_id", "n_tokens", Seq("phase", "epoch"), "__key", 1024L)
+          .select("doc_id", "source", "n_tokens", "phase", "epoch",
+            "stream_off", "seq_id", "seq_off")
+          .orderBy("stream_off")
+      },
+      Some {
+        val quality =
+          """round(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+            |  + 0.5 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0), 6)""".stripMargin
+        s"""WITH d0 AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 16 = 0 THEN 's0'
+           |         WHEN doc_id % 16 < 4 THEN 's1'
+           |         WHEN doc_id % 16 < 8 THEN 's2'
+           |         ELSE 's3' END AS source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |    $quality AS q
+           |  FROM documents),
+           |d AS (SELECT doc_id, source, n_tokens FROM d0),
+           |g AS (SELECT doc_id, source, n_tokens FROM d0 WHERE q >= 0.6),
+           |${unimaxSelectSql("d", "(SELECT SUM(n_tokens) * 6 // 5 FROM d)", 2, "a")},
+           |${unimaxSelectSql("g", "(SELECT SUM(n_tokens) * 13 // 10 FROM g)", 3, "z")},
+           |u AS (SELECT doc_id, source, n_tokens, CAST(0 AS BIGINT) AS phase,
+           |    CAST(epoch AS BIGINT) AS epoch FROM afe
+           |  UNION ALL SELECT doc_id, source, n_tokens, CAST(0 AS BIGINT),
+           |    CAST(epoch AS BIGINT) FROM ape
+           |  UNION ALL SELECT doc_id, source, n_tokens, CAST(1 AS BIGINT),
+           |    CAST(epoch AS BIGINT) FROM zfe
+           |  UNION ALL SELECT doc_id, source, n_tokens, CAST(1 AS BIGINT),
+           |    CAST(epoch AS BIGINT) FROM zpe),
+           |kk AS (SELECT u.*, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+           |    CAST(epoch AS VARCHAR)), 18, 15) AS BIGINT) AS ek FROM u),
+           |bt AS (SELECT phase, epoch, SUM(n_tokens) AS t FROM u GROUP BY 1, 2),
+           |bs AS (SELECT phase, epoch, COALESCE(SUM(t) OVER (ORDER BY phase, epoch
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b FROM bt),
+           |cc AS (SELECT kk.*, SUM(n_tokens) OVER (PARTITION BY phase, epoch
+           |    ORDER BY ek, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM kk),
+           |f AS (SELECT doc_id, source, n_tokens, phase, epoch,
+           |    bs.b + cum - n_tokens AS so FROM cc JOIN bs USING (phase, epoch))
+           |SELECT doc_id, source, n_tokens, phase, epoch,
+           |  CAST(so AS BIGINT) AS stream_off, CAST(so // 1024 AS BIGINT) AS seq_id,
+           |  CAST(so % 1024 AS BIGINT) AS seq_off
+           |FROM f ORDER BY stream_off""".stripMargin
+      }
     )
   )
 }

@@ -333,4 +333,14 @@ class PlanContractsSpec extends AnyFunSuite with SparkTester {
     checkContract("x172", p, required = Seq("BroadcastHashJoin"))
     assert(!p.toString.contains("Scan parquet"), p.toString)
   }
+
+  test("x173_anneal_pack: stream offsets closed-form — every window hash-partitioned, bases broadcast") {
+    // packStream must never sort the stream globally: the (phase, epoch)
+    // partition bases ride a broadcast LocalRelation and the running
+    // sums are (phase, epoch[, bucket])-partitioned windows; the corpus
+    // feeds from the schedule's checkpoints
+    val p = planOf("x173_anneal_pack")
+    checkContract("x173", p, required = Seq("BroadcastHashJoin"))
+    assert(!p.toString.contains("Scan parquet"), p.toString)
+  }
 }

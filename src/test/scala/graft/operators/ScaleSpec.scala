@@ -794,4 +794,64 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
       Scale.unimaxSelect(docs, "doc_id", "source", "n_tokens", 10L, 2, maxGroups = 0)
     }
   }
+
+  test("packStream: partitioned stream == naive replay, contiguous across partitions, numeric order") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 120L)
+      .map(i => (i, i % 2, (i / 2) % 3, 1L + i % 5))
+      .toDF("doc_id", "phase", "epoch", "n_tokens")
+      .withColumn("key", Dedup.tokenHash60(
+        concat(col("doc_id").cast("string"), lit("#"), col("epoch").cast("string"))))
+    val cols = Seq("doc_id", "phase", "epoch", "n_tokens", "key", "stream_off", "seq_id", "seq_off")
+    val got = Scale
+      .packStream(df, "doc_id", "n_tokens", Seq("phase", "epoch"), "key", 7)
+      .select(cols.map(col): _*)
+    // naive replay: driver cumulative bases in (phase, epoch) order + ONE
+    // window per partition over (key, doc_id) — the formulation the
+    // bucket closed form exists to avoid
+    val totals = df.groupBy("phase", "epoch").agg(sum("n_tokens").as("t"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).sortBy(_._1)
+    val baseDf = totals.zip(totals.scanLeft(0L)(_ + _._2).init)
+      .map { case (((p, e), _), b) => (p, e, b) }.toSeq.toDF("phase", "epoch", "b")
+    val w = Window.partitionBy("phase", "epoch").orderBy("key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.join(baseDf, Seq("phase", "epoch"))
+      .withColumn("stream_off", col("b") + sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr("stream_off div 7"))
+      .withColumn("seq_off", col("stream_off") % 7)
+      .select(cols.map(col): _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // ONE contiguous stream from offset 0, straight across partition
+    // boundaries; some doc spills its window
+    val seq = got.orderBy("stream_off").collect()
+    var expect = 0L
+    seq.foreach { r => assert(r.getLong(5) == expect, s"gap at ${r.getLong(0)}"); expect += r.getLong(3) }
+    assert(seq.exists(r => r.getLong(7) + r.getLong(3) > 7L))
+    // numeric partition order: epoch 10 streams AFTER epoch 2
+    val two = Seq((1L, 0L, 2L, 3L), (2L, 0L, 10L, 3L))
+      .toDF("doc_id", "phase", "epoch", "n_tokens").withColumn("key", lit(0L))
+    val ord = Scale.packStream(two, "doc_id", "n_tokens", Seq("phase", "epoch"), "key", 7)
+      .orderBy("stream_off").select("epoch").collect().map(_.getLong(0))
+    assert(ord.toSeq == Seq(2L, 10L), s"string-ordered partitions: ${ord.toSeq}")
+    // determinism at any partitioning; guards
+    val again = Scale
+      .packStream(df.repartition(9), "doc_id", "n_tokens", Seq("phase", "epoch"), "key", 7)
+      .select(cols.map(col): _*)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    intercept[IllegalArgumentException] {
+      Scale.packStream(df, "doc_id", "n_tokens", Seq.empty, "key", 7)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.packStream(df, "doc_id", "n_tokens", Seq("phase"), "key", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.packStream(
+        df.withColumn("ps", col("phase").cast("string")),
+        "doc_id", "n_tokens", Seq("ps"), "key", 7)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.packStream(df, "doc_id", "n_tokens", Seq("phase", "epoch"), "key", 7, maxParts = 3)
+    }
+  }
 }
