@@ -144,6 +144,57 @@ object Similarity {
       )
   }
 
+  /** Margin-based bitext candidate mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix alignment rule): given FORWARD top-k neighbors (each
+    * source vector's k nearest targets) and BACKWARD top-k (each
+    * target's k nearest sources) from ANY of this file's top-k operators
+    * — [[bruteForceTopK]] for the audit path, [[ivfTopK]] for the 100 TB
+    * path (the x104 sample discipline) — score every forward RANK-1 pair
+    * by the ratio margin
+    *
+    *   `margin(x, y) = sim(x, y) / ((avgF(x) + avgB(y)) / 2)`
+    *
+    * where `avgF(x)` / `avgB(y)` are the mean similarities of x's
+    * forward and y's backward neighborhoods: a pair aligns not when its
+    * cosine is high but when it is high RELATIVE to both vectors'
+    * neighborhoods (the hubness correction that makes mined bitext
+    * usable). `mutual = true` additionally requires the pair to be its
+    * target's backward rank-1 (the CCMatrix intersection rule).
+    *
+    * Exactness contract (the x130 decimal-mean discipline): input sims
+    * are already 6-dp (every top-k op here rounds), the neighborhood
+    * means divide an exact DECIMAL(28,6) sum by the neighbor count —
+    * order-independent, so the engine and an external replay agree
+    * bit-for-bit — and the margin is one correctly-rounded IEEE divide
+    * rounded to 6 dp. Output: (qid, cid, sim, avg_src, avg_tgt, margin).
+    *
+    * 100 TB shape: inputs are k-bounded per vector, so this is two
+    * k·N-row decimal aggregates + equi-joins on ids — vectors never
+    * enter, and the pair volume is whatever the upstream top-k already
+    * bounded (IVF's sum(cell²) contract). */
+  def marginMine(fwd: DataFrame, bwd: DataFrame, mutual: Boolean = false): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def avgOf(df: DataFrame, out: String): DataFrame = df
+      .groupBy("qid")
+      .agg((sum(col("sim").cast(dec)).cast("double") / count(lit(1))).as(out))
+    val avgF = avgOf(fwd, "avg_src")
+    val avgB = avgOf(bwd, "avg_tgt").withColumnRenamed("qid", "cid")
+    val best = fwd.filter(col("rn") === 1).select("qid", "cid", "sim")
+    val paired =
+      if (!mutual) best
+      else
+        best.join(
+          bwd.filter(col("rn") === 1)
+            .select(col("qid").as("cid"), col("cid").as("qid")),
+          Seq("qid", "cid"))
+    paired
+      .join(avgF, Seq("qid"))
+      .join(avgB, Seq("cid"))
+      .select(
+        col("qid"), col("cid"), col("sim"), col("avg_src"), col("avg_tgt"),
+        round(col("sim") / ((col("avg_src") + col("avg_tgt")) / 2.0), 6).as("margin"))
+  }
+
   /** All-pairs exact nearest neighbor (k=1) via map-side max partial
     * aggregation — no 25M-row window shuffle, only one tiny row per query id
     * leaves each partition. Tie-break: lowest candidate id.

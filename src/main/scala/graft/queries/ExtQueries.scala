@@ -7007,6 +7007,61 @@ object ExtQueries {
            |  CAST(so % 1024 AS BIGINT) AS seq_off
            |FROM f ORDER BY stream_off""".stripMargin
       }
+    ),
+    // ------------------------------------------------------------------
+    // Margin-based bitext candidate mining (Similarity.marginMine —
+    // Artetxe & Schwenk 2019, the LASER/CCMatrix alignment rule): two
+    // disjoint "languages" from the embeddings table (vec_id % 4 ∈
+    // {0, 1}, bounded < 1e7 so the workload is identical under the
+    // key-shifted sf10 amplifier — the x129 convention), forward and
+    // backward brute top-4 frames, and every forward rank-1 pair scored
+    // by sim / ((avgF + avgB) / 2) — aligned means high RELATIVE to
+    // both neighborhoods, the hubness correction. Neighborhood means
+    // divide exact DECIMAL(28,6) sums (order-independent, the x130
+    // discipline); the oracle replays both similarity matrices, both
+    // rankings, both decimal means, and the margin quotient.
+    Q(
+      "x174_margin_mine",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val src = e.filter(col("vec_id") < 10000000L && col("vec_id") % 4 === 0)
+        val tgt = e.filter(col("vec_id") < 10000000L && col("vec_id") % 4 === 1)
+        val fwd = Similarity.bruteForceTopK(src, tgt, "vec_id", "embedding", k = 4)
+        val bwd = Similarity.bruteForceTopK(tgt, src, "vec_id", "embedding", k = 4)
+        Similarity.marginMine(fwd, bwd).orderBy("qid")
+      },
+      Some(
+        """WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |    FROM embeddings WHERE vec_id < 10000000),
+          |s AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+          |tt AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 1),
+          |fs AS (SELECT s.vec_id AS qid, tt.vec_id AS cid,
+          |    round(list_dot_product(s.v, tt.v)
+          |      / (sqrt(list_dot_product(s.v, s.v))
+          |        * sqrt(list_dot_product(tt.v, tt.v))), 6) AS sim
+          |  FROM s, tt),
+          |f4 AS (SELECT * FROM (SELECT qid, cid, sim,
+          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          |  FROM fs) WHERE rn <= 4),
+          |bs AS (SELECT tt.vec_id AS qid, s.vec_id AS cid,
+          |    round(list_dot_product(tt.v, s.v)
+          |      / (sqrt(list_dot_product(tt.v, tt.v))
+          |        * sqrt(list_dot_product(s.v, s.v))), 6) AS sim
+          |  FROM tt, s),
+          |b4 AS (SELECT * FROM (SELECT qid, cid, sim,
+          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          |  FROM bs) WHERE rn <= 4),
+          |af AS (SELECT qid,
+          |    CAST(SUM(CAST(sim AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(*) AS avg_src
+          |  FROM f4 GROUP BY 1),
+          |ab AS (SELECT qid AS cid,
+          |    CAST(SUM(CAST(sim AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(*) AS avg_tgt
+          |  FROM b4 GROUP BY 1)
+          |SELECT f.qid, f.cid, f.sim, af.avg_src, ab.avg_tgt,
+          |  round(f.sim / ((af.avg_src + ab.avg_tgt) / 2), 6) AS margin
+          |FROM f4 f JOIN af USING (qid) JOIN ab USING (cid)
+          |WHERE f.rn = 1 ORDER BY qid""".stripMargin
+      )
     )
   )
 }

@@ -343,4 +343,14 @@ class PlanContractsSpec extends AnyFunSuite with SparkTester {
     checkContract("x173", p, required = Seq("BroadcastHashJoin"))
     assert(!p.toString.contains("Scan parquet"), p.toString)
   }
+
+  test("x174_margin_mine: broadcast pair generation, bounded heaps, no window") {
+    // both similarity matrices broadcast the bounded query side (BNLJ
+    // BuildRight inside codegen); the top-4 cut rides the bounded
+    // topKPerKey heap (numeric cid path), so no Window and no global
+    // sort anywhere; margin scoring is equi-joins over k-bounded frames
+    val p = planOf("x174_margin_mine")
+    checkContract("x174", p,
+      required = Seq("BroadcastNestedLoopJoin"), forbidden = Seq("Window"))
+  }
 }

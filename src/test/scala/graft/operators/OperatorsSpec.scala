@@ -3370,4 +3370,62 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
       Dedup.contaminationReport(corpus, suites, "doc_id", "text", "suite", n = 3)
         .orderBy("doc_id", "suite").collect().toSeq)
   }
+
+  test("marginMine: ratio margin on a hand neighborhood, mutual intersection, brute end-to-end") {
+    import spark.implicits._
+    def snap6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // hand case: src 1's best tgt is 10 (sim .9, fwd neighborhood avg .7);
+    // src 2 also points at 10 (.8, avg .6); tgt 10's backward
+    // neighborhood avg .85 and its rank-1 source is 1 -> only (1, 10)
+    // survives the mutual rule
+    val fwd = Seq(
+      (1L, 10L, 0.9, 1), (1L, 11L, 0.5, 2),
+      (2L, 10L, 0.8, 1), (2L, 12L, 0.4, 2)
+    ).toDF("qid", "cid", "sim", "rn")
+    val bwd = Seq(
+      (10L, 1L, 0.9, 1), (10L, 2L, 0.8, 2),
+      (11L, 1L, 0.5, 1), (12L, 2L, 0.4, 1)
+    ).toDF("qid", "cid", "sim", "rn")
+    val got = Similarity.marginMine(fwd, bwd)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // join order: paired.join(avgF on qid).join(avgB on cid) puts cid first
+    assert(got.length == 2)
+    assert(got(0) == ((10L, 1L, 0.9, 0.7, 0.85, snap6(0.9 / ((0.7 + 0.85) / 2)))), got(0).toString)
+    assert(got(1) == ((10L, 2L, 0.8, 0.6, 0.85, snap6(0.8 / ((0.6 + 0.85) / 2)))), got(1).toString)
+    // the higher-margin pair is the better-aligned one even though both
+    // share the target: (1, 10) beats (2, 10)
+    assert(got(0)._6 > got(1)._6)
+    val mut = Similarity.marginMine(fwd, bwd, mutual = true)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+    assert(mut.toSeq == Seq((1L, 10L)), mut.toSeq.toString)
+    // end-to-end through bruteForceTopK on planted vectors: src 100 is a
+    // near-copy of tgt 200 (margin leader), the rest are spread out
+    val src = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)), (101L, Seq(0.6f, 0.8f, 0.0f)),
+      (102L, Seq(0.0f, 0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (200L, Seq(0.99f, 0.01f, 0.0f)), (201L, Seq(0.0f, 1.0f, 0.0f)),
+      (202L, Seq(0.5f, 0.5f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val f2 = Similarity.bruteForceTopK(src, tgt, "vec_id", "embedding", k = 2)
+    val b2 = Similarity.bruteForceTopK(tgt, src, "vec_id", "embedding", k = 2)
+    val mined = Similarity.marginMine(f2, b2).orderBy("qid").collect()
+    assert(mined.length == 3)
+    val m100 = mined.find(_.getAs[Long]("qid") == 100L).get
+    assert(m100.getAs[Long]("cid") == 200L && m100.getAs[Double]("margin") > 1.0,
+      m100.toString)
+    // margins recompute from the frames: margin = sim / ((avgF + avgB)/2)
+    mined.foreach { r =>
+      val aF = f2.filter(col("qid") === r.getAs[Long]("qid"))
+        .agg(avg("sim")).collect()(0).getDouble(0)
+      assert(math.abs(r.getAs[Double]("avg_src") - aF) < 1e-9)
+      assert(math.abs(r.getAs[Double]("margin") -
+        snap6(r.getAs[Double]("sim") /
+          ((r.getAs[Double]("avg_src") + r.getAs[Double]("avg_tgt")) / 2))) < 1e-12)
+    }
+  }
 }
