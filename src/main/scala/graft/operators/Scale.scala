@@ -1312,6 +1312,10 @@ object Scale {
         s"packStream: partition column $c must be LongType — stream order is numeric " +
           "(a string sort orders epoch '10' before '2')")
     }
+    require(
+      df.schema(keyCol).dataType == org.apache.spark.sql.types.LongType,
+      s"packStream: $keyCol must be a LongType uniform hash key (the tokenHash60 " +
+        "convention) — the fixed-range bucket prefix is exact only for uniform keys")
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val pc = partCols.map(col)

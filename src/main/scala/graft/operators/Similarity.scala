@@ -173,6 +173,13 @@ object Similarity {
     * enter, and the pair volume is whatever the upstream top-k already
     * bounded (IVF's sum(cell²) contract). */
   def marginMine(fwd: DataFrame, bwd: DataFrame, mutual: Boolean = false): DataFrame = {
+    Seq("fwd" -> fwd, "bwd" -> bwd).foreach { case (n, f) =>
+      val missing = Seq("qid", "cid", "sim", "rn").filterNot(f.columns.contains)
+      require(
+        missing.isEmpty,
+        s"marginMine: $n lacks ${missing.mkString(", ")} — pass a top-k frame " +
+          "(the (qid, cid, sim, rn) shape every top-k operator here emits)")
+    }
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     def avgOf(df: DataFrame, out: String): DataFrame = df
       .groupBy("qid")

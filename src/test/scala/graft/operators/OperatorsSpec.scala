@@ -3401,6 +3401,8 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     val mut = Similarity.marginMine(fwd, bwd, mutual = true)
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
     assert(mut.toSeq == Seq((1L, 10L)), mut.toSeq.toString)
+    val g = intercept[IllegalArgumentException] { Similarity.marginMine(fwd.drop("rn"), bwd) }
+    assert(g.getMessage.contains("top-k frame"))
     // end-to-end through bruteForceTopK on planted vectors: src 100 is a
     // near-copy of tgt 200 (margin leader), the rest are spread out
     val src = Seq(

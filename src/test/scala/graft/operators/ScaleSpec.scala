@@ -795,6 +795,40 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("unimaxMix: waterfill invariants on random corpora (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val genCase: Gen[(List[Long], Long, Int)] = for {
+      k <- Gen.choose(1, 7)
+      ts <- Gen.listOfN(k, Gen.choose(1L, 500L))
+      e <- Gen.choose(1, 5)
+      b <- Gen.choose(0L, ts.sum * e * 2)
+    } yield (ts, b, e)
+    val prop = Prop.forAll(genCase) { case (ts, b, e) =>
+      val docs = ts.zipWithIndex
+        .map { case (t, i) => (i.toLong, s"s$i", t) }
+        .toDF("doc_id", "source", "n_tokens")
+      val rows = Scale.unimaxMix(docs, "source", "n_tokens", b, e)
+        .collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getDouble(5)))
+      val sumCaps = rows.map(_._2).sum
+      val allocSum = rows.map(_._4).sum
+      val uncappedLevels = rows.filter(!_._3).map(_._4).distinct
+      val capsRespected = rows.forall { case (_, cap, capped, a) =>
+        if (capped) a == cap.toDouble else a <= cap.toDouble + 1e-6
+      }
+      val exhaustedOrAllCapped =
+        if (b >= sumCaps) rows.forall(_._3) && allocSum == sumCaps.toDouble
+        else math.abs(allocSum - b.toDouble) < 1e-6
+      val uniform = uncappedLevels.length <= 1
+      val monotone = rows.sortBy(_._2).map(_._4).zip(rows.sortBy(_._2).map(_._4).drop(1))
+        .forall { case (a1, a2) => a1 <= a2 + 1e-6 } // bigger cap never gets less
+      capsRespected && exhaustedOrAllCapped && uniform && monotone
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("packStream: partitioned stream == naive replay, contiguous across partitions, numeric order") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -852,6 +886,11 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     }
     intercept[IllegalArgumentException] {
       Scale.packStream(df, "doc_id", "n_tokens", Seq("phase", "epoch"), "key", 7, maxParts = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.packStream(
+        df.withColumn("ks", col("key").cast("string")),
+        "doc_id", "n_tokens", Seq("phase"), "ks", 7)
     }
   }
 }
