@@ -464,6 +464,82 @@ object Similarity {
     else rankTopK(simsRaw.drop("cell").distinct(), k)
   }
 
+  /** Cross-set IVF search — the SERVING shape ([[ivfTopK]] searches a
+    * set against itself; this searches a QUERY set against an indexed
+    * CORPUS): corpus vectors live in their nearest-centroid cell,
+    * queries probe their top-`nProbe` cells, candidates come from the
+    * cell equi-join — per-query work is |corpus|/nCells · nProbe, the
+    * IVF contract, with the √|corpus| cell-count prescription
+    * unchanged. Ids are NOT cross-filtered: the two sets are separate
+    * namespaces (a query id equal to a corpus id is a coincidence, not
+    * a self-pair — unlike [[ivfTopK]]'s qid != cid rule). Zero-norm /
+    * null vectors have no defined cell and drop from both sides.
+    * Output: the standard (qid, cid, sim, rn) top-k frame — feed a
+    * forward and a backward run to [[marginMine]] for bitext mining at
+    * scale (x175 pins that composition cross-engine). */
+  def ivfSearch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 1
+  ): DataFrame = {
+    require(k >= 1, s"ivfSearch: k must be >= 1, got $k")
+    require(nProbe >= 1, s"ivfSearch: nProbe must be >= 1, got $nProbe")
+    val cenGuard = PackedArgmax.guardId(col(idCol), "ivfSearch centroid")
+    val cen = centroids.select(
+      cenGuard.as("cen_id"),
+      col(vecCol).as("cen_v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("cen_n")
+    )
+    // same assignment machinery as ivfTopK: broadcast centroids +
+    // packed-long argmax (no window at nProbe=1); null sims (zero norms)
+    // yield a null cell, which the cell equi-join drops
+    def assigned(df: DataFrame, probes: Int): DataFrame = {
+      val base = df
+        .select(
+          col(idCol).as("id"),
+          col(vecCol).as("v"),
+          sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      val sim = when(
+        col("nrm") > 0 && col("cen_n") > 0,
+        round(vecDot(col("v"), col("cen_v")) / (col("nrm") * col("cen_n")), 6))
+      val enc = PackedArgmax.encode(sim, col("cen_id"))
+      val scored = base
+        .join(broadcast(cen), lit(true))
+        .select(col("id"), col("v"), col("nrm"), enc.as("enc"))
+      if (probes == 1)
+        scored
+          .groupBy("id")
+          .agg(max(col("enc")).as("m"), first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+          .select(col("id"), col("v"), col("nrm"), PackedArgmax.decodeId(col("m")).as("cell"))
+      else {
+        val w = Window.partitionBy("id").orderBy(desc("enc"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= probes)
+          .select(col("id"), col("v"), col("nrm"), PackedArgmax.decodeId(col("enc")).as("cell"))
+      }
+    }
+    val qs = assigned(queries, nProbe)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val cands = assigned(corpus, 1)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"), col("cell"))
+    val pair = when(
+      col("qn") > 0 && col("cn") > 0,
+      round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val simsRaw = qs
+      .join(cands, Seq("cell"))
+      .select(col("cell"), col("qid"), col("cid"), pair.as("sim"))
+    // a candidate lives in exactly one cell, so cross-set pairs are unique
+    // even at nProbe > 1 — no dedup shuffle needed (unlike self-set LSH)
+    if (nProbe == 1) rankTopKCellLocal(simsRaw, k)
+    else rankTopK(simsRaw.drop("cell"), k)
+  }
+
   /** [[ivfTopK]] with the cell count DERIVED from the corpus — the
     * convenience that makes the documented √N contract the path of least
     * resistance instead of a hand-built centroid frame (the x34 fixed-8

@@ -52,6 +52,43 @@ object ExtQueries {
        |       FROM toks, unnest(range(1, len(tk) - 1)) AS t(i))""".stripMargin
   private val shingleCte = shingleCteFrom("documents")
 
+  /** The x175 cross-set IVF replay as a reusable CTE block (prefix `p`,
+    * query CTE `q`, corpus CTE `c`, both (vec_id, v)): √|corpus|
+    * lowest-id centroids (the x97 row_number convention), nearest-cell
+    * assignment on BOTH sides (6-dp sims, ties to the lowest centroid
+    * id — PackedArgmax's encoding), cell equi-join WITHOUT the qid!=cid
+    * filter (cross-set namespaces), ranked per query. Top-k rows land in
+    * `${p}tk` (filter `rn <= k` at the use site). */
+  private def ivfSearchSql(q: String, c: String, p: String): String =
+    s"""${p}nl AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS nlist FROM $c),
+       |${p}cen AS (SELECT cen_vid, cv FROM (
+       |    SELECT vec_id AS cen_vid, v AS cv,
+       |      row_number() OVER (ORDER BY vec_id) AS rk FROM $c) t, ${p}nl
+       |  WHERE rk <= nlist),
+       |${p}casg AS (SELECT vec_id, cell FROM (
+       |    SELECT c2.vec_id, cen.cen_vid AS cell,
+       |      row_number() OVER (PARTITION BY c2.vec_id ORDER BY
+       |        round(list_dot_product(c2.v, cen.cv)
+       |          / (sqrt(list_dot_product(c2.v, c2.v))
+       |            * sqrt(list_dot_product(cen.cv, cen.cv))), 6) DESC, cen.cen_vid) AS r
+       |    FROM $c c2 CROSS JOIN ${p}cen cen) t WHERE r = 1),
+       |${p}qasg AS (SELECT vec_id, cell FROM (
+       |    SELECT q2.vec_id, cen.cen_vid AS cell,
+       |      row_number() OVER (PARTITION BY q2.vec_id ORDER BY
+       |        round(list_dot_product(q2.v, cen.cv)
+       |          / (sqrt(list_dot_product(q2.v, q2.v))
+       |            * sqrt(list_dot_product(cen.cv, cen.cv))), 6) DESC, cen.cen_vid) AS r
+       |    FROM $q q2 CROSS JOIN ${p}cen cen) t WHERE r = 1),
+       |${p}sims AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid,
+       |    round(list_dot_product(q3.v, c3.v)
+       |      / (sqrt(list_dot_product(q3.v, q3.v))
+       |        * sqrt(list_dot_product(c3.v, c3.v))), 6) AS sim
+       |  FROM ${p}qasg qa JOIN ${p}casg ca ON qa.cell = ca.cell
+       |  JOIN $q q3 ON q3.vec_id = qa.vec_id JOIN $c c3 ON c3.vec_id = ca.vec_id),
+       |${p}tk AS (SELECT qid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+       |  FROM ${p}sims)""".stripMargin
+
   /** The x171 waterfill→select replay as a reusable CTE block (prefix
     * `p`, source CTE `dc` with (doc_id, source, n_tokens), budget scalar
     * `budgetExpr`, epoch cap `e`): the x172 anneal composition runs it
@@ -7061,6 +7098,50 @@ object ExtQueries {
           |  round(f.sim / ((af.avg_src + ab.avg_tgt) / 2), 6) AS margin
           |FROM f4 f JOIN af USING (qid) JOIN ab USING (cid)
           |WHERE f.rn = 1 ORDER BY qid""".stripMargin
+      )
+    ),
+    // ------------------------------------------------------------------
+    // The bitext-mining SCALE path (Similarity.ivfSearch ∘ marginMine):
+    // x174's brute matrices replaced by cross-set IVF in BOTH directions
+    // — each language indexed under its own √N lowest-id centroids (the
+    // x97 deterministic convention), neighborhoods found through the
+    // cell equi-join (per-query work |corpus|/√N, the IVF contract, and
+    // NO qid != cid filter — cross-set ids are separate namespaces),
+    // then the same ratio-margin scoring over the k-bounded frames. The
+    // oracle replays centroid pick, BOTH nearest-cell assignments, both
+    // cell joins, both rankings, the decimal means and the margin
+    // quotient — the whole serving-shape funnel in one hash row.
+    Q(
+      "x175_margin_ivf",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val src = e.filter(col("vec_id") < 10000000L && col("vec_id") % 4 === 0)
+        val tgt = e.filter(col("vec_id") < 10000000L && col("vec_id") % 4 === 1)
+        val nS = math.max(1L, math.floor(math.sqrt(src.count().toDouble)).toLong)
+        val nT = math.max(1L, math.floor(math.sqrt(tgt.count().toDouble)).toLong)
+        val cenT = tgt.orderBy("vec_id").limit(nT.toInt)
+        val cenS = src.orderBy("vec_id").limit(nS.toInt)
+        val fwd = Similarity.ivfSearch(src, tgt, cenT, "vec_id", "embedding", k = 4)
+        val bwd = Similarity.ivfSearch(tgt, src, cenS, "vec_id", "embedding", k = 4)
+        Similarity.marginMine(fwd, bwd).orderBy("qid")
+      },
+      Some(
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |    FROM embeddings WHERE vec_id < 10000000),
+           |s AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+           |tt AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 1),
+           |${ivfSearchSql("s", "tt", "f")},
+           |${ivfSearchSql("tt", "s", "z")},
+           |af AS (SELECT qid,
+           |    CAST(SUM(CAST(sim AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(*) AS avg_src
+           |  FROM ftk WHERE rn <= 4 GROUP BY 1),
+           |ab AS (SELECT qid AS cid,
+           |    CAST(SUM(CAST(sim AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(*) AS avg_tgt
+           |  FROM ztk WHERE rn <= 4 GROUP BY 1)
+           |SELECT f.qid, f.cid, f.sim, af.avg_src, ab.avg_tgt,
+           |  round(f.sim / ((af.avg_src + ab.avg_tgt) / 2), 6) AS margin
+           |FROM ftk f JOIN af USING (qid) JOIN ab USING (cid)
+           |WHERE f.rn = 1 ORDER BY qid""".stripMargin
       )
     )
   )

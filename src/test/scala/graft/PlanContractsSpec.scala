@@ -353,4 +353,15 @@ class PlanContractsSpec extends AnyFunSuite with SparkTester {
     checkContract("x174", p,
       required = Seq("BroadcastNestedLoopJoin"), forbidden = Seq("Window"))
   }
+
+  test("x175_margin_ivf: cell-join funnel — packed argmax assignment, cell-local heaps, no window") {
+    // the scale path must keep ivfTopK's shapes: centroid assignment is
+    // a broadcast + packed-long max HashAggregate (never a per-vector
+    // window), candidates come from the cell equi-join, and the top-4
+    // cut rides the cell-local bounded heap; margin scoring adds only
+    // equi-joins and decimal aggregates
+    val p = planOf("x175_margin_ivf")
+    checkContract("x175", p,
+      required = Seq("BroadcastNestedLoopJoin"), forbidden = Seq("Window"))
+  }
 }

@@ -3430,4 +3430,40 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
           ((r.getAs[Double]("avg_src") + r.getAs[Double]("avg_tgt")) / 2))) < 1e-12)
     }
   }
+
+  test("ivfSearch: one-cell == brute, ids not cross-filtered, nProbe widens recall, zero-norm drops") {
+    import spark.implicits._
+    val cs = Seq(
+      (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.8f, 0.6f)), (3L, Seq(-1.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val oneCen = Seq((0L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    // single centroid -> one cell -> exactly brute-force (disjoint ids)
+    val qs = Seq((100L, Seq(1.0f, 0.0f)), (101L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val a = Similarity.ivfSearch(qs, cs, oneCen, "vec_id", "embedding", k = 2)
+      .select("qid", "cid", "sim", "rn")
+    val b = Similarity.bruteForceTopK(qs, cs, "vec_id", "embedding", k = 2)
+      .select("qid", "cid", "sim", "rn")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // a query id equal to a corpus id is a separate namespace, NOT a
+    // self-pair: (1, 1) must appear (ivfTopK would drop it)
+    val sameId = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val withSame = Similarity.ivfSearch(sameId, cs, oneCen, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+    assert(withSame.contains((1L, 1L)), withSame.toSeq.toString)
+    // two far-apart cells: the best candidate sits in the query's SECOND
+    // cell — invisible at nProbe=1, found at nProbe=2
+    val twoCen = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpusB = Seq((50L, Seq(0.1f, 0.99f))).toDF("vec_id", "embedding")
+    val qMid = Seq((200L, Seq(0.9f, 0.44f))).toDF("vec_id", "embedding") // cell 0
+    assert(Similarity.ivfSearch(qMid, corpusB, twoCen, "vec_id", "embedding", 1).count() == 0L)
+    val probed = Similarity.ivfSearch(qMid, corpusB, twoCen, "vec_id", "embedding", 1, nProbe = 2)
+      .collect()
+    assert(probed.length == 1 && probed(0).getAs[Long]("cid") == 50L)
+    // zero-norm query has no cell
+    val zq = Seq((300L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.ivfSearch(zq, cs, oneCen, "vec_id", "embedding", 2).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSearch(qs, cs, oneCen, "vec_id", "embedding", 0)
+    }
+  }
 }
