@@ -166,6 +166,12 @@ run_leg overlap-planted    - overlap-planted 2000000
 #     is exactly rem div tok); allocation table field-exact, selection
 #     cell-exact, partial cuts maximal, no duplicate (doc, epoch)
 run_leg unimax-planted     - unimax-planted 2000000
+# 4m. bitext-planted — ivfSearch∘marginMine (x175) at 200k x 202k
+#     vectors: 2000 planted 2.0f-scaled cross-language copies (cosine
+#     1.0, same probed cell by construction) must all surface at forward
+#     rank 1 / sim 1.0 / margin > 1 AND survive the mutual intersection;
+#     candidate volume stays cell-join bounded, never |src|x|tgt|
+run_leg bitext-planted     - bitext-planted 200000
 run_leg keyword-scale      - keyword-scale 10000
 run_leg cc-telemetry       - cc-telemetry
 flush false

@@ -1351,6 +1351,85 @@ object Spike {
     println("[spike] unimax-planted: UniMax allocation + materialization exact at scale — gate PASS")
   }
 
+  /** `runMain graft.tools.Spike bitext-planted [nVecs]` — the
+    * bitext-mining funnel ([[graft.operators.Similarity.ivfSearch]] both
+    * directions ∘ [[graft.operators.Similarity.marginMine]], x175) at
+    * 100x+ vectors against PLANTED cross-language truth. Two disjoint
+    * "languages": src = nVecs hash vectors (the x60 full-avalanche
+    * element mix); tgt = nVecs fresh hash vectors PLUS a 2.0f-scaled copy
+    * of every 100th src vector (exactly-representable scale ⇒ cosine 1.0
+    * AND an identical centroid-cosine profile, so the copy lands in the
+    * same probed cell by construction — the x60/x111 planting
+    * convention). Each language is indexed under its own √N lowest-id
+    * centroids. Every planted src must surface its copy at forward
+    * rank 1 with sim 1.0 and a ratio margin > 1 (its neighborhood means
+    * are strictly below 1), and every planted pair must SURVIVE the
+    * mutual (CCMatrix) intersection — 0 missing at scale, while the
+    * cell-join candidate volume stays sum(cellQ·cellC), never |src|·|tgt|. */
+  private def bitextPlanted(spark: org.apache.spark.sql.SparkSession, nVecs: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    def elem(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      ((pmod(xxhash64(id, i), lit(1000L)).cast("double") / lit(1000.0)) - lit(0.5))
+        .cast("float")
+    val idxs = sequence(lit(0L), lit(dim - 1L))
+    def vecs(from: Long, until: Long) = spark
+      .range(from, until)
+      .select(col("id").as("vec_id"), transform(idxs, i => elem(col("id"), i)).as("embedding"))
+    val src = vecs(0L, nVecs)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val planted = src
+      .filter(col("vec_id") % 100 === 0)
+      .select(
+        (col("vec_id") + 2L * nVecs).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val tgt = vecs(nVecs, 2L * nVecs)
+      .unionByName(planted)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSrc = src.count()
+    val nTgt = tgt.count()
+    val nPlanted = nSrc / 100 + (if (nSrc % 100 > 0) 1L else 0L)
+    val nS = math.max(1L, math.floor(math.sqrt(nSrc.toDouble)).toLong)
+    val nT = math.max(1L, math.floor(math.sqrt(nTgt.toDouble)).toLong)
+    val cenS = src.orderBy("vec_id").limit(nS.toInt)
+    val cenT = tgt.orderBy("vec_id").limit(nT.toInt)
+    val t0 = System.nanoTime()
+    val fwd = graft.operators.Similarity
+      .ivfSearch(src, tgt, cenT, "vec_id", "embedding", k = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bwd = graft.operators.Similarity
+      .ivfSearch(tgt, src, cenS, "vec_id", "embedding", k = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mined = graft.operators.Similarity.marginMine(fwd, bwd)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nMined = mined.count()
+    val tMine = (System.nanoTime() - t0) / 1e9
+    // every planted src surfaces its copy at rank 1, sim 1.0, margin > 1
+    val expected = src
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), (col("vec_id") + 2L * nVecs).as("cid"))
+    val hits = mined
+      .join(expected, Seq("qid", "cid"))
+      .filter(col("sim") === 1.0 && col("margin") > 1.0)
+    val nHits = hits.count()
+    require(
+      nHits == nPlanted,
+      s"planted pairs lost or degraded: $nHits of $nPlanted surfaced at rank 1 " +
+        "with sim 1.0 and margin > 1")
+    // ... and all survive the mutual (CCMatrix) intersection
+    val mutual = graft.operators.Similarity.marginMine(fwd, bwd, mutual = true)
+    val nMutual = mutual.join(expected, Seq("qid", "cid")).count()
+    require(nMutual == nPlanted, s"mutual intersection dropped planted pairs: $nMutual/$nPlanted")
+    src.unpersist(); tgt.unpersist(); fwd.unpersist(); bwd.unpersist(); mined.unpersist()
+    println(
+      f"[spike] bitext-planted: $nPlanted%d planted cross-language copies at $nSrc%d x " +
+        f"$nTgt%d vectors — all at forward rank 1 / sim 1.0 / margin > 1, all mutual; " +
+        f"$nMined%d candidates mined through ${nT}%d-cell IVF both ways in $tMine%.1fs")
+    println("[spike] bitext-planted: margin mining exact at scale — gate PASS")
+  }
+
   /** `runMain graft.tools.Spike overlap-planted [nDocs]` — the
     * cross-source overlap matrix ([[graft.operators.Dedup.sourceOverlap]],
     * x168) and its streaming face at 100x+ docs against CLOSED-FORM
@@ -2909,6 +2988,10 @@ object Spike {
     }
     if (args.nonEmpty && args(0) == "unimax-planted") {
       unimaxPlanted(spark, if (args.length > 1) args(1).toLong else 2000000L)
+      spark.stop(); return
+    }
+    if (args.nonEmpty && args(0) == "bitext-planted") {
+      bitextPlanted(spark, if (args.length > 1) args(1).toLong else 100000L)
       spark.stop(); return
     }
     if (args.nonEmpty && args(0) == "sq8-planted") {
