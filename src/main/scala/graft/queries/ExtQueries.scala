@@ -7143,6 +7143,58 @@ object ExtQueries {
            |FROM ftk f JOIN af USING (qid) JOIN ab USING (cid)
            |WHERE f.rn = 1 ORDER BY qid""".stripMargin
       )
+    ),
+    // ------------------------------------------------------------------
+    // The MUTUAL (CCMatrix-intersection) branch of margin mining: x174's
+    // brute funnel with mutual = true — a pair survives only when it is
+    // its source's forward rank-1 AND its target's backward rank-1. The
+    // survivor set is a strict, deterministic subset of x174's rows (the
+    // filter the released CCMatrix corpus actually shipped with); one
+    // extra equi-join in both engines pins the branch cross-engine.
+    Q(
+      "x176_margin_mutual",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val src = e.filter(col("vec_id") < 10000000L && col("vec_id") % 4 === 0)
+        val tgt = e.filter(col("vec_id") < 10000000L && col("vec_id") % 4 === 1)
+        val fwd = Similarity.bruteForceTopK(src, tgt, "vec_id", "embedding", k = 4)
+        val bwd = Similarity.bruteForceTopK(tgt, src, "vec_id", "embedding", k = 4)
+        Similarity.marginMine(fwd, bwd, mutual = true).orderBy("qid")
+      },
+      Some(
+        """WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |    FROM embeddings WHERE vec_id < 10000000),
+          |s AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+          |tt AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 1),
+          |fs AS (SELECT s.vec_id AS qid, tt.vec_id AS cid,
+          |    round(list_dot_product(s.v, tt.v)
+          |      / (sqrt(list_dot_product(s.v, s.v))
+          |        * sqrt(list_dot_product(tt.v, tt.v))), 6) AS sim
+          |  FROM s, tt),
+          |f4 AS (SELECT * FROM (SELECT qid, cid, sim,
+          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          |  FROM fs) WHERE rn <= 4),
+          |bs AS (SELECT tt.vec_id AS qid, s.vec_id AS cid,
+          |    round(list_dot_product(tt.v, s.v)
+          |      / (sqrt(list_dot_product(tt.v, tt.v))
+          |        * sqrt(list_dot_product(s.v, s.v))), 6) AS sim
+          |  FROM tt, s),
+          |b4 AS (SELECT * FROM (SELECT qid, cid, sim,
+          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          |  FROM bs) WHERE rn <= 4),
+          |af AS (SELECT qid,
+          |    CAST(SUM(CAST(sim AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(*) AS avg_src
+          |  FROM f4 GROUP BY 1),
+          |ab AS (SELECT qid AS cid,
+          |    CAST(SUM(CAST(sim AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(*) AS avg_tgt
+          |  FROM b4 GROUP BY 1)
+          |SELECT f.qid, f.cid, f.sim, af.avg_src, ab.avg_tgt,
+          |  round(f.sim / ((af.avg_src + ab.avg_tgt) / 2), 6) AS margin
+          |FROM f4 f
+          |JOIN b4 b ON b.qid = f.cid AND b.cid = f.qid AND b.rn = 1
+          |JOIN af ON af.qid = f.qid JOIN ab ON ab.cid = f.cid
+          |WHERE f.rn = 1 ORDER BY f.qid""".stripMargin
+      )
     )
   )
 }
