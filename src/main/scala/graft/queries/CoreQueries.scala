@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * Relational.dsum).
   */
 object CoreQueries {
-  import Tables.t
+  import Tables.{t, tw}
 
   // exact revenue term: l_extendedprice * (1 - l_discount) in decimal
   private def discPrice: Column =
@@ -99,7 +99,7 @@ object CoreQueries {
     Q(
       "q05_compute",
       (s, d) =>
-        t(s, d, "lineitem")
+        tw(s, d, "lineitem")
           .select(
             col("l_orderkey"),
             col("l_linenumber"),
@@ -228,7 +228,7 @@ object CoreQueries {
         // default is exact=false -> the x58 sketch path.
         graft.operators.Quantiles
           .quantiles(
-            t(s, d, "lineitem"),
+            tw(s, d, "lineitem"),
             Nil,
             "l_extendedprice",
             Seq(0.05, 0.25, 0.50, 0.75, 0.95),

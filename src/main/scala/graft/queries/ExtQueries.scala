@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   * multimodal plumbing, JSON, event-time analytics, as-of join, OLAP
   * extras. Every SQL-expressible operator carries a DuckDB oracle. */
 object ExtQueries {
-  import Tables.t
+  import Tables.{t, tw}
 
   /** Shared shingle CTE: distinct word 3-grams per doc (matches
     * Dedup.shingleRows) + the md5-derived 60-bit token hash (matches
@@ -780,7 +780,7 @@ object ExtQueries {
     // ------------------------------------------------------------------
     Q(
       "x04_simhash",
-      (s, d) => Dedup.simhash16(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+      (s, d) => Dedup.simhash16(tw(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
       Some(s"""WITH $shingleCte,
               |tok AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 18, 15) AS BIGINT) AS h FROM sh)
               |SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash
@@ -1523,7 +1523,7 @@ object ExtQueries {
       (s, d) =>
         Scale
           .stratifiedHashSample(
-            t(s, d, "lineitem"),
+            tw(s, d, "lineitem"),
             Seq("l_orderkey", "l_linenumber"),
             "l_returnflag",
             Map("A" -> 0.1, "N" -> 0.2, "R" -> 0.05)
@@ -1621,7 +1621,7 @@ object ExtQueries {
       "x43_quantize",
       (s, d) => {
         val scale = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-        t(s, d, "embeddings")
+        tw(s, d, "embeddings")
           .select(col("vec_id"), scale.as("scale"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .select(
             col("vec_id"),
@@ -2766,7 +2766,7 @@ object ExtQueries {
       "x79_embed_cov",
       (s, d) =>
         Similarity
-          .covarianceMatrix(t(s, d, "embeddings"), "embedding", dim = 64)
+          .covarianceMatrix(tw(s, d, "embeddings"), "embedding", dim = 64)
           .select(
             col("i").cast("long").as("i"),
             col("j").cast("long").as("j"),
@@ -2796,7 +2796,7 @@ object ExtQueries {
       "x80_pca_eigen",
       (s, d) =>
         Similarity
-          .pcaVerifyRows(t(s, d, "embeddings"), "embedding", dim = 64, k = 4)
+          .pcaVerifyRows(tw(s, d, "embeddings"), "embedding", dim = 64, k = 4)
           .orderBy("c"),
       Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
              |    CAST(unnest(embedding) AS DOUBLE) AS x
@@ -3016,7 +3016,7 @@ object ExtQueries {
       (s, d) =>
         TextAnalysis
           .scoreLinear(
-            t(s, d, "documents").select(col("doc_id"), col("text")),
+            tw(s, d, "documents").select(col("doc_id"), col("text")),
             "text",
             qWeights,
             17.0 / 256.0
@@ -3074,7 +3074,7 @@ object ExtQueries {
       "x91_decon_ngram",
       (s, d) => {
         import s.implicits._
-        val dirty = t(s, d, "documents")
+        val dirty = tw(s, d, "documents")
           .withColumn(
             "text",
             when(col("doc_id") % 5 === 1, concat(col("text"), lit(" " + CanaryLine)))
@@ -3308,7 +3308,7 @@ object ExtQueries {
     Q(
       "x98_bpe_ids",
       (s, d) =>
-        t(s, d, "documents")
+        tw(s, d, "documents")
           .select(
             col("doc_id"),
             posexplode(TextAnalysis.bpeIds(col("text"), bpeMerges, bpeVocab))
@@ -3355,7 +3355,7 @@ object ExtQueries {
     Q(
       "x100_pq_adc",
       (s, d) => {
-        val e = t(s, d, "embeddings")
+        val e = tw(s, d, "embeddings")
         val n = e.count()
         val nCells = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
         val cen = Similarity
@@ -3419,7 +3419,7 @@ object ExtQueries {
       "x101_decon_fuzzy",
       (s, d) => {
         import s.implicits._
-        val dirty = t(s, d, "documents")
+        val dirty = tw(s, d, "documents")
           .withColumn(
             "text",
             when(col("doc_id") % 5 === 1, concat(col("text"), lit(" " + CanaryLine)))
@@ -3459,7 +3459,7 @@ object ExtQueries {
     Q(
       "x102_dsir_select",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tw(s, d, "documents")
         Scale
           .dsirSelect(docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", k = 200, buckets = 1024)
           .select(
@@ -3509,7 +3509,7 @@ object ExtQueries {
       "x103_approx_distinct",
       (s, d) =>
         Relational
-          .approxDistinctAudit(t(s, d, "documents"), Seq("source"), "text")
+          .approxDistinctAudit(tw(s, d, "documents"), Seq("source"), "text")
           .orderBy("source"),
       Some("""SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact,
              |TRUE AS within_bound
@@ -3532,7 +3532,7 @@ object ExtQueries {
     Q(
       "x104_ann_recall",
       (s, d) => {
-        val e = t(s, d, "embeddings")
+        val e = tw(s, d, "embeddings")
         val approx = Similarity.ivfTopKAuto(e, "vec_id", "embedding", 5, iters = 0)
         val queries = e.filter(col("vec_id") < 10000000L && col("vec_id") % 10 === 0)
         val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 5)
@@ -3588,7 +3588,7 @@ object ExtQueries {
       "x105_hard_negatives",
       (s, d) =>
         Similarity
-          .hardNegatives(t(s, d, "embeddings"), "vec_id", "embedding", "label", 3)
+          .hardNegatives(tw(s, d, "embeddings"), "vec_id", "embedding", "label", 3)
           .orderBy("qid", "rn"),
       Some("""WITH e AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
              |  FROM embeddings WHERE label IS NOT NULL),
@@ -3743,7 +3743,7 @@ object ExtQueries {
     Q(
       "x110_incr_neardup",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tw(s, d, "documents")
         val index =
           Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", 8)
         val batch = docs
@@ -3949,7 +3949,7 @@ object ExtQueries {
       "x113_span_scrub",
       (s, d) =>
         Dedup
-          .scrubDuplicatedSpans(t(s, d, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+          .scrubDuplicatedSpans(tw(s, d, "documents"), "doc_id", "text", n = 8, minDocs = 2)
           .orderBy("doc_id"),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
              |occ AS (SELECT doc_id, i - 1 AS i,
@@ -3988,7 +3988,7 @@ object ExtQueries {
     Q(
       "x114_bm25",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tw(s, d, "documents")
         val qs = docs
           .filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000000L)
           .select(
@@ -4082,8 +4082,8 @@ object ExtQueries {
     Q(
       "x117_rrf_fusion",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val e = t(s, d, "embeddings")
+        val docs = tw(s, d, "documents")
+        val e = tw(s, d, "embeddings")
         val qs = docs
           .filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000000L)
           .select(
@@ -4151,7 +4151,7 @@ object ExtQueries {
     Q(
       "x118_calibration",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tw(s, d, "documents")
         val scored = TextAnalysis
           .scoreLinear(docs.select(col("doc_id"), col("text")), "text", qWeights, 17.0 / 256.0)
           .select(col("doc_id"), col("logit"))
@@ -4303,7 +4303,7 @@ object ExtQueries {
     Q(
       "x121_score_buckets",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tw(s, d, "documents")
         val scored = TextAnalysis
           .scoreLinear(docs.select(col("doc_id"), col("text")), "text", qWeights, 17.0 / 256.0)
           .select(col("doc_id"), col("logit"))
@@ -4351,7 +4351,7 @@ object ExtQueries {
     Q(
       "x122_budget_select",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = tw(s, d, "documents")
         val base = TextAnalysis
           .scoreLinear(docs.select(col("doc_id"), col("text")), "text", qWeights, 17.0 / 256.0)
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
@@ -4590,7 +4590,7 @@ object ExtQueries {
           lit("https://"), col("source"), lit("-"), (dk % 13).cast("string"),
           lit(".Example.com/"), col("lang"), lit("/"), dk.cast("string")
         )
-        val docs = t(s, d, "documents").withColumn("url", u)
+        val docs = tw(s, d, "documents").withColumn("url", u)
         val scored = TextAnalysis.scoreLinear(docs, "text", qWeights, 17.0 / 256.0)
         TextAnalysis.domainStats(scored, "url", "logit").orderBy("domain")
       },
@@ -4797,7 +4797,7 @@ object ExtQueries {
       (s, d) =>
         TextAnalysis
           .trainLinearSparseWeights(
-            t(s, d, "documents")
+            tw(s, d, "documents")
               .select(
                 col("doc_id"),
                 col("text"),
@@ -6004,7 +6004,7 @@ object ExtQueries {
       "x157_contam_report",
       (s, d) => {
         import s.implicits._
-        val dirty = t(s, d, "documents")
+        val dirty = tw(s, d, "documents")
           .withColumn(
             "text",
             when(col("doc_id") % 35 === 16,
@@ -6579,7 +6579,7 @@ object ExtQueries {
       "x167_datasheet_diff",
       (s, d) => {
         import s.implicits._
-        val dirty = t(s, d, "documents")
+        val dirty = tw(s, d, "documents")
           .withColumn(
             "text",
             when(col("doc_id") % 35 === 16,

@@ -18,6 +18,40 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** [[t]] plus a scale-adaptive scan fan-out (optimization guide
+    * §2.2/§2.5: derive partitioning from the input, never a constant
+    * tuned for one scale) — the WIDE loader for queries whose per-row
+    * compute dominates their scan.
+    *
+    * The bench inputs are single-row-group parquet files, so the scan
+    * plans ONE non-empty task regardless of `maxPartitionBytes` (parquet
+    * splits at row-group boundaries) and every per-row expression fused
+    * into the scan stage — tokenize/explode/hash chains, vector math —
+    * runs on one of the session's cores. One round-robin exchange right
+    * after the scan moves that work onto all cores.
+    *
+    * The exchange is CONDITIONAL on the planned scan parallelism actually
+    * being below the session's (a plan-time file-listing check, no job):
+    * at real scale the inputs split into >= cores partitions on their
+    * own, the condition is false, and the plan is untouched — so this is
+    * not a local-mode constant; it is the degenerate-input repair. The
+    * shuffle is round-robin (deterministic under Spark's
+    * sort-before-repartition) and every declared query's output contract
+    * is partition-invariant (spec-pinned across the corpus), so results
+    * are identical either way.
+    *
+    * Opt-in per query, not the default: the exchange re-serializes the
+    * table once per action, so queries whose downstream work is CHEAP
+    * relative to one serialize+shuffle pass (plain aggregates, sketch
+    * builds, multi-action driver walks that replay the loader) measure
+    * SLOWER with it — the r18 bench A/B over all 229 queries picked the
+    * winners (OPTIMIZATION_r18.md records both lists). */
+  def tw(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Testdata vintages store `events.ts` either as epoch-nanos int64 (read
     * as LongType under `nanosAsLong`) or as parquet timestamp[us] (read as
     * TIMESTAMP_NTZ). Every downstream program does integer arithmetic on ts
