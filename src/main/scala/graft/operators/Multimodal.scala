@@ -332,6 +332,37 @@ object Multimodal {
   private def widen(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Fill `img` with the 4x4-logical-px block texture `g(bx, by)` — one
+    * mix64 per (block column, pixel row) and ONE bulk setRGB instead of a
+    * synchronized per-pixel setRGB + per-pixel mix64 (identical pixels,
+    * ~10x less texture CPU; profiled in r18 — the synth-payload stage of
+    * the media queries is pure per-task compute, guide §1.2 step 2). */
+  private[operators] def fillBlockTexture(
+      img: java.awt.image.BufferedImage,
+      w: Int,
+      h: Int,
+      scale: Int,
+      g: (Int, Int) => Int
+  ): Unit = {
+    val px = new Array[Int](w * h)
+    val bw = 4 * scale
+    var y = 0
+    while (y < h) {
+      val by = (y / scale) / 4
+      var x = 0
+      while (x < w) {
+        val bx = x / bw
+        val gv = g(bx, by)
+        val v = (gv << 16) | (gv << 8) | gv
+        val xEnd = math.min(w, (bx + 1) * bw)
+        var i = y * w + x
+        while (x < xEnd) { px(i) = v; i += 1; x += 1 }
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+  }
+
   /** Attach a deterministic synthetic WAV payload per row: `n` mono 16-bit
     * samples at `sampleRate`, sample(i) = (id*31 + i*17) % 20001 - 10000 —
     * an expression the SQL oracle recomputes exactly (PCM16 round-trips
@@ -1196,17 +1227,8 @@ object Multimodal {
         val n = 4 + (p % 3).toInt
         val jpegs = (0 until n).map { fi =>
           val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val bx = (x / scale) / 4; val by = (y / scale) / 4
-              val g = ((mix64(p * 1000003L + fi * 999983L + bx * 7919L + by * 104729L) >>> 33) % 256).toInt
-              img.setRGB(x, y, (g << 16) | (g << 8) | g)
-              x += 1
-            }
-            y += 1
-          }
+          fillBlockTexture(img, w, h, scale, (bx, by) =>
+            ((mix64(p * 1000003L + fi * 999983L + bx * 7919L + by * 104729L) >>> 33) % 256).toInt)
           encodeJpeg(img, 0.7f + 0.1f * (id % 3))
         }
         Row(r.get(idIdx), encodeAviMjpeg(jpegs, w, h, 10))
@@ -1273,25 +1295,16 @@ object Multimodal {
         val scale = 1 + (id % 3).toInt // 64x48, 128x96, 192x144
         val w = 64 * scale; val h = 48 * scale
         val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            // pseudo-random 4x4-px block texture, pure function of the
-            // pattern key: rich content across frequencies (a gradient or
-            // periodic checker concentrates the DCT in a few coefficients
-            // and leaves the rest as fragile sign-noise)
-            val bx = (x / scale) / 4; val by = (y / scale) / 4
-            // mix64 avalanche so different pattern keys give UNCORRELATED
-            // textures (a bare xor of key multiples is a per-value remap —
-            // structurally similar images, measured cross-hamming 8; a
-            // bare LCG's high product bits are linear in the seed)
-            val g = ((mix64(p * 1000003L + bx * 7919L + by * 104729L) >>> 33) % 256).toInt
-            img.setRGB(x, y, (g << 16) | (g << 8) | g)
-            x += 1
-          }
-          y += 1
-        }
+        // pseudo-random 4x4-px block texture, pure function of the
+        // pattern key: rich content across frequencies (a gradient or
+        // periodic checker concentrates the DCT in a few coefficients
+        // and leaves the rest as fragile sign-noise). mix64 avalanche so
+        // different pattern keys give UNCORRELATED textures (a bare xor
+        // of key multiples is a per-value remap — structurally similar
+        // images, measured cross-hamming 8; a bare LCG's high product
+        // bits are linear in the seed)
+        fillBlockTexture(img, w, h, scale, (bx, by) =>
+          ((mix64(p * 1000003L + bx * 7919L + by * 104729L) >>> 33) % 256).toInt)
         Row(r.get(idIdx), encodeJpeg(img, 0.7f + 0.1f * (id % 3))) // quality varies per id
       }
     }(Encoders.row(schema))

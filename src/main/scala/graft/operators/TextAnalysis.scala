@@ -713,8 +713,8 @@ object TextAnalysis {
       "scoreStupidBackoff: model needs (prev2, prev1, tok, cnt) — build it with trainTrigramLm"
     )
     require(alphaShift >= 1, s"scoreStupidBackoff: alphaShift must be >= 1, got $alphaShift")
-    val tri = model.select(
-      col("prev2"), col("prev1"), col("tok"), col("cnt").as("__c3"))
+    val tri = materializeModel(
+      model.select(col("prev2"), col("prev1"), col("tok"), col("cnt").as("__c3")))
     val bi = tri.groupBy("prev1", "tok").agg(sum("__c3").as("__c2"))
     val uni = bi.groupBy("tok").agg(sum("__c2").as("__c1"))
     val ctx3 = tri.groupBy("prev2", "prev1").agg(sum("__c3").as("__x3"))
@@ -806,7 +806,7 @@ object TextAnalysis {
       s"perplexityScore: model needs (${(keyCols ++ Seq("prev", "tok", "cnt")).mkString(", ")}) " +
         "— build it with trainBigramLm under the same keyCols"
     )
-    val mdl = model.select((keyCols ++ Seq("prev", "tok", "cnt")).map(col): _*)
+    val mdl = materializeModel(model.select((keyCols ++ Seq("prev", "tok", "cnt")).map(col): _*))
     val ctx = mdl.groupBy((keyCols :+ "prev").map(col): _*).agg(sum("cnt").as("__ctx"))
     val nll = graft.functions.LogFunctions.fixedLog2(
       coalesce(col("__ctx"), lit(0L)) + col("__v")
@@ -1044,6 +1044,33 @@ object TextAnalysis {
     * vocabulary) — broadcast, since keys are languages at most. Shared by
     * [[scoreJelinekMercer]] and [[scoreWittenBell]] (KN builds the same
     * frame plus its discount columns). */
+  /** Materialize a DERIVED model frame once (eager `localCheckpoint`) so
+    * the 3–6 model-sized aggregates every scorer derives from it (context
+    * totals, fan-outs, continuation counts, vocab/discount scalars) read
+    * stored rows instead of each re-running the corpus-sized count build.
+    * The r18 stage profile showed the bigram/trigram explode+count
+    * executing once PER derived aggregate (x139: six ~350 ms single-task
+    * corpus passes for one score call — exchange reuse does not bridge
+    * separately planned aggregates), which this collapses to one.
+    *
+    * A frame that is already storage-backed — a parquet/file scan, a
+    * checkpoint RDD, or a local relation, possibly under
+    * projection/filter: the persisted-artifact serving shape, including
+    * per-batch streaming scoring against a stored model — passes through
+    * untouched, so deployments never pay a copy. When the model IS built
+    * inline, the checkpoint is model-sized: strictly smaller than even
+    * one of the rebuilds it replaces, at any scale. */
+  private def materializeModel(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
+    def storageBacked(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case pj: org.apache.spark.sql.catalyst.plans.logical.Project => storageBacked(pj.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => storageBacked(f.child)
+      case _ => false
+    }
+    if (storageBacked(df.queryExecution.analyzed)) df else df.localCheckpoint()
+  }
+
   private def contStatJoin(
       docs: DataFrame,
       model: DataFrame,
@@ -1051,7 +1078,7 @@ object TextAnalysis {
       textCol: String,
       keyCols: Seq[String]
   ): DataFrame = {
-    val mdl = model.select((keyCols ++ Seq("prev", "tok", "cnt")).map(col): _*)
+    val mdl = materializeModel(model.select((keyCols ++ Seq("prev", "tok", "cnt")).map(col): _*))
     val ctx = mdl
       .groupBy((keyCols :+ "prev").map(col): _*)
       .agg(sum("cnt").as("__ctx"), count(lit(1)).as("__nv"))
@@ -1288,7 +1315,7 @@ object TextAnalysis {
     )
     val two = 1L << discountShift
     val k = keyCols.map(col)
-    val mdl = model.select((keyCols ++ Seq("prev", "tok", "cnt")).map(col): _*)
+    val mdl = materializeModel(model.select((keyCols ++ Seq("prev", "tok", "cnt")).map(col): _*))
     // per-context totals AND fan-outs in one aggregate: model rows are
     // distinct (prev, tok), so count(*) per prev IS N1+(v·); the modified
     // form also needs the count-conditioned fan-outs N1/N2/N3+(v·)
@@ -1462,7 +1489,15 @@ object TextAnalysis {
         throw new IllegalArgumentException(
           s"perplexityBuckets: smoothing must be 'addone', 'kn', 'jm' or 'wb', got '$other'")
     }
-    val sc = scored.join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    // materialized ONCE: the per-doc scored frame feeds BOTH the boundary
+    // quantiles and the tagged output — without the checkpoint each branch
+    // re-runs the full scoring pass (token explode + model joins) over the
+    // corpus. The checkpoint is the narrow (id, scores, lang) frame, the
+    // same corpus-sized-but-thin materialization the x122/x162 operators
+    // already make; guide §5 trade, measured 2x on the bucket family
+    val sc = scored
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .localCheckpoint()
     val bounds = Quantiles
       .quantiles(sc, Seq(langCol), "ce_bits", Seq(1.0 / 3, 2.0 / 3), exact, accuracy)
     val bCols = bounds.columns.filterNot(_ == langCol)
@@ -1913,11 +1948,18 @@ object TextAnalysis {
         ).as("__x")
       )
       .localCheckpoint(true)
-    val n = dense.count()
+    // one job for both guards (row count + bad-label count), not two
+    val guardRow = dense
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(
+          when(col("__y").isNull || (col("__y") =!= 0L && col("__y") =!= 1L), 1L).otherwise(0L)
+        ).as("__bad")
+      )
+      .collect()(0)
+    val n = guardRow.getLong(0)
     require(n > 0, "trainLinear: empty corpus")
-    val badLabels = dense
-      .filter(col("__y").isNull || (col("__y") =!= 0L && col("__y") =!= 1L))
-      .count()
+    val badLabels = guardRow.getLong(1)
     require(
       badLabels == 0,
       s"trainLinear: $badLabels rows have labels outside {0, 1} — a mislabeled gradient " +
@@ -2046,11 +2088,18 @@ object TextAnalysis {
         coalesce(col("__e"), array().cast("array<struct<key:bigint,value:bigint>>")).as("__e")
       )
       .localCheckpoint(true)
-    val n = sparse.count()
+    // one job for both guards (row count + bad-label count), not two
+    val guardRow = sparse
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(
+          when(col("__y").isNull || (col("__y") =!= 0L && col("__y") =!= 1L), 1L).otherwise(0L)
+        ).as("__bad")
+      )
+      .collect()(0)
+    val n = guardRow.getLong(0)
     require(n > 0, "trainLinearSparse: empty corpus")
-    val badLabels = sparse
-      .filter(col("__y").isNull || (col("__y") =!= 0L && col("__y") =!= 1L))
-      .count()
+    val badLabels = guardRow.getLong(1)
     require(
       badLabels == 0,
       s"trainLinearSparse: $badLabels rows have labels outside {0, 1} — a mislabeled " +

@@ -1747,6 +1747,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTester {
     assert(msgs.contains("negative doc id"), msgs)
   }
 
+  test("fillBlockTexture == per-pixel reference loop (media payload refactor pin)") {
+    // the r18 block-fill rewrite must keep every pixel identical to the
+    // original per-pixel setRGB loop — identical pixels => identical JPEG
+    // bytes => identical downstream hashes at every SF
+    for (scale <- 1 to 3; seed <- Seq(0L, 2L, 7L)) {
+      val w = 64 * scale; val h = 48 * scale
+      def g(bx: Int, by: Int): Int =
+        ((Multimodal.mix64(seed * 1000003L + bx * 7919L + by * 104729L) >>> 33) % 256).toInt
+      val fast = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      Multimodal.fillBlockTexture(fast, w, h, scale, g)
+      val ref = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val bx = (x / scale) / 4; val by = (y / scale) / 4
+        val gv = g(bx, by)
+        ref.setRGB(x, y, (gv << 16) | (gv << 8) | gv)
+      }
+      for (y <- 0 until h; x <- 0 until w)
+        assert(fast.getRGB(x, y) == ref.getRGB(x, y), s"pixel ($x,$y) scale=$scale seed=$seed")
+    }
+  }
+
   test("slide: membership exact incl. boundaries; width < step leaves gaps") {
     import spark.implicits._
     val df = Seq((1L, 13L), (2L, 12L), (3L, 0L)).toDF("id", "ts")
