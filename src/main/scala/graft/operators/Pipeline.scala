@@ -12,12 +12,12 @@ object Pipeline {
 
   /** Returns the cleaned corpus (original columns, survivors only).
     *
-    * The deduped intermediate is persisted (memory-and-disk): it feeds the
+    * The deduped intermediate is localCheckpoint-materialized: it feeds the
     * LSH candidate pass, the verification pass, and the final anti-join —
     * without materialization each consumer would re-run the quality scan and
     * the dedup window shuffle. At cluster scale the same role is played by
-    * writing the stage to storage between passes; the caller may
-    * `.unpersist()` the returned frame's lineage when done. */
+    * writing the stage to storage between passes; the checkpoint blocks are
+    * ContextCleaner-freed once the returned frame is dropped. */
   def cleanCorpus(
       docs: DataFrame,
       idCol: String,
@@ -47,14 +47,16 @@ object Pipeline {
     // 1. quality gate — inline predicate, no join-back
     val passed = docs.filter(quality)
     // 2. exact dedup (lowest id per identical text wins)
-    val deduped = Dedup.exact(passed, Seq(textCol), idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize EAGERLY: the near-dup pass references this frame from
     // several subtrees (LSH pipeline, verification sets, final anti-join),
-    // some launched as concurrent broadcast-exchange jobs — with a lazily
-    // filling cache they race and each recomputes the quality+window
-    // pipeline before any of them has populated it
-    deduped.count()
+    // some launched as concurrent broadcast-exchange jobs — with a lazy
+    // cache they race and each recomputes the quality+window pipeline
+    // before any of them has populated it. localCheckpoint(true), not
+    // persist+count (the r18 change): same eagerness in ONE job instead
+    // of two, and blocks are ContextCleaner-freed when the frame drops —
+    // a persist is CacheManager-pinned forever (the nearDuplicates leak
+    // rationale, applied here too)
+    val deduped = Dedup.exact(passed, Seq(textCol), idCol).localCheckpoint(true)
     // 3. near-dup removal: of each (d1 < d2) pair, drop d2
     val pairs = Dedup.nearDuplicates(deduped, idCol, textCol, nearDupThreshold)
     deduped.join(

@@ -4832,10 +4832,16 @@ object ExtQueries {
           lit(".Example.com/"), col("lang"), lit("/"), dk.cast("string")
         )
         val docs = t(s, d, "documents").withColumn("url", u)
+        // materialized once: doremiMix's stats collect AND the final
+        // resample both consume the scored frame — without the checkpoint
+        // each action re-runs the token-hash scoring pass (the oracle's
+        // sc CTE is MATERIALIZED for the same reason)
         val scored = TextAnalysis
           .scoreLinear(docs, "text", qWeights, 17.0 / 256.0)
           .withColumn("domain", TextAnalysis.urlDomain(col("url")))
           .withColumn("loss", -col("logit"))
+          .select(col("doc_id"), col("domain"), col("loss"))
+          .localCheckpoint()
         val shares = Scale
           .doremiMix(scored, "domain", "loss", steps = 4)
           .select("domain", "weight")
@@ -4923,9 +4929,14 @@ object ExtQueries {
           docs, "doc_id", "text",
           model.frame(s).filter(col("bucket") >= 0), dim = 64, bias = model.bias
         )
+        // materialized once: the doremiMix stats collect AND the final
+        // resample both consume this frame — without the checkpoint each
+        // action re-runs the classifier scoring pass (the oracle's sc CTE
+        // is MATERIALIZED for the same reason)
         val withDom = docs
           .select(col("doc_id"), TextAnalysis.urlDomain(col("url")).as("domain"))
           .join(scored.select(col("doc_id"), (-col("logit")).as("loss")), Seq("doc_id"))
+          .localCheckpoint()
         val shares = Scale
           .doremiMix(withDom, "domain", "loss", steps = 4)
           .select("domain", "weight")
@@ -5163,9 +5174,14 @@ object ExtQueries {
         val ce = TextAnalysis
           .perplexityScore(docs, model, "doc_id", "text")
           .select(col("doc_id"), col("ce_bits").as("loss"))
+        // materialized once: the doremiMix stats collect AND the final
+        // resample both consume this frame — without the checkpoint each
+        // action re-runs the LM scoring pass (the oracle's sc CTE is
+        // MATERIALIZED for the same reason)
         val withDom = docs
           .select(col("doc_id"), TextAnalysis.urlDomain(col("url")).as("domain"))
           .join(ce, Seq("doc_id"))
+          .localCheckpoint()
         val shares = Scale
           .doremiMix(withDom, "domain", "loss", steps = 4)
           .select("domain", "weight")
