@@ -3743,7 +3743,7 @@ object ExtQueries {
     Q(
       "x110_incr_neardup",
       (s, d) => {
-        val docs = tw(s, d, "documents")
+        val docs = t(s, d, "documents")
         val index =
           Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", 8)
         val batch = docs
@@ -4082,8 +4082,8 @@ object ExtQueries {
     Q(
       "x117_rrf_fusion",
       (s, d) => {
-        val docs = tw(s, d, "documents")
-        val e = tw(s, d, "embeddings")
+        val docs = t(s, d, "documents")
+        val e = t(s, d, "embeddings")
         val qs = docs
           .filter(col("doc_id") % 97 === 0 && col("doc_id") < 10000000L)
           .select(
