@@ -144,10 +144,17 @@ object Bench {
     val canarySecs = mutable.ArrayBuffer[Double]()
     val samples = mutable.ArrayBuffer[mutable.LinkedHashMap[String, Option[Double]]]()
     // a targeted-subset run writes to /tmp by default so it never clobbers
-    // the committed full-suite BENCH_LAST record
+    // the committed full-suite BENCH_LAST record; likewise a non-default
+    // core-count run (the driver's scaling pass) goes to BENCH_LAST_c<N>
+    // so it never overwrites the default-cores record (r18 lesson: the
+    // 8-core scaling run clobbered the 32-core per-query map and the
+    // round's perf comparison went blind)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val lastPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_OUT",
-      if (only.isEmpty) "/root/repo/BENCH_LAST.json" else "/tmp/BENCH_SUBSET.json")
+      if (only.nonEmpty) "/tmp/BENCH_SUBSET.json"
+      else if (cpus != "32") s"/root/repo/BENCH_LAST_c$cpus.json"
+      else "/root/repo/BENCH_LAST.json")
 
     def fmtD(v: Double): String = f"$v%.6f"
     // the full record from whatever has been measured so far; identical
@@ -231,26 +238,32 @@ object Bench {
       // keep the most recent CLEAN run alongside BENCH_LAST so a contaminated
       // latest run never erases the quiet-box reference point — and never
       // let a targeted-subset run (SPARK_GRAFT_BENCH_ONLY) replace the
-      // full-suite reference
+      // full-suite reference; non-default-core runs keep their own quiet
+      // reference file for the same clobbering reason as BENCH_LAST
       if (!loadWarning && failed.isEmpty && only.isEmpty) {
         val quietPath =
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_OUT", "/root/repo/BENCH_QUIET.json")
+          sys.env.getOrElse(
+            "SPARK_GRAFT_BENCH_QUIET_OUT",
+            if (cpus != "32") s"/root/repo/BENCH_QUIET_c$cpus.json"
+            else "/root/repo/BENCH_QUIET.json")
         atomicWrite(quietPath, json + "\n")
         written += quietPath
       }
     } catch { case e: Throwable => System.err.println(s"[bench] result-file write failed: $e") }
-    // The round artifact keeps only a ~4 KB stdout TAIL; at 180 queries the
-    // full record (per-query mins + per-pass samples) no longer fits, so
-    // r12-r14 artifacts carried a clipped line and parsed as null. Print
-    // the full record first (human scrollback), then a COMPACT summary as
-    // the FINAL line — small enough to always survive the tail window, so
-    // the round artifact parses standalone; the per-query record is the
-    // committed BENCH_LAST/BENCH_QUIET file.
+    // Print the full record first (human scrollback; includes the per-pass
+    // samples), then the FINAL line: the driver-contract JSON with the
+    // per-query {name: sec} map INLINE. r17/r18 printed a compact final
+    // line without "queries" and the driver's parse came back null two
+    // rounds running (PERF per_query: {}) — the per-query map itself is
+    // only ~7 KB at 229 queries, so it ships in the final line; the bulky
+    // per-pass samples stay in the committed BENCH_LAST/BENCH_QUIET file.
     println(json)
     val loadSamplesJson = loadSamples.map(v => f"$v%.2f").mkString("[", ",", "]")
     val canaryJson = canarySecs.map(fmtD).mkString("[", ",", "]")
+    val queriesJson = ordered.map(_._1).flatMap(n => results.get(n).map(v => "\"" + n + "\":" + fmtD(v))).mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesJson,""" +
+        s""""n_queries":${results.size},""" +
         s""""failed":$failedJson,"sf":"$sfDir","runs":$runs,""" +
         s""""load_samples":$loadSamplesJson,"canary_secs":$canaryJson,""" +
         s""""load_gate_waited":$waited,""" +

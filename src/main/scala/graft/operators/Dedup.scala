@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import Materialize.StageSyntax
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -370,7 +371,7 @@ object Dedup {
       maxBucketSize: Option[Int] = None
   ): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = minhashSignatures(docs, idCol, textCol, k).localCheckpoint(true)
+    val sig = minhashSignatures(docs, idCol, textCol, k).stageCheckpoint()
     val cands = candidatesFromSignatures(sig, idCol, bands, rowsPerBand, maxBucketSize)
     val a = sig.as("a"); val b = sig.as("b")
     val agree = (0 until k)
@@ -529,7 +530,7 @@ object Dedup {
     // keeps the result streamable to a sink without a second
     // materialization; the truncated lineage failing loudly on a lost
     // block is fine — the shingle pipeline is deterministic.
-    val sets = shingleHashSets(docs, idCol, textCol, 3).localCheckpoint(true)
+    val sets = shingleHashSets(docs, idCol, textCol, 3).stageCheckpoint()
     val inter = graft.functions.ArrayFunctions
       .sortedIntersectCount(col("sha"), col("shb"))
       .cast("double")
@@ -626,7 +627,7 @@ object Dedup {
     // CacheManager-pinned forever (the nearDuplicates/incrementalNearDup
     // leak pattern; regression-spec'd in OperatorsSpec)
     val base = spread(docs.select(col(idCol), split(col(textCol), " ").as("__tk")), idCol)
-      .localCheckpoint(true)
+      .stageCheckpoint()
     // per-doc gram START positions (0-based), hashed with the same
     // convention as duplicatedSpans — the join key is the narrow hash
     val gramArr = when(
@@ -1158,8 +1159,8 @@ object Dedup {
     // this per micro-batch must not accumulate CacheManager-pinned
     // partitions across batches (the incrementalSemEvidence fix; leak
     // regression asserted in OperatorsSpec/StreamingSpec).
-    val idxOut = idxEvidence.localCheckpoint(true)
-    val selfOut = selfEvidence.localCheckpoint(true)
+    val idxOut = idxEvidence.stageCheckpoint()
+    val selfOut = selfEvidence.stageCheckpoint()
     bSig.unpersist()
     (idxOut, selfOut)
   }

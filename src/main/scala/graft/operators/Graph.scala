@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import Materialize.StageSyntax
 
 /** Connected components over an undirected edge list — the step that turns
   * pairwise near-duplicate hits into duplicate CLUSTERS (keep one doc per
@@ -76,7 +77,7 @@ object Graph {
       .select(col("a").as("node"))
       .distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+      .stageCheckpoint()
     // label every round's job so the Spark UI / listeners can attribute
     // per-round shuffle volume (iteration count vs per-round skew are the
     // two distinct scale failure modes of iterative CC — telemetry must
@@ -100,7 +101,7 @@ object Graph {
           min("label").as("label"),
           min(when(col("own"), col("label"))).as("prev")
         )
-        .localCheckpoint(true)
+        .stageCheckpoint()
       val changed = stepped.filter(col("label") =!= col("prev")).limit(1).count()
       labels = stepped.select("node", "label")
       converged = changed == 0
@@ -130,7 +131,7 @@ object Graph {
         .select(least(col("la"), col("lb")).as("mn"), greatest(col("la"), col("lb")).as("mx"))
         .filter(col("mn") =!= col("mx"))
         .distinct()
-        .localCheckpoint(true)
+        .stageCheckpoint()
       var eCount = e.count()
       sym.unpersist()
       var starConverged = eCount == 0L
@@ -150,7 +151,7 @@ object Graph {
           .join(mins, "u")
           .select(col("m").as("mn"), col("v").as("mx")) // m <= u < v
           .distinct()
-          .localCheckpoint(true) // eager: two small-star subtrees read it below
+          .stageCheckpoint() // eager: two small-star subtrees read it below
         // small-star: every node with smaller neighbors points them (and
         // itself) at their common minimum — flattens into stars
         val toSmaller = large.select(col("mx").as("u"), col("mn").as("v")) // v < u
@@ -161,7 +162,7 @@ object Graph {
           .select(col("m").as("mn"), col("v").as("mx")) // m < v
           .union(smins.select(col("m").as("mn"), col("u").as("mx")))
           .distinct()
-          .localCheckpoint(true)
+          .stageCheckpoint()
         val newCount = stepped.count()
         // exact fixpoint test (not a hash): same cardinality and no edge
         // outside the previous set — one anti-join over two checkpointed sets
@@ -193,7 +194,7 @@ object Graph {
     // until an explicit unpersist. No driver collect — labels can be
     // arbitrarily large. Pass materialize=false to own a persisted frame
     // instead.
-    if (materialize) labels.localCheckpoint(true)
+    if (materialize) labels.stageCheckpoint()
     else {
       // Persist the PROJECTION the caller receives: unpersist() only drops
       // a cache entry whose plan matches the dataset it's called on, so
@@ -237,17 +238,17 @@ object Graph {
     require(damping > 0 && damping < 1, s"pageRank: damping must be in (0,1), got $damping")
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
-    val ew = e.join(deg, "src").localCheckpoint(true) // (src, dst, deg) — static across rounds
+      .stageCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).stageCheckpoint()
+    val ew = e.join(deg, "src").stageCheckpoint() // (src, dst, deg) — static across rounds
     val nodes = e
       .select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .stageCheckpoint()
     val n = nodes.count().toDouble
     val degAsNode = deg.withColumnRenamed("src", "node")
-    var ranks = nodes.select(col("node"), (lit(1.0) / lit(n)).as("rank")).localCheckpoint(true)
+    var ranks = nodes.select(col("node"), (lit(1.0) / lit(n)).as("rank")).stageCheckpoint()
     for (_ <- 1 to iters) {
       val contribs = ew
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -264,7 +265,7 @@ object Graph {
           ((lit(1.0) - lit(damping)) / lit(n) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))).as("rank")
         )
-        .localCheckpoint(true)
+        .stageCheckpoint()
     }
     ranks
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import Materialize.StageSyntax
 
 /** Composed training-data pipeline: the flagship "clean a web corpus" story
   * built from the individual operators — quality gate, exact dedup, then
@@ -56,7 +57,7 @@ object Pipeline {
     // of two, and blocks are ContextCleaner-freed when the frame drops —
     // a persist is CacheManager-pinned forever (the nearDuplicates leak
     // rationale, applied here too)
-    val deduped = Dedup.exact(passed, Seq(textCol), idCol).localCheckpoint(true)
+    val deduped = Dedup.exact(passed, Seq(textCol), idCol).stageCheckpoint()
     // 3. near-dup removal: of each (d1 < d2) pair, drop d2
     val pairs = Dedup.nearDuplicates(deduped, idCol, textCol, nearDupThreshold)
     deduped.join(
@@ -338,7 +339,7 @@ object Pipeline {
   ): DataFrame = {
     val base = docs
       .select(col(idCol), col(sourceCol), col(langCol), col(textCol))
-      .localCheckpoint(true)
+      .stageCheckpoint()
     val nov = Dedup
       .ngramNovelty(base, idCol, textCol, noveltyN)
       .select(col(idCol), col("n_shingles"), col("novel_shingles"))
@@ -450,7 +451,7 @@ object Pipeline {
       s"corpusDatasheetIncremental: statsIndex lacks ${stMissing.mkString(", ")}")
     val base = batch
       .select(col(idCol), col(sourceCol), col(langCol), col(textCol))
-      .localCheckpoint(true)
+      .stageCheckpoint()
     // batch shingle df + single-doc owner (source of the one containing doc)
     val sh = Dedup
       .shingleRows(base, idCol, textCol, noveltyN)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import Materialize.StageSyntax
 
 /** Small relational conveniences mirroring reference API ergonomics. */
 object Relational {
@@ -274,7 +275,7 @@ object Relational {
     val vals0 = df.select(col(valueCol).cast("string").as(valueCol))
     // localCheckpoint, not persist: truncated lineage means a lost block
     // FAILS instead of recomputing non-deterministic input between passes
-    val vals = if (cache) vals0.localCheckpoint(true) else vals0
+    val vals = if (cache) vals0.stageCheckpoint() else vals0
     val v = col(valueCol)
     val head = vals
       .agg(count(v).as("__n"), graft.functions.MgAggFunctions.mgSummary(v, cap).as("__cand"))

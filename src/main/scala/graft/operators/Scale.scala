@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import Materialize.StageSyntax
 
 /** Scale toolkit: the shuffle-avoidance and skew primitives a 100 TB
   * deployment leans on (SURVEY.md §7.0 — "100 TB scaling is partition count
@@ -629,7 +630,7 @@ object Scale {
     val base0 = df.filter(
       col(scoreCol).isNotNull && col(tokenCol).isNotNull && col(tokenCol) > 0
     )
-    val base = if (materializeInput) base0.localCheckpoint(true) else base0
+    val base = if (materializeInput) base0.stageCheckpoint() else base0
     val hist = base
       .groupBy(col(scoreCol).as("__sc"))
       .agg(sum(col(tokenCol).cast("long")).as("__t"))
@@ -819,7 +820,7 @@ object Scale {
       .join(base.select(col(idCol), col(tokenCol).cast("long").as("__tok")), Seq(idCol))
     // several bounded actions follow — materialize the curriculum chain
     // once so none of them replays the interleave windows (x162's lesson)
-    val mat = withTok.localCheckpoint(true)
+    val mat = withTok.stageCheckpoint()
     val head = mat.agg(count(lit(1)).as("n"), sum("__tok").as("t")).collect()(0)
     val n = head.getLong(0)
     val total = if (n == 0L) 0L else head.getLong(1)
@@ -907,7 +908,7 @@ object Scale {
     val keyed = assigned
       .withColumn("shuffle_key", ekOf(col("epoch")))
       .withColumn("__bk", expr(s"shuffle_key div $bucketWidth"))
-      .localCheckpoint(true)
+      .stageCheckpoint()
     val grp = keyed.groupBy("epoch", "tier", "__bk").agg(count(lit(1)).as("__gc"))
     val offW = Window.partitionBy("epoch").orderBy("tier", "__bk")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1049,7 +1050,7 @@ object Scale {
     val bucketWidth = 1125899906842624L // 2^50: the curriculumEpochs bucket grid
     val keyed = assignments
       .withColumn("__bk", expr(s"shuffle_key div $bucketWidth"))
-      .localCheckpoint(true)
+      .stageCheckpoint()
     val t0Row = keyed.filter(col("epoch") === 0L)
       .agg(sum(col(tokenCol).cast("long"))).collect()(0)
     val t0 = if (t0Row.isNullAt(0)) 0L else t0Row.getLong(0)
@@ -1323,7 +1324,7 @@ object Scale {
     val mat = df
       .filter(col(tokenCol).isNotNull && col(tokenCol) > 0)
       .withColumn("__bk", expr(s"`$keyCol` div $bucketWidth"))
-      .localCheckpoint(true) // feeds the offset aggregate, the base collect, and the final join
+      .stageCheckpoint() // feeds the offset aggregate, the base collect, and the final join
     val grp = mat
       .groupBy(pc :+ col("__bk"): _*)
       .agg(sum(col(tokenCol).cast("long")).as("__bt"))
@@ -1415,7 +1416,7 @@ object Scale {
     val base = docs
       .filter(col(sourceCol).isNotNull && col(tokenCol).isNotNull && col(tokenCol) > 0)
       .select(col(idCol), col(sourceCol), col(tokenCol).cast("long").as(tokenCol))
-      .localCheckpoint(true) // feeds the waterfill, the bucket sums, and both branches
+      .stageCheckpoint() // feeds the waterfill, the bucket sums, and both branches
     val alloc = unimaxMix(base, sourceCol, tokenCol, budgetTokens, maxEpochs, maxGroups)
       .collect() // bounded: one row per source, <= maxGroups (unimaxMix guards)
     // integer per-source budgets: capped sources take their exact Long cap

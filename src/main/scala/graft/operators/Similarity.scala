@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import Materialize.StageSyntax
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -1176,7 +1177,7 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum("p").as("__s"))
       // referenced by two subtrees (marginals + pairs) — materialize the
       // dim²-bounded aggregate once instead of re-running the data pass
-      .localCheckpoint(true)
+      .stageCheckpoint()
     val sums = cells
       .filter(col("j") === -1)
       .select(col("i").as("__mi"), col("__s").as("__sum"))
@@ -2031,8 +2032,8 @@ object Similarity {
     // invoking this per micro-batch must not accumulate persisted
     // partitions across batches (the heavyHitters materialize-then-
     // unpersist pattern; localCheckpoint(true) like Graph/Dedup.nearDup).
-    val idxOut = idxEvidence.localCheckpoint(true)
-    val selfOut = selfEvidence.localCheckpoint(true)
+    val idxOut = idxEvidence.stageCheckpoint()
+    val selfOut = selfEvidence.stageCheckpoint()
     bAsg.unpersist()
     (idxOut, selfOut)
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import Materialize.StageSyntax
 
 /** Text-analysis operators for document pipelines: token stats, quality
   * scoring, language-ID heuristics, canonical fingerprints. All are pure
@@ -1059,16 +1060,27 @@ object TextAnalysis {
     * per-batch streaming scoring against a stored model — passes through
     * untouched, so deployments never pay a copy. When the model IS built
     * inline, the checkpoint is model-sized: strictly smaller than even
-    * one of the rebuilds it replaces, at any scale. */
+    * one of the rebuilds it replaces, at any scale.
+    *
+    * EAGERNESS NOTE (ADVICE r18): constructing a scorer DataFrame over an
+    * inline-built model runs the model-build job HERE, at composition
+    * time, and holds the materialized blocks until the frame is GC'd —
+    * a deliberate lazy-to-eager trade. Library callers who compose
+    * scoring frames they may never execute should pass a stored model
+    * (the passthrough below costs nothing). */
   private def materializeModel(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
     def storageBacked(p: LogicalPlan): Boolean = p match {
       case _: LeafNode => true
       case pj: org.apache.spark.sql.catalyst.plans.logical.Project => storageBacked(pj.child)
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => storageBacked(f.child)
+      // spark.table(...) / .as(...) wrap stored models in an alias; without
+      // this case an already-persisted model behind an alias would pay a
+      // redundant model-sized checkpoint (ADVICE r18)
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => storageBacked(a.child)
       case _ => false
     }
-    if (storageBacked(df.queryExecution.analyzed)) df else df.localCheckpoint()
+    if (storageBacked(df.queryExecution.analyzed)) df else df.stageCheckpoint()
   }
 
   private def contStatJoin(
@@ -1497,7 +1509,7 @@ object TextAnalysis {
     // already make; guide §5 trade, measured 2x on the bucket family
     val sc = scored
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
-      .localCheckpoint()
+      .stageCheckpoint()
     val bounds = Quantiles
       .quantiles(sc, Seq(langCol), "ce_bits", Seq(1.0 / 3, 2.0 / 3), exact, accuracy)
     val bCols = bounds.columns.filterNot(_ == langCol)
@@ -1947,7 +1959,7 @@ object TextAnalysis {
             "i -> coalesce(__m[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))"
         ).as("__x")
       )
-      .localCheckpoint(true)
+      .stageCheckpoint()
     // one job for both guards (row count + bad-label count), not two
     val guardRow = dense
       .agg(
@@ -2087,7 +2099,7 @@ object TextAnalysis {
         col("__y"),
         coalesce(col("__e"), array().cast("array<struct<key:bigint,value:bigint>>")).as("__e")
       )
-      .localCheckpoint(true)
+      .stageCheckpoint()
     // one job for both guards (row count + bad-label count), not two
     val guardRow = sparse
       .agg(
@@ -2239,7 +2251,7 @@ object TextAnalysis {
         coalesce(col("__e"), array().cast("array<struct<_1:bigint,_2:bigint>>")).as("__e")
       )
       .repartition(nShards.min(4096), col("__s"))
-      .localCheckpoint(true)
+      .stageCheckpoint()
     require(sparse.count() > 0, "trainLinearSgd: empty corpus")
     val badLabels = sparse
       .filter(col("__y").isNull || (col("__y") =!= 0L && col("__y") =!= 1L))

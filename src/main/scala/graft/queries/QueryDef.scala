@@ -45,7 +45,14 @@ object Tables {
     * relative to one serialize+shuffle pass (plain aggregates, sketch
     * builds, multi-action driver walks that replay the loader) measure
     * SLOWER with it — the r18 bench A/B over all 229 queries picked the
-    * winners (OPTIMIZATION_r18.md records both lists). */
+    * winners (OPTIMIZATION_r18.md records both lists).
+    *
+    * Sketch caveat (ADVICE r18): partition-invariance is EXACT for the
+    * opted-in exact aggregates/total-order sorts, but approx-sketch
+    * consumers (q10's approx_percentile) are merge-order-dependent in
+    * principle; those are tolerance-verified against the oracle at the
+    * tested SFs rather than proven invariant — keep new sketch-based
+    * queries on the plain loader unless verified the same way. */
   def tw(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = t(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
