@@ -337,6 +337,16 @@ object Pipeline {
       noveltyN: Int = 3,
       contamN: Int = 13
   ): DataFrame = {
+    // NOTE (r19 measured dead end, like r18's widenMaterialized): widening
+    // a narrow scan input before this checkpoint (the Tables.tw condition,
+    // scan-shape-guarded because `.rdd` under AQE executes a shuffling
+    // plan's intermediate stages — measured +3.7 s on x167's scrubbed
+    // card) parallelized the three consumer stages per the profiler but
+    // left WALL TIME flat at every tested point: the novelty/contamination/
+    // per-doc streams already run as concurrent jobs, which overlaps the
+    // narrow stages across cores, and at real scale the input splits on
+    // its own. Reverted; one narrow checkpoint read by concurrent jobs is
+    // the measured optimum here.
     val base = docs
       .select(col(idCol), col(sourceCol), col(langCol), col(textCol))
       .stageCheckpoint()

@@ -811,6 +811,33 @@ object Scale {
       maxSources: Int = 1000
   ): DataFrame = {
     require(budgetTokens >= 0, s"curriculumEpochs: budget must be >= 0, got $budgetTokens")
+    curriculumEpochs(
+      docs, idCol, tokenCol, difficultyCol, sourceCol,
+      (_, _) => budgetTokens, tiers, maxEpochs, maxSources)
+  }
+
+  /** [[curriculumEpochs]] with the budget given as a FUNCTION of the
+    * corpus shape — `budgetOf(nDocs, totalTokens)` — for the standard
+    * "budget = f · corpus epochs" call (x165/x169's 2.5 epochs). The
+    * operator already aggregates (n, total) from its materialized
+    * curriculum chain for the partial-epoch walk; deriving the budget
+    * from the same one-row aggregate removes the caller's separate
+    * corpus-tokenizing count job (the trainer guard-merge pattern,
+    * guide §2/Finding 3 — one less full pass AND one less driver
+    * barrier). Docs with NULL/non-positive `tokenCol` are excluded
+    * before the aggregate, so `totalTokens` equals the sum the caller
+    * would compute over positive token counts. */
+  def curriculumEpochs(
+      docs: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      difficultyCol: String,
+      sourceCol: String,
+      budgetOf: (Long, Long) => Long,
+      tiers: Int,
+      maxEpochs: Int,
+      maxSources: Int
+  ): DataFrame = {
     require(tiers >= 1 && tiers <= 65536, s"curriculumEpochs: tiers must be in [1, 65536]")
     require(maxEpochs >= 1 && maxEpochs <= 128, "curriculumEpochs: maxEpochs must be in [1, 128]")
     import org.apache.spark.sql.expressions.Window
@@ -824,6 +851,8 @@ object Scale {
     val head = mat.agg(count(lit(1)).as("n"), sum("__tok").as("t")).collect()(0)
     val n = head.getLong(0)
     val total = if (n == 0L) 0L else head.getLong(1)
+    val budgetTokens = budgetOf(n, total)
+    require(budgetTokens >= 0, s"curriculumEpochs: budget must be >= 0, got $budgetTokens")
     def shaped(df: DataFrame): DataFrame =
       df.select(
         col(idCol), col(sourceCol), col("__tok").as(tokenCol),

@@ -6474,11 +6474,11 @@ object ExtQueries {
             col("doc_id"),
             col("source"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-        // 2.5 epochs: (5T) div 2 — one bounded 1-row collect
-        val totalT = docs0.agg(sum("n_tokens")).collect()(0).getLong(0)
+        // 2.5 epochs: (5T) div 2 — derived inside the operator from its
+        // own (n, total) aggregate (no separate corpus-tokenizing job)
         Scale
           .curriculumEpochs(docs0, "doc_id", "n_tokens", "n_tokens", "source",
-            totalT * 5L / 2L)
+            (_, t) => t * 5L / 2L, tiers = 256, maxEpochs = 16, maxSources = 1000)
           .orderBy("epoch", "pos")
       },
       Some(
@@ -6722,9 +6722,9 @@ object ExtQueries {
             col("doc_id"),
             col("source"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-        val totalT = docs0.agg(sum("n_tokens")).collect()(0).getLong(0)
         val asg = Scale.curriculumEpochs(
-          docs0, "doc_id", "n_tokens", "n_tokens", "source", totalT * 5L / 2L)
+          docs0, "doc_id", "n_tokens", "n_tokens", "source",
+          (_, t) => t * 5L / 2L, tiers = 256, maxEpochs = 16, maxSources = 1000)
         Scale
           .packEpochs(asg, "doc_id", "n_tokens", 1024)
           .select(
@@ -6929,10 +6929,18 @@ object ExtQueries {
             src.as("source"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
             TextAnalysis.qualityExpr(col("text")).as("__q"))
-          .localCheckpoint(true) // two scalar aggs + two phase selections read it
-        val totalT = docs0.agg(sum("n_tokens")).collect()(0).getLong(0)
+          .localCheckpoint(true) // one scalar agg + two phase selections read it
+        // one job for both phase budgets (the trainer guard-merge
+        // pattern): total tokens and gated tokens from a single aggregate
+        // instead of two sequential driver barriers
+        val tRow = docs0
+          .agg(
+            sum("n_tokens"),
+            sum(when(col("__q") >= 0.6, col("n_tokens"))))
+          .collect()(0)
+        val totalT = tRow.getLong(0)
+        val annealT = tRow.getLong(1)
         val gated = docs0.filter(col("__q") >= 0.6).drop("__q")
-        val annealT = gated.agg(sum("n_tokens")).collect()(0).getLong(0)
         val stable = Scale
           .unimaxSelect(docs0.drop("__q"), "doc_id", "source", "n_tokens",
             totalT * 6L / 5L, maxEpochs = 2)
@@ -7001,9 +7009,15 @@ object ExtQueries {
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
             TextAnalysis.qualityExpr(col("text")).as("__q"))
           .localCheckpoint(true)
-        val totalT = docs0.agg(sum("n_tokens")).collect()(0).getLong(0)
+        // one job for both phase budgets (the x172 guard-merge)
+        val tRow = docs0
+          .agg(
+            sum("n_tokens"),
+            sum(when(col("__q") >= 0.6, col("n_tokens"))))
+          .collect()(0)
+        val totalT = tRow.getLong(0)
+        val annealT = tRow.getLong(1)
         val gated = docs0.filter(col("__q") >= 0.6).drop("__q")
-        val annealT = gated.agg(sum("n_tokens")).collect()(0).getLong(0)
         val sched = Scale
           .unimaxSelect(docs0.drop("__q"), "doc_id", "source", "n_tokens",
             totalT * 6L / 5L, maxEpochs = 2)

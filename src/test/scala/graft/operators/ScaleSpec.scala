@@ -604,6 +604,14 @@ class ScaleSpec extends AnyFunSuite with SparkTester {
     assert(g.getMessage.contains("full epochs"))
     assert(Scale.curriculumEpochs(
       docs, "doc_id", "n_tokens", "n_tokens", "source", 0L).count() == 0L)
+    // the budget-closure overload (budget derived from the operator's own
+    // (n, total) aggregate — saves the caller's separate count job) must
+    // equal the literal-budget path: budgetOf(6, 17) = 43 here
+    val viaClosure = Scale.curriculumEpochs(
+      docs, "doc_id", "n_tokens", "n_tokens", "source",
+      (n: Long, t: Long) => { assert(n == 6L && t == 17L); t * 2L + 9L },
+      tiers = 4, maxEpochs = 16, maxSources = 1000)
+    assert(got.exceptAll(viaClosure).isEmpty && viaClosure.exceptAll(got).isEmpty)
   }
 
   test("packEpochs: one continuous stream across epochs == naive per-epoch cumsum + epoch base") {
